@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned SparkSession factory for graft.
+  *
+  * The reference (zacernst/metalpipe) runs one thread per pipeline node with
+  * bounded queues between them (`metalpipe/node.py:102`); Spark supplies the
+  * equivalent execution substrate (stages, shuffles, AQE) cluster-wide, so the
+  * only thing graft needs to own is sensible session tuning.
+  *
+  * Scale posture: shuffle partitions are sized from the environment (32 in
+  * the local test harness, thousands on a real cluster) and AQE is left on so
+  * runtime statistics can coalesce/re-split them and handle skewed joins.
+  */
+object GraftSession {
+
+  /** Runtime confs graft depends on; safe to (re)apply to a live session. */
+  def tune(spark: SparkSession): SparkSession = {
+    val conf = spark.conf
+    // TIMESTAMP(NANOS) parquet (the `events` table) is rejected by the
+    // vectorized reader; read the raw int64 and convert (see Tables.events).
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    conf.set("spark.sql.session.timeZone", "UTC")
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark
+  }
+
+  /** Local session for tests / tools. On a cluster the user brings their own
+    * session; `tune` is all graft needs applied to it.
+    */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession =
+    tune(
+      SparkSession
+        .builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", cores)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+}

@@ -1,13 +1,347 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Ops
+import graft.sources.{Sources, Tables}
+import graft.functions.Text
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.json.TreeWalk
+
+/** Driver contract: one `queries` entry (+ DuckDB oracle SQL) per operator
+  * from SURVEY.md §2.
+  *
+  * Oracle-parity rules (SURVEY §6) used throughout:
+  *  - money/double sums accumulate in DECIMAL(18,2) (order-independent,
+  *    engine-independent) and surface as double;
+  *  - ratios are exact int ÷ int double divisions;
+  *  - event timestamps compare as epoch-MICROS bigints (Spark: `ts_ns div
+  *    1000`; DuckDB truncates nanos to micros on parquet read → `epoch_us`);
+  *  - hashes are md5 hex (identical across engines), never engine hash().
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** DECIMAL(18,2) accumulator cast — the exact-money-math workhorse. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Flagship query on sf=0.001: revenue per nation (broadcast dims). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    revenuePerNation(spark, "/root/testdata/sf0.001")
+
+  /** lineitem ⋈ orders ⋈ customer ⋈ (broadcast) nation ⋈ (broadcast) region;
+    * decimal-exact revenue. The dims are broadcast so the only shuffles are
+    * the two fact-side join keys + the final group-by.
+    */
+  private def revenuePerNation(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem"); val o = T(s, dir, "orders")
+    val c = T(s, dir, "customer"); val n = T(s, dir, "nation"); val r = T(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"), col("r_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+        count_distinct(col("o_orderkey")).as("n_orders"))
+  }
+
+  // ---------------------------------------------------------------------
+  // queries — one per SURVEY §2 row
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- sources (A4/A5/A6) ----
+    "q_counter" -> ((s, _) => Sources.counter(s, 0, 1000)),
+    "q_sequence" -> ((s, _) => Sources.sequence(s, Seq("a", "b", "c"), 2)),
+    "q_constant" -> ((s, _) => Sources.constant(s, Map("k" -> "v"), 3)),
+
+    // ---- row-level transforms (B1-B8) ----
+    "q_insert_data" -> ((s, dir) =>
+      Ops.insertData(T(s, dir, "nation"), Map("source" -> "graft", "version" -> 1L))),
+    "q_regex" -> ((s, dir) =>
+      Ops.substituteRegex(T(s, dir, "part"), "p_name", " ", "_", Some("p_name_u"))
+        .select("p_partkey", "p_name", "p_name_u")),
+    "q_remap" -> ((s, dir) =>
+      Ops.remap(T(s, dir, "customer"),
+        Seq("c_custkey" -> "id", "c_name" -> "name", "c_mktsegment" -> "segment"))),
+    "q_explode" -> ((s, dir) =>
+      Ops.serialize(
+        T(s, dir, "documents").withColumn("toks", Text.tokens(col("text"))),
+        "toks", "token").select("doc_id", "token")),
+    "q_filter" -> ((s, dir) => {
+      val ev = Ops.filterTest(
+        Ops.filterTest(T(s, dir, "events"), "event_type", Ops.KeyExists),
+        "value", Ops.ValueIsNotNone)
+      ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "value")
+    }),
+    "q_sample" -> ((s, dir) => Ops.modSample(T(s, dir, "documents"), "doc_id", 10)),
+
+    // ---- aggregation & stateful (C1-C7) ----
+    "q_collect" -> ((s, dir) =>
+      Ops.aggregateValues(T(s, dir, "documents"), Seq("lang"), "doc_id", "ids")
+        .select(col("lang"),
+          array_join(transform(col("ids"), _.cast(StringType)), ",").as("doc_ids"))),
+    "q_agg" -> ((s, dir) =>
+      Ops.groupAgg(T(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"), Seq(
+        Ops.moneySum(col("l_quantity")).as("sum_qty"),
+        Ops.moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        count(lit(1)).as("n_rows"),
+        Ops.moneyAvg(col("l_quantity")).as("avg_qty")))),
+    "q_batch" -> ((s, dir) =>
+      Ops.batchRows(T(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"), 100)
+        .select("l_orderkey", "l_linenumber", "batch_id")),
+    "q_window" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(expr("(ts_ns div 1000) div 60000000").as("minute_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Ops.moneySum(col("value")).as("sum_value"))),
+    "q_join_window" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), expr("ts_ns div 1000").as("p_us"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("user_id"), expr("ts_ns div 1000").as("e_us"))
+      Ops.intervalJoin(p, e, Seq("user_id"), col("p_us"), col("e_us"),
+          lit(-300000000L), lit(300000000L))
+        .select(col("p_id"), col("e_id"), col("__ij_l.user_id").as("user_id"),
+          (col("e_us") - col("p_us")).as("dt_us"))
+    }),
+    "q_rowstats" -> ((s, dir) => Ops.rowStats(T(s, dir, "customer"))),
+    "q_join" -> ((s, dir) => revenuePerNation(s, dir)),
+    "q_topk" -> ((s, dir) =>
+      Ops.topK(T(s, dir, "orders"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+    "q_window_rank" -> ((s, dir) =>
+      Ops.windowRank(T(s, dir, "customer"), Seq("c_nationkey"),
+          Seq(col("c_acctbal").desc, col("c_custkey").asc), 3)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          col("rnk").cast(LongType).as("rnk"))),
+    "q_anti_join" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+    "q_semi_join" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // ---- TreeHorn (F1/F2/F3) ----
+    "q_treewalk" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem"); val o = T(s, dir, "orders")
+      val nested = li.groupBy("l_orderkey")
+        .agg(collect_list(struct(col("l_linenumber"), col("l_quantity"))).as("lines"))
+      val doc = o.join(nested, o("o_orderkey") === nested("l_orderkey"))
+        .select(col("o_orderkey"), struct(col("lines")).as("payload"))
+      TreeWalk.flattenAtKey(doc, "l_quantity", "item", keep = Seq("o_orderkey"))
+    }),
+
+    // ---- dedup (G1-G5) ----
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(T(s, dir, "documents"), "doc_id", "text")),
+    "q_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(T(s, dir, "documents"), "doc_id", "text", k = 3, tau = 0.5)),
+    "q_minhash" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(size(Text.tokens(col("text"))) > 0)
+      Dedup.minhashSignature(docs, "doc_id", "text", 4)
+        .select(col("id").as("doc_id"), col("sig")(0).as("h0"), col("sig")(1).as("h1"),
+          col("sig")(2).as("h2"), col("sig")(3).as("h3"))
+    }),
+    "q_simhash" -> ((s, dir) => Dedup.simhash(T(s, dir, "documents"), "doc_id", "text")),
+    "q_lsh_pairs" -> ((s, dir) => {
+      val sig = Dedup.minhashSignature(T(s, dir, "documents"), "doc_id", "text", 16)
+      Dedup.lshPairs(sig, bands = 4, rowsPerBand = 4)
+    }),
+    "q_cosine_neardup" -> ((s, dir) =>
+      Dedup.cosineNearDup(
+        T(s, dir, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding", 0.2)
+        .select("id_a", "id_b")),
+
+    // ---- similarity (G6) ----
+    "q_ann" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Ann.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 3)
+        .select("query_id", "rank", "neighbor_id")
+    }),
+
+    // ---- text analysis (G8-G11) ----
+    "q_langid" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
+    "q_quality" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id") +: Text.qualityFeatures(col("text")): _*)),
+    "q_tokens" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id") +: Text.tokenStats(col("text")): _*)),
+    "q_fingerprint" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"), Text.fingerprint(col("text")).as("fp")))
+  )
+
+  // ---------------------------------------------------------------------
+  // oracle SQL (DuckDB) — must match queries' column names & exact values
+  // ---------------------------------------------------------------------
+
+  /** Shared SQL fragments, kept in one place so Spark/DuckDB stay in sync. */
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+  private def stopIn(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ", ", ")")
+  private def langScore(words: Seq[String]) =
+    s"CAST(len(list_filter(tk, t -> t IN ${stopIn(words)})) AS DOUBLE) / " +
+      "CAST(greatest(len(tk), 1) AS DOUBLE)"
+
+  private val simhashOracle: String = {
+    val sums = (0 until 60).map(b =>
+      s"SUM(CASE WHEN (h & ${1L << b}) <> 0 THEN 1 ELSE 0 END) AS v$b").mkString(", ")
+    val fp = (0 until 60).map(b =>
+      s"(CASE WHEN v$b * 2 > n THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM t),
+       |v AS (SELECT doc_id, COUNT(*) AS n, $sums FROM h GROUP BY doc_id)
+       |SELECT doc_id AS id, CAST($fp AS BIGINT) AS simhash FROM v""".stripMargin
+  }
+
+  private val langidOracle: String = {
+    val codes = Text.stopwords.keys.toSeq.sorted // de, en, es, fr
+    val scores = codes.map(c => s"${langScore(Text.stopwords(c))} AS s_$c").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |sc AS (SELECT doc_id, $scores FROM t)
+       |SELECT doc_id, CASE
+       |  WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |  WHEN s_es >= s_fr THEN 'es'
+       |  ELSE 'fr' END AS lang_pred FROM sc""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_counter" -> "SELECT r.range AS n FROM range(0, 1000) r",
+    "q_sequence" -> "SELECT r.range AS seq_no, unnest(['a', 'b', 'c']) AS value FROM range(0, 2) r",
+    "q_constant" -> "SELECT r.range AS _emit_id, 'v' AS k FROM range(0, 3) r",
+
+    "q_insert_data" ->
+      "SELECT n_nationkey, n_name, n_regionkey, 'graft' AS source, CAST(1 AS BIGINT) AS version FROM nation",
+    "q_regex" ->
+      "SELECT p_partkey, p_name, regexp_replace(p_name, ' ', '_', 'g') AS p_name_u FROM part",
+    "q_remap" ->
+      "SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment FROM customer",
+    "q_explode" ->
+      "SELECT doc_id, token FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) WHERE token <> ''",
+    "q_filter" ->
+      "SELECT event_id, user_id, value FROM events WHERE value IS NOT NULL AND event_type = 'purchase'",
+    "q_sample" -> "SELECT * FROM documents WHERE doc_id % 10 = 0",
+
+    "q_collect" ->
+      "SELECT lang, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids FROM documents GROUP BY lang",
+    "q_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_batch" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(CEIL(CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS DOUBLE) / 100) AS BIGINT) AS batch_id
+        |FROM lineitem""".stripMargin,
+    "q_window" ->
+      """SELECT epoch_us(ts) // 60000000 AS minute_bucket, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_join_window" ->
+      """SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id AS user_id,
+        | epoch_us(e.ts) - epoch_us(p.ts) AS dt_us
+        |FROM events p JOIN events e ON p.user_id = e.user_id
+        | AND p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND epoch_us(e.ts) >= epoch_us(p.ts) - 300000000
+        | AND epoch_us(e.ts) <= epoch_us(p.ts) + 300000000""".stripMargin,
+    "q_rowstats" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .map(c => s"""SELECT '$c' AS "column", COUNT(*) AS n_rows, COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct FROM customer""")
+      .mkString(" UNION ALL "),
+    "q_join" ->
+      """SELECT n_name, r_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name, r_name""".stripMargin,
+    "q_topk" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q_window_rank" ->
+      """SELECT * FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+        | RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |FROM customer) WHERE rnk <= 3""".stripMargin,
+    "q_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)",
+    "q_semi_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')",
+
+    "q_treewalk" ->
+      """SELECT o_orderkey, l_linenumber AS item_l_linenumber, l_quantity AS item_l_quantity
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
+
+    "q_dedup_exact" ->
+      "SELECT md5(text) AS hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY md5(text)",
+    "q_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |       unnest(list_transform(range(0, len(tk) - 2),
+         |              i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))) AS shingle
+         |       FROM toks WHERE len(tk) >= 3),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+         |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_inter,
+         | CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+         |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5""".stripMargin,
+    "q_minhash" ->
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents)
+         |SELECT doc_id, MIN(md5('0:' || tok)) AS h0, MIN(md5('1:' || tok)) AS h1,
+         | MIN(md5('2:' || tok)) AS h2, MIN(md5('3:' || tok)) AS h3
+         |FROM t GROUP BY doc_id""".stripMargin,
+    "q_simhash" -> simhashOracle,
+
+    "q_ann" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |  CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) = 0 THEN 0
+        |       ELSE list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) END AS cos
+        | FROM q, c WHERE query_id <> neighbor_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin,
+
+    "q_langid" -> langidOracle,
+    "q_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents)
+         |SELECT doc_id,
+         | CAST(length(text) AS BIGINT) AS n_chars,
+         | CAST(len(tk) AS BIGINT) AS n_tokens,
+         | CAST(len(regexp_extract_all(text, '[.,;:!?''"()]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+         | CAST(len(list_filter(tk, t -> t IN ${stopIn(Text.stopwords("en"))})) AS DOUBLE) / CAST(greatest(len(tk), 1) AS DOUBLE) AS stopword_ratio,
+         | CAST(COALESCE(list_sum(list_transform(tk, t -> length(t))), 0) AS DOUBLE) / CAST(greatest(len(tk), 1) AS DOUBLE) AS mean_token_len
+         |FROM t""".stripMargin,
+    "q_tokens" ->
+      s"""SELECT doc_id,
+         | CAST(length(text) AS BIGINT) AS n_chars,
+         | CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
+         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish_tokens
+         |FROM documents""".stripMargin,
+    "q_fingerprint" ->
+      "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp FROM documents"
+  )
 }

@@ -1,0 +1,143 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Text, Vectors}
+
+/** Deduplication for LLM-training-data pipelines (SURVEY §2.G1–G5).
+  *
+  * Scale posture (100 TB):
+  *  - exact dedup is a hash group-by — map-side partial aggregation, one
+  *    shuffle on the content hash, no skew (md5 is uniform).
+  *  - n-gram Jaccard prunes high-document-frequency shingles ("stop
+  *    shingles") before the self-join, bounding the quadratic pair blowup;
+  *    candidate pairs then get an exact Jaccard verification.
+  *  - MinHash/LSH is the sub-quadratic path: O(n·bands) shuffle keys.
+  */
+object Dedup {
+
+  /** Exact dedup (G1): group by md5(content), keep the minimum id.
+    * Output: (hash, keep_id, n_copies).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word-k-shingles per document: (id, shingle). Distinctness is
+    * enforced per-document with `array_distinct` (no extra shuffle).
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val n = size(toks)
+    val sh = transform(sequence(lit(0), greatest(n - k, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(k)), " "))
+    df.select(col(idCol).as("id"),
+      explode(when(n >= k, array_distinct(sh))
+        .otherwise(array().cast(ArrayType(StringType)))).as("shingle"))
+  }
+
+  /** N-gram Jaccard near-dup (G2): exact Jaccard over word-k-shingle sets,
+    * pairs with similarity ≥ `tau`, `id_a < id_b`.
+    *
+    * `maxShingleDf` drops shingles appearing in more than that many docs
+    * before pairing (scale guard; pairs sharing only ubiquitous shingles are
+    * below any useful tau anyway). Pass Int.MaxValue for exact behavior.
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, tau: Double = 0.8,
+                   maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k)
+    val pruned =
+      if (maxShingleDf == Int.MaxValue) sh
+      else {
+        val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf).select("shingle")
+        sh.join(dfreq, "shingle")
+      }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = pruned.select(col("id").as("id_a"), col("shingle"))
+    val b = pruned.select(col("id").as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("n_inter")).cast(DoubleType))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "n_inter", "jaccard")
+  }
+
+  /** MinHash signature (G3): for each seed s, min over the document's
+    * distinct tokens of md5(s || ":" || token). The min is taken on the hex
+    * string — portable to any engine with md5 (same result in DuckDB),
+    * unlike engine-native integer hashes.
+    *
+    * Output: (id, sig: array<string> of length `numHashes`).
+    */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 16): DataFrame = {
+    val toks = array_distinct(Text.tokens(col(textCol)))
+    val sig = array((0 until numHashes).map { s =>
+      array_min(transform(toks, t => md5(concat(lit(s.toString), lit(":"), t))))
+    }: _*)
+    df.select(col(idCol).as("id"), sig.as("sig"))
+  }
+
+  /** LSH banding over minhash signatures: hash each band of the signature to
+    * a bucket key, join on equal (band, key) → candidate pairs. O(n·bands)
+    * shuffle, never an n² compare.
+    */
+  def lshPairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val keys = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+          .as("band_key"))
+    }: _*)
+    val banded = sig.select(col("id"), explode(keys).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val l = banded.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("band_key"), col("id").as("id_b"))
+    l.join(r, Seq("band", "band_key")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** SimHash (G4): 60-bit token-hash bit vote (60 bits so the fingerprint
+    * stays exactly representable from the 15-hex-digit md5 prefix). Bit b of
+    * the fingerprint is 1 iff more distinct tokens have bit b set than not.
+    * One explode + one group-by — a single shuffle, partial-agg friendly.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
+    val hashed = tok.withColumn("h", Text.md5Hash64(col("tok")))
+    val aggs = count(lit(1)).as("n") +: (0 until bits).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(0L)).as(s"v$b")
+    }
+    val voted = hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val fp = (0 until bits).map { b =>
+      when(col(s"v$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select(col("id"), fp.as("simhash"))
+  }
+
+  /** Hamming distance between two fingerprints. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-dup (G5): pairs with cosine ≥ tau. All-pairs
+    * compare — use only on broadcastable sets; the scale path buckets via
+    * `graft.similarity.Ann.lshTopK` first.
+    */
+  def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
+                    tau: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", Vectors.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= tau)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis column functions for LLM-training-data pipelines
+  * (SURVEY §2.G8–G11). Every function is a pure `Column` composition —
+  * whole-stage codegen, no UDFs — and every arithmetic output is exact
+  * (int ÷ int in double) so a SQL oracle can reproduce it bit-for-bit.
+  */
+object Text {
+
+  /** Whitespace tokens (split on single space; preserves empties exactly like
+    * DuckDB's string_split so oracles agree).
+    */
+  def wsTokens(text: Column): Column = split(text, " ")
+
+  /** Non-empty whitespace tokens. */
+  def tokens(text: Column): Column = filter(split(text, " "), t => length(t) > 0)
+
+  /** BPE-ish tokens: runs of letters, runs of digits, or single other
+    * non-space characters — the shape of a byte-pair pre-tokenizer.
+    */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Token statistics (G10): whitespace + BPE-ish counts, chars. */
+  def tokenStats(text: Column): Seq[Column] = Seq(
+    length(text).cast(LongType).as("n_chars"),
+    size(tokens(text)).cast(LongType).as("n_ws_tokens"),
+    size(bpeishTokens(text)).cast(LongType).as("n_bpeish_tokens"))
+
+  /** Small per-language stopword lists for the heuristic language ID. Tiny on
+    * purpose: broadcast as literals into codegen. Extend freely at use sites.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "auf", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "no", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "que", "pas", "pour"))
+
+  /** Fraction of tokens found in `words` — exact bigint ÷ bigint double. */
+  def stopwordFraction(text: Column, words: Seq[String]): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isin(words.map(lit): _*)))
+    hits.cast(DoubleType) / greatest(size(toks), lit(1)).cast(DoubleType)
+  }
+
+  /** Heuristic language ID (G8): argmax of per-language stopword fractions,
+    * ties broken by language code ascending, all-zero → "und"(etermined).
+    */
+  def langId(text: Column, langs: Map[String, Seq[String]] = stopwords): Column = {
+    val scored = langs.toSeq.sortBy(_._1).map { case (code, words) =>
+      struct((stopwordFraction(text, words) * -1).as("neg"), lit(code).as("code"))
+    }
+    val best = array_min(array(scored: _*))
+    when(best.getField("neg") < 0, best.getField("code")).otherwise(lit("und"))
+  }
+
+  /** Quality-score features (G9): length, punctuation ratio, stopword ratio,
+    * mean token length — each exact (int ÷ int).
+    */
+  def qualityFeatures(text: Column, stop: Seq[String] = stopwords("en")): Seq[Column] = {
+    val toks = tokens(text)
+    val nToks = greatest(size(toks), lit(1))
+    val punct = size(regexp_extract_all(text, lit("[.,;:!?'\"()]"), lit(0)))
+    Seq(
+      length(text).cast(LongType).as("n_chars"),
+      size(toks).cast(LongType).as("n_tokens"),
+      punct.cast(DoubleType) / greatest(length(text), lit(1)).cast(DoubleType) as "punct_ratio",
+      size(filter(toks, t => t.isin(stop.map(lit): _*))).cast(DoubleType) /
+        nToks.cast(DoubleType) as "stopword_ratio",
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast(LongType))
+        .cast(DoubleType) / nToks.cast(DoubleType) as "mean_token_len")
+  }
+
+  /** Order-insensitive document fingerprint (G11): md5 over the sorted
+    * distinct token set. Identical hex in DuckDB:
+    * `md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' '))`.
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(split(text, " "))), " "))
+
+  /** Deterministic 64-bit token hash built from md5 (engine-portable, unlike
+    * Spark's xxhash64 vs DuckDB's hash): first 16 hex chars of md5 → bigint.
+    */
+  def md5Hash64(c: Column): Column =
+    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+}

@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational re-expressions of the reference's processor nodes.
+  *
+  * Each method is a lazy DataFrame → DataFrame transform (a Catalyst plan
+  * fragment), not an eager loop: the reference runs one Python thread per
+  * node pulling dicts off a queue (`metalpipe/node.py:102`); here every
+  * "node" is a projection/filter/aggregate that whole-stage codegen fuses,
+  * and the only shuffles are the ones the semantics require (group-bys,
+  * joins, global batching).
+  */
+object Ops {
+
+  // -------------------------------------------------------------------
+  // Row-level transforms (pure projections — no shuffle, codegen-fused)
+  // -------------------------------------------------------------------
+
+  /** Insert constant keys (reference `InsertData`, node.py:1034).
+    *
+    * `overwrite=false` matches the reference's "only if absent/None":
+    * existing non-null values win via `coalesce`.
+    */
+  def insertData(df: DataFrame, values: Map[String, Any], overwrite: Boolean = true): DataFrame =
+    values.foldLeft(df) { case (d, (name, v)) =>
+      if (overwrite || !d.columns.contains(name)) d.withColumn(name, lit(v))
+      else d.withColumn(name, coalesce(col(name), lit(v)))
+    }
+
+  /** Regex substitution (reference `SubstituteRegex`, node.py:1068).
+    * Spark `regexp_replace` replaces all occurrences (DuckDB needs 'g').
+    */
+  def substituteRegex(df: DataFrame, column: String, pattern: String,
+                      replacement: String, out: Option[String] = None): DataFrame =
+    df.withColumn(out.getOrElse(column), regexp_replace(col(column), pattern, replacement))
+
+  /** Key remapping / projection (reference `Remapper`, node.py:1694 and the
+    * ubiquitous `input_mapping`). `mapping` is (sourcePath → outName); source
+    * paths may be nested (`a.b.c`). Pure `select` — prunes columns at the
+    * scan.
+    */
+  def remap(df: DataFrame, mapping: Seq[(String, String)]): DataFrame =
+    df.select(mapping.map { case (path, name) => col(path).as(name) }: _*)
+
+  /** Arbitrary column expression as a new key (reference `FunctionOfMessage`,
+    * node.py:996). Caller supplies a `Column` so the function stays inside
+    * codegen — the reference calls an arbitrary Python function per message.
+    */
+  def applyExpr(df: DataFrame, out: String, expr: Column): DataFrame =
+    df.withColumn(out, expr)
+
+  /** Explode an iterable value into one message per element (reference
+    * `Serializer`, node.py:1257). `values=true` explodes a map's values.
+    */
+  def serialize(df: DataFrame, column: String, out: String = "value",
+                values: Boolean = false): DataFrame = {
+    val c = if (values) map_values(col(column)) else col(column)
+    df.withColumn(out, explode(c))
+  }
+
+  // -------------------------------------------------------------------
+  // Filters & sampling
+  // -------------------------------------------------------------------
+
+  sealed trait FilterTest
+  /** Message passes iff the key path exists in the schema (plan-time check —
+    * whole input passes or none, mirroring dict-key presence per message for
+    * a fixed schema). */
+  case object KeyExists extends FilterTest
+  /** Pass iff value casts to true (non-zero / literal true / "true"). */
+  case object ValueIsTrue extends FilterTest
+  /** Pass iff value is not null. */
+  case object ValueIsNotNone extends FilterTest
+
+  /** Filter node (reference `Filter`, node.py:1294). All three tests compile
+    * to predicates Catalyst pushes into the parquet scan.
+    */
+  def filterTest(df: DataFrame, keyPath: String, test: FilterTest): DataFrame = test match {
+    case KeyExists =>
+      if (hasPath(df.schema, keyPath.split('.').toList)) df else df.limit(0)
+    case ValueIsTrue     => df.filter(col(keyPath).cast(BooleanType) === true)
+    case ValueIsNotNone  => df.filter(col(keyPath).isNotNull)
+  }
+
+  private def hasPath(schema: StructType, path: List[String]): Boolean = path match {
+    case Nil => true
+    case head :: rest =>
+      schema.fields.find(_.name == head) match {
+        case Some(StructField(_, st: StructType, _, _)) => hasPath(st, rest)
+        case Some(_)                                    => rest.isEmpty
+        case None                                       => false
+      }
+  }
+
+  /** Bernoulli sample (reference `RandomSample`, node.py:1055). Seeded for
+    * repeatability within Spark; not oracle-comparable across engines — use
+    * [[modSample]] for oracled paths.
+    */
+  def randomSample(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+
+  /** Deterministic sample: keep rows where `key mod n == r`. Cross-engine
+    * reproducible (the oracle-checkable stand-in for RandomSample).
+    */
+  def modSample(df: DataFrame, key: String, n: Int, r: Int = 0): DataFrame =
+    df.filter(pmod(col(key), lit(n)) === r)
+
+  // -------------------------------------------------------------------
+  // Aggregation
+  // -------------------------------------------------------------------
+
+  /** Collect all values of `valueCol` per group, sorted (reference
+    * `AggregateValues`, node.py:1278 collects a list per window). Sorted so
+    * output is deterministic; partial aggregation happens map-side.
+    */
+  def aggregateValues(df: DataFrame, keys: Seq[String], valueCol: String,
+                      out: String = "values"): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col(valueCol))).as(out))
+
+  /** Group-by aggregation with caller-supplied aggregate columns. */
+  def groupAgg(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+  /** Exact money sum: accumulate in DECIMAL(18,2) (order-independent),
+    * surface as double — bit-identical across engines regardless of
+    * partitioning / summation order.
+    */
+  def moneySum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Exact mean built from the decimal sum: decimal-sum → double, ÷ count in
+    * double. Identical operands → identical IEEE result in any engine.
+    */
+  def moneyAvg(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType) / count(c).cast(DoubleType)
+
+  /** Fixed-size batching with a global, deterministic batch id (reference
+    * `BatchMessages`, node.py:1731). Orders by `orderCols` (must be a total
+    * order for determinism), assigns `batch_id = ceil(row_number/n)`.
+    *
+    * NOTE the single-partition window is the oracle-parity path. At 100 TB
+    * use [[batchRowsPartitioned]] — batch identity rarely needs a global
+    * order, and a global sort of the fact table is the bottleneck.
+    */
+  def batchRows(df: DataFrame, orderCols: Seq[String], n: Int,
+                out: String = "batch_id"): DataFrame = {
+    val w = Window.orderBy(orderCols.map(col): _*)
+    df.withColumn(out, ceil((row_number().over(w)).cast(DoubleType) / lit(n)).cast(LongType))
+  }
+
+  /** Scale-path batching: batch ids unique per partition (partition id ×
+    * 2^40 + local batch) — no global sort, no shuffle, same batch-size
+    * guarantee within partitions.
+    */
+  def batchRowsPartitioned(df: DataFrame, n: Int, out: String = "batch_id"): DataFrame = {
+    val w = Window.partitionBy(spark_partition_id()).orderBy(monotonically_increasing_id())
+    df.withColumn(out,
+      (spark_partition_id().cast(LongType) * lit(1L << 40)) +
+        ceil(row_number().over(w).cast(DoubleType) / lit(n)).cast(LongType))
+  }
+
+  /** Tumbling/sliding time-window aggregation (reference
+    * `TimeWindowAccumulator`, node.py:1453). Batch flavor; streaming variant
+    * in `graft.streaming.Streams` adds the watermark.
+    */
+  def timeWindowAgg(df: DataFrame, tsCol: String, duration: String,
+                    keys: Seq[String], aggs: Seq[Column],
+                    slide: Option[String] = None): DataFrame = {
+    val win = slide.fold(window(col(tsCol), duration))(s => window(col(tsCol), duration, s))
+    df.groupBy(win +: keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Interval (time-range) join — the batch semantics of the reference's
+    * `StreamingJoin` (node.py:1528), whose TimedDict buffer holds the last
+    * `timeout` seconds of each stream. Left row joins right rows with the
+    * same key and `rightTs ∈ [leftTs + lower, leftTs + upper]`.
+    *
+    * Scale note: the equality key makes this a shuffle hash join with a
+    * range post-filter, not a cartesian range join; AQE handles key skew.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: Column, rightTs: Column,
+                   lower: Column, upper: Column): DataFrame = {
+    // Alias both sides: with self-joins (left and right derived from the same
+    // scan) `left(k) === right(k)` degenerates to a trivially-true predicate.
+    val l = left.alias("__ij_l")
+    val r = right.alias("__ij_r")
+    val keyCond = keys.map(k => col(s"__ij_l.$k") === col(s"__ij_r.$k")).reduce(_ && _)
+    l.join(r, keyCond && rightTs >= leftTs + lower && rightTs <= leftTs + upper)
+  }
+
+  // -------------------------------------------------------------------
+  // Stats / schema (reference table_nodes.py:46, utils/data_structures.py)
+  // -------------------------------------------------------------------
+
+  /** Per-column profile: nulls + distincts (+ min/max as strings for
+    * debugging). One aggregate pass; `approx=true` swaps exact distinct for
+    * HLL at scale. Output: (column, n_rows, n_nulls, n_distinct).
+    */
+  def rowStats(df: DataFrame, approx: Boolean = false): DataFrame = {
+    val perCol = df.columns.map { c =>
+      val d = if (approx) approx_count_distinct(col(c)) else count_distinct(col(c))
+      struct(
+        lit(c).as("column"),
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(c))).as("n_nulls"),
+        d.cast(LongType).as("n_distinct"))
+    }
+    df.agg(array(perCol.toIndexedSeq: _*).as("stats"))
+      .select(explode(col("stats")).as("s"))
+      .select("s.*")
+  }
+
+  // -------------------------------------------------------------------
+  // Relational core (C7): top-k, ranked windows, anti joins
+  // -------------------------------------------------------------------
+
+  /** Deterministic top-k: total order required (break ties in `order`). */
+  def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** Per-group top-k via rank over a window. */
+  def windowRank(df: DataFrame, partitionCols: Seq[String], order: Seq[Column],
+                 k: Int, out: String = "rnk"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+    df.withColumn(out, rank().over(w)).filter(col(out) <= k)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch sources — the generator nodes of the reference re-expressed as
+  * DataFrame scans.
+  *
+  * Reference surfaces covered (all in `metalpipe/node.py`):
+  *  - `LocalFileReader` (node.py:1463)    → [[textLines]] / [[wholeFiles]]
+  *  - `CSVReader` (node.py:1488)          → [[csv]]
+  *  - `ConstantEmitter` (node.py:1432)    → [[constant]]
+  *  - `SequenceEmitter` (node.py:1091)    → [[sequence]]
+  *  - `CounterOfThings` (node.py:978)     → [[counter]]
+  *  - `GetEnvironmentVariables` (node.py:1145) → [[envVars]]
+  *
+  * Every source is a lazy scan/plan, not a driver-side loop: a file source is
+  * a distributed read; emitters are `spark.range` projections that parallelize
+  * across executors, so a 10^12-row counter costs nothing on the driver.
+  */
+object Sources {
+
+  /** One row per line, column `value` (reference: serialize=true read). */
+  def textLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** One row per file: (path, modificationTime, length, content). */
+  def wholeFiles(spark: SparkSession, glob: String): DataFrame =
+    spark.read.format("binaryFile").load(glob)
+
+  /** CSV with header; schema inference optional (pass explicit DDL at scale —
+    * inference is an extra pass over the data).
+    */
+  def csv(spark: SparkSession, path: String,
+          header: Boolean = true, inferSchema: Boolean = true,
+          schemaDdl: Option[String] = None): DataFrame = {
+    val r = spark.read.option("header", header.toString)
+    schemaDdl match {
+      case Some(ddl) => r.schema(ddl).csv(path)
+      case None      => r.option("inferSchema", inferSchema.toString).csv(path)
+    }
+  }
+
+  /** Emit `n` copies of a constant record (reference pulses thingies forever;
+    * batch semantics = a bounded count). Columns from the literal map.
+    */
+  def constant(spark: SparkSession, record: Map[String, Any], n: Long = 1): DataFrame =
+    record.foldLeft(spark.range(n).select(col("id").as("_emit_id"))) {
+      case (df, (k, v)) => df.withColumn(k, lit(v))
+    }
+
+  /** Repeat a typed sequence of values `repeats` times, column `value`;
+    * `seq_no` tracks the repetition (reference `max_sequences`).
+    */
+  def sequence[T: scala.reflect.ClassTag](spark: SparkSession, values: Seq[T],
+                                          repeats: Long = 1): DataFrame = {
+    val arr = lit(values.toArray)
+    spark.range(repeats).select(col("id").as("seq_no"), explode(arr).as("value"))
+  }
+
+  /** Monotonic counter [start, end) — distributed, not a driver loop. */
+  def counter(spark: SparkSession, start: Long, end: Long): DataFrame =
+    spark.range(start, end).withColumnRenamed("id", "n")
+
+  /** Environment variables as a single config row (driver-side by nature;
+    * reference: GetEnvironmentVariables mapping env → message keys).
+    */
+  def envVars(spark: SparkSession, vars: Seq[String]): DataFrame = {
+    val cols: Seq[Column] = vars.map(v => lit(sys.env.getOrElse(v, null)).as(v))
+    spark.range(1).select(cols: _*)
+  }
+}

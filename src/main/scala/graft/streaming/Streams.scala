@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming re-expressions of the reference's streaming surfaces.
+  *
+  *  - `LocalDirectoryWatchdog` (node.py:1500) → [[watchDirectory]]: the file
+  *    stream source IS a directory watchdog, with checkpointed exactly-once
+  *    accounting instead of the reference's in-memory seen-set.
+  *  - `TimeWindowAccumulator` (node.py:1453) → [[windowedAgg]]: event-time
+  *    tumbling/sliding windows + watermark instead of wall-clock timers.
+  *  - `StreamingJoin` (node.py:1528) → [[streamJoin]]: the reference buffers
+  *    both streams in a `TimedDict` that evicts after `timeout` seconds;
+  *    the watermark + time-range join condition is the exact cluster-scale
+  *    equivalent (state store evicts rows past the watermark).
+  */
+object Streams {
+
+  /** Watch a directory as a stream of new-file lines. `maxFilesPerTrigger`
+    * is the backpressure knob (reference: bounded queues).
+    */
+  def watchDirectory(spark: SparkSession, dir: String,
+                     format: String = "text",
+                     schemaDdl: Option[String] = None,
+                     maxFilesPerTrigger: Int = 100): DataFrame = {
+    val r = spark.readStream.format(format)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    schemaDdl.fold(r)(d => r.schema(d)).load(dir)
+  }
+
+  /** Event-time windowed aggregation with watermark. */
+  def windowedAgg(df: DataFrame, tsCol: String, watermark: String,
+                  duration: String, keys: Seq[String], aggs: Seq[Column],
+                  slide: Option[String] = None): DataFrame = {
+    val win = slide.fold(window(col(tsCol), duration))(s => window(col(tsCol), duration, s))
+    df.withWatermark(tsCol, watermark)
+      .groupBy(win +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Stream-stream windowed join: equal keys + |leftTs - rightTs| bounded by
+    * the reference's TimedDict `timeout`. Both sides watermarked so state is
+    * bounded.
+    */
+  def streamJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 leftTsCol: String, rightTsCol: String,
+                 watermark: String, timeout: String): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = right.withWatermark(rightTsCol, watermark)
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val range =
+      col(rightTsCol) >= col(leftTsCol) - expr(s"INTERVAL $timeout") &&
+      col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $timeout")
+    l.join(r, keyCond && range)
+  }
+
+  /** Sessionization: session window per key — gap-based, the streaming shape
+    * of the reference's time-window accumulation with dynamic windows.
+    */
+  def sessionize(df: DataFrame, tsCol: String, watermark: String,
+                 gap: String, keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Run a micro-batch sink function (reference batch markers → foreachBatch
+    * boundaries). Returns the started query.
+    */
+  def toForeachBatch(df: DataFrame, checkpoint: String)
+                    (f: (DataFrame, Long) => Unit) =
+    df.writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, id: Long) => f(batch, id))
+      .start()
+}
