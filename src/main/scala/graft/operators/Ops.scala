@@ -152,15 +152,17 @@ object Ops {
     df.withColumn(out, ceil((row_number().over(w)).cast(DoubleType) / lit(n)).cast(LongType))
   }
 
-  /** Scale-path batching: batch ids unique per partition (partition id ×
-    * 2^40 + local batch) — no global sort, no shuffle, same batch-size
-    * guarantee within partitions.
+  /** Scale-path batching: groups of ≤ n consecutive rows within each
+    * partition, batch id = the `monotonically_increasing_id` of the batch's
+    * first row. Pure projection — no shuffle, no sort, no window; a
+    * partition-id window would itself reshuffle and scramble the grouping.
+    * (mid = partitionId·2^33 + offset, so `mid - offset % n` is constant
+    * exactly for n consecutive rows of one partition and globally unique.)
     */
   def batchRowsPartitioned(df: DataFrame, n: Int, out: String = "batch_id"): DataFrame = {
-    val w = Window.partitionBy(spark_partition_id()).orderBy(monotonically_increasing_id())
-    df.withColumn(out,
-      (spark_partition_id().cast(LongType) * lit(1L << 40)) +
-        ceil(row_number().over(w).cast(DoubleType) / lit(n)).cast(LongType))
+    val mid = monotonically_increasing_id()
+    val off = mid.bitwiseAND(lit((1L << 33) - 1))
+    df.withColumn(out, mid - pmod(off, lit(n.toLong)))
   }
 
   /** Tumbling/sliding time-window aggregation (reference

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.Ops
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("insertData adds constants; coalesce mode keeps existing non-nulls") {
+    val df = Seq((1, Some("a")), (2, None)).toDF("id", "v")
+    val over = Ops.insertData(df, Map("src" -> "x"))
+    assert(over.columns.contains("src"))
+    assert(over.select("src").distinct().as[String].collect().toSeq == Seq("x"))
+    val keep = Ops.insertData(df, Map("v" -> "filled"), overwrite = false)
+    val got = keep.orderBy("id").select("v").as[String].collect().toSeq
+    assert(got == Seq("a", "filled"))
+  }
+
+  test("substituteRegex replaces all occurrences") {
+    val df = Seq("a b c").toDF("s")
+    val got = Ops.substituteRegex(df, "s", " ", "_").as[String].head()
+    assert(got == "a_b_c")
+  }
+
+  test("remap selects + renames, including nested paths") {
+    val df = Seq((1, ("x", 2))).toDF("id", "p")
+    val got = Ops.remap(df, Seq("id" -> "key", "p._2" -> "inner"))
+    assert(got.columns.toSeq == Seq("key", "inner"))
+    assert(got.as[(Int, Int)].head() == ((1, 2)))
+  }
+
+  test("serialize explodes arrays and map values") {
+    val df = Seq((1, Seq("a", "b"))).toDF("id", "xs")
+    assert(Ops.serialize(df, "xs", "x").count() == 2)
+    val m = Seq((1, Map("k1" -> 10, "k2" -> 20))).toDF("id", "m")
+    val got = Ops.serialize(m, "m", "v", values = true)
+      .select("v").as[Int].collect().sorted.toSeq
+    assert(got == Seq(10, 20))
+  }
+
+  test("filterTest: key_exists / value_is_true / value_is_not_none") {
+    val df = Seq((1, true, Some("x")), (2, false, None)).toDF("id", "b", "o")
+    assert(Ops.filterTest(df, "nope", Ops.KeyExists).count() == 0)
+    assert(Ops.filterTest(df, "id", Ops.KeyExists).count() == 2)
+    assert(Ops.filterTest(df, "b", Ops.ValueIsTrue).select("id").as[Int].head() == 1)
+    assert(Ops.filterTest(df, "o", Ops.ValueIsNotNone).select("id").as[Int].head() == 1)
+  }
+
+  test("modSample is deterministic") {
+    val df = spark.range(100).toDF("id")
+    assert(Ops.modSample(df, "id", 10).count() == 10)
+    assert(Ops.randomSample(df, 0.5).count() == Ops.randomSample(df, 0.5).count())
+  }
+
+  test("aggregateValues collects sorted lists per key") {
+    val df = Seq(("a", 3), ("a", 1), ("b", 2)).toDF("k", "v")
+    val got = Ops.aggregateValues(df, Seq("k"), "v")
+      .orderBy("k").as[(String, Seq[Int])].collect().toSeq
+    assert(got == Seq(("a", Seq(1, 3)), ("b", Seq(2))))
+  }
+
+  test("batchRows assigns ceil(rn/n) ids; partitioned variant preserves size bound") {
+    val df = spark.range(10).toDF("id")
+    val got = Ops.batchRows(df, Seq("id"), 4)
+      .groupBy("batch_id").count().orderBy("batch_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L), (2L, 4L), (3L, 2L)))
+    val sizes = Ops.batchRowsPartitioned(spark.range(100).toDF("id"), 7)
+      .groupBy("batch_id").count().select("count").as[Long].collect()
+    assert(sizes.forall(_ <= 7))
+    assert(sizes.sum == 100)
+  }
+
+  test("timeWindowAgg tumbles into minute buckets") {
+    val df = Seq(
+      ("2024-01-01 00:00:10", 1.0), ("2024-01-01 00:00:50", 2.0),
+      ("2024-01-01 00:01:10", 5.0))
+      .toDF("t", "v").withColumn("ts", to_timestamp(col("t")))
+    val got = Ops.timeWindowAgg(df, "ts", "1 minute", Nil, Seq(sum("v").as("s")))
+      .select("s").as[Double].collect().sorted.toSeq
+    assert(got == Seq(3.0, 5.0))
+  }
+
+  test("intervalJoin matches rows within the time range, even on self-joins") {
+    val ev = Seq((1L, "a", 100L), (2L, "a", 250L), (3L, "a", 900L), (4L, "b", 120L))
+      .toDF("id", "k", "t")
+    val l = ev.select(col("id").as("l_id"), col("k"), col("t").as("l_t"))
+    val r = ev.select(col("id").as("r_id"), col("k"), col("t").as("r_t"))
+    val got = Ops.intervalJoin(l, r, Seq("k"), col("l_t"), col("r_t"),
+        lit(1L), lit(200L))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L))) // 2→3 gap 650 > 200; b row alone; self dt=0 < lower
+  }
+
+  test("rowStats profiles nulls and distincts per column") {
+    val df = Seq((1, Some("x")), (2, None), (3, Some("x"))).toDF("id", "v")
+    val got = Ops.rowStats(df).orderBy("column")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("id", 3L, 0L, 3L), ("v", 3L, 1L, 1L)))
+  }
+
+  test("windowRank keeps top-k per group") {
+    val df = Seq(("g1", 10), ("g1", 30), ("g1", 20), ("g2", 5)).toDF("g", "v")
+    val got = Ops.windowRank(df, Seq("g"), Seq(col("v").desc), 2)
+      .select("g", "v").as[(String, Int)].collect().toSet
+    assert(got == Set(("g1", 30), ("g1", 20), ("g2", 5)))
+  }
+
+  test("moneySum is exact decimal accumulation") {
+    val df = Seq.fill(1000)(0.1).toDF("v")
+    val got = df.agg(Ops.moneySum(col("v"))).as[Double].head()
+    assert(got == 100.0) // double summation would give 99.9999...
+  }
+}

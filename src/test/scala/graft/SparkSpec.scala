@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM-wide session keeps the test
+  * run fast; suites must not mutate session state destructively).
+  */
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.tune(
+      SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-test")
+        .config("spark.sql.shuffle.partitions", 4)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate())
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedAgg aggregates per event-time window with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF.toDF("ts", "k", "v")
+    val agg = Streams.windowedAgg(df, "ts", "10 minutes", "5 minutes",
+      Seq("k"), Seq(sum("v").as("s")))
+    val q = agg.writeStream.format("memory").queryName("wagg")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 00:00:30"), "a", 1.0),
+        (ts("2024-01-01 00:02:00"), "a", 2.0),
+        (ts("2024-01-01 00:07:00"), "a", 10.0))
+      q.processAllAvailable()
+      val got = spark.table("wagg").select("k", "s").as[(String, Double)]
+        .collect().toSet
+      assert(got == Set(("a", 3.0), ("a", 10.0)).map(identity) ||
+             got == Set(("a", 3.0), ("a", 10.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize groups events within the gap into one session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF.toDF("ts", "k")
+    val agg = Streams.sessionize(df, "ts", "10 minutes", "2 minutes",
+      Seq("k"), Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 00:00:00"), "u"),
+        (ts("2024-01-01 00:01:00"), "u"),  // same session (gap < 2m)
+        (ts("2024-01-01 00:10:00"), "u"))  // new session
+      q.processAllAvailable()
+      val got = spark.table("sess").select("n").as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("streamJoin joins events with equal keys within the timeout window") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Timestamp, String, Long)]
+    val rMem = MemoryStream[(Timestamp, String, Long)]
+    val l = lMem.toDF.toDF("l_ts", "k", "l_id")
+    val r = rMem.toDF.toDF("r_ts", "k", "r_id")
+    val joined = Streams.streamJoin(l, r, Seq("k"), "l_ts", "r_ts",
+      "10 minutes", "5 minutes")
+    val q = joined.select("l_id", "r_id").writeStream.format("memory")
+      .queryName("sjoin").outputMode(OutputMode.Append()).start()
+    try {
+      lMem.addData((ts("2024-01-01 00:00:00"), "k1", 1L))
+      rMem.addData(
+        (ts("2024-01-01 00:03:00"), "k1", 2L),   // within 5m → joins
+        (ts("2024-01-01 00:09:00"), "k1", 3L))   // outside 5m → no join
+      q.processAllAvailable()
+      val got = spark.table("sjoin").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("watchDirectory streams files appearing in a directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-watch").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val stream = Streams.watchDirectory(spark, dir)
+    val q = stream.writeStream.format("memory").queryName("watch")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "f1.txt"), "hello\nworld\n")
+      q.processAllAvailable()
+      val got = spark.table("watch").as[String].collect().toSet
+      assert(got == Set("hello", "world"))
+    } finally q.stop()
+  }
+}

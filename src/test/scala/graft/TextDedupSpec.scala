@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Text, Vectors}
+import graft.dedup.Dedup
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens filters empties; tokenStats counts ws + bpeish tokens") {
+    val df = Seq("ab cd  ef ").toDF("text")
+    val toks = df.select(Text.tokens(col("text"))).as[Seq[String]].head()
+    assert(toks == Seq("ab", "cd", "ef"))
+    val stats = df.select(Text.tokenStats(col("text")): _*)
+      .as[(Long, Long, Long)].head()
+    assert(stats == ((10L, 3L, 3L)))
+    val bpe = Seq("don't stop2!").toDF("text")
+      .select(Text.bpeishTokens(col("text"))).as[Seq[String]].head()
+    assert(bpe == Seq("don", "'", "t", "stop", "2", "!"))
+  }
+
+  test("langId picks argmax stopword fraction with deterministic ties") {
+    val df = Seq("the cat and the dog", "el perro es la cosa", "zzz qqq").toDF("text")
+    val got = df.select(Text.langId(col("text"))).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "und"))
+  }
+
+  test("fingerprint is order-insensitive on the token set") {
+    val df = Seq("a b c", "c b a b").toDF("text")
+    val fps = df.select(Text.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("qualityFeatures computes exact ratios") {
+    val df = Seq("the cat, the!").toDF("text")
+    val row = df.select(Text.qualityFeatures(col("text")): _*).head()
+    assert(row.getLong(0) == 13L)       // n_chars
+    assert(row.getLong(1) == 3L)        // n_tokens
+    assert(row.getDouble(2) == 2.0 / 13.0) // punct_ratio: ',' and '!'
+    assert(row.getDouble(3) == 1.0 / 3.0)  // stopword_ratio: only bare "the"
+    assert(row.getDouble(4) == 11.0 / 3.0) // mean_token_len: (3+4+4)/3
+  }
+
+  test("exact dedup keeps min id per identical text") {
+    val df = Seq((5L, "x y"), (2L, "x y"), (9L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exact(df, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 2L), (9L, 1L)))
+  }
+
+  test("shingles produces n-k+1 distinct word shingles") {
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val got = Dedup.shingles(df, "doc_id", "text", 3)
+      .select("shingle").as[String].collect().toSet
+    assert(got == Set("a b c", "b c d"))
+    assert(Dedup.shingles(Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .count() == 0)
+  }
+
+  test("ngramJaccard finds near-duplicate pairs above tau") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words entirely here now")).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccard(df, "doc_id", "text", k = 3, tau = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("minhash signatures of identical token sets agree; lshPairs finds them") {
+    val df = Seq((1L, "a b c d e f"), (2L, "f e d c b a"), (3L, "q w r t y u"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(df, "doc_id", "text", 8)
+    val rows = sig.orderBy("id").as[(Long, Seq[String])].collect()
+    assert(rows(0)._2 == rows(1)._2) // same token set → same signature
+    assert(rows(0)._2 != rows(2)._2)
+    val pairs = Dedup.lshPairs(sig, bands = 2, rowsPerBand = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("simhash: identical docs have distance 0, disjoint docs differ") {
+    val df = Seq((1L, "a b c d"), (2L, "d c b a"), (3L, "zz yy xx ww")).toDF("doc_id", "text")
+    val fps = Dedup.simhash(df, "doc_id", "text").orderBy("id")
+      .as[(Long, Long)].collect().map(_._2)
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("cosineNearDup pairs high-similarity vectors") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.01f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "vec")
+    val got = Dedup.cosineNearDup(df, "vec_id", "vec", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("Vectors dot/norm/cosine are exact on simple cases") {
+    val df = Seq((Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val (d, n, c) = df.select(
+      Vectors.dot(col("a"), col("b")), Vectors.norm(col("a")),
+      Vectors.cosine(col("a"), col("b"))).as[(Double, Double, Double)].head()
+    assert(d == 25.0 && n == 5.0 && c == 1.0)
+  }
+}
