@@ -161,7 +161,11 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) => Dedup.simhash(T(s, dir, "documents"), "doc_id", "text")),
     "q_lsh_pairs" -> ((s, dir) => {
       val sig = Dedup.minhashSignature(T(s, dir, "documents"), "doc_id", "text", 16)
-      Dedup.lshPairs(sig, bands = 4, rowsPerBand = 4)
+      // maxBucket=256: docs sharing a whole signature band by the hundreds
+      // are exact-duplicate territory (q_dedup_exact handles them upstream);
+      // capping keeps LSH at its O(n·bands) design point instead of
+      // degenerating to n² inside mega-buckets.
+      Dedup.lshPairs(sig, bands = 4, rowsPerBand = 4, maxBucket = 256)
     }),
     "q_cosine_neardup" -> ((s, dir) =>
       Dedup.cosineNearDup(

@@ -29,11 +29,14 @@ object Dedup {
     * enforced per-document with `array_distinct` (no extra shuffle).
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
-    val toks = Text.tokens(col(textCol))
-    val n = size(toks)
+    // Tokenize into a materialized column FIRST: referencing the tokenizer
+    // expression inside the transform lambda would re-run split+filter for
+    // every shingle position (O(tokens²) per document).
+    val base = df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__tk"))
+    val n = size(col("__tk"))
     val sh = transform(sequence(lit(0), greatest(n - k, lit(0))),
-      i => array_join(slice(toks, i + 1, lit(k)), " "))
-    df.select(col(idCol).as("id"),
+      i => array_join(slice(col("__tk"), i + 1, lit(k)), " "))
+    base.select(col("id"),
       explode(when(n >= k, array_distinct(sh))
         .otherwise(array().cast(ArrayType(StringType)))).as("shingle"))
   }
@@ -80,18 +83,27 @@ object Dedup {
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        numHashes: Int = 16): DataFrame = {
-    val toks = array_distinct(Text.tokens(col(textCol)))
-    val sig = array((0 until numHashes).map { s =>
-      array_min(transform(toks, t => md5(concat(lit(s.toString), lit(":"), t))))
-    }: _*)
-    df.select(col(idCol).as("id"), sig.as("sig"))
+    // Explode + group-by, not k× array_min(transform(tokenize)) in one
+    // projection: the latter re-tokenizes per hash (interpreted HOFs) and
+    // produces a codegen blob that scales with k. This shape tokenizes once,
+    // keeps md5 in codegen, and partial-aggregates the mins map-side.
+    // Documents with zero tokens yield no row.
+    val tok = df.select(col(idCol).as("id"),
+      explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
+    val mins = (0 until numHashes).map { s =>
+      min(md5(concat(lit(s.toString), lit(":"), col("tok")))).as(s"__h$s")
+    }
+    tok.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
   }
 
   /** LSH banding over minhash signatures: hash each band of the signature to
     * a bucket key, join on equal (band, key) → candidate pairs. O(n·bands)
     * shuffle, never an n² compare.
     */
-  def lshPairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def lshPairs(sig: DataFrame, bands: Int, rowsPerBand: Int,
+               maxBucket: Int = 1 << 20): DataFrame = {
     val keys = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
@@ -99,10 +111,17 @@ object Dedup {
     }: _*)
     val banded = sig.select(col("id"), explode(keys).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    val l = banded.select(col("band"), col("band_key"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("band_key"), col("id").as("id_b"))
-    l.join(r, Seq("band", "band_key")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // Group each bucket once and emit its id pairs directly — a self-join on
+    // (band, key) would re-evaluate the whole signature pipeline for both
+    // sides and shuffle twice. `maxBucket` drops degenerate mega-buckets
+    // (run exact dedup first; a bucket of m identical docs costs m²/2).
+    val buckets = banded.groupBy("band", "band_key")
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    buckets.select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
   }
 
   /** SimHash (G4): 60-bit token-hash bit vote (60 bits so the fingerprint
@@ -134,9 +153,12 @@ object Dedup {
   def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
                     tau: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+      .withColumn("norm_a", Vectors.fnorm(col("vec_a")))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+      .withColumn("norm_b", Vectors.fnorm(col("vec_b")))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", Vectors.cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine",
+        Vectors.fcosine(col("vec_a"), col("vec_b"), col("norm_a"), col("norm_b")))
       .filter(col("cosine") >= tau)
       .select("id_a", "id_b", "cosine")
   }

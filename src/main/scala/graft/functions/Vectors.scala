@@ -13,7 +13,30 @@ import org.apache.spark.sql.types._
   */
 object Vectors {
 
-  /** Σ aᵢ·bᵢ in double. */
+  /** Σ aᵢ·bᵢ in double — NATIVE codegen path for `array<float>` columns
+    * (bit-identical to [[dot]]; see [[graft.plans.FloatVectorDot]]). Use this
+    * in hot loops: the HOF variant is interpreted per element.
+    */
+  def fdot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, FloatVectorDot}
+    ColumnBridge.column(
+      FloatVectorDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Cosine via [[fdot]] with caller-precomputed norms (compute each row's
+    * norm ONCE before a pairwise join, not once per pair).
+    */
+  def fcosine(a: Column, b: Column, normA: Column, normB: Column): Column = {
+    val d = normA * normB
+    when(d === 0.0, lit(0.0)).otherwise(fdot(a, b) / d)
+  }
+
+  /** ‖a‖₂ in double for `array<float>` (codegen path). */
+  def fnorm(a: Column): Column = sqrt(fdot(a, a))
+
+  /** Σ aᵢ·bᵢ in double. Works for any numeric array type; interpreted HOF —
+    * prefer [[fdot]] for float arrays in hot paths.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)

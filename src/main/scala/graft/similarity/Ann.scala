@@ -24,10 +24,16 @@ object Ann {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    // Norms computed once per row BEFORE the pairwise cross join — the join
+    // then evaluates exactly one codegen'd dot product per (query, corpus)
+    // pair instead of three interpreted HOF folds.
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", Vectors.fnorm(col("q_vec")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", Vectors.fnorm(col("c_vec")))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("cosine", Vectors.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine",
+        Vectors.fcosine(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
       .filter(col("query_id") =!= col("neighbor_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -77,7 +83,9 @@ object Ann {
     val cand = q.join(c, Seq("band", "bkey"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "q_vec", "neighbor_id", "c_vec").distinct()
-    val scored = cand.withColumn("cosine", Vectors.cosine(col("q_vec"), col("c_vec")))
+    val scored = cand
+      .withColumn("cosine", Vectors.fcosine(col("q_vec"), col("c_vec"),
+        Vectors.fnorm(col("q_vec")), Vectors.fnorm(col("c_vec"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
