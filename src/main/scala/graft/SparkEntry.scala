@@ -10,6 +10,7 @@ import graft.functions.Text
 import graft.dedup.Dedup
 import graft.similarity.Ann
 import graft.json.TreeWalk
+import graft.multimodal.Multimodal
 
 /** Driver contract: one `queries` entry (+ DuckDB oracle SQL) per operator
   * from SURVEY.md §2.
@@ -50,6 +51,22 @@ object SparkEntry {
         sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
           .cast(DoubleType).as("revenue"),
         count_distinct(col("o_orderkey")).as("n_orders"))
+  }
+
+  /** Nested order document used by the TreeHorn queries: customer info and
+    * line items folded under a `payload` struct.
+    */
+  private def orderDoc(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders"); val c = T(s, dir, "customer")
+    val li = T(s, dir, "lineitem")
+    val nested = li.groupBy("l_orderkey")
+      .agg(collect_list(struct(col("l_linenumber"), col("l_quantity"),
+        col("l_partkey"))).as("lines"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(nested, o("o_orderkey") === nested("l_orderkey"))
+      .select(col("o_orderkey"),
+        struct(struct(col("c_custkey"), col("c_name")).as("cust_info"),
+          col("lines")).as("payload"))
   }
 
   // ---------------------------------------------------------------------
@@ -138,7 +155,32 @@ object SparkEntry {
         .select("c_custkey", "c_name")
     }),
 
-    // ---- TreeHorn (F1/F2/F3) ----
+    // ---- transforms at nested paths (B5) ----
+    "q_transform_at" -> ((s, dir) =>
+      Ops.transformAt(
+          T(s, dir, "orders").select(col("o_orderkey"),
+            struct(col("o_totalprice").as("price")).as("pay")),
+          "pay.price", _ * 2)
+        .select(col("o_orderkey"), col("pay.price").as("price2x"))),
+
+    // ---- pipeline DAG (E1) ----
+    "q_pipeline" -> ((s, dir) =>
+      graft.pipeline.Pipeline.empty
+        .source("orders", T(s, dir, "orders"))
+        .source("customer", T(s, dir, "customer"))
+        .stage("f_orders", "orders")(_.filter(col("o_orderstatus") === "F"))
+        .fanIn("joined", Seq("f_orders", "customer"))(dfs =>
+          dfs(0).join(dfs(1), col("o_custkey") === col("c_custkey")))
+        .stage("agg", "joined")(_.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            Ops.moneySum(col("o_totalprice")).as("sum_price")))
+        .output("agg")),
+
+    // ---- distributed paginated source (A9) ----
+    "q_paginated" -> ((s, _) =>
+      Sources.paginatedApi(s, 20, p => (0 until 3).map(i => s"p$p:$i"))),
+
+    // ---- TreeHorn (F1/F2/F3/F4) ----
     "q_treewalk" -> ((s, dir) => {
       val li = T(s, dir, "lineitem"); val o = T(s, dir, "orders")
       val nested = li.groupBy("l_orderkey")
@@ -146,6 +188,23 @@ object SparkEntry {
       val doc = o.join(nested, o("o_orderkey") === nested("l_orderkey"))
         .select(col("o_orderkey"), struct(col("lines")).as("payload"))
       TreeWalk.flattenAtKey(doc, "l_quantity", "item", keep = Seq("o_orderkey"))
+    }),
+    "q_extract" -> ((s, dir) =>
+      TreeWalk.extract(orderDoc(s, dir),
+        Seq(TreeWalk.Capture("c_name", "cust"), TreeWalk.Capture("l_quantity", "item")),
+        Seq("cust.c_custkey" -> "cust_key", "item.l_quantity" -> "qty"),
+        keep = Seq("o_orderkey"))),
+    "q_relations" -> ((s, dir) =>
+      TreeWalk.relations(orderDoc(s, dir),
+        TreeWalk.Capture("c_name", "cust"), "c_custkey",
+        TreeWalk.Capture("l_quantity", "item"), "l_partkey", "ORDERED")),
+
+    // ---- multimodal plumbing (G12) ----
+    "q_multimodal" -> ((s, dir) => {
+      val media = Multimodal.fakeMedia(s, T(s, dir, "documents"), "doc_id")
+      Multimodal.decodeFeatures(s, media)
+        .select(col("id"), col("format"), col("n_bytes"), col("byte_sum"),
+          col("mean_byte"), size(col("frame_hashes")).as("n_sampled"))
     }),
 
     // ---- dedup (G1-G5) ----
@@ -169,8 +228,7 @@ object SparkEntry {
     }),
     "q_cosine_neardup" -> ((s, dir) =>
       Dedup.cosineNearDup(
-        T(s, dir, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding", 0.2)
-        .select("id_a", "id_b")),
+        T(s, dir, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding", 0.2)),
 
     // ---- similarity (G6) ----
     "q_ann" -> ((s, dir) => {
@@ -211,6 +269,44 @@ object SparkEntry {
        |v AS (SELECT doc_id, COUNT(*) AS n, $sums FROM h GROUP BY doc_id)
        |SELECT doc_id AS id, CAST($fp AS BIGINT) AS simhash FROM v""".stripMargin
   }
+
+  /** DuckDB mirror of minhash(16) → 4-band LSH buckets (2..256) → in-bucket
+    * pairs. Same md5 band keys; same maxBucket cap as q_lsh_pairs.
+    */
+  private val lshPairsOracle: String = {
+    val mins = (0 until 16).map(s => s"MIN(md5('$s:' || tok)) AS h$s").mkString(", ")
+    val bandKey = (0 until 4).map { b =>
+      val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
+      s"WHEN ${b} THEN md5($cols)"
+    }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents),
+       |s AS (SELECT doc_id, $mins FROM t GROUP BY doc_id),
+       |banded AS (SELECT doc_id, b.band,
+       |           CASE b.band $bandKey END AS band_key
+       |           FROM s, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+       |buckets AS (SELECT band, band_key, list_sort(list(doc_id)) AS ids
+       |            FROM banded GROUP BY 1, 2
+       |            HAVING COUNT(*) BETWEEN 2 AND 256)
+       |SELECT DISTINCT x.a AS id_a, y.c AS id_b
+       |FROM buckets, unnest(ids) x(a), unnest(ids) y(c) WHERE x.a < y.c""".stripMargin
+  }
+
+  /** DuckDB mirror of the fake-media decode: md5-derived bytes, exact sums,
+    * int÷int mean (see Multimodal.fakeMedia/fakeDecode).
+    */
+  private val multimodalOracle: String =
+    """WITH m AS (SELECT doc_id AS id, md5('media:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      |b AS (SELECT id, h,
+      |      list_sum(list_transform(range(0, 16),
+      |                i -> ('0x' || substring(h, i * 2 + 1, 2))::BIGINT)) AS md5sum
+      |      FROM m)
+      |SELECT id,
+      | CASE (id % 3) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'mp4' END AS format,
+      | CAST(256 + (id % 64) * 16 AS INTEGER) AS n_bytes,
+      | CAST((16 + id % 64) * md5sum AS BIGINT) AS byte_sum,
+      | CAST((16 + id % 64) * md5sum AS DOUBLE) / CAST(256 + (id % 64) * 16 AS DOUBLE) AS mean_byte,
+      | CAST(CASE WHEN id % 3 = 2 THEN (8 + id % 16 + 1) // 2 ELSE 1 END AS INTEGER) AS n_sampled
+      |FROM b""".stripMargin
 
   private val langidOracle: String = {
     val codes = Text.stopwords.keys.toSeq.sorted // de, en, es, fr
@@ -317,6 +413,34 @@ object SparkEntry {
          | MIN(md5('2:' || tok)) AS h2, MIN(md5('3:' || tok)) AS h3
          |FROM t GROUP BY doc_id""".stripMargin,
     "q_simhash" -> simhashOracle,
+    "q_lsh_pairs" -> lshPairsOracle,
+    "q_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        |SELECT id_a, id_b, cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |   CASE WHEN a.nrm * b.nrm = 0 THEN 0
+        |        ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END AS cosine
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id) WHERE cosine >= 0.2""".stripMargin,
+
+    "q_transform_at" ->
+      "SELECT o_orderkey, o_totalprice * 2 AS price2x FROM orders",
+    "q_pipeline" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'F' GROUP BY c_mktsegment""".stripMargin,
+    "q_paginated" ->
+      "SELECT p.range AS page, 'p' || CAST(p.range AS VARCHAR) || ':' || CAST(i.range AS VARCHAR) AS body FROM range(0, 20) p, range(0, 3) i",
+    "q_extract" ->
+      """SELECT o_orderkey, c_custkey AS cust_key, l_quantity AS qty
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
+    "q_relations" ->
+      """SELECT DISTINCT c_custkey AS src_id, l_partkey AS dst_id, 'ORDERED' AS rel
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
+    "q_multimodal" -> multimodalOracle,
 
     "q_ann" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),

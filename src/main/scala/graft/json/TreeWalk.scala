@@ -84,6 +84,78 @@ object TreeWalk {
     out.select(rootCols :+ terminal.as(s"${label}_$key"): _*)
   }
 
+  /** `GO DOWN UNTIL HAS KEY key AS label` — one labeled traversal of a
+    * multi-capture query (reference `treehorn.py:20-170` + `query_text.mtl`).
+    */
+  final case class Capture(key: String, label: String)
+
+  /** Labeled multi-capture + projection (F3): run several `GO DOWN UNTIL HAS
+    * KEY` traversals over the same document, then `SELECT label.field AS
+    * name`. Traversals sharing a path prefix reuse the same explodes;
+    * divergent traversals combine relationally (cross product within the
+    * document — TreeHorn's semantics for independent labels).
+    *
+    * `select` entries are `"label.field" -> outName`; `keep` carries root
+    * columns through unchanged.
+    */
+  def extract(df: DataFrame, captures: Seq[Capture],
+              select: Seq[(String, String)], keep: Seq[String] = Nil): DataFrame = {
+    var out = df
+    var counter = 0
+    val aliasOf = scala.collection.mutable.Map[Vector[String], String]()
+
+    def descend(steps: Seq[Step]): Option[String] = {
+      var cur: Option[String] = None
+      var prefix = Vector.empty[String]
+      steps.foreach { case Step(f, isArr) =>
+        prefix :+= f
+        aliasOf.get(prefix) match {
+          case Some(a) => cur = Some(a)
+          case None =>
+            val src = cur.fold(col(f))(c => col(c).getField(f))
+            val alias = s"__cap$counter"; counter += 1
+            out = out.withColumn(alias, if (isArr) explode(src) else src)
+            aliasOf(prefix) = alias
+            cur = Some(alias)
+        }
+      }
+      cur
+    }
+
+    val labelAlias: Map[String, Option[String]] = captures.map { c =>
+      val paths = pathsToKey(df.schema, c.key)
+      require(paths.nonEmpty, s"no path to key '${c.key}' in schema")
+      c.label -> descend(paths.head.dropRight(1))
+    }.toMap
+
+    val projected = select.map { case (ref, outName) =>
+      val (label, field) = ref.span(_ != '.') match { case (l, f) => (l, f.drop(1)) }
+      require(labelAlias.contains(label), s"unknown label '$label' in select")
+      labelAlias(label).fold(col(field))(a => col(a).getField(field)).as(outName)
+    }
+    out.select(keep.map(col) ++ projected: _*)
+  }
+
+  /** Entity table for one capture (F4): the captured struct's fields,
+    * deduplicated on its id field — reference `treehorn.py:504` entity
+    * extraction (`modelling/logic.py`).
+    */
+  def entities(df: DataFrame, capture: Capture, idField: String): DataFrame =
+    flattenAtKey(df, capture.key, capture.label)
+      .dropDuplicates(s"${capture.label}_$idField")
+
+  /** Relation (edge) table between two captures (F4): distinct
+    * (src_id, dst_id, rel) triples wherever both labels co-occur in a
+    * document — graph-ready output.
+    */
+  def relations(df: DataFrame, src: Capture, srcId: String,
+                dst: Capture, dstId: String, relName: String): DataFrame =
+    extract(df, Seq(src, dst), Seq(
+        s"${src.label}.$srcId" -> "src_id",
+        s"${dst.label}.$dstId" -> "dst_id"))
+      .withColumn("rel", lit(relName))
+      .distinct()
+
   /** Flatten ALL fields of the first struct that HAS `key` (the labeled
     * capture: `?label.SELECT *`). Arrays on the path explode.
     */

@@ -53,6 +53,29 @@ object Ops {
   def applyExpr(df: DataFrame, out: String, expr: Column): DataFrame =
     df.withColumn(out, expr)
 
+  /** Transform the value at a nested struct path in place (reference
+    * `SimpleTransforms`, node.py:1194: apply a function at a key-path).
+    * `path` is dot-separated; intermediate fields must be structs. Pure
+    * projection via `withField` — no shuffle, stays in codegen.
+    */
+  def transformAt(df: DataFrame, path: String, f: Column => Column): DataFrame = {
+    val parts = path.split('.')
+    if (parts.length == 1) df.withColumn(path, f(col(path)))
+    else df.withColumn(parts.head,
+      col(parts.head).withField(parts.tail.mkString("."), f(col(path))))
+  }
+
+  /** Transform every element of the array at `arrayPath` (nested transform
+    * of the reference applied to list values).
+    */
+  def transformEachAt(df: DataFrame, arrayPath: String, f: Column => Column): DataFrame = {
+    val parts = arrayPath.split('.')
+    val mapped = transform(col(arrayPath), f)
+    if (parts.length == 1) df.withColumn(arrayPath, mapped)
+    else df.withColumn(parts.head,
+      col(parts.head).withField(parts.tail.mkString("."), mapped))
+  }
+
   /** Explode an iterable value into one message per element (reference
     * `Serializer`, node.py:1257). `values=true` explodes a map's values.
     */

@@ -24,6 +24,16 @@ object Sinks {
   def recorder(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
+  /** Streaming recorder: exactly-once append log for a stream (the
+    * reference's recorder replays messages; checkpointed parquet append is
+    * the durable cluster equivalent). Returns the started query.
+    */
+  def recorderStream(df: DataFrame, path: String, checkpoint: String) =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Generic JDBC writer (reference civis/mysql writer nodes) — option
     * plumbing only; no database exists in the test environment.
     */

@@ -69,4 +69,56 @@ object Sources {
     val cols: Seq[Column] = vars.map(v => lit(sys.env.getOrElse(v, null)).as(v))
     spark.range(1).select(cols: _*)
   }
+
+  /** JDBC option set for a partitioned table read (reference
+    * `StreamMySQLTable`, node.py:1346, which pages through a MySQL table).
+    * The Spark equivalent of its paging is the four-way partitioned read:
+    * every executor pulls its own key range. Pure function so the plumbing
+    * is unit-testable without a database.
+    */
+  def jdbcOptions(url: String, table: String,
+                  partitionColumn: Option[String] = None,
+                  lowerBound: Long = 0L, upperBound: Long = 0L,
+                  numPartitions: Int = 1,
+                  extra: Map[String, String] = Map.empty): Map[String, String] = {
+    val base = Map("url" -> url, "dbtable" -> table)
+    val part = partitionColumn.fold(Map.empty[String, String]) { c =>
+      Map("partitionColumn" -> c,
+        "lowerBound" -> lowerBound.toString,
+        "upperBound" -> upperBound.toString,
+        "numPartitions" -> numPartitions.toString)
+    }
+    base ++ part ++ extra
+  }
+
+  /** Partitioned JDBC table read. No database exists in the test env;
+    * options assembly is covered by [[jdbcOptions]]'s spec.
+    */
+  def jdbcTable(spark: SparkSession, url: String, table: String,
+                partitionColumn: Option[String] = None,
+                lowerBound: Long = 0L, upperBound: Long = 0L,
+                numPartitions: Int = 1,
+                extra: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .options(jdbcOptions(url, table, partitionColumn, lowerBound, upperBound,
+        numPartitions, extra))
+      .load()
+
+  /** Paginated GET source (reference `network_nodes.py:172,244`
+    * `PaginatedHttpGetRequest`): plan the page space up front, fetch pages
+    * DISTRIBUTED via a pluggable (serializable) fetch function — each
+    * executor pulls its own page range, nothing loops on the driver.
+    * Output: (page, body) one row per returned payload. Tests inject a
+    * deterministic fake fetch; production injects a real HTTP client.
+    */
+  def paginatedApi(spark: SparkSession, pages: Long,
+                   fetch: Long => Seq[String],
+                   partitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val nPart = if (partitions > 0) partitions
+                else spark.sparkContext.defaultParallelism
+    spark.range(0, pages, 1, nPart).as[Long]
+      .flatMap(p => fetch(p).map(body => (p, body)))
+      .toDF("page", "body")
+  }
 }

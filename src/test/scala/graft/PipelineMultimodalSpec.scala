@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.json.TreeWalk
+import graft.multimodal.Multimodal
+import graft.operators.Ops
+import graft.pipeline.Pipeline
+import graft.sources.Sources
+
+class PipelineMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("transformAt rewrites a nested struct field in place") {
+    val df = Seq((1L, 10.0)).toDF("id", "v")
+      .select(col("id"), struct(struct(col("v").as("x")).as("inner")).as("pay"))
+    val got = Ops.transformAt(df, "pay.inner.x", _ * 3)
+      .select(col("pay.inner.x")).as[Double].head()
+    assert(got == 30.0)
+    val flat = Ops.transformAt(Seq(("a")).toDF("s"), "s", upper(_)).as[String].head()
+    assert(flat == "A")
+  }
+
+  test("transformEachAt maps over an array at a nested path") {
+    val df = Seq((1L, Seq(1, 2, 3))).toDF("id", "xs")
+      .select(col("id"), struct(col("xs")).as("pay"))
+    val got = Ops.transformEachAt(df, "pay.xs", _ + 10)
+      .select(col("pay.xs")).as[Seq[Int]].head()
+    assert(got == Seq(11, 12, 13))
+  }
+
+  test("extract runs multiple labeled captures sharing a prefix") {
+    val df = Seq((1L, ("o1", Seq(("s1", 2), ("s2", 3))))).toDF("id", "raw")
+      .select(col("id"), struct(
+        struct(col("raw._1").as("owner_name")).as("owner"),
+        transform(col("raw._2"),
+          x => struct(x.getField("_1").as("sku"), x.getField("_2").as("qty"))).as("items"))
+        .as("doc"))
+    val got = TreeWalk.extract(df,
+      Seq(TreeWalk.Capture("owner_name", "o"), TreeWalk.Capture("sku", "i")),
+      Seq("o.owner_name" -> "owner", "i.sku" -> "sku", "i.qty" -> "qty"),
+      keep = Seq("id"))
+    assert(got.as[(Long, String, String, Int)].collect().toSet ==
+      Set((1L, "o1", "s1", 2), (1L, "o1", "s2", 3)))
+  }
+
+  test("relations emits distinct edge triples; entities dedup on id") {
+    val df = Seq(
+      (1L, "alice", Seq("p1", "p2")), (2L, "alice", Seq("p1")))
+      .toDF("id", "raw_owner", "raw_parts")
+      .select(col("id"), struct(
+        struct(col("raw_owner").as("owner_id")).as("owner"),
+        transform(col("raw_parts"), p => struct(p.as("part_id"))).as("parts")).as("doc"))
+    val edges = TreeWalk.relations(df,
+      TreeWalk.Capture("owner_id", "o"), "owner_id",
+      TreeWalk.Capture("part_id", "p"), "part_id", "HAS")
+    assert(edges.as[(String, String, String)].collect().toSet ==
+      Set(("alice", "p1", "HAS"), ("alice", "p2", "HAS")))
+    val ents = TreeWalk.entities(df, TreeWalk.Capture("owner_id", "o"), "owner_id")
+    assert(ents.count() == 1)
+  }
+
+  test("Pipeline resolves a DAG with fan-out and fan-in") {
+    val p = Pipeline.empty
+      .source("nums", spark.range(10).toDF("n"))
+      .stage("evens", "nums")(_.filter(col("n") % 2 === 0))
+      .stage("odds", "nums")(_.filter(col("n") % 2 === 1))
+      .fanIn("all", Seq("evens", "odds"))()
+      .stage("total", "all")(_.agg(sum("n").as("s")))
+    assert(p.output("total").as[Long].head() == 45L)
+    intercept[IllegalArgumentException] { Pipeline.empty.stage("x", "missing")(identity) }
+    intercept[IllegalArgumentException] {
+      Pipeline.empty.source("a", spark.range(1).toDF())
+        .source("a", spark.range(1).toDF())
+    }
+  }
+
+  test("recorder sink appends across runs; blackHole counts everything") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rec").toString + "/log"
+    graft.operators.Sinks.recorder(spark.range(3).toDF("n"), dir)
+    graft.operators.Sinks.recorder(spark.range(2).toDF("n"), dir)
+    assert(spark.read.parquet(dir).count() == 5)
+    assert(graft.operators.Sinks.blackHole(spark.range(7).toDF()) == 7L)
+  }
+
+  test("jdbcOptions builds a partitioned read spec") {
+    val opts = Sources.jdbcOptions("jdbc:mysql://h/db", "t", Some("id"), 0, 1000, 8,
+      Map("user" -> "u"))
+    assert(opts("partitionColumn") == "id" && opts("numPartitions") == "8" &&
+      opts("dbtable") == "t" && opts("user") == "u")
+    assert(!Sources.jdbcOptions("u", "t").contains("partitionColumn"))
+  }
+
+  test("paginatedApi fetches pages distributed with a pluggable fetcher") {
+    val df = Sources.paginatedApi(spark, 5, p => Seq(s"a$p", s"b$p"), partitions = 2)
+    assert(df.count() == 10)
+    assert(df.filter(col("page") === 3).select("body").as[String].collect().toSet ==
+      Set("a3", "b3"))
+    assert(df.rdd.getNumPartitions == 2)
+  }
+
+  test("fake media decode is deterministic and frame sampling follows stride") {
+    val docs = Seq((0L, "x"), (5L, "y")).toDF("doc_id", "text")
+    val media = Multimodal.fakeMedia(spark, docs, "doc_id")
+    val feats = Multimodal.decodeFeatures(spark, media).collect()
+    val again = Multimodal.decodeFeatures(spark,
+      Multimodal.fakeMedia(spark, docs, "doc_id")).collect()
+    assert(feats.map(_.byte_sum).toSeq == again.map(_.byte_sum).toSeq)
+    val m5 = feats.find(_.id == 5L).get
+    assert(m5.format == "mp4" && m5.frame_hashes.nonEmpty)
+    val sampled = Multimodal.frameSample(media.toDF(), 2)
+    assert(sampled.filter(col("id") === 5).count() == (8 + 5 % 16 + 1) / 2)
+  }
+}
