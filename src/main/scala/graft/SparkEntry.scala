@@ -199,6 +199,41 @@ object SparkEntry {
         TreeWalk.Capture("c_name", "cust"), "c_custkey",
         TreeWalk.Capture("l_quantity", "item"), "l_partkey", "ORDERED")),
 
+    // ---- MTL front-end (F5) ----
+    "q_mtl" -> ((s, dir) => {
+      val program = graft.json.MtlParser.parse(
+        """QUERY orderq IS SELECT cust.c_custkey AS cust_key,
+          |identity(item.l_quantity) AS qty, cust.c_name AS cust_name
+          |FROM obj START AT TOP
+          |GO DOWN UNTIL HAS KEY c_name AS cust
+          |GO DOWN UNTIL HAS KEY l_quantity AS item;""".stripMargin)
+      graft.json.MtlParser.run(orderDoc(s, dir), program, "orderq")
+    }),
+
+    // ---- config-built pipeline (E4) ----
+    "q_config" -> ((s, dir) =>
+      graft.pipeline.ConfigPipeline.fromJson(s,
+        s"""{"stages": [
+           | {"name": "orders", "op": "table", "dir": "$dir", "table": "orders"},
+           | {"name": "f", "op": "filter", "from": "orders", "expr": "o_orderstatus = 'F'"},
+           | {"name": "agg", "op": "agg", "from": "f", "keys": ["o_orderpriority"],
+           |  "aggs": ["COUNT(*) AS n_orders",
+           |           "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price"]}
+           |]}""".stripMargin).output("agg")),
+
+    // ---- bucketed interval join (C5 scale path; same oracle as q_join_window) ----
+    "q_join_window_bucketed" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), expr("ts_ns div 1000").as("p_us"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("user_id"), expr("ts_ns div 1000").as("e_us"))
+      Ops.intervalJoinBucketed(p, e, Seq("user_id"), "p_us", "e_us",
+          -300000000L, 300000000L, bucketWidth = 600000000L)
+        .select(col("p_id"), col("e_id"), col("__ij_l.user_id").as("user_id"),
+          (col("e_us") - col("p_us")).as("dt_us"))
+    }),
+
     // ---- multimodal plumbing (G12) ----
     "q_multimodal" -> ((s, dir) => {
       val media = Multimodal.fakeMedia(s, T(s, dir, "documents"), "doc_id")
@@ -441,6 +476,21 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         | JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
     "q_multimodal" -> multimodalOracle,
+    "q_mtl" ->
+      """SELECT c_custkey AS cust_key, l_quantity AS qty, c_name AS cust_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
+    "q_config" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority""".stripMargin,
+    "q_join_window_bucketed" ->
+      """SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id AS user_id,
+        | epoch_us(e.ts) - epoch_us(p.ts) AS dt_us
+        |FROM events p JOIN events e ON p.user_id = e.user_id
+        | AND p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND epoch_us(e.ts) >= epoch_us(p.ts) - 300000000
+        | AND epoch_us(e.ts) <= epoch_us(p.ts) + 300000000""".stripMargin,
 
     "q_ann" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),

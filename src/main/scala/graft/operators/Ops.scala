@@ -218,6 +218,38 @@ object Ops {
     l.join(r, keyCond && rightTs >= leftTs + lower && rightTs <= leftTs + upper)
   }
 
+  /** Scale path for [[intervalJoin]]: shuffle on (key, time-bucket) instead
+    * of key alone, so one hot key no longer lands an entire history in a
+    * single task. Each RIGHT row replicates into the buckets its match
+    * window can touch (≤ 2 when `bucketWidth >= upper - lower`); the exact
+    * range predicate then filters within the bucket. Identical results to
+    * [[intervalJoin]] — only the shuffle key changes.
+    *
+    * Timestamps are integral (e.g. epoch micros); `lower <= upper`.
+    */
+  def intervalJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+                           leftTsCol: String, rightTsCol: String,
+                           lower: Long, upper: Long,
+                           bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0 && upper >= lower)
+    // integral `div` (not `/` + floor): ts values may exceed double's 2^53
+    // integer range. Assumes non-negative timestamps.
+    val l = left.withColumn("__bucket", expr(s"$leftTsCol div ${bucketWidth}L"))
+    // right row rt matches left ts in [rt - upper, rt - lower]
+    val r = right.withColumn("__bucket",
+      explode(sequence(
+        expr(s"($rightTsCol - ${upper}L) div ${bucketWidth}L"),
+        expr(s"($rightTsCol - ${lower}L) div ${bucketWidth}L"))))
+    val la = l.alias("__ij_l")
+    val ra = r.alias("__ij_r")
+    val keyCond = (keys :+ "__bucket")
+      .map(k => col(s"__ij_l.$k") === col(s"__ij_r.$k")).reduce(_ && _)
+    la.join(ra, keyCond &&
+        col(rightTsCol) >= col(leftTsCol) + lower &&
+        col(rightTsCol) <= col(leftTsCol) + upper)
+      .drop("__bucket")
+  }
+
   // -------------------------------------------------------------------
   // Stats / schema (reference table_nodes.py:46, utils/data_structures.py)
   // -------------------------------------------------------------------

@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Config-built pipelines (reference `DynamicClassMediator`, node.py:1555,
+  * 1672: pipelines assembled from config dicts instead of code).
+  *
+  * The config is JSON (parsed with the Jackson shipped inside Spark — no
+  * extra dependency); each stage is `{"name", "op", ...}` and compiles onto
+  * the [[Pipeline]] builder, so config pipelines get identical planning —
+  * including fan-out persistence — to programmatic ones. Expressions are
+  * Spark SQL strings (`expr(...)`), the declarative analogue of the
+  * reference's config-referenced Python callables.
+  *
+  * Ops: `table` (dir/table), `parquet` (path), `filter` (expr), `select`
+  * (exprs), `withColumn` (name/expr), `agg` (keys/aggs), `union` (from[]),
+  * `join` (from[2], on, how), `limit` (n), `distinct`, `sample` (key/mod).
+  */
+object ConfigPipeline {
+
+  def fromJson(spark: SparkSession, json: String): Pipeline = {
+    val root = new ObjectMapper().readTree(json)
+    val stages = root.get("stages")
+    require(stages != null && stages.isArray, "config needs a 'stages' array")
+    stages.elements().asScala.foldLeft(Pipeline.empty)((p, s) => addStage(spark, p, s))
+  }
+
+  private def strs(n: JsonNode): Seq[String] =
+    n.elements().asScala.map(_.asText()).toSeq
+
+  private def addStage(spark: SparkSession, p: Pipeline, s: JsonNode): Pipeline = {
+    val name = s.get("name").asText()
+    def from = s.get("from").asText()
+    s.get("op").asText() match {
+      case "table" =>
+        p.source(name, Tables.load(spark, s.get("dir").asText(), s.get("table").asText()))
+      case "parquet" =>
+        p.source(name, spark.read.parquet(s.get("path").asText()))
+      case "filter" =>
+        p.stage(name, from)(_.filter(expr(s.get("expr").asText())))
+      case "select" =>
+        p.stage(name, from)(_.selectExpr(strs(s.get("exprs")): _*))
+      case "withColumn" =>
+        p.stage(name, from)(_.withColumn(s.get("col").asText(), expr(s.get("expr").asText())))
+      case "agg" =>
+        val keys = strs(s.get("keys"))
+        val aggs = strs(s.get("aggs")).map(expr)
+        p.stage(name, from)(_.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*))
+      case "union" =>
+        p.fanIn(name, strs(s.get("from")))()
+      case "join" =>
+        val Seq(l, r) = strs(s.get("from"))
+        val how = if (s.has("how")) s.get("how").asText() else "inner"
+        p.fanIn(name, Seq(l, r))(dfs => dfs(0).join(dfs(1), expr(s.get("on").asText()), how))
+      case "limit" =>
+        p.stage(name, from)(_.limit(s.get("n").asInt()))
+      case "distinct" =>
+        p.stage(name, from)(_.distinct())
+      case "sample" =>
+        p.stage(name, from)(graft.operators.Ops.modSample(_, s.get("key").asText(),
+          s.get("mod").asInt()))
+      case other => sys.error(s"unknown op '$other' in stage '$name'")
+    }
+  }
+}

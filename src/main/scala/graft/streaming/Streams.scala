@@ -65,11 +65,40 @@ object Streams {
       .agg(aggs.head, aggs.tail: _*)
 
   /** Run a micro-batch sink function (reference batch markers → foreachBatch
-    * boundaries). Returns the started query.
+    * boundaries; the batch id IS the marker). `interval` selects the trigger:
+    * None = as-fast-as-possible, Some("10 seconds") = processing-time,
+    * `availableNow=true` = drain-and-stop (the reference's bounded-run mode).
     */
-  def toForeachBatch(df: DataFrame, checkpoint: String)
-                    (f: (DataFrame, Long) => Unit) =
-    df.writeStream.option("checkpointLocation", checkpoint)
+  def toForeachBatch(df: DataFrame, checkpoint: String,
+                     interval: Option[String] = None,
+                     availableNow: Boolean = false)
+                    (f: (DataFrame, Long) => Unit) = {
+    val w = df.writeStream.option("checkpointLocation", checkpoint)
       .foreachBatch((batch: DataFrame, id: Long) => f(batch, id))
-      .start()
+    val triggered =
+      if (availableNow) w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      else interval.fold(w)(i => w.trigger(
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(i)))
+    triggered.start()
+  }
+
+  /** Canary / liveness (reference: monitor thread + canary messages): a
+    * StreamingQueryListener that invokes `onProgress` with (queryName,
+    * batchId, numInputRows) after every micro-batch. Returns the listener
+    * for detaching.
+    */
+  def progressCanary(spark: SparkSession)
+                    (onProgress: (String, Long, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQueryListener = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val l = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        onProgress(Option(e.progress.name).getOrElse(e.progress.id.toString),
+          e.progress.batchId, e.progress.numInputRows)
+    }
+    spark.streams.addListener(l)
+    l
+  }
 }

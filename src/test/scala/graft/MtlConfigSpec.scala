@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.json.MtlParser
+import graft.monitor.PipelineMetrics
+import graft.operators.Ops
+import graft.pipeline.ConfigPipeline
+
+class MtlConfigSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val program = MtlParser.parse(
+    """shout IS A PYTHON FUNCTION IMPORTED FROM some.module.shout;
+      |QUERY q IS SELECT o.owner_name AS owner, shout(i.sku) AS sku, i.qty AS qty
+      |FROM obj START AT TOP
+      |GO DOWN UNTIL HAS KEY owner_name AS o
+      |GO DOWN UNTIL HAS KEY sku AS i;
+      |IN QUERY q owner IS A UNIQUE PROPERTY name OF ENTITY user;
+      |IN QUERY q sku IS A PROPERTY item_sku OF ENTITY user NAMED BY owner;
+      |IN QUERY q user NAMED BY owner IS RELATED TO part NAMED BY sku AS bought;
+      |""".stripMargin)
+
+  private def doc = Seq((1L, "alice", Seq(("s1", 2), ("s2", 3))))
+    .toDF("id", "raw_owner", "raw_items")
+    .select(col("id"), struct(
+      struct(col("raw_owner").as("owner_name")).as("owner"),
+      transform(col("raw_items"),
+        x => struct(x.getField("_1").as("sku"), x.getField("_2").as("qty"))).as("items"))
+      .as("payload"))
+
+  test("MTL parse builds queries, properties, relations; functions apply") {
+    val q = program.queries("q")
+    assert(q.captures.map(_.label) == Seq("o", "i"))
+    assert(q.selections.map(_.alias) == Seq("owner", "sku", "qty"))
+    assert(q.selections(1).fn.contains("shout"))
+    assert(program.properties.size == 2 && program.relations.size == 1)
+    val rows = MtlParser.run(doc, program, "q",
+      Map("shout" -> (c => upper(c))))
+    assert(rows.as[(String, String, Int)].collect().toSet ==
+      Set(("alice", "S1", 2), ("alice", "S2", 3)))
+  }
+
+  test("MTL entity and relation tables") {
+    val fns = Map("shout" -> ((c: org.apache.spark.sql.Column) => upper(c)))
+    val ents = MtlParser.entityTables(doc, program, "q", fns)
+    assert(ents("user").columns.toSet == Set("name", "item_sku"))
+    assert(ents("user").count() == 1)
+    val rels = MtlParser.relationTables(doc, program, "q", fns)
+    assert(rels.head.as[(String, String, String)].collect().toSet ==
+      Set(("alice", "S1", "bought"), ("alice", "S2", "bought")))
+  }
+
+  test("ConfigPipeline builds a DAG from JSON with SQL expressions") {
+    val out = ConfigPipeline.fromJson(spark,
+      """{"stages": [
+        | {"name": "n", "op": "parquet", "path": "/root/testdata/sf0.001/nation.parquet"},
+        | {"name": "f", "op": "filter", "from": "n", "expr": "n_regionkey = 0"},
+        | {"name": "s", "op": "select", "from": "f", "exprs": ["n_name", "n_nationkey * 10 AS k10"]},
+        | {"name": "lim", "op": "limit", "from": "s", "n": 3}
+        |]}""".stripMargin).output("lim")
+    assert(out.columns.toSeq == Seq("n_name", "k10") && out.count() == 3)
+    intercept[RuntimeException] {
+      ConfigPipeline.fromJson(spark, """{"stages":[{"name":"x","op":"nope"}]}""")
+    }
+  }
+
+  test("intervalJoinBucketed matches plain intervalJoin results") {
+    val ev = Seq((1L, "a", 100L), (2L, "a", 250L), (3L, "a", 900L), (4L, "b", 120L),
+      (5L, "b", 180L)).toDF("id", "k", "t")
+    val l = ev.select(col("id").as("l_id"), col("k"), col("t").as("l_t"))
+    val r = ev.select(col("id").as("r_id"), col("k"), col("t").as("r_t"))
+    val plain = Ops.intervalJoin(l, r, Seq("k"), col("l_t"), col("r_t"),
+        lit(1L), lit(200L)).select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    val bucketed = Ops.intervalJoinBucketed(l, r, Seq("k"), "l_t", "r_t",
+        1L, 200L, bucketWidth = 200L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(bucketed == plain)
+  }
+
+  test("PipelineMetrics snapshots task counters from a listener") {
+    val m = PipelineMetrics.attach(spark)
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      // listener bus is async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (m.snapshot("tasks") == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val snap = m.snapshot
+      assert(snap("tasks") > 0)
+      assert(snap("records_read") > 0)
+    } finally m.detach()
+  }
+}
