@@ -34,6 +34,33 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Graph export (reference `cypher_neo4j.py:8` Neo4j writer): node tables
+    * per entity label + edge tables, as parquet — the bulk-import layout
+    * every graph store ingests. Entity/edge DataFrames come from
+    * `TreeWalk.entities` / `TreeWalk.relations` / `MtlParser`.
+    */
+  def graphExport(nodes: Map[String, DataFrame], edges: Map[String, DataFrame],
+                  dir: String): Unit = {
+    nodes.foreach { case (label, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/nodes_$label")
+    }
+    edges.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/edges_$name")
+    }
+  }
+
+  /** Cypher MERGE statements for an edge table (src_id, dst_id, rel) — the
+    * textual form the reference's Neo4j node emits, generated distributed as
+    * a column (no driver loop); feed to any bolt client.
+    */
+  def cypherStatements(edges: DataFrame, srcLabel: String, dstLabel: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    edges.select(concat(
+      lit(s"MERGE (a:$srcLabel {id: '"), col("src_id"),
+      lit(s"'}) MERGE (b:$dstLabel {id: '"), col("dst_id"),
+      lit("'}) MERGE (a)-[:"), col("rel"), lit("]->(b);")).as("cypher"))
+  }
+
   /** Generic JDBC writer (reference civis/mysql writer nodes) — option
     * plumbing only; no database exists in the test environment.
     */

@@ -56,6 +56,61 @@ object Ann {
     }
   }
 
+  /** IVF top-k (G7 scale path): coarse-quantize the corpus onto `nlist`
+    * centroids, then search only the `nprobe` nearest cells per query —
+    * the inverted-file ANN layout (à la FAISS IVF-Flat), relational:
+    *
+    *  1. centroids = `nlist` corpus vectors picked by md5-order (deterministic
+    *     seeding; driver-collected + broadcast — centroid sets are config-
+    *     table sized by design);
+    *  2. each corpus row assigns to its nearest centroid via `min_by` (one
+    *     partial-aggregable pass, no window shuffle);
+    *  3. each query probes its `nprobe` nearest cells; candidates = bucket
+    *     contents of those cells; exact cosine re-ranks.
+    *
+    * With `nprobe == nlist` this is exhaustive and matches [[bruteForceTopK]].
+    * Output shape matches [[bruteForceTopK]]; recall < 1 when nprobe < nlist.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nlist: Int = 64, nprobe: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", Vectors.fnorm(col("c_vec")))
+    val cents = c.select(col("neighbor_id").as("cent_id"), col("c_vec").as("cent_vec"),
+        col("c_norm").as("cent_norm"))
+      .withColumn("__ord", md5(col("cent_id").cast("string")))
+      .orderBy("__ord").limit(nlist).drop("__ord")
+    // 2. nearest-centroid assignment: min_by over the (corpus × centroids)
+    //    expansion — partial aggregation keeps it one shuffle on neighbor_id.
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("sim", Vectors.fcosine(col("c_vec"), col("cent_vec"),
+        col("c_norm"), col("cent_norm")))
+      .groupBy("neighbor_id")
+      .agg(min_by(col("cent_id"), struct((col("sim") * -1).as("d"), col("cent_id")))
+        .as("cell"),
+        first(col("c_vec")).as("c_vec"), first(col("c_norm")).as("c_norm"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", Vectors.fnorm(col("q_vec")))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("sim", Vectors.fcosine(col("q_vec"), col("cent_vec"),
+        col("q_norm"), col("cent_norm")))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("cent_id").asc)
+    val probed = probes.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("q_norm"), col("cent_id").as("cell"))
+    // 3. search only the probed cells
+    val cand = probed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Vectors.fcosine(col("q_vec"), col("c_vec"),
+        col("q_norm"), col("c_norm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
   /** LSH-bucketed top-k (G7): bucket corpus and queries by the sign pattern
     * of `numPlanes` random hyperplanes; score only within matching buckets.
     * Recall < 1.0 by construction; probe multiple plane-subsets ("bands") to

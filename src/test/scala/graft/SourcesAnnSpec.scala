@@ -43,6 +43,34 @@ class SourcesAnnSpec extends SparkSpec {
     assert(got == Set((1L, 1L), (2L, 3L)))
   }
 
+  test("ivfTopK with nprobe == nlist is exhaustive and matches brute force") {
+    val df = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 31 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 4)
+    val brute = Ann.bruteForceTopK(q, df, "vec_id", "embedding", 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(q, df, "vec_id", "embedding", 3, nlist = 8, nprobe = 8)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    assert(ivf == brute)
+    // reduced probing returns a subset per query, still correctly ranked
+    val partial = Ann.ivfTopK(q, df, "vec_id", "embedding", 3, nlist = 8, nprobe = 2)
+    assert(partial.count() <= 12)
+  }
+
+  test("graphExport writes node/edge parquet; cypherStatements renders MERGE text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-graph").toString
+    val edges = Seq(("u1", "p1", "BOUGHT")).toDF("src_id", "dst_id", "rel")
+    graft.operators.Sinks.graphExport(
+      Map("user" -> Seq(("u1", "alice")).toDF("id", "name")),
+      Map("bought" -> edges), dir)
+    assert(spark.read.parquet(s"$dir/nodes_user").count() == 1)
+    assert(spark.read.parquet(s"$dir/edges_bought").count() == 1)
+    val cy = graft.operators.Sinks.cypherStatements(edges, "User", "Part")
+      .as[String].head()
+    assert(cy == "MERGE (a:User {id: 'u1'}) MERGE (b:Part {id: 'p1'}) MERGE (a)-[:BOUGHT]->(b);")
+  }
+
   test("lshTopK returns a subset of brute-force candidates with correct local ranks") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.95f, 0.05f, 0.0f)),
