@@ -99,6 +99,11 @@ object SparkEntry {
       ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "value")
     }),
     "q_sample" -> ((s, dir) => Ops.modSample(T(s, dir, "documents"), "doc_id", 10)),
+    "q_apply" -> ((s, dir) =>
+      Ops.applyExpr(T(s, dir, "lineitem"), "margin",
+          (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DoubleType))
+        .select("l_orderkey", "l_linenumber", "margin")),
 
     // ---- aggregation & stateful (C1-C7) ----
     "q_collect" -> ((s, dir) =>
@@ -372,6 +377,10 @@ object SparkEntry {
     "q_filter" ->
       "SELECT event_id, user_id, value FROM events WHERE value IS NOT NULL AND event_type = 'purchase'",
     "q_sample" -> "SELECT * FROM documents WHERE doc_id % 10 = 0",
+    "q_apply" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS margin
+        |FROM lineitem""".stripMargin,
 
     "q_collect" ->
       "SELECT lang, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids FROM documents GROUP BY lang",

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming re-expressions of the reference's streaming surfaces.
   *
@@ -63,6 +64,46 @@ object Streams {
     df.withWatermark(tsCol, watermark)
       .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+
+  /** Streaming exact-dedup: drop repeats of `keys` arriving within the
+    * watermark horizon (the state store evicts older keys — the bounded-
+    * memory streaming analogue of `Dedup.exact`).
+    */
+  def dedupStream(df: DataFrame, tsCol: String, watermark: String,
+                  keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicates(keys :+ tsCol)
+
+  /** Custom keyed state via `mapGroupsWithState` (reference: per-key
+    * accumulator nodes holding dict state between messages). Maintains an
+    * arbitrary running state S per key with caller-supplied init/update,
+    * emitting the updated (key, state) after every micro-batch; idle keys
+    * evict after `stateTimeout` of processing time (≙ the reference's
+    * TimedDict expiry).
+    */
+  def runningState[K: Encoder, V: Encoder, S: Encoder](
+      ds: Dataset[V], keyOf: V => K, init: S, update: (S, V) => S,
+      stateTimeout: Option[String] = None)(
+      implicit ksEnc: Encoder[(K, S)]): Dataset[(K, S)] = {
+    // NoTimeout unless asked: ProcessingTimeTimeout makes the micro-batch
+    // loop schedule continuous (empty) batches just to fire timeouts.
+    val mode = stateTimeout.fold(GroupStateTimeout.NoTimeout)(
+      _ => GroupStateTimeout.ProcessingTimeTimeout)
+    ds.groupByKey(keyOf)
+      .mapGroupsWithState[S, (K, S)](mode) {
+        (key: K, values: Iterator[V], state: GroupState[S]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            (key, last)
+          } else {
+            val s = values.foldLeft(state.getOption.getOrElse(init))(update)
+            state.update(s)
+            stateTimeout.foreach(state.setTimeoutDuration)
+            (key, s)
+          }
+      }
+  }
 
   /** Run a micro-batch sink function (reference batch markers → foreachBatch
     * boundaries; the batch id IS the marker). `interval` selects the trigger:

@@ -74,6 +74,42 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops repeated keys within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF.toDF("ts", "k")
+    val q = Streams.dedupStream(df, "ts", "10 minutes", Seq("k"))
+      .writeStream.format("memory").queryName("ddup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:00:00"), 1L),
+        (ts("2024-01-01 00:00:01"), 2L))
+      q.processAllAvailable()
+      assert(spark.table("ddup").count() == 2)
+    } finally q.stop()
+  }
+
+  test("runningState maintains per-key state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val ds = mem.toDS()
+    val out = Streams.runningState[String, (String, Double), (Long, Double)](
+      ds, _._1, (0L, 0.0), (s, v) => (s._1 + 1, s._2 + v._2))
+    val q = out.toDF("k", "state").writeStream.format("memory")
+      .queryName("rstate").outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(("a", 1.0), ("a", 2.0), ("b", 5.0))
+      q.processAllAvailable()
+      mem.addData(("a", 4.0))
+      q.processAllAvailable()
+      val last = spark.table("rstate").select("k", "state._1", "state._2")
+        .as[(String, Long, Double)].collect()
+        .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+      assert(last("a")._2 == 3L && last("a")._3 == 7.0)
+      assert(last("b")._2 == 1L && last("b")._3 == 5.0)
+    } finally q.stop()
+  }
+
   test("watchDirectory streams files appearing in a directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft-watch").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
