@@ -64,6 +64,8 @@ object Dedup {
     val b = pruned.select(col("id").as("id_b"), col("shingle"))
     val inter = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    // size lookups join on id; no broadcast hint — sizes is |docs| rows
+    // (arbitrarily large at scale), and AQE broadcasts it when it is small.
     inter
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")

@@ -149,6 +149,34 @@ object Ops {
   def groupAgg(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame =
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
 
+  /** Salted two-phase aggregation for SKEWED group keys: phase 1 aggregates
+    * by (keys, salt) — spreading one hot key over `saltBuckets` reducers —
+    * phase 2 merges the partials by keys alone. `aggs` maps an input column
+    * to (phase-1 agg, phase-2 re-agg) pairs via the [[Reaggregatable]]
+    * shapes (sum/count/min/max — the decomposable aggregates).
+    *
+    * AQE's skew handling covers joins; this covers the aggregation side,
+    * where a single hot group otherwise lands on one task.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String],
+                aggs: Seq[(Column, String, String)], // (phase1 agg col AS name, name, reagg fn)
+                saltBuckets: Int = 16): DataFrame = {
+    val salt = pmod(monotonically_increasing_id(), lit(saltBuckets)).as("__salt")
+    val phase1 = df.withColumn("__salt", salt)
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(aggs.head._1, aggs.tail.map(_._1): _*)
+    val phase2Aggs = aggs.map { case (_, name, re) =>
+      (re match {
+        case "sum"   => sum(col(name))
+        case "min"   => min(col(name))
+        case "max"   => max(col(name))
+        case "count" => sum(col(name)) // counts merge by summation
+        case other   => sys.error(s"non-decomposable re-agg '$other'")
+      }).as(name)
+    }
+    phase1.groupBy(keys.map(col): _*).agg(phase2Aggs.head, phase2Aggs.tail: _*)
+  }
+
   /** Exact money sum: accumulate in DECIMAL(18,2) (order-independent),
     * surface as double — bit-identical across engines regardless of
     * partitioning / summation order.

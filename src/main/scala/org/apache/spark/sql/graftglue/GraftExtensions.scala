@@ -1,0 +1,27 @@
+package org.apache.spark.sql.graftglue
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Spark extension point registration for graft's custom expressions —
+  * makes them available to pure-SQL users (`SELECT float_vector_dot(a, b)`)
+  * in addition to the Column API:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)           // programmatic
+  * // or: spark.sql.extensions=org.apache.spark.sql.graftglue.GraftExtensions
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("float_vector_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "float_vector_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "float_vector_dot takes exactly 2 arguments")
+        FloatVectorDot(children.head, children(1))
+      }))
+  }
+}

@@ -108,6 +108,38 @@ class OpsSpec extends SparkSpec {
     assert(got == Set(("g1", 30), ("g1", 20), ("g2", 5)))
   }
 
+  test("saltedAgg matches direct aggregation for decomposable aggs") {
+    val df = Seq(("hot", 1.0), ("hot", 2.0), ("hot", 3.0), ("cold", 4.0))
+      .toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+      .orderBy("k").collect().toSeq
+    val salted = Ops.saltedAgg(df, Seq("k"), Seq(
+        (sum("v").as("s"), "s", "sum"),
+        (count(lit(1)).as("n"), "n", "count"),
+        (min("v").as("mn"), "mn", "min"),
+        (max("v").as("mx"), "mx", "max")), saltBuckets = 3)
+      .orderBy("k").collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("GraftExtensions registers float_vector_dot for SQL users") {
+    import org.apache.spark.sql.SparkSession
+    // build a sibling session (same SparkContext) so withExtensions applies
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val spark2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new org.apache.spark.sql.graftglue.GraftExtensions)
+        .getOrCreate()
+      import spark2.implicits._
+      val got = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+        .selectExpr("float_vector_dot(a, b)").as[Double].head()
+      assert(got == 11.0)
+    } finally {
+      SparkSession.setActiveSession(spark); SparkSession.setDefaultSession(spark)
+    }
+  }
+
   test("moneySum is exact decimal accumulation") {
     val df = Seq.fill(1000)(0.1).toDF("v")
     val got = df.agg(Ops.moneySum(col("v"))).as[Double].head()
