@@ -41,4 +41,18 @@ object Tables {
   /** Register every table as a temp view so `spark.sql` pipelines can run. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Write a bucketed (and optionally sort-ordered) catalog table: joins and
+    * aggregations on the bucket columns then need NO shuffle on this side —
+    * the co-located-join layout for fact tables that are joined repeatedly
+    * on the same key (SURVEY §5). `numBuckets` should match across tables
+    * joined together.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

@@ -62,6 +62,28 @@ class PlanSpec extends SparkSpec {
     assert(countShuffles(df.queryExecution.executedPlan) == 0)
   }
 
+  test("bucketed tables join without a shuffle on either side") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def countShuffles(plan: SparkPlan): Int = plan match {
+      case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+      case _: ShuffleExchangeExec => 1 + plan.children.map(countShuffles).sum
+      case _ => plan.children.map(countShuffles).sum
+    }
+    Tables.writeBucketed(Tables.load(spark, sfDir, "lineitem"),
+      "li_b", Seq("l_orderkey"), 4)
+    Tables.writeBucketed(Tables.load(spark, sfDir, "orders"),
+      "o_b", Seq("o_orderkey"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      joined.count() // materialize so AQE finalizes the plan
+      assert(countShuffles(joined.queryExecution.executedPlan) == 0,
+        joined.queryExecution.executedPlan.toString.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("groupAgg uses partial (map-side) aggregation") {
     val p = planString(Ops.groupAgg(Tables.load(spark, sfDir, "lineitem"),
       Seq("l_returnflag"), Seq(sum("l_quantity").as("s"))))
