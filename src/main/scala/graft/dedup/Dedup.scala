@@ -60,9 +60,17 @@ object Dedup {
         sh.join(dfreq, "shingle")
       }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val a = pruned.select(col("id").as("id_a"), col("shingle"))
-    val b = pruned.select(col("id").as("id_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+    // Pair generation via shingle buckets, not a self-join: a self-join
+    // evaluates the whole tokenize→shingle→explode pipeline twice and
+    // shuffles it twice; grouping once and expanding each bucket's sorted
+    // id list emits the same (id_a < id_b) pairs from a single pass.
+    val buckets = pruned.groupBy("shingle")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val inter = buckets.select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     // size lookups join on id; no broadcast hint — sizes is |docs| rows
     // (arbitrarily large at scale), and AQE broadcasts it when it is small.
