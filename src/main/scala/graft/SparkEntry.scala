@@ -258,6 +258,9 @@ object SparkEntry {
           col("sig")(2).as("h2"), col("sig")(3).as("h3"))
     }),
     "q_simhash" -> ((s, dir) => Dedup.simhash(T(s, dir, "documents"), "doc_id", "text")),
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(
+        Dedup.simhash(T(s, dir, "documents"), "doc_id", "text"), maxHamming = 3)),
     "q_lsh_pairs" -> ((s, dir) => {
       val sig = Dedup.minhashSignature(T(s, dir, "documents"), "doc_id", "text", 16)
       // maxBucket=256: docs sharing a whole signature band by the hundreds
@@ -270,12 +273,30 @@ object SparkEntry {
       Dedup.cosineNearDup(
         T(s, dir, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding", 0.2)),
 
-    // ---- similarity (G6) ----
+    // ---- similarity (G6/G7) ----
     "q_ann" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       Ann.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 3)
         .select("query_id", "rank", "neighbor_id")
     }),
+    // exhaustive IVF (nprobe == nlist) must reproduce brute-force exactly —
+    // shares q_ann's oracle by construction
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Ann.ivfTopK(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 3,
+          nlist = 16, nprobe = 16)
+        .select("query_id", "rank", "neighbor_id")
+    }),
+    // salted two-phase agg must equal the direct group-by (skew path)
+    "q_salted_agg" -> ((s, dir) =>
+      Ops.saltedAgg(T(s, dir, "lineitem"), Seq("l_returnflag"), Seq(
+          (sum(dec(col("l_quantity"))).as("sq"), "sq", "sum"),
+          (count(lit(1)).as("n_rows"), "n_rows", "count"),
+          (min(col("l_quantity")).as("min_qty"), "min_qty", "min"),
+          (max(col("l_quantity")).as("max_qty"), "max_qty", "max")),
+          saltBuckets = 8)
+        .select(col("l_returnflag"), col("sq").cast(DoubleType).as("sum_qty"),
+          col("n_rows"), col("min_qty"), col("max_qty"))),
 
     // ---- text analysis (G8-G11) ----
     "q_langid" -> ((s, dir) =>
@@ -347,6 +368,40 @@ object SparkEntry {
       | CAST((16 + id % 64) * md5sum AS DOUBLE) / CAST(256 + (id % 64) * 16 AS DOUBLE) AS mean_byte,
       | CAST(CASE WHEN id % 3 = 2 THEN (8 + id % 16 + 1) // 2 ELSE 1 END AS INTEGER) AS n_sampled
       |FROM b""".stripMargin
+
+  /** DuckDB mirror of simhash banding: pairs sharing any 15-bit band with
+    * hamming ≤ 3 (distinct, id_a < id_b). Builds on the simhash fingerprint
+    * CTEs.
+    */
+  private val simhashPairsOracle: String = {
+    val sums = (0 until 60).map(b =>
+      s"SUM(CASE WHEN (h & ${1L << b}) <> 0 THEN 1 ELSE 0 END) AS v$b").mkString(", ")
+    val fp = (0 until 60).map(b =>
+      s"(CASE WHEN v$b * 2 > n THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM t),
+       |v AS (SELECT doc_id, COUNT(*) AS n, $sums FROM h GROUP BY doc_id),
+       |f AS (SELECT doc_id AS id, CAST($fp AS BIGINT) AS fp FROM v),
+       |banded AS (SELECT id, fp, b.band, (fp >> (b.band * 15)) & 32767 AS bkey
+       |           FROM f, (SELECT unnest([0, 1, 2, 3]) AS band) b)
+       |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
+  }
+
+  /** Brute-force cosine top-3; also the oracle of exhaustive IVF. */
+  private val annOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |s AS (SELECT query_id, neighbor_id,
+      |  CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) = 0 THEN 0
+      |       ELSE list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) END AS cos
+      | FROM q, c WHERE query_id <> neighbor_id),
+      |r AS (SELECT query_id, neighbor_id,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin
 
   private val langidOracle: String = {
     val codes = Text.stopwords.keys.toSeq.sorted // de, en, es, fr
@@ -457,6 +512,7 @@ object SparkEntry {
          | MIN(md5('2:' || tok)) AS h2, MIN(md5('3:' || tok)) AS h3
          |FROM t GROUP BY doc_id""".stripMargin,
     "q_simhash" -> simhashOracle,
+    "q_simhash_pairs" -> simhashPairsOracle,
     "q_lsh_pairs" -> lshPairsOracle,
     "q_cosine_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200),
@@ -501,16 +557,14 @@ object SparkEntry {
         | AND epoch_us(e.ts) >= epoch_us(p.ts) - 300000000
         | AND epoch_us(e.ts) <= epoch_us(p.ts) + 300000000""".stripMargin,
 
-    "q_ann" ->
-      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
-        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-        |s AS (SELECT query_id, neighbor_id,
-        |  CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) = 0 THEN 0
-        |       ELSE list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) END AS cos
-        | FROM q, c WHERE query_id <> neighbor_id),
-        |r AS (SELECT query_id, neighbor_id,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n_rows, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_ann" -> annOracle,
+    "q_ann_ivf" -> annOracle, // exhaustive IVF ≡ brute force
 
     "q_langid" -> langidOracle,
     "q_quality" ->

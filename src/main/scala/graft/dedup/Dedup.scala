@@ -156,6 +156,34 @@ object Dedup {
   /** Hamming distance between two fingerprints. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs: band the fingerprint into `bands` bit-slices —
+    * any pair within hamming distance < bands shares at least one exact
+    * band (pigeonhole), so bucketing by band value finds all such pairs
+    * with an O(n·bands) shuffle; an exact hamming check then filters.
+    * Input: output of [[simhash]]. Output: (id_a, id_b, hamming).
+    */
+  def simhashPairs(sig: DataFrame, maxHamming: Int, bands: Int = 4,
+                   bits: Int = 60): DataFrame = {
+    val perBand = bits / bands
+    val mask = (1L << perBand) - 1
+    val bandKeys = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * perBand).bitwiseAND(lit(mask)).as("bkey"))
+    }: _*)
+    val banded = sig.select(col("id"), col("simhash"), explode(bandKeys).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val buckets = banded.groupBy("band", "bkey")
+      .agg(sort_array(collect_set(struct(col("id"), col("simhash")))).as("members"))
+      .filter(size(col("members")) > 1)
+    val pairs = buckets.select(explode(flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))),
+          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash")))
+              .as("hamming")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+    pairs.filter(col("hamming") <= maxHamming).distinct()
+  }
+
   /** Embedding-cosine near-dup (G5): pairs with cosine ≥ tau. All-pairs
     * compare — use only on broadcastable sets; the scale path buckets via
     * `graft.similarity.Ann.lshTopK` first.

@@ -88,6 +88,22 @@ class TextDedupSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("simhashPairs finds near-identical docs via hamming bands") {
+    val df = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h zz"), // 1 extra token
+      (3L, "q w r t y u i o p")).toDF("doc_id", "text")
+    val sig = Dedup.simhash(df, "doc_id", "text")
+    val pairs = Dedup.simhashPairs(sig, maxHamming = 20)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+    // hamming 0 for identical token sets
+    val same = Dedup.simhashPairs(
+      Dedup.simhash(Seq((1L, "x y z"), (2L, "z y x")).toDF("doc_id", "text"),
+        "doc_id", "text"), maxHamming = 0)
+    assert(same.select("hamming").as[Int].collect().toSeq == Seq(0))
+  }
+
   test("cosineNearDup pairs high-similarity vectors") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.01f)), (3L, Array(0.0f, 1.0f)))
