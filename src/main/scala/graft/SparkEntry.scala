@@ -272,6 +272,17 @@ object SparkEntry {
     "q_cosine_neardup" -> ((s, dir) =>
       Dedup.cosineNearDup(
         T(s, dir, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding", 0.2)),
+    // scale path: hyperplane-LSH candidates + exact cosine verify; the
+    // oracle rebuilds the identical md5-derived planes in SQL
+    "q_cosine_neardup_lsh" -> ((s, dir) =>
+      Dedup.cosineNearDupLsh(
+        T(s, dir, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding",
+        tau = 0.2, dim = 64)),
+    // pruned variant: stop-shingles dropped from BOTH intersections and set
+    // sizes (consistent approximate Jaccard over the pruned universe)
+    "q_jaccard_pruned" -> ((s, dir) =>
+      Dedup.ngramJaccard(T(s, dir, "documents"), "doc_id", "text", k = 3, tau = 0.5,
+        maxShingleDf = 10)),
 
     // ---- similarity (G6/G7) ----
     "q_ann" -> ((s, dir) => {
@@ -389,6 +400,38 @@ object SparkEntry {
        |FROM banded a JOIN banded b
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
+  }
+
+  /** DuckDB mirror of hyperplane-LSH cosine near-dup: identical md5-derived
+    * planes (15-hex-digit prefix → [-1,1) doubles — see Ann.hyperplanes),
+    * identical sign-pattern band keys, then exact cosine ≥ tau on in-bucket
+    * pairs. 2^59 = 576460752303423488.
+    */
+  private val cosineLshOracle: String = {
+    val planeExpr =
+      """list_transform(range(0, 64), j ->
+        | CAST(('0x' || substring(md5('42:' || CAST(p.range AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+        |  / 576460752303423488.0 - 1.0)""".stripMargin
+    s"""WITH planes AS (SELECT p.range AS pid, $planeExpr AS plane FROM range(0, 8) p),
+       |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200),
+       |bits AS (SELECT e.id, planes.pid,
+       |         CASE WHEN list_dot_product(e.v, planes.plane) >= 0 THEN 1 ELSE 0 END AS bit
+       |         FROM e, planes),
+       |sig AS (SELECT id, list(bit ORDER BY pid) AS s FROM bits GROUP BY id),
+       |banded AS (SELECT id, b.band,
+       |           array_to_string(list_slice(s, b.band * 4 + 1, b.band * 4 + 4), ',') AS bkey
+       |           FROM sig, (SELECT unnest([0, 1]) AS band) b),
+       |buckets AS (SELECT band, bkey, list_sort(list(id)) AS ids
+       |            FROM banded GROUP BY 1, 2 HAVING COUNT(*) > 1),
+       |cand AS (SELECT DISTINCT x.a AS id_a, y.c AS id_b
+       |         FROM buckets, unnest(ids) x(a), unnest(ids) y(c) WHERE x.a < y.c),
+       |n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+       |SELECT * FROM (
+       |  SELECT id_a, id_b,
+       |    CASE WHEN a.nrm * b.nrm = 0 THEN 0
+       |         ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END AS cosine
+       |  FROM cand JOIN n a ON a.id = id_a JOIN n b ON b.id = id_b
+       |) WHERE cosine >= 0.2""".stripMargin
   }
 
   /** Brute-force cosine top-3; also the oracle of exhaustive IVF. */
@@ -511,6 +554,23 @@ object SparkEntry {
          |SELECT doc_id, MIN(md5('0:' || tok)) AS h0, MIN(md5('1:' || tok)) AS h1,
          | MIN(md5('2:' || tok)) AS h2, MIN(md5('3:' || tok)) AS h3
          |FROM t GROUP BY doc_id""".stripMargin,
+    "q_cosine_neardup_lsh" -> cosineLshOracle,
+    "q_jaccard_pruned" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id,
+         |        unnest(list_transform(range(0, len(tk) - 2),
+         |               i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))) AS shingle
+         |        FROM toks WHERE len(tk) >= 3),
+         |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 10),
+         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+         |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_inter,
+         | CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+         |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5""".stripMargin,
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_lsh_pairs" -> lshPairsOracle,

@@ -25,10 +25,15 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word-k-shingles per document: (id, shingle). Distinctness is
-    * enforced per-document with `array_distinct` (no extra shuffle).
+  /** Distinct word-k-shingles per document with the document's shingle-set
+    * size carried alongside: (id, sz, shingle). Distinctness is enforced
+    * per-document with `array_distinct`, and `sz` is computed in the SAME
+    * projection — so downstream consumers never need a per-doc size join
+    * (which would re-evaluate this whole pipeline: HOF lambda variables
+    * don't canonicalize, so Spark cannot reuse the exchange of a duplicated
+    * shingle subplan).
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     // Tokenize into a materialized column FIRST: referencing the tokenizer
     // expression inside the transform lambda would re-run split+filter for
     // every shingle position (O(tokens²) per document).
@@ -36,47 +41,65 @@ object Dedup {
     val n = size(col("__tk"))
     val sh = transform(sequence(lit(0), greatest(n - k, lit(0))),
       i => array_join(slice(col("__tk"), i + 1, lit(k)), " "))
-    base.select(col("id"),
-      explode(when(n >= k, array_distinct(sh))
-        .otherwise(array().cast(ArrayType(StringType)))).as("shingle"))
+    base
+      .select(col("id"), when(n >= k, array_distinct(sh))
+        .otherwise(array().cast(ArrayType(StringType))).as("__sh"))
+      .select(col("id"), size(col("__sh")).as("sz"), explode(col("__sh")).as("shingle"))
   }
+
+  /** Distinct word-k-shingles per document: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    shingleRows(df, idCol, textCol, k).select("id", "shingle")
 
   /** N-gram Jaccard near-dup (G2): exact Jaccard over word-k-shingle sets,
     * pairs with similarity ≥ `tau`, `id_a < id_b`.
     *
     * `maxShingleDf` drops shingles appearing in more than that many docs
-    * before pairing (scale guard; pairs sharing only ubiquitous shingles are
-    * below any useful tau anyway). Pass Int.MaxValue for exact behavior.
+    * before pairing (scale guard — "stop shingles"). Set sizes are computed
+    * over the SAME pruned shingle universe as the intersections, so the
+    * Jaccard stays internally consistent (numerator and denominator both
+    * over pruned sets). Pass Int.MaxValue for exact behavior.
+    *
+    * Single-scan, zero-join shape: the per-doc set size rides WITH each
+    * exploded (id, shingle) row (exact case: computed in the shingle
+    * projection; pruned case: re-counted once after pruning), so bucket
+    * members are (id, sz) pairs and the final Jaccard is a pure projection
+    * over the pair counts — documents is scanned once, and there are no
+    * size-lookup joins to re-evaluate the pipeline (HOF lambdas defeat
+    * exchange reuse, so a shared subplan WOULD re-execute).
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, tau: Double = 0.8,
                    maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k)
-    val pruned =
+    val sh = shingleRows(df, idCol, textCol, k) // (id, sz, shingle)
+    // With stop-shingle pruning, sizes must be re-derived over the PRUNED
+    // universe (so numerator and denominator agree): group by shingle,
+    // drop high-df shingles, then one round-trip through the doc to
+    // re-count — still a single scan of `documents`, no joins.
+    val sized =
       if (maxShingleDf == Int.MaxValue) sh
       else {
-        val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDf).select("shingle")
-        sh.join(dfreq, "shingle")
+        val kept = sh.groupBy("shingle")
+          .agg(collect_list(col("id")).as("ids"))
+          .filter(size(col("ids")) <= maxShingleDf)
+          .select(col("shingle"), explode(col("ids")).as("id"))
+        kept.groupBy("id")
+          .agg(count(lit(1)).as("sz"), collect_list(col("shingle")).as("shs"))
+          .select(col("id"), col("sz"), explode(col("shs")).as("shingle"))
       }
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     // Pair generation via shingle buckets, not a self-join: a self-join
     // evaluates the whole tokenize→shingle→explode pipeline twice and
     // shuffles it twice; grouping once and expanding each bucket's sorted
-    // id list emits the same (id_a < id_b) pairs from a single pass.
-    val buckets = pruned.groupBy("shingle")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val inter = buckets.select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    // size lookups join on id; no broadcast hint — sizes is |docs| rows
-    // (arbitrarily large at scale), and AQE broadcasts it when it is small.
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+    // (id, sz) list emits the same (id_a < id_b) pairs from a single pass.
+    val buckets = sized.groupBy("shingle")
+      .agg(sort_array(collect_list(struct(col("id"), col("sz")))).as("ms"))
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxShingleDf)
+    buckets.select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))),
+          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            x.getField("sz").as("sz_a"), y.getField("sz").as("sz_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.sz_a"), col("p.sz_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b").agg(count(lit(1)).as("n_inter"))
       .withColumn("jaccard",
         col("n_inter").cast(DoubleType) /
           (col("sz_a") + col("sz_b") - col("n_inter")).cast(DoubleType))
@@ -164,6 +187,12 @@ object Dedup {
     */
   def simhashPairs(sig: DataFrame, maxHamming: Int, bands: Int = 4,
                    bits: Int = 60): DataFrame = {
+    // Pigeonhole completeness holds only when a qualifying pair cannot
+    // differ in every band: maxHamming < bands. Remainder bits (bits %
+    // bands != 0) would never be banded and silently break recall too.
+    require(maxHamming < bands,
+      s"pigeonhole recall needs maxHamming ($maxHamming) < bands ($bands)")
+    require(bits % bands == 0, s"bits ($bits) must divide evenly into bands ($bands)")
     val perBand = bits / bands
     val mask = (1L << perBand) - 1
     val bandKeys = array((0 until bands).map { b =>
@@ -184,12 +213,19 @@ object Dedup {
     pairs.filter(col("hamming") <= maxHamming).distinct()
   }
 
-  /** Embedding-cosine near-dup (G5): pairs with cosine ≥ tau. All-pairs
-    * compare — use only on broadcastable sets; the scale path buckets via
-    * `graft.similarity.Ann.lshTopK` first.
+  /** Embedding-cosine near-dup (G5): pairs with cosine ≥ tau. ALL-PAIRS
+    * compare — the join condition has no equality component, so Spark plans a
+    * broadcast nested-loop (cartesian): O(n²) work by construction. The
+    * mandatory `maxRows` guard fails fast above the cap instead of silently
+    * launching a quadratic job on a 100 TB frame; route larger inputs through
+    * [[cosineNearDupLsh]].
     */
   def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
-                    tau: Double): DataFrame = {
+                    tau: Double, maxRows: Long = 10000): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"cosineNearDup is all-pairs O(n²): input has $n rows > maxRows=$maxRows; " +
+        "use cosineNearDupLsh for large inputs")
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
       .withColumn("norm_a", Vectors.fnorm(col("vec_a")))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
@@ -199,5 +235,48 @@ object Dedup {
         Vectors.fcosine(col("vec_a"), col("vec_b"), col("norm_a"), col("norm_b")))
       .filter(col("cosine") >= tau)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** Scale path for [[cosineNearDup]]: random-hyperplane LSH bands generate
+    * candidate pairs (O(n·bands) shuffle keys, never n²), then the exact
+    * cosine verifies ≥ tau. Recall < 1 by construction (a near pair missing
+    * every band is dropped) — raise `bands` / lower `numPlanes` per band to
+    * trade recall for candidate volume.
+    *
+    * Planes are md5-derived ([[graft.similarity.Ann.hyperplanes]]) so an
+    * external engine can rebuild the identical bucketing; `dim` is the
+    * embedding dimensionality (a model property — not probed from data).
+    */
+  def cosineNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
+                       tau: Double, dim: Int,
+                       numPlanes: Int = 8, bands: Int = 2, seed: Int = 42,
+                       maxBucket: Int = 1 << 20): DataFrame = {
+    require(numPlanes % bands == 0, s"numPlanes=$numPlanes not divisible by bands=$bands")
+    val perBand = numPlanes / bands
+    val planes = typedLit(graft.similarity.Ann.hyperplanes(numPlanes, dim, seed))
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("sig", Vectors.hyperplaneSignature(col("vec"), planes))
+      .withColumn("nrm", Vectors.fnorm(col("vec")))
+    val bandKeys = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", slice(col("sig"), b * perBand + 1, perBand)).as("bkey"))
+    }: _*)
+    val banded = base.select(col("id"), col("vec"), col("nrm"), explode(bandKeys).as("bk"))
+      .select(col("id"), col("vec"), col("nrm"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // Group each bucket once and expand its (id-sorted) member pairs in
+    // place — same single-pass shape as [[lshPairs]]; `maxBucket` bounds the
+    // in-bucket quadratic blowup (run exact dedup upstream).
+    val buckets = banded.groupBy("band", "bkey")
+      .agg(sort_array(collect_list(struct(col("id"), col("vec"), col("nrm")))).as("members"))
+      .filter(size(col("members")) > 1 && size(col("members")) <= maxBucket)
+    buckets.select(explode(flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))),
+          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            Vectors.fcosine(x.getField("vec"), y.getField("vec"),
+              x.getField("nrm"), y.getField("nrm")).as("cosine")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.cosine"))
+      .filter(col("cosine") >= tau)
+      .distinct()
   }
 }

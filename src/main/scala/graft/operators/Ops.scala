@@ -272,9 +272,11 @@ object Ops {
     val ra = r.alias("__ij_r")
     val keyCond = (keys :+ "__bucket")
       .map(k => col(s"__ij_l.$k") === col(s"__ij_r.$k")).reduce(_ && _)
+    // Qualified per-side references: with identical ts column names on both
+    // sides (homogeneous streams) the bare names are ambiguous.
     la.join(ra, keyCond &&
-        col(rightTsCol) >= col(leftTsCol) + lower &&
-        col(rightTsCol) <= col(leftTsCol) + upper)
+        col(s"__ij_r.$rightTsCol") >= col(s"__ij_l.$leftTsCol") + lower &&
+        col(s"__ij_r.$rightTsCol") <= col(s"__ij_l.$leftTsCol") + upper)
       .drop("__bucket")
   }
 

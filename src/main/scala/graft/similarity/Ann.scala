@@ -1,8 +1,9 @@
 package graft.similarity
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
 
 import graft.functions.Vectors
 
@@ -43,16 +44,19 @@ object Ann {
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is
-    * derived from md5(seed:p:j) — reproducible across runs/engines without
-    * RNG state.
+    * derived from md5(seed:p:j) — reproducible across runs AND engines
+    * without RNG state. The 15-hex-digit (60-bit) prefix keeps the integer
+    * expressible in any engine's signed 64-bit hex parse (DuckDB:
+    * `('0x' || substring(md5(s), 1, 15))::BIGINT`), so an oracle can rebuild
+    * the exact same planes: v / 2^59 - 1 ∈ [-1, 1.00000…).
     */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Int = 42): Array[Array[Double]] = {
     Array.tabulate(numPlanes, dim) { (p, j) =>
-      val hex = java.security.MessageDigest.getInstance("MD5")
+      val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$seed:$p:$j".getBytes("UTF-8"))
-      // first 8 bytes → uniform in [-1, 1)
-      val v = java.nio.ByteBuffer.wrap(hex).getLong
-      v.toDouble / Long.MaxValue.toDouble
+      val hex = digest.map(b => f"$b%02x").mkString
+      val v = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      v.toDouble / (1L << 59).toDouble - 1.0
     }
   }
 
@@ -60,13 +64,18 @@ object Ann {
     * centroids, then search only the `nprobe` nearest cells per query —
     * the inverted-file ANN layout (à la FAISS IVF-Flat), relational:
     *
-    *  1. centroids = `nlist` corpus vectors picked by md5-order (deterministic
-    *     seeding; driver-collected + broadcast — centroid sets are config-
-    *     table sized by design);
-    *  2. each corpus row assigns to its nearest centroid via `min_by` (one
-    *     partial-aggregable pass, no window shuffle);
-    *  3. each query probes its `nprobe` nearest cells; candidates = bucket
-    *     contents of those cells; exact cosine re-ranks.
+    *  1. centroids = `nlist` corpus vectors picked by md5-order
+    *     (deterministic seeding), driver-collected: centroid sets are
+    *     config-table sized by design, and landing them in the plan as
+    *     LITERALS makes steps 2 and 3 pure projections;
+    *  2. each corpus row assigns to its nearest centroid via `least()` over
+    *     per-centroid (−sim, cent_id) structs — a codegen'd projection with
+    *     ZERO shuffle (a crossJoin+groupBy formulation would re-shuffle
+    *     every corpus vector through the exchange);
+    *  3. each query probes its `nprobe` nearest cells — `array_sort` +
+    *     `slice` over the same structs, again a projection;
+    *  4. candidates = bucket contents of the probed cells (one equi-join on
+    *     cell id); exact cosine re-ranks.
     *
     * With `nprobe == nlist` this is exhaustive and matches [[bruteForceTopK]].
     * Output shape matches [[bruteForceTopK]]; recall < 1 when nprobe < nlist.
@@ -74,32 +83,39 @@ object Ann {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nlist: Int = 64, nprobe: Int = 8): DataFrame = {
+    val centRows = corpus
+      .select(col(idCol).cast(LongType).as("cent_id"), col(vecCol).as("cent_vec"))
+      .withColumn("__ord", md5(col("cent_id").cast(StringType)))
+      .orderBy("__ord").limit(nlist)
+      .select("cent_id", "cent_vec").collect()
+    val cents: Seq[(Long, Seq[Float])] =
+      centRows.toIndexedSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
+    require(cents.nonEmpty, "empty corpus")
+
+    // (−sim, cent_id) struct per centroid; Vectors.fnorm over a literal
+    // vector constant-folds at plan time, so each struct costs one codegen'd
+    // dot product per row.
+    def centStructs(vec: Column, norm: Column): Seq[Column] = cents.map { case (cid, cv) =>
+      val cvec = typedLit(cv)
+      struct((Vectors.fcosine(vec, cvec, norm, Vectors.fnorm(cvec)) * -1).as("negsim"),
+        lit(cid).as("cent_id"))
+    }
+    def nearest(vec: Column, norm: Column): Column = {
+      val ss = centStructs(vec, norm)
+      (if (ss.size == 1) ss.head else least(ss: _*)).getField("cent_id")
+    }
+
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("c_norm", Vectors.fnorm(col("c_vec")))
-    val cents = c.select(col("neighbor_id").as("cent_id"), col("c_vec").as("cent_vec"),
-        col("c_norm").as("cent_norm"))
-      .withColumn("__ord", md5(col("cent_id").cast("string")))
-      .orderBy("__ord").limit(nlist).drop("__ord")
-    // 2. nearest-centroid assignment: min_by over the (corpus × centroids)
-    //    expansion — partial aggregation keeps it one shuffle on neighbor_id.
-    val assigned = c.crossJoin(broadcast(cents))
-      .withColumn("sim", Vectors.fcosine(col("c_vec"), col("cent_vec"),
-        col("c_norm"), col("cent_norm")))
-      .groupBy("neighbor_id")
-      .agg(min_by(col("cent_id"), struct((col("sim") * -1).as("d"), col("cent_id")))
-        .as("cell"),
-        first(col("c_vec")).as("c_vec"), first(col("c_norm")).as("c_norm"))
+    val assigned = c.withColumn("cell", nearest(col("c_vec"), col("c_norm")))
+
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", Vectors.fnorm(col("q_vec")))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("sim", Vectors.fcosine(col("q_vec"), col("cent_vec"),
-        col("q_norm"), col("cent_norm")))
-    val wProbe = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("cent_id").asc)
-    val probed = probes.withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("q_vec"), col("q_norm"), col("cent_id").as("cell"))
-    // 3. search only the probed cells
+    val probed = q.withColumn("__pc", explode(slice(
+        array_sort(array(centStructs(col("q_vec"), col("q_norm")): _*)), 1, nprobe)))
+      .select(col("query_id"), col("q_vec"), col("q_norm"),
+        col("__pc.cent_id").as("cell"))
+    // 4. search only the probed cells
     val cand = probed.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", Vectors.fcosine(col("q_vec"), col("c_vec"),
@@ -117,9 +133,11 @@ object Ann {
     * raise it. Output shape matches [[bruteForceTopK]].
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
-              idCol: String, vecCol: String, k: Int,
+              idCol: String, vecCol: String, k: Int, dim: Int,
               numPlanes: Int = 8, bands: Int = 2, seed: Int = 42): DataFrame = {
-    val dim = queries.select(size(col(vecCol))).head().getInt(0)
+    // `dim` is caller-supplied (it's a property of the embedding model, not
+    // of the data) — probing it with a driver-side .head() at plan time
+    // would run a job just to build the plan.
     val planes = typedLit(hyperplanes(numPlanes, dim, seed))
     val perBand = numPlanes / bands
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame = {

@@ -50,9 +50,12 @@ object Streams {
     val l = left.withWatermark(leftTsCol, watermark)
     val r = right.withWatermark(rightTsCol, watermark)
     val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    // Per-side references (l(...)/r(...)), not bare col(...): homogeneous
+    // streams usually share the timestamp column name, and an unqualified
+    // reference would fail analysis as ambiguous.
     val range =
-      col(rightTsCol) >= col(leftTsCol) - expr(s"INTERVAL $timeout") &&
-      col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $timeout")
+      r(rightTsCol) >= l(leftTsCol) - expr(s"INTERVAL $timeout") &&
+      r(rightTsCol) <= l(leftTsCol) + expr(s"INTERVAL $timeout")
     l.join(r, keyCond && range)
   }
 

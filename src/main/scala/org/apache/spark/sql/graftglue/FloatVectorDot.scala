@@ -16,9 +16,11 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * fuses into the surrounding generated code.
   *
   * Semantics match `aggregate(zip_with(a, b, (x,y) => double(x)*double(y)),
-  * 0.0, (acc,x) => acc+x)` exactly (same IEEE operation order), so results
-  * are bit-identical to the HOF formulation and to a sequential fold in any
-  * other engine. Length mismatch takes the common prefix; null input → null.
+  * 0.0, (acc,x) => acc+x)` EXACTLY, including the degenerate cases: same
+  * IEEE operation order; null input array → null; a null element anywhere →
+  * null (the HOF's null product poisons the running sum); mismatched lengths
+  * → null (zip_with pads the shorter side with nulls). So [[graft.functions
+  * .Vectors.dot]] and `fdot` agree on every input.
   *
   * (Lives in an `org.apache.spark.sql` subpackage because `ExpectsInputTypes`
   * uses the `private[sql]` AbstractDataType.)
@@ -30,14 +32,17 @@ case class FloatVectorDot(left: Expression, right: Expression)
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vector_dot"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
@@ -49,13 +54,20 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // The null checks stay out of the hot path's way: embeddings are
+      // containsNull=false in practice, so the branch predicts perfectly.
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

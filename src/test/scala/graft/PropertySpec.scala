@@ -69,6 +69,16 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("fdot matches the HOF dot on null elements and length mismatch (both null)") {
+    val rows = Seq(
+      (Array[java.lang.Float](1.0f, null, 3.0f), Array[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      (Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](1.0f, 2.0f, 3.0f)))
+    val df = rows.toDF("a", "b")
+      .select(Vectors.fdot(col("a"), col("b")).as("f"),
+        Vectors.dot(col("a"), col("b")).as("h"))
+    df.collect().foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
+  }
+
   test("law: jaccard output is symmetric-free (id_a < id_b) and within [0,1]") {
     val textGen = Gen.listOfN(6, tokenGen.map(_.mkString(" ")))
     check(Prop.forAll(textGen) { texts =>

@@ -77,7 +77,7 @@ class SourcesAnnSpec extends SparkSpec {
       (2L, Array(-1.0f, 0.1f, 0.0f)), (3L, Array(0.9f, 0.0f, 0.1f)))
       .toDF("vec_id", "embedding")
     val got = Ann.lshTopK(df.filter(col("vec_id") === 0), df, "vec_id", "embedding",
-      k = 2, numPlanes = 4, bands = 2)
+      k = 2, dim = 3, numPlanes = 4, bands = 2)
     // bucketing may drop candidates (that's the point); whatever survives must
     // be ranked by true cosine
     val rows = got.select("rank", "neighbor_id").as[(Long, Long)].collect().toMap

@@ -93,15 +93,19 @@ class TextDedupSpec extends SparkSpec {
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h zz"), // 1 extra token
       (3L, "q w r t y u i o p")).toDF("doc_id", "text")
     val sig = Dedup.simhash(df, "doc_id", "text")
-    val pairs = Dedup.simhashPairs(sig, maxHamming = 20)
+    // pigeonhole completeness needs maxHamming < bands: 30 bands of 2 bits
+    val pairs = Dedup.simhashPairs(sig, maxHamming = 20, bands = 30)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 3L)))
     // hamming 0 for identical token sets
     val same = Dedup.simhashPairs(
       Dedup.simhash(Seq((1L, "x y z"), (2L, "z y x")).toDF("doc_id", "text"),
-        "doc_id", "text"), maxHamming = 0)
+        "doc_id", "text"), maxHamming = 0, bands = 1)
     assert(same.select("hamming").as[Int].collect().toSeq == Seq(0))
+    // recall-breaking parameters are rejected, not silently incomplete
+    intercept[IllegalArgumentException] { Dedup.simhashPairs(sig, maxHamming = 20) }
+    intercept[IllegalArgumentException] { Dedup.simhashPairs(sig, maxHamming = 3, bands = 7) }
   }
 
   test("cosineNearDup pairs high-similarity vectors") {
@@ -111,6 +115,23 @@ class TextDedupSpec extends SparkSpec {
     val got = Dedup.cosineNearDup(df, "vec_id", "vec", 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L)))
+    // the all-pairs cartesian refuses to run above the explicit row cap
+    intercept[IllegalArgumentException] {
+      Dedup.cosineNearDup(df, "vec_id", "vec", 0.9, maxRows = 2)
+    }
+  }
+
+  test("cosineNearDupLsh candidates verify by exact cosine (subset of all-pairs)") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.99f, 0.01f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)), (4L, Array(0.98f, 0.0f, 0.02f)))
+      .toDF("vec_id", "vec")
+    val exact = Dedup.cosineNearDup(df, "vec_id", "vec", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.cosineNearDupLsh(df, "vec_id", "vec", tau = 0.9, dim = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // never a false positive (exact verify)
+    assert(lsh.nonEmpty)        // near-identical vectors share sign buckets
   }
 
   test("Vectors dot/norm/cosine are exact on simple cases") {
