@@ -137,6 +137,30 @@ object SparkEntry {
           (col("e_us") - col("p_us")).as("dt_us"))
     }),
     "q_rowstats" -> ((s, dir) => Ops.rowStats(T(s, dir, "customer"))),
+    // C6 string→typed inference: cast customer to all-strings (plus synthetic
+    // bool/date/timestamp string columns), recover the types via SchemaInfer,
+    // and emit the re-typed values — the oracle reads the ORIGINAL typed
+    // columns, so every wrong inference shows up as a schema/hash mismatch.
+    "q_schema_infer" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val strings = c.select(
+        col("c_custkey").cast(StringType).as("custkey"),
+        col("c_name").as("name"),
+        col("c_nationkey").cast(StringType).as("nationkey"),
+        col("c_acctbal").cast(StringType).as("acctbal"),
+        when(col("c_custkey") % 2 === 0, "true").otherwise("false").as("vip"),
+        date_add(lit("2020-01-01").cast(DateType), (col("c_custkey") % 365).cast(IntegerType))
+          .cast(StringType).as("signup"),
+        timestamp_seconds(lit(1577836800L) + col("c_custkey") * 60)
+          .cast(StringType).as("seen"))
+      val typed = graft.schema.SchemaInfer.inferAndApply(strings)
+      // dates/timestamps surface as epoch days/micros: unix_date/unix_micros
+      // only typecheck on real DATE/TIMESTAMP inputs, and integer output
+      // sidesteps engines' differing date reprs
+      typed.select(col("custkey"), col("name"), col("nationkey"), col("acctbal"),
+        col("vip"), unix_date(col("signup")).cast(LongType).as("signup_days"),
+        unix_micros(col("seen")).as("seen_us"))
+    }),
     "q_join" -> ((s, dir) => revenuePerNation(s, dir)),
     "q_topk" -> ((s, dir) =>
       Ops.topK(T(s, dir, "orders"),
@@ -506,6 +530,12 @@ object SparkEntry {
         | AND p.event_type = 'purchase' AND e.event_type = 'error'
         | AND epoch_us(e.ts) >= epoch_us(p.ts) - 300000000
         | AND epoch_us(e.ts) <= epoch_us(p.ts) + 300000000""".stripMargin,
+    "q_schema_infer" ->
+      """SELECT c_custkey AS custkey, c_name AS name, c_nationkey AS nationkey,
+        | c_acctbal AS acctbal, (c_custkey % 2 = 0) AS vip,
+        | CAST(DATE '2020-01-01' + CAST(c_custkey % 365 AS INTEGER) - DATE '1970-01-01' AS BIGINT) AS signup_days,
+        | epoch_us(TIMESTAMP '2020-01-01 00:00:00' + c_custkey * INTERVAL 1 MINUTE) AS seen_us
+        |FROM customer""".stripMargin,
     "q_rowstats" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
       .map(c => s"""SELECT '$c' AS "column", COUNT(*) AS n_rows, COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct FROM customer""")
       .mkString(" UNION ALL "),
