@@ -208,6 +208,14 @@ object SparkEntry {
     // ---- distributed paginated source (A9) ----
     "q_paginated" -> ((s, _) =>
       Sources.paginatedApi(s, 20, p => (0 until 3).map(i => s"p$p:$i"))),
+    // per-row templated GET (deterministic fake fetch; url built in codegen)
+    "q_http_template" -> ((s, dir) =>
+      Sources.httpTemplate(
+        T(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
+        "http://api.example/{v}/nations/{n_nationkey}?name={n_name}",
+        url => Seq(s"resp:$url", s"len:${url.length}"),
+        keep = Seq("n_nationkey"),
+        constants = Map("v" -> "v2"))),
 
     // ---- TreeHorn (F1/F2/F3/F4) ----
     "q_treewalk" -> ((s, dir) => {
@@ -218,6 +226,23 @@ object SparkEntry {
         .select(col("o_orderkey"), struct(col("lines")).as("payload"))
       TreeWalk.flattenAtKey(doc, "l_quantity", "item", keep = Seq("o_orderkey"))
     }),
+    // GO UP: anchor output at an ancestor of the matched node — walk down to
+    // the line-item level, climb back to the struct holding customer info
+    "q_treewalk_up" -> ((s, dir) =>
+      TreeWalk.walk(orderDoc(s, dir),
+        Seq(TreeWalk.GoDown(TreeWalk.HasKey("l_quantity"), "item"),
+            TreeWalk.GoUp(TreeWalk.HasDescendantKey("c_name"), "pay")),
+        Seq("item.l_quantity" -> "qty", "item.l_partkey" -> "part_key",
+            "pay.cust_info.c_name" -> "cust_name"),
+        keep = Seq("o_orderkey"))),
+    // compound schema conditions + a value predicate on the landed node
+    "q_treewalk_cond" -> ((s, dir) =>
+      TreeWalk.walk(orderDoc(s, dir),
+        Seq(TreeWalk.GoDown(TreeWalk.And(TreeWalk.HasKey("l_quantity"),
+            TreeWalk.HasAncestorKey("o_orderkey")), "item")),
+        Seq("item.l_quantity" -> "qty", "item.l_linenumber" -> "line_no"),
+        keep = Seq("o_orderkey"),
+        where = Seq("item.l_quantity" -> (_ >= lit(25))))),
     "q_extract" -> ((s, dir) =>
       TreeWalk.extract(orderDoc(s, dir),
         Seq(TreeWalk.Capture("c_name", "cust"), TreeWalk.Capture("l_quantity", "item")),
@@ -237,6 +262,29 @@ object SparkEntry {
           |GO DOWN UNTIL HAS KEY c_name AS cust
           |GO DOWN UNTIL HAS KEY l_quantity AS item;""".stripMargin)
       graft.json.MtlParser.run(orderDoc(s, dir), program, "orderq")
+    }),
+
+    // MTL WHERE: predicates parsed from the query text filter before
+    // projection (and push down into the scan)
+    "q_mtl_where" -> ((s, dir) => {
+      val program = graft.json.MtlParser.parse(
+        """QUERY orderq IS SELECT cust.c_custkey AS cust_key,
+          |item.l_quantity AS qty, item.l_partkey AS part_key
+          |FROM obj START AT TOP
+          |GO DOWN UNTIL HAS KEY c_name AS cust
+          |GO DOWN UNTIL (HAS KEY l_quantity AND NOT HAS KEY c_name) AS item
+          |WHERE item.l_quantity >= 25 AND cust.c_custkey > 50;""".stripMargin)
+      graft.json.MtlParser.run(orderDoc(s, dir), program, "orderq")
+    }),
+    // MTL coreference: cust_key and cust_name name the same entity; output =
+    // min-label connected components over the value graph (2 LP rounds)
+    "q_coreference" -> ((s, dir) => {
+      val program = graft.json.MtlParser.parse(
+        """QUERY orderq IS SELECT cust.c_custkey AS cust_key, cust.c_name AS cust_name
+          |FROM obj START AT TOP
+          |GO DOWN UNTIL HAS KEY c_name AS cust;
+          |IN QUERY orderq cust_key AND cust_name COREFER;""".stripMargin)
+      graft.json.MtlParser.coreferenceGroups(orderDoc(s, dir), program, "orderq")
     }),
 
     // ---- config-built pipeline (E4) ----
@@ -261,6 +309,34 @@ object SparkEntry {
           -300000000L, 300000000L, bucketWidth = 600000000L)
         .select(col("p_id"), col("e_id"), col("__ij_l.user_id").as("user_id"),
           (col("e_us") - col("p_us")).as("dt_us"))
+    }),
+
+    // ---- streaming end-to-end (A3 + C4 + D3/E2) ----
+    // file-stream source → event-time windowed agg → foreachBatch parquet
+    // recorder, drained with AvailableNow. Complete mode makes the final
+    // parquet the full aggregate regardless of how files split into
+    // micro-batches, so the result is batch-deterministic and oracle-able.
+    "q_stream_e2e" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"), col("value"))
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_e2e").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      ev.repartition(4).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+          format = "parquet", schemaDdl = Some(ev.schema.toDDL),
+          maxFilesPerTrigger = 1)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val agg = stream
+        .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Ops.moneySum(col("value")).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("win_us"), col("event_type"),
+          col("n_events"), col("sum_value"))
+      val q = graft.streaming.Streams.toForeachBatch(agg, ckpt,
+        availableNow = true, outputMode = "complete") { (batch, _) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      q.awaitTermination()
+      s.read.parquet(outDir)
     }),
 
     // ---- multimodal plumbing (G12) ----
@@ -563,6 +639,15 @@ object SparkEntry {
       """SELECT o_orderkey, l_linenumber AS item_l_linenumber, l_quantity AS item_l_quantity
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
 
+    "q_treewalk_up" ->
+      """SELECT o_orderkey, l_quantity AS qty, l_partkey AS part_key, c_name AS cust_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
+    "q_treewalk_cond" ->
+      """SELECT o_orderkey, l_quantity AS qty, l_linenumber AS line_no
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_quantity >= 25""".stripMargin,
     "q_dedup_exact" ->
       "SELECT md5(text) AS hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY md5(text)",
     "q_jaccard" ->
@@ -622,6 +707,13 @@ object SparkEntry {
         |WHERE o_orderstatus = 'F' GROUP BY c_mktsegment""".stripMargin,
     "q_paginated" ->
       "SELECT p.range AS page, 'p' || CAST(p.range AS VARCHAR) || ':' || CAST(i.range AS VARCHAR) AS body FROM range(0, 20) p, range(0, 3) i",
+    "q_http_template" ->
+      """WITH u AS (SELECT n_nationkey,
+        | 'http://api.example/v2/nations/' || CAST(n_nationkey AS VARCHAR) || '?name=' || n_name AS url
+        | FROM nation)
+        |SELECT n_nationkey, url, 'resp:' || url AS body FROM u
+        |UNION ALL
+        |SELECT n_nationkey, url, 'len:' || CAST(length(url) AS VARCHAR) AS body FROM u""".stripMargin,
     "q_extract" ->
       """SELECT o_orderkey, c_custkey AS cust_key, l_quantity AS qty
         |FROM orders JOIN customer ON o_custkey = c_custkey
@@ -630,11 +722,33 @@ object SparkEntry {
       """SELECT DISTINCT c_custkey AS src_id, l_partkey AS dst_id, 'ORDERED' AS rel
         |FROM orders JOIN customer ON o_custkey = c_custkey
         | JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
+    "q_stream_e2e" ->
+      """SELECT (epoch_us(ts) // 60000000) * 60000000 AS win_us, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_multimodal" -> multimodalOracle,
     "q_mtl" ->
       """SELECT c_custkey AS cust_key, l_quantity AS qty, c_name AS cust_name
         |FROM orders JOIN customer ON o_custkey = c_custkey
         | JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
+    "q_mtl_where" ->
+      """SELECT c_custkey AS cust_key, l_quantity AS qty, l_partkey AS part_key
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_quantity >= 25 AND c_custkey > 50""".stripMargin,
+    // 2 rounds of min-label propagation over the (cust_key, cust_name)
+    // coreference graph — mirrors MtlParser.coreferenceGroups exactly
+    "q_coreference" ->
+      """WITH q AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS a, c_name AS b
+        |           FROM orders JOIN customer ON o_custkey = c_custkey),
+        |und AS (SELECT a, b FROM q UNION SELECT b AS a, a AS b FROM q),
+        |l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM und),
+        |n1 AS (SELECT u.a, MIN(l.lbl) AS mn FROM und u JOIN l0 l ON l.id = u.b GROUP BY u.a),
+        |l1 AS (SELECT l0.id, least(l0.lbl, n1.mn) AS lbl FROM l0 JOIN n1 ON n1.a = l0.id),
+        |n2 AS (SELECT u.a, MIN(l.lbl) AS mn FROM und u JOIN l1 l ON l.id = u.b GROUP BY u.a),
+        |l2 AS (SELECT l1.id, least(l1.lbl, n2.mn) AS lbl FROM l1 JOIN n2 ON n2.a = l1.id)
+        |SELECT id AS member, lbl AS canonical FROM l2""".stripMargin,
     "q_config" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -2,39 +2,55 @@ package graft.json
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 /** MTL query-language front-end (reference `modelling/treehorn_yaccer.py`,
-  * sample program `query_text.mtl`).
+  * tokens `modelling/treehorn_tokenizer.py`, sample `query_text.mtl`).
   *
-  * Supported surface (matching the reference's grammar):
+  * Supported surface (the reference grammar, plus WHERE):
   * {{{
   * QUERY q IS SELECT a.x AS col1, fn(b.y) AS col2
   *   FROM obj START AT TOP
   *   GO DOWN UNTIL HAS KEY x AS a
-  *   GO DOWN UNTIL HAS KEY y AS b;
+  *   GO DOWN UNTIL (HAS KEY y AND NOT HAS KEY z) AS b
+  *   GO UP UNTIL HAS KEY w AS c
+  *   WHERE a.x >= 25 AND b.y = 'active';
   * IN QUERY q col1 IS A UNIQUE PROPERTY name OF ENTITY user;
   * IN QUERY q col2 IS A PROPERTY email OF ENTITY user NAMED BY col1;
   * IN QUERY q user NAMED BY col1 IS RELATED TO city NAMED BY c AS livesin;
+  * IN QUERY q col1 AND col2 COREFER;
   * }}}
-  * Python `IS A PYTHON FUNCTION IMPORTED FROM ...` declarations are accepted
-  * and ignored; function applications resolve against a caller-supplied
-  * registry of `Column => Column` (the Spark-native equivalent).
+  * Conditions compose with parenthesized AND/OR and prefix NOT (reference
+  * `treehorn.py:204-259` MeetsCondition combinators); `GO UP UNTIL`
+  * anchors at an ancestor (`treehorn.py:192`). Python `IS A PYTHON FUNCTION
+  * IMPORTED FROM ...` declarations are accepted and ignored; function
+  * applications resolve against a caller-supplied registry of
+  * `Column => Column` (the Spark-native equivalent).
   *
   * The parser is a small hand-rolled recursive-descent (no parser-generator
-  * dependency); the executor compiles straight onto [[TreeWalk.extract]], so
-  * an MTL query plans exactly like the programmatic API.
+  * dependency). Execution compiles onto [[TreeWalk]]: chains without GO UP
+  * use [[TreeWalk.extractCond]] (labels resolve independently from the
+  * root, so sibling captures combine relationally); chains with GO UP use
+  * the sequential [[TreeWalk.walk]] (each traversal starts at the previous
+  * match — the reference's `traversal_chain` composition). WHERE predicates
+  * filter before projection either way.
   */
 object MtlParser {
 
   final case class Selection(fn: Option[String], label: String, key: String, alias: String)
+  final case class Where(ref: String, op: String, value: String)
   final case class Query(name: String, selections: Seq[Selection], from: String,
-                         captures: Seq[TreeWalk.Capture])
+                         travs: Seq[TreeWalk.Traversal], wheres: Seq[Where])
   final case class Property(query: String, alias: String, unique: Boolean,
                             propName: String, entity: String, namedBy: Option[String])
   final case class Relation(query: String, srcEntity: String, srcAlias: String,
                             dstEntity: String, dstAlias: String, rel: String)
+  /** `IN QUERY q a AND b COREFER` (reference `treehorn_yaccer.py:319`):
+    * selection aliases a and b name the same entity — their value sets merge.
+    */
+  final case class Coreference(query: String, aliasA: String, aliasB: String)
   final case class Program(queries: Map[String, Query], properties: Seq[Property],
-                           relations: Seq[Relation])
+                           relations: Seq[Relation], coreferences: Seq[Coreference])
 
   // ----------------------------------------------------------------- lexer
   private def tokenize(text: String): Vector[String] = {
@@ -75,6 +91,7 @@ object MtlParser {
     val queries = Map.newBuilder[String, Query]
     val props = Seq.newBuilder[Property]
     val rels = Seq.newBuilder[Relation]
+    val corefs = Seq.newBuilder[Coreference]
 
     def parseSelection(): Selection = {
       val t = next()
@@ -87,22 +104,56 @@ object MtlParser {
       }
     }
 
+    // condition : ( condition AND|OR condition ) | NOT condition | HAS KEY k
+    def parseCondition(): TreeWalk.Cond = {
+      if (peek == "(") {
+        next()
+        val a = parseCondition()
+        val op = next()
+        val b = parseCondition()
+        expect(")")
+        if (op.equalsIgnoreCase("AND")) TreeWalk.And(a, b)
+        else if (op.equalsIgnoreCase("OR")) TreeWalk.Or(a, b)
+        else sys.error(s"expected AND/OR, got '$op'")
+      } else if (peek.equalsIgnoreCase("NOT")) {
+        next(); TreeWalk.Not(parseCondition())
+      } else {
+        expect("HAS"); expect("KEY"); TreeWalk.HasKey(next())
+      }
+    }
+
     def parseQuery(): Unit = {
       val name = next(); expect("IS"); expect("SELECT")
       val sels = Seq.newBuilder[Selection]
       sels += parseSelection()
       while (peek == ",") { next(); sels += parseSelection() }
       expect("FROM"); val from = next()
-      val caps = Seq.newBuilder[TreeWalk.Capture]
+      val travs = Seq.newBuilder[TreeWalk.Traversal]
+      val wheres = Seq.newBuilder[Where]
       while (!peek.equalsIgnoreCase(";") && peek.nonEmpty) {
         if (peek.equalsIgnoreCase("START")) { next(); expect("AT"); expect("TOP") }
-        else {
-          expect("GO"); expect("DOWN"); expect("UNTIL"); expect("HAS"); expect("KEY")
-          val key = next(); expect("AS"); caps += TreeWalk.Capture(key, next())
+        else if (peek.equalsIgnoreCase("WHERE")) {
+          next()
+          var more = true
+          while (more) {
+            val ref = next(); val op = next(); val v = next()
+            wheres += Where(ref, op, v)
+            if (peek.equalsIgnoreCase("AND")) next() else more = false
+          }
+        } else {
+          expect("GO")
+          val dir = next()
+          expect("UNTIL")
+          val cond = parseCondition()
+          expect("AS")
+          val label = next()
+          if (dir.equalsIgnoreCase("DOWN")) travs += TreeWalk.GoDown(cond, label)
+          else if (dir.equalsIgnoreCase("UP")) travs += TreeWalk.GoUp(cond, label)
+          else sys.error(s"expected DOWN/UP, got '$dir'")
         }
       }
       expect(";")
-      queries += name -> Query(name, sels.result(), from, caps.result())
+      queries += name -> Query(name, sels.result(), from, travs.result(), wheres.result())
     }
 
     def parseInQuery(): Unit = {
@@ -128,6 +179,9 @@ object MtlParser {
         expect("NAMED"); expect("BY"); val dstAlias = next()
         expect("AS"); val rel = next(); expect(";")
         rels += Relation(qname, subject, srcAlias, dstEntity, dstAlias, rel)
+      } else if (peek.equalsIgnoreCase("AND")) {
+        next(); val other = next(); expect("COREFER"); expect(";")
+        corefs += Coreference(qname, subject, other)
       } else sys.error(s"unsupported IN QUERY clause at '$peek'")
     }
 
@@ -140,10 +194,31 @@ object MtlParser {
         while (!next().equals(";") && pos < toks.length) {}
       }
     }
-    Program(queries.result(), props.result(), rels.result())
+    Program(queries.result(), props.result(), rels.result(), corefs.result())
   }
 
   // -------------------------------------------------------------- executor
+
+  private def literal(v: String): Column =
+    if (v.matches("^-?\\d+$")) lit(v.toLong)
+    else if (v.matches("^-?\\d*\\.\\d+$")) lit(v.toDouble)
+    else if (v.length >= 2 && v.startsWith("'") && v.endsWith("'"))
+      lit(v.substring(1, v.length - 1))
+    else lit(v)
+
+  private def comparison(op: String, v: String): Column => Column = {
+    val l = literal(v)
+    op match {
+      case "="          => _ === l
+      case "!=" | "<>"  => _ =!= l
+      case "<"          => _ < l
+      case "<="         => _ <= l
+      case ">"          => _ > l
+      case ">="         => _ >= l
+      case other        => sys.error(s"unsupported WHERE operator '$other'")
+    }
+  }
+
   /** Run one named query of the program against a document DataFrame.
     * `functions` resolves MTL function applications (reference: imported
     * Python callables) to Column transforms; `identity` is built in.
@@ -152,8 +227,14 @@ object MtlParser {
           functions: Map[String, Column => Column] = Map.empty): DataFrame = {
     val q = program.queries.getOrElse(queryName, sys.error(s"no query '$queryName'"))
     val fns = functions + ("identity" -> identity[Column] _)
-    val base = TreeWalk.extract(df, q.captures,
-      q.selections.map(s => s"${s.label}.${s.key}" -> s.alias))
+    val selects = q.selections.map(s => s"${s.label}.${s.key}" -> s.alias)
+    val wheres = q.wheres.map(w => w.ref -> comparison(w.op, w.value))
+    val base =
+      if (q.travs.exists(_.isInstanceOf[TreeWalk.GoUp]))
+        TreeWalk.walk(df, q.travs, selects, where = wheres)
+      else
+        TreeWalk.extractCond(df, q.travs.map(t => (t.cond, t.label)), selects,
+          where = wheres)
     q.selections.filter(_.fn.isDefined).foldLeft(base) { (d, s) =>
       val f = fns.getOrElse(s.fn.get, sys.error(s"unknown MTL function '${s.fn.get}'"))
       d.withColumn(s.alias, f(col(s.alias)))
@@ -188,5 +269,40 @@ object MtlParser {
       rows.select(col(r.srcAlias).as("src_id"), col(r.dstAlias).as("dst_id"))
         .withColumn("rel", lit(r.rel)).distinct()
     }
+  }
+
+  /** Entity merge from COREFER assertions (reference `nft_nodes.py` runs a
+    * Datalog knowledge base; relationally, coreference is connected
+    * components over the bipartite value graph). Values cast to string,
+    * undirected edges from each asserted alias pair, then `rounds` of
+    * min-label propagation — 2 rounds reach fixpoint for the pairwise
+    * star/path components coreference assertions produce; raise `rounds`
+    * for longer chains (each round is one join + one aggregate; at scale,
+    * checkpoint between rounds to cut plan re-evaluation).
+    *
+    * Output: (member, canonical) — every coreferring value mapped to the
+    * lexicographic minimum of its component.
+    */
+  def coreferenceGroups(df: DataFrame, program: Program, queryName: String,
+                        functions: Map[String, Column => Column] = Map.empty,
+                        rounds: Int = 2): DataFrame = {
+    val corefs = program.coreferences.filter(_.query == queryName)
+    require(corefs.nonEmpty, s"no COREFER assertions for query '$queryName'")
+    val rows = run(df, program, queryName, functions)
+    val e = corefs.map { cr =>
+      rows.select(col(cr.aliasA).cast(StringType).as("a"),
+        col(cr.aliasB).cast(StringType).as("b"))
+    }.reduce(_ unionByName _)
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+    var lbl = und.select(col("a").as("id")).distinct().withColumn("lbl", col("id"))
+    for (_ <- 0 until rounds) {
+      val nb = und.join(lbl.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
+        .groupBy("a").agg(min(col("nlbl")).as("mn"))
+      lbl = lbl.join(nb.select(col("a").as("id"), col("mn")), "id")
+        .select(col("id"), least(col("lbl"), col("mn")).as("lbl"))
+    }
+    lbl.select(col("id").as("member"), col("lbl").as("canonical"))
   }
 }

@@ -156,6 +156,207 @@ object TreeWalk {
       .withColumn("rel", lit(relName))
       .distinct()
 
+  // -------------------------------------------------------------------
+  // Sequential traversals with GoUp and schema conditions (reference
+  // `treehorn.py:186-270`: GoDown/GoUp Traversals + MeetsCondition /
+  // HasDescendant / HasAncestor combinators).
+  // -------------------------------------------------------------------
+
+  /** Plan-time node conditions. The reference evaluates these per tree node
+    * per message (`treehorn.py:204-259`); with a fixed schema every node
+    * condition resolves ONCE against the Catalyst StructType — data never
+    * enters into it. Combinators mirror MeetsCondition's `&`, `|`, `~`.
+    */
+  sealed trait Cond
+  /** Node is a struct with field `k` (`HAS KEY k`). */
+  final case class HasKey(k: String) extends Cond
+  /** Some strict descendant struct has field `k` (reference HasDescendant). */
+  final case class HasDescendantKey(k: String) extends Cond
+  /** Some strict ancestor struct has field `k` (reference HasAncestor). */
+  final case class HasAncestorKey(k: String) extends Cond
+  final case class And(a: Cond, b: Cond) extends Cond
+  final case class Or(a: Cond, b: Cond) extends Cond
+  final case class Not(c: Cond) extends Cond
+
+  /** One step of a traversal chain: move strictly down to the first
+    * (pre-order) struct meeting `cond`, or strictly up to the nearest
+    * ancestor meeting it; bind the landing node to `label`.
+    */
+  sealed trait Traversal { def cond: Cond; def label: String }
+  final case class GoDown(cond: Cond, label: String) extends Traversal
+  final case class GoUp(cond: Cond, label: String) extends Traversal
+
+  private def evalCond(c: Cond, node: StructType, ancestors: Seq[StructType]): Boolean =
+    c match {
+      case HasKey(k)    => node.fieldNames.contains(k)
+      case And(a, b)    => evalCond(a, node, ancestors) && evalCond(b, node, ancestors)
+      case Or(a, b)     => evalCond(a, node, ancestors) || evalCond(b, node, ancestors)
+      case Not(x)       => !evalCond(x, node, ancestors)
+      case HasAncestorKey(k) => ancestors.exists(_.fieldNames.contains(k))
+      case HasDescendantKey(k) =>
+        def below(st: StructType): Boolean = st.fields.exists { f =>
+          val inner = f.dataType match {
+            case ArrayType(et, _) => et
+            case dt               => dt
+          }
+          inner match {
+            case s: StructType => s.fieldNames.contains(k) || below(s)
+            case _             => false
+          }
+        }
+        below(node)
+    }
+
+  /** First strict descendant (pre-order, declaration order — same order
+    * [[pathsToKey]] yields) of `node` meeting `cond`. Returns the step path.
+    */
+  private def findDown(node: StructType, cond: Cond,
+                       ancestors: Seq[StructType]): Option[(Seq[Step], StructType)] = {
+    def dfs(st: StructType, prefix: Seq[Step],
+            anc: Seq[StructType]): Option[(Seq[Step], StructType)] = {
+      st.fields.toIndexedSeq.view.flatMap { f =>
+        val (inner, isArr) = f.dataType match {
+          case ArrayType(et, _) => (et, true)
+          case dt               => (dt, false)
+        }
+        inner match {
+          case s: StructType =>
+            val here = prefix :+ Step(f.name, isArr)
+            if (evalCond(cond, s, anc :+ st)) Some((here, s))
+            else dfs(s, here, anc :+ st)
+          case _ => None
+        }
+      }.headOption
+    }
+    dfs(node, Nil, ancestors)
+  }
+
+  /** Root-inclusive first match: the root itself if it meets `cond`, else
+    * the first strict descendant in pre-order.
+    */
+  private def findFromRoot(schema: StructType, cond: Cond): Option[(Seq[Step], StructType)] =
+    if (evalCond(cond, schema, Nil)) Some((Nil, schema)) else findDown(schema, cond, Nil)
+
+  /** Condition-based multi-capture (the general form of [[extract]]): each
+    * capture independently resolves FROM THE ROOT to the first node meeting
+    * its condition (so sibling captures combine relationally, TreeHorn's
+    * semantics for independent labels), traversals sharing a path prefix
+    * reuse the same explodes, and `where` predicates filter on landed nodes
+    * before projection. `select` refs may be nested ("label.a.b").
+    */
+  def extractCond(df: DataFrame, captures: Seq[(Cond, String)],
+                  select: Seq[(String, String)], keep: Seq[String] = Nil,
+                  where: Seq[(String, Column => Column)] = Nil): DataFrame = {
+    var out = df
+    var counter = 0
+    val aliasOf = scala.collection.mutable.Map[Vector[String], String]()
+
+    def descend(steps: Seq[Step]): Option[String] = {
+      var cur: Option[String] = None
+      var prefix = Vector.empty[String]
+      steps.foreach { case Step(f, isArr) =>
+        prefix :+= f
+        aliasOf.get(prefix) match {
+          case Some(a) => cur = Some(a)
+          case None =>
+            val src = cur.fold(col(f))(c => col(c).getField(f))
+            val alias = s"__cc$counter"; counter += 1
+            out = out.withColumn(alias, if (isArr) explode(src) else src)
+            aliasOf(prefix) = alias
+            cur = Some(alias)
+        }
+      }
+      cur
+    }
+
+    val labels: Map[String, (Option[String], StructType)] = captures.map {
+      case (cond, label) =>
+        val (steps, landing) = findFromRoot(df.schema, cond).getOrElse(
+          sys.error(s"no node meets $cond for label '$label'"))
+        label -> ((descend(steps), landing))
+    }.toMap
+
+    def resolve(ref: String): Column = {
+      val parts = ref.split('.')
+      val (aliasOpt, nodeType) = labels.getOrElse(parts.head,
+        sys.error(s"unknown label '${parts.head}'"))
+      require(parts.length > 1, s"select '$ref' must name a field of the label")
+      require(nodeType.fieldNames.contains(parts(1)),
+        s"label '${parts.head}' has no field '${parts(1)}'")
+      val base = aliasOpt.fold(col(parts(1)))(a => col(a).getField(parts(1)))
+      parts.drop(2).foldLeft(base)((c, f) => c.getField(f))
+    }
+
+    val filtered = where.foldLeft(out) { case (d, (ref, pred)) => d.filter(pred(resolve(ref))) }
+    filtered.select(keep.map(col) ++ select.map { case (ref, name) => resolve(ref).as(name) }: _*)
+  }
+
+  /** Walk a document schema with a chain of GoDown/GoUp traversals, then
+    * project `select` ("label.field.nested" → outName) with optional row
+    * `where` filters ((labelRef, predicate)) applied on the landed nodes.
+    *
+    * Compilation: descents materialize one aliased column per hop (arrays
+    * explode); GoUp is FREE — ancestors already exist as columns from the
+    * descent, and because an exploded alias is the specific array element on
+    * the current path, an up-anchored projection automatically pairs each
+    * matched node with ITS ancestor instance (the reference gets this from
+    * per-node parent pointers, `treehorn.py:345-500`).
+    */
+  def walk(df: DataFrame, travs: Seq[Traversal],
+           select: Seq[(String, String)], keep: Seq[String] = Nil,
+           where: Seq[(String, Column => Column)] = Nil): DataFrame = {
+    require(travs.nonEmpty, "empty traversal chain")
+    var out = df
+    var counter = 0
+    // stack of (alias — None = root, node struct type), root → current
+    var stack: List[(Option[String], StructType)] = List((None, df.schema))
+    val labels = scala.collection.mutable.Map[String, (Option[String], StructType)]()
+
+    travs.foreach {
+      case GoDown(cond, label) =>
+        val (curAlias, curType) = stack.head
+        val anc = stack.tail.map(_._2)
+        val (steps, landing) = findDown(curType, cond, anc).getOrElse(
+          sys.error(s"GO DOWN: no node meets $cond below ${curAlias.getOrElse("root")}"))
+        var alias = curAlias
+        var walkedType = curType
+        steps.foreach { case Step(f, isArr) =>
+          val src = alias.fold(col(f))(a => col(a).getField(f))
+          val a = s"__wk$counter"; counter += 1
+          out = out.withColumn(a, if (isArr) explode(src) else src)
+          walkedType = walkedType(f).dataType match {
+            case ArrayType(s: StructType, _) => s
+            case s: StructType               => s
+            case other => sys.error(s"non-struct hop '$f': $other")
+          }
+          stack = (Some(a), walkedType) :: stack
+          alias = Some(a)
+        }
+        labels(label) = stack.head.copy()
+      case GoUp(cond, label) =>
+        val above = stack.tail
+        val idx = above.indices.find { i =>
+          evalCond(cond, above(i)._2, above.drop(i + 1).map(_._2))
+        }.getOrElse(sys.error(s"GO UP: no ancestor meets $cond"))
+        stack = above.drop(idx)
+        labels(label) = stack.head
+    }
+
+    def resolve(ref: String): Column = {
+      val parts = ref.split('.')
+      val (aliasOpt, nodeType) = labels.getOrElse(parts.head,
+        sys.error(s"unknown label '${parts.head}'"))
+      require(parts.length > 1, s"select '$ref' must name a field of the label")
+      require(nodeType.fieldNames.contains(parts(1)),
+        s"label '${parts.head}' has no field '${parts(1)}'")
+      val base = aliasOpt.fold(col(parts(1)))(a => col(a).getField(parts(1)))
+      parts.drop(2).foldLeft(base)((c, f) => c.getField(f))
+    }
+
+    val filtered = where.foldLeft(out) { case (d, (ref, pred)) => d.filter(pred(resolve(ref))) }
+    filtered.select(keep.map(col) ++ select.map { case (ref, name) => resolve(ref).as(name) }: _*)
+  }
+
   /** Flatten ALL fields of the first struct that HAS `key` (the labeled
     * capture: `?label.SELECT *`). Arrays on the path explode.
     */

@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Batch sources — the generator nodes of the reference re-expressed as
   * DataFrame scans.
@@ -120,5 +121,51 @@ object Sources {
     spark.range(0, pages, 1, nPart).as[Long]
       .flatMap(p => fetch(p).map(body => (p, body)))
       .toDF("page", "body")
+  }
+
+  /** Per-row templated GET (reference `network_nodes.py:172`
+    * `HttpGetRequest`: `endpoint_template.format_map(message)`): fill
+    * `{field}` placeholders in the URL template from each incoming row,
+    * fetch with a pluggable (serializable) function, one output row per
+    * returned payload.
+    *
+    * The URL is built as a codegen'd `concat` projection (placeholders
+    * resolve against the schema at PLAN time — unknown fields fail fast,
+    * like the reference's SafeMap leaves them unfilled); only the fetch
+    * itself runs as imperative per-partition code, which is exactly the
+    * per-row network I/O Spark cannot express relationally. Extra keys in
+    * `constants` fill placeholders that aren't row fields (the reference's
+    * `endpoint_dict`).
+    *
+    * Output: input row fields in `keep` + (url, body).
+    */
+  def httpTemplate(df: DataFrame, template: String,
+                   fetch: String => Seq[String],
+                   keep: Seq[String] = Nil,
+                   constants: Map[String, String] = Map.empty): DataFrame = {
+    val parts = "\\{[A-Za-z0-9_.]+\\}".r
+    // Split the template into literal/placeholder segments → one concat.
+    val segments = scala.collection.mutable.Buffer[Column]()
+    var last = 0
+    parts.findAllMatchIn(template).foreach { m =>
+      if (m.start > last) segments += lit(template.substring(last, m.start))
+      val name = template.substring(m.start + 1, m.end - 1)
+      segments += constants.get(name).map(lit(_): Column)
+        .getOrElse(col(name).cast(StringType))
+      last = m.end
+    }
+    if (last < template.length) segments += lit(template.substring(last))
+    val withUrl = df.withColumn("url",
+      if (segments.isEmpty) lit(template) else concat(segments.toSeq: _*))
+    val keepCols = keep.map(col) :+ col("url")
+    val projected = withUrl.select(keepCols: _*)
+    val schema = projected.schema
+    val urlIdx = schema.fieldNames.length - 1
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(StructType(
+        schema.fields :+ StructField("body", StringType)))
+    projected.flatMap { row =>
+      fetch(row.getString(urlIdx)).map(body => Row.fromSeq(row.toSeq :+ body))
+    }
   }
 }

@@ -115,9 +115,11 @@ object Streams {
     */
   def toForeachBatch(df: DataFrame, checkpoint: String,
                      interval: Option[String] = None,
-                     availableNow: Boolean = false)
+                     availableNow: Boolean = false,
+                     outputMode: String = "append")
                     (f: (DataFrame, Long) => Unit) = {
-    val w = df.writeStream.option("checkpointLocation", checkpoint)
+    val w = df.writeStream.outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
       .foreachBatch((batch: DataFrame, id: Long) => f(batch, id))
     val triggered =
       if (availableNow) w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

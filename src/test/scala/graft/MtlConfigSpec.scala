@@ -31,7 +31,7 @@ class MtlConfigSpec extends SparkSpec {
 
   test("MTL parse builds queries, properties, relations; functions apply") {
     val q = program.queries("q")
-    assert(q.captures.map(_.label) == Seq("o", "i"))
+    assert(q.travs.map(_.label) == Seq("o", "i"))
     assert(q.selections.map(_.alias) == Seq("owner", "sku", "qty"))
     assert(q.selections(1).fn.contains("shout"))
     assert(program.properties.size == 2 && program.relations.size == 1)
@@ -49,6 +49,32 @@ class MtlConfigSpec extends SparkSpec {
     val rels = MtlParser.relationTables(doc, program, "q", fns)
     assert(rels.head.as[(String, String, String)].collect().toSet ==
       Set(("alice", "S1", "bought"), ("alice", "S2", "bought")))
+  }
+
+  test("MTL WHERE, compound conditions, and GO UP compile and filter") {
+    val p = MtlParser.parse(
+      """QUERY q IS SELECT i.sku AS sku, o.owner_name AS owner
+        |FROM obj START AT TOP
+        |GO DOWN UNTIL (HAS KEY sku AND NOT HAS KEY owner_name) AS i
+        |GO UP UNTIL HAS KEY owner AS pay
+        |GO DOWN UNTIL HAS KEY owner_name AS o
+        |WHERE i.qty >= 3;""".stripMargin)
+    val rows = MtlParser.run(doc, p, "q")
+    assert(rows.as[(String, String)].collect().toSet == Set(("s2", "alice")))
+  }
+
+  test("MTL COREFER merges entity values via label propagation") {
+    val p = MtlParser.parse(
+      """QUERY q IS SELECT o.owner_name AS owner, i.sku AS sku
+        |FROM obj START AT TOP
+        |GO DOWN UNTIL HAS KEY owner_name AS o
+        |GO DOWN UNTIL HAS KEY sku AS i;
+        |IN QUERY q owner AND sku COREFER;""".stripMargin)
+    assert(p.coreferences == Seq(MtlParser.Coreference("q", "owner", "sku")))
+    val groups = MtlParser.coreferenceGroups(doc, p, "q")
+      .as[(String, String)].collect().toSet
+    // alice—s1 and alice—s2 form one component; canonical = min = "alice"
+    assert(groups == Set(("alice", "alice"), ("s1", "alice"), ("s2", "alice")))
   }
 
   test("ConfigPipeline builds a DAG from JSON with SQL expressions") {

@@ -99,6 +99,22 @@ class PipelineMultimodalSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 2)
   }
 
+  test("httpTemplate fills url placeholders from row fields and constants") {
+    val in = Seq((7L, "us"), (9L, "fr")).toDF("uid", "cc")
+    val got = Sources.httpTemplate(in, "http://h/{v}/u/{uid}?c={cc}",
+        url => Seq(s"ok:$url"), keep = Seq("uid"), constants = Map("v" -> "v1"))
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (7L, "http://h/v1/u/7?c=us", "ok:http://h/v1/u/7?c=us"),
+      (9L, "http://h/v1/u/9?c=fr", "ok:http://h/v1/u/9?c=fr")))
+    // unknown placeholder fails at plan time, not per row
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Sources.httpTemplate(in, "http://h/{nope}", _ => Nil).collect()
+    }
+    // a fetch returning several payloads yields several rows
+    assert(Sources.httpTemplate(in, "u/{uid}", u => Seq(u, u)).count() == 4)
+  }
+
   test("fake media decode is deterministic and frame sampling follows stride") {
     val docs = Seq((0L, "x"), (5L, "y")).toDF("doc_id", "text")
     val media = Multimodal.fakeMedia(spark, docs, "doc_id")

@@ -44,4 +44,44 @@ class TreeWalkSpec extends SparkSpec {
     assert(got.as[(Long, String, Int)].collect().toSet ==
       Set((1L, "a1", 2), (1L, "a2", 5), (2L, "b1", 1)))
   }
+
+  test("walk: GoDown then GoUp anchors output at the ancestor instance") {
+    // down to the item level, up to the payload (which holds note)
+    val got = TreeWalk.walk(nestedDf,
+      Seq(TreeWalk.GoDown(TreeWalk.HasKey("qty"), "item"),
+          TreeWalk.GoUp(TreeWalk.HasKey("note"), "pay")),
+      Seq("item.sku" -> "sku", "pay.note" -> "note"), keep = Seq("id"))
+    assert(got.as[(Long, String, String)].collect().toSet ==
+      Set((1L, "a1", "n1"), (1L, "a2", "n1"), (2L, "b1", "n2")))
+  }
+
+  test("walk: compound conditions and value predicates") {
+    // And + HasAncestorKey resolve at plan time; where filters rows
+    val got = TreeWalk.walk(nestedDf,
+      Seq(TreeWalk.GoDown(TreeWalk.And(TreeWalk.HasKey("qty"),
+          TreeWalk.HasAncestorKey("note")), "item")),
+      Seq("item.sku" -> "sku", "item.qty" -> "qty"), keep = Seq("id"),
+      where = Seq("item.qty" -> (_ >= lit(2))))
+    assert(got.as[(Long, String, Int)].collect().toSet ==
+      Set((1L, "a1", 2), (1L, "a2", 5)))
+    // HasDescendantKey lands on the first enclosing struct, not the leaf
+    val pay = TreeWalk.walk(nestedDf,
+      Seq(TreeWalk.GoDown(TreeWalk.HasDescendantKey("qty"), "pay")),
+      Seq("pay.note" -> "note"), keep = Seq("id"))
+    assert(pay.as[(Long, String)].collect().toSet == Set((1L, "n1"), (2L, "n2")))
+    // Not/Or compose: the only struct with neither owner nor note is the item
+    val items = TreeWalk.walk(nestedDf,
+      Seq(TreeWalk.GoDown(TreeWalk.Not(TreeWalk.Or(TreeWalk.HasKey("owner"),
+          TreeWalk.HasKey("note"))), "x")),
+      Seq("x.sku" -> "sku"), keep = Seq("id"))
+    assert(items.as[(Long, String)].collect().toSet ==
+      Set((1L, "a1"), (1L, "a2"), (2L, "b1")))
+    // a condition no node meets fails loudly at plan time
+    intercept[RuntimeException] {
+      TreeWalk.walk(nestedDf,
+        Seq(TreeWalk.GoDown(TreeWalk.And(TreeWalk.HasKey("owner"),
+            TreeWalk.HasKey("qty")), "x")),
+        Seq("x.sku" -> "sku"))
+    }
+  }
 }
