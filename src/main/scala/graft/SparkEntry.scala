@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.Ops
+import graft.operators.{Ops, Sinks}
 import graft.sources.{Sources, Tables}
 import graft.functions.Text
 import graft.dedup.Dedup
@@ -321,7 +321,9 @@ object SparkEntry {
         expr("ts_ns div 1000").as("ts_us"), col("value"))
       val base = java.nio.file.Files.createTempDirectory("graft_stream_e2e").toString
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
-      ev.repartition(4).write.mode("overwrite").parquet(inDir)
+      // 2 files × maxFilesPerTrigger=1 = two micro-batches: enough to prove
+      // batch-split determinism at half the per-batch overhead of 4
+      ev.repartition(2).write.mode("overwrite").parquet(inDir)
       val stream = graft.streaming.Streams.watchDirectory(s, inDir,
           format = "parquet", schemaDdl = Some(ev.schema.toDDL),
           maxFilesPerTrigger = 1)
@@ -337,6 +339,37 @@ object SparkEntry {
       }
       q.awaitTermination()
       s.read.parquet(outDir)
+    }),
+
+    // ---- sessionization (C4 dynamic windows) ----
+    // gap sessions over events: 10-minute inactivity splits; window-function
+    // (scale) form and flatMapGroupsWithState (stateful) form share one oracle
+    "q_sessionize" -> ((s, dir) =>
+      Ops.sessionize(
+          T(s, dir, "events").select(col("user_id"), expr("ts_ns div 1000").as("ts_us")),
+          Seq("user_id"), "ts_us", gap = 600000000L)
+        .select("user_id", "session_id", "session_start", "session_end", "n_events")),
+    "q_sessionize_state" -> ((s, dir) => {
+      import s.implicits._
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us")).as[(Long, Long)]
+      graft.streaming.Streams.sessionizeState(ev, gap = 600000000L)
+        .toDF("user_id", "session_id", "session_start", "session_end", "n_events")
+    }),
+
+    // ---- JDBC write → partitioned read-back (A8 + D4, embedded Derby) ----
+    // real database round-trip: overwrite-write nation into Derby, then read
+    // it back through the 4-way partitioned JDBC scan; the oracle reads the
+    // original parquet, so any type/value mangling in either direction fails
+    "q_jdbc_roundtrip" -> ((s, dir) => {
+      System.setProperty("derby.stream.error.path", "/tmp/derby.log")
+      val url = "jdbc:derby:memory:graft_rt;create=true"
+      val drv = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+      val n = T(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      Sinks.jdbcWrite(n, url, "nation_rt", drv, mode = "overwrite")
+      Sources.jdbcTable(s, url, "nation_rt",
+        partitionColumn = Some("n_nationkey"), lowerBound = 0L, upperBound = 25L,
+        numPartitions = 4, extra = drv)
     }),
 
     // ---- multimodal plumbing (G12) ----
@@ -559,6 +592,24 @@ object SparkEntry {
        |  ELSE 'fr' END AS lang_pred FROM sc""".stripMargin
   }
 
+  /** Gap sessionization as three window passes — shared by the window-fn
+    * and flatMapGroupsWithState forms (they must agree exactly). A break row
+    * is never timestamp-tied with its predecessor (break needs diff > gap >
+    * 0), so the cumulative-sum session ids are deterministic under ties.
+    */
+  private val sessionizeOracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+      |d AS (SELECT user_id, ts_us,
+      |      CASE WHEN lag(ts_us) OVER w IS NULL
+      |                OR ts_us - lag(ts_us) OVER w > 600000000 THEN 1 ELSE 0 END AS brk
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      |s AS (SELECT user_id, ts_us,
+      |      SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM d)
+      |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+      | MIN(ts_us) AS session_start, MAX(ts_us) AS session_end, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_counter" -> "SELECT r.range AS n FROM range(0, 1000) r",
     "q_sequence" -> "SELECT r.range AS seq_no, unnest(['a', 'b', 'c']) AS value FROM range(0, 2) r",
@@ -728,6 +779,9 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_multimodal" -> multimodalOracle,
+    "q_sessionize" -> sessionizeOracle,
+    "q_sessionize_state" -> sessionizeOracle,
+    "q_jdbc_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_mtl" ->
       """SELECT c_custkey AS cust_key, l_quantity AS qty, c_name AS cust_name
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -316,4 +316,32 @@ object Ops {
     val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
     df.withColumn(out, rank().over(w)).filter(col(out) <= k)
   }
+
+  // -------------------------------------------------------------------
+  // Sessionization (C4 companion: the reference's TimeWindowAccumulator
+  // with DYNAMIC gap windows instead of fixed buckets)
+  // -------------------------------------------------------------------
+
+  /** Gap-based sessionization, batch shape: a new session starts when the
+    * time since the key's previous event exceeds `gap` (same units as
+    * `tsCol`). Output: keys + (session_id, session_start, session_end,
+    * n_events), session_id counting 1.. per key.
+    *
+    * Scale: ONE shuffle on the key; the two window passes and the final
+    * aggregate all reuse that partitioning (no extra exchange — the plan
+    * shows Window → Window → partial/final HashAggregate back-to-back).
+    * Equal timestamps land in one session regardless of intra-key order, so
+    * the result is deterministic without a total order on events.
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String, gap: Long): DataFrame = {
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val prev = lag(col(tsCol), 1).over(byKey)
+    val brk = when(prev.isNull || col(tsCol) - prev > gap, 1L).otherwise(0L)
+    df.withColumn("__brk", brk)
+      .withColumn("session_id",
+        sum(col("__brk")).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy((keys :+ "session_id").map(col): _*)
+      .agg(min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
 }

@@ -61,12 +61,16 @@ object Sinks {
       lit("'}) MERGE (a)-[:"), col("rel"), lit("]->(b);")).as("cypher"))
   }
 
-  /** Generic JDBC writer (reference civis/mysql writer nodes) — option
-    * plumbing only; no database exists in the test environment.
+  /** Generic JDBC writer (reference civis/mysql writer nodes:
+    * `civis_nodes.py` ensure-table/SQL-execute, `node.py` MySQL inserts).
+    * `mode="overwrite"` drops and recreates the table (the reference's
+    * ensure-table-exists + replace flow). Round-trip correctness against an
+    * embedded Derby is oracled by q_jdbc_roundtrip.
     */
   def jdbcWrite(df: DataFrame, url: String, table: String,
-                options: Map[String, String] = Map.empty): Unit =
+                options: Map[String, String] = Map.empty,
+                mode: String = "append"): Unit =
     df.write.format("jdbc")
       .option("url", url).option("dbtable", table)
-      .options(options).mode("append").save()
+      .options(options).mode(mode).save()
 }

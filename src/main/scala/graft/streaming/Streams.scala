@@ -108,6 +108,59 @@ object Streams {
       }
   }
 
+  /** Gap sessionization as keyed custom state (`flatMapGroupsWithState`) —
+    * the reference's per-key accumulator-node shape, and the stateful twin
+    * of `Ops.sessionize` (identical output contract). Input: (key, ts)
+    * pairs; output: (key, session_id, session_start, session_end,
+    * n_events), sessions splitting where consecutive sorted timestamps gap
+    * by more than `gap`.
+    *
+    * On a BATCH Dataset each key's events arrive as one group, so the
+    * operator is exact and order-independent (timestamps sort in-group).
+    * On a stream it emits each batch's closed sessions and carries the
+    * trailing open session provisionally; production streams should pair it
+    * with an event-time timeout to flush. Per-group work is an in-memory
+    * sort of ONE key's timestamps — heavy keys belong on the window-function
+    * form (`Ops.sessionize`), which never materializes a whole key.
+    */
+  def sessionizeState(events: Dataset[(Long, Long)], gap: Long): Dataset[(Long, Long, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (Long, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, values: Iterator[(Long, Long)], state: GroupState[Array[Long]]) =>
+          // state = [trailStart, trailEnd, trailN, closedBefore]: the open
+          // trailing session and how many sessions closed before it.
+          val ts = values.map(_._2).toArray.sorted
+          val (seed, closedBefore) = state.getOption match {
+            case Some(Array(s0, e0, n0, c)) => (Some((s0, e0, n0)), c)
+            case _                          => (None, 0L)
+          }
+          if (ts.isEmpty && seed.isEmpty) Iterator.empty
+          else {
+            // split sorted timestamps into runs with intra-run gaps <= gap,
+            // seeding from the carried trailing session when present
+            val sessions = scala.collection.mutable.Buffer[(Long, Long, Long)]()
+            var (start, end, n) = seed.getOrElse((ts(0), ts(0), 0L))
+            if (seed.isEmpty) n = 1L
+            val rest = if (seed.isEmpty) ts.iterator.drop(1) else ts.iterator
+            rest.foreach { t =>
+              if (t - end > gap) { sessions += ((start, end, n)); start = t; end = t; n = 1L }
+              else { // guards: a late (streaming) event may precede the carried span
+                if (t > end) end = t
+                if (t < start) start = t
+                n += 1L
+              }
+            }
+            sessions += ((start, end, n))
+            state.update(Array(start, end, n, closedBefore + sessions.size - 1L))
+            sessions.iterator.zipWithIndex.map { case ((s0, e0, n0), i) =>
+              (key, closedBefore + i + 1L, s0, e0, n0)
+            }
+          }
+      }
+  }
+
   /** Run a micro-batch sink function (reference batch markers → foreachBatch
     * boundaries; the batch id IS the marker). `interval` selects the trigger:
     * None = as-fast-as-possible, Some("10 seconds") = processing-time,

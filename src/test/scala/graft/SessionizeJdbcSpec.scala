@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ops, Sinks}
+import graft.sources.Sources
+import graft.streaming.Streams
+
+/** Gap sessionization (window-fn and stateful forms must agree) and the
+  * embedded-Derby JDBC write → partitioned read-back round trip.
+  */
+class SessionizeJdbcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessionize splits on gaps and counts events per session") {
+    val df = Seq(
+      (1L, 0L), (1L, 50L), (1L, 60L),   // session 1: 3 events, [0, 60]
+      (1L, 200L),                        // session 2 (gap 140 > 100)
+      (2L, 10L), (2L, 111L)              // user 2: two single-event sessions
+    ).toDF("user_id", "ts_us")
+    val got = Ops.sessionize(df, Seq("user_id"), "ts_us", gap = 100L)
+      .select("user_id", "session_id", "session_start", "session_end", "n_events")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 0L, 60L, 3L), (1L, 2L, 200L, 200L, 1L),
+      (2L, 1L, 10L, 10L, 1L), (2L, 2L, 111L, 111L, 1L)))
+  }
+
+  test("sessionizeState (flatMapGroupsWithState) equals the window-fn form on batch") {
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+    val viaWindow = Ops.sessionize(ev, Seq("user_id"), "ts_us", gap = 600000000L)
+      .select("user_id", "session_id", "session_start", "session_end", "n_events")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val viaState = Streams.sessionizeState(
+        ev.as[(Long, Long)], gap = 600000000L).collect().toSet
+    assert(viaState == viaWindow && viaState.nonEmpty)
+  }
+
+  test("jdbc write then partitioned read-back round-trips values and types") {
+    System.setProperty("derby.stream.error.path", "/tmp/derby.log")
+    val url = "jdbc:derby:memory:graft_spec;create=true"
+    val drv = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    Sinks.jdbcWrite(nation, url, "nation_rt", drv, mode = "overwrite")
+    val back = Sources.jdbcTable(spark, url, "nation_rt",
+      partitionColumn = Some("n_nationkey"), lowerBound = 0L, upperBound = 25L,
+      numPartitions = 4, extra = drv)
+    assert(back.rdd.getNumPartitions == 4) // the read really is partitioned
+    assert(back.schema("n_nationkey").dataType == nation.schema("n_nationkey").dataType)
+    val want = nation.as[(Int, String, Int)].collect().toSet
+    val got = back.as[(Int, String, Int)].collect().toSet
+    assert(got == want)
+    // overwrite replaces, append duplicates
+    Sinks.jdbcWrite(nation, url, "nation_rt", drv, mode = "append")
+    assert(Sources.jdbcTable(spark, url, "nation_rt", extra = drv).count() == 2 * want.size)
+    Sinks.jdbcWrite(nation, url, "nation_rt", drv, mode = "overwrite")
+    assert(Sources.jdbcTable(spark, url, "nation_rt", extra = drv).count() == want.size)
+  }
+}
