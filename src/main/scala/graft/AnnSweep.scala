@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Ann
+
+/** Recall/latency sweep for the ANN paths (SURVEY G6/G7): measures each
+  * approximate configuration against brute-force ground truth on the same
+  * query set, printing one markdown row per config. Results are recorded in
+  * `plans/ANN.md` — claims about the recall/latency trade-off live as
+  * numbers in the repo, not prose.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.AnnSweep
+  */
+object AnnSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.tune(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+
+    val k = 10
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 500)
+    val nCorpus = emb.count(); val nQ = queries.count()
+
+    def timed(df: DataFrame): (DataFrame, Double) = {
+      val t0 = System.nanoTime()
+      val out = df.select("query_id", "neighbor_id").cache()
+      out.count()
+      (out, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ground truth (also the warmup for the shared scan)
+    val (truth, tBrute) = timed(Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", k))
+    val denom = (nQ * k).toDouble
+
+    def recall(approx: DataFrame): Double =
+      approx.join(truth, Seq("query_id", "neighbor_id")).count() / denom
+
+    println(s"corpus=$nCorpus queries=$nQ k=$k sf=$sfDir cpus=$cpus")
+    println("| config | recall@10 | seconds | vs brute |")
+    println("|---|---|---|---|")
+    println(f"| brute force | 1.000 | $tBrute%.2f | 1.00x |")
+    for (nprobe <- Seq(1, 2, 4, 8, 16, 32, 64)) {
+      val (res, t) = timed(Ann.ivfTopK(queries, emb, "vec_id", "embedding", k,
+        nlist = 64, nprobe = nprobe))
+      println(f"| IVF nlist=64 nprobe=$nprobe%-2d | ${recall(res)}%.3f | $t%.2f | ${t / tBrute}%.2fx |")
+      res.unpersist()
+    }
+    for ((planes, bands) <- Seq((8, 2), (16, 4), (16, 8), (24, 8))) {
+      val (res, t) = timed(Ann.lshTopK(queries, emb, "vec_id", "embedding", k,
+        dim = 64, numPlanes = planes, bands = bands))
+      println(f"| LSH planes=$planes%-2d bands=$bands%-2d | ${recall(res)}%.3f | $t%.2f | ${t / tBrute}%.2fx |")
+      res.unpersist()
+    }
+    spark.stop()
+  }
+}
