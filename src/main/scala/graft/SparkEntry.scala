@@ -442,6 +442,20 @@ object SparkEntry {
         .select(col("l_returnflag"), col("sq").cast(DoubleType).as("sum_qty"),
           col("n_rows"), col("min_qty"), col("max_qty"))),
 
+    // ---- training-data assembly (G13/G14) ----
+    // sequence packing: contiguous token-budget bins per language (one
+    // shuffle; see Ops.packByBudget for the global-order caveat)
+    "q_pack" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"),
+        size(Text.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      Ops.packByBudget(docs, Seq("lang"), Seq("doc_id"), "n_tokens", 1000L)
+        .select("doc_id", "lang", "n_tokens", "bin_id")
+    }),
+    // reproducible 90/10 train-val split: md5-derived bucket, no RNG state
+    "q_split" -> ((s, dir) =>
+      Ops.hashSplit(T(s, dir, "documents"), "doc_id", 90)
+        .select("doc_id", "lang", "split")),
+
     // ---- text analysis (G8-G11) ----
     "q_langid" -> ((s, dir) =>
       T(s, dir, "documents").select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
@@ -823,6 +837,18 @@ object SparkEntry {
 
     "q_ann" -> annOracle,
     "q_ann_ivf" -> annOracle, // exhaustive IVF ≡ brute force
+
+    "q_pack" ->
+      s"""WITH t AS (SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT doc_id, lang, n_tokens,
+         | CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000 AS BIGINT) AS bin_id
+         |FROM t""".stripMargin,
+    "q_split" ->
+      """SELECT doc_id, lang,
+        | CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+        |      THEN 'train' ELSE 'val' END AS split
+        |FROM documents""".stripMargin,
 
     "q_langid" -> langidOracle,
     "q_quality" ->

@@ -216,6 +216,45 @@ object Ops {
     df.withColumn(out, mid - pmod(off, lit(n.toLong)))
   }
 
+  /** Sequence packing for training batches: assign each row wholly to a
+    * contiguous token-budget bin — bin id = exclusive-prefix-sum of
+    * `weightCol` (in `orderCols` order, within `keys`) integer-divided by
+    * `budget`. The standard contiguous-fill packing LLM data pipelines use
+    * to build fixed-token-count training sequences; a bin may overshoot by
+    * at most one document (greedy reset packing is inherently sequential
+    * and not worth a non-relational operator).
+    *
+    * With non-empty `keys` the window partitions by them — one shuffle,
+    * parallel across keys, the 100 TB shape (pack per language/shard/
+    * source, which is what training mixers want anyway). Empty `keys` =
+    * one global sequence = single-partition window: oracle/debug only,
+    * same caveat as [[batchRows]].
+    */
+  def packByBudget(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                   weightCol: String, budget: Long,
+                   out: String = "bin_id"): DataFrame = {
+    val base = if (keys.isEmpty) Window.orderBy(orderCols.map(col): _*)
+               else Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(col): _*)
+    val prior = sum(col(weightCol))
+      .over(base.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn(out, (coalesce(prior, lit(0L)).cast(LongType) / budget)
+      .cast(LongType))
+  }
+
+  /** Deterministic train/val split (B8 companion): bucket = the md5 of the
+    * id's 60-bit prefix mod 100, split = "train" below `trainPct` else
+    * "val". Pure codegen projection, no shuffle; the SAME rows land in the
+    * same split on every engine and every run (no RNG state), which is what
+    * a reproducible training pipeline needs from its holdout.
+    */
+  def hashSplit(df: DataFrame, idCol: String, trainPct: Int,
+                out: String = "split"): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100, s"trainPct out of range: $trainPct")
+    val bucket = conv(substring(md5(col(idCol).cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType) % 100
+    df.withColumn(out, when(bucket < trainPct, "train").otherwise("val"))
+  }
+
   /** Tumbling/sliding time-window aggregation (reference
     * `TimeWindowAccumulator`, node.py:1453). Batch flavor; streaming variant
     * in `graft.streaming.Streams` adds the watermark.

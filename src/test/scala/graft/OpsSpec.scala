@@ -145,4 +145,26 @@ class OpsSpec extends SparkSpec {
     val got = df.agg(Ops.moneySum(col("v"))).as[Double].head()
     assert(got == 100.0) // double summation would give 99.9999...
   }
+
+  test("packByBudget fills contiguous bins by exclusive prefix sum") {
+    val df = Seq(("a", 1L, 400L), ("a", 2L, 400L), ("a", 3L, 400L),
+      ("a", 4L, 900L), ("b", 1L, 50L)).toDF("k", "ord", "w")
+    val got = Ops.packByBudget(df, Seq("k"), Seq("ord"), "w", 1000L)
+      .select("k", "ord", "bin_id").as[(String, Long, Long)].collect().toSet
+    // a: prior sums 0, 400, 800, 1200 → bins 0, 0, 0, 1; b restarts at 0
+    assert(got == Set(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 0L),
+      ("a", 4L, 1L), ("b", 1L, 0L)))
+  }
+
+  test("hashSplit is deterministic and near the requested fraction") {
+    val df = spark.range(0, 2000).toDF("id")
+    val splits = Ops.hashSplit(df, "id", 90).groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(splits.keySet == Set("train", "val"))
+    assert(splits("train") > 1700 && splits("train") < 1900) // ~90% of 2000
+    // same rows land in the same split on a re-run (no RNG state)
+    val again = Ops.hashSplit(df, "id", 90).groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(again == splits)
+  }
 }

@@ -124,4 +124,29 @@ class StreamsSpec extends SparkSpec {
       assert(got == Set("hello", "world"))
     } finally q.stop()
   }
+
+  test("sessionizeState extends the trailing session across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val sess = Streams.sessionizeState(mem.toDS(), gap = 100L)
+      .toDF("user_id", "session_id", "session_start", "session_end", "n_events")
+    val q = sess.writeStream.format("memory").queryName("sess_state")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, 0L), (1L, 50L))
+      q.processAllAvailable()
+      val b1 = spark.table("sess_state")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(b1 == Set((1L, 1L, 0L, 50L, 2L))) // provisional trailing session
+      mem.addData((1L, 60L), (1L, 300L))
+      q.processAllAvailable()
+      val all = spark.table("sess_state")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      // batch 2 re-emits session 1 EXTENDED (60 merges into it) and opens
+      // session 2 at 300 (gap 240 > 100); the batch-1 row stays in the
+      // append sink — readers take the latest emission per (key, session)
+      assert(all == Set(
+        (1L, 1L, 0L, 50L, 2L), (1L, 1L, 0L, 60L, 3L), (1L, 2L, 300L, 300L, 1L)))
+    } finally q.stop()
+  }
 }
