@@ -298,6 +298,17 @@ object SparkEntry {
            |           "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price"]}
            |]}""".stripMargin).output("agg")),
 
+    // config-built LLM-data pipeline: split → filter train → exact dedup,
+    // entirely from JSON (E4 reaching the G ops)
+    "q_config_llm" -> ((s, dir) =>
+      graft.pipeline.ConfigPipeline.fromJson(s,
+        s"""{"stages": [
+           | {"name": "docs", "op": "table", "dir": "$dir", "table": "documents"},
+           | {"name": "sp", "op": "split", "from": "docs", "id": "doc_id", "trainPct": 90},
+           | {"name": "train", "op": "filter", "from": "sp", "expr": "split = 'train'"},
+           | {"name": "dd", "op": "dedup_exact", "from": "train", "id": "doc_id", "text": "text"}
+           |]}""".stripMargin).output("dd")),
+
     // ---- bucketed interval join (C5 scale path; same oracle as q_join_window) ----
     "q_join_window_bucketed" -> ((s, dir) => {
       val ev = T(s, dir, "events")
@@ -821,6 +832,11 @@ object SparkEntry {
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority""".stripMargin,
+    "q_config_llm" ->
+      """WITH train AS (SELECT * FROM documents
+        |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90)
+        |SELECT md5(text) AS hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM train GROUP BY md5(text)""".stripMargin,
     "q_join_window_bucketed" ->
       """SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id AS user_id,
         | epoch_us(e.ts) - epoch_us(p.ts) AS dt_us

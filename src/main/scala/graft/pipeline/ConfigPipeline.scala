@@ -21,6 +21,11 @@ import graft.sources.Tables
   * Ops: `table` (dir/table), `parquet` (path), `filter` (expr), `select`
   * (exprs), `withColumn` (name/expr), `agg` (keys/aggs), `union` (from[]),
   * `join` (from[2], on, how), `limit` (n), `distinct`, `sample` (key/mod).
+  *
+  * Training-pipeline ops (SURVEY §2.G from config, so a config-driven user
+  * reaches the whole library): `dedup_exact` (id/text), `sessionize`
+  * (keys/ts/gap), `pack` (keys/order/weight/budget), `split` (id/trainPct),
+  * `langid`/`fingerprint` (id/text).
   */
 object ConfigPipeline {
 
@@ -65,6 +70,24 @@ object ConfigPipeline {
       case "sample" =>
         p.stage(name, from)(graft.operators.Ops.modSample(_, s.get("key").asText(),
           s.get("mod").asInt()))
+      case "dedup_exact" =>
+        p.stage(name, from)(graft.dedup.Dedup.exact(_, s.get("id").asText(),
+          s.get("text").asText()))
+      case "sessionize" =>
+        p.stage(name, from)(graft.operators.Ops.sessionize(_, strs(s.get("keys")),
+          s.get("ts").asText(), s.get("gap").asLong()))
+      case "pack" =>
+        p.stage(name, from)(graft.operators.Ops.packByBudget(_, strs(s.get("keys")),
+          strs(s.get("order")), s.get("weight").asText(), s.get("budget").asLong()))
+      case "split" =>
+        p.stage(name, from)(graft.operators.Ops.hashSplit(_, s.get("id").asText(),
+          s.get("trainPct").asInt()))
+      case "langid" =>
+        p.stage(name, from)(d => d.select(col(s.get("id").asText()),
+          graft.functions.Text.langId(col(s.get("text").asText())).as("lang_pred")))
+      case "fingerprint" =>
+        p.stage(name, from)(d => d.select(col(s.get("id").asText()),
+          graft.functions.Text.fingerprint(col(s.get("text").asText())).as("fp")))
       case other => sys.error(s"unknown op '$other' in stage '$name'")
     }
   }

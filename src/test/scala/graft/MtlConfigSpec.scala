@@ -117,4 +117,28 @@ class MtlConfigSpec extends SparkSpec {
       assert(snap("records_read") > 0)
     } finally m.detach()
   }
+
+  test("ConfigPipeline reaches the training-pipeline ops (pack, split, sessionize)") {
+    import spark.implicits._
+    val out = graft.pipeline.ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "docs", "op": "table", "dir": "$sfDir", "table": "documents"},
+         | {"name": "toks", "op": "withColumn", "from": "docs",
+         |  "col": "n_tokens", "expr": "CAST(size(split(text, ' ')) AS BIGINT)"},
+         | {"name": "packed", "op": "pack", "from": "toks", "keys": ["lang"],
+         |  "order": ["doc_id"], "weight": "n_tokens", "budget": 500},
+         | {"name": "sp", "op": "split", "from": "packed", "id": "doc_id", "trainPct": 80}
+         |]}""".stripMargin).output("sp")
+    assert(out.columns.contains("bin_id") && out.columns.contains("split"))
+    assert(out.select("split").distinct().as[String].collect().toSet == Set("train", "val"))
+    val sess = graft.pipeline.ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "ev", "op": "table", "dir": "$sfDir", "table": "events"},
+         | {"name": "us", "op": "withColumn", "from": "ev",
+         |  "col": "ts_us", "expr": "ts_ns div 1000"},
+         | {"name": "sess", "op": "sessionize", "from": "us", "keys": ["user_id"],
+         |  "ts": "ts_us", "gap": 600000000}
+         |]}""".stripMargin).output("sess")
+    assert(sess.count() > 0 && sess.columns.contains("session_start"))
+  }
 }
