@@ -277,8 +277,11 @@ object MtlParser {
     * undirected edges from each asserted alias pair, then `rounds` of
     * min-label propagation — 2 rounds reach fixpoint for the pairwise
     * star/path components coreference assertions produce; raise `rounds`
-    * for longer chains (each round is one join + one aggregate; at scale,
-    * checkpoint between rounds to cut plan re-evaluation).
+    * for longer chains. The edge list is persisted before propagation: the
+    * final plan references it `rounds`+1 times, and without the persist
+    * each reference would re-run the whole document pipeline upstream of
+    * it (for very long chains also checkpoint `lbl` between rounds to keep
+    * the lineage short).
     *
     * Output: (member, canonical) — every coreferring value mapped to the
     * lexicographic minimum of its component.
@@ -296,6 +299,8 @@ object MtlParser {
       .filter(col("a").isNotNull && col("b").isNotNull)
       .distinct()
     val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count() // materialize once; every LP round reads the cache
     var lbl = und.select(col("a").as("id")).distinct().withColumn("lbl", col("id"))
     for (_ <- 0 until rounds) {
       val nb = und.join(lbl.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
