@@ -466,6 +466,14 @@ object SparkEntry {
     "q_split" -> ((s, dir) =>
       Ops.hashSplit(T(s, dir, "documents"), "doc_id", 90)
         .select("doc_id", "lang", "split")),
+    // per-language token-count quartiles (exact interpolated percentile;
+    // the quality-threshold primitive)
+    "q_quantiles" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("lang"),
+        size(Text.tokens(col("text"))).cast(DoubleType).as("nt"))
+      Ops.percentiles(d, Seq("lang"), "nt",
+        Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"))
+    }),
 
     // ---- text analysis (G8-G11) ----
     "q_langid" -> ((s, dir) =>
@@ -860,6 +868,11 @@ object SparkEntry {
          | CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000 AS BIGINT) AS bin_id
          |FROM t""".stripMargin,
+    "q_quantiles" ->
+      s"""WITH t AS (SELECT lang, CAST(len($toksSql) AS DOUBLE) AS nt FROM documents)
+         |SELECT lang, quantile_cont(nt, 0.25) AS p25, quantile_cont(nt, 0.5) AS p50,
+         | quantile_cont(nt, 0.75) AS p75
+         |FROM t GROUP BY lang""".stripMargin,
     "q_split" ->
       """SELECT doc_id, lang,
         | CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90

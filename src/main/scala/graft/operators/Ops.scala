@@ -241,6 +241,20 @@ object Ops {
       .cast(LongType))
   }
 
+  /** Exact per-group percentiles (quality-threshold computation: "keep docs
+    * above the per-language p25 quality score"). Spark's `percentile` is
+    * the exact linear-interpolated quantile — one partial-agg pass, same
+    * shuffle shape as any group-by. For 100 TB prefer `percentile_approx`
+    * (t-digest, bounded memory) unless thresholds feed an oracle; quarter
+    * fractions over integer-valued doubles interpolate FP-exactly, which is
+    * what makes the cross-engine oracle possible.
+    */
+  def percentiles(df: DataFrame, keys: Seq[String], valueCol: String,
+                  ps: Seq[(Double, String)]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(percentile(col(valueCol), lit(ps.head._1)).as(ps.head._2),
+        ps.tail.map { case (p, n) => percentile(col(valueCol), lit(p)).as(n) }: _*)
+
   /** Deterministic train/val split (B8 companion): bucket = the md5 of the
     * id's 60-bit prefix mod 100, split = "train" below `trainPct` else
     * "val". Pure codegen projection, no shuffle; the SAME rows land in the

@@ -156,6 +156,14 @@ class OpsSpec extends SparkSpec {
       ("a", 4L, 1L), ("b", 1L, 0L)))
   }
 
+  test("percentiles computes exact interpolated quantiles per group") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 10.0))
+      .toDF("k", "v")
+    val got = Ops.percentiles(df, Seq("k"), "v", Seq(0.5 -> "p50", 0.75 -> "p75"))
+      .as[(String, Double, Double)].collect().toSet
+    assert(got == Set(("a", 2.5, 3.25), ("b", 10.0, 10.0)))
+  }
+
   test("hashSplit is deterministic and near the requested fraction") {
     val df = spark.range(0, 2000).toDF("id")
     val splits = Ops.hashSplit(df, "id", 90).groupBy("split").count()
