@@ -383,6 +383,20 @@ object SparkEntry {
         numPartitions = 4, extra = drv)
     }),
 
+    // ---- file-format round trips (A1/A2): write → read back → oracle vs
+    // the source parquet, so header/quoting/type-inference mangling fails ----
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/nation"
+      T(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+        .coalesce(1).write.option("header", "true").mode("overwrite").csv(out)
+      Sources.csv(s, out)
+    }),
+    "q_text_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_text").toString + "/docs"
+      T(s, dir, "documents").select("text").write.mode("overwrite").text(out)
+      Sources.textLines(s, out)
+    }),
+
     // ---- multimodal plumbing (G12) ----
     "q_multimodal" -> ((s, dir) => {
       val media = Multimodal.fakeMedia(s, T(s, dir, "documents"), "doc_id")
@@ -812,6 +826,8 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_multimodal" -> multimodalOracle,
+    "q_csv_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_text_roundtrip" -> "SELECT text AS value FROM documents",
     "q_sessionize" -> sessionizeOracle,
     "q_sessionize_state" -> sessionizeOracle,
     "q_jdbc_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
