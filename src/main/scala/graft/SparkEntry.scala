@@ -383,6 +383,26 @@ object SparkEntry {
         numPartitions = 4, extra = drv)
     }),
 
+    // ---- sink round trips (D3/D4): record → read back → oracle ----
+    "q_recorder_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_rec").toString + "/rec"
+      Sinks.recorder(T(s, dir, "nation"), out)
+      s.read.parquet(out)
+    }),
+    // graph export: entity+edge parquet layout; edges read back must equal
+    // the relation extraction they came from (q_relations' oracle)
+    "q_graph_roundtrip" -> ((s, dir) => {
+      val doc = orderDoc(s, dir)
+      val cust = TreeWalk.Capture("c_name", "cust")
+      val item = TreeWalk.Capture("l_quantity", "item")
+      val out = java.nio.file.Files.createTempDirectory("graft_graph").toString
+      Sinks.graphExport(
+        Map("cust" -> TreeWalk.entities(doc, cust, "c_custkey")),
+        Map("ordered" -> TreeWalk.relations(doc, cust, "c_custkey", item, "l_partkey", "ORDERED")),
+        out)
+      s.read.parquet(s"$out/edges_ordered")
+    }),
+
     // ---- file-format round trips (A1/A2): write → read back → oracle vs
     // the source parquet, so header/quoting/type-inference mangling fails ----
     "q_csv_roundtrip" -> ((s, dir) => {
@@ -827,6 +847,11 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_multimodal" -> multimodalOracle,
     "q_csv_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_recorder_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_graph_roundtrip" ->
+      """SELECT DISTINCT c_custkey AS src_id, l_partkey AS dst_id, 'ORDERED' AS rel
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
     "q_text_roundtrip" -> "SELECT text AS value FROM documents",
     "q_sessionize" -> sessionizeOracle,
     "q_sessionize_state" -> sessionizeOracle,
