@@ -508,6 +508,16 @@ object SparkEntry {
       Ops.percentiles(d, Seq("lang"), "nt",
         Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"))
     }),
+    // threshold filtering: keep docs above their language's p25 token count —
+    // the thresholds table is group-count sized, so it BROADCASTS and the
+    // filter costs one map-side join, no extra shuffle of the corpus
+    "q_quality_filter" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), col("lang"),
+        size(Text.tokens(col("text"))).cast(DoubleType).as("nt"))
+      val th = Ops.percentiles(d, Seq("lang"), "nt", Seq(0.25 -> "p25"))
+      d.join(broadcast(th), "lang")
+        .filter(col("nt") > col("p25")).select("doc_id", "lang")
+    }),
 
     // ---- text analysis (G8-G11) ----
     "q_langid" -> ((s, dir) =>
@@ -914,6 +924,10 @@ object SparkEntry {
          |SELECT lang, quantile_cont(nt, 0.25) AS p25, quantile_cont(nt, 0.5) AS p50,
          | quantile_cont(nt, 0.75) AS p75
          |FROM t GROUP BY lang""".stripMargin,
+    "q_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, lang, CAST(len($toksSql) AS DOUBLE) AS nt FROM documents),
+         |th AS (SELECT lang, quantile_cont(nt, 0.25) AS p25 FROM t GROUP BY lang)
+         |SELECT doc_id, t.lang FROM t JOIN th ON t.lang = th.lang WHERE nt > p25""".stripMargin,
     "q_split" ->
       """SELECT doc_id, lang,
         | CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
