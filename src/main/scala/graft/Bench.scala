@@ -29,15 +29,25 @@ object Bench {
       n("n_regionkey") === r("r_regionkey")).groupBy("r_name").count().collect()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // A failed query must be LOUD: stderr + a "failed" list in the JSON —
-      // a silent -1 timing would make the bench line lie about coverage.
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          false
+      // Two timed runs, report the better: a single pass makes one query
+      // per run eat a multi-second major-GC/JIT pause at random (observed
+      // 2-4x outliers that move between queries run-to-run); min-of-2
+      // measures the query, not the pause lottery.
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        // A failed query must be LOUD: stderr + a "failed" list in the JSON —
+        // a silent -1 timing would make the bench line lie about coverage.
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+        }
+        // isolate queries: internal persists (coreference edge list, …) must
+        // not eat heap from — and skew timings of — later queries
+        spark.catalog.clearCache()
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      (name, times.map(_._1).min, times.forall(_._2))
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
