@@ -383,6 +383,25 @@ object SparkEntry {
         numPartitions = 4, extra = drv)
     }),
 
+    // JDBC SQL-pushdown source: the WHERE/aggregate runs inside Derby and
+    // only the result set reaches Spark (Civis SQLExecute/FindValue shape)
+    "q_jdbc_query" -> ((s, dir) => {
+      System.setProperty("derby.stream.error.path", "/tmp/derby.log")
+      val url = "jdbc:derby:memory:graft_q;create=true"
+      val drv = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+      val o = T(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      Sinks.jdbcWrite(o, url, "orders_q", drv, mode = "overwrite")
+      // identifiers quoted: Spark writes Derby columns case-preserved, and
+      // unquoted references would uppercase and miss them
+      Sources.jdbcQuery(s, url,
+        """SELECT "o_custkey", COUNT(*) AS n_big, MAX("o_totalprice") AS max_price
+          |FROM orders_q WHERE "o_totalprice" > 200000.0 GROUP BY "o_custkey"""".stripMargin,
+        extra = drv)
+        .select(col("o_custkey").as("o_custkey"),
+          col("n_big").cast(LongType).as("n_big"),
+          col("max_price").as("max_price"))
+    }),
+
     // ---- sink round trips (D3/D4): record → read back → oracle ----
     "q_recorder_roundtrip" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_rec").toString + "/rec"
@@ -858,6 +877,9 @@ object SparkEntry {
     "q_multimodal" -> multimodalOracle,
     "q_csv_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_recorder_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_jdbc_query" ->
+      """SELECT o_custkey, COUNT(*) AS n_big, MAX(o_totalprice) AS max_price
+        |FROM orders WHERE o_totalprice > 200000.0 GROUP BY o_custkey""".stripMargin,
     "q_graph_roundtrip" ->
       """SELECT DISTINCT c_custkey AS src_id, l_partkey AS dst_id, 'ORDERED' AS rel
         |FROM orders JOIN customer ON o_custkey = c_custkey

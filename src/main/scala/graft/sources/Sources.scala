@@ -105,6 +105,18 @@ object Sources {
         numPartitions, extra))
       .load()
 
+  /** Push an arbitrary SQL query to the database and read the result
+    * (reference `civis_nodes.py` CivisSQLExecute / FindValue: run SQL
+    * remotely, stream the rows back). The query executes INSIDE the
+    * database — Spark scans only the result set, so a selective WHERE
+    * never crosses the wire.
+    */
+  def jdbcQuery(spark: SparkSession, url: String, sql: String,
+                extra: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("query", sql)
+      .options(extra).load()
+
   /** Paginated GET source (reference `network_nodes.py:172,244`
     * `PaginatedHttpGetRequest`): plan the page space up front, fetch pages
     * DISTRIBUTED via a pluggable (serializable) fetch function — each
