@@ -287,6 +287,28 @@ object SparkEntry {
       graft.json.MtlParser.coreferenceGroups(orderDoc(s, dir), program, "orderq")
     }),
 
+    // compound-name entities: identity = content hash of ordered components
+    // (deterministic replacement for the reference's per-row uuid4)
+    "q_compound_entity" -> ((s, dir) => {
+      val rows = TreeWalk.extract(orderDoc(s, dir),
+        Seq(TreeWalk.Capture("c_name", "cust")),
+        Seq("cust.c_custkey" -> "cust_key", "cust.c_name" -> "cust_name"))
+      graft.json.MtlParser.compoundEntities(rows, Seq("cust_key", "cust_name"))
+    }),
+    // canonicalized knowledge base: relation edges with coreference
+    // canonical ids substituted at both endpoints (broadcast rewrites)
+    "q_kb_canonical" -> ((s, dir) => {
+      val program = graft.json.MtlParser.parse(
+        """QUERY orderq IS SELECT cust.c_custkey AS cust_key,
+          |cust.c_name AS cust_name, item.l_partkey AS part_key
+          |FROM obj START AT TOP
+          |GO DOWN UNTIL HAS KEY c_name AS cust
+          |GO DOWN UNTIL HAS KEY l_quantity AS item;
+          |IN QUERY orderq cust NAMED BY cust_key IS RELATED TO part NAMED BY part_key AS ordered;
+          |IN QUERY orderq cust_key AND cust_name COREFER;""".stripMargin)
+      graft.json.MtlParser.knowledgeBase(orderDoc(s, dir), program, "orderq")
+    }),
+
     // ---- config-built pipeline (E4) ----
     "q_config" -> ((s, dir) =>
       graft.pipeline.ConfigPipeline.fromJson(s,
@@ -909,6 +931,29 @@ object SparkEntry {
         |n2 AS (SELECT u.a, MIN(l.lbl) AS mn FROM und u JOIN l1 l ON l.id = u.b GROUP BY u.a),
         |l2 AS (SELECT l1.id, least(l1.lbl, n2.mn) AS lbl FROM l1 JOIN n2 ON n2.a = l1.id)
         |SELECT id AS member, lbl AS canonical FROM l2""".stripMargin,
+    "q_compound_entity" ->
+      """SELECT DISTINCT md5(CAST(c_custkey AS VARCHAR) || '|' || c_name) AS entity_id,
+        | c_custkey AS cust_key, c_name AS cust_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    // coreference LP (as in q_coreference) + canonical substitution on both
+    // edge endpoints; values outside any component pass through
+    "q_kb_canonical" ->
+      """WITH q AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS a, c_name AS b
+        |           FROM orders JOIN customer ON o_custkey = c_custkey),
+        |und AS (SELECT a, b FROM q UNION SELECT b AS a, a AS b FROM q),
+        |l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM und),
+        |n1 AS (SELECT u.a, MIN(l.lbl) AS mn FROM und u JOIN l0 l ON l.id = u.b GROUP BY u.a),
+        |l1 AS (SELECT l0.id, least(l0.lbl, n1.mn) AS lbl FROM l0 JOIN n1 ON n1.a = l0.id),
+        |n2 AS (SELECT u.a, MIN(l.lbl) AS mn FROM und u JOIN l1 l ON l.id = u.b GROUP BY u.a),
+        |l2 AS (SELECT l1.id, least(l1.lbl, n2.mn) AS lbl FROM l1 JOIN n2 ON n2.a = l1.id),
+        |edges AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS src_id,
+        |          CAST(l_partkey AS VARCHAR) AS dst_id, 'ordered' AS rel
+        |          FROM orders JOIN customer ON o_custkey = c_custkey
+        |           JOIN lineitem ON l_orderkey = o_orderkey)
+        |SELECT DISTINCT COALESCE(s.lbl, e.src_id) AS src_id,
+        | COALESCE(d.lbl, e.dst_id) AS dst_id, e.rel
+        |FROM edges e LEFT JOIN l2 s ON s.id = e.src_id
+        | LEFT JOIN l2 d ON d.id = e.dst_id""".stripMargin,
     "q_config" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

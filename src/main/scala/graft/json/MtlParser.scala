@@ -286,6 +286,49 @@ object MtlParser {
     * Output: (member, canonical) — every coreferring value mapped to the
     * lexicographic minimum of its component.
     */
+  /** Compound-name entities (reference `nft_nodes.py:580`
+    * `CompoundNameAssertion`: "the unit of analysis for a row is more than
+    * one column"). Entity identity = md5 of the ordered component values —
+    * the reference mints a `uuid4` per row (nft_nodes.py:655), which is
+    * non-deterministic and single-process; a content hash is the
+    * distributed equivalent: the same components yield the same entity on
+    * every executor, every run, and every engine (so it oracles).
+    * Output: (entity_id, components...) distinct.
+    */
+  def compoundEntities(rows: DataFrame, components: Seq[String],
+                       out: String = "entity_id"): DataFrame =
+    rows.select(
+      md5(concat_ws("|", components.map(c => col(c).cast(StringType)): _*)).as(out)
+        +: components.map(col): _*).distinct()
+
+  /** Canonicalized knowledge base (the end product of the reference's
+    * Datalog layer: assertions over many rows merge into one graph). Runs
+    * the program's relation assertions, then rewrites BOTH endpoints of
+    * every edge through the coreference canonical mapping (values outside
+    * any coreference component pass through). Output: distinct
+    * (src_id, dst_id, rel) over canonical ids — what a graph loader should
+    * ingest after entity resolution.
+    *
+    * The canonical map is group-count sized (distinct coreferring values),
+    * so both endpoint rewrites are BROADCAST joins — the edge set itself
+    * never shuffles for the rewrite.
+    */
+  def knowledgeBase(df: DataFrame, program: Program, queryName: String,
+                    functions: Map[String, Column => Column] = Map.empty,
+                    rounds: Int = 2): DataFrame = {
+    val canon = coreferenceGroups(df, program, queryName, functions, rounds)
+    val edges = relationTables(df, program, queryName, functions)
+      .reduce(_ unionByName _)
+      .select(col("src_id").cast(StringType).as("src_id"),
+        col("dst_id").cast(StringType).as("dst_id"), col("rel"))
+    val cSrc = broadcast(canon.select(col("member").as("src_id"), col("canonical").as("__cs")))
+    val cDst = broadcast(canon.select(col("member").as("dst_id"), col("canonical").as("__cd")))
+    edges.join(cSrc, Seq("src_id"), "left").join(cDst, Seq("dst_id"), "left")
+      .select(coalesce(col("__cs"), col("src_id")).as("src_id"),
+        coalesce(col("__cd"), col("dst_id")).as("dst_id"), col("rel"))
+      .distinct()
+  }
+
   def coreferenceGroups(df: DataFrame, program: Program, queryName: String,
                         functions: Map[String, Column => Column] = Map.empty,
                         rounds: Int = 2): DataFrame = {

@@ -118,6 +118,17 @@ class MtlConfigSpec extends SparkSpec {
     } finally m.detach()
   }
 
+  test("compoundEntities derives stable content-hash identities") {
+    import spark.implicits._
+    val rows = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "n")
+    val ents = graft.json.MtlParser.compoundEntities(rows, Seq("k", "n"))
+    assert(ents.count() == 2) // duplicates collapse
+    val id = ents.filter($"k" === 1).select("entity_id").as[String].head()
+    // md5("1|a") — same components ⇒ same identity on any engine, any run
+    assert(id == java.security.MessageDigest.getInstance("MD5")
+      .digest("1|a".getBytes("UTF-8")).map(b => f"$b%02x").mkString)
+  }
+
   test("ConfigPipeline reaches the training-pipeline ops (pack, split, sessionize)") {
     import spark.implicits._
     val out = graft.pipeline.ConfigPipeline.fromJson(spark,
