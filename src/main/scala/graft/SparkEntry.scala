@@ -502,6 +502,11 @@ object SparkEntry {
     "q_jaccard_pruned" -> ((s, dir) =>
       Dedup.ngramJaccard(T(s, dir, "documents"), "doc_id", "text", k = 3, tau = 0.5,
         maxShingleDf = 10)),
+    // lossless prefix filter (AllPairs/PPJoin): candidates only from
+    // rarest-shingle prefixes, exact-verified — the high-tau scale path
+    "q_jaccard_prefix" -> ((s, dir) =>
+      Dedup.ngramJaccardPrefix(T(s, dir, "documents"), "doc_id", "text",
+        k = 3, tau = 0.8)),
 
     // ---- similarity (G6/G7) ----
     "q_ann" -> ((s, dir) => {
@@ -728,6 +733,25 @@ object SparkEntry {
       | MIN(ts_us) AS session_start, MAX(ts_us) AS session_end, COUNT(*) AS n_events
       |FROM s GROUP BY user_id, sid""".stripMargin
 
+  /** Exhaustive shingle-Jaccard at a given tau — oracles both the bucket
+    * (q_jaccard) and prefix-filtered (q_jaccard_prefix) implementations,
+    * since prefix filtering is lossless.
+    */
+  private def jaccardOracle(tau: String): String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |       unnest(list_transform(range(0, len(tk) - 2),
+       |              i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))) AS shingle
+       |       FROM toks WHERE len(tk) >= 3),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+       |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_inter,
+       | CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+       |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= $tau""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_counter" -> "SELECT r.range AS n FROM range(0, 1000) r",
     "q_sequence" -> "SELECT r.range AS seq_no, unnest(['a', 'b', 'c']) AS value FROM range(0, 2) r",
@@ -819,20 +843,8 @@ object SparkEntry {
         |WHERE l_quantity >= 25""".stripMargin,
     "q_dedup_exact" ->
       "SELECT md5(text) AS hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY md5(text)",
-    "q_jaccard" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |sh AS (SELECT DISTINCT doc_id,
-         |       unnest(list_transform(range(0, len(tk) - 2),
-         |              i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))) AS shingle
-         |       FROM toks WHERE len(tk) >= 3),
-         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-         |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-         |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |       GROUP BY 1, 2)
-         |SELECT id_a, id_b, n_inter,
-         | CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
-         |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5""".stripMargin,
+    "q_jaccard" -> jaccardOracle("0.5"),
+    "q_jaccard_prefix" -> jaccardOracle("0.8"), // prefix filter is lossless
     "q_minhash" ->
       s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents)
          |SELECT doc_id, MIN(md5('0:' || tok)) AS h0, MIN(md5('1:' || tok)) AS h1,

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -100,6 +101,54 @@ object Dedup {
             x.getField("sz").as("sz_a"), y.getField("sz").as("sz_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.sz_a"), col("p.sz_b"))
       .groupBy("id_a", "id_b", "sz_a", "sz_b").agg(count(lit(1)).as("n_inter"))
+      .withColumn("jaccard",
+        col("n_inter").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("n_inter")).cast(DoubleType))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "n_inter", "jaccard")
+  }
+
+  /** Prefix-filtered exact Jaccard (the AllPairs/PPJoin family): for
+    * J(A,B) ≥ tau, A and B must share a shingle within their
+    * (|X| − ⌈tau·|X|⌉ + 1)-prefixes under a GLOBAL shingle order — rarest
+    * (lowest document frequency) first. Candidates therefore come only from
+    * rare-shingle buckets, and each candidate pair verifies by exact set
+    * intersection — the filter is LOSSLESS, so results equal
+    * [[ngramJaccard]] at the same tau (they share an oracle).
+    *
+    * This is the high-tau scale path: at tau=0.8 prefixes are ~20% of each
+    * set and bucket fan-out concentrates in shingles that by construction
+    * appear in few documents; [[ngramJaccard]]'s full bucket expansion stays
+    * preferable for low tau, where prefixes approach whole sets and the
+    * per-pair verify join costs more than direct pair counting.
+    *
+    * The exploded shingle frame is persisted: document frequencies, ranked
+    * prefixes, and full verification sets all derive from it, and HOF
+    * lambdas don't canonicalize, so without the persist each derivation
+    * would re-run tokenize+shingle over the corpus.
+    */
+  def ngramJaccardPrefix(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, tau: Double = 0.8): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val ranked = sh.join(dfs, "shingle")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("__df"), col("shingle"))))
+    val prefix = ranked.filter(col("__rn") <= col("sz") - ceil(col("sz") * tau) + 1)
+    val cand = prefix.groupBy("shingle")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
+    val sets = sh.groupBy("id")
+      .agg(sort_array(collect_list(col("shingle"))).as("shs"), first(col("sz")).as("sz"))
+    val a = sets.select(col("id").as("id_a"), col("shs").as("__sa"), col("sz").as("sz_a"))
+    val b = sets.select(col("id").as("id_b"), col("shs").as("__sb"), col("sz").as("sz_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("n_inter", size(array_intersect(col("__sa"), col("__sb"))).cast(LongType))
       .withColumn("jaccard",
         col("n_inter").cast(DoubleType) /
           (col("sz_a") + col("sz_b") - col("n_inter")).cast(DoubleType))

@@ -68,6 +68,15 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("ngramJaccardPrefix equals exhaustive ngramJaccard (lossless filter)") {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "n_inter").as[(Long, Long, Long)].collect().toSet
+    val exhaustive = canon(Dedup.ngramJaccard(docs, "doc_id", "text", k = 3, tau = 0.7))
+    val prefixed = canon(Dedup.ngramJaccardPrefix(docs, "doc_id", "text", k = 3, tau = 0.7))
+    assert(prefixed == exhaustive && prefixed.nonEmpty)
+  }
+
   test("minhash signatures of identical token sets agree; lshPairs finds them") {
     val df = Seq((1L, "a b c d e f"), (2L, "f e d c b a"), (3L, "q w r t y u"))
       .toDF("doc_id", "text")
