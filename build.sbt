@@ -29,4 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 24g default: local[32] runs 32 concurrent tasks in ONE JVM; at 8g the
   // sf0.1 bench spends more time in GC than in queries (62s vs 40s total).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 140 query executions per bench JVM each emit whole-stage-codegen
+  // classes; at the default 240m the JIT code cache fills mid-run and
+  // compilation stops — late queries then run interpreted (observed:
+  // trivial queries 10-20x slower toward the end of the alphabet).
+  "-XX:ReservedCodeCacheSize=1g",
 )
