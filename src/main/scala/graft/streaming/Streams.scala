@@ -118,10 +118,11 @@ object Streams {
     * On a BATCH Dataset each key's events arrive as one group, so the
     * operator is exact and order-independent (timestamps sort in-group).
     * On a stream it emits each batch's closed sessions and carries the
-    * trailing open session provisionally; production streams should pair it
-    * with an event-time timeout to flush. Per-group work is an in-memory
-    * sort of ONE key's timestamps — heavy keys belong on the window-function
-    * form (`Ops.sessionize`), which never materializes a whole key.
+    * trailing open session provisionally; production streams should use
+    * [[sessionizeStateStream]], whose event-time timeout emits each session
+    * exactly once. Per-group work is an in-memory sort of ONE key's
+    * timestamps — heavy keys belong on the window-function form
+    * (`Ops.sessionize`), which never materializes a whole key.
     */
   def sessionizeState(events: Dataset[(Long, Long)], gap: Long): Dataset[(Long, Long, Long, Long, Long)] = {
     import events.sparkSession.implicits._
@@ -159,6 +160,60 @@ object Streams {
             }
           }
       }
+  }
+
+  /** Watermark-correct streaming sessionization: the exactly-once variant
+    * of [[sessionizeState]]. Sessions are held in state and emitted ONLY
+    * when the event-time watermark passes session_end + gap — the point
+    * after which no in-watermark event can extend them — so an append sink
+    * sees each session exactly once (no provisional re-emissions). The
+    * trailing session of a bounded run stays pending, as unbounded-stream
+    * semantics require; drain with a final far-future event or read the
+    * batch form for bounded data.
+    *
+    * Input: any streaming DataFrame with a long key column and a TIMESTAMP
+    * column. Output: (key, session_start, session_end, n_events) with
+    * start/end in epoch micros (no session ids: global per-key numbering
+    * needs an order over session closings that an unbounded stream cannot
+    * provide).
+    */
+  def sessionizeStateStream(events: DataFrame, keyCol: String, tsCol: String,
+                            watermark: String, gapUs: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.types.LongType
+    // the watermarked TIMESTAMP column must reach the stateful operator
+    // unconverted (projecting it away would drop the watermark tag and fail
+    // analysis); micros conversion happens inside the lambda instead
+    val typed = events.withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast(LongType), col(tsCol))
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, values: Iterator[(Long, java.sql.Timestamp)], state: GroupState[Array[Long]]) =>
+          // state = flat [start, end, n]* of still-open sessions
+          val carried = state.getOption.getOrElse(Array.empty[Long])
+            .grouped(3).collect { case Array(s0, e0, n0) => (s0, e0, n0) }.toSeq
+          // merge carried spans + new events (as 1-event runs) sorted by
+          // start; adjacent runs closer than gap coalesce
+          def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          val runs = (carried ++ values.map { case (_, t) => (us(t), us(t), 1L) })
+            .sortBy(r => (r._1, r._2))
+          val merged = runs.foldLeft(List.empty[(Long, Long, Long)]) {
+            case ((cs, ce, cn) :: rest, (s0, e0, n0)) if s0 - ce <= gapUs =>
+              (cs, math.max(ce, e0), cn + n0) :: rest
+            case (acc, r) => r :: acc
+          }.reverse
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = merged.partition { case (_, e0, _) => e0 + gapUs < wmUs }
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open.flatMap { case (s0, e0, n0) => Seq(s0, e0, n0) }.toArray)
+            // wake when the earliest open session becomes unextendable
+            state.setTimeoutTimestamp(open.map(_._2).min / 1000L + gapUs / 1000L + 1L)
+          }
+          closed.iterator.map { case (s0, e0, n0) => (key, s0, e0, n0) }
+      }.toDF(keyCol, "session_start", "session_end", "n_events")
   }
 
   /** Run a micro-batch sink function (reference batch markers → foreachBatch

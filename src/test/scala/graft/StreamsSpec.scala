@@ -125,6 +125,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStateStream emits each session exactly once past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val sess = Streams.sessionizeStateStream(
+      mem.toDF.toDF("user_id", "ts"), "user_id", "ts",
+      watermark = "0 seconds", gapUs = 100000000L) // 100 s gap
+    val q = sess.writeStream.format("memory").queryName("sess_wm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(sec: Long) = new Timestamp(sec * 1000L)
+      // start at 10s: an event AT the initial watermark (epoch 0) is
+      // filtered as late before it reaches the state function
+      mem.addData((1L, t(10)), (1L, t(60)))
+      q.processAllAvailable()
+      mem.addData((1L, t(1000))) // advances the watermark past 60s + gap
+      q.processAllAvailable()
+      mem.addData((1L, t(1100))) // merges into the 1000s session (gap = 100s)
+      q.processAllAvailable()
+      val got = spark.table("sess_wm")
+        .as[(Long, Long, Long, Long)].collect().toList
+      // the [10s, 60s] session emitted exactly once; [1000s, 1100s] still open
+      assert(got == List((1L, 10000000L, 60000000L, 2L)))
+    } finally q.stop()
+  }
+
   test("sessionizeState extends the trailing session across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
