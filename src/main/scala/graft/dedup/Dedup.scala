@@ -143,7 +143,15 @@ object Dedup {
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
-    val sets = sh.groupBy("id")
+      // candidate pairs are few by design and referenced twice (id filter +
+      // verify join) — persist so the prefix pipeline runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // verification sets ONLY for documents that appear in some candidate
+    // pair — at high tau that is a vanishing fraction of the corpus, and
+    // collecting whole-corpus shingle arrays would dwarf the filter's win
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val sets = sh.join(candIds, "id").groupBy("id")
       .agg(sort_array(collect_list(col("shingle"))).as("shs"), first(col("sz")).as("sz"))
     val a = sets.select(col("id").as("id_a"), col("shs").as("__sa"), col("sz").as("sz_a"))
     val b = sets.select(col("id").as("id_b"), col("shs").as("__sb"), col("sz").as("sz_b"))

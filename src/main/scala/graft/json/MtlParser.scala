@@ -263,13 +263,15 @@ object MtlParser {
     * (src_id, dst_id, rel), distinct.
     */
   def relationTables(df: DataFrame, program: Program, queryName: String,
-                     functions: Map[String, Column => Column] = Map.empty): Seq[DataFrame] = {
-    val rows = run(df, program, queryName, functions)
+                     functions: Map[String, Column => Column] = Map.empty): Seq[DataFrame] =
+    relationsFromRows(run(df, program, queryName, functions), program, queryName)
+
+  private def relationsFromRows(rows: DataFrame, program: Program,
+                                queryName: String): Seq[DataFrame] =
     program.relations.filter(_.query == queryName).map { r =>
       rows.select(col(r.srcAlias).as("src_id"), col(r.dstAlias).as("dst_id"))
         .withColumn("rel", lit(r.rel)).distinct()
     }
-  }
 
   /** Entity merge from COREFER assertions (reference `nft_nodes.py` runs a
     * Datalog knowledge base; relationally, coreference is connected
@@ -316,8 +318,13 @@ object MtlParser {
   def knowledgeBase(df: DataFrame, program: Program, queryName: String,
                     functions: Map[String, Column => Column] = Map.empty,
                     rounds: Int = 2): DataFrame = {
-    val canon = coreferenceGroups(df, program, queryName, functions, rounds)
-    val edges = relationTables(df, program, queryName, functions)
+    // ONE evaluation of the document query feeds both the coreference graph
+    // and the edge extraction (each derivation would otherwise re-run the
+    // whole traversal pipeline)
+    val rows = run(df, program, queryName, functions)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canon = coreferenceFromRows(rows, program, queryName, rounds)
+    val edges = relationsFromRows(rows, program, queryName)
       .reduce(_ unionByName _)
       .select(col("src_id").cast(StringType).as("src_id"),
         col("dst_id").cast(StringType).as("dst_id"), col("rel"))
@@ -331,10 +338,14 @@ object MtlParser {
 
   def coreferenceGroups(df: DataFrame, program: Program, queryName: String,
                         functions: Map[String, Column => Column] = Map.empty,
-                        rounds: Int = 2): DataFrame = {
+                        rounds: Int = 2): DataFrame =
+    coreferenceFromRows(run(df, program, queryName, functions), program,
+      queryName, rounds)
+
+  private def coreferenceFromRows(rows: DataFrame, program: Program,
+                                  queryName: String, rounds: Int): DataFrame = {
     val corefs = program.coreferences.filter(_.query == queryName)
     require(corefs.nonEmpty, s"no COREFER assertions for query '$queryName'")
-    val rows = run(df, program, queryName, functions)
     val e = corefs.map { cr =>
       rows.select(col(cr.aliasA).cast(StringType).as("a"),
         col(cr.aliasB).cast(StringType).as("b"))
