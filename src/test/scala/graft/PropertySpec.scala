@@ -88,4 +88,80 @@ class PropertySpec extends SparkSpec {
       out.forall { case (a, b, j) => a < b && j >= 0.0 && j <= 1.0 }
     })
   }
+
+  test("law: prefix-filtered jaccard equals exhaustive jaccard at any tau") {
+    val textGen = Gen.listOfN(6, tokenGen.map(_.mkString(" ")))
+    val tauGen = Gen.oneOf(0.3, 0.5, 0.7, 0.9)
+    check(Prop.forAll(textGen, tauGen) { (texts, tau) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.select("id_a", "id_b", "n_inter").as[(Long, Long, Long)].collect().toSet
+      canon(Dedup.ngramJaccardPrefix(df, "doc_id", "text", k = 2, tau = tau)) ==
+        canon(Dedup.ngramJaccard(df, "doc_id", "text", k = 2, tau = tau))
+    })
+  }
+
+  test("law: sessions partition events exactly; intra-gaps <= gap < inter-gaps") {
+    val tsGen = Gen.listOfN(15, Gen.chooseNum(0L, 500L))
+    val gapGen = Gen.chooseNum(1L, 100L)
+    check(Prop.forAll(tsGen, gapGen) { (tss, gap) =>
+      val df = tss.map(t => (1L, t)).toDF("k", "ts")
+      val sess = Ops.sessionize(df, Seq("k"), "ts", gap)
+        .select("session_id", "session_start", "session_end", "n_events")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+      val sorted = tss.sorted
+      sess.map(_._4).sum == tss.size && // every event in exactly one session
+        sess.forall { case (_, s0, e0, _) => s0 <= e0 } &&
+        // consecutive sessions separated by more than gap
+        sess.sliding(2).forall {
+          case Array((_, _, e0, _), (_, s1, _, _)) => s1 - e0 > gap
+          case _ => true
+        } &&
+        sorted.min == sess.head._2 && sorted.max == sess.last._3
+    })
+  }
+
+  test("law: sessionizeState agrees with window-fn sessionize on random input") {
+    val evGen = Gen.listOfN(20, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 300L)))
+    check(Prop.forAll(evGen, Gen.chooseNum(1L, 80L)) { (evs, gap) =>
+      val df = evs.toDF("k", "ts")
+      val viaWindow = Ops.sessionize(df, Seq("k"), "ts", gap)
+        .select("k", "session_id", "session_start", "session_end", "n_events")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val viaState = graft.streaming.Streams.sessionizeState(df.as[(Long, Long)], gap)
+        .collect().toSet
+      viaState == viaWindow
+    })
+  }
+
+  test("law: packByBudget bins are contiguous and within budget before the last item") {
+    val wGen = Gen.listOfN(12, Gen.chooseNum(1L, 40L))
+    check(Prop.forAll(wGen, Gen.chooseNum(20L, 100L)) { (ws, budget) =>
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("ord", "w")
+      val out = Ops.packByBudget(df, Nil, Seq("ord"), "w", budget)
+        .select("ord", "w", "bin_id").as[(Long, Long, Long)].collect().sortBy(_._1)
+      // bin ids are non-decreasing in order, and a row starts a new bin only
+      // when the previous bin's cumulative weight passed the budget
+      out.sliding(2).forall {
+        case Array((_, _, b0), (_, _, b1)) => b1 == b0 || b1 > b0
+        case _ => true
+      } && {
+        val byBin = out.groupBy(_._3).toSeq.sortBy(_._1)
+        // every bin except possibly the last is "full": adding its first row
+        // happened because prior cumsum div budget advanced
+        byBin.map(_._2.map(_._2).sum).init.forall(_ > 0) &&
+        out.map(_._2).sum == ws.sum
+      }
+    })
+  }
+
+  test("law: hashSplit is a function of the id only (stable across frames)") {
+    check(Prop.forAll(Gen.chooseNum(1, 99)) { pct =>
+      val a = Ops.hashSplit(spark.range(50).toDF("id"), "id", pct)
+        .select("id", "split").as[(Long, String)].collect().toMap
+      val b = Ops.hashSplit(spark.range(25, 75).toDF("id"), "id", pct)
+        .select("id", "split").as[(Long, String)].collect().toMap
+      (a.keySet & b.keySet).forall(k => a(k) == b(k))
+    })
+  }
 }
