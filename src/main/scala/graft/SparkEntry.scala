@@ -276,6 +276,25 @@ object SparkEntry {
           |WHERE item.l_quantity >= 25 AND cust.c_custkey > 50;""".stripMargin)
       graft.json.MtlParser.run(orderDoc(s, dir), program, "orderq")
     }),
+    // multi-query MTL program: two traversals share ONE evaluation of the
+    // document frame; outputs union with a query tag (ints stringified —
+    // doubles would format differently across engines)
+    "q_mtl_multi" -> ((s, dir) => {
+      val program = graft.json.MtlParser.parse(
+        """QUERY custq IS SELECT cust.c_custkey AS cust_key, cust.c_name AS cust_name
+          |FROM obj START AT TOP
+          |GO DOWN UNTIL HAS KEY c_name AS cust;
+          |QUERY itemq IS SELECT item.l_partkey AS part_key, item.l_linenumber AS line_no
+          |FROM obj START AT TOP
+          |GO DOWN UNTIL HAS KEY l_quantity AS item;""".stripMargin)
+      val ts = graft.json.MtlParser.runProgram(orderDoc(s, dir), program)
+      ts("custq").select(lit("custq").as("src"),
+          col("cust_key").cast(StringType).as("a"), col("cust_name").as("b"))
+        .unionByName(ts("itemq").select(lit("itemq").as("src"),
+          col("part_key").cast(StringType).as("a"),
+          col("line_no").cast(StringType).as("b")))
+    }),
+
     // MTL coreference: cust_key and cust_name name the same entity; output =
     // min-label connected components over the value graph (2 LP rounds)
     "q_coreference" -> ((s, dir) => {
@@ -931,6 +950,14 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         | JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE l_quantity >= 25 AND c_custkey > 50""".stripMargin,
+    "q_mtl_multi" ->
+      """SELECT 'custq' AS src, CAST(c_custkey AS VARCHAR) AS a, c_name AS b
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |UNION ALL
+        |SELECT 'itemq' AS src, CAST(l_partkey AS VARCHAR) AS a,
+        | CAST(l_linenumber AS VARCHAR) AS b
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
     // 2 rounds of min-label propagation over the (cust_key, cust_name)
     // coreference graph — mirrors MtlParser.coreferenceGroups exactly
     "q_coreference" ->

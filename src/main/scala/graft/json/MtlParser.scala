@@ -241,6 +241,21 @@ object MtlParser {
     }
   }
 
+  /** Run EVERY query of a program over one document frame (the reference's
+    * programs — see `query_text.mtl` — routinely hold several QUERY blocks
+    * against the same source). The document frame is persisted so N
+    * independent traversals cost one evaluation of the upstream pipeline
+    * plus N cache reads, not N full re-runs.
+    */
+  def runProgram(df: DataFrame, program: Program,
+                 functions: Map[String, Column => Column] = Map.empty): Map[String, DataFrame] = {
+    val shared =
+      if (program.queries.size > 1)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    program.queries.keys.map(q => q -> run(shared, program, q, functions)).toMap
+  }
+
   /** Entity tables implied by the program's property assertions: one DF per
     * entity with its key property (UNIQUE / NAMED BY target) first,
     * deduplicated on it.
