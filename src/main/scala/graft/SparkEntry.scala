@@ -584,6 +584,26 @@ object SparkEntry {
         .filter(col("nt") > col("p25")).select("doc_id", "lang")
     }),
 
+    // flagship composition — the full training-data prep flow in library
+    // ops: per-language quality floor (broadcast threshold) → exact dedup
+    // (keep min id) → reproducible train split → per-language sequence
+    // packing. One corpus scan feeds it; the only corpus-sized shuffles are
+    // the dedup group-by and the packing window.
+    "q_llm_pipeline" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"),
+        size(Text.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      val th = Ops.percentiles(
+        docs.select(col("lang"), col("n_tokens").cast(DoubleType).as("nt")),
+        Seq("lang"), "nt", Seq(0.25 -> "p25"))
+      val q = docs.join(broadcast(th), "lang")
+        .filter(col("n_tokens").cast(DoubleType) > col("p25"))
+      val keep = Dedup.exact(q, "doc_id", "text").select(col("keep_id").as("doc_id"))
+      val d = q.join(keep, "doc_id")
+      val tr = Ops.hashSplit(d, "doc_id", 90).filter(col("split") === "train")
+      Ops.packByBudget(tr, Seq("lang"), Seq("doc_id"), "n_tokens", 1000L)
+        .select("doc_id", "lang", "n_tokens", "bin_id")
+    }),
+
     // ---- text analysis (G8-G11) ----
     "q_langid" -> ((s, dir) =>
       T(s, dir, "documents").select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
@@ -1025,6 +1045,19 @@ object SparkEntry {
          | CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000 AS BIGINT) AS bin_id
          |FROM t""".stripMargin,
+    "q_llm_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |th AS (SELECT lang, quantile_cont(CAST(n_tokens AS DOUBLE), 0.25) AS p25 FROM t GROUP BY lang),
+         |q AS (SELECT t.doc_id, t.lang, t.text, t.n_tokens FROM t JOIN th ON t.lang = th.lang
+         |      WHERE CAST(t.n_tokens AS DOUBLE) > th.p25),
+         |d AS (SELECT * FROM (SELECT q.*, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM q)
+         |      WHERE doc_id = keep),
+         |tr AS (SELECT * FROM d
+         |       WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90)
+         |SELECT doc_id, lang, n_tokens,
+         | CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000 AS BIGINT) AS bin_id
+         |FROM tr""".stripMargin,
     "q_quantiles" ->
       s"""WITH t AS (SELECT lang, CAST(len($toksSql) AS DOUBLE) AS nt FROM documents)
          |SELECT lang, quantile_cont(nt, 0.25) AS p25, quantile_cont(nt, 0.5) AS p50,
