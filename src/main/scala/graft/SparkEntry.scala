@@ -463,6 +463,15 @@ object SparkEntry {
       s.read.parquet(s"$out/edges_ordered")
     }),
 
+    // partition-layout write → pruned read: only the lang='en' directory is
+    // scanned (PlanSpec asserts the PartitionFilters); oracle = plain WHERE
+    "q_partition_pruning" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_part").toString + "/docs"
+      Sinks.writePartitioned(
+        T(s, dir, "documents").select("doc_id", "text", "lang"), out, Seq("lang"))
+      s.read.parquet(out).filter(col("lang") === "en").select("doc_id", "lang")
+    }),
+
     // ---- file-format round trips (A1/A2): write → read back → oracle vs
     // the source parquet, so header/quoting/type-inference mangling fails ----
     "q_csv_roundtrip" -> ((s, dir) => {
@@ -950,6 +959,7 @@ object SparkEntry {
     "q_multimodal" -> multimodalOracle,
     "q_csv_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_recorder_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_partition_pruning" -> "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
     "q_jdbc_query" ->
       """SELECT o_custkey, COUNT(*) AS n_big, MAX(o_totalprice) AS max_price
         |FROM orders WHERE o_totalprice > 200000.0 GROUP BY o_custkey""".stripMargin,

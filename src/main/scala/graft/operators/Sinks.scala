@@ -61,6 +61,17 @@ object Sinks {
       lit("'}) MERGE (a)-[:"), col("rel"), lit("]->(b);")).as("cypher"))
   }
 
+  /** Partition-layout parquet write: one directory per value of the
+    * partition columns. THE storage practice for big corpora — a reader
+    * filtering on the partition key scans only matching directories
+    * (partition pruning, asserted in PlanSpec), so `WHERE lang = 'en'`
+    * over 100 TB touches only the English shard. Partition by LOW
+    * cardinality columns only (each value is a directory).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: String = "overwrite"): Unit =
+    df.write.partitionBy(partitionCols: _*).mode(mode).parquet(path)
+
   /** Generic JDBC writer (reference civis/mysql writer nodes:
     * `civis_nodes.py` ensure-table/SQL-execute, `node.py` MySQL inserts).
     * `mode="overwrite"` drops and recreates the table (the reference's

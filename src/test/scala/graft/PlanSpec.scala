@@ -91,4 +91,47 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p.linesIterator.filter(_.contains("+- "))
       .mkString("\n")).size >= 2, p)
   }
+
+  private def countShufflesExec(plan: SparkPlan): Int = plan match {
+    case a: AdaptiveSparkPlanExec => countShufflesExec(a.executedPlan)
+    case _: ShuffleExchangeExec => 1 + plan.children.map(countShufflesExec).sum
+    case _ => plan.children.map(countShufflesExec).sum
+  }
+
+  test("sessionize costs exactly one shuffle (windows + final agg reuse it)") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+    val sess = Ops.sessionize(ev, Seq("user_id"), "ts_us", 600000000L)
+    sess.count()
+    assert(countShufflesExec(sess.queryExecution.executedPlan) == 1)
+  }
+
+  test("packByBudget (keyed) costs exactly one shuffle") {
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("w"))
+    val packed = Ops.packByBudget(d, Seq("lang"), Seq("doc_id"), "w", 10000L)
+    packed.count()
+    assert(countShufflesExec(packed.queryExecution.executedPlan) == 1)
+  }
+
+  test("percentile-threshold filtering broadcasts the thresholds table") {
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), length(col("text")).cast("double").as("nt"))
+    val th = Ops.percentiles(d, Seq("lang"), "nt", Seq(0.25 -> "p25"))
+    val p = planString(d.join(broadcast(th), "lang").filter(col("nt") > col("p25")))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("partition-layout reads prune to the filtered partition directories") {
+    val out = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/docs"
+    graft.operators.Sinks.writePartitioned(
+      Tables.load(spark, sfDir, "documents").select("doc_id", "text", "lang"),
+      out, Seq("lang"))
+    val read = spark.read.parquet(out).filter(col("lang") === "en").select("doc_id")
+    val p = planString(read)
+    assert(p.contains("PartitionFilters") && p.contains("lang"), p)
+    // the scan must NOT carry lang as a data filter — it is a directory prune
+    assert(!p.contains("PushedFilters: [IsNotNull(lang)"), p)
+  }
 }
