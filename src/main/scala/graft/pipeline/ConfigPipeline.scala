@@ -82,6 +82,10 @@ object ConfigPipeline {
       case "split" =>
         p.stage(name, from)(graft.operators.Ops.hashSplit(_, s.get("id").asText(),
           s.get("trainPct").asInt()))
+      case "flatten" => // TreeHorn traversal from config: GO DOWN UNTIL HAS KEY
+        p.stage(name, from)(graft.json.TreeWalk.flattenAtKey(_,
+          s.get("key").asText(), s.get("label").asText(),
+          keep = if (s.has("keep")) strs(s.get("keep")) else Nil))
       case "langid" =>
         p.stage(name, from)(d => d.select(col(s.get("id").asText()),
           graft.functions.Text.langId(col(s.get("text").asText())).as("lang_pred")))

@@ -59,6 +59,15 @@ object Streams {
     l.join(r, keyCond && range)
   }
 
+  /** Stream-static enrichment: join a stream against a (small) static
+    * dimension frame, broadcast so every micro-batch enriches map-side with
+    * zero stream-side shuffle — the streaming analogue of the reference's
+    * per-message dictionary lookups against loaded tables.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+             joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
+
   /** Sessionization: session window per key — gap-based, the streaming shape
     * of the reference's time-window accumulation with dynamic windows.
     */

@@ -152,4 +152,17 @@ class MtlConfigSpec extends SparkSpec {
          |]}""".stripMargin).output("sess")
     assert(sess.count() > 0 && sess.columns.contains("session_start"))
   }
+
+  test("ConfigPipeline runs a TreeHorn traversal from config") {
+    val flat = graft.pipeline.ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "o", "op": "table", "dir": "$sfDir", "table": "orders"},
+         | {"name": "doc", "op": "select", "from": "o",
+         |  "exprs": ["o_orderkey", "named_struct('info', named_struct('prio', o_orderpriority)) AS payload"]},
+         | {"name": "flat", "op": "flatten", "from": "doc",
+         |  "key": "prio", "label": "x", "keep": ["o_orderkey"]}
+         |]}""".stripMargin).output("flat")
+    assert(flat.columns.toSeq == Seq("o_orderkey", "x_prio"))
+    assert(flat.count() > 0)
+  }
 }

@@ -125,6 +125,23 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrich joins a stream against a broadcast static dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val enriched = Streams.enrich(mem.toDF.toDF("user_id", "amount"), dim, Seq("user_id"))
+    val q = enriched.writeStream.format("memory").queryName("enr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, 10.0), (2L, 5.0), (3L, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("enr").as[(Long, Double, Option[String])]
+        .collect().toSet
+      assert(got == Set((1L, 10.0, Some("gold")), (2L, 5.0, Some("basic")),
+        (3L, 1.0, None)))
+    } finally q.stop()
+  }
+
   test("sessionizeStateStream emits each session exactly once past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
