@@ -35,16 +35,14 @@ object Dedup {
     * shingle subplan).
     */
   private def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    // Tokenize into a materialized column FIRST: referencing the tokenizer
-    // expression inside the transform lambda would re-run split+filter for
-    // every shingle position (O(tokens²) per document).
+    // Tokenize into a materialized column FIRST (an expression referenced
+    // inside a lambda would re-run split+filter per position), then shingle
+    // with the native codegen expression — one fused loop per document
+    // instead of an interpreted transform/slice/array_join lambda chain
+    // (WordShingles yields the empty array below k tokens).
     val base = df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__tk"))
-    val n = size(col("__tk"))
-    val sh = transform(sequence(lit(0), greatest(n - k, lit(0))),
-      i => array_join(slice(col("__tk"), i + 1, lit(k)), " "))
     base
-      .select(col("id"), when(n >= k, array_distinct(sh))
-        .otherwise(array().cast(ArrayType(StringType))).as("__sh"))
+      .select(col("id"), array_distinct(Text.shinglesOf(col("__tk"), k)).as("__sh"))
       .select(col("id"), size(col("__sh")).as("sz"), explode(col("__sh")).as("shingle"))
   }
 

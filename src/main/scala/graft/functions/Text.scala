@@ -19,6 +19,17 @@ object Text {
   /** Non-empty whitespace tokens. */
   def tokens(text: Column): Column = filter(split(text, " "), t => length(t) > 0)
 
+  /** Word k-shingles of a token array via the native codegen expression
+    * (`graftglue.WordShingles`) — the fused loop the HOF
+    * `transform(sequence, slice, array_join)` chain interprets per element.
+    * Same results; empty array when the document has fewer than k tokens.
+    */
+  def shinglesOf(tokens: Column, k: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftglue.{ColumnBridge, WordShingles}
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), Literal(k)))
+  }
+
   /** BPE-ish tokens: runs of letters, runs of digits, or single other
     * non-space characters — the shape of a byte-pair pre-tokenizer.
     */

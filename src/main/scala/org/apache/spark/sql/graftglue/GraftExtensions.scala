@@ -23,5 +23,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "float_vector_dot takes exactly 2 arguments")
         FloatVectorDot(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "word_shingles takes exactly 2 arguments")
+        WordShingles(children.head, children(1))
+      }))
   }
 }
