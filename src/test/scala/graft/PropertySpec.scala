@@ -89,6 +89,21 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("law: native word_shingles equals the HOF transform/slice/array_join chain") {
+    val kGen = Gen.chooseNum(1, 4)
+    check(Prop.forAll(Gen.listOfN(10, tokenGen.map(_.mkString(" "))), kGen) { (texts, k) =>
+      val df = texts.toDF("text").select(Text.tokens(col("text")).as("tk"))
+      val n = size(col("tk"))
+      val hof = when(n >= k,
+        transform(sequence(lit(0), greatest(n - k, lit(0))),
+          i => array_join(slice(col("tk"), i + 1, lit(k)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val rows = df.select(Text.shinglesOf(col("tk"), k).as("native"), hof.as("hof"))
+        .as[(Seq[String], Seq[String])].collect()
+      rows.forall { case (a, b) => a == b }
+    })
+  }
+
   test("law: prefix-filtered jaccard equals exhaustive jaccard at any tau") {
     val textGen = Gen.listOfN(6, tokenGen.map(_.mkString(" ")))
     val tauGen = Gen.oneOf(0.3, 0.5, 0.7, 0.9)
