@@ -88,6 +88,11 @@ object SparkEntry {
     "q_remap" -> ((s, dir) =>
       Ops.remap(T(s, dir, "customer"),
         Seq("c_custkey" -> "id", "c_name" -> "name", "c_mktsegment" -> "segment"))),
+    // JSON-string column → typed struct → field (reference messages are
+    // parsed JSON dicts); explicit schema, codegen from_json
+    "q_json" -> ((s, dir) =>
+      Ops.parseJson(T(s, dir, "events"), "props", "k INT")
+        .select(col("event_id"), col("parsed.k").as("k"))),
     "q_explode" -> ((s, dir) =>
       Ops.serialize(
         T(s, dir, "documents").withColumn("toks", Text.tokens(col("text"))),
@@ -813,6 +818,8 @@ object SparkEntry {
       "SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment FROM customer",
     "q_explode" ->
       "SELECT doc_id, token FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) WHERE token <> ''",
+    "q_json" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",
     "q_filter" ->
       "SELECT event_id, user_id, value FROM events WHERE value IS NOT NULL AND event_type = 'purchase'",
     "q_sample" -> "SELECT * FROM documents WHERE doc_id % 10 = 0",

@@ -85,6 +85,16 @@ object Ops {
     df.withColumn(out, explode(c))
   }
 
+  /** Parse a JSON-string column into a typed struct (the reference's
+    * messages ARE parsed JSON dicts — `CSVToDictionaryList`, the recorder's
+    * replay format). Schema is explicit DDL: at scale, `schema_of_json`
+    * inference is an extra pass and a correctness hazard on heterogeneous
+    * rows. `from_json` runs inside codegen, no UDF.
+    */
+  def parseJson(df: DataFrame, jsonCol: String, schemaDdl: String,
+                out: String = "parsed"): DataFrame =
+    df.withColumn(out, from_json(col(jsonCol), StructType.fromDDL(schemaDdl)))
+
   // -------------------------------------------------------------------
   // Filters & sampling
   // -------------------------------------------------------------------
