@@ -491,6 +491,34 @@ object SparkEntry {
       Sources.textLines(s, out)
     }),
 
+    // streaming session windows end-to-end: file stream → session_window
+    // agg (complete mode: the final batch is the whole deterministic
+    // answer regardless of file/batch splits) → parquet → oracle. DuckDB
+    // mirror uses the >= gap break (session_window merges strictly-inside
+    // events) and end = last event + gap.
+    "q_stream_sessions" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      ev.repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+          format = "parquet", schemaDdl = Some(ev.schema.toDDL), maxFilesPerTrigger = 1)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val agg = stream
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("s_us"),
+          unix_micros(col("session_window.end")).as("e_us"),
+          col("n_events"))
+      val q = graft.streaming.Streams.toForeachBatch(agg, ckpt,
+        availableNow = true, outputMode = "complete") { (batch, _) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      q.awaitTermination()
+      s.read.parquet(outDir)
+    }),
+
     // ---- multimodal plumbing (G12) ----
     "q_multimodal" -> ((s, dir) => {
       val media = Multimodal.fakeMedia(s, T(s, dir, "documents"), "doc_id")
@@ -501,6 +529,11 @@ object SparkEntry {
 
     // ---- dedup (G1-G5) ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(T(s, dir, "documents"), "doc_id", "text")),
+    // normalize-then-dedup: case/punctuation/whitespace variants collapse
+    "q_dedup_norm" -> ((s, dir) =>
+      Dedup.exact(
+        T(s, dir, "documents").withColumn("norm", Text.normalize(col("text"))),
+        "doc_id", "norm")),
     "q_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(T(s, dir, "documents"), "doc_id", "text", k = 3, tau = 0.5)),
     "q_minhash" -> ((s, dir) => {
@@ -898,6 +931,12 @@ object SparkEntry {
         |WHERE l_quantity >= 25""".stripMargin,
     "q_dedup_exact" ->
       "SELECT md5(text) AS hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY md5(text)",
+    "q_dedup_norm" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT md5(norm) AS hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM n GROUP BY md5(norm)""".stripMargin,
     "q_jaccard" -> jaccardOracle("0.5"),
     "q_jaccard_prefix" -> jaccardOracle("0.8"), // prefix filter is lossless
     "q_minhash" ->
@@ -976,6 +1015,18 @@ object SparkEntry {
         | JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
     "q_text_roundtrip" -> "SELECT text AS value FROM documents",
     "q_sessionize" -> sessionizeOracle,
+    "q_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |d AS (SELECT user_id, ts_us,
+        |      CASE WHEN lag(ts_us) OVER w IS NULL
+        |                OR ts_us - lag(ts_us) OVER w >= 600000000 THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (SELECT user_id, ts_us,
+        |      SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM d)
+        |SELECT user_id, MIN(ts_us) AS s_us, MAX(ts_us) + 600000000 AS e_us,
+        | COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "q_sessionize_state" -> sessionizeOracle,
     "q_jdbc_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_mtl" ->

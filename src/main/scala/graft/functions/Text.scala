@@ -93,6 +93,16 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(split(text, " "))), " "))
 
+  /** Canonical text normalization for dedup: lowercase, strip punctuation
+    * to spaces, collapse whitespace runs, trim. Near-duplicates differing
+    * only in case/punctuation/spacing then hash identically — the standard
+    * normalize-before-dedup prep step. Pure codegen projection; DuckDB
+    * mirror: `trim(regexp_replace(regexp_replace(lower(text),
+    * '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))`.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Deterministic 64-bit token hash built from md5 (engine-portable, unlike
     * Spark's xxhash64 vs DuckDB's hash): first 16 hex chars of md5 → bigint.
     */

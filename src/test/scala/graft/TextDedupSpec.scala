@@ -32,6 +32,12 @@ class TextDedupSpec extends SparkSpec {
     assert(fps(0) == fps(1))
   }
 
+  test("normalize collapses case, punctuation, and whitespace variants") {
+    val rows = Seq("Hello,  World!", "hello world", "HELLO   world.")
+      .toDF("text").select(graft.functions.Text.normalize(col("text"))).as[String].collect()
+    assert(rows.toSet == Set("hello world"))
+  }
+
   test("qualityFeatures computes exact ratios") {
     val df = Seq("the cat, the!").toDF("text")
     val row = df.select(Text.qualityFeatures(col("text")): _*).head()
