@@ -30,9 +30,12 @@ object AnnSweep {
     val queries = emb.filter(col("vec_id") < 500)
     val nCorpus = emb.count(); val nQ = queries.count()
 
-    def timed(df: DataFrame): (DataFrame, Double) = {
+    // by-name thunk: plan CONSTRUCTION must run inside the timer — ivfTopK
+    // eagerly collects centroids (a real Spark job), and timing only the
+    // action would understate IVF latency vs the fully-lazy brute/LSH plans
+    def timed(mk: => DataFrame): (DataFrame, Double) = {
       val t0 = System.nanoTime()
-      val out = df.select("query_id", "neighbor_id").cache()
+      val out = mk.select("query_id", "neighbor_id").cache()
       out.count()
       (out, (System.nanoTime() - t0) / 1e9)
     }

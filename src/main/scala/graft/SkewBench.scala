@@ -51,9 +51,12 @@ object SkewBench {
     skewed.groupBy("event_type").count().collect()
 
     // ---- aggregation: naive group-by vs salted two-phase ----
+    // IDENTICAL aggregate expressions on both sides (double sum, like the
+    // salted plan below) — mixing decimal into one side would conflate the
+    // salting win with decimal-vs-double arithmetic cost
     val (tAggNaive, nAggNaive) = time {
       skewed.groupBy("user_id").agg(
-        count(lit(1)).as("n"), Ops.moneySum(col("value")).as("sv"),
+        count(lit(1)).as("n"), sum(col("value").cast(DoubleType)).as("sv"),
         min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx")).count()
     }
     val (tAggSalted, nAggSalted) = time {

@@ -70,19 +70,22 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, tau: Double = 0.8,
                    maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, k) // (id, sz, shingle)
     // With stop-shingle pruning, sizes must be re-derived over the PRUNED
-    // universe (so numerator and denominator agree): group by shingle,
-    // drop high-df shingles, then one round-trip through the doc to
-    // re-count — still a single scan of `documents`, no joins.
+    // universe (so numerator and denominator agree). Document frequencies
+    // come from a constant-memory count — NEVER collect_list of posting
+    // lists: the hottest shingles (the very ones pruning exists to drop)
+    // would materialize their whole id list in one aggregation buffer.
+    // The shingle frame persists so the df-count and the join read one
+    // corpus scan (HOF lambdas defeat exchange reuse).
     val sized =
-      if (maxShingleDf == Int.MaxValue) sh
+      if (maxShingleDf == Int.MaxValue) shingleRows(df, idCol, textCol, k)
       else {
-        val kept = sh.groupBy("shingle")
-          .agg(collect_list(col("id")).as("ids"))
-          .filter(size(col("ids")) <= maxShingleDf)
-          .select(col("shingle"), explode(col("ids")).as("id"))
-        kept.groupBy("id")
+        val sh = shingleRows(df, idCol, textCol, k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val lowDf = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxShingleDf).select("shingle")
+        sh.join(lowDf, "shingle") // co-partitioned on shingle with the agg
+          .groupBy("id")
           .agg(count(lit(1)).as("sz"), collect_list(col("shingle")).as("shs"))
           .select(col("id"), col("sz"), explode(col("shs")).as("shingle"))
       }
@@ -277,9 +280,11 @@ object Dedup {
     */
   def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
                     tau: Double, maxRows: Long = 10000): DataFrame = {
-    val n = df.count()
-    require(n <= maxRows,
-      s"cosineNearDup is all-pairs O(n²): input has $n rows > maxRows=$maxRows; " +
+    // limit(maxRows+1).count() short-circuits after maxRows+1 rows — a full
+    // df.count() would materialize the very frame the guard protects against
+    val over = df.limit((maxRows + 1).toInt).count() > maxRows
+    require(!over,
+      s"cosineNearDup is all-pairs O(n²): input exceeds maxRows=$maxRows; " +
         "use cosineNearDupLsh for large inputs")
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
       .withColumn("norm_a", Vectors.fnorm(col("vec_a")))

@@ -53,17 +53,29 @@ object MtlParser {
                            relations: Seq[Relation], coreferences: Seq[Coreference])
 
   // ----------------------------------------------------------------- lexer
+  /** Single-quoted string literals are ONE token (quotes kept, so the
+    * literal() stage recognizes them) and may contain spaces, '#', and
+    * punctuation — WHERE values like 'Customer#000000101' or 'two words'
+    * must survive. '#' starts a comment only OUTSIDE a quoted literal.
+    */
   private def tokenize(text: String): Vector[String] = {
-    val noComments = text.linesIterator.map(l => l.takeWhile(_ != '#')).mkString("\n")
     val buf = Vector.newBuilder[String]
+    val s = text
     var i = 0
-    val s = noComments
     while (i < s.length) {
       val c = s(i)
-      if (c.isWhitespace) i += 1
+      if (c == '#') { // comment to end of line
+        val nl = s.indexOf('\n', i)
+        i = if (nl < 0) s.length else nl + 1
+      } else if (c == '\'') {
+        val close = s.indexOf('\'', i + 1)
+        require(close > 0, s"unterminated string literal at offset $i")
+        buf += s.substring(i, close + 1)
+        i = close + 1
+      } else if (c.isWhitespace) i += 1
       else if (c == ';' || c == ',' || c == '(' || c == ')') { buf += c.toString; i += 1 }
       else {
-        val j = s.indexWhere(ch => ch.isWhitespace || ";,()".contains(ch), i)
+        val j = s.indexWhere(ch => ch.isWhitespace || ";,()'#".contains(ch), i)
         val end = if (j < 0) s.length else j
         buf += s.substring(i, end)
         i = end
@@ -246,6 +258,12 @@ object MtlParser {
     * against the same source). The document frame is persisted so N
     * independent traversals cost one evaluation of the upstream pipeline
     * plus N cache reads, not N full re-runs.
+    *
+    * Caching contract (also [[knowledgeBase]]/[[coreferenceGroups]]): the
+    * persisted intermediates stay cached for the session because the
+    * returned frames read them lazily; long-lived applications should
+    * `spark.catalog.clearCache()` (or `unpersist`) once results are
+    * materialized.
     */
   def runProgram(df: DataFrame, program: Program,
                  functions: Map[String, Column => Column] = Map.empty): Map[String, DataFrame] = {

@@ -276,17 +276,29 @@ object TreeWalk {
         label -> ((descend(steps), landing))
     }.toMap
 
-    def resolve(ref: String): Column = {
-      val parts = ref.split('.')
-      val (aliasOpt, nodeType) = labels.getOrElse(parts.head,
-        sys.error(s"unknown label '${parts.head}'"))
-      require(parts.length > 1, s"select '$ref' must name a field of the label")
-      require(nodeType.fieldNames.contains(parts(1)),
-        s"label '${parts.head}' has no field '${parts(1)}'")
-      val base = aliasOpt.fold(col(parts(1)))(a => col(a).getField(parts(1)))
-      parts.drop(2).foldLeft(base)((c, f) => c.getField(f))
-    }
+    project(out, labels, select, keep, where)
+  }
 
+  /** Resolve a "label.field.nested" reference against landed labels. */
+  private def resolveRef(labels: Map[String, (Option[String], StructType)])
+                        (ref: String): Column = {
+    val parts = ref.split('.')
+    val (aliasOpt, nodeType) = labels.getOrElse(parts.head,
+      sys.error(s"unknown label '${parts.head}'"))
+    require(parts.length > 1, s"select '$ref' must name a field of the label")
+    require(nodeType.fieldNames.contains(parts(1)),
+      s"label '${parts.head}' has no field '${parts(1)}'")
+    val base = aliasOpt.fold(col(parts(1)))(a => col(a).getField(parts(1)))
+    parts.drop(2).foldLeft(base)((c, f) => c.getField(f))
+  }
+
+  /** Shared epilogue of [[extractCond]] and [[walk]]: where-filters on
+    * landed nodes, then the keep + select projection.
+    */
+  private def project(out: DataFrame, labels: Map[String, (Option[String], StructType)],
+                      select: Seq[(String, String)], keep: Seq[String],
+                      where: Seq[(String, Column => Column)]): DataFrame = {
+    val resolve = resolveRef(labels) _
     val filtered = where.foldLeft(out) { case (d, (ref, pred)) => d.filter(pred(resolve(ref))) }
     filtered.select(keep.map(col) ++ select.map { case (ref, name) => resolve(ref).as(name) }: _*)
   }
@@ -308,53 +320,53 @@ object TreeWalk {
     require(travs.nonEmpty, "empty traversal chain")
     var out = df
     var counter = 0
-    // stack of (alias — None = root, node struct type), root → current
-    var stack: List[(Option[String], StructType)] = List((None, df.schema))
+    // absolute-path → alias: a down-up-DOWN chain re-entering the same
+    // array must REUSE its explode (one row per element, matching
+    // extractCond's shared-prefix semantics) — a fresh explode would cross
+    // the array with itself, |array|² rows per document
+    val aliasOf = scala.collection.mutable.Map[Vector[String], String]()
+    // stack of (absolute path, alias — None = root, node type), current first
+    var stack: List[(Vector[String], Option[String], StructType)] =
+      List((Vector.empty, None, df.schema))
     val labels = scala.collection.mutable.Map[String, (Option[String], StructType)]()
 
     travs.foreach {
       case GoDown(cond, label) =>
-        val (curAlias, curType) = stack.head
-        val anc = stack.tail.map(_._2)
-        val (steps, landing) = findDown(curType, cond, anc).getOrElse(
+        val (curPath, curAlias, curType) = stack.head
+        val anc = stack.tail.map(_._3)
+        val (steps, _) = findDown(curType, cond, anc).getOrElse(
           sys.error(s"GO DOWN: no node meets $cond below ${curAlias.getOrElse("root")}"))
         var alias = curAlias
         var walkedType = curType
+        var path = curPath
         steps.foreach { case Step(f, isArr) =>
-          val src = alias.fold(col(f))(a => col(a).getField(f))
-          val a = s"__wk$counter"; counter += 1
-          out = out.withColumn(a, if (isArr) explode(src) else src)
+          path = path :+ f
           walkedType = walkedType(f).dataType match {
             case ArrayType(s: StructType, _) => s
             case s: StructType               => s
             case other => sys.error(s"non-struct hop '$f': $other")
           }
-          stack = (Some(a), walkedType) :: stack
+          val parentAlias = alias
+          val a = aliasOf.getOrElseUpdate(path, {
+            val src = parentAlias.fold(col(f))(x => col(x).getField(f))
+            val fresh = s"__wk$counter"; counter += 1
+            out = out.withColumn(fresh, if (isArr) explode(src) else src)
+            fresh
+          })
+          stack = (path, Some(a), walkedType) :: stack
           alias = Some(a)
         }
-        labels(label) = stack.head.copy()
+        labels(label) = (stack.head._2, stack.head._3)
       case GoUp(cond, label) =>
         val above = stack.tail
         val idx = above.indices.find { i =>
-          evalCond(cond, above(i)._2, above.drop(i + 1).map(_._2))
+          evalCond(cond, above(i)._3, above.drop(i + 1).map(_._3))
         }.getOrElse(sys.error(s"GO UP: no ancestor meets $cond"))
         stack = above.drop(idx)
-        labels(label) = stack.head
+        labels(label) = (stack.head._2, stack.head._3)
     }
 
-    def resolve(ref: String): Column = {
-      val parts = ref.split('.')
-      val (aliasOpt, nodeType) = labels.getOrElse(parts.head,
-        sys.error(s"unknown label '${parts.head}'"))
-      require(parts.length > 1, s"select '$ref' must name a field of the label")
-      require(nodeType.fieldNames.contains(parts(1)),
-        s"label '${parts.head}' has no field '${parts(1)}'")
-      val base = aliasOpt.fold(col(parts(1)))(a => col(a).getField(parts(1)))
-      parts.drop(2).foldLeft(base)((c, f) => c.getField(f))
-    }
-
-    val filtered = where.foldLeft(out) { case (d, (ref, pred)) => d.filter(pred(resolve(ref))) }
-    filtered.select(keep.map(col) ++ select.map { case (ref, name) => resolve(ref).as(name) }: _*)
+    project(out, labels.toMap, select, keep, where)
   }
 
   /** Flatten ALL fields of the first struct that HAS `key` (the labeled

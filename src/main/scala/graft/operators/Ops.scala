@@ -247,8 +247,12 @@ object Ops {
                else Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(col): _*)
     val prior = sum(col(weightCol))
       .over(base.rowsBetween(Window.unboundedPreceding, -1))
-    df.withColumn(out, (coalesce(prior, lit(0L)).cast(LongType) / budget)
-      .cast(LongType))
+    // integral `div`, never `/`+cast: Column `/` divides in DOUBLE, and a
+    // cumulative weight past 2^53 (real at byte-weighted 100 TB inputs)
+    // would round rows near bin boundaries into the wrong bin
+    df.withColumn("__prior", coalesce(prior, lit(0L)).cast(LongType))
+      .withColumn(out, expr(s"__prior div ${budget}L"))
+      .drop("__prior")
   }
 
   /** Exact per-group percentiles (quality-threshold computation: "keep docs

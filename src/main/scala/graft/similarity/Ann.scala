@@ -83,13 +83,15 @@ object Ann {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nlist: Int = 64, nprobe: Int = 8): DataFrame = {
+    // centroid identity = md5 of the row id (a STRING key): works for any
+    // id type — a LongType cast would null out non-numeric ids and poison
+    // the assignment — and doubles as the deterministic selection order
     val centRows = corpus
-      .select(col(idCol).cast(LongType).as("cent_id"), col(vecCol).as("cent_vec"))
-      .withColumn("__ord", md5(col("cent_id").cast(StringType)))
-      .orderBy("__ord").limit(nlist)
-      .select("cent_id", "cent_vec").collect()
-    val cents: Seq[(Long, Seq[Float])] =
-      centRows.toIndexedSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .select(md5(col(idCol).cast(StringType)).as("cent_id"), col(vecCol).as("cent_vec"))
+      .orderBy("cent_id").limit(nlist)
+      .collect()
+    val cents: Seq[(String, Seq[Float])] =
+      centRows.toIndexedSeq.map(r => (r.getString(0), r.getSeq[Float](1)))
     require(cents.nonEmpty, "empty corpus")
 
     // (−sim, cent_id) struct per centroid; Vectors.fnorm over a literal

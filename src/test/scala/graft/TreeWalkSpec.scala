@@ -84,4 +84,21 @@ class TreeWalkSpec extends SparkSpec {
         Seq("x.sku" -> "sku"))
     }
   }
+
+  test("walk reuses explodes on a down-up-down chain (no self cross product)") {
+    import spark.implicits._
+    val doc = Seq((1L, Seq((10L, "a"), (20L, "b"), (30L, "c"))))
+      .toDF("root_id", "items")
+      .select(col("root_id"),
+        struct(col("items").cast("array<struct<sku:bigint,note:string>>")
+          .as("items")).as("payload"))
+    val out = TreeWalk.walk(doc,
+      Seq(TreeWalk.GoDown(TreeWalk.HasKey("sku"), "a"),
+          TreeWalk.GoUp(TreeWalk.HasDescendantKey("sku"), "p"),
+          TreeWalk.GoDown(TreeWalk.HasKey("sku"), "b")),
+      Seq("a.sku" -> "s1", "b.sku" -> "s2"), keep = Seq("root_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    // one row per item, each paired with ITSELF — not |items|² pairs
+    assert(out == Set((1L, 10L, 10L), (1L, 20L, 20L), (1L, 30L, 30L)))
+  }
 }
