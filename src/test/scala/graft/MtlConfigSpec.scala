@@ -118,6 +118,28 @@ class MtlConfigSpec extends SparkSpec {
     } finally m.detach()
   }
 
+  test("MTL WHERE accepts quoted literals containing spaces and '#'") {
+    import spark.implicits._
+    val doc = Seq((1L, "Customer#000000001", 5L), (2L, "two words", 9L),
+      (3L, "plain", 2L))
+      .toDF("id", "nm", "qty")
+      .select(col("id"), struct(col("nm"), col("qty")).as("payload"))
+    val program = graft.json.MtlParser.parse(
+      """# leading comment survives
+        |QUERY q IS SELECT c.nm AS name, c.qty AS qty
+        |FROM obj START AT TOP
+        |GO DOWN UNTIL HAS KEY nm AS c
+        |WHERE c.nm = 'Customer#000000001';""".stripMargin)
+    val got = graft.json.MtlParser.run(doc, program, "q")
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("Customer#000000001", 5L)))
+    val program2 = graft.json.MtlParser.parse(
+      "QUERY q IS SELECT c.nm AS name FROM obj START AT TOP " +
+        "GO DOWN UNTIL HAS KEY nm AS c WHERE c.nm = 'two words';")
+    assert(graft.json.MtlParser.run(doc, program2, "q")
+      .as[String].collect().toSeq == Seq("two words"))
+  }
+
   test("compoundEntities derives stable content-hash identities") {
     import spark.implicits._
     val rows = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "n")
