@@ -573,6 +573,10 @@ object SparkEntry {
     "q_jaccard_prefix" -> ((s, dir) =>
       Dedup.ngramJaccardPrefix(T(s, dir, "documents"), "doc_id", "text",
         k = 3, tau = 0.8)),
+    // fuzzy short-string dedup: 2-token blocks, exact levenshtein verify
+    "q_editdist" -> ((s, dir) =>
+      Dedup.editDistancePairs(T(s, dir, "part"), "p_partkey", "p_name",
+        maxDist = 12, blockTokens = 2, maxBlock = 64)),
 
     // ---- similarity (G6/G7) ----
     "q_ann" -> ((s, dir) => {
@@ -961,6 +965,16 @@ object SparkEntry {
          | CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
          |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
          |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5""".stripMargin,
+    "q_editdist" ->
+      """WITH b AS (SELECT p_partkey, p_name,
+        |  array_to_string(list_slice(list_filter(string_split(p_name, ' '), t -> t <> ''), 1, 2), ' ') AS blk
+        |  FROM part),
+        |g AS (SELECT blk FROM b GROUP BY blk HAVING COUNT(*) BETWEEN 2 AND 64)
+        |SELECT a.p_partkey AS id_a, c.p_partkey AS id_b,
+        | CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS dist
+        |FROM b a JOIN b c ON a.blk = c.blk AND a.p_partkey < c.p_partkey
+        | JOIN g ON g.blk = a.blk
+        |WHERE levenshtein(a.p_name, c.p_name) <= 12""".stripMargin,
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_lsh_pairs" -> lshPairsOracle,

@@ -109,6 +109,34 @@ object Dedup {
       .select("id_a", "id_b", "n_inter", "jaccard")
   }
 
+  /** Fuzzy short-string near-dup via blocked edit distance: candidate pairs
+    * share a block key (the first `blockTokens` tokens), verified with
+    * exact `levenshtein` ≤ `maxDist`. The short-string (titles, names,
+    * product labels) companion to the shingle/minhash family — edit
+    * distance is O(len²) per pair, so ALL pair generation happens inside
+    * blocks, never corpus². `maxBlock` drops degenerate blocks (the
+    * [[lshPairs]] guard); recall < 1 by construction — pairs split across
+    * blocks are unseen, like any blocking scheme.
+    *
+    * Output: (id_a, id_b, dist), id_a < id_b.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int, blockTokens: Int = 2,
+                        maxBlock: Int = 64): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(textCol).as("txt"),
+      array_join(slice(Text.tokens(col(textCol)), 1, blockTokens), " ").as("blk"))
+    val buckets = b.groupBy("blk")
+      .agg(sort_array(collect_list(struct(col("id"), col("txt")))).as("ms"))
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBlock)
+    buckets.select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))),
+          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            x.getField("txt").as("ta"), y.getField("txt").as("tb")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"),
+        levenshtein(col("p.ta"), col("p.tb")).cast(LongType).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Prefix-filtered exact Jaccard (the AllPairs/PPJoin family): for
     * J(A,B) ≥ tau, A and B must share a shingle within their
     * (|X| − ⌈tau·|X|⌉ + 1)-prefixes under a GLOBAL shingle order — rarest

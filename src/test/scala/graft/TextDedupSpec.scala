@@ -74,6 +74,17 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("editDistancePairs finds close strings inside blocks only") {
+    val df = Seq(
+      (1L, "acme widget deluxe"), (2L, "acme widget delux"),   // dist 1, same block
+      (3L, "acme widget standard"),                             // same block, far
+      (4L, "zenith widget deluxe")                              // different block
+    ).toDF("id", "name")
+    val got = Dedup.editDistancePairs(df, "id", "name", maxDist = 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L))) // 3 too far, 4 blocked apart
+  }
+
   test("ngramJaccardPrefix equals exhaustive ngramJaccard (lossless filter)") {
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
     def canon(df: org.apache.spark.sql.DataFrame) =
