@@ -519,6 +519,38 @@ object SparkEntry {
       s.read.parquet(outDir)
     }),
 
+    // streaming exact-dedup end-to-end: duplicated file stream →
+    // dropDuplicates within the watermark horizon (sized to cover the whole
+    // bounded replay, so the result is the global distinct) → parquet
+    "q_stream_dedup" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_dd").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      // write the input TWICE — the stream must actually drop repeats
+      ev.repartition(1).write.mode("overwrite").parquet(inDir)
+      ev.repartition(1).write.mode("append").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+          format = "parquet", schemaDdl = Some(ev.schema.toDDL), maxFilesPerTrigger = 1)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val dd = graft.streaming.Streams.dedupStream(stream, "ts",
+          watermark = "36500 days", keys = Seq("user_id", "event_type"))
+        .select("user_id", "event_type", "ts_us")
+      val q = graft.streaming.Streams.toForeachBatch(dd, ckpt,
+        availableNow = true, outputMode = "append") { (batch, _) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      q.awaitTermination()
+      s.read.parquet(outDir)
+    }),
+
+    // env-var config source: a deterministically-unset variable yields the
+    // one-row frame with a typed null (set-var behavior is spec-covered —
+    // real env values cannot cross the Spark/DuckDB boundary)
+    "q_envvars" -> ((s, _) =>
+      Sources.envVars(s, Seq("GRAFT_UNSET_SENTINEL_XYZ"))
+        .select(col("GRAFT_UNSET_SENTINEL_XYZ").cast(StringType).as("v"))),
+
     // ---- multimodal plumbing (G12) ----
     "q_multimodal" -> ((s, dir) => {
       val media = Multimodal.fakeMedia(s, T(s, dir, "documents"), "doc_id")
@@ -1017,6 +1049,9 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_multimodal" -> multimodalOracle,
+    "q_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type, epoch_us(ts) AS ts_us FROM events",
+    "q_envvars" -> "SELECT CAST(NULL AS VARCHAR) AS v",
     "q_csv_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_recorder_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_partition_pruning" -> "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
