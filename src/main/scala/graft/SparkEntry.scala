@@ -644,6 +644,13 @@ object SparkEntry {
       Ops.packByBudget(docs, Seq("lang"), Seq("doc_id"), "n_tokens", 1000L)
         .select("doc_id", "lang", "n_tokens", "bin_id")
     }),
+    // deterministic weighted sampling: keep probability ∝ token count
+    "q_weighted_sample" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), col("lang"),
+        size(Text.tokens(col("text"))).cast(LongType).as("n_tokens"))
+        .withColumn("p", col("n_tokens").cast(DoubleType) / 500.0)
+      Ops.weightedSample(d, "doc_id", "p").select("doc_id", "lang", "n_tokens")
+    }),
     // reproducible 90/10 train-val split: md5-derived bucket, no RNG state
     "q_split" -> ((s, dir) =>
       Ops.hashSplit(T(s, dir, "documents"), "doc_id", 90)
@@ -1184,6 +1191,12 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, lang, CAST(len($toksSql) AS DOUBLE) AS nt FROM documents),
          |th AS (SELECT lang, quantile_cont(nt, 0.25) AS p25 FROM t GROUP BY lang)
          |SELECT doc_id, t.lang FROM t JOIN th ON t.lang = th.lang WHERE nt > p25""".stripMargin,
+    "q_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT doc_id, lang, n_tokens FROM t
+         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |      < CAST(greatest(0.0, least(1.0, CAST(n_tokens AS DOUBLE) / 500.0))
+         |             * 1152921504606846976.0 AS BIGINT)""".stripMargin,
     "q_split" ->
       """SELECT doc_id, lang,
         | CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90

@@ -283,6 +283,21 @@ object Ops {
     df.withColumn(out, when(bucket < trainPct, "train").otherwise("val"))
   }
 
+  /** Deterministic weighted Bernoulli sampling: keep a row with probability
+    * `probCol` (clamped to [0,1]) decided by the row's md5 bucket — no RNG
+    * state, so the SAME rows survive on every engine, run, and partitioning
+    * (what quality-weighted corpus downsampling needs to be reproducible).
+    * The 60-bit bucket compares against `prob · 2^60` computed in double —
+    * exact for the probability resolutions that matter.
+    */
+  def weightedSample(df: DataFrame, idCol: String, probCol: String): DataFrame = {
+    val bucket = conv(substring(md5(col(idCol).cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType)
+    val threshold = (greatest(lit(0.0), least(lit(1.0), col(probCol)))
+      * lit((1L << 60).toDouble)).cast(LongType)
+    df.filter(bucket < threshold)
+  }
+
   /** Tumbling/sliding time-window aggregation (reference
     * `TimeWindowAccumulator`, node.py:1453). Batch flavor; streaming variant
     * in `graft.streaming.Streams` adds the watermark.

@@ -164,6 +164,17 @@ class OpsSpec extends SparkSpec {
     assert(got == Set(("a", 2.5, 3.25), ("b", 10.0, 10.0)))
   }
 
+  test("weightedSample keeps p=1 rows, drops p=0 rows, and is deterministic") {
+    val df = spark.range(0, 500).toDF("id")
+    val all = Ops.weightedSample(df.withColumn("p", lit(1.0)), "id", "p").count()
+    val none = Ops.weightedSample(df.withColumn("p", lit(0.0)), "id", "p").count()
+    assert(all == 500 && none == 0)
+    val half = df.withColumn("p", lit(0.5))
+    val a = Ops.weightedSample(half, "id", "p").select("id").as[Long].collect().toSet
+    val b = Ops.weightedSample(half, "id", "p").select("id").as[Long].collect().toSet
+    assert(a == b && a.size > 180 && a.size < 320) // same rows, ~half kept
+  }
+
   test("hashSplit is deterministic and near the requested fraction") {
     val df = spark.range(0, 2000).toDF("id")
     val splits = Ops.hashSplit(df, "id", 90).groupBy("split").count()
