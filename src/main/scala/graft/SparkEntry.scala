@@ -536,12 +536,15 @@ object SparkEntry {
       val dd = graft.streaming.Streams.dedupStream(stream, "ts",
           watermark = "36500 days", keys = Seq("user_id", "event_type"))
         .select("user_id", "event_type", "ts_us")
+      // per-batchId overwrite = idempotent under foreachBatch's
+      // at-least-once retries (a plain append would duplicate a replayed
+      // micro-batch)
       val q = graft.streaming.Streams.toForeachBatch(dd, ckpt,
-        availableNow = true, outputMode = "append") { (batch, _) =>
-        batch.write.mode("append").parquet(outDir)
+        availableNow = true, outputMode = "append") { (batch, id) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$id")
       }
       q.awaitTermination()
-      s.read.parquet(outDir)
+      s.read.parquet(s"$outDir/batch_*")
     }),
 
     // env-var config source: a deterministically-unset variable yields the
@@ -1195,8 +1198,8 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents)
          |SELECT doc_id, lang, n_tokens FROM t
          |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-         |      < CAST(greatest(0.0, least(1.0, CAST(n_tokens AS DOUBLE) / 500.0))
-         |             * 1152921504606846976.0 AS BIGINT)""".stripMargin,
+         |      < CAST(floor(greatest(0.0, least(1.0, CAST(n_tokens AS DOUBLE) / 500.0))
+         |             * 1152921504606846976.0) AS BIGINT)""".stripMargin,
     "q_split" ->
       """SELECT doc_id, lang,
         | CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90

@@ -26,6 +26,16 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Expand each bucket's sorted member list into its strictly-upper-
+    * triangular pairs: one output element per (i < j) position, payload
+    * built by `mk(x, y)`. The 1-based `slice(ms, i + 2, …)` against the
+    * 0-based `transform` index is the off-by-one this helper exists to
+    * prove ONCE — every banded/blocked dedup path expands pairs this way.
+    */
+  private def bucketPairs(ms: Column, mk: (Column, Column) => Column): Column =
+    explode(flatten(transform(ms, (x, i) =>
+      transform(slice(ms, i + 2, size(ms)), y => mk(x, y)))))
+
   /** Distinct word-k-shingles per document with the document's shingle-set
     * size carried alongside: (id, sz, shingle). Distinctness is enforced
     * per-document with `array_distinct`, and `sz` is computed in the SAME
@@ -96,10 +106,9 @@ object Dedup {
     val buckets = sized.groupBy("shingle")
       .agg(sort_array(collect_list(struct(col("id"), col("sz")))).as("ms"))
       .filter(size(col("ms")) > 1 && size(col("ms")) <= maxShingleDf)
-    buckets.select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + 2, size(col("ms"))),
-          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-            x.getField("sz").as("sz_a"), y.getField("sz").as("sz_b")))))).as("p"))
+    buckets.select(bucketPairs(col("ms"), (x, y) =>
+        struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          x.getField("sz").as("sz_a"), y.getField("sz").as("sz_b"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.sz_a"), col("p.sz_b"))
       .groupBy("id_a", "id_b", "sz_a", "sz_b").agg(count(lit(1)).as("n_inter"))
       .withColumn("jaccard",
@@ -128,10 +137,12 @@ object Dedup {
     val buckets = b.groupBy("blk")
       .agg(sort_array(collect_list(struct(col("id"), col("txt")))).as("ms"))
       .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBlock)
-    buckets.select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + 2, size(col("ms"))),
-          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-            x.getField("txt").as("ta"), y.getField("txt").as("tb")))))).as("p"))
+    buckets.select(bucketPairs(col("ms"), (x, y) =>
+        struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          x.getField("txt").as("ta"), y.getField("txt").as("tb"))).as("p"))
+      // strict <: duplicate ids in one block would otherwise emit an
+      // id_a == id_b self-pair (the sorted list only guarantees <=)
+      .filter(col("p.id_a") < col("p.id_b"))
       .select(col("p.id_a"), col("p.id_b"),
         levenshtein(col("p.ta"), col("p.tb")).cast(LongType).as("dist"))
       .filter(col("dist") <= maxDist)
@@ -168,9 +179,8 @@ object Dedup {
     val cand = prefix.groupBy("shingle")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(bucketPairs(col("ids"), (x, y) =>
+        struct(x.as("id_a"), y.as("id_b"))).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
       // candidate pairs are few by design and referenced twice (id filter +
       // verify join) — persist so the prefix pipeline runs once
@@ -237,9 +247,8 @@ object Dedup {
     val buckets = banded.groupBy("band", "band_key")
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-    buckets.select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+    buckets.select(bucketPairs(col("ids"), (x, y) =>
+        struct(x.as("id_a"), y.as("id_b"))).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
   }
 
@@ -290,11 +299,10 @@ object Dedup {
     val buckets = banded.groupBy("band", "bkey")
       .agg(sort_array(collect_set(struct(col("id"), col("simhash")))).as("members"))
       .filter(size(col("members")) > 1)
-    val pairs = buckets.select(explode(flatten(transform(col("members"), (x, i) =>
-        transform(slice(col("members"), i + 2, size(col("members"))),
-          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-            bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash")))
-              .as("hamming")))))).as("p"))
+    val pairs = buckets.select(bucketPairs(col("members"), (x, y) =>
+        struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash")))
+            .as("hamming"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
     pairs.filter(col("hamming") <= maxHamming).distinct()
   }
@@ -358,11 +366,10 @@ object Dedup {
     val buckets = banded.groupBy("band", "bkey")
       .agg(sort_array(collect_list(struct(col("id"), col("vec"), col("nrm")))).as("members"))
       .filter(size(col("members")) > 1 && size(col("members")) <= maxBucket)
-    buckets.select(explode(flatten(transform(col("members"), (x, i) =>
-        transform(slice(col("members"), i + 2, size(col("members"))),
-          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-            Vectors.fcosine(x.getField("vec"), y.getField("vec"),
-              x.getField("nrm"), y.getField("nrm")).as("cosine")))))).as("p"))
+    buckets.select(bucketPairs(col("members"), (x, y) =>
+        struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          Vectors.fcosine(x.getField("vec"), y.getField("vec"),
+            x.getField("nrm"), y.getField("nrm")).as("cosine"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.cosine"))
       .filter(col("cosine") >= tau)
       .distinct()

@@ -293,8 +293,13 @@ object Ops {
   def weightedSample(df: DataFrame, idCol: String, probCol: String): DataFrame = {
     val bucket = conv(substring(md5(col(idCol).cast(StringType)), 1, 15), 16, 10)
       .cast(LongType)
-    val threshold = (greatest(lit(0.0), least(lit(1.0), col(probCol)))
-      * lit((1L << 60).toDouble)).cast(LongType)
+    // NULL probability = 0 (drop): least/greatest SKIP nulls, so without
+    // the coalesce an unscored row would silently clamp to keep-always.
+    // floor() before the long cast pins truncation semantics explicitly —
+    // engines disagree on double→int cast rounding, and the oracle must
+    // floor the same way.
+    val p = greatest(lit(0.0), least(lit(1.0), coalesce(col(probCol), lit(0.0))))
+    val threshold = floor(p * lit((1L << 60).toDouble)).cast(LongType)
     df.filter(bucket < threshold)
   }
 
