@@ -317,8 +317,13 @@ object Dedup {
   def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
                     tau: Double, maxRows: Long = 10000): DataFrame = {
     // limit(maxRows+1).count() short-circuits after maxRows+1 rows — a full
-    // df.count() would materialize the very frame the guard protects against
-    val over = df.limit((maxRows + 1).toInt).count() > maxRows
+    // df.count() would materialize the very frame the guard protects against.
+    // Clamp to Int range: a caller passing Long.MaxValue to disable the guard
+    // must not overflow into a negative limit.
+    require(maxRows > 0, s"maxRows must be positive, got $maxRows")
+    val cap = if (maxRows >= Int.MaxValue.toLong) Int.MaxValue
+              else (maxRows + 1).toInt
+    val over = df.limit(cap).count() > maxRows
     require(!over,
       s"cosineNearDup is all-pairs O(n²): input exceeds maxRows=$maxRows; " +
         "use cosineNearDupLsh for large inputs")

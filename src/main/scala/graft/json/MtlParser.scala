@@ -234,6 +234,21 @@ object MtlParser {
   /** Run one named query of the program against a document DataFrame.
     * `functions` resolves MTL function applications (reference: imported
     * Python callables) to Column transforms; `identity` is built in.
+    *
+    * Compilation semantics: a chain WITHOUT `GO UP` compiles through
+    * [[TreeWalk.extractCond]], where every label resolves independently,
+    * root-INCLUSIVE, from the document root (TreeHorn's relational-label
+    * semantics); any chain WITH `GO UP` compiles through [[TreeWalk.walk]],
+    * a sequential strict-descent walk from each step's landing node. For
+    * queries whose conditions match exactly one node anywhere in the schema
+    * (the reference's `query_text.mtl` style — and every oracled q_mtl*
+    * query here) the two agree. If a condition is ambiguous — the root
+    * itself matches, or a later GO DOWN's condition also matches outside the
+    * earlier match's subtree — they can bind different nodes, exactly as the
+    * reference's GoDown-from-root vs GoDown-from-current differ
+    * (`treehorn.py:186-285`). MtlParserSpec."compile path divergence" pins
+    * this behavior; write unambiguous conditions (e.g. guard with
+    * NOT HAS KEY as q_mtl_where does) when mixing semantics.
     */
   def run(df: DataFrame, program: Program, queryName: String,
           functions: Map[String, Column => Column] = Map.empty): DataFrame = {
@@ -357,6 +372,8 @@ object MtlParser {
     val rows = run(df, program, queryName, functions)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val canon = coreferenceFromRows(rows, program, queryName, rounds)
+    require(program.relations.exists(_.query == queryName),
+      s"no relation assertions for query '$queryName'")
     val edges = relationsFromRows(rows, program, queryName)
       .reduce(_ unionByName _)
       .select(col("src_id").cast(StringType).as("src_id"),

@@ -243,6 +243,8 @@ object Ops {
   def packByBudget(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
                    weightCol: String, budget: Long,
                    out: String = "bin_id"): DataFrame = {
+    // integral div by zero yields null, which would silently null every bin id
+    require(budget > 0, s"budget must be positive, got $budget")
     val base = if (keys.isEmpty) Window.orderBy(orderCols.map(col): _*)
                else Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(col): _*)
     val prior = sum(col(weightCol))

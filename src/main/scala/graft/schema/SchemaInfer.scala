@@ -66,9 +66,12 @@ object SchemaInfer {
     val aggs: Seq[Column] = cols.flatMap { c =>
       val v = trim(col(c).cast(StringType))
       val present = v.isNotNull && v =!= ""
+      // coalesce: sum over ZERO rows (empty input, or a sampleMod matching
+      // nothing) is null, and getAs[Long] would NPE on unboxing
       candidates.zipWithIndex.map { case ((_, ok), i) =>
-        sum(when(present && !ok(v), 1L).otherwise(0L)).as(s"__f_${c}_$i")
-      } :+ sum(when(present, 1L).otherwise(0L)).as(s"__n_$c")
+        coalesce(sum(when(present && !ok(v), 1L).otherwise(0L)), lit(0L))
+          .as(s"__f_${c}_$i")
+      } :+ coalesce(sum(when(present, 1L).otherwise(0L)), lit(0L)).as(s"__n_$c")
     }
     val row = base.agg(aggs.head, aggs.tail: _*).collect()(0)
     cols.map { c =>

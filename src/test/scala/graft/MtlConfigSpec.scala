@@ -77,6 +77,42 @@ class MtlConfigSpec extends SparkSpec {
     assert(groups == Set(("alice", "alice"), ("s1", "alice"), ("s2", "alice")))
   }
 
+  test("knowledgeBase fails fast when the program has no relation assertions") {
+    val p = MtlParser.parse(
+      """QUERY q IS SELECT o.owner_name AS owner, i.sku AS sku
+        |FROM obj START AT TOP
+        |GO DOWN UNTIL HAS KEY owner_name AS o
+        |GO DOWN UNTIL HAS KEY sku AS i;
+        |IN QUERY q owner AND sku COREFER;""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      MtlParser.knowledgeBase(doc, p, "q")
+    }
+    assert(e.getMessage.contains("no relation assertions"))
+  }
+
+  test("compile path divergence: adding GO UP switches root-relative to sequential binding") {
+    // `other` precedes `wrap`, and BOTH subtrees carry a k2 node. The
+    // root-relative compile (no GO UP → extractCond) binds `two` to the
+    // pre-order-first k2 from the ROOT ("shallow"); the sequential walk
+    // (any GO UP present) descends from `one`'s landing node ("deep").
+    // Pinned per MtlParser.run's Scaladoc: write unambiguous conditions
+    // when mixing semantics.
+    val ddoc = Seq(1).toDF("id").select(struct(
+      struct(lit("shallow").as("k2")).as("other"),
+      struct(lit("x").as("k1"),
+        struct(lit("deep").as("k2")).as("inner")).as("wrap")).as("payload"))
+    val base =
+      """QUERY q IS SELECT two.k2 AS v
+        |FROM obj START AT TOP
+        |GO DOWN UNTIL HAS KEY k1 AS one
+        |GO DOWN UNTIL HAS KEY k2 AS two""".stripMargin
+    val rootRel = MtlParser.run(ddoc, MtlParser.parse(base + ";"), "q")
+    assert(rootRel.as[String].collect().toSeq == Seq("shallow"))
+    val sequential = MtlParser.run(ddoc,
+      MtlParser.parse(base + "\nGO UP UNTIL HAS KEY wrap AS top;"), "q")
+    assert(sequential.as[String].collect().toSeq == Seq("deep"))
+  }
+
   test("ConfigPipeline builds a DAG from JSON with SQL expressions") {
     val out = ConfigPipeline.fromJson(spark,
       """{"stages": [

@@ -154,6 +154,10 @@ class OpsSpec extends SparkSpec {
     // a: prior sums 0, 400, 800, 1200 → bins 0, 0, 0, 1; b restarts at 0
     assert(got == Set(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 0L),
       ("a", 4L, 1L), ("b", 1L, 0L)))
+    // zero/negative budgets would null every bin via integral div-by-zero
+    intercept[IllegalArgumentException] {
+      Ops.packByBudget(df, Seq("k"), Seq("ord"), "w", 0L)
+    }
   }
 
   test("percentiles computes exact interpolated quantiles per group") {

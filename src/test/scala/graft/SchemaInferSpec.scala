@@ -62,6 +62,12 @@ class SchemaInferSpec extends SparkSpec {
     assert(SchemaInfer.infer(df, sampleMod = 10).toMap.apply("n") == LongType)
   }
 
+  test("empty input infers STRING for every column instead of NPEing") {
+    val df = Seq.empty[(String, String)].toDF("a", "b")
+    assert(SchemaInfer.infer(df).toMap ==
+      Map("a" -> StringType, "b" -> StringType))
+  }
+
   test("mysqlType maps MySQL schema strings onto Spark types") {
     assert(SchemaInfer.mysqlType("int(8)") == IntegerType)
     assert(SchemaInfer.mysqlType("INT") == IntegerType)

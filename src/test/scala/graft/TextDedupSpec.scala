@@ -145,6 +145,10 @@ class TextDedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.cosineNearDup(df, "vec_id", "vec", 0.9, maxRows = 2)
     }
+    // Long.MaxValue disables the guard without overflowing the limit
+    val unguarded = Dedup.cosineNearDup(df, "vec_id", "vec", 0.9,
+      maxRows = Long.MaxValue).select("id_a", "id_b").as[(Long, Long)]
+    assert(unguarded.collect().toSet == Set((1L, 2L)))
   }
 
   test("cosineNearDupLsh candidates verify by exact cosine (subset of all-pairs)") {
