@@ -141,6 +141,19 @@ object SparkEntry {
         .select(col("p_id"), col("e_id"), col("__ij_l.user_id").as("user_id"),
           (col("e_us") - col("p_us")).as("dt_us"))
     }),
+    // As-of join: each click pairs with the user's latest purchase at or
+    // before it. Right side pre-aggregated to unique (user_id, ts) so the
+    // union+window shape is deterministic (see Ops.asOfJoin).
+    "q_asof" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("l_us"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), expr("ts_ns div 1000").as("r_us"))
+        .agg(max(col("value")).as("r_value"))
+      Ops.asOfJoin(l, r, Seq("user_id"), "l_us", "r_us", Seq("r_value"))
+        .select("event_id", "user_id", "l_us", "r_us", "r_value")
+    }),
     "q_rowstats" -> ((s, dir) => Ops.rowStats(T(s, dir, "customer"))),
     // C6 string→typed inference: cast customer to all-strings (plus synthetic
     // bool/date/timestamp string columns), recover the types via SchemaInfer,
@@ -933,6 +946,17 @@ object SparkEntry {
         | AND p.event_type = 'purchase' AND e.event_type = 'error'
         | AND epoch_us(e.ts) >= epoch_us(p.ts) - 300000000
         | AND epoch_us(e.ts) <= epoch_us(p.ts) + 300000000""".stripMargin,
+    "q_asof" ->
+      """WITH r AS (
+        |  SELECT user_id, epoch_us(ts) AS r_us, MAX(value) AS r_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS l_us
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT l.event_id, l.user_id, l.l_us, r.r_us, r.r_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.l_us >= r.r_us""".stripMargin,
     "q_schema_infer" ->
       """SELECT c_custkey AS custkey, c_name AS name, c_nationkey AS nationkey,
         | c_acctbal AS acctbal, (c_custkey % 2 = 0) AS vip,

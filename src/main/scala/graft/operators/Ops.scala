@@ -369,6 +369,51 @@ object Ops {
       .drop("__bucket")
   }
 
+  /** As-of join: each left row pairs with the LATEST right row having the
+    * same key and `rightTs <= leftTs` — the point-in-time lookup semantics
+    * of the reference's TimedDict-buffered join (node.py:1528), which keeps
+    * the most recent value per key, made exact over full history.
+    * Left rows with no prior right row keep nulls (left-outer as-of).
+    *
+    * Spark-first shape: NO range join. Both sides union into one frame,
+    * sorted per key by (ts, side) with right-before-left on ties (a right
+    * row AT leftTs matches); `last(_, ignoreNulls)` over a running row
+    * frame carries each right payload forward; filter back to left rows.
+    * Exactly ONE shuffle (the window partitionBy) and no pair blowup —
+    * linear in |left| + |right| where a range join would replicate rows.
+    *
+    * Determinism requires right rows unique per (keys, rightTs) — pre-
+    * aggregate the right side otherwise (ties would resolve by partition
+    * order). Hot keys: one key = one task's sort; pre-bucket by coarse time
+    * upstream if a single key's history exceeds a task (intervalJoinBucketed
+    * pattern).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTsCol: String, rightTsCol: String,
+               rightCols: Seq[String]): DataFrame = {
+    val leftOther = left.columns.toSeq.filterNot(keys.contains)
+    val rPayload = rightTsCol +: rightCols
+    require(rPayload.forall(!leftOther.contains(_)),
+      s"right output columns ${rPayload.mkString(",")} collide with left columns")
+    val lSel = keys.map(col) ++
+      Seq(col(leftTsCol).as("__ts"), lit(1).as("__side")) ++
+      leftOther.map(col) ++
+      rPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))
+    val rSel = keys.map(col) ++
+      Seq(col(rightTsCol).as("__ts"), lit(0).as("__side")) ++
+      leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+      rPayload.map(c => col(c).as(s"__r_$c"))
+    val un = left.select(lSel: _*).unionByName(right.select(rSel: _*))
+    // all the last() calls share one Window spec → a single Window node
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rPayload.foldLeft(un)((d, c) =>
+      d.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)))
+    filled.filter(col("__side") === 1)
+      .select(keys.map(col) ++ leftOther.map(col) ++
+        rPayload.map(c => col(s"__r_$c").as(c)): _*)
+  }
+
   // -------------------------------------------------------------------
   // Stats / schema (reference table_nodes.py:46, utils/data_structures.py)
   // -------------------------------------------------------------------

@@ -160,6 +160,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoin pairs each left row with the latest right row at or before it") {
+    val l = Seq(("u1", 10L, "a"), ("u1", 25L, "b"), ("u2", 5L, "c"))
+      .toDF("k", "l_ts", "tag")
+    val r = Seq(("u1", 10L, 1.0), ("u1", 20L, 2.0), ("u2", 7L, 9.0))
+      .toDF("k", "r_ts", "v")
+    val got = Ops.asOfJoin(l, r, Seq("k"), "l_ts", "r_ts", Seq("v"))
+      .select("k", "l_ts", "tag", "r_ts", "v")
+      .as[(String, Long, String, Option[Long], Option[Double])].collect().toSet
+    assert(got == Set(
+      ("u1", 10L, "a", Some(10L), Some(1.0)), // tie: right AT l_ts matches
+      ("u1", 25L, "b", Some(20L), Some(2.0)), // latest prior, not first
+      ("u2", 5L, "c", None, None)))           // no prior right → left-outer
+  }
+
   test("percentiles computes exact interpolated quantiles per group") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 10.0))
       .toDF("k", "v")

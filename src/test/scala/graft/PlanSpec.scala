@@ -106,6 +106,21 @@ class PlanSpec extends SparkSpec {
     assert(countShufflesExec(sess.queryExecution.executedPlan) == 1)
   }
 
+  test("asOfJoin costs one shuffle beyond its inputs and plans no join") {
+    val ev = Tables.events(spark, sfDir)
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("l_us"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_ns div 1000").as("r_us"), col("value").as("r_value"))
+    val joined = Ops.asOfJoin(l, r, Seq("user_id"), "l_us", "r_us", Seq("r_value"))
+    joined.count()
+    val plan = joined.queryExecution.executedPlan
+    // union + ONE window partitionBy exchange — no range/nested-loop join
+    assert(countShufflesExec(plan) == 1)
+    val s = plan.toString
+    assert(!s.contains("Join"), s.take(2000))
+  }
+
   test("packByBudget (keyed) costs exactly one shuffle") {
     val d = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("w"))
