@@ -584,6 +584,14 @@ object SparkEntry {
         "doc_id", "norm")),
     "q_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(T(s, dir, "documents"), "doc_id", "text", k = 3, tau = 0.5)),
+    // near-dup pairs → transitive clusters: min-label propagation to
+    // fixpoint ≡ the oracle's exact transitive closure
+    "q_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccard(T(s, dir, "documents"), "doc_id", "text",
+        k = 3, tau = 0.5)
+      Dedup.dupClusters(pairs)
+        .select(col("member").as("doc_id"), col("canonical"))
+    }),
     "q_minhash" -> ((s, dir) => {
       val docs = T(s, dir, "documents").filter(size(Text.tokens(col("text"))) > 0)
       Dedup.minhashSignature(docs, "doc_id", "text", 4)
@@ -1009,6 +1017,18 @@ object SparkEntry {
         |FROM n GROUP BY md5(norm)""".stripMargin,
     "q_jaccard" -> jaccardOracle("0.5"),
     "q_jaccard_prefix" -> jaccardOracle("0.8"), // prefix filter is lossless
+    // exact transitive closure over the same pair list (LP fixpoint ≡ CC)
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (
+         |${jaccardOracle("0.5")}) jp),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical
+         |FROM reach GROUP BY src""".stripMargin,
     "q_minhash" ->
       s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents)
          |SELECT doc_id, MIN(md5('0:' || tok)) AS h0, MIN(md5('1:' || tok)) AS h1,

@@ -379,4 +379,55 @@ object Dedup {
       .filter(col("cosine") >= tau)
       .distinct()
   }
+
+  /** Connected components over a near-dup pair list: every document in a
+    * transitively-connected group maps to the group's MINIMUM id (the
+    * canonical representative). This is the step after any pair generator
+    * ([[ngramJaccard]], [[lshPairs]], [[simhashPairs]], [[cosineNearDupLsh]])
+    * that turns pairwise matches into keep/drop decisions: keep
+    * `doc_id == canonical`, drop the rest.
+    *
+    * Min-label propagation to FIXPOINT: each round every node takes the
+    * minimum label among itself and its neighbors (one shuffle join + one
+    * aggregate per round); converged when no label changes. Rounds needed =
+    * eccentricity of each component's min node (≤ diameter) — near-dup
+    * graphs are dense clumps, so 2-4 rounds in practice, `maxRounds` guards
+    * pathological chains. Results are iteration-count-independent BY
+    * construction (fixpoint), so the output is deterministic and matches an
+    * exact transitive-closure oracle. Each round persists its label table
+    * and unpersists the previous one — the plan never deepens past one
+    * round (no lineage blowup at scale).
+    *
+    * Output: (member, canonical) for every id appearing in `pairs` —
+    * singleton documents never enter a pair list; union them back with
+    * canonical = own id if a total mapping is needed.
+    */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                  maxRounds: Int = 20): DataFrame = {
+    require(maxRounds > 0, s"maxRounds must be positive, got $maxRounds")
+    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val sym = fwd.union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("member")).distinct()
+      .withColumn("label", col("member"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      // neighbor labels flow along edges; min with the node's own label
+      val nbr = sym.join(labels.withColumnRenamed("member", "dst"), "dst")
+        .select(col("src").as("member"), col("label"))
+      val next = labels.select(col("member"), col("label")).union(nbr)
+        .groupBy("member").agg(min(col("label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.withColumnRenamed("label", "new_label")
+        .join(labels, "member")
+        .filter(col("new_label") =!= col("label")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    sym.unpersist()
+    labels.select(col("member"), col("label").as("canonical"))
+  }
 }

@@ -151,6 +151,19 @@ class TextDedupSpec extends SparkSpec {
     assert(unguarded.collect().toSet == Set((1L, 2L)))
   }
 
+  test("dupClusters runs label propagation to fixpoint (long chains converge)") {
+    // a 6-node chain (diameter 5 — needs >2 rounds), one triangle sharing
+    // no nodes, and an isolated pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 6L).forall(got(_) == 1L))
+    assert((10L to 12L).forall(got(_) == 10L))
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(got.size == 11)
+  }
+
   test("cosineNearDupLsh candidates verify by exact cosine (subset of all-pairs)") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.99f, 0.01f, 0.0f)),
