@@ -584,6 +584,15 @@ object SparkEntry {
         "doc_id", "norm")),
     "q_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(T(s, dir, "documents"), "doc_id", "text", k = 3, tau = 0.5)),
+    // benchmark decontamination: flag corpus docs sharing 5-grams with a
+    // deterministic "eval set" (doc_id % 97 == 0)
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      Dedup.decontaminate(docs, "doc_id", "text", bench, "text",
+          k = 5, minHits = 1)
+        .select(col("id").as("doc_id"), col("n_hits"), col("contaminated"))
+    }),
     // near-dup pairs → transitive clusters: min-label propagation to
     // fixpoint ≡ the oracle's exact transitive closure
     "q_dup_clusters" -> ((s, dir) => {
@@ -1017,6 +1026,18 @@ object SparkEntry {
         |FROM n GROUP BY md5(norm)""".stripMargin,
     "q_jaccard" -> jaccardOracle("0.5"),
     "q_jaccard_prefix" -> jaccardOracle("0.8"), // prefix filter is lossless
+    "q_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |csh AS (SELECT DISTINCT doc_id,
+         |        unnest(list_transform(range(0, len(tk) - 4),
+         |               i -> array_to_string(list_slice(tk, i + 1, i + 5), ' '))) AS shingle
+         |        FROM toks WHERE len(tk) >= 5),
+         |bsh AS (SELECT DISTINCT shingle FROM csh WHERE doc_id % 97 = 0),
+         |hits AS (SELECT c.doc_id, COUNT(*) AS n_hits
+         |         FROM csh c JOIN bsh USING (shingle) GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+         |       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
     // exact transitive closure over the same pair list (LP fixpoint ≡ CC)
     "q_dup_clusters" ->
       s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (

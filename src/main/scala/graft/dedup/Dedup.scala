@@ -380,6 +380,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark decontamination — the training-data hygiene step: flag every
+    * corpus document sharing at least `minHits` distinct word-k-grams with
+    * an evaluation/benchmark set, so test data can be held out of training.
+    *
+    * Scale shape: `bench` is eval-set sized, so its distinct shingle set
+    * BROADCASTS; the corpus scans once and its text never shuffles — only
+    * shingles that actually match the benchmark reach the per-doc count
+    * aggregate (contamination is rare by construction), and the resulting
+    * hit table (contaminated docs only) broadcasts back onto the corpus id
+    * list for the zero-fill. k=8..13 word grams are the usual published
+    * decontamination window; lower k = stricter.
+    *
+    * Output: (id, n_hits, contaminated) — one row per corpus document.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    k: Int = 8, minHits: Int = 1): DataFrame = {
+    require(k > 0 && minHits > 0, s"k and minHits must be positive")
+    val benchSh = bench
+      .select(Text.tokens(col(benchTextCol)).as("__tk"))
+      .select(explode(array_distinct(Text.shinglesOf(col("__tk"), k))).as("shingle"))
+      .distinct()
+    val hits = shingleRows(corpus, idCol, textCol, k)
+      .join(broadcast(benchSh), "shingle")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol).as("id"))
+      .join(broadcast(hits), Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") >= minHits)
+  }
+
   /** Connected components over a near-dup pair list: every document in a
     * transitively-connected group maps to the group's MINIMUM id (the
     * canonical representative). This is the step after any pair generator

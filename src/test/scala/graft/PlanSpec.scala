@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 
+import graft.dedup.Dedup
 import graft.operators.Ops
 import graft.sources.Tables
 
@@ -104,6 +105,15 @@ class PlanSpec extends SparkSpec {
     val sess = Ops.sessionize(ev, Seq("user_id"), "ts_us", 600000000L)
     sess.count()
     assert(countShufflesExec(sess.queryExecution.executedPlan) == 1)
+  }
+
+  test("decontaminate broadcasts the benchmark shingles — no corpus shuffle join") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val out = Dedup.decontaminate(docs, "doc_id", "text", bench, "text", k = 5)
+    val p = planString(out)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
   test("asOfJoin costs one shuffle beyond its inputs and plans no join") {

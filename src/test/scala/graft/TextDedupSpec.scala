@@ -151,6 +151,20 @@ class TextDedupSpec extends SparkSpec {
     assert(unguarded.collect().toSet == Set((1L, 2L)))
   }
 
+  test("decontaminate counts shared k-grams against the benchmark set") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "quick brown fox jumps again and again today"),
+      (3L, "completely unrelated text with no overlap here")).toDF("doc_id", "text")
+    val bench = Seq("the quick brown fox jumps high").toDF("text")
+    val got = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text",
+        k = 3, minHits = 1)
+      .as[(Long, Long, Boolean)].collect().toSet
+    // bench 3-grams: {the quick brown, quick brown fox, brown fox jumps,
+    // fox jumps high}; doc1 shares 3, doc2 shares 2, doc3 none
+    assert(got == Set((1L, 3L, true), (2L, 2L, true), (3L, 0L, false)))
+  }
+
   test("dupClusters runs label propagation to fixpoint (long chains converge)") {
     // a 6-node chain (diameter 5 — needs >2 rounds), one triangle sharing
     // no nodes, and an isolated pair
