@@ -584,6 +584,11 @@ object SparkEntry {
         "doc_id", "norm")),
     "q_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(T(s, dir, "documents"), "doc_id", "text", k = 3, tau = 0.5)),
+    // overlapping token-window chunking (64-token windows, 50% overlap)
+    "q_chunks" -> ((s, dir) =>
+      Text.chunk(T(s, dir, "documents"), "doc_id", "text", 64, 32)
+        .select(col("id").as("doc_id"), col("chunk_id"), col("chunk_text"),
+          col("n_tokens"))),
     // benchmark decontamination: flag corpus docs sharing 5-grams with a
     // deterministic "eval set" (doc_id % 97 == 0)
     "q_decontaminate" -> ((s, dir) => {
@@ -1026,6 +1031,15 @@ object SparkEntry {
         |FROM n GROUP BY md5(norm)""".stripMargin,
     "q_jaccard" -> jaccardOracle("0.5"),
     "q_jaccard_prefix" -> jaccardOracle("0.8"), // prefix filter is lossless
+    "q_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |c AS (SELECT doc_id, tk,
+         |      unnest(range(0, ((len(tk) - 1) // 32) + 1)) AS chunk_id
+         |      FROM toks WHERE len(tk) > 0)
+         |SELECT doc_id, chunk_id,
+         | array_to_string(list_slice(tk, chunk_id * 32 + 1, chunk_id * 32 + 64), ' ') AS chunk_text,
+         | CAST(LEAST(64, len(tk) - chunk_id * 32) AS BIGINT) AS n_tokens
+         |FROM c""".stripMargin,
     "q_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |csh AS (SELECT DISTINCT doc_id,

@@ -108,4 +108,31 @@ object Text {
     */
   def md5Hash64(c: Column): Column =
     conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+
+  /** Overlapping token-window chunking — the context-window prep step for
+    * training sequences and RAG corpora. Each document with n tokens yields
+    * `floor((n-1)/stride) + 1` chunks: chunk i covers tokens
+    * `[i*stride, i*stride + chunkSize)`, the last one short. Empty docs
+    * yield no chunks.
+    *
+    * Pure projection + explode — ZERO shuffle, codegen end to end; output
+    * size is `(chunkSize/stride)×` the corpus, which is why stride defaults
+    * to chunkSize/2 (the usual 50% overlap) and not 1.
+    *
+    * Output: (id, chunk_id, chunk_text, n_tokens).
+    */
+  def chunk(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+            chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .select(col("id"), col("__tk"),
+        explode(sequence(lit(0), expr(s"(size(__tk) - 1) div $stride"))).as("__ci"))
+      .select(col("id"), col("__ci").cast(LongType).as("chunk_id"),
+        array_join(slice(col("__tk"), col("__ci") * stride + 1, lit(chunkSize)), " ")
+          .as("chunk_text"),
+        least(lit(chunkSize), size(col("__tk")) - col("__ci") * stride)
+          .cast(LongType).as("n_tokens"))
+  }
 }

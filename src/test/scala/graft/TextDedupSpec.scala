@@ -151,6 +151,16 @@ class TextDedupSpec extends SparkSpec {
     assert(unguarded.collect().toSet == Set((1L, 2L)))
   }
 
+  test("chunk yields overlapping token windows with a short tail") {
+    val df = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val got = Text.chunk(df, "doc_id", "text", chunkSize = 4, stride = 2)
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, "a b c d", 4L), (1L, 1L, "c d e f", 4L),
+      (1L, 2L, "e f g", 3L), (1L, 3L, "g", 1L),
+      (2L, 0L, "x", 1L)))   // empty doc 3 yields nothing
+  }
+
   test("decontaminate counts shared k-grams against the benchmark set") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
