@@ -8,7 +8,7 @@ import graft.operators.{Ops, Sinks}
 import graft.sources.{Sources, Tables}
 import graft.functions.Text
 import graft.dedup.Dedup
-import graft.similarity.Ann
+import graft.similarity.{Ann, Search}
 import graft.json.TreeWalk
 import graft.multimodal.Multimodal
 
@@ -584,6 +584,11 @@ object SparkEntry {
         "doc_id", "norm")),
     "q_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(T(s, dir, "documents"), "doc_id", "text", k = 3, tau = 0.5)),
+    // BM25 keyword search: top-10 docs for a 3-term query
+    "q_bm25" -> ((s, dir) =>
+      Search.bm25TopK(T(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "vector", "customer"), k = 10)
+        .select(col("id").as("doc_id"), col("score"))),
     // overlapping token-window chunking (64-token windows, 50% overlap)
     "q_chunks" -> ((s, dir) =>
       Text.chunk(T(s, dir, "documents"), "doc_id", "text", 64, 32)
@@ -1031,6 +1036,27 @@ object SparkEntry {
         |FROM n GROUP BY md5(norm)""".stripMargin,
     "q_jaccard" -> jaccardOracle("0.5"),
     "q_jaccard_prefix" -> jaccardOracle("0.8"), // prefix filter is lossless
+    // per-term scores quantize to DECIMAL(18,6) before the per-doc sum:
+    // ln differs by 1 ulp cross-engine on rare inputs, and raw double
+    // summation is partition-order nondeterministic (see Search scaladoc)
+    "q_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |tstats AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, term, COUNT(*) AS tf
+         |           FROM (SELECT doc_id, tk, unnest(tk) AS term FROM toks)
+         |           WHERE term IN ('spark', 'vector', 'customer')
+         |           GROUP BY 1, 2, 3),
+         |corp AS (SELECT COUNT(*) AS n, SUM(CAST(len(tk) AS BIGINT)) AS sumdl FROM toks),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tstats GROUP BY 1),
+         |scored AS (SELECT t.doc_id,
+         |    CAST(ln(1 + (c.n - f.df + 0.5) / (f.df + 0.5)) *
+         |         ((t.tf * (CAST(1.2 AS DOUBLE) + 1)) /
+         |          (t.tf + CAST(1.2 AS DOUBLE) *
+         |           (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (t.dl / (c.sumdl / c.n)))))
+         |      AS DECIMAL(18,6)) AS s
+         |  FROM tstats t JOIN dfreq f USING (term) CROSS JOIN corp c)
+         |SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score
+         |FROM scored GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "q_chunks" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |c AS (SELECT doc_id, tk,

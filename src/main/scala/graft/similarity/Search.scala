@@ -1,0 +1,75 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Text
+
+/** Keyword search over a document corpus: per-term TF-IDF statistics and
+  * BM25 top-k retrieval (the lexical half of a retrieval pipeline; the
+  * vector half is [[Ann]]).
+  *
+  * Scale shape: the corpus tokenizes in ONE scan; exploded tokens filter to
+  * the query's terms BEFORE any shuffle, so the per-(doc, term) aggregate
+  * moves a query-sized slice, never the corpus. Document frequencies and
+  * the corpus-size row both BROADCAST back onto the stats. Top-k runs as
+  * orderBy+limit = TakeOrderedAndProject (per-partition heaps + driver
+  * merge), not a global sort.
+  *
+  * Determinism: `ln` is NOT bit-identical across engines (measured: 2/2000
+  * inputs differ by 1 ulp vs DuckDB), so per-term scores quantize to
+  * DECIMAL(18,6) BEFORE the per-document sum — the sum is then exact and
+  * order-independent, and a 1-ulp `ln` wobble (~1e-13 absolute) only flips
+  * a 1e-6-spaced quantization boundary with negligible probability. Raw
+  * double summation would also be partition-order nondeterministic.
+  */
+object Search {
+
+  /** Per-(doc, query-term) stats: (id, dl, term, tf) — document length in
+    * tokens and term frequency, restricted to `queryTerms`.
+    */
+  def termStats(docs: DataFrame, idCol: String, textCol: String,
+                queryTerms: Seq[String]): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__tk"))
+      .select(col("id"), size(col("__tk")).cast(LongType).as("dl"),
+        explode(col("__tk")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+  }
+
+  /** BM25 (Robertson/Sparck Jones, k1/b form) top-k documents for a bag of
+    * query terms. idf = ln(1 + (N - df + 0.5)/(df + 0.5)); per-term scores
+    * quantize to DECIMAL(18,6) (see object doc), sum exactly per document,
+    * and the top `k` return by (score DESC, id ASC) — the id tie-break makes
+    * the cut deterministic.
+    *
+    * Output: (id, score).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__tk"))
+    val stats = termStats(docs, idCol, textCol, queryTerms)
+    val corp = toks.agg(count(lit(1)).as("n"),
+      sum(size(col("__tk")).cast(LongType)).as("sumdl"))
+    val dfreq = stats.groupBy("term").agg(count(lit(1)).as("df"))
+    // expression shapes mirror the SQL oracle operator-for-operator: every
+    // double op is IEEE-correctly-rounded, so identical operand order =
+    // identical bits (ln excepted — handled by the decimal quantization)
+    val scored = stats.join(broadcast(dfreq), "term").crossJoin(broadcast(corp))
+      .withColumn("__idf",
+        log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("__tfc",
+        (col("tf") * (lit(k1) + lit(1))) /
+          (col("tf") + lit(k1) *
+            (lit(1) - lit(b) + lit(b) * (col("dl") / (col("sumdl") / col("n"))))))
+      .withColumn("__s", (col("__idf") * col("__tfc")).cast(DecimalType(18, 6)))
+    scored.groupBy("id").agg(sum(col("__s")).as("__sdec"))
+      .select(col("id"), col("__sdec").cast(DoubleType).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.similarity.Ann
+import graft.similarity.{Ann, Search}
 import graft.sources.{Sources, Tables}
 
 class SourcesAnnSpec extends SparkSpec {
@@ -69,6 +69,24 @@ class SourcesAnnSpec extends SparkSpec {
     val cy = graft.operators.Sinks.cypherStatements(edges, "User", "Part")
       .as[String].head()
     assert(cy == "MERGE (a:User {id: 'u1'}) MERGE (b:Part {id: 'p1'}) MERGE (a)-[:BOUGHT]->(b);")
+  }
+
+  test("bm25TopK ranks by term rarity and frequency with an id tie-break") {
+    val docs = Seq(
+      (1L, "spark spark spark common common"),
+      (2L, "spark common common common common"),
+      (3L, "common common common common common"),
+      (4L, "spark spark spark common common")).toDF("doc_id", "text")
+    val got = Search.bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 3)
+      .select("id", "score").as[(Long, Double)].collect()
+    // docs 1 and 4 tie exactly (identical tf/dl) → id ascending; doc 2 has
+    // lower tf; doc 3 never matches and is absent
+    assert(got.map(_._1).toSeq == Seq(1L, 4L, 2L))
+    assert(got(0)._2 == got(1)._2 && got(0)._2 > got(2)._2 && got(2)._2 > 0)
+    // stats side: df counts docs, tf counts occurrences, dl is doc length
+    val ts = Search.termStats(docs, "doc_id", "text", Seq("spark", "common"))
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(ts.contains((1L, 5L, "spark", 3L)) && ts.contains((3L, 5L, "common", 5L)))
   }
 
   test("lshTopK returns a subset of brute-force candidates with correct local ranks") {
