@@ -584,6 +584,31 @@ object SparkEntry {
         "doc_id", "norm")),
     "q_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(T(s, dir, "documents"), "doc_id", "text", k = 3, tau = 0.5)),
+    // per-stratum deterministic sampling: all of zh, 10% of en, half of rest
+    "q_stratified" -> ((s, dir) =>
+      Ops.stratifiedSample(T(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 100, "zh" -> 1000), defaultPermille = 500)
+        .select("doc_id", "lang")),
+    // KMV distinct sketch: k smallest md5 hashes per group (deterministic,
+    // unlike HLL — the oracle reproduces the estimate bit-for-bit)
+    "q_kmv" -> ((s, dir) =>
+      Ops.approxDistinctKmv(T(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_partkey", k = 64)),
+    // PII redaction over synthetic contact strings built from customer
+    "q_redact" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val contact = concat(
+        col("c_name"), lit(" email "),
+        lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", ".")),
+        lit("@mail.example.com phone 415-555-"),
+        lpad((col("c_custkey") % 10000).cast(StringType), 4, "0"),
+        lit(" ssn "),
+        lpad((col("c_custkey") % 1000).cast(StringType), 3, "0"), lit("-"),
+        lpad((col("c_custkey") % 100).cast(StringType), 2, "0"), lit("-"),
+        lpad((col("c_custkey") % 10000).cast(StringType), 4, "0"),
+        lit(" ip "), (col("c_custkey") % 256).cast(StringType), lit(".10.0.1"))
+      c.select(col("c_custkey"), Text.redactPii(contact).as("redacted"))
+    }),
     // BM25 keyword search: top-10 docs for a 3-term query
     "q_bm25" -> ((s, dir) =>
       Search.bm25TopK(T(s, dir, "documents"), "doc_id", "text",
@@ -1036,6 +1061,37 @@ object SparkEntry {
         |FROM n GROUP BY md5(norm)""".stripMargin,
     "q_jaccard" -> jaccardOracle("0.5"),
     "q_jaccard_prefix" -> jaccardOracle("0.8"), // prefix filter is lossless
+    "q_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 <
+        |  CASE WHEN lang = 'zh' THEN 1000 WHEN lang = 'en' THEN 100 ELSE 500 END""".stripMargin,
+    "q_kmv" ->
+      """WITH u AS (SELECT DISTINCT l_returnflag,
+        |    ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, h,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM u)
+        |SELECT l_returnflag, COUNT(*) AS n_kept,
+        |  CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+        |       ELSE CAST(63 AS DOUBLE) / (CAST(MAX(h) AS DOUBLE) / 1152921504606846976)
+        |  END AS distinct_est
+        |FROM r WHERE rn <= 64 GROUP BY 1""".stripMargin,
+    "q_redact" ->
+      """WITH t AS (SELECT c_custkey,
+        |  c_name || ' email ' || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g')) ||
+        |  '@mail.example.com phone 415-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+        |  ' ssn ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |  lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' ||
+        |  lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+        |  ' ip ' || CAST(c_custkey % 256 AS VARCHAR) || '.10.0.1' AS contact
+        |  FROM customer)
+        |SELECT c_custkey,
+        | regexp_replace(regexp_replace(regexp_replace(regexp_replace(contact,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+        |   '\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+        |   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted
+        |FROM t""".stripMargin,
     // per-term scores quantize to DECIMAL(18,6) before the per-doc sum:
     // ln differs by 1 ulp cross-engine on rare inputs, and raw double
     // summation is partition-order nondeterministic (see Search scaladoc)

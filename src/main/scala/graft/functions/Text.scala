@@ -109,6 +109,25 @@ object Text {
   def md5Hash64(c: Column): Column =
     conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
 
+  /** PII redaction: replace emails, SSN-shaped ids, US-shaped phone
+    * numbers, and IPv4 addresses with typed placeholder tags — the privacy
+    * scrub every published training-data pipeline runs before release.
+    * Pure codegen projection (chained regexp_replace, replace-ALL
+    * semantics); patterns stick to syntax shared by Java regex and RE2 so
+    * a DuckDB oracle (with the 'g' flag) reproduces it exactly. Order
+    * matters: emails go first so phone-like digit runs inside a local part
+    * are already gone.
+    */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    val phone = "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+    val ipv4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val steps = Seq(email -> "<EMAIL>", ssn -> "<SSN>",
+      phone -> "<PHONE>", ipv4 -> "<IP>")
+    steps.foldLeft(text) { case (c, (re, tag)) => regexp_replace(c, re, tag) }
+  }
+
   /** Overlapping token-window chunking — the context-window prep step for
     * training sequences and RAG corpora. Each document with n tokens yields
     * `floor((n-1)/stride) + 1` chunks: chunk i covers tokens

@@ -285,6 +285,61 @@ object Ops {
     df.withColumn(out, when(bucket < trainPct, "train").otherwise("val"))
   }
 
+  /** Deterministic stratified sampling: per-stratum keep rates (permille),
+    * decided by the row's md5 bucket — no RNG state, so the SAME rows
+    * survive on every engine, run, and partitioning, while each stratum
+    * downsamples at its own rate (the corpus-mixing knob: "keep 100% of
+    * low-resource languages, 50‰ of English"). Pure filter projection —
+    * zero shuffle. Strata absent from `permille` use `defaultPermille`.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       permille: Map[String, Int],
+                       defaultPermille: Int): DataFrame = {
+    (defaultPermille +: permille.values.toSeq).foreach(p =>
+      require(p >= 0 && p <= 1000, s"permille out of range: $p"))
+    val bucket = conv(substring(md5(col(idCol).cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType) % 1000
+    val rate = permille.foldLeft(lit(defaultPermille)) { case (acc, (s, p)) =>
+      when(col(stratumCol) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch: the k smallest md5-
+    * derived 60-bit hashes per group estimate the group's distinct count as
+    * `(k-1) / u_k` with `u_k` the k-th smallest hash normalized to [0,1).
+    * Unlike HLL (whose register layout is engine-specific), KMV is
+    * DETERMINISTIC given the hash — an exact SQL oracle can reproduce the
+    * estimate bit-for-bit: the hash→double cast is correctly rounded and
+    * the 2^60 normalization is a power-of-two scale (exact), so both
+    * engines compute identical doubles. Groups with fewer than k distinct
+    * values report the EXACT count.
+    *
+    * Shape: distinct (group, hash) — one shuffle with map-side partials —
+    * then a per-group sort ranks hashes; only k rows per group survive to
+    * the estimate. At 100 TB the distinct-hash sort dominates; a bounded-
+    * heap TypedImperativeAggregate is the drop-in upgrade (same output).
+    *
+    * Output: (keys..., n_kept, distinct_est).
+    */
+  def approxDistinctKmv(df: DataFrame, keys: Seq[String], valueCol: String,
+                        k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hash = conv(substring(md5(col(valueCol).cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType)
+    val uniq = df.select(keys.map(col) :+ hash.as("__h"): _*).distinct()
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__h"))
+    uniq.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("__kth"))
+      .withColumn("distinct_est",
+        when(col("n_kept") < k, col("n_kept").cast(DoubleType))
+          .otherwise(lit((k - 1).toDouble) /
+            (col("__kth").cast(DoubleType) / lit((1L << 60).toDouble))))
+      .drop("__kth")
+  }
+
   /** Deterministic weighted Bernoulli sampling: keep a row with probability
     * `probCol` (clamped to [0,1]) decided by the row's md5 bucket — no RNG
     * state, so the SAME rows survive on every engine, run, and partitioning

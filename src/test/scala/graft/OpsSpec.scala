@@ -160,6 +160,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedSample keeps whole strata at 1000 permille and none at 0") {
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "keep" else "drop"))
+      .toDF("id", "stratum")
+    val got = Ops.stratifiedSample(df, "id", "stratum",
+      Map("keep" -> 1000, "drop" -> 0), defaultPermille = 500)
+      .as[(Long, String)].collect()
+    assert(got.length == 100 && got.forall(_._2 == "keep"))
+    // default rate applies to strata missing from the map; deterministic
+    val dflt = Ops.stratifiedSample(df, "id", "stratum", Map.empty, 500)
+    assert(dflt.count() == Ops.stratifiedSample(df, "id", "stratum", Map.empty, 500).count())
+  }
+
+  test("approxDistinctKmv is exact below k and estimates above it") {
+    val df = (1L to 5000L).map(i => (if (i <= 10) "small" else "big", i))
+      .toDF("g", "v")
+    val got = Ops.approxDistinctKmv(df, Seq("g"), "v", k = 64)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("small") == (("small", 10L, 10.0))) // < k distinct → exact
+    val (_, kept, est) = got("big")
+    assert(kept == 64L)
+    assert(est > 2500 && est < 10000, s"estimate $est implausible for 4990")
+  }
+
   test("asOfJoin pairs each left row with the latest right row at or before it") {
     val l = Seq(("u1", 10L, "a"), ("u1", 25L, "b"), ("u2", 5L, "c"))
       .toDF("k", "l_ts", "tag")

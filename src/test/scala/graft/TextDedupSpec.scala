@@ -151,6 +151,20 @@ class TextDedupSpec extends SparkSpec {
     assert(unguarded.collect().toSet == Set((1L, 2L)))
   }
 
+  test("redactPii replaces emails, SSNs, phones, and IPs with tags") {
+    val df = Seq(
+      "mail bob.smith+x@corp.example.org end",
+      "ssn 123-45-6789 phone (415) 555-0123 alt 415-555-0123",
+      "server at 10.0.12.250 up",
+      "plain text 12345 stays").toDF("text")
+    val got = df.select(Text.redactPii(col("text"))).as[String].collect().toSeq
+    assert(got == Seq(
+      "mail <EMAIL> end",
+      "ssn <SSN> phone <PHONE> alt <PHONE>",
+      "server at <IP> up",
+      "plain text 12345 stays"))
+  }
+
   test("chunk yields overlapping token windows with a short tail") {
     val df = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
     val got = Text.chunk(df, "doc_id", "text", chunkSize = 4, stride = 2)
