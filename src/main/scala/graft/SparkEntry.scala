@@ -9,7 +9,7 @@ import graft.sources.{Sources, Tables}
 import graft.functions.Text
 import graft.dedup.Dedup
 import graft.similarity.{Ann, Search}
-import graft.json.TreeWalk
+import graft.json.{MtlParser, TreeWalk}
 import graft.multimodal.Multimodal
 
 /** Driver contract: one `queries` entry (+ DuckDB oracle SQL) per operator
@@ -584,6 +584,18 @@ object SparkEntry {
         "doc_id", "norm")),
     "q_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(T(s, dir, "documents"), "doc_id", "text", k = 3, tau = 0.5)),
+    // Datalog-style inference: transitive closure of per-customer
+    // "next order" chains → derived happened-before edges
+    "q_kb_infer" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val edges = T(s, dir, "orders")
+        .withColumn("__nxt", lead(col("o_orderkey"), 1).over(w))
+        .filter(col("__nxt").isNotNull)
+        .select(col("o_orderkey").cast(StringType).as("src_id"),
+          col("__nxt").cast(StringType).as("dst_id"), lit("next").as("rel"))
+      MtlParser.inferTransitive(edges, "next", "before")
+    }),
     // per-stratum deterministic sampling: all of zh, 10% of en, half of rest
     "q_stratified" -> ((s, dir) =>
       Ops.stratifiedSample(T(s, dir, "documents"), "doc_id", "lang",
@@ -1061,6 +1073,18 @@ object SparkEntry {
         |FROM n GROUP BY md5(norm)""".stripMargin,
     "q_jaccard" -> jaccardOracle("0.5"),
     "q_jaccard_prefix" -> jaccardOracle("0.8"), // prefix filter is lossless
+    "q_kb_infer" ->
+      """WITH RECURSIVE nxt AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS src_id,
+        |    CAST(lead(o_orderkey) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS VARCHAR) AS dst_id
+        |  FROM orders),
+        |edges AS (SELECT src_id, dst_id FROM nxt WHERE dst_id IS NOT NULL),
+        |reach(src_id, dst_id) AS (
+        |  SELECT src_id, dst_id FROM edges
+        |  UNION
+        |  SELECT r.src_id, e.dst_id FROM reach r JOIN edges e ON r.dst_id = e.src_id)
+        |SELECT src_id, dst_id, 'before' AS rel FROM reach""".stripMargin,
     "q_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 <

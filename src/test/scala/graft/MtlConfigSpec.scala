@@ -113,6 +113,19 @@ class MtlConfigSpec extends SparkSpec {
     assert(sequential.as[String].collect().toSeq == Seq("deep"))
   }
 
+  test("inferTransitive derives the closure and saturates on cycles") {
+    val edges = Seq(("a", "b", "next"), ("b", "c", "next"), ("c", "d", "next"),
+      ("x", "y", "next"), ("y", "x", "next"), // 2-cycle must terminate
+      ("p", "q", "other")).toDF("src_id", "dst_id", "rel")
+    val got = MtlParser.inferTransitive(edges, "next", "before")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      ("a", "b", "before"), ("a", "c", "before"), ("a", "d", "before"),
+      ("b", "c", "before"), ("b", "d", "before"), ("c", "d", "before"),
+      ("x", "y", "before"), ("y", "x", "before"),
+      ("x", "x", "before"), ("y", "y", "before"))) // cycle reaches itself
+  }
+
   test("ConfigPipeline builds a DAG from JSON with SQL expressions") {
     val out = ConfigPipeline.fromJson(spark,
       """{"stages": [
