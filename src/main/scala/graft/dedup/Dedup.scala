@@ -405,8 +405,12 @@ object Dedup {
     val hits = shingleRows(corpus, idCol, textCol, k)
       .join(broadcast(benchSh), "shingle")
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    // No broadcast hint on `hits`: contamination is usually rare, but when
+    // it is widespread (e.g. bench ⊆ corpus — every benchmark doc self-hits)
+    // the hit table is corpus-sized and a forced broadcast would blow the
+    // driver. AQE still broadcasts it when it measures small.
     corpus.select(col(idCol).as("id"))
-      .join(broadcast(hits), Seq("id"), "left")
+      .join(hits, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("contaminated", col("n_hits") >= minHits)
   }
@@ -459,6 +463,14 @@ object Dedup {
       round += 1
     }
     sym.unpersist()
+    // The fixpoint IS the correctness contract (scaladoc: matches exact
+    // transitive closure). Exiting at maxRounds with changes pending would
+    // silently return wrong labels for any component whose min-node
+    // eccentricity exceeds maxRounds — fail loudly instead.
+    require(changed == 0,
+      s"dupClusters did not converge in $maxRounds rounds ($changed labels " +
+        "still changing); raise maxRounds — a component's min-node " +
+        "eccentricity exceeds the round budget")
     labels.select(col("member"), col("label").as("canonical"))
   }
 }

@@ -448,25 +448,29 @@ object Ops {
                rightCols: Seq[String]): DataFrame = {
     val leftOther = left.columns.toSeq.filterNot(keys.contains)
     val rPayload = rightTsCol +: rightCols
-    require(rPayload.forall(!leftOther.contains(_)),
-      s"right output columns ${rPayload.mkString(",")} collide with left columns")
+    require(rPayload.forall(c => !leftOther.contains(c) && !keys.contains(c)),
+      s"right output columns ${rPayload.mkString(",")} collide with left columns or join keys")
+    // The whole right payload travels as ONE struct so a single
+    // last(ignoreNulls) fills it: every output value then comes from the
+    // SAME matched right row. Per-column fills would let a NULL payload
+    // column reach back to an OLDER right row — wrong (ASOF returns the
+    // matched row's NULL, not an earlier row's value).
+    val rStructType = StructType(rPayload.map(c => right.schema(c).copy(name = c)))
     val lSel = keys.map(col) ++
       Seq(col(leftTsCol).as("__ts"), lit(1).as("__side")) ++
-      leftOther.map(col) ++
-      rPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))
+      leftOther.map(col) :+
+      lit(null).cast(rStructType).as("__r")
     val rSel = keys.map(col) ++
       Seq(col(rightTsCol).as("__ts"), lit(0).as("__side")) ++
-      leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-      rPayload.map(c => col(c).as(s"__r_$c"))
+      leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+      struct(rPayload.map(c => col(c).as(c)): _*).as("__r")
     val un = left.select(lSel: _*).unionByName(right.select(rSel: _*))
-    // all the last() calls share one Window spec → a single Window node
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rPayload.foldLeft(un)((d, c) =>
-      d.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)))
+    val filled = un.withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
       .select(keys.map(col) ++ leftOther.map(col) ++
-        rPayload.map(c => col(s"__r_$c").as(c)): _*)
+        rPayload.map(c => col("__r").getField(c).as(c)): _*)
   }
 
   // -------------------------------------------------------------------

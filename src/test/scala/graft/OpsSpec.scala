@@ -197,6 +197,27 @@ class OpsSpec extends SparkSpec {
       ("u2", 5L, "c", None, None)))           // no prior right → left-outer
   }
 
+  test("asOfJoin takes ALL payload columns from the same matched right row") {
+    // The matched right row (ts=20) has v=null: the output must carry THAT
+    // null, not reach back to the older row's v=1.0 while w comes from ts=20.
+    val l = Seq(("u1", 25L)).toDF("k", "l_ts")
+    val r = Seq(("u1", 10L, Some(1.0), "old"), ("u1", 20L, None, "new"))
+      .toDF("k", "r_ts", "v", "w")
+    val got = Ops.asOfJoin(l, r, Seq("k"), "l_ts", "r_ts", Seq("v", "w"))
+      .select("k", "l_ts", "r_ts", "v", "w")
+      .as[(String, Long, Option[Long], Option[Double], Option[String])]
+      .collect().toSet
+    assert(got == Set(("u1", 25L, Some(20L), None, Some("new"))))
+  }
+
+  test("asOfJoin rejects right payload names colliding with join keys") {
+    val l = Seq(("u1", 10L)).toDF("k", "l_ts")
+    val r = Seq(("u1", 5L, 1.0)).toDF("k", "r_ts", "k2")
+    intercept[IllegalArgumentException] {
+      Ops.asOfJoin(l, r.withColumnRenamed("k2", "k"), Seq("k"), "l_ts", "r_ts", Seq("k"))
+    }
+  }
+
   test("percentiles computes exact interpolated quantiles per group") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 10.0))
       .toDF("k", "v")

@@ -202,6 +202,16 @@ class TextDedupSpec extends SparkSpec {
     assert(got.size == 11)
   }
 
+  test("dupClusters fails loudly when the round budget cuts off convergence") {
+    // diameter-5 chain cannot reach fixpoint in 2 rounds — silent
+    // non-fixpoint labels would break the transitive-closure contract
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.dupClusters(pairs, maxRounds = 2)
+    }
+  }
+
   test("cosineNearDupLsh candidates verify by exact cosine (subset of all-pairs)") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.99f, 0.01f, 0.0f)),
