@@ -28,7 +28,12 @@ object Bench {
     n.join(org.apache.spark.sql.functions.broadcast(r),
       n("n_regionkey") === r("r_regionkey")).groupBy("r_name").count().collect()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated allowlist for local iteration; the driver
+    // leaves it unset → full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       // Two timed runs, report the better: a single pass makes one query
       // per run eat a multi-second major-GC/JIT pause at random (observed
       // 2-4x outliers that move between queries run-to-run); min-of-2

@@ -470,7 +470,10 @@ object SparkEntry {
     // graph export: entity+edge parquet layout; edges read back must equal
     // the relation extraction they came from (q_relations' oracle)
     "q_graph_roundtrip" -> ((s, dir) => {
+      // entity AND edge exports both walk the doc — persist it or the
+      // join+collect_list scaffold runs twice
       val doc = orderDoc(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cust = TreeWalk.Capture("c_name", "cust")
       val item = TreeWalk.Capture("l_quantity", "item")
       val out = java.nio.file.Files.createTempDirectory("graft_graph").toString

@@ -425,9 +425,9 @@ object MtlParser {
     * ITSELF, so reachable path length doubles per round and a diameter-d
     * graph saturates in ceil(log2(d)) rounds — the right trade for Spark,
     * where rounds are stages and a 25-hop chain should cost 5 shuffles,
-    * not 24 (plain semi-naive is linear in d). The anti-join keeps only
-    * fresh pairs, the empty delta is the fixpoint, and cycles terminate
-    * because seen pairs are dropped; `maxRounds` still bounds the loop
+    * not 24 (plain semi-naive is linear in d). Fixpoint = a round whose
+    * distinct-count does not grow; cycles terminate because the closure is
+    * a set and can only grow to n²; `maxRounds` still bounds the loop
     * (2^maxRounds hops).
     *
     * Each round ends in an EAGER `localCheckpoint`, not a persist: caching
@@ -455,9 +455,12 @@ object MtlParser {
     while (deltaN > 0 && round < maxRounds) {
       val next = all.select(col("src_id"), col("dst_id").as("__mid"))
         .join(all.select(col("src_id").as("__mid"), col("dst_id")), "__mid")
-        .select(col("src_id"), col("dst_id")).distinct()
-      val fresh = next.join(all, Seq("src_id", "dst_id"), "left_anti")
-      val grown = all.union(fresh).distinct().localCheckpoint(true)
+        .select(col("src_id"), col("dst_id"))
+      // ONE distinct over (old ∪ new) both dedups the join output and
+      // subsumes the fresh-pair anti-join: growth is detected by the count
+      // delta, so the round costs 2 shuffles (join + distinct), not 4
+      // (join, distinct, anti-join, distinct).
+      val grown = all.union(next).distinct().localCheckpoint(true)
       val grownN = grown.count()
       deltaN = grownN - prevN
       prevN = grownN
