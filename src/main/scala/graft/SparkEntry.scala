@@ -643,6 +643,44 @@ object SparkEntry {
           k = 5, minHits = 1)
         .select(col("id").as("doc_id"), col("n_hits"), col("contaminated"))
     }),
+    // Gopher-style repetition metrics: duplicate / most-frequent bigram
+    // fractions per document (the boilerplate-and-spam filter signal)
+    "q_repetition" -> ((s, dir) =>
+      Text.repetitionStats(T(s, dir, "documents"), "doc_id", "text", n = 2)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_distinct"),
+          col("dup_frac"), col("top_frac"))),
+    // span-level corpus dedup: non-overlapping 32-token chunks, first
+    // corpus-wide occurrence owns the span, later copies count as dups
+    "q_span_dedup" -> ((s, dir) =>
+      Dedup.spanDedup(T(s, dir, "documents"), "doc_id", "text", window = 32)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          col("dup_frac"))),
+    // URL blocklist filter: block two domains incl. their subdomains
+    // (cdn.srcN.com must match a srcN.com blocklist entry via the suffix
+    // chain — plain equality would miss it)
+    "q_domain_filter" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents").withColumn("url",
+        concat(lit("https://"),
+          when(col("doc_id") % 3 === 0, lit("cdn.")).otherwise(lit("www.")),
+          col("source"), lit(".com/"), col("doc_id").cast(StringType)))
+      val bl = Seq("src3.com", "src7.com").toDF("domain")
+      Ops.domainBlocklistFilter(docs, "doc_id", "url", bl, "domain")
+        .select("doc_id", "url")
+    }),
+    // per-document TF-IDF keywords (top-3, decimal-quantized ln scoring)
+    "q_tfidf" -> ((s, dir) =>
+      graft.similarity.Search.tfIdfKeywords(T(s, dir, "documents"), "doc_id", "text", m = 3)
+        .select(col("id").as("doc_id"), col("token"), col("score"), col("rnk"))),
+    // corpus vocabulary with dense frequency ranks
+    "q_vocab" -> ((s, dir) =>
+      graft.similarity.Search.vocabulary(T(s, dir, "documents"), "doc_id", "text")),
+    // deterministic k-means over embeddings: md5 seeding, 2 Lloyd passes,
+    // quantized components so centroid means are exact cross-engine
+    "q_kmeans" -> ((s, dir) =>
+      graft.similarity.Clustering.kmeans(T(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 4, rounds = 2)
+        .select(col("id").as("vec_id"), col("cluster"), col("dist2"))),
     // near-dup pairs → transitive clusters: min-label propagation to
     // fixpoint ≡ the oracle's exact transitive closure
     "q_dup_clusters" -> ((s, dir) => {
@@ -1149,6 +1187,95 @@ object SparkEntry {
          | array_to_string(list_slice(tk, chunk_id * 32 + 1, chunk_id * 32 + 64), ' ') AS chunk_text,
          | CAST(LEAST(64, len(tk) - chunk_id * 32) AS BIGINT) AS n_tokens
          |FROM c""".stripMargin,
+    "q_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |g AS (SELECT doc_id,
+         |      unnest(list_transform(range(0, len(tk) - 1),
+         |             i -> array_to_string(list_slice(tk, i + 1, i + 2), ' '))) AS gram
+         |      FROM toks WHERE len(tk) >= 2),
+         |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams, COUNT(*) AS n_distinct,
+         | CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_frac,
+         | CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac
+         |FROM c GROUP BY doc_id""".stripMargin,
+    "q_span_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |ch AS (SELECT doc_id, tk,
+         |       unnest(range(0, ((len(tk) - 1) // 32) + 1)) AS chunk_id
+         |       FROM toks WHERE len(tk) > 0),
+         |h AS (SELECT doc_id, chunk_id,
+         |      md5(array_to_string(list_slice(tk, chunk_id * 32 + 1, chunk_id * 32 + 32), ' ')) AS h
+         |      FROM ch),
+         |o AS (SELECT doc_id, chunk_id,
+         |      row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_id) AS rn
+         |      FROM h)
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         | CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         | CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |   CAST(COUNT(*) AS DOUBLE) AS dup_frac
+         |FROM o GROUP BY doc_id""".stripMargin,
+    "q_domain_filter" ->
+      """WITH u AS (SELECT doc_id,
+        |     'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'cdn.' ELSE 'www.' END)
+        |       || source || '.com/' || CAST(doc_id AS VARCHAR) AS url
+        |     FROM documents),
+        |d AS (SELECT doc_id, url,
+        |      string_split(regexp_replace(
+        |        regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1),
+        |        '^www\.', ''), '.') AS p
+        |      FROM u),
+        |suf AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(p) + 1),
+        |               i -> array_to_string(list_slice(p, i, len(p)), '.'))) AS sfx
+        |        FROM d)
+        |SELECT doc_id, url FROM u
+        |WHERE doc_id NOT IN (SELECT doc_id FROM suf WHERE sfx IN ('src3.com', 'src7.com'))""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |sc AS (SELECT doc_id, token,
+         |       CAST(tf * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS DECIMAL(18,6)) AS score
+         |       FROM tf JOIN dfq USING (token) CROSS JOIN n),
+         |r AS (SELECT doc_id, token, score,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+         |      FROM sc)
+         |SELECT doc_id, token, CAST(score AS DOUBLE) AS score, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 3""".stripMargin,
+    "q_vocab" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |c AS (SELECT token, COUNT(*) AS n_occurrences,
+         |      COUNT(DISTINCT doc_id) AS n_docs FROM tok GROUP BY 1)
+         |SELECT token, n_occurrences, n_docs,
+         | CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT) AS freq_rank
+         |FROM c""".stripMargin,
+    "q_kmeans" ->
+      """WITH q AS (SELECT vec_id,
+        |     list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1048576.0)) AS qv
+        |     FROM embeddings),
+        |s AS (SELECT vec_id, qv,
+        |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM q),
+        |c0 AS (SELECT rn - 1 AS cid, qv AS cv FROM s WHERE rn <= 4),
+        |a1 AS (SELECT vec_id, qv, cid, list_dot_product(d, d) AS dist2,
+        |       row_number() OVER (PARTITION BY vec_id
+        |                          ORDER BY list_dot_product(d, d), cid) AS rnk
+        |       FROM (SELECT vec_id, qv, cid,
+        |             list_transform(range(1, 65), i -> qv[i] - cv[i]) AS d
+        |             FROM q CROSS JOIN c0)),
+        |m1 AS (SELECT vec_id, qv, cid FROM a1 WHERE rnk = 1),
+        |c1 AS (SELECT cid, list(sv ORDER BY pos) AS cv FROM
+        |       (SELECT cid, pos, SUM(qv[pos]) / CAST(COUNT(*) AS DOUBLE) AS sv
+        |        FROM m1 CROSS JOIN (SELECT unnest(range(1, 65)) AS pos)
+        |        GROUP BY cid, pos)
+        |       GROUP BY cid),
+        |a2 AS (SELECT vec_id, cid, list_dot_product(d, d) AS dist2,
+        |       row_number() OVER (PARTITION BY vec_id
+        |                          ORDER BY list_dot_product(d, d), cid) AS rnk
+        |       FROM (SELECT vec_id, qv, cid,
+        |             list_transform(range(1, 65), i -> qv[i] - cv[i]) AS d
+        |             FROM q CROSS JOIN c1))
+        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist2 FROM a2 WHERE rnk = 1""".stripMargin,
     "q_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |csh AS (SELECT DISTINCT doc_id,

@@ -415,6 +415,37 @@ object Dedup {
       .withColumn("contaminated", col("n_hits") >= minHits)
   }
 
+  /** Span-level corpus dedup (the C4/RefinedWeb "remove repeated spans"
+    * step): cut every document into NON-overlapping `window`-token chunks,
+    * hash each chunk, and mark a chunk as a duplicate when the same hash
+    * occurred at a lexicographically earlier (doc_id, chunk_id) — the first
+    * occurrence corpus-wide stays, later copies are droppable. Per-document
+    * rollup: (id, n_chunks, n_dup_chunks, dup_frac) with the fraction exact
+    * (bigint ÷ bigint in double). Empty documents yield no row.
+    *
+    * Scale: chunking is a zero-shuffle projection ([[graft.functions.Text.chunk]]
+    * at stride = window); ownership is ONE shuffle on the md5 chunk hash
+    * (a min over (doc_id, chunk_id) structs per hash — map-side partial),
+    * and the per-doc rollup re-shuffles only (id, flag) pairs. The chunk
+    * text itself never travels: only its 32-byte hash does.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                window: Int = 64): DataFrame = {
+    val chunks = Text.chunk(df, idCol, textCol, window, window)
+      .select(col("id"), col("chunk_id"), md5(col("chunk_text")).as("__h"))
+    val w = Window.partitionBy("__h")
+    val owner = chunks.withColumn("__first",
+      min(struct(col("id"), col("chunk_id"))).over(w))
+    owner.select(col("id"),
+        (col("__first.id") =!= col("id") ||
+          col("__first.chunk_id") =!= col("chunk_id")).as("__dup"))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        col("n_dup_chunks").cast(DoubleType) / col("n_chunks").cast(DoubleType))
+  }
+
   /** Connected components over a near-dup pair list: every document in a
     * transitively-connected group maps to the group's MINIMUM id (the
     * canonical representative). This is the step after any pair generator

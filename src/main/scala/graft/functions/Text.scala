@@ -128,6 +128,52 @@ object Text {
     steps.foldLeft(text) { case (c, (re, tag)) => regexp_replace(c, re, tag) }
   }
 
+  /** Repetition statistics (the Gopher/MassiveText repetition filters —
+    * Rae et al. 2021 §A1.1): documents dominated by repeated n-grams are
+    * boilerplate/spam and get dropped before training. Per document:
+    *
+    *   - `n_grams` / `n_distinct` — total and distinct word n-grams
+    *   - `dup_frac` — fraction of n-gram OCCURRENCES that are repeats
+    *     (`(n_grams - n_distinct) / n_grams`)
+    *   - `top_frac` — fraction taken by the single most frequent n-gram
+    *
+    * Both ratios are bigint ÷ bigint in double — exact cross-engine.
+    * Documents with fewer than `n` tokens yield no row (no n-grams to
+    * measure — join back and treat as clean).
+    *
+    * Scale: tokenize+shingle is one scan (codegen [[shinglesOf]]); the
+    * (id, gram) count partial-aggregates map-side; the per-doc rollup
+    * reuses the same hash-partitioning ancestry. Filter downstream with
+    * e.g. `dup_frac > 0.3 OR top_frac > 0.2`.
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val grams = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
+      .select(col("id"), explode(shinglesOf(col("__tk"), n)).as("gram"))
+    grams.groupBy("id", "gram").agg(count(lit(1)).as("__c"))
+      .groupBy("id").agg(
+        sum(col("__c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("__c")).as("__max"))
+      .select(col("id"),
+        col("n_grams"), col("n_distinct"),
+        (col("n_grams") - col("n_distinct")).cast(DoubleType) /
+          col("n_grams").cast(DoubleType) as "dup_frac",
+        col("__max").cast(DoubleType) / col("n_grams").cast(DoubleType) as "top_frac")
+  }
+
+  /** Registrable domain of a URL: hostname minus any leading `www.` —
+    * scheme, port, path, userinfo all stripped. Pure regex projection;
+    * RE2/Java-shared syntax so the DuckDB mirror is identical. Returns ''
+    * for strings with no authority component.
+    */
+  def domainOf(url: Column): Column =
+    regexp_replace(
+      regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1),
+      "^www\\.", "")
+
   /** Overlapping token-window chunking — the context-window prep step for
     * training sequences and RAG corpora. Each document with n tokens yields
     * `floor((n-1)/stride) + 1` chunks: chunk i covers tokens

@@ -129,6 +129,30 @@ object Ops {
       }
   }
 
+  /** Drop rows whose URL's domain — or ANY parent domain — appears in
+    * `blocklist(blockedCol)`: the URL-filter step every web-corpus pipeline
+    * runs (RefinedWeb/C4 blocklist filtering). `blocked("ads.example.com")`
+    * removes exactly that host; `blocked("example.com")` removes the whole
+    * domain tree.
+    *
+    * Scale shape: each row explodes into its domain-suffix chain (a.b.c →
+    * [a.b.c, b.c, c] — ≤ label-count rows of two narrow columns, never the
+    * payload), equi-joins the blocklist (broadcast when small — blocklists
+    * are usually ≤ millions of rows), and the matched ids anti-join back.
+    * No non-equi join, no regex per blocklist entry.
+    */
+  def domainBlocklistFilter(df: DataFrame, idCol: String, urlCol: String,
+                            blocklist: DataFrame, blockedCol: String): DataFrame = {
+    val dom = graft.functions.Text.domainOf(col(urlCol))
+    val parts = split(dom, "\\.")
+    val suffixes = transform(sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, i, size(parts)), "."))
+    val hit = df.select(col(idCol).as("__bid"), explode(suffixes).as("__suf"))
+      .join(blocklist.select(col(blockedCol).as("__suf")), "__suf")
+      .select(col("__bid").as(idCol)).distinct()
+    df.join(hit, Seq(idCol), "left_anti")
+  }
+
   /** Bernoulli sample (reference `RandomSample`, node.py:1055). Seeded for
     * repeatability within Spark; not oracle-comparable across engines — use
     * [[modSample]] for oracled paths.

@@ -47,6 +47,57 @@ object Search {
     *
     * Output: (id, score).
     */
+  /** Corpus vocabulary: every distinct token with its total occurrence
+    * count, document frequency, and dense frequency rank (1 = most
+    * frequent; ties broken by token ascending so the ranking is total and
+    * cross-engine deterministic). The vocab-build step before any
+    * tokenizer/embedding training run.
+    *
+    * One scan + one (token) aggregate; the rank window runs over the
+    * vocab-sized aggregate, not the corpus.
+    */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("token"))
+    val counts = tok.groupBy("token").agg(
+      count(lit(1)).as("n_occurrences"),
+      count_distinct(col("id")).as("n_docs"))
+    counts.withColumn("freq_rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_occurrences").desc, col("token").asc)).cast(LongType))
+  }
+
+  /** Per-document TF-IDF keywords: the `m` tokens with the highest
+    * tf · ln(N / df) in each document (ties by token ascending). The
+    * keyword-extraction / topic-labeling step of a curation pipeline.
+    *
+    * Determinism: same device as [[bm25TopK]] — the ln-based score
+    * quantizes to DECIMAL(18,6), so the (score DESC, token ASC) order the
+    * rank window sees is total and engine-stable.
+    *
+    * Scale: one tokenize scan; (id, token) counts partial-aggregate
+    * map-side; document frequencies aggregate over the (token)-distinct
+    * frame and BROADCAST back; the rank window partitions by document —
+    * same key as the tf aggregate, so AQE plans no extra exchange.
+    */
+  def tfIdfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    m: Int): DataFrame = {
+    require(m > 0, s"m must be positive, got $m")
+    val tok = docs.select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(broadcast(dfreq), "token").crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * log(col("n").cast(DoubleType) / col("df").cast(DoubleType)))
+          .cast(DecimalType(18, 6)))
+    scored.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("score").desc, col("token").asc)))
+      .filter(col("rnk") <= m)
+      .select(col("id"), col("token"), col("score").cast(DoubleType).as("score"),
+        col("rnk").cast(LongType).as("rnk"))
+  }
+
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {

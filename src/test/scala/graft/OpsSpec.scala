@@ -237,6 +237,21 @@ class OpsSpec extends SparkSpec {
     assert(a == b && a.size > 180 && a.size < 320) // same rows, ~half kept
   }
 
+  test("domainBlocklistFilter blocks exact domains and their subdomains") {
+    val df = Seq(
+      (1L, "https://www.good.com/x"),        // www. strips → good.com, kept
+      (2L, "https://bad.com/y"),             // exact match, blocked
+      (3L, "https://cdn.bad.com/z"),         // subdomain of bad.com, blocked
+      (4L, "https://notbad.com/w"),          // suffix is NOT label-aligned, kept
+      (5L, "https://user@deep.ads.bad.com:8080/q"), // userinfo+port, blocked
+      (6L, "not a url at all"))              // no domain → kept
+      .toDF("id", "url")
+    val bl = Seq("bad.com").toDF("domain")
+    val kept = Ops.domainBlocklistFilter(df, "id", "url", bl, "domain")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 6L))
+  }
+
   test("hashSplit is deterministic and near the requested fraction") {
     val df = spark.range(0, 2000).toDF("id")
     val splits = Ops.hashSplit(df, "id", 90).groupBy("split").count()

@@ -102,4 +102,41 @@ class SourcesAnnSpec extends SparkSpec {
     assert(rows.nonEmpty)
     if (rows.contains(1L)) assert(rows(1L) == 1L) // vec 1 is the true nearest
   }
+
+  test("vocabulary ranks tokens by corpus frequency with token tie-break") {
+    val docs = Seq((1L, "b a b"), (2L, "a c c")).toDF("doc_id", "text")
+    val got = Search.vocabulary(docs, "doc_id", "text")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // a: 2 occurrences in 2 docs; b: 2 in 1; c: 2 in 1 — ties rank a < b < c
+    assert(got == Set(("a", 2L, 2L, 1L), ("b", 2L, 1L, 2L), ("c", 2L, 1L, 3L)))
+  }
+
+  test("tfIdfKeywords surfaces rare-but-frequent-in-doc tokens first") {
+    val docs = Seq(
+      (1L, "common common rare rare rare"),
+      (2L, "common other"),
+      (3L, "common thing")).toDF("doc_id", "text")
+    val got = Search.tfIdfKeywords(docs, "doc_id", "text", m = 2)
+      .filter(col("id") === 1L).orderBy("rnk")
+      .select("token").as[String].collect().toSeq
+    // 'common' is in every doc → idf = ln(1) = 0; 'rare' dominates
+    assert(got.head == "rare")
+    assert(got.size == 2)
+  }
+
+  test("kmeans separates two obvious clusters and is deterministic") {
+    val pts = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array(base + i * 1e-4f, base, base))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val a = graft.similarity.Clustering.kmeans(df, "vec_id", "embedding", k = 2, rounds = 3)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val byCluster = a.groupBy(_._2).view.mapValues(_.map(_._1 % 2).toSet).toMap
+    // each k-means cluster contains only one parity class (the two blobs)
+    assert(byCluster.size == 2 && byCluster.values.forall(_.size == 1))
+    val b = graft.similarity.Clustering.kmeans(df, "vec_id", "embedding", k = 2, rounds = 3)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq) // bit-deterministic across runs
+  }
 }

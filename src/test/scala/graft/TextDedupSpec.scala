@@ -202,6 +202,30 @@ class TextDedupSpec extends SparkSpec {
     assert(got.size == 11)
   }
 
+  test("repetitionStats measures duplicate and top bigram fractions exactly") {
+    val df = Seq(
+      (1L, "a b a b a b"),    // bigrams: ab,ba,ab,ba,ab → 5 total, 2 distinct
+      (2L, "x y z w"),        // 3 bigrams, all distinct
+      (3L, "solo")).toDF("doc_id", "text") // < 2 tokens → no row
+    val got = Text.repetitionStats(df, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 5L, 2L, 3.0 / 5.0, 3.0 / 5.0)))
+    assert(got(2L) == ((2L, 3L, 3L, 0.0, 1.0 / 3.0)))
+    assert(!got.contains(3L))
+  }
+
+  test("spanDedup marks later corpus-wide copies of a chunk as duplicates") {
+    // window=2: doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [a b][a b]
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "a b a b"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDedup(df, "doc_id", "text", window = 2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 0L, 0.0)))        // first owner of "a b"
+    assert(got(2L) == ((2L, 2L, 1L, 0.5)))        // "a b" already owned
+    assert(got(3L) == ((3L, 2L, 2L, 1.0)))        // both chunks are copies
+  }
+
   test("dupClusters fails loudly when the round budget cuts off convergence") {
     // diameter-5 chain cannot reach fixpoint in 2 rounds — silent
     // non-fixpoint labels would break the transitive-closure contract
