@@ -460,9 +460,15 @@ object Dedup {
     * graphs are dense clumps, so 2-4 rounds in practice, `maxRounds` guards
     * pathological chains. Results are iteration-count-independent BY
     * construction (fixpoint), so the output is deterministic and matches an
-    * exact transitive-closure oracle. Each round persists its label table
-    * and unpersists the previous one — the plan never deepens past one
-    * round (no lineage blowup at scale).
+    * exact transitive-closure oracle. The edge list and each round's label
+    * table end in an EAGER `localCheckpoint` — lineage truncates to an RDD
+    * scan, so the plan never deepens past one round. A `persist` would NOT
+    * do: caching short-circuits re-execution but leaves the logical plan
+    * intact, and with the pair generator (a whole shingle pipeline)
+    * re-inlined at every edge reference the analyzed tree grew to hundreds
+    * of exchanges (measured: 378 in q_dup_clusters's static plan before
+    * the switch). On a real cluster prefer `sc.setCheckpointDir` +
+    * reliable `.checkpoint()` for fault tolerance.
     *
     * Output: (member, canonical) for every id appearing in `pairs` —
     * singleton documents never enter a pair list; union them back with
@@ -473,10 +479,10 @@ object Dedup {
     require(maxRounds > 0, s"maxRounds must be positive, got $maxRounds")
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
     val sym = fwd.union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct().localCheckpoint(true)
     var labels = sym.select(col("src").as("member")).distinct()
       .withColumn("label", col("member"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -485,15 +491,13 @@ object Dedup {
         .select(col("src").as("member"), col("label"))
       val next = labels.select(col("member"), col("label")).union(nbr)
         .groupBy("member").agg(min(col("label")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.withColumnRenamed("label", "new_label")
         .join(labels, "member")
         .filter(col("new_label") =!= col("label")).count()
-      labels.unpersist()
       labels = next
       round += 1
     }
-    sym.unpersist()
     // The fixpoint IS the correctness contract (scaladoc: matches exact
     // transitive closure). Exiting at maxRounds with changes pending would
     // silently return wrong labels for any component whose min-node

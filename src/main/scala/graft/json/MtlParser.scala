@@ -327,11 +327,11 @@ object MtlParser {
     * undirected edges from each asserted alias pair, then `rounds` of
     * min-label propagation — 2 rounds reach fixpoint for the pairwise
     * star/path components coreference assertions produce; raise `rounds`
-    * for longer chains. The edge list is persisted before propagation: the
-    * final plan references it `rounds`+1 times, and without the persist
-    * each reference would re-run the whole document pipeline upstream of
-    * it (for very long chains also checkpoint `lbl` between rounds to keep
-    * the lineage short).
+    * for longer chains. The edge list ends in an eager localCheckpoint
+    * before propagation: the final plan references it `rounds`+1 times,
+    * and anything short of lineage truncation re-inlines the whole
+    * document pipeline at each reference (for very long chains also
+    * checkpoint `lbl` between rounds).
     *
     * Output: (member, canonical) — every coreferring value mapped to the
     * lexicographic minimum of its component.
@@ -367,10 +367,12 @@ object MtlParser {
                     functions: Map[String, Column => Column] = Map.empty,
                     rounds: Int = 2): DataFrame = {
     // ONE evaluation of the document query feeds both the coreference graph
-    // and the edge extraction (each derivation would otherwise re-run the
-    // whole traversal pipeline)
-    val rows = run(df, program, queryName, functions)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // and the edge extraction. EAGER localCheckpoint, not persist: the
+    // coreference LP and every relation derivation reference this frame,
+    // and a persist leaves the full traversal pipeline in the logical plan
+    // at each reference (static plan grew to >300 exchanges before the
+    // switch); checkpointing truncates each to an RDD scan.
+    val rows = run(df, program, queryName, functions).localCheckpoint(true)
     val canon = coreferenceFromRows(rows, program, queryName, rounds)
     require(program.relations.exists(_.query == queryName),
       s"no relation assertions for query '$queryName'")
@@ -402,9 +404,10 @@ object MtlParser {
     }.reduce(_ unionByName _)
       .filter(col("a").isNotNull && col("b").isNotNull)
       .distinct()
+    // eager checkpoint: materialize once AND truncate lineage — every LP
+    // round references this edge list (see knowledgeBase note)
     val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    und.count() // materialize once; every LP round reads the cache
+      .localCheckpoint(true)
     var lbl = und.select(col("a").as("id")).distinct().withColumn("lbl", col("id"))
     for (_ <- 0 until rounds) {
       val nb = und.join(lbl.select(col("id").as("b"), col("lbl").as("nlbl")), "b")

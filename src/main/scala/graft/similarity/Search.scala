@@ -83,7 +83,11 @@ object Search {
                     m: Int): DataFrame = {
     require(m > 0, s"m must be positive, got $m")
     val tok = docs.select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("token"))
+    // persisted: the document-frequency branch derives from tf, and without
+    // the persist Catalyst re-runs the corpus tokenize+aggregate for it
+    // (two scans of the corpus at scale)
     val tf = tok.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(broadcast(dfreq), "token").crossJoin(broadcast(n))

@@ -159,4 +159,44 @@ class PlanSpec extends SparkSpec {
     // the scan must NOT carry lang as a data filter — it is a directory prune
     assert(!p.contains("PushedFilters: [IsNotNull(lang)"), p)
   }
+
+  test("kmeans assignment is a zero-shuffle projection over the corpus") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // rounds=1 = pure assignment against seed centroids: scan + project only
+    val out = graft.similarity.Clustering.kmeans(emb, "vec_id", "embedding",
+      k = 4, rounds = 1)
+    out.count()
+    assert(countShufflesExec(out.queryExecution.executedPlan) == 0)
+  }
+
+  test("domainBlocklistFilter joins the blocklist broadcast, never sort-merge") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+      .withColumn("url", concat(lit("https://www."), col("source"), lit(".com/x")))
+    val bl = Seq("src3.com").toDF("domain")
+    val kept = Ops.domainBlocklistFilter(docs, "doc_id", "url", bl, "domain")
+    kept.count()
+    val p = planString(kept)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("spanDedup shuffles hashes and flags only — two exchanges, no chunk text") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", window = 32)
+    out.count()
+    val plan = out.queryExecution.executedPlan
+    // exchange 1: window over the md5 hash; exchange 2: per-doc rollup
+    assert(countShufflesExec(plan) == 2)
+    // the ownership window must partition by the 32-byte hash, not carry text
+    val s = plan.toString
+    assert(!s.contains("chunk_text"), "chunk text must not reach the exchange")
+  }
+
+  test("repetitionStats partial-aggregates map-side") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val p = planString(graft.functions.Text.repetitionStats(docs, "doc_id", "text", 2))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(p.contains("partial_count") || p.contains("Partial"), p.take(2000))
+  }
 }
