@@ -681,6 +681,11 @@ object SparkEntry {
       graft.similarity.Clustering.kmeans(T(s, dir, "embeddings"), "vec_id", "embedding",
           k = 4, rounds = 2)
         .select(col("id").as("vec_id"), col("cluster"), col("dist2"))),
+    // SemDeDup: k-means blocks + within-cluster cosine, keep-lowest-id
+    "q_semdedup" -> ((s, dir) =>
+      graft.similarity.Clustering.semDedup(T(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 4, tau = 0.2, rounds = 2)
+        .select(col("id").as("vec_id"), col("cluster"), col("is_dup"))),
     // near-dup pairs → transitive clusters: min-label propagation to
     // fixpoint ≡ the oracle's exact transitive closure
     "q_dup_clusters" -> ((s, dir) => {
@@ -1002,6 +1007,39 @@ object SparkEntry {
        |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
        |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= $tau""".stripMargin
 
+  /** Shared CTE chain for the k-means oracles: quantize → md5 seeds (c0) →
+    * assign (a1) → mean update (c1) → re-assign (a2). Mirrors
+    * `Clustering.lloydCentroids`/`withCluster` at k=4, rounds=2, dim=64,
+    * scale=2^20 — every arithmetic step is either exact (integral-double
+    * sums, int÷int division) or an identically-ordered IEEE fold
+    * (`list_dot_product` ≡ the operator's left-to-right aggregate).
+    */
+  private val kmeansCtes: String =
+    """WITH q AS (SELECT vec_id,
+      |     list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1048576.0)) AS qv
+      |     FROM embeddings),
+      |s AS (SELECT vec_id, qv,
+      |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM q),
+      |c0 AS (SELECT rn - 1 AS cid, qv AS cv FROM s WHERE rn <= 4),
+      |a1 AS (SELECT vec_id, qv, cid, list_dot_product(d, d) AS dist2,
+      |       row_number() OVER (PARTITION BY vec_id
+      |                          ORDER BY list_dot_product(d, d), cid) AS rnk
+      |       FROM (SELECT vec_id, qv, cid,
+      |             list_transform(range(1, 65), i -> qv[i] - cv[i]) AS d
+      |             FROM q CROSS JOIN c0)),
+      |m1 AS (SELECT vec_id, qv, cid FROM a1 WHERE rnk = 1),
+      |c1 AS (SELECT cid, list(sv ORDER BY pos) AS cv FROM
+      |       (SELECT cid, pos, SUM(qv[pos]) / CAST(COUNT(*) AS DOUBLE) AS sv
+      |        FROM m1 CROSS JOIN (SELECT unnest(range(1, 65)) AS pos)
+      |        GROUP BY cid, pos)
+      |       GROUP BY cid),
+      |a2 AS (SELECT vec_id, cid, list_dot_product(d, d) AS dist2,
+      |       row_number() OVER (PARTITION BY vec_id
+      |                          ORDER BY list_dot_product(d, d), cid) AS rnk
+      |       FROM (SELECT vec_id, qv, cid,
+      |             list_transform(range(1, 65), i -> qv[i] - cv[i]) AS d
+      |             FROM q CROSS JOIN c1))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_counter" -> "SELECT r.range AS n FROM range(0, 1000) r",
     "q_sequence" -> "SELECT r.range AS seq_no, unnest(['a', 'b', 'c']) AS value FROM range(0, 2) r",
@@ -1251,31 +1289,23 @@ object SparkEntry {
          | CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT) AS freq_rank
          |FROM c""".stripMargin,
     "q_kmeans" ->
-      """WITH q AS (SELECT vec_id,
-        |     list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1048576.0)) AS qv
-        |     FROM embeddings),
-        |s AS (SELECT vec_id, qv,
-        |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM q),
-        |c0 AS (SELECT rn - 1 AS cid, qv AS cv FROM s WHERE rn <= 4),
-        |a1 AS (SELECT vec_id, qv, cid, list_dot_product(d, d) AS dist2,
-        |       row_number() OVER (PARTITION BY vec_id
-        |                          ORDER BY list_dot_product(d, d), cid) AS rnk
-        |       FROM (SELECT vec_id, qv, cid,
-        |             list_transform(range(1, 65), i -> qv[i] - cv[i]) AS d
-        |             FROM q CROSS JOIN c0)),
-        |m1 AS (SELECT vec_id, qv, cid FROM a1 WHERE rnk = 1),
-        |c1 AS (SELECT cid, list(sv ORDER BY pos) AS cv FROM
-        |       (SELECT cid, pos, SUM(qv[pos]) / CAST(COUNT(*) AS DOUBLE) AS sv
-        |        FROM m1 CROSS JOIN (SELECT unnest(range(1, 65)) AS pos)
-        |        GROUP BY cid, pos)
-        |       GROUP BY cid),
-        |a2 AS (SELECT vec_id, cid, list_dot_product(d, d) AS dist2,
-        |       row_number() OVER (PARTITION BY vec_id
-        |                          ORDER BY list_dot_product(d, d), cid) AS rnk
-        |       FROM (SELECT vec_id, qv, cid,
-        |             list_transform(range(1, 65), i -> qv[i] - cv[i]) AS d
-        |             FROM q CROSS JOIN c1))
-        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist2 FROM a2 WHERE rnk = 1""".stripMargin,
+      s"""$kmeansCtes
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist2 FROM a2 WHERE rnk = 1""".stripMargin,
+    "q_semdedup" ->
+      s"""$kmeansCtes,
+         |asg AS (SELECT vec_id, cid FROM a2 WHERE rnk = 1),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |dup AS (SELECT DISTINCT b.vec_id AS id
+         |        FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |        JOIN nn na ON na.vec_id = a.vec_id
+         |        JOIN nn nb ON nb.vec_id = b.vec_id
+         |        WHERE (CASE WHEN na.nrm * nb.nrm = 0 THEN 0
+         |                    ELSE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm)
+         |               END) >= 0.2)
+         |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+         |       (d.id IS NOT NULL) AS is_dup
+         |FROM asg a LEFT JOIN dup d ON d.id = a.vec_id""".stripMargin,
     "q_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |csh AS (SELECT DISTINCT doc_id,

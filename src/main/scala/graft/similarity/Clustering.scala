@@ -4,9 +4,12 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.Vectors
+
 /** Distributed k-means over an embedding column — the clustering step of a
   * training-data curation pipeline (topic balancing, cluster-based dedup,
-  * and semdedup-style pruning all start from a k-means assignment).
+  * and semdedup-style pruning all start from a k-means assignment) — plus
+  * [[semDedup]], the SemDeDup pruning recipe built on top of it.
   *
   * Design for determinism AND scale (reference has no clustering operator;
   * this is a first-class extension per the build brief):
@@ -28,21 +31,42 @@ import org.apache.spark.sql.types._
   * (rounds=2 ⇒ seed → assign → update → assign). Clusters that lose all
   * members drop out of later rounds. The driver holds k·dim doubles —
   * model-config-sized, like [[Ann.ivfTopK]]'s centroid set.
-  *
-  * Output: (id, cluster, dist2) — dist2 in quantized units (divide by
-  * scale² for the unquantized value).
   */
 object Clustering {
 
-  def kmeans(df: DataFrame, idCol: String, vecCol: String,
-             k: Int, rounds: Int = 2, scale: Double = 1048576.0): DataFrame = {
+  private def quantize(vec: org.apache.spark.sql.Column, scale: Double) =
+    transform(vec, x => floor(x.cast(DoubleType) * scale).cast(DoubleType))
+
+  /** Append `cluster` and `dist2` (squared L2 in quantized units) to `df`
+    * by nearest-centroid assignment — a zero-shuffle codegen projection.
+    */
+  def withCluster(df: DataFrame, vecCol: String,
+                  cents: Seq[(Int, Array[Double])],
+                  scale: Double = 1048576.0): DataFrame = {
+    require(cents.nonEmpty, "centroid set must be non-empty")
+    val qv = quantize(col(vecCol), scale)
+    val candidates = cents.map { case (cid, cv) =>
+      val diff = zip_with(qv, typedLit(cv), (a, b) => a - b)
+      // left-to-right fold of squared diffs ≡ DuckDB list_dot_product(d, d)
+      val dist2 = aggregate(diff, lit(0.0), (acc, d) => acc + d * d)
+      struct(dist2.as("dist2"), lit(cid).as("cid"))
+    }
+    df.withColumn("__best", array_min(array(candidates: _*)))
+      .withColumn("cluster", col("__best.cid"))
+      .withColumn("dist2", col("__best.dist2"))
+      .drop("__best")
+  }
+
+  /** Lloyd-iterated centroids: md5-order seeding, `rounds - 1` update
+    * steps. Each update is one shuffle of (cluster, position) partial sums;
+    * only k·dim (sum, count) rows ever reach the driver.
+    */
+  def lloydCentroids(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int, rounds: Int = 2,
+                     scale: Double = 1048576.0): Seq[(Int, Array[Double])] = {
     require(k > 0, s"k must be positive, got $k")
     require(rounds > 0, s"rounds must be positive, got $rounds")
-    val q = df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => floor(x.cast(DoubleType) * scale).cast(DoubleType))
-        .as("qv"))
-
-    // seed: k smallest md5(id) — k·dim values to the driver, corpus stays put
+    val q = df.select(col(idCol).as("id"), quantize(col(vecCol), scale).as("qv"))
     var cents: Seq[(Int, Array[Double])] = q
       .withColumn("__h", md5(col("id").cast(StringType)))
       .orderBy(col("__h"), col("id"))
@@ -50,28 +74,14 @@ object Clustering {
       .select(col("qv")).collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }.toSeq
-
-    def assigned: DataFrame = {
-      val candidates = cents.map { case (cid, cv) =>
-        val diff = zip_with(col("qv"), typedLit(cv), (a, b) => a - b)
-        // left-to-right fold of squared diffs ≡ DuckDB list_dot_product(d, d)
-        val dist2 = aggregate(diff, lit(0.0), (acc, d) => acc + d * d)
-        struct(dist2.as("dist2"), lit(cid).as("cid"))
-      }
-      q.withColumn("__best", array_min(array(candidates: _*)))
-        .select(col("id"), col("qv"),
-          col("__best.cid").as("cluster"), col("__best.dist2").as("dist2"))
-    }
-
     for (_ <- 1 until rounds) {
-      val sums = assigned
+      val sums = withCluster(q, "qv", cents, scale = 1.0)
         .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy("cluster", "pos")
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
         .collect()
       cents = sums.groupBy(_.getInt(0)).toSeq.map { case (cid, rows: Array[Row]) =>
-        val dim = rows.length
-        val mean = new Array[Double](dim)
+        val mean = new Array[Double](rows.length)
         rows.foreach { r =>
           // exact: integral-double sum ÷ count, both engines IEEE-divide
           mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3).toDouble
@@ -79,7 +89,64 @@ object Clustering {
         (cid, mean)
       }.sortBy(_._1)
     }
-    assigned.select(col("id"), col("cluster").cast(LongType).as("cluster"),
-      col("dist2"))
+    cents
+  }
+
+  /** K-means assignment after `rounds` Lloyd passes.
+    * Output: (id, cluster, dist2) — dist2 in quantized units (divide by
+    * scale² for the unquantized value).
+    */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String,
+             k: Int, rounds: Int = 2, scale: Double = 1048576.0): DataFrame = {
+    val cents = lloydCentroids(df, idCol, vecCol, k, rounds, scale)
+    withCluster(df.select(col(idCol).as("id"),
+        quantize(col(vecCol), scale).as("qv")), "qv", cents, scale = 1.0)
+      .select(col("id"), col("cluster").cast(LongType).as("cluster"), col("dist2"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    * k-means the embeddings, then compare vectors ONLY within a cluster and
+    * mark every vector whose cosine to a LOWER-id cluster-mate reaches
+    * `tau` as a duplicate (keep-lowest-id, the same greedy convention as
+    * the exact-dedup family). The cluster equi-join cuts the all-pairs
+    * O(n²) to O(n²/k) and — unlike [[graft.dedup.Dedup.cosineNearDup]] —
+    * needs no row-count guard: `k` is the knob that keeps per-cluster
+    * blocks bounded.
+    *
+    * The assignment is computed once (eager checkpoint): the pair join
+    * references it twice and the rollup once — without materialization the
+    * corpus would re-scan and re-assign three times. Cosine parity with the
+    * oracle comes from [[Vectors.fcosine]] (codegen dot ≡ DuckDB
+    * `list_dot_product`, zero-norm guard included).
+    *
+    * Output: (id, cluster, is_dup) — filter `!is_dup` for the kept corpus.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               k: Int, tau: Double, rounds: Int = 2,
+               scale: Double = 1048576.0): DataFrame = {
+    val cents = lloydCentroids(df, idCol, vecCol, k, rounds, scale)
+    val assigned = withCluster(
+        df.select(col(idCol).as("id"), col(vecCol).as("vec")),
+        "vec", cents, scale)
+      .withColumn("nrm", Vectors.fnorm(col("vec")))
+      .select("id", "vec", "nrm", "cluster")
+      .localCheckpoint(true)
+    // alias both sides: a cluster self-join on one lineage degenerates to
+    // a trivially-true predicate (see Ops.intervalJoin)
+    val a = assigned.select(col("cluster").as("__c"), col("id").as("id_a"),
+      col("vec").as("__va"), col("nrm").as("__na"))
+    val b = assigned.select(col("cluster").as("__c"), col("id").as("id_b"),
+      col("vec").as("__vb"), col("nrm").as("__nb"))
+    val dup = a.join(b, Seq("__c"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        Vectors.fcosine(col("__va"), col("__vb"), col("__na"), col("__nb")))
+      .filter(col("cosine") >= tau)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("__dup", lit(true))
+    assigned.select(col("id"), col("cluster").cast(LongType).as("cluster"))
+      .join(dup, Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
   }
 }

@@ -139,4 +139,34 @@ class SourcesAnnSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().sortBy(_._1)
     assert(a.toSeq == b.toSeq) // bit-deterministic across runs
   }
+
+  test("semDedup flags exactly the later ids with a high-cosine cluster-mate") {
+    // three tight bundles (within-cosine ≈ 1, across ≤ cos(2.0) ≈ -0.42);
+    // expectation derives from the ACTUAL cluster assignment, so this pins
+    // the self-join aliasing (a degenerate trivially-true cluster join
+    // would mark cross-cluster dups too)
+    val pts = (0 until 12).map { i =>
+      val ang = (i / 4) * 2.0 + (i % 4) * 1e-3
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat, 0.0f))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val got = graft.similarity.Clustering
+      .semDedup(df, "vec_id", "embedding", k = 3, tau = 0.95)
+      .as[(Long, Long, Boolean)].collect()
+    val cluster = got.map(r => r._1 -> r._2).toMap
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      val dot = x.zip(y).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val n = math.sqrt(x.map(a => a.toDouble * a).sum) *
+        math.sqrt(y.map(a => a.toDouble * a).sum)
+      if (n == 0) 0.0 else dot / n
+    }
+    val byId = pts.toMap
+    val expect = pts.map(_._1).filter { idB =>
+      pts.exists { case (idA, va) =>
+        idA < idB && cluster(idA) == cluster(idB) && cos(va, byId(idB)) >= 0.95
+      }
+    }.toSet
+    assert(got.filter(_._3).map(_._1).toSet == expect)
+    assert(expect.nonEmpty) // the bundles must actually produce dups
+  }
 }
