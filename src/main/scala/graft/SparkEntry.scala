@@ -411,6 +411,30 @@ object SparkEntry {
       s.read.parquet(outDir)
     }),
 
+    // stream-static broadcast enrichment, end to end: file-stream events
+    // left-join the customer dim map-side (zero stream-side shuffle),
+    // appended to parquet per micro-batch — row-level, so any batch split
+    // yields the same total output (2 files × 1 file/trigger here)
+    "q_stream_enrich" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_enr").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      ev.repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+        format = "parquet", schemaDdl = Some(ev.schema.toDDL),
+        maxFilesPerTrigger = 1)
+      val dim = T(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val enriched = graft.streaming.Streams.enrich(stream, dim, Seq("user_id"))
+      val q = graft.streaming.Streams.toForeachBatch(enriched, ckpt,
+        availableNow = true, outputMode = "append") { (batch, _) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      q.awaitTermination()
+      s.read.parquet(outDir)
+    }),
+
     // ---- sessionization (C4 dynamic windows) ----
     // gap sessions over events: 10-minute inactivity splits; window-function
     // (scale) form and flatMapGroupsWithState (stateful) form share one oracle
@@ -603,6 +627,12 @@ object SparkEntry {
     "q_stratified" -> ((s, dir) =>
       Ops.stratifiedSample(T(s, dir, "documents"), "doc_id", "lang",
           Map("en" -> 100, "zh" -> 1000), defaultPermille = 500)
+        .select("doc_id", "lang")),
+    // mixture resampling: rebalance lang shares to en:zh:es = 50:30:20
+    // (zh is the bottleneck → keeps 100%; de/fr unweighted → dropped)
+    "q_mixture" -> ((s, dir) =>
+      Ops.resampleMixture(T(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 50, "zh" -> 30, "es" -> 20))
         .select("doc_id", "lang")),
     // KMV distinct sketch: k smallest md5 hashes per group (deterministic,
     // unlike HLL — the oracle reproduces the estimate bit-for-bit)
@@ -1164,6 +1194,16 @@ object SparkEntry {
         |  UNION
         |  SELECT r.src_id, e.dst_id FROM reach r JOIN edges e ON r.dst_id = e.src_id)
         |SELECT src_id, dst_id, 'before' AS rel FROM reach""".stripMargin,
+    "q_mixture" ->
+      """WITH cnt AS (SELECT lang AS g, COUNT(*) AS c FROM documents GROUP BY 1),
+        |w AS (SELECT * FROM (VALUES ('en', 50), ('zh', 30), ('es', 20)) AS t(g, w)),
+        |j AS (SELECT cnt.g, c, w FROM cnt JOIN w USING (g) WHERE c > 0),
+        |m AS (SELECT c AS cm, w AS wm FROM j ORDER BY CAST(c AS DOUBLE) / w, g LIMIT 1),
+        |r AS (SELECT j.g, LEAST(1000, (1000 * j.w * m.cm) // (m.wm * j.c)) AS permille
+        |      FROM j CROSS JOIN m)
+        |SELECT doc_id, lang FROM documents d JOIN r ON r.g = d.lang
+        |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+        |      < permille""".stripMargin,
     "q_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 <
@@ -1406,6 +1446,9 @@ object SparkEntry {
     "q_multimodal" -> multimodalOracle,
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type, epoch_us(ts) AS ts_us FROM events",
+    "q_stream_enrich" ->
+      """SELECT user_id, event_id, event_type, c_mktsegment
+        |FROM events LEFT JOIN customer ON user_id = c_custkey""".stripMargin,
     "q_envvars" -> "SELECT CAST(NULL AS VARCHAR) AS v",
     "q_csv_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_recorder_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",

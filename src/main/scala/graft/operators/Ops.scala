@@ -329,6 +329,49 @@ object Ops {
     df.filter(bucket < rate)
   }
 
+  /** Downsample-only mixture resampling — the data-mixing step (DoReMi /
+    * The Pile style): bring group shares to the target `weights` ratio by
+    * downsampling over-represented groups, never upsampling. The group
+    * with the scarcest data relative to its weight keeps 100% (the
+    * bottleneck); every other group keeps
+    * `floor(1000 · w_g · c_m / (w_m · c_g))` permille — ALL-INTEGER
+    * arithmetic, so the rates are engine-exact, and the row-level decision
+    * is the same md5-bucket filter as [[stratifiedSample]] (no RNG state;
+    * identical survivors on every engine/run/partitioning). Groups absent
+    * from `weights` are dropped.
+    *
+    * Scale: one count aggregate (group-cardinality rows to the driver,
+    * like [[percentiles]]), then a pure filter projection — zero shuffle
+    * on the kept corpus. Weights are relative integer parts
+    * (e.g. en:50, zh:30, es:20); keep them ≤ 100000 so the permille
+    * numerator stays within bigint at 10^12-row groups.
+    */
+  def resampleMixture(df: DataFrame, idCol: String, groupCol: String,
+                      weights: Map[String, Int]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(w => w > 0 && w <= 100000),
+      s"weights must be in (0, 100000], got $weights")
+    val counts = df.groupBy(col(groupCol).cast(StringType).as("g"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (g, _) => counts.getOrElse(g, 0L) > 0L }
+    require(present.nonEmpty, "no weighted group present in the data")
+    // bottleneck group: minimum data-per-weight (ties by group name so the
+    // choice is total; double c/w is exact enough for ordering parity —
+    // the SQL mirror sorts by the same division)
+    val m = present.keys.toSeq.sorted
+      .minBy(g => counts(g).toDouble / weights(g))
+    val permille: Map[String, Long] = present.map { case (g, w) =>
+      g -> math.min(1000L, 1000L * w * counts(m) / (weights(m) * counts(g)))
+    }
+    val bucket = conv(substring(md5(col(idCol).cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType) % 1000
+    val rate = present.keys.foldLeft(lit(0L)) { (acc, g) =>
+      when(col(groupCol) === g, lit(permille(g))).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch: the k smallest md5-
     * derived 60-bit hashes per group estimate the group's distinct count as
     * `(k-1) / u_k` with `u_k` the k-th smallest hash normalized to [0,1).

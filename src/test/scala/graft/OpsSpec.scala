@@ -237,6 +237,26 @@ class OpsSpec extends SparkSpec {
     assert(a == b && a.size > 180 && a.size < 320) // same rows, ~half kept
   }
 
+  test("resampleMixture keeps the bottleneck group whole and rates the rest") {
+    // groups: a=1000 rows, b=100 rows; target weights a:b = 1:1 →
+    // b is the bottleneck (keeps 1000‰), a keeps ~100‰
+    val df = (1L to 1000L).map(i => (i, "a")).++((1L to 100L).map(i => (i + 10000L, "b")))
+      .toDF("id", "g")
+    val got = Ops.resampleMixture(df, "id", "g", Map("a" -> 1, "b" -> 1))
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(got("b") == 100L) // bottleneck: every row kept
+    assert(got("a") > 60L && got("a") < 140L) // ~100‰ of 1000 by md5 bucket
+    // deterministic: identical survivors on a re-run
+    val again = Ops.resampleMixture(df, "id", "g", Map("a" -> 1, "b" -> 1))
+      .select("id").as[Long].collect().toSet
+    val first = Ops.resampleMixture(df, "id", "g", Map("a" -> 1, "b" -> 1))
+      .select("id").as[Long].collect().toSet
+    assert(again == first)
+    // unweighted groups drop entirely
+    val dropped = Ops.resampleMixture(df, "id", "g", Map("b" -> 1))
+    assert(dropped.filter(col("g") === "a").count() == 0)
+  }
+
   test("domainBlocklistFilter blocks exact domains and their subdomains") {
     val df = Seq(
       (1L, "https://www.good.com/x"),        // www. strips → good.com, kept
