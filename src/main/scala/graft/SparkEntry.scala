@@ -628,6 +628,22 @@ object SparkEntry {
       Ops.stratifiedSample(T(s, dir, "documents"), "doc_id", "lang",
           Map("en" -> 100, "zh" -> 1000), defaultPermille = 500)
         .select("doc_id", "lang")),
+    // flagship r4 curation pipeline: repetition floor (docs too short to
+    // measure count as clean) → mixture rebalance over the CLEANED corpus
+    // → reproducible split. One corpus scan feeds the repetition stats;
+    // everything after is count-aggregate + filter projections.
+    "q_curation_pipeline" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val rep = Text.repetitionStats(docs, "doc_id", "text", n = 2)
+        .select(col("id").as("doc_id"), col("dup_frac"))
+      val clean = docs.join(rep, Seq("doc_id"), "left")
+        .withColumn("dup_frac", coalesce(col("dup_frac"), lit(0.0)))
+        .filter(col("dup_frac") <= 0.6)
+      val mixed = Ops.resampleMixture(clean, "doc_id", "lang",
+        Map("en" -> 50, "zh" -> 30, "es" -> 20))
+      Ops.hashSplit(mixed, "doc_id", 90)
+        .select("doc_id", "lang", "dup_frac", "split")
+    }),
     // mixture resampling: rebalance lang shares to en:zh:es = 50:30:20
     // (zh is the bottleneck → keeps 100%; de/fr unweighted → dropped)
     "q_mixture" -> ((s, dir) =>
@@ -1194,6 +1210,33 @@ object SparkEntry {
         |  UNION
         |  SELECT r.src_id, e.dst_id FROM reach r JOIN edges e ON r.dst_id = e.src_id)
         |SELECT src_id, dst_id, 'before' AS rel FROM reach""".stripMargin,
+    "q_curation_pipeline" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |g AS (SELECT doc_id,
+         |      unnest(list_transform(range(0, len(tk) - 1),
+         |             i -> array_to_string(list_slice(tk, i + 1, i + 2), ' '))) AS gram
+         |      FROM toks WHERE len(tk) >= 2),
+         |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+         |rep AS (SELECT doc_id,
+         |        CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_frac
+         |        FROM c GROUP BY doc_id),
+         |clean AS (SELECT d.doc_id, d.lang, COALESCE(rep.dup_frac, 0.0) AS dup_frac
+         |          FROM documents d LEFT JOIN rep USING (doc_id)
+         |          WHERE COALESCE(rep.dup_frac, 0.0) <= 0.6),
+         |cnt AS (SELECT lang AS gr, COUNT(*) AS c FROM clean GROUP BY 1),
+         |w AS (SELECT * FROM (VALUES ('en', 50), ('zh', 30), ('es', 20)) AS t(gr, w)),
+         |j AS (SELECT cnt.gr, c, w FROM cnt JOIN w USING (gr) WHERE c > 0),
+         |m AS (SELECT c AS cm, w AS wm FROM j ORDER BY CAST(c AS DOUBLE) / w, gr LIMIT 1),
+         |r AS (SELECT j.gr, LEAST(1000, (1000 * j.w * m.cm) // (m.wm * j.c)) AS permille
+         |      FROM j CROSS JOIN m),
+         |mixed AS (SELECT clean.doc_id, clean.lang, clean.dup_frac
+         |          FROM clean JOIN r ON r.gr = clean.lang
+         |          WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+         |                < permille)
+         |SELECT doc_id, lang, dup_frac,
+         | CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+         |      THEN 'train' ELSE 'val' END AS split
+         |FROM mixed""".stripMargin,
     "q_mixture" ->
       """WITH cnt AS (SELECT lang AS g, COUNT(*) AS c FROM documents GROUP BY 1),
         |w AS (SELECT * FROM (VALUES ('en', 50), ('zh', 30), ('es', 20)) AS t(g, w)),

@@ -92,6 +92,24 @@ object ConfigPipeline {
       case "fingerprint" =>
         p.stage(name, from)(d => d.select(col(s.get("id").asText()),
           graft.functions.Text.fingerprint(col(s.get("text").asText())).as("fp")))
+      case "repetition" =>
+        p.stage(name, from)(graft.functions.Text.repetitionStats(_,
+          s.get("id").asText(), s.get("text").asText(), s.get("n").asInt()))
+      case "span_dedup" =>
+        p.stage(name, from)(graft.dedup.Dedup.spanDedup(_,
+          s.get("id").asText(), s.get("text").asText(), s.get("window").asInt()))
+      case "mixture" =>
+        val w = s.get("weights").fields().asScala
+          .map(e => e.getKey -> e.getValue.asInt()).toMap
+        p.stage(name, from)(graft.operators.Ops.resampleMixture(_,
+          s.get("id").asText(), s.get("group").asText(), w))
+      case "tfidf" =>
+        p.stage(name, from)(graft.similarity.Search.tfIdfKeywords(_,
+          s.get("id").asText(), s.get("text").asText(), s.get("m").asInt()))
+      case "chunk" =>
+        p.stage(name, from)(graft.functions.Text.chunk(_,
+          s.get("id").asText(), s.get("text").asText(),
+          s.get("size").asInt(), s.get("stride").asInt()))
       case other => sys.error(s"unknown op '$other' in stage '$name'")
     }
   }

@@ -140,6 +140,26 @@ class MtlConfigSpec extends SparkSpec {
     }
   }
 
+  test("ConfigPipeline reaches the r4 curation ops (repetition/mixture/chunk)") {
+    val out = ConfigPipeline.fromJson(spark,
+      """{"stages": [
+        | {"name": "d", "op": "parquet", "path": "/root/testdata/sf0.001/documents.parquet"},
+        | {"name": "rep", "op": "repetition", "from": "d", "id": "doc_id", "text": "text", "n": 2},
+        | {"name": "clean", "op": "filter", "from": "rep", "expr": "dup_frac < 0.9"}
+        |]}""".stripMargin).output("clean")
+    assert(out.columns.contains("dup_frac") && out.count() > 0)
+    val mix = ConfigPipeline.fromJson(spark,
+      """{"stages": [
+        | {"name": "d", "op": "parquet", "path": "/root/testdata/sf0.001/documents.parquet"},
+        | {"name": "m", "op": "mixture", "from": "d", "id": "doc_id", "group": "lang",
+        |  "weights": {"en": 1, "zh": 1}},
+        | {"name": "ch", "op": "chunk", "from": "m", "id": "doc_id", "text": "text",
+        |  "size": 32, "stride": 16}
+        |]}""".stripMargin).output("ch")
+    assert(mix.columns.toSeq == Seq("id", "chunk_id", "chunk_text", "n_tokens"))
+    assert(mix.count() > 0)
+  }
+
   test("intervalJoinBucketed matches plain intervalJoin results") {
     val ev = Seq((1L, "a", 100L), (2L, "a", 250L), (3L, "a", 900L), (4L, "b", 120L),
       (5L, "b", 180L)).toDF("id", "k", "t")
