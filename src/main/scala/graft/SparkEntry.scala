@@ -435,6 +435,41 @@ object SparkEntry {
       s.read.parquet(outDir)
     }),
 
+    // stream-stream interval join, end to end: purchases and errors arrive
+    // as two independent file streams; the inner join with a ±300 s event-
+    // time range emits each matched pair exactly once as state meets state
+    // (batch-split independent). Watermark is set beyond the data's span so
+    // no state evicts mid-replay — production use sets the real lag bound
+    // and trades tail completeness for bounded state (see Streams.streamJoin).
+    "q_stream_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_join").toString
+      val pDir = s"$base/p"; val eDir = s"$base/e"
+      val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), expr("ts_ns div 1000").as("p_us"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("user_id"), expr("ts_ns div 1000").as("e_us"))
+      p.repartition(2).write.mode("overwrite").parquet(pDir)
+      e.repartition(2).write.mode("overwrite").parquet(eDir)
+      val ps = graft.streaming.Streams.watchDirectory(s, pDir, format = "parquet",
+          schemaDdl = Some(p.schema.toDDL), maxFilesPerTrigger = 1)
+        .withColumn("p_ts", timestamp_micros(col("p_us")))
+      val es = graft.streaming.Streams.watchDirectory(s, eDir, format = "parquet",
+          schemaDdl = Some(e.schema.toDDL), maxFilesPerTrigger = 1)
+        .withColumn("e_ts", timestamp_micros(col("e_us")))
+      val joined = graft.streaming.Streams.streamJoin(ps, es, Seq("user_id"),
+        "p_ts", "e_ts", watermark = "30 days", timeout = "300 seconds")
+      val out = joined.select(col("p_id"), col("e_id"),
+        ps("user_id").as("user_id"), (col("e_us") - col("p_us")).as("dt_us"))
+      val q = graft.streaming.Streams.toForeachBatch(out, ckpt,
+        availableNow = true, outputMode = "append") { (batch, _) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      q.awaitTermination()
+      s.read.parquet(outDir)
+    }),
+
     // ---- sessionization (C4 dynamic windows) ----
     // gap sessions over events: 10-minute inactivity splits; window-function
     // (scale) form and flatMapGroupsWithState (stateful) form share one oracle
@@ -721,6 +756,35 @@ object SparkEntry {
     // corpus vocabulary with dense frequency ranks
     "q_vocab" -> ((s, dir) =>
       graft.similarity.Search.vocabulary(T(s, dir, "documents"), "doc_id", "text")),
+    // CCNet-style perplexity signal: cross-entropy under a corpus-trained
+    // add-one unigram LM (outlier-high = noise, outlier-low = boilerplate)
+    "q_lm_xent" -> ((s, dir) =>
+      graft.functions.Lm.unigramCrossEntropy(T(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("xent"))),
+    // DSIR data selection: log importance weight toward the en subcorpus
+    "q_dsir" -> ((s, dir) =>
+      graft.functions.Lm.importanceWeights(T(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("logw").cast("double").as("logw"))),
+    // BPE training: 6 merge rounds on the corpus vocabulary (one corpus
+    // scan; each round is vocab-sized). The oracle replays training round
+    // for round with the same padded-string merge representation.
+    "q_bpe_merges" -> ((s, dir) =>
+      graft.functions.Bpe.train(T(s, dir, "documents"), "doc_id", "text", nMerges = 6)._1
+        .select(col("rank"), col("l"), col("r"), col("merged"), col("n"))),
+    // BPE segmentation: replay the trained merges over every corpus token
+    // as a chain of literal-replace projections (zero shuffles). The
+    // oracle instead joins tokens to the final trained vocabulary —
+    // agreement proves the projection chain ≡ the training fixpoint.
+    "q_bpe_segment" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = graft.functions.Bpe.train(docs, "doc_id", "text", nMerges = 6)._1
+        .select("l", "r").collect().map(row => (row.getString(0), row.getString(1))).toSeq
+      graft.functions.Bpe.segment(docs, "doc_id", "text", merges)
+        .select(col("id").as("doc_id"), col("token"),
+          array_join(col("syms"), " ").as("syms_str"), col("n_syms"))
+    }),
     // deterministic k-means over embeddings: md5 seeding, 2 Lloyd passes,
     // quantized components so centroid means are exact cross-engine
     "q_kmeans" -> ((s, dir) =>
@@ -898,6 +962,51 @@ object SparkEntry {
        |v AS (SELECT doc_id, COUNT(*) AS n, $sums FROM h GROUP BY doc_id)
        |SELECT doc_id AS id, CAST($fp AS BIGINT) AS simhash FROM v""".stripMargin
   }
+
+  /** DuckDB replay of BPE training (q_bpe_merges): the CTE chain unrolls
+    * the 6 merge rounds — pair counts from the padded-string segmentation,
+    * deterministic argmax (n DESC, l, r), literal-replace merge — exactly
+    * the rounds [[graft.functions.Bpe.train]] runs. `bpeRounds` must match
+    * the nMerges in the q_bpe_* query entries.
+    */
+  private val bpeRounds = 6
+  private val bpeVocabCtes: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""w AS MATERIALIZED (SELECT tok AS word, COUNT(*) AS cnt
+         |      FROM (SELECT unnest($toksSql) AS tok FROM documents) GROUP BY 1),
+         |v0 AS MATERIALIZED (SELECT word, cnt,
+         |       ' ' || array_to_string(list_transform(range(1, len(word) + 1),
+         |                i -> substring(word, i, 1)), '  ') || ' ' AS syms
+         |       FROM w)""".stripMargin)
+    for (i <- 1 to bpeRounds) {
+      sb.append(
+        s""",
+           |p$i AS MATERIALIZED (SELECT p.l AS l, p.r AS r, SUM(cnt) AS n FROM (
+           |        SELECT cnt, unnest(list_transform(range(0, len(s) - 1),
+           |               i -> {'l': s[i + 1], 'r': s[i + 2]})) AS p
+           |        FROM (SELECT cnt, string_split(trim(syms), '  ') AS s FROM v${i - 1})
+           |       ) GROUP BY 1, 2),
+           |b$i AS MATERIALIZED (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+           |v$i AS MATERIALIZED (SELECT word, cnt,
+           |        replace(syms, ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
+           |                ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ') AS syms
+           |        FROM v${i - 1})""".stripMargin)
+    }
+    sb.toString
+  }
+  private val bpeMergesOracle: String =
+    s"""WITH $bpeVocabCtes
+       |SELECT * FROM (${(1 to bpeRounds).map(i =>
+           s"SELECT CAST($i AS BIGINT) AS rank, l, r, l || r AS merged, CAST(n AS BIGINT) AS n FROM b$i")
+         .mkString(" UNION ALL ")})""".stripMargin
+  private val bpeSegmentOracle: String =
+    s"""WITH $bpeVocabCtes,
+       |tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+       |SELECT doc_id, token,
+       |  array_to_string(string_split(trim(v.syms), '  '), ' ') AS syms_str,
+       |  CAST(len(string_split(trim(v.syms), '  ')) AS BIGINT) AS n_syms
+       |FROM tok JOIN v$bpeRounds v ON v.word = tok.token""".stripMargin
 
   /** DuckDB mirror of minhash(16) → 4-band LSH buckets (2..256) → in-bucket
     * pairs. Same md5 band keys; same maxBucket cap as q_lsh_pairs.
@@ -1371,6 +1480,38 @@ object SparkEntry {
          |SELECT token, n_occurrences, n_docs,
          | CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT) AS freq_rank
          |FROM c""".stripMargin,
+    "q_lm_xent" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |voc AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS v FROM voc),
+         |q AS (SELECT tok,
+         |      CAST(-ln(CAST(cnt + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)) AS DECIMAL(18,6)) AS xq
+         |      FROM voc CROSS JOIN tot),
+         |s AS (SELECT doc_id, CAST(SUM(xq * tf) AS DECIMAL(18,6)) AS sx,
+         |      CAST(SUM(tf) AS BIGINT) AS n_tokens
+         |      FROM tf JOIN q USING (tok) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         | CAST(sx AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS xent FROM s""".stripMargin,
+    "q_dsir" ->
+      s"""WITH toks AS (SELECT doc_id, lang = 'en' AS targ, unnest($toksSql) AS tok
+         |              FROM documents),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |voc AS (SELECT tok, COUNT(*) AS cnt_s,
+         |        CAST(SUM(CASE WHEN targ THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+         |        FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cnt_s) AS BIGINT) AS n_s,
+         |        CAST(SUM(cnt_t) AS BIGINT) AS n_t, COUNT(*) AS v FROM voc),
+         |q AS (SELECT tok,
+         |      CAST(ln(CAST((cnt_t + 1) * (n_s + v) AS DOUBLE) /
+         |              CAST((cnt_s + 1) * (n_t + v) AS DOUBLE)) AS DECIMAL(18,6)) AS lq
+         |      FROM voc CROSS JOIN tot),
+         |s AS (SELECT doc_id, CAST(SUM(lq * tf) AS DECIMAL(18,6)) AS logw,
+         |      CAST(SUM(tf) AS BIGINT) AS n_tokens
+         |      FROM tf JOIN q USING (tok) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, CAST(logw AS DOUBLE) AS logw FROM s""".stripMargin,
+    "q_bpe_merges" -> bpeMergesOracle,
+    "q_bpe_segment" -> bpeSegmentOracle,
     "q_kmeans" ->
       s"""$kmeansCtes
          |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist2 FROM a2 WHERE rnk = 1""".stripMargin,
@@ -1489,6 +1630,14 @@ object SparkEntry {
     "q_multimodal" -> multimodalOracle,
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type, epoch_us(ts) AS ts_us FROM events",
+    // the streaming interval join must reproduce the batch interval join
+    "q_stream_join" ->
+      """SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id AS user_id,
+        | epoch_us(e.ts) - epoch_us(p.ts) AS dt_us
+        |FROM events p JOIN events e ON p.user_id = e.user_id
+        | AND p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND epoch_us(e.ts) >= epoch_us(p.ts) - 300000000
+        | AND epoch_us(e.ts) <= epoch_us(p.ts) + 300000000""".stripMargin,
     "q_stream_enrich" ->
       """SELECT user_id, event_id, event_type, c_mktsegment
         |FROM events LEFT JOIN customer ON user_id = c_custkey""".stripMargin,

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-pair-encoding tokenizer training over a corpus (the
+  * tokenizer-prep companion to [[graft.similarity.Search.vocabulary]];
+  * reference analog: the corpus-statistics nodes around
+  * `node_classes/table_nodes.py:46`, extended to the merge-table training
+  * a pretraining pipeline runs before tokenizing 100 TB).
+  *
+  * Scale shape: the corpus is scanned ONCE to build the distinct-word
+  * count table; every training round after that touches only that
+  * vocab-sized table (this is how production BPE trainers scale — merge
+  * statistics are a function of the weighted vocabulary, not the corpus).
+  * Per round: one vocab-sized aggregate + a one-row argmax fetch; the
+  * merge is then applied as a `replace` projection. [[segment]] applies a
+  * trained merge list to a corpus as a chain of codegen `replace`
+  * projections — zero shuffles.
+  *
+  * Symbol representation: a word's current segmentation is stored as a
+  * padded string — ONE space at each end, TWO spaces between symbols
+  * (`"low"` → `" l  o  w "`). Merging pair (l, r) is then the literal
+  * replacement `" l  r "` → `" lr "`: the pattern consumes one boundary
+  * space on each side, so adjacent occurrences keep their own boundary
+  * and plain left-to-right non-overlapping `replace` — identical
+  * semantics in Java and DuckDB — implements exactly BPE's merge order.
+  * No regex, no UDF, and the oracle can replay training round for round.
+  *
+  * Caveat: symbols are UTF-16 code units on the Spark side and code
+  * points in DuckDB — identical for BMP text (all Latin + CJK); feed
+  * pre-filtered text if the corpus carries astral-plane glyphs.
+  */
+object Bpe {
+
+  /** Distinct-word weighted counts: (word, cnt). The one corpus scan. */
+  def wordCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(explode(Text.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Initial segmentation: every word split to single characters in the
+    * padded representation (see object doc).
+    */
+  private def symbolize(word: Column): Column =
+    concat(lit(" "),
+      array_join(filter(split(word, ""), s => length(s) > 0), "  "),
+      lit(" "))
+
+  /** Weighted adjacent-pair counts over a (syms, cnt) vocabulary:
+    * (left, right, n). Vocab-sized work.
+    */
+  def pairCounts(vocab: DataFrame): DataFrame = {
+    val syms = split(trim(col("syms")), "  ")
+    vocab
+      .select(col("cnt"), syms.as("__s"))
+      .select(col("cnt"), col("__s"), posexplode(slice(col("__s"), lit(1),
+        greatest(size(col("__s")) - 1, lit(0)))))
+      .select(col("cnt"), col("col").as("left"),
+        expr("element_at(__s, pos + 2)").as("right"))
+      .groupBy("left", "right").agg(sum(col("cnt")).as("n"))
+  }
+
+  /** Train `nMerges` BPE merges on the corpus. Returns the merge table
+    * (rank, left, right, merged, n) in training order; ties in pair
+    * frequency break by (left, right) ascending so training is fully
+    * deterministic. If the vocabulary runs out of pairs early the table
+    * is short. The returned vocabulary holds the final segmentation.
+    */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+            nMerges: Int): (DataFrame, DataFrame) = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // vocab is small by construction (distinct words); keep it hot and cut
+    // lineage once so the N training rounds replay an in-memory table, not
+    // the corpus scan.
+    var vocab = wordCounts(docs, idCol, textCol)
+      .select(col("word"), col("cnt"), symbolize(col("word")).as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= nMerges && !exhausted) {
+      val best = pairCounts(vocab)
+        .orderBy(col("n").desc, col("left"), col("right"))
+        .limit(1).as[(String, String, Long)].collect()
+      if (best.isEmpty) { exhausted = true }
+      else {
+        val (l, r, n) = best(0)
+        merges += ((round.toLong, l, r, l + r, n))
+        vocab = vocab.withColumn("syms",
+            replace(col("syms"), lit(s" $l  $r "), lit(s" ${l}${r} ")))
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    (merges.toSeq.toDF("rank", "l", "r", "merged", "n"), vocab)
+  }
+
+  /** Apply an ordered merge list to a corpus of documents: each token is
+    * segmented by replaying the merges. Pure projection — a chain of
+    * literal `replace`s per merge, fully codegen, zero shuffles. Output:
+    * input columns + `syms` (array of subword symbols per token) exploded
+    * as (id, token, syms, n_syms).
+    */
+  def segment(docs: DataFrame, idCol: String, textCol: String,
+              merges: Seq[(String, String)]): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(Text.tokens(col(textCol))).as("token"))
+    val seg = merges.foldLeft(symbolize(col("token"))) { case (acc, (l, r)) =>
+      replace(acc, lit(s" $l  $r "), lit(s" ${l}${r} "))
+    }
+    tok.withColumn("syms", split(trim(seg), "  "))
+      .withColumn("n_syms", size(col("syms")).cast(LongType))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-level language-model scoring for data curation.
+  *
+  * Two standard curation signals (reference analog: the quality/scoring
+  * family around `node.py`'s per-message statistics, extended to the
+  * corpus-trained scorers a 100 TB pretraining pipeline actually runs):
+  *
+  *  - [[unigramCrossEntropy]]: CCNet-style perplexity filtering — train a
+  *    unigram LM on the corpus itself, score each document by its mean
+  *    negative log-likelihood. Outlier-high cross-entropy = gibberish /
+  *    OCR noise; outlier-low = boilerplate repetition.
+  *  - [[importanceWeights]]: DSIR-style data selection — per-document log
+  *    importance weight ln(p_target/p_source) under unigram LMs of a
+  *    target subcorpus vs the whole corpus. Rank by weight, keep the top
+  *    slice to shift the corpus mixture toward the target domain.
+  *
+  * Scale shape: ONE tokenize scan feeds a (doc, token) partial-count
+  * aggregate; the vocabulary table (token → count) is vocab-sized, so its
+  * join back onto per-doc term frequencies broadcasts under AQE (the
+  * corpus-sized side never reshuffles for the join). Corpus totals ride a
+  * one-row broadcast crossJoin. No UDFs, no driver-side iteration.
+  *
+  * Determinism: `ln` differs by 1 ulp across engines on rare inputs, so
+  * per-token scores quantize to DECIMAL(18,6) BEFORE the per-document sum
+  * (exact, order-independent); the final mean is a single double division
+  * of the exact decimal sum — the same two-operation tail the oracle runs
+  * (pattern validated by BM25, G19).
+  */
+object Lm {
+
+  /** Per-document cross-entropy under an add-one-smoothed unigram LM
+    * trained on `docs` itself: p(t) = (count(t)+1)/(N+V) over N total and
+    * V distinct tokens. Output: (id, n_tokens, xent) where
+    * xent = mean over token occurrences of -ln p(t). Documents with no
+    * tokens are absent (no occurrences to score).
+    */
+  def unigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+        explode(Text.tokens(col(textCol))).as("tok"))
+    val tf = tok.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val voc = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = voc.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
+    val q = voc.crossJoin(broadcast(tot)).select(col("tok"),
+      negate(log((col("cnt") + lit(1)).cast(DoubleType) /
+                 (col("n") + col("v")).cast(DoubleType)))
+        .cast(DecimalType(18, 6)).as("__xq"))
+    tf.join(q, Seq("tok"))
+      .groupBy("id")
+      .agg(sum(col("__xq") * col("tf")).as("__sx"), sum(col("tf")).as("n_tokens"))
+      .select(col("id"), col("n_tokens"),
+        (col("__sx").cast(DecimalType(18, 6)).cast(DoubleType) /
+         col("n_tokens").cast(DoubleType)).as("xent"))
+  }
+
+  /** Per-document DSIR log importance weight: sum over token occurrences
+    * of ln(p_target(t) / p_source(t)), both unigram LMs add-one smoothed
+    * over the SHARED vocabulary (V = distinct tokens in the whole corpus,
+    * so out-of-target tokens get mass 1/(N_t+V) rather than zero).
+    * `isTarget` marks the target subcorpus rows (e.g. `col("lang") ===
+    * "en"`). The per-token ratio evaluates as ONE `ln` of an integer-exact
+    * double quotient — identical operation order on both engines.
+    *
+    * Output: (id, n_tokens, logw) — logw > 0 means the document looks more
+    * target-like than the corpus average; rank descending and cut.
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: org.apache.spark.sql.Column): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+        explode(Text.tokens(col(textCol))).as("tok"),
+        isTarget.cast("boolean").as("__targ"))
+    val tf = tok.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val voc = tok.groupBy("tok").agg(
+      count(lit(1)).as("cnt_s"),
+      sum(when(col("__targ"), 1L).otherwise(0L)).as("cnt_t"))
+    val tot = voc.agg(sum(col("cnt_s")).as("n_s"), sum(col("cnt_t")).as("n_t"),
+      count(lit(1)).as("v"))
+    val q = voc.crossJoin(broadcast(tot)).select(col("tok"),
+      log(((col("cnt_t") + lit(1)) * (col("n_s") + col("v"))).cast(DoubleType) /
+          ((col("cnt_s") + lit(1)) * (col("n_t") + col("v"))).cast(DoubleType))
+        .cast(DecimalType(18, 6)).as("__lq"))
+    tf.join(q, Seq("tok"))
+      .groupBy("id")
+      .agg(sum(col("__lq") * col("tf")).as("__sw"), sum(col("tf")).as("n_tokens"))
+      .select(col("id"), col("n_tokens"),
+        col("__sw").cast(DecimalType(18, 6)).as("logw"))
+  }
+}

@@ -110,6 +110,12 @@ object ConfigPipeline {
         p.stage(name, from)(graft.functions.Text.chunk(_,
           s.get("id").asText(), s.get("text").asText(),
           s.get("size").asInt(), s.get("stride").asInt()))
+      case "lm_xent" =>
+        p.stage(name, from)(graft.functions.Lm.unigramCrossEntropy(_,
+          s.get("id").asText(), s.get("text").asText()))
+      case "dsir" => // target subcorpus picked by a SQL predicate
+        p.stage(name, from)(graft.functions.Lm.importanceWeights(_,
+          s.get("id").asText(), s.get("text").asText(), expr(s.get("target").asText())))
       case other => sys.error(s"unknown op '$other' in stage '$name'")
     }
   }

@@ -249,6 +249,64 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh.nonEmpty)        // near-identical vectors share sign buckets
   }
 
+  test("Lm.unigramCrossEntropy scores a hand-computed corpus") {
+    // corpus: "a a b" + "c". N=4 tokens, V=3 distinct.
+    // p(a)=(2+1)/7, p(b)=(1+1)/7, p(c)=(1+1)/7 (add-one over N+V).
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val out = graft.functions.Lm.unigramCrossEntropy(docs, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Double)].collect()
+    def q(p: Double) = BigDecimal(-math.log(p)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val exp1 = ((q(3.0 / 7) * 2 + q(2.0 / 7)) / 3).toDouble
+    val exp2 = q(2.0 / 7).toDouble
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out(0)._2 == 3L && math.abs(out(0)._3 - exp1) < 1e-9)
+    assert(out(1)._2 == 1L && math.abs(out(1)._3 - exp2) < 1e-9)
+  }
+
+  test("Lm.importanceWeights favors target-like documents") {
+    // target = docs containing mostly "x"; source adds "y"-heavy docs
+    val docs = Seq((1L, "x x x", true), (2L, "x x y", true),
+      (3L, "y y y", false), (4L, "x y y", false)).toDF("doc_id", "text", "targ")
+    val out = graft.functions.Lm.importanceWeights(docs, "doc_id", "text", col("targ"))
+      .orderBy("id").as[(Long, Long, java.math.BigDecimal)].collect()
+    val byId = out.map(r => r._1 -> r._3.doubleValue()).toMap
+    // pure-x doc must rank above pure-y doc; mixed docs in between
+    assert(byId(1L) > byId(2L) && byId(2L) > byId(4L) && byId(4L) > byId(3L))
+    assert(byId(1L) > 0 && byId(3L) < 0)
+  }
+
+  test("Bpe.train learns the classic merges on a hand-checkable corpus") {
+    // "aaab" x2 + "ab": pairs of round 1: (a,a) n=4, (a,b) n=3 → merge aa.
+    // round 2: segmentations "aa a b"(x2), "a b" → pairs (aa,a)=2, (a,b)=3
+    // → merge ab... wait (a,b) appears in "aaab"? after aa-merge: [aa,a,b]
+    // → pairs (aa,a)=2, (a,b)=2+1=3 → merge ab.
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val (merges, vocab) = graft.functions.Bpe.train(docs, "doc_id", "text", 3)
+    val m = merges.orderBy("rank").as[(Long, String, String, String, Long)].collect()
+    assert(m(0) == (1L, "a", "a", "aa", 4L))
+    assert(m(1) == (2L, "a", "b", "ab", 3L))
+    // round 3: "aaab" = [aa, ab], "ab" = [ab] → only pair (aa, ab) n=2
+    assert(m(2) == (3L, "aa", "ab", "aaab", 2L))
+    val v = vocab.as[(String, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(v("aaab") == " aaab " && v("ab") == " ab ")
+  }
+
+  test("Bpe.segment replays merges identically to the trained vocabulary") {
+    val docs = Seq((1L, "low lower lowest low"), (2L, "newest new lowest"))
+      .toDF("doc_id", "text")
+    val (merges, vocab) = graft.functions.Bpe.train(docs, "doc_id", "text", 5)
+    val ms = merges.orderBy("rank").select("l", "r")
+      .as[(String, String)].collect().toSeq
+    val seg = graft.functions.Bpe.segment(docs, "doc_id", "text", ms)
+      .select(col("token"), array_join(col("syms"), " ").as("s")).distinct()
+      .as[(String, String)].collect().toMap
+    val v = vocab.select(col("word"),
+        regexp_replace(trim(col("syms")), "  ", " ").as("s"))
+      .as[(String, String)].collect().toMap
+    assert(seg == v) // projection chain ≡ training fixpoint, word for word
+    assert(seg.values.forall(s => !s.contains("  ")))
+  }
+
   test("Vectors dot/norm/cosine are exact on simple cases") {
     val df = Seq((Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
     val (d, n, c) = df.select(
