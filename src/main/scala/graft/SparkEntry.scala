@@ -791,6 +791,16 @@ object SparkEntry {
       graft.similarity.Clustering.kmeans(T(s, dir, "embeddings"), "vec_id", "embedding",
           k = 4, rounds = 2)
         .select(col("id").as("vec_id"), col("cluster"), col("dist2"))),
+    // product quantization: per-subspace k-means codebooks (m=2, k=4),
+    // byte-code corpus, ADC top-k — the memory-compression ANN scale path
+    "q_pq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cbs = graft.similarity.Pq.trainCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 2, k = 4, rounds = 2)
+      graft.similarity.Pq.adcTopK(emb.filter(col("vec_id") < 8), emb,
+          "vec_id", "embedding", cbs, topK = 3)
+        .select("query_id", "rank", "neighbor_id", "adc2")
+    }),
     // SemDeDup: k-means blocks + within-cluster cosine, keep-lowest-id
     "q_semdedup" -> ((s, dir) =>
       graft.similarity.Clustering.semDedup(T(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1195,6 +1205,62 @@ object SparkEntry {
       |             list_transform(range(1, 65), i -> qv[i] - cv[i]) AS d
       |             FROM q CROSS JOIN c1))""".stripMargin
 
+  /** DuckDB replay of product quantization (q_pq): per-subspace Lloyd
+    * training (same seeding/quantization as `kmeansCtes`), corpus codes,
+    * query distance tables, ADC scores — all relational joins. Parameters
+    * must match the q_pq entry: dim=64, m=2 (sub=32), k=4, rounds=2,
+    * queries vec_id < 8, topK=3.
+    */
+  private val pqOracle: String = {
+    val (m, sub, k) = (2, 32, 4)
+    val perSub = (0 until m).map { j =>
+      val lo = j * sub + 1; val hi = (j + 1) * sub
+      s"""sq$j AS MATERIALIZED (SELECT vec_id, list_slice(qv, $lo, $hi) AS sv FROM q),
+         |sc0$j AS MATERIALIZED (SELECT rn - 1 AS cid, list_slice(qv, $lo, $hi) AS cv
+         |        FROM s WHERE rn <= $k),
+         |sm1$j AS MATERIALIZED (SELECT vec_id, sv, cid FROM (
+         |        SELECT vec_id, sv, cid,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                                  ORDER BY list_dot_product(d, d), cid) AS rnk
+         |        FROM (SELECT vec_id, sv, cid,
+         |              list_transform(range(1, ${sub + 1}), i -> sv[i] - cv[i]) AS d
+         |              FROM sq$j CROSS JOIN sc0$j)) WHERE rnk = 1),
+         |sc1$j AS MATERIALIZED (SELECT cid, list(sval ORDER BY pos) AS cv FROM
+         |        (SELECT cid, pos, SUM(sv[pos]) / CAST(COUNT(*) AS DOUBLE) AS sval
+         |         FROM sm1$j CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS pos)
+         |         GROUP BY cid, pos) GROUP BY cid),
+         |cod$j AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |        SELECT vec_id, cid,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                                  ORDER BY list_dot_product(d, d), cid) AS rnk
+         |        FROM (SELECT vec_id, cid,
+         |              list_transform(range(1, ${sub + 1}), i -> sv[i] - cv[i]) AS d
+         |              FROM sq$j CROSS JOIN sc1$j)) WHERE rnk = 1),
+         |dt$j AS MATERIALIZED (SELECT query_id, cid, list_dot_product(d, d) AS d2 FROM (
+         |        SELECT qq.vec_id AS query_id, cid,
+         |               list_transform(range(1, ${sub + 1}), i -> qq.sv[i] - cv[i]) AS d
+         |        FROM (SELECT vec_id, sv FROM sq$j WHERE vec_id < 8) qq
+         |        CROSS JOIN sc1$j))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (SELECT vec_id,
+       |     list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1048576.0)) AS qv
+       |     FROM embeddings),
+       |s AS MATERIALIZED (SELECT vec_id, qv,
+       |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM q),
+       |$perSub,
+       |scored AS (SELECT dt0.query_id, co0.vec_id AS neighbor_id,
+       |           dt0.d2 + dt1.d2 AS adc2
+       |           FROM cod0 co0 JOIN cod1 co1 USING (vec_id)
+       |           JOIN dt0 ON dt0.cid = co0.cid
+       |           JOIN dt1 ON dt1.cid = co1.cid AND dt1.query_id = dt0.query_id
+       |           WHERE dt0.query_id <> co0.vec_id)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, adc2 FROM (
+       |  SELECT query_id, neighbor_id, adc2,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc2, neighbor_id) AS rnk
+       |  FROM scored) WHERE rnk <= 3""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_counter" -> "SELECT r.range AS n FROM range(0, 1000) r",
     "q_sequence" -> "SELECT r.range AS seq_no, unnest(['a', 'b', 'c']) AS value FROM range(0, 2) r",
@@ -1515,6 +1581,7 @@ object SparkEntry {
     "q_kmeans" ->
       s"""$kmeansCtes
          |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist2 FROM a2 WHERE rnk = 1""".stripMargin,
+    "q_pq" -> pqOracle,
     "q_semdedup" ->
       s"""$kmeansCtes,
          |asg AS (SELECT vec_id, cid FROM a2 WHERE rnk = 1),

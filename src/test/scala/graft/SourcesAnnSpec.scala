@@ -140,6 +140,28 @@ class SourcesAnnSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq) // bit-deterministic across runs
   }
 
+  test("Pq ADC ranks an obvious nearest neighbor first and is deterministic") {
+    // two well-separated blobs in each subspace: ADC distances must rank
+    // same-blob vectors above cross-blob ones even through 1-byte codes
+    val pts = (0 until 16).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array.fill(8)(base + i * 1e-4f))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val cbs = graft.similarity.Pq.trainCodebooks(df, "vec_id", "embedding",
+      dim = 8, m = 2, k = 2, rounds = 2)
+    assert(cbs.length == 2 && cbs.forall(_.forall(_._2.length == 4)))
+    val top = graft.similarity.Pq.adcTopK(df.filter($"vec_id" < 2), df,
+        "vec_id", "embedding", cbs, topK = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    // every query's top-5 neighbors share its blob (parity)
+    assert(top.forall { case (q, _, n, _) => q % 2 == n % 2 })
+    val again = graft.similarity.Pq.adcTopK(df.filter($"vec_id" < 2), df,
+        "vec_id", "embedding", cbs, topK = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(top.toSeq == again.toSeq)
+  }
+
   test("semDedup flags exactly the later ids with a high-cosine cluster-mate") {
     // three tight bundles (within-cosine ≈ 1, across ≤ cos(2.0) ≈ -0.42);
     // expectation derives from the ACTUAL cluster assignment, so this pins
