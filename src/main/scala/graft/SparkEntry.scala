@@ -344,6 +344,24 @@ object SparkEntry {
           |IN QUERY orderq cust NAMED BY cust_key IS RELATED TO part NAMED BY part_key AS ordered;
           |IN QUERY orderq cust_key AND cust_name COREFER;""".stripMargin)
       graft.json.MtlParser.knowledgeBase(orderDoc(s, dir), program, "orderq")
+        .select("src_id", "dst_id", "rel")
+    }),
+    // relationship properties (nft_nodes.py:834): edge property k/v pairs
+    // asserted from a selection alias, exploded for the oracle
+    "q_kb_props" -> ((s, dir) => {
+      val program = graft.json.MtlParser.parse(
+        """QUERY orderq IS SELECT cust.c_custkey AS cust_key,
+          |item.l_partkey AS part_key, item.l_linenumber AS line_no
+          |FROM obj START AT TOP
+          |GO DOWN UNTIL HAS KEY c_name AS cust
+          |GO DOWN UNTIL HAS KEY l_quantity AS item;
+          |IN QUERY orderq cust NAMED BY cust_key IS RELATED TO part NAMED BY part_key AS ordered WITH PROPERTY line BY line_no;""".stripMargin)
+      graft.json.MtlParser.relationTables(orderDoc(s, dir), program, "orderq").head
+        .select(col("src_id").cast("string").as("src_id"),
+          col("dst_id").cast("string").as("dst_id"), col("rel"),
+          explode(col("props")).as("p"))
+        .select(col("src_id"), col("dst_id"), col("rel"),
+          col("p.k").as("k"), col("p.v").as("v"))
     }),
 
     // ---- config-built pipeline (E4) ----
@@ -1787,6 +1805,12 @@ object SparkEntry {
         | COALESCE(d.lbl, e.dst_id) AS dst_id, e.rel
         |FROM edges e LEFT JOIN l2 s ON s.id = e.src_id
         | LEFT JOIN l2 d ON d.id = e.dst_id""".stripMargin,
+    "q_kb_props" ->
+      """SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS src_id,
+        | CAST(l_partkey AS VARCHAR) AS dst_id, 'ordered' AS rel,
+        | 'line' AS k, CAST(l_linenumber AS VARCHAR) AS v
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
     "q_config" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

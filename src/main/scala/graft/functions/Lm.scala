@@ -42,8 +42,12 @@ object Lm {
   def unigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
         explode(Text.tokens(col(textCol))).as("tok"))
+    // ONE corpus-sized aggregate: the vocabulary derives from the per-doc
+    // term frequencies (sum of tf ≡ recounting the exploded tokens), so the
+    // corpus explodes and shuffles once, not once per statistic.
     val tf = tok.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
-    val voc = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val voc = tf.groupBy("tok").agg(sum(col("tf")).as("cnt"))
     val tot = voc.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
     val q = voc.crossJoin(broadcast(tot)).select(col("tok"),
       negate(log((col("cnt") + lit(1)).cast(DoubleType) /
@@ -73,10 +77,14 @@ object Lm {
     val tok = docs.select(col(idCol).as("id"),
         explode(Text.tokens(col(textCol))).as("tok"),
         isTarget.cast("boolean").as("__targ"))
-    val tf = tok.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
-    val voc = tok.groupBy("tok").agg(
-      count(lit(1)).as("cnt_s"),
-      sum(when(col("__targ"), 1L).otherwise(0L)).as("cnt_t"))
+    // __targ is functionally dependent on id, so grouping by it too keeps
+    // the tf aggregate single-pass; the vocab then derives from tf (one
+    // corpus-sized shuffle total, mirroring unigramCrossEntropy)
+    val tf = tok.groupBy("id", "__targ", "tok").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val voc = tf.groupBy("tok").agg(
+      sum(col("tf")).as("cnt_s"),
+      sum(when(col("__targ"), col("tf")).otherwise(0L)).as("cnt_t"))
     val tot = voc.agg(sum(col("cnt_s")).as("n_s"), sum(col("cnt_t")).as("n_t"),
       count(lit(1)).as("v"))
     val q = voc.crossJoin(broadcast(tot)).select(col("tok"),

@@ -2,7 +2,7 @@ package graft.json
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
 
 /** MTL query-language front-end (reference `modelling/treehorn_yaccer.py`,
   * tokens `modelling/treehorn_tokenizer.py`, sample `query_text.mtl`).
@@ -43,8 +43,13 @@ object MtlParser {
                          travs: Seq[TreeWalk.Traversal], wheres: Seq[Where])
   final case class Property(query: String, alias: String, unique: Boolean,
                             propName: String, entity: String, namedBy: Option[String])
+  /** `props` — relationship properties (reference `nft_nodes.py:834`
+    * `RelationshipPropertyAssertion`, SET r.prop in its MERGE schema):
+    * (property name, selection alias supplying the value).
+    */
   final case class Relation(query: String, srcEntity: String, srcAlias: String,
-                            dstEntity: String, dstAlias: String, rel: String)
+                            dstEntity: String, dstAlias: String, rel: String,
+                            props: Seq[(String, String)] = Nil)
   /** `IN QUERY q a AND b COREFER` (reference `treehorn_yaccer.py:319`):
     * selection aliases a and b name the same entity — their value sets merge.
     */
@@ -189,8 +194,15 @@ object MtlParser {
         next(); expect("BY"); val srcAlias = next()
         expect("IS"); expect("RELATED"); expect("TO"); val dstEntity = next()
         expect("NAMED"); expect("BY"); val dstAlias = next()
-        expect("AS"); val rel = next(); expect(";")
-        rels += Relation(qname, subject, srcAlias, dstEntity, dstAlias, rel)
+        expect("AS"); val rel = next()
+        // optional `WITH PROPERTY <name> BY <alias>`, repeatable — the MTL
+        // surface for relationship properties (nft_nodes.py:834)
+        val rprops = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        while (peek.equalsIgnoreCase("WITH")) {
+          next(); expect("PROPERTY"); val pn = next(); expect("BY"); rprops += ((pn, next()))
+        }
+        expect(";")
+        rels += Relation(qname, subject, srcAlias, dstEntity, dstAlias, rel, rprops.toSeq)
       } else if (peek.equalsIgnoreCase("AND")) {
         next(); val other = next(); expect("COREFER"); expect(";")
         corefs += Coreference(qname, subject, other)
@@ -314,10 +326,22 @@ object MtlParser {
                      functions: Map[String, Column => Column] = Map.empty): Seq[DataFrame] =
     relationsFromRows(run(df, program, queryName, functions), program, queryName)
 
+  private val propsType = ArrayType(StructType(Seq(
+    StructField("k", StringType), StructField("v", StringType))))
+
   private def relationsFromRows(rows: DataFrame, program: Program,
                                 queryName: String): Seq[DataFrame] =
     program.relations.filter(_.query == queryName).map { r =>
-      rows.select(col(r.srcAlias).as("src_id"), col(r.dstAlias).as("dst_id"))
+      // properties ride as a SORTED array<struct<k,v>> (maps cannot join/
+      // distinct in Spark set operations), empty when unasserted — so
+      // heterogeneous relations still unionByName
+      val propsCol =
+        if (r.props.isEmpty) array().cast(propsType)
+        else sort_array(array(r.props.map { case (pn, pa) =>
+          struct(lit(pn).as("k"), col(pa).cast(StringType).as("v"))
+        }: _*))
+      rows.select(col(r.srcAlias).as("src_id"), col(r.dstAlias).as("dst_id"),
+          propsCol.as("props"))
         .withColumn("rel", lit(r.rel)).distinct()
     }
 
@@ -379,12 +403,12 @@ object MtlParser {
     val edges = relationsFromRows(rows, program, queryName)
       .reduce(_ unionByName _)
       .select(col("src_id").cast(StringType).as("src_id"),
-        col("dst_id").cast(StringType).as("dst_id"), col("rel"))
+        col("dst_id").cast(StringType).as("dst_id"), col("rel"), col("props"))
     val cSrc = broadcast(canon.select(col("member").as("src_id"), col("canonical").as("__cs")))
     val cDst = broadcast(canon.select(col("member").as("dst_id"), col("canonical").as("__cd")))
     edges.join(cSrc, Seq("src_id"), "left").join(cDst, Seq("dst_id"), "left")
       .select(coalesce(col("__cs"), col("src_id")).as("src_id"),
-        coalesce(col("__cd"), col("dst_id")).as("dst_id"), col("rel"))
+        coalesce(col("__cd"), col("dst_id")).as("dst_id"), col("rel"), col("props"))
       .distinct()
   }
 

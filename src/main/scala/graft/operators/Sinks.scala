@@ -55,10 +55,24 @@ object Sinks {
     */
   def cypherStatements(edges: DataFrame, srcLabel: String, dstLabel: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    edges.select(concat(
-      lit(s"MERGE (a:$srcLabel {id: '"), col("src_id"),
-      lit(s"'}) MERGE (b:$dstLabel {id: '"), col("dst_id"),
-      lit("'}) MERGE (a)-[:"), col("rel"), lit("]->(b);")).as("cypher"))
+    // A `props` column (array<struct<k,v>> from MtlParser relation
+    // assertions) renders as SET clauses on the relationship — the
+    // reference's RelationshipPropertyAssertion merge schema
+    // (nft_nodes.py:834: MERGE ... SET r.{prop} = $value).
+    if (edges.columns.contains("props"))
+      edges.select(concat(
+        lit(s"MERGE (a:$srcLabel {id: '"), col("src_id"),
+        lit(s"'}) MERGE (b:$dstLabel {id: '"), col("dst_id"),
+        lit("'}) MERGE (a)-[r:"), col("rel"), lit("]->(b)"),
+        array_join(transform(col("props"),
+          p => concat(lit(" SET r."), p.getField("k"),
+            lit(" = '"), p.getField("v"), lit("'"))), ""),
+        lit(";")).as("cypher"))
+    else
+      edges.select(concat(
+        lit(s"MERGE (a:$srcLabel {id: '"), col("src_id"),
+        lit(s"'}) MERGE (b:$dstLabel {id: '"), col("dst_id"),
+        lit("'}) MERGE (a)-[:"), col("rel"), lit("]->(b);")).as("cypher"))
   }
 
   /** Partition-layout parquet write: one directory per value of the

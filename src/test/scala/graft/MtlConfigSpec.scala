@@ -47,8 +47,11 @@ class MtlConfigSpec extends SparkSpec {
     assert(ents("user").columns.toSet == Set("name", "item_sku"))
     assert(ents("user").count() == 1)
     val rels = MtlParser.relationTables(doc, program, "q", fns)
-    assert(rels.head.as[(String, String, String)].collect().toSet ==
+    assert(rels.head.select("src_id", "dst_id", "rel")
+      .as[(String, String, String)].collect().toSet ==
       Set(("alice", "S1", "bought"), ("alice", "S2", "bought")))
+    // no WITH PROPERTY asserted → props present but empty (union-stable)
+    assert(rels.head.select(size($"props")).as[Int].collect().forall(_ == 0))
   }
 
   test("MTL WHERE, compound conditions, and GO UP compile and filter") {

@@ -69,6 +69,16 @@ class SourcesAnnSpec extends SparkSpec {
     val cy = graft.operators.Sinks.cypherStatements(edges, "User", "Part")
       .as[String].head()
     assert(cy == "MERGE (a:User {id: 'u1'}) MERGE (b:Part {id: 'p1'}) MERGE (a)-[:BOUGHT]->(b);")
+    // edges carrying a props column render SET clauses on the relationship
+    val withProps = Seq(("u1", "p1", "BOUGHT", Seq(("qty", "3"), ("unit", "ea"))))
+      .toDF("src_id", "dst_id", "rel", "props")
+    val cyP = graft.operators.Sinks.cypherStatements(
+        withProps.select(col("src_id"), col("dst_id"), col("rel"),
+          expr("transform(props, p -> struct(p._1 AS k, p._2 AS v))").as("props")),
+        "User", "Part")
+      .as[String].head()
+    assert(cyP == "MERGE (a:User {id: 'u1'}) MERGE (b:Part {id: 'p1'}) " +
+      "MERGE (a)-[r:BOUGHT]->(b) SET r.qty = '3' SET r.unit = 'ea';")
   }
 
   test("bm25TopK ranks by term rarity and frequency with an id tie-break") {
