@@ -63,6 +63,37 @@ object AnnSweep {
       println(f"| LSH planes=$planes%-2d bands=$bands%-2d | ${recall(res)}%.3f | $t%.2f | ${t / tBrute}%.2fx |")
       res.unpersist()
     }
+    // PQ/ADC approximates L2, so its recall measures against an exact-L2
+    // ground truth (d² = |q|² + |c|² − 2·q·c via the codegen dot), not the
+    // cosine truth above; training (per-subspace Lloyd) runs inside the
+    // timer like IVF's centroid job
+    val (truthL2, tL2) = timed {
+      import graft.functions.Vectors
+      import org.apache.spark.sql.expressions.Window
+      val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .withColumn("qn", Vectors.fnorm(col("qv")))
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        .withColumn("cn", Vectors.fnorm(col("cv")))
+      val w = Window.partitionBy("query_id").orderBy(col("d2").asc, col("neighbor_id").asc)
+      c.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("d2", col("qn") * col("qn") + col("cn") * col("cn")
+          - lit(2.0) * Vectors.fdot(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    def recallL2(approx: DataFrame): Double =
+      approx.join(truthL2, Seq("query_id", "neighbor_id")).count() / denom
+    println(f"| brute force L2 | 1.000 | $tL2%.2f | ${tL2 / tBrute}%.2fx |")
+    for ((m, kk) <- Seq((2, 16), (4, 16), (4, 64), (8, 64))) {
+      val (res, t) = timed {
+        val cbs = graft.similarity.Pq.trainCodebooks(emb, "vec_id", "embedding",
+          dim = 64, m = m, k = kk, rounds = 2)
+        graft.similarity.Pq.adcTopK(queries, emb, "vec_id", "embedding", cbs, k)
+      }
+      println(f"| PQ m=$m%-2d k=$kk%-2d | ${recallL2(res)}%.3f | $t%.2f | ${t / tBrute}%.2fx |")
+      res.unpersist()
+    }
     spark.stop()
   }
 }

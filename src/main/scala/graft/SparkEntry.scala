@@ -676,6 +676,17 @@ object SparkEntry {
           col("__nxt").cast(StringType).as("dst_id"), lit("next").as("rel"))
       MtlParser.inferTransitive(edges, "next", "before")
     }),
+    // single Datalog rule: skip2(a, c) :- next(a, b), next(b, c)
+    "q_kb_rule" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val edges = T(s, dir, "orders")
+        .withColumn("__nxt", lead(col("o_orderkey"), 1).over(w))
+        .filter(col("__nxt").isNotNull)
+        .select(col("o_orderkey").cast(StringType).as("src_id"),
+          col("__nxt").cast(StringType).as("dst_id"), lit("next").as("rel"))
+      MtlParser.applyRule(edges, "next", "next", "skip2")
+    }),
     // per-stratum deterministic sampling: all of zh, 10% of en, half of rest
     "q_stratified" -> ((s, dir) =>
       Ops.stratifiedSample(T(s, dir, "documents"), "doc_id", "lang",
@@ -1403,6 +1414,15 @@ object SparkEntry {
         |  UNION
         |  SELECT r.src_id, e.dst_id FROM reach r JOIN edges e ON r.dst_id = e.src_id)
         |SELECT src_id, dst_id, 'before' AS rel FROM reach""".stripMargin,
+    "q_kb_rule" ->
+      """WITH nxt AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS src_id,
+        |    CAST(lead(o_orderkey) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS VARCHAR) AS dst_id
+        |  FROM orders),
+        |edges AS (SELECT src_id, dst_id FROM nxt WHERE dst_id IS NOT NULL)
+        |SELECT DISTINCT a.src_id, b.dst_id, 'skip2' AS rel
+        |FROM edges a JOIN edges b ON a.dst_id = b.src_id""".stripMargin,
     "q_curation_pipeline" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |g AS (SELECT doc_id,

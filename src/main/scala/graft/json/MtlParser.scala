@@ -470,6 +470,23 @@ object MtlParser {
     * Output: (src_id, dst_id, rel=outRel) — derived pairs only; union the
     * input back if the raw facts should ride along.
     */
+  /** Single Datalog rule application (reference `nft_nodes.py` rule firing,
+    * the non-recursive case): `outRel(a, c) :- rel1(a, b), rel2(b, c)` —
+    * one equi-join on the shared variable, distinct heads. Compose with
+    * [[inferTransitive]] for recursive rules; chain calls for longer rule
+    * bodies (each extra body atom is one more join).
+    */
+  def applyRule(edges: DataFrame, rel1: String, rel2: String,
+                outRel: String): DataFrame = {
+    val e1 = edges.filter(col("rel") === rel1)
+      .select(col("src_id"), col("dst_id").as("__mid"))
+    val e2 = edges.filter(col("rel") === rel2)
+      .select(col("src_id").as("__mid"), col("dst_id"))
+    e1.join(e2, "__mid")
+      .select(col("src_id"), col("dst_id")).distinct()
+      .withColumn("rel", lit(outRel))
+  }
+
   def inferTransitive(edges: DataFrame, rel: String, outRel: String,
                       maxRounds: Int = 20): DataFrame = {
     require(maxRounds > 0, s"maxRounds must be positive, got $maxRounds")

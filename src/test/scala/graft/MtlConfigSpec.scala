@@ -54,6 +54,17 @@ class MtlConfigSpec extends SparkSpec {
     assert(rels.head.select(size($"props")).as[Int].collect().forall(_ == 0))
   }
 
+  test("applyRule derives a relation from a two-atom body join") {
+    val edges = Seq(("a", "b", "next"), ("b", "c", "next"), ("c", "d", "other"))
+      .toDF("src_id", "dst_id", "rel")
+    val out = MtlParser.applyRule(edges, "next", "next", "skip2")
+      .as[(String, String, String)].collect().toSet
+    assert(out == Set(("a", "c", "skip2"))) // other-rel atoms don't fire
+    val chained = MtlParser.applyRule(edges, "next", "other", "mixed")
+      .as[(String, String, String)].collect().toSet
+    assert(chained == Set(("b", "d", "mixed")))
+  }
+
   test("MTL WHERE, compound conditions, and GO UP compile and filter") {
     val p = MtlParser.parse(
       """QUERY q IS SELECT i.sku AS sku, o.owner_name AS owner
