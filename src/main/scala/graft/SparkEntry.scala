@@ -282,6 +282,24 @@ object SparkEntry {
       graft.json.MtlParser.run(orderDoc(s, dir), program, "orderq")
     }),
 
+    // MTL function application (treehorn_yaccer.py:392-485: user-defined
+    // functions in selection lists): `f(label.key) AS alias` resolves
+    // against a caller-supplied Column=>Column registry — the Spark-native
+    // equivalent of the reference's imported Python callables. The PYTHON
+    // FUNCTION declaration line parses and is ignored (execution is JVM).
+    "q_mtl_func" -> ((s, dir) => {
+      val program = graft.json.MtlParser.parse(
+        """shout IS A PYTHON FUNCTION IMPORTED FROM string.upper;
+          |QUERY orderq IS SELECT shout(cust.c_name) AS cust_uc,
+          |strlen(cust.c_name) AS name_len, cust.c_custkey AS cust_key
+          |FROM obj START AT TOP
+          |GO DOWN UNTIL HAS KEY c_name AS cust;""".stripMargin)
+      graft.json.MtlParser.run(orderDoc(s, dir), program, "orderq",
+        functions = Map(
+          "shout" -> (c => upper(c)),
+          "strlen" -> (c => length(c).cast(LongType))))
+    }),
+
     // MTL WHERE: predicates parsed from the query text filter before
     // projection (and push down into the scan)
     "q_mtl_where" -> ((s, dir) => {
@@ -1777,6 +1795,11 @@ object SparkEntry {
       """SELECT c_custkey AS cust_key, l_quantity AS qty, c_name AS cust_name
         |FROM orders JOIN customer ON o_custkey = c_custkey
         | JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
+    "q_mtl_func" ->
+      """SELECT upper(c_name) AS cust_uc, CAST(length(c_name) AS BIGINT) AS name_len,
+        | c_custkey AS cust_key
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin,
     "q_mtl_where" ->
       """SELECT c_custkey AS cust_key, l_quantity AS qty, l_partkey AS part_key
         |FROM orders JOIN customer ON o_custkey = c_custkey
