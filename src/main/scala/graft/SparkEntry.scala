@@ -31,6 +31,21 @@ object SparkEntry {
   /** DECIMAL(18,2) accumulator cast — the exact-money-math workhorse. */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Scope a smaller shuffle-partition count around a stateful streaming
+    * run. State-store instances (and their per-micro-batch delta/snapshot
+    * files) are pinned to `spark.sql.shuffle.partitions` at stream start
+    * and are never AQE-coalesced — unlike batch shuffles — so a bounded
+    * replay at 32 partitions pays 32 stores × batches of checkpoint
+    * bookkeeping for kilobytes of actual state. Sizing stores to state
+    * volume is the standard production knob; these bounded tests size to
+    * the data. Restores the previous value once the stream finishes.
+    */
+  private def withStreamShuffle[T](s: SparkSession, n: Int = 4)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Flagship query on sf=0.001: revenue per nation (broadcast dims). */
   def entry(spark: SparkSession): DataFrame =
     revenuePerNation(spark, "/root/testdata/sf0.001")
@@ -422,7 +437,7 @@ object SparkEntry {
     // recorder, drained with AvailableNow. Complete mode makes the final
     // parquet the full aggregate regardless of how files split into
     // micro-batches, so the result is batch-deterministic and oracle-able.
-    "q_stream_e2e" -> ((s, dir) => {
+    "q_stream_e2e" -> ((s, dir) => withStreamShuffle(s) {
       val ev = T(s, dir, "events").select(col("event_id"), col("event_type"),
         expr("ts_ns div 1000").as("ts_us"), col("value"))
       val base = java.nio.file.Files.createTempDirectory("graft_stream_e2e").toString
@@ -448,10 +463,12 @@ object SparkEntry {
     }),
 
     // stream-static broadcast enrichment, end to end: file-stream events
+    // (no stateful operator here, but the per-batch sink write still plans
+    // at the session shuffle setting — scoped down with the rest)
     // left-join the customer dim map-side (zero stream-side shuffle),
     // appended to parquet per micro-batch — row-level, so any batch split
     // yields the same total output (2 files × 1 file/trigger here)
-    "q_stream_enrich" -> ((s, dir) => {
+    "q_stream_enrich" -> ((s, dir) => withStreamShuffle(s) {
       val ev = T(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"))
       val base = java.nio.file.Files.createTempDirectory("graft_stream_enr").toString
@@ -477,7 +494,7 @@ object SparkEntry {
     // (batch-split independent). Watermark is set beyond the data's span so
     // no state evicts mid-replay — production use sets the real lag bound
     // and trades tail completeness for bounded state (see Streams.streamJoin).
-    "q_stream_join" -> ((s, dir) => {
+    "q_stream_join" -> ((s, dir) => withStreamShuffle(s) {
       val ev = T(s, dir, "events")
       val base = java.nio.file.Files.createTempDirectory("graft_stream_join").toString
       val pDir = s"$base/p"; val eDir = s"$base/e"
@@ -607,7 +624,7 @@ object SparkEntry {
     // answer regardless of file/batch splits) → parquet → oracle. DuckDB
     // mirror uses the >= gap break (session_window merges strictly-inside
     // events) and end = last event + gap.
-    "q_stream_sessions" -> ((s, dir) => {
+    "q_stream_sessions" -> ((s, dir) => withStreamShuffle(s) {
       val ev = T(s, dir, "events").select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
       val base = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
@@ -633,7 +650,7 @@ object SparkEntry {
     // streaming exact-dedup end-to-end: duplicated file stream →
     // dropDuplicates within the watermark horizon (sized to cover the whole
     // bounded replay, so the result is the global distinct) → parquet
-    "q_stream_dedup" -> ((s, dir) => {
+    "q_stream_dedup" -> ((s, dir) => withStreamShuffle(s) {
       val ev = T(s, dir, "events")
         .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("ts_us"))
       val base = java.nio.file.Files.createTempDirectory("graft_stream_dd").toString
