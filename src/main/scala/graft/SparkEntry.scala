@@ -711,6 +711,27 @@ object SparkEntry {
           col("__nxt").cast(StringType).as("dst_id"), lit("next").as("rel"))
       MtlParser.inferTransitive(edges, "next", "before")
     }),
+    // deterministic integer PageRank over the same next-order edge graph:
+    // 3 iterations, all-BIGINT arithmetic (rank div outdeg, 85% damping as
+    // (85*cs) div 100) — bit-identical across partitionings and engines
+    "q_pagerank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val edges = T(s, dir, "orders")
+        .withColumn("__nxt", lead(col("o_orderkey"), 1).over(w))
+        .filter(col("__nxt").isNotNull)
+        .select(col("o_orderkey").cast(StringType).as("src_id"),
+          col("__nxt").cast(StringType).as("dst_id"))
+      graft.graph.Graph.pageRank(edges, iters = 3)
+    }),
+    // degree table over the customer→part purchase graph
+    "q_degrees" -> ((s, dir) => {
+      val edges = T(s, dir, "orders")
+        .join(T(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast(StringType).as("src_id"),
+          col("l_partkey").cast(StringType).as("dst_id"))
+      graft.graph.Graph.degrees(edges)
+    }),
     // single Datalog rule: skip2(a, c) :- next(a, b), next(b, c)
     "q_kb_rule" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -820,6 +841,16 @@ object SparkEntry {
     // corpus vocabulary with dense frequency ranks
     "q_vocab" -> ((s, dir) =>
       graft.similarity.Search.vocabulary(T(s, dir, "documents"), "doc_id", "text")),
+    // inverted index over the corpus: token → sorted postings + df; the
+    // postings array flattens to a string for the cross-engine compare
+    // (array reprs differ between engines; the VALUES must not)
+    "q_inverted_index" -> ((s, dir) =>
+      graft.similarity.Search.invertedIndex(
+          T(s, dir, "documents").select(col("doc_id").cast(StringType).as("doc_id"),
+            col("text")),
+          "doc_id", "text", maxPostings = 1000)
+        .select(col("token"),
+          expr("array_join(postings, ' ')").as("postings"), col("df"))),
     // CCNet-style perplexity signal: cross-entropy under a corpus-trained
     // add-one unigram LM (outlier-high = noise, outlier-low = boilerplate)
     "q_lm_xent" -> ((s, dir) =>
@@ -1449,6 +1480,48 @@ object SparkEntry {
         |  UNION
         |  SELECT r.src_id, e.dst_id FROM reach r JOIN edges e ON r.dst_id = e.src_id)
         |SELECT src_id, dst_id, 'before' AS rel FROM reach""".stripMargin,
+    // integer PageRank unrolled 3 iterations — `//` is DuckDB BIGINT floor
+    // division ≡ Spark `div` on the all-positive ranks
+    "q_pagerank" ->
+      """WITH nxt AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS src,
+        |    CAST(lead(o_orderkey) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS VARCHAR) AS dst
+        |  FROM orders),
+        |e AS (SELECT src, dst FROM nxt WHERE dst IS NOT NULL),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+        |eo AS (SELECT e.src, e.dst, od.od FROM e JOIN od USING (src)),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |c1 AS (SELECT dst, SUM(rank // od) AS cs FROM eo JOIN r0 ON r0.id = eo.src GROUP BY dst),
+        |r1 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(cs, 0)) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN c1 ON c1.dst = n.id),
+        |c2 AS (SELECT dst, SUM(rank // od) AS cs FROM eo JOIN r1 ON r1.id = eo.src GROUP BY dst),
+        |r2 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(cs, 0)) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN c2 ON c2.dst = n.id),
+        |c3 AS (SELECT dst, SUM(rank // od) AS cs FROM eo JOIN r2 ON r2.id = eo.src GROUP BY dst),
+        |r3 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(cs, 0)) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN c3 ON c3.dst = n.id)
+        |SELECT id, rank FROM r3""".stripMargin,
+    "q_degrees" ->
+      """WITH e AS (SELECT CAST(o_custkey AS VARCHAR) AS src_id,
+        |  CAST(l_partkey AS VARCHAR) AS dst_id
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |o AS (SELECT src_id AS id, COUNT(*) AS out_deg FROM e GROUP BY src_id),
+        |i AS (SELECT dst_id AS id, COUNT(*) AS in_deg FROM e GROUP BY dst_id)
+        |SELECT COALESCE(o.id, i.id) AS id,
+        | CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg,
+        | CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg,
+        | CAST(COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS BIGINT) AS deg
+        |FROM o FULL OUTER JOIN i ON o.id = i.id""".stripMargin,
+    "q_inverted_index" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, token FROM (
+        |    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |      unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token <> '')
+        |SELECT token, array_to_string(list_sort(list(doc_id)), ' ') AS postings,
+        | CAST(COUNT(*) AS BIGINT) AS df
+        |FROM tok GROUP BY token HAVING COUNT(*) <= 1000""".stripMargin,
     "q_kb_rule" ->
       """WITH nxt AS (
         |  SELECT CAST(o_orderkey AS VARCHAR) AS src_id,

@@ -1,0 +1,83 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over knowledge-base edge tables (the (src_id, dst_id)
+  * frames [[graft.json.MtlParser.knowledgeBase]] / [[graft.json.TreeWalk.relations]]
+  * emit, and `Sinks.graphExport` writes) — the "what do I do with the graph
+  * I just extracted" layer the reference hands off to Neo4j
+  * (`node_classes/cypher_neo4j.py:8`). Here the analytics run in-engine,
+  * distributed.
+  *
+  * Determinism contract (SURVEY §6): ranks are scaled BIGINTs and every
+  * operation is integer arithmetic (`div`), so results are bit-identical
+  * across partitionings, runs, and engines — a DuckDB oracle replays the
+  * same iterations exactly. Floating-point PageRank would be none of those
+  * (double sums are partition-order dependent).
+  */
+object Graph {
+
+  /** Deterministic integer PageRank.
+    *
+    * Ranks carry a fixed-point scale of 1e6: every node starts at
+    * 1,000,000; each iteration a node keeps `base` = 150,000 (the 0.15
+    * teleport mass) plus 85% of the summed contributions `rank div outdeg`
+    * of its in-neighbors — `(85 * sum) div 100`, all BIGINT. Dangling-node
+    * mass is dropped (not redistributed), the common simplification for
+    * link analysis at corpus scale.
+    *
+    * Scale shape: `iters` is a CONSTANT (PageRank converges geometrically;
+    * 5-20 iterations is production practice), so the loop is a fixed-depth
+    * pipeline, not a fixpoint search. Per iteration: one join of the rank
+    * table with the edge list on `src_id` (rank table is node-sized — AQE
+    * broadcasts it when small; at web scale both sides hash-partition on
+    * the SAME key every round, so a pre-`repartition` on src_id makes all
+    * iterations reuse one exchange) + one groupBy(dst_id) sum with map-side
+    * partials. Rank frames localCheckpoint each round — constant-size
+    * plans, no lineage blowup (same rationale as MtlParser.inferTransitive).
+    *
+    * Output: (id, rank) for every node appearing as src or dst; `rank` is
+    * the scaled BIGINT (divide by 1e6 for the conventional value).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+               srcCol: String = "src_id", dstCol: String = "dst_id"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    // edge list with out-degree attached, materialized ONCE — every
+    // iteration re-reads this, not the upstream pipeline
+    val eo = e.join(outDeg, "src").localCheckpoint(true)
+    var ranks = nodes.withColumn("rank", lit(1000000L)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      // `div` (not `/`): BIGINT floor division keeps every step in exact
+      // integer arithmetic — `/` is double division in both engines
+      val contrib = eo.join(ranks.select(col("id").as("src"), col("rank")), "src")
+        .select(col("dst"), expr("rank div od").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("cs"))
+      ranks = nodes
+        .join(contrib.select(col("dst").as("id"), col("cs")), Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("(85 * coalesce(cs, 0L)) div 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("id"), col("rank"))
+  }
+
+  /** Per-node degree table: out-degree, in-degree, total — the first
+    * sanity scan over any extracted graph. One shuffle per direction,
+    * full-outer merged.
+    */
+  def degrees(edges: DataFrame, srcCol: String = "src_id",
+              dstCol: String = "dst_id"): DataFrame = {
+    val out = edges.groupBy(col(srcCol).as("id")).agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col(dstCol).as("id")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .withColumn("deg", col("out_deg") + col("in_deg"))
+  }
+}

@@ -66,6 +66,28 @@ object Search {
         .orderBy(col("n_occurrences").desc, col("token").asc)).cast(LongType))
   }
 
+  /** Inverted index: token → sorted posting list of containing documents
+    * (+ document frequency) — the retrieval-side artifact [[bm25TopK]]
+    * queries implicitly; materialized, it serves exact phrase/term lookups
+    * without re-scanning the corpus.
+    *
+    * Scale: one tokenize scan; (token, id) pairs distinct then aggregate —
+    * both shuffles hash on `token`, so AQE plans ONE exchange. Posting
+    * lists are `sort_array`ed (deterministic, engine-comparable). At 100 TB
+    * a single token's postings can exceed one row's practical size — cap
+    * inspection-oriented use with `maxPostings` (stop-word-sized lists are
+    * BM25-useless anyway and get pruned rather than truncated, keeping
+    * every emitted list exact).
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Long = Long.MaxValue): DataFrame =
+    docs.select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("token"))
+      .distinct()
+      .groupBy("token")
+      .agg(sort_array(collect_list(col("id"))).as("postings"),
+        count(lit(1)).as("df"))
+      .filter(col("df") <= maxPostings)
+
   /** Per-document TF-IDF keywords: the `m` tokens with the highest
     * tf · ln(N / df) in each document (ties by token ascending). The
     * keyword-extraction / topic-labeling step of a curation pipeline.

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.Graph
+import graft.similarity.Search
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a -> b -> c, a -> c : c should out-rank b, b out-rank a (no in-links)
+  private def chain = Seq(("a", "b"), ("b", "c"), ("a", "c"))
+    .toDF("src_id", "dst_id")
+
+  test("pageRank: integer ranks, sink highest, source at teleport base") {
+    val r = Graph.pageRank(chain, iters = 3).as[(String, Long)].collect().toMap
+    assert(r.keySet == Set("a", "b", "c"))
+    // a has no in-edges: rank = teleport base exactly
+    assert(r("a") == 150000L)
+    assert(r("c") > r("b") && r("b") > r("a"))
+  }
+
+  test("pageRank: iteration arithmetic is exact (hand-computed round)") {
+    // single edge a -> b, 1 iter: b = 150000 + (85 * (1000000 div 1)) div 100
+    val r = Graph.pageRank(Seq(("a", "b")).toDF("src_id", "dst_id"), iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(r("b") == 150000L + (85L * 1000000L) / 100L)
+    assert(r("a") == 150000L)
+  }
+
+  test("pageRank: result independent of partitioning") {
+    val e = chain.repartition(7)
+    val a = Graph.pageRank(chain, iters = 4).as[(String, Long)].collect().toSet
+    val b = Graph.pageRank(e, iters = 4).as[(String, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("degrees: out/in/total per node, zero-filled") {
+    val d = Graph.degrees(chain).as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(d("a") == ((2L, 0L, 2L)))
+    assert(d("b") == ((1L, 1L, 2L)))
+    assert(d("c") == ((0L, 2L, 2L)))
+  }
+
+  test("invertedIndex: sorted postings, df, maxPostings prunes") {
+    val docs = Seq((1L, "x y"), (2L, "y z"), (3L, "y")).toDF("doc_id", "text")
+    val idx = Search.invertedIndex(docs, "doc_id", "text")
+      .as[(String, Seq[Long], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(idx("x") == ((Seq(1L), 1L)))
+    assert(idx("y") == ((Seq(1L, 2L, 3L), 3L)))
+    assert(idx("z") == ((Seq(2L), 1L)))
+    // duplicate token inside one doc counts once
+    val dup = Search.invertedIndex(Seq((1L, "y y")).toDF("doc_id", "text"),
+      "doc_id", "text").as[(String, Seq[Long], Long)].collect()
+    assert(dup.toSeq == Seq(("y", Seq(1L), 1L)))
+    val pruned = Search.invertedIndex(docs, "doc_id", "text", maxPostings = 2)
+      .select("token").as[String].collect().toSet
+    assert(pruned == Set("x", "z"))
+  }
+}
