@@ -486,16 +486,19 @@ object Dedup {
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
-      // neighbor labels flow along edges; min with the node's own label
+      // neighbor labels flow along edges; min with the node's own label.
+      // Change detection rides the SAME aggregate: self rows are tagged, so
+      // each member's previous label surfaces as max(label WHERE self) —
+      // no separate next⋈labels join per round just to count changes.
       val nbr = sym.join(labels.withColumnRenamed("member", "dst"), "dst")
-        .select(col("src").as("member"), col("label"))
-      val next = labels.select(col("member"), col("label")).union(nbr)
-        .groupBy("member").agg(min(col("label")).as("label"))
+        .select(col("src").as("member"), col("label"), lit(0).as("__self"))
+      val agg = labels.select(col("member"), col("label"), lit(1).as("__self"))
+        .union(nbr)
+        .groupBy("member").agg(min(col("label")).as("label"),
+          max(when(col("__self") === 1, col("label"))).as("__old"))
         .localCheckpoint(true)
-      changed = next.withColumnRenamed("label", "new_label")
-        .join(labels, "member")
-        .filter(col("new_label") =!= col("label")).count()
-      labels = next
+      changed = agg.filter(col("label") =!= col("__old")).count()
+      labels = agg.select("member", "label")
       round += 1
     }
     // The fixpoint IS the correctness contract (scaladoc: matches exact
