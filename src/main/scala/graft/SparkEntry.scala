@@ -862,6 +862,21 @@ object SparkEntry {
           col("lang") === "en")
         .select(col("id").as("doc_id"), col("n_tokens"),
           col("logw").cast("double").as("logw"))),
+    // fastText-style quality classifier inference: hashing-trick features
+    // (md5 mod 4096 — vocabulary-free, fixed model memory) scored against
+    // a broadcast weight table; weights here are a deterministic synthetic
+    // model (production ships trained ones), all-DECIMAL accumulation
+    "q_quality_classifier" -> ((s, dir) => {
+      val dim = 4096
+      val weights = s.range(dim).select(col("id").as("bucket"),
+        ((col("id") * 37 % 201 - 100).cast(DecimalType(18, 6)) *
+          lit(new java.math.BigDecimal("0.01"))).cast(DecimalType(18, 6)).as("weight"))
+      val feats = graft.functions.Lm.hashedFeatures(
+        T(s, dir, "documents"), "doc_id", "text", dim)
+      graft.functions.Lm.linearScore(feats, weights, new java.math.BigDecimal("0.5"))
+        .select(col("id").as("doc_id"), col("score").cast(DoubleType).as("score"),
+          col("n_features"))
+    }),
     // BPE training: 6 merge rounds on the corpus vocabulary (one corpus
     // scan; each round is vocab-sized). The oracle replays training round
     // for round with the same padded-string merge representation.
@@ -1705,6 +1720,19 @@ object SparkEntry {
          |      FROM tf JOIN q USING (tok) GROUP BY doc_id)
          |SELECT doc_id, n_tokens,
          | CAST(sx AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS xent FROM s""".stripMargin,
+    "q_quality_classifier" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |f AS (SELECT doc_id,
+         |      ('0x' || substring(md5(tok), 1, 15))::BIGINT % 4096 AS bucket,
+         |      COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |w AS (SELECT range AS bucket,
+         |      CAST(CAST(range * 37 % 201 - 100 AS DECIMAL(18,6)) *
+         |           CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,6)) AS weight
+         |      FROM range(4096))
+         |SELECT doc_id,
+         | CAST(SUM(tf * COALESCE(weight, 0)) + CAST(0.5 AS DECIMAL(3,2)) AS DOUBLE) AS score,
+         | CAST(SUM(tf) AS BIGINT) AS n_features
+         |FROM f LEFT JOIN w USING (bucket) GROUP BY doc_id""".stripMargin,
     "q_dsir" ->
       s"""WITH toks AS (SELECT doc_id, lang = 'en' AS targ, unnest($toksSql) AS tok
          |              FROM documents),

@@ -97,4 +97,45 @@ object Lm {
       .select(col("id"), col("n_tokens"),
         col("__sw").cast(DecimalType(18, 6)).as("logw"))
   }
+
+  /** Feature-hashed document features (the hashing trick): token → bucket
+    * `md5 mod dim`, per-document bucket frequencies. The vocabulary-free
+    * feature map of a fastText-style classifier — fixed `dim`-sized model
+    * memory no matter how large the corpus vocabulary grows, which is what
+    * makes classifier inference viable at 100 TB (a token→index vocab
+    * table would itself be corpus-sized and need a shuffle join).
+    *
+    * Output: (id, bucket, tf). One tokenize scan, one partial-agg shuffle.
+    */
+  def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
+                     dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    docs.select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("tok"))
+      .select(col("id"),
+        (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType) % dim)
+          .as("bucket"))
+      .groupBy("id", "bucket").agg(count(lit(1)).as("tf"))
+  }
+
+  /** Linear-model inference over hashed features: score(doc) = bias +
+    * Σ_buckets tf · weight(bucket). `weights` is (bucket, weight
+    * DECIMAL(18,6)) — model-sized (≤ dim rows), so it BROADCASTS onto the
+    * feature table and the corpus-sized side never reshuffles for the
+    * model; buckets absent from the model contribute 0. All accumulation
+    * is DECIMAL — exact, order-independent, engine-stable (the raw margin;
+    * sigmoid is monotone, threshold on the margin instead).
+    *
+    * This is the quality-classifier pass of a pretraining pipeline
+    * (fastText/logistic scorer): train offline, ship `weights`, score the
+    * corpus in one broadcast-join + map-side-partial aggregate.
+    */
+  def linearScore(feats: DataFrame, weights: DataFrame,
+                  bias: java.math.BigDecimal = java.math.BigDecimal.ZERO): DataFrame = {
+    val zero = lit(0).cast(DecimalType(18, 6))
+    feats.join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy("id")
+      .agg((sum(coalesce(col("weight"), zero) * col("tf")) + lit(bias))
+        .cast(DecimalType(18, 6)).as("score"),
+        sum(col("tf")).as("n_features"))
+  }
 }

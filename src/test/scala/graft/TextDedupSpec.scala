@@ -275,6 +275,27 @@ class TextDedupSpec extends SparkSpec {
     assert(byId(1L) > 0 && byId(3L) < 0)
   }
 
+  test("Lm.hashedFeatures + linearScore: hand-computed hashed margin") {
+    val docs = Seq((1L, "a a b"), (2L, "")).toDF("doc_id", "text")
+    val dim = 8
+    val feats = graft.functions.Lm.hashedFeatures(docs, "doc_id", "text", dim)
+      .as[(Long, Long, Long)].collect()
+    // bucket is md5-derived mod dim; "a" twice collapses to tf=2 on one bucket
+    val byTok = feats.filter(_._1 == 1L)
+    assert(byTok.map(_._3).sum == 3L && byTok.forall(_._2 < dim))
+    // empty doc yields no feature rows at all
+    assert(!feats.exists(_._1 == 2L))
+    // constant weight 0.25 per bucket: score = bias + 0.25 * n_tokens
+    val w = spark.range(dim).select(col("id").as("bucket"),
+      lit(new java.math.BigDecimal("0.25"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("weight"))
+    val scored = graft.functions.Lm.linearScore(
+        graft.functions.Lm.hashedFeatures(docs, "doc_id", "text", dim), w,
+        new java.math.BigDecimal("0.5"))
+      .as[(Long, java.math.BigDecimal, Long)].collect().toSeq
+    assert(scored == Seq((1L, new java.math.BigDecimal("1.250000"), 3L)))
+  }
+
   test("Bpe.train learns the classic merges on a hand-checkable corpus") {
     // "aaab" x2 + "ab": pairs of round 1: (a,a) n=4, (a,b) n=3 → merge aa.
     // round 2: segmentations "aa a b"(x2), "a b" → pairs (aa,a)=2, (a,b)=3
