@@ -148,7 +148,19 @@ object MtlParser {
       val travs = Seq.newBuilder[TreeWalk.Traversal]
       val wheres = Seq.newBuilder[Where]
       while (!peek.equalsIgnoreCase(";") && peek.nonEmpty) {
-        if (peek.equalsIgnoreCase("START")) { next(); expect("AT"); expect("TOP") }
+        // `START AT TOP` anchors at the root (no-op for the schema walk);
+        // the grammar (treehorn_yaccer.py:62 `START AT condition`) also
+        // allows an arbitrary condition there, equivalent to an initial
+        // GO DOWN — accept `START AT <cond> AS label` in that sense.
+        if (peek.equalsIgnoreCase("START")) {
+          next(); expect("AT")
+          if (peek.equalsIgnoreCase("TOP")) next()
+          else {
+            val cond = parseCondition()
+            expect("AS")
+            travs += TreeWalk.GoDown(cond, next())
+          }
+        }
         else if (peek.equalsIgnoreCase("WHERE")) {
           next()
           var more = true

@@ -77,6 +77,20 @@ class MtlConfigSpec extends SparkSpec {
     assert(rows.as[(String, String)].collect().toSet == Set(("s2", "alice")))
   }
 
+  test("START AT <condition> AS label anchors like an initial GO DOWN") {
+    val p = MtlParser.parse(
+      """QUERY q IS SELECT o.owner_name AS owner, i.sku AS sku
+        |FROM obj START AT HAS KEY owner_name AS o
+        |GO DOWN UNTIL HAS KEY sku AS i;""".stripMargin)
+    val viaGoDown = MtlParser.parse(
+      """QUERY q IS SELECT o.owner_name AS owner, i.sku AS sku
+        |FROM obj START AT TOP
+        |GO DOWN UNTIL HAS KEY owner_name AS o
+        |GO DOWN UNTIL HAS KEY sku AS i;""".stripMargin)
+    assert(MtlParser.run(doc, p, "q").as[(String, String)].collect().toSet ==
+      MtlParser.run(doc, viaGoDown, "q").as[(String, String)].collect().toSet)
+  }
+
   test("MTL COREFER merges entity values via label propagation") {
     val p = MtlParser.parse(
       """QUERY q IS SELECT o.owner_name AS owner, i.sku AS sku
