@@ -25,7 +25,10 @@ import graft.sources.Tables
   * Training-pipeline ops (SURVEY §2.G from config, so a config-driven user
   * reaches the whole library): `dedup_exact` (id/text), `sessionize`
   * (keys/ts/gap), `pack` (keys/order/weight/budget), `split` (id/trainPct),
-  * `langid`/`fingerprint` (id/text).
+  * `langid`/`fingerprint`/`repetition`/`span_dedup`/`chunk`/`lm_xent`/
+  * `dsir`/`tfidf`/`inverted_index` (id/text...), `mixture` (id/group/
+  * weights), `pagerank`/`degrees` (edge frames), `quality_classifier`
+  * (id/text/dim + a weights stage).
   */
 object ConfigPipeline {
 
@@ -116,6 +119,23 @@ object ConfigPipeline {
       case "dsir" => // target subcorpus picked by a SQL predicate
         p.stage(name, from)(graft.functions.Lm.importanceWeights(_,
           s.get("id").asText(), s.get("text").asText(), expr(s.get("target").asText())))
+      case "inverted_index" =>
+        p.stage(name, from)(graft.similarity.Search.invertedIndex(_,
+          s.get("id").asText(), s.get("text").asText(),
+          if (s.has("maxPostings")) s.get("maxPostings").asLong() else Long.MaxValue))
+      case "pagerank" =>
+        p.stage(name, from)(graft.graph.Graph.pageRank(_,
+          if (s.has("iters")) s.get("iters").asInt() else 5))
+      case "degrees" =>
+        p.stage(name, from)(graft.graph.Graph.degrees(_))
+      case "quality_classifier" => // weights from a named pipeline stage
+        val weights = p.output(s.get("weights").asText())
+        p.stage(name, from)(d => graft.functions.Lm.linearScore(
+          graft.functions.Lm.hashedFeatures(d,
+            s.get("id").asText(), s.get("text").asText(), s.get("dim").asInt()),
+          weights,
+          if (s.has("bias")) new java.math.BigDecimal(s.get("bias").asText())
+          else java.math.BigDecimal.ZERO))
       case other => sys.error(s"unknown op '$other' in stage '$name'")
     }
   }

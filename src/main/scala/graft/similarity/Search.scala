@@ -71,9 +71,10 @@ object Search {
     * queries implicitly; materialized, it serves exact phrase/term lookups
     * without re-scanning the corpus.
     *
-    * Scale: one tokenize scan; (token, id) pairs distinct then aggregate —
-    * both shuffles hash on `token`, so AQE plans ONE exchange. Posting
-    * lists are `sort_array`ed (deterministic, engine-comparable). At 100 TB
+    * Scale: one tokenize scan; (token, id) pairs distinct (hash on the
+    * pair), then aggregate (hash on `token`) — two shuffles, the second
+    * over the already-deduplicated pair set. Posting lists are
+    * `sort_array`ed (deterministic, engine-comparable). At 100 TB
     * a single token's postings can exceed one row's practical size — cap
     * inspection-oriented use with `maxPostings` (stop-word-sized lists are
     * BM25-useless anyway and get pruned rather than truncated, keeping

@@ -188,6 +188,37 @@ class MtlConfigSpec extends SparkSpec {
     assert(mix.count() > 0)
   }
 
+  test("ConfigPipeline reaches the graph and classifier ops") {
+    val pr = ConfigPipeline.fromJson(spark,
+      """{"stages": [
+        | {"name": "o", "op": "table", "dir": "/root/testdata/sf0.001", "table": "orders"},
+        | {"name": "li", "op": "table", "dir": "/root/testdata/sf0.001", "table": "lineitem"},
+        | {"name": "e", "op": "join", "from": ["o", "li"], "on": "o_orderkey = l_orderkey", "how": "inner"},
+        | {"name": "edges", "op": "select", "from": "e",
+        |  "exprs": ["cast(o_custkey as string) as src_id", "cast(l_partkey as string) as dst_id"]},
+        | {"name": "pr", "op": "pagerank", "from": "edges", "iters": 2},
+        | {"name": "deg", "op": "degrees", "from": "edges"}
+        |]}""".stripMargin)
+    assert(pr.output("pr").columns.toSeq == Seq("id", "rank"))
+    assert(pr.output("pr").count() > 0 && pr.output("deg").count() > 0)
+    val qc = ConfigPipeline.fromJson(spark,
+      """{"stages": [
+        | {"name": "d", "op": "parquet", "path": "/root/testdata/sf0.001/documents.parquet"},
+        | {"name": "w", "op": "select", "from": "d",
+        |  "exprs": ["cast(0 as bigint) as bucket", "cast(0.25 as decimal(18,6)) as weight"]},
+        | {"name": "wd", "op": "distinct", "from": "w"},
+        | {"name": "qc", "op": "quality_classifier", "from": "d", "weights": "wd",
+        |  "id": "doc_id", "text": "text", "dim": 1, "bias": "0.5"},
+        | {"name": "idx", "op": "inverted_index", "from": "d", "id": "doc_id",
+        |  "text": "text", "maxPostings": 3}
+        |]}""".stripMargin)
+    // dim=1 → every token lands in bucket 0 with weight 0.25:
+    // score = 0.5 + 0.25·n_tokens exactly
+    val r = qc.output("qc")
+    assert(r.filter(expr("score <> 0.5 + 0.25 * n_features")).count() == 0)
+    assert(qc.output("idx").columns.toSeq == Seq("token", "postings", "df"))
+  }
+
   test("intervalJoinBucketed matches plain intervalJoin results") {
     val ev = Seq((1L, "a", 100L), (2L, "a", 250L), (3L, "a", 900L), (4L, "b", 120L),
       (5L, "b", 180L)).toDF("id", "k", "t")
