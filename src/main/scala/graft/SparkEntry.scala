@@ -204,6 +204,36 @@ object SparkEntry {
           Seq(col("c_acctbal").desc, col("c_custkey").asc), 3)
         .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
           col("rnk").cast(LongType).as("rnk"))),
+    // ---- reshaping (B3/C7 companions) ----
+    // pivot with a CALLER-NAMED value domain (no discovery pass, bounded
+    // row width at scale); absent combinations fill 0
+    "q_pivot" -> ((s, dir) =>
+      Ops.pivotAgg(T(s, dir, "events"), Seq("user_id"), "event_type",
+        Seq("click", "view", "purchase", "error", "signup"), count(lit(1)),
+        fillValue = 0L)),
+    "q_unpivot" -> ((s, dir) =>
+      Ops.unpivotCols(
+        Ops.pivotAgg(T(s, dir, "events"), Seq("user_id"), "event_type",
+          Seq("click", "view"), count(lit(1)), fillValue = 0L),
+        Seq("user_id"), Seq("click", "view"), "event_type", "n")),
+    // rolling 3-event window per user: decimal-exact moving sum
+    "q_rolling" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("value"))
+      Ops.rollingAgg(ev, Seq("user_id"), struct(col("ts_us"), col("event_id")),
+          lookback = 3,
+          Seq("roll_sum" -> sum(dec(col("value"))), "roll_n" -> count(lit(1))))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("roll_sum").cast(DoubleType).as("roll_sum"), col("roll_n"))
+    }),
+    // schema-evolving fan-in: two drifted projections union by name,
+    // missing columns null-fill
+    "q_union_evolved" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      Ops.unionEvolved(Seq(
+        c.select(col("c_custkey"), col("c_name")),
+        c.select(col("c_custkey"), col("c_acctbal"))))
+    }),
     "q_anti_join" -> ((s, dir) => {
       val c = T(s, dir, "customer")
       val o = T(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
@@ -1455,6 +1485,33 @@ object SparkEntry {
       """SELECT * FROM (SELECT c_nationkey, c_custkey, c_acctbal,
         | RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
         |FROM customer) WHERE rnk <= 3""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_unpivot" ->
+      """WITH wide AS (SELECT user_id,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        | FROM events GROUP BY user_id)
+        |SELECT user_id, 'click' AS event_type, click AS n FROM wide
+        |UNION ALL
+        |SELECT user_id, 'view' AS event_type, view AS n FROM wide""".stripMargin,
+    "q_rolling" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+        | CAST(COUNT(*) OVER w AS BIGINT) AS roll_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        | ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_union_evolved" ->
+      """SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal FROM customer
+        |UNION ALL
+        |SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, c_acctbal FROM customer""".stripMargin,
     "q_anti_join" ->
       "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)",
     "q_semi_join" ->

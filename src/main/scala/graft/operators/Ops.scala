@@ -577,6 +577,64 @@ object Ops {
     df.withColumn(out, rank().over(w)).filter(col(out) <= k)
   }
 
+  /** Pivot (long → wide): per-key columns from `pivotCol`'s values — the
+    * relational form of the reference's dict-reshaping `Remapper`
+    * (node.py:1694), as a first-class aggregate.
+    *
+    * `values` is REQUIRED: Spark without it runs an extra distinct pass to
+    * discover the column set, and at 100 TB an unbounded value domain
+    * silently becomes an unbounded-width row. Caller names the domain;
+    * unknown values drop, missing combinations fill `fillValue`. One
+    * shuffle (partial aggregates map-side, same as any groupBy).
+    */
+  def pivotAgg(df: DataFrame, keys: Seq[String], pivotCol: String,
+               values: Seq[String], agg: Column, fillValue: Any = null): DataFrame = {
+    val wide = df.groupBy(keys.map(col): _*).pivot(pivotCol, values).agg(agg)
+    fillValue match {
+      case null      => wide
+      case v: Long   => wide.na.fill(v, values)
+      case v: Int    => wide.na.fill(v.toLong, values)
+      case v: Double => wide.na.fill(v, values)
+      case v: String => wide.na.fill(v, values)
+      case other => sys.error(s"unsupported fillValue type: ${other.getClass}")
+    }
+  }
+
+  /** Unpivot (wide → long): the inverse reshaping, via the built-in
+    * `unpivot` (= SQL stack) — pure projection+generate, zero shuffle.
+    */
+  def unpivotCols(df: DataFrame, keys: Seq[String], valueCols: Seq[String],
+                  varName: String = "key", valueName: String = "value"): DataFrame =
+    df.unpivot(keys.map(col).toArray, valueCols.map(col).toArray, varName, valueName)
+
+  /** Rolling window aggregate over the previous `lookback` rows (inclusive
+    * of current) per key in `orderCol` order — moving averages / running
+    * totals for trend features. ONE shuffle on the key; every aggregate
+    * rides the same window frame.
+    *
+    * Determinism: `orderCol` must be a total order within each key (tie
+    * rows would make frame membership ambiguous); pass e.g. (ts, id) as a
+    * struct column if timestamps repeat.
+    */
+  def rollingAgg(df: DataFrame, keys: Seq[String], orderCol: Column,
+                 lookback: Int, aggs: Seq[(String, Column)]): DataFrame = {
+    require(lookback >= 1, s"lookback must be >= 1, got $lookback")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
+      .rowsBetween(-(lookback.toLong - 1), Window.currentRow)
+    aggs.foldLeft(df) { case (d, (out, aggExpr)) => d.withColumn(out, aggExpr.over(w)) }
+  }
+
+  /** Schema-evolving fan-in: union frames whose schemas drifted (columns
+    * added/removed over time — the multi-source ingest reality the
+    * reference's fan-in queues hand-wave). Missing columns null-fill per
+    * side; column ORDER differences are immaterial (`unionByName`). Pure
+    * union — no shuffle.
+    */
+  def unionEvolved(frames: Seq[DataFrame]): DataFrame = {
+    require(frames.nonEmpty, "unionEvolved needs at least one frame")
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   // -------------------------------------------------------------------
   // Sessionization (C4 companion: the reference's TimeWindowAccumulator
   // with DYNAMIC gap windows instead of fixed buckets)

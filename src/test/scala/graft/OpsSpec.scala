@@ -272,6 +272,39 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 6L))
   }
 
+  test("pivotAgg widens named values, fills absent combos, drops unknowns") {
+    val df = Seq((1L, "a", 10.0), (1L, "a", 5.0), (1L, "b", 1.0), (2L, "b", 2.0),
+      (2L, "zzz", 9.0)).toDF("k", "t", "v")
+    val wide = Ops.pivotAgg(df, Seq("k"), "t", Seq("a", "b"), count(lit(1)),
+      fillValue = 0L).orderBy("k").as[(Long, Long, Long)].collect().toSeq
+    // "zzz" is outside the named domain → dropped; (2,"a") absent → 0
+    assert(wide == Seq((1L, 2L, 1L), (2L, 0L, 1L)))
+    val unpiv = Ops.unpivotCols(
+        Ops.pivotAgg(df, Seq("k"), "t", Seq("a", "b"), count(lit(1)), fillValue = 0L),
+        Seq("k"), Seq("a", "b"), "t", "n")
+      .as[(Long, String, Long)].collect().toSet
+    assert(unpiv == Set((1L, "a", 2L), (1L, "b", 1L), (2L, "a", 0L), (2L, "b", 1L)))
+  }
+
+  test("rollingAgg frames the previous lookback rows per key") {
+    val df = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L), (1L, 4L, 40L),
+      (2L, 1L, 5L)).toDF("k", "o", "v")
+    val out = Ops.rollingAgg(df, Seq("k"), col("o"), lookback = 2,
+        Seq("rs" -> sum(col("v")), "rn" -> count(lit(1))))
+      .select("k", "o", "rs", "rn").as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 10L, 1L), (1L, 2L, 30L, 2L), (1L, 3L, 50L, 2L),
+      (1L, 4L, 70L, 2L), (2L, 1L, 5L, 1L)))
+  }
+
+  test("unionEvolved aligns drifted schemas and null-fills") {
+    val a = Seq((1L, "x")).toDF("id", "name")
+    val b = Seq((2L, 3.5)).toDF("id", "score")
+    val u = Ops.unionEvolved(Seq(a, b))
+    assert(u.columns.toSeq == Seq("id", "name", "score"))
+    val rows = u.as[(Long, Option[String], Option[Double])].collect().toSet
+    assert(rows == Set((1L, Some("x"), None), (2L, None, Some(3.5))))
+  }
+
   test("hashSplit is deterministic and near the requested fraction") {
     val df = spark.range(0, 2000).toDF("id")
     val splits = Ops.hashSplit(df, "id", 90).groupBy("split").count()
