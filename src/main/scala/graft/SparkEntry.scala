@@ -204,6 +204,16 @@ object SparkEntry {
           Seq(col("c_acctbal").desc, col("c_custkey").asc), 3)
         .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
           col("rnk").cast(LongType).as("rnk"))),
+    // data-quality gate: all expectations in ONE aggregate scan
+    "q_quality_checks" -> ((s, dir) =>
+      Ops.qualityChecks(T(s, dir, "events"),
+        Seq(
+          "value_nonneg" -> (col("value") >= 0),
+          "etype_known" -> col("event_type").isin(
+            "click", "view", "purchase", "error", "signup"),
+          "user_present" -> col("user_id").isNotNull),
+        uniqueCols = Seq("event_id"))),
+
     // ---- reshaping (B3/C7 companions) ----
     // pivot with a CALLER-NAMED value domain (no discovery pass, bounded
     // row width at scale); absent combinations fill 0
@@ -1485,6 +1495,17 @@ object SparkEntry {
       """SELECT * FROM (SELECT c_nationkey, c_custkey, c_acctbal,
         | RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
         |FROM customer) WHERE rnk <= 3""".stripMargin,
+    "q_quality_checks" ->
+      """WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) FILTER (WHERE NOT COALESCE(value >= 0, FALSE)) AS BIGINT) AS v1,
+        |  CAST(COUNT(*) FILTER (WHERE NOT COALESCE(event_type IN
+        |    ('click','view','purchase','error','signup'), FALSE)) AS BIGINT) AS v2,
+        |  CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS BIGINT) AS v3,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS d FROM events)
+        |SELECT 'value_nonneg' AS "check", n AS n_rows, v1 AS n_violations FROM s
+        |UNION ALL SELECT 'etype_known', n, v2 FROM s
+        |UNION ALL SELECT 'user_present', n, v3 FROM s
+        |UNION ALL SELECT 'unique:event_id', n, n - d FROM s""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         | CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,

@@ -635,6 +635,40 @@ object Ops {
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Declarative data-quality gate: row-level expectations (+ optional
+    * uniqueness checks) evaluated in ONE aggregate pass over the frame —
+    * the validation step between ingest and downstream consumers that the
+    * reference's per-message `Filter` tests (node.py:1294) only approximate
+    * row by row.
+    *
+    * `rowChecks`: (name, boolean Column) — true = row passes; nulls count
+    * as failures (a null predicate is not a pass). `uniqueCols`: columns
+    * whose values must be unique; violations = n_rows − n_distinct.
+    *
+    * Output: (check, n_rows, n_violations) — one row per check, long
+    * format (feed a threshold filter or alert sink). Scale: single
+    * partial-agg scan for all row checks; each unique column adds a
+    * count_distinct (planned via expand — still one pass, no join).
+    */
+  def qualityChecks(df: DataFrame, rowChecks: Seq[(String, Column)],
+                    uniqueCols: Seq[String] = Nil): DataFrame = {
+    require(rowChecks.nonEmpty || uniqueCols.nonEmpty, "no checks given")
+    val n = count(lit(1)).as("__n")
+    val rowAggs = rowChecks.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__rc_$name")
+    }
+    val uniqAggs = uniqueCols.map(c => count_distinct(col(c)).as(s"__uq_$c"))
+    val agg = df.agg(n, rowAggs ++ uniqAggs: _*)
+    val rows = rowChecks.map { case (name, _) =>
+      struct(lit(name).as("check"), col("__n").as("n_rows"),
+        col(s"__rc_$name").as("n_violations"))
+    } ++ uniqueCols.map { c =>
+      struct(lit(s"unique:$c").as("check"), col("__n").as("n_rows"),
+        (col("__n") - col(s"__uq_$c")).as("n_violations"))
+    }
+    agg.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
   // -------------------------------------------------------------------
   // Sessionization (C4 companion: the reference's TimeWindowAccumulator
   // with DYNAMIC gap windows instead of fixed buckets)

@@ -305,6 +305,20 @@ class OpsSpec extends SparkSpec {
     assert(rows == Set((1L, Some("x"), None), (2L, None, Some(3.5))))
   }
 
+  test("qualityChecks counts violations per expectation in one pass") {
+    val df = Seq((1L, Some(5.0), "a"), (2L, Some(-1.0), "b"),
+      (3L, None, "a"), (3L, Some(2.0), null))
+      .toDF("id", "v", "t")
+    val out = Ops.qualityChecks(df,
+        Seq("v_nonneg" -> (col("v") >= 0), "t_present" -> col("t").isNotNull),
+        uniqueCols = Seq("id"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // null predicate (v is NULL) counts as a violation, not a pass
+    assert(out("v_nonneg") == ((4L, 2L)))
+    assert(out("t_present") == ((4L, 1L)))
+    assert(out("unique:id") == ((4L, 1L))) // id=3 twice
+  }
+
   test("hashSplit is deterministic and near the requested fraction") {
     val df = spark.range(0, 2000).toDF("id")
     val splits = Ops.hashSplit(df, "id", 90).groupBy("split").count()
