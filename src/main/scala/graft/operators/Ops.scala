@@ -584,8 +584,10 @@ object Ops {
     * `values` is REQUIRED: Spark without it runs an extra distinct pass to
     * discover the column set, and at 100 TB an unbounded value domain
     * silently becomes an unbounded-width row. Caller names the domain;
-    * unknown values drop, missing combinations fill `fillValue`. One
-    * shuffle (partial aggregates map-side, same as any groupBy).
+    * unknown values drop, missing combinations fill `fillValue`. Two
+    * shuffles by construction (Spark pre-aggregates on (keys, pivotCol),
+    * then widens on keys — the second exchange moves already-reduced
+    * rows), both with map-side partials.
     */
   def pivotAgg(df: DataFrame, keys: Seq[String], pivotCol: String,
                values: Seq[String], agg: Column, fillValue: Any = null): DataFrame = {

@@ -193,6 +193,36 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("chunk_text"), "chunk text must not reach the exchange")
   }
 
+  test("pivotAgg costs two shuffles; rollingAgg one; unpivot zero") {
+    val ev = Tables.events(spark, sfDir)
+    val piv = Ops.pivotAgg(ev, Seq("user_id"), "event_type",
+      Seq("click", "view"), count(lit(1)), fillValue = 0L)
+    piv.count()
+    // pivot = pre-aggregate on (keys, pivotCol) + widen on keys
+    assert(countShufflesExec(piv.queryExecution.executedPlan) == 2)
+    val roll = Ops.rollingAgg(
+      ev.select(col("user_id"), col("event_id"), col("value")),
+      Seq("user_id"), col("event_id"), 3, Seq("rs" -> count(lit(1))))
+    roll.count()
+    assert(countShufflesExec(roll.queryExecution.executedPlan) == 1)
+    val unp = Ops.unpivotCols(
+      ev.select(col("event_id"), col("user_id"), col("value")),
+      Seq("event_id"), Seq("user_id", "value"))
+    unp.count()
+    assert(countShufflesExec(unp.queryExecution.executedPlan) == 0)
+  }
+
+  test("linearScore broadcasts the model weights — corpus never reshuffles for the join") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val w = spark.range(64).select(col("id").as("bucket"),
+      lit(new java.math.BigDecimal("0.25"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("weight"))
+    val p = planString(graft.functions.Lm.linearScore(
+      graft.functions.Lm.hashedFeatures(docs, "doc_id", "text", 64), w))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("repetitionStats partial-aggregates map-side") {
     val docs = Tables.load(spark, sfDir, "documents")
     val p = planString(graft.functions.Text.repetitionStats(docs, "doc_id", "text", 2))
