@@ -645,6 +645,16 @@ object SparkEntry {
       s.read.parquet(out).filter(col("lang") === "en").select("doc_id", "lang")
     }),
 
+    // fragment → compact → read back: content must survive bit-for-bit
+    "q_compact_roundtrip" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+      val frag = s"$base/frag"; val out = s"$base/out"
+      T(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+        .repartition(16).write.parquet(frag)
+      Sinks.compact(s, frag, out)
+      s.read.parquet(out)
+    }),
+
     // ---- file-format round trips (A1/A2): write → read back → oracle vs
     // the source parquet, so header/quoting/type-inference mangling fails ----
     "q_csv_roundtrip" -> ((s, dir) => {
@@ -1964,6 +1974,7 @@ object SparkEntry {
     "q_csv_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_recorder_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_partition_pruning" -> "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
+    "q_compact_roundtrip" -> "SELECT c_custkey, c_name, c_nationkey FROM customer",
     "q_jdbc_query" ->
       """SELECT o_custkey, COUNT(*) AS n_big, MAX(o_totalprice) AS max_price
         |FROM orders WHERE o_totalprice > 200000.0 GROUP BY o_custkey""".stripMargin,

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Sink nodes (reference `PrinterOfThings` node.py:1412, `BlackHole`
   * node.py:1705, recorder `metalpipe_recorder.py`).
@@ -85,6 +86,52 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
                        mode: String = "overwrite"): Unit =
     df.write.partitionBy(partitionCols: _*).mode(mode).parquet(path)
+
+  /** Clustered parquet write: directory partitioning + in-file row
+    * ordering + bounded file sizes — the full data-layout contract for
+    * scan-time skipping at 100 TB. `sortCols` cluster rows WITHIN each
+    * output file so parquet row-group min/max statistics become selective
+    * (a filter on a sort column skips whole row groups);
+    * `maxRecordsPerFile` caps file size without an extra shuffle.
+    */
+  def writeClustered(df: DataFrame, path: String, partitionCols: Seq[String],
+                     sortCols: Seq[String], maxRecordsPerFile: Long = 0L,
+                     mode: String = "overwrite"): Unit = {
+    val sorted = df.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+    val w = sorted.write.partitionBy(partitionCols: _*).mode(mode)
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).parquet(path)
+  }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * `ceil(bytes / targetBytes)` files at `outDir`. Streaming ingest and
+    * per-batch appends accrete thousands of KB-sized files; at scale the
+    * file COUNT becomes the bottleneck (driver listing, task scheduling,
+    * open-per-file overhead), so periodic compaction is standard hygiene.
+    *
+    * `coalesce`, not `repartition`: compaction must not pay a shuffle —
+    * coalesce merges read-splits locally. Writes to a NEW directory and
+    * returns (filesBefore, filesAfter); the caller swaps directories once
+    * satisfied (in-place rewrites that can fail halfway are how data is
+    * lost).
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = new org.apache.hadoop.fs.Path(inDir)
+    val fs = in.getFileSystem(conf)
+    def parquetFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) parquetFiles(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st) else Nil
+      }
+    val before = parquetFiles(in)
+    val totalBytes = before.map(_.getLen).sum
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).coalesce(n).write.mode("overwrite").parquet(outDir)
+    (before.size.toLong,
+      parquetFiles(new org.apache.hadoop.fs.Path(outDir)).size.toLong)
+  }
 
   /** Generic JDBC writer (reference civis/mysql writer nodes:
     * `civis_nodes.py` ensure-table/SQL-execute, `node.py` MySQL inserts).

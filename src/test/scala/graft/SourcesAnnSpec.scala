@@ -81,6 +81,27 @@ class SourcesAnnSpec extends SparkSpec {
       "MERGE (a)-[r:BOUGHT]->(b) SET r.qty = '3' SET r.unit = 'ea';")
   }
 
+  test("compact merges small files without changing content; writeClustered sorts in-file") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val frag = s"$base/frag"; val out = s"$base/compacted"
+    // 16 tiny files
+    spark.range(0, 1000).toDF("id").repartition(16).write.parquet(frag)
+    val (before, after) = graft.operators.Sinks.compact(spark, frag, out,
+      targetBytes = 1L << 30)
+    assert(before == 16L && after == 1L)
+    assert(spark.read.parquet(out).agg(sum("id")).as[Long].head() == 499500L)
+    assert(spark.read.parquet(out).count() == 1000L)
+    // clustered write: rows within the single output file arrive sorted
+    val cl = s"$base/clustered"
+    graft.operators.Sinks.writeClustered(
+      spark.range(0, 100).toDF("id").withColumn("part", lit("p"))
+        .withColumn("v", expr("99 - id")).coalesce(1),
+      cl, Seq("part"), Seq("v"))
+    val vs = spark.read.parquet(s"$cl/part=p").select("v").as[Long].collect()
+    assert(vs.toSeq == vs.sorted.toSeq)
+  }
+
   test("bm25TopK ranks by term rarity and frequency with an id tie-break") {
     val docs = Seq(
       (1L, "spark spark spark common common"),
