@@ -931,7 +931,7 @@ object SparkEntry {
     // scan; each round is vocab-sized). The oracle replays training round
     // for round with the same padded-string merge representation.
     "q_bpe_merges" -> ((s, dir) =>
-      graft.functions.Bpe.train(T(s, dir, "documents"), "doc_id", "text", nMerges = 6)._1
+      graft.functions.Bpe.train(T(s, dir, "documents"), "text", nMerges = 6)._1
         .select(col("rank"), col("l"), col("r"), col("merged"), col("n"))),
     // BPE segmentation: replay the trained merges over every corpus token
     // as a chain of literal-replace projections (zero shuffles). The
@@ -939,7 +939,7 @@ object SparkEntry {
     // agreement proves the projection chain ≡ the training fixpoint.
     "q_bpe_segment" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      val merges = graft.functions.Bpe.train(docs, "doc_id", "text", nMerges = 6)._1
+      val merges = graft.functions.Bpe.train(docs, "text", nMerges = 6)._1
         .select("l", "r").collect().map(row => (row.getString(0), row.getString(1))).toSeq
       graft.functions.Bpe.segment(docs, "doc_id", "text", merges)
         .select(col("id").as("doc_id"), col("token"),

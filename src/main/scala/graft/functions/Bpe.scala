@@ -35,7 +35,7 @@ import org.apache.spark.sql.types._
 object Bpe {
 
   /** Distinct-word weighted counts: (word, cnt). The one corpus scan. */
-  def wordCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(Text.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
@@ -67,7 +67,7 @@ object Bpe {
     * deterministic. If the vocabulary runs out of pairs early the table
     * is short. The returned vocabulary holds the final segmentation.
     */
-  def train(docs: DataFrame, idCol: String, textCol: String,
+  def train(docs: DataFrame, textCol: String,
             nMerges: Int): (DataFrame, DataFrame) = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     val spark = docs.sparkSession
@@ -75,7 +75,7 @@ object Bpe {
     // vocab is small by construction (distinct words); keep it hot and cut
     // lineage once so the N training rounds replay an in-memory table, not
     // the corpus scan.
-    var vocab = wordCounts(docs, idCol, textCol)
+    var vocab = wordCounts(docs, textCol)
       .select(col("word"), col("cnt"), symbolize(col("word")).as("syms"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]

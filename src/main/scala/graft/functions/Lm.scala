@@ -25,6 +25,12 @@ import org.apache.spark.sql.types._
   * corpus-sized side never reshuffles for the join). Corpus totals ride a
   * one-row broadcast crossJoin. No UDFs, no driver-side iteration.
   *
+  * Caching contract (same as MtlParser.runProgram): the per-doc tf frames
+  * persist because two aggregates derive from them, and the returned
+  * frames read that cache lazily — long-lived sessions should
+  * `spark.catalog.clearCache()` (or unpersist) once results materialize
+  * (Verify/Bench do this between queries).
+  *
   * Determinism: `ln` differs by 1 ulp across engines on rare inputs, so
   * per-token scores quantize to DECIMAL(18,6) BEFORE the per-document sum
   * (exact, order-independent); the final mean is a single double division
@@ -111,9 +117,7 @@ object Lm {
                      dim: Int): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     docs.select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("tok"))
-      .select(col("id"),
-        (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType) % dim)
-          .as("bucket"))
+      .select(col("id"), (Text.md5Hash64(col("tok")) % dim).as("bucket"))
       .groupBy("id", "bucket").agg(count(lit(1)).as("tf"))
   }
 

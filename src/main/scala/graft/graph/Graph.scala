@@ -44,12 +44,16 @@ object Graph {
                srcCol: String = "src_id", dstCol: String = "dst_id"): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("od"))
     // edge list with out-degree attached, materialized ONCE — every
     // iteration re-reads this, not the upstream pipeline
     val eo = e.join(outDeg, "src").localCheckpoint(true)
+    // nodes derive from the CHECKPOINTED edges and checkpoint themselves:
+    // every iteration's rank rebuild references `nodes`, and an
+    // unmaterialized plan would re-run the caller's whole edge pipeline
+    // (join/traversal/...) twice per round
+    val nodes = eo.select(col("src").as("id"))
+      .union(eo.select(col("dst").as("id"))).distinct().localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(1000000L)).localCheckpoint(true)
     for (_ <- 1 to iters) {
       // `div` (not `/`): BIGINT floor division keeps every step in exact

@@ -343,8 +343,8 @@ object Ops {
     * Scale: one count aggregate (group-cardinality rows to the driver,
     * like [[percentiles]]), then a pure filter projection — zero shuffle
     * on the kept corpus. Weights are relative integer parts
-    * (e.g. en:50, zh:30, es:20); keep them ≤ 100000 so the permille
-    * numerator stays within bigint at 10^12-row groups.
+    * (e.g. en:50, zh:30, es:20); rates are computed driver-side in BigInt,
+    * so no weight/count combination can overflow.
     */
   def resampleMixture(df: DataFrame, idCol: String, groupCol: String,
                       weights: Map[String, Int]): DataFrame = {
@@ -356,13 +356,17 @@ object Ops {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val present = weights.filter { case (g, _) => counts.getOrElse(g, 0L) > 0L }
     require(present.nonEmpty, "no weighted group present in the data")
-    // bottleneck group: minimum data-per-weight (ties by group name so the
-    // choice is total; double c/w is exact enough for ordering parity —
-    // the SQL mirror sorts by the same division)
-    val m = present.keys.toSeq.sorted
-      .minBy(g => counts(g).toDouble / weights(g))
+    // bottleneck group: minimum data-per-weight, compared as exact
+    // rationals (c_a/w_a < c_b/w_b ⟺ c_a·w_b < c_b·w_a in BigInt — no
+    // double rounding at any magnitude); ties by group name so the choice
+    // is total
+    val m = present.keys.toSeq.sorted.reduceLeft { (a, b) =>
+      if (BigInt(counts(a)) * weights(b) <= BigInt(counts(b)) * weights(a)) a
+      else b
+    }
     val permille: Map[String, Long] = present.map { case (g, w) =>
-      g -> math.min(1000L, 1000L * w * counts(m) / (weights(m) * counts(g)))
+      g -> (BigInt(1000) * w * counts(m) / (BigInt(weights(m)) * counts(g)))
+        .min(1000).toLong
     }
     val bucket = conv(substring(md5(col(idCol).cast(StringType)), 1, 15), 16, 10)
       .cast(LongType) % 1000
@@ -655,18 +659,27 @@ object Ops {
   def qualityChecks(df: DataFrame, rowChecks: Seq[(String, Column)],
                     uniqueCols: Seq[String] = Nil): DataFrame = {
     require(rowChecks.nonEmpty || uniqueCols.nonEmpty, "no checks given")
+    // positional __rc_0/__uq_1 aliases, NOT user-supplied names: a check
+    // called "value.nonneg" would otherwise turn the col() lookup into a
+    // struct-field access and fail analysis
     val n = count(lit(1)).as("__n")
-    val rowAggs = rowChecks.map { case (name, pred) =>
-      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__rc_$name")
+    val rowAggs = rowChecks.zipWithIndex.map { case ((_, pred), i) =>
+      // coalesce BOTH levels: a null predicate is a row violation, and
+      // sum() over ZERO rows is null — an empty batch must report 0
+      // violations, not a null that silently passes threshold filters
+      coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)), lit(0L))
+        .as(s"__rc_$i")
     }
-    val uniqAggs = uniqueCols.map(c => count_distinct(col(c)).as(s"__uq_$c"))
+    val uniqAggs = uniqueCols.zipWithIndex.map { case (c, i) =>
+      count_distinct(col(c)).as(s"__uq_$i")
+    }
     val agg = df.agg(n, rowAggs ++ uniqAggs: _*)
-    val rows = rowChecks.map { case (name, _) =>
+    val rows = rowChecks.zipWithIndex.map { case ((name, _), i) =>
       struct(lit(name).as("check"), col("__n").as("n_rows"),
-        col(s"__rc_$name").as("n_violations"))
-    } ++ uniqueCols.map { c =>
+        col(s"__rc_$i").as("n_violations"))
+    } ++ uniqueCols.zipWithIndex.map { case (c, i) =>
       struct(lit(s"unique:$c").as("check"), col("__n").as("n_rows"),
-        (col("__n") - col(s"__uq_$c")).as("n_violations"))
+        (col("__n") - col(s"__uq_$i")).as("n_violations"))
     }
     agg.select(explode(array(rows: _*)).as("r")).select("r.*")
   }

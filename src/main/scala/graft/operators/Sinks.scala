@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Sink nodes (reference `PrinterOfThings` node.py:1412, `BlackHole`
@@ -56,23 +56,35 @@ object Sinks {
     */
   def cypherStatements(edges: DataFrame, srcLabel: String, dstLabel: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // Values interpolate between single quotes, so backslashes and quotes
+    // in the DATA must escape (Cypher string rules) — an id like "O'Brien"
+    // would otherwise emit a syntactically broken (and injectable)
+    // statement. Labels/rel/property NAMES come from parser identifiers,
+    // not data, and stay raw.
+    def esc(c: Column): Column = {
+      val bs = call_function("replace", c.cast("string"), lit("\\"), lit("\\\\"))
+      call_function("replace", bs, lit("'"), lit("\\'"))
+    }
     // A `props` column (array<struct<k,v>> from MtlParser relation
     // assertions) renders as SET clauses on the relationship — the
     // reference's RelationshipPropertyAssertion merge schema
-    // (nft_nodes.py:834: MERGE ... SET r.{prop} = $value).
+    // (nft_nodes.py:834: MERGE ... SET r.{prop} = $value). Null-valued
+    // properties are skipped (a null inside concat would otherwise null
+    // out the whole SET block and silently drop every property).
     if (edges.columns.contains("props"))
       edges.select(concat(
-        lit(s"MERGE (a:$srcLabel {id: '"), col("src_id"),
-        lit(s"'}) MERGE (b:$dstLabel {id: '"), col("dst_id"),
+        lit(s"MERGE (a:$srcLabel {id: '"), esc(col("src_id")),
+        lit(s"'}) MERGE (b:$dstLabel {id: '"), esc(col("dst_id")),
         lit("'}) MERGE (a)-[r:"), col("rel"), lit("]->(b)"),
-        array_join(transform(col("props"),
+        array_join(transform(
+          filter(col("props"), p => p.getField("v").isNotNull),
           p => concat(lit(" SET r."), p.getField("k"),
-            lit(" = '"), p.getField("v"), lit("'"))), ""),
+            lit(" = '"), esc(p.getField("v")), lit("'"))), ""),
         lit(";")).as("cypher"))
     else
       edges.select(concat(
-        lit(s"MERGE (a:$srcLabel {id: '"), col("src_id"),
-        lit(s"'}) MERGE (b:$dstLabel {id: '"), col("dst_id"),
+        lit(s"MERGE (a:$srcLabel {id: '"), esc(col("src_id")),
+        lit(s"'}) MERGE (b:$dstLabel {id: '"), esc(col("dst_id")),
         lit("'}) MERGE (a)-[:"), col("rel"), lit("]->(b);")).as("cypher"))
   }
 

@@ -34,8 +34,21 @@ import graft.functions.Vectors
   */
 object Clustering {
 
-  private def quantize(vec: org.apache.spark.sql.Column, scale: Double) =
+  /** Shared with [[Pq]]: the determinism contract (floor-quantize, then
+    * left-to-right fold of squared diffs ≡ DuckDB list_dot_product) must
+    * live in ONE place — two copies drifting apart would silently break
+    * oracle parity for whichever operator kept the stale one.
+    */
+  private[similarity] def quantize(vec: org.apache.spark.sql.Column, scale: Double) =
     transform(vec, x => floor(x.cast(DoubleType) * scale).cast(DoubleType))
+
+  /** Squared L2 between a quantized vector column and a centroid literal,
+    * folded left-to-right (see [[quantize]] note).
+    */
+  private[similarity] def dist2(v: org.apache.spark.sql.Column,
+                                cv: Array[Double]): org.apache.spark.sql.Column =
+    aggregate(zip_with(v, typedLit(cv), (a, b) => a - b),
+      lit(0.0), (acc, d) => acc + d * d)
 
   /** Append `cluster` and `dist2` (squared L2 in quantized units) to `df`
     * by nearest-centroid assignment — a zero-shuffle codegen projection.
@@ -46,10 +59,7 @@ object Clustering {
     require(cents.nonEmpty, "centroid set must be non-empty")
     val qv = quantize(col(vecCol), scale)
     val candidates = cents.map { case (cid, cv) =>
-      val diff = zip_with(qv, typedLit(cv), (a, b) => a - b)
-      // left-to-right fold of squared diffs ≡ DuckDB list_dot_product(d, d)
-      val dist2 = aggregate(diff, lit(0.0), (acc, d) => acc + d * d)
-      struct(dist2.as("dist2"), lit(cid).as("cid"))
+      struct(dist2(qv, cv).as("dist2"), lit(cid).as("cid"))
     }
     df.withColumn("__best", array_min(array(candidates: _*)))
       .withColumn("cluster", col("__best.cid"))

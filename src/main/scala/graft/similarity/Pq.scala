@@ -29,15 +29,12 @@ import org.apache.spark.sql.types._
   */
 object Pq {
 
+  // quantization + distance fold are SHARED with Clustering (one home for
+  // the cross-engine determinism contract)
   private def quantize(vec: Column, scale: Double): Column =
-    transform(vec, x => floor(x.cast(DoubleType) * scale).cast(DoubleType))
-
-  /** Squared L2 between a quantized subvector column and a centroid
-    * literal, folded left-to-right.
-    */
+    Clustering.quantize(vec, scale)
   private def dist2(subv: Column, cv: Array[Double]): Column =
-    aggregate(zip_with(subv, typedLit(cv), (a, b) => a - b),
-      lit(0.0), (acc, d) => acc + d * d)
+    Clustering.dist2(subv, cv)
 
   /** Per-subspace codebooks: `m` independent Lloyd runs over the sliced
     * corpus. `dim` is passed, not probed ([[Ann]] lesson — no driver

@@ -72,22 +72,34 @@ object Search {
     * without re-scanning the corpus.
     *
     * Scale: one tokenize scan; (token, id) pairs distinct (hash on the
-    * pair), then aggregate (hash on `token`) — two shuffles, the second
-    * over the already-deduplicated pair set. Posting lists are
-    * `sort_array`ed (deterministic, engine-comparable). At 100 TB
-    * a single token's postings can exceed one row's practical size — cap
-    * inspection-oriented use with `maxPostings` (stop-word-sized lists are
-    * BM25-useless anyway and get pruned rather than truncated, keeping
-    * every emitted list exact).
+    * pair) and persisted, then document frequencies aggregate per token
+    * and prune BEFORE any posting list materializes — `collect_list` on a
+    * stop-word's billions of postings would blow the aggregation buffer
+    * long before a post-hoc filter could discard it, so the cap must gate
+    * the collect, not the output. Surviving tokens (df ≤ maxPostings)
+    * broadcast back onto the pair set under AQE; lists are `sort_array`ed
+    * (deterministic, engine-comparable) and every emitted list is exact —
+    * oversized tokens are pruned whole, never truncated.
     */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
-                    maxPostings: Long = Long.MaxValue): DataFrame =
-    docs.select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("token"))
+                    maxPostings: Long = Long.MaxValue): DataFrame = {
+    val pairs = docs
+      .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("token"))
       .distinct()
-      .groupBy("token")
-      .agg(sort_array(collect_list(col("id"))).as("postings"),
-        count(lit(1)).as("df"))
-      .filter(col("df") <= maxPostings)
+    if (maxPostings == Long.MaxValue)
+      pairs.groupBy("token")
+        .agg(sort_array(collect_list(col("id"))).as("postings"),
+          count(lit(1)).as("df"))
+    else {
+      val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val kept = p.groupBy("token").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxPostings)
+      p.join(kept, "token")
+        .groupBy("token")
+        .agg(sort_array(collect_list(col("id"))).as("postings"),
+          first(col("df")).as("df"))
+    }
+  }
 
   /** Per-document TF-IDF keywords: the `m` tokens with the highest
     * tf · ln(N / df) in each document (ties by token ascending). The

@@ -319,6 +319,15 @@ class OpsSpec extends SparkSpec {
     assert(out("unique:id") == ((4L, 1L))) // id=3 twice
   }
 
+  test("qualityChecks: empty frame reports 0 violations; dotted names work") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "t")
+    val out = Ops.qualityChecks(empty,
+        Seq("t.present" -> col("t").isNotNull), uniqueCols = Seq("id"))
+      .as[(String, Long, Long)].collect().toSet
+    // an empty ingest batch must gate as 0/0, not null
+    assert(out == Set(("t.present", 0L, 0L), ("unique:id", 0L, 0L)))
+  }
+
   test("hashSplit is deterministic and near the requested fraction") {
     val df = spark.range(0, 2000).toDF("id")
     val splits = Ops.hashSplit(df, "id", 90).groupBy("split").count()

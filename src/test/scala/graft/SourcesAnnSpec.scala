@@ -79,6 +79,17 @@ class SourcesAnnSpec extends SparkSpec {
       .as[String].head()
     assert(cyP == "MERGE (a:User {id: 'u1'}) MERGE (b:Part {id: 'p1'}) " +
       "MERGE (a)-[r:BOUGHT]->(b) SET r.qty = '3' SET r.unit = 'ea';")
+    // data containing quotes/backslashes escapes; null prop values are
+    // skipped, not allowed to null the whole SET block
+    val tricky = Seq(("o'brien", "p\\q", "KNOWS", Seq(("note", "it's"), ("gone", null))))
+      .toDF("src_id", "dst_id", "rel", "props")
+    val cyT = graft.operators.Sinks.cypherStatements(
+        tricky.select(col("src_id"), col("dst_id"), col("rel"),
+          expr("transform(props, p -> struct(p._1 AS k, p._2 AS v))").as("props")),
+        "User", "User")
+      .as[String].head()
+    assert(cyT == "MERGE (a:User {id: 'o\\'brien'}) MERGE (b:User {id: 'p\\\\q'}) " +
+      "MERGE (a)-[r:KNOWS]->(b) SET r.note = 'it\\'s';")
   }
 
   test("compact merges small files without changing content; writeClustered sorts in-file") {

@@ -302,7 +302,7 @@ class TextDedupSpec extends SparkSpec {
     // → merge ab... wait (a,b) appears in "aaab"? after aa-merge: [aa,a,b]
     // → pairs (aa,a)=2, (a,b)=2+1=3 → merge ab.
     val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
-    val (merges, vocab) = graft.functions.Bpe.train(docs, "doc_id", "text", 3)
+    val (merges, vocab) = graft.functions.Bpe.train(docs, "text", 3)
     val m = merges.orderBy("rank").as[(Long, String, String, String, Long)].collect()
     assert(m(0) == (1L, "a", "a", "aa", 4L))
     assert(m(1) == (2L, "a", "b", "ab", 3L))
@@ -315,7 +315,7 @@ class TextDedupSpec extends SparkSpec {
   test("Bpe.segment replays merges identically to the trained vocabulary") {
     val docs = Seq((1L, "low lower lowest low"), (2L, "newest new lowest"))
       .toDF("doc_id", "text")
-    val (merges, vocab) = graft.functions.Bpe.train(docs, "doc_id", "text", 5)
+    val (merges, vocab) = graft.functions.Bpe.train(docs, "text", 5)
     val ms = merges.orderBy("rank").select("l", "r")
       .as[(String, String)].collect().toSeq
     val seg = graft.functions.Bpe.segment(docs, "doc_id", "text", ms)
