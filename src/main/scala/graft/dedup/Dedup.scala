@@ -212,19 +212,19 @@ object Dedup {
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        numHashes: Int = 16): DataFrame = {
-    // Explode + group-by, not k× array_min(transform(tokenize)) in one
-    // projection: the latter re-tokenizes per hash (interpreted HOFs) and
-    // produces a codegen blob that scales with k. This shape tokenizes once,
-    // keeps md5 in codegen, and partial-aggregates the mins map-side.
-    // Documents with zero tokens yield no row.
-    val tok = df.select(col(idCol).as("id"),
-      explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
-    val mins = (0 until numHashes).map { s =>
-      min(md5(concat(lit(s.toString), lit(":"), col("tok")))).as(s"__h$s")
-    }
-    tok.groupBy("id").agg(mins.head, mins.tail: _*)
-      .select(col("id"),
-        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+    // Native fused expression (graftglue.MinHashSig): all k seed-mins in
+    // one pass over each document's token array — a pure PROJECTION. The
+    // r1-r3 relational shape (explode + groupBy(id) with k min() aggs)
+    // computed the same values but paid the corpus's only minhash shuffle
+    // for an aggregation with no cross-row dependency; at 100 TB the
+    // exchange, not the md5 work, was the bill. Values are bit-identical
+    // (same md5(seed:token) hex mins — q_minhash/q_lsh_pairs oracles are
+    // unchanged); zero-token documents still yield no row.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftglue.{ColumnBridge, MinHashSig}
+    val sig = ColumnBridge.column(MinHashSig(
+      ColumnBridge.expression(Text.tokens(col(textCol))), Literal(numHashes)))
+    df.select(col(idCol).as("id"), sig.as("sig")).filter(col("sig").isNotNull)
   }
 
   /** LSH banding over minhash signatures: hash each band of the signature to

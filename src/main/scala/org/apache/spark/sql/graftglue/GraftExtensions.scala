@@ -30,5 +30,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "word_shingles takes exactly 2 arguments")
         WordShingles(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "minhash_sig takes exactly 2 arguments")
+        MinHashSig(children.head, children(1))
+      }))
   }
 }

@@ -223,6 +223,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("minhashSignature is a zero-shuffle projection (fused expression)") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text", 16)
+    sig.count()
+    assert(countShufflesExec(sig.queryExecution.executedPlan) == 0)
+  }
+
   test("repetitionStats partial-aggregates map-side") {
     val docs = Tables.load(spark, sfDir, "documents")
     val p = planString(graft.functions.Text.repetitionStats(docs, "doc_id", "text", 2))
