@@ -258,17 +258,19 @@ object Dedup {
     * One explode + one group-by — a single shuffle, partial-agg friendly.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-      explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
-    val hashed = tok.withColumn("h", Text.md5Hash64(col("tok")))
-    val aggs = count(lit(1)).as("n") +: (0 until bits).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(0L)).as(s"v$b")
-    }
-    val voted = hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
-    val fp = (0 until bits).map { b =>
-      when(col(s"v$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    voted.select(col("id"), fp.as("simhash"))
+    // Native fused expression (graftglue.SimHashSig): the whole distinct-
+    // token bit-majority vote in one pass per row — a pure PROJECTION,
+    // like MinHashSig. The r1-r3 relational shape (explode + groupBy(id)
+    // with `bits` conditional sums) shuffled a wide vote table per corpus
+    // for an aggregation with no cross-row dependency. Fingerprints are
+    // bit-identical (same md5Hash64-top-bits votes — q_simhash/
+    // q_simhash_pairs oracles unchanged); zero-token docs yield no row.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftglue.{ColumnBridge, SimHashSig}
+    val fp = ColumnBridge.column(SimHashSig(
+      ColumnBridge.expression(Text.tokens(col(textCol))), Literal(bits)))
+    df.select(col(idCol).as("id"), fp.as("simhash"))
+      .filter(col("simhash").isNotNull)
   }
 
   /** Hamming distance between two fingerprints. */

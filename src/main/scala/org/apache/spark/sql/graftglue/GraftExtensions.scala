@@ -37,5 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "minhash_sig takes exactly 2 arguments")
         MinHashSig(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "simhash_sig takes exactly 2 arguments")
+        SimHashSig(children.head, children(1))
+      }))
   }
 }

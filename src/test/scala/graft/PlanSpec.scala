@@ -223,11 +223,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("minhashSignature is a zero-shuffle projection (fused expression)") {
+  test("minhashSignature and simhash are zero-shuffle projections (fused expressions)") {
     val docs = Tables.load(spark, sfDir, "documents")
     val sig = Dedup.minhashSignature(docs, "doc_id", "text", 16)
     sig.count()
     assert(countShufflesExec(sig.queryExecution.executedPlan) == 0)
+    val fp = Dedup.simhash(docs, "doc_id", "text")
+    fp.count()
+    assert(countShufflesExec(fp.queryExecution.executedPlan) == 0)
   }
 
   test("repetitionStats partial-aggregates map-side") {
