@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.monitor.PipelineMetrics
+import graft.pipeline.ConfigPipeline
+
+/** CLI runner for config-built pipelines — the `bin/metalpipe <config>`
+  * entry point of the reference, Spark-side:
+  *
+  * {{{
+  * sbt "runMain graft.RunPipeline <config.json> <stage> [outPath]"
+  * }}}
+  *
+  * Loads the JSON config, substitutes `${ENV}` placeholders
+  * ([[ConfigPipeline.render]] — the reference's jinja/environment
+  * templating), builds the [[graft.pipeline.Pipeline]] DAG, materializes
+  * `stage`, and either writes it to parquet (`outPath` given) or prints a
+  * sample. A [[PipelineMetrics]] listener snapshot prints at the end — the
+  * reference's monitor-thread table, from Spark's own counters.
+  *
+  * On a cluster, submit the assembly with `spark-submit --class
+  * graft.RunPipeline` instead; the config and semantics are identical
+  * (the session just arrives from the cluster manager).
+  */
+object RunPipeline {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: RunPipeline <config.json> <stage> [outPath]")
+    val Array(cfgPath, stage) = args.take(2)
+    val outPath = args.lift(2)
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = PipelineMetrics.attach(spark)
+    val cfg = ConfigPipeline.render(Files.readString(Paths.get(cfgPath)))
+    val result = ConfigPipeline.fromJson(spark, cfg).output(stage)
+    outPath match {
+      case Some(p) =>
+        result.write.mode("overwrite").parquet(p)
+        println(s"[graft] stage '$stage' -> $p")
+      case None =>
+        result.show(20, truncate = false)
+    }
+    println(metrics.snapshot.map { case (k, v) => s"$k=$v" }
+      .mkString("[graft] ", " | ", ""))
+    spark.stop()
+  }
+}

@@ -32,6 +32,27 @@ import graft.sources.Tables
   */
 object ConfigPipeline {
 
+  /** `${NAME}` placeholders in config text substitute from the environment
+    * (+ explicit `extra` bindings, which win) — the reference templates its
+    * YAML configs through jinja with environment lookups
+    * (`bin/metalpipe:46-60`, `GetEnvironmentVariables` node.py:1145).
+    * Unknown placeholders fail loudly: a silently-unsubstituted
+    * `${MYSQL_HOST}` becomes a confusing downstream connection error.
+    */
+  def render(template: String, extra: Map[String, String] = Map.empty): String = {
+    val pat = java.util.regex.Pattern.compile("\\$\\{([A-Za-z_][A-Za-z0-9_]*)\\}")
+    val m = pat.matcher(template)
+    val out = new java.lang.StringBuilder
+    while (m.find()) {
+      val name = m.group(1)
+      val v = extra.getOrElse(name, sys.env.getOrElse(name,
+        sys.error(s"config placeholder $${$name} is not bound (env or extra)")))
+      m.appendReplacement(out, java.util.regex.Matcher.quoteReplacement(v))
+    }
+    m.appendTail(out)
+    out.toString
+  }
+
   def fromJson(spark: SparkSession, json: String): Pipeline = {
     val root = new ObjectMapper().readTree(json)
     val stages = root.get("stages")

@@ -188,6 +188,19 @@ class MtlConfigSpec extends SparkSpec {
     assert(mix.count() > 0)
   }
 
+  test("ConfigPipeline.render substitutes ${ENV} placeholders and fails on unbound") {
+    val got = ConfigPipeline.render(
+      "path ${A}/x and ${B}", Map("A" -> "/data", "B" -> "7"))
+    assert(got == "path /data/x and 7")
+    // env lookup works (PATH always exists); extra bindings win over env
+    assert(ConfigPipeline.render("${PATH}").nonEmpty)
+    assert(ConfigPipeline.render("${PATH}", Map("PATH" -> "z")) == "z")
+    val e = intercept[RuntimeException] { ConfigPipeline.render("${NO_SUCH_VAR_42}") }
+    assert(e.getMessage.contains("NO_SUCH_VAR_42"))
+    // untouched text and non-placeholder dollars pass through
+    assert(ConfigPipeline.render("a $b {c} $$") == "a $b {c} $$")
+  }
+
   test("ConfigPipeline reaches the graph and classifier ops") {
     val pr = ConfigPipeline.fromJson(spark,
       """{"stages": [
