@@ -145,6 +145,17 @@ object SparkEntry {
       T(s, dir, "events")
         .groupBy(expr("(ts_ns div 1000) div 60000000").as("minute_bucket"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), Ops.moneySum(col("value")).as("sum_value"))),
+    // sliding windows: 10-minute window every 5 minutes — each event lands
+    // in exactly duration/slide windows (Spark `window(ts, dur, slide)`)
+    "q_window_sliding" -> ((s, dir) =>
+      Ops.timeWindowAgg(
+          T(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))),
+          "ts", "10 minutes",
+          Seq("event_type"),
+          Seq(count(lit(1)).as("n_events"), Ops.moneySum(col("value")).as("sum_value")),
+          slide = Some("5 minutes"))
+        .select(unix_micros(col("window.start")).as("win_us"), col("event_type"),
+          col("n_events"), col("sum_value"))),
     "q_join_window" -> ((s, dir) => {
       val ev = T(s, dir, "events")
       val p = ev.filter(col("event_type") === "purchase")
@@ -1463,6 +1474,14 @@ object SparkEntry {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_window_sliding" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
+        |w AS (SELECT event_type, value,
+        |      ((ts_us // 300000000) - k) * 300000000 AS win_us
+        |      FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        |SELECT win_us, event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "q_join_window" ->
       """SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id AS user_id,
         | epoch_us(e.ts) - epoch_us(p.ts) AS dt_us
