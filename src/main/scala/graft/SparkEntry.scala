@@ -1026,6 +1026,17 @@ object SparkEntry {
     "q_editdist" -> ((s, dir) =>
       Dedup.editDistancePairs(T(s, dir, "part"), "p_partkey", "p_name",
         maxDist = 12, blockTokens = 2, maxBlock = 64)),
+    // cross-source record linkage: part names vs a second "vendor feed"
+    // (same parts, last name-word dropped) — blocked equi-join + exact
+    // levenshtein verify, never a cartesian
+    "q_fuzzy_join" -> ((s, dir) => {
+      val l = T(s, dir, "part").select(col("p_partkey").as("l_id"),
+        col("p_name").as("l_name"))
+      val r = T(s, dir, "part").filter(col("p_partkey") % 20 === 0)
+        .select((col("p_partkey") + 1000000).as("r_id"),
+          regexp_replace(col("p_name"), " [a-z]+$", "").as("r_name"))
+      Dedup.fuzzyJoin(l, r, "l_name", "r_name", maxDist = 12, blockTokens = 1)
+    }),
 
     // ---- similarity (G6/G7) ----
     "q_ann" -> ((s, dir) => {
@@ -1934,6 +1945,20 @@ object SparkEntry {
         |FROM b a JOIN b c ON a.blk = c.blk AND a.p_partkey < c.p_partkey
         | JOIN g ON g.blk = a.blk
         |WHERE levenshtein(a.p_name, c.p_name) <= 12""".stripMargin,
+    "q_fuzzy_join" ->
+      """WITH l AS (SELECT p_partkey AS l_id, p_name AS l_name,
+        |  array_to_string(list_slice(list_filter(string_split(p_name, ' '), t -> t <> ''), 1, 1), ' ') AS blk
+        |  FROM part),
+        |r0 AS (SELECT p_partkey + 1000000 AS r_id,
+        |  regexp_replace(p_name, ' [a-z]+$', '') AS r_name FROM part
+        |  WHERE p_partkey % 20 = 0),
+        |r AS (SELECT r_id, r_name,
+        |  array_to_string(list_slice(list_filter(string_split(r_name, ' '), t -> t <> ''), 1, 1), ' ') AS blk
+        |  FROM r0)
+        |SELECT l_id, l_name, r_id, r_name,
+        | CAST(levenshtein(l_name, r_name) AS BIGINT) AS dist
+        |FROM l JOIN r USING (blk)
+        |WHERE levenshtein(l_name, r_name) <= 12""".stripMargin,
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_lsh_pairs" -> lshPairsOracle,

@@ -148,6 +148,35 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Fuzzy key JOIN across two sources (record linkage): left and right
+    * rows pair when their keys agree on the first `blockTokens` tokens
+    * (the blocking equi-join — a normal shuffle/broadcast join, never a
+    * cartesian) and their full keys are within `maxDist` edits (exact
+    * `levenshtein` verify in the join filter). The cross-TABLE form of
+    * [[editDistancePairs]] — matching "Acme Widget Deluxe" in one vendor
+    * feed to "Acme Widget Delux" in another.
+    *
+    * Output: all left columns + all right columns + `dist`. Column names
+    * must be disjoint (rename upstream — a silent duplicate would make
+    * downstream references ambiguous). Recall bound is the same as all
+    * blocking: pairs that differ inside the first `blockTokens` tokens are
+    * not candidates.
+    */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+                leftKey: String, rightKey: String,
+                maxDist: Int, blockTokens: Int = 2): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"column names must be disjoint; shared: $overlap")
+    val lb = left.withColumn("__blk",
+      array_join(slice(Text.tokens(col(leftKey)), 1, blockTokens), " "))
+    val rb = right.withColumn("__blk",
+      array_join(slice(Text.tokens(col(rightKey)), 1, blockTokens), " "))
+    lb.join(rb, "__blk")
+      .withColumn("dist", levenshtein(col(leftKey), col(rightKey)).cast(LongType))
+      .filter(col("dist") <= maxDist)
+      .drop("__blk")
+  }
+
   /** Prefix-filtered exact Jaccard (the AllPairs/PPJoin family): for
     * J(A,B) ≥ tau, A and B must share a shingle within their
     * (|X| − ⌈tau·|X|⌉ + 1)-prefixes under a GLOBAL shingle order — rarest

@@ -85,6 +85,21 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1L))) // 3 too far, 4 blocked apart
   }
 
+  test("fuzzyJoin links rows across sources within blocks only") {
+    val l = Seq((1L, "acme widget deluxe"), (2L, "zenith gear")).toDF("l_id", "l_name")
+    val r = Seq((10L, "acme widget delux"),   // dist 1, same block
+      (11L, "acme widget standard xx"),       // same block, far
+      (12L, "other widget deluxe")            // different block
+    ).toDF("r_id", "r_name")
+    val got = Dedup.fuzzyJoin(l, r, "l_name", "r_name", maxDist = 2)
+      .select("l_id", "r_id", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 1L)))
+    // overlapping column names are rejected up front
+    intercept[IllegalArgumentException] {
+      Dedup.fuzzyJoin(l, l.withColumnRenamed("l_id", "x"), "l_name", "l_name", 1)
+    }
+  }
+
   test("ngramJaccardPrefix equals exhaustive ngramJaccard (lossless filter)") {
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
     def canon(df: org.apache.spark.sql.DataFrame) =
