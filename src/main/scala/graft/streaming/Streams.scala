@@ -264,4 +264,17 @@ object Streams {
     spark.streams.addListener(l)
     l
   }
+
+  /** In-flight data-quality observation (`Dataset.observe`): aggregate
+    * metrics (counts, null counts, sums) computed ON the stream's own
+    * rows as they pass — no second scan, no extra shuffle — and surfaced
+    * per micro-batch in `QueryProgress.observedMetrics(name)`. The
+    * streaming counterpart of [[graft.operators.Ops.qualityChecks]]: the
+    * batch gate validates a corpus after the fact; this watches every
+    * batch of a live ingest (pair with [[progressCanary]] to alert).
+    */
+  def observed(df: DataFrame, name: String, metrics: Seq[Column]): DataFrame = {
+    require(metrics.nonEmpty, "observe needs at least one metric column")
+    df.observe(name, metrics.head, metrics.tail: _*)
+  }
 }

@@ -167,6 +167,23 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("observed surfaces per-batch metrics in query progress") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = Streams.observed(mem.toDS().toDF("id", "t"), "gate",
+      Seq(count(lit(1)).as("rows"),
+        sum(when(col("t").isNull, 1L).otherwise(0L)).as("null_t")))
+    val q = df.writeStream.format("memory").queryName("obs_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, "a"), (2L, null), (3L, "c"))
+      q.processAllAvailable()
+      val m = q.lastProgress.observedMetrics.get("gate")
+      assert(m != null, "observed metrics missing from progress")
+      assert(m.getAs[Long]("rows") == 3L && m.getAs[Long]("null_t") == 1L)
+    } finally q.stop()
+  }
+
   test("sessionizeState extends the trailing session across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
