@@ -215,6 +215,16 @@ object SparkEntry {
           Seq(col("c_acctbal").desc, col("c_custkey").asc), 3)
         .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
           col("rnk").cast(LongType).as("rnk"))),
+    // hierarchical aggregates: rollup/cube plan as ONE Expand + aggregate
+    // (not N re-scans) — subtotals and grand totals in a single pass
+    "q_rollup" -> ((s, dir) =>
+      T(s, dir, "orders").rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))),
+    "q_cube" -> ((s, dir) =>
+      T(s, dir, "orders").cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))),
+
     // data-quality gate: all expectations in ONE aggregate scan
     "q_quality_checks" -> ((s, dir) =>
       Ops.qualityChecks(T(s, dir, "events"),
@@ -1535,6 +1545,13 @@ object SparkEntry {
       """SELECT * FROM (SELECT c_nationkey, c_custkey, c_acctbal,
         | RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
         |FROM customer) WHERE rnk <= 3""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q_quality_checks" ->
       """WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(COUNT(*) FILTER (WHERE NOT COALESCE(value >= 0, FALSE)) AS BIGINT) AS v1,
