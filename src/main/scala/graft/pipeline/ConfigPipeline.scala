@@ -80,7 +80,15 @@ object ConfigPipeline {
       case "agg" =>
         val keys = strs(s.get("keys"))
         val aggs = strs(s.get("aggs")).map(expr)
-        p.stage(name, from)(_.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*))
+        // optional "mode": rollup | cube — hierarchical subtotals in the
+        // same single Expand+aggregate pass
+        val mode = if (s.has("mode")) s.get("mode").asText() else "group"
+        p.stage(name, from)(d => (mode match {
+          case "group"  => d.groupBy(keys.map(col): _*)
+          case "rollup" => d.rollup(keys.map(col): _*)
+          case "cube"   => d.cube(keys.map(col): _*)
+          case other    => sys.error(s"unknown agg mode '$other'")
+        }).agg(aggs.head, aggs.tail: _*))
       case "union" =>
         p.fanIn(name, strs(s.get("from")))()
       case "join" =>

@@ -201,6 +201,19 @@ class MtlConfigSpec extends SparkSpec {
     assert(ConfigPipeline.render("a $b {c} $$") == "a $b {c} $$")
   }
 
+  test("ConfigPipeline agg modes: rollup adds subtotal rows") {
+    val out = ConfigPipeline.fromJson(spark,
+      """{"stages": [
+        | {"name": "o", "op": "table", "dir": "/root/testdata/sf0.001", "table": "orders"},
+        | {"name": "a", "op": "agg", "from": "o", "mode": "rollup",
+        |  "keys": ["o_orderstatus"], "aggs": ["count(1) as n"]}
+        |]}""".stripMargin).output("a")
+    val rows = out.collect()
+    // grand-total row has a NULL key and equals the sum of the others
+    val total = rows.find(_.isNullAt(0)).map(_.getLong(1))
+    assert(total.contains(rows.filter(!_.isNullAt(0)).map(_.getLong(1)).sum))
+  }
+
   test("ConfigPipeline reaches the graph and classifier ops") {
     val pr = ConfigPipeline.fromJson(spark,
       """{"stages": [
