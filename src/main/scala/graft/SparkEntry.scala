@@ -180,6 +180,21 @@ object SparkEntry {
       Ops.asOfJoin(l, r, Seq("user_id"), "l_us", "r_us", Seq("r_value"))
         .select("event_id", "user_id", "l_us", "r_us", "r_value")
     }),
+    // as-of with NULLABLE payloads: every output value must come from the
+    // SAME matched right row — a NULL in one payload column stays NULL
+    // (DuckDB ASOF semantics), never back-filled from an older row
+    "q_asof_nulls" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("l_us"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), expr("ts_ns div 1000").as("r_us"))
+        .agg(max(col("value")).as("__mx"), count(lit(1)).as("r_n"))
+        .select(col("user_id"), col("r_us"),
+          when(col("__mx") >= lit(10.0), col("__mx")).as("r_value"), col("r_n"))
+      Ops.asOfJoin(l, r, Seq("user_id"), "l_us", "r_us", Seq("r_value", "r_n"))
+        .select("event_id", "user_id", "l_us", "r_us", "r_value", "r_n")
+    }),
     "q_rowstats" -> ((s, dir) => Ops.rowStats(T(s, dir, "customer"))),
     // C6 string→typed inference: cast customer to all-strings (plus synthetic
     // bool/date/timestamp string columns), recover the types via SchemaInfer,
@@ -1519,6 +1534,19 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'click'
         |)
         |SELECT l.event_id, l.user_id, l.l_us, r.r_us, r.r_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.l_us >= r.r_us""".stripMargin,
+    "q_asof_nulls" ->
+      """WITH r AS (
+        |  SELECT user_id, epoch_us(ts) AS r_us,
+        |    CASE WHEN MAX(value) >= 10.0 THEN MAX(value) END AS r_value,
+        |    COUNT(*) AS r_n
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS l_us
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT l.event_id, l.user_id, l.l_us, r.r_us, r.r_value, r.r_n
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.l_us >= r.r_us""".stripMargin,
     "q_schema_infer" ->
