@@ -778,6 +778,14 @@ object SparkEntry {
 
     // ---- dedup (G1-G5) ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(T(s, dir, "documents"), "doc_id", "text")),
+    // keep-best dedup: among normalized duplicates keep the LONGEST copy
+    // (ties by highest id) — the curation keep policy, one partial-agg pass
+    "q_dedup_best" -> ((s, dir) =>
+      Dedup.exactKeepBest(
+        T(s, dir, "documents")
+          .withColumn("norm", md5(Text.normalize(col("text"))))
+          .withColumn("len", length(col("text")).cast(LongType)),
+        "doc_id", "norm", "len")),
     // normalize-then-dedup: case/punctuation/whitespace variants collapse
     "q_dedup_norm" -> ((s, dir) =>
       Dedup.exact(
@@ -1638,6 +1646,15 @@ object SparkEntry {
         |WHERE l_quantity >= 25""".stripMargin,
     "q_dedup_exact" ->
       "SELECT md5(text) AS hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY md5(text)",
+    "q_dedup_best" ->
+      """WITH n AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS key
+        |  FROM documents),
+        |r AS (SELECT key, doc_id, len,
+        |  ROW_NUMBER() OVER (PARTITION BY key ORDER BY len DESC, doc_id DESC) AS rn,
+        |  COUNT(*) OVER (PARTITION BY key) AS n_copies FROM n)
+        |SELECT key, doc_id AS keep_id, len AS keep_score, n_copies
+        |FROM r WHERE rn = 1""".stripMargin,
     "q_dedup_norm" ->
       """WITH n AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm

@@ -26,6 +26,22 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup keeping the BEST copy per group instead of the min id —
+    * the policy real curation runs (keep the longest / highest-quality
+    * variant of a duplicated document). `max(struct(score, id))` picks
+    * the lexicographic maximum, so ties on score break by id and the
+    * winner is deterministic under any partitioning; still one partial-agg
+    * shuffle, no window sort. `keyCol` is the duplicate-grouping key
+    * (e.g. a normalized-text hash).
+    */
+  def exactKeepBest(df: DataFrame, idCol: String, keyCol: String,
+                    scoreCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("key"))
+      .agg(max(struct(col(scoreCol).as("s"), col(idCol).as("i"))).as("__best"),
+        count(lit(1)).as("n_copies"))
+      .select(col("key"), col("__best.i").as("keep_id"),
+        col("__best.s").as("keep_score"), col("n_copies"))
+
   /** Expand each bucket's sorted member list into its strictly-upper-
     * triangular pairs: one output element per (i < j) position, payload
     * built by `mk(x, y)`. The 1-based `slice(ms, i + 2, …)` against the

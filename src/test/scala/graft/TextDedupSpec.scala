@@ -55,6 +55,15 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Set((2L, 2L), (9L, 1L)))
   }
 
+  test("exactKeepBest keeps the highest-scoring copy, ties by id") {
+    val df = Seq((1L, "k1", 10L), (2L, "k1", 30L), (3L, "k1", 30L), (4L, "k2", 5L))
+      .toDF("id", "key", "score")
+    val got = Dedup.exactKeepBest(df, "id", "key", "score")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // k1: score tie 30 between ids 2,3 → higher id wins deterministically
+    assert(got == Set(("k1", 3L, 30L, 3L), ("k2", 4L, 5L, 1L)))
+  }
+
   test("shingles produces n-k+1 distinct word shingles") {
     val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
     val got = Dedup.shingles(df, "doc_id", "text", 3)
