@@ -52,6 +52,49 @@ object Dedup {
     explode(flatten(transform(ms, (x, i) =>
       transform(slice(ms, i + 2, size(ms)), y => mk(x, y)))))
 
+  /** Size-guarded bucket collection for the LSH-family pair expanders:
+    * group `rows` by `keys`, DROP buckets larger than `maxBucket`, and
+    * collect surviving members with `membersAgg`.
+    *
+    * Two properties the naive collect-then-filter shape lacks:
+    *  1. The size check runs BEFORE any member array exists — bucket sizes
+    *    come from a window `count` over the bucket key (spillable row
+    *    buffer), so a degenerate 10⁶-member bucket never builds a
+    *    collect_list aggregation buffer, let alone its ~5·10¹¹ pairs.
+    *    The follow-up groupBy reuses the window's hash partitioning, so
+    *    the guard costs no extra exchange.
+    *  2. The cap is NOT silent: dropped-bucket / dropped-row counts and the
+    *    largest observed bucket ride the main job as an observed metric
+    *    (`df.queryExecution.observedMetrics(metricName)` after any action;
+    *    columns `dropped_buckets`, `dropped_rows`, `max_bucket`), so a
+    *    user sees exactly what the guard discarded. (`dropped_buckets`
+    *    sums 1/n per over-cap row — exactly 1 per bucket, rounded.)
+    *
+    * AQE caveat (measured, Spark 4.1): if the guard empties the ENTIRE
+    * result, AQE's empty-relation propagation replaces the finished
+    * metric-carrying stage in the final plan and the observed metric is
+    * absent. A zero-row result from a pair expander is itself the loud
+    * signal; when auditing that case, disable
+    * `spark.sql.adaptive.enabled` (or exclude AQEPropagateEmptyRelation)
+    * and the metric reports exactly. Partial drops — the production case —
+    * always surface.
+    */
+  private def guardedBuckets(rows: DataFrame, keys: Seq[String],
+                             membersAgg: Column, maxBucket: Int,
+                             metricName: String): DataFrame = {
+    require(maxBucket > 1, s"maxBucket must exceed 1, got $maxBucket")
+    val w = Window.partitionBy(keys.map(col): _*)
+    val withN = rows.withColumn("__n", count(lit(1)).over(w))
+    val observed = withN.observe(metricName,
+      round(sum(when(col("__n") > maxBucket, lit(1.0) / col("__n"))
+        .otherwise(lit(0.0)))).cast(LongType).as("dropped_buckets"),
+      sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("dropped_rows"),
+      coalesce(max(col("__n")), lit(0L)).as("max_bucket"))
+    observed.filter(col("__n") > 1 && col("__n") <= maxBucket)
+      .groupBy(keys.map(col): _*)
+      .agg(membersAgg)
+  }
+
   /** Distinct word-k-shingles per document with the document's shingle-set
     * size carried alongside: (id, sz, shingle). Distinctness is enforced
     * per-document with `array_distinct`, and `sz` is computed in the SAME
@@ -253,6 +296,12 @@ object Dedup {
     * string — portable to any engine with md5 (same result in DuckDB),
     * unlike engine-native integer hashes.
     *
+    * PRECONDITION: ids are unique. The signature is a per-ROW projection —
+    * a frame with repeated ids emits one signature row per input row (the
+    * r1-r3 groupBy(id) shape silently merged such rows' tokens into one
+    * signature; the projection does not). Dedup ids upstream if the input
+    * can carry repeats. Same contract applies to [[simhash]].
+    *
     * Output: (id, sig: array<string> of length `numHashes`).
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
@@ -275,9 +324,18 @@ object Dedup {
   /** LSH banding over minhash signatures: hash each band of the signature to
     * a bucket key, join on equal (band, key) → candidate pairs. O(n·bands)
     * shuffle, never an n² compare.
+    *
+    * `maxBucket` drops degenerate mega-buckets BEFORE their member lists
+    * materialize (run exact dedup first; a surviving bucket of m identical
+    * docs costs m²/2 pairs — at the old 1<<20 default a 10⁶ bucket "passing"
+    * the guard meant ~5·10¹¹ pairs). Dropped buckets are counted, not
+    * silent: see [[guardedBuckets]] — metric name `metricName` (default
+    * "lsh_bucket_guard"; override when composing this op twice in one query,
+    * observed-metric names must be unique per query).
     */
   def lshPairs(sig: DataFrame, bands: Int, rowsPerBand: Int,
-               maxBucket: Int = 1 << 20): DataFrame = {
+               maxBucket: Int = 1 << 12,
+               metricName: String = "lsh_bucket_guard"): DataFrame = {
     val keys = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
@@ -287,11 +345,9 @@ object Dedup {
       .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     // Group each bucket once and emit its id pairs directly — a self-join on
     // (band, key) would re-evaluate the whole signature pipeline for both
-    // sides and shuffle twice. `maxBucket` drops degenerate mega-buckets
-    // (run exact dedup first; a bucket of m identical docs costs m²/2).
-    val buckets = banded.groupBy("band", "band_key")
-      .agg(sort_array(collect_set(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    // sides and shuffle twice.
+    val buckets = guardedBuckets(banded, Seq("band", "band_key"),
+      sort_array(collect_set(col("id"))).as("ids"), maxBucket, metricName)
     buckets.select(bucketPairs(col("ids"), (x, y) =>
         struct(x.as("id_a"), y.as("id_b"))).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
@@ -300,7 +356,8 @@ object Dedup {
   /** SimHash (G4): 60-bit token-hash bit vote (60 bits so the fingerprint
     * stays exactly representable from the 15-hex-digit md5 prefix). Bit b of
     * the fingerprint is 1 iff more distinct tokens have bit b set than not.
-    * One explode + one group-by — a single shuffle, partial-agg friendly.
+    * A pure per-row projection — unique-id PRECONDITION as in
+    * [[minhashSignature]] (repeated ids emit one fingerprint row each).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
     // Native fused expression (graftglue.SimHashSig): the whole distinct-
@@ -326,9 +383,16 @@ object Dedup {
     * band (pigeonhole), so bucketing by band value finds all such pairs
     * with an O(n·bands) shuffle; an exact hamming check then filters.
     * Input: output of [[simhash]]. Output: (id_a, id_b, hamming).
+    *
+    * `maxBucket` drops degenerate band buckets before any member list
+    * materializes, with the drop counted as an observed metric (see
+    * [[guardedBuckets]], metric `metricName`). NOTE the recall interaction:
+    * a dropped bucket loses its band's pigeonhole witness, so run exact
+    * dedup first — over-cap buckets are overwhelmingly identical docs.
     */
   def simhashPairs(sig: DataFrame, maxHamming: Int, bands: Int = 4,
-                   bits: Int = 60): DataFrame = {
+                   bits: Int = 60, maxBucket: Int = 1 << 12,
+                   metricName: String = "simhash_bucket_guard"): DataFrame = {
     // Pigeonhole completeness holds only when a qualifying pair cannot
     // differ in every band: maxHamming < bands. Remainder bits (bits %
     // bands != 0) would never be banded and silently break recall too.
@@ -343,9 +407,9 @@ object Dedup {
     }: _*)
     val banded = sig.select(col("id"), col("simhash"), explode(bandKeys).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val buckets = banded.groupBy("band", "bkey")
-      .agg(sort_array(collect_set(struct(col("id"), col("simhash")))).as("members"))
-      .filter(size(col("members")) > 1)
+    val buckets = guardedBuckets(banded, Seq("band", "bkey"),
+      sort_array(collect_set(struct(col("id"), col("simhash")))).as("members"),
+      maxBucket, metricName)
     val pairs = buckets.select(bucketPairs(col("members"), (x, y) =>
         struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
           bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash")))
@@ -398,7 +462,8 @@ object Dedup {
   def cosineNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
                        tau: Double, dim: Int,
                        numPlanes: Int = 8, bands: Int = 2, seed: Int = 42,
-                       maxBucket: Int = 1 << 20): DataFrame = {
+                       maxBucket: Int = 1 << 12,
+                       metricName: String = "cosine_lsh_bucket_guard"): DataFrame = {
     require(numPlanes % bands == 0, s"numPlanes=$numPlanes not divisible by bands=$bands")
     val perBand = numPlanes / bands
     val planes = typedLit(graft.similarity.Ann.hyperplanes(numPlanes, dim, seed))
@@ -414,10 +479,12 @@ object Dedup {
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     // Group each bucket once and expand its (id-sorted) member pairs in
     // place — same single-pass shape as [[lshPairs]]; `maxBucket` bounds the
-    // in-bucket quadratic blowup (run exact dedup upstream).
-    val buckets = banded.groupBy("band", "bkey")
-      .agg(sort_array(collect_list(struct(col("id"), col("vec"), col("nrm")))).as("members"))
-      .filter(size(col("members")) > 1 && size(col("members")) <= maxBucket)
+    // in-bucket quadratic blowup BEFORE a bucket's vectors ever collect into
+    // one row (run exact dedup upstream); drops are counted, see
+    // [[guardedBuckets]] (metric `metricName`).
+    val buckets = guardedBuckets(banded, Seq("band", "bkey"),
+      sort_array(collect_list(struct(col("id"), col("vec"), col("nrm")))).as("members"),
+      maxBucket, metricName)
     buckets.select(bucketPairs(col("members"), (x, y) =>
         struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
           Vectors.fcosine(x.getField("vec"), y.getField("vec"),

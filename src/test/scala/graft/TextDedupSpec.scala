@@ -130,6 +130,43 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("lshPairs drops mega-buckets before expanding them — and counts the drop") {
+    // 10 identical docs collapse into ONE bucket per band (the mega-bucket);
+    // docs 20/21 form a small surviving bucket. With maxBucket=4 only the
+    // small pair may appear, and the drop must be visible, not silent:
+    // observed metric `lsh_bucket_guard`.
+    val docs = ((1L to 10L).map(i => (i, "a b c d e f g h"))
+      ++ Seq((20L, "m n o p q r s t"), (21L, "t s r q p o n m"), (99L, "q w r t y u")))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text", 8)
+    val guarded = Dedup.lshPairs(sig, bands = 2, rowsPerBand = 4, maxBucket = 4)
+    // collect on THIS Dataset instance — metrics live on its queryExecution
+    // (.as[...] would build a fresh one whose accumulators never run)
+    assert(guarded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((20L, 21L)))
+    val m = guarded.queryExecution.observedMetrics("lsh_bucket_guard")
+    assert(m.getAs[Long]("dropped_buckets") == 2L) // one mega-bucket per band
+    assert(m.getAs[Long]("dropped_rows") == 20L)   // 10 members × 2 bands
+    assert(m.getAs[Long]("max_bucket") == 10L)
+    // under the default cap the same docs pair exhaustively
+    val open = Dedup.lshPairs(sig, bands = 2, rowsPerBand = 4)
+    assert(open.collect().length == 46) // C(10,2) + the (20,21) pair
+    assert(open.queryExecution.observedMetrics("lsh_bucket_guard")
+      .getAs[Long]("dropped_buckets") == 0L)
+    // total-drop case: AQE's empty-relation propagation elides the metric
+    // stage (documented in guardedBuckets); with AQE off it reports exactly.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val megaOnly = ((1L to 10L).map(i => (i, "a b c d e f g h")) :+ ((99L, "q w r t y u")))
+        .toDF("doc_id", "text")
+      val sh = Dedup.simhash(megaOnly, "doc_id", "text")
+      val shGuarded = Dedup.simhashPairs(sh, maxHamming = 2, bands = 4, maxBucket = 4)
+      assert(shGuarded.collect().isEmpty) // the only multi-member buckets are mega
+      assert(shGuarded.queryExecution.observedMetrics("simhash_bucket_guard")
+        .getAs[Long]("dropped_buckets") == 4L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("simhash: identical docs have distance 0, disjoint docs differ") {
     val df = Seq((1L, "a b c d"), (2L, "d c b a"), (3L, "zz yy xx ww")).toDF("doc_id", "text")
     val fps = Dedup.simhash(df, "doc_id", "text").orderBy("id")
