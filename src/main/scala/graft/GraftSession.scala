@@ -28,6 +28,19 @@ object GraftSession {
     spark
   }
 
+  /** Session for CLI mains ([[graft.RunPipeline]]): respects an
+    * externally-supplied master, so `spark-submit --master yarn --class
+    * graft.RunPipeline` actually runs on the cluster — spark-submit places
+    * `spark.master` in the driver's system properties, and a builder that
+    * forced `.master("local[N]")` would silently override it back to
+    * single-node. Only when NO master is configured anywhere does this
+    * fall back to [[local]].
+    */
+  def auto(): SparkSession =
+    if (sys.props.contains("spark.master") || sys.env.contains("SPARK_MASTER"))
+      tune(SparkSession.builder().appName("graft").getOrCreate())
+    else local()
+
   /** Local session for tests / tools. On a cluster the user brings their own
     * session; `tune` is all graft needs applied to it.
     */

@@ -22,8 +22,10 @@ import graft.pipeline.ConfigPipeline
   * reference's monitor-thread table, from Spark's own counters.
   *
   * On a cluster, submit the assembly with `spark-submit --class
-  * graft.RunPipeline` instead; the config and semantics are identical
-  * (the session just arrives from the cluster manager).
+  * graft.RunPipeline` instead; the config and semantics are identical.
+  * [[GraftSession.auto]] honors spark-submit's `--master` (builder
+  * options would otherwise override it back to local), falling back to
+  * a tuned local session only when no master is configured.
   */
 object RunPipeline {
   def main(args: Array[String]): Unit = {
@@ -31,7 +33,7 @@ object RunPipeline {
       "usage: RunPipeline <config.json> <stage> [outPath]")
     val Array(cfgPath, stage) = args.take(2)
     val outPath = args.lift(2)
-    val spark = GraftSession.local()
+    val spark = GraftSession.auto()
     spark.sparkContext.setLogLevel("WARN")
     val metrics = PipelineMetrics.attach(spark)
     val cfg = ConfigPipeline.render(Files.readString(Paths.get(cfgPath)))

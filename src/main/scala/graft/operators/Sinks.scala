@@ -59,12 +59,22 @@ object Sinks {
     // Values interpolate between single quotes, so backslashes and quotes
     // in the DATA must escape (Cypher string rules) — an id like "O'Brien"
     // would otherwise emit a syntactically broken (and injectable)
-    // statement. Labels/rel/property NAMES come from parser identifiers,
-    // not data, and stay raw.
+    // statement.
     def esc(c: Column): Column = {
       val bs = call_function("replace", c.cast("string"), lit("\\"), lit("\\\\"))
       call_function("replace", bs, lit("'"), lit("\\'"))
     }
+    // Relation types and property KEYS interpolate outside quotes, where no
+    // string escaping can contain them — and although graft's own callers
+    // feed parser-generated identifiers, both are DataFrame columns, so any
+    // data-derived value is an injection vector. Enforce the identifier
+    // grammar per row and fail loudly on violations (a silently mangled
+    // MERGE is worse than an aborted export).
+    def ident(c: Column): Column =
+      when(c.rlike("^[A-Za-z_][A-Za-z0-9_]*$"), c)
+        .otherwise(raise_error(concat(
+          lit("cypherStatements: non-identifier relation/property name: '"),
+          c, lit("'"))))
     // A `props` column (array<struct<k,v>> from MtlParser relation
     // assertions) renders as SET clauses on the relationship — the
     // reference's RelationshipPropertyAssertion merge schema
@@ -75,17 +85,17 @@ object Sinks {
       edges.select(concat(
         lit(s"MERGE (a:$srcLabel {id: '"), esc(col("src_id")),
         lit(s"'}) MERGE (b:$dstLabel {id: '"), esc(col("dst_id")),
-        lit("'}) MERGE (a)-[r:"), col("rel"), lit("]->(b)"),
+        lit("'}) MERGE (a)-[r:"), ident(col("rel")), lit("]->(b)"),
         array_join(transform(
           filter(col("props"), p => p.getField("v").isNotNull),
-          p => concat(lit(" SET r."), p.getField("k"),
+          p => concat(lit(" SET r."), ident(p.getField("k")),
             lit(" = '"), esc(p.getField("v")), lit("'"))), ""),
         lit(";")).as("cypher"))
     else
       edges.select(concat(
         lit(s"MERGE (a:$srcLabel {id: '"), esc(col("src_id")),
         lit(s"'}) MERGE (b:$dstLabel {id: '"), esc(col("dst_id")),
-        lit("'}) MERGE (a)-[:"), col("rel"), lit("]->(b);")).as("cypher"))
+        lit("'}) MERGE (a)-[:"), ident(col("rel")), lit("]->(b);")).as("cypher"))
   }
 
   /** Partition-layout parquet write: one directory per value of the
@@ -137,10 +147,27 @@ object Sinks {
         if (st.isDirectory) parquetFiles(st.getPath)
         else if (st.getPath.getName.endsWith(".parquet")) Seq(st) else Nil
       }
+    // Hive-partitioned input (col=value directory levels) must rewrite with
+    // the SAME partitionBy — Spark folds partition directories into ordinary
+    // data columns on read, so a flat rewrite would silently destroy the
+    // directory layout and every downstream reader's partition pruning.
+    // The column chain is read off the directory names, one level at a time.
+    def partitionColsOf(p: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .headOption match {
+          case Some(st) =>
+            st.getPath.getName.split("=", 2)(0) +: partitionColsOf(st.getPath)
+          case None => Nil
+        }
+    val partCols = partitionColsOf(in)
     val before = parquetFiles(in)
     val totalBytes = before.map(_.getLen).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(inDir).coalesce(n).write.mode("overwrite").parquet(outDir)
+    val w = spark.read.parquet(inDir).coalesce(n).write.mode("overwrite")
+    // coalesce+partitionBy yields ≤ n files PER partition value (each task
+    // splits its rows by directory) — still bounded, still shuffle-free.
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(outDir)
     (before.size.toLong,
       parquetFiles(new org.apache.hadoop.fs.Path(outDir)).size.toLong)
   }

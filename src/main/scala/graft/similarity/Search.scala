@@ -80,6 +80,12 @@ object Search {
     * broadcast back onto the pair set under AQE; lists are `sort_array`ed
     * (deterministic, engine-comparable) and every emitted list is exact —
     * oversized tokens are pruned whole, never truncated.
+    *
+    * Caching contract (same as [[graft.functions.Lm]]): the capped path
+    * persists the (token, id) pair set so the df-count and the join read
+    * one corpus scan; the persist is scoped to the returned plan, so in a
+    * long-lived session call `spark.catalog.clearCache()` (or unpersist
+    * via `spark.sharedState.cacheManager`) once the index is written out.
     */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
                     maxPostings: Long = Long.MaxValue): DataFrame = {

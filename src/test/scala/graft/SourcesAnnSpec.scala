@@ -90,6 +90,23 @@ class SourcesAnnSpec extends SparkSpec {
       .as[String].head()
     assert(cyT == "MERGE (a:User {id: 'o\\'brien'}) MERGE (b:User {id: 'p\\\\q'}) " +
       "MERGE (a)-[r:KNOWS]->(b) SET r.note = 'it\\'s';")
+    // rel/prop keys interpolate OUTSIDE quotes — a data-derived value that
+    // isn't an identifier is an injection vector and must abort, not render
+    val inj = Seq(("u1", "p1", "X]->(b) DETACH DELETE a//"))
+      .toDF("src_id", "dst_id", "rel")
+    val ex = intercept[Exception] {
+      graft.operators.Sinks.cypherStatements(inj, "User", "Part").collect()
+    }
+    assert(ex.getMessage.contains("non-identifier"))
+    val injKey = Seq(("u1", "p1", "KNOWS", Seq(("k = '' DETACH DELETE a//", "v"))))
+      .toDF("src_id", "dst_id", "rel", "props")
+    val exK = intercept[Exception] {
+      graft.operators.Sinks.cypherStatements(
+        injKey.select(col("src_id"), col("dst_id"), col("rel"),
+          expr("transform(props, p -> struct(p._1 AS k, p._2 AS v))").as("props")),
+        "User", "Part").collect()
+    }
+    assert(exK.getMessage.contains("non-identifier"))
   }
 
   test("compact merges small files without changing content; writeClustered sorts in-file") {
@@ -111,6 +128,19 @@ class SourcesAnnSpec extends SparkSpec {
       cl, Seq("part"), Seq("v"))
     val vs = spark.read.parquet(s"$cl/part=p").select("v").as[Long].collect()
     assert(vs.toSeq == vs.sorted.toSeq)
+    // compacting a hive-partitioned directory preserves the layout (and
+    // therefore downstream partition pruning), not just the rows
+    val pfrag = s"$base/pfrag"; val pout = s"$base/pcompacted"
+    spark.range(0, 200).toDF("id")
+      .withColumn("lang", expr("CASE WHEN id % 2 = 0 THEN 'en' ELSE 'es' END"))
+      .withColumn("src", lit("web"))
+      .repartition(8).write.partitionBy("lang", "src").parquet(pfrag)
+    graft.operators.Sinks.compact(spark, pfrag, pout, targetBytes = 1L << 30)
+    val sub = new java.io.File(pout).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(sub.toSet == Set("lang=en", "lang=es"))
+    assert(new java.io.File(s"$pout/lang=en").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet == Set("src=web"))
+    assert(spark.read.parquet(pout).agg(sum("id")).as[Long].head() == 19900L)
   }
 
   test("bm25TopK ranks by term rarity and frequency with an id tie-break") {
