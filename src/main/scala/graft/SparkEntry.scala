@@ -699,6 +699,16 @@ object SparkEntry {
         .coalesce(1).write.option("header", "true").mode("overwrite").csv(out)
       Sources.csv(s, out)
     }),
+    // CSV SINK (D: CivisToCSV shape): Sinks.csvWrite → typed re-read with
+    // the source frame's own DDL, so decimals/doubles don't drift through
+    // re-inference; distributed write (no coalesce — one file per task)
+    "q_csv_write_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_csvw").toString + "/orders"
+      val src = T(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      Sinks.csvWrite(src, out)
+      Sources.csv(s, out, schemaDdl = Some(src.schema.toDDL))
+    }),
     "q_text_roundtrip" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_text").toString + "/docs"
       T(s, dir, "documents").select("text").write.mode("overwrite").text(out)
@@ -2078,6 +2088,9 @@ object SparkEntry {
         |FROM events LEFT JOIN customer ON user_id = c_custkey""".stripMargin,
     "q_envvars" -> "SELECT CAST(NULL AS VARCHAR) AS v",
     "q_csv_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_csv_write_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders""".stripMargin,
     "q_recorder_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_partition_pruning" -> "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
     "q_compact_roundtrip" -> "SELECT c_custkey, c_name, c_nationkey FROM customer",

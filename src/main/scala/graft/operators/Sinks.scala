@@ -35,6 +35,22 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** CSV file sink (reference `civis_nodes.py:429` `CivisToCSV`; the
+    * reference's Civis upload path at `civis_nodes.py:28` is file-mediated
+    * through exactly this artifact). Header row on by default; Spark quotes
+    * any field carrying the delimiter, quote, or newline, so arbitrary text
+    * columns survive. For a TYPED re-read, pass the frame's own schema to
+    * [[graft.sources.Sources.csv]] (`schemaDdl = Some(df.schema.toDDL)`) —
+    * CSV itself is untyped text, and re-inference can drift (e.g. a
+    * decimal column re-read as double); fields written with embedded
+    * newlines additionally need `multiLine=true` on the read.
+    */
+  def csvWrite(df: DataFrame, path: String, header: Boolean = true,
+               mode: String = "overwrite",
+               options: Map[String, String] = Map.empty): Unit =
+    df.write.mode(mode).option("header", header.toString)
+      .options(options).csv(path)
+
   /** Graph export (reference `cypher_neo4j.py:8` Neo4j writer): node tables
     * per entity label + edge tables, as parquet — the bulk-import layout
     * every graph store ingests. Entity/edge DataFrames come from

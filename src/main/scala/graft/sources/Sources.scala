@@ -135,6 +135,104 @@ object Sources {
       .toDF("page", "body")
   }
 
+  /** Retry wrapper for any fetch function (reference `network_nodes.py:64`
+    * `get_with_retry`: loop up to `retries`, sleep, double the backoff).
+    * Returns a function safe to hand to [[paginatedApi]]/[[httpTemplate]] —
+    * it is serializable as long as `f` and `sleep` are, so retries run ON
+    * THE EXECUTORS, not the driver. Backoff doubles from `initialBackoffMs`
+    * and caps at `maxBackoffMs` (the reference's hibernate loop, bounded);
+    * `sleep` is injectable so specs assert the schedule without waiting.
+    * After `maxRetries` failed retries the LAST cause is rethrown wrapped —
+    * a permanently dead endpoint fails the job loudly, never silently
+    * yields fewer rows.
+    */
+  def withRetries[A, B](f: A => B, maxRetries: Int = 5,
+                        initialBackoffMs: Long = 100L,
+                        maxBackoffMs: Long = 5000L,
+                        sleep: Long => Unit = (ms: Long) => Thread.sleep(ms)): A => B =
+    (a: A) => {
+      var attempt = 0
+      var delay = initialBackoffMs
+      var out: Option[B] = None
+      var last: Throwable = null
+      while (out.isEmpty && attempt <= maxRetries) {
+        try out = Some(f(a))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            last = e
+            attempt += 1
+            if (attempt <= maxRetries) {
+              sleep(delay)
+              delay = math.min(delay * 2, maxBackoffMs)
+            }
+        }
+      }
+      out.getOrElse(throw new RuntimeException(
+        s"fetch failed after $maxRetries retries: $a", last))
+    }
+
+  /** Offset-chased pagination (reference `network_nodes.py:97`
+    * `PaginatedHttpGetRequest.responses`): fetch the first page with
+    * `firstOffset`, then repeatedly extract the next offset from the
+    * returned body (`nextOffset`, e.g. [[jsonKey]]) and fetch again,
+    * terminating when the offset is ABSENT/empty (the reference's KeyError
+    * break), when it repeats (cycle guard — the reference collects its
+    * `offset_set` but never checks it; a looping API would page forever),
+    * or at `maxPages` (fail-fast: hitting the cap raises rather than
+    * silently truncating).
+    *
+    * The page WALK is driver-side by nature — each offset is data in the
+    * previous response, an inherently serial chain the reference also walks
+    * one request at a time. Page COUNT is API-bounded (thousands, not
+    * billions), and everything downstream of the collected bodies (JSON
+    * parse, explode, joins) is a distributed plan over the returned frame.
+    * For offset-ARITHMETIC APIs (page=0,1,2,…) use [[paginatedApi]], which
+    * fetches all pages in parallel on the executors. Wrap `fetch` in
+    * [[withRetries]] for flaky endpoints.
+    *
+    * Output: (page, offset, body) — one row per fetched page.
+    */
+  def paginatedApiChase(spark: SparkSession, urlFor: String => String,
+                        fetch: String => String,
+                        nextOffset: String => Option[String],
+                        firstOffset: String = "",
+                        maxPages: Int = 100000): DataFrame = {
+    import spark.implicits._
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    val seen = scala.collection.mutable.Set.empty[String]
+    var offset: Option[String] = Some(firstOffset)
+    while (offset.isDefined && seen.add(offset.get)) {
+      require(rows.size < maxPages,
+        s"paginatedApiChase exceeded maxPages=$maxPages; raise the cap if the " +
+          "API genuinely has more pages")
+      val body = fetch(urlFor(offset.get))
+      rows += ((rows.size.toLong, offset.get, body))
+      offset = nextOffset(body).filter(_.nonEmpty)
+    }
+    rows.toSeq.toDF("page", "offset", "body")
+  }
+
+  /** Driver-side JSON key lookup with recursive descent for
+    * [[paginatedApiChase]]'s `nextOffset`: returns the value of the FIRST
+    * occurrence of `key` found depth-first in the body (APIs bury the
+    * next-page cursor at varying depths — `{"paging": {"next": …}}`).
+    * None when the key is missing, null, or the body isn't JSON — all of
+    * which mean "no more pages".
+    */
+  def jsonKey(key: String)(body: String): Option[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def find(n: com.fasterxml.jackson.databind.JsonNode): Option[com.fasterxml.jackson.databind.JsonNode] =
+      if (n.has(key)) Some(n.get(key))
+      else {
+        val it = n.elements()
+        var found: Option[com.fasterxml.jackson.databind.JsonNode] = None
+        while (found.isEmpty && it.hasNext) found = find(it.next())
+        found
+      }
+    try find(mapper.readTree(body)).filterNot(_.isNull).map(_.asText)
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Per-row templated GET (reference `network_nodes.py:172`
     * `HttpGetRequest`: `endpoint_template.format_map(message)`): fill
     * `{field}` placeholders in the URL template from each incoming row,

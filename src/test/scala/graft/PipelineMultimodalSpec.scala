@@ -99,6 +99,63 @@ class PipelineMultimodalSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 2)
   }
 
+  test("withRetries retries with capped exponential backoff, then rethrows") {
+    // flaky: fails 3 times, then succeeds — retry schedule must be
+    // 100, 200, 400 (doubling), and the result must come through
+    var calls = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val flaky = (u: String) => {
+      calls += 1
+      if (calls <= 3) throw new RuntimeException(s"boom $calls") else s"ok:$u"
+    }
+    val got = Sources.withRetries(flaky, maxRetries = 5, sleep = sleeps.+=(_))("x")
+    assert(got == "ok:x" && calls == 4)
+    assert(sleeps.toSeq == Seq(100L, 200L, 400L))
+    // backoff caps at maxBackoffMs; exhausted retries rethrow the last cause
+    var always = 0
+    val dead = (_: String) => { always += 1; throw new RuntimeException(s"dead $always") }
+    val sleeps2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ex = intercept[RuntimeException] {
+      Sources.withRetries(dead, maxRetries = 4, initialBackoffMs = 300L,
+        maxBackoffMs = 1000L, sleep = sleeps2.+=(_))("y")
+    }
+    assert(ex.getMessage.contains("failed after 4 retries"))
+    assert(ex.getCause.getMessage == "dead 5") // initial try + 4 retries
+    assert(sleeps2.toSeq == Seq(300L, 600L, 1000L, 1000L))
+    // the wrapped fetch is serializable — it must survive a Spark closure
+    val df = Sources.paginatedApi(spark, 3,
+      Sources.withRetries((p: Long) => Seq(s"v$p"), maxRetries = 1), partitions = 2)
+    assert(df.count() == 3)
+  }
+
+  test("paginatedApiChase follows next-page keys and stops on missing key") {
+    // fake API: offset "" → next "a" → next "b" → terminal (no key)
+    val pages = Map(
+      "u/" -> """{"data": [1, 2], "paging": {"next": "a"}}""",
+      "u/a" -> """{"data": [3], "paging": {"next": "b"}}""",
+      "u/b" -> """{"data": [4]}""")
+    val df = Sources.paginatedApiChase(spark, o => s"u/$o", pages(_),
+      Sources.jsonKey("next"))
+    assert(df.orderBy("page").select("offset").as[String].collect().toSeq
+      == Seq("", "a", "b"))
+    // cycle guard: an API that points back at a seen offset terminates
+    assert(Sources.paginatedApiChase(spark, o => s"u/$o",
+      Map("u/" -> """{"next": "a"}""", "u/a" -> """{"next": "a"}""")(_),
+      Sources.jsonKey("next")).count() == 2)
+    // maxPages is a loud cap, not a silent truncation
+    intercept[IllegalArgumentException] {
+      // each page's next offset is the full url — strictly growing, no cycle
+      Sources.paginatedApiChase(spark, o => s"u/$o",
+        (u: String) => s"""{"next": "$u"}""",
+        Sources.jsonKey("next"), maxPages = 5).count()
+    }
+    // jsonKey descends into nested objects and treats junk as terminal
+    assert(Sources.jsonKey("next")("""{"a": {"b": {"next": "deep"}}}""")
+      == Some("deep"))
+    assert(Sources.jsonKey("next")("""{"next": null}""").isEmpty)
+    assert(Sources.jsonKey("next")("not json at all").isEmpty)
+  }
+
   test("httpTemplate fills url placeholders from row fields and constants") {
     val in = Seq((7L, "us"), (9L, "fr")).toDF("uid", "cc")
     val got = Sources.httpTemplate(in, "http://h/{v}/u/{uid}?c={cc}",

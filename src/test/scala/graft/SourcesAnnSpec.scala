@@ -109,6 +109,24 @@ class SourcesAnnSpec extends SparkSpec {
     assert(exK.getMessage.contains("non-identifier"))
   }
 
+  test("csvWrite round-trips quoted text and typed columns exactly") {
+    val base = java.nio.file.Files.createTempDirectory("graft_csvw").toString
+    val df = Seq(
+      (1L, "plain", 1.5),
+      (2L, "comma, inside", -0.125),
+      (3L, "quote \" and 'apostrophe'", 3.14159265358979)
+    ).toDF("id", "txt", "v")
+    graft.operators.Sinks.csvWrite(df, s"$base/t")
+    val back = graft.sources.Sources.csv(spark, s"$base/t",
+      schemaDdl = Some(df.schema.toDDL))
+    // names and types survive (CSV re-read is nullable-by-default, so
+    // nullability flags are not part of the contract)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      == df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").as[(Long, String, Double)].collect().toSeq
+      == df.orderBy("id").as[(Long, String, Double)].collect().toSeq)
+  }
+
   test("compact merges small files without changing content; writeClustered sorts in-file") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
