@@ -981,11 +981,14 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("score").cast(DoubleType).as("score"),
           col("n_features"))
     }),
-    // BPE training: 6 merge rounds on the corpus vocabulary (one corpus
-    // scan; each round is vocab-sized). The oracle replays training round
-    // for round with the same padded-string merge representation.
+    // BPE training: 32 merges in 4 batched job rounds of 8 symbol-disjoint
+    // merges each (one corpus scan; a round is ONE vocab-sized job + argmax
+    // fetch, not 8 — the scheduler-round-trip posture a 50k-merge
+    // production run needs). The oracle replays the batched greedy
+    // selection round for round in the same padded-string representation.
     "q_bpe_merges" -> ((s, dir) =>
-      graft.functions.Bpe.train(T(s, dir, "documents"), "text", nMerges = 6)._1
+      graft.functions.Bpe.train(T(s, dir, "documents"), "text",
+          nMerges = 32, mergesPerRound = 8)._1
         .select(col("rank"), col("l"), col("r"), col("merged"), col("n"))),
     // BPE segmentation: replay the trained merges over every corpus token
     // as a chain of literal-replace projections (zero shuffles). The
@@ -993,7 +996,8 @@ object SparkEntry {
     // agreement proves the projection chain ≡ the training fixpoint.
     "q_bpe_segment" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      val merges = graft.functions.Bpe.train(docs, "text", nMerges = 6)._1
+      val merges = graft.functions.Bpe.train(docs, "text",
+          nMerges = 32, mergesPerRound = 8)._1
         .select("l", "r").collect().map(row => (row.getString(0), row.getString(1))).toSeq
       graft.functions.Bpe.segment(docs, "doc_id", "text", merges)
         .select(col("id").as("doc_id"), col("token"),
@@ -1198,13 +1202,20 @@ object SparkEntry {
        |SELECT doc_id AS id, CAST($fp AS BIGINT) AS simhash FROM v""".stripMargin
   }
 
-  /** DuckDB replay of BPE training (q_bpe_merges): the CTE chain unrolls
-    * the 6 merge rounds — pair counts from the padded-string segmentation,
-    * deterministic argmax (n DESC, l, r), literal-replace merge — exactly
-    * the rounds [[graft.functions.Bpe.train]] runs. `bpeRounds` must match
-    * the nMerges in the q_bpe_* query entries.
+  /** DuckDB replay of BATCHED BPE training (q_bpe_merges): the CTE chain
+    * unrolls `bpeRounds` job rounds of `bpeMergesPerRound` merges each —
+    * pair counts from the padded-string segmentation, then the greedy
+    * top-R SYMBOL-DISJOINT selection down the (n DESC, l, r) order (each
+    * slot's scalar CTE excludes every symbol used by earlier slots of the
+    * same round), then the R literal replaces nested in selection order —
+    * exactly the rounds [[graft.functions.Bpe.train]] runs with
+    * mergesPerRound = R. An empty slot (vocabulary exhausted) yields NULL
+    * scalars; the coalesce(chr(1)) guard turns its replace into a no-op,
+    * mirroring the Spark side's short round. `bpeRounds` ×
+    * `bpeMergesPerRound` must match the q_bpe_* query entries.
     */
-  private val bpeRounds = 6
+  private val bpeRounds = 4
+  private val bpeMergesPerRound = 8
   private val bpeVocabCtes: String = {
     val sb = new StringBuilder
     sb.append(
@@ -1221,20 +1232,39 @@ object SparkEntry {
            |        SELECT cnt, unnest(list_transform(range(0, len(s) - 1),
            |               i -> {'l': s[i + 1], 'r': s[i + 2]})) AS p
            |        FROM (SELECT cnt, string_split(trim(syms), '  ') AS s FROM v${i - 1})
-           |       ) GROUP BY 1, 2),
-           |b$i AS MATERIALIZED (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
-           |v$i AS MATERIALIZED (SELECT word, cnt,
-           |        replace(syms, ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
-           |                ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ') AS syms
-           |        FROM v${i - 1})""".stripMargin)
+           |       ) GROUP BY 1, 2)""".stripMargin)
+      for (j <- 1 to bpeMergesPerRound) {
+        val cond =
+          if (j == 1) ""
+          else {
+            val used = (1 until j)
+              .map(k => s"SELECT l AS s FROM s${i}_$k UNION ALL SELECT r AS s FROM s${i}_$k")
+              .mkString(" UNION ALL ")
+            s"WHERE l NOT IN ($used) AND r NOT IN ($used) "
+          }
+        sb.append(
+          s""",
+             |s${i}_$j AS MATERIALIZED (SELECT l, r, n FROM p$i ${cond}ORDER BY n DESC, l, r LIMIT 1)""".stripMargin)
+      }
+      val applied = (1 to bpeMergesPerRound).foldLeft("syms") { (acc, j) =>
+        s"""replace($acc,
+           |          coalesce((SELECT ' ' || l || '  ' || r || ' ' FROM s${i}_$j), chr(1)),
+           |          coalesce((SELECT ' ' || l || r || ' ' FROM s${i}_$j), chr(1)))""".stripMargin
+      }
+      sb.append(
+        s""",
+           |v$i AS MATERIALIZED (SELECT word, cnt, $applied AS syms FROM v${i - 1})""".stripMargin)
     }
     sb.toString
   }
-  private val bpeMergesOracle: String =
+  private val bpeMergesOracle: String = {
+    val slots = (for { i <- 1 to bpeRounds; j <- 1 to bpeMergesPerRound }
+      yield s"SELECT $i AS round, $j AS slot, l, r, n FROM s${i}_$j").mkString(" UNION ALL ")
     s"""WITH $bpeVocabCtes
-       |SELECT * FROM (${(1 to bpeRounds).map(i =>
-           s"SELECT CAST($i AS BIGINT) AS rank, l, r, l || r AS merged, CAST(n AS BIGINT) AS n FROM b$i")
-         .mkString(" UNION ALL ")})""".stripMargin
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY round, slot) AS BIGINT) AS rank,
+       |       l, r, l || r AS merged, CAST(n AS BIGINT) AS n
+       |FROM ($slots)""".stripMargin
+  }
   private val bpeSegmentOracle: String =
     s"""WITH $bpeVocabCtes,
        |tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents)

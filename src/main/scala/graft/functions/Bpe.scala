@@ -66,34 +66,74 @@ object Bpe {
     * frequency break by (left, right) ascending so training is fully
     * deterministic. If the vocabulary runs out of pairs early the table
     * is short. The returned vocabulary holds the final segmentation.
+    *
+    * `mergesPerRound` (R) batches the driver round-trips: each JOB round
+    * computes pair counts once and applies the top R pairwise
+    * SYMBOL-DISJOINT pairs from that one snapshot, selected greedily down
+    * the (n DESC, left, right) order — a pair is skipped while a
+    * higher-ranked selection of the same round already uses either of its
+    * symbols. Disjointness makes the R replaces commute and leaves each
+    * selected pair's count unaffected by the others, so the batch is
+    * well-defined from one snapshot and an external engine can replay it
+    * exactly. R=1 IS classic sequential BPE; R>1 is the batched variant
+    * production trainers use (a 50k-merge run at R=1 means 50k scheduler
+    * round-trips — hours of driver overhead on a cluster; at R=64 it is
+    * ~800 vocab-sized jobs). The variants can diverge after the first
+    * round (sequential BPE may rank a freshly-created pair above a
+    * later-batched one), which is why R is explicit, not a silent default.
     */
-  def train(docs: DataFrame, textCol: String,
-            nMerges: Int): (DataFrame, DataFrame) = {
+  def train(docs: DataFrame, textCol: String, nMerges: Int,
+            mergesPerRound: Int = 1): (DataFrame, DataFrame) = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    require(mergesPerRound > 0,
+      s"mergesPerRound must be positive, got $mergesPerRound")
     val spark = docs.sparkSession
     import spark.implicits._
     // vocab is small by construction (distinct words); keep it hot and cut
-    // lineage once so the N training rounds replay an in-memory table, not
+    // lineage once so the training rounds replay an in-memory table, not
     // the corpus scan.
     var vocab = wordCounts(docs, textCol)
       .select(col("word"), col("cnt"), symbolize(col("word")).as("syms"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
-    var round = 1
     var exhausted = false
-    while (round <= nMerges && !exhausted) {
-      val best = pairCounts(vocab)
-        .orderBy(col("n").desc, col("left"), col("right"))
-        .limit(1).as[(String, String, Long)].collect()
-      if (best.isEmpty) { exhausted = true }
-      else {
-        val (l, r, n) = best(0)
-        merges += ((round.toLong, l, r, l + r, n))
-        vocab = vocab.withColumn("syms",
-            replace(col("syms"), lit(s" $l  $r "), lit(s" ${l}${r} ")))
-          .localCheckpoint(true)
-        round += 1
+    while (merges.size < nMerges && !exhausted) {
+      val want = math.min(mergesPerRound, nMerges - merges.size)
+      // One vocab-sized job per ROUND: collect a prefix of the sorted pair
+      // table and select greedily; the prefix grows (rare) if overlaps ate
+      // it before `want` disjoint pairs were found while more rows existed.
+      var prefix = math.max(64, want * 8)
+      var selected: Seq[(String, String, Long)] = Nil
+      var complete = false
+      while (!complete) {
+        val top = pairCounts(vocab)
+          .orderBy(col("n").desc, col("left"), col("right"))
+          .limit(prefix).as[(String, String, Long)].collect()
+        val used = scala.collection.mutable.Set.empty[String]
+        val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val it = top.iterator
+        while (sel.size < want && it.hasNext) {
+          val (l, r, n) = it.next()
+          if (!used(l) && !used(r)) { sel += ((l, r, n)); used += l; used += r }
+        }
+        if (sel.size == want || top.length < prefix) {
+          selected = sel.toSeq
+          complete = true
+          if (top.isEmpty) exhausted = true
+        } else prefix *= 4
       }
+      if (selected.nonEmpty) {
+        selected.foreach { case (l, r, n) =>
+          merges += ((merges.size + 1L, l, r, l + r, n))
+        }
+        // disjoint ⇒ the replaces commute; applied in selection order to
+        // match the rank order segment() replays
+        vocab = vocab.withColumn("syms",
+            selected.foldLeft(col("syms")) { case (acc, (l, r, _)) =>
+              replace(acc, lit(s" $l  $r "), lit(s" ${l}${r} "))
+            })
+          .localCheckpoint(true)
+      } else exhausted = true
     }
     (merges.toSeq.toDF("rank", "l", "r", "merged", "n"), vocab)
   }

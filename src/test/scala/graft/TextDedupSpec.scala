@@ -373,6 +373,21 @@ class TextDedupSpec extends SparkSpec {
     assert(v("aaab") == " aaab " && v("ab") == " ab ")
   }
 
+  test("Bpe.train batched rounds select disjoint pairs and skip overlaps") {
+    // three symbol-disjoint pairs land in ONE job round, ranked by count
+    val d1 = Seq((1L, "ab ab cd cd cd ef")).toDF("doc_id", "text")
+    val m1 = graft.functions.Bpe.train(d1, "text", 3, mergesPerRound = 3)._1
+      .orderBy("rank").as[(Long, String, String, String, Long)].collect().toSeq
+    assert(m1 == Seq((1L, "c", "d", "cd", 3L), (2L, "a", "b", "ab", 2L),
+      (3L, "e", "f", "ef", 1L)))
+    // an overlapping runner-up ((b,c) shares b with the round's (a,b))
+    // is skipped within the round and trained on the NEXT snapshot
+    val d2 = Seq((1L, "abc abc ab")).toDF("doc_id", "text")
+    val m2 = graft.functions.Bpe.train(d2, "text", 2, mergesPerRound = 2)._1
+      .orderBy("rank").as[(Long, String, String, String, Long)].collect().toSeq
+    assert(m2 == Seq((1L, "a", "b", "ab", 3L), (2L, "ab", "c", "abc", 2L)))
+  }
+
   test("Bpe.segment replays merges identically to the trained vocabulary") {
     val docs = Seq((1L, "low lower lowest low"), (2L, "newest new lowest"))
       .toDF("doc_id", "text")
