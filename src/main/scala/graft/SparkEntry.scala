@@ -180,6 +180,20 @@ object SparkEntry {
       Ops.asOfJoin(l, r, Seq("user_id"), "l_us", "r_us", Seq("r_value"))
         .select("event_id", "user_id", "l_us", "r_us", "r_value")
     }),
+    // hot-key as-of: same join, shuffled on (key, hour-bucket) with the
+    // carry-in pre-pass — shares q_asof's ASOF oracle, proving the bucketed
+    // path bit-equal to the key-partitioned one
+    "q_asof_bucketed" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("l_us"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), expr("ts_ns div 1000").as("r_us"))
+        .agg(max(col("value")).as("r_value"))
+      Ops.asOfJoinBucketed(l, r, Seq("user_id"), "l_us", "r_us", Seq("r_value"),
+          bucketWidth = 3600L * 1000000L)
+        .select("event_id", "user_id", "l_us", "r_us", "r_value")
+    }),
     // as-of with NULLABLE payloads: every output value must come from the
     // SAME matched right row — a NULL in one payload column stays NULL
     // (DuckDB ASOF semantics), never back-filled from an older row
@@ -1574,6 +1588,17 @@ object SparkEntry {
         | AND epoch_us(e.ts) >= epoch_us(p.ts) - 300000000
         | AND epoch_us(e.ts) <= epoch_us(p.ts) + 300000000""".stripMargin,
     "q_asof" ->
+      """WITH r AS (
+        |  SELECT user_id, epoch_us(ts) AS r_us, MAX(value) AS r_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS l_us
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT l.event_id, l.user_id, l.l_us, r.r_us, r.r_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.l_us >= r.r_us""".stripMargin,
+    "q_asof_bucketed" ->
       """WITH r AS (
         |  SELECT user_id, epoch_us(ts) AS r_us, MAX(value) AS r_value
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2

@@ -510,9 +510,8 @@ object Ops {
     *
     * Determinism requires right rows unique per (keys, rightTs) — pre-
     * aggregate the right side otherwise (ties would resolve by partition
-    * order). Hot keys: one key = one task's sort; pre-bucket by coarse time
-    * upstream if a single key's history exceeds a task (intervalJoinBucketed
-    * pattern).
+    * order). Hot keys: one key = one task's sort; use [[asOfJoinBucketed]]
+    * when a single key's history exceeds a task.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTsCol: String, rightTsCol: String,
@@ -540,6 +539,84 @@ object Ops {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = un.withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
+      .select(keys.map(col) ++ leftOther.map(col) ++
+        rPayload.map(c => col("__r").getField(c).as(c)): _*)
+  }
+
+  /** Hot-key scale path for [[asOfJoin]] — identical results, different
+    * shuffle key. [[asOfJoin]] partitions its window by key alone, so one
+    * pathological key (a firehose user, a default id) is one task's sort.
+    * Here both sides shuffle on (key, `ts div bucketWidth`): a key's
+    * history splits across its time buckets, and cross-bucket visibility
+    * is restored by a CARRY-IN pre-pass (the [[intervalJoinBucketed]]
+    * pattern, adapted to as-of semantics):
+    *
+    *  1. per (key, bucket): the bucket's LAST right payload — one
+    *     partial-agg shuffle of the right side, aggregate-sized output;
+    *  2. per key over the bucket-AGGREGATE table (rows = distinct
+    *     (key, bucket), not history rows): the newest payload over
+    *     strictly-earlier buckets — this window's partitions are bucket
+    *     counts, so the hot key costs rows-per-bucket, not its history;
+    *  3. main window per (key, bucket) over left ∪ right ∪ carry-in rows,
+    *     carry-ins anchored at the bucket start and ordered before any
+    *     real row there (__side -1 < 0 < 1) — a right row exactly on the
+    *     boundary still wins over the carry it duplicates.
+    *
+    * Same contracts as [[asOfJoin]]: right rows unique per (keys, ts);
+    * whole-struct fill (NULL payload columns stay the matched row's NULL);
+    * integral non-negative timestamps (`div` truncates toward zero).
+    */
+  def asOfJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTsCol: String, rightTsCol: String,
+                       rightCols: Seq[String], bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val leftOther = left.columns.toSeq.filterNot(keys.contains)
+    val rPayload = rightTsCol +: rightCols
+    require(rPayload.forall(c => !leftOther.contains(c) && !keys.contains(c)),
+      s"right output columns ${rPayload.mkString(",")} collide with left columns or join keys")
+    val rStructType = StructType(rPayload.map(c => right.schema(c).copy(name = c)))
+    val rStruct = struct(rPayload.map(c => col(c).as(c)): _*)
+    val tsType = left.schema(leftTsCol).dataType
+
+    val lB = left.withColumn("__bkt", expr(s"$leftTsCol div ${bucketWidth}L"))
+    val rB = right.withColumn("__bkt", expr(s"$rightTsCol div ${bucketWidth}L"))
+    val keyBkt = keys :+ "__bkt"
+
+    // (1) bucket-local last right payload; (keys, ts) uniqueness makes
+    // max_by deterministic
+    val rAgg = rB.groupBy(keyBkt.map(col): _*)
+      .agg(max_by(rStruct, col(rightTsCol)).as("__last"))
+    // (2) carry-in over the bucket universe BOTH sides touch: a left-only
+    // bucket still needs the newest earlier payload
+    val universe = lB.select(keyBkt.map(col): _*).distinct()
+      .unionByName(rAgg.select(keyBkt.map(col): _*)).distinct()
+    val wCarry = Window.partitionBy(keys.map(col): _*).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = universe.join(rAgg, keyBkt, "left")
+      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wCarry))
+      .filter(col("__carry").isNotNull)
+    // (3) main union: left (side 1), right (side 0), carry-in (side -1,
+    // anchored at the bucket's first representable ts)
+    val lSel = keys.map(col) ++ Seq(col("__bkt"),
+        col(leftTsCol).as("__ts"), lit(1).as("__side")) ++
+      leftOther.map(col) :+ lit(null).cast(rStructType).as("__r")
+    val rSel = keys.map(col) ++ Seq(col("__bkt"),
+        col(rightTsCol).as("__ts"), lit(0).as("__side")) ++
+      leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+      rStruct.as("__r")
+    val cSel = keys.map(col) ++ Seq(col("__bkt"),
+        (col("__bkt") * lit(bucketWidth)).cast(tsType).as("__ts"),
+        lit(-1).as("__side")) ++
+      leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+      col("__carry").as("__r")
+    val un = lB.select(lSel: _*)
+      .unionByName(rB.select(rSel: _*))
+      .unionByName(carry.select(cSel: _*))
+    val w = Window.partitionBy(keyBkt.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    un.withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .select(keys.map(col) ++ leftOther.map(col) ++
         rPayload.map(c => col("__r").getField(c).as(c)): _*)
   }

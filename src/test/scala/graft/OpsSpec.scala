@@ -210,6 +210,41 @@ class OpsSpec extends SparkSpec {
     assert(got == Set(("u1", 25L, Some(20L), None, Some("new"))))
   }
 
+  test("asOfJoinBucketed equals asOfJoin across bucket boundaries") {
+    // carry-in cases on purpose: left rows in buckets with NO right row
+    // (u1@25 bucket [20,30) has none → carry from ts=18; u2@35 reaches back
+    // two buckets), a right row exactly ON a bucket boundary (u1@30 for
+    // left 31 — the boundary row must beat the carry-in it duplicates),
+    // and a left row before any right (u2@5 → nulls).
+    val l = Seq(("u1", 10L, "a"), ("u1", 25L, "b"), ("u1", 31L, "c"),
+      ("u2", 5L, "d"), ("u2", 35L, "e")).toDF("k", "l_ts", "tag")
+    val r = Seq(("u1", 9L, 1.0), ("u1", 18L, 2.0), ("u1", 30L, 3.0),
+      ("u2", 12L, 9.0)).toDF("k", "r_ts", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "l_ts", "tag", "r_ts", "v")
+        .as[(String, Long, String, Option[Long], Option[Double])].collect().toSet
+    val plain = canon(Ops.asOfJoin(l, r, Seq("k"), "l_ts", "r_ts", Seq("v")))
+    for (width <- Seq(1L, 7L, 10L, 1000L)) {
+      val bucketed = canon(Ops.asOfJoinBucketed(l, r, Seq("k"), "l_ts", "r_ts",
+        Seq("v"), bucketWidth = width))
+      assert(bucketed == plain, s"bucketWidth=$width diverged")
+    }
+    assert(plain.contains(("u1", 25L, "b", Some(18L), Some(2.0))))
+    assert(plain.contains(("u1", 31L, "c", Some(30L), Some(3.0))))
+    assert(plain.contains(("u2", 35L, "e", Some(12L), Some(9.0))))
+    assert(plain.contains(("u2", 5L, "d", None, None)))
+    // whole-struct fill contract carries over: matched row's NULL stays
+    val ln = Seq(("u1", 25L)).toDF("k", "l_ts")
+    val rn = Seq(("u1", 10L, Some(1.0), "old"), ("u1", 20L, None, "new"))
+      .toDF("k", "r_ts", "v", "w")
+    val gotN = Ops.asOfJoinBucketed(ln, rn, Seq("k"), "l_ts", "r_ts",
+        Seq("v", "w"), bucketWidth = 7L)
+      .select("k", "l_ts", "r_ts", "v", "w")
+      .as[(String, Long, Option[Long], Option[Double], Option[String])]
+      .collect().toSet
+    assert(gotN == Set(("u1", 25L, Some(20L), None, Some("new"))))
+  }
+
   test("asOfJoin rejects right payload names colliding with join keys") {
     val l = Seq(("u1", 10L)).toDF("k", "l_ts")
     val r = Seq(("u1", 5L, 1.0)).toDF("k", "r_ts", "k2")
