@@ -761,6 +761,35 @@ object Ops {
     agg.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
 
+  /** Error-budget gate (reference `MetalNode` max_errors, node.py:102: a
+    * node tolerates N bad messages before killing the pipeline). Rows
+    * matching `isError` (null counts as error — an unevaluable predicate
+    * is a bad row, not a pass) are DROPPED from the output, and the whole
+    * job fails loudly the moment the total error count exceeds
+    * `maxErrors` — permissive up to the budget, never silently lossy past
+    * it.
+    *
+    * The budget check runs AT CALL TIME — one counting job over the input,
+    * the [[cosineNearDup]] guard precedent. It must be eager: a lazy
+    * raise_error gate riding the output rows never fires when EVERY row is
+    * bad (zero surviving rows → AQE elides the gate's branch — measured),
+    * which is exactly the case that must abort hardest. The input is
+    * therefore read twice (count + emit) — persist upstream or read from
+    * stable storage; the reference pays the same bookkeeping per message.
+    * Pair with a PERMISSIVE-mode read (`columnNameOfCorruptRecord`) so
+    * malformed source rows arrive as data instead of exceptions:
+    * `isError = col("_corrupt_record").isNotNull`.
+    */
+  def errorBudget(df: DataFrame, isError: Column, maxErrors: Long): DataFrame = {
+    require(maxErrors >= 0, s"maxErrors must be non-negative, got $maxErrors")
+    val bad = coalesce(isError, lit(true))
+    val nErr = df.agg(
+      coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L))).head().getLong(0)
+    require(nErr <= maxErrors,
+      s"error budget exceeded: $nErr bad rows > maxErrors=$maxErrors")
+    df.filter(!bad)
+  }
+
   // -------------------------------------------------------------------
   // Sessionization (C4 companion: the reference's TimeWindowAccumulator
   // with DYNAMIC gap windows instead of fixed buckets)

@@ -18,9 +18,12 @@ import graft.sources.Tables
   * Spark SQL strings (`expr(...)`), the declarative analogue of the
   * reference's config-referenced Python callables.
   *
-  * Ops: `table` (dir/table), `parquet` (path), `filter` (expr), `select`
-  * (exprs), `withColumn` (name/expr), `agg` (keys/aggs), `union` (from[]),
-  * `join` (from[2], on, how), `limit` (n), `distinct`, `sample` (key/mod).
+  * Ops: `table` (dir/table), `parquet` (path), `csv_permissive`
+  * (path/schema — malformed rows land in `_corrupt_record`), `filter`
+  * (expr), `select` (exprs), `withColumn` (name/expr), `agg` (keys/aggs),
+  * `union` (from[]), `join` (from[2], on, how), `limit` (n), `distinct`,
+  * `sample` (key/mod), `error_budget` (maxErrors[, expr] — drop up to N
+  * bad rows, fail past the budget; reference max_errors).
   *
   * Training-pipeline ops (SURVEY §2.G from config, so a config-driven user
   * reaches the whole library): `dedup_exact` (id/text), `sessionize`
@@ -71,6 +74,34 @@ object ConfigPipeline {
         p.source(name, Tables.load(spark, s.get("dir").asText(), s.get("table").asText()))
       case "parquet" =>
         p.source(name, spark.read.parquet(s.get("path").asText()))
+      // permissive CSV: malformed rows arrive as DATA in _corrupt_record
+      // instead of failing the read — feed an "error_budget" stage
+      // (reference MetalNode max_errors: tolerate N bad messages). The
+      // parsed frame persists: Spark refuses queries that reference ONLY
+      // the corrupt-record column from a raw file scan (the budget count
+      // is such a query) and documents caching as the contract; the budget
+      // gate reads the input twice anyway.
+      case "csv_permissive" =>
+        val schema = org.apache.spark.sql.types.StructType
+          .fromDDL(s.get("schema").asText())
+          .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+        p.source(name, spark.read
+          .option("header", if (s.has("header")) s.get("header").asText() else "true")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .schema(schema).csv(s.get("path").asText())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      case "error_budget" =>
+        val pred = if (s.has("expr")) expr(s.get("expr").asText())
+                   else col("_corrupt_record").isNotNull
+        val dropCorrupt = !s.has("expr")
+        p.stage(name, from) { d =>
+          val gated = graft.operators.Ops.errorBudget(d, pred,
+            s.get("maxErrors").asLong())
+          if (dropCorrupt && gated.columns.contains("_corrupt_record"))
+            gated.drop("_corrupt_record")
+          else gated
+        }
       case "filter" =>
         p.stage(name, from)(_.filter(expr(s.get("expr").asText())))
       case "select" =>

@@ -329,6 +329,53 @@ class MtlConfigSpec extends SparkSpec {
     assert(sess.count() > 0 && sess.columns.contains("session_start"))
   }
 
+  test("errorBudget drops bad rows within budget and fails loudly past it") {
+    val df = Seq((1L, "ok"), (2L, null), (3L, "ok"), (4L, null), (5L, "ok"))
+      .toDF("id", "v")
+    // within budget: bad rows dropped, good rows flow
+    val ok = Ops.errorBudget(df, col("v").isNull, maxErrors = 2)
+      .select("id").as[Long].collect().toSet
+    assert(ok == Set(1L, 3L, 5L))
+    // past budget: aborts AT THE GATE, never a silently-lossy result
+    val ex = intercept[Exception] {
+      Ops.errorBudget(df, col("v").isNull, maxErrors = 1)
+    }
+    assert(ex.getMessage.contains("error budget exceeded"))
+    // a null predicate is a bad row, not a pass: nulls only on the two bad
+    // rows → exactly at budget 2, and both are dropped
+    assert(Ops.errorBudget(df,
+      when(col("v").isNull, lit(null).cast("boolean")).otherwise(lit(false)),
+      maxErrors = 2).count() == 3L)
+    // an ALL-errors input still aborts (the case a lazy gate would miss)
+    val exAll = intercept[Exception] {
+      Ops.errorBudget(df, lit(true), maxErrors = 4)
+    }
+    assert(exAll.getMessage.contains("error budget exceeded"))
+  }
+
+  test("ConfigPipeline permissive CSV + error_budget tolerates a poisoned file") {
+    val base = java.nio.file.Files.createTempDirectory("graft_poison").toString
+    // 2 malformed rows (bad int, truncated line) among 3 good ones
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$base/in.csv"),
+      "id,qty\n1,10\n2,notanumber\n3,30\nbroken\n5,50\n")
+    def cfg(budget: Int) =
+      s"""{"stages": [
+         |  {"name": "raw", "op": "csv_permissive", "path": "$base/in.csv",
+         |   "schema": "id BIGINT, qty BIGINT"},
+         |  {"name": "clean", "op": "error_budget", "from": "raw",
+         |   "maxErrors": $budget},
+         |  {"name": "out", "op": "agg", "from": "clean",
+         |   "keys": [], "aggs": ["sum(qty) AS total", "count(*) AS n"]}
+         |]}""".stripMargin
+    val got = ConfigPipeline.fromJson(spark, cfg(2)).output("out")
+      .as[(Long, Long)].head()
+    assert(got == ((90L, 3L))) // corrupt rows dropped, _corrupt_record too
+    val ex = intercept[Exception] {
+      ConfigPipeline.fromJson(spark, cfg(1)).output("out").collect()
+    }
+    assert(ex.getMessage.contains("error budget exceeded"))
+  }
+
   test("ConfigPipeline runs a TreeHorn traversal from config") {
     val flat = graft.pipeline.ConfigPipeline.fromJson(spark,
       s"""{"stages": [
