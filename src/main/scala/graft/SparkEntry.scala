@@ -644,6 +644,25 @@ object SparkEntry {
         numPartitions = 4, extra = drv)
     }),
 
+    // introspected typed read (StreamMySQLTable shape): write a table with
+    // a BINARY column into Derby, read its column types back through JDBC
+    // metadata, apply them via SchemaInfer, and hex-surface the blob — the
+    // oracle recomputes the hex from the source parquet, so a mangled type
+    // map or byte round-trip fails
+    "q_jdbc_typed" -> ((s, dir) => {
+      System.setProperty("derby.stream.error.path", "/tmp/derby.log")
+      val url = "jdbc:derby:memory:graft_ty;create=true"
+      val drv = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+      val src = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), unhex(md5(col("c_name"))).as("c_sig"))
+      Sinks.jdbcWrite(src, url, "customer_ty", drv, mode = "overwrite")
+      val cols = Sources.jdbcColumns(url, "customer_ty", drv)
+      Sources.jdbcTyped(s, url, "customer_ty", cols,
+          partitionColumn = Some("c_custkey"), lowerBound = 0L, upperBound = 1500L,
+          numPartitions = 4, extra = drv)
+        .select("c_custkey", "c_name", "c_sig_hex")
+    }),
+
     // JDBC SQL-pushdown source: the WHERE/aggregate runs inside Derby and
     // only the result set reaches Spark (Civis SQLExecute/FindValue shape)
     "q_jdbc_query" -> ((s, dir) => {
@@ -2152,6 +2171,8 @@ object SparkEntry {
     "q_jdbc_query" ->
       """SELECT o_custkey, COUNT(*) AS n_big, MAX(o_totalprice) AS max_price
         |FROM orders WHERE o_totalprice > 200000.0 GROUP BY o_custkey""".stripMargin,
+    "q_jdbc_typed" ->
+      "SELECT c_custkey, c_name, upper(md5(c_name)) AS c_sig_hex FROM customer",
     "q_graph_roundtrip" ->
       """SELECT DISTINCT c_custkey AS src_id, l_partkey AS dst_id, 'ORDERED' AS rel
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -114,6 +114,53 @@ object Sinks {
         lit("'}) MERGE (a)-[:"), ident(col("rel")), lit("]->(b);")).as("cypher"))
   }
 
+  /** Minimal bolt-session surface [[cypherExecute]] drives — the three
+    * calls the reference makes on its neo4j session (`cypher_neo4j.py:24`:
+    * run inside a transaction, commit, close). Production adapts the real
+    * Neo4j java driver behind it; no driver ships in this environment, so
+    * specs inject a counting fake through the same seam.
+    */
+  trait CypherSession extends AutoCloseable {
+    def run(statement: String): Unit
+    def commit(): Unit
+  }
+
+  /** Cypher statement executor (reference `cypher_neo4j.py:8`
+    * `Neo4JExecutor`): drive a `cypher` statement column (from
+    * [[cypherStatements]]) through a pluggable session factory with
+    * `foreachPartition` — one session per PARTITION (the reference holds
+    * one per node thread), statements grouped into transactions of
+    * `batchSize` (the reference commits per message; batching is the
+    * documented knob it exposes but never uses). The factory must be
+    * serializable — it is constructed ON the executors, where the
+    * connections must live; a driver-side session would funnel the whole
+    * graph write through one machine. Returns the executed-statement
+    * count (accumulator, exact on success; like all foreach-style sinks,
+    * task RETRIES can replay statements — MERGE-style idempotent cypher
+    * is the contract, same as the reference's).
+    */
+  def cypherExecute(statements: DataFrame,
+                    sessionFactory: () => CypherSession,
+                    batchSize: Int = 100): Long = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val acc = statements.sparkSession.sparkContext.longAccumulator("cypher_statements")
+    statements.select(col("cypher").cast(org.apache.spark.sql.types.StringType))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val s = sessionFactory()
+        try {
+          var inBatch = 0
+          while (it.hasNext) {
+            s.run(it.next().getString(0))
+            acc.add(1)
+            inBatch += 1
+            if (inBatch >= batchSize) { s.commit(); inBatch = 0 }
+          }
+          if (inBatch > 0) s.commit()
+        } finally s.close()
+      }
+    acc.value
+  }
+
   /** Partition-layout parquet write: one directory per value of the
     * partition columns. THE storage practice for big corpora — a reader
     * filtering on the partition key scans only matching directories

@@ -105,6 +105,71 @@ object Sources {
         numPartitions, extra))
       .load()
 
+  /** Driver-side JDBC column introspection (reference `StreamMySQLTable`,
+    * node.py:1346: reads the table's schema from `information_schema`
+    * before streaming it). Returns (name, typeString) in ordinal order,
+    * the typeString in the MySQL-ish form [[graft.schema.SchemaInfer.mysqlType]]
+    * parses — "varchar(128)", "decimal(12,2)", "blob". Uses JDBC's own
+    * `DatabaseMetaData.getColumns` rather than raw `information_schema`
+    * SQL so the same call works on MySQL, Derby (the test stand-in), or
+    * any compliant driver; introspection is schema-sized and driver-side
+    * by nature. Unquoted identifiers upper-case in many databases, so a
+    * miss on the exact table name retries upper-cased.
+    */
+  def jdbcColumns(url: String, table: String,
+                  props: Map[String, String] = Map.empty): Seq[(String, String)] = {
+    props.get("driver").foreach(Class.forName(_))
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, p)
+    try {
+      val md = conn.getMetaData
+      def cols(t: String): Seq[(Int, String, String)] = {
+        val rs = md.getColumns(null, null, t, null)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+        while (rs.next()) {
+          val tn = rs.getString("TYPE_NAME").toLowerCase
+          val size = rs.getInt("COLUMN_SIZE")
+          val dec = rs.getInt("DECIMAL_DIGITS")
+          val ts = tn match {
+            case "varchar" | "char"    => s"$tn($size)"
+            case "decimal" | "numeric" => s"$tn($size,$dec)"
+            case other                 => other
+          }
+          buf += ((rs.getInt("ORDINAL_POSITION"), rs.getString("COLUMN_NAME"), ts))
+        }
+        buf.sortBy(_._1).toSeq
+      }
+      val found = { val e = cols(table); if (e.nonEmpty) e else cols(table.toUpperCase) }
+      require(found.nonEmpty, s"jdbcColumns: no columns found for table '$table'")
+      found.map { case (_, n, t) => (n, t) }
+    } finally conn.close()
+  }
+
+  /** Typed JDBC table read: apply an introspected (name, mysqlType) schema
+    * ([[jdbcColumns]] → [[graft.schema.SchemaInfer.mysqlSchema]]) as casts
+    * over the partitioned scan, and surface each binary column additionally
+    * hex-encoded as `<name>_hex`. The reference hex-casts blobs INSIDE its
+    * SQL (node.py:1375: its client chokes on raw bytes); Spark reads bytes
+    * natively, so the hex is a codegen projection with the same output and
+    * no per-database HEX() dialect.
+    */
+  def jdbcTyped(spark: SparkSession, url: String, table: String,
+                cols: Seq[(String, String)],
+                partitionColumn: Option[String] = None,
+                lowerBound: Long = 0L, upperBound: Long = 0L,
+                numPartitions: Int = 1,
+                extra: Map[String, String] = Map.empty): DataFrame = {
+    val schema = graft.schema.SchemaInfer.mysqlSchema(cols)
+    val raw = jdbcTable(spark, url, table, partitionColumn, lowerBound,
+      upperBound, numPartitions, extra)
+    val casts = schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
+    schema.fields.filter(_.dataType == org.apache.spark.sql.types.BinaryType)
+      .foldLeft(raw.select(casts.toSeq: _*)) { (d, f) =>
+        d.withColumn(s"${f.name}_hex", hex(col(f.name)))
+      }
+  }
+
   /** Push an arbitrary SQL query to the database and read the result
     * (reference `civis_nodes.py` CivisSQLExecute / FindValue: run SQL
     * remotely, stream the rows back). The query executes INSIDE the

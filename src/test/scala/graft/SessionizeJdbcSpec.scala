@@ -58,4 +58,32 @@ class SessionizeJdbcSpec extends SparkSpec {
     Sinks.jdbcWrite(nation, url, "nation_rt", drv, mode = "overwrite")
     assert(Sources.jdbcTable(spark, url, "nation_rt", extra = drv).count() == want.size)
   }
+
+  test("jdbcColumns introspects types; jdbcTyped applies them and hexes blobs") {
+    System.setProperty("derby.stream.error.path", "/tmp/derby.log")
+    val url = "jdbc:derby:memory:graft_ty_spec;create=true"
+    val drv = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val src = Seq((1L, "alice", 2.5), (2L, "bob", -1.0)).toDF("id", "name", "score")
+      .withColumn("sig", unhex(md5(col("name"))))
+    Sinks.jdbcWrite(src, url, "ty_tbl", drv, mode = "overwrite")
+    // introspection: ordinal order, MySQL-ish type strings SchemaInfer parses
+    val cols = Sources.jdbcColumns(url, "ty_tbl", drv)
+    assert(cols.map(_._1) == Seq("id", "name", "score", "sig"))
+    assert(cols.toMap.apply("id") == "bigint")
+    assert(cols.toMap.apply("score") == "double")
+    assert(cols.toMap.apply("sig") == "blob")
+    val schema = graft.schema.SchemaInfer.mysqlSchema(cols)
+    assert(schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(schema("sig").dataType == org.apache.spark.sql.types.BinaryType)
+    // typed read: casts applied, binary surfaced as <name>_hex
+    val back = Sources.jdbcTyped(spark, url, "ty_tbl", cols, extra = drv)
+    assert(back.schema("sig_hex").dataType == org.apache.spark.sql.types.StringType)
+    val got = back.select("id", "name", "score", "sig_hex")
+      .as[(Long, String, Double, String)].collect().toSet
+    val want = src.select(col("id"), col("name"), col("score"), upper(md5(col("name"))))
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(got == want)
+    // a missing table fails loudly, not with an empty schema
+    intercept[IllegalArgumentException] { Sources.jdbcColumns(url, "nope_tbl", drv) }
+  }
 }

@@ -109,6 +109,25 @@ class SourcesAnnSpec extends SparkSpec {
     assert(exK.getMessage.contains("non-identifier"))
   }
 
+  test("cypherExecute drives statements through per-partition sessions in batches") {
+    import scala.jdk.CollectionConverters._
+    import graft.SourcesAnnSpec.FakeBolt
+    FakeBolt.clear()
+    val edges = (1 to 10).map(i => (s"u$i", s"p$i", "BOUGHT"))
+      .toDF("src_id", "dst_id", "rel").repartition(2)
+    val stmts = graft.operators.Sinks.cypherStatements(edges, "User", "Part")
+    val n = graft.operators.Sinks.cypherExecute(stmts,
+      () => new FakeBolt(), batchSize = 3)
+    assert(n == 10L)
+    assert(FakeBolt.ran.size == 10)
+    assert(FakeBolt.ran.asScala.forall(_.startsWith("MERGE (a:User")))
+    // every partition's tail batch commits, and sessions always close:
+    // 2 partitions × (full batches + tail) — 5 rows per partition at
+    // batchSize 3 → 2 commits each
+    assert(FakeBolt.commits.get() == 4)
+    assert(FakeBolt.closes.get() == 2)
+  }
+
   test("csvWrite round-trips quoted text and typed columns exactly") {
     val base = java.nio.file.Files.createTempDirectory("graft_csvw").toString
     val df = Seq(
@@ -280,5 +299,22 @@ class SourcesAnnSpec extends SparkSpec {
     }.toSet
     assert(got.filter(_._3).map(_._1).toSet == expect)
     assert(expect.nonEmpty) // the bundles must actually produce dups
+  }
+}
+
+/** Counting fake bolt session for the cypherExecute spec — statics are
+  * shared across "executors" because local-mode tasks run in one JVM.
+  */
+object SourcesAnnSpec {
+  class FakeBolt extends graft.operators.Sinks.CypherSession with Serializable {
+    override def run(statement: String): Unit = FakeBolt.ran.add(statement)
+    override def commit(): Unit = FakeBolt.commits.incrementAndGet()
+    override def close(): Unit = FakeBolt.closes.incrementAndGet()
+  }
+  object FakeBolt {
+    val ran = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val commits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+    def clear(): Unit = { ran.clear(); commits.set(0); closes.set(0) }
   }
 }
