@@ -629,6 +629,58 @@ object SparkEntry {
         .toDF("user_id", "session_id", "session_start", "session_end", "n_events")
     }),
 
+    // streaming keep-best dedup: per-user best-value event via keyed state,
+    // drained as a changelog (update mode, per-batch dirs) and compacted to
+    // final states by max n_copies — which strictly increases per key, so
+    // the compaction is exact under ANY batch split (2 files × 1/trigger)
+    "q_stream_keepbest" -> ((s, dir) => withStreamShuffle(s) {
+      import s.implicits._
+      val ev = T(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("user_id").cast(StringType).as("key"),
+          col("event_id"), col("value"))
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_kb").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      ev.repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+          format = "parquet", schemaDdl = Some(ev.schema.toDDL), maxFilesPerTrigger = 1)
+        .as[(String, Long, Double)]
+      val best = graft.streaming.Streams.keepBestStream(stream)
+        .toDF("key", "keep_id", "keep_score", "n_copies")
+      val q = graft.streaming.Streams.toForeachBatch(best, ckpt,
+        availableNow = true, outputMode = "update") { (batch, id) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+      }
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/batch_*")
+        .groupBy("key")
+        .agg(max(struct(col("n_copies"), col("keep_score"), col("keep_id"))).as("__f"))
+        .select(col("key"), col("__f.keep_id").as("keep_id"),
+          col("__f.keep_score").as("keep_score"), col("__f.n_copies").as("n_copies"))
+    }),
+
+    // streaming repetition stats: per-document Gopher metrics computed as
+    // documents arrive (one in-memory pass per doc via keyed state, state
+    // dropped immediately); row-level per doc → any batch split appends
+    // the same total output; shares q_repetition's oracle shape
+    "q_stream_repetition" -> ((s, dir) => withStreamShuffle(s) {
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_rep").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      docs.repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+        format = "parquet", schemaDdl = Some(docs.schema.toDDL), maxFilesPerTrigger = 1)
+      val stats = graft.streaming.Streams.repetitionStatsStream(
+        stream, "doc_id", "text", n = 2)
+      val q = graft.streaming.Streams.toForeachBatch(stats, ckpt,
+        availableNow = true, outputMode = "append") { (batch, id) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+      }
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/batch_*")
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_distinct"),
+          col("dup_frac"), col("top_frac"))
+    }),
+
     // ---- JDBC write → partitioned read-back (A8 + D4, embedded Derby) ----
     // real database round-trip: overwrite-write nation into Derby, then read
     // it back through the 4-way partitioned JDBC scan; the oracle reads the
@@ -2149,6 +2201,25 @@ object SparkEntry {
     "q_multimodal" -> multimodalOracle,
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type, epoch_us(ts) AS ts_us FROM events",
+    "q_stream_keepbest" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS key, event_id, value
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT key, event_id, value,
+        |  ROW_NUMBER() OVER (PARTITION BY key ORDER BY value DESC, event_id DESC) AS rn,
+        |  COUNT(*) OVER (PARTITION BY key) AS n_copies FROM e)
+        |SELECT key, event_id AS keep_id, value AS keep_score, n_copies
+        |FROM r WHERE rn = 1""".stripMargin,
+    "q_stream_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |g AS (SELECT doc_id,
+         |      unnest(list_transform(range(0, len(tk) - 1),
+         |             i -> array_to_string(list_slice(tk, i + 1, i + 2), ' '))) AS gram
+         |      FROM toks WHERE len(tk) >= 2),
+         |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams, COUNT(*) AS n_distinct,
+         | CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_frac,
+         | CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac
+         |FROM c GROUP BY doc_id""".stripMargin,
     // the streaming interval join must reproduce the batch interval join
     "q_stream_join" ->
       """SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id AS user_id,

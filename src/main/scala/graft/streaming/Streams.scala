@@ -225,6 +225,92 @@ object Streams {
       }.toDF(keyCol, "session_start", "session_end", "n_events")
   }
 
+  /** Streaming exact keep-best dedup — the stateful twin of
+    * [[graft.dedup.Dedup.exactKeepBest]] (keep the highest-scoring copy
+    * per key, ties by id). State per key: (best_score, best_id,
+    * copies_seen); every micro-batch that touches a key emits its updated
+    * (key, keep_id, keep_score, n_copies) — a CHANGELOG under an append
+    * sink. `n_copies` strictly increases per emission, so the final
+    * answer is the max-`n_copies` row per key (compact after draining
+    * with `groupBy(key).agg(max(struct(n_copies, …)))`, or upsert from
+    * foreachBatch). The final state is batch-split independent: max and
+    * count are associative and commutative. Input: (key, id, score);
+    * null scores must be filtered upstream (a null has no rank).
+    */
+  def keepBestStream(rows: Dataset[(String, Long, Double)])
+      : Dataset[(String, Long, Double, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .mapGroupsWithState[(Double, Long, Long), (String, Long, Double, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, values: Iterator[(String, Long, Double)],
+         state: GroupState[(Double, Long, Long)]) =>
+          var (bestScore, bestId, n) =
+            state.getOption.getOrElse((Double.NegativeInfinity, Long.MinValue, 0L))
+          values.foreach { case (_, id, score) =>
+            n += 1
+            if (score > bestScore || (score == bestScore && id > bestId)) {
+              bestScore = score; bestId = id
+            }
+          }
+          state.update((bestScore, bestId, n))
+          (key, bestId, bestScore, n)
+      }
+  }
+
+  /** Exact per-document n-gram repetition stats on a stream — the
+    * streaming twin of [[graft.functions.Text.repetitionStats]] (same
+    * output row per document). The batch form chains two aggregations,
+    * which an unbounded append-mode stream cannot run; here each
+    * document's multiset of word n-grams is counted in ONE in-memory pass
+    * inside `flatMapGroupsWithState` and the stats emit as the document
+    * arrives. State is dropped immediately (a document is one row — the
+    * group exists only to reach the arbitrary-computation hook), so the
+    * store never grows. Documents with fewer than n tokens emit nothing,
+    * like the batch form. Ids must be unique across the stream — a doc id
+    * re-arriving in a LATER batch would re-compute alone rather than
+    * merge (same contract as [[graft.dedup.Dedup.minhashSignature]]).
+    *
+    * Tokenize/shingle mirror `Text.tokens`/`Text.shinglesOf` exactly
+    * (split on single spaces, drop empties, n consecutive tokens joined
+    * by one space) so results are bit-identical to the batch operator.
+    */
+  def repetitionStatsStream(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    docs.select(col(idCol).cast(LongType), col(textCol).cast(StringType))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Long, Double, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
+          state.remove()
+          val counts = scala.collection.mutable.HashMap.empty[String, Long]
+          var total = 0L
+          rows.foreach { case (_, text) =>
+            val toks = text.split(" ", -1).filter(_.nonEmpty)
+            if (toks.length >= n) {
+              toks.sliding(n).foreach { w =>
+                if (w.length == n) {
+                  counts.updateWith(w.mkString(" "))(c => Some(c.getOrElse(0L) + 1L))
+                  total += 1L
+                }
+              }
+            }
+          }
+          if (total == 0L) Iterator.empty
+          else {
+            val distinct = counts.size.toLong
+            val top = counts.valuesIterator.max
+            Iterator((id, total, distinct,
+              (total - distinct).toDouble / total.toDouble,
+              top.toDouble / total.toDouble))
+          }
+      }.toDF("id", "n_grams", "n_distinct", "dup_frac", "top_frac")
+  }
+
   /** Run a micro-batch sink function (reference batch markers → foreachBatch
     * boundaries; the batch id IS the marker). `interval` selects the trigger:
     * None = as-fast-as-possible, Some("10 seconds") = processing-time,

@@ -89,6 +89,59 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keepBestStream converges to exactKeepBest across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val out = Streams.keepBestStream(mem.toDS())
+      .toDF("key", "keep_id", "keep_score", "n_copies")
+    val q = out.writeStream.format("memory").queryName("kbest")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(("k1", 1L, 10.0), ("k1", 2L, 30.0), ("k2", 4L, 5.0))
+      q.processAllAvailable()
+      mem.addData(("k1", 3L, 30.0)) // score tie with id 2 → higher id wins
+      q.processAllAvailable()
+      // changelog compaction: the max-n_copies emission is the final state
+      val finals = spark.table("kbest")
+        .as[(String, Long, Double, Long)].collect()
+        .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._4) }
+      assert(finals("k1") == (("k1", 3L, 30.0, 3L)))
+      assert(finals("k2") == (("k2", 4L, 5.0, 1L)))
+      // agrees with the batch keep-best on the same rows
+      val batch = graft.dedup.Dedup.exactKeepBest(
+        Seq(("k1", 1L, 10.0), ("k1", 2L, 30.0), ("k2", 4L, 5.0), ("k1", 3L, 30.0))
+          .toDF("key", "id", "score"), "id", "key", "score")
+        .as[(String, Long, Double, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(finals.values.toSet == batch.values.toSet)
+    } finally q.stop()
+  }
+
+  test("repetitionStatsStream emits the batch repetitionStats row per document") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = Streams.repetitionStatsStream(mem.toDF.toDF("doc_id", "text"),
+      "doc_id", "text", n = 2)
+    val q = out.writeStream.format("memory").queryName("repstats")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, "a b a b a"), (2L, "x y"), (3L, "solo"))
+      q.processAllAvailable()
+      mem.addData((4L, "c c c c"))
+      q.processAllAvailable()
+      val got = spark.table("repstats")
+        .as[(Long, Long, Long, Double, Double)].collect().toSet
+      val want = graft.functions.Text.repetitionStats(
+        Seq((1L, "a b a b a"), (2L, "x y"), (3L, "solo"), (4L, "c c c c"))
+          .toDF("doc_id", "text"), "doc_id", "text", n = 2)
+        .as[(Long, Long, Long, Double, Double)].collect().toSet
+      assert(got == want)
+      assert(!got.exists(_._1 == 3L)) // < n tokens → no row, like batch
+      assert(got.exists { case (id, ng, nd, df2, tf) =>
+        id == 1L && ng == 4L && nd == 2L && df2 == 0.5 && tf == 0.5 })
+    } finally q.stop()
+  }
+
   test("runningState maintains per-key state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Double)]
