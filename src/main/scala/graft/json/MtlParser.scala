@@ -430,6 +430,16 @@ object MtlParser {
     coreferenceFromRows(run(df, program, queryName, functions), program,
       queryName, rounds)
 
+  /** Min-label propagation over the COREFER graph, a FIXED number of
+    * rounds (the q_coreference oracle replays exactly this round
+    * structure). Pointer jumping (label ← label(label), see
+    * [[graft.dedup.Dedup.dupClusters]]) was measured here and REJECTED:
+    * with rounds fixed at 2 it cannot cut rounds, only add one exchange
+    * per round, and q_kb_canonical read 3.34s plain vs 3.51s jumped at
+    * sf0.1 (noise-level — the cost is the document traversal, not the
+    * two label rounds). Route DEEP coreference graphs through
+    * dupClusters, whose jumped fixpoint loop is 7× faster on chains.
+    */
   private def coreferenceFromRows(rows: DataFrame, program: Program,
                                   queryName: String, rounds: Int): DataFrame = {
     val corefs = program.coreferences.filter(_.query == queryName)
