@@ -1055,6 +1055,17 @@ object SparkEntry {
     // (md5 mod 4096 — vocabulary-free, fixed model memory) scored against
     // a broadcast weight table; weights here are a deterministic synthetic
     // model (production ships trained ones), all-DECIMAL accumulation
+    // classifier TRAINING (batch perceptron, all-BIGINT): labels from the
+    // lang column, 3 fixed epochs over hashed features; the oracle unrolls
+    // the same integer epochs (zero cold start → epoch 1 updates on every
+    // doc), so any drift in margins/updates/bias hash-mismatches
+    "q_train_classifier" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val feats = graft.functions.Lm.hashedFeatures(docs, "doc_id", "text", 512)
+      val labels = docs.select(col("doc_id").as("id"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+      graft.functions.Lm.trainPerceptron(feats, labels, epochs = 3)
+    }),
     "q_quality_classifier" -> ((s, dir) => {
       val dim = 4096
       val weights = s.range(dim).select(col("id").as("bucket"),
@@ -1357,6 +1368,48 @@ object SparkEntry {
        |  array_to_string(string_split(trim(v.syms), '  '), ' ') AS syms_str,
        |  CAST(len(string_split(trim(v.syms), '  ')) AS BIGINT) AS n_syms
        |FROM tok JOIN v$bpeRounds v ON v.word = tok.token""".stripMargin
+
+  /** DuckDB replay of batch-perceptron training (q_train_classifier): a
+    * fixed-epoch unroll — each epoch derives integer margins under the
+    * previous weights (LEFT joins + COALESCE so zero-feature docs and
+    * never-updated buckets read 0), the misclassified set (y·(margin+bias)
+    * ≤ 0 — the zero cold start makes epoch 1 update on every doc), and the
+    * bucket/bias updates. All BIGINT, so the replay is bit-exact.
+    */
+  private val perceptronEpochs = 3
+  private val perceptronDim = 512
+  private val trainClassifierOracle: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |f AS MATERIALIZED (SELECT doc_id,
+         |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % $perceptronDim AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+         |yy AS MATERIALIZED (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y FROM documents),
+         |w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w FROM f),
+         |b0 AS (SELECT CAST(0 AS BIGINT) AS b)""".stripMargin)
+    for (i <- 1 to perceptronEpochs) {
+      sb.append(
+        s""",
+           |m$i AS MATERIALIZED (SELECT doc_id, SUM(tf * COALESCE(w, 0)) AS m
+           |     FROM f LEFT JOIN w${i - 1} USING (bucket) GROUP BY doc_id),
+           |mis$i AS MATERIALIZED (SELECT yy.doc_id, yy.y FROM yy
+           |     LEFT JOIN m$i USING (doc_id)
+           |     WHERE y * (COALESCE(m, 0) + (SELECT b FROM b${i - 1})) <= 0),
+           |u$i AS MATERIALIZED (SELECT bucket, CAST(SUM(y * tf) AS BIGINT) AS du
+           |     FROM f JOIN mis$i USING (doc_id) GROUP BY bucket),
+           |w$i AS MATERIALIZED (SELECT bucket, CAST(w + COALESCE(du, 0) AS BIGINT) AS w
+           |     FROM w${i - 1} LEFT JOIN u$i USING (bucket)),
+           |b$i AS (SELECT CAST((SELECT b FROM b${i - 1}) +
+           |     COALESCE((SELECT CAST(SUM(y) AS BIGINT) FROM mis$i), 0) AS BIGINT) AS b)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT bucket, w AS weight FROM w$perceptronEpochs
+         |UNION ALL SELECT CAST(-1 AS BIGINT) AS bucket, b AS weight FROM b$perceptronEpochs""".stripMargin)
+    sb.toString
+  }
 
   /** DuckDB mirror of minhash(16) → 4-band LSH buckets (2..256) → in-bucket
     * pairs. Same md5 band keys; same maxBucket cap as q_lsh_pairs.
@@ -2036,6 +2089,7 @@ object SparkEntry {
          |      FROM tf JOIN q USING (tok) GROUP BY doc_id)
          |SELECT doc_id, n_tokens,
          | CAST(sx AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS xent FROM s""".stripMargin,
+    "q_train_classifier" -> trainClassifierOracle,
     "q_quality_classifier" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |f AS (SELECT doc_id,

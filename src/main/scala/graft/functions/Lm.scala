@@ -121,6 +121,72 @@ object Lm {
       .groupBy("id", "bucket").agg(count(lit(1)).as("tf"))
   }
 
+  /** Batch-perceptron TRAINING of a linear quality classifier over hashed
+    * features — the training side of [[linearScore]] (G36 completion: a
+    * pretraining pipeline bootstraps its quality scorer from a labeled
+    * seed set, then ships the weights to the corpus-wide inference pass).
+    *
+    * ALL-INTEGER training (the BPE/PageRank determinism pattern): weights,
+    * margins, and updates stay BIGINT, so every epoch is exact,
+    * order-independent, and replayable by an external engine — no float
+    * sigmoid, no learning-rate drift (perceptron updates are ±tf). Per
+    * EPOCH, one job over the feature table: margins from a broadcast join
+    * with the dim-sized weight map, misclassified docs (y·(margin+bias)
+    * ≤ 0 — the zero-margin cold start counts as misclassified, so epoch 1
+    * updates on every doc) contribute y·tf to their buckets and y to the
+    * bias (rides the same aggregate as bucket −1). Weight updates collect
+    * driver-side (dim-sized, the k-means-centroid pattern). Epochs are a
+    * fixed count — deterministic job count; non-separable data never
+    * converges anyway — with an early exit when an epoch misclassifies
+    * nothing (remaining epochs would be no-ops, so the fixed-epoch oracle
+    * replay is unaffected).
+    *
+    * Input: `feats` = (id, bucket, tf) from [[hashedFeatures]] (feats is
+    * re-read each epoch — checkpointed here once); `labels` = (id, y)
+    * with y ∈ {+1, −1}. Output: (bucket, weight) for every distinct
+    * bucket in `feats`, plus bucket −1 carrying the bias — feed to
+    * [[linearScore]] after casting to its DECIMAL weight contract.
+    */
+  def trainPerceptron(feats: DataFrame, labels: DataFrame,
+                      epochs: Int): DataFrame = {
+    require(epochs > 0, s"epochs must be positive, got $epochs")
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val f = feats.select(col("id"), col("bucket").cast(LongType),
+      col("tf").cast(LongType)).localCheckpoint(true)
+    val y = labels.select(col("id"), col("y").cast(LongType))
+      .localCheckpoint(true)
+    val weights = scala.collection.mutable.HashMap[Long, Long](
+      f.select("bucket").distinct().as[Long].collect().map(_ -> 0L): _*)
+    var bias = 0L
+    var epoch = 0
+    var live = true
+    while (epoch < epochs && live) {
+      val wDf = weights.toSeq.toDF("bucket", "w")
+      val margins = f.join(broadcast(wDf), Seq("bucket"), "left")
+        .groupBy("id").agg(sum(col("tf") * coalesce(col("w"), lit(0L))).as("__m"))
+      val mis = y.join(margins, Seq("id"), "left")
+        .filter(col("y") * (coalesce(col("__m"), lit(0L)) + lit(bias)) <= 0)
+        .select("id", "y")
+      // bucket updates and the bias update (sentinel bucket −1) ride ONE
+      // aggregate → one job per epoch; `mis` appears in both branches of
+      // the union, which re-evaluates its (checkpoint-rooted) subplan —
+      // cheaper than materializing mis per epoch
+      val upd = f.join(mis, "id")
+        .select(col("bucket"), (col("y") * col("tf")).as("d"))
+        .unionByName(mis.select(lit(-1L).as("bucket"), col("y").as("d")))
+        .groupBy("bucket").agg(sum(col("d")).as("du"))
+        .as[(Long, Long)].collect()
+      if (upd.isEmpty) live = false
+      else upd.foreach {
+        case (-1L, d) => bias += d
+        case (b, d)   => weights(b) = weights(b) + d
+      }
+      epoch += 1
+    }
+    (weights.toSeq :+ (-1L, bias)).toDF("bucket", "weight")
+  }
+
   /** Linear-model inference over hashed features: score(doc) = bias +
     * Σ_buckets tf · weight(bucket). `weights` is (bucket, weight
     * DECIMAL(18,6)) — model-sized (≤ dim rows), so it BROADCASTS onto the

@@ -59,6 +59,44 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("law: asOfJoinBucketed equals asOfJoin for any data and bucket width") {
+    // random keys/timestamps/widths: the bucketed carry-in path must be
+    // indistinguishable from the single-window form, including left rows
+    // before any right row and right rows exactly on bucket boundaries
+    val rowGen = Gen.listOfN(12,
+      Gen.zip(Gen.oneOf("k1", "k2", "k3"), Gen.chooseNum(0L, 40L)))
+    check(Prop.forAll(rowGen, rowGen, Gen.chooseNum(1L, 25L)) { (ls, rsRaw, width) =>
+      // right rows unique per (key, ts) — the operator contract
+      val rs = rsRaw.distinct.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toDouble) }
+      val l = ls.zipWithIndex.map { case ((k, t), i) => (k, t, s"tag$i") }
+        .toDF("k", "l_ts", "tag")
+      val r = rs.toDF("k", "r_ts", "v")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "l_ts", "tag", "r_ts", "v")
+          .as[(String, Long, String, Option[Long], Option[Double])].collect().toSet
+      canon(Ops.asOfJoin(l, r, Seq("k"), "l_ts", "r_ts", Seq("v"))) ==
+        canon(Ops.asOfJoinBucketed(l, r, Seq("k"), "l_ts", "r_ts", Seq("v"), width))
+    })
+  }
+
+  test("law: dupClusters pointer-jumped labels equal the plain fixpoint") {
+    // random edge sets: path compression must not change the component
+    // minimum any member maps to
+    val edgeGen = Gen.listOfN(10,
+      Gen.zip(Gen.chooseNum(0, 15), Gen.chooseNum(0, 15)))
+      .map(_.filter { case (a, b) => a != b })
+      .suchThat(_.nonEmpty)
+    check(Prop.forAll(edgeGen) { es =>
+      val pairs = es.map { case (a, b) => (f"n$a%02d", f"n$b%02d") }
+        .toDF("id_a", "id_b")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.as[(String, String)].collect().toSet
+      canon(Dedup.dupClusters(pairs, maxRounds = 64, pointerJump = true)) ==
+        canon(Dedup.dupClusters(pairs, maxRounds = 64, pointerJump = false))
+    })
+  }
+
   test("law: fdot equals a plain scala double fold") {
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-5.0f, 5.0f))
     check(Prop.forAll(vecGen, vecGen) { (a, b) =>

@@ -357,6 +357,32 @@ class TextDedupSpec extends SparkSpec {
     assert(scored == Seq((1L, new java.math.BigDecimal("1.250000"), 3L)))
   }
 
+  test("Lm.trainPerceptron learns separable data with integer-exact updates") {
+    val dim = 64
+    val docs = Seq((1L, "aa aa"), (2L, "bb")).toDF("doc_id", "text")
+    val feats = graft.functions.Lm.hashedFeatures(docs, "doc_id", "text", dim)
+    val labels = Seq((1L, 1L), (2L, -1L)).toDF("id", "y")
+    val w = graft.functions.Lm.trainPerceptron(feats, labels, epochs = 5)
+      .as[(Long, Long)].collect().toMap
+    val Seq(ha, hb) = Seq("aa", "bb").map(t =>
+      Seq(t).toDF("t").select((Text.md5Hash64(col("t")) % dim))
+        .as[Long].head())
+    assert(ha != hb) // distinct buckets make the expectation hand-computable
+    // epoch 1 (zero cold start): every doc misclassified → w(aa) += y·tf = +2,
+    // w(bb) += −1, bias += (+1 −1) = 0. epoch 2: doc1 margin +4, doc2 −1,
+    // both correct → early exit; weights are the epoch-1 state exactly.
+    assert(w(ha) == 2L && w(hb) == -1L && w(-1L) == 0L)
+    assert(w.keys.count(_ >= 0) == 2) // one row per distinct feats bucket
+    // the trained weights separate the training set through linearScore
+    val wDec = w.toSeq.filter(_._1 >= 0).toDF("bucket", "wi")
+      .select(col("bucket"),
+        col("wi").cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("weight"))
+    val scores = graft.functions.Lm.linearScore(feats, wDec,
+        java.math.BigDecimal.valueOf(w(-1L)))
+      .select("id", "score").as[(Long, java.math.BigDecimal)].collect().toMap
+    assert(scores(1L).signum > 0 && scores(2L).signum < 0)
+  }
+
   test("Bpe.train learns the classic merges on a hand-checkable corpus") {
     // "aaab" x2 + "ab": pairs of round 1: (a,a) n=4, (a,b) n=3 → merge aa.
     // round 2: segmentations "aa a b"(x2), "a b" → pairs (aa,a)=2, (a,b)=3
