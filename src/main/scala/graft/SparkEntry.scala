@@ -998,6 +998,30 @@ object SparkEntry {
           k = 5, minHits = 1)
         .select(col("id").as("doc_id"), col("n_hits"), col("contaminated"))
     }),
+    // STREAMING decontamination: the hygiene gate on a live ingest — the
+    // bench shingle set is static (broadcasts inside every micro-batch),
+    // documents arrive as a file stream, and each micro-batch runs the
+    // batch decontaminate (per-doc hit counts depend only on the doc and
+    // the static bench set, so any batch split appends the same rows);
+    // shares q_decontaminate's oracle
+    "q_stream_decontaminate" -> ((s, dir) => withStreamShuffle(s) {
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_dc").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      docs.repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+        format = "parquet", schemaDdl = Some(docs.schema.toDDL), maxFilesPerTrigger = 1)
+      val q = graft.streaming.Streams.toForeachBatch(stream, ckpt,
+        availableNow = true, outputMode = "append") { (batch, id) =>
+        Dedup.decontaminate(batch, "doc_id", "text", bench, "text",
+            k = 5, minHits = 1)
+          .select(col("id").as("doc_id"), col("n_hits"), col("contaminated"))
+          .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+      }
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/batch_*")
+    }),
     // Gopher-style repetition metrics: duplicate / most-frequent bigram
     // fractions per document (the boilerplate-and-spam filter signal)
     "q_repetition" -> ((s, dir) =>
@@ -1010,6 +1034,13 @@ object SparkEntry {
       Dedup.spanDedup(T(s, dir, "documents"), "doc_id", "text", window = 32)
         .select(col("id").as("doc_id"), col("n_chunks"), col("n_dup_chunks"),
           col("dup_frac"))),
+    // span dedup as a TRANSFORM: duplicated 32-token windows removed and
+    // the cleaned text reassembled in chunk order (the C4 "drop repeated
+    // spans" rewrite); oracle rebuilds the kept-chunk join in DuckDB
+    "q_span_dedup_clean" -> ((s, dir) =>
+      Dedup.spanDedupClean(T(s, dir, "documents"), "doc_id", "text", window = 32)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          col("clean_text"))),
     // URL blocklist filter: block two domains incl. their subdomains
     // (cdn.srcN.com must match a srcN.com blocklist entry via the suffix
     // chain — plain equality would miss it)
@@ -1022,6 +1053,21 @@ object SparkEntry {
       val bl = Seq("src3.com", "src7.com").toDF("domain")
       Ops.domainBlocklistFilter(docs, "doc_id", "url", bl, "domain")
         .select("doc_id", "url")
+    }),
+    // URL canonicalization: messy synthetic URLs (mixed-case scheme/host,
+    // default ports, tracking params, fragments, trailing slashes) →
+    // canonical form; the oracle replays the same RE2 regex chain
+    "q_canonical_url" -> ((s, dir) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
+        when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("www.")),
+        col("source"), lit(".COM"),
+        when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")),
+        lit("/Path/"), col("doc_id").cast(StringType),
+        when(col("doc_id") % 4 === 0, lit("/?utm_source=x&utm_medium=y"))
+          .otherwise(lit("?a=1&gclid=z#frag")))
+      T(s, dir, "documents").select(col("doc_id"), url.as("url"),
+        graft.functions.Text.canonicalUrl(url).as("canon"))
     }),
     // per-document TF-IDF keywords (top-3, decimal-quantized ln scoring)
     "q_tfidf" -> ((s, dir) =>
@@ -2040,6 +2086,45 @@ object SparkEntry {
          | CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
          |   CAST(COUNT(*) AS DOUBLE) AS dup_frac
          |FROM o GROUP BY doc_id""".stripMargin,
+    "q_span_dedup_clean" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |ch AS (SELECT doc_id, tk,
+         |       unnest(range(0, ((len(tk) - 1) // 32) + 1)) AS chunk_id
+         |       FROM toks WHERE len(tk) > 0),
+         |h AS (SELECT doc_id, chunk_id,
+         |      array_to_string(list_slice(tk, chunk_id * 32 + 1, chunk_id * 32 + 32), ' ') AS t,
+         |      md5(array_to_string(list_slice(tk, chunk_id * 32 + 1, chunk_id * 32 + 32), ' ')) AS h
+         |      FROM ch),
+         |o AS (SELECT doc_id, chunk_id, t,
+         |      row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_id) AS rn
+         |      FROM h)
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         | CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         | COALESCE(string_agg(t, ' ' ORDER BY chunk_id) FILTER (WHERE rn = 1), '') AS clean_text
+         |FROM o GROUP BY doc_id""".stripMargin,
+    "q_canonical_url" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+        |  || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END)
+        |  || source || '.COM'
+        |  || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+        |  || '/Path/' || CAST(doc_id AS VARCHAR)
+        |  || (CASE WHEN doc_id % 4 = 0 THEN '/?utm_source=x&utm_medium=y'
+        |      ELSE '?a=1&gclid=z#frag' END) AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '', 'g') AS x FROM u),
+        |s2 AS (SELECT doc_id, url, regexp_replace(x,
+        |  '([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*', '\1', 'g') AS x FROM s1),
+        |s3 AS (SELECT doc_id, url, regexp_replace(x, '\?&+', '?', 'g') AS x FROM s2),
+        |s4 AS (SELECT doc_id, url, regexp_replace(x, '&&+', '&', 'g') AS x FROM s3),
+        |s5 AS (SELECT doc_id, url, regexp_replace(x, '[?&]+$', '', 'g') AS x FROM s4),
+        |s6 AS (SELECT doc_id, url,
+        |  lower(regexp_extract(x, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) AS head,
+        |  regexp_replace(x, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS tail FROM s5),
+        |s7 AS (SELECT doc_id, url,
+        |  regexp_replace(regexp_replace(head, '^(http://[^/?#]*):80$', '\1'),
+        |                 '^(https://[^/?#]*):443$', '\1') || tail AS x FROM s6)
+        |SELECT doc_id, url, regexp_replace(x, '/$', '') AS canon FROM s7""".stripMargin,
     "q_domain_filter" ->
       """WITH u AS (SELECT doc_id,
         |     'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'cdn.' ELSE 'www.' END)
@@ -2142,6 +2227,18 @@ object SparkEntry {
          |       (d.id IS NOT NULL) AS is_dup
          |FROM asg a LEFT JOIN dup d ON d.id = a.vec_id""".stripMargin,
     "q_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |csh AS (SELECT DISTINCT doc_id,
+         |        unnest(list_transform(range(0, len(tk) - 4),
+         |               i -> array_to_string(list_slice(tk, i + 1, i + 5), ' '))) AS shingle
+         |        FROM toks WHERE len(tk) >= 5),
+         |bsh AS (SELECT DISTINCT shingle FROM csh WHERE doc_id % 97 = 0),
+         |hits AS (SELECT c.doc_id, COUNT(*) AS n_hits
+         |         FROM csh c JOIN bsh USING (shingle) GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+         |       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    "q_stream_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |csh AS (SELECT DISTINCT doc_id,
          |        unnest(list_transform(range(0, len(tk) - 4),

@@ -560,6 +560,42 @@ object Dedup {
         col("n_dup_chunks").cast(DoubleType) / col("n_chunks").cast(DoubleType))
   }
 
+  /** The TRANSFORM companion to [[spanDedup]]: remove every duplicated
+    * span and hand back the cleaned corpus — the step a pipeline actually
+    * ships, where spanDedup only reports fractions. Same ownership rule
+    * (first (doc_id, chunk_id) corpus-wide keeps each hash; later copies
+    * drop), then each document's SURVIVING chunks reassemble in chunk
+    * order. `clean_text` is the space-joined surviving token windows —
+    * whitespace normalizes to single spaces, the same canonical form
+    * `Text.tokens` reads, so downstream ops see identical token streams.
+    * A fully-duplicated document survives as a row with empty clean_text
+    * (droppable by filter) rather than vanishing silently.
+    *
+    * Scale: identical movement to [[spanDedup]] plus the chunk TEXT riding
+    * the hash shuffle (the rewrite needs the words back — unavoidable for
+    * a transform; the stats-only form still never ships text).
+    *
+    * Output: (id, n_chunks, n_dup_chunks, clean_text).
+    */
+  def spanDedupClean(df: DataFrame, idCol: String, textCol: String,
+                     window: Int = 64): DataFrame = {
+    val chunks = Text.chunk(df, idCol, textCol, window, window)
+      .select(col("id"), col("chunk_id"), col("chunk_text"),
+        md5(col("chunk_text")).as("__h"))
+    val w = Window.partitionBy("__h")
+    val owner = chunks.withColumn("__first",
+      min(struct(col("id"), col("chunk_id"))).over(w))
+    owner.withColumn("__keep",
+        col("__first.id") === col("id") && col("__first.chunk_id") === col("chunk_id"))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dup_chunks"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("chunk_id"), col("chunk_text"))))),
+          x => x.getField("chunk_text")), " ").as("clean_text"))
+  }
+
   /** Connected components over a near-dup pair list: every document in a
     * transitively-connected group maps to the group's MINIMUM id (the
     * canonical representative). This is the step after any pair generator

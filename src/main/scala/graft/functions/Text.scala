@@ -174,6 +174,39 @@ object Text {
       regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1),
       "^www\\.", "")
 
+  /** URL canonicalization — the normalize-before-dedup step of a web
+    * corpus (the same page arrives as `HTTP://Site.com/a/?utm_source=x#top`
+    * and `http://site.com/a`; exact dedup by raw URL misses it). A fixed
+    * regex-chain projection, RE2/Java-shared syntax (no lookarounds — RE2
+    * has none), so the DuckDB mirror is identical:
+    *
+    *  1. strip the `#fragment`;
+    *  2. strip tracking params (`utm_*`, `gclid`, `fbclid`) wherever they
+    *     sit in the query string, then collapse the separators they leave
+    *     behind (`?&`→`?`, `&&`→`&`, trailing `?`/`&` dropped);
+    *  3. lowercase the scheme and authority (path/query stay
+    *     case-sensitive per RFC 3986) and drop a default port
+    *     (`:80` on http, `:443` on https);
+    *  4. drop a single trailing `/`.
+    *
+    * Feed the result to [[graft.dedup.Dedup.exact]] for URL-keyed dedup.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noTrack = regexp_replace(noFrag,
+      "([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*", "$1")
+    val sep1 = regexp_replace(noTrack, "\\?&+", "?")
+    val sep2 = regexp_replace(sep1, "&&+", "&")
+    val sep3 = regexp_replace(sep2, "[?&]+$", "")
+    val authority = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+    val head = lower(regexp_extract(sep3, authority, 0))
+    val tail = regexp_replace(sep3, authority, "")
+    val headNoPort = regexp_replace(
+      regexp_replace(head, "^(http://[^/?#]*):80$", "$1"),
+      "^(https://[^/?#]*):443$", "$1")
+    regexp_replace(concat(headNoPort, tail), "/$", "")
+  }
+
   /** Overlapping token-window chunking — the context-window prep step for
     * training sequences and RAG corpora. Each document with n tokens yields
     * `floor((n-1)/stride) + 1` chunks: chunk i covers tokens

@@ -32,6 +32,20 @@ class TextDedupSpec extends SparkSpec {
     assert(fps(0) == fps(1))
   }
 
+  test("canonicalUrl strips fragments, tracking params, default ports, case") {
+    val cases = Seq(
+      ("HTTP://Ex.COM:80/A/?utm_source=x&b=2#frag", "http://ex.com/A/?b=2"),
+      ("https://Site.com:443/", "https://site.com"),
+      ("http://x.com/p/", "http://x.com/p"),
+      ("http://x.com/?utm_a=1&utm_b=2", "http://x.com"),
+      ("http://x.com/q?a=1&gclid=zz&b=2", "http://x.com/q?a=1&b=2"),
+      ("https://x.com:8443/keep:443", "https://x.com:8443/keep:443"),
+      ("not a url/", "not a url"))
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.functions.Text.canonicalUrl(col("url"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
   test("normalize collapses case, punctuation, and whitespace variants") {
     val rows = Seq("Hello,  World!", "hello world", "HELLO   world.")
       .toDF("text").select(graft.functions.Text.normalize(col("text"))).as[String].collect()
@@ -285,6 +299,27 @@ class TextDedupSpec extends SparkSpec {
     assert(got(1L) == ((1L, 2L, 0L, 0.0)))        // first owner of "a b"
     assert(got(2L) == ((2L, 2L, 1L, 0.5)))        // "a b" already owned
     assert(got(3L) == ((3L, 2L, 2L, 1.0)))        // both chunks are copies
+  }
+
+  test("spanDedupClean rewrites documents with duplicated spans removed") {
+    // same fixture as spanDedup: doc 1 owns [a b] and [c d]; doc 2 loses
+    // its [a b] but keeps [x y]; doc 3 is entirely duplicate spans
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "a b a b"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDedupClean(df, "doc_id", "text", window = 2)
+      .select("id", "n_chunks", "n_dup_chunks", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 0L, "a b c d")))
+    assert(got(2L) == ((2L, 2L, 1L, "x y")))
+    // a fully-duplicated doc survives as an EMPTY row, not a silent drop
+    assert(got(3L) == ((3L, 2L, 2L, "")))
+    // surviving chunks reassemble in chunk order, not hash/collect order
+    val many = Seq((1L, Seq.tabulate(8)(i => s"t$i t$i'").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ct = Dedup.spanDedupClean(many, "doc_id", "text", window = 2)
+      .select("clean_text").as[String].head()
+    assert(ct == Seq.tabulate(8)(i => s"t$i t$i'").mkString(" "))
   }
 
   test("dupClusters fails loudly when the round budget cuts off convergence") {
