@@ -1091,6 +1091,11 @@ object SparkEntry {
     "q_lm_xent" -> ((s, dir) =>
       graft.functions.Lm.unigramCrossEntropy(T(s, dir, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_tokens"), col("xent"))),
+    // bigram perplexity: order-sensitive fluency signal (a shuffled bag of
+    // the same words scores the same under the unigram LM, not this one)
+    "q_lm_xent_bigram" -> ((s, dir) =>
+      graft.functions.Lm.bigramCrossEntropy(T(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("xent"))),
     // DSIR data selection: log importance weight toward the en subcorpus
     "q_dsir" -> ((s, dir) =>
       graft.functions.Lm.importanceWeights(T(s, dir, "documents"), "doc_id", "text",
@@ -1173,6 +1178,23 @@ object SparkEntry {
         k = 3, tau = 0.5)
       Dedup.dupClusters(pairs)
         .select(col("member").as("doc_id"), col("canonical"))
+    }),
+    // near-dup FLAGSHIP: the full scale path in one query — zero-shuffle
+    // minhash signatures → banded LSH candidates (guarded buckets) →
+    // pointer-jumped connected components → keep only each cluster's
+    // canonical doc (non-members keep themselves). The oracle recomputes
+    // the identical pairs and closes them with a recursive CTE.
+    "q_neardup_pipeline" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val sig = Dedup.minhashSignature(docs, "doc_id", "text", 16)
+      val pairs = Dedup.lshPairs(sig, bands = 4, rowsPerBand = 4, maxBucket = 256)
+      val clusters = Dedup.dupClusters(pairs)
+        .withColumnRenamed("member", "doc_id")
+      // no broadcast hint: near-dup membership can be corpus-scale in a
+      // crawl (AQE broadcasts when it measures small)
+      docs.join(clusters, Seq("doc_id"), "left")
+        .filter(col("canonical").isNull || col("canonical") === col("doc_id"))
+        .select(col("doc_id"), col("lang"))
     }),
     "q_minhash" -> ((s, dir) => {
       val docs = T(s, dir, "documents").filter(size(Text.tokens(col("text"))) > 0)
@@ -2174,6 +2196,26 @@ object SparkEntry {
          |      FROM tf JOIN q USING (tok) GROUP BY doc_id)
          |SELECT doc_id, n_tokens,
          | CAST(sx AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS xent FROM s""".stripMargin,
+    "q_lm_xent_bigram" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |v AS (SELECT COUNT(DISTINCT tok) AS v
+         |      FROM (SELECT unnest(tk) AS tok FROM toks)),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 1),
+         |       i -> {'w1': tk[i + 1], 'w2': tk[i + 2]})) AS b
+         |       FROM toks WHERE len(tk) >= 2),
+         |dtf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2, COUNT(*) AS tf
+         |        FROM bg GROUP BY 1, 2, 3),
+         |big AS (SELECT w1, w2, SUM(tf) AS c12 FROM dtf GROUP BY 1, 2),
+         |ctx AS (SELECT w1, SUM(c12) AS c1 FROM big GROUP BY 1),
+         |q AS (SELECT w1, w2,
+         |      CAST(-ln(CAST(c12 + 1 AS DOUBLE) /
+         |               CAST(c1 + (SELECT v FROM v) AS DOUBLE)) AS DECIMAL(18,6)) AS xq
+         |      FROM big JOIN ctx USING (w1)),
+         |s AS (SELECT doc_id, CAST(SUM(xq * tf) AS DECIMAL(18,6)) AS sx,
+         |      CAST(SUM(tf) AS BIGINT) AS n_bigrams
+         |      FROM dtf JOIN q USING (w1, w2) GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         | CAST(sx AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS xent FROM s""".stripMargin,
     "q_train_classifier" -> trainClassifierOracle,
     "q_quality_classifier" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
@@ -2262,6 +2304,19 @@ object SparkEntry {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical
          |FROM reach GROUP BY src""".stripMargin,
+    "q_neardup_pipeline" ->
+      s"""WITH RECURSIVE lp AS (SELECT id_a, id_b FROM (
+         |$lshPairsOracle) q),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM lp
+         |          UNION SELECT id_b, id_a FROM lp),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |canon AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical
+         |          FROM reach GROUP BY src)
+         |SELECT d.doc_id, d.lang FROM documents d LEFT JOIN canon c USING (doc_id)
+         |WHERE c.canonical IS NULL OR c.canonical = d.doc_id""".stripMargin,
     "q_minhash" ->
       s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents)
          |SELECT doc_id, MIN(md5('0:' || tok)) AS h0, MIN(md5('1:' || tok)) AS h1,

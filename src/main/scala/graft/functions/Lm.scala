@@ -67,6 +67,51 @@ object Lm {
          col("n_tokens").cast(DoubleType)).as("xent"))
   }
 
+  /** Per-document cross-entropy under an add-one-smoothed BIGRAM LM
+    * trained on the corpus itself — the sharper CCNet-style perplexity
+    * filter (the unigram form is word-order-blind: a document and its
+    * shuffled-bag twin score identically; local incoherence only shows up
+    * conditioned on the preceding token). p(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V)
+    * with c(w1·) the bigram-PREFIX count (Σ_w2 c(w1,w2)) and V the corpus
+    * unigram vocabulary. Documents with fewer than 2 tokens are absent.
+    *
+    * Scale: the tokenized corpus persists once; per-doc bigram counts are
+    * one partial-agg shuffle, the LM tables derive from THOSE counts
+    * (vocab²-bounded, corpus-sublinear in practice) and join back without
+    * a forced broadcast (a web-scale bigram table outgrows the driver —
+    * AQE broadcasts when it measures small). Same DECIMAL(18,6) per-token
+    * quantization + single-double-division tail as [[unigramCrossEntropy]]
+    * (1-ulp-proof across engines).
+    *
+    * Output: (id, n_bigrams, xent).
+    */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dtf = base
+      .select(col("id"), col("__tk"), posexplode(slice(col("__tk"), lit(1),
+        greatest(size(col("__tk")) - 1, lit(0)))))
+      .select(col("id"), col("col").as("w1"),
+        expr("element_at(__tk, pos + 2)").as("w2"))
+      .groupBy("id", "w1", "w2").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val big = dtf.groupBy("w1", "w2").agg(sum(col("tf")).as("c12"))
+    val ctx = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val v = base.select(explode(col("__tk")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    val q = big.join(ctx, "w1").crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        negate(log((col("c12") + lit(1)).cast(DoubleType) /
+                   (col("c1") + col("v")).cast(DoubleType)))
+          .cast(DecimalType(18, 6)).as("__xq"))
+    dtf.join(q, Seq("w1", "w2"))
+      .groupBy("id")
+      .agg(sum(col("__xq") * col("tf")).as("__sx"), sum(col("tf")).as("n_bigrams"))
+      .select(col("id"), col("n_bigrams"),
+        (col("__sx").cast(DecimalType(18, 6)).cast(DoubleType) /
+         col("n_bigrams").cast(DoubleType)).as("xent"))
+  }
+
   /** Per-document DSIR log importance weight: sum over token occurrences
     * of ln(p_target(t) / p_source(t)), both unigram LMs add-one smoothed
     * over the SHARED vocabulary (V = distinct tokens in the whole corpus,

@@ -359,6 +359,27 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1)._2 == 1L && math.abs(out(1)._3 - exp2) < 1e-9)
   }
 
+  test("Lm.bigramCrossEntropy scores a hand-computed corpus, order-sensitive") {
+    // corpus: "a b a b" + "b a" + "solo". bigrams: doc1 = (a,b)×2, (b,a);
+    // doc2 = (b,a). c12: (a,b)=2, (b,a)=2. contexts: c(a·)=2, c(b·)=2.
+    // V=3 distinct tokens (a, b, AND doc 3's "solo" — vocabulary counts
+    // every corpus token even when the doc contributes no bigrams).
+    // p(b|a) = (2+1)/(2+3) = 3/5; p(a|b) = 3/5.
+    val docs = Seq((1L, "a b a b"), (2L, "b a"), (3L, "solo")).toDF("doc_id", "text")
+    val out = graft.functions.Lm.bigramCrossEntropy(docs, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Double)].collect()
+    def q(p: Double) = BigDecimal(-math.log(p)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // single-token docs have no bigrams → absent, like the batch contract
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out(0)._2 == 3L && math.abs(out(0)._3 - q(0.6).toDouble) < 1e-9)
+    assert(out(1)._2 == 1L && math.abs(out(1)._3 - q(0.6).toDouble) < 1e-9)
+    // order sensitivity: same bag of words, different order → different xent
+    val pair = Seq((1L, "a a b b"), (2L, "a b a b")).toDF("doc_id", "text")
+    val xs = graft.functions.Lm.bigramCrossEntropy(pair, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Double)].collect().map(_._3)
+    assert(math.abs(xs(0) - xs(1)) > 1e-9)
+  }
+
   test("Lm.importanceWeights favors target-like documents") {
     // target = docs containing mostly "x"; source adds "y"-heavy docs
     val docs = Seq((1L, "x x x", true), (2L, "x x y", true),
