@@ -998,6 +998,17 @@ object SparkEntry {
           k = 5, minHits = 1)
         .select(col("id").as("doc_id"), col("n_hits"), col("contaminated"))
     }),
+    // equal-width histogram of order totals: bin edges from one min/max
+    // fetch, binning is a projection, counting one partial-agg shuffle;
+    // the oracle computes the identical IEEE double edges
+    "q_histogram" -> ((s, dir) =>
+      Ops.histogram(T(s, dir, "orders"), "o_totalprice", bins = 10)),
+    // deterministic N-per-group sample: 3 orders per priority class by
+    // md5(id) order — RNG-free, so the oracle reproduces the exact rows
+    "q_sample_per_group" -> ((s, dir) =>
+      Ops.sampleNPerGroup(T(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority"),
+        Seq("o_orderpriority"), "o_orderkey", n = 3)),
     // STREAMING decontamination: the hygiene gate on a live ingest — the
     // bench shingle set is static (broadcasts inside every micro-batch),
     // documents arrive as a file stream, and each micro-batch runs the
@@ -2280,6 +2291,21 @@ object SparkEntry {
          |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
          |       COALESCE(h.n_hits, 0) >= 1 AS contaminated
          |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    "q_histogram" ->
+      """WITH s AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+        |           FROM orders WHERE o_totalprice IS NOT NULL),
+        |b AS (SELECT LEAST(CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 10))
+        |                   AS BIGINT), 9) AS bin, mn, mx
+        |      FROM orders, s WHERE o_totalprice IS NOT NULL)
+        |SELECT bin, mn + bin * ((mx - mn) / 10) AS lo,
+        |       mn + (bin + 1) * ((mx - mn) / 10) AS hi, COUNT(*) AS n
+        |FROM b GROUP BY bin, mn, mx""".stripMargin,
+    "q_sample_per_group" ->
+      """SELECT o_orderkey, o_orderpriority FROM (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
     "q_stream_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |csh AS (SELECT DISTINCT doc_id,

@@ -761,6 +761,56 @@ object Ops {
     agg.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
 
+  /** Equal-width histogram of a numeric column — the profiling companion
+    * to [[rowStats]] (the reference's table-statistics nodes report
+    * min/max; a distribution shape is what a curation run actually reads
+    * before picking thresholds). Bin edges derive from one (min, max)
+    * aggregate (1-row driver fetch, the [[percentiles]] pattern); each row
+    * then bins as a pure projection and ONE partial-agg shuffle counts the
+    * bins. The maximum value lands in the LAST bin (least(floor, bins-1)),
+    * nulls are excluded, and an all-equal column degenerates to a single
+    * zero-width bin. Width/edges are plain IEEE double expressions in the
+    * same operation order the oracle runs — bit-stable cross-engine.
+    *
+    * Output: (bin, lo, hi, n) for non-empty bins.
+    */
+  def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast(DoubleType).as("__v"))
+    val mm = vals.agg(min(col("__v")).as("mn"), max(col("__v")).as("mx")).head()
+    if (mm.isNullAt(0))
+      return vals.select(lit(0L).as("bin"), col("__v").as("lo"),
+        col("__v").as("hi"), lit(0L).as("n")).limit(0)
+    val mn = mm.getDouble(0)
+    val width = (mm.getDouble(1) - mn) / bins
+    val bin =
+      if (width == 0d) lit(0L)
+      else least(floor((col("__v") - mn) / width).cast(LongType), lit(bins - 1L))
+    vals.select(bin.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .select(col("bin"), (lit(mn) + col("bin") * width).as("lo"),
+        (lit(mn) + (col("bin") + 1) * width).as("hi"), col("n"))
+  }
+
+  /** Deterministic N-per-group sample: rank each group's rows by
+    * md5(id) — a pseudo-random order ANY engine reproduces (no RNG state,
+    * the [[modSample]]/[[stratifiedSample]] device) — and keep the first
+    * `n`. The balanced-subset step of a curation run (equal examples per
+    * language/source for eval sets or labeling budgets), where
+    * [[stratifiedSample]] keeps a per-stratum FRACTION. One window
+    * shuffle on the group key; a pathologically hot group is one task's
+    * sort (cap group sizes upstream, as with [[asOfJoin]]).
+    */
+  def sampleNPerGroup(df: DataFrame, keys: Seq[String], idCol: String,
+                      n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(md5(col(idCol).cast(StringType)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
   /** Error-budget gate (reference `MetalNode` max_errors, node.py:102: a
     * node tolerates N bad messages before killing the pipeline). Rows
     * matching `isError` (null counts as error — an unevaluable predicate

@@ -253,6 +253,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("histogram bins values into equal widths with the max in the last bin") {
+    val df = Seq(0.0, 1.0, 2.5, 5.0, 9.9, 10.0).toDF("v")
+    val got = Ops.histogram(df, "v", bins = 5)
+      .orderBy("bin").as[(Long, Double, Double, Long)].collect().toSeq
+    // width 2.0: [0,2)→2, [2,4)→1, [4,6)→1, [8,10]→2 (max joins last bin)
+    assert(got == Seq((0L, 0.0, 2.0, 2L), (1L, 2.0, 4.0, 1L),
+      (2L, 4.0, 6.0, 1L), (4L, 8.0, 10.0, 2L)))
+    // nulls are excluded; all-equal input degenerates to one bin
+    val deg = Ops.histogram(
+      Seq(Some(3.0), Some(3.0), None).toDF("v"), "v", bins = 4)
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    assert(deg == Seq((0L, 3.0, 3.0, 2L)))
+    // empty input yields an empty histogram, not a crash
+    assert(Ops.histogram(Seq.empty[Double].toDF("v"), "v", 3).count() == 0)
+  }
+
+  test("sampleNPerGroup keeps exactly min(n, |group|) deterministic rows") {
+    val df = (1L to 20L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "g")
+    val got = Ops.sampleNPerGroup(df, Seq("g"), "id", n = 3)
+    assert(got.groupBy("g").count().as[(String, Long)].collect().toMap
+      == Map("even" -> 3L, "odd" -> 3L))
+    // deterministic: same rows every run
+    val again = Ops.sampleNPerGroup(df, Seq("g"), "id", n = 3)
+    assert(got.orderBy("id").as[(Long, String)].collect().toSeq
+      == again.orderBy("id").as[(Long, String)].collect().toSeq)
+    // small groups return whole groups
+    assert(Ops.sampleNPerGroup(df.filter(col("id") <= 2), Seq("g"), "id", 5)
+      .count() == 2)
+  }
+
   test("percentiles computes exact interpolated quantiles per group") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 10.0))
       .toDF("k", "v")
