@@ -99,6 +99,36 @@ class PlanSpec extends SparkSpec {
     case _ => plan.children.map(countShufflesExec).sum
   }
 
+  test("lshPairs' bucket guard adds no exchange: window count + groupBy share one shuffle") {
+    // the r5 guard counts bucket sizes with a window BEFORE collecting
+    // members; the claim is the follow-up groupBy reuses the window's
+    // hash partitioning — total exchanges must stay 2 (bands shuffle +
+    // the final distinct), exactly the pre-guard shape
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text", 16)
+    val pairs = Dedup.lshPairs(sig, bands = 4, rowsPerBand = 4, maxBucket = 256)
+    pairs.count()
+    assert(countShufflesExec(pairs.queryExecution.executedPlan) == 2)
+  }
+
+  test("asOfJoinBucketed shuffles split by (key, bucket), corpus never range-joins") {
+    val ev = Tables.events(spark, sfDir)
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("l_us"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), expr("ts_ns div 1000").as("r_us"))
+      .agg(max(col("value")).as("r_value"))
+    val j = Ops.asOfJoinBucketed(l, r, Seq("user_id"), "l_us", "r_us",
+      Seq("r_value"), bucketWidth = 3600L * 1000000L)
+    j.count()
+    val s = j.queryExecution.executedPlan.toString
+    // the history never pays a range/nested-loop join: the only joins are
+    // the aggregate-sized carry-in plumbing
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"), s.take(2000))
+    // the main window partitions by (key, bucket) — the hot-key split
+    assert(s.contains("__bkt"), s.take(2000))
+  }
+
   test("sessionize costs exactly one shuffle (windows + final agg reuse it)") {
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
