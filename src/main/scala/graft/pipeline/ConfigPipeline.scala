@@ -26,12 +26,15 @@ import graft.sources.Tables
   * bad rows, fail past the budget; reference max_errors).
   *
   * Training-pipeline ops (SURVEY §2.G from config, so a config-driven user
-  * reaches the whole library): `dedup_exact` (id/text), `sessionize`
-  * (keys/ts/gap), `pack` (keys/order/weight/budget), `split` (id/trainPct),
-  * `langid`/`fingerprint`/`repetition`/`span_dedup`/`chunk`/`lm_xent`/
-  * `dsir`/`tfidf`/`inverted_index` (id/text...), `mixture` (id/group/
-  * weights), `pagerank`/`degrees` (edge frames), `quality_classifier`
-  * (id/text/dim + a weights stage).
+  * reaches the whole library): `dedup_exact` (id/text), `dedup_best`
+  * (id/key/score), `sessionize` (keys/ts/gap), `pack`
+  * (keys/order/weight/budget), `split` (id/trainPct),
+  * `langid`/`fingerprint`/`repetition`/`span_dedup`/`span_dedup_clean`/
+  * `chunk`/`lm_xent`/`lm_xent_bigram`/`dsir`/`tfidf`/`inverted_index`
+  * (id/text...), `mixture` (id/group/weights), `pagerank`/`degrees`
+  * (edge frames), `quality_classifier` (id/text/dim + a weights stage),
+  * `histogram` (value/bins), `sample_per_group` (keys/id/n),
+  * `canonical_url` (url[, as]).
   */
 object ConfigPipeline {
 
@@ -136,6 +139,25 @@ object ConfigPipeline {
       case "dedup_exact" =>
         p.stage(name, from)(graft.dedup.Dedup.exact(_, s.get("id").asText(),
           s.get("text").asText()))
+      case "dedup_best" =>
+        p.stage(name, from)(graft.dedup.Dedup.exactKeepBest(_,
+          s.get("id").asText(), s.get("key").asText(), s.get("score").asText()))
+      case "span_dedup_clean" =>
+        p.stage(name, from)(graft.dedup.Dedup.spanDedupClean(_,
+          s.get("id").asText(), s.get("text").asText(), s.get("window").asInt()))
+      case "histogram" =>
+        p.stage(name, from)(graft.operators.Ops.histogram(_,
+          s.get("value").asText(), s.get("bins").asInt()))
+      case "sample_per_group" =>
+        p.stage(name, from)(graft.operators.Ops.sampleNPerGroup(_,
+          strs(s.get("keys")), s.get("id").asText(), s.get("n").asInt()))
+      case "canonical_url" =>
+        p.stage(name, from)(d => d.withColumn(
+          if (s.has("as")) s.get("as").asText() else "canon",
+          graft.functions.Text.canonicalUrl(col(s.get("url").asText()))))
+      case "lm_xent_bigram" =>
+        p.stage(name, from)(graft.functions.Lm.bigramCrossEntropy(_,
+          s.get("id").asText(), s.get("text").asText()))
       case "sessionize" =>
         p.stage(name, from)(graft.operators.Ops.sessionize(_, strs(s.get("keys")),
           s.get("ts").asText(), s.get("gap").asLong()))

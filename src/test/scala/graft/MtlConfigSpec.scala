@@ -329,6 +329,35 @@ class MtlConfigSpec extends SparkSpec {
     assert(sess.count() > 0 && sess.columns.contains("session_start"))
   }
 
+  test("ConfigPipeline reaches the r5 curation ops from config") {
+    import spark.implicits._
+    val out = graft.pipeline.ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "docs", "op": "table", "dir": "$sfDir", "table": "documents"},
+         | {"name": "url", "op": "withColumn", "from": "docs",
+         |  "col": "u", "expr": "'HTTP://Ex.COM:80/' || CAST(doc_id AS STRING) || '#f'"},
+         | {"name": "canon", "op": "canonical_url", "from": "url", "url": "u"},
+         | {"name": "best", "op": "dedup_best", "from": "canon",
+         |  "id": "doc_id", "key": "canon", "score": "doc_id"},
+         | {"name": "hist", "op": "histogram", "from": "best",
+         |  "value": "keep_score", "bins": 4}
+         |]}""".stripMargin).output("hist")
+    assert(out.columns.toSeq == Seq("bin", "lo", "hi", "n"))
+    assert(out.agg(sum("n")).as[Long].head() > 0)
+    val samp = graft.pipeline.ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "docs", "op": "table", "dir": "$sfDir", "table": "documents"},
+         | {"name": "s3", "op": "sample_per_group", "from": "docs",
+         |  "keys": ["lang"], "id": "doc_id", "n": 2},
+         | {"name": "clean", "op": "span_dedup_clean", "from": "s3",
+         |  "id": "doc_id", "text": "text", "window": 16},
+         | {"name": "xent", "op": "lm_xent_bigram", "from": "clean",
+         |  "id": "id", "text": "clean_text"}
+         |]}""".stripMargin).output("xent")
+    assert(samp.columns.toSeq == Seq("id", "n_bigrams", "xent"))
+    assert(samp.count() > 0)
+  }
+
   test("errorBudget drops bad rows within budget and fails loudly past it") {
     val df = Seq((1L, "ok"), (2L, null), (3L, "ok"), (4L, null), (5L, "ok"))
       .toDF("id", "v")
