@@ -384,14 +384,17 @@ object Dedup {
     * with an O(n·bands) shuffle; an exact hamming check then filters.
     * Input: output of [[simhash]]. Output: (id_a, id_b, hamming).
     *
-    * `maxBucket` drops degenerate band buckets before any member list
-    * materializes, with the drop counted as an observed metric (see
-    * [[guardedBuckets]], metric `metricName`). NOTE the recall interaction:
-    * a dropped bucket loses its band's pigeonhole witness, so run exact
-    * dedup first — over-cap buckets are overwhelmingly identical docs.
+    * UNCAPPED BY DEFAULT: unlike [[lshPairs]] (probabilistic by design),
+    * this operator's contract is pigeonhole-COMPLETE recall — every pair
+    * within `maxHamming` is found — and a default bucket cap would break
+    * that contract silently. Opt into `maxBucket` on corpora with
+    * un-deduped identical docs (the only realistic source of mega-buckets);
+    * a dropped bucket loses its band's pigeonhole witness, and the drop is
+    * counted as an observed metric (see [[guardedBuckets]], metric
+    * `metricName`), never silent.
     */
   def simhashPairs(sig: DataFrame, maxHamming: Int, bands: Int = 4,
-                   bits: Int = 60, maxBucket: Int = 1 << 12,
+                   bits: Int = 60, maxBucket: Int = Int.MaxValue,
                    metricName: String = "simhash_bucket_guard"): DataFrame = {
     // Pigeonhole completeness holds only when a qualifying pair cannot
     // differ in every band: maxHamming < bands. Remainder bits (bits %

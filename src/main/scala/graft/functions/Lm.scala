@@ -26,10 +26,13 @@ import org.apache.spark.sql.types._
   * one-row broadcast crossJoin. No UDFs, no driver-side iteration.
   *
   * Caching contract (same as MtlParser.runProgram): the per-doc tf frames
-  * persist because two aggregates derive from them, and the returned
-  * frames read that cache lazily — long-lived sessions should
+  * persist because two aggregates derive from them — one frame each in
+  * [[unigramCrossEntropy]] / [[importanceWeights]], and TWO in
+  * [[bigramCrossEntropy]] (tokenized base + per-doc bigram tf) — and the
+  * returned frames read that cache lazily. Long-lived sessions should
   * `spark.catalog.clearCache()` (or unpersist) once results materialize
-  * (Verify/Bench do this between queries).
+  * (Verify/Bench do this between queries); repeated calls without it
+  * accumulate MEMORY_AND_DISK blocks.
   *
   * Determinism: `ln` differs by 1 ulp across engines on rare inputs, so
   * per-token scores quantize to DECIMAL(18,6) BEFORE the per-document sum
@@ -82,6 +85,11 @@ object Lm {
     * AQE broadcasts when it measures small). Same DECIMAL(18,6) per-token
     * quantization + single-double-division tail as [[unigramCrossEntropy]]
     * (1-ulp-proof across engines).
+    *
+    * Caching: persists TWO intermediate frames (tokenized base, per-doc
+    * bigram tf) because the LM tables and the final join both derive from
+    * them; they stay cached until the caller clears them — see the
+    * object-level caching contract.
     *
     * Output: (id, n_bigrams, xent).
     */

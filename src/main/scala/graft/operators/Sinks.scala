@@ -214,20 +214,39 @@ object Sinks {
     // the SAME partitionBy — Spark folds partition directories into ordinary
     // data columns on read, so a flat rewrite would silently destroy the
     // directory layout and every downstream reader's partition pruning.
-    // The column chain is read off the directory names, one level at a time.
-    def partitionColsOf(p: org.apache.hadoop.fs.Path): Seq[String] =
-      fs.listStatus(p).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-        .headOption match {
-          case Some(st) =>
-            st.getPath.getName.split("=", 2)(0) +: partitionColsOf(st.getPath)
-          case None => Nil
-        }
+    // The column chain is read off the directory names, one level at a time,
+    // and VALIDATED: every sibling directory at a level must carry the same
+    // `col=` prefix (a directory mixing hive and plain subdirs, or a data
+    // dir whose name merely contains '=', must fail loudly rather than
+    // rewrite with a guessed-wrong layout), and the detected chain is
+    // cross-checked below against the columns Spark actually infers.
+    def partitionColsOf(p: org.apache.hadoop.fs.Path): Seq[String] = {
+      val dirs = fs.listStatus(p).toSeq.filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+      }
+      val prefixes = dirs.map(_.getPath.getName.split("=", 2)).collect {
+        case Array(c, _) => c
+      }
+      if (prefixes.isEmpty) Nil
+      else {
+        require(prefixes.size == dirs.size && prefixes.distinct.size == 1,
+          s"compact: inconsistent partition layout under $p — sibling " +
+            s"directories ${dirs.map(_.getPath.getName).mkString(", ")} do " +
+            "not all share one 'col=' prefix; refusing to guess a partitionBy")
+        prefixes.head +: partitionColsOf(dirs.head.getPath)
+      }
+    }
     val partCols = partitionColsOf(in)
     val before = parquetFiles(in)
     val totalBytes = before.map(_.getLen).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val w = spark.read.parquet(inDir).coalesce(n).write.mode("overwrite")
+    val src = spark.read.parquet(inDir)
+    require(partCols.forall(src.columns.contains),
+      s"compact: directory-derived partition columns ${partCols.mkString(",")} " +
+        s"not all present in Spark's inferred schema ${src.columns.mkString(",")}" +
+        " — partition inference disagrees; refusing to rewrite")
+    val w = src.coalesce(n).write.mode("overwrite")
     // coalesce+partitionBy yields ≤ n files PER partition value (each task
     // splits its rows by directory) — still bounded, still shuffle-free.
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(outDir)

@@ -124,19 +124,30 @@ object Sources {
     val conn = java.sql.DriverManager.getConnection(url, p)
     try {
       val md = conn.getMetaData
+      // getColumns treats its table argument as a LIKE pattern: an
+      // unescaped '_' or '%' in the name (e.g. "customer_ty") matches OTHER
+      // tables too and would interleave their columns into one wrong
+      // schema. Escape both wildcards with the driver's escape string AND
+      // keep only rows whose TABLE_NAME is exactly the requested table —
+      // belt and braces because some drivers ignore the escape.
+      val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+      def escapePattern(t: String): String =
+        t.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
       def cols(t: String): Seq[(Int, String, String)] = {
-        val rs = md.getColumns(null, null, t, null)
+        val rs = md.getColumns(null, null, escapePattern(t), null)
         val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
         while (rs.next()) {
-          val tn = rs.getString("TYPE_NAME").toLowerCase
-          val size = rs.getInt("COLUMN_SIZE")
-          val dec = rs.getInt("DECIMAL_DIGITS")
-          val ts = tn match {
-            case "varchar" | "char"    => s"$tn($size)"
-            case "decimal" | "numeric" => s"$tn($size,$dec)"
-            case other                 => other
+          if (rs.getString("TABLE_NAME") == t) {
+            val tn = rs.getString("TYPE_NAME").toLowerCase
+            val size = rs.getInt("COLUMN_SIZE")
+            val dec = rs.getInt("DECIMAL_DIGITS")
+            val ts = tn match {
+              case "varchar" | "char"    => s"$tn($size)"
+              case "decimal" | "numeric" => s"$tn($size,$dec)"
+              case other                 => other
+            }
+            buf += ((rs.getInt("ORDINAL_POSITION"), rs.getString("COLUMN_NAME"), ts))
           }
-          buf += ((rs.getInt("ORDINAL_POSITION"), rs.getString("COLUMN_NAME"), ts))
         }
         buf.sortBy(_._1).toSeq
       }

@@ -86,4 +86,19 @@ class SessionizeJdbcSpec extends SparkSpec {
     // a missing table fails loudly, not with an empty schema
     intercept[IllegalArgumentException] { Sources.jdbcColumns(url, "nope_tbl", drv) }
   }
+
+  test("jdbcColumns treats '_' in the table name literally, not as a LIKE wildcard") {
+    System.setProperty("derby.stream.error.path", "/tmp/derby.log")
+    val url = "jdbc:derby:memory:graft_wc_spec;create=true"
+    val drv = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    // ORD_X and ORDAX both match the unescaped LIKE pattern 'ORD_X';
+    // an unescaped getColumns call would interleave both tables' columns
+    // into one wrong schema. The escape + exact-TABLE_NAME filter must
+    // return only the requested table's columns.
+    Sinks.jdbcWrite(Seq((1L, 2.0)).toDF("a", "b"), url, "ord_x", drv, mode = "overwrite")
+    Sinks.jdbcWrite(Seq(("x", 1, 2, 3)).toDF("c", "d", "e", "f"),
+      url, "ordax", drv, mode = "overwrite")
+    val cols = Sources.jdbcColumns(url, "ord_x", drv)
+    assert(cols.map(_._1.toLowerCase) == Seq("a", "b"))
+  }
 }

@@ -178,6 +178,15 @@ class SourcesAnnSpec extends SparkSpec {
     assert(new java.io.File(s"$pout/lang=en").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet == Set("src=web"))
     assert(spark.read.parquet(pout).agg(sum("id")).as[Long].head() == 19900L)
+    // a directory MIXING a hive-partitioned subdir with a plain one has no
+    // inferable layout — compact must refuse loudly, not guess a partitionBy
+    val mixed = s"$base/mixed"; val mout = s"$base/mixed_out"
+    spark.range(0, 10).toDF("id").coalesce(1).write.parquet(s"$mixed/lang=en")
+    spark.range(10, 20).toDF("id").coalesce(1).write.parquet(s"$mixed/plaindir")
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Sinks.compact(spark, mixed, mout, targetBytes = 1L << 30)
+    }
+    assert(err.getMessage.contains("inconsistent partition layout"))
   }
 
   test("bm25TopK ranks by term rarity and frequency with an id tie-break") {

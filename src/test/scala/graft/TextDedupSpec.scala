@@ -207,6 +207,15 @@ class TextDedupSpec extends SparkSpec {
     // recall-breaking parameters are rejected, not silently incomplete
     intercept[IllegalArgumentException] { Dedup.simhashPairs(sig, maxHamming = 20) }
     intercept[IllegalArgumentException] { Dedup.simhashPairs(sig, maxHamming = 3, bands = 7) }
+    // contract pin: simhashPairs is pigeonhole-COMPLETE by default — the
+    // bucket cap must be opt-in (Int.MaxValue default), because a default
+    // cap silently breaks the completeness guarantee this operator exists
+    // for. Asserting behavior would need a >4096-member bucket (an 8M-pair
+    // expansion — not unit-test material), so pin the default value itself
+    // via the compiler-generated default accessor.
+    val dflt = Dedup.getClass.getMethod("simhashPairs$default$5")
+      .invoke(Dedup).asInstanceOf[Int]
+    assert(dflt == Int.MaxValue)
   }
 
   test("cosineNearDup pairs high-similarity vectors") {
