@@ -94,6 +94,36 @@ object AnnSweep {
       println(f"| PQ m=$m%-2d k=$kk%-2d | ${recallL2(res)}%.3f | $t%.2f | ${t / tBrute}%.2fx |")
       res.unpersist()
     }
+    // IVF-routed ADC (Pq.ivfAdcTopK): same codebooks per row-group, the
+    // scan restricted to nprobe/nlist of the cells. recall measures against
+    // the SAME exact-L2 truth; the "scanned" column is the fraction of
+    // (query, code) pairs the routed join actually scored vs the
+    // exhaustive queries×corpus scan — the quantity that becomes the bill
+    // at corpus scale.
+    {
+      val cbs = graft.similarity.Pq.trainCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 16, rounds = 2)
+      val exhaustivePairs = (nQ * (nCorpus - 1)).toDouble
+      for (nprobe <- Seq(1, 2, 4, 8, 16, 32, 64)) {
+        val (res, t) = timed(graft.similarity.Pq.ivfAdcTopK(
+          queries, emb, "vec_id", "embedding", cbs, k, nlist = 64, nprobe = nprobe))
+        // scanned fraction: count the routed candidate pairs pre-top-k
+        val cents = graft.similarity.Ann.coarseCentroids(emb, "vec_id", "embedding", 64)
+        val scanned = {
+          import graft.functions.Vectors
+          val assigned = emb.select(col("vec_id").as("nid"),
+            graft.similarity.Ann.nearestCell(cents, col("embedding"),
+              Vectors.fnorm(col("embedding"))).as("cell"))
+          val probed = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+            .withColumn("__pc", graft.similarity.Ann.probeCells(cents, col("qv"),
+              Vectors.fnorm(col("qv")), nprobe))
+            .select(col("qid"), col("__pc.cent_id").as("cell"))
+          probed.join(assigned, Seq("cell")).filter(col("qid") =!= col("nid")).count()
+        }
+        println(f"| IVFPQ m=4 k=16 nprobe=$nprobe%-2d | ${recallL2(res)}%.3f | $t%.2f | ${t / tBrute}%.2fx | scanned ${scanned / exhaustivePairs * 100}%.1f%% |")
+        res.unpersist()
+      }
+    }
     spark.stop()
   }
 }

@@ -1177,6 +1177,19 @@ object SparkEntry {
           "vec_id", "embedding", cbs, topK = 3)
         .select("query_id", "rank", "neighbor_id", "adc2")
     }),
+    // IVF-routed ADC (FAISS IVFPQ composition): coarse cells route the
+    // query, PQ codes score the candidates. nprobe = nlist probes every
+    // cell, so the result is EXACTLY adcTopK's — same oracle — while the
+    // plan exercises the routed join (cell assignment + broadcast probe)
+    // that at nprobe < nlist scans only ~nprobe/nlist of the codes.
+    "q_pq_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cbs = graft.similarity.Pq.trainCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 2, k = 4, rounds = 2)
+      graft.similarity.Pq.ivfAdcTopK(emb.filter(col("vec_id") < 8), emb,
+          "vec_id", "embedding", cbs, topK = 3, nlist = 8, nprobe = 8)
+        .select("query_id", "rank", "neighbor_id", "adc2")
+    }),
     // SemDeDup: k-means blocks + within-cluster cosine, keep-lowest-id
     "q_semdedup" -> ((s, dir) =>
       graft.similarity.Clustering.semDedup(T(s, dir, "embeddings"), "vec_id", "embedding",
@@ -2264,6 +2277,9 @@ object SparkEntry {
       s"""$kmeansCtes
          |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist2 FROM a2 WHERE rnk = 1""".stripMargin,
     "q_pq" -> pqOracle,
+    // exhaustive-probe identity: IVF routing with nprobe = nlist visits
+    // every cell, so the oracle is the same exhaustive ADC replay
+    "q_pq_ivf" -> pqOracle,
     "q_semdedup" ->
       s"""$kmeansCtes,
          |asg AS (SELECT vec_id, cid FROM a2 WHERE rnk = 1),

@@ -60,6 +60,57 @@ object Ann {
     }
   }
 
+  /** Coarse-quantizer centroids shared by [[ivfTopK]] and
+    * [[Pq.ivfAdcTopK]]: `nlist` corpus vectors picked by md5-order of the
+    * row id (a STRING key — a LongType cast would null out non-numeric ids
+    * and poison the assignment — doubling as the deterministic selection
+    * order). Driver-collected BY DESIGN: centroid sets are config-table
+    * sized, and landing them in the plan as literals makes assignment and
+    * probing pure projections.
+    */
+  private[graft] def coarseCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Seq[(String, Seq[Float])] = {
+    val centRows = corpus
+      .select(md5(col(idCol).cast(StringType)).as("cent_id"), col(vecCol).as("cent_vec"))
+      .orderBy("cent_id").limit(nlist)
+      .collect()
+    val cents: Seq[(String, Seq[Float])] =
+      centRows.toIndexedSeq.map(r => (r.getString(0), r.getSeq[Float](1)))
+    require(cents.nonEmpty, "empty corpus")
+    cents
+  }
+
+  /** (−sim, cent_id) struct per centroid; Vectors.fnorm over a literal
+    * vector constant-folds at plan time, so each struct costs one codegen'd
+    * dot product per row.
+    */
+  private def centStructs(cents: Seq[(String, Seq[Float])],
+                          vec: Column, norm: Column): Seq[Column] =
+    cents.map { case (cid, cv) =>
+      val cvec = typedLit(cv)
+      struct((Vectors.fcosine(vec, cvec, norm, Vectors.fnorm(cvec)) * -1).as("negsim"),
+        lit(cid).as("cent_id"))
+    }
+
+  /** Nearest-cell id for one row — a `least()` over the centroid structs:
+    * a codegen'd projection with ZERO shuffle (a crossJoin+groupBy
+    * formulation would re-shuffle every corpus vector through an exchange).
+    */
+  private[graft] def nearestCell(cents: Seq[(String, Seq[Float])],
+                                      vec: Column, norm: Column): Column = {
+    val ss = centStructs(cents, vec, norm)
+    (if (ss.size == 1) ss.head else least(ss: _*)).getField("cent_id")
+  }
+
+  /** The `nprobe` nearest cells for a query row as an exploded column —
+    * `array_sort` + `slice` over the same structs, again a projection.
+    */
+  private[graft] def probeCells(cents: Seq[(String, Seq[Float])],
+                                     vec: Column, norm: Column,
+                                     nprobe: Int): Column =
+    explode(slice(array_sort(array(centStructs(cents, vec, norm): _*)), 1, nprobe))
+
   /** IVF top-k (G7 scale path): coarse-quantize the corpus onto `nlist`
     * centroids, then search only the `nprobe` nearest cells per query —
     * the inverted-file ANN layout (à la FAISS IVF-Flat), relational:
@@ -83,38 +134,17 @@ object Ann {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nlist: Int = 64, nprobe: Int = 8): DataFrame = {
-    // centroid identity = md5 of the row id (a STRING key): works for any
-    // id type — a LongType cast would null out non-numeric ids and poison
-    // the assignment — and doubles as the deterministic selection order
-    val centRows = corpus
-      .select(md5(col(idCol).cast(StringType)).as("cent_id"), col(vecCol).as("cent_vec"))
-      .orderBy("cent_id").limit(nlist)
-      .collect()
-    val cents: Seq[(String, Seq[Float])] =
-      centRows.toIndexedSeq.map(r => (r.getString(0), r.getSeq[Float](1)))
-    require(cents.nonEmpty, "empty corpus")
-
-    // (−sim, cent_id) struct per centroid; Vectors.fnorm over a literal
-    // vector constant-folds at plan time, so each struct costs one codegen'd
-    // dot product per row.
-    def centStructs(vec: Column, norm: Column): Seq[Column] = cents.map { case (cid, cv) =>
-      val cvec = typedLit(cv)
-      struct((Vectors.fcosine(vec, cvec, norm, Vectors.fnorm(cvec)) * -1).as("negsim"),
-        lit(cid).as("cent_id"))
-    }
-    def nearest(vec: Column, norm: Column): Column = {
-      val ss = centStructs(vec, norm)
-      (if (ss.size == 1) ss.head else least(ss: _*)).getField("cent_id")
-    }
+    val cents = coarseCentroids(corpus, idCol, vecCol, nlist)
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("c_norm", Vectors.fnorm(col("c_vec")))
-    val assigned = c.withColumn("cell", nearest(col("c_vec"), col("c_norm")))
+    val assigned = c.withColumn("cell",
+      nearestCell(cents, col("c_vec"), col("c_norm")))
 
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", Vectors.fnorm(col("q_vec")))
-    val probed = q.withColumn("__pc", explode(slice(
-        array_sort(array(centStructs(col("q_vec"), col("q_norm")): _*)), 1, nprobe)))
+    val probed = q.withColumn("__pc",
+        probeCells(cents, col("q_vec"), col("q_norm"), nprobe))
       .select(col("query_id"), col("q_vec"), col("q_norm"),
         col("__pc.cent_id").as("cell"))
     // 4. search only the probed cells

@@ -53,15 +53,19 @@ object Pq {
     }
   }
 
-  /** Encode the corpus: (id, codes) with one centroid id per subspace —
-    * a zero-shuffle projection chain against broadcast codebook literals.
+  /** Encode the corpus: (id, carry…, codes) with one centroid id per
+    * subspace — a zero-shuffle projection chain against broadcast codebook
+    * literals. `carry` columns of `df` ride through unchanged (e.g. an IVF
+    * cell id computed in the same scan — see [[ivfAdcTopK]]).
     */
   def encode(df: DataFrame, idCol: String, vecCol: String,
              codebooks: Seq[Seq[(Int, Array[Double])]],
-             scale: Double = 1048576.0): DataFrame = {
+             scale: Double = 1048576.0,
+             carry: Seq[String] = Nil): DataFrame = {
     val m = codebooks.length
     val sub = codebooks.head.head._2.length
-    var cur = df.select(col(idCol).as("id"), quantize(col(vecCol), scale).as("__qv"))
+    var cur = df.select(col(idCol).as("id") +: carry.map(col) :+
+      quantize(col(vecCol), scale).as("__qv"): _*)
     for (j <- 0 until m) {
       cur = Clustering.withCluster(
           cur.withColumn("__sv", slice(col("__qv"), j * sub + 1, sub)),
@@ -69,8 +73,25 @@ object Pq {
         .withColumnRenamed("cluster", s"__c$j")
         .drop("dist2", "__sv")
     }
-    cur.select(col("id"),
-      array((0 until m).map(j => col(s"__c$j")): _*).as("codes"))
+    cur.select(col("id") +: carry.map(col) :+
+      array((0 until m).map(j => col(s"__c$j")): _*).as("codes"): _*)
+  }
+
+  /** Add per-subspace query distance tables `__dt0..__dt{m-1}` (cid → d2)
+    * to a frame carrying a quantized `__qv` column — computed BEFORE any
+    * join with the corpus so each corpus row pays m map lookups, not m×k
+    * folds. Shared by [[adcTopK]] and [[ivfAdcTopK]].
+    */
+  private def withDistTables(q: DataFrame,
+                             codebooks: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
+    val sub = codebooks.head.head._2.length
+    codebooks.zipWithIndex.foldLeft(q) { case (acc, (cbRaw, j)) =>
+      val cb = cbRaw.sortBy(_._1)
+      val subv = slice(col("__qv"), j * sub + 1, sub)
+      acc.withColumn(s"__dt$j",
+        map_from_arrays(typedLit(cb.map(_._1)),
+          array(cb.map { case (_, cv) => dist2(subv, cv) }: _*)))
+    }
   }
 
   /** ADC top-k: for each query, the `topK` nearest corpus codes by summed
@@ -82,29 +103,71 @@ object Pq {
               vecCol: String, codebooks: Seq[Seq[(Int, Array[Double])]],
               topK: Int, scale: Double = 1048576.0): DataFrame = {
     val m = codebooks.length
-    val sub = codebooks.head.head._2.length
-    // query-side distance tables (cid → d2), computed BEFORE the broadcast
-    // cross join so each corpus row pays m map lookups, not m×k folds
-    var q = queries.select(col(idCol).as("query_id"),
-      quantize(col(vecCol), scale).as("__qv"))
-    for (j <- 0 until m) {
-      val cb = codebooks(j).sortBy(_._1)
-      val subv = slice(col("__qv"), j * sub + 1, sub)
-      q = q.withColumn(s"__dt$j",
-        map_from_arrays(typedLit(cb.map(_._1)),
-          array(cb.map { case (_, cv) => dist2(subv, cv) }: _*)))
-    }
+    val q = withDistTables(queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol), scale).as("__qv")), codebooks)
     val codes = encode(corpus, idCol, vecCol, codebooks, scale)
-    val adc2 = (0 until m).map(j =>
-        element_at(col(s"__dt$j"), element_at(col("codes"), j + 1)))
-      .reduce(_ + _)
     val scored = codes.crossJoin(broadcast(q.drop("__qv")))
       .filter(col("query_id") =!= col("id"))
-      .select(col("query_id"), col("id").as("neighbor_id"), adc2.as("adc2"))
+      .select(col("query_id"), col("id").as("neighbor_id"), adcSum(m).as("adc2"))
+    rankTopK(scored, topK)
+  }
+
+  /** Sum of the m per-subspace table lookups for one (query, code) pair. */
+  private def adcSum(m: Int): Column =
+    (0 until m).map(j =>
+      element_at(col(s"__dt$j"), element_at(col("codes"), j + 1))).reduce(_ + _)
+
+  private def rankTopK(scored: DataFrame, topK: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc2").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
       .select(col("query_id"), col("rank").cast(LongType).as("rank"),
         col("neighbor_id"), col("adc2"))
+  }
+
+  /** IVF-routed ADC — the production composition of [[Ann.ivfTopK]]'s
+    * coarse routing with [[adcTopK]]'s compressed scoring (FAISS
+    * "IVFPQ"): [[adcTopK]] alone scans EVERY code per query (the right
+    * form factor when the whole code table is RAM-resident and queries
+    * are few); at corpus scale the scan itself is the bill, so route
+    * through `nlist` coarse cells and score only the `nprobe` cells
+    * nearest each query — the scanned fraction drops to ~nprobe/nlist.
+    *
+    * Plan shape: cell assignment rides the SAME zero-shuffle projection
+    * scan that encodes the corpus (centroids are literals — see
+    * [[Ann.coarseCentroids]]); the probed query side (queries × nprobe
+    * rows, carrying the m distance tables) broadcasts into one hash join
+    * on the cell id, so the corpus never shuffles and never pays a
+    * cartesian. The only exchange is the per-query top-k window over
+    * already-cut (id, score) rows — identical to [[adcTopK]]'s tail.
+    *
+    * With `nprobe == nlist` every cell is probed and the result is
+    * EXACTLY [[adcTopK]] (same scores, same id tie-break — q_pq_ivf's
+    * oracle identity); recall < 1 when nprobe < nlist, the standard IVF
+    * trade measured in plans/ANN.md.
+    */
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, codebooks: Seq[Seq[(Int, Array[Double])]],
+                 topK: Int, nlist: Int = 64, nprobe: Int = 8,
+                 scale: Double = 1048576.0): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe ($nprobe) must be in [1, nlist=$nlist]")
+    import graft.functions.Vectors
+    val m = codebooks.length
+    val cents = Ann.coarseCentroids(corpus, idCol, vecCol, nlist)
+    // cell + codes in ONE corpus projection (no second scan, no shuffle)
+    val celled = corpus.select(col(idCol), col(vecCol),
+      Ann.nearestCell(cents, col(vecCol), Vectors.fnorm(col(vecCol))).as("__cell"))
+    val codes = encode(celled, idCol, vecCol, codebooks, scale, carry = Seq("__cell"))
+    val q = withDistTables(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__v"), quantize(col(vecCol), scale).as("__qv")), codebooks)
+    val probed = q.withColumn("__pc",
+        Ann.probeCells(cents, col("__v"), Vectors.fnorm(col("__v")), nprobe))
+      .select(col("query_id") +: (0 until m).map(j => col(s"__dt$j")) :+
+        col("__pc.cent_id").as("__cell"): _*)
+    val scored = codes.join(broadcast(probed), Seq("__cell"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), adcSum(m).as("adc2"))
+    rankTopK(scored, topK)
   }
 }

@@ -278,6 +278,31 @@ class SourcesAnnSpec extends SparkSpec {
         "vec_id", "embedding", cbs, topK = 5)
       .as[(Long, Long, Long, Double)].collect()
     assert(top.toSeq == again.toSeq)
+
+    // IVF-routed ADC: probing every cell is EXACTLY the exhaustive scan
+    // (same scores, same tie-break) — the q_pq_ivf oracle identity
+    val routedAll = graft.similarity.Pq.ivfAdcTopK(df.filter($"vec_id" < 2), df,
+        "vec_id", "embedding", cbs, topK = 5, nlist = 4, nprobe = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(routedAll.toSeq == top.toSeq)
+    // nprobe < nlist scans a fraction of the codes: results come only from
+    // probed cells (a subset of the exhaustive candidates, ranks re-packed)
+    val routed1 = graft.similarity.Pq.ivfAdcTopK(df.filter($"vec_id" < 2), df,
+        "vec_id", "embedding", cbs, topK = 5, nlist = 4, nprobe = 1)
+      .as[(Long, Long, Long, Double)].collect()
+    val exhaustive = top.map { case (q, _, n, d) => (q, n, d) }.toSet
+    assert(routed1.nonEmpty)
+    // every routed (query, neighbor, score) exists in SOME exhaustive
+    // scoring (scores agree where both scan the pair)
+    val allScores = graft.similarity.Pq.adcTopK(df.filter($"vec_id" < 2), df,
+        "vec_id", "embedding", cbs, topK = 16)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (q, _, n, d) => (q, n, d) }.toSet
+    assert(routed1.forall { case (q, _, n, d) => allScores.contains((q, n, d)) })
+    intercept[IllegalArgumentException] {
+      graft.similarity.Pq.ivfAdcTopK(df, df, "vec_id", "embedding", cbs,
+        topK = 5, nlist = 4, nprobe = 5)
+    }
   }
 
   test("semDedup flags exactly the later ids with a high-cosine cluster-mate") {
