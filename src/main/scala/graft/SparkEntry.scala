@@ -1033,6 +1033,43 @@ object SparkEntry {
       q.awaitTermination()
       s.read.parquet(s"$outDir/batch_*")
     }),
+    // STREAMING LSH near-dup: the stateful twin of the G3 flagship path.
+    // Banded minhash buckets live as keyed state — (min_id, n_members)
+    // per bucket, NO member lists — and each micro-batch emits touched
+    // buckets' updated state as a changelog (update mode, per-batch
+    // dirs). Compaction keeps the max-n_members emission per bucket
+    // (n_members strictly increases), then documents' band keys join the
+    // final buckets for per-doc verdicts: canonical = min bucket-min
+    // over the doc's bands, duplicate iff canonical < id. min and count
+    // commute, so the result is identical under ANY batch split; the
+    // oracle recomputes the same md5 band buckets in SQL.
+    "q_stream_neardup" -> ((s, dir) => withStreamShuffle(s) {
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_nd").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      docs.repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+        format = "parquet", schemaDdl = Some(docs.schema.toDDL), maxFilesPerTrigger = 1)
+      val buckets = graft.streaming.Streams.lshBucketsStream(stream,
+        "doc_id", "text", numHashes = 16, bands = 4, rowsPerBand = 4)
+      val q = graft.streaming.Streams.toForeachBatch(buckets, ckpt,
+        availableNow = true, outputMode = "update") { (batch, id) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+      }
+      q.awaitTermination()
+      val finalBuckets = s.read.parquet(s"$outDir/batch_*")
+        .groupBy("band", "band_key")
+        .agg(max(struct(col("n_members"), col("min_id"))).as("__f"))
+        .select(col("band"), col("band_key"), col("__f.min_id").as("min_id"))
+      val banded = Dedup.bandedKeys(
+        Dedup.minhashSignature(docs, "doc_id", "text", 16),
+        bands = 4, rowsPerBand = 4)
+      banded.join(finalBuckets, Seq("band", "band_key"))
+        .groupBy("id")
+        .agg(min("min_id").as("canonical"))
+        .select(col("id").as("doc_id"), col("canonical"),
+          (col("canonical") < col("id")).as("is_dup"))
+    }),
     // Gopher-style repetition metrics: duplicate / most-frequent bigram
     // fractions per document (the boilerplate-and-spam filter signal)
     "q_repetition" -> ((s, dir) =>
@@ -1522,6 +1559,30 @@ object SparkEntry {
        |            HAVING COUNT(*) BETWEEN 2 AND 256)
        |SELECT DISTINCT x.a AS id_a, y.c AS id_b
        |FROM buckets, unnest(ids) x(a), unnest(ids) y(c) WHERE x.a < y.c""".stripMargin
+  }
+
+  /** DuckDB mirror of the streaming LSH bucket path (q_stream_neardup):
+    * same minhash(16) → 4-band md5 buckets as [[lshPairsOracle]], but
+    * UNCAPPED (the streaming state holds only (min_id, n) per bucket —
+    * no member lists, so no mega-bucket hazard and no cap to mirror).
+    * Canonical per doc = min doc_id over its buckets (membership includes
+    * self, so canonical <= doc_id); duplicate iff canonical < doc_id.
+    */
+  private val streamNearDupOracle: String = {
+    val mins = (0 until 16).map(s => s"MIN(md5('$s:' || tok)) AS h$s").mkString(", ")
+    val bandKey = (0 until 4).map { b =>
+      val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
+      s"WHEN ${b} THEN md5($cols)"
+    }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents),
+       |s AS (SELECT doc_id, $mins FROM t GROUP BY doc_id),
+       |banded AS (SELECT doc_id, b.band,
+       |           CASE b.band $bandKey END AS band_key
+       |           FROM s, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+       |buckets AS (SELECT band, band_key, MIN(doc_id) AS min_id
+       |            FROM banded GROUP BY 1, 2)
+       |SELECT doc_id, MIN(min_id) AS canonical, MIN(min_id) < doc_id AS is_dup
+       |FROM banded JOIN buckets USING (band, band_key) GROUP BY doc_id""".stripMargin
   }
 
   /** DuckDB mirror of the fake-media decode: md5-derived bytes, exact sums,
@@ -2408,6 +2469,7 @@ object SparkEntry {
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_lsh_pairs" -> lshPairsOracle,
+    "q_stream_neardup" -> streamNearDupOracle,
     "q_cosine_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)

@@ -333,16 +333,27 @@ object Dedup {
     * "lsh_bucket_guard"; override when composing this op twice in one query,
     * observed-metric names must be unique per query).
     */
-  def lshPairs(sig: DataFrame, bands: Int, rowsPerBand: Int,
-               maxBucket: Int = 1 << 12,
-               metricName: String = "lsh_bucket_guard"): DataFrame = {
+  /** Band-key projection shared by [[lshPairs]] and the streaming twin
+    * ([[graft.streaming.Streams.lshBucketsStream]]): explode each
+    * signature row to (id, band, band_key), band_key = md5 of the band's
+    * signature slice. A pure projection — works identically on batch and
+    * streaming frames, so both paths hash into the SAME buckets.
+    */
+  private[graft] def bandedKeys(sig: DataFrame, bands: Int,
+                                rowsPerBand: Int): DataFrame = {
     val keys = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
           .as("band_key"))
     }: _*)
-    val banded = sig.select(col("id"), explode(keys).as("bk"))
+    sig.select(col("id"), explode(keys).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  def lshPairs(sig: DataFrame, bands: Int, rowsPerBand: Int,
+               maxBucket: Int = 1 << 12,
+               metricName: String = "lsh_bucket_guard"): DataFrame = {
+    val banded = bandedKeys(sig, bands, rowsPerBand)
     // Group each bucket once and emit its id pairs directly — a self-join on
     // (band, key) would re-evaluate the whole signature pipeline for both
     // sides and shuffle twice.

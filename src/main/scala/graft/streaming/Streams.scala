@@ -258,6 +258,58 @@ object Streams {
       }
   }
 
+  /** Streaming LSH near-dup — the stateful twin of
+    * [[graft.dedup.Dedup.lshPairs]] (the one flagship path that had no
+    * incremental form). Minhash signatures and band keys are the SAME
+    * zero-shuffle projections as the batch path
+    * ([[graft.dedup.Dedup.minhashSignature]] /
+    * [[graft.dedup.Dedup.bandedKeys]] — documents hash into identical
+    * buckets), so the only stateful piece is the bucket itself: per
+    * (band, band_key) the state is `(min_id, n_members)` and every
+    * micro-batch touching a bucket emits its updated
+    * (band, band_key, min_id, n_members) — a CHANGELOG under an update
+    * sink, exactly the [[keepBestStream]] shape. `n_members` strictly
+    * increases per emission, so the drained result compacts exactly by
+    * max-`n_members` per bucket under ANY batch split (min and count are
+    * associative and commutative).
+    *
+    * Scale: state is O(#buckets) × two longs — constant per bucket, NO
+    * member lists, so a degenerate mega-bucket costs the same 16 bytes as
+    * a pair (the batch path needs its `maxBucket` guard precisely because
+    * it materializes member lists to expand pairs; this path never
+    * expands pairs in-stream). Per-document verdicts (canonical id =
+    * min over the doc's buckets, duplicate iff canonical < id) come from
+    * joining the documents' band keys against the compacted buckets at
+    * drain time — see q_stream_neardup. Unique-id PRECONDITION as in
+    * [[graft.dedup.Dedup.minhashSignature]]; zero-token docs emit no row.
+    */
+  def lshBucketsStream(docs: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 16, bands: Int = 4,
+                       rowsPerBand: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val sig = graft.dedup.Dedup.minhashSignature(
+      docs.select(col(idCol).cast(LongType).as(idCol),
+        col(textCol).cast(StringType).as(textCol)),
+      idCol, textCol, numHashes)
+    val banded = graft.dedup.Dedup.bandedKeys(sig, bands, rowsPerBand)
+      .select(col("band"), col("band_key"), col("id"))
+      .as[(Int, String, Long)]
+    banded.groupByKey { case (b, k, _) => (b, k) }
+      .mapGroupsWithState[(Long, Long), (Int, String, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (key: (Int, String), values: Iterator[(Int, String, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (minId, n) = state.getOption.getOrElse((Long.MaxValue, 0L))
+          values.foreach { case (_, _, id) =>
+            n += 1
+            if (id < minId) minId = id
+          }
+          state.update((minId, n))
+          (key._1, key._2, minId, n)
+      }.toDF("band", "band_key", "min_id", "n_members")
+  }
+
   /** Exact per-document n-gram repetition stats on a stream — the
     * streaming twin of [[graft.functions.Text.repetitionStats]] (same
     * output row per document). The batch form chains two aggregations,

@@ -117,6 +117,42 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lshBucketsStream converges to the batch banding across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (5L, "the quick brown fox jumps"),
+      (7L, "the quick brown fox jumps"),   // identical → shares every bucket
+      (3L, "the quick brown fox jumps"),   // late-arriving SMALLER id
+      (9L, "an entirely different text"))
+    val mem = MemoryStream[(Long, String)]
+    val out = Streams.lshBucketsStream(mem.toDF.toDF("doc_id", "text"),
+      "doc_id", "text", numHashes = 8, bands = 2, rowsPerBand = 4)
+    val q = out.writeStream.format("memory").queryName("lshb")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(docs(0), docs(1))
+      q.processAllAvailable()
+      mem.addData(docs(2), docs(3))
+      q.processAllAvailable()
+      // changelog compaction: max-n_members emission per bucket is final
+      val finals = spark.table("lshb").as[(Int, String, Long, Long)].collect()
+        .groupBy(t => (t._1, t._2)).map { case (k, rows) => k -> rows.maxBy(_._4) }
+      // the batch twin on the same rows lands in identical buckets
+      val batch = graft.dedup.Dedup.bandedKeys(
+          graft.dedup.Dedup.minhashSignature(
+            docs.toDF("doc_id", "text"), "doc_id", "text", 8),
+          bands = 2, rowsPerBand = 4)
+        .groupBy("band", "band_key")
+        .agg(min("id").as("min_id"), count(lit(1)).as("n"))
+        .as[(Int, String, Long, Long)].collect()
+        .map(t => (t._1, t._2) -> t).toMap
+      assert(finals == batch)
+      // the late smaller id LOWERED the bucket min: every bucket holding
+      // the three identical docs ends at min_id = 3 with 3 members
+      assert(finals.values.count { case (_, _, minId, n) => minId == 3L && n == 3L } == 2)
+    } finally q.stop()
+  }
+
   test("repetitionStatsStream emits the batch repetitionStats row per document") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
