@@ -259,33 +259,66 @@ object Sources {
     *
     * The page WALK is driver-side by nature — each offset is data in the
     * previous response, an inherently serial chain the reference also walks
-    * one request at a time. Page COUNT is API-bounded (thousands, not
-    * billions), and everything downstream of the collected bodies (JSON
-    * parse, explode, joins) is a distributed plan over the returned frame.
-    * For offset-ARITHMETIC APIs (page=0,1,2,…) use [[paginatedApi]], which
-    * fetches all pages in parallel on the executors. Wrap `fetch` in
-    * [[withRetries]] for flaky endpoints.
+    * one request at a time. Driver MEMORY is not walk-length-bounded,
+    * though: bodies spill to a temp parquet directory every `flushEvery`
+    * pages, so peak driver accumulation is `flushEvery` bodies regardless
+    * of page count, and `maxPages` defaults to a driver-honest 10k (raise
+    * it explicitly for genuinely longer chains — the spill keeps memory
+    * flat either way). Everything downstream of the returned frame (JSON
+    * parse, explode, joins) is a distributed plan. For offset-ARITHMETIC
+    * APIs (page=0,1,2,…) use [[paginatedApi]], which fetches all pages in
+    * parallel on the executors. Wrap `fetch` in [[withRetries]] for flaky
+    * endpoints.
     *
-    * Output: (page, offset, body) — one row per fetched page.
+    * Output: (page, offset, body, cycled) — one row per fetched page.
+    * `cycled` is true on EVERY row iff the walk terminated because an
+    * offset repeated: a looping API is thereby distinguishable in-band
+    * from normal end-of-pages (it also logs a warning) instead of
+    * returning a silently truncated frame.
     */
   def paginatedApiChase(spark: SparkSession, urlFor: String => String,
                         fetch: String => String,
                         nextOffset: String => Option[String],
                         firstOffset: String = "",
-                        maxPages: Int = 100000): DataFrame = {
+                        maxPages: Int = 10000,
+                        flushEvery: Int = 1024): DataFrame = {
     import spark.implicits._
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    require(flushEvery > 0, s"flushEvery must be positive, got $flushEvery")
+    lazy val spill = java.nio.file.Files
+      .createTempDirectory("graft_chase_spill").toString
+    var spilled = false
+    val chunk = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    def flush(): Unit = if (chunk.nonEmpty) {
+      chunk.toSeq.toDF("page", "offset", "body")
+        .write.mode("append").parquet(spill)
+      spilled = true
+      chunk.clear()
+    }
     val seen = scala.collection.mutable.Set.empty[String]
     var offset: Option[String] = Some(firstOffset)
-    while (offset.isDefined && seen.add(offset.get)) {
-      require(rows.size < maxPages,
-        s"paginatedApiChase exceeded maxPages=$maxPages; raise the cap if the " +
-          "API genuinely has more pages")
-      val body = fetch(urlFor(offset.get))
-      rows += ((rows.size.toLong, offset.get, body))
-      offset = nextOffset(body).filter(_.nonEmpty)
+    var page = 0L
+    var cycled = false
+    while (offset.isDefined && !cycled) {
+      if (!seen.add(offset.get)) cycled = true
+      else {
+        require(page < maxPages,
+          s"paginatedApiChase exceeded maxPages=$maxPages; raise the cap if the " +
+            "API genuinely has more pages (memory stays flat — bodies spill)")
+        val body = fetch(urlFor(offset.get))
+        chunk += ((page, offset.get, body))
+        page += 1
+        if (chunk.size >= flushEvery) flush()
+        offset = nextOffset(body).filter(_.nonEmpty)
+      }
     }
-    rows.toSeq.toDF("page", "offset", "body")
+    if (cycled)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"paginatedApiChase: offset '${offset.get}' repeated after $page pages " +
+          "- cycling API; returning the fetched pages with cycled=true")
+    val out =
+      if (spilled) { flush(); spark.read.parquet(spill) }
+      else chunk.toSeq.toDF("page", "offset", "body")
+    out.withColumn("cycled", lit(cycled))
   }
 
   /** Driver-side JSON key lookup with recursive descent for

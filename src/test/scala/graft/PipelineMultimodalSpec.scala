@@ -138,10 +138,27 @@ class PipelineMultimodalSpec extends SparkSpec {
       Sources.jsonKey("next"))
     assert(df.orderBy("page").select("offset").as[String].collect().toSeq
       == Seq("", "a", "b"))
-    // cycle guard: an API that points back at a seen offset terminates
-    assert(Sources.paginatedApiChase(spark, o => s"u/$o",
+    // normal end-of-pages is NOT flagged as a cycle
+    assert(df.filter(col("cycled")).count() == 0)
+    // cycle guard: an API that points back at a seen offset terminates,
+    // and the loop is signalled in-band on every row (vs silent truncation)
+    val cyc = Sources.paginatedApiChase(spark, o => s"u/$o",
       Map("u/" -> """{"next": "a"}""", "u/a" -> """{"next": "a"}""")(_),
-      Sources.jsonKey("next")).count() == 2)
+      Sources.jsonKey("next"))
+    assert(cyc.count() == 2 && cyc.filter(col("cycled")).count() == 2)
+    // driver accumulation is bounded: with flushEvery=3, a 9-page walk of
+    // 64 KiB bodies flushes the in-memory chunk to parquet three times (it
+    // CLEARS on every flush — at most 3 bodies live at once) and the
+    // read-back frame is complete, page-ordered, and byte-identical
+    val big = "x" * 65536
+    val chain = (0 until 9).map(i =>
+      s"u/o$i" -> s"""{"body": "$big", "next": ${if (i < 8) s"\"o${i + 1}\"" else "null"}}""").toMap
+    val spilledDf = Sources.paginatedApiChase(spark, o => s"u/$o", chain(_),
+      Sources.jsonKey("next"), firstOffset = "o0", maxPages = 10, flushEvery = 3)
+    val got = spilledDf.orderBy("page")
+      .select("page", "offset", "cycled").as[(Long, String, Boolean)].collect()
+    assert(got.toSeq == (0 until 9).map(i => (i.toLong, s"o$i", false)))
+    assert(spilledDf.filter(col("body").contains(big)).count() == 9)
     // maxPages is a loud cap, not a silent truncation
     intercept[IllegalArgumentException] {
       // each page's next offset is the full url — strictly growing, no cycle
