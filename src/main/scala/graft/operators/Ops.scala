@@ -281,19 +281,31 @@ object Ops {
       .drop("__prior")
   }
 
-  /** Exact per-group percentiles (quality-threshold computation: "keep docs
-    * above the per-language p25 quality score"). Spark's `percentile` is
-    * the exact linear-interpolated quantile — one partial-agg pass, same
-    * shuffle shape as any group-by. For 100 TB prefer `percentile_approx`
-    * (t-digest, bounded memory) unless thresholds feed an oracle; quarter
-    * fractions over integer-valued doubles interpolate FP-exactly, which is
-    * what makes the cross-engine oracle possible.
+  /** Per-group percentiles (quality-threshold computation: "keep docs
+    * above the per-language p25 quality score"). Exact mode uses Spark's
+    * `percentile` — the exact linear-interpolated quantile, one
+    * partial-agg pass, same shuffle shape as any group-by, but agg state
+    * holds a per-group value map (fine at oracle scale, unbounded at
+    * corpus scale). `approx = true` switches to `percentile_approx`
+    * (Greenwald-Khanna, agg state bounded by `accuracy` regardless of
+    * group size) — the 100 TB posture, exposed through ConfigPipeline's
+    * `percentiles` op. Exact quarter fractions over integer-valued
+    * doubles interpolate FP-exactly, which is what makes the cross-engine
+    * oracle possible; the approx form trades that bit-exactness for
+    * bounded memory (rank error ≤ 1/accuracy), so oracle-bound paths stay
+    * exact and production config paths default to approx.
     */
   def percentiles(df: DataFrame, keys: Seq[String], valueCol: String,
-                  ps: Seq[(Double, String)]): DataFrame =
+                  ps: Seq[(Double, String)],
+                  approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    def one(p: Double, name: String) =
+      (if (approx) percentile_approx(col(valueCol), lit(p), lit(accuracy))
+       else percentile(col(valueCol), lit(p))).as(name)
     df.groupBy(keys.map(col): _*)
-      .agg(percentile(col(valueCol), lit(ps.head._1)).as(ps.head._2),
-        ps.tail.map { case (p, n) => percentile(col(valueCol), lit(p)).as(n) }: _*)
+      .agg(one(ps.head._1, ps.head._2),
+        ps.tail.map { case (p, n) => one(p, n) }: _*)
+  }
 
   /** Deterministic train/val split (B8 companion): bucket = the md5 of the
     * id's 60-bit prefix mod 100, split = "train" below `trainPct` else

@@ -34,7 +34,11 @@ import graft.sources.Tables
   * (id/text...), `mixture` (id/group/weights), `pagerank`/`degrees`
   * (edge frames), `quality_classifier` (id/text/dim + a weights stage),
   * `histogram` (value/bins), `sample_per_group` (keys/id/n),
-  * `canonical_url` (url[, as]).
+  * `canonical_url` (url[, as]), `percentiles` (keys/value/ps[{p,as}] —
+  * mode "approx" by default: bounded-state percentile_approx with an
+  * `accuracy` knob; mode "exact" for the oracle-grade quantile),
+  * `distinct_sketch` (keys/value — method "kmv" with knob `k`, or "hll"
+  * with knob `rsd`: the fixed-register HyperLogLog++ sketch).
   */
 object ConfigPipeline {
 
@@ -148,6 +152,31 @@ object ConfigPipeline {
       case "histogram" =>
         p.stage(name, from)(graft.operators.Ops.histogram(_,
           s.get("value").asText(), s.get("bins").asInt()))
+      // per-group quantiles; mode "approx" (the default here — the config
+      // path is what a 100 TB user runs) bounds agg state by `accuracy`
+      // via percentile_approx, mode "exact" is the oracle-grade form
+      case "percentiles" =>
+        val ps = s.get("ps").elements().asScala
+          .map(e => (e.get("p").asDouble(), e.get("as").asText())).toSeq
+        val approx = !s.has("mode") || s.get("mode").asText() == "approx"
+        p.stage(name, from)(graft.operators.Ops.percentiles(_,
+          strs(s.get("keys")), s.get("value").asText(), ps, approx = approx,
+          accuracy = if (s.has("accuracy")) s.get("accuracy").asInt() else 10000))
+      // approximate distinct counts per group: method "kmv" (deterministic
+      // k-minimum-values, oracle-able, knob k) or "hll" (HyperLogLog++,
+      // knob rsd — the fixed-register 100 TB sketch)
+      case "distinct_sketch" =>
+        val keys = strs(s.get("keys")); val v = s.get("value").asText()
+        (if (s.has("method")) s.get("method").asText() else "kmv") match {
+          case "kmv" =>
+            p.stage(name, from)(graft.operators.Ops.approxDistinctKmv(_,
+              keys, v, if (s.has("k")) s.get("k").asInt() else 256))
+          case "hll" =>
+            val rsd = if (s.has("rsd")) s.get("rsd").asDouble() else 0.05
+            p.stage(name, from)(_.groupBy(keys.map(col): _*)
+              .agg(approx_count_distinct(col(v), rsd).as("distinct_est")))
+          case other => sys.error(s"unknown distinct_sketch method '$other'")
+        }
       case "sample_per_group" =>
         p.stage(name, from)(graft.operators.Ops.sampleNPerGroup(_,
           strs(s.get("keys")), s.get("id").asText(), s.get("n").asInt()))

@@ -245,6 +245,45 @@ class MtlConfigSpec extends SparkSpec {
     assert(qc.output("idx").columns.toSeq == Seq("token", "postings", "df"))
   }
 
+  test("ConfigPipeline drives approx percentiles and distinct sketches") {
+    val cfg = ConfigPipeline.fromJson(spark,
+      """{"stages": [
+        | {"name": "o", "op": "table", "dir": "/root/testdata/sf0.001", "table": "orders"},
+        | {"name": "pctl", "op": "percentiles", "from": "o", "keys": ["o_orderstatus"],
+        |  "value": "o_totalprice", "ps": [{"p": 0.25, "as": "p25"}, {"p": 0.5, "as": "p50"}],
+        |  "accuracy": 10000},
+        | {"name": "pctl_exact", "op": "percentiles", "from": "o", "mode": "exact",
+        |  "keys": ["o_orderstatus"], "value": "o_totalprice", "ps": [{"p": 0.5, "as": "p50"}]},
+        | {"name": "kmv", "op": "distinct_sketch", "from": "o", "keys": ["o_orderstatus"],
+        |  "value": "o_custkey", "k": 64},
+        | {"name": "hll", "op": "distinct_sketch", "from": "o", "method": "hll",
+        |  "keys": ["o_orderstatus"], "value": "o_custkey", "rsd": 0.02}
+        |]}""".stripMargin)
+    // config default is APPROX (bounded agg state); at accuracy 10000 over
+    // a few hundred values per group the approx median sits within the
+    // neighboring-value gap of the exact interpolated one
+    val approx = cfg.output("pctl").select("o_orderstatus", "p50")
+      .as[(String, Double)].collect().toMap
+    val exact = cfg.output("pctl_exact").select("o_orderstatus", "p50")
+      .as[(String, Double)].collect().toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e) / e < 0.05, s"$k: approx ${approx(k)} vs exact $e") }
+    assert(cfg.output("pctl").columns.toSeq == Seq("o_orderstatus", "p25", "p50"))
+    // both sketch methods estimate the true per-group distinct count
+    val truth = cfg.output("o").groupBy("o_orderstatus")
+      .agg(count_distinct(col("o_custkey")).as("d"))
+      .as[(String, Long)].collect().toMap
+    val kmv = cfg.output("kmv").select("o_orderstatus", "distinct_est")
+      .as[(String, Double)].collect().toMap
+    val hll = cfg.output("hll").select("o_orderstatus", "distinct_est")
+      .as[(String, Long)].collect().toMap
+    truth.foreach { case (k, t) =>
+      assert(math.abs(kmv(k) - t) / t < 0.35, s"$k: kmv ${kmv(k)} vs true $t")
+      assert(math.abs(hll(k).toDouble - t) / t < 0.10, s"$k: hll ${hll(k)} vs true $t")
+    }
+  }
+
   test("intervalJoinBucketed matches plain intervalJoin results") {
     val ev = Seq((1L, "a", 100L), (2L, "a", 250L), (3L, "a", 900L), (4L, "b", 120L),
       (5L, "b", 180L)).toDF("id", "k", "t")
