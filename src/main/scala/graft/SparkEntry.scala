@@ -1176,26 +1176,33 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("score").cast(DoubleType).as("score"),
           col("n_features"))
     }),
-    // BPE training: 32 merges in 4 batched job rounds of 8 symbol-disjoint
-    // merges each (one corpus scan; a round is ONE vocab-sized job + argmax
-    // fetch, not 8 — the scheduler-round-trip posture a 50k-merge
-    // production run needs). The oracle replays the batched greedy
-    // selection round for round in the same padded-string representation.
+    // BPE training off the toy regime: 17 batched job rounds at R=32 over
+    // the customer-name corpus (the richest vocabulary in the testdata —
+    // documents.text has 31 distinct words and exhausts at 89 merges)
+    // yield 268 merges at sf0.01. One corpus scan; a round is ONE
+    // vocab-sized job + argmax fetch, not 32 — the scheduler-round-trip
+    // posture a 50k-merge production run needs (at R=32 that run is ~1.6k
+    // vocab-sized jobs, not 50k). maxRounds bounds rounds instead of the
+    // merge count so every round wants the full R and the oracle can
+    // unroll exactly 17 rounds — short early rounds (symbol diversity <
+    // 64) mirror as empty SQL slots. The oracle replays the batched
+    // greedy selection round for round in the same padded-string
+    // representation.
     "q_bpe_merges" -> ((s, dir) =>
-      graft.functions.Bpe.train(T(s, dir, "documents"), "text",
-          nMerges = 32, mergesPerRound = 8)._1
+      graft.functions.Bpe.train(T(s, dir, "customer"), "c_name",
+          nMerges = 544, mergesPerRound = 32, maxRounds = 17)._1
         .select(col("rank"), col("l"), col("r"), col("merged"), col("n"))),
     // BPE segmentation: replay the trained merges over every corpus token
     // as a chain of literal-replace projections (zero shuffles). The
     // oracle instead joins tokens to the final trained vocabulary —
     // agreement proves the projection chain ≡ the training fixpoint.
     "q_bpe_segment" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val merges = graft.functions.Bpe.train(docs, "text",
-          nMerges = 32, mergesPerRound = 8)._1
+      val docs = T(s, dir, "customer")
+      val merges = graft.functions.Bpe.train(docs, "c_name",
+          nMerges = 544, mergesPerRound = 32, maxRounds = 17)._1
         .select("l", "r").collect().map(row => (row.getString(0), row.getString(1))).toSeq
-      graft.functions.Bpe.segment(docs, "doc_id", "text", merges)
-        .select(col("id").as("doc_id"), col("token"),
+      graft.functions.Bpe.segment(docs, "c_custkey", "c_name", merges)
+        .select(col("id").as("c_custkey"), col("token"),
           array_join(col("syms"), " ").as("syms_str"), col("n_syms"))
     }),
     // deterministic k-means over embeddings: md5 seeding, 2 Lloyd passes,
@@ -1434,18 +1441,31 @@ object SparkEntry {
     * slot's scalar CTE excludes every symbol used by earlier slots of the
     * same round), then the R literal replaces nested in selection order —
     * exactly the rounds [[graft.functions.Bpe.train]] runs with
-    * mergesPerRound = R. An empty slot (vocabulary exhausted) yields NULL
-    * scalars; the coalesce(chr(1)) guard turns its replace into a no-op,
-    * mirroring the Spark side's short round. `bpeRounds` ×
-    * `bpeMergesPerRound` must match the q_bpe_* query entries.
+    * mergesPerRound = R and maxRounds = `bpeRounds`. Per round, the
+    * greedy SYMBOL-DISJOINT selection is ONE recursive CTE (each step a
+    * LATERAL argmin over the pair table excluding the accumulated `used`
+    * symbol list — no candidate left ends the recursion, mirroring a
+    * short round), and the R replaces apply through a second recursive
+    * CTE stepping slot by slot (a LEFT JOIN per step so an empty slot is
+    * a no-op). Both the SQL text and its expression depth are LINEAR in
+    * rounds and CONSTANT in R — the r5 form inlined every earlier slot's
+    * exclusion into every later one and nested all R replaces in one
+    * expression, which at R=32 blew DuckDB's default 1000 expression-depth
+    * limit and cost 78 s; this form binds in default config and runs in
+    * ~2 s. Corpus = customer names (the richest vocabulary in the
+    * testdata — 268 merges at sf0.01; documents.text exhausts at 89
+    * merges). `bpeRounds` × `bpeMergesPerRound` must match the q_bpe_*
+    * entries.
     */
-  private val bpeRounds = 4
-  private val bpeMergesPerRound = 8
+  private val bpeRounds = 17
+  private val bpeMergesPerRound = 32
   private val bpeVocabCtes: String = {
+    val R = bpeMergesPerRound
     val sb = new StringBuilder
     sb.append(
       s"""w AS MATERIALIZED (SELECT tok AS word, COUNT(*) AS cnt
-         |      FROM (SELECT unnest($toksSql) AS tok FROM documents) GROUP BY 1),
+         |      FROM (SELECT unnest(list_filter(string_split(c_name, ' '), t -> t <> '')) AS tok
+         |            FROM customer) GROUP BY 1),
          |v0 AS MATERIALIZED (SELECT word, cnt,
          |       ' ' || array_to_string(list_transform(range(1, len(word) + 1),
          |                i -> substring(word, i, 1)), '  ') || ' ' AS syms
@@ -1457,43 +1477,47 @@ object SparkEntry {
            |        SELECT cnt, unnest(list_transform(range(0, len(s) - 1),
            |               i -> {'l': s[i + 1], 'r': s[i + 2]})) AS p
            |        FROM (SELECT cnt, string_split(trim(syms), '  ') AS s FROM v${i - 1})
-           |       ) GROUP BY 1, 2)""".stripMargin)
-      for (j <- 1 to bpeMergesPerRound) {
-        val cond =
-          if (j == 1) ""
-          else {
-            val used = (1 until j)
-              .map(k => s"SELECT l AS s FROM s${i}_$k UNION ALL SELECT r AS s FROM s${i}_$k")
-              .mkString(" UNION ALL ")
-            s"WHERE l NOT IN ($used) AND r NOT IN ($used) "
-          }
-        sb.append(
-          s""",
-             |s${i}_$j AS MATERIALIZED (SELECT l, r, n FROM p$i ${cond}ORDER BY n DESC, l, r LIMIT 1)""".stripMargin)
-      }
-      val applied = (1 to bpeMergesPerRound).foldLeft("syms") { (acc, j) =>
-        s"""replace($acc,
-           |          coalesce((SELECT ' ' || l || '  ' || r || ' ' FROM s${i}_$j), chr(1)),
-           |          coalesce((SELECT ' ' || l || r || ' ' FROM s${i}_$j), chr(1)))""".stripMargin
-      }
-      sb.append(
-        s""",
-           |v$i AS MATERIALIZED (SELECT word, cnt, $applied AS syms FROM v${i - 1})""".stripMargin)
+           |       ) GROUP BY 1, 2),
+           |sel$i AS MATERIALIZED (
+           |  WITH RECURSIVE g(slot, l, r, n, used) AS (
+           |    SELECT 1, l, r, n, [l, r]
+           |    FROM (SELECT * FROM p$i ORDER BY n DESC, l, r LIMIT 1)
+           |    UNION ALL
+           |    SELECT g.slot + 1, c.l, c.r, c.n, g.used || [c.l, c.r]
+           |    FROM g, LATERAL (SELECT l, r, n FROM p$i
+           |             WHERE NOT list_contains(g.used, l)
+           |               AND NOT list_contains(g.used, r)
+           |             ORDER BY n DESC, l, r LIMIT 1) c
+           |    WHERE g.slot < $R
+           |  ) SELECT slot, l, r, n FROM g),
+           |v$i AS MATERIALIZED (
+           |  WITH RECURSIVE a(j, word, cnt, syms) AS (
+           |    SELECT 0, word, cnt, syms FROM v${i - 1}
+           |    UNION ALL
+           |    SELECT a.j + 1, a.word, a.cnt,
+           |           CASE WHEN s.l IS NULL THEN a.syms
+           |                ELSE replace(a.syms, ' ' || s.l || '  ' || s.r || ' ',
+           |                             ' ' || s.l || s.r || ' ') END
+           |    FROM a LEFT JOIN sel$i s ON s.slot = a.j + 1
+           |    WHERE a.j < $R
+           |  ) SELECT word, cnt, syms FROM a WHERE j = $R)""".stripMargin)
     }
     sb.toString
   }
   private val bpeMergesOracle: String = {
-    val slots = (for { i <- 1 to bpeRounds; j <- 1 to bpeMergesPerRound }
-      yield s"SELECT $i AS round, $j AS slot, l, r, n FROM s${i}_$j").mkString(" UNION ALL ")
-    s"""WITH $bpeVocabCtes
+    val slots = (1 to bpeRounds)
+      .map(i => s"SELECT $i AS round, slot, l, r, n FROM sel$i")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE $bpeVocabCtes
        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY round, slot) AS BIGINT) AS rank,
        |       l, r, l || r AS merged, CAST(n AS BIGINT) AS n
        |FROM ($slots)""".stripMargin
   }
   private val bpeSegmentOracle: String =
-    s"""WITH $bpeVocabCtes,
-       |tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents)
-       |SELECT doc_id, token,
+    s"""WITH RECURSIVE $bpeVocabCtes,
+       |tok AS (SELECT c_custkey, unnest(list_filter(string_split(c_name, ' '), t -> t <> '')) AS token
+       |        FROM customer)
+       |SELECT c_custkey, token,
        |  array_to_string(string_split(trim(v.syms), '  '), ' ') AS syms_str,
        |  CAST(len(string_split(trim(v.syms), '  ')) AS BIGINT) AS n_syms
        |FROM tok JOIN v$bpeRounds v ON v.word = tok.token""".stripMargin

@@ -81,12 +81,22 @@ object Bpe {
     * ~800 vocab-sized jobs). The variants can diverge after the first
     * round (sequential BPE may rank a freshly-created pair above a
     * later-batched one), which is why R is explicit, not a silent default.
+    *
+    * `maxRounds` bounds the JOB rounds instead of the merge count: with
+    * `nMerges >= maxRounds * mergesPerRound` every round wants the full R
+    * and takes whatever symbol-disjoint pairs the snapshot offers, so the
+    * run's shape is "Q vocab-sized jobs", data-independent — the form an
+    * external replay (the q_bpe oracle) can unroll exactly even when
+    * early rounds come up short of R (symbol diversity, not the cap,
+    * limits a round's take).
     */
   def train(docs: DataFrame, textCol: String, nMerges: Int,
-            mergesPerRound: Int = 1): (DataFrame, DataFrame) = {
+            mergesPerRound: Int = 1,
+            maxRounds: Int = Int.MaxValue): (DataFrame, DataFrame) = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     require(mergesPerRound > 0,
       s"mergesPerRound must be positive, got $mergesPerRound")
+    require(maxRounds > 0, s"maxRounds must be positive, got $maxRounds")
     val spark = docs.sparkSession
     import spark.implicits._
     // vocab is small by construction (distinct words); keep it hot and cut
@@ -97,7 +107,9 @@ object Bpe {
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var exhausted = false
-    while (merges.size < nMerges && !exhausted) {
+    var round = 0
+    while (merges.size < nMerges && round < maxRounds && !exhausted) {
+      round += 1
       val want = math.min(mergesPerRound, nMerges - merges.size)
       // One vocab-sized job per ROUND: collect a prefix of the sorted pair
       // table and select greedily; the prefix grows (rare) if overlaps ate
