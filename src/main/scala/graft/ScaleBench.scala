@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.dedup.Dedup
+import graft.sources.Tables
+
+/** Scale-growth experiment (plans/SCALE.md): replicate the sf0.1 corpus
+  * `factor`× with salted ids (no sf1 testdata exists; synthesis is the
+  * available lever) and measure how the flagship pipelines scale. Text
+  * replicas are byte-identical to the originals — deliberately: a k×
+  * replicated crawl is the dup-HEAVY regime, which is exactly where the
+  * near-dup path's cost model (bucket sizes → in-bucket pair expansion)
+  * gets stressed, and where the documented production composition
+  * (exact dedup FIRST, then near-dup on survivors) must prove itself.
+  *
+  * Usage: runMain graft.ScaleBench [baseDir] [factor] [workDir]
+  */
+object ScaleBench {
+
+  private def synth(spark: SparkSession, base: String, factor: Int,
+                    work: String): String = {
+    val dir = s"$work/x$factor"
+    val docs = Tables.load(spark, base, "documents")
+    val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1L
+    val reps = spark.range(factor).select(col("id").as("__r"))
+    docs.crossJoin(reps)
+      .withColumn("doc_id", col("doc_id") + col("__r") * maxDoc).drop("__r")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val orders = Tables.load(spark, base, "orders")
+    val maxOrd = orders.agg(max("o_orderkey")).head().getLong(0) + 1L
+    val maxCust = orders.agg(max("o_custkey")).head().getLong(0) + 1L
+    // salt BOTH keys: each replica is its own customer population, so
+    // per-customer chain lengths (the kb/pagerank graph shape) are
+    // preserved and the graph grows by components, not by depth
+    orders.crossJoin(reps)
+      .withColumn("o_orderkey", col("o_orderkey") + col("__r") * maxOrd)
+      .withColumn("o_custkey", col("o_custkey") + col("__r") * maxCust)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  /** The documented production posture for a dup-heavy corpus: collapse
+    * exact copies first (hash group-by — cheap, linear), then run the
+    * near-dup flagship on the survivors.
+    */
+  private def neardupComposed(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val keep = Dedup.exact(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val d = docs.join(keep, "doc_id")
+    val sig = Dedup.minhashSignature(d, "doc_id", "text", 16)
+    val pairs = Dedup.lshPairs(sig, bands = 4, rowsPerBand = 4, maxBucket = 256)
+    val clusters = Dedup.dupClusters(pairs).withColumnRenamed("member", "doc_id")
+    d.join(clusters, Seq("doc_id"), "left")
+      .filter(col("canonical").isNull || col("canonical") === col("doc_id"))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val work = args.lift(2).getOrElse("/tmp/graft_scale")
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val big = synth(spark, base, factor, work)
+    println(s"[scalebench] synthesized $big")
+
+    def time(name: String, dir: String)(mk: => DataFrame): Unit = {
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = mk.count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"[scalebench] $name dir=$dir min=${ts.map(_._1).min}%.2f s " +
+        f"rows=${ts.head._2} runs=${ts.map(t => f"${t._1}%.2f").mkString(",")}")
+    }
+
+    for (dir <- Seq(base, big)) {
+      for (q <- Seq("q_neardup_pipeline", "q_llm_pipeline", "q_kb_infer", "q_pagerank"))
+        time(q, dir) { SparkEntry.queries(q)(spark, dir) }
+      time("neardup_composed", dir) { neardupComposed(spark, dir) }
+    }
+    spark.stop()
+  }
+}
