@@ -1234,6 +1234,20 @@ object SparkEntry {
           "vec_id", "embedding", cbs, topK = 3, nlist = 8, nprobe = 8)
         .select("query_id", "rank", "neighbor_id", "adc2")
     }),
+    // ADC shortlist + exact re-rank (the production recall lever): search
+    // wide with compressed codes (top-8 by ADC), settle the final top-3
+    // with |Q|·8 exact distances. The oracle replays the same ADC
+    // shortlist and the same (q·q + c·c) − 2·q·c double arithmetic.
+    "q_pq_rerank" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cbs = graft.similarity.Pq.trainCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 2, k = 4, rounds = 2)
+      val queries = emb.filter(col("vec_id") < 8)
+      val short = graft.similarity.Pq.ivfAdcTopK(queries, emb,
+        "vec_id", "embedding", cbs, topK = 8, nlist = 8, nprobe = 8)
+      graft.similarity.Pq.rerank(short, queries, emb, "vec_id", "embedding",
+        topK = 3)
+    }),
     // SemDeDup: k-means blocks + within-cluster cosine, keep-lowest-id
     "q_semdedup" -> ((s, dir) =>
       graft.similarity.Clustering.semDedup(T(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1781,7 +1795,7 @@ object SparkEntry {
     * must match the q_pq entry: dim=64, m=2 (sub=32), k=4, rounds=2,
     * queries vec_id < 8, topK=3.
     */
-  private val pqOracle: String = {
+  private val pqScoredCtes: String = {
     val (m, sub, k) = (2, 32, 4)
     val perSub = (0 until m).map { j =>
       val lo = j * sub + 1; val hi = (j + 1) * sub
@@ -1823,13 +1837,37 @@ object SparkEntry {
        |           FROM cod0 co0 JOIN cod1 co1 USING (vec_id)
        |           JOIN dt0 ON dt0.cid = co0.cid
        |           JOIN dt1 ON dt1.cid = co1.cid AND dt1.query_id = dt0.query_id
-       |           WHERE dt0.query_id <> co0.vec_id)
+       |           WHERE dt0.query_id <> co0.vec_id)""".stripMargin
+  }
+  private val pqOracle: String =
+    s"""$pqScoredCtes
        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, adc2 FROM (
        |  SELECT query_id, neighbor_id, adc2,
        |         row_number() OVER (PARTITION BY query_id
        |                            ORDER BY adc2, neighbor_id) AS rnk
        |  FROM scored) WHERE rnk <= 3""".stripMargin
-  }
+  /** ADC top-8 shortlist, then exact-L2 re-rank to top-3 — the same
+    * (q·q + c·c) − 2·q·c double arithmetic as `Pq.rerank` (float→double
+    * casts are exact; both engines sum products sequentially).
+    */
+  private val pqRerankOracle: String =
+    s"""$pqScoredCtes,
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc2, neighbor_id) AS rnk
+       |  FROM scored) WHERE rnk <= 8),
+       |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, d2 FROM (
+       |  SELECT query_id, neighbor_id, d2,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY d2, neighbor_id) AS rnk
+       |  FROM (SELECT sh.query_id, sh.neighbor_id,
+       |        list_dot_product(qq.v, qq.v) + list_dot_product(cc.v, cc.v)
+       |        - 2 * list_dot_product(qq.v, cc.v) AS d2
+       |        FROM short sh JOIN ev qq ON qq.vec_id = sh.query_id
+       |        JOIN ev cc ON cc.vec_id = sh.neighbor_id))
+       |WHERE rnk <= 3""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_counter" -> "SELECT r.range AS n FROM range(0, 1000) r",
@@ -2365,6 +2403,7 @@ object SparkEntry {
     // exhaustive-probe identity: IVF routing with nprobe = nlist visits
     // every cell, so the oracle is the same exhaustive ADC replay
     "q_pq_ivf" -> pqOracle,
+    "q_pq_rerank" -> pqRerankOracle,
     "q_semdedup" ->
       s"""$kmeansCtes,
          |asg AS (SELECT vec_id, cid FROM a2 WHERE rnk = 1),

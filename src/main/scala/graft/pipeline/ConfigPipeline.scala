@@ -27,7 +27,9 @@ import graft.sources.Tables
   *
   * Training-pipeline ops (SURVEY §2.G from config, so a config-driven user
   * reaches the whole library): `dedup_exact` (id/text), `dedup_best`
-  * (id/key/score), `sessionize` (keys/ts/gap), `pack`
+  * (id/key/score), `dedup_near` (id/text[, numHashes/bands/rowsPerBand/
+  * maxBucket] — the minhash→LSH→components→keep-canonical flagship;
+  * compose after `dedup_exact` on dup-heavy corpora), `sessionize` (keys/ts/gap), `pack`
   * (keys/order/weight/budget), `split` (id/trainPct),
   * `langid`/`fingerprint`/`repetition`/`span_dedup`/`span_dedup_clean`/
   * `chunk`/`lm_xent`/`lm_xent_bigram`/`dsir`/`tfidf`/`inverted_index`
@@ -143,6 +145,26 @@ object ConfigPipeline {
       case "dedup_exact" =>
         p.stage(name, from)(graft.dedup.Dedup.exact(_, s.get("id").asText(),
           s.get("text").asText()))
+      // the near-dup flagship from config: zero-shuffle minhash → guarded
+      // LSH banding → pointer-jumped components → keep each cluster's
+      // canonical row (non-members pass through). Run dedup_exact FIRST on
+      // dup-heavy corpora (plans/SCALE.md: the composition returns the
+      // collapsed-corpus answer 2.4x faster at 10x replication).
+      case "dedup_near" =>
+        val id = s.get("id").asText(); val text = s.get("text").asText()
+        val numHashes = if (s.has("numHashes")) s.get("numHashes").asInt() else 16
+        val bands = if (s.has("bands")) s.get("bands").asInt() else 4
+        val rpb = if (s.has("rowsPerBand")) s.get("rowsPerBand").asInt() else 4
+        val maxBucket = if (s.has("maxBucket")) s.get("maxBucket").asInt() else 1 << 12
+        p.stage(name, from) { d =>
+          val sig = graft.dedup.Dedup.minhashSignature(d, id, text, numHashes)
+          val pairs = graft.dedup.Dedup.lshPairs(sig, bands, rpb, maxBucket)
+          val clusters = graft.dedup.Dedup.dupClusters(pairs)
+            .withColumnRenamed("member", id)
+          d.join(clusters, Seq(id), "left")
+            .filter(col("canonical").isNull || col("canonical") === col(id))
+            .drop("canonical")
+        }
       case "dedup_best" =>
         p.stage(name, from)(graft.dedup.Dedup.exactKeepBest(_,
           s.get("id").asText(), s.get("key").asText(), s.get("score").asText()))

@@ -146,6 +146,39 @@ object Pq {
     * oracle identity); recall < 1 when nprobe < nlist, the standard IVF
     * trade measured in plans/ANN.md.
     */
+  /** Exact re-rank of an ADC shortlist — the production recall lever
+    * named in plans/ANN.md ("recall tuned by re-ranking an ADC shortlist
+    * with exact dots"): ADC's quantization error reorders CLOSE
+    * neighbors, so search wide with compressed codes (topK = m shortlist
+    * from [[adcTopK]]/[[ivfAdcTopK]]) and settle the final order with
+    * |Q|·m exact distances — never |Q|·|C|.
+    *
+    * Plan shape: the shortlist joins the (broadcast) query vectors, then
+    * hash-joins the corpus on neighbor_id — the corpus contributes ONLY
+    * the shortlisted rows (AQE broadcasts the |Q|·m side), and the exact
+    * d² = (q·q + c·c) − 2·q·c is three codegen'd [[Vectors.fdot]] calls
+    * per shortlist row. Output: (query_id, rank, neighbor_id, d2), the
+    * per-query exact-L2 top-k of the shortlist.
+    */
+  def rerank(shortlist: DataFrame, queries: DataFrame, corpus: DataFrame,
+             idCol: String, vecCol: String, topK: Int): DataFrame = {
+    import graft.functions.Vectors
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = shortlist.select("query_id", "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (Vectors.fdot(col("__qv"), col("__qv"))
+          + Vectors.fdot(col("__cv"), col("__cv"))
+          - lit(2.0) * Vectors.fdot(col("__qv"), col("__cv"))).as("d2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("neighbor_id"), col("d2"))
+  }
+
   def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                  vecCol: String, codebooks: Seq[Seq[(Int, Array[Double])]],
                  topK: Int, nlist: Int = 64, nprobe: Int = 8,

@@ -245,6 +245,29 @@ class MtlConfigSpec extends SparkSpec {
     assert(qc.output("idx").columns.toSeq == Seq("token", "postings", "df"))
   }
 
+  test("ConfigPipeline dedup_near matches the programmatic near-dup flagship") {
+    val cfg = ConfigPipeline.fromJson(spark,
+      """{"stages": [
+        | {"name": "d", "op": "parquet", "path": "/root/testdata/sf0.001/documents.parquet"},
+        | {"name": "nd", "op": "dedup_near", "from": "d", "id": "doc_id", "text": "text",
+        |  "numHashes": 16, "bands": 4, "rowsPerBand": 4, "maxBucket": 256}
+        |]}""".stripMargin)
+    val got = cfg.output("nd").select("doc_id").as[Long].collect().toSet
+    // programmatic twin (the q_neardup_pipeline body)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sig = graft.dedup.Dedup.minhashSignature(docs, "doc_id", "text", 16)
+    val pairs = graft.dedup.Dedup.lshPairs(sig, bands = 4, rowsPerBand = 4,
+      maxBucket = 256)
+    val clusters = graft.dedup.Dedup.dupClusters(pairs)
+      .withColumnRenamed("member", "doc_id")
+    val want = docs.join(clusters, Seq("doc_id"), "left")
+      .filter(col("canonical").isNull || col("canonical") === col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // all input columns ride through; the helper column does not leak
+    assert(cfg.output("nd").columns.toSeq == docs.columns.toSeq)
+  }
+
   test("ConfigPipeline drives approx percentiles and distinct sketches") {
     val cfg = ConfigPipeline.fromJson(spark,
       """{"stages": [

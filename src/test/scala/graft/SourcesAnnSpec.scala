@@ -303,6 +303,28 @@ class SourcesAnnSpec extends SparkSpec {
       graft.similarity.Pq.ivfAdcTopK(df, df, "vec_id", "embedding", cbs,
         topK = 5, nlist = 4, nprobe = 5)
     }
+
+    // exact re-rank: with the shortlist widened to the whole corpus, the
+    // reranked top-k IS the exact-L2 top-k — computed independently here
+    // with the interpreted Vectors.dot (a different codepath than the
+    // codegen fdot the operator uses)
+    val wide = graft.similarity.Pq.adcTopK(df.filter($"vec_id" < 2), df,
+      "vec_id", "embedding", cbs, topK = 16)
+    val rr = graft.similarity.Pq.rerank(wide, df.filter($"vec_id" < 2), df,
+        "vec_id", "embedding", topK = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    val vecs = pts.toMap
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * x - 2.0 * x * y + y.toDouble * y }.sum
+    val want = (0L until 2L).flatMap { q =>
+      pts.filter(_._1 != q)
+        .map { case (n, v) => (n, d2(vecs(q), v)) }
+        .sortBy { case (n, d) => (d, n) }.take(5).zipWithIndex
+        .map { case ((n, _), i) => (q, i + 1L, n) }
+    }.toSet
+    assert(rr.map { case (q, r, n, _) => (q, r, n) }.toSet == want)
+    // reranked scores are exact L2 (not ADC approximations)
+    assert(rr.forall { case (q, _, n, d) => math.abs(d - d2(vecs(q), vecs(n))) < 1e-9 })
   }
 
   test("semDedup flags exactly the later ids with a high-cosine cluster-mate") {
