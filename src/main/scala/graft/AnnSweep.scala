@@ -123,6 +123,19 @@ object AnnSweep {
         println(f"| IVFPQ m=4 k=16 nprobe=$nprobe%-2d | ${recallL2(res)}%.3f | $t%.2f | ${t / tBrute}%.2fx | scanned ${scanned / exhaustivePairs * 100}%.1f%% |")
         res.unpersist()
       }
+      // + exact re-rank: widen the routed shortlist to m, settle top-k
+      // with |Q|·m exact dots — the recall lever (codes recall what the
+      // codebook distorts; exact dots restore the order inside the
+      // shortlist, so recall ≈ shortlist recall, not code recall)
+      for ((nprobe, mShort) <- Seq((8, 50), (16, 50), (32, 100))) {
+        val (res, t) = timed {
+          val short = graft.similarity.Pq.ivfAdcTopK(queries, emb,
+            "vec_id", "embedding", cbs, mShort, nlist = 64, nprobe = nprobe)
+          graft.similarity.Pq.rerank(short, queries, emb, "vec_id", "embedding", k)
+        }
+        println(f"| IVFPQ+rerank nprobe=$nprobe%-2d m=$mShort%-3d | ${recallL2(res)}%.3f | $t%.2f | ${t / tBrute}%.2fx | |")
+        res.unpersist()
+      }
     }
     spark.stop()
   }
