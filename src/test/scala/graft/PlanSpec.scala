@@ -253,6 +253,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("ivfAdcTopK's only exchange is the top-k window; rerank joins broadcast") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cbs = graft.similarity.Pq.trainCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 2, k = 4, rounds = 2)
+    val routed = graft.similarity.Pq.ivfAdcTopK(emb.filter(col("vec_id") < 8),
+      emb, "vec_id", "embedding", cbs, topK = 3, nlist = 8, nprobe = 2)
+    val p = planString(routed)
+    // cell assignment + encoding ride the corpus scan as projections; the
+    // probed query side broadcasts — the one exchange is the final window
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // one shuffle exchange in the tree ("- Exchange (n)"; the negative
+    // lookbehind-free form avoids matching BroadcastExchange)
+    assert("- Exchange \\(\\d+\\)".r.findAllIn(p).size == 1, p)
+    val rr = graft.similarity.Pq.rerank(routed,
+      emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", topK = 3)
+    val pr = planString(rr)
+    assert(!pr.contains("CartesianProduct"), pr)
+  }
+
   test("minhashSignature and simhash are zero-shuffle projections (fused expressions)") {
     val docs = Tables.load(spark, sfDir, "documents")
     val sig = Dedup.minhashSignature(docs, "doc_id", "text", 16)
