@@ -11,7 +11,7 @@ import graft.pipeline.ConfigPipeline
   * entry point of the reference, Spark-side:
   *
   * {{{
-  * sbt "runMain graft.RunPipeline <config.json> <stage> [outPath]"
+  * sbt "runMain graft.RunPipeline <config.json> <stage> [outPath] [checkpoint]"
   * }}}
   *
   * Loads the JSON config, substitutes `${ENV}` placeholders
@@ -38,11 +38,27 @@ object RunPipeline {
     val metrics = PipelineMetrics.attach(spark)
     val cfg = ConfigPipeline.render(Files.readString(Paths.get(cfgPath)))
     val result = ConfigPipeline.fromJson(spark, cfg).output(stage)
-    outPath match {
-      case Some(p) =>
+    (outPath, result.isStreaming) match {
+      case (Some(p), true) =>
+        // streaming terminal (a `stream_dir` config source upstream):
+        // drain-and-stop via AvailableNow, per-batch-id dirs so foreachBatch
+        // retries stay idempotent. args(3) supplies a DURABLE checkpoint for
+        // restartable runs (README contract); the temp default is for
+        // bounded drains.
+        val ckpt = args.lift(3).getOrElse(
+          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+        val q = graft.streaming.Streams.toForeachBatch(result, ckpt,
+          availableNow = true) { (batch, id) =>
+          batch.write.mode("overwrite").parquet(s"$p/batch_$id")
+        }
+        q.awaitTermination()
+        println(s"[graft] stream stage '$stage' drained -> $p (checkpoint $ckpt)")
+      case (None, true) =>
+        sys.error(s"stage '$stage' is streaming - pass an outPath to drain it")
+      case (Some(p), false) =>
         result.write.mode("overwrite").parquet(p)
         println(s"[graft] stage '$stage' -> $p")
-      case None =>
+      case (None, false) =>
         result.show(20, truncate = false)
     }
     println(metrics.snapshot.map { case (k, v) => s"$k=$v" }

@@ -18,7 +18,12 @@ import graft.sources.Tables
   * Spark SQL strings (`expr(...)`), the declarative analogue of the
   * reference's config-referenced Python callables.
   *
-  * Ops: `table` (dir/table), `parquet` (path), `csv_permissive`
+  * Ops: `table` (dir/table), `parquet` (path), `stream_dir`
+  * (path/format/schema/maxFilesPerTrigger — a STREAMING source: the
+  * reference's directory watchdog from config; projection/filter stages
+  * apply unchanged, stateful stages need a `watermark` (ts/delay) stage,
+  * and `RunPipeline` drains streaming terminals via foreachBatch),
+  * `csv_permissive`
   * (path/schema — malformed rows land in `_corrupt_record`), `filter`
   * (expr), `select` (exprs), `withColumn` (name/expr), `agg` (keys/aggs),
   * `union` (from[]), `join` (from[2], on, how), `limit` (n), `distinct`,
@@ -83,6 +88,24 @@ object ConfigPipeline {
         p.source(name, Tables.load(spark, s.get("dir").asText(), s.get("table").asText()))
       case "parquet" =>
         p.source(name, spark.read.parquet(s.get("path").asText()))
+      // STREAMING source from config — the reference's LocalDirectoryWatchdog
+      // as a `bin/metalpipe <config>` stage (its configs wire streaming nodes;
+      // ours compile onto the same Pipeline DAG, which hands streaming frames
+      // through untouched — downstream projection/filter ops work unchanged,
+      // stateful ops need a `watermark` stage first). Drive the terminal
+      // stage with RunPipeline (drains via foreachBatch) or
+      // Streams.toForeachBatch.
+      case "stream_dir" =>
+        p.source(name, graft.streaming.Streams.watchDirectory(spark,
+          s.get("path").asText(),
+          format = if (s.has("format")) s.get("format").asText() else "text",
+          schemaDdl = if (s.has("schema")) Some(s.get("schema").asText()) else None,
+          maxFilesPerTrigger =
+            if (s.has("maxFilesPerTrigger")) s.get("maxFilesPerTrigger").asInt() else 100))
+      // event-time watermark (bounds stateful streaming ops' state)
+      case "watermark" =>
+        p.stage(name, from)(_.withWatermark(s.get("ts").asText(),
+          s.get("delay").asText()))
       // permissive CSV: malformed rows arrive as DATA in _corrupt_record
       // instead of failing the read — feed an "error_budget" stage
       // (reference MetalNode max_errors: tolerate N bad messages). The

@@ -245,6 +245,34 @@ class MtlConfigSpec extends SparkSpec {
     assert(qc.output("idx").columns.toSeq == Seq("token", "postings", "df"))
   }
 
+  test("ConfigPipeline stream_dir builds a streaming DAG that drains to the batch answer") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cfg_stream").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang")
+    docs.repartition(2).write.mode("overwrite").parquet(inDir)
+    val out = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "d", "op": "stream_dir", "path": "$inDir", "format": "parquet",
+         |  "schema": "${docs.schema.toDDL.replace("\"", "\\\"")}", "maxFilesPerTrigger": 1},
+         | {"name": "en", "op": "filter", "from": "d", "expr": "lang = 'en'"},
+         | {"name": "sel", "op": "select", "from": "en",
+         |  "exprs": ["doc_id", "length(text) AS n_chars"]}
+         |]}""".stripMargin).output("sel")
+    assert(out.isStreaming)
+    val q = graft.streaming.Streams.toForeachBatch(out, ckpt,
+      availableNow = true) { (batch, id) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+    }
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$outDir/batch_*")
+      .as[(Long, Int)].collect().toSet
+    val want = docs.filter($"lang" === "en")
+      .selectExpr("doc_id", "length(text) AS n_chars")
+      .as[(Long, Int)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("ConfigPipeline dedup_near matches the programmatic near-dup flagship") {
     val cfg = ConfigPipeline.fromJson(spark,
       """{"stages": [
