@@ -101,19 +101,21 @@ object AnnSweep {
     // exhaustive queries×corpus scan — the quantity that becomes the bill
     // at corpus scale.
     {
+      import graft.functions.Vectors
       val cbs = graft.similarity.Pq.trainCodebooks(emb, "vec_id", "embedding",
         dim = 64, m = 4, k = 16, rounds = 2)
       val exhaustivePairs = (nQ * (nCorpus - 1)).toDouble
+      // loop-invariant across nprobe: one centroid collect + one cached
+      // cell-assignment frame, not one per sweep point
+      val cents = graft.similarity.Ann.coarseCentroids(emb, "vec_id", "embedding", 64)
+      val assigned = emb.select(col("vec_id").as("nid"),
+        graft.similarity.Ann.nearestCell(cents, col("embedding"),
+          Vectors.fnorm(col("embedding"))).as("cell")).cache()
       for (nprobe <- Seq(1, 2, 4, 8, 16, 32, 64)) {
         val (res, t) = timed(graft.similarity.Pq.ivfAdcTopK(
           queries, emb, "vec_id", "embedding", cbs, k, nlist = 64, nprobe = nprobe))
         // scanned fraction: count the routed candidate pairs pre-top-k
-        val cents = graft.similarity.Ann.coarseCentroids(emb, "vec_id", "embedding", 64)
         val scanned = {
-          import graft.functions.Vectors
-          val assigned = emb.select(col("vec_id").as("nid"),
-            graft.similarity.Ann.nearestCell(cents, col("embedding"),
-              Vectors.fnorm(col("embedding"))).as("cell"))
           val probed = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
             .withColumn("__pc", graft.similarity.Ann.probeCells(cents, col("qv"),
               Vectors.fnorm(col("qv")), nprobe))
@@ -123,6 +125,7 @@ object AnnSweep {
         println(f"| IVFPQ m=4 k=16 nprobe=$nprobe%-2d | ${recallL2(res)}%.3f | $t%.2f | ${t / tBrute}%.2fx | scanned ${scanned / exhaustivePairs * 100}%.1f%% |")
         res.unpersist()
       }
+      assigned.unpersist()
       // + exact re-rank: widen the routed shortlist to m, settle top-k
       // with |Q|·m exact dots — the recall lever (codes recall what the
       // codebook distorts; exact dots restore the order inside the

@@ -11,7 +11,7 @@ import graft.pipeline.ConfigPipeline
   * entry point of the reference, Spark-side:
   *
   * {{{
-  * sbt "runMain graft.RunPipeline <config.json> <stage> [outPath] [checkpoint]"
+  * sbt "runMain graft.RunPipeline <config.json> <stage> [outPath] [checkpoint] [outputMode]"
   * }}}
   *
   * Loads the JSON config, substitutes `${ENV}` placeholders
@@ -47,8 +47,13 @@ object RunPipeline {
         // bounded drains.
         val ckpt = args.lift(3).getOrElse(
           java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+        // args(4) picks the sink output mode: "append" (default — finalized
+        // rows only; windowed aggs emit as the watermark passes each window)
+        // or "update" (changelog — compact drained batches by max batch id,
+        // the keepBestStream pattern)
         val q = graft.streaming.Streams.toForeachBatch(result, ckpt,
-          availableNow = true) { (batch, id) =>
+          availableNow = true,
+          outputMode = args.lift(4).getOrElse("append")) { (batch, id) =>
           batch.write.mode("overwrite").parquet(s"$p/batch_$id")
         }
         q.awaitTermination()

@@ -52,11 +52,8 @@ object ScaleBench {
     val keep = Dedup.exact(docs, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
     val d = docs.join(keep, "doc_id")
-    val sig = Dedup.minhashSignature(d, "doc_id", "text", 16)
-    val pairs = Dedup.lshPairs(sig, bands = 4, rowsPerBand = 4, maxBucket = 256)
-    val clusters = Dedup.dupClusters(pairs).withColumnRenamed("member", "doc_id")
-    d.join(clusters, Seq("doc_id"), "left")
-      .filter(col("canonical").isNull || col("canonical") === col("doc_id"))
+    Dedup.keepCanonical(d, "doc_id", "text",
+        numHashes = 16, bands = 4, rowsPerBand = 4, maxBucket = 256)
       .select(col("doc_id"), col("lang"))
   }
 

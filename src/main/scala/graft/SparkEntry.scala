@@ -1089,6 +1089,14 @@ object SparkEntry {
       Dedup.spanDedupClean(T(s, dir, "documents"), "doc_id", "text", window = 32)
         .select(col("id").as("doc_id"), col("n_chunks"), col("n_dup_chunks"),
           col("clean_text"))),
+    // boilerplate removal: 2-token chunks appearing in >= 20 distinct docs
+    // drop from EVERY document (window=2 so the tiny synthetic vocabulary
+    // actually produces cross-doc repeats; production window is larger)
+    "q_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateClean(T(s, dir, "documents"), "doc_id", "text",
+          window = 2, minDocFreq = 20)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_boiler_chunks"),
+          col("clean_text"))),
     // URL blocklist filter: block two domains incl. their subdomains
     // (cdn.srcN.com must match a srcN.com blocklist entry via the suffix
     // chain — plain equality would miss it)
@@ -1266,18 +1274,10 @@ object SparkEntry {
     // pointer-jumped connected components → keep only each cluster's
     // canonical doc (non-members keep themselves). The oracle recomputes
     // the identical pairs and closes them with a recursive CTE.
-    "q_neardup_pipeline" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val sig = Dedup.minhashSignature(docs, "doc_id", "text", 16)
-      val pairs = Dedup.lshPairs(sig, bands = 4, rowsPerBand = 4, maxBucket = 256)
-      val clusters = Dedup.dupClusters(pairs)
-        .withColumnRenamed("member", "doc_id")
-      // no broadcast hint: near-dup membership can be corpus-scale in a
-      // crawl (AQE broadcasts when it measures small)
-      docs.join(clusters, Seq("doc_id"), "left")
-        .filter(col("canonical").isNull || col("canonical") === col("doc_id"))
-        .select(col("doc_id"), col("lang"))
-    }),
+    "q_neardup_pipeline" -> ((s, dir) =>
+      Dedup.keepCanonical(T(s, dir, "documents"), "doc_id", "text",
+          numHashes = 16, bands = 4, rowsPerBand = 4, maxBucket = 256)
+        .select(col("doc_id"), col("lang"))),
     "q_minhash" -> ((s, dir) => {
       val docs = T(s, dir, "documents").filter(size(Text.tokens(col("text"))) > 0)
       Dedup.minhashSignature(docs, "doc_id", "text", 4)
@@ -2270,6 +2270,23 @@ object SparkEntry {
          |SELECT doc_id, COUNT(*) AS n_chunks,
          | CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
          | COALESCE(string_agg(t, ' ' ORDER BY chunk_id) FILTER (WHERE rn = 1), '') AS clean_text
+         |FROM o GROUP BY doc_id""".stripMargin,
+    "q_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |ch AS (SELECT doc_id, tk,
+         |       unnest(range(0, ((len(tk) - 1) // 2) + 1)) AS chunk_id
+         |       FROM toks WHERE len(tk) > 0),
+         |hh AS (SELECT doc_id, chunk_id,
+         |      array_to_string(list_slice(tk, chunk_id * 2 + 1, chunk_id * 2 + 2), ' ') AS t,
+         |      md5(array_to_string(list_slice(tk, chunk_id * 2 + 1, chunk_id * 2 + 2), ' ')) AS h
+         |      FROM ch),
+         |d AS (SELECT h, COUNT(DISTINCT doc_id) AS docs FROM hh GROUP BY h),
+         |o AS (SELECT hh.doc_id, hh.chunk_id, hh.t, (d.docs >= 20) AS boiler
+         |      FROM hh JOIN d USING (h))
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         | CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_chunks,
+         | COALESCE(string_agg(t, ' ' ORDER BY chunk_id) FILTER (WHERE NOT boiler), '')
+         |   AS clean_text
          |FROM o GROUP BY doc_id""".stripMargin,
     "q_canonical_url" ->
       """WITH u AS (SELECT doc_id,

@@ -321,18 +321,6 @@ object Dedup {
     df.select(col(idCol).as("id"), sig.as("sig")).filter(col("sig").isNotNull)
   }
 
-  /** LSH banding over minhash signatures: hash each band of the signature to
-    * a bucket key, join on equal (band, key) → candidate pairs. O(n·bands)
-    * shuffle, never an n² compare.
-    *
-    * `maxBucket` drops degenerate mega-buckets BEFORE their member lists
-    * materialize (run exact dedup first; a surviving bucket of m identical
-    * docs costs m²/2 pairs — at the old 1<<20 default a 10⁶ bucket "passing"
-    * the guard meant ~5·10¹¹ pairs). Dropped buckets are counted, not
-    * silent: see [[guardedBuckets]] — metric name `metricName` (default
-    * "lsh_bucket_guard"; override when composing this op twice in one query,
-    * observed-metric names must be unique per query).
-    */
   /** Band-key projection shared by [[lshPairs]] and the streaming twin
     * ([[graft.streaming.Streams.lshBucketsStream]]): explode each
     * signature row to (id, band, band_key), band_key = md5 of the band's
@@ -350,6 +338,18 @@ object Dedup {
       .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
+  /** LSH banding over minhash signatures: hash each band of the signature to
+    * a bucket key, join on equal (band, key) → candidate pairs. O(n·bands)
+    * shuffle, never an n² compare.
+    *
+    * `maxBucket` drops degenerate mega-buckets BEFORE their member lists
+    * materialize (run exact dedup first; a surviving bucket of m identical
+    * docs costs m²/2 pairs — at the old 1<<20 default a 10⁶ bucket "passing"
+    * the guard meant ~5·10¹¹ pairs). Dropped buckets are counted, not
+    * silent: see [[guardedBuckets]] — metric name `metricName` (default
+    * "lsh_bucket_guard"; override when composing this op twice in one query,
+    * observed-metric names must be unique per query).
+    */
   def lshPairs(sig: DataFrame, bands: Int, rowsPerBand: Int,
                maxBucket: Int = 1 << 12,
                metricName: String = "lsh_bucket_guard"): DataFrame = {
@@ -362,6 +362,33 @@ object Dedup {
     buckets.select(bucketPairs(col("ids"), (x, y) =>
         struct(x.as("id_a"), y.as("id_b"))).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
+  }
+
+  /** The near-dup KEEP-CANONICAL flagship as one operator: zero-shuffle
+    * minhash signatures → guarded LSH banding ([[lshPairs]]) → pointer-jumped
+    * connected components ([[dupClusters]]) → keep each cluster's canonical
+    * (min-id) row, non-members pass through. This is the composition behind
+    * q_neardup_pipeline, ConfigPipeline's `dedup_near` stage, and
+    * ScaleBench's composed run — one definition so the tie-break and join
+    * semantics cannot drift between them.
+    *
+    * The cluster join carries NO broadcast hint: near-dup membership can be
+    * corpus-scale in a crawl (AQE broadcasts when it measures small). On
+    * dup-heavy corpora run [[exact]] first (plans/SCALE.md: the composition
+    * returns the collapsed-corpus answer 2.4x faster at 10x replication).
+    * `metricName` must be unique per query when composed more than once —
+    * see [[lshPairs]].
+    */
+  def keepCanonical(df: DataFrame, idCol: String, textCol: String,
+                    numHashes: Int = 16, bands: Int = 4, rowsPerBand: Int = 4,
+                    maxBucket: Int = 1 << 12,
+                    metricName: String = "lsh_bucket_guard"): DataFrame = {
+    val sig = minhashSignature(df, idCol, textCol, numHashes)
+    val pairs = lshPairs(sig, bands, rowsPerBand, maxBucket, metricName)
+    val clusters = dupClusters(pairs).withColumnRenamed("member", idCol)
+    df.join(clusters, Seq(idCol), "left")
+      .filter(col("canonical").isNull || col("canonical") === col(idCol))
+      .drop("canonical")
   }
 
   /** SimHash (G4): 60-bit token-hash bit vote (60 bits so the fingerprint
@@ -606,6 +633,46 @@ object Dedup {
         sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dup_chunks"),
         array_join(transform(
           array_sort(collect_list(when(col("__keep"),
+            struct(col("chunk_id"), col("chunk_text"))))),
+          x => x.getField("chunk_text")), " ").as("clean_text"))
+  }
+
+  /** Boilerplate removal (the CCNet/C4 "drop over-common paragraphs" step):
+    * cut documents into non-overlapping `window`-token chunks like
+    * [[spanDedupClean]], but drop a chunk when its hash appears in at least
+    * `minDocFreq` DISTINCT documents — from EVERY document, first copy
+    * included. The two ops answer different questions: span dedup keeps one
+    * canonical copy of long repeated spans (plagiarized/mirrored passages);
+    * boilerplate is navigation chrome, license banners, cookie notices —
+    * text that is noise in every document it appears in, so ownership is
+    * the wrong rule and document FREQUENCY is the signal.
+    *
+    * Scale: chunk hashing is the same zero-shuffle projection; the per-hash
+    * document frequency is a distinct + count on (hash, id) pairs — two
+    * partial-agg shuffles of 32-byte hashes, never an Expand and never the
+    * text; the df table joins back on the hash WITHOUT a broadcast hint
+    * (boilerplate hashes are usually few, but the df table is corpus-sized
+    * in the worst case — AQE broadcasts when it measures small). Reassembly
+    * is [[spanDedupClean]]'s sorted-struct collect. A fully-boilerplate
+    * document survives with empty clean_text rather than vanishing.
+    *
+    * Output: (id, n_chunks, n_boiler_chunks, clean_text).
+    */
+  def boilerplateClean(df: DataFrame, idCol: String, textCol: String,
+                       window: Int = 64, minDocFreq: Int = 2): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val chunks = Text.chunk(df, idCol, textCol, window, window)
+      .select(col("id"), col("chunk_id"), col("chunk_text"),
+        md5(col("chunk_text")).as("__h"))
+    val dfreq = chunks.select(col("__h"), col("id")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__docs"))
+    chunks.join(dfreq, Seq("__h"))
+      .withColumn("__boiler", col("__docs") >= minDocFreq)
+      .groupBy("id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__boiler"), 1L).otherwise(0L)).as("n_boiler_chunks"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("__boiler"),
             struct(col("chunk_id"), col("chunk_text"))))),
           x => x.getField("chunk_text")), " ").as("clean_text"))
   }

@@ -21,9 +21,12 @@ import graft.sources.Tables
   * Ops: `table` (dir/table), `parquet` (path), `stream_dir`
   * (path/format/schema/maxFilesPerTrigger — a STREAMING source: the
   * reference's directory watchdog from config; projection/filter stages
-  * apply unchanged, stateful stages need a `watermark` (ts/delay) stage,
-  * and `RunPipeline` drains streaming terminals via foreachBatch),
-  * `csv_permissive`
+  * apply unchanged; STATEFUL stages compose as `watermark` (ts/delay) →
+  * `time_window` (ts/duration[/slide][/as]) → `agg` keyed on the window
+  * column — append mode then finalizes each window as the watermark
+  * passes its end. `RunPipeline` drains streaming terminals via
+  * foreachBatch; its optional outputMode arg selects `update` for
+  * changelog-style aggs instead), `csv_permissive`
   * (path/schema — malformed rows land in `_corrupt_record`), `filter`
   * (expr), `select` (exprs), `withColumn` (name/expr), `agg` (keys/aggs),
   * `union` (from[]), `join` (from[2], on, how), `limit` (n), `distinct`,
@@ -37,6 +40,8 @@ import graft.sources.Tables
   * compose after `dedup_exact` on dup-heavy corpora), `sessionize` (keys/ts/gap), `pack`
   * (keys/order/weight/budget), `split` (id/trainPct),
   * `langid`/`fingerprint`/`repetition`/`span_dedup`/`span_dedup_clean`/
+  * `boilerplate` (id/text/window/minDocFreq — drop over-common chunks
+  * from every doc)/
   * `chunk`/`lm_xent`/`lm_xent_bigram`/`dsir`/`tfidf`/`inverted_index`
   * (id/text...), `mixture` (id/group/weights), `pagerank`/`degrees`
   * (edge frames), `quality_classifier` (id/text/dim + a weights stage),
@@ -106,6 +111,17 @@ object ConfigPipeline {
       case "watermark" =>
         p.stage(name, from)(_.withWatermark(s.get("ts").asText(),
           s.get("delay").asText()))
+      // event-time window COLUMN (ts/duration[/slide][/as]) — the group key
+      // that makes streaming aggregation expressible from config: watermark →
+      // time_window → agg over the window column finalizes groups in append
+      // mode as the watermark passes each window's end (a plain-key streaming
+      // agg under append would never finalize; Spark rejects it)
+      case "time_window" =>
+        val as = if (s.has("as")) s.get("as").asText() else "window"
+        val ts = col(s.get("ts").asText()); val dur = s.get("duration").asText()
+        val w = if (s.has("slide")) window(ts, dur, s.get("slide").asText())
+                else window(ts, dur)
+        p.stage(name, from)(_.withColumn(as, w))
       // permissive CSV: malformed rows arrive as DATA in _corrupt_record
       // instead of failing the read — feed an "error_budget" stage
       // (reference MetalNode max_errors: tolerate N bad messages). The
@@ -179,21 +195,21 @@ object ConfigPipeline {
         val bands = if (s.has("bands")) s.get("bands").asInt() else 4
         val rpb = if (s.has("rowsPerBand")) s.get("rowsPerBand").asInt() else 4
         val maxBucket = if (s.has("maxBucket")) s.get("maxBucket").asInt() else 1 << 12
-        p.stage(name, from) { d =>
-          val sig = graft.dedup.Dedup.minhashSignature(d, id, text, numHashes)
-          val pairs = graft.dedup.Dedup.lshPairs(sig, bands, rpb, maxBucket)
-          val clusters = graft.dedup.Dedup.dupClusters(pairs)
-            .withColumnRenamed("member", id)
-          d.join(clusters, Seq(id), "left")
-            .filter(col("canonical").isNull || col("canonical") === col(id))
-            .drop("canonical")
-        }
+        // metric name derives from the stage name so two dedup_near stages
+        // can feed one output (observed-metric names must be unique per query)
+        p.stage(name, from)(graft.dedup.Dedup.keepCanonical(_, id, text,
+          numHashes, bands, rpb, maxBucket,
+          metricName = s"${name}_lsh_bucket_guard"))
       case "dedup_best" =>
         p.stage(name, from)(graft.dedup.Dedup.exactKeepBest(_,
           s.get("id").asText(), s.get("key").asText(), s.get("score").asText()))
       case "span_dedup_clean" =>
         p.stage(name, from)(graft.dedup.Dedup.spanDedupClean(_,
           s.get("id").asText(), s.get("text").asText(), s.get("window").asInt()))
+      case "boilerplate" =>
+        p.stage(name, from)(graft.dedup.Dedup.boilerplateClean(_,
+          s.get("id").asText(), s.get("text").asText(), s.get("window").asInt(),
+          s.get("minDocFreq").asInt()))
       case "histogram" =>
         p.stage(name, from)(graft.operators.Ops.histogram(_,
           s.get("value").asText(), s.get("bins").asInt()))
@@ -203,7 +219,13 @@ object ConfigPipeline {
       case "percentiles" =>
         val ps = s.get("ps").elements().asScala
           .map(e => (e.get("p").asDouble(), e.get("as").asText())).toSeq
-        val approx = !s.has("mode") || s.get("mode").asText() == "approx"
+        // validate the mode: a typo silently selecting EXACT mode would swap
+        // bounded agg state for unbounded per-group maps at 100 TB
+        val approx = (if (s.has("mode")) s.get("mode").asText() else "approx") match {
+          case "approx" => true
+          case "exact"  => false
+          case other    => sys.error(s"unknown percentiles mode '$other'")
+        }
         p.stage(name, from)(graft.operators.Ops.percentiles(_,
           strs(s.get("keys")), s.get("value").asText(), ps, approx = approx,
           accuracy = if (s.has("accuracy")) s.get("accuracy").asInt() else 10000))

@@ -125,27 +125,6 @@ object Pq {
         col("neighbor_id"), col("adc2"))
   }
 
-  /** IVF-routed ADC — the production composition of [[Ann.ivfTopK]]'s
-    * coarse routing with [[adcTopK]]'s compressed scoring (FAISS
-    * "IVFPQ"): [[adcTopK]] alone scans EVERY code per query (the right
-    * form factor when the whole code table is RAM-resident and queries
-    * are few); at corpus scale the scan itself is the bill, so route
-    * through `nlist` coarse cells and score only the `nprobe` cells
-    * nearest each query — the scanned fraction drops to ~nprobe/nlist.
-    *
-    * Plan shape: cell assignment rides the SAME zero-shuffle projection
-    * scan that encodes the corpus (centroids are literals — see
-    * [[Ann.coarseCentroids]]); the probed query side (queries × nprobe
-    * rows, carrying the m distance tables) broadcasts into one hash join
-    * on the cell id, so the corpus never shuffles and never pays a
-    * cartesian. The only exchange is the per-query top-k window over
-    * already-cut (id, score) rows — identical to [[adcTopK]]'s tail.
-    *
-    * With `nprobe == nlist` every cell is probed and the result is
-    * EXACTLY [[adcTopK]] (same scores, same id tie-break — q_pq_ivf's
-    * oracle identity); recall < 1 when nprobe < nlist, the standard IVF
-    * trade measured in plans/ANN.md.
-    */
   /** Exact re-rank of an ADC shortlist — the production recall lever
     * named in plans/ANN.md ("recall tuned by re-ranking an ADC shortlist
     * with exact dots"): ADC's quantization error reorders CLOSE
@@ -179,6 +158,27 @@ object Pq {
         col("neighbor_id"), col("d2"))
   }
 
+  /** IVF-routed ADC — the production composition of [[Ann.ivfTopK]]'s
+    * coarse routing with [[adcTopK]]'s compressed scoring (FAISS
+    * "IVFPQ"): [[adcTopK]] alone scans EVERY code per query (the right
+    * form factor when the whole code table is RAM-resident and queries
+    * are few); at corpus scale the scan itself is the bill, so route
+    * through `nlist` coarse cells and score only the `nprobe` cells
+    * nearest each query — the scanned fraction drops to ~nprobe/nlist.
+    *
+    * Plan shape: cell assignment rides the SAME zero-shuffle projection
+    * scan that encodes the corpus (centroids are literals — see
+    * [[Ann.coarseCentroids]]); the probed query side (queries × nprobe
+    * rows, carrying the m distance tables) broadcasts into one hash join
+    * on the cell id, so the corpus never shuffles and never pays a
+    * cartesian. The only exchange is the per-query top-k window over
+    * already-cut (id, score) rows — identical to [[adcTopK]]'s tail.
+    *
+    * With `nprobe == nlist` every cell is probed and the result is
+    * EXACTLY [[adcTopK]] (same scores, same id tie-break — q_pq_ivf's
+    * oracle identity); recall < 1 when nprobe < nlist, the standard IVF
+    * trade measured in plans/ANN.md.
+    */
   def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                  vecCol: String, codebooks: Seq[Seq[(Int, Array[Double])]],
                  topK: Int, nlist: Int = 64, nprobe: Int = 8,

@@ -137,7 +137,12 @@ object Sources {
         val rs = md.getColumns(null, null, escapePattern(t), null)
         val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
         while (rs.next()) {
-          if (rs.getString("TABLE_NAME") == t) {
+          // case-INSENSITIVE exact match: drivers on case-insensitive
+        // databases (MySQL on such filesystems) report the stored case
+        // ("Orders") for a lower-case pattern; an exact == would filter
+        // every row out and fail a read that used to work. Wildcard-merged
+        // OTHER tables still differ letterwise and stay excluded.
+        if (rs.getString("TABLE_NAME").equalsIgnoreCase(t)) {
             val tn = rs.getString("TYPE_NAME").toLowerCase
             val size = rs.getInt("COLUMN_SIZE")
             val dec = rs.getInt("DECIMAL_DIGITS")
@@ -262,9 +267,11 @@ object Sources {
     * one request at a time. Driver MEMORY is not walk-length-bounded,
     * though: bodies spill to a temp parquet directory every `flushEvery`
     * pages, so peak driver accumulation is `flushEvery` bodies regardless
-    * of page count, and `maxPages` defaults to a driver-honest 10k (raise
-    * it explicitly for genuinely longer chains — the spill keeps memory
-    * flat either way). Everything downstream of the returned frame (JSON
+    * of page count — `maxPages` is a runaway-walk backstop, not a memory
+    * bound, so its default stays at the pre-spill 100k (cutting it would
+    * break existing long walks for no safety gain). The spill directory
+    * backs the RETURNED frame (parquet reads are lazy) and is deleted on
+    * JVM exit. Everything downstream of the returned frame (JSON
     * parse, explode, joins) is a distributed plan. For offset-ARITHMETIC
     * APIs (page=0,1,2,…) use [[paginatedApi]], which fetches all pages in
     * parallel on the executors. Wrap `fetch` in [[withRetries]] for flaky
@@ -280,12 +287,23 @@ object Sources {
                         fetch: String => String,
                         nextOffset: String => Option[String],
                         firstOffset: String = "",
-                        maxPages: Int = 10000,
+                        maxPages: Int = 100000,
                         flushEvery: Int = 1024): DataFrame = {
     import spark.implicits._
     require(flushEvery > 0, s"flushEvery must be positive, got $flushEvery")
-    lazy val spill = java.nio.file.Files
-      .createTempDirectory("graft_chase_spill").toString
+    lazy val spill = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_chase_spill")
+      // the returned frame reads this dir lazily — reclaim on JVM exit
+      // (covers the maxPages failure path too, which otherwise leaks it)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+        } catch { case scala.util.control.NonFatal(_) => () }))
+      dir.toString
+    }
     var spilled = false
     val chunk = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
     def flush(): Unit = if (chunk.nonEmpty) {

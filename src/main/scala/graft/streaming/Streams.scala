@@ -282,12 +282,22 @@ object Streams {
     * joining the documents' band keys against the compacted buckets at
     * drain time — see q_stream_neardup. Unique-id PRECONDITION as in
     * [[graft.dedup.Dedup.minhashSignature]]; zero-token docs emit no row.
+    *
+    * Ids must be an INTEGRAL column (the batch twin takes any id type;
+    * here the bucket state and its min-ordering are Longs). Checked at
+    * plan time — a silent cast would null string ids and fail mid-stream
+    * with an opaque non-nullable-field error. Derive a numeric id
+    * upstream (e.g. `xxhash64`) for string-keyed corpora.
     */
   def lshBucketsStream(docs: DataFrame, idCol: String, textCol: String,
                        numHashes: Int = 16, bands: Int = 4,
                        rowsPerBand: Int = 4): DataFrame = {
     import docs.sparkSession.implicits._
-    import org.apache.spark.sql.types.{LongType, StringType}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val idType = docs.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"lshBucketsStream: id column '$idCol' must be integral (got $idType); " +
+        "derive a numeric id upstream (e.g. xxhash64) for string-keyed corpora")
     val sig = graft.dedup.Dedup.minhashSignature(
       docs.select(col(idCol).cast(LongType).as(idCol),
         col(textCol).cast(StringType).as(textCol)),

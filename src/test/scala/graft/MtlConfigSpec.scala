@@ -273,6 +273,51 @@ class MtlConfigSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("ConfigPipeline watermark+time_window+agg drains finalized windows in append mode") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cfg_winagg").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "event_type", "value")
+    // ascending-ts files so each micro-batch advances the watermark past
+    // earlier windows (append emits a window only once the watermark
+    // crosses its end — the composition the ConfigPipeline scaladoc sells)
+    events.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(inDir)
+    spark.read.parquet(inDir).orderBy(desc("ts")).limit(1)
+      .write.mode("append").parquet(inDir) // re-append max-ts row as a late file
+    val out = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "e", "op": "stream_dir", "path": "$inDir", "format": "parquet",
+         |  "schema": "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE",
+         |  "maxFilesPerTrigger": 1},
+         | {"name": "wm", "op": "watermark", "from": "e", "ts": "ts", "delay": "1 minute"},
+         | {"name": "win", "op": "time_window", "from": "wm", "ts": "ts", "duration": "1 hour"},
+         | {"name": "agg", "op": "agg", "from": "win", "keys": ["window", "event_type"],
+         |  "aggs": ["count(*) AS n", "sum(value) AS total"]}
+         |]}""".stripMargin).output("agg")
+    assert(out.isStreaming)
+    val q = graft.streaming.Streams.toForeachBatch(out, ckpt,
+      availableNow = true) { (batch, id) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+    }
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$outDir/batch_*")
+      .selectExpr("window.start AS ws", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+    // append emits each finalized window EXACTLY once, and the finalized
+    // rows match the batch answer for those windows
+    assert(got.nonEmpty)
+    assert(got.map(r => (r._1, r._2)).distinct.length == got.length)
+    // the batch twin over the SAME files (late-file duplicate included —
+    // the stream counts it too)
+    val want = spark.read.parquet(inDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .selectExpr("window.start AS ws", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.forall(r => want.get((r._1, r._2)).contains(r._3)))
+  }
+
   test("ConfigPipeline dedup_near matches the programmatic near-dup flagship") {
     val cfg = ConfigPipeline.fromJson(spark,
       """{"stages": [

@@ -153,6 +153,18 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lshBucketsStream rejects non-integral id columns at plan time") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    // a silent cast would null every string id and fail mid-stream with an
+    // opaque non-nullable-field error; the contract is a loud plan-time one
+    val e = intercept[IllegalArgumentException] {
+      Streams.lshBucketsStream(mem.toDF.toDF("url", "text"), "url", "text")
+    }
+    assert(e.getMessage.contains("must be integral"))
+    assert(e.getMessage.contains("xxhash64"))
+  }
+
   test("repetitionStatsStream emits the batch repetitionStats row per document") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]

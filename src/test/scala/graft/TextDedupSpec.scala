@@ -331,6 +331,33 @@ class TextDedupSpec extends SparkSpec {
     assert(ct == Seq.tabulate(8)(i => s"t$i t$i'").mkString(" "))
   }
 
+  test("boilerplateClean drops over-common chunks from EVERY doc, unlike span dedup") {
+    // "h h" appears in 3 docs (>= minDocFreq=3) → boilerplate, dropped
+    // everywhere INCLUDING its first occurrence; "a b" appears in only 2
+    // docs → below threshold, kept in BOTH (span dedup would drop the copy)
+    val df = Seq(
+      (1L, "h h a b"), (2L, "h h a b"), (3L, "h h c d"), (4L, "e f g i"))
+      .toDF("doc_id", "text")
+    val got = Dedup.boilerplateClean(df, "doc_id", "text",
+        window = 2, minDocFreq = 3)
+      .select("id", "n_chunks", "n_boiler_chunks", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 1L, "a b")))
+    assert(got(2L) == ((2L, 2L, 1L, "a b")))
+    assert(got(3L) == ((3L, 2L, 1L, "c d")))
+    assert(got(4L) == ((4L, 2L, 0L, "e f g i")))
+    // repeats WITHIN one doc don't cross the document-frequency bar...
+    val within = Seq((1L, "z z z z z z"), (2L, "p q")).toDF("doc_id", "text")
+    val w = Dedup.boilerplateClean(within, "doc_id", "text", window = 2, minDocFreq = 2)
+      .select("id", "clean_text").as[(Long, String)].collect().toMap
+    assert(w(1L) == "z z z z z z")
+    // ...and a fully-boilerplate doc survives with empty clean_text
+    val all = Seq((1L, "b b"), (2L, "b b"), (3L, "b b")).toDF("doc_id", "text")
+    val a = Dedup.boilerplateClean(all, "doc_id", "text", window = 2, minDocFreq = 2)
+      .select("id", "clean_text").as[(Long, String)].collect()
+    assert(a.length == 3 && a.forall(_._2 == ""))
+  }
+
   test("dupClusters fails loudly when the round budget cuts off convergence") {
     // diameter-5 chain cannot reach fixpoint in 2 rounds — silent
     // non-fixpoint labels would break the transitive-closure contract
