@@ -50,7 +50,14 @@ import graft.sources.Tables
   * mode "approx" by default: bounded-state percentile_approx with an
   * `accuracy` knob; mode "exact" for the oracle-grade quantile),
   * `distinct_sketch` (keys/value — method "kmv" with knob `k`, or "hll"
-  * with knob `rsd`: the fixed-register HyperLogLog++ sketch).
+  * with knob `rsd`: the fixed-register HyperLogLog++ sketch), streaming
+  * twins `stream_dedup` (ts/delay/keys), `stream_keepbest`
+  * (key/id/score), `stream_repetition` (id/text/n), `stream_neardup`
+  * (id/text[, numHashes/bands/rowsPerBand] — integral ids), `ann`
+  * (from[2] = queries/corpus stages + id/vec/k — method "brute", "ivf"
+  * [nlist/nprobe], "lsh" [dim/numPlanes/bands], or "ivfpq"
+  * [dim/m/codebookK/nlist/nprobe, optional mShort+rerank for the exact
+  * re-rank recall lever]).
   */
 object ConfigPipeline {
 
@@ -203,6 +210,31 @@ object ConfigPipeline {
       case "dedup_best" =>
         p.stage(name, from)(graft.dedup.Dedup.exactKeepBest(_,
           s.get("id").asText(), s.get("key").asText(), s.get("score").asText()))
+      // STREAMING curation twins (stateful — need a stream_dir source;
+      // drain with RunPipeline outputMode=update and compact the changelog
+      // batches downstream, or append for dedup's finalized rows):
+      case "stream_dedup" => // exact dedup within the watermark horizon
+        p.stage(name, from)(graft.streaming.Streams.dedupStream(_,
+          s.get("ts").asText(), s.get("delay").asText(), strs(s.get("keys"))))
+      case "stream_keepbest" => // per-key best + copies-seen changelog
+        val (key, id, score) =
+          (s.get("key").asText(), s.get("id").asText(), s.get("score").asText())
+        p.stage(name, from) { d =>
+          import d.sparkSession.implicits._
+          graft.streaming.Streams.keepBestStream(
+            d.select(col(key).cast("string"), col(id).cast("long"),
+              col(score).cast("double")).as[(String, Long, Double)])
+            .toDF(key, "best_id", "best_score", "n_copies")
+        }
+      case "stream_repetition" => // per-doc n-gram repetition stats
+        p.stage(name, from)(graft.streaming.Streams.repetitionStatsStream(_,
+          s.get("id").asText(), s.get("text").asText(), s.get("n").asInt()))
+      case "stream_neardup" => // LSH bucket changelog (constant-size state)
+        p.stage(name, from)(graft.streaming.Streams.lshBucketsStream(_,
+          s.get("id").asText(), s.get("text").asText(),
+          numHashes = if (s.has("numHashes")) s.get("numHashes").asInt() else 16,
+          bands = if (s.has("bands")) s.get("bands").asInt() else 4,
+          rowsPerBand = if (s.has("rowsPerBand")) s.get("rowsPerBand").asInt() else 4))
       case "span_dedup_clean" =>
         p.stage(name, from)(graft.dedup.Dedup.spanDedupClean(_,
           s.get("id").asText(), s.get("text").asText(), s.get("window").asInt()))
@@ -306,6 +338,44 @@ object ConfigPipeline {
           if (s.has("iters")) s.get("iters").asInt() else 5))
       case "degrees" =>
         p.stage(name, from)(graft.graph.Graph.degrees(_))
+      // ANN from config (G6/G7/G35 reachable by a config-driven user):
+      // from[2] = [queries stage, corpus stage], both carrying (id, vec)
+      case "ann" =>
+        val Seq(qs, cs) = strs(s.get("from"))
+        val id = s.get("id").asText(); val vec = s.get("vec").asText()
+        val k = s.get("k").asInt()
+        def knob(n: String, d: Int) = if (s.has(n)) s.get(n).asInt() else d
+        (if (s.has("method")) s.get("method").asText() else "brute") match {
+          case "brute" =>
+            p.fanIn(name, Seq(qs, cs))(dfs =>
+              graft.similarity.Ann.bruteForceTopK(dfs(0), dfs(1), id, vec, k))
+          case "ivf" =>
+            p.fanIn(name, Seq(qs, cs))(dfs =>
+              graft.similarity.Ann.ivfTopK(dfs(0), dfs(1), id, vec, k,
+                nlist = knob("nlist", 64), nprobe = knob("nprobe", 8)))
+          case "lsh" =>
+            p.fanIn(name, Seq(qs, cs))(dfs =>
+              graft.similarity.Ann.lshTopK(dfs(0), dfs(1), id, vec, k,
+                dim = s.get("dim").asInt(), numPlanes = knob("numPlanes", 8),
+                bands = knob("bands", 2)))
+          // FAISS-IVFPQ: codebooks train at stage-BUILD time (model-sized
+          // driver state, like the weights a classifier stage loads); set
+          // "rerank" to re-order an mShort shortlist with exact distances
+          case "ivfpq" =>
+            val dim = s.get("dim").asInt()
+            p.fanIn(name, Seq(qs, cs)) { dfs =>
+              val cbs = graft.similarity.Pq.trainCodebooks(dfs(1), id, vec,
+                dim = dim, m = knob("m", 4), k = knob("codebookK", 16),
+                rounds = knob("rounds", 2))
+              val routed = graft.similarity.Pq.ivfAdcTopK(dfs(0), dfs(1), id, vec,
+                cbs, if (s.has("mShort")) s.get("mShort").asInt() else k,
+                nlist = knob("nlist", 64), nprobe = knob("nprobe", 8))
+              if (s.has("rerank") && s.get("rerank").asBoolean())
+                graft.similarity.Pq.rerank(routed, dfs(0), dfs(1), id, vec, k)
+              else routed
+            }
+          case other => sys.error(s"unknown ann method '$other'")
+        }
       case "quality_classifier" => // weights from a named pipeline stage
         val weights = p.output(s.get("weights").asText())
         p.stage(name, from)(d => graft.functions.Lm.linearScore(

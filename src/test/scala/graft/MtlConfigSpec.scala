@@ -318,6 +318,68 @@ class MtlConfigSpec extends SparkSpec {
     assert(got.forall(r => want.get((r._1, r._2)).contains(r._3)))
   }
 
+  test("ConfigPipeline stream_neardup drains the batch LSH buckets via update mode") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cfg_snd").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    docs.repartition(3).write.mode("overwrite").parquet(inDir)
+    val out = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "d", "op": "stream_dir", "path": "$inDir", "format": "parquet",
+         |  "schema": "doc_id BIGINT, text STRING", "maxFilesPerTrigger": 1},
+         | {"name": "nd", "op": "stream_neardup", "from": "d",
+         |  "id": "doc_id", "text": "text", "numHashes": 8, "bands": 2, "rowsPerBand": 4}
+         |]}""".stripMargin).output("nd")
+    assert(out.isStreaming)
+    // the RunPipeline drain recipe for changelog ops: update mode + per-batch
+    // dirs, compact by max n_members per bucket
+    val q = graft.streaming.Streams.toForeachBatch(out, ckpt,
+      availableNow = true, outputMode = "update") { (batch, id) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+    }
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$outDir/batch_*")
+      .groupBy("band", "band_key")
+      .agg(max(struct(col("n_members"), col("min_id"))).as("m"))
+      .selectExpr("band", "band_key", "m.min_id AS min_id", "m.n_members AS n_members")
+      .as[(Int, String, Long, Long)].collect().toSet
+    val want = graft.dedup.Dedup.bandedKeys(
+        graft.dedup.Dedup.minhashSignature(docs, "doc_id", "text", 8),
+        bands = 2, rowsPerBand = 4)
+      .groupBy("band", "band_key")
+      .agg(min("id").as("min_id"), count(lit(1)).as("n_members"))
+      .as[(Int, String, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("ConfigPipeline ann stages match the programmatic ANN paths") {
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    def cfg(method: String, extra: String) = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "corpus", "op": "parquet", "path": "$emb"},
+         | {"name": "queries", "op": "filter", "from": "corpus", "expr": "vec_id < 20"},
+         | {"name": "nn", "op": "ann", "from": ["queries", "corpus"],
+         |  "method": "$method", "id": "vec_id", "vec": "embedding", "k": 5$extra}
+         |]}""".stripMargin).output("nn")
+    val corpus = spark.read.parquet(emb)
+    val queries = corpus.filter(col("vec_id") < 20)
+    val brute = cfg("brute", "")
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    val bruteWant = graft.similarity.Ann.bruteForceTopK(queries, corpus,
+        "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    assert(brute == bruteWant && brute.nonEmpty)
+    // ivfpq with nprobe=nlist and an exact re-rank: the shortlist is ADC
+    // top-20 over every cell; rerank settles exact-L2 order — both the
+    // codebook training and the routing ran from config alone
+    val pq = cfg("ivfpq",
+      """, "dim": 64, "m": 4, "codebookK": 16, "nlist": 16, "nprobe": 16,
+        | "mShort": 20, "rerank": true""".stripMargin.replace("\n", ""))
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect()
+    assert(pq.count(_._2 == 1L) == 20 && pq.length == 100) // 20 queries x top-5
+  }
+
   test("ConfigPipeline dedup_near matches the programmatic near-dup flagship") {
     val cfg = ConfigPipeline.fromJson(spark,
       """{"stages": [
