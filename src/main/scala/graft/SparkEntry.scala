@@ -775,6 +775,22 @@ object SparkEntry {
       Sinks.compact(s, frag, out)
       s.read.parquet(out)
     }),
+    // Z-ORDER layout (D5): the Morton keys zorderWrite range-partitions by.
+    // Binning and interleave are pure BIGINT arithmetic, so the oracle
+    // replays every key bit-exactly; the file-skip win the layout buys is
+    // measured in plans/LAYOUT.md and pinned by LayoutSpec.
+    "q_zorder" -> ((s, dir) =>
+      Sinks.zorderValue(
+        T(s, dir, "orders").withColumn("cents",
+          expr("cast(o_totalprice * 100 as bigint)")),
+        Seq("o_custkey", "cents"), bits = 8)
+        .select(col("o_orderkey"), col("zval"))),
+    // GLOBAL TRAINING SHUFFLE: shard + in-shard position are a pure
+    // function of (seed, id) — the oracle replays the whole permutation
+    "q_corpus_shuffle" -> ((s, dir) =>
+      Ops.corpusShuffle(T(s, dir, "documents"), "doc_id", seed = 7L,
+          numShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos").cast("long").as("pos"))),
 
     // ---- file-format round trips (A1/A2): write → read back → oracle vs
     // the source parquet, so header/quoting/type-inference mangling fails ----
@@ -2629,6 +2645,28 @@ object SparkEntry {
     "q_recorder_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_partition_pruning" -> "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
     "q_compact_roundtrip" -> "SELECT c_custkey, c_name, c_nationkey FROM customer",
+    // zval mirror: same BIGINT binning, interleave unrolled as 16 shift-or
+    // terms (out bit i*2+j = bit i of dim j; dim order custkey, cents)
+    "q_zorder" -> {
+      val terms = (0 until 8).flatMap(i =>
+        Seq(s"(((b0 >> $i) & 1) << ${2 * i})",
+            s"(((b1 >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""WITH o AS (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
+         |  CAST(o_totalprice * 100 AS BIGINT) AS y FROM orders),
+         |b AS (SELECT min(x) lx, max(x) hx, min(y) ly, max(y) hy FROM o),
+         |v AS (SELECT o_orderkey,
+         |  ((x - lx) * 256) // (hx - lx + 1) AS b0,
+         |  ((y - ly) * 256) // (hy - ly + 1) AS b1 FROM o, b)
+         |SELECT o_orderkey, CAST($terms AS BIGINT) AS zval FROM v""".stripMargin
+    },
+    "q_corpus_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |  md5('7|' || CAST(doc_id AS VARCHAR)) AS key FROM documents),
+        |s AS (SELECT doc_id,
+        |  ('0x' || substring(key, 1, 15))::BIGINT % 8 AS shard, key FROM k)
+        |SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos
+        |FROM s""".stripMargin,
     "q_jdbc_query" ->
       """SELECT o_custkey, COUNT(*) AS n_big, MAX(o_totalprice) AS max_price
         |FROM orders WHERE o_totalprice > 200000.0 GROUP BY o_custkey""".stripMargin,

@@ -166,6 +166,31 @@ object Ops {
   def modSample(df: DataFrame, key: String, n: Int, r: Int = 0): DataFrame =
     df.filter(pmod(col(key), lit(n)) === r)
 
+  /** Deterministic global corpus shuffle (query form of
+    * [[graft.operators.Sinks.shuffledWrite]]): shard
+    * `md5(seed|id) mod numShards` plus the row's position in its shard's
+    * seeded-hash order. Pure function of (seed, id) — reruns at any
+    * parallelism agree, a new `seed` is a fresh epoch permutation, and the
+    * DuckDB oracle replays both columns exactly (q_corpus_shuffle).
+    *
+    * Scale shape: one hash shuffle on `shard` + a per-shard window sort —
+    * each shard sorts in its own tasks (size corpus/numShards; pick
+    * numShards so a shard fits a task, exactly as the writer does). The
+    * writer path skips even the rank: `sortWithinPartitions` orders files
+    * without materializing positions.
+    */
+  def corpusShuffle(df: DataFrame, idCol: String, seed: Long,
+                    numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val key = md5(concat_ws("|", lit(seed), col(idCol).cast(StringType)))
+    df.withColumn("__key", key)
+      .withColumn("shard", pmod(conv(substring(col("__key"), 1, 15), 16, 10)
+        .cast(LongType), lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("__key"), col(idCol))))
+      .drop("__key")
+  }
+
   // -------------------------------------------------------------------
   // Aggregation
   // -------------------------------------------------------------------

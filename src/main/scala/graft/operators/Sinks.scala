@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{array, col, concat_ws, conv, expr, lit, max, md5, min, pmod, substring}
 
 /** Sink nodes (reference `PrinterOfThings` node.py:1412, `BlackHole`
   * node.py:1705, recorder `metalpipe_recorder.py`).
@@ -266,4 +266,93 @@ object Sinks {
     df.write.format("jdbc")
       .option("url", url).option("dbtable", table)
       .options(options).mode(mode).save()
+
+  /** Z-order cell ids for `cols`: each column linearly binned to
+    * `[0, 2^bits)` with PURE INTEGER arithmetic —
+    * `((v - min) * 2^bits) div (max - min + 1)` over BIGINT — then
+    * round-robin bit-interleaved into one Morton key (see
+    * [[org.apache.spark.sql.graftglue.InterleaveBits]]).
+    *
+    * Scale shape: ONE min/max aggregate job (2·d driver-side values — a
+    * model-sized collect, like k-means centroids), then a zero-shuffle
+    * codegen projection over the corpus. Linear binning (not
+    * quantile/rank binning) keeps the mapping a pure per-row expression:
+    * no second pass, no sample-based boundaries, and an SQL oracle
+    * reproduces every key bit-exactly — the variant Hudi calls
+    * "linear mapping" for its z-curve clustering. Skewed columns bin
+    * unevenly under it; pre-transform (log, bucket id) if that matters.
+    *
+    * Returns `df` plus `zval`. Columns must be integral-castable;
+    * `d * bits` must stay ≤ 63.
+    */
+  def zorderValue(df: DataFrame, cols: Seq[String], bits: Int = 8): DataFrame = {
+    require(cols.nonEmpty && cols.size * bits <= 63,
+      s"zorderValue: ${cols.size} cols x $bits bits must be in (0, 63]")
+    val nbins = 1L << bits
+    val bounds = df.select(
+      cols.flatMap(c => Seq(min(col(c).cast("long")), max(col(c).cast("long")))): _*)
+      .head()
+    val bins = cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (bounds.getLong(2 * i), bounds.getLong(2 * i + 1))
+      // ((v - lo) * nbins) div (hi - lo + 1) ∈ [0, nbins) — BIGINT `div`,
+      // never `/` (double rounding near exact multiples would flip bins)
+      expr(s"((cast(`$c` as bigint) - (${lo}L)) * ${nbins}L) " +
+        s"div ${hi - lo + 1L}L")
+    }
+    df.withColumn("zval", org.apache.spark.sql.graftglue.ColumnBridge.column(
+      org.apache.spark.sql.graftglue.InterleaveBits(
+        org.apache.spark.sql.graftglue.ColumnBridge.expression(array(bins: _*)),
+        bits)))
+  }
+
+  /** Z-order clustered parquet write: Morton keys ([[zorderValue]]), range
+    * partition into `numFiles` contiguous key ranges, sort within each, drop
+    * the key, write. Each file then covers a small hyper-rectangle of the
+    * `zCols` space, so per-file/per-row-group min/max stats prune scans for
+    * predicates on ANY clustered column — where a single-column sort only
+    * serves its leading column and a point/box predicate on the second
+    * column touches EVERY file. THE layout for multi-predicate scans over
+    * 100 TB (measured file-skip table: `plans/LAYOUT.md`).
+    *
+    * Cost: the min/max job plus ONE range-partition shuffle — identical
+    * movement to a plain global sort; the clustering win is free beyond it.
+    */
+  def zorderWrite(df: DataFrame, path: String, zCols: Seq[String],
+                  bits: Int = 8, numFiles: Int = 64,
+                  mode: String = "overwrite"): Unit =
+    zorderValue(df, zCols, bits)
+      .repartitionByRange(numFiles, col("zval"))
+      .sortWithinPartitions("zval")
+      .drop("zval")
+      .write.mode(mode).parquet(path)
+
+  /** Deterministic global corpus shuffle for training-order reproducibility:
+    * every row lands in shard `md5(seed|id) mod numShards`, written as one
+    * `shard=` directory, ordered inside by the same seeded hash. The
+    * assignment is a pure function of (seed, id) — NOT of cluster
+    * parallelism, input split order, or a Partitioner instance — so two
+    * runs at different parallelism emit byte-identical shard contents, and
+    * changing `seed` is a fresh epoch-order permutation. This is the
+    * "global shuffle before training" step LLM data pipelines run after
+    * curation (sequential readers then see an i.i.d.-like stream; no
+    * shuffle buffer can fix a corpus written in crawl order).
+    *
+    * Scale shape: one hash-partition shuffle on the shard id + a per-task
+    * sort — no global ordering structure, no driver state. The oracled
+    * query form is [[graft.operators.Ops]]-style `corpusShuffle` in
+    * `SparkEntry` (q_corpus_shuffle) pinning shard AND in-shard position.
+    */
+  def shuffledWrite(df: DataFrame, path: String, idCol: String,
+                    seed: Long, numShards: Int,
+                    mode: String = "overwrite"): Unit = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val key = md5(concat_ws("|", lit(seed), col(idCol).cast("string")))
+    df.withColumn("__key", key)
+      .withColumn("shard", pmod(conv(substring(col("__key"), 1, 15), 16, 10)
+        .cast("long"), lit(numShards.toLong)))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions("shard", "__key")
+      .drop("__key")
+      .write.partitionBy("shard").mode(mode).parquet(path)
+  }
 }

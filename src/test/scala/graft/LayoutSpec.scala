@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.{ColumnBridge, InterleaveBits}
+
+import graft.operators.{Ops, Sinks}
+
+/** Z-order layout + deterministic corpus shuffle (beyond-reference D5/G
+  * extensions; oracled as q_zorder / q_corpus_shuffle).
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def interleave(bits: Int, vs: Long*): Long = {
+    var out = 0L
+    for (i <- 0 until bits; j <- vs.indices)
+      out |= ((vs(j) >>> i) & 1L) << (i * vs.size + j)
+    out
+  }
+
+  test("InterleaveBits matches the reference interleave through codegen") {
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L), (170L, 85L),
+      (200L, 13L), (255L, 0L))
+    val got = rows.toDF("x", "y")
+      .withColumn("z", ColumnBridge.column(InterleaveBits(
+        ColumnBridge.expression(array(col("x"), col("y"))), 8)))
+      .select("x", "y", "z").as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == interleave(8, x, y)) }
+    // dim 0 owns the even (least-significant) bit positions
+    assert(interleave(8, 1L, 0L) == 1L && interleave(8, 0L, 1L) == 2L)
+    // three dims, and only the low `bits` bits are read
+    val z3 = Seq((5L, 6L, 7L)).toDF("a", "b", "c")
+      .withColumn("z", ColumnBridge.column(InterleaveBits(
+        ColumnBridge.expression(array(col("a") + 256L, col("b"), col("c"))), 8)))
+      .select("z").as[Long].head()
+    assert(z3 == interleave(8, 5L, 6L, 7L))
+  }
+
+  test("InterleaveBits: null element nulls out; >63 result bits throws") {
+    val withNull = Seq((1L, Some(2L)), (3L, None)).toDF("x", "y")
+      .withColumn("z", ColumnBridge.column(InterleaveBits(
+        ColumnBridge.expression(array(col("x"), col("y"))), 8)))
+    assert(withNull.select("z").collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet ==
+      Set(Some(interleave(8, 1L, 2L)), None))
+    val e = intercept[Exception] {
+      Seq((1L, 2L)).toDF("x", "y")
+        .select(ColumnBridge.column(InterleaveBits(
+          ColumnBridge.expression(array(col("x"), col("y"))), 32)))
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("zorderValue is a zero-shuffle projection with bins in [0, 2^bits)") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("cents", expr("cast(o_totalprice * 100 as bigint)"))
+    val z = Sinks.zorderValue(orders, Seq("o_custkey", "cents"), bits = 8)
+    // the min/max pass is a separate job; the keyed frame itself must add
+    // no exchange over the scan (pure codegen projection)
+    assert(!z.queryExecution.executedPlan.toString.contains("Exchange"))
+    // every key stays under 2^16 (8 bits per dim, 2 dims), none negative
+    val (lo, hi) = z.agg(min("zval"), max("zval")).as[(Long, Long)].head()
+    assert(lo >= 0L && hi < (1L << 16))
+  }
+
+  test("zorderWrite preserves content and skips files linear sort cannot") {
+    val base = java.nio.file.Files.createTempDirectory("graft_zw").toString
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("cents", expr("cast(o_totalprice * 100 as bigint)"))
+      .select("o_orderkey", "o_custkey", "cents")
+    Sinks.zorderWrite(orders, s"$base/z", Seq("o_custkey", "cents"),
+      bits = 8, numFiles = 16)
+    orders.repartitionByRange(16, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(s"$base/lin")
+    val back = spark.read.parquet(s"$base/z")
+    assert(back.columns.toSeq == orders.columns.toSeq) // zval dropped
+    assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
+    def stats(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name()).agg(min("cents").as("lp"), max("cents").as("hp"))
+    // a band predicate on the SECOND dimension: a custkey-sorted layout
+    // spreads cents uniformly through every file (all files candidate);
+    // z-order files cover small rectangles, so most files' [min,max] miss
+    val (plo, phi) = orders.agg(min("cents"), max("cents")).as[(Long, Long)].head()
+    val w = (phi - plo + 1) / 8
+    val (b1, b2) = (plo + 3 * w, plo + 4 * w - 1)
+    def candidates(dir: String): Long =
+      stats(dir).filter(col("hp") >= b1 && col("lp") <= b2).count()
+    val (zc, lc) = (candidates(s"$base/z"), candidates(s"$base/lin"))
+    assert(zc * 2 <= lc, s"z-order candidates $zc not < half of linear $lc")
+  }
+
+  test("corpusShuffle is invariant to input partitioning and covers shards") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def run(parts: Int) =
+      Ops.corpusShuffle(docs.repartition(parts), "doc_id", seed = 7L,
+          numShards = 8)
+        .select("doc_id", "shard", "pos").as[(Long, Long, Int)].collect().toSet
+    val a = run(3)
+    assert(a == run(11)) // parallelism-free assignment AND order
+    assert(a.map(_._2) == (0L until 8L).toSet)
+    // per-shard positions are contiguous 1..n
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == (1 to rows.size)) }
+    // a different seed is a different permutation
+    val b = Ops.corpusShuffle(docs, "doc_id", seed = 8L, numShards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Int)].collect().toSet
+    assert(a != b && a.map(_._1) == b.map(_._1))
+  }
+
+  test("shuffledWrite emits byte-identical shards at any parallelism") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sw").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    Sinks.shuffledWrite(docs.repartition(2), s"$base/a", "doc_id",
+      seed = 7L, numShards = 4)
+    Sinks.shuffledWrite(docs.repartition(9), s"$base/b", "doc_id",
+      seed = 7L, numShards = 4)
+    for (s <- 0 until 4) {
+      val a = spark.read.parquet(s"$base/a/shard=$s").select("doc_id")
+        .as[Long].collect().toSeq
+      val b = spark.read.parquet(s"$base/b/shard=$s").select("doc_id")
+        .as[Long].collect().toSeq
+      assert(a.nonEmpty && a == b, s"shard $s differs across parallelism")
+    }
+    // and the query form agrees with the written layout
+    val want = Ops.corpusShuffle(docs, "doc_id", 7L, 4)
+      .groupBy("shard").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    for (s <- 0 until 4)
+      assert(spark.read.parquet(s"$base/a/shard=$s").count() == want(s.toLong))
+  }
+}
