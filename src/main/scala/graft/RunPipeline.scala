@@ -61,8 +61,14 @@ object RunPipeline {
       case (None, true) =>
         sys.error(s"stage '$stage' is streaming - pass an outPath to drain it")
       case (Some(p), false) =>
-        result.write.mode("overwrite").parquet(p)
-        println(s"[graft] stage '$stage' -> $p")
+        // args(3) on the batch path is an optional LAYOUT directive — the
+        // 100 TB write-side levers, CLI-reachable:
+        //   zorder=colA,colB[,bits[,files]]   (Sinks.zorderWrite)
+        //   shuffled=idCol,seed,shards        (Sinks.shuffledWrite)
+        //   partitioned=colA[,colB...]        (Sinks.writePartitioned)
+        writeBatch(result, p, args.lift(3))
+        println(s"[graft] stage '$stage' -> $p" +
+          args.lift(3).map(l => s" ($l)").getOrElse(""))
       case (None, false) =>
         result.show(20, truncate = false)
     }
@@ -70,4 +76,36 @@ object RunPipeline {
       .mkString("[graft] ", " | ", ""))
     spark.stop()
   }
+
+  /** Batch write with an optional layout directive (see main). Plain
+    * overwrite parquet when no directive is given.
+    */
+  def writeBatch(df: org.apache.spark.sql.DataFrame, path: String,
+                 layout: Option[String]): Unit =
+    layout.map(_.split("=", 2)) match {
+      case None =>
+        df.write.mode("overwrite").parquet(path)
+      case Some(Array("zorder", spec)) =>
+        val parts = spec.split(",")
+        val (cols, knobs) = parts.partition(p => !p.forall(_.isDigit))
+        require(cols.nonEmpty, s"zorder layout needs columns: $spec")
+        graft.operators.Sinks.zorderWrite(df, path, cols.toSeq,
+          bits = knobs.lift(0).map(_.toInt).getOrElse(8),
+          numFiles = knobs.lift(1).map(_.toInt).getOrElse(64))
+      case Some(Array("shuffled", spec)) =>
+        spec.split(",") match {
+          case Array(id, seed, shards) =>
+            graft.operators.Sinks.shuffledWrite(df, path, id,
+              seed.toLong, shards.toInt)
+          case other => sys.error(
+            s"shuffled layout needs idCol,seed,shards: $spec")
+        }
+      case Some(Array("partitioned", spec)) =>
+        graft.operators.Sinks.writePartitioned(df, path,
+          spec.split(",").toSeq)
+      case Some(other) => sys.error(
+        s"unknown layout directive '${layout.get}' — expected " +
+          "zorder=cols[,bits[,files]] | shuffled=id,seed,shards | " +
+          "partitioned=cols")
+    }
 }

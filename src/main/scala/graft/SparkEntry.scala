@@ -1086,6 +1086,42 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("canonical"),
           (col("canonical") < col("id")).as("is_dup"))
     }),
+    // STREAMING span dedup: span-ownership state (min (id,chunk) per hash —
+    // batch-split independent) drained as a changelog, compacted by max
+    // n_copies, per-doc dup fractions from a drain-time hash join; the
+    // oracle is the BATCH spanDedup SQL — the stream must land on it exactly
+    "q_stream_spandedup" -> ((s, dir) => withStreamShuffle(s) {
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_sd").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      docs.repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+        format = "parquet", schemaDdl = Some(docs.schema.toDDL), maxFilesPerTrigger = 1)
+      val owners = graft.streaming.Streams.chunkOwnersStream(stream,
+        "doc_id", "text", window = 32)
+      val q = graft.streaming.Streams.toForeachBatch(owners, ckpt,
+        availableNow = true, outputMode = "update") { (batch, id) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+      }
+      q.awaitTermination()
+      val finalOwners = s.read.parquet(s"$outDir/batch_*")
+        .groupBy("h")
+        .agg(max(struct(col("n_copies"), col("owner_id"), col("owner_chunk")))
+          .as("__f"))
+        .select(col("h"), col("__f.owner_id").as("owner_id"),
+          col("__f.owner_chunk").as("owner_chunk"))
+      Text.chunk(docs, "doc_id", "text", 32, 32)
+        .select(col("id"), col("chunk_id"), md5(col("chunk_text")).as("h"))
+        .join(finalOwners, Seq("h"))
+        .groupBy("id").agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("owner_id") =!= col("id") ||
+            col("owner_chunk") =!= col("chunk_id"), 1L).otherwise(0L))
+            .as("n_dup_chunks"))
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          (col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+            .as("dup_frac"))
+    }),
     // Gopher-style repetition metrics: duplicate / most-frequent bigram
     // fractions per document (the boilerplate-and-spam filter signal)
     "q_repetition" -> ((s, dir) =>
@@ -2256,6 +2292,23 @@ object SparkEntry {
          | CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac
          |FROM c GROUP BY doc_id""".stripMargin,
     "q_span_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |ch AS (SELECT doc_id, tk,
+         |       unnest(range(0, ((len(tk) - 1) // 32) + 1)) AS chunk_id
+         |       FROM toks WHERE len(tk) > 0),
+         |h AS (SELECT doc_id, chunk_id,
+         |      md5(array_to_string(list_slice(tk, chunk_id * 32 + 1, chunk_id * 32 + 32), ' ')) AS h
+         |      FROM ch),
+         |o AS (SELECT doc_id, chunk_id,
+         |      row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_id) AS rn
+         |      FROM h)
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         | CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         | CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |   CAST(COUNT(*) AS DOUBLE) AS dup_frac
+         |FROM o GROUP BY doc_id""".stripMargin,
+    // the stream must converge on the batch ownership answer exactly
+    "q_stream_spandedup" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |ch AS (SELECT doc_id, tk,
          |       unnest(range(0, ((len(tk) - 1) // 32) + 1)) AS chunk_id

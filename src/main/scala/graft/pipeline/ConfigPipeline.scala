@@ -53,11 +53,15 @@ import graft.sources.Tables
   * with knob `rsd`: the fixed-register HyperLogLog++ sketch), streaming
   * twins `stream_dedup` (ts/delay/keys), `stream_keepbest`
   * (key/id/score), `stream_repetition` (id/text/n), `stream_neardup`
-  * (id/text[, numHashes/bands/rowsPerBand] — integral ids), `ann`
+  * (id/text[, numHashes/bands/rowsPerBand] — integral ids),
+  * `stream_spandedup` (id/text[, window] — integral ids), `ann`
   * (from[2] = queries/corpus stages + id/vec/k — method "brute", "ivf"
   * [nlist/nprobe], "lsh" [dim/numPlanes/bands], or "ivfpq"
   * [dim/m/codebookK/nlist/nprobe, optional mShort+rerank for the exact
-  * re-rank recall lever]).
+  * re-rank recall lever]), layout ops `zorder` (cols[, bits] — adds the
+  * Morton `zval` that `Sinks.zorderWrite` clusters by) and
+  * `corpus_shuffle` (id/seed/shards — adds the deterministic training
+  * shard + in-shard position).
   */
 object ConfigPipeline {
 
@@ -210,6 +214,16 @@ object ConfigPipeline {
       case "dedup_best" =>
         p.stage(name, from)(graft.dedup.Dedup.exactKeepBest(_,
           s.get("id").asText(), s.get("key").asText(), s.get("score").asText()))
+      // DATA-LAYOUT ops (write-side twins live in Sinks and are reachable
+      // from the RunPipeline CLI via its layout directive):
+      case "zorder" => // Morton clustering key over cols (adds `zval`)
+        p.stage(name, from)(graft.operators.Sinks.zorderValue(_,
+          strs(s.get("cols")),
+          if (s.has("bits")) s.get("bits").asInt() else 8))
+      case "corpus_shuffle" => // seeded global shuffle (adds shard, pos)
+        p.stage(name, from)(graft.operators.Ops.corpusShuffle(_,
+          s.get("id").asText(), s.get("seed").asLong(),
+          s.get("shards").asInt()))
       // STREAMING curation twins (stateful — need a stream_dir source;
       // drain with RunPipeline outputMode=update and compact the changelog
       // batches downstream, or append for dedup's finalized rows):
@@ -235,6 +249,10 @@ object ConfigPipeline {
           numHashes = if (s.has("numHashes")) s.get("numHashes").asInt() else 16,
           bands = if (s.has("bands")) s.get("bands").asInt() else 4,
           rowsPerBand = if (s.has("rowsPerBand")) s.get("rowsPerBand").asInt() else 4))
+      case "stream_spandedup" => // span-ownership changelog (3 longs/hash)
+        p.stage(name, from)(graft.streaming.Streams.chunkOwnersStream(_,
+          s.get("id").asText(), s.get("text").asText(),
+          if (s.has("window")) s.get("window").asInt() else 64))
       case "span_dedup_clean" =>
         p.stage(name, from)(graft.dedup.Dedup.spanDedupClean(_,
           s.get("id").asText(), s.get("text").asText(), s.get("window").asInt()))

@@ -320,6 +320,58 @@ object Streams {
       }.toDF("band", "band_key", "min_id", "n_members")
   }
 
+  /** Streaming span-level dedup — the stateful twin of
+    * [[graft.dedup.Dedup.spanDedup]]. Chunking is the same stateless
+    * projection as the batch path ([[graft.functions.Text.chunk]] — the
+    * same non-overlapping token windows hash identically), so the only
+    * stateful piece is span OWNERSHIP: per chunk hash the state is
+    * `(owner_id, owner_chunk, n_copies)` where the owner is the MINIMUM
+    * (id, chunk_id) seen — min, not first-arrival, because min is
+    * associative/commutative and therefore batch-split independent (the
+    * batch path's min-struct window rule, replayed incrementally; a
+    * first-arrival rule would make the answer depend on file order).
+    * Every micro-batch touching a hash emits its updated row — a
+    * changelog under an update sink; `n_copies` strictly increases per
+    * emission, so the drained result compacts exactly by max-`n_copies`
+    * per hash (the [[keepBestStream]] / [[lshBucketsStream]] recipe).
+    *
+    * Scale: state is O(#distinct spans) × three longs — constant per
+    * hash, chunk TEXT never enters state (the 32-byte hash is the key).
+    * Per-document dup fractions come from joining the documents' chunk
+    * hashes against the compacted owners at drain time — q_stream_spandedup
+    * oracles the whole loop against the batch spanDedup SQL. Ids must be
+    * integral, checked at plan time as in [[lshBucketsStream]].
+    */
+  def chunkOwnersStream(docs: DataFrame, idCol: String, textCol: String,
+                        window: Int = 64): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val idType = docs.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"chunkOwnersStream: id column '$idCol' must be integral (got $idType); " +
+        "derive a numeric id upstream (e.g. xxhash64) for string-keyed corpora")
+    graft.functions.Text.chunk(
+        docs.select(col(idCol).cast(LongType).as(idCol),
+          col(textCol).cast(StringType).as(textCol)),
+        idCol, textCol, window, window)
+      .select(md5(col("chunk_text")).as("h"), col("id"), col("chunk_id"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), (String, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (h: String, values: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (oid, ochunk, n) =
+            state.getOption.getOrElse((Long.MaxValue, Long.MaxValue, 0L))
+          values.foreach { case (_, id, c) =>
+            n += 1
+            if (id < oid || (id == oid && c < ochunk)) { oid = id; ochunk = c }
+          }
+          state.update((oid, ochunk, n))
+          (h, oid, ochunk, n)
+      }.toDF("h", "owner_id", "owner_chunk", "n_copies")
+  }
+
   /** Exact per-document n-gram repetition stats on a stream — the
     * streaming twin of [[graft.functions.Text.repetitionStats]] (same
     * output row per document). The batch form chains two aggregations,

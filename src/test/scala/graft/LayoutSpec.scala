@@ -131,4 +131,28 @@ class LayoutSpec extends SparkSpec {
     for (s <- 0 until 4)
       assert(spark.read.parquet(s"$base/a/shard=$s").count() == want(s.toLong))
   }
+
+  test("RunPipeline layout directives route to the Sinks writers") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ld").toString
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("cents", expr("cast(o_totalprice * 100 as bigint)"))
+      .select("o_orderkey", "o_custkey", "cents")
+    RunPipeline.writeBatch(orders, s"$base/plain", None)
+    assert(spark.read.parquet(s"$base/plain").count() == orders.count())
+    RunPipeline.writeBatch(orders, s"$base/z",
+      Some("zorder=o_custkey,cents,8,4"))
+    val z = spark.read.parquet(s"$base/z")
+    assert(z.count() == orders.count() && z.columns.toSeq == orders.columns.toSeq)
+    RunPipeline.writeBatch(orders, s"$base/sh",
+      Some("shuffled=o_orderkey,7,4"))
+    assert((0 until 4).forall(s =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/sh/shard=$s"))))
+    RunPipeline.writeBatch(
+      orders.withColumn("bucket", pmod(col("o_custkey"), lit(3))),
+      s"$base/pt", Some("partitioned=bucket"))
+    assert(spark.read.parquet(s"$base/pt").columns.contains("bucket"))
+    intercept[Exception] {
+      RunPipeline.writeBatch(orders, s"$base/bad", Some("sorted=o_custkey"))
+    }
+  }
 }

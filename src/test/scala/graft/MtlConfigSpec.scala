@@ -380,6 +380,35 @@ class MtlConfigSpec extends SparkSpec {
     assert(pq.count(_._2 == 1L) == 20 && pq.length == 100) // 20 queries x top-5
   }
 
+  test("ConfigPipeline zorder and corpus_shuffle match the programmatic forms") {
+    val out = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "o", "op": "table", "table": "orders", "dir": "$sfDir"},
+         | {"name": "c", "op": "withColumn", "from": "o",
+         |  "col": "cents", "expr": "cast(o_totalprice * 100 as bigint)"},
+         | {"name": "z", "op": "zorder", "from": "c",
+         |  "cols": ["o_custkey", "cents"], "bits": 8}
+         |]}""".stripMargin).output("z")
+    val want = graft.operators.Sinks.zorderValue(
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .withColumn("cents", expr("cast(o_totalprice * 100 as bigint)")),
+      Seq("o_custkey", "cents"), 8)
+    assert(out.select("o_orderkey", "zval").as[(Long, Long)].collect().toSet ==
+      want.select("o_orderkey", "zval").as[(Long, Long)].collect().toSet)
+    val sh = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "d", "op": "table", "table": "documents", "dir": "$sfDir"},
+         | {"name": "s", "op": "corpus_shuffle", "from": "d",
+         |  "id": "doc_id", "seed": 7, "shards": 8}
+         |]}""".stripMargin).output("s")
+    val wantSh = graft.operators.Ops.corpusShuffle(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", 7L, 8)
+    assert(sh.select("doc_id", "shard", "pos").as[(Long, Long, Int)]
+      .collect().toSet ==
+      wantSh.select("doc_id", "shard", "pos").as[(Long, Long, Int)]
+        .collect().toSet)
+  }
+
   test("ConfigPipeline dedup_near matches the programmatic near-dup flagship") {
     val cfg = ConfigPipeline.fromJson(spark,
       """{"stages": [

@@ -196,6 +196,46 @@ class StreamsSpec extends SparkSpec {
     assert(e.getMessage.contains("xxhash64"))
   }
 
+  test("chunkOwnersStream compacts to the batch span ownership under any split") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cos").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    docs.repartition(3).write.mode("overwrite").parquet(inDir)
+    val stream = Streams.watchDirectory(spark, inDir, format = "parquet",
+      schemaDdl = Some(docs.schema.toDDL), maxFilesPerTrigger = 1)
+    val q = Streams.toForeachBatch(
+      Streams.chunkOwnersStream(stream, "doc_id", "text", window = 32),
+      ckpt, availableNow = true, outputMode = "update") { (batch, id) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+    }
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$outDir/batch_*")
+      .groupBy("h")
+      .agg(max(struct(col("n_copies"), col("owner_id"), col("owner_chunk"))).as("f"))
+      .selectExpr("h", "f.owner_id AS owner_id", "f.owner_chunk AS owner_chunk",
+        "f.n_copies AS n_copies")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // the batch rule: min (id, chunk_id) per hash owns the span
+    val want = graft.functions.Text.chunk(docs, "doc_id", "text", 32, 32)
+      .select(md5(col("chunk_text")).as("h"), col("id"), col("chunk_id"))
+      .groupBy("h")
+      .agg(min(struct(col("id"), col("chunk_id"))).as("o"), count(lit(1)).as("n"))
+      .selectExpr("h", "o.id AS owner_id", "o.chunk_id AS owner_chunk",
+        "n AS n_copies")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("chunkOwnersStream rejects non-integral id columns at plan time") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val e = intercept[IllegalArgumentException] {
+      Streams.chunkOwnersStream(mem.toDF.toDF("url", "text"), "url", "text")
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
+
   test("repetitionStatsStream emits the batch repetitionStats row per document") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
