@@ -380,6 +380,39 @@ class MtlConfigSpec extends SparkSpec {
     assert(pq.count(_._2 == 1L) == 20 && pq.length == 100) // 20 queries x top-5
   }
 
+  test("stateless curation ops ride streaming pipelines from config for free") {
+    // the stateful curation ops need explicit twins (stream_dedup,
+    // stream_neardup, stream_spandedup, ...); every STATELESS op — filters,
+    // langid, quality scores, fingerprints, projections — is a pure
+    // per-row plan that Structured Streaming runs unchanged. Pin that
+    // contract: a stream_dir → filter → langid config drains to exactly
+    // the batch answer, no twin required.
+    val base = java.nio.file.Files.createTempDirectory("graft_cfg_sl").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    docs.repartition(3).write.mode("overwrite").parquet(inDir)
+    val out = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "d", "op": "stream_dir", "path": "$inDir", "format": "parquet",
+         |  "schema": "doc_id BIGINT, text STRING", "maxFilesPerTrigger": 1},
+         | {"name": "f", "op": "filter", "from": "d", "expr": "doc_id % 2 = 0"},
+         | {"name": "l", "op": "langid", "from": "f", "id": "doc_id", "text": "text"}
+         |]}""".stripMargin).output("l")
+    assert(out.isStreaming)
+    val q = graft.streaming.Streams.toForeachBatch(out, ckpt,
+      availableNow = true) { (batch, id) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+    }
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$outDir/batch_*")
+      .as[(Long, String)].collect().toSet
+    val want = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), graft.functions.Text.langId(col("text")))
+      .as[(Long, String)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("ConfigPipeline zorder and corpus_shuffle match the programmatic forms") {
     val out = ConfigPipeline.fromJson(spark,
       s"""{"stages": [
