@@ -86,10 +86,17 @@ object RunPipeline {
       case None =>
         df.write.mode("overwrite").parquet(path)
       case Some(Array("zorder", spec)) =>
-        val parts = spec.split(",")
-        val (cols, knobs) = parts.partition(p => !p.forall(_.isDigit))
-        require(cols.nonEmpty, s"zorder layout needs columns: $spec")
-        graft.operators.Sinks.zorderWrite(df, path, cols.toSeq,
+        // columns first, then up to two TRAILING numeric knobs (bits,
+        // files); `span`, not `partition` — a digit-only COLUMN name can't
+        // be expressed here (use the config `zorder` stage op for those)
+        val parts = spec.split(",", -1).toSeq // -1: keep (and reject) empties
+        require(parts.nonEmpty && parts.forall(_.nonEmpty),
+          s"zorder layout has an empty segment: '$spec'")
+        val (cols, knobs) = parts.span(p => !p.forall(_.isDigit))
+        require(cols.nonEmpty && knobs.size <= 2 &&
+          knobs.forall(_.forall(_.isDigit)),
+          s"zorder layout is cols[,bits[,files]] with knobs LAST: '$spec'")
+        graft.operators.Sinks.zorderWrite(df, path, cols,
           bits = knobs.lift(0).map(_.toInt).getOrElse(8),
           numFiles = knobs.lift(1).map(_.toInt).getOrElse(64))
       case Some(Array("shuffled", spec)) =>

@@ -779,10 +779,14 @@ object SparkEntry {
     // Binning and interleave are pure BIGINT arithmetic, so the oracle
     // replays every key bit-exactly; the file-skip win the layout buys is
     // measured in plans/LAYOUT.md and pinned by LayoutSpec.
+    // floor() on BOTH sides before the bigint cast: o_totalprice is DOUBLE
+    // and a bare double→BIGINT cast TRUNCATES in Spark but ROUNDS in DuckDB
+    // (±1 cents on ~5% of rows — latent bin flips); floor-then-cast is the
+    // same IEEE value in both engines
     "q_zorder" -> ((s, dir) =>
       Sinks.zorderValue(
         T(s, dir, "orders").withColumn("cents",
-          expr("cast(o_totalprice * 100 as bigint)")),
+          expr("cast(floor(o_totalprice * 100) as bigint)")),
         Seq("o_custkey", "cents"), bits = 8)
         .select(col("o_orderkey"), col("zval"))),
     // GLOBAL TRAINING SHUFFLE: shard + in-shard position are a pure
@@ -2705,7 +2709,7 @@ object SparkEntry {
         Seq(s"(((b0 >> $i) & 1) << ${2 * i})",
             s"(((b1 >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
       s"""WITH o AS (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
-         |  CAST(o_totalprice * 100 AS BIGINT) AS y FROM orders),
+         |  CAST(floor(o_totalprice * 100) AS BIGINT) AS y FROM orders),
          |b AS (SELECT min(x) lx, max(x) hx, min(y) ly, max(y) hy FROM o),
          |v AS (SELECT o_orderkey,
          |  ((x - lx) * 256) // (hx - lx + 1) AS b0,

@@ -179,13 +179,21 @@ object Ops {
     * writer path skips even the rank: `sortWithinPartitions` orders files
     * without materializing positions.
     */
+  /** The seeded shuffle key and shard id — ONE definition shared by
+    * [[corpusShuffle]] and [[graft.operators.Sinks.shuffledWrite]], so the
+    * oracled query form pins the writer's assignment by construction.
+    */
+  private[graft] def shuffleKey(idCol: String, seed: Long): Column =
+    md5(concat_ws("|", lit(seed), col(idCol).cast(StringType)))
+  private[graft] def shuffleShard(key: Column, numShards: Int): Column =
+    pmod(conv(substring(key, 1, 15), 16, 10).cast(LongType),
+      lit(numShards.toLong))
+
   def corpusShuffle(df: DataFrame, idCol: String, seed: Long,
                     numShards: Int): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
-    val key = md5(concat_ws("|", lit(seed), col(idCol).cast(StringType)))
-    df.withColumn("__key", key)
-      .withColumn("shard", pmod(conv(substring(col("__key"), 1, 15), 16, 10)
-        .cast(LongType), lit(numShards.toLong)))
+    df.withColumn("__key", shuffleKey(idCol, seed))
+      .withColumn("shard", shuffleShard(col("__key"), numShards))
       .withColumn("pos", row_number().over(
         Window.partitionBy("shard").orderBy(col("__key"), col(idCol))))
       .drop("__key")

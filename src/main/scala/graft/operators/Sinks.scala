@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, col, concat_ws, conv, expr, lit, max, md5, min, pmod, substring}
+import org.apache.spark.sql.functions.{array, col, expr, lit, max, min}
 
 /** Sink nodes (reference `PrinterOfThings` node.py:1412, `BlackHole`
   * node.py:1705, recorder `metalpipe_recorder.py`).
@@ -292,8 +292,20 @@ object Sinks {
     val bounds = df.select(
       cols.flatMap(c => Seq(min(col(c).cast("long")), max(col(c).cast("long")))): _*)
       .head()
+    // empty input / all-null column: no bounds, so no meaningful bins —
+    // key everything 0 (an empty write stays empty; the plain-parquet
+    // path would also have produced no clustering)
+    if (cols.indices.exists(i => bounds.isNullAt(2 * i)))
+      return df.withColumn("zval", lit(0L))
     val bins = cols.zipWithIndex.map { case (c, i) =>
       val (lo, hi) = (bounds.getLong(2 * i), bounds.getLong(2 * i + 1))
+      // the multiply must stay in BIGINT: (hi-lo)*nbins ≤ Long.Max, loudly
+      // checked — a full-range column (e.g. a raw xxhash64) would silently
+      // wrap into garbage bins; pre-bucket it (`v div 2^k`) before z-ordering
+      require(hi - lo >= 0 && hi - lo <= Long.MaxValue / nbins - 1,
+        s"zorderValue: column `$c` spans [$lo, $hi] — too wide for $bits-bit " +
+          s"binning without BIGINT overflow; pre-scale it (e.g. `$c` div " +
+          s"${1L << 32}) before z-ordering")
       // ((v - lo) * nbins) div (hi - lo + 1) ∈ [0, nbins) — BIGINT `div`,
       // never `/` (double rounding near exact multiples would flip bins)
       expr(s"((cast(`$c` as bigint) - (${lo}L)) * ${nbins}L) " +
@@ -346,10 +358,8 @@ object Sinks {
                     seed: Long, numShards: Int,
                     mode: String = "overwrite"): Unit = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
-    val key = md5(concat_ws("|", lit(seed), col(idCol).cast("string")))
-    df.withColumn("__key", key)
-      .withColumn("shard", pmod(conv(substring(col("__key"), 1, 15), 16, 10)
-        .cast("long"), lit(numShards.toLong)))
+    df.withColumn("__key", Ops.shuffleKey(idCol, seed))
+      .withColumn("shard", Ops.shuffleShard(col("__key"), numShards))
       .repartition(numShards, col("shard"))
       .sortWithinPartitions("shard", "__key")
       .drop("__key")

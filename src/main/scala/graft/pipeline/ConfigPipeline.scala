@@ -217,6 +217,9 @@ object ConfigPipeline {
       // DATA-LAYOUT ops (write-side twins live in Sinks and are reachable
       // from the RunPipeline CLI via its layout directive):
       case "zorder" => // Morton clustering key over cols (adds `zval`)
+        // NOTE: the min/max bounds job runs when the stage BUILDS (the bins
+        // are literals in the projection) — the `ann` ivfpq precedent, where
+        // codebooks also train at build; keep configs purpose-scoped
         p.stage(name, from)(graft.operators.Sinks.zorderValue(_,
           strs(s.get("cols")),
           if (s.has("bits")) s.get("bits").asInt() else 8))
@@ -235,6 +238,16 @@ object ConfigPipeline {
           (s.get("key").asText(), s.get("id").asText(), s.get("score").asText())
         p.stage(name, from) { d =>
           import d.sparkSession.implicits._
+          import org.apache.spark.sql.types._
+          // plan-time type checks, like lshBucketsStream's: a silent cast
+          // would null string ids / non-numeric scores and kill the stream
+          // mid-run with an opaque non-nullable-field error
+          val idT = d.schema(id).dataType
+          require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idT),
+            s"stream_keepbest: id column '$id' must be integral (got $idT)")
+          val scoreT = d.schema(score).dataType
+          require(scoreT.isInstanceOf[NumericType],
+            s"stream_keepbest: score column '$score' must be numeric (got $scoreT)")
           graft.streaming.Streams.keepBestStream(
             d.select(col(key).cast("string"), col(id).cast("long"),
               col(score).cast("double")).as[(String, Long, Double)])
@@ -381,14 +394,20 @@ object ConfigPipeline {
           // "rerank" to re-order an mShort shortlist with exact distances
           case "ivfpq" =>
             val dim = s.get("dim").asInt()
+            val rerank = s.has("rerank") && s.get("rerank").asBoolean()
+            // mShort is the RERANK shortlist size; without a rerank stage it
+            // would silently replace k (20 rows back when 5 were asked for)
+            require(rerank || !s.has("mShort"),
+              s"ann '$name': mShort is the rerank shortlist — set " +
+                "\"rerank\": true or drop mShort")
             p.fanIn(name, Seq(qs, cs)) { dfs =>
               val cbs = graft.similarity.Pq.trainCodebooks(dfs(1), id, vec,
                 dim = dim, m = knob("m", 4), k = knob("codebookK", 16),
                 rounds = knob("rounds", 2))
               val routed = graft.similarity.Pq.ivfAdcTopK(dfs(0), dfs(1), id, vec,
-                cbs, if (s.has("mShort")) s.get("mShort").asInt() else k,
+                cbs, if (rerank) knob("mShort", k) else k,
                 nlist = knob("nlist", 64), nprobe = knob("nprobe", 8))
-              if (s.has("rerank") && s.get("rerank").asBoolean())
+              if (rerank)
                 graft.similarity.Pq.rerank(routed, dfs(0), dfs(1), id, vec, k)
               else routed
             }

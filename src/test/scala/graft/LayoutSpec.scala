@@ -54,7 +54,7 @@ class LayoutSpec extends SparkSpec {
 
   test("zorderValue is a zero-shuffle projection with bins in [0, 2^bits)") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
-      .withColumn("cents", expr("cast(o_totalprice * 100 as bigint)"))
+      .withColumn("cents", expr("cast(floor(o_totalprice * 100) as bigint)"))
     val z = Sinks.zorderValue(orders, Seq("o_custkey", "cents"), bits = 8)
     // the min/max pass is a separate job; the keyed frame itself must add
     // no exchange over the scan (pure codegen projection)
@@ -67,7 +67,7 @@ class LayoutSpec extends SparkSpec {
   test("zorderWrite preserves content and skips files linear sort cannot") {
     val base = java.nio.file.Files.createTempDirectory("graft_zw").toString
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
-      .withColumn("cents", expr("cast(o_totalprice * 100 as bigint)"))
+      .withColumn("cents", expr("cast(floor(o_totalprice * 100) as bigint)"))
       .select("o_orderkey", "o_custkey", "cents")
     Sinks.zorderWrite(orders, s"$base/z", Seq("o_custkey", "cents"),
       bits = 8, numFiles = 16)
@@ -124,18 +124,34 @@ class LayoutSpec extends SparkSpec {
         .as[Long].collect().toSeq
       assert(a.nonEmpty && a == b, s"shard $s differs across parallelism")
     }
-    // and the query form agrees with the written layout
+    // and the query form pins the written MEMBERSHIP (not just sizes — a
+    // drifted assignment preserving shard counts must fail here)
     val want = Ops.corpusShuffle(docs, "doc_id", 7L, 4)
-      .groupBy("shard").agg(count(lit(1)).as("n"))
-      .as[(Long, Long)].collect().toMap
-    for (s <- 0 until 4)
-      assert(spark.read.parquet(s"$base/a/shard=$s").count() == want(s.toLong))
+      .select("shard", "doc_id").as[(Long, Long)].collect().toSet
+    val wrote = spark.read.parquet(s"$base/a")
+      .select(col("shard").cast("long"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(wrote == want)
+  }
+
+  test("zorderValue handles empty input and refuses overflow-wide columns") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ze").toString
+    val empty = spark.range(0).selectExpr("id AS a", "id AS b")
+    Sinks.zorderWrite(empty, s"$base/e", Seq("a", "b"), bits = 8, numFiles = 4)
+    assert(spark.read.parquet(s"$base/e").count() == 0L) // no NPE, empty out
+    // a raw xxhash64-style full-range column must fail loudly, not wrap
+    val wide = Seq(Long.MinValue, 0L, Long.MaxValue).toDF("a")
+      .withColumn("b", lit(1L))
+    val e = intercept[IllegalArgumentException] {
+      Sinks.zorderValue(wide, Seq("a", "b"), bits = 8)
+    }
+    assert(e.getMessage.contains("too wide") && e.getMessage.contains("div"))
   }
 
   test("RunPipeline layout directives route to the Sinks writers") {
     val base = java.nio.file.Files.createTempDirectory("graft_ld").toString
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
-      .withColumn("cents", expr("cast(o_totalprice * 100 as bigint)"))
+      .withColumn("cents", expr("cast(floor(o_totalprice * 100) as bigint)"))
       .select("o_orderkey", "o_custkey", "cents")
     RunPipeline.writeBatch(orders, s"$base/plain", None)
     assert(spark.read.parquet(s"$base/plain").count() == orders.count())
@@ -154,5 +170,15 @@ class LayoutSpec extends SparkSpec {
     intercept[Exception] {
       RunPipeline.writeBatch(orders, s"$base/bad", Some("sorted=o_custkey"))
     }
+    // malformed zorder specs fail with the directive grammar, not a bare
+    // NumberFormatException from a stray empty/misplaced token
+    val e1 = intercept[IllegalArgumentException] {
+      RunPipeline.writeBatch(orders, s"$base/bad2", Some("zorder=o_custkey,cents,"))
+    }
+    assert(e1.getMessage.contains("empty segment"))
+    val e2 = intercept[IllegalArgumentException] {
+      RunPipeline.writeBatch(orders, s"$base/bad3", Some("zorder=8,o_custkey"))
+    }
+    assert(e2.getMessage.contains("knobs LAST"))
   }
 }

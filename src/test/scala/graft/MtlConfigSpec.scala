@@ -413,18 +413,49 @@ class MtlConfigSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("config stream_keepbest and ivfpq reject bad shapes at build time") {
+    // string id through stream_keepbest would null-cast and kill the
+    // stream mid-run; the config path must fail at plan time instead
+    val base = java.nio.file.Files.createTempDirectory("graft_cfg_rej").toString
+    spark.createDataset(Seq(("u", "a", 1.0))).toDF("url", "key", "score")
+      .write.mode("overwrite").parquet(s"$base/in")
+    val e = intercept[IllegalArgumentException] {
+      ConfigPipeline.fromJson(spark,
+        s"""{"stages": [
+           | {"name": "d", "op": "stream_dir", "path": "$base/in",
+           |  "format": "parquet",
+           |  "schema": "url STRING, key STRING, score DOUBLE"},
+           | {"name": "kb", "op": "stream_keepbest", "from": "d",
+           |  "key": "key", "id": "url", "score": "score"}
+           |]}""".stripMargin).output("kb")
+    }
+    assert(e.getMessage.contains("must be integral"))
+    // mShort without rerank would silently return mShort rows, not k
+    val e2 = intercept[IllegalArgumentException] {
+      ConfigPipeline.fromJson(spark,
+        s"""{"stages": [
+           | {"name": "c", "op": "parquet",
+           |  "path": "/root/testdata/sf0.001/embeddings.parquet"},
+           | {"name": "nn", "op": "ann", "from": ["c", "c"],
+           |  "method": "ivfpq", "id": "vec_id", "vec": "embedding",
+           |  "k": 5, "dim": 64, "mShort": 20}
+           |]}""".stripMargin).output("nn")
+    }
+    assert(e2.getMessage.contains("rerank"))
+  }
+
   test("ConfigPipeline zorder and corpus_shuffle match the programmatic forms") {
     val out = ConfigPipeline.fromJson(spark,
       s"""{"stages": [
          | {"name": "o", "op": "table", "table": "orders", "dir": "$sfDir"},
          | {"name": "c", "op": "withColumn", "from": "o",
-         |  "col": "cents", "expr": "cast(o_totalprice * 100 as bigint)"},
+         |  "col": "cents", "expr": "cast(floor(o_totalprice * 100) as bigint)"},
          | {"name": "z", "op": "zorder", "from": "c",
          |  "cols": ["o_custkey", "cents"], "bits": 8}
          |]}""".stripMargin).output("z")
     val want = graft.operators.Sinks.zorderValue(
       spark.read.parquet(s"$sfDir/orders.parquet")
-        .withColumn("cents", expr("cast(o_totalprice * 100 as bigint)")),
+        .withColumn("cents", expr("cast(floor(o_totalprice * 100) as bigint)")),
       Seq("o_custkey", "cents"), 8)
     assert(out.select("o_orderkey", "zval").as[(Long, Long)].collect().toSet ==
       want.select("o_orderkey", "zval").as[(Long, Long)].collect().toSet)
