@@ -217,4 +217,25 @@ class PropertySpec extends SparkSpec {
       (a.keySet & b.keySet).forall(k => a(k) == b(k))
     })
   }
+
+  test("law: InterleaveBits is injective and deinterleaves back to its inputs") {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, InterleaveBits}
+    // distinct (x, y) bin pairs must map to distinct Morton keys (file
+    // ranges would otherwise merge cells) and every input bit must be
+    // recoverable from the key (the interleave loses nothing ≤ 63 bits)
+    val binGen = Gen.chooseNum(0L, 255L)
+    check(Prop.forAll(Gen.listOfN(6, Gen.zip(binGen, binGen))) { pairs =>
+      val zs = pairs.toDF("x", "y")
+        .withColumn("z", ColumnBridge.column(InterleaveBits(
+          ColumnBridge.expression(array(col("x"), col("y"))), 8)))
+        .select("x", "y", "z").as[(Long, Long, Long)].collect()
+      val injective = zs.map(_._3).distinct.length == pairs.distinct.length
+      val roundtrips = zs.forall { case (x, y, z) =>
+        val dx = (0 until 8).map(i => ((z >>> (2 * i)) & 1L) << i).sum
+        val dy = (0 until 8).map(i => ((z >>> (2 * i + 1)) & 1L) << i).sum
+        dx == x && dy == y
+      }
+      injective && roundtrips
+    })
+  }
 }
