@@ -16,8 +16,11 @@ import org.apache.spark.sql.types._
   * statistics are a function of the weighted vocabulary, not the corpus).
   * Per round: one vocab-sized aggregate + a one-row argmax fetch; the
   * merge is then applied as a `replace` projection. [[segment]] applies a
-  * trained merge list to a corpus as a chain of codegen `replace`
-  * projections — zero shuffles.
+  * trained merge list to a corpus as ONE native
+  * [[org.apache.spark.sql.graftglue.ChainedReplace]] projection — zero
+  * shuffles, and the projection stays inside whole-stage codegen at any
+  * merge count (a folded `replace` chain drops out of codegen at a few
+  * hundred merges and goes interpreted — measured on q_bpe_segment).
   *
   * Symbol representation: a word's current segmentation is stored as a
   * padded string — ONE space at each end, TWO spaces between symbols
@@ -40,12 +43,17 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
   /** Initial segmentation: every word split to single characters in the
-    * padded representation (see object doc).
+    * padded representation (see object doc). One `regexp_replace` — each
+    * char becomes " c ", so adjacent chars meet at the double space and the
+    * ends carry the single boundary pad ("low" → " l  o  w ") — rather
+    * than a split("")+filter HOF: the lambda is CodegenFallback and was
+    * the expression keeping the whole segmentation projection OUT of
+    * whole-stage codegen. (?s) so a stray control char is still a symbol;
+    * astral glyphs: "." takes the code POINT where split("") took UTF-16
+    * units — both out of contract per the object doc's BMP caveat.
     */
   private def symbolize(word: Column): Column =
-    concat(lit(" "),
-      array_join(filter(split(word, ""), s => length(s) > 0), "  "),
-      lit(" "))
+    regexp_replace(word, "(?s)(.)", " $1 ")
 
   /** Weighted adjacent-pair counts over a (syms, cnt) vocabulary:
     * (left, right, n). Vocab-sized work.
@@ -139,11 +147,13 @@ object Bpe {
           merges += ((merges.size + 1L, l, r, l + r, n))
         }
         // disjoint ⇒ the replaces commute; applied in selection order to
-        // match the rank order segment() replays
+        // match the rank order segment() replays — as ONE ChainedReplace
+        // (segment()'s codegen shape) instead of an R-deep fold
         vocab = vocab.withColumn("syms",
-            selected.foldLeft(col("syms")) { case (acc, (l, r, _)) =>
-              replace(acc, lit(s" $l  $r "), lit(s" ${l}${r} "))
-            })
+            org.apache.spark.sql.graftglue.ColumnBridge.column(
+              org.apache.spark.sql.graftglue.ChainedReplace(
+                org.apache.spark.sql.graftglue.ColumnBridge.expression(col("syms")),
+                selected.map { case (l, r, _) => (s" $l  $r ", s" ${l}${r} ") })))
           .localCheckpoint(true)
       } else exhausted = true
     }
@@ -158,11 +168,17 @@ object Bpe {
     */
   def segment(docs: DataFrame, idCol: String, textCol: String,
               merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.graftglue.{ChainedReplace, ColumnBridge}
     val tok = docs.select(col(idCol).as("id"),
       explode(Text.tokens(col(textCol))).as("token"))
-    val seg = merges.foldLeft(symbolize(col("token"))) { case (acc, (l, r)) =>
-      replace(acc, lit(s" $l  $r "), lit(s" ${l}${r} "))
-    }
+    // ONE native expression for the whole merge list, not a fold of
+    // `replace` — a production merge table is 10⁴-10⁵ steps and the folded
+    // tree falls out of whole-stage codegen at a few hundred (the Project
+    // loses its codegen star and every token pays interpreted dispatch per
+    // merge); same values, ChainedReplace scaladoc has the measurement
+    val seg = ColumnBridge.column(ChainedReplace(
+      ColumnBridge.expression(symbolize(col("token"))),
+      merges.map { case (l, r) => (s" $l  $r ", s" ${l}${r} ") }))
     tok.withColumn("syms", split(trim(seg), "  "))
       .withColumn("n_syms", size(col("syms")).cast(LongType))
   }

@@ -1,0 +1,70 @@
+package org.apache.spark.sql.graftglue
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{AbstractDataType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Apply a literal (search → replacement) list in order, in ONE expression.
+  *
+  * Semantically identical to folding `functions.replace` — each step is
+  * `UTF8String.replace` (all non-overlapping occurrences, left-to-right),
+  * exactly what a chain of `StringReplace` nodes evaluates. The difference
+  * is plan shape: a BPE merge list is hundreds of steps today and 10⁴-10⁵
+  * in production, and a fold is an expression TREE that deep — when the
+  * projection runs interpreted (e.g. a CodegenFallback lambda elsewhere in
+  * the projection forces it, as Bpe.symbolize's `filter` HOF did) every row
+  * pays per-step virtual dispatch and a fresh intermediate per node, and
+  * under codegen the emitted source grows linearly with the chain until it
+  * blows the generated-method size limit. Here the whole list is one
+  * expression node looping over a reference-object array — constant plan
+  * size and constant generated code no matter how long the tokenizer's
+  * merge table grows (q_bpe_segment's Project carries its codegen star
+  * with this + the regexp symbolize; the 268-node fold shape is gone).
+  *
+  * Null input → null; search strings must be non-empty (an empty search is
+  * a replace no-op that would differ between engines).
+  */
+case class ChainedReplace(child: Expression, steps: Seq[(String, String)])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(steps.forall(_._1.nonEmpty), "ChainedReplace: empty search string")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "chained_replace"
+
+  @transient private lazy val searches: Array[UTF8String] =
+    steps.map(s => UTF8String.fromString(s._1)).toArray
+  @transient private lazy val replacements: Array[UTF8String] =
+    steps.map(s => UTF8String.fromString(s._2)).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    var s = v.asInstanceOf[UTF8String]
+    var i = 0
+    while (i < searches.length) {
+      s = s.replace(searches(i), replacements(i))
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val cls = "org.apache.spark.unsafe.types.UTF8String[]"
+      val se = ctx.addReferenceObj("searches", searches, cls)
+      val re = ctx.addReferenceObj("replacements", replacements, cls)
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |org.apache.spark.unsafe.types.UTF8String $s = $in;
+         |for (int $i = 0; $i < ${steps.length}; $i++) {
+         |  $s = $s.replace($se[$i], $re[$i]);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ChainedReplace =
+    copy(child = newChild)
+}

@@ -218,6 +218,24 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("law: ChainedReplace equals the folded replace chain on random inputs") {
+    import org.apache.spark.sql.graftglue.{ChainedReplace, ColumnBridge}
+    // the native loop must be indistinguishable from foldLeft(replace) —
+    // same left-to-right non-overlapping semantics per step, same step order
+    val symGen = Gen.oneOf("a", "b", "ab", "ba", " a  b ", " ab  a ")
+    val strGen = Gen.listOfN(5, symGen).map(_.mkString(" "))
+    val stepGen = Gen.listOfN(4, Gen.zip(
+      Gen.oneOf(" a  b ", " b  a ", "ab", "a"), Gen.oneOf(" ab ", " ba ", "x", "")))
+    check(Prop.forAll(Gen.listOfN(4, strGen), stepGen) { (strs, steps) =>
+      val df = strs.toDF("s")
+      val native = df.select(ColumnBridge.column(ChainedReplace(
+        ColumnBridge.expression(col("s")), steps))).as[String].collect().toSeq
+      val folded = df.select(steps.foldLeft(col("s")) { case (acc, (p, r)) =>
+        replace(acc, lit(p), lit(r)) }).as[String].collect().toSeq
+      native == folded
+    })
+  }
+
   test("law: InterleaveBits is injective and deinterleaves back to its inputs") {
     import org.apache.spark.sql.graftglue.{ColumnBridge, InterleaveBits}
     // distinct (x, y) bin pairs must map to distinct Morton keys (file
