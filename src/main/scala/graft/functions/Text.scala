@@ -16,8 +16,13 @@ object Text {
     */
   def wsTokens(text: Column): Column = split(text, " ")
 
-  /** Non-empty whitespace tokens. */
-  def tokens(text: Column): Column = filter(split(text, " "), t => length(t) > 0)
+  /** Non-empty whitespace tokens. `array_remove(…, "")`, NOT a
+    * `filter(…, length > 0)` lambda: the values are identical, but the
+    * lambda is CodegenFallback and ONE of them keeps the whole projection
+    * out of whole-stage codegen — and tokens() rides in nearly every
+    * corpus-wide text projection in the library.
+    */
+  def tokens(text: Column): Column = array_remove(split(text, " "), "")
 
   /** Word k-shingles of a token array via the native codegen expression
     * (`graftglue.WordShingles`) — the fused loop the HOF
@@ -51,11 +56,21 @@ object Text {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "no", "por"),
     "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "que", "pas", "pour"))
 
+  /** Count of tokens in the literal `words` set, via the native codegen
+    * `graftglue.CountInSet` (one hash probe per token; the
+    * `size(filter(isin))` HOF form de-fuses the projection and pays an
+    * O(|words|) comparison chain per token, interpreted).
+    */
+  private def stopwordHits(toks: Column, words: Seq[String]): Column = {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, CountInSet}
+    ColumnBridge.column(CountInSet(ColumnBridge.expression(toks), words))
+  }
+
   /** Fraction of tokens found in `words` — exact bigint ÷ bigint double. */
   def stopwordFraction(text: Column, words: Seq[String]): Column = {
     val toks = tokens(text)
-    val hits = size(filter(toks, t => t.isin(words.map(lit): _*)))
-    hits.cast(DoubleType) / greatest(size(toks), lit(1)).cast(DoubleType)
+    stopwordHits(toks, words).cast(DoubleType) /
+      greatest(size(toks), lit(1)).cast(DoubleType)
   }
 
   /** Heuristic language ID (G8): argmax of per-language stopword fractions,
@@ -80,9 +95,11 @@ object Text {
       length(text).cast(LongType).as("n_chars"),
       size(toks).cast(LongType).as("n_tokens"),
       punct.cast(DoubleType) / greatest(length(text), lit(1)).cast(DoubleType) as "punct_ratio",
-      size(filter(toks, t => t.isin(stop.map(lit): _*))).cast(DoubleType) /
+      stopwordHits(toks, stop).cast(DoubleType) /
         nToks.cast(DoubleType) as "stopword_ratio",
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast(LongType))
+      // Σ token lengths ≡ length of the empty-separator join — a codegen
+      // expression where the aggregate() lambda would de-fuse the projection
+      length(array_join(toks, "")).cast(LongType)
         .cast(DoubleType) / nToks.cast(DoubleType) as "mean_token_len")
   }
 

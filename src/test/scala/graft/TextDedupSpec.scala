@@ -20,6 +20,28 @@ class TextDedupSpec extends SparkSpec {
     assert(bpe == Seq("don", "'", "t", "stop", "2", "!"))
   }
 
+  test("CountInSet counts set hits and keeps the projection codegen-fused") {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, CountInSet}
+    def cis(c: org.apache.spark.sql.Column) =
+      ColumnBridge.column(CountInSet(ColumnBridge.expression(c), Seq("the", "la")))
+    val df = Seq(
+      (1, Some(Seq("the", "cat", "the", "la"))), // duplicates each count
+      (2, Some(Seq.empty[String])),
+      (3, None),                                 // null array -> null
+      (4, Some(Seq("x")))).toDF("id", "toks")
+    val got = df.select(col("id"), cis(col("toks")).as("n")).collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(1 -> 3L, 2 -> 0L, 3 -> -1L, 4 -> 0L))
+    // null ELEMENT is a miss — same as the HOF filter(isin) it replaces
+    assert(Seq(Seq("the", null, "qqq")).toDF("toks")
+      .select(cis(col("toks"))).as[Long].head() == 1L)
+    // the motivating claim: tokens() + CountInSet over a real scan stays
+    // inside whole-stage codegen (the HOF form was CodegenFallback)
+    val plan = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(cis(Text.tokens(col("text")))).queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"projection not codegen-fused:\n$plan")
+  }
+
   test("langId picks argmax stopword fraction with deterministic ties") {
     val df = Seq("the cat and the dog", "el perro es la cosa", "zzz qqq").toDF("text")
     val got = df.select(Text.langId(col("text"))).as[String].collect().toSeq
