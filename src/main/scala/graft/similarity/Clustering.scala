@@ -38,17 +38,26 @@ object Clustering {
     * left-to-right fold of squared diffs ≡ DuckDB list_dot_product) must
     * live in ONE place — two copies drifting apart would silently break
     * oracle parity for whichever operator kept the stale one.
+    *
+    * Both are native codegen expressions (`graftglue.QuantizeVec` /
+    * `graftglue.SqDistLit`), bit-identical to the HOF forms they replaced
+    * (`transform(floor·scale)` / `aggregate(zip_with(-), acc+d²)`): the HOF
+    * lambdas were CodegenFallback, and one of them in the assignment
+    * projection kept every corpus × k distance evaluation interpreted.
     */
-  private[similarity] def quantize(vec: org.apache.spark.sql.Column, scale: Double) =
-    transform(vec, x => floor(x.cast(DoubleType) * scale).cast(DoubleType))
+  private[similarity] def quantize(vec: org.apache.spark.sql.Column, scale: Double) = {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, QuantizeVec}
+    ColumnBridge.column(QuantizeVec(ColumnBridge.expression(vec), scale))
+  }
 
   /** Squared L2 between a quantized vector column and a centroid literal,
     * folded left-to-right (see [[quantize]] note).
     */
   private[similarity] def dist2(v: org.apache.spark.sql.Column,
-                                cv: Array[Double]): org.apache.spark.sql.Column =
-    aggregate(zip_with(v, typedLit(cv), (a, b) => a - b),
-      lit(0.0), (acc, d) => acc + d * d)
+                                cv: Array[Double]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, SqDistLit}
+    ColumnBridge.column(SqDistLit(ColumnBridge.expression(v), cv))
+  }
 
   /** Append `cluster` and `dist2` (squared L2 in quantized units) to `df`
     * by nearest-centroid assignment — a zero-shuffle codegen projection.

@@ -258,6 +258,47 @@ class SourcesAnnSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq) // bit-deterministic across runs
   }
 
+  test("QuantizeVec/SqDistLit match their HOF forms and keep assignment fused") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.graftglue.{ColumnBridge, QuantizeVec, SqDistLit}
+    import org.apache.spark.sql.types.DoubleType
+    val cv = Array(3.0, -1.0, 2.0)
+    def nat(c: Column) = ColumnBridge.column(SqDistLit(ColumnBridge.expression(c), cv))
+    def hof(c: Column) = aggregate(zip_with(c, typedLit(cv), (a, b) => a - b),
+      lit(0.0), (acc, d) => acc + d * d)
+    val dv = Seq(
+      Some(Seq(Option(1.0), Option(2.5), Option(-3.0))),
+      Some(Seq(Option(-1.5), None, Option(0.0))), // null element -> null
+      Some(Seq(Option(1.0), Option(2.0))),        // length mismatch -> null
+      Option.empty[Seq[Option[Double]]])          // null array -> null
+      .toDF("v")
+    val pairs = dv.select(nat(col("v")).as("a"), hof(col("v")).as("b")).collect()
+    pairs.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+    assert(pairs.head.getDouble(0) == (1.0 - 3.0) * (1.0 - 3.0) +
+      (2.5 + 1.0) * (2.5 + 1.0) + (-3.0 - 2.0) * (-3.0 - 2.0))
+
+    def qnat(c: Column) = ColumnBridge.column(QuantizeVec(ColumnBridge.expression(c), 4.0))
+    def qhof(c: Column) = transform(c, x => floor(x.cast(DoubleType) * 4.0).cast(DoubleType))
+    // float input (the embedding column type) and double input both mirror
+    val fv = Seq(Some(Seq(Option(0.3f), None, Option(-1.1f))),
+      Option.empty[Seq[Option[Float]]]).toDF("v")
+    assert(fv.select(qnat(col("v"))).collect().toSeq ==
+      fv.select(qhof(col("v"))).collect().toSeq)
+    assert(dv.select(qnat(col("v"))).collect().toSeq ==
+      dv.select(qhof(col("v"))).collect().toSeq)
+
+    // the motivating claim: the k-means assignment over a real scan is ONE
+    // whole-stage-codegen projection (the HOF forms were CodegenFallback)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = Seq(0 -> Array.fill(64)(1.0), 1 -> Array.fill(64)(-1.0))
+    val plan = graft.similarity.Clustering.withCluster(emb, "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"assignment not codegen-fused:\n$plan")
+  }
+
   test("Pq ADC ranks an obvious nearest neighbor first and is deterministic") {
     // two well-separated blobs in each subspace: ADC distances must rank
     // same-blob vectors above cross-blob ones even through 1-byte codes
