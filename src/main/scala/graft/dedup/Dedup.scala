@@ -507,7 +507,7 @@ object Dedup {
                        metricName: String = "cosine_lsh_bucket_guard"): DataFrame = {
     require(numPlanes % bands == 0, s"numPlanes=$numPlanes not divisible by bands=$bands")
     val perBand = numPlanes / bands
-    val planes = typedLit(graft.similarity.Ann.hyperplanes(numPlanes, dim, seed))
+    val planes = graft.similarity.Ann.hyperplanes(numPlanes, dim, seed)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("sig", Vectors.hyperplaneSignature(col("vec"), planes))
       .withColumn("nrm", Vectors.fnorm(col("vec")))

@@ -57,10 +57,14 @@ object Vectors {
       diff * diff
     }), lit(0.0), (acc, x) => acc + x)
 
-  /** Random-hyperplane signature: `planes` is an array<array<double>> literal
-    * column; output is an array<int> of sign bits (1/0) — the LSH bucketing
-    * primitive for cosine similarity.
+  /** Random-hyperplane signature against a literal plane matrix; output is
+    * an array<int> of sign bits (1/0) — the LSH bucketing primitive for
+    * cosine similarity. Native codegen (`graftglue.HyperplaneSig`): the
+    * `transform(planes, p => when(dot(vec, p) >= 0, …))` HOF form was
+    * CodegenFallback and kept the corpus-wide signature scan interpreted.
     */
-  def hyperplaneSignature(vec: Column, planes: Column): Column =
-    transform(planes, p => when(dot(vec, p) >= 0.0, lit(1)).otherwise(lit(0)))
+  def hyperplaneSignature(vec: Column, planes: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, HyperplaneSig}
+    ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(vec), planes))
+  }
 }

@@ -170,7 +170,7 @@ object Ann {
     // `dim` is caller-supplied (it's a property of the embedding model, not
     // of the data) — probing it with a driver-side .head() at plan time
     // would run a job just to build the plan.
-    val planes = typedLit(hyperplanes(numPlanes, dim, seed))
+    val planes = hyperplanes(numPlanes, dim, seed)
     val perBand = numPlanes / bands
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame = {
       val sigCol = Vectors.hyperplaneSignature(col(vec), planes)

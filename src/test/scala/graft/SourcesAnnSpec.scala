@@ -221,6 +221,36 @@ class SourcesAnnSpec extends SparkSpec {
     if (rows.contains(1L)) assert(rows(1L) == 1L) // vec 1 is the true nearest
   }
 
+  test("HyperplaneSig matches the HOF sign-bit form and fuses the scan") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types.DoubleType
+    import graft.functions.Vectors
+    val planes = Ann.hyperplanes(numPlanes = 6, dim = 3, seed = 7)
+    // the exact HOF form hyperplaneSignature replaced
+    def hofSig(vec: Column): Column =
+      transform(typedLit(planes), p =>
+        when(aggregate(zip_with(vec, p, (x, y) =>
+          x.cast(DoubleType) * y.cast(DoubleType)),
+          lit(0.0), (acc, x) => acc + x) >= 0.0, lit(1)).otherwise(lit(0)))
+    val df = Seq(
+      Array(1.0f, 0.2f, -0.5f), Array(-1.0f, 0.0f, 0.0f),
+      Array(0.0f, 0.0f, 0.0f), Array(1e-7f, -1e-7f, 1e-7f))
+      .toDF("v")
+    assert(df.select(Vectors.hyperplaneSignature(col("v"), planes)).collect().toSeq ==
+      df.select(hofSig(col("v"))).collect().toSeq)
+    // null element / length mismatch -> that plane's bit is 0, both forms
+    val odd = Seq(Some(Seq(Option(1.0f), None, Option(2.0f))),
+      Some(Seq(Option(1.0f)))).toDF("v")
+    assert(odd.select(Vectors.hyperplaneSignature(col("v"), planes)).collect().toSeq ==
+      odd.select(hofSig(col("v"))).collect().toSeq)
+    // the signature scan over a real corpus stays codegen-fused
+    val plan = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(Vectors.hyperplaneSignature(col("embedding"),
+        Ann.hyperplanes(8, 64, 42)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"signature scan not fused:\n$plan")
+  }
+
   test("vocabulary ranks tokens by corpus frequency with token tie-break") {
     val docs = Seq((1L, "b a b"), (2L, "a c c")).toDF("doc_id", "text")
     val got = Search.vocabulary(docs, "doc_id", "text")
