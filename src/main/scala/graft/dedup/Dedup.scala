@@ -43,14 +43,21 @@ object Dedup {
         col("__best.s").as("keep_score"), col("n_copies"))
 
   /** Expand each bucket's sorted member list into its strictly-upper-
-    * triangular pairs: one output element per (i < j) position, payload
-    * built by `mk(x, y)`. The 1-based `slice(ms, i + 2, …)` against the
-    * 0-based `transform` index is the off-by-one this helper exists to
-    * prove ONCE — every banded/blocked dedup path expands pairs this way.
+    * triangular pairs: one output row per (i < j) position, payload built
+    * by `mk(x, y)` as column `p`. Every banded/blocked dedup path expands
+    * pairs through this ONE helper, via the lazy `graftglue.UpperTriPairs`
+    * generator: the previous `explode(flatten(transform(transform)))` form
+    * materialized a bucket's full m·(m−1)/2 pair array in one row buffer
+    * (≈8.4M structs at the default maxBucket) and paid interpreted
+    * per-pair lambda dispatch; the generator streams pairs one at a time
+    * and `mk` runs as a codegen'd projection over its output.
     */
-  private def bucketPairs(ms: Column, mk: (Column, Column) => Column): Column =
-    explode(flatten(transform(ms, (x, i) =>
-      transform(slice(ms, i + 2, size(ms)), y => mk(x, y)))))
+  private def bucketPairs(buckets: DataFrame, ms: Column,
+                          mk: (Column, Column) => Column): DataFrame = {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, UpperTriPairs}
+    buckets.select(ColumnBridge.column(UpperTriPairs(ColumnBridge.expression(ms))))
+      .select(mk(col("__px"), col("__py")).as("p"))
+  }
 
   /** Size-guarded bucket collection for the LSH-family pair expanders:
     * group `rows` by `keys`, DROP buckets larger than `maxBucket`, and
@@ -165,9 +172,9 @@ object Dedup {
     val buckets = sized.groupBy("shingle")
       .agg(sort_array(collect_list(struct(col("id"), col("sz")))).as("ms"))
       .filter(size(col("ms")) > 1 && size(col("ms")) <= maxShingleDf)
-    buckets.select(bucketPairs(col("ms"), (x, y) =>
+    bucketPairs(buckets, col("ms"), (x, y) =>
         struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-          x.getField("sz").as("sz_a"), y.getField("sz").as("sz_b"))).as("p"))
+          x.getField("sz").as("sz_a"), y.getField("sz").as("sz_b")))
       .select(col("p.id_a"), col("p.id_b"), col("p.sz_a"), col("p.sz_b"))
       .groupBy("id_a", "id_b", "sz_a", "sz_b").agg(count(lit(1)).as("n_inter"))
       .withColumn("jaccard",
@@ -196,9 +203,9 @@ object Dedup {
     val buckets = b.groupBy("blk")
       .agg(sort_array(collect_list(struct(col("id"), col("txt")))).as("ms"))
       .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBlock)
-    buckets.select(bucketPairs(col("ms"), (x, y) =>
+    bucketPairs(buckets, col("ms"), (x, y) =>
         struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-          x.getField("txt").as("ta"), y.getField("txt").as("tb"))).as("p"))
+          x.getField("txt").as("ta"), y.getField("txt").as("tb")))
       // strict <: duplicate ids in one block would otherwise emit an
       // id_a == id_b self-pair (the sorted list only guarantees <=)
       .filter(col("p.id_a") < col("p.id_b"))
@@ -264,11 +271,11 @@ object Dedup {
       .withColumn("__rn", row_number().over(
         Window.partitionBy("id").orderBy(col("__df"), col("shingle"))))
     val prefix = ranked.filter(col("__rn") <= col("sz") - ceil(col("sz") * tau) + 1)
-    val cand = prefix.groupBy("shingle")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(bucketPairs(col("ids"), (x, y) =>
-        struct(x.as("id_a"), y.as("id_b"))).as("p"))
+    val cand = bucketPairs(
+      prefix.groupBy("shingle")
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .filter(size(col("ids")) > 1),
+      col("ids"), (x, y) => struct(x.as("id_a"), y.as("id_b")))
       .select(col("p.id_a"), col("p.id_b")).distinct()
       // candidate pairs are few by design and referenced twice (id filter +
       // verify join) — persist so the prefix pipeline runs once
@@ -359,8 +366,8 @@ object Dedup {
     // sides and shuffle twice.
     val buckets = guardedBuckets(banded, Seq("band", "band_key"),
       sort_array(collect_set(col("id"))).as("ids"), maxBucket, metricName)
-    buckets.select(bucketPairs(col("ids"), (x, y) =>
-        struct(x.as("id_a"), y.as("id_b"))).as("p"))
+    bucketPairs(buckets, col("ids"), (x, y) =>
+        struct(x.as("id_a"), y.as("id_b")))
       .select(col("p.id_a"), col("p.id_b")).distinct()
   }
 
@@ -451,10 +458,10 @@ object Dedup {
     val buckets = guardedBuckets(banded, Seq("band", "bkey"),
       sort_array(collect_set(struct(col("id"), col("simhash")))).as("members"),
       maxBucket, metricName)
-    val pairs = buckets.select(bucketPairs(col("members"), (x, y) =>
+    val pairs = bucketPairs(buckets, col("members"), (x, y) =>
         struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
           bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash")))
-            .as("hamming"))).as("p"))
+            .as("hamming")))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
     pairs.filter(col("hamming") <= maxHamming).distinct()
   }
@@ -526,10 +533,10 @@ object Dedup {
     val buckets = guardedBuckets(banded, Seq("band", "bkey"),
       sort_array(collect_list(struct(col("id"), col("vec"), col("nrm")))).as("members"),
       maxBucket, metricName)
-    buckets.select(bucketPairs(col("members"), (x, y) =>
+    bucketPairs(buckets, col("members"), (x, y) =>
         struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
           Vectors.fcosine(x.getField("vec"), y.getField("vec"),
-            x.getField("nrm"), y.getField("nrm")).as("cosine"))).as("p"))
+            x.getField("nrm"), y.getField("nrm")).as("cosine")))
       .select(col("p.id_a"), col("p.id_b"), col("p.cosine"))
       .filter(col("cosine") >= tau)
       .distinct()

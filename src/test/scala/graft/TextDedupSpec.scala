@@ -84,6 +84,31 @@ class TextDedupSpec extends SparkSpec {
     assert(row.getDouble(4) == 11.0 / 3.0) // mean_token_len: (3+4+4)/3
   }
 
+  test("UpperTriPairs streams i<j pairs in nested-loop order, nulls mirrored") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.graftglue.{ColumnBridge, UpperTriPairs}
+    def gen(c: Column) = ColumnBridge.column(UpperTriPairs(ColumnBridge.expression(c)))
+    // the exact HOF form bucketPairs replaced, payload = (x, y)
+    def hof(c: Column) = explode(flatten(transform(c, (x, i) =>
+      transform(slice(c, i + 2, size(c)), y => struct(x.as("__px"), y.as("__py"))))))
+    val df = Seq(
+      Some(Seq(Option(1L), Option(2L), Option(3L), Option(4L))),
+      Some(Seq(Option(7L), None, Option(9L))), // null element still pairs
+      Some(Seq(Option(5L))),                   // singleton -> no pairs
+      Some(Seq.empty[Option[Long]]),           // empty -> no pairs
+      Option.empty[Seq[Option[Long]]])         // null array -> no pairs
+      .toDF("ms")
+    val got = df.select(gen(col("ms"))).collect().toSeq
+    val want = df.select(hof(col("ms"))).collect()
+      .map(r => { val s = r.getStruct(0); org.apache.spark.sql.Row(
+        if (s.isNullAt(0)) null else s.getLong(0),
+        if (s.isNullAt(1)) null else s.getLong(1)) }).toSeq
+    assert(got == want)
+    // order is i-major then j (the nested-loop order the HOF emitted)
+    assert(got.take(6).map(r => (r.get(0), r.get(1))) == Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
   test("exact dedup keeps min id per identical text") {
     val df = Seq((5L, "x y"), (2L, "x y"), (9L, "other")).toDF("doc_id", "text")
     val got = Dedup.exact(df, "doc_id", "text")
