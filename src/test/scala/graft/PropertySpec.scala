@@ -117,6 +117,72 @@ class PropertySpec extends SparkSpec {
     df.collect().foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
   }
 
+  test("law: CountInSet equals the HOF filter(isin) count") {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, CountInSet}
+    val wordsGen = Gen.listOfN(4, Gen.oneOf("a", "b", "cc", "dd"))
+    check(Prop.forAll(tokenGen, wordsGen) { (toks, words0) =>
+      val words = words0.distinct
+      val df = Seq(Tuple1(toks)).toDF("toks")
+      val got = df.select(ColumnBridge.column(
+        CountInSet(ColumnBridge.expression(col("toks")), words))).as[Long].head()
+      val want = df.select(size(filter(col("toks"),
+        t => t.isin(words.map(lit): _*))).cast("long")).as[Long].head()
+      got == want
+    })
+  }
+
+  test("law: SqDistLit / QuantizeVec equal their HOF folds bit-for-bit") {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, QuantizeVec, SqDistLit}
+    import org.apache.spark.sql.types.DoubleType
+    val vGen = Gen.listOfN(8, Gen.chooseNum(-100.0, 100.0))
+    check(Prop.forAll(vGen, vGen, Gen.oneOf(1.0, 4.0, 1048576.0)) { (v, c, s) =>
+      val cv = c.toArray
+      val df = Seq(Tuple1(v.toArray)).toDF("v")
+      val d = df.select(
+        ColumnBridge.column(SqDistLit(ColumnBridge.expression(col("v")), cv)).as("n"),
+        aggregate(zip_with(col("v"), typedLit(cv), (a, b) => a - b),
+          lit(0.0), (acc, x) => acc + x * x).as("h")).head()
+      val q = df.select(
+        ColumnBridge.column(QuantizeVec(ColumnBridge.expression(col("v")), s)).as("n"),
+        transform(col("v"), x => floor(x.cast(DoubleType) * s).cast(DoubleType)).as("h"))
+        .head()
+      d.getDouble(0) == d.getDouble(1) &&
+        q.getSeq[Double](0) == q.getSeq[Double](1)
+    })
+  }
+
+  test("law: HyperplaneSig equals the HOF sign-bit form on random planes") {
+    val vGen = Gen.listOfN(6, Gen.chooseNum(-5.0f, 5.0f))
+    val planesGen = Gen.listOfN(4, Gen.listOfN(6, Gen.chooseNum(-1.0, 1.0)))
+    check(Prop.forAll(vGen, planesGen) { (v, ps) =>
+      val planes = ps.map(_.toArray).toArray
+      val df = Seq(Tuple1(v.toArray)).toDF("v")
+      val got = df.select(Vectors.hyperplaneSignature(col("v"), planes))
+        .as[Seq[Int]].head()
+      val want = planes.toSeq.map { p =>
+        val d = v.zip(p).foldLeft(0.0)((acc, q) => acc + q._1.toDouble * q._2)
+        if (d >= 0.0) 1 else 0
+      }
+      got == want
+    })
+  }
+
+  test("law: UpperTriPairs equals the nested-transform pair expansion") {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, UpperTriPairs}
+    val msGen = Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0L, 99L)))
+    check(Prop.forAll(msGen) { ms =>
+      val df = Seq(Tuple1(ms)).toDF("ms")
+      val got = df.select(ColumnBridge.column(
+          UpperTriPairs(ColumnBridge.expression(col("ms")))))
+        .as[(Long, Long)].collect().toSeq
+      val want = df.select(explode(flatten(transform(col("ms"), (x, i) =>
+          transform(slice(col("ms"), i + 2, size(col("ms"))),
+            y => struct(x.as("_1"), y.as("_2")))))))
+        .select("col.*").as[(Long, Long)].collect().toSeq
+      got == want
+    })
+  }
+
   test("law: jaccard output is symmetric-free (id_a < id_b) and within [0,1]") {
     val textGen = Gen.listOfN(6, tokenGen.map(_.mkString(" ")))
     check(Prop.forAll(textGen) { texts =>
