@@ -19,6 +19,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new org.apache.spark.sql.graftglue.GraftExtensions)
       .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 

@@ -38,7 +38,9 @@ object GraftSession {
     */
   def auto(): SparkSession =
     if (sys.props.contains("spark.master") || sys.env.contains("SPARK_MASTER"))
-      tune(SparkSession.builder().appName("graft").getOrCreate())
+      tune(SparkSession.builder().appName("graft")
+        .withExtensions(new org.apache.spark.sql.graftglue.GraftExtensions)
+        .getOrCreate())
     else local()
 
   /** Local session for tests / tools. On a cluster the user brings their own
@@ -50,6 +52,10 @@ object GraftSession {
         .builder()
         .master(s"local[$cores]")
         .appName("graft")
+        // SQL names + the FuseCountInSet rule for config/SQL pipelines
+        // (see graftglue.GraftExtensions; a pre-existing session keeps its
+        // own extensions — document spark.sql.extensions for that path)
+        .withExtensions(new org.apache.spark.sql.graftglue.GraftExtensions)
         .config("spark.sql.shuffle.partitions", cores)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

@@ -1018,6 +1018,16 @@ object SparkEntry {
           k = 5, minHits = 1)
         .select(col("id").as("doc_id"), col("n_hits"), col("contaminated"))
     }),
+    // Bloom-prefiltered decontamination: the too-big-to-broadcast-bench
+    // path (sketch probe → exact verify join). No false negatives + exact
+    // verify ⇒ output identical to q_decontaminate — shares its oracle.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      Dedup.decontaminateBloom(docs, "doc_id", "text", bench, "text",
+          k = 5, minHits = 1, fpp = 0.01)
+        .select(col("id").as("doc_id"), col("n_hits"), col("contaminated"))
+    }),
     // equal-width histogram of order totals: bin edges from one min/max
     // fetch, binning is a projection, counting one partial-agg shuffle;
     // the oracle computes the identical IEEE double edges
@@ -1479,7 +1489,24 @@ object SparkEntry {
     "q_tokens" -> ((s, dir) =>
       T(s, dir, "documents").select(col("doc_id") +: Text.tokenStats(col("text")): _*)),
     "q_fingerprint" -> ((s, dir) =>
-      T(s, dir, "documents").select(col("doc_id"), Text.fingerprint(col("text")).as("fp")))
+      T(s, dir, "documents").select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
+    // Pure-SQL front end through the correctness gate: a config/notebook
+    // user's stopword count written as the natural HOF shape. In a
+    // GraftSession/Verify session the FuseCountInSet rule rewrites it to
+    // the native fused expression (SqlExtensionsSpec pins the plan); in a
+    // vanilla session the HOF form computes the same values — the rule is
+    // a pure performance rewrite, never a correctness dependency.
+    "q_sql_stopwords" -> ((s, dir) => {
+      T(s, dir, "documents").createOrReplaceTempView("graft_sql_docs")
+      s.sql(
+        """SELECT doc_id,
+          |  CAST(size(filter(toks, t ->
+          |    array_contains(array('the', 'and', 'of', 'to', 'a', 'in'), t)))
+          |    AS BIGINT) AS n_stop,
+          |  CAST(size(toks) AS BIGINT) AS n_toks
+          |FROM (SELECT doc_id, filter(split(text, ' '), t -> t <> '') AS toks
+          |      FROM graft_sql_docs)""".stripMargin)
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -1488,6 +1515,23 @@ object SparkEntry {
 
   /** Shared SQL fragments, kept in one place so Spark/DuckDB stay in sync. */
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** Decontamination oracle — shared verbatim by q_decontaminate, its Bloom
+    * scale path (no false negatives + exact verify ⇒ identical output), and
+    * the streaming twin (per-doc counts depend only on doc + static bench).
+    */
+  private lazy val decontaminateOracle: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |csh AS (SELECT DISTINCT doc_id,
+       |        unnest(list_transform(range(0, len(tk) - 4),
+       |               i -> array_to_string(list_slice(tk, i + 1, i + 5), ' '))) AS shingle
+       |        FROM toks WHERE len(tk) >= 5),
+       |bsh AS (SELECT DISTINCT shingle FROM csh WHERE doc_id % 97 = 0),
+       |hits AS (SELECT c.doc_id, COUNT(*) AS n_hits
+       |         FROM csh c JOIN bsh USING (shingle) GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       |       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+       |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin
   private def stopIn(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ", ", ")")
   private def langScore(words: Seq[String]) =
     s"CAST(len(list_filter(tk, t -> t IN ${stopIn(words)})) AS DOUBLE) / " +
@@ -2509,18 +2553,8 @@ object SparkEntry {
          |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
          |       (d.id IS NOT NULL) AS is_dup
          |FROM asg a LEFT JOIN dup d ON d.id = a.vec_id""".stripMargin,
-    "q_decontaminate" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |csh AS (SELECT DISTINCT doc_id,
-         |        unnest(list_transform(range(0, len(tk) - 4),
-         |               i -> array_to_string(list_slice(tk, i + 1, i + 5), ' '))) AS shingle
-         |        FROM toks WHERE len(tk) >= 5),
-         |bsh AS (SELECT DISTINCT shingle FROM csh WHERE doc_id % 97 = 0),
-         |hits AS (SELECT c.doc_id, COUNT(*) AS n_hits
-         |         FROM csh c JOIN bsh USING (shingle) GROUP BY 1)
-         |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
-         |       COALESCE(h.n_hits, 0) >= 1 AS contaminated
-         |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    "q_decontaminate" -> decontaminateOracle,
+    "q_decontaminate_bloom" -> decontaminateOracle,
     "q_histogram" ->
       """WITH s AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
         |           FROM orders WHERE o_totalprice IS NOT NULL),
@@ -2536,18 +2570,7 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
         |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
-    "q_stream_decontaminate" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |csh AS (SELECT DISTINCT doc_id,
-         |        unnest(list_transform(range(0, len(tk) - 4),
-         |               i -> array_to_string(list_slice(tk, i + 1, i + 5), ' '))) AS shingle
-         |        FROM toks WHERE len(tk) >= 5),
-         |bsh AS (SELECT DISTINCT shingle FROM csh WHERE doc_id % 97 = 0),
-         |hits AS (SELECT c.doc_id, COUNT(*) AS n_hits
-         |         FROM csh c JOIN bsh USING (shingle) GROUP BY 1)
-         |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
-         |       COALESCE(h.n_hits, 0) >= 1 AS contaminated
-         |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    "q_stream_decontaminate" -> decontaminateOracle,
     // exact transitive closure over the same pair list (LP fixpoint ≡ CC)
     "q_dup_clusters" ->
       s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (
@@ -2895,6 +2918,11 @@ object SparkEntry {
          | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish_tokens
          |FROM documents""".stripMargin,
     "q_fingerprint" ->
-      "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp FROM documents"
+      "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp FROM documents",
+    "q_sql_stopwords" ->
+      s"""SELECT doc_id,
+         |  len(list_filter(tk, t -> t IN ('the', 'and', 'of', 'to', 'a', 'in'))) AS n_stop,
+         |  len(tk) AS n_toks
+         |FROM (SELECT doc_id, $toksSql AS tk FROM documents)""".stripMargin
   )
 }

@@ -577,6 +577,55 @@ object Dedup {
       .withColumn("contaminated", col("n_hits") >= minHits)
   }
 
+  /** [[decontaminate]]'s scale path for a benchmark set too large to
+    * broadcast as an exact hash set — decontaminating one corpus against
+    * ANOTHER corpus (every eval suite ever published, a previous training
+    * dump): 10⁹ distinct shingles are tens of GB as a broadcast hash join
+    * side, but ~1.2 GB as a Bloom filter at fpp = 1%.
+    *
+    * Shape: build the sketch over the benchmark shingles once (Spark's
+    * tree-aggregated `stat.bloomFilter`), probe every corpus shingle with
+    * the native [[org.apache.spark.sql.graftglue.BloomContains]] codegen
+    * expression (a zero-shuffle filter — the sketch rides the task binary,
+    * no join), then verify ONLY the survivors (true hits + the fpp sliver)
+    * against the real shingle set. The verify join's left side is
+    * candidate-sized, not corpus-sized — that join is what the plain
+    * broadcast path runs on the WHOLE corpus shingle stream — and AQE
+    * picks its strategy from the surviving volume. Bloom filters have no
+    * false negatives, so verify sees every true hit and the output is
+    * IDENTICAL to [[decontaminate]] (q_decontaminate_bloom shares its
+    * oracle); false positives cost shuffle bytes, never correctness.
+    *
+    * `expectedItems` sizes the sketch; pass the known benchmark shingle
+    * cardinality to skip the one bench-sized counting job (model-sized
+    * driver work either way — the corpus is never touched by it).
+    */
+  def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         k: Int = 8, minHits: Int = 1, fpp: Double = 0.01,
+                         expectedItems: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.graftglue.{BloomContains, ColumnBridge}
+    require(k > 0 && minHits > 0, s"k and minHits must be positive")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val benchSh = bench
+      .select(Text.tokens(col(benchTextCol)).as("__tk"))
+      .select(explode(array_distinct(Text.shinglesOf(col("__tk"), k))).as("shingle"))
+      .distinct()
+    val n = if (expectedItems > 0) expectedItems else math.max(benchSh.count(), 1L)
+    val bf = benchSh.stat.bloomFilter("shingle", n, fpp)
+    val candidates = shingleRows(corpus, idCol, textCol, k)
+      .filter(ColumnBridge.column(
+        BloomContains(ColumnBridge.expression(col("shingle")), bf)))
+    // Exact verify: no broadcast hint — the premise is that benchSh is big;
+    // AQE chooses from the measured candidate volume.
+    val hits = candidates.join(benchSh, Seq("shingle"))
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") >= minHits)
+  }
+
   /** Span-level corpus dedup (the C4/RefinedWeb "remove repeated spans"
     * step): cut every document into NON-overlapping `window`-token chunks,
     * hash each chunk, and mark a chunk as a duplicate when the same hash

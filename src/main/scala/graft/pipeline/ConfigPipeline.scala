@@ -50,7 +50,11 @@ import graft.sources.Tables
   * mode "approx" by default: bounded-state percentile_approx with an
   * `accuracy` knob; mode "exact" for the oracle-grade quantile),
   * `distinct_sketch` (keys/value — method "kmv" with knob `k`, or "hll"
-  * with knob `rsd`: the fixed-register HyperLogLog++ sketch), streaming
+  * with knob `rsd`: the fixed-register HyperLogLog++ sketch),
+  * `decontaminate` (id/text + `bench` = a prior stage's output[,
+  * benchText/k/minHits] — method "exact" broadcasts the bench shingle
+  * set, "bloom" [fpp/expectedItems] probes a sketch then exact-verifies:
+  * the too-big-to-broadcast bench, identical output), streaming
   * twins `stream_dedup` (ts/delay/keys), `stream_keepbest`
   * (key/id/score), `stream_repetition` (id/text/n), `stream_neardup`
   * (id/text[, numHashes/bands/rowsPerBand] — integral ids),
@@ -214,6 +218,29 @@ object ConfigPipeline {
       case "dedup_best" =>
         p.stage(name, from)(graft.dedup.Dedup.exactKeepBest(_,
           s.get("id").asText(), s.get("key").asText(), s.get("score").asText()))
+      // benchmark decontamination: `bench` names a prior stage whose output
+      // is the eval/benchmark table. method "exact" broadcasts the bench
+      // shingle set; "bloom" is the too-big-to-broadcast-bench scale path
+      // (sketch probe + exact verify — IDENTICAL output, knobs fpp /
+      // expectedItems; see Dedup.decontaminateBloom)
+      case "decontaminate" =>
+        val id = s.get("id").asText(); val text = s.get("text").asText()
+        val bench = p.output(s.get("bench").asText())
+        val benchText = if (s.has("benchText")) s.get("benchText").asText() else text
+        val k = if (s.has("k")) s.get("k").asInt() else 8
+        val minHits = if (s.has("minHits")) s.get("minHits").asInt() else 1
+        (if (s.has("method")) s.get("method").asText() else "exact") match {
+          case "exact" =>
+            p.stage(name, from)(graft.dedup.Dedup.decontaminate(_,
+              id, text, bench, benchText, k, minHits))
+          case "bloom" =>
+            val fpp = if (s.has("fpp")) s.get("fpp").asDouble() else 0.01
+            val expected =
+              if (s.has("expectedItems")) s.get("expectedItems").asLong() else -1L
+            p.stage(name, from)(graft.dedup.Dedup.decontaminateBloom(_,
+              id, text, bench, benchText, k, minHits, fpp, expected))
+          case other => sys.error(s"decontaminate: unknown method '$other'")
+        }
       // DATA-LAYOUT ops (write-side twins live in Sinks and are reachable
       // from the RunPipeline CLI via its layout directive):
       case "zorder" => // Morton clustering key over cols (adds `zval`)

@@ -3,46 +3,147 @@ package org.apache.spark.sql.graftglue
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, Decimal, DoubleType, FloatType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Spark extension point registration for graft's custom expressions —
-  * makes them available to pure-SQL users (`SELECT float_vector_dot(a, b)`)
-  * in addition to the Column API:
+  * makes every native expression available to pure-SQL users (`SELECT
+  * float_vector_dot(a, b)`) in addition to the Column API, and injects the
+  * [[FuseCountInSet]] optimizer rule so the natural HOF stopword-count
+  * shape fuses into whole-stage codegen for SQL/config users too:
   *
   * {{{
   * SparkSession.builder()
   *   .withExtensions(new GraftExtensions)           // programmatic
   * // or: spark.sql.extensions=org.apache.spark.sql.graftglue.GraftExtensions
   * }}}
+  *
+  * Expressions parameterized by driver-side model state (the stopword set,
+  * a BPE merge table, LSH planes, a centroid) take those parameters as
+  * FOLDABLE arguments — evaluated once at resolution time into the
+  * expression's reference objects, exactly what the Scala API embeds. A
+  * non-literal model argument is a planning error (the model must be known
+  * to build the generated code), reported as such at analysis.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  import GraftExtensions._
+
   override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "float_vector_dot", classOf[FloatVectorDot], 2)(c =>
+      FloatVectorDot(c.head, c(1)))
+    register(ext, "word_shingles", classOf[WordShingles], 2)(c =>
+      WordShingles(c.head, c(1)))
+    register(ext, "minhash_sig", classOf[MinHashSig], 2)(c =>
+      MinHashSig(c.head, c(1)))
+    register(ext, "simhash_sig", classOf[SimHashSig], 2)(c =>
+      SimHashSig(c.head, c(1)))
+    register(ext, "count_in_set", classOf[CountInSet], 2)(c =>
+      // NULL set members dropped: they can never satisfy the membership
+      // predicate (see FuseCountInSet), so counts are unchanged.
+      CountInSet(c.head, litStrings(c(1), "count_in_set", keepNulls = false)))
+    register(ext, "chained_replace", classOf[ChainedReplace], 3) { c =>
+      val from = litStrings(c(1), "chained_replace", keepNulls = true)
+      val to = litStrings(c(2), "chained_replace", keepNulls = true)
+      require(from.length == to.length,
+        s"chained_replace: ${from.length} search strings vs ${to.length} replacements")
+      require(from.forall(_ != null) && to.forall(_ != null),
+        "chained_replace: NULL search/replacement string")
+      ChainedReplace(c.head, from.zip(to))
+    }
+    register(ext, "interleave_bits", classOf[InterleaveBits], 2)(c =>
+      InterleaveBits(c.head, litInt(c(1), "interleave_bits")))
+    register(ext, "quantize_vec", classOf[QuantizeVec], 2)(c =>
+      QuantizeVec(c.head, litDouble(c(1), "quantize_vec")))
+    register(ext, "sq_dist_lit", classOf[SqDistLit], 2)(c =>
+      SqDistLit(c.head, litDoubles(c(1), "sq_dist_lit")))
+    register(ext, "hyperplane_sig", classOf[HyperplaneSig], 2)(c =>
+      HyperplaneSig(c.head, litMatrix(c(1), "hyperplane_sig")))
+    register(ext, "upper_tri_pairs", classOf[UpperTriPairs], 1)(c =>
+      UpperTriPairs(c.head))
+    ext.injectOptimizerRule(_ => FuseCountInSet)
+  }
+}
+
+private object GraftExtensions {
+
+  private def register(ext: SparkSessionExtensions, name: String,
+                       cls: Class[_], arity: Int)(
+      build: Seq[Expression] => Expression): Unit =
     ext.injectFunction((
-      new FunctionIdentifier("float_vector_dot"),
-      new ExpressionInfo(classOf[FloatVectorDot].getName, "float_vector_dot"),
+      new FunctionIdentifier(name),
+      new ExpressionInfo(cls.getName, name),
       (children: Seq[Expression]) => {
-        require(children.length == 2, "float_vector_dot takes exactly 2 arguments")
-        FloatVectorDot(children.head, children(1))
+        require(children.length == arity,
+          s"$name takes exactly $arity argument${if (arity == 1) "" else "s"}")
+        build(children)
       }))
-    ext.injectFunction((
-      new FunctionIdentifier("word_shingles"),
-      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "word_shingles takes exactly 2 arguments")
-        WordShingles(children.head, children(1))
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("minhash_sig"),
-      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "minhash_sig takes exactly 2 arguments")
-        MinHashSig(children.head, children(1))
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("simhash_sig"),
-      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "simhash_sig takes exactly 2 arguments")
-        SimHashSig(children.head, children(1))
-      }))
+
+  private def litValue(e: Expression, fn: String): Any = {
+    require(e.foldable, s"$fn: model argument must be a literal, got ${e.sql}")
+    val v = e.eval()
+    require(v != null, s"$fn: model argument must not be NULL")
+    v
+  }
+
+  private def asDouble(v: Any, fn: String): Double = v match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+    case s: Short => s.toDouble
+    case b: Byte => b.toDouble
+    case d: Decimal => d.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a numeric literal, got $other")
+  }
+
+  private def elementType(e: Expression, fn: String): DataType = e.dataType match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected an array literal, got ${other.catalogString}")
+  }
+
+  /** Foldable array<string> → Seq[String] (null members kept or dropped). */
+  private def litStrings(e: Expression, fn: String, keepNulls: Boolean): Seq[String] = {
+    require(elementType(e, fn) == StringType,
+      s"$fn: expected array<string>, got ${e.dataType.catalogString}")
+    val raw = litValue(e, fn).asInstanceOf[ArrayData]
+      .toArray[UTF8String](StringType).toSeq
+    val mapped = raw.map(s => if (s == null) null else s.toString)
+    if (keepNulls) mapped else mapped.filter(_ != null)
+  }
+
+  private def litInt(e: Expression, fn: String): Int =
+    asDouble(litValue(e, fn), fn).toInt
+
+  private def litDouble(e: Expression, fn: String): Double =
+    asDouble(litValue(e, fn), fn)
+
+  /** Foldable array<numeric> → Array[Double]; NULL elements rejected. */
+  private def litDoubles(e: Expression, fn: String): Array[Double] = {
+    val et = elementType(e, fn)
+    litValue(e, fn).asInstanceOf[ArrayData].toArray[Any](et).map { v =>
+      require(v != null, s"$fn: NULL element in the literal vector")
+      asDouble(v, fn)
+    }
+  }
+
+  /** Foldable array<array<numeric>> → Array[Array[Double]]. */
+  private def litMatrix(e: Expression, fn: String): Array[Array[Double]] = {
+    val rowType = elementType(e, fn)
+    val et = rowType match {
+      case ArrayType(inner, _) => inner
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected array<array<double>>, got array<${other.catalogString}>")
+    }
+    litValue(e, fn).asInstanceOf[ArrayData].toArray[Any](rowType).map { row =>
+      require(row != null, s"$fn: NULL row in the literal matrix")
+      row.asInstanceOf[ArrayData].toArray[Any](et).map { v =>
+        require(v != null, s"$fn: NULL element in the literal matrix")
+        asDouble(v, fn)
+      }
+    }
   }
 }

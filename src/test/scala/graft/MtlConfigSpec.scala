@@ -535,6 +535,22 @@ class MtlConfigSpec extends SparkSpec {
     }
   }
 
+  test("ConfigPipeline drives decontamination, exact and bloom methods equal") {
+    val cfg = ConfigPipeline.fromJson(spark,
+      """{"stages": [
+        | {"name": "docs", "op": "table", "dir": "/root/testdata/sf0.001", "table": "documents"},
+        | {"name": "bench", "op": "filter", "from": "docs", "expr": "doc_id % 97 = 0"},
+        | {"name": "dc", "op": "decontaminate", "from": "docs", "bench": "bench",
+        |  "id": "doc_id", "text": "text", "k": 5},
+        | {"name": "dcb", "op": "decontaminate", "from": "docs", "bench": "bench",
+        |  "method": "bloom", "fpp": 0.05, "id": "doc_id", "text": "text", "k": 5}
+        |]}""".stripMargin)
+    val exact = cfg.output("dc").as[(Long, Long, Boolean)].collect().toSet
+    // the bench docs self-hit, the rest of the corpus mostly doesn't
+    assert(exact.exists(_._3) && exact.exists(!_._3))
+    assert(cfg.output("dcb").as[(Long, Long, Boolean)].collect().toSet == exact)
+  }
+
   test("intervalJoinBucketed matches plain intervalJoin results") {
     val ev = Seq((1L, "a", 100L), (2L, "a", 250L), (3L, "a", 900L), (4L, "b", 120L),
       (5L, "b", 180L)).toDF("id", "k", "t")

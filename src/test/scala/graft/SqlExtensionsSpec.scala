@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.{ColumnBridge, CountInSet}
+
+/** SQL front-end parity for the native expressions: every graftglue
+  * expression is registered through [[org.apache.spark.sql.graftglue
+  * .GraftExtensions]], model parameters arrive as foldable SQL literals,
+  * and the [[org.apache.spark.sql.graftglue.FuseCountInSet]] optimizer
+  * rule gives pure-SQL/config users the same fused stopword-count plan
+  * the Scala API builds directly.
+  */
+class SqlExtensionsSpec extends SparkSpec {
+
+  // Sibling session (same SparkContext) carrying the extensions — the
+  // OpsSpec float_vector_dot pattern, cached for the whole suite.
+  private lazy val ext: SparkSession = {
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s = SparkSession.builder().master("local[4]")
+      .withExtensions(new org.apache.spark.sql.graftglue.GraftExtensions)
+      .getOrCreate()
+    SparkSession.setActiveSession(spark); SparkSession.setDefaultSession(spark)
+    s
+  }
+
+  private def withExt[A](f: SparkSession => A): A = {
+    val s = ext
+    SparkSession.setActiveSession(s)
+    try f(s)
+    finally {
+      SparkSession.setActiveSession(spark); SparkSession.setDefaultSession(spark)
+    }
+  }
+
+  private def messages(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("count_in_set is SQL-callable with a literal set") {
+    withExt { s =>
+      import s.implicits._
+      val got = Seq(
+        (1L, Seq("the", "cat", "sat", "on", "the", "mat")),
+        (2L, Seq[String]("dog", null, "the")),
+        (3L, null)).toDF("id", "toks")
+        .selectExpr("id", "count_in_set(toks, array('the', 'on', NULL)) AS n")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(got == Map(1L -> Some(3L), 2L -> Some(1L), 3L -> None))
+    }
+  }
+
+  test("count_in_set rejects a non-literal set at analysis") {
+    withExt { s =>
+      import s.implicits._
+      val e = intercept[Exception] {
+        Seq(Seq("a")).toDF("toks")
+          .selectExpr("count_in_set(toks, toks)").collect()
+      }
+      assert(messages(e).contains("must be a literal"))
+    }
+  }
+
+  test("chained_replace is SQL-callable and applies steps in order") {
+    withExt { s =>
+      import s.implicits._
+      val got = Seq("aab").toDF("s")
+        .selectExpr("chained_replace(s, array('aa', 'b'), array('b', 'c')) AS r")
+        .as[String].head()
+      assert(got == "cc") // aab → (aa→b) → bb → (b→c) → cc: order matters
+      val e = intercept[Exception] {
+        Seq("x").toDF("s")
+          .selectExpr("chained_replace(s, array('a', 'b'), array('y'))").collect()
+      }
+      assert(messages(e).contains("search strings vs"))
+    }
+  }
+
+  test("interleave_bits / quantize_vec / sq_dist_lit / hyperplane_sig SQL ≡ Column API") {
+    withExt { s =>
+      import org.apache.spark.sql.graftglue.{HyperplaneSig, InterleaveBits, QuantizeVec, SqDistLit}
+      import s.implicits._
+      val df = Seq((Seq(3L, 5L), Seq(1.26, -0.7), Seq(1.0, 2.0))).toDF("iz", "qv", "dv")
+      val sql = df.selectExpr(
+        "interleave_bits(iz, 3) AS z",
+        "quantize_vec(qv, 100.0D) AS q",
+        "sq_dist_lit(dv, array(0.0D, 0.0D)) AS d",
+        "hyperplane_sig(dv, array(array(1.0D, 0.0D), array(1.0D, -1.0D))) AS h")
+      val api = df.select(
+        ColumnBridge.column(InterleaveBits(ColumnBridge.expression(col("iz")), 3)).as("z"),
+        ColumnBridge.column(QuantizeVec(ColumnBridge.expression(col("qv")), 100.0)).as("q"),
+        ColumnBridge.column(SqDistLit(ColumnBridge.expression(col("dv")), Array(0.0, 0.0))).as("d"),
+        ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(col("dv")),
+          Array(Array(1.0, 0.0), Array(1.0, -1.0)))).as("h"))
+      assert(sql.collect().toSeq == api.collect().toSeq)
+      assert(sql.as[(Long, Seq[Double], Double, Seq[Int])].head() ==
+        ((39L, Seq(126.0, -70.0), 5.0, Seq(1, 0))))
+    }
+  }
+
+  test("upper_tri_pairs is SQL-callable as a generator") {
+    withExt { s =>
+      import s.implicits._
+      val got = s.range(1)
+        .selectExpr("upper_tri_pairs(array('a', 'b', 'c'))")
+        .as[(String, String)].collect().toSeq
+      assert(got == Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    }
+  }
+
+  private def hasCountInSet(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.expressions.exists(_.exists {
+      case _: CountInSet => true
+      case _ => false
+    })
+
+  /** Range-backed frame — a local Seq collapses to LocalRelation in the
+    * EARLY optimizer batch, before injected rules run, leaving no
+    * projection for the rule (or the plan assertion) to see.
+    */
+  private def rangeToks(s: SparkSession) =
+    s.range(1, 4).selectExpr("id",
+      """CASE WHEN id = 1 THEN array('the', 'cat', 'on', 'the', 'mat')
+              WHEN id = 2 THEN array('dog', CAST(NULL AS STRING))
+              ELSE CAST(NULL AS ARRAY<STRING>) END AS toks""")
+
+  test("FuseCountInSet rewrites the HOF stopword-count shape (array_contains and IN)") {
+    withExt { s =>
+      import s.implicits._
+      val df = rangeToks(s)
+      for (pred <- Seq("array_contains(array('the', 'on'), t)", "t IN ('the', 'on')")) {
+        val q = df.selectExpr("id", s"size(filter(toks, t -> $pred)) AS n")
+        assert(hasCountInSet(q), s"no CountInSet in plan for: $pred")
+        val got = q.as[(Long, Option[Int])].collect().toMap
+        assert(got == Map(1L -> Some(3), 2L -> Some(0), 3L -> None))
+      }
+    }
+  }
+
+  test("FuseCountInSet leaves legacy size and non-membership lambdas alone") {
+    withExt { s =>
+      import s.implicits._
+      val df = rangeToks(s)
+      // legacy size(NULL) = -1 ≠ CountInSet's NULL: the rule must not fire.
+      // ANSI mode forces legacySizeOfNull to false, so drop to legacy fully.
+      val ansi0 = s.conf.get("spark.sql.ansi.enabled")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      s.conf.set("spark.sql.legacy.sizeOfNull", "true")
+      try {
+        val q = df.selectExpr("id", "size(filter(toks, t -> array_contains(array('the'), t))) AS n")
+        assert(!hasCountInSet(q))
+        assert(q.as[(Long, Int)].collect().toMap ==
+          Map(1L -> 2, 2L -> 0, 3L -> -1))
+      } finally {
+        s.conf.set("spark.sql.legacy.sizeOfNull", "false")
+        s.conf.set("spark.sql.ansi.enabled", ansi0)
+      }
+      // a predicate that is not a membership test of the lambda var
+      val q2 = df.selectExpr("id", "size(filter(toks, t -> t > 'cat')) AS n")
+      assert(!hasCountInSet(q2))
+      assert(q2.as[(Long, Option[Int])].collect().toMap ==
+        Map(1L -> Some(4), 2L -> Some(1), 3L -> None))
+      // the two-argument (element, index) lambda form
+      val q3 = df.selectExpr("id",
+        "size(filter(toks, (t, i) -> array_contains(array('the'), t))) AS n")
+      assert(!hasCountInSet(q3))
+      assert(q3.as[(Long, Option[Int])].collect().toMap ==
+        Map(1L -> Some(2), 2L -> Some(0), 3L -> None))
+    }
+  }
+
+  test("fused SQL count equals graft's Scala-path stopword count") {
+    withExt { s =>
+      import s.implicits._
+      val docs = Seq("the cat sat on the mat", "dogs and cats", "").toDF("text")
+        .withColumn("toks", split(col("text"), " "))
+      val sqlN = docs
+        .selectExpr("size(filter(toks, t -> array_contains(array('the', 'on', 'and'), t))) AS n")
+        .as[Int].collect().toSeq
+      val apiN = docs
+        .select(ColumnBridge.column(CountInSet(
+          ColumnBridge.expression(col("toks")), Seq("the", "on", "and"))).as("n"))
+        .as[Long].collect().toSeq.map(_.toInt)
+      assert(sqlN == apiN)
+    }
+  }
+}

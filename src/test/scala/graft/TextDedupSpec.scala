@@ -320,6 +320,35 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Set((1L, 3L, true), (2L, 2L, true), (3L, 0L, false)))
   }
 
+  test("decontaminateBloom equals exact decontaminate (sketch probe + verify)") {
+    // Real corpus slice: equality here also pins put/probe hash consistency
+    // (an insert/probe byte mismatch would surface as false NEGATIVES —
+    // missing hits — which the exact-verify join cannot repair).
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val exact = Dedup.decontaminate(docs, "doc_id", "text", bench, "text",
+        k = 5, minHits = 1)
+      .as[(Long, Long, Boolean)].collect().toSet
+    // a deliberately undersized sketch (high collision rate) still verifies
+    // back to the exact answer — fpp only moves shuffle bytes
+    for (fpp <- Seq(0.01, 0.4)) {
+      val bloom = Dedup.decontaminateBloom(docs, "doc_id", "text", bench, "text",
+          k = 5, minHits = 1, fpp = fpp)
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(bloom == exact, s"fpp=$fpp diverged")
+    }
+    // the sketch probe is a plan-level filter expression, not a join
+    val plan = Dedup.decontaminateBloom(docs, "doc_id", "text", bench, "text",
+        k = 5, minHits = 1).queryExecution.optimizedPlan
+    assert(plan.expressions.exists(_.exists {
+      case _: org.apache.spark.sql.graftglue.BloomContains => true
+      case _ => false
+    }) || plan.exists(_.expressions.exists(_.exists {
+      case _: org.apache.spark.sql.graftglue.BloomContains => true
+      case _ => false
+    })))
+  }
+
   test("dupClusters runs label propagation to fixpoint (long chains converge)") {
     // a 6-node chain (diameter 5 — needs >2 rounds), one triangle sharing
     // no nodes, and an isolated pair
