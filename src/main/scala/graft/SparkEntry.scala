@@ -979,6 +979,22 @@ object SparkEntry {
       Ops.resampleMixture(T(s, dir, "documents"), "doc_id", "lang",
           Map("en" -> 50, "zh" -> 30, "es" -> 20))
         .select("doc_id", "lang")),
+    // token-budget selection: fill each language's TOKEN target in md5(id)
+    // order; budgets are below each group's sf0.01 volume so every group
+    // truncates (the crossing doc is the last kept)
+    "q_token_budget" -> ((s, dir) =>
+      Ops.tokenBudgetSample(T(s, dir, "documents"), "doc_id", "lang", "text",
+        Map("en" -> 6000L, "zh" -> 2000L, "es" -> 1500L))),
+    // snapshot diff: old = docs minus (id%11=3) with texts perturbed at
+    // id%7=0; new = docs minus (id%13=5) → all four statuses appear
+    "q_snapshot_diff" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val old = d.filter(col("doc_id") % 11 =!= 3)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v1"))).otherwise(col("text")))
+      val nw = d.filter(col("doc_id") % 13 =!= 5)
+      Ops.snapshotDiff(old, nw, "doc_id", "text")
+    }),
     // KMV distinct sketch: k smallest md5 hashes per group (deterministic,
     // unlike HLL — the oracle reproduces the estimate bit-for-bit)
     "q_kmv" -> ((s, dir) =>
@@ -1362,6 +1378,15 @@ object SparkEntry {
       // degenerating to n² inside mega-buckets.
       Dedup.lshPairs(sig, bands = 4, rowsPerBand = 4, maxBucket = 256)
     }),
+    // incremental near-dedup: the delta (doc_id % 13 = 5) probes the LSH
+    // index built over the rest of the corpus — corpus text read once
+    "q_incremental_neardup" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val index = Dedup.bandKeysOf(d.filter(col("doc_id") % 13 =!= 5),
+        "doc_id", "text", 16, 4, 4)
+      Dedup.incrementalNearDup(d.filter(col("doc_id") % 13 === 5),
+        "doc_id", "text", index, 16, 4, 4)
+    }),
     "q_cosine_neardup" -> ((s, dir) =>
       Dedup.cosineNearDup(
         T(s, dir, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding", 0.2)),
@@ -1697,6 +1722,34 @@ object SparkEntry {
        |            HAVING COUNT(*) BETWEEN 2 AND 256)
        |SELECT DISTINCT x.a AS id_a, y.c AS id_b
        |FROM buckets, unnest(ids) x(a), unnest(ids) y(c) WHERE x.a < y.c""".stripMargin
+  }
+
+  /** DuckDB mirror of the incremental near-dedup probe: the same
+    * minhash(16) → 4-band md5 band keys as [[lshPairsOracle]], built
+    * separately over the corpus (doc_id % 13 <> 5) and the delta
+    * (doc_id % 13 = 5); a delta doc is dup_of_corpus iff any band key
+    * joins an indexed key. No bucket cap on either side (the index is a
+    * plain key set — [[graft.dedup.Dedup.bandKeysOf]] doesn't cap).
+    */
+  private val incrementalNearDupOracle: String = {
+    val mins = (0 until 16).map(s => s"MIN(md5('$s:' || tok)) AS h$s").mkString(", ")
+    val bandKey = (0 until 4).map { b =>
+      val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
+      s"WHEN ${b} THEN md5($cols)"
+    }.mkString(" ")
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5),
+       |fresh AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 5),
+       |ct AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM corpus),
+       |cs AS (SELECT doc_id, $mins FROM ct GROUP BY doc_id),
+       |cb AS (SELECT DISTINCT b.band, CASE b.band $bandKey END AS band_key
+       |       FROM cs, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+       |ft AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM fresh),
+       |fs AS (SELECT doc_id, $mins FROM ft GROUP BY doc_id),
+       |fb AS (SELECT doc_id, b.band, CASE b.band $bandKey END AS band_key
+       |       FROM fs, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+       |hit AS (SELECT DISTINCT fb.doc_id FROM fb JOIN cb USING (band, band_key))
+       |SELECT f.doc_id AS id, (h.doc_id IS NOT NULL) AS dup_of_corpus
+       |FROM fresh f LEFT JOIN hit h ON f.doc_id = h.doc_id""".stripMargin
   }
 
   /** DuckDB mirror of the streaming LSH bucket path (q_stream_neardup):
@@ -2271,6 +2324,30 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 <
         |  CASE WHEN lang = 'zh' THEN 1000 WHEN lang = 'en' THEN 100 ELSE 500 END""".stripMargin,
+    "q_token_budget" ->
+      s"""WITH c AS (SELECT doc_id AS id, lang AS grp,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    md5(CAST(doc_id AS VARCHAR)) AS ord
+         |  FROM documents WHERE lang IN ('en', 'zh', 'es')),
+         |w AS (SELECT id, grp, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY grp ORDER BY ord, id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior FROM c)
+         |SELECT id, grp, n_tokens FROM w WHERE prior <
+         |  CASE grp WHEN 'en' THEN 6000 WHEN 'zh' THEN 2000 ELSE 1500 END""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 3),
+        |nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5),
+        |o AS (SELECT doc_id AS id, md5(text) AS old_hash FROM old),
+        |n AS (SELECT doc_id AS id, md5(text) AS new_hash FROM nw)
+        |SELECT COALESCE(o.id, n.id) AS id,
+        |  CASE WHEN old_hash IS NULL THEN 'added'
+        |       WHEN new_hash IS NULL THEN 'removed'
+        |       WHEN old_hash = new_hash THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  old_hash, new_hash
+        |FROM o FULL OUTER JOIN n ON o.id = n.id""".stripMargin,
     "q_kmv" ->
       """WITH u AS (SELECT DISTINCT l_returnflag,
         |    ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
@@ -2645,6 +2722,7 @@ object SparkEntry {
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_lsh_pairs" -> lshPairsOracle,
+    "q_incremental_neardup" -> incrementalNearDupOracle,
     "q_stream_neardup" -> streamNearDupOracle,
     "q_cosine_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200),

@@ -398,6 +398,53 @@ object Dedup {
       .drop("canonical")
   }
 
+  /** The LSH INDEX of a corpus — (id, band, band_key) rows, the same
+    * zero-shuffle signature projection + band explode [[lshPairs]] uses
+    * internally, exposed so the index can be built once, WRITTEN (a
+    * partitioned parquet table, `band_key`-bucketed at scale), and probed
+    * by every later batch. This is the artifact that makes near-dedup
+    * incremental: the 100 TB corpus is scanned once when the index is
+    * built; afterwards only deltas are ever tokenized.
+    */
+  def bandKeysOf(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 16, bands: Int = 4,
+                 rowsPerBand: Int = 4): DataFrame =
+    bandedKeys(
+      minhashSignature(df, idCol, textCol, numHashes), bands, rowsPerBand)
+
+  /** Incremental near-dedup — the daily-crawl loop: probe a NEW batch of
+    * documents against an existing corpus's LSH index ([[bandKeysOf]]
+    * output, or any frame with `band`/`band_key`) and mark each new doc
+    * `dup_of_corpus` when ANY of its band keys collides with an indexed
+    * key — the same collision-is-duplicate verdict [[keepCanonical]]
+    * applies within a corpus (pigeonhole recall at the configured
+    * bands × rowsPerBand operating point). Docs with no tokens have no
+    * signature, hence no collision → false.
+    *
+    * Scale shape: the corpus is NEVER re-read — its text was tokenized
+    * once at index build. The new batch's band keys are a zero-shuffle
+    * projection; the probe is one hash join on (band, band_key) where the
+    * delta side is batch-sized (AQE broadcasts it against the
+    * corpus-sized index) and only 32-byte keys shuffle, never text. After
+    * the batch commits, append the non-dup docs' [[bandKeysOf]] rows to
+    * the index — the loop's only write is delta-sized too. Within-batch
+    * duplicates are [[keepCanonical]]'s job; run it on the batch first,
+    * then probe the survivors.
+    *
+    * Output: (id, dup_of_corpus) for every new doc.
+    */
+  def incrementalNearDup(newDocs: DataFrame, idCol: String, textCol: String,
+                         index: DataFrame, numHashes: Int = 16,
+                         bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val nk = bandKeysOf(newDocs, idCol, textCol, numHashes, bands, rowsPerBand)
+    val hits = nk.join(index.select("band", "band_key"),
+        Seq("band", "band_key"), "left_semi")
+      .select(col("id")).distinct().withColumn("__hit", lit(true))
+    newDocs.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__hit"), lit(false)).as("dup_of_corpus"))
+  }
+
   /** SimHash (G4): 60-bit token-hash bit vote (60 bits so the fingerprint
     * stays exactly representable from the 15-hex-digit md5 prefix). Bit b of
     * the fingerprint is 1 iff more distinct tokens have bit b set than not.

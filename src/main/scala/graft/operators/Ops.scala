@@ -421,6 +421,121 @@ object Ops {
     df.filter(bucket < rate)
   }
 
+  /** Token-budget mixture selection — the data-recipe step stated in
+    * TOKENS, not rows ("300B tokens of web, 30B of code"): per group, walk
+    * the documents in md5(id) order (a deterministic per-group permutation
+    * — crawl/insert order never leaks into the recipe) and keep documents
+    * until the group's token budget is reached; the document that crosses
+    * the budget is the last one kept, so every group with enough data
+    * reaches ≥ its budget and overshoots by < 1 document. Groups absent
+    * from `budgets` are dropped. [[resampleMixture]] holds group RATIOS;
+    * this holds absolute token TARGETS — production recipes compose both
+    * (ratio-mix, then cap to the compute budget).
+    *
+    * Determinism: ordering is (md5(id), id) — total even across hash
+    * collisions — and token counts are exact BIGINTs, so the kept set is
+    * identical on every engine, run, and partitioning; the oracle replays
+    * the same cumulative-sum window.
+    *
+    * Scale shape: one projection computes per-doc token counts (codegen'd
+    * `size(split)` — text never shuffles; only (id, group, n_tokens)
+    * enters the exchange), then ONE hash shuffle on the group for the
+    * running-sum window. The window sort is per-group: a running sum is
+    * sequentially dependent, so an md5-heavy group sorts in one task's
+    * spill-backed sort — for the degenerate single-group 100 TB corpus,
+    * pre-filter with the rate-based approximation below and run the exact
+    * window over the ~budget-sized survivor set: `tokenBudgetRate` keeps
+    * `budget / total_tokens` of each group's md5 buckets (the zero-shuffle
+    * [[stratifiedSample]] shape), landing within sampling error of the
+    * budget instead of exactly on it.
+    *
+    * Output: (id, group, n_tokens) for the kept documents.
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, groupCol: String,
+                        textCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.values.forall(_ > 0L), s"budgets must be positive: $budgets")
+    val inBudget = budgets.keys.toSeq.sorted
+      .foldLeft(lit(false))((acc, g) => acc || col(groupCol) === g)
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (g, b)) => when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
+    val counted = df.filter(inBudget).select(
+      col(idCol).as("id"), col(groupCol).as("grp"),
+      size(array_remove(split(col(textCol), " "), "")).cast(LongType).as("n_tokens"),
+      md5(col(idCol).cast(StringType)).as("__ord"))
+    val w = Window.partitionBy("grp").orderBy(col("__ord"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counted
+      .withColumn("__prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("__prior") < budget)
+      .select(col("id"), col("grp"), col("n_tokens"))
+  }
+
+  /** The zero-shuffle approximation of [[tokenBudgetSample]] for groups too
+    * large (or too skewed) for a per-group window sort: keep the fraction
+    * `budget / group_token_total` of each group's md5(id) buckets — the
+    * [[stratifiedSample]] filter with token-weighted rates. Hits the budget
+    * in expectation (md5 buckets are token-unbiased); error shrinks as
+    * 1/√n_docs. One token-count aggregate (group-sized collect, like
+    * [[resampleMixture]]'s), then a pure filter projection.
+    */
+  def tokenBudgetRate(df: DataFrame, idCol: String, groupCol: String,
+                      textCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.values.forall(_ > 0L), s"budgets must be positive: $budgets")
+    val nTok = size(array_remove(split(col(textCol), " "), "")).cast(LongType)
+    val totals = df.filter(budgets.keys.toSeq.sorted
+        .foldLeft(lit(false))((acc, g) => acc || col(groupCol) === g))
+      .groupBy(col(groupCol).cast(StringType).as("g"))
+      .agg(sum(nTok).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val permille: Map[String, Long] = budgets.collect {
+      case (g, b) if totals.getOrElse(g, 0L) > 0L =>
+        g -> (BigInt(1000) * b / totals(g)).min(1000).toLong
+    }
+    require(permille.nonEmpty, "no budgeted group present in the data")
+    val bucket = conv(substring(md5(col(idCol).cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType) % 1000
+    val rate = permille.foldLeft(lit(0L)) { case (acc, (g, p)) =>
+      when(col(groupCol) === g, lit(p)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
+
+  /** Corpus snapshot diff — the incremental-crawl primitive: given the
+    * PREVIOUS corpus snapshot and the CURRENT one (both keyed by `idCol`),
+    * classify every document as `added` (new id), `removed` (id gone),
+    * `changed` (id present in both, content hash differs), or `unchanged`.
+    * Downstream incremental curation re-processes only added ∪ changed
+    * (filter on the status column) instead of re-running dedup/quality/
+    * tokenization over the full 100 TB — and `removed` drives retention
+    * deletes in derived stores.
+    *
+    * Scale shape: each side reduces to (id, md5(text)) in its scan
+    * projection — document TEXT never shuffles, only 32-byte hashes — then
+    * one full-outer hash join on the id (two hash exchanges, AQE-planned;
+    * on bucketed snapshot tables it is exchange-free). Status is a pure
+    * projection over null-ness + hash equality. The oracle replays the
+    * identical join in SQL.
+    *
+    * Output: (id, status, old_hash, new_hash); hashes NULL on the absent
+    * side, exposed so callers can route content-addressed work without
+    * rehashing.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("id"), md5(col(textCol)).as("old_hash"))
+    val n = newSnap.select(col(idCol).as("id"), md5(col(textCol)).as("new_hash"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") === col("new_hash"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_hash"), col("new_hash"))
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch: the k smallest md5-
     * derived 60-bit hashes per group estimate the group's distinct count as
     * `(k-1) / u_k` with `u_k` the k-th smallest hash normalized to [0,1).

@@ -54,7 +54,15 @@ import graft.sources.Tables
   * `decontaminate` (id/text + `bench` = a prior stage's output[,
   * benchText/k/minHits] — method "exact" broadcasts the bench shingle
   * set, "bloom" [fpp/expectedItems] probes a sketch then exact-verifies:
-  * the too-big-to-broadcast bench, identical output), streaming
+  * the too-big-to-broadcast bench, identical output), `token_budget`
+  * (id/group/text/budgets — method "exact" fills per-group token targets
+  * in md5(id) order, "rate" is the zero-shuffle bucket approximation),
+  * `snapshot_diff` (id/text + `old` = a prior stage holding the previous
+  * snapshot — rows gain status added/removed/changed/unchanged),
+  * `band_keys` (id/text[, numHashes/bands/rowsPerBand] — the LSH index
+  * builder) + `neardup_incremental` (id/text + `index` = a band_keys
+  * stage or a stored index table — per-doc dup_of_corpus verdicts without
+  * re-reading corpus text), streaming
   * twins `stream_dedup` (ts/delay/keys), `stream_keepbest`
   * (key/id/score), `stream_repetition` (id/text/n), `stream_neardup`
   * (id/text[, numHashes/bands/rowsPerBand] — integral ids),
@@ -218,6 +226,23 @@ object ConfigPipeline {
       case "dedup_best" =>
         p.stage(name, from)(graft.dedup.Dedup.exactKeepBest(_,
           s.get("id").asText(), s.get("key").asText(), s.get("score").asText()))
+      // the LSH index builder (write its output once; probe it every batch)
+      case "band_keys" =>
+        val numHashes = if (s.has("numHashes")) s.get("numHashes").asInt() else 16
+        val bands = if (s.has("bands")) s.get("bands").asInt() else 4
+        val rpb = if (s.has("rowsPerBand")) s.get("rowsPerBand").asInt() else 4
+        p.stage(name, from)(graft.dedup.Dedup.bandKeysOf(_,
+          s.get("id").asText(), s.get("text").asText(), numHashes, bands, rpb))
+      // incremental near-dedup: probe this stage's docs against `index`
+      // (a prior band_keys stage, or a table stage reading a stored index)
+      case "neardup_incremental" =>
+        val index = p.output(s.get("index").asText())
+        val numHashes = if (s.has("numHashes")) s.get("numHashes").asInt() else 16
+        val bands = if (s.has("bands")) s.get("bands").asInt() else 4
+        val rpb = if (s.has("rowsPerBand")) s.get("rowsPerBand").asInt() else 4
+        p.stage(name, from)(graft.dedup.Dedup.incrementalNearDup(_,
+          s.get("id").asText(), s.get("text").asText(), index,
+          numHashes, bands, rpb))
       // benchmark decontamination: `bench` names a prior stage whose output
       // is the eval/benchmark table. method "exact" broadcasts the bench
       // shingle set; "bloom" is the too-big-to-broadcast-bench scale path
@@ -374,6 +399,31 @@ object ConfigPipeline {
           .map(e => e.getKey -> e.getValue.asInt()).toMap
         p.stage(name, from)(graft.operators.Ops.resampleMixture(_,
           s.get("id").asText(), s.get("group").asText(), w))
+      // token-budget selection: absolute per-group token targets. method
+      // "exact" fills budgets in md5(id) order (one window shuffle);
+      // "rate" is the zero-shuffle md5-bucket approximation for groups too
+      // large for a per-group sort (budget hit in expectation)
+      case "token_budget" =>
+        val b = s.get("budgets").fields().asScala
+          .map(e => e.getKey -> e.getValue.asLong()).toMap
+        val id = s.get("id").asText(); val group = s.get("group").asText()
+        val text = s.get("text").asText()
+        (if (s.has("method")) s.get("method").asText() else "exact") match {
+          case "exact" =>
+            p.stage(name, from)(graft.operators.Ops.tokenBudgetSample(_,
+              id, group, text, b))
+          case "rate" =>
+            p.stage(name, from)(graft.operators.Ops.tokenBudgetRate(_,
+              id, group, text, b))
+          case other => sys.error(s"token_budget: unknown method '$other'")
+        }
+      // incremental-crawl diff: `old` names a prior stage holding the
+      // previous snapshot; output rows carry status added/removed/changed/
+      // unchanged (downstream incremental curation filters on it)
+      case "snapshot_diff" =>
+        val old = p.output(s.get("old").asText())
+        p.stage(name, from)(graft.operators.Ops.snapshotDiff(old, _,
+          s.get("id").asText(), s.get("text").asText()))
       case "tfidf" =>
         p.stage(name, from)(graft.similarity.Search.tfIdfKeywords(_,
           s.get("id").asText(), s.get("text").asText(), s.get("m").asInt()))

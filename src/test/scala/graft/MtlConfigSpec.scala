@@ -551,6 +551,48 @@ class MtlConfigSpec extends SparkSpec {
     assert(cfg.output("dcb").as[(Long, Long, Boolean)].collect().toSet == exact)
   }
 
+  test("ConfigPipeline drives token_budget and snapshot_diff from config") {
+    val cfg = ConfigPipeline.fromJson(spark,
+      """{"stages": [
+        | {"name": "docs", "op": "table", "dir": "/root/testdata/sf0.001", "table": "documents"},
+        | {"name": "tb", "op": "token_budget", "from": "docs", "id": "doc_id",
+        |  "group": "lang", "text": "text", "budgets": {"en": 300, "zh": 200}},
+        | {"name": "tbr", "op": "token_budget", "from": "docs", "method": "rate",
+        |  "id": "doc_id", "group": "lang", "text": "text",
+        |  "budgets": {"en": 300, "zh": 200}},
+        | {"name": "old", "op": "filter", "from": "docs", "expr": "doc_id % 3 <> 0"},
+        | {"name": "diff", "op": "snapshot_diff", "from": "docs", "old": "old",
+        |  "id": "doc_id", "text": "text"}
+        |]}""".stripMargin)
+    // exact: every budgeted group lands at/over budget, overshoot < 1 doc
+    val byG = cfg.output("tb").groupBy("grp").agg(sum("n_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(byG.keySet == Set("en", "zh") && byG("en") >= 300L && byG("zh") >= 200L)
+    // rate mode reaches the same op family without the window (smoke: runs,
+    // drops unbudgeted groups)
+    assert(cfg.output("tbr").filter(col("lang") === "de").count() == 0)
+    // docs removed from `old` surface as added; nothing changed/removed
+    val st = cfg.output("diff").groupBy("status").count()
+      .as[(String, Long)].collect().toMap
+    assert(st("added") > 0 && st.contains("unchanged") && !st.contains("removed"))
+  }
+
+  test("ConfigPipeline drives the incremental near-dedup loop from config") {
+    val cfg = ConfigPipeline.fromJson(spark,
+      """{"stages": [
+        | {"name": "docs", "op": "table", "dir": "/root/testdata/sf0.001", "table": "documents"},
+        | {"name": "corpus", "op": "filter", "from": "docs", "expr": "doc_id % 5 <> 0"},
+        | {"name": "delta", "op": "filter", "from": "docs", "expr": "doc_id % 5 = 0"},
+        | {"name": "idx", "op": "band_keys", "from": "corpus", "id": "doc_id", "text": "text"},
+        | {"name": "probe", "op": "neardup_incremental", "from": "delta",
+        |  "index": "idx", "id": "doc_id", "text": "text"}
+        |]}""".stripMargin)
+    val verdicts = cfg.output("probe").as[(Long, Boolean)].collect().toMap
+    val deltaN = cfg.output("delta").count()
+    assert(verdicts.size == deltaN) // every delta doc gets a verdict
+    assert(cfg.output("idx").columns.toSeq == Seq("id", "band", "band_key"))
+  }
+
   test("intervalJoinBucketed matches plain intervalJoin results") {
     val ev = Seq((1L, "a", 100L), (2L, "a", 250L), (3L, "a", 900L), (4L, "b", 120L),
       (5L, "b", 180L)).toDF("id", "k", "t")

@@ -323,6 +323,46 @@ class OpsSpec extends SparkSpec {
     assert(dropped.filter(col("g") === "a").count() == 0)
   }
 
+  test("tokenBudgetSample fills each budget in md5 order and stops past it") {
+    // group a: 10 docs x 5 tokens = 50; budget 23 → kept docs' PRIOR
+    // cumulative < 23: 5 docs (priors 0,5,10,15,20 — the 5th crosses)
+    val df = (1L to 10L).map(i => (i, "a", "t t t t t"))
+      .++(Seq((100L, "b", "x y"), (101L, "b", "x y z")))
+      .toDF("id", "g", "txt")
+    val got = Ops.tokenBudgetSample(df, "id", "g", "txt", Map("a" -> 23L, "b" -> 100L))
+    val byG = got.groupBy("grp").agg(sum("n_tokens").as("t"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byG("a") == ((25L, 5L))) // ≥ budget, overshoot < 1 doc
+    assert(byG("b") == ((5L, 2L))) // under-budget group keeps everything
+    // deterministic across reruns; unbudgeted groups drop
+    val again = Ops.tokenBudgetSample(df, "id", "g", "txt", Map("a" -> 23L))
+    assert(again.select("id").as[Long].collect().toSet ==
+      Ops.tokenBudgetSample(df, "id", "g", "txt", Map("a" -> 23L))
+        .select("id").as[Long].collect().toSet)
+    assert(again.filter(col("grp") === "b").count() == 0)
+  }
+
+  test("tokenBudgetRate lands near the token budget without a window sort") {
+    val df = (1L to 2000L).map(i => (i, "a", "t t t t t")).toDF("id", "g", "txt")
+    val got = Ops.tokenBudgetRate(df, "id", "g", "txt", Map("a" -> 5000L))
+    val kept = got.agg(sum(size(array_remove(split(col("txt"), " "), ""))))
+      .as[Long].head()
+    assert(kept > 4000L && kept < 6000L) // 10000 total, budget 5000 ± sampling error
+    // rate ≥ total ⇒ keep everything
+    assert(Ops.tokenBudgetRate(df, "id", "g", "txt", Map("a" -> 100000L)).count() == 2000L)
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val old = Seq((1L, "same"), (2L, "before"), (3L, "gone")).toDF("id", "txt")
+    val nw = Seq((1L, "same"), (2L, "after"), (4L, "fresh")).toDF("id", "txt")
+    val got = Ops.snapshotDiff(old, nw, "id", "txt")
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // hashes expose the absent side as NULL
+    val added = Ops.snapshotDiff(old, nw, "id", "txt").filter(col("status") === "added")
+    assert(added.filter(col("old_hash").isNull && col("new_hash").isNotNull).count() == 1)
+  }
+
   test("domainBlocklistFilter blocks exact domains and their subdomains") {
     val df = Seq(
       (1L, "https://www.good.com/x"),        // www. strips → good.com, kept

@@ -525,6 +525,33 @@ class TextDedupSpec extends SparkSpec {
     assert(scored == Seq((1L, new java.math.BigDecimal("1.250000"), 3L)))
   }
 
+  test("incrementalNearDup probes an index without touching corpus text") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines"),
+      (3L, "")).toDF("id", "txt")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // = doc 1 → dup
+      (11L, "novel text that matches nothing in the corpus"),
+      (12L, "")).toDF("id", "txt") // no tokens → no signature → not a dup
+    val index = graft.dedup.Dedup.bandKeysOf(corpus, "id", "txt")
+    val got = graft.dedup.Dedup.incrementalNearDup(fresh, "id", "txt", index)
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == Map(10L -> true, 11L -> false, 12L -> false))
+    // the probe agrees with the batch path: a fresh doc is dup_of_corpus
+    // exactly when lshPairs over (corpus ∪ fresh) pairs it with a corpus doc
+    val all = corpus.union(fresh)
+    val pairs = graft.dedup.Dedup.lshPairs(
+        graft.dedup.Dedup.minhashSignature(all, "id", "txt"), 4, 4)
+      .as[(Long, Long)].collect().toSet
+    val corpusIds = Set(1L, 2L, 3L)
+    val batchDups = pairs.collect {
+      case (a, b) if corpusIds(a) && !corpusIds(b) => b
+      case (a, b) if corpusIds(b) && !corpusIds(a) => a
+    }
+    assert(got.filter(_._2).keySet == batchDups)
+  }
+
   test("Lm.trainPerceptron learns separable data with integer-exact updates") {
     val dim = 64
     val docs = Seq((1L, "aa aa"), (2L, "bb")).toDF("doc_id", "text")
