@@ -82,6 +82,30 @@ object ScaleBench {
         time(q, dir) { SparkEntry.queries(q)(spark, dir) }
       time("neardup_composed", dir) { neardupComposed(spark, dir) }
     }
+
+    // Incremental vs full re-dedup: 90% of the corpus is indexed once
+    // (amortized cost), a 10% delta then probes the STORED index — the
+    // recurring cost — vs re-running the full near-dup pipeline over
+    // corpus ∪ delta, which is what a non-incremental stack pays per batch.
+    for (dir <- Seq(base, big)) {
+      val docs = Tables.load(spark, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+      val idxDir = s"$work/index_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val t0 = System.nanoTime()
+      Dedup.bandKeysOf(corpus, "doc_id", "text")
+        .write.mode("overwrite").parquet(idxDir)
+      println(f"[scalebench] neardup_index_build dir=$dir " +
+        f"min=${(System.nanoTime() - t0) / 1e9}%.2f s (one-time, amortized)")
+      val index = spark.read.parquet(idxDir)
+      time("neardup_incremental_probe", dir) {
+        Dedup.incrementalNearDup(delta, "doc_id", "text", index)
+      }
+      time("neardup_full_rededup", dir) {
+        Dedup.keepCanonical(corpus.unionByName(delta), "doc_id", "text",
+          maxBucket = 256, metricName = "scale_full_rededup")
+      }
+    }
     spark.stop()
   }
 }

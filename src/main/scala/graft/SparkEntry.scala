@@ -1079,6 +1079,35 @@ object SparkEntry {
       q.awaitTermination()
       s.read.parquet(s"$outDir/batch_*")
     }),
+    // STREAMING incremental near-dedup: the daily-crawl loop live — the
+    // corpus LSH index is STATIC (built once, read from storage), delta
+    // documents arrive as a file stream, and each micro-batch probes the
+    // batch operator against the static index (a doc's verdict depends
+    // only on the doc + the index, so any batch split appends the same
+    // rows — the q_stream_decontaminate argument); shares
+    // q_incremental_neardup's oracle
+    "q_stream_incneardup" -> ((s, dir) => withStreamShuffle(s) {
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      val delta = d.filter(col("doc_id") % 13 === 5)
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_inc").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val idxDir = s"$base/index"
+      // the stored-index posture: write the corpus index once, probe a file
+      // stream of deltas against the read-back table
+      Dedup.bandKeysOf(d.filter(col("doc_id") % 13 =!= 5), "doc_id", "text",
+        16, 4, 4).write.mode("overwrite").parquet(idxDir)
+      val index = s.read.parquet(idxDir)
+      delta.repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+        format = "parquet", schemaDdl = Some(delta.schema.toDDL), maxFilesPerTrigger = 1)
+      val q = graft.streaming.Streams.toForeachBatch(stream, ckpt,
+        availableNow = true, outputMode = "append") { (batch, id) =>
+        Dedup.incrementalNearDup(batch, "doc_id", "text", index, 16, 4, 4)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+      }
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/batch_*")
+    }),
     // STREAMING LSH near-dup: the stateful twin of the G3 flagship path.
     // Banded minhash buckets live as keyed state — (min_id, n_members)
     // per bucket, NO member lists — and each micro-batch emits touched
@@ -2723,6 +2752,7 @@ object SparkEntry {
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_lsh_pairs" -> lshPairsOracle,
     "q_incremental_neardup" -> incrementalNearDupOracle,
+    "q_stream_incneardup" -> incrementalNearDupOracle,
     "q_stream_neardup" -> streamNearDupOracle,
     "q_cosine_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200),
