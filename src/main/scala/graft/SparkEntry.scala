@@ -1389,6 +1389,31 @@ object SparkEntry {
       Dedup.keepCanonical(T(s, dir, "documents"), "doc_id", "text",
           numHashes = 16, bands = 4, rowsPerBand = 4, maxBucket = 256)
         .select(col("doc_id"), col("lang"))),
+    // INCREMENTAL-CURATION flagship: the r6 ops composed as a daily ingest
+    // run — diff the snapshots, probe only added ∪ changed against the
+    // LSH index of the UNCHANGED (already-curated) corpus, token-budget
+    // the surviving ingest per language. Corpus text is touched only for
+    // the index build; at scale that index is read from storage
+    // (q_stream_incneardup's posture) and the whole run is O(delta).
+    // Within-batch dups are keepCanonical's job upstream (q_neardup_
+    // pipeline); budgets truncate every language at sf0.01.
+    "q_incremental_pipeline" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val old = d.filter(col("doc_id") % 11 =!= 3)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v1"))).otherwise(col("text")))
+      val diff = Ops.snapshotDiff(old, d, "doc_id", "text")
+      val fresh = d.join(diff.filter(col("status").isin("added", "changed"))
+        .select("id"), col("doc_id") === col("id"), "left_semi")
+      val corpus = d.join(diff.filter(col("status") === "unchanged")
+        .select("id"), col("doc_id") === col("id"), "left_semi")
+      val index = Dedup.bandKeysOf(corpus, "doc_id", "text", 16, 4, 4)
+      val probed = Dedup.incrementalNearDup(fresh, "doc_id", "text", index, 16, 4, 4)
+      val keep = fresh.join(probed.filter(!col("dup_of_corpus"))
+        .select("id"), col("doc_id") === col("id"), "left_semi")
+      Ops.tokenBudgetSample(keep, "doc_id", "lang", "text",
+        Map("en" -> 1500L, "zh" -> 500L, "es" -> 400L))
+    }),
     "q_minhash" -> ((s, dir) => {
       val docs = T(s, dir, "documents").filter(size(Text.tokens(col("text"))) > 0)
       Dedup.minhashSignature(docs, "doc_id", "text", 4)
