@@ -29,6 +29,22 @@ object Bench {
     n.join(org.apache.spark.sql.functions.broadcast(r),
       n("n_regionkey") === r("r_regionkey")).groupBy("r_name").count().collect()
 
+    // ANCHOR: a fixed-shape measurement (scan+shuffle+agg over lineitem,
+    // min of 3) taken right after warmup and reported in the JSON line.
+    // The bench runs on a SHARED machine — BENCH_r06 read 1.5-2x slower
+    // than BENCH_r05 on identical code purely from external load. The
+    // anchor's code never changes round to round, so anchor_sec drift IS
+    // the machine drift; normalize per-query comparisons by it before
+    // calling anything a regression.
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val anchor = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity"),
+          org.apache.spark.sql.functions.count("*")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
     // optional comma-separated allowlist for local iteration; the driver
     // leaves it unset → full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -60,7 +76,7 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","anchor_sec":$anchor,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

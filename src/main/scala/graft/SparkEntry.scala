@@ -1806,6 +1806,61 @@ object SparkEntry {
        |FROM fresh f LEFT JOIN hit h ON f.doc_id = h.doc_id""".stripMargin
   }
 
+  /** DuckDB mirror of the r6 incremental-curation flagship
+    * (q_incremental_pipeline) — the component oracles composed end to end:
+    * snapshot diff = md5 full-outer join (q_snapshot_diff's replay; here
+    * old = docs minus id%11=3 with texts perturbed at id%7=0, new = ALL
+    * docs, so `removed` never occurs and fresh = added ∪ changed =
+    * {id%11=3} ∪ {id%7=0}), probe = the band-key semi-join of
+    * [[incrementalNearDupOracle]] with the index built over the UNCHANGED
+    * corpus, token budget = q_token_budget's per-group cumulative-sum
+    * window at en→1500/zh→500/es→400.
+    */
+  private val incrementalPipelineOracle: String = {
+    val mins = (0 until 16).map(s => s"MIN(md5('$s:' || tok)) AS h$s").mkString(", ")
+    val bandKey = (0 until 4).map { b =>
+      val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
+      s"WHEN ${b} THEN md5($cols)"
+    }.mkString(" ")
+    s"""WITH old AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 11 <> 3),
+       |o AS (SELECT doc_id AS id, md5(text) AS old_hash FROM old),
+       |n AS (SELECT doc_id AS id, md5(text) AS new_hash FROM documents),
+       |diff AS (SELECT COALESCE(o.id, n.id) AS id,
+       |  CASE WHEN old_hash IS NULL THEN 'added'
+       |       WHEN new_hash IS NULL THEN 'removed'
+       |       WHEN old_hash = new_hash THEN 'unchanged'
+       |       ELSE 'changed' END AS status
+       |  FROM o FULL OUTER JOIN n ON o.id = n.id),
+       |fresh AS (SELECT d.doc_id, d.text, d.lang FROM documents d
+       |          JOIN diff ON diff.id = d.doc_id
+       |          WHERE diff.status IN ('added', 'changed')),
+       |corpus AS (SELECT d.doc_id, d.text FROM documents d
+       |           JOIN diff ON diff.id = d.doc_id
+       |           WHERE diff.status = 'unchanged'),
+       |ct AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM corpus),
+       |cs AS (SELECT doc_id, $mins FROM ct GROUP BY doc_id),
+       |cb AS (SELECT DISTINCT b.band, CASE b.band $bandKey END AS band_key
+       |       FROM cs, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+       |ft AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM fresh),
+       |fs AS (SELECT doc_id, $mins FROM ft GROUP BY doc_id),
+       |fb AS (SELECT doc_id, b.band, CASE b.band $bandKey END AS band_key
+       |       FROM fs, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+       |hit AS (SELECT DISTINCT fb.doc_id FROM fb JOIN cb USING (band, band_key)),
+       |keep AS (SELECT f.doc_id, f.text, f.lang FROM fresh f
+       |         LEFT JOIN hit h ON f.doc_id = h.doc_id WHERE h.doc_id IS NULL),
+       |c AS (SELECT doc_id AS id, lang AS grp,
+       |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+       |    md5(CAST(doc_id AS VARCHAR)) AS ord
+       |  FROM keep WHERE lang IN ('en', 'zh', 'es')),
+       |w AS (SELECT id, grp, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY grp ORDER BY ord, id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior FROM c)
+       |SELECT id, grp, n_tokens FROM w WHERE prior <
+       |  CASE grp WHEN 'en' THEN 1500 WHEN 'zh' THEN 500 ELSE 400 END""".stripMargin
+  }
+
   /** DuckDB mirror of the streaming LSH bucket path (q_stream_neardup):
     * same minhash(16) → 4-band md5 buckets as [[lshPairsOracle]], but
     * UNCAPPED (the streaming state holds only (min_id, n) per bucket —
@@ -2778,6 +2833,7 @@ object SparkEntry {
     "q_lsh_pairs" -> lshPairsOracle,
     "q_incremental_neardup" -> incrementalNearDupOracle,
     "q_stream_incneardup" -> incrementalNearDupOracle,
+    "q_incremental_pipeline" -> incrementalPipelineOracle,
     "q_stream_neardup" -> streamNearDupOracle,
     "q_cosine_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200),

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Text, Vectors}
+import graft.Checkpoints.PinSyntax
 
 /** Deduplication for LLM-training-data pipelines (SURVEY §2.G1–G5).
   *
@@ -445,6 +446,45 @@ object Dedup {
       .select(col("id"), coalesce(col("__hit"), lit(false)).as("dup_of_corpus"))
   }
 
+  /** LSH-index MAINTENANCE — the append/retire delta that keeps a
+    * long-running [[incrementalNearDup]] loop honest across snapshot
+    * generations. Without it, band keys of documents the snapshot diff
+    * marks `removed`/`changed` linger forever and new docs get flagged as
+    * duplicates of documents that no longer exist.
+    *
+    * One generation step:
+    *  1. RETIRE — anti-join out every index row whose `id` appears in
+    *     `retiredIds` (pass the [[graft.operators.Ops.snapshotDiff]] rows
+    *     with status `removed` or `changed`; a changed doc's OLD text hashed
+    *     those keys, so they must go even though the id survives).
+    *  2. APPEND — the [[bandKeysOf]] rows of `admitted` (the docs this
+    *     generation adds to the corpus: typically added ∪ changed docs that
+    *     survived the probe and any quality filters; pass the CURRENT text).
+    *
+    * Maintenance identity (pinned in `TextDedupSpec`): if `admitted` is
+    * exactly the added ∪ changed docs of the new snapshot and `retiredIds`
+    * the removed ∪ changed ids, the maintained index equals a from-scratch
+    * [[bandKeysOf]] of the new snapshot, row for row — so probe verdicts
+    * from the maintained and rebuilt indexes are identical by construction.
+    *
+    * Scale shape: the retire side shuffles only (id, band, band_key) rows —
+    * 32-byte keys, never text — and the anti-join's right side is
+    * delta-sized (AQE broadcasts it). The append side tokenizes ONLY the
+    * admitted docs (the zero-shuffle signature projection). Persist the
+    * result partitioned by `band` / bucketed by `band_key` so the next
+    * generation's probe join stays co-located.
+    */
+  def indexDelta(index: DataFrame, admitted: DataFrame, idCol: String,
+                 textCol: String, retiredIds: DataFrame,
+                 numHashes: Int = 16, bands: Int = 4,
+                 rowsPerBand: Int = 4): DataFrame = {
+    val retired = retiredIds.select(col(retiredIds.columns.head).as("id"))
+    index.select("id", "band", "band_key")
+      .join(retired, Seq("id"), "left_anti")
+      .unionByName(
+        bandKeysOf(admitted, idCol, textCol, numHashes, bands, rowsPerBand))
+  }
+
   /** SimHash (G4): 60-bit token-hash bit vote (60 bits so the fingerprint
     * stays exactly representable from the 15-hex-digit md5 prefix). Bit b of
     * the fingerprint is 1 iff more distinct tokens have bit b set than not.
@@ -813,10 +853,10 @@ object Dedup {
     require(maxRounds > 0, s"maxRounds must be positive, got $maxRounds")
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
     val sym = fwd.union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().pinned()
     var labels = sym.select(col("src").as("member")).distinct()
       .withColumn("label", col("member"))
-      .localCheckpoint(true)
+      .pinned()
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -830,7 +870,7 @@ object Dedup {
         .union(nbr)
         .groupBy("member").agg(min(col("label")).as("label"),
           max(when(col("__self") === 1, col("label"))).as("__old"))
-        .localCheckpoint(true)
+        .pinned()
       // Pointer jump (path compression): label ← label(label). Every label
       // IS a member (labels only ever take member-id values), so the
       // compose join is total. A propagate round moves information ONE hop;
@@ -847,7 +887,7 @@ object Dedup {
         else agg.join(
             agg.select(col("member").as("label"), col("label").as("__jl")), "label")
           .select(col("member"), col("__jl").as("label"), col("__old"))
-          .localCheckpoint(true)
+          .pinned()
       changed = next.filter(col("label") =!= col("__old")).count()
       labels = next.select("member", "label")
       round += 1

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.Checkpoints.PinSyntax
 
 /** Byte-pair-encoding tokenizer training over a corpus (the
   * tokenizer-prep companion to [[graft.similarity.Search.vocabulary]];
@@ -112,7 +113,7 @@ object Bpe {
     // the corpus scan.
     var vocab = wordCounts(docs, textCol)
       .select(col("word"), col("cnt"), symbolize(col("word")).as("syms"))
-      .localCheckpoint(true)
+      .pinned()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var exhausted = false
     var round = 0
@@ -154,7 +155,7 @@ object Bpe {
               org.apache.spark.sql.graftglue.ChainedReplace(
                 org.apache.spark.sql.graftglue.ColumnBridge.expression(col("syms")),
                 selected.map { case (l, r, _) => (s" $l  $r ", s" ${l}${r} ") })))
-          .localCheckpoint(true)
+          .pinned()
       } else exhausted = true
     }
     (merges.toSeq.toDF("rank", "l", "r", "merged", "n"), vocab)

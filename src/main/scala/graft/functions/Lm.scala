@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.Checkpoints.PinSyntax
 
 /** Corpus-level language-model scoring for data curation.
   *
@@ -206,9 +207,9 @@ object Lm {
     val spark = feats.sparkSession
     import spark.implicits._
     val f = feats.select(col("id"), col("bucket").cast(LongType),
-      col("tf").cast(LongType)).localCheckpoint(true)
+      col("tf").cast(LongType)).pinned()
     val y = labels.select(col("id"), col("y").cast(LongType))
-      .localCheckpoint(true)
+      .pinned()
     val weights = scala.collection.mutable.HashMap[Long, Long](
       f.select("bucket").distinct().as[Long].collect().map(_ -> 0L): _*)
     var bias = 0L

@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.PinSyntax
 
 /** Graph analytics over knowledge-base edge tables (the (src_id, dst_id)
   * frames [[graft.json.MtlParser.knowledgeBase]] / [[graft.json.TreeWalk.relations]]
@@ -47,14 +48,14 @@ object Graph {
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("od"))
     // edge list with out-degree attached, materialized ONCE — every
     // iteration re-reads this, not the upstream pipeline
-    val eo = e.join(outDeg, "src").localCheckpoint(true)
+    val eo = e.join(outDeg, "src").pinned()
     // nodes derive from the CHECKPOINTED edges and checkpoint themselves:
     // every iteration's rank rebuild references `nodes`, and an
     // unmaterialized plan would re-run the caller's whole edge pipeline
     // (join/traversal/...) twice per round
     val nodes = eo.select(col("src").as("id"))
-      .union(eo.select(col("dst").as("id"))).distinct().localCheckpoint(true)
-    var ranks = nodes.withColumn("rank", lit(1000000L)).localCheckpoint(true)
+      .union(eo.select(col("dst").as("id"))).distinct().pinned()
+    var ranks = nodes.withColumn("rank", lit(1000000L)).pinned()
     for (_ <- 1 to iters) {
       // `div` (not `/`): BIGINT floor division keeps every step in exact
       // integer arithmetic — `/` is double division in both engines
@@ -65,7 +66,7 @@ object Graph {
         .join(contrib.select(col("dst").as("id"), col("cs")), Seq("id"), "left")
         .select(col("id"),
           (lit(150000L) + expr("(85 * coalesce(cs, 0L)) div 100")).as("rank"))
-        .localCheckpoint(true)
+        .pinned()
     }
     ranks.select(col("id"), col("rank"))
   }

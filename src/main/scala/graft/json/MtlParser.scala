@@ -3,6 +3,7 @@ package graft.json
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+import graft.Checkpoints.PinSyntax
 
 /** MTL query-language front-end (reference `modelling/treehorn_yaccer.py`,
   * tokens `modelling/treehorn_tokenizer.py`, sample `query_text.mtl`).
@@ -408,7 +409,7 @@ object MtlParser {
     // and a persist leaves the full traversal pipeline in the logical plan
     // at each reference (static plan grew to >300 exchanges before the
     // switch); checkpointing truncates each to an RDD scan.
-    val rows = run(df, program, queryName, functions).localCheckpoint(true)
+    val rows = run(df, program, queryName, functions).pinned()
     val canon = coreferenceFromRows(rows, program, queryName, rounds)
     require(program.relations.exists(_.query == queryName),
       s"no relation assertions for query '$queryName'")
@@ -453,7 +454,7 @@ object MtlParser {
     // eager checkpoint: materialize once AND truncate lineage — every LP
     // round references this edge list (see knowledgeBase note)
     val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).distinct()
-      .localCheckpoint(true)
+      .pinned()
     var lbl = und.select(col("a").as("id")).distinct().withColumn("lbl", col("id"))
     for (_ <- 0 until rounds) {
       val nb = und.join(lbl.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
@@ -514,7 +515,7 @@ object MtlParser {
     require(maxRounds > 0, s"maxRounds must be positive, got $maxRounds")
     var all = edges.filter(col("rel") === rel)
       .select(col("src_id"), col("dst_id")).distinct()
-      .localCheckpoint(true)
+      .pinned()
     var prevN = all.count()
     var round = 0
     var deltaN = prevN
@@ -526,7 +527,7 @@ object MtlParser {
       // subsumes the fresh-pair anti-join: growth is detected by the count
       // delta, so the round costs 2 shuffles (join + distinct), not 4
       // (join, distinct, anti-join, distinct).
-      val grown = all.union(next).distinct().localCheckpoint(true)
+      val grown = all.union(next).distinct().pinned()
       val grownN = grown.count()
       deltaN = grownN - prevN
       prevN = grownN

@@ -62,7 +62,10 @@ import graft.sources.Tables
   * `band_keys` (id/text[, numHashes/bands/rowsPerBand] — the LSH index
   * builder) + `neardup_incremental` (id/text + `index` = a band_keys
   * stage or a stored index table — per-doc dup_of_corpus verdicts without
-  * re-reading corpus text), streaming
+  * re-reading corpus text) + `index_delta` (id/text + `index` + `retired`
+  * = a stage of ids to drop; `from` = this generation's admitted docs —
+  * retire-then-append maintenance keeping the stored index ≡ a
+  * from-scratch rebuild), streaming
   * twins `stream_dedup` (ts/delay/keys), `stream_keepbest`
   * (key/id/score), `stream_repetition` (id/text/n), `stream_neardup`
   * (id/text[, numHashes/bands/rowsPerBand] — integral ids),
@@ -102,20 +105,66 @@ object ConfigPipeline {
     val root = new ObjectMapper().readTree(json)
     val stages = root.get("stages")
     require(stages != null && stages.isArray, "config needs a 'stages' array")
-    stages.elements().asScala.foldLeft(Pipeline.empty)((p, s) => addStage(spark, p, s))
+    stages.elements().asScala.zipWithIndex
+      .foldLeft(Pipeline.empty) { case (p, (s, i)) =>
+        // every config mistake — misspelled op, missing knob, dangling
+        // `from` — surfaces with the stage INDEX and name, because a JSON
+        // author counts stages, not Scala stack frames. Knob errors inside
+        // deferred stage lambdas carry their own context (see `knob`), so
+        // only wrap the ones that don't.
+        try addStage(spark, p, s, i)
+        catch {
+          case e: RuntimeException
+              if !Option(e.getMessage).exists(_.startsWith("config stage")) =>
+            val nm = Option(s.get("name")).map(_.asText()).getOrElse("<unnamed>")
+            val op = Option(s.get("op")).map(_.asText()).getOrElse("<no op>")
+            sys.error(s"config stage #$i '$nm' (op '$op'): ${e.getMessage}")
+        }
+      }
   }
+
+  /** Every op `fromJson` accepts, alphabetized — quoted in the unknown-op
+    * diagnostic so a typo'd config names its fix. */
+  val validOps: Seq[String] = Seq(
+    "agg", "ann", "band_keys", "boilerplate", "canonical_url", "chunk",
+    "corpus_shuffle", "csv_permissive", "decontaminate", "dedup_best",
+    "dedup_exact", "dedup_near", "degrees", "distinct", "distinct_sketch",
+    "dsir", "error_budget", "filter", "fingerprint", "flatten", "histogram",
+    "index_delta", "inverted_index", "join", "langid", "limit",
+    "lm_xent", "lm_xent_bigram", "mixture", "neardup_incremental",
+    "pack", "pagerank", "parquet", "percentiles", "quality_classifier",
+    "repetition", "sample", "sample_per_group", "select", "sessionize",
+    "snapshot_diff", "span_dedup", "span_dedup_clean", "split",
+    "stream_dedup", "stream_dir", "stream_keepbest", "stream_neardup",
+    "stream_repetition", "stream_spandedup", "table", "tfidf",
+    "time_window", "token_budget", "union", "watermark", "withColumn",
+    "zorder")
 
   private def strs(n: JsonNode): Seq[String] =
     n.elements().asScala.map(_.asText()).toSeq
 
-  private def addStage(spark: SparkSession, p: Pipeline, s: JsonNode): Pipeline = {
-    val name = s.get("name").asText()
-    def from = s.get("from").asText()
-    s.get("op").asText() match {
+  private def addStage(spark: SparkSession, p: Pipeline, s: JsonNode,
+                       idx: Int): Pipeline = {
+    // required-knob accessor: absent fields fail with the knob's NAME and
+    // the full stage context (the bare Jackson `.get` would NPE with no
+    // message). Context lives HERE, not only in fromJson's wrapper, because
+    // most knob reads sit inside deferred stage lambdas that first run at
+    // build()/output() time. Optional knobs keep their `s.has` guards.
+    def knob(field: String): JsonNode =
+      if (s.has(field)) s.get(field)
+      else {
+        val nm = Option(s.get("name")).map(_.asText()).getOrElse("<unnamed>")
+        val op = Option(s.get("op")).map(_.asText()).getOrElse("<no op>")
+        sys.error(s"config stage #$idx '$nm' (op '$op'): " +
+          s"missing required knob '$field'")
+      }
+    val name = knob("name").asText()
+    def from = knob("from").asText()
+    knob("op").asText() match {
       case "table" =>
-        p.source(name, Tables.load(spark, s.get("dir").asText(), s.get("table").asText()))
+        p.source(name, Tables.load(spark, knob("dir").asText(), knob("table").asText()))
       case "parquet" =>
-        p.source(name, spark.read.parquet(s.get("path").asText()))
+        p.source(name, spark.read.parquet(knob("path").asText()))
       // STREAMING source from config — the reference's LocalDirectoryWatchdog
       // as a `bin/metalpipe <config>` stage (its configs wire streaming nodes;
       // ours compile onto the same Pipeline DAG, which hands streaming frames
@@ -125,24 +174,24 @@ object ConfigPipeline {
       // Streams.toForeachBatch.
       case "stream_dir" =>
         p.source(name, graft.streaming.Streams.watchDirectory(spark,
-          s.get("path").asText(),
-          format = if (s.has("format")) s.get("format").asText() else "text",
-          schemaDdl = if (s.has("schema")) Some(s.get("schema").asText()) else None,
+          knob("path").asText(),
+          format = if (s.has("format")) knob("format").asText() else "text",
+          schemaDdl = if (s.has("schema")) Some(knob("schema").asText()) else None,
           maxFilesPerTrigger =
-            if (s.has("maxFilesPerTrigger")) s.get("maxFilesPerTrigger").asInt() else 100))
+            if (s.has("maxFilesPerTrigger")) knob("maxFilesPerTrigger").asInt() else 100))
       // event-time watermark (bounds stateful streaming ops' state)
       case "watermark" =>
-        p.stage(name, from)(_.withWatermark(s.get("ts").asText(),
-          s.get("delay").asText()))
+        p.stage(name, from)(_.withWatermark(knob("ts").asText(),
+          knob("delay").asText()))
       // event-time window COLUMN (ts/duration[/slide][/as]) — the group key
       // that makes streaming aggregation expressible from config: watermark →
       // time_window → agg over the window column finalizes groups in append
       // mode as the watermark passes each window's end (a plain-key streaming
       // agg under append would never finalize; Spark rejects it)
       case "time_window" =>
-        val as = if (s.has("as")) s.get("as").asText() else "window"
-        val ts = col(s.get("ts").asText()); val dur = s.get("duration").asText()
-        val w = if (s.has("slide")) window(ts, dur, s.get("slide").asText())
+        val as = if (s.has("as")) knob("as").asText() else "window"
+        val ts = col(knob("ts").asText()); val dur = knob("duration").asText()
+        val w = if (s.has("slide")) window(ts, dur, knob("slide").asText())
                 else window(ts, dur)
         p.stage(name, from)(_.withColumn(as, w))
       // permissive CSV: malformed rows arrive as DATA in _corrupt_record
@@ -154,37 +203,37 @@ object ConfigPipeline {
       // gate reads the input twice anyway.
       case "csv_permissive" =>
         val schema = org.apache.spark.sql.types.StructType
-          .fromDDL(s.get("schema").asText())
+          .fromDDL(knob("schema").asText())
           .add("_corrupt_record", org.apache.spark.sql.types.StringType)
         p.source(name, spark.read
-          .option("header", if (s.has("header")) s.get("header").asText() else "true")
+          .option("header", if (s.has("header")) knob("header").asText() else "true")
           .option("mode", "PERMISSIVE")
           .option("columnNameOfCorruptRecord", "_corrupt_record")
-          .schema(schema).csv(s.get("path").asText())
+          .schema(schema).csv(knob("path").asText())
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       case "error_budget" =>
-        val pred = if (s.has("expr")) expr(s.get("expr").asText())
+        val pred = if (s.has("expr")) expr(knob("expr").asText())
                    else col("_corrupt_record").isNotNull
         val dropCorrupt = !s.has("expr")
         p.stage(name, from) { d =>
           val gated = graft.operators.Ops.errorBudget(d, pred,
-            s.get("maxErrors").asLong())
+            knob("maxErrors").asLong())
           if (dropCorrupt && gated.columns.contains("_corrupt_record"))
             gated.drop("_corrupt_record")
           else gated
         }
       case "filter" =>
-        p.stage(name, from)(_.filter(expr(s.get("expr").asText())))
+        p.stage(name, from)(_.filter(expr(knob("expr").asText())))
       case "select" =>
-        p.stage(name, from)(_.selectExpr(strs(s.get("exprs")): _*))
+        p.stage(name, from)(_.selectExpr(strs(knob("exprs")): _*))
       case "withColumn" =>
-        p.stage(name, from)(_.withColumn(s.get("col").asText(), expr(s.get("expr").asText())))
+        p.stage(name, from)(_.withColumn(knob("col").asText(), expr(knob("expr").asText())))
       case "agg" =>
-        val keys = strs(s.get("keys"))
-        val aggs = strs(s.get("aggs")).map(expr)
+        val keys = strs(knob("keys"))
+        val aggs = strs(knob("aggs")).map(expr)
         // optional "mode": rollup | cube — hierarchical subtotals in the
         // same single Expand+aggregate pass
-        val mode = if (s.has("mode")) s.get("mode").asText() else "group"
+        val mode = if (s.has("mode")) knob("mode").asText() else "group"
         p.stage(name, from)(d => (mode match {
           case "group"  => d.groupBy(keys.map(col): _*)
           case "rollup" => d.rollup(keys.map(col): _*)
@@ -192,32 +241,32 @@ object ConfigPipeline {
           case other    => sys.error(s"unknown agg mode '$other'")
         }).agg(aggs.head, aggs.tail: _*))
       case "union" =>
-        p.fanIn(name, strs(s.get("from")))()
+        p.fanIn(name, strs(knob("from")))()
       case "join" =>
-        val Seq(l, r) = strs(s.get("from"))
-        val how = if (s.has("how")) s.get("how").asText() else "inner"
-        p.fanIn(name, Seq(l, r))(dfs => dfs(0).join(dfs(1), expr(s.get("on").asText()), how))
+        val Seq(l, r) = strs(knob("from"))
+        val how = if (s.has("how")) knob("how").asText() else "inner"
+        p.fanIn(name, Seq(l, r))(dfs => dfs(0).join(dfs(1), expr(knob("on").asText()), how))
       case "limit" =>
-        p.stage(name, from)(_.limit(s.get("n").asInt()))
+        p.stage(name, from)(_.limit(knob("n").asInt()))
       case "distinct" =>
         p.stage(name, from)(_.distinct())
       case "sample" =>
-        p.stage(name, from)(graft.operators.Ops.modSample(_, s.get("key").asText(),
-          s.get("mod").asInt()))
+        p.stage(name, from)(graft.operators.Ops.modSample(_, knob("key").asText(),
+          knob("mod").asInt()))
       case "dedup_exact" =>
-        p.stage(name, from)(graft.dedup.Dedup.exact(_, s.get("id").asText(),
-          s.get("text").asText()))
+        p.stage(name, from)(graft.dedup.Dedup.exact(_, knob("id").asText(),
+          knob("text").asText()))
       // the near-dup flagship from config: zero-shuffle minhash → guarded
       // LSH banding → pointer-jumped components → keep each cluster's
       // canonical row (non-members pass through). Run dedup_exact FIRST on
       // dup-heavy corpora (plans/SCALE.md: the composition returns the
       // collapsed-corpus answer 2.4x faster at 10x replication).
       case "dedup_near" =>
-        val id = s.get("id").asText(); val text = s.get("text").asText()
-        val numHashes = if (s.has("numHashes")) s.get("numHashes").asInt() else 16
-        val bands = if (s.has("bands")) s.get("bands").asInt() else 4
-        val rpb = if (s.has("rowsPerBand")) s.get("rowsPerBand").asInt() else 4
-        val maxBucket = if (s.has("maxBucket")) s.get("maxBucket").asInt() else 1 << 12
+        val id = knob("id").asText(); val text = knob("text").asText()
+        val numHashes = if (s.has("numHashes")) knob("numHashes").asInt() else 16
+        val bands = if (s.has("bands")) knob("bands").asInt() else 4
+        val rpb = if (s.has("rowsPerBand")) knob("rowsPerBand").asInt() else 4
+        val maxBucket = if (s.has("maxBucket")) knob("maxBucket").asInt() else 1 << 12
         // metric name derives from the stage name so two dedup_near stages
         // can feed one output (observed-metric names must be unique per query)
         p.stage(name, from)(graft.dedup.Dedup.keepCanonical(_, id, text,
@@ -225,23 +274,35 @@ object ConfigPipeline {
           metricName = s"${name}_lsh_bucket_guard"))
       case "dedup_best" =>
         p.stage(name, from)(graft.dedup.Dedup.exactKeepBest(_,
-          s.get("id").asText(), s.get("key").asText(), s.get("score").asText()))
+          knob("id").asText(), knob("key").asText(), knob("score").asText()))
       // the LSH index builder (write its output once; probe it every batch)
       case "band_keys" =>
-        val numHashes = if (s.has("numHashes")) s.get("numHashes").asInt() else 16
-        val bands = if (s.has("bands")) s.get("bands").asInt() else 4
-        val rpb = if (s.has("rowsPerBand")) s.get("rowsPerBand").asInt() else 4
+        val numHashes = if (s.has("numHashes")) knob("numHashes").asInt() else 16
+        val bands = if (s.has("bands")) knob("bands").asInt() else 4
+        val rpb = if (s.has("rowsPerBand")) knob("rowsPerBand").asInt() else 4
         p.stage(name, from)(graft.dedup.Dedup.bandKeysOf(_,
-          s.get("id").asText(), s.get("text").asText(), numHashes, bands, rpb))
+          knob("id").asText(), knob("text").asText(), numHashes, bands, rpb))
       // incremental near-dedup: probe this stage's docs against `index`
       // (a prior band_keys stage, or a table stage reading a stored index)
       case "neardup_incremental" =>
-        val index = p.output(s.get("index").asText())
-        val numHashes = if (s.has("numHashes")) s.get("numHashes").asInt() else 16
-        val bands = if (s.has("bands")) s.get("bands").asInt() else 4
-        val rpb = if (s.has("rowsPerBand")) s.get("rowsPerBand").asInt() else 4
+        val index = p.output(knob("index").asText())
+        val numHashes = if (s.has("numHashes")) knob("numHashes").asInt() else 16
+        val bands = if (s.has("bands")) knob("bands").asInt() else 4
+        val rpb = if (s.has("rowsPerBand")) knob("rowsPerBand").asInt() else 4
         p.stage(name, from)(graft.dedup.Dedup.incrementalNearDup(_,
-          s.get("id").asText(), s.get("text").asText(), index,
+          knob("id").asText(), knob("text").asText(), index,
+          numHashes, bands, rpb))
+      // index MAINTENANCE between generations: `from` = this generation's
+      // admitted docs (current text), `index` = the prior index stage,
+      // `retired` = a stage of ids to drop (snapshot_diff removed/changed)
+      case "index_delta" =>
+        val index = p.output(knob("index").asText())
+        val retired = p.output(knob("retired").asText())
+        val numHashes = if (s.has("numHashes")) knob("numHashes").asInt() else 16
+        val bands = if (s.has("bands")) knob("bands").asInt() else 4
+        val rpb = if (s.has("rowsPerBand")) knob("rowsPerBand").asInt() else 4
+        p.stage(name, from)(graft.dedup.Dedup.indexDelta(index, _,
+          knob("id").asText(), knob("text").asText(), retired,
           numHashes, bands, rpb))
       // benchmark decontamination: `bench` names a prior stage whose output
       // is the eval/benchmark table. method "exact" broadcasts the bench
@@ -249,19 +310,19 @@ object ConfigPipeline {
       // (sketch probe + exact verify — IDENTICAL output, knobs fpp /
       // expectedItems; see Dedup.decontaminateBloom)
       case "decontaminate" =>
-        val id = s.get("id").asText(); val text = s.get("text").asText()
-        val bench = p.output(s.get("bench").asText())
-        val benchText = if (s.has("benchText")) s.get("benchText").asText() else text
-        val k = if (s.has("k")) s.get("k").asInt() else 8
-        val minHits = if (s.has("minHits")) s.get("minHits").asInt() else 1
-        (if (s.has("method")) s.get("method").asText() else "exact") match {
+        val id = knob("id").asText(); val text = knob("text").asText()
+        val bench = p.output(knob("bench").asText())
+        val benchText = if (s.has("benchText")) knob("benchText").asText() else text
+        val k = if (s.has("k")) knob("k").asInt() else 8
+        val minHits = if (s.has("minHits")) knob("minHits").asInt() else 1
+        (if (s.has("method")) knob("method").asText() else "exact") match {
           case "exact" =>
             p.stage(name, from)(graft.dedup.Dedup.decontaminate(_,
               id, text, bench, benchText, k, minHits))
           case "bloom" =>
-            val fpp = if (s.has("fpp")) s.get("fpp").asDouble() else 0.01
+            val fpp = if (s.has("fpp")) knob("fpp").asDouble() else 0.01
             val expected =
-              if (s.has("expectedItems")) s.get("expectedItems").asLong() else -1L
+              if (s.has("expectedItems")) knob("expectedItems").asLong() else -1L
             p.stage(name, from)(graft.dedup.Dedup.decontaminateBloom(_,
               id, text, bench, benchText, k, minHits, fpp, expected))
           case other => sys.error(s"decontaminate: unknown method '$other'")
@@ -273,21 +334,21 @@ object ConfigPipeline {
         // are literals in the projection) — the `ann` ivfpq precedent, where
         // codebooks also train at build; keep configs purpose-scoped
         p.stage(name, from)(graft.operators.Sinks.zorderValue(_,
-          strs(s.get("cols")),
-          if (s.has("bits")) s.get("bits").asInt() else 8))
+          strs(knob("cols")),
+          if (s.has("bits")) knob("bits").asInt() else 8))
       case "corpus_shuffle" => // seeded global shuffle (adds shard, pos)
         p.stage(name, from)(graft.operators.Ops.corpusShuffle(_,
-          s.get("id").asText(), s.get("seed").asLong(),
-          s.get("shards").asInt()))
+          knob("id").asText(), knob("seed").asLong(),
+          knob("shards").asInt()))
       // STREAMING curation twins (stateful — need a stream_dir source;
       // drain with RunPipeline outputMode=update and compact the changelog
       // batches downstream, or append for dedup's finalized rows):
       case "stream_dedup" => // exact dedup within the watermark horizon
         p.stage(name, from)(graft.streaming.Streams.dedupStream(_,
-          s.get("ts").asText(), s.get("delay").asText(), strs(s.get("keys"))))
+          knob("ts").asText(), knob("delay").asText(), strs(knob("keys"))))
       case "stream_keepbest" => // per-key best + copies-seen changelog
         val (key, id, score) =
-          (s.get("key").asText(), s.get("id").asText(), s.get("score").asText())
+          (knob("key").asText(), knob("id").asText(), knob("score").asText())
         p.stage(name, from) { d =>
           import d.sparkSession.implicits._
           import org.apache.spark.sql.types._
@@ -307,108 +368,108 @@ object ConfigPipeline {
         }
       case "stream_repetition" => // per-doc n-gram repetition stats
         p.stage(name, from)(graft.streaming.Streams.repetitionStatsStream(_,
-          s.get("id").asText(), s.get("text").asText(), s.get("n").asInt()))
+          knob("id").asText(), knob("text").asText(), knob("n").asInt()))
       case "stream_neardup" => // LSH bucket changelog (constant-size state)
         p.stage(name, from)(graft.streaming.Streams.lshBucketsStream(_,
-          s.get("id").asText(), s.get("text").asText(),
-          numHashes = if (s.has("numHashes")) s.get("numHashes").asInt() else 16,
-          bands = if (s.has("bands")) s.get("bands").asInt() else 4,
-          rowsPerBand = if (s.has("rowsPerBand")) s.get("rowsPerBand").asInt() else 4))
+          knob("id").asText(), knob("text").asText(),
+          numHashes = if (s.has("numHashes")) knob("numHashes").asInt() else 16,
+          bands = if (s.has("bands")) knob("bands").asInt() else 4,
+          rowsPerBand = if (s.has("rowsPerBand")) knob("rowsPerBand").asInt() else 4))
       case "stream_spandedup" => // span-ownership changelog (3 longs/hash)
         p.stage(name, from)(graft.streaming.Streams.chunkOwnersStream(_,
-          s.get("id").asText(), s.get("text").asText(),
-          if (s.has("window")) s.get("window").asInt() else 64))
+          knob("id").asText(), knob("text").asText(),
+          if (s.has("window")) knob("window").asInt() else 64))
       case "span_dedup_clean" =>
         p.stage(name, from)(graft.dedup.Dedup.spanDedupClean(_,
-          s.get("id").asText(), s.get("text").asText(), s.get("window").asInt()))
+          knob("id").asText(), knob("text").asText(), knob("window").asInt()))
       case "boilerplate" =>
         p.stage(name, from)(graft.dedup.Dedup.boilerplateClean(_,
-          s.get("id").asText(), s.get("text").asText(), s.get("window").asInt(),
-          s.get("minDocFreq").asInt()))
+          knob("id").asText(), knob("text").asText(), knob("window").asInt(),
+          knob("minDocFreq").asInt()))
       case "histogram" =>
         p.stage(name, from)(graft.operators.Ops.histogram(_,
-          s.get("value").asText(), s.get("bins").asInt()))
+          knob("value").asText(), knob("bins").asInt()))
       // per-group quantiles; mode "approx" (the default here — the config
       // path is what a 100 TB user runs) bounds agg state by `accuracy`
       // via percentile_approx, mode "exact" is the oracle-grade form
       case "percentiles" =>
-        val ps = s.get("ps").elements().asScala
+        val ps = knob("ps").elements().asScala
           .map(e => (e.get("p").asDouble(), e.get("as").asText())).toSeq
         // validate the mode: a typo silently selecting EXACT mode would swap
         // bounded agg state for unbounded per-group maps at 100 TB
-        val approx = (if (s.has("mode")) s.get("mode").asText() else "approx") match {
+        val approx = (if (s.has("mode")) knob("mode").asText() else "approx") match {
           case "approx" => true
           case "exact"  => false
           case other    => sys.error(s"unknown percentiles mode '$other'")
         }
         p.stage(name, from)(graft.operators.Ops.percentiles(_,
-          strs(s.get("keys")), s.get("value").asText(), ps, approx = approx,
-          accuracy = if (s.has("accuracy")) s.get("accuracy").asInt() else 10000))
+          strs(knob("keys")), knob("value").asText(), ps, approx = approx,
+          accuracy = if (s.has("accuracy")) knob("accuracy").asInt() else 10000))
       // approximate distinct counts per group: method "kmv" (deterministic
       // k-minimum-values, oracle-able, knob k) or "hll" (HyperLogLog++,
       // knob rsd — the fixed-register 100 TB sketch)
       case "distinct_sketch" =>
-        val keys = strs(s.get("keys")); val v = s.get("value").asText()
-        (if (s.has("method")) s.get("method").asText() else "kmv") match {
+        val keys = strs(knob("keys")); val v = knob("value").asText()
+        (if (s.has("method")) knob("method").asText() else "kmv") match {
           case "kmv" =>
             p.stage(name, from)(graft.operators.Ops.approxDistinctKmv(_,
-              keys, v, if (s.has("k")) s.get("k").asInt() else 256))
+              keys, v, if (s.has("k")) knob("k").asInt() else 256))
           case "hll" =>
-            val rsd = if (s.has("rsd")) s.get("rsd").asDouble() else 0.05
+            val rsd = if (s.has("rsd")) knob("rsd").asDouble() else 0.05
             p.stage(name, from)(_.groupBy(keys.map(col): _*)
               .agg(approx_count_distinct(col(v), rsd).as("distinct_est")))
           case other => sys.error(s"unknown distinct_sketch method '$other'")
         }
       case "sample_per_group" =>
         p.stage(name, from)(graft.operators.Ops.sampleNPerGroup(_,
-          strs(s.get("keys")), s.get("id").asText(), s.get("n").asInt()))
+          strs(knob("keys")), knob("id").asText(), knob("n").asInt()))
       case "canonical_url" =>
         p.stage(name, from)(d => d.withColumn(
-          if (s.has("as")) s.get("as").asText() else "canon",
-          graft.functions.Text.canonicalUrl(col(s.get("url").asText()))))
+          if (s.has("as")) knob("as").asText() else "canon",
+          graft.functions.Text.canonicalUrl(col(knob("url").asText()))))
       case "lm_xent_bigram" =>
         p.stage(name, from)(graft.functions.Lm.bigramCrossEntropy(_,
-          s.get("id").asText(), s.get("text").asText()))
+          knob("id").asText(), knob("text").asText()))
       case "sessionize" =>
-        p.stage(name, from)(graft.operators.Ops.sessionize(_, strs(s.get("keys")),
-          s.get("ts").asText(), s.get("gap").asLong()))
+        p.stage(name, from)(graft.operators.Ops.sessionize(_, strs(knob("keys")),
+          knob("ts").asText(), knob("gap").asLong()))
       case "pack" =>
-        p.stage(name, from)(graft.operators.Ops.packByBudget(_, strs(s.get("keys")),
-          strs(s.get("order")), s.get("weight").asText(), s.get("budget").asLong()))
+        p.stage(name, from)(graft.operators.Ops.packByBudget(_, strs(knob("keys")),
+          strs(knob("order")), knob("weight").asText(), knob("budget").asLong()))
       case "split" =>
-        p.stage(name, from)(graft.operators.Ops.hashSplit(_, s.get("id").asText(),
-          s.get("trainPct").asInt()))
+        p.stage(name, from)(graft.operators.Ops.hashSplit(_, knob("id").asText(),
+          knob("trainPct").asInt()))
       case "flatten" => // TreeHorn traversal from config: GO DOWN UNTIL HAS KEY
         p.stage(name, from)(graft.json.TreeWalk.flattenAtKey(_,
-          s.get("key").asText(), s.get("label").asText(),
-          keep = if (s.has("keep")) strs(s.get("keep")) else Nil))
+          knob("key").asText(), knob("label").asText(),
+          keep = if (s.has("keep")) strs(knob("keep")) else Nil))
       case "langid" =>
-        p.stage(name, from)(d => d.select(col(s.get("id").asText()),
-          graft.functions.Text.langId(col(s.get("text").asText())).as("lang_pred")))
+        p.stage(name, from)(d => d.select(col(knob("id").asText()),
+          graft.functions.Text.langId(col(knob("text").asText())).as("lang_pred")))
       case "fingerprint" =>
-        p.stage(name, from)(d => d.select(col(s.get("id").asText()),
-          graft.functions.Text.fingerprint(col(s.get("text").asText())).as("fp")))
+        p.stage(name, from)(d => d.select(col(knob("id").asText()),
+          graft.functions.Text.fingerprint(col(knob("text").asText())).as("fp")))
       case "repetition" =>
         p.stage(name, from)(graft.functions.Text.repetitionStats(_,
-          s.get("id").asText(), s.get("text").asText(), s.get("n").asInt()))
+          knob("id").asText(), knob("text").asText(), knob("n").asInt()))
       case "span_dedup" =>
         p.stage(name, from)(graft.dedup.Dedup.spanDedup(_,
-          s.get("id").asText(), s.get("text").asText(), s.get("window").asInt()))
+          knob("id").asText(), knob("text").asText(), knob("window").asInt()))
       case "mixture" =>
-        val w = s.get("weights").fields().asScala
+        val w = knob("weights").fields().asScala
           .map(e => e.getKey -> e.getValue.asInt()).toMap
         p.stage(name, from)(graft.operators.Ops.resampleMixture(_,
-          s.get("id").asText(), s.get("group").asText(), w))
+          knob("id").asText(), knob("group").asText(), w))
       // token-budget selection: absolute per-group token targets. method
       // "exact" fills budgets in md5(id) order (one window shuffle);
       // "rate" is the zero-shuffle md5-bucket approximation for groups too
       // large for a per-group sort (budget hit in expectation)
       case "token_budget" =>
-        val b = s.get("budgets").fields().asScala
+        val b = knob("budgets").fields().asScala
           .map(e => e.getKey -> e.getValue.asLong()).toMap
-        val id = s.get("id").asText(); val group = s.get("group").asText()
-        val text = s.get("text").asText()
-        (if (s.has("method")) s.get("method").asText() else "exact") match {
+        val id = knob("id").asText(); val group = knob("group").asText()
+        val text = knob("text").asText()
+        (if (s.has("method")) knob("method").asText() else "exact") match {
           case "exact" =>
             p.stage(name, from)(graft.operators.Ops.tokenBudgetSample(_,
               id, group, text, b))
@@ -421,57 +482,57 @@ object ConfigPipeline {
       // previous snapshot; output rows carry status added/removed/changed/
       // unchanged (downstream incremental curation filters on it)
       case "snapshot_diff" =>
-        val old = p.output(s.get("old").asText())
+        val old = p.output(knob("old").asText())
         p.stage(name, from)(graft.operators.Ops.snapshotDiff(old, _,
-          s.get("id").asText(), s.get("text").asText()))
+          knob("id").asText(), knob("text").asText()))
       case "tfidf" =>
         p.stage(name, from)(graft.similarity.Search.tfIdfKeywords(_,
-          s.get("id").asText(), s.get("text").asText(), s.get("m").asInt()))
+          knob("id").asText(), knob("text").asText(), knob("m").asInt()))
       case "chunk" =>
         p.stage(name, from)(graft.functions.Text.chunk(_,
-          s.get("id").asText(), s.get("text").asText(),
-          s.get("size").asInt(), s.get("stride").asInt()))
+          knob("id").asText(), knob("text").asText(),
+          knob("size").asInt(), knob("stride").asInt()))
       case "lm_xent" =>
         p.stage(name, from)(graft.functions.Lm.unigramCrossEntropy(_,
-          s.get("id").asText(), s.get("text").asText()))
+          knob("id").asText(), knob("text").asText()))
       case "dsir" => // target subcorpus picked by a SQL predicate
         p.stage(name, from)(graft.functions.Lm.importanceWeights(_,
-          s.get("id").asText(), s.get("text").asText(), expr(s.get("target").asText())))
+          knob("id").asText(), knob("text").asText(), expr(knob("target").asText())))
       case "inverted_index" =>
         p.stage(name, from)(graft.similarity.Search.invertedIndex(_,
-          s.get("id").asText(), s.get("text").asText(),
-          if (s.has("maxPostings")) s.get("maxPostings").asLong() else Long.MaxValue))
+          knob("id").asText(), knob("text").asText(),
+          if (s.has("maxPostings")) knob("maxPostings").asLong() else Long.MaxValue))
       case "pagerank" =>
         p.stage(name, from)(graft.graph.Graph.pageRank(_,
-          if (s.has("iters")) s.get("iters").asInt() else 5))
+          if (s.has("iters")) knob("iters").asInt() else 5))
       case "degrees" =>
         p.stage(name, from)(graft.graph.Graph.degrees(_))
       // ANN from config (G6/G7/G35 reachable by a config-driven user):
       // from[2] = [queries stage, corpus stage], both carrying (id, vec)
       case "ann" =>
-        val Seq(qs, cs) = strs(s.get("from"))
-        val id = s.get("id").asText(); val vec = s.get("vec").asText()
-        val k = s.get("k").asInt()
-        def knob(n: String, d: Int) = if (s.has(n)) s.get(n).asInt() else d
-        (if (s.has("method")) s.get("method").asText() else "brute") match {
+        val Seq(qs, cs) = strs(knob("from"))
+        val id = knob("id").asText(); val vec = knob("vec").asText()
+        val k = knob("k").asInt()
+        def intKnob(n: String, d: Int) = if (s.has(n)) knob(n).asInt() else d
+        (if (s.has("method")) knob("method").asText() else "brute") match {
           case "brute" =>
             p.fanIn(name, Seq(qs, cs))(dfs =>
               graft.similarity.Ann.bruteForceTopK(dfs(0), dfs(1), id, vec, k))
           case "ivf" =>
             p.fanIn(name, Seq(qs, cs))(dfs =>
               graft.similarity.Ann.ivfTopK(dfs(0), dfs(1), id, vec, k,
-                nlist = knob("nlist", 64), nprobe = knob("nprobe", 8)))
+                nlist = intKnob("nlist", 64), nprobe = intKnob("nprobe", 8)))
           case "lsh" =>
             p.fanIn(name, Seq(qs, cs))(dfs =>
               graft.similarity.Ann.lshTopK(dfs(0), dfs(1), id, vec, k,
-                dim = s.get("dim").asInt(), numPlanes = knob("numPlanes", 8),
-                bands = knob("bands", 2)))
+                dim = knob("dim").asInt(), numPlanes = intKnob("numPlanes", 8),
+                bands = intKnob("bands", 2)))
           // FAISS-IVFPQ: codebooks train at stage-BUILD time (model-sized
           // driver state, like the weights a classifier stage loads); set
           // "rerank" to re-order an mShort shortlist with exact distances
           case "ivfpq" =>
-            val dim = s.get("dim").asInt()
-            val rerank = s.has("rerank") && s.get("rerank").asBoolean()
+            val dim = knob("dim").asInt()
+            val rerank = s.has("rerank") && knob("rerank").asBoolean()
             // mShort is the RERANK shortlist size; without a rerank stage it
             // would silently replace k (20 rows back when 5 were asked for)
             require(rerank || !s.has("mShort"),
@@ -479,11 +540,11 @@ object ConfigPipeline {
                 "\"rerank\": true or drop mShort")
             p.fanIn(name, Seq(qs, cs)) { dfs =>
               val cbs = graft.similarity.Pq.trainCodebooks(dfs(1), id, vec,
-                dim = dim, m = knob("m", 4), k = knob("codebookK", 16),
-                rounds = knob("rounds", 2))
+                dim = dim, m = intKnob("m", 4), k = intKnob("codebookK", 16),
+                rounds = intKnob("rounds", 2))
               val routed = graft.similarity.Pq.ivfAdcTopK(dfs(0), dfs(1), id, vec,
-                cbs, if (rerank) knob("mShort", k) else k,
-                nlist = knob("nlist", 64), nprobe = knob("nprobe", 8))
+                cbs, if (rerank) intKnob("mShort", k) else k,
+                nlist = intKnob("nlist", 64), nprobe = intKnob("nprobe", 8))
               if (rerank)
                 graft.similarity.Pq.rerank(routed, dfs(0), dfs(1), id, vec, k)
               else routed
@@ -491,14 +552,15 @@ object ConfigPipeline {
           case other => sys.error(s"unknown ann method '$other'")
         }
       case "quality_classifier" => // weights from a named pipeline stage
-        val weights = p.output(s.get("weights").asText())
+        val weights = p.output(knob("weights").asText())
         p.stage(name, from)(d => graft.functions.Lm.linearScore(
           graft.functions.Lm.hashedFeatures(d,
-            s.get("id").asText(), s.get("text").asText(), s.get("dim").asInt()),
+            knob("id").asText(), knob("text").asText(), knob("dim").asInt()),
           weights,
-          if (s.has("bias")) new java.math.BigDecimal(s.get("bias").asText())
+          if (s.has("bias")) new java.math.BigDecimal(knob("bias").asText())
           else java.math.BigDecimal.ZERO))
-      case other => sys.error(s"unknown op '$other' in stage '$name'")
+      case other => sys.error(
+        s"unknown op '$other' — valid ops: ${validOps.mkString(", ")}")
     }
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Vectors
+import graft.Checkpoints.PinSyntax
 
 /** Distributed k-means over an embedding column — the clustering step of a
   * training-data curation pipeline (topic balancing, cluster-based dedup,
@@ -149,7 +150,7 @@ object Clustering {
         "vec", cents, scale)
       .withColumn("nrm", Vectors.fnorm(col("vec")))
       .select("id", "vec", "nrm", "cluster")
-      .localCheckpoint(true)
+      .pinned()
     // alias both sides: a cluster self-join on one lineage degenerates to
     // a trivially-true predicate (see Ops.intervalJoin)
     val a = assigned.select(col("cluster").as("__c"), col("id").as("id_a"),

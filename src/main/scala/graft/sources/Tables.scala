@@ -22,20 +22,33 @@ object Tables {
       case n        => spark.read.parquet(s"$dir/$n.parquet")
     }
 
-  /** The `events` table carries a TIMESTAMP(NANOS) parquet column, which the
-    * Spark parquet reader rejects outright. Public escape hatch: read nanos
-    * as raw int64 (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a
-    * microsecond timestamp (integer division — exactly what DuckDB does when
-    * it truncates nanos, so oracle comparisons agree).
+  /** The `events` table's `ts` column has shipped in two parquet encodings:
+    * TIMESTAMP(NANOS) (which the Spark vectorized reader rejects outright)
+    * and plain TIMESTAMP(MICROS). Normalize both to the same surface the
+    * rest of graft consumes: `ts_ns` as an epoch-nanos BIGINT and `ts` as a
+    * microsecond TIMESTAMP (session TZ is UTC, so `unix_micros` agrees with
+    * DuckDB's `epoch_us` on the naive parquet value).
+    *
+    *  - NANOS files: public escape hatch `spark.sql.legacy.parquet
+    *    .nanosAsLong` reads the raw int64; micros = `ts_ns div 1000`
+    *    (integer `div`, NOT `/`: epoch-nanos ~1.7e18 exceed 2^53, a double
+    *    round-trip would corrupt the value) — exactly DuckDB's truncation.
+    *  - MICROS files: `ts` arrives as TIMESTAMP_NTZ (no UTC adjustment
+    *    flag); cast to TIMESTAMP under the UTC session zone, nanos =
+    *    micros × 1000.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts_ns", col("ts"))
-      // integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed 2^53, so a
-      // double-division round-trip would corrupt the microsecond value.
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        val tsUtc = col("ts").cast(org.apache.spark.sql.types.TimestampType)
+        raw.withColumn("ts_ns", unix_micros(tsUtc) * lit(1000L))
+          .withColumn("ts", tsUtc)
+    }
   }
 
   /** Register every table as a temp view so `spark.sql` pipelines can run. */

@@ -431,7 +431,8 @@ class MtlConfigSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("must be integral"))
     // mShort without rerank would silently return mShort rows, not k
-    val e2 = intercept[IllegalArgumentException] {
+    // (eager check → fromJson wraps it with the stage index/name context)
+    val e2 = intercept[RuntimeException] {
       ConfigPipeline.fromJson(spark,
         s"""{"stages": [
            | {"name": "c", "op": "parquet",
@@ -591,6 +592,52 @@ class MtlConfigSpec extends SparkSpec {
     val deltaN = cfg.output("delta").count()
     assert(verdicts.size == deltaN) // every delta doc gets a verdict
     assert(cfg.output("idx").columns.toSeq == Seq("id", "band", "band_key"))
+  }
+
+  test("ConfigPipeline runs index_delta maintenance from config") {
+    val cfg = ConfigPipeline.fromJson(spark,
+      """{"stages": [
+        | {"name": "docs", "op": "table", "dir": "/root/testdata/sf0.001", "table": "documents"},
+        | {"name": "corpus", "op": "filter", "from": "docs", "expr": "doc_id % 5 <> 0"},
+        | {"name": "admitted", "op": "filter", "from": "docs", "expr": "doc_id % 5 = 0"},
+        | {"name": "gone", "op": "filter", "from": "docs", "expr": "doc_id % 3 = 0"},
+        | {"name": "retired", "op": "select", "from": "gone", "exprs": ["doc_id AS id"]},
+        | {"name": "idx", "op": "band_keys", "from": "corpus", "id": "doc_id", "text": "text"},
+        | {"name": "next", "op": "index_delta", "from": "admitted",
+        |  "index": "idx", "retired": "retired", "id": "doc_id", "text": "text"}
+        |]}""".stripMargin)
+    val next = cfg.output("next")
+    assert(next.columns.toSeq == Seq("id", "band", "band_key"))
+    // retired ids are gone from the carried-over index; admitted ids appear
+    val ids = next.select("id").distinct().as[Long].collect().toSet
+    assert(ids.exists(_ % 5 == 0))
+    assert(!ids.exists(i => i % 3 == 0 && i % 5 != 0))
+  }
+
+  test("ConfigPipeline diagnostics name the stage index and valid ops") {
+    // misspelled op → stage index + name + the valid-op list
+    val badOp = intercept[RuntimeException] {
+      ConfigPipeline.fromJson(spark,
+        """{"stages": [
+          | {"name": "docs", "op": "table", "dir": "/root/testdata/sf0.001", "table": "documents"},
+          | {"name": "f", "op": "fliter", "from": "docs", "expr": "true"}
+          |]}""".stripMargin)
+    }.getMessage
+    assert(badOp.contains("stage #1 'f' (op 'fliter')"))
+    assert(badOp.contains("unknown op 'fliter'") &&
+      badOp.contains("filter") && badOp.contains("valid ops"))
+    // missing knob → stage context + the knob's name. Most knob reads sit
+    // inside deferred stage lambdas, so force the build with output() —
+    // the context must survive the deferral.
+    val badKnob = intercept[RuntimeException] {
+      ConfigPipeline.fromJson(spark,
+        """{"stages": [
+          | {"name": "docs", "op": "table", "dir": "/root/testdata/sf0.001", "table": "documents"},
+          | {"name": "f", "op": "filter", "from": "docs"}
+          |]}""".stripMargin).output("f")
+    }.getMessage
+    assert(badKnob.contains("stage #1 'f' (op 'filter')"))
+    assert(badKnob.contains("missing required knob 'expr'"))
   }
 
   test("intervalJoinBucketed matches plain intervalJoin results") {

@@ -658,6 +658,105 @@ class TextDedupSpec extends SparkSpec {
     assert(seg.values.forall(s => !s.contains("  ")))
   }
 
+  // Pins the intermediate cardinalities of the q_incremental_pipeline
+  // flagship at sf0.001: the final result is a SINGLE row, which looks like
+  // over-filtering until the stages are counted — the documents table is
+  // dup-heavy by design, so ~98% of the fresh (added ∪ changed) docs probe
+  // as near-dups of the unchanged corpus, and of the two survivors only one
+  // is in a budgeted language. Every count here is deterministic (md5-based
+  // diff/probe, no RNG), so exact equality is the right assertion.
+  test("incremental pipeline stages have the expected cardinalities") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val old = d.filter(col("doc_id") % 11 =!= 3)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v1"))).otherwise(col("text")))
+    val diff = graft.operators.Ops.snapshotDiff(old, d, "doc_id", "text").cache()
+    val byStatus = diff.groupBy("status").count()
+      .as[(String, Long)].collect().toMap
+    // new ⊇ old ids, so `removed` must be absent; added = ids the old
+    // snapshot dropped (%11=3), changed = perturbed texts (%7=0 minus the
+    // dropped ids)
+    assert(byStatus == Map("added" -> 46L, "changed" -> 65L, "unchanged" -> 389L))
+    assert(byStatus.getOrElse("added", 0L) ==
+      d.filter(col("doc_id") % 11 === 3).count())
+
+    val fresh = d.join(diff.filter(col("status").isin("added", "changed"))
+      .select("id"), col("doc_id") === col("id"), "left_semi")
+    val corpus = d.join(diff.filter(col("status") === "unchanged")
+      .select("id"), col("doc_id") === col("id"), "left_semi")
+    val index = Dedup.bandKeysOf(corpus, "doc_id", "text", 16, 4, 4)
+    val probed = Dedup.incrementalNearDup(fresh, "doc_id", "text", index, 16, 4, 4)
+      .cache()
+    val dupCount = probed.filter(col("dup_of_corpus")).count()
+    assert(probed.count() == 111L) // = added + changed
+    assert(dupCount == 109L) // the dup-heavy regime: only 2 genuinely new docs
+
+    val keep = fresh.join(probed.filter(!col("dup_of_corpus"))
+      .select("id"), col("doc_id") === col("id"), "left_semi")
+    val keptLangs = keep.select("lang").as[String].collect().toSeq.sorted
+    assert(keptLangs == Seq("en", "fr")) // fr is unbudgeted → dropped below
+    val sel = graft.operators.Ops.tokenBudgetSample(keep, "doc_id", "lang",
+      "text", Map("en" -> 1500L, "zh" -> 500L, "es" -> 400L))
+      .as[(Long, String, Long)].collect()
+    assert(sel.length == 1 && sel.head._2 == "en")
+    // the one kept doc is far under budget → kept in full, not truncated
+    assert(sel.head._3 < 1500L)
+    diff.unpersist(); probed.unpersist()
+  }
+
+  // The index-maintenance identity (VERDICT r6 task 2): drive TWO snapshot
+  // generations through the incremental loop and assert the maintained
+  // index (retire removed∪changed, append added∪changed) is row-for-row the
+  // from-scratch index of the new snapshot — hence probe verdicts from the
+  // two indexes are identical on a third batch.
+  test("indexDelta maintains the LSH index across snapshot generations") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    // generation A: drop %11=3 docs, perturb %7=0 texts; generation B: all
+    // docs as shipped — so A→B has added (%11=3), changed (%7=0 survivors),
+    // and B→A (run the diff the other way) exercises `removed` too.
+    val genA = d.filter(col("doc_id") % 11 =!= 3)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v1"))).otherwise(col("text")))
+    val genB = d
+    val diff = graft.operators.Ops.snapshotDiff(genA, genB, "doc_id", "text")
+      .cache()
+
+    val indexA = Dedup.bandKeysOf(genA, "doc_id", "text")
+    val retired = diff.filter(col("status").isin("removed", "changed"))
+      .select("id")
+    val admitted = genB.join(
+      diff.filter(col("status").isin("added", "changed")).select("id"),
+      col("doc_id") === col("id"), "left_semi")
+    val maintained = Dedup.indexDelta(indexA, admitted, "doc_id", "text",
+      retired)
+    val rebuilt = Dedup.bandKeysOf(genB, "doc_id", "text")
+    assert(maintained.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(maintained).isEmpty)
+
+    // removed-status retirement: diff B→A marks the %11=3 docs removed;
+    // retiring them from indexB (and appending A's changed docs) must
+    // reproduce indexA exactly.
+    val diffBA = graft.operators.Ops.snapshotDiff(genB, genA, "doc_id", "text")
+    val retiredBA = diffBA.filter(col("status").isin("removed", "changed"))
+      .select("id")
+    val admittedBA = genA.join(
+      diffBA.filter(col("status").isin("added", "changed")).select("id"),
+      col("doc_id") === col("id"), "left_semi")
+    val maintainedA = Dedup.indexDelta(
+      Dedup.bandKeysOf(genB, "doc_id", "text"), admittedBA, "doc_id", "text",
+      retiredBA)
+    assert(maintainedA.exceptAll(indexA).isEmpty &&
+      indexA.exceptAll(maintainedA).isEmpty)
+
+    // and the downstream claim: probe verdicts agree on a fresh batch
+    val batch = d.filter(col("doc_id") % 13 === 5)
+      .withColumn("text", concat(col("text"), lit(" tail")))
+    val vm = Dedup.incrementalNearDup(batch, "doc_id", "text", maintained)
+    val vr = Dedup.incrementalNearDup(batch, "doc_id", "text", rebuilt)
+    assert(vm.exceptAll(vr).isEmpty && vr.exceptAll(vm).isEmpty)
+    diff.unpersist()
+  }
+
   test("Vectors dot/norm/cosine are exact on simple cases") {
     val df = Seq((Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
     val (d, n, c) = df.select(
