@@ -61,13 +61,18 @@ object ScaleBench {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val work = args.lift(2).getOrElse("/tmp/graft_scale")
+    // optional comma-separated measurement filter (4th arg) so the long
+    // decades (30x/100x) can target just the flagships under study
+    // instead of re-paying the full sweep
+    val only = args.lift(3).map(_.split(",").map(_.trim).toSet)
+    def want(n: String): Boolean = only.forall(_.contains(n))
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("ERROR")
 
     val big = synth(spark, base, factor, work)
     println(s"[scalebench] synthesized $big")
 
-    def time(name: String, dir: String)(mk: => DataFrame): Unit = {
+    def time(name: String, dir: String)(mk: => DataFrame): Unit = if (want(name)) {
       val ts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val n = mk.count()
@@ -87,7 +92,8 @@ object ScaleBench {
     // (amortized cost), a 10% delta then probes the STORED index — the
     // recurring cost — vs re-running the full near-dup pipeline over
     // corpus ∪ delta, which is what a non-incremental stack pays per batch.
-    for (dir <- Seq(base, big)) {
+    for (dir <- Seq(base, big)
+         if want("neardup_incremental_probe") || want("neardup_full_rededup")) {
       val docs = Tables.load(spark, dir, "documents")
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       val delta = docs.filter(col("doc_id") % 10 === 0)

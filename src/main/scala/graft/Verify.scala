@@ -10,8 +10,13 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — used by the
+    // multi-executor CI pass (`local-cluster[2,16,4096]` via spark-submit)
+    // that catches executor-side serialization and broadcast-lifecycle
+    // bugs local[N] cannot (separate executor JVMs, real RPC).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
