@@ -979,6 +979,12 @@ object SparkEntry {
       Ops.resampleMixture(T(s, dir, "documents"), "doc_id", "lang",
           Map("en" -> 50, "zh" -> 30, "es" -> 20))
         .select("doc_id", "lang")),
+    // temperature mixing: group quotas ∝ sqrt(n_lang) (α=0.5, the
+    // multilingual low-resource-upweighting rule); kept docs are the first
+    // quota in each group's (md5(id), id) permutation
+    "q_temperature_sample" -> ((s, dir) =>
+      Ops.temperatureSample(T(s, dir, "documents"), "doc_id", "lang",
+        total = 300L, alpha = 0.5)),
     // token-budget selection: fill each language's TOKEN target in md5(id)
     // order; budgets are below each group's sf0.01 volume so every group
     // truncates (the crossing doc is the last kept)
@@ -1441,6 +1447,25 @@ object SparkEntry {
       Dedup.incrementalNearDup(d.filter(col("doc_id") % 13 === 5),
         "doc_id", "text", index, 16, 4, 4)
     }),
+    // LSH-index maintenance (G40): one generation step of the daily-crawl
+    // loop — retire removed/changed ids from the gen-A index, append the
+    // admitted docs' band keys. The ORACLE rebuilds the gen-B index from
+    // scratch in SQL: maintained ≡ rebuilt is the maintenance identity,
+    // checked independently per row rather than assumed.
+    "q_index_delta" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val genA = d.filter(col("doc_id") % 11 =!= 3)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v1"))).otherwise(col("text")))
+      val diff = graft.operators.Ops.snapshotDiff(genA, d, "doc_id", "text")
+      val retired = diff.filter(col("status").isin("removed", "changed"))
+        .select("id")
+      val admitted = d.join(
+        diff.filter(col("status").isin("added", "changed")).select("id"),
+        col("doc_id") === col("id"), "left_semi")
+      Dedup.indexDelta(Dedup.bandKeysOf(genA, "doc_id", "text", 16, 4, 4),
+        admitted, "doc_id", "text", retired, 16, 4, 4)
+    }),
     "q_cosine_neardup" -> ((s, dir) =>
       Dedup.cosineNearDup(
         T(s, dir, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding", 0.2)),
@@ -1804,6 +1829,26 @@ object SparkEntry {
        |hit AS (SELECT DISTINCT fb.doc_id FROM fb JOIN cb USING (band, band_key))
        |SELECT f.doc_id AS id, (h.doc_id IS NOT NULL) AS dup_of_corpus
        |FROM fresh f LEFT JOIN hit h ON f.doc_id = h.doc_id""".stripMargin
+  }
+
+  /** DuckDB mirror of the LSH-index MAINTENANCE identity (q_index_delta):
+    * the Spark side computes the maintained index (retire removed/changed,
+    * append admitted) from the gen-A index; the oracle computes the gen-B
+    * index FROM SCRATCH — the same minhash(16) → 4-band md5 keys as
+    * [[lshPairsOracle]] over the full `documents` table. Equality of the
+    * two is `Dedup.indexDelta`'s contract, so the oracle checks the
+    * maintenance algebra itself, not a replay of the same arithmetic.
+    */
+  private val indexDeltaOracle: String = {
+    val mins = (0 until 16).map(s => s"MIN(md5('$s:' || tok)) AS h$s").mkString(", ")
+    val bandKey = (0 until 4).map { b =>
+      val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
+      s"WHEN ${b} THEN md5($cols)"
+    }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents),
+       |s AS (SELECT doc_id, $mins FROM t GROUP BY doc_id)
+       |SELECT doc_id AS id, b.band, CASE b.band $bandKey END AS band_key
+       |FROM s, (SELECT unnest([0, 1, 2, 3]) AS band) b""".stripMargin
   }
 
   /** DuckDB mirror of the r6 incremental-curation flagship
@@ -2433,6 +2478,19 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 <
         |  CASE WHEN lang = 'zh' THEN 1000 WHEN lang = 'en' THEN 100 ELSE 500 END""".stripMargin,
+    // α=0.5 so the per-group weight is sqrt(n) — IEEE-correctly-rounded in
+    // both engines (pow is not); the k-term z sum is ordered by grp on both
+    // sides, so every double matches bit-for-bit
+    "q_temperature_sample" ->
+      """WITH c AS (SELECT lang AS grp, COUNT(*) AS n FROM documents GROUP BY 1),
+        |z AS (SELECT SUM(sqrt(n) ORDER BY grp) AS z FROM c),
+        |q AS (SELECT grp, LEAST(n, CAST(ROUND(300 * sqrt(n) / z) AS BIGINT)) AS quota
+        |      FROM c, z),
+        |r AS (SELECT doc_id AS id, lang AS grp,
+        |      ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM documents)
+        |SELECT r.id, r.grp FROM r JOIN q USING (grp) WHERE rk <= quota""".stripMargin,
     "q_token_budget" ->
       s"""WITH c AS (SELECT doc_id AS id, lang AS grp,
          |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
@@ -2832,6 +2890,7 @@ object SparkEntry {
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_lsh_pairs" -> lshPairsOracle,
     "q_incremental_neardup" -> incrementalNearDupOracle,
+    "q_index_delta" -> indexDeltaOracle,
     "q_stream_incneardup" -> incrementalNearDupOracle,
     "q_incremental_pipeline" -> incrementalPipelineOracle,
     "q_stream_neardup" -> streamNearDupOracle,

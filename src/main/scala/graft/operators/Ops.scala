@@ -421,6 +421,62 @@ object Ops {
     df.filter(bucket < rate)
   }
 
+  /** Temperature-based mixture sampling — the multilingual-corpus mixing
+    * rule (mT5/T5-style α-sampling): group g's share of the `total`-doc
+    * output is proportional to n_g^α, so α=1 preserves natural proportions
+    * and α→0 approaches uniform-over-groups — the standard lever for
+    * keeping low-resource languages represented without letting the head
+    * language drown them. [[resampleMixture]] takes EXPLICIT ratios; this
+    * derives them from the data with one knob.
+    *
+    * quota_g = min(n_g, round(total · n_g^α / Σ n^α)) — downsample-only
+    * (a group smaller than its quota keeps everything; upsampling is a
+    * repeat-read at training time, not a data-selection concern). The
+    * row-level decision is a per-group (md5(id), id)-order row_number ≤
+    * quota — the same deterministic permutation as [[tokenBudgetSample]],
+    * so the kept set is identical on every engine, run, and partitioning.
+    *
+    * Determinism across engines: the only floating arithmetic is
+    * driver-side on the GROUP-CARDINALITY table — n^α, a k-term sum in
+    * sorted-group order, one multiply, one divide — and for α=0.5 (the
+    * oracled operating point: sqrt is IEEE-correctly-rounded everywhere,
+    * `pow` is not) DuckDB reproduces every double bit-for-bit with
+    * `SUM(sqrt(n) ORDER BY grp)`. Row-side there is no floating point at
+    * all.
+    *
+    * Scale shape: one count aggregate (group-cardinality rows to the
+    * driver, model-sized), then one hash shuffle on the group for the
+    * rank window — (id, group) only, text never shuffles. The same
+    * degenerate-group caveat as [[tokenBudgetSample]] applies (a single
+    * group's rank sort runs in one spill-backed task; pre-thin with
+    * [[stratifiedSample]] if one group is corpus-sized).
+    *
+    * Output: (id, grp) for the kept documents.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+                        total: Long, alpha: Double = 0.5): DataFrame = {
+    require(total > 0L, s"total must be positive, got $total")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(groupCol).cast(StringType).as("g"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    require(counts.nonEmpty, "temperatureSample on an empty frame")
+    val ws = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }
+    val z = ws.sum // sorted-group order — the oracle sums in the same order
+    val quotas: Map[String, Long] = counts.zip(ws).map { case ((g, n), w) =>
+      g -> math.min(n, math.round(total * w / z))
+    }.toMap
+    val quota = counts.map(_._1).foldLeft(lit(0L)) { (acc, g) =>
+      when(col(groupCol) === g, lit(quotas(g))).otherwise(acc)
+    }
+    val w = Window.partitionBy("grp")
+      .orderBy(md5(col("id").cast(StringType)), col("id"))
+    df.select(col(idCol).as("id"), col(groupCol).as("grp"), quota.as("__q"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__q"))
+      .select(col("id"), col("grp"))
+  }
+
   /** Token-budget mixture selection — the data-recipe step stated in
     * TOKENS, not rows ("300B tokens of web, 30B of code"): per group, walk
     * the documents in md5(id) order (a deterministic per-group permutation

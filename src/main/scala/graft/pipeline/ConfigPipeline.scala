@@ -43,7 +43,8 @@ import graft.sources.Tables
   * `boilerplate` (id/text/window/minDocFreq — drop over-common chunks
   * from every doc)/
   * `chunk`/`lm_xent`/`lm_xent_bigram`/`dsir`/`tfidf`/`inverted_index`
-  * (id/text...), `mixture` (id/group/weights), `pagerank`/`degrees`
+  * (id/text...), `mixture` (id/group/weights), `temperature_sample`
+  * (id/group/total[, alpha=0.5] — quotas ∝ n^α), `pagerank`/`degrees`
   * (edge frames), `quality_classifier` (id/text/dim + a weights stage),
   * `histogram` (value/bins), `sample_per_group` (keys/id/n),
   * `canonical_url` (url[, as]), `percentiles` (keys/value/ps[{p,as}] —
@@ -136,9 +137,9 @@ object ConfigPipeline {
     "repetition", "sample", "sample_per_group", "select", "sessionize",
     "snapshot_diff", "span_dedup", "span_dedup_clean", "split",
     "stream_dedup", "stream_dir", "stream_keepbest", "stream_neardup",
-    "stream_repetition", "stream_spandedup", "table", "tfidf",
-    "time_window", "token_budget", "union", "watermark", "withColumn",
-    "zorder")
+    "stream_repetition", "stream_spandedup", "table", "temperature_sample",
+    "tfidf", "time_window", "token_budget", "union", "watermark",
+    "withColumn", "zorder")
 
   private def strs(n: JsonNode): Seq[String] =
     n.elements().asScala.map(_.asText()).toSeq
@@ -460,6 +461,13 @@ object ConfigPipeline {
           .map(e => e.getKey -> e.getValue.asInt()).toMap
         p.stage(name, from)(graft.operators.Ops.resampleMixture(_,
           knob("id").asText(), knob("group").asText(), w))
+      // temperature (α) sampling: quotas ∝ n_group^alpha, derived from the
+      // data instead of explicit weights — the multilingual mixing rule
+      case "temperature_sample" =>
+        val alpha = if (s.has("alpha")) knob("alpha").asDouble() else 0.5
+        p.stage(name, from)(graft.operators.Ops.temperatureSample(_,
+          knob("id").asText(), knob("group").asText(),
+          knob("total").asLong(), alpha))
       // token-budget selection: absolute per-group token targets. method
       // "exact" fills budgets in md5(id) order (one window shuffle);
       // "rate" is the zero-shuffle md5-bucket approximation for groups too

@@ -323,6 +323,28 @@ class OpsSpec extends SparkSpec {
     assert(dropped.filter(col("g") === "a").count() == 0)
   }
 
+  test("temperatureSample quotas follow n^alpha and cap at group size") {
+    // groups: a=900 rows, b=100 rows. α=0.5 → weights 30:10, z=40;
+    // total=400 → quota_a = round(400·30/40) = 300, quota_b =
+    // min(100, round(400·10/40)) = 100 (capped at the group size)
+    val df = (1L to 900L).map(i => (i, "a")).++((1L to 100L).map(i => (i + 10000L, "b")))
+      .toDF("id", "g")
+    val got = Ops.temperatureSample(df, "id", "g", total = 400L, alpha = 0.5)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 300L, "b" -> 100L))
+    // α=1 preserves natural proportions exactly: quotas 360/40
+    val nat = Ops.temperatureSample(df, "id", "g", total = 400L, alpha = 1.0)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(nat == Map("a" -> 360L, "b" -> 40L))
+    // deterministic: identical survivors on a re-run, and the kept set is
+    // the md5-order PREFIX (re-running with a smaller total nests inside)
+    val big = Ops.temperatureSample(df, "id", "g", 400L).select("id")
+      .as[Long].collect().toSet
+    val small = Ops.temperatureSample(df, "id", "g", 100L).select("id")
+      .as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
   test("tokenBudgetSample fills each budget in md5 order and stops past it") {
     // group a: 10 docs x 5 tokens = 50; budget 23 → kept docs' PRIOR
     // cumulative < 23: 5 docs (priors 0,5,10,15,20 — the 5th crosses)
