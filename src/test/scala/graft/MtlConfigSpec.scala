@@ -640,6 +640,21 @@ class MtlConfigSpec extends SparkSpec {
     assert(badKnob.contains("missing required knob 'expr'"))
   }
 
+  test("every advertised validOps name is a real op (no drift)") {
+    // feed each advertised op a minimal stage: a REAL op fails on a missing
+    // knob / upstream (or even builds), never with "unknown op" — so a name
+    // that drifts out of the match is caught here, not by a user's typo
+    // diagnostic listing an op that doesn't exist
+    ConfigPipeline.validOps.foreach { op =>
+      val msg = try {
+        ConfigPipeline.fromJson(spark,
+          s"""{"stages": [{"name": "x", "op": "$op"}]}""").output("x")
+        ""
+      } catch { case e: Throwable => String.valueOf(e.getMessage) }
+      assert(!msg.contains("unknown op"), s"validOps lists '$op' but the dispatcher doesn't: $msg")
+    }
+  }
+
   test("intervalJoinBucketed matches plain intervalJoin results") {
     val ev = Seq((1L, "a", 100L), (2L, "a", 250L), (3L, "a", 900L), (4L, "b", 120L),
       (5L, "b", 180L)).toDF("id", "k", "t")

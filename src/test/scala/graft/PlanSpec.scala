@@ -21,6 +21,39 @@ class PlanSpec extends SparkSpec {
     out.toString
   }
 
+  // Shuffle-BUDGET regression gate: the per-query exchange counts below are
+  // the audited values from plans/PLANS.md (SURVEY §5) — a plan change that
+  // adds an exchange to any of these headline operators now fails a spec
+  // instead of waiting for a human to re-read the plan dump. Budgets are
+  // exact, not ≤: losing a shuffle unexpectedly ALSO deserves a look (it
+  // usually means a broadcast threshold or reuse changed under the query).
+  test("headline queries hold their audited shuffle budgets") {
+    val budgets = Map(
+      // pure projections — zero exchanges, the codegen-fused family
+      "q_minhash" -> 0, "q_simhash" -> 0, "q_tokens" -> 0, "q_langid" -> 0,
+      "q_quality" -> 0, "q_fingerprint" -> 0, "q_chunks" -> 0,
+      "q_split" -> 0, "q_redact" -> 0, "q_canonical_url" -> 0,
+      "q_stratified" -> 0, "q_mixture" -> 0, "q_kmeans" -> 0, "q_topk" -> 0,
+      // single-shuffle aggregation/window shapes
+      "q_agg" -> 1, "q_dedup_exact" -> 1, "q_sessionize" -> 1,
+      "q_window" -> 1, "q_token_budget" -> 1, "q_temperature_sample" -> 1,
+      "q_corpus_shuffle" -> 1, "q_pack" -> 1, "q_incremental_neardup" -> 1,
+      "q_ann" -> 1,
+      // audited multi-exchange shapes
+      "q_lsh_pairs" -> 2, "q_snapshot_diff" -> 2, "q_join" -> 2,
+      "q_decontaminate" -> 2, "q_repetition" -> 2, "q_semdedup" -> 2)
+    val errs = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      // tree nodes only ("Exchange (n)") — same counter as PlanAudit;
+      // Broadcast/ReusedExchange are not shuffles
+      val got = "(?<!Broadcast|Reused)Exchange \\(\\d+\\)".r
+        .findAllIn(plan).size
+      if (got == budget) None else Some(s"$name: expected $budget exchanges, plan has $got")
+    }
+    assert(errs.isEmpty, errs.mkString("; "))
+  }
+
   test("filters and projections push down to the parquet scan") {
     val li = Tables.load(spark, sfDir, "lineitem")
       .filter(col("l_quantity") > 45.0).select("l_orderkey", "l_quantity")
