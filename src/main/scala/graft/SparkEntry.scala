@@ -1114,6 +1114,34 @@ object SparkEntry {
       q.awaitTermination()
       s.read.parquet(s"$outDir/batch_*")
     }),
+    // STREAMING index MAINTENANCE: the full daily-crawl loop — per batch,
+    // probe the stored index and APPEND admitted docs' band keys. The
+    // streamed delta is pre-collapsed with keepCanonical (uncapped), whose
+    // survivors are pairwise band-DISJOINT (distinct dup-components share
+    // no band key by construction), so every admission verdict depends only
+    // on the doc + the corpus index — the result is identical under ANY
+    // batch split, which is what lets one SQL oracle replay the loop.
+    // Output: the final maintained index (corpus keys ∪ admitted deltas').
+    "q_stream_idxmaintain" -> ((s, dir) => withStreamShuffle(s) {
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      val corpus = d.filter(col("doc_id") % 13 =!= 5)
+      val delta = Dedup.keepCanonical(d.filter(col("doc_id") % 13 === 5),
+        "doc_id", "text", 16, 4, 4, maxBucket = Int.MaxValue,
+        metricName = "idxm_precollapse")
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_idxm").toString
+      val inDir = s"$base/in"; val idxDir = s"$base/index"
+      val verdictDir = s"$base/verdicts"; val ckpt = s"$base/ckpt"
+      Dedup.bandKeysOf(corpus, "doc_id", "text", 16, 4, 4)
+        .write.mode("overwrite").parquet(idxDir)
+      delta.repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+        format = "parquet", schemaDdl = Some(delta.schema.toDDL),
+        maxFilesPerTrigger = 1)
+      val q = graft.streaming.Streams.indexMaintainStream(stream, "doc_id",
+        "text", idxDir, verdictDir, ckpt, 16, 4, 4)
+      q.awaitTermination()
+      s.read.parquet(idxDir)
+    }),
     // STREAMING LSH near-dup: the stateful twin of the G3 flagship path.
     // Banded minhash buckets live as keyed state — (min_id, n_members)
     // per bucket, NO member lists — and each micro-batch emits touched
@@ -1849,6 +1877,52 @@ object SparkEntry {
        |s AS (SELECT doc_id, $mins FROM t GROUP BY doc_id)
        |SELECT doc_id AS id, b.band, CASE b.band $bandKey END AS band_key
        |FROM s, (SELECT unnest([0, 1, 2, 3]) AS band) b""".stripMargin
+  }
+
+  /** DuckDB mirror of the STREAMING index-maintenance loop
+    * (q_stream_idxmaintain). The streamed delta is the uncapped
+    * keepCanonical survivors of doc_id%13=5 — pairwise band-disjoint, so
+    * admission is batch-split independent and replayable in one SQL pass:
+    * delta canonical = the recursive-CTE component replay (as in
+    * q_neardup_pipeline, restricted to the delta, no bucket cap);
+    * a survivor is admitted iff NO band key joins the corpus index;
+    * final index = corpus band keys ∪ admitted survivors' band keys.
+    */
+  private val streamIdxMaintainOracle: String = {
+    val mins = (0 until 16).map(s => s"MIN(md5('$s:' || tok)) AS h$s").mkString(", ")
+    val bandKey = (0 until 4).map { b =>
+      val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
+      s"WHEN ${b} THEN md5($cols)"
+    }.mkString(" ")
+    s"""WITH RECURSIVE delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 5),
+       |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5),
+       |dt AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM delta),
+       |ds AS (SELECT doc_id, $mins FROM dt GROUP BY doc_id),
+       |db AS (SELECT doc_id, b.band, CASE b.band $bandKey END AS band_key
+       |       FROM ds, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+       |pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM db x
+       |          JOIN db y ON x.band = y.band AND x.band_key = y.band_key
+       |          AND x.doc_id < y.doc_id),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach(src, dst) AS (SELECT src, dst FROM edges UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |canon AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical
+       |          FROM reach GROUP BY src),
+       |surv AS (SELECT d.doc_id FROM delta d LEFT JOIN canon c USING (doc_id)
+       |         WHERE c.canonical IS NULL OR c.canonical = d.doc_id),
+       |ct AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM corpus),
+       |cs AS (SELECT doc_id, $mins FROM ct GROUP BY doc_id),
+       |cb AS (SELECT doc_id, b.band, CASE b.band $bandKey END AS band_key
+       |       FROM cs, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+       |hit AS (SELECT DISTINCT sb.doc_id FROM db sb
+       |        JOIN surv USING (doc_id)
+       |        JOIN cb ON sb.band = cb.band AND sb.band_key = cb.band_key)
+       |SELECT doc_id AS id, band, band_key FROM cb
+       |UNION ALL
+       |SELECT sb.doc_id AS id, sb.band, sb.band_key FROM db sb
+       |JOIN surv USING (doc_id)
+       |WHERE sb.doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin
   }
 
   /** DuckDB mirror of the r6 incremental-curation flagship
@@ -2891,6 +2965,7 @@ object SparkEntry {
     "q_lsh_pairs" -> lshPairsOracle,
     "q_incremental_neardup" -> incrementalNearDupOracle,
     "q_index_delta" -> indexDeltaOracle,
+    "q_stream_idxmaintain" -> streamIdxMaintainOracle,
     "q_stream_incneardup" -> incrementalNearDupOracle,
     "q_incremental_pipeline" -> incrementalPipelineOracle,
     "q_stream_neardup" -> streamNearDupOracle,

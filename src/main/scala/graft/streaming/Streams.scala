@@ -425,6 +425,79 @@ object Streams {
       }.toDF("id", "n_grams", "n_distinct", "dup_frac", "top_frac")
   }
 
+  /** Streaming LSH-index maintenance — the daily-crawl loop CLOSED: drain a
+    * document stream and, per micro-batch,
+    *
+    *  1. collapse within-batch near-dups
+    *     ([[graft.dedup.Dedup.keepCanonical]] over the batch — batch-sized,
+    *     the documented exact-first composition applies upstream),
+    *  2. probe the CURRENT stored index (re-read each batch, so earlier
+    *     batches' appends ARE visible — a later copy of an already-admitted
+    *     document is rejected),
+    *  3. write every batch doc's verdict `(id, admitted)` to
+    *     `verdictDir/batch_<id>` (admitted = batch-canonical AND not a dup
+    *     of the corpus),
+    *  4. APPEND the admitted docs' band keys to `indexDir`.
+    *
+    * Admission is first-arrival by construction — crawl semantics: the
+    * corpus keeps the copy it saw first, later near-copies point at it.
+    * The index directory is APPEND-ONLY here (the LSM posture): per-batch
+    * appends are delta-sized; RETIREMENT of removed/changed ids is the
+    * batch-side [[graft.dedup.Dedup.indexDelta]] compaction, run on the
+    * snapshot-diff cadence (daily), never inside the hot micro-batch loop.
+    *
+    * Ordering: the verdict write is the batch's FIRST action, forced
+    * against the index listing captured at probe time; the append runs
+    * after, and the parquet listing is re-taken next batch — so a batch
+    * never probes its own appends, and the loop is deterministic given the
+    * batch split. Failure atomicity rides the checkpoint: a batch that
+    * died between verdicts and append re-runs whole (overwrite verdict
+    * dir, re-append idempotent only per batch id — use the checkpoint, do
+    * not re-drive drained files by hand).
+    *
+    * Scale: per batch the corpus-sized side is the index SCAN (32-byte
+    * keys, no text, pruned to band/band_key for the probe join); the
+    * batch side is delta-sized everywhere. State is the files themselves —
+    * no streaming state store at all, so an unbounded crawl holds nothing
+    * in executor memory between batches.
+    */
+  def indexMaintainStream(docs: DataFrame, idCol: String, textCol: String,
+                          indexDir: String, verdictDir: String,
+                          checkpoint: String, numHashes: Int = 16,
+                          bands: Int = 4, rowsPerBand: Int = 4,
+                          availableNow: Boolean = true)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val emptyIndex = {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id", LongType), StructField("band", IntegerType),
+          StructField("band_key", StringType))))
+    }
+    toForeachBatch(docs, checkpoint, availableNow = availableNow) { (batch0, id) =>
+      val batch = batch0.persist()
+      try {
+        val canon = graft.dedup.Dedup.keepCanonical(batch, idCol, textCol,
+          numHashes, bands, rowsPerBand, metricName = s"idx_maintain_b$id")
+        val index =
+          if (new java.io.File(indexDir).exists()) spark.read.parquet(indexDir)
+          else emptyIndex
+        val probed = graft.dedup.Dedup.incrementalNearDup(canon, idCol, textCol,
+          index, numHashes, bands, rowsPerBand)
+        val admittedIds = probed.filter(!col("dup_of_corpus")).select("id")
+        batch.select(col(idCol).as("id"))
+          .join(admittedIds.withColumn("__adm", lit(true)), Seq("id"), "left")
+          .select(col("id"), coalesce(col("__adm"), lit(false)).as("admitted"))
+          .write.mode("overwrite").parquet(s"$verdictDir/batch_$id")
+        val admitted = batch.join(admittedIds,
+          batch(idCol) === admittedIds("id"), "left_semi")
+        graft.dedup.Dedup.bandKeysOf(admitted, idCol, textCol,
+          numHashes, bands, rowsPerBand)
+          .write.mode("append").parquet(indexDir)
+      } finally batch.unpersist()
+    }
+  }
+
   /** Run a micro-batch sink function (reference batch markers → foreachBatch
     * boundaries; the batch id IS the marker). `interval` selects the trigger:
     * None = as-fast-as-possible, Some("10 seconds") = processing-time,

@@ -153,6 +153,48 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("indexMaintainStream admits first arrivals and keeps the index ≡ admitted band keys") {
+    val base = java.nio.file.Files.createTempDirectory("graft_idxm").toString
+    val inDir = s"$base/in"; val idxDir = s"$base/index"
+    val verdictDir = s"$base/verdicts"; val ckpt = s"$base/ckpt"
+    // file 1: ten docs with pairwise-disjoint vocabularies; file 2 (strictly
+    // later mod time → second batch): five EXACT copies under new ids (every
+    // band collides with the already-admitted original) + five new docs
+    def text(i: Long) = s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"
+    val first = (1L to 10L).map(i => (i, text(i)))
+    val second = (101L to 105L).map(i => (i, text(i - 100L))) ++
+      (111L to 115L).map(i => (i, text(i)))
+    first.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/g1")
+    second.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/g2")
+    val now = System.currentTimeMillis()
+    def touch(dir: String, t: Long): Unit = {
+      val d = new java.io.File(dir)
+      d.listFiles().foreach(f => f.setLastModified(t)); d.setLastModified(t)
+    }
+    touch(s"$inDir/g1", now - 60000L); touch(s"$inDir/g2", now)
+    val stream = Streams.watchDirectory(spark, s"$inDir/*",
+      format = "parquet", schemaDdl = Some("doc_id BIGINT, text STRING"),
+      maxFilesPerTrigger = 1)
+    val q = Streams.indexMaintainStream(stream, "doc_id", "text",
+      idxDir, verdictDir, ckpt)
+    q.awaitTermination()
+
+    val verdicts = spark.read.parquet(s"$verdictDir/batch_*")
+      .as[(Long, Boolean)].collect().toMap
+    assert(verdicts.size == 20)
+    // originals and genuinely-new docs admitted; later copies rejected
+    assert((1L to 10L).forall(verdicts(_)) && (111L to 115L).forall(verdicts(_)))
+    assert((101L to 105L).forall(!verdicts(_)))
+    // the maintained index is exactly the admitted docs' band keys
+    val admitted = (first ++ second.filter(t => t._1 > 110L))
+      .toDF("doc_id", "text")
+    val expected = graft.dedup.Dedup.bandKeysOf(admitted, "doc_id", "text")
+    val got = spark.read.parquet(idxDir)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("a restarted drain resumes from the checkpoint without reprocessing") {
     // the README cluster contract: the checkpoint owns exactly-once
     // file-source progress — a second AvailableNow drain against the SAME
