@@ -1466,6 +1466,11 @@ object SparkEntry {
       // degenerating to n² inside mega-buckets.
       Dedup.lshPairs(sig, bands = 4, rowsPerBand = 4, maxBucket = 256)
     }),
+    // LSH operating-point QA: measured banding recall vs exact Jaccard
+    // ground truth at tau=0.5 — the bands×rows tuning report, all-integer
+    "q_lsh_recall" -> ((s, dir) =>
+      Dedup.lshRecallReport(T(s, dir, "documents"), "doc_id", "text",
+        k = 3, tau = 0.5, numHashes = 16, bands = 4, rowsPerBand = 4)),
     // incremental near-dedup: the delta (doc_id % 13 = 5) probes the LSH
     // index built over the rest of the corpus — corpus text read once
     "q_incremental_neardup" -> ((s, dir) => {
@@ -1877,6 +1882,48 @@ object SparkEntry {
        |s AS (SELECT doc_id, $mins FROM t GROUP BY doc_id)
        |SELECT doc_id AS id, b.band, CASE b.band $bandKey END AS band_key
        |FROM s, (SELECT unnest([0, 1, 2, 3]) AS band) b""".stripMargin
+  }
+
+  /** DuckDB mirror of the LSH recall report (q_lsh_recall): exact-Jaccard
+    * ground truth (the q_jaccard shingle replay at tau=0.5) vs UNCAPPED
+    * banded candidates (the q_lsh_pairs replay without the bucket cap);
+    * counts and the integer permille are engine-exact.
+    */
+  private val lshRecallOracle: String = {
+    val mins = (0 until 16).map(s => s"MIN(md5('$s:' || tok)) AS h$s").mkString(", ")
+    val bandKey = (0 until 4).map { b =>
+      val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
+      s"WHEN ${b} THEN md5($cols)"
+    }.mkString(" ")
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |       unnest(list_transform(range(0, len(tk) - 2),
+       |              i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))) AS shingle
+       |       FROM toks WHERE len(tk) >= 3),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+       |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |truth AS (SELECT id_a, id_b FROM it
+       |          JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |          WHERE CAST(n_inter AS DOUBLE) /
+       |                CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5),
+       |mt AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents),
+       |ms AS (SELECT doc_id, $mins FROM mt GROUP BY doc_id),
+       |banded AS (SELECT doc_id, b.band, CASE b.band $bandKey END AS band_key
+       |           FROM ms, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+       |buckets AS (SELECT band, band_key, list_sort(list(doc_id)) AS ids
+       |            FROM banded GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |cand AS (SELECT DISTINCT x.a AS id_a, y.c AS id_b
+       |         FROM buckets, unnest(ids) x(a), unnest(ids) y(c) WHERE x.a < y.c),
+       |hit AS (SELECT t.id_a, t.id_b FROM truth t JOIN cand c
+       |        ON t.id_a = c.id_a AND t.id_b = c.id_b)
+       |SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+       |       (SELECT COUNT(*) FROM cand) AS n_candidates,
+       |       (SELECT COUNT(*) FROM hit) AS n_hit,
+       |       CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 0
+       |            ELSE 1000 * (SELECT COUNT(*) FROM hit) //
+       |                 (SELECT COUNT(*) FROM truth) END AS recall_permille""".stripMargin
   }
 
   /** DuckDB mirror of the STREAMING index-maintenance loop
@@ -2966,6 +3013,7 @@ object SparkEntry {
     "q_incremental_neardup" -> incrementalNearDupOracle,
     "q_index_delta" -> indexDeltaOracle,
     "q_stream_idxmaintain" -> streamIdxMaintainOracle,
+    "q_lsh_recall" -> lshRecallOracle,
     "q_stream_incneardup" -> incrementalNearDupOracle,
     "q_incremental_pipeline" -> incrementalPipelineOracle,
     "q_stream_neardup" -> streamNearDupOracle,

@@ -485,6 +485,46 @@ object Dedup {
         bandKeysOf(admitted, idCol, textCol, numHashes, bands, rowsPerBand))
   }
 
+  /** LSH operating-point QA — measured RECALL of the (numHashes, bands,
+    * rowsPerBand) banding against exact shingle-Jaccard ground truth, on
+    * the frame given (pass a deterministic md5-mod SAMPLE of the corpus at
+    * scale; exact Jaccard is quadratic-family and belongs on samples).
+    * This is how bands × rows gets TUNED before a 100 TB run instead of
+    * trusted from the S-curve formula: the S-curve assumes uniform minhash
+    * collision probabilities, real corpora have skewed shingle
+    * distributions, and the gap is exactly what this measures.
+    *
+    * One row: `n_true` (exact-Jaccard pairs ≥ tau), `n_candidates` (LSH
+    * banded pairs, uncapped — completeness, not the guarded production
+    * form), `n_hit` (true pairs the banding surfaced), and
+    * `recall_permille` = 1000·n_hit div n_true (ALL-INTEGER — engine-exact;
+    * 0 when there are no true pairs). Precision is derivable
+    * (n_hit/n_candidates) but candidates are cheap to verify exactly, so
+    * recall is the number that decides the operating point.
+    *
+    * Scale shape: ground truth is the [[ngramJaccard]] single-scan
+    * zero-join pipeline; candidates are the [[lshPairs]] O(n·bands)
+    * buckets; the three counts are scalar aggregates cross-joined as
+    * one-row frames (broadcast by construction).
+    */
+  def lshRecallReport(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, tau: Double = 0.5,
+                      numHashes: Int = 16, bands: Int = 4,
+                      rowsPerBand: Int = 4): DataFrame = {
+    val truth = ngramJaccard(df, idCol, textCol, k, tau)
+      .select("id_a", "id_b")
+    val cand = lshPairs(minhashSignature(df, idCol, textCol, numHashes),
+      bands, rowsPerBand, Int.MaxValue, "lsh_recall_cand")
+      .select("id_a", "id_b")
+    val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .withColumn("recall_permille",
+        when(col("n_true") === 0L, lit(0L))
+          .otherwise(expr("1000 * n_hit div n_true")))
+  }
+
   /** SimHash (G4): 60-bit token-hash bit vote (60 bits so the fingerprint
     * stays exactly representable from the 15-hex-digit md5 prefix). Bit b of
     * the fingerprint is 1 iff more distinct tokens have bit b set than not.

@@ -757,6 +757,22 @@ class TextDedupSpec extends SparkSpec {
     diff.unpersist()
   }
 
+  test("lshRecallReport counts true/candidate/hit pairs exactly") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh"),
+      (2L, "aa bb cc dd ee ff gg hh"),     // identical to 1 → true pair + every band collides
+      (3L, "aa bb cc dd zz yy xx ww"),     // half-overlap with 1/2 → below tau=0.5 shingle jaccard
+      (4L, "qq rr ss tt uu vv")            // disjoint
+    ).toDF("doc_id", "text")
+    val r = Dedup.lshRecallReport(docs, "doc_id", "text", k = 3, tau = 0.5)
+      .as[(Long, Long, Long, Long)].head()
+    val (nTrue, nCand, nHit, permille) = r
+    assert(nTrue == 1L)     // only the identical pair reaches jaccard ≥ 0.5
+    assert(nHit == 1L)      // identical docs share every band → surfaced
+    assert(permille == 1000L)
+    assert(nCand >= nHit)   // candidates always cover the hits
+  }
+
   test("Vectors dot/norm/cosine are exact on simple cases") {
     val df = Seq((Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
     val (d, n, c) = df.select(
