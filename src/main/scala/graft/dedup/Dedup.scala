@@ -478,7 +478,11 @@ object Dedup {
                  textCol: String, retiredIds: DataFrame,
                  numHashes: Int = 16, bands: Int = 4,
                  rowsPerBand: Int = 4): DataFrame = {
-    val retired = retiredIds.select(col(retiredIds.columns.head).as("id"))
+    // accept either a bare id frame or full snapshotDiff rows — the `id`
+    // column wins by name, not by position
+    val idName =
+      if (retiredIds.columns.contains("id")) "id" else retiredIds.columns.head
+    val retired = retiredIds.select(col(idName).as("id"))
     index.select("id", "band", "band_key")
       .join(retired, Seq("id"), "left_anti")
       .unionByName(

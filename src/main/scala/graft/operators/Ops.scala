@@ -457,7 +457,10 @@ object Ops {
                         total: Long, alpha: Double = 0.5): DataFrame = {
     require(total > 0L, s"total must be positive, got $total")
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
-    val counts = df.groupBy(col(groupCol).cast(StringType).as("g"))
+    // null groups are unsampleable (no n^α share) — dropped, like groups
+    // absent from tokenBudgetSample's budgets
+    val dfNN = df.filter(col(groupCol).isNotNull)
+    val counts = dfNN.groupBy(col(groupCol).cast(StringType).as("g"))
       .agg(count(lit(1)).as("c")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
     require(counts.nonEmpty, "temperatureSample on an empty frame")
@@ -471,7 +474,7 @@ object Ops {
     }
     val w = Window.partitionBy("grp")
       .orderBy(md5(col("id").cast(StringType)), col("id"))
-    df.select(col(idCol).as("id"), col(groupCol).as("grp"), quota.as("__q"))
+    dfNN.select(col(idCol).as("id"), col(groupCol).as("grp"), quota.as("__q"))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= col("__q"))
       .select(col("id"), col("grp"))

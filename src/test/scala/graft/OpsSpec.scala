@@ -343,6 +343,12 @@ class OpsSpec extends SparkSpec {
     val small = Ops.temperatureSample(df, "id", "g", 100L).select("id")
       .as[Long].collect().toSet
     assert(small.subsetOf(big))
+    // null groups are unsampleable → dropped, not an NPE in the
+    // driver-side quota computation
+    val withNull = df.union(Seq((9999L, null.asInstanceOf[String])).toDF("id", "g"))
+    val nn = Ops.temperatureSample(withNull, "id", "g", 400L)
+    assert(nn.filter(col("grp").isNull).count() == 0L)
+    assert(nn.count() == 400L)
   }
 
   test("tokenBudgetSample fills each budget in md5 order and stops past it") {
