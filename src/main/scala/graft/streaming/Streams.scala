@@ -479,9 +479,13 @@ object Streams {
       try {
         val canon = graft.dedup.Dedup.keepCanonical(batch, idCol, textCol,
           numHashes, bands, rowsPerBand, metricName = s"idx_maintain_b$id")
+        // existence via the Hadoop FS API, NOT java.io.File — indexDir is
+        // HDFS/S3 in production; a driver-local check would always miss and
+        // silently admit every batch against an empty index
+        val hPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val index =
-          if (new java.io.File(indexDir).exists()) spark.read.parquet(indexDir)
-          else emptyIndex
+          if (fs.exists(hPath)) spark.read.parquet(indexDir) else emptyIndex
         val probed = graft.dedup.Dedup.incrementalNearDup(canon, idCol, textCol,
           index, numHashes, bands, rowsPerBand)
         val admittedIds = probed.filter(!col("dup_of_corpus")).select("id")
