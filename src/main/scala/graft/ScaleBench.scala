@@ -112,6 +112,35 @@ object ScaleBench {
           maxBucket = 256, metricName = "scale_full_rededup")
       }
     }
+
+    // The ONLINE loop: drain the same 10% delta as a 5-batch file stream
+    // through indexMaintainStream against the stored 90% index — the
+    // recurring cost of the streaming crawl posture, directly comparable
+    // to neardup_incremental_probe (same probe, plus per-batch within-batch
+    // collapse + verdict/append writes + micro-batch bookkeeping).
+    for (dir <- Seq(base, big) if want("idxmaintain_stream")) {
+      val docs = Tables.load(spark, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+      val delta = docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+      val root = s"$work/idxm_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${System.nanoTime()}"
+      val idxDir = s"$root/index"; val inDir = s"$root/in"
+      Dedup.bandKeysOf(corpus, "doc_id", "text")
+        .write.mode("overwrite").parquet(idxDir)
+      delta.repartition(5).write.mode("overwrite").parquet(inDir)
+      val n = delta.count()
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Streams.indexMaintainStream(
+        graft.streaming.Streams.watchDirectory(spark, inDir,
+          format = "parquet", schemaDdl = Some("doc_id BIGINT, text STRING"),
+          maxFilesPerTrigger = 1),
+        "doc_id", "text", idxDir, s"$root/verdicts", s"$root/ckpt")
+      q.awaitTermination()
+      val admitted = spark.read.parquet(s"$root/verdicts/batch_*")
+        .filter(col("admitted")).count()
+      println(f"[scalebench] idxmaintain_stream dir=$dir " +
+        f"drain=${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"(5 batches, $n docs, $admitted admitted)")
+    }
     spark.stop()
   }
 }
