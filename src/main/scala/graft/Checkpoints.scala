@@ -26,11 +26,23 @@ import org.apache.spark.sql.DataFrame
   */
 object Checkpoints {
 
-  /** Eagerly pin `df`, reliably iff a checkpoint dir is configured. */
+  /** Eagerly pin `df`, reliably iff a checkpoint dir is configured.
+    *
+    * The reliable path persists BEFORE checkpointing (Spark's own
+    * `RDD.checkpoint` guidance): the checkpoint write re-runs the lineage
+    * after the eager action, so an unpersisted frame would compute every
+    * round twice — in exactly the at-scale mode the knob exists for. The
+    * cache is dropped as soon as the checkpoint files back the result.
+    * For long fixpoints set `spark.cleaner.referenceTracking
+    * .cleanCheckpoints=true` so superseded round files are removed.
+    */
   def pin(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(true)
-    else df.localCheckpoint(true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = cached.checkpoint(true)
+      cached.unpersist()
+      out
+    } else df.localCheckpoint(true)
 
   /** `.pinned()` chain syntax so call sites read like the plan they build. */
   implicit final class PinSyntax(private val df: DataFrame) extends AnyVal {

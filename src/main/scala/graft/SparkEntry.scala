@@ -1140,7 +1140,8 @@ object SparkEntry {
       val q = graft.streaming.Streams.indexMaintainStream(stream, "doc_id",
         "text", idxDir, verdictDir, ckpt, 16, 4, 4)
       q.awaitTermination()
-      s.read.parquet(idxDir)
+      // the maintained index = bootstrap files + per-batch subdirs
+      s.read.option("recursiveFileLookup", "true").parquet(idxDir)
     }),
     // STREAMING LSH near-dup: the stateful twin of the G3 flagship path.
     // Banded minhash buckets live as keyed state — (min_id, n_members)
@@ -1815,15 +1816,23 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Shared SQL scaffolding for every minhash/LSH oracle: the 16
+    * per-seed MIN(md5(seed:token)) aggregates and the 4-band md5 band-key
+    * CASE — ONE definition so the banding scheme cannot silently drift
+    * between oracles (7 copies before r7).
+    */
+  private val minhashMinsSql: String =
+    (0 until 16).map(s => s"MIN(md5('$s:' || tok)) AS h$s").mkString(", ")
+  private val bandKeySql: String = (0 until 4).map { b =>
+    val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
+    s"WHEN ${b} THEN md5($cols)"
+  }.mkString(" ")
+
   /** DuckDB mirror of minhash(16) → 4-band LSH buckets (2..256) → in-bucket
     * pairs. Same md5 band keys; same maxBucket cap as q_lsh_pairs.
     */
   private val lshPairsOracle: String = {
-    val mins = (0 until 16).map(s => s"MIN(md5('$s:' || tok)) AS h$s").mkString(", ")
-    val bandKey = (0 until 4).map { b =>
-      val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
-      s"WHEN ${b} THEN md5($cols)"
-    }.mkString(" ")
+    val mins = minhashMinsSql; val bandKey = bandKeySql
     s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents),
        |s AS (SELECT doc_id, $mins FROM t GROUP BY doc_id),
        |banded AS (SELECT doc_id, b.band,
@@ -1844,11 +1853,7 @@ object SparkEntry {
     * plain key set — [[graft.dedup.Dedup.bandKeysOf]] doesn't cap).
     */
   private val incrementalNearDupOracle: String = {
-    val mins = (0 until 16).map(s => s"MIN(md5('$s:' || tok)) AS h$s").mkString(", ")
-    val bandKey = (0 until 4).map { b =>
-      val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
-      s"WHEN ${b} THEN md5($cols)"
-    }.mkString(" ")
+    val mins = minhashMinsSql; val bandKey = bandKeySql
     s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5),
        |fresh AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 5),
        |ct AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM corpus),
@@ -1873,11 +1878,7 @@ object SparkEntry {
     * maintenance algebra itself, not a replay of the same arithmetic.
     */
   private val indexDeltaOracle: String = {
-    val mins = (0 until 16).map(s => s"MIN(md5('$s:' || tok)) AS h$s").mkString(", ")
-    val bandKey = (0 until 4).map { b =>
-      val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
-      s"WHEN ${b} THEN md5($cols)"
-    }.mkString(" ")
+    val mins = minhashMinsSql; val bandKey = bandKeySql
     s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents),
        |s AS (SELECT doc_id, $mins FROM t GROUP BY doc_id)
        |SELECT doc_id AS id, b.band, CASE b.band $bandKey END AS band_key
@@ -1890,11 +1891,7 @@ object SparkEntry {
     * counts and the integer permille are engine-exact.
     */
   private val lshRecallOracle: String = {
-    val mins = (0 until 16).map(s => s"MIN(md5('$s:' || tok)) AS h$s").mkString(", ")
-    val bandKey = (0 until 4).map { b =>
-      val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
-      s"WHEN ${b} THEN md5($cols)"
-    }.mkString(" ")
+    val mins = minhashMinsSql; val bandKey = bandKeySql
     s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
        |sh AS (SELECT DISTINCT doc_id,
        |       unnest(list_transform(range(0, len(tk) - 2),
@@ -1936,11 +1933,7 @@ object SparkEntry {
     * final index = corpus band keys ∪ admitted survivors' band keys.
     */
   private val streamIdxMaintainOracle: String = {
-    val mins = (0 until 16).map(s => s"MIN(md5('$s:' || tok)) AS h$s").mkString(", ")
-    val bandKey = (0 until 4).map { b =>
-      val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
-      s"WHEN ${b} THEN md5($cols)"
-    }.mkString(" ")
+    val mins = minhashMinsSql; val bandKey = bandKeySql
     s"""WITH RECURSIVE delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 5),
        |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5),
        |dt AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM delta),
@@ -1983,11 +1976,7 @@ object SparkEntry {
     * window at en→1500/zh→500/es→400.
     */
   private val incrementalPipelineOracle: String = {
-    val mins = (0 until 16).map(s => s"MIN(md5('$s:' || tok)) AS h$s").mkString(", ")
-    val bandKey = (0 until 4).map { b =>
-      val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
-      s"WHEN ${b} THEN md5($cols)"
-    }.mkString(" ")
+    val mins = minhashMinsSql; val bandKey = bandKeySql
     s"""WITH old AS (SELECT doc_id,
        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END AS text
        |  FROM documents WHERE doc_id % 11 <> 3),
@@ -2035,11 +2024,7 @@ object SparkEntry {
     * self, so canonical <= doc_id); duplicate iff canonical < doc_id.
     */
   private val streamNearDupOracle: String = {
-    val mins = (0 until 16).map(s => s"MIN(md5('$s:' || tok)) AS h$s").mkString(", ")
-    val bandKey = (0 until 4).map { b =>
-      val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
-      s"WHEN ${b} THEN md5($cols)"
-    }.mkString(" ")
+    val mins = minhashMinsSql; val bandKey = bandKeySql
     s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents),
        |s AS (SELECT doc_id, $mins FROM t GROUP BY doc_id),
        |banded AS (SELECT doc_id, b.band,

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -469,12 +471,21 @@ object Ops {
     val quotas: Map[String, Long] = counts.zip(ws).map { case ((g, n), w) =>
       g -> math.min(n, math.round(total * w / z))
     }.toMap
-    val quota = counts.map(_._1).foldLeft(lit(0L)) { (acc, g) =>
-      when(col(groupCol) === g, lit(quotas(g))).otherwise(acc)
-    }
+    // quotas join as a broadcast table, NOT a per-group when-chain: group
+    // cardinality is data-derived (a url-domain grouping can run to 10^5
+    // distinct values) and a chain that deep breaks Catalyst; the
+    // when-chain precedent in tokenBudgetSample is safe only because its
+    // depth is capped by the user-supplied budget map
+    val quotaDf = df.sparkSession.createDataFrame(
+      quotas.toSeq.map { case (g, q) => org.apache.spark.sql.Row(g, q) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__q", LongType))))
     val w = Window.partitionBy("grp")
       .orderBy(md5(col("id").cast(StringType)), col("id"))
-    dfNN.select(col(idCol).as("id"), col(groupCol).as("grp"), quota.as("__q"))
+    dfNN.select(col(idCol).as("id"), col(groupCol).cast(StringType).as("grp"))
+      .join(broadcast(quotaDf), Seq("grp"))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= col("__q"))
       .select(col("id"), col("grp"))

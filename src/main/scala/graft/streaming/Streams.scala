@@ -446,20 +446,28 @@ object Streams {
     * batch-side [[graft.dedup.Dedup.indexDelta]] compaction, run on the
     * snapshot-diff cadence (daily), never inside the hot micro-batch loop.
     *
-    * Ordering: the verdict write is the batch's FIRST action, forced
-    * against the index listing captured at probe time; the append runs
-    * after, and the parquet listing is re-taken next batch — so a batch
-    * never probes its own appends, and the loop is deterministic given the
-    * batch split. Failure atomicity rides the checkpoint: a batch that
-    * died between verdicts and append re-runs whole (overwrite verdict
-    * dir, re-append idempotent only per batch id — use the checkpoint, do
-    * not re-drive drained files by hand).
+    * Ordering and replay safety: appends land in per-batch subdirectories
+    * (`indexDir/batch_<id>`) written with OVERWRITE, and a replayed batch
+    * first DELETES its own subdirectory — so a crash anywhere between the
+    * append and the checkpoint commit re-runs the batch exactly: no
+    * duplicate key rows from a partial append, and no self-collision
+    * (without the delete, a replay would probe the crashed attempt's own
+    * band keys and flip every verdict to dup). The index read lists the
+    * directory tree fresh each batch (recursive lookup), so earlier
+    * batches' appends are visible and the current batch's are not.
     *
     * Scale: per batch the corpus-sized side is the index SCAN (32-byte
-    * keys, no text, pruned to band/band_key for the probe join); the
-    * batch side is delta-sized everywhere. State is the files themselves —
-    * no streaming state store at all, so an unbounded crawl holds nothing
-    * in executor memory between batches.
+    * keys, no text, pruned to band/band_key for the probe join), run ONCE
+    * per batch (the admitted-id set is persisted across the two writes);
+    * the batch side is delta-sized everywhere. State is the files
+    * themselves — no streaming state store at all, so an unbounded crawl
+    * holds nothing in executor memory between batches.
+    *
+    * Readers of the maintained index must use
+    * `spark.read.option("recursiveFileLookup", "true")` — the directory
+    * is bootstrap files + per-batch subdirectories. Periodic
+    * [[graft.dedup.Dedup.indexDelta]] compaction naturally flattens it
+    * back to one generation of files.
     */
   def indexMaintainStream(docs: DataFrame, idCol: String, textCol: String,
                           indexDir: String, verdictDir: String,
@@ -476,19 +484,30 @@ object Streams {
     }
     toForeachBatch(docs, checkpoint, availableNow = availableNow) { (batch0, id) =>
       val batch = batch0.persist()
+      // existence via the Hadoop FS API, NOT java.io.File — indexDir is
+      // HDFS/S3 in production; a driver-local check would always miss and
+      // silently admit every batch against an empty index
+      val hPath = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // replay hygiene: if THIS batch already appended (crash between the
+      // append and the checkpoint commit), drop its subdir before probing —
+      // otherwise the replay probes its own band keys and every verdict
+      // flips to dup_of_corpus
+      val ownDir = new org.apache.hadoop.fs.Path(s"$indexDir/batch_$id")
+      if (fs.exists(ownDir)) fs.delete(ownDir, true)
+      val index =
+        if (fs.exists(hPath))
+          spark.read.option("recursiveFileLookup", "true").parquet(indexDir)
+        else emptyIndex
+      val probed = graft.dedup.Dedup.incrementalNearDup(
+        graft.dedup.Dedup.keepCanonical(batch, idCol, textCol,
+          numHashes, bands, rowsPerBand, metricName = s"idx_maintain_b$id"),
+        idCol, textCol, index, numHashes, bands, rowsPerBand)
+      // delta-sized; persisted so the index scan + probe run ONCE per
+      // batch, not once for the verdict write and again for the append
+      val admittedIds = probed.filter(!col("dup_of_corpus")).select("id")
+        .persist()
       try {
-        val canon = graft.dedup.Dedup.keepCanonical(batch, idCol, textCol,
-          numHashes, bands, rowsPerBand, metricName = s"idx_maintain_b$id")
-        // existence via the Hadoop FS API, NOT java.io.File — indexDir is
-        // HDFS/S3 in production; a driver-local check would always miss and
-        // silently admit every batch against an empty index
-        val hPath = new org.apache.hadoop.fs.Path(indexDir)
-        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val index =
-          if (fs.exists(hPath)) spark.read.parquet(indexDir) else emptyIndex
-        val probed = graft.dedup.Dedup.incrementalNearDup(canon, idCol, textCol,
-          index, numHashes, bands, rowsPerBand)
-        val admittedIds = probed.filter(!col("dup_of_corpus")).select("id")
         batch.select(col(idCol).as("id"))
           .join(admittedIds.withColumn("__adm", lit(true)), Seq("id"), "left")
           .select(col("id"), coalesce(col("__adm"), lit(false)).as("admitted"))
@@ -497,8 +516,8 @@ object Streams {
           batch(idCol) === admittedIds("id"), "left_semi")
         graft.dedup.Dedup.bandKeysOf(admitted, idCol, textCol,
           numHashes, bands, rowsPerBand)
-          .write.mode("append").parquet(indexDir)
-      } finally batch.unpersist()
+          .write.mode("overwrite").parquet(s"$indexDir/batch_$id")
+      } finally { admittedIds.unpersist(); batch.unpersist() }
     }
   }
 

@@ -653,6 +653,16 @@ class MtlConfigSpec extends SparkSpec {
       } catch { case e: Throwable => String.valueOf(e.getMessage) }
       assert(!msg.contains("unknown op"), s"validOps lists '$op' but the dispatcher doesn't: $msg")
     }
+    // ...and the REVERSE: every top-level dispatcher arm is advertised.
+    // Top-level arms sit at 6-space indent in addStage's match; method/mode
+    // sub-matches (kmv, bloom, ivfpq, ...) are nested deeper.
+    val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "src/main/scala/graft/pipeline/ConfigPipeline.scala")))
+    val arms = "(?m)^      case \"([A-Za-z_0-9]+)\" =>".r
+      .findAllMatchIn(src).map(_.group(1)).toSet
+    assert(arms == ConfigPipeline.validOps.toSet,
+      s"dispatcher arms not advertised: ${(arms -- ConfigPipeline.validOps).toSeq.sorted}; " +
+        s"advertised but missing: ${(ConfigPipeline.validOps.toSet -- arms).toSeq.sorted}")
   }
 
   test("intervalJoinBucketed matches plain intervalJoin results") {

@@ -191,7 +191,7 @@ class StreamsSpec extends SparkSpec {
     val admitted = (first ++ second.filter(t => t._1 > 110L))
       .toDF("doc_id", "text")
     val expected = graft.dedup.Dedup.bandKeysOf(admitted, "doc_id", "text")
-    val got = spark.read.parquet(idxDir)
+    val got = spark.read.option("recursiveFileLookup", "true").parquet(idxDir)
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
