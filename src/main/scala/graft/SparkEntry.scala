@@ -1468,9 +1468,13 @@ object SparkEntry {
       Dedup.lshPairs(sig, bands = 4, rowsPerBand = 4, maxBucket = 256)
     }),
     // LSH operating-point QA: measured banding recall vs exact Jaccard
-    // ground truth at tau=0.5 — the bands×rows tuning report, all-integer
+    // ground truth at tau=0.5 — the bands×rows tuning report, all-integer.
+    // Run on a deterministic 1/4 sample, as documented: exact Jaccard is
+    // the quadratic-family ground truth and belongs on samples.
     "q_lsh_recall" -> ((s, dir) =>
-      Dedup.lshRecallReport(T(s, dir, "documents"), "doc_id", "text",
+      Dedup.lshRecallReport(
+        T(s, dir, "documents").filter(col("doc_id") % 4 === 0),
+        "doc_id", "text",
         k = 3, tau = 0.5, numHashes = 16, bands = 4, rowsPerBand = 4)),
     // incremental near-dedup: the delta (doc_id % 13 = 5) probes the LSH
     // index built over the rest of the corpus — corpus text read once
@@ -1892,7 +1896,8 @@ object SparkEntry {
     */
   private val lshRecallOracle: String = {
     val mins = minhashMinsSql; val bandKey = bandKeySql
-    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+    s"""WITH smp AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+       |toks AS (SELECT doc_id, $toksSql AS tk FROM smp),
        |sh AS (SELECT DISTINCT doc_id,
        |       unnest(list_transform(range(0, len(tk) - 2),
        |              i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))) AS shingle
@@ -1905,7 +1910,7 @@ object SparkEntry {
        |          JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
        |          WHERE CAST(n_inter AS DOUBLE) /
        |                CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5),
-       |mt AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents),
+       |mt AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM smp),
        |ms AS (SELECT doc_id, $mins FROM mt GROUP BY doc_id),
        |banded AS (SELECT doc_id, b.band, CASE b.band $bandKey END AS band_key
        |           FROM ms, (SELECT unnest([0, 1, 2, 3]) AS band) b),
