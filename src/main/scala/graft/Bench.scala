@@ -64,9 +64,10 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
             false
         }
-        // isolate queries: internal persists (coreference edge list, …) must
-        // not eat heap from — and skew timings of — later queries
-        spark.catalog.clearCache()
+        // isolate queries: internal persists (coreference edge list, Lm tf
+        // frames, …) must not eat heap from — and skew timings of — later
+        // queries; drain() is the tracked-persist API for exactly this
+        graft.Caching.drain()
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       (name, times.map(_._1).min, times.forall(_._2))
@@ -76,7 +77,18 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","anchor_sec":$anchor,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // anchor gate: REF_ANCHOR is the recorded quiet-machine value (round-7
+    // full run, sf0.1/local[32]). Drift beyond ±30% means the machine —
+    // not the code — moved; the note makes every cross-round comparison
+    // carry its own normalization warning instead of relying on a human
+    // to remember the r6 false-regression lesson.
+    val REF_ANCHOR = 0.272
+    val drift = anchor / REF_ANCHOR
+    val note =
+      if (drift > 1.3 || drift < 1.0 / 1.3)
+        f""","anchor_note":"anchor drifted ${drift}%.2fx vs reference $REF_ANCHOR%.3fs - machine load differs; normalize per-query comparisons by anchor ratio before calling regressions""""
+      else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","anchor_sec":$anchor,"anchor_ref":$REF_ANCHOR$note,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -107,6 +107,17 @@ object ScaleBench {
       time("neardup_incremental_probe", dir) {
         Dedup.incrementalNearDup(delta, "doc_id", "text", index)
       }
+      // the at-scale posture: AQE's broadcast threshold OFF, so nothing is
+      // broadcast except the probe's explicit broadcast(delta-keys) hints —
+      // a 100 TB index is past any threshold, so THIS is the plan a real
+      // cluster runs (PlanSpec pins its shape; this measures its cost)
+      if (want("neardup_incremental_probe_nobc")) {
+        val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try time("neardup_incremental_probe_nobc", dir) {
+          Dedup.incrementalNearDup(delta, "doc_id", "text", index)
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      }
       time("neardup_full_rededup", dir) {
         Dedup.keepCanonical(corpus.unionByName(delta), "doc_id", "text",
           maxBucket = 256, metricName = "scale_full_rededup")
@@ -119,6 +130,10 @@ object ScaleBench {
     // to neardup_incremental_probe (same probe, plus per-batch within-batch
     // collapse + verdict/append writes + micro-batch bookkeeping).
     for (dir <- Seq(base, big) if want("idxmaintain_stream")) {
+      // 5th arg = batch count (default 5): the 30×+ decades drive MANY
+      // batches so the append-only index tree gets deep and the per-batch
+      // recursive-listing cost becomes visible in the batch durations
+      val nBatches = args.lift(4).map(_.toInt).getOrElse(5)
       val docs = Tables.load(spark, dir, "documents")
       val corpus = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
       val delta = docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
@@ -126,7 +141,7 @@ object ScaleBench {
       val idxDir = s"$root/index"; val inDir = s"$root/in"
       Dedup.bandKeysOf(corpus, "doc_id", "text")
         .write.mode("overwrite").parquet(idxDir)
-      delta.repartition(5).write.mode("overwrite").parquet(inDir)
+      delta.repartition(nBatches).write.mode("overwrite").parquet(inDir)
       val n = delta.count()
       val t0 = System.nanoTime()
       val q = graft.streaming.Streams.indexMaintainStream(
@@ -135,11 +150,37 @@ object ScaleBench {
           maxFilesPerTrigger = 1),
         "doc_id", "text", idxDir, s"$root/verdicts", s"$root/ckpt")
       q.awaitTermination()
+      val drain = (System.nanoTime() - t0) / 1e9
       val admitted = spark.read.parquet(s"$root/verdicts/batch_*")
         .filter(col("admitted")).count()
-      println(f"[scalebench] idxmaintain_stream dir=$dir " +
-        f"drain=${(System.nanoTime() - t0) / 1e9}%.2f s " +
-        f"(5 batches, $n docs, $admitted admitted)")
+      // per-batch triggerExecution durations, first→last: growth across
+      // this series IS the deepening-tree cost (probe work is flat by
+      // construction — every batch is the same ~1/nBatches delta slice)
+      val durs = q.recentProgress.toSeq
+        .sortBy(_.batchId).map(p => p.durationMs.get("triggerExecution"))
+      println(f"[scalebench] idxmaintain_stream dir=$dir drain=$drain%.2f s " +
+        f"($nBatches batches, $n docs, $admitted admitted) " +
+        s"batch_ms=${durs.mkString(",")}")
+      // compaction: flatten the bootstrap + per-batch tree back to one
+      // generation, then re-measure the listing+scan a reader (or the next
+      // batch's probe) pays — the cadence evidence for plans/SCALE.md
+      def listScan(): Double = {
+        val t = System.nanoTime()
+        spark.read.option("recursiveFileLookup", "true").parquet(idxDir).count()
+        (System.nanoTime() - t) / 1e9
+      }
+      val preFiles = {
+        val fs = new org.apache.hadoop.fs.Path(idxDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(idxDir), true)
+        var c = 0; while (it.hasNext) { it.next(); c += 1 }; c
+      }
+      val pre = listScan()
+      val tc = System.nanoTime()
+      graft.streaming.Streams.compactIndex(spark, idxDir)
+      val compactS = (System.nanoTime() - tc) / 1e9
+      println(f"[scalebench] idxmaintain_compact dir=$dir files_pre=$preFiles " +
+        f"scan_pre=$pre%.2f s compact=$compactS%.2f s scan_post=${listScan()}%.2f s")
     }
     spark.stop()
   }

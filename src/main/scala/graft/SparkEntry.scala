@@ -11,6 +11,7 @@ import graft.dedup.Dedup
 import graft.similarity.{Ann, Search}
 import graft.json.{MtlParser, TreeWalk}
 import graft.multimodal.Multimodal
+import graft.Caching.TrackedSyntax
 
 /** Driver contract: one `queries` entry (+ DuckDB oracle SQL) per operator
   * from SURVEY.md §2.
@@ -746,7 +747,7 @@ object SparkEntry {
       // entity AND edge exports both walk the doc — persist it or the
       // join+collect_list scaffold runs twice
       val doc = orderDoc(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .trackedPersist()
       val cust = TreeWalk.Capture("c_name", "cust")
       val item = TreeWalk.Capture("l_quantity", "item")
       val out = java.nio.file.Files.createTempDirectory("graft_graph").toString

@@ -32,9 +32,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // queries must not interfere: drop caches a query persisted internally
-      // (e.g. the coreference edge list) before the next one runs
-      spark.catalog.clearCache()
+      // queries must not interfere: drop the intermediates a query
+      // persisted internally (e.g. the coreference edge list, Lm's tf
+      // frames) before the next one runs — the Caching registry is the
+      // API'd form of the old blanket clearCache
+      graft.Caching.drain()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

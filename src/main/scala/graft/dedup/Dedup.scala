@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{Text, Vectors}
 import graft.Checkpoints.PinSyntax
+import graft.Caching.TrackedSyntax
 
 /** Deduplication for LLM-training-data pipelines (SURVEY §2.G1–G5).
   *
@@ -158,7 +159,7 @@ object Dedup {
       if (maxShingleDf == Int.MaxValue) shingleRows(df, idCol, textCol, k)
       else {
         val sh = shingleRows(df, idCol, textCol, k)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .trackedPersist()
         val lowDf = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= maxShingleDf).select("shingle")
         sh.join(lowDf, "shingle") // co-partitioned on shingle with the agg
@@ -266,7 +267,7 @@ object Dedup {
   def ngramJaccardPrefix(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, tau: Double = 0.8): DataFrame = {
     val sh = shingleRows(df, idCol, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
     val ranked = sh.join(dfs, "shingle")
       .withColumn("__rn", row_number().over(
@@ -280,7 +281,7 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b")).distinct()
       // candidate pairs are few by design and referenced twice (id filter +
       // verify join) — persist so the prefix pipeline runs once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     // verification sets ONLY for documents that appear in some candidate
     // pair — at high tau that is a vanishing fraction of the corpus, and
     // collecting whole-corpus shingle arrays would dwarf the filter's win
@@ -423,14 +424,20 @@ object Dedup {
     * signature, hence no collision → false.
     *
     * Scale shape: the corpus is NEVER re-read — its text was tokenized
-    * once at index build. The new batch's band keys are a zero-shuffle
-    * projection; the probe is one hash join on (band, band_key) where the
-    * delta side is batch-sized (AQE broadcasts it against the
-    * corpus-sized index) and only 32-byte keys shuffle, never text. After
-    * the batch commits, append the non-dup docs' [[bandKeysOf]] rows to
-    * the index — the loop's only write is delta-sized too. Within-batch
-    * duplicates are [[keepCanonical]]'s job; run it on the batch first,
-    * then probe the survivors.
+    * once at index build — and the index is never exchanged OR broadcast
+    * either. A left-semi join can only broadcast its RIGHT side, so
+    * probing `deltaKeys SEMI index` would build on the corpus-sized index;
+    * instead the join is oriented `index SEMI broadcast(deltaKeys)`: one
+    * streamed scan of the index with a batch-sized broadcast build (the
+    * hint holds even with autoBroadcastJoinThreshold=-1, the at-scale
+    * posture `PlanSpec` pins), producing the collided keys — bounded by
+    * the DELTA's key count, not the corpus. A second delta-sized semi join
+    * maps those keys back to delta ids. Only 32-byte keys ever move, never
+    * text, and nothing corpus-sized moves at all. After the batch commits,
+    * append the non-dup docs' [[bandKeysOf]] rows to the index — the
+    * loop's only write is delta-sized too. Within-batch duplicates are
+    * [[keepCanonical]]'s job; run it on the batch first, then probe the
+    * survivors.
     *
     * Output: (id, dup_of_corpus) for every new doc.
     */
@@ -438,8 +445,15 @@ object Dedup {
                          index: DataFrame, numHashes: Int = 16,
                          bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val nk = bandKeysOf(newDocs, idCol, textCol, numHashes, bands, rowsPerBand)
-    val hits = nk.join(index.select("band", "band_key"),
-        Seq("band", "band_key"), "left_semi")
+    val deltaKeys = nk.select("band", "band_key").distinct()
+    // index streamed, delta broadcast: the corpus-sized side never moves
+    val hitKeys = index.select("band", "band_key")
+      .join(broadcast(deltaKeys), Seq("band", "band_key"), "left_semi")
+      .distinct()
+    // nk SEMI hitKeys ≡ nk SEMI index on keys: nk's keys are in the delta
+    // set by construction, so intersecting with (index ∩ delta) keys is
+    // exactly intersecting with index keys
+    val hits = nk.join(broadcast(hitKeys), Seq("band", "band_key"), "left_semi")
       .select(col("id")).distinct().withColumn("__hit", lit(true))
     newDocs.select(col(idCol).as("id"))
       .join(hits, Seq("id"), "left")
@@ -479,7 +493,12 @@ object Dedup {
                  numHashes: Int = 16, bands: Int = 4,
                  rowsPerBand: Int = 4): DataFrame = {
     // accept either a bare id frame or full snapshotDiff rows — the `id`
-    // column wins by name, not by position
+    // column wins by name; a multi-column frame WITHOUT one is refused
+    // rather than guessed at (anti-joining on whatever column happens to
+    // be first would silently retire nothing)
+    require(retiredIds.columns.contains("id") || retiredIds.columns.length == 1,
+      s"retiredIds must have an 'id' column or be single-column, got: " +
+        retiredIds.columns.mkString(", "))
     val idName =
       if (retiredIds.columns.contains("id")) "id" else retiredIds.columns.head
     val retired = retiredIds.select(col(idName).as("id"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Checkpoints.PinSyntax
+import graft.Caching.TrackedSyntax
 
 /** Corpus-level language-model scoring for data curation.
   *
@@ -56,7 +57,7 @@ object Lm {
     // term frequencies (sum of tf ≡ recounting the exploded tokens), so the
     // corpus explodes and shuffles once, not once per statistic.
     val tf = tok.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val voc = tf.groupBy("tok").agg(sum(col("tf")).as("cnt"))
     val tot = voc.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
     val q = voc.crossJoin(broadcast(tot)).select(col("tok"),
@@ -96,14 +97,14 @@ object Lm {
     */
   def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__tk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val dtf = base
       .select(col("id"), col("__tk"), posexplode(slice(col("__tk"), lit(1),
         greatest(size(col("__tk")) - 1, lit(0)))))
       .select(col("id"), col("col").as("w1"),
         expr("element_at(__tk, pos + 2)").as("w2"))
       .groupBy("id", "w1", "w2").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val big = dtf.groupBy("w1", "w2").agg(sum(col("tf")).as("c12"))
     val ctx = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val v = base.select(explode(col("__tk")).as("tok"))
@@ -141,7 +142,7 @@ object Lm {
     // the tf aggregate single-pass; the vocab then derives from tf (one
     // corpus-sized shuffle total, mirroring unigramCrossEntropy)
     val tf = tok.groupBy("id", "__targ", "tok").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val voc = tf.groupBy("tok").agg(
       sum(col("tf")).as("cnt_s"),
       sum(when(col("__targ"), col("tf")).otherwise(0L)).as("cnt_t"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
 import graft.Checkpoints.PinSyntax
+import graft.Caching.TrackedSyntax
 
 /** MTL query-language front-end (reference `modelling/treehorn_yaccer.py`,
   * tokens `modelling/treehorn_tokenizer.py`, sample `query_text.mtl`).
@@ -309,7 +310,7 @@ object MtlParser {
                  functions: Map[String, Column => Column] = Map.empty): Map[String, DataFrame] = {
     val shared =
       if (program.queries.size > 1)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.trackedPersist()
       else df
     program.queries.keys.map(q => q -> run(shared, program, q, functions)).toMap
   }

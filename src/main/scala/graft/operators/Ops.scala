@@ -466,7 +466,13 @@ object Ops {
       .agg(count(lit(1)).as("c")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
     require(counts.nonEmpty, "temperatureSample on an empty frame")
-    val ws = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }
+    // α=0.5 goes through sqrt, NOT pow: sqrt is IEEE-correctly-rounded,
+    // pow is only 1-ulp (JIT intrinsic), and the oracle's bit-for-bit
+    // claim rests on sqrt — a 1-ulp weight wobble at a round-half quota
+    // boundary would flip a quota. Other alphas are documented as not
+    // oracle-exact.
+    val ws = counts.map { case (_, n) =>
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha) }
     val z = ws.sum // sorted-group order — the oracle sums in the same order
     val quotas: Map[String, Long] = counts.zip(ws).map { case ((g, n), w) =>
       g -> math.min(n, math.round(total * w / z))

@@ -7,6 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.Caching.TrackedSyntax
 
 /** Config-built pipelines (reference `DynamicClassMediator`, node.py:1555,
   * 1672: pipelines assembled from config dicts instead of code).
@@ -211,7 +212,7 @@ object ConfigPipeline {
           .option("mode", "PERMISSIVE")
           .option("columnNameOfCorruptRecord", "_corrupt_record")
           .schema(schema).csv(knob("path").asText())
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          .trackedPersist())
       case "error_budget" =>
         val pred = if (s.has("expr")) expr(knob("expr").asText())
                    else col("_corrupt_record").isNotNull

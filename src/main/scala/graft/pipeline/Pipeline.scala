@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
+import graft.Caching.TrackedSyntax
 
 /** DAG composition (reference `MetalNode` graphs, node.py:102: `a > b > c`,
   * fan-out `a > (b, c)`, fan-in `(a, b) > c`).
@@ -56,7 +57,7 @@ final class Pipeline private (stages: Vector[(String, Pipeline.Stage)]) {
         case FanIn(from, f)     => f(from.map(resolved))
       }
       resolved(name) = if (consumers(name) > 1 && !df.isStreaming)
-        df.persist(StorageLevel.MEMORY_AND_DISK) else df
+        df.trackedPersist() else df
     }
     resolved.toMap
   }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Text
+import graft.Caching.TrackedSyntax
 
 /** Keyword search over a document corpus: per-term TF-IDF statistics and
   * BM25 top-k retrieval (the lexical half of a retrieval pipeline; the
@@ -97,7 +98,7 @@ object Search {
         .agg(sort_array(collect_list(col("id"))).as("postings"),
           count(lit(1)).as("df"))
     else {
-      val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val p = pairs.trackedPersist()
       val kept = p.groupBy("token").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxPostings)
       p.join(kept, "token")
@@ -128,7 +129,7 @@ object Search {
     // the persist Catalyst re-runs the corpus tokenize+aggregate for it
     // (two scans of the corpus at scale)
     val tf = tok.groupBy("id", "token").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(broadcast(dfreq), "token").crossJoin(broadcast(n))

@@ -521,6 +521,59 @@ object Streams {
     }
   }
 
+  /** Compact an [[indexMaintainStream]] index directory: flatten the
+    * bootstrap files + per-batch subdirectories back to ONE generation of
+    * files. Run it BETWEEN drains (the natural daily-crawl cadence is
+    * drain-with-AvailableNow → compact → next drain), never while the
+    * stream is writing: the stream's files-as-state contract means the
+    * directory IS the state, and compaction must not race an append.
+    * "Between drains" means after `awaitTermination` RETURNED — a drain
+    * that crashed has an uncommitted last batch, and compacting before the
+    * replay would fold that batch's own keys into the flattened
+    * generation where the replay's self-append hygiene (which deletes
+    * `batch_<id>`) can no longer remove them, flipping its verdicts to
+    * dup_of_corpus. Restart and finish the drain first, then compact.
+    *
+    * Crash-safe by rename protocol, and SELF-RECOVERING on restart:
+    *  1. write the distinct'd flattened rows to `<dir>.next`
+    *  2. rename `<dir>` → `<dir>.old`
+    *  3. rename `<dir>.next` → `<dir>`
+    *  4. delete `<dir>.old`
+    * A crash between 2 and 3 leaves no `<dir>`; calling compactIndex again
+    * first completes the swap (it checks for a stranded `.next`/`.old`
+    * pair) before doing new work — so the documented recovery rule is
+    * simply "run compactIndex to completion before restarting the stream".
+    * `distinct()` makes re-compaction idempotent even if a crashed earlier
+    * attempt left duplicate rows.
+    *
+    * Why compact at all: every micro-batch appends a `batch_<id>` subdir,
+    * and every later probe pays a recursive listing of ALL files — driver
+    * work that grows linearly with batch count (measured in
+    * plans/SCALE.md). Compaction resets that to one generation; the
+    * band/band_key payload is 32-byte keys, so even a corpus-sized rewrite
+    * is small next to the corpus itself.
+    */
+  def compactIndex(spark: SparkSession, indexDir: String,
+                   partitions: Int = 0): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(indexDir)
+    val next = new Path(indexDir + ".next")
+    val old = new Path(indexDir + ".old")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recovery: a stranded swap from a crashed earlier run finishes first
+    if (!fs.exists(dir) && fs.exists(next)) fs.rename(next, dir)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(next)) fs.delete(next, true)
+    if (!fs.exists(dir)) return
+    val flat = spark.read.option("recursiveFileLookup", "true")
+      .parquet(indexDir).distinct()
+    (if (partitions > 0) flat.repartition(partitions) else flat)
+      .write.mode("overwrite").parquet(next.toString)
+    fs.rename(dir, old)
+    fs.rename(next, dir)
+    fs.delete(old, true)
+  }
+
   /** Run a micro-batch sink function (reference batch markers → foreachBatch
     * boundaries; the batch id IS the marker). `interval` selects the trigger:
     * None = as-fast-as-possible, Some("10 seconds") = processing-time,

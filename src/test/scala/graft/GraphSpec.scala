@@ -54,9 +54,14 @@ class GraphSpec extends SparkSpec {
         .as[(Long, Long)].collect().toSet
       assert(reliableRanks == localRanks)
       assert(reliableClusters == localClusters)
-      // and the knob did engage: reliable checkpoints wrote to the dir
-      assert(new java.io.File(dir).listFiles != null &&
-        new java.io.File(dir).listFiles.nonEmpty)
+      // and the knob did engage: setCheckpointDir itself eagerly creates a
+      // UUID subdir, so non-emptiness is vacuous — look for the rdd-*
+      // checkpoint data the reliable path actually writes
+      def rddCkpts(f: java.io.File): Int =
+        (if (f.getName.startsWith("rdd-")) 1 else 0) +
+          Option(f.listFiles).toSeq.flatten.map(rddCkpts).sum
+      assert(rddCkpts(new java.io.File(dir)) > 0,
+        s"no rdd-* checkpoint dirs under $dir — Checkpoints.pin never took the reliable path")
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 

@@ -640,6 +640,50 @@ class MtlConfigSpec extends SparkSpec {
     assert(badKnob.contains("missing required knob 'expr'"))
   }
 
+  test("ConfigPipeline composes the daily-crawl recipe to the q_incremental_pipeline answer") {
+    // the round-7 gap: snapshot_diff / band_keys / neardup_incremental /
+    // token_budget were each config-reachable, but nothing composed
+    // diff → probe → admit → budget as RunPipeline stages. This is that
+    // config — its output must row-match the Scala flagship exactly.
+    val dir = "/root/testdata/sf0.001"
+    val out = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "d", "op": "table", "dir": "$dir", "table": "documents"},
+         | {"name": "old0", "op": "filter", "from": "d", "expr": "doc_id % 11 != 3"},
+         | {"name": "old", "op": "withColumn", "from": "old0", "col": "text",
+         |  "expr": "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' v1') ELSE text END"},
+         | {"name": "diff", "op": "snapshot_diff", "from": "d", "old": "old",
+         |  "id": "doc_id", "text": "text"},
+         | {"name": "fresh_ids", "op": "filter", "from": "diff",
+         |  "expr": "status IN ('added', 'changed')"},
+         | {"name": "fresh_ids2", "op": "select", "from": "fresh_ids", "exprs": ["id"]},
+         | {"name": "fresh", "op": "join", "from": ["d", "fresh_ids2"],
+         |  "on": "doc_id = id", "how": "left_semi"},
+         | {"name": "corpus_ids", "op": "filter", "from": "diff",
+         |  "expr": "status = 'unchanged'"},
+         | {"name": "corpus_ids2", "op": "select", "from": "corpus_ids", "exprs": ["id"]},
+         | {"name": "corpus", "op": "join", "from": ["d", "corpus_ids2"],
+         |  "on": "doc_id = id", "how": "left_semi"},
+         | {"name": "index", "op": "band_keys", "from": "corpus",
+         |  "id": "doc_id", "text": "text"},
+         | {"name": "probed", "op": "neardup_incremental", "from": "fresh",
+         |  "index": "index", "id": "doc_id", "text": "text"},
+         | {"name": "keep_ids", "op": "filter", "from": "probed",
+         |  "expr": "NOT dup_of_corpus"},
+         | {"name": "keep_ids2", "op": "select", "from": "keep_ids", "exprs": ["id"]},
+         | {"name": "keep", "op": "join", "from": ["fresh", "keep_ids2"],
+         |  "on": "doc_id = id", "how": "left_semi"},
+         | {"name": "out", "op": "token_budget", "from": "keep", "id": "doc_id",
+         |  "group": "lang", "text": "text",
+         |  "budgets": {"en": 1500, "zh": 500, "es": 400}}
+         |]}""".stripMargin).output("out")
+    val want = SparkEntry.queries("q_incremental_pipeline")(spark, dir)
+    assert(out.columns.toSeq == want.columns.toSeq)
+    val gotRows = out.collect().map(_.toSeq).toSet
+    val wantRows = want.collect().map(_.toSeq).toSet
+    assert(gotRows == wantRows && gotRows.nonEmpty)
+  }
+
   test("every advertised validOps name is a real op (no drift)") {
     // feed each advertised op a minimal stage: a REAL op fails on a missing
     // knob / upstream (or even builds), never with "unknown op" — so a name
@@ -654,12 +698,22 @@ class MtlConfigSpec extends SparkSpec {
       assert(!msg.contains("unknown op"), s"validOps lists '$op' but the dispatcher doesn't: $msg")
     }
     // ...and the REVERSE: every top-level dispatcher arm is advertised.
-    // Top-level arms sit at 6-space indent in addStage's match; method/mode
-    // sub-matches (kmv, bloom, ivfpq, ...) are nested deeper.
-    val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
-      "src/main/scala/graft/pipeline/ConfigPipeline.scala")))
-    val arms = "(?m)^      case \"([A-Za-z_0-9]+)\" =>".r
-      .findAllMatchIn(src).map(_.group(1)).toSet
+    // Top-level arms are the LEAST-indented string-case arms in the file
+    // (method/mode sub-matches — kmv, bloom, ivfpq, ... — nest deeper), so
+    // the detection survives a reformat; the path is anchored by walking up
+    // to build.sbt, so it survives a different test working directory.
+    def repoRoot(d: java.io.File): java.io.File =
+      if (new java.io.File(d, "build.sbt").exists) d
+      else repoRoot(Option(d.getParentFile).getOrElse(
+        fail("no build.sbt above " + sys.props("user.dir"))))
+    val src = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(repoRoot(new java.io.File(sys.props("user.dir")).getAbsoluteFile),
+        "src/main/scala/graft/pipeline/ConfigPipeline.scala").toPath))
+    val armMatches = "(?m)^(\\s*)case \"([A-Za-z_0-9]+)\" =>".r
+      .findAllMatchIn(src).toSeq
+    val minIndent = armMatches.map(_.group(1).length).min
+    val arms = armMatches.filter(_.group(1).length == minIndent)
+      .map(_.group(2)).toSet
     assert(arms == ConfigPipeline.validOps.toSet,
       s"dispatcher arms not advertised: ${(arms -- ConfigPipeline.validOps).toSeq.sorted}; " +
         s"advertised but missing: ${(ConfigPipeline.validOps.toSet -- arms).toSeq.sorted}")

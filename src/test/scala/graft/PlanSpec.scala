@@ -37,8 +37,11 @@ class PlanSpec extends SparkSpec {
       // single-shuffle aggregation/window shapes
       "q_agg" -> 1, "q_dedup_exact" -> 1, "q_sessionize" -> 1,
       "q_window" -> 1, "q_token_budget" -> 1, "q_temperature_sample" -> 1,
-      "q_corpus_shuffle" -> 1, "q_pack" -> 1, "q_incremental_neardup" -> 1,
-      "q_ann" -> 1,
+      "q_corpus_shuffle" -> 1, "q_pack" -> 1, "q_ann" -> 1,
+      // 3 DELTA-bounded exchanges (delta-key distinct, hit-key distinct,
+      // hit-id distinct) — the r7 value of 1 came with the corpus-sized
+      // index on the broadcast build side, the round-8 fix's whole point
+      "q_incremental_neardup" -> 3,
       // audited multi-exchange shapes
       "q_lsh_pairs" -> 2, "q_snapshot_diff" -> 2, "q_join" -> 2,
       "q_decontaminate" -> 2, "q_repetition" -> 2, "q_semdedup" -> 2)
@@ -321,5 +324,61 @@ class PlanSpec extends SparkSpec {
     val p = planString(graft.functions.Text.repetitionStats(docs, "doc_id", "text", 2))
     assert(p.contains("HashAggregate"), p.take(2000))
     assert(p.contains("partial_count") || p.contains("Partial"), p.take(2000))
+  }
+
+  test("incremental probe at scale: the corpus-sized index is never exchanged " +
+       "and never the broadcast build side") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // the at-scale posture: AQE's broadcast threshold OFF, so only the
+    // explicit broadcast(delta) hints survive — exactly what a 100 TB index
+    // (far past any threshold) would see. AQE itself off so the static
+    // executedPlan is the one audited, not a runtime re-plan of tiny data.
+    val marker = "idxplan-" + System.nanoTime()
+    val dir = java.nio.file.Files.createTempDirectory(marker).toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    Dedup.bandKeysOf(docs.filter(col("doc_id") % 13 =!= 5), "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val delta = docs.filter(col("doc_id") % 13 === 5)
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probed = Dedup.incrementalNearDup(delta, "doc_id", "text", index)
+      val plan = probed.queryExecution.executedPlan
+      def isIndexScan(p: SparkPlan): Boolean =
+        p.children.isEmpty && p.verboseStringWithSuffix(10000).contains(marker)
+      // root→scan path (the index parquet is read exactly once)
+      def path(p: SparkPlan): Option[List[SparkPlan]] =
+        if (isIndexScan(p)) Some(List(p))
+        else p.children.view.flatMap(c => path(c).map(p :: _)).headOption
+      val toScan = path(plan).getOrElse(fail("index scan not found in plan:\n" +
+        plan.toString.take(3000)))
+      // walking UP from the scan, the first exchange-or-join must be a
+      // BroadcastHashJoin that STREAMS the index (build = broadcast delta):
+      // the corpus flows into the join straight off the scan, unshuffled,
+      // and everything above that join is delta-bounded by the semi join.
+      val firstBarrier = toScan.reverse.drop(1).find {
+        case _: ShuffleExchangeExec => true
+        case _: BroadcastExchangeExec => true
+        case _: BroadcastHashJoinExec => true
+        case p => p.getClass.getSimpleName.contains("Join")
+      }
+      firstBarrier match {
+        case Some(j: BroadcastHashJoinExec) =>
+          assert(path(j.children.head).isDefined,
+            "index must be on the STREAMED (left) side of the probe join:\n" + j)
+        case other => fail(s"first barrier above the index scan is $other, " +
+          "expected a BroadcastHashJoin streaming the index:\n" +
+          plan.toString.take(3000))
+      }
+      // and the answer is still the answer with broadcast thresholds off
+      assert(probed.filter(col("dup_of_corpus")).count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
   }
 }

@@ -195,6 +195,44 @@ class StreamsSpec extends SparkSpec {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("compactIndex flattens the batch tree, preserves the row set, and recovers a stranded swap") {
+    val base = java.nio.file.Files.createTempDirectory("graft_idxcompact").toString
+    val inDir = s"$base/in"; val idxDir = s"$base/index"
+    def text(i: Long) = s"ka$i kb$i kc$i kd$i ke$i kf$i"
+    (1L to 8L).map(i => (i, text(i))).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/g1")
+    (21L to 28L).map(i => (i, text(i))).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/g2")
+    val q = Streams.indexMaintainStream(
+      Streams.watchDirectory(spark, s"$inDir/*", format = "parquet",
+        schemaDdl = Some("doc_id BIGINT, text STRING"), maxFilesPerTrigger = 1),
+      "doc_id", "text", idxDir, s"$base/verdicts", s"$base/ckpt")
+    q.awaitTermination()
+    val read = () => spark.read.option("recursiveFileLookup", "true").parquet(idxDir)
+    val before = read().collect().toSet
+    assert(new java.io.File(idxDir).listFiles().exists(_.isDirectory),
+      "precondition: the drain left per-batch subdirectories")
+    Streams.compactIndex(spark, idxDir)
+    // one flat generation, identical row set
+    assert(!new java.io.File(idxDir).listFiles().exists(_.isDirectory))
+    assert(read().collect().toSet == before)
+    // a probe sees the same index either way
+    val probe = graft.dedup.Dedup.incrementalNearDup(
+      Seq((100L, text(3)), (101L, text(50))).toDF("doc_id", "text"),
+      "doc_id", "text", read())
+    assert(probe.as[(Long, Boolean)].collect().toMap == Map(100L -> true, 101L -> false))
+    // stranded-swap recovery: simulate a crash between renames 2 and 3 —
+    // <dir> gone, complete <dir>.next present — and compact again
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(idxDir),
+      new org.apache.hadoop.fs.Path(idxDir + ".next"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idxDir)))
+    Streams.compactIndex(spark, idxDir)
+    assert(read().collect().toSet == before)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idxDir + ".next")))
+  }
+
   test("a restarted drain resumes from the checkpoint without reprocessing") {
     // the README cluster contract: the checkpoint owns exactly-once
     // file-source progress — a second AvailableNow drain against the SAME
