@@ -182,6 +182,39 @@ object ScaleBench {
       println(f"[scalebench] idxmaintain_compact dir=$dir files_pre=$preFiles " +
         f"scan_pre=$pre%.2f s compact=$compactS%.2f s scan_post=${listScan()}%.2f s")
     }
+    // Listing-cost isolation: the per-batch numbers above are dominated by
+    // micro-batch fixed cost, so the recursive-listing term (driver work
+    // that grows with batch-dir count until compaction) is measured
+    // directly — synthesize an index tree with B batch subdirs and time a
+    // probe-shaped read at each depth, then after compaction.
+    if (want("index_tree_listing")) {
+      val docs = Tables.load(spark, base, "documents")
+      val keys = Dedup.bandKeysOf(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text").coalesce(1)
+      val root = s"$work/deeptree_${System.nanoTime()}"
+      var written = 0
+      for (b <- Seq(25, 100, 400)) {
+        while (written < b) {
+          keys.write.mode("overwrite").parquet(s"$root/idx/batch_$written")
+          written += 1
+        }
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          spark.read.option("recursiveFileLookup", "true")
+            .parquet(s"$root/idx").count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[scalebench] index_tree_listing batches=$b " +
+          f"scan_min=${times.min}%.2f s runs=${times.map(t => f"$t%.2f").mkString(",")}")
+      }
+      val t0 = System.nanoTime()
+      graft.streaming.Streams.compactIndex(spark, s"$root/idx")
+      val compactS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      spark.read.option("recursiveFileLookup", "true").parquet(s"$root/idx").count()
+      println(f"[scalebench] index_tree_listing compacted compact=$compactS%.2f s " +
+        f"scan=${(System.nanoTime() - t1) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }
