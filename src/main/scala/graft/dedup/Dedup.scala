@@ -439,6 +439,11 @@ object Dedup {
     * [[keepCanonical]]'s job; run it on the batch first, then probe the
     * survivors.
     *
+    * Contract: `newDocs` is a BATCH (daily-crawl delta), so its band keys
+    * broadcast by construction. If your "delta" is itself corpus-sized,
+    * this is not the operator — run [[keepCanonical]] over the union (or
+    * rebuild the index) instead of broadcasting a corpus.
+    *
     * Output: (id, dup_of_corpus) for every new doc.
     */
   def incrementalNearDup(newDocs: DataFrame, idCol: String, textCol: String,

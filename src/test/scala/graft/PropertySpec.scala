@@ -322,4 +322,28 @@ class PropertySpec extends SparkSpec {
       injective && roundtrips
     })
   }
+
+  test("law: the reoriented probe equals the naive delta-semi-index probe") {
+    // r8 flipped incrementalNearDup's join so the index streams and the
+    // delta broadcasts; the law pins the two-semi-join composition to the
+    // one-semi-join definition on random corpora and deltas — a doc is
+    // dup_of_corpus iff ANY of its band keys appears in the index.
+    val docGen = Gen.listOfN(16, Gen.zip(Gen.chooseNum(0L, 30L),
+      Gen.listOfN(6, Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8"))))
+    check(Prop.forAll(docGen, Gen.chooseNum(2, 5)) { (rows, mod) =>
+      val docs = rows.map { case (i, ts) => (i, ts.mkString(" ")) }
+        .toDF("doc_id", "text").dropDuplicates("doc_id")
+      val corpus = docs.filter(col("doc_id") % mod =!= 0)
+      val delta = docs.filter(col("doc_id") % mod === 0)
+      val index = Dedup.bandKeysOf(corpus, "doc_id", "text")
+      val got = Dedup.incrementalNearDup(delta, "doc_id", "text", index)
+        .as[(Long, Boolean)].collect().toMap
+      val nk = Dedup.bandKeysOf(delta, "doc_id", "text")
+      val naive = nk.join(index.select("band", "band_key"),
+          Seq("band", "band_key"), "left_semi")
+        .select("id").as[Long].collect().toSet
+      val deltaIds = delta.select("doc_id").as[Long].collect().toSet
+      got.keySet == deltaIds && got.forall { case (id, v) => v == naive(id) }
+    })
+  }
 }
