@@ -83,7 +83,13 @@ object ScaleBench {
     }
 
     for (dir <- Seq(base, big)) {
-      for (q <- Seq("q_neardup_pipeline", "q_llm_pipeline", "q_kb_infer", "q_pagerank"))
+      // r8 additions ride the same loop: substring dedup is the worst-case
+      // regime here (every replica's every window is a dup — the islands
+      // path sees ~the whole window set); heavy hitters and drift are
+      // scan-dominated and should grow linearly with constant shuffle.
+      for (q <- Seq("q_neardup_pipeline", "q_llm_pipeline", "q_kb_infer", "q_pagerank",
+          "q_substring_dedup", "q_substring_dedup_clean", "q_heavy_hitters",
+          "q_distribution_drift"))
         time(q, dir) { SparkEntry.queries(q)(spark, dir) }
       time("neardup_composed", dir) { neardupComposed(spark, dir) }
     }

@@ -1002,6 +1002,42 @@ object SparkEntry {
       val nw = d.filter(col("doc_id") % 13 =!= 5)
       Ops.snapshotDiff(old, nw, "doc_id", "text")
     }),
+    // token-distribution drift between the same two snapshots: mean
+    // per-token log likelihood ratio of the new crawl under its own unigram
+    // LM vs the old one's (empirical KL) — the "did the language move"
+    // monitor beside snapshotDiff's "which docs moved"
+    "q_distribution_drift" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val old = d.filter(col("doc_id") % 11 =!= 3)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v1"))).otherwise(col("text")))
+      val nw = d.filter(col("doc_id") % 13 =!= 5)
+      graft.functions.Lm.distributionDrift(old, nw, "text")
+    }),
+    // shift-robust exact-substring dedup: sliding 16-token window hashes,
+    // earlier (doc, start) owns each hash, overlapping dup windows merge
+    // into maximal spans — catches copied runs fixed chunks miss when an
+    // insertion shifts them off the chunk grid
+    "q_substring_dedup" -> ((s, dir) =>
+      Dedup.substringDedup(T(s, dir, "documents"), "doc_id", "text",
+          window = 16, stride = 1)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_spans"),
+          col("dup_tokens"), col("dup_frac"))),
+    // the TRANSFORM twin: tokens inside a maximal dup span removed, the
+    // survivors reassembled in token order (the Lee-et-al substring cut)
+    "q_substring_dedup_clean" -> ((s, dir) =>
+      Dedup.substringDedupClean(T(s, dir, "documents"), "doc_id", "text",
+          window = 16)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("dup_tokens"),
+          col("clean_text"))),
+    // heavy hitters over the corpus token stream: freqItems sketch
+    // candidates + one exact verify pass — equals the full GROUP BY answer
+    // while only candidate values ever enter an exchange
+    "q_heavy_hitters" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+      Ops.heavyHitters(toks, "tok", supportPermille = 33)
+    }),
     // KMV distinct sketch: k smallest md5 hashes per group (deterministic,
     // unlike HLL — the oracle reproduces the estimate bit-for-bit)
     "q_kmv" -> ((s, dir) =>
@@ -2627,6 +2663,89 @@ object SparkEntry {
         |       ELSE 'changed' END AS status,
         |  old_hash, new_hash
         |FROM o FULL OUTER JOIN n ON o.id = n.id""".stripMargin,
+    "q_distribution_drift" ->
+      s"""WITH old AS (SELECT CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 11 <> 3),
+         |nw AS (SELECT text FROM documents WHERE doc_id % 13 <> 5),
+         |tok AS (SELECT FALSE AS isnew, unnest($toksSql) AS tok FROM old
+         |        UNION ALL
+         |        SELECT TRUE AS isnew, unnest($toksSql) AS tok FROM nw),
+         |voc AS (SELECT tok,
+         |        CAST(SUM(CASE WHEN isnew THEN 0 ELSE 1 END) AS BIGINT) AS c_o,
+         |        CAST(SUM(CASE WHEN isnew THEN 1 ELSE 0 END) AS BIGINT) AS c_n
+         |        FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c_o) AS BIGINT) AS n_o,
+         |        CAST(SUM(c_n) AS BIGINT) AS n_n, COUNT(*) AS v FROM voc),
+         |terms AS (SELECT c_n, n_o, n_n, v,
+         |      CAST(ln(CAST((c_n + 1) * (n_o + v) AS DOUBLE) /
+         |              CAST((c_o + 1) * (n_n + v) AS DOUBLE)) AS DECIMAL(18,6)) AS lr
+         |      FROM voc CROSS JOIN tot)
+         |SELECT v, n_o AS n_old, n_n AS n_new,
+         |  CASE WHEN n_n > 0 THEN CAST(CAST(SUM(lr * c_n) AS DECIMAL(18,6)) AS DOUBLE) /
+         |       CAST(n_n AS DOUBLE) END AS drift
+         |FROM terms GROUP BY v, n_o, n_n""".stripMargin,
+    "q_substring_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |base AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks),
+         |wins0 AS (SELECT doc_id, tk, unnest(range(0, len(tk) - 15)) AS start
+         |       FROM base WHERE n_tokens >= 16),
+         |wins AS (SELECT doc_id, CAST(start AS BIGINT) AS start,
+         |       md5(array_to_string(list_slice(tk, CAST(start + 1 AS INT), CAST(start + 16 AS INT)), ' ')) AS h
+         |       FROM wins0),
+         |o AS (SELECT doc_id, start,
+         |      row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn FROM wins),
+         |d AS (SELECT doc_id, start, start + 16 AS e FROM o WHERE rn > 1),
+         |isl AS (SELECT doc_id, start, e,
+         |        max(e) OVER (PARTITION BY doc_id ORDER BY start
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM d),
+         |g AS (SELECT doc_id, start, e,
+         |      SUM(CASE WHEN pmax IS NULL OR start > pmax THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY doc_id ORDER BY start
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle FROM isl),
+         |sp AS (SELECT doc_id, isle, MIN(start) AS s, MAX(e) AS e FROM g GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_dup_spans, CAST(SUM(e - s) AS BIGINT) AS dup_tokens
+         |        FROM sp GROUP BY 1)
+         |SELECT b.doc_id, b.n_tokens,
+         |  CAST(COALESCE(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+         |  CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  CASE WHEN b.n_tokens > 0
+         |       THEN CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+         |       ELSE 0.0 END AS dup_frac
+         |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q_substring_dedup_clean" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |base AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks),
+         |wins0 AS (SELECT doc_id, tk, unnest(range(0, len(tk) - 15)) AS start
+         |       FROM base WHERE n_tokens >= 16),
+         |wins AS (SELECT doc_id, CAST(start AS BIGINT) AS start,
+         |       md5(array_to_string(list_slice(tk, CAST(start + 1 AS INT), CAST(start + 16 AS INT)), ' ')) AS h
+         |       FROM wins0),
+         |o AS (SELECT doc_id, start,
+         |      row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn FROM wins),
+         |d AS (SELECT doc_id, start, start + 16 AS e FROM o WHERE rn > 1),
+         |isl AS (SELECT doc_id, start, e,
+         |        max(e) OVER (PARTITION BY doc_id ORDER BY start
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM d),
+         |g AS (SELECT doc_id, start, e,
+         |      SUM(CASE WHEN pmax IS NULL OR start > pmax THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY doc_id ORDER BY start
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle FROM isl),
+         |sp AS (SELECT doc_id, isle, MIN(start) AS s, MAX(e) AS e FROM g GROUP BY 1, 2),
+         |spl AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans,
+         |        CAST(SUM(e - s) AS BIGINT) AS dup_tokens FROM sp GROUP BY 1)
+         |SELECT b.doc_id, b.n_tokens,
+         |  CAST(COALESCE(l.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  CASE WHEN l.spans IS NULL THEN array_to_string(b.tk, ' ')
+         |       ELSE COALESCE(array_to_string(list_transform(
+         |         list_filter(range(0, len(b.tk)),
+         |           i -> len(list_filter(l.spans, x -> i >= x.s AND i < x.e)) = 0),
+         |         i -> b.tk[CAST(i + 1 AS INT)]), ' '), '') END AS clean_text
+         |FROM base b LEFT JOIN spl l USING (doc_id)""".stripMargin,
+    "q_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest($toksSql) AS value FROM documents),
+         |n AS (SELECT COUNT(*) AS n FROM tk)
+         |SELECT value, COUNT(*) AS cnt FROM tk CROSS JOIN n
+         |GROUP BY value, n.n HAVING COUNT(*) * 1000 > n.n * 33""".stripMargin,
     "q_kmv" ->
       """WITH u AS (SELECT DISTINCT l_returnflag,
         |    ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h

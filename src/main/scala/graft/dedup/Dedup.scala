@@ -888,6 +888,124 @@ object Dedup {
           x => x.getField("chunk_text")), " ").as("clean_text"))
   }
 
+  /** Shift-robust exact-substring dedup (the "dedup repeated substrings ≥ L
+    * tokens" step of Lee et al.-style pipelines): hash EVERY `stride`-spaced
+    * `window`-token sliding window, mark a window as duplicated when the
+    * same hash occurred at a lexicographically earlier (doc_id, start), and
+    * merge each document's overlapping duplicated windows into MAXIMAL
+    * spans. This is the alignment-free companion to [[spanDedup]]: fixed
+    * non-overlapping chunks miss a copied passage the moment an insertion
+    * shifts it off the chunk grid, while sliding windows at stride 1 catch
+    * any duplicated run of ≥ `window` tokens REGARDLESS of token offset
+    * (every window of the run exists in both copies, so at least one hash
+    * collides). Stride s > 1 samples window starts, so a shared run is
+    * only GUARANTEED detected when its offsets in the two copies agree
+    * mod s (windows must start at the same position inside the run) —
+    * a cheap approximate screen, not the full guarantee; stride 1 is the
+    * default and the correctness-grade setting.
+    *
+    * Scale: windowing + hashing is a zero-shuffle projection (the token
+    * array slices in place; only (id, start, 32-byte md5) rows leave the
+    * scan — document text never shuffles). Ownership is ONE hash shuffle of
+    * those fixed-width rows — at stride 1 that is corpus-TOKEN-sized, which
+    * is the knob `stride` exists for: stride s divides the shuffle volume
+    * by s at the cost of the detection guarantee (see above).
+    * Span merging shuffles only the DUPLICATED windows (one exchange on id)
+    * and runs the classic gaps-and-islands windows per document. Docs with
+    * fewer than `window` tokens carry no full window and report 0 spans.
+    *
+    * Output: (id, n_tokens, n_dup_spans, dup_tokens, dup_frac) — dup_tokens
+    * is the union length of the maximal duplicated spans, dup_frac the
+    * exact bigint÷bigint fraction of the document's tokens inside one.
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     window: Int = 32, stride: Int = 1): DataFrame = {
+    val (base, spans) = substringSpans(df, idCol, textCol, window, stride)
+    val perDoc = spans.groupBy("id")
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("__e") - col("__s")).as("dup_tokens"))
+    base.select(col("id"), col("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_frac",
+        when(col("n_tokens") > 0,
+          col("dup_tokens").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .otherwise(lit(0.0)))
+  }
+
+  /** The TRANSFORM companion to [[substringDedup]] (what [[spanDedupClean]]
+    * is to [[spanDedup]]): remove every token inside a maximal duplicated
+    * span and reassemble the survivors in token order — the Lee-et-al-style
+    * "cut the repeated substring, keep the first copy corpus-wide" rewrite,
+    * robust to the copied passage sitting at ANY token offset. Removal
+    * granularity is whole windows, so a span's edges may shave up to
+    * window−1 context tokens beyond the minimal duplicated run — inherent
+    * to window-hash dedup, and why `window` should track the minimum run
+    * length worth cutting. Stride is fixed at 1: a sampled screen cannot
+    * safely REWRITE (a missed window would leave half a span behind).
+    *
+    * Scale: identical movement to [[substringDedup]] plus one per-doc
+    * span-list join back to the token arrays (span lists are doc-bounded
+    * and only exist for docs WITH duplicates); the rewrite itself is a
+    * codegen HOF filter over the token array — no extra shuffle.
+    *
+    * Output: (id, n_tokens, dup_tokens, clean_text); a fully-duplicated
+    * document survives with empty clean_text rather than vanishing.
+    */
+  def substringDedupClean(df: DataFrame, idCol: String, textCol: String,
+                          window: Int = 32): DataFrame = {
+    val (base, spans) = substringSpans(df, idCol, textCol, window, 1)
+    val spanLists = spans.groupBy("id").agg(
+      collect_list(struct(col("__s"), col("__e"))).as("__spans"),
+      sum(col("__e") - col("__s")).as("dup_tokens"))
+    base.join(spanLists, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("__spans").isNull, array_join(col("__tk"), " "))
+          .otherwise(array_join(filter(col("__tk"),
+            (tok, i) => !exists(col("__spans"),
+              sp => i.cast(LongType) >= sp.getField("__s") &&
+                i.cast(LongType) < sp.getField("__e"))),
+            " ")).as("clean_text"))
+  }
+
+  /** Shared span computation for [[substringDedup]] / [[substringDedupClean]]:
+    * returns (base = (id, __tk, n_tokens) for every doc,
+    * spans = (id, __s, __e) maximal merged dup spans for docs that have any).
+    */
+  private def substringSpans(df: DataFrame, idCol: String, textCol: String,
+                             window: Int, stride: Int): (DataFrame, DataFrame) = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val base = df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__tk"))
+      .select(col("id"), col("__tk"), size(col("__tk")).cast(LongType).as("n_tokens"))
+    val wins = base.filter(col("n_tokens") >= window)
+      .select(col("id"), col("__tk"), col("n_tokens"),
+        explode(sequence(lit(0L), expr(s"(n_tokens - $window) div $stride"))).as("__i"))
+      .select(col("id"), col("n_tokens"), (col("__i") * stride).as("start"),
+        md5(array_join(slice(col("__tk"), (col("__i") * stride + 1).cast(IntegerType),
+          lit(window)), " ")).as("__h"))
+    val wOwn = Window.partitionBy("__h")
+    val dups = wins
+      .withColumn("__first", min(struct(col("id"), col("start"))).over(wOwn))
+      .filter(col("__first.id") =!= col("id") || col("__first.start") =!= col("start"))
+      .select(col("id"), col("start"), (col("start") + window).as("__end"))
+    val wPrev = Window.partitionBy("id").orderBy("start")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("id").orderBy("start")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val spans = dups
+      .withColumn("__pmax", max(col("__end")).over(wPrev))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("start") > col("__pmax"), 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(wRun))
+      .groupBy("id", "__island")
+      .agg(min(col("start")).as("__s"), max(col("__end")).as("__e"))
+      .select(col("id"), col("__s"), col("__e"))
+    (base, spans)
+  }
+
   /** Connected components over a near-dup pair list: every document in a
     * transitively-connected group maps to the group's MINIMUM id (the
     * canonical representative). This is the step after any pair generator

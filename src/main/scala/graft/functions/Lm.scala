@@ -159,6 +159,57 @@ object Lm {
         col("__sw").cast(DecimalType(18, 6)).as("logw"))
   }
 
+  /** Token-distribution drift between two corpus snapshots — the
+    * monitoring companion to snapshotDiff/incremental dedup (G39/G40): a
+    * daily crawl pipeline needs to know not just WHICH documents changed
+    * but whether the language itself moved (new domains, a spam wave, a
+    * scraper bug flooding one template). Reports the mean per-token log
+    * likelihood ratio of the NEW snapshot under its own unigram LM vs the
+    * OLD snapshot's LM — an empirical KL(new‖old) estimate: 0 when the
+    * distributions match, growing as they diverge. Both LMs are add-one
+    * smoothed over the SHARED union vocabulary (the [[importanceWeights]]
+    * smoothing, so tokens unseen in one side get mass 1/(N+V), never zero).
+    *
+    * Determinism: the per-token ratio is ONE `ln` of an integer-exact
+    * double quotient quantized to DECIMAL(18,6) before the integer-weighted
+    * sum, and the final mean is a single double division — the DSIR/BM25
+    * tail, 1-ulp-proof across engines.
+    *
+    * Shape: ONE tokenize scan over old ∪ new (a side flag rides the
+    * union), one partial-agg shuffle to the vocab-sized count table, and
+    * everything after touches only that table (totals broadcast back).
+    * Document text never shuffles.
+    *
+    * Output: one row (v, n_old, n_new, drift) — v the union vocabulary
+    * size, n_* total token occurrences, drift the mean log ratio (NULL if
+    * the new snapshot has no tokens).
+    */
+  def distributionDrift(oldDocs: DataFrame, newDocs: DataFrame,
+                        textCol: String): DataFrame = {
+    val tok = oldDocs.select(lit(false).as("__new"),
+        explode(Text.tokens(col(textCol))).as("tok"))
+      .unionByName(newDocs.select(lit(true).as("__new"),
+        explode(Text.tokens(col(textCol))).as("tok")))
+    val voc = tok.groupBy("tok").agg(
+        sum(when(!col("__new"), 1L).otherwise(0L)).as("c_o"),
+        sum(when(col("__new"), 1L).otherwise(0L)).as("c_n"))
+      .trackedPersist()
+    val tot = voc.agg(sum(col("c_o")).as("n_o"), sum(col("c_n")).as("n_n"),
+      count(lit(1)).as("v"))
+    voc.crossJoin(broadcast(tot))
+      .select(col("c_n"), col("n_o"), col("n_n"), col("v"),
+        log(((col("c_n") + lit(1)) * (col("n_o") + col("v"))).cast(DoubleType) /
+            ((col("c_o") + lit(1)) * (col("n_n") + col("v"))).cast(DoubleType))
+          .cast(DecimalType(18, 6)).as("__lr"))
+      .agg(sum(col("__lr") * col("c_n")).as("__s"),
+        max(col("n_o")).as("n_old"), max(col("n_n")).as("n_new"),
+        max(col("v")).as("v"))
+      .select(col("v"), col("n_old"), col("n_new"),
+        when(col("n_new") > 0,
+          col("__s").cast(DecimalType(18, 6)).cast(DoubleType) /
+            col("n_new").cast(DoubleType)).as("drift"))
+  }
+
   /** Feature-hashed document features (the hashing trick): token → bucket
     * `md5 mod dim`, per-document bucket frequencies. The vocabulary-free
     * feature map of a fastText-style classifier — fixed `dim`-sized model

@@ -7,6 +7,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.Caching.TrackedSyntax
+
 /** Relational re-expressions of the reference's processor nodes.
   *
   * Each method is a lazy DataFrame → DataFrame transform (a Catalyst plan
@@ -645,6 +647,48 @@ object Ops {
           .otherwise(lit((k - 1).toDouble) /
             (col("__kth").cast(DoubleType) / lit((1L << 60).toDouble))))
       .drop("__kth")
+  }
+
+  /** Heavy hitters (frequent items) with an EXACT answer at sketch cost:
+    * every value whose frequency strictly exceeds `supportPermille`‰ of the
+    * row count — the "which domains / boilerplate n-grams / user-agents
+    * dominate this corpus" question that a full `GROUP BY value` answers by
+    * shuffling the entire distinct-value universe (at 100 TB of URLs, a
+    * shuffle bigger than the answer by many orders of magnitude).
+    *
+    * Two passes, both scan-shaped: (1) `df.stat.freqItems` — Spark's
+    * single-pass Karp/Misra-Gries-family counter sketch, ~1/support
+    * counters per partition merged on the driver, NO shuffle — yields a
+    * candidate set guaranteed to contain every item above support (false
+    * positives possible, false negatives not); (2) one verify scan folds
+    * every NON-candidate row into a single null group, so ONE partial-agg
+    * shuffle of candidate-sized cardinality produces both the exact
+    * candidate counts and (as the group-count sum) the exact total row
+    * count — no separate `count()` job. False positives die on the exact
+    * threshold, so the output EQUALS the full group-by answer (the oracle
+    * runs exactly that), deterministically, while only candidate values
+    * ever enter an exchange.
+    *
+    * Output: (value, cnt) for values with cnt · 1000 > n · supportPermille.
+    * Null values never qualify (they fold into the rest-group).
+    */
+  def heavyHitters(df: DataFrame, valueCol: String,
+                   supportPermille: Int): DataFrame = {
+    require(supportPermille >= 1 && supportPermille < 1000,
+      s"supportPermille must be in [1, 1000), got $supportPermille")
+    val support = supportPermille / 1000.0
+    val cands: Seq[String] = df.stat.freqItems(Seq(valueCol), support)
+      .head.getSeq[Any](0).map(String.valueOf)
+    val counts = df
+      .select(when(col(valueCol).cast(StringType).isInCollection(cands),
+        col(valueCol).cast(StringType)).as("value"))
+      .groupBy("value").agg(count(lit(1)).as("cnt"))
+      .trackedPersist()
+    val total = counts.agg(sum(col("cnt")).as("__n"))
+    counts.filter(col("value").isNotNull)
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * lit(1000L) > col("__n") * lit(supportPermille.toLong))
+      .select(col("value"), col("cnt"))
   }
 
   /** Deterministic weighted Bernoulli sampling: keep a row with probability

@@ -131,12 +131,14 @@ object ConfigPipeline {
     "agg", "ann", "band_keys", "boilerplate", "canonical_url", "chunk",
     "corpus_shuffle", "csv_permissive", "decontaminate", "dedup_best",
     "dedup_exact", "dedup_near", "degrees", "distinct", "distinct_sketch",
-    "dsir", "error_budget", "filter", "fingerprint", "flatten", "histogram",
+    "distribution_drift", "dsir", "error_budget", "filter", "fingerprint",
+    "flatten", "heavy_hitters", "histogram",
     "index_delta", "inverted_index", "join", "langid", "limit",
     "lm_xent", "lm_xent_bigram", "mixture", "neardup_incremental",
     "pack", "pagerank", "parquet", "percentiles", "quality_classifier",
     "repetition", "sample", "sample_per_group", "select", "sessionize",
     "snapshot_diff", "span_dedup", "span_dedup_clean", "split",
+    "substring_dedup", "substring_dedup_clean",
     "stream_dedup", "stream_dir", "stream_keepbest", "stream_neardup",
     "stream_repetition", "stream_spandedup", "table", "temperature_sample",
     "tfidf", "time_window", "token_budget", "union", "watermark",
@@ -457,6 +459,29 @@ object ConfigPipeline {
       case "span_dedup" =>
         p.stage(name, from)(graft.dedup.Dedup.spanDedup(_,
           knob("id").asText(), knob("text").asText(), knob("window").asInt()))
+      // shift-robust sliding-window substring dedup (maximal dup spans);
+      // stride defaults to 1 — the full-guarantee setting (see scaladoc)
+      case "substring_dedup" =>
+        val stride = if (s.has("stride")) knob("stride").asInt() else 1
+        p.stage(name, from)(graft.dedup.Dedup.substringDedup(_,
+          knob("id").asText(), knob("text").asText(),
+          knob("window").asInt(), stride))
+      // the rewrite twin: dup-span tokens removed, survivors reassembled
+      // (stride fixed at 1 — a sampled screen cannot safely rewrite)
+      case "substring_dedup_clean" =>
+        p.stage(name, from)(graft.dedup.Dedup.substringDedupClean(_,
+          knob("id").asText(), knob("text").asText(), knob("window").asInt()))
+      // exact heavy hitters at sketch cost: freqItems candidates + one
+      // verify pass; support is strictly-greater permille of the row count
+      case "heavy_hitters" =>
+        p.stage(name, from)(graft.operators.Ops.heavyHitters(_,
+          knob("value").asText(), knob("supportPermille").asInt()))
+      // token-distribution drift vs a prior stage's snapshot (empirical
+      // KL(new||old) under add-one-smoothed unigram LMs, shared vocab)
+      case "distribution_drift" =>
+        val old = p.output(knob("old").asText())
+        p.stage(name, from)(graft.functions.Lm.distributionDrift(old, _,
+          knob("text").asText()))
       case "mixture" =>
         val w = knob("weights").fields().asScala
           .map(e => e.getKey -> e.getValue.asInt()).toMap

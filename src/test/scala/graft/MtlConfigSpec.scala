@@ -578,6 +578,36 @@ class MtlConfigSpec extends SparkSpec {
     assert(st("added") > 0 && st.contains("unchanged") && !st.contains("removed"))
   }
 
+  test("ConfigPipeline drives substring_dedup, heavy_hitters, distribution_drift") {
+    val cfg = ConfigPipeline.fromJson(spark,
+      """{"stages": [
+        | {"name": "docs", "op": "table", "dir": "/root/testdata/sf0.001", "table": "documents"},
+        | {"name": "ss", "op": "substring_dedup", "from": "docs",
+        |  "id": "doc_id", "text": "text", "window": 16},
+        | {"name": "toks", "op": "select", "from": "docs",
+        |  "exprs": ["explode(array_remove(split(text, ' '), '')) AS tok"]},
+        | {"name": "hh", "op": "heavy_hitters", "from": "toks",
+        |  "value": "tok", "supportPermille": 33},
+        | {"name": "old", "op": "filter", "from": "docs", "expr": "doc_id % 3 <> 0"},
+        | {"name": "drift", "op": "distribution_drift", "from": "docs",
+        |  "old": "old", "text": "text"}
+        |]}""".stripMargin)
+    // substring dedup: every doc reports, fractions in [0,1]
+    val ss = cfg.output("ss")
+    assert(ss.count() == cfg.output("docs").count())
+    assert(ss.filter(col("dup_frac") < 0 || col("dup_frac") > 1).count() == 0)
+    // heavy hitters: strictly above support, counts exact vs a full group-by
+    val hh = cfg.output("hh").as[(String, Long)].collect().toMap
+    val full = cfg.output("toks").groupBy("tok").count().as[(String, Long)]
+      .collect().toMap
+    val n = full.values.sum
+    assert(hh == full.filter { case (_, c) => c * 1000 > n * 33 })
+    // drift: dropping a third of the docs barely moves the distribution
+    val d = cfg.output("drift").as[(Long, Long, Long, Double)].head()
+    assert(d._4.abs < 0.5, s"drift implausibly large: $d")
+    Caching.drain()
+  }
+
   test("ConfigPipeline drives the incremental near-dedup loop from config") {
     val cfg = ConfigPipeline.fromJson(spark,
       """{"stages": [

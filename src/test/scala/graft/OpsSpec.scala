@@ -183,6 +183,34 @@ class OpsSpec extends SparkSpec {
     assert(est > 2500 && est < 10000, s"estimate $est implausible for 4990")
   }
 
+  test("heavyHitters equals the exact group-by answer above the support threshold") {
+    // 1000 rows: "a"×400, "b"×50, 550 singletons. At 40‰ the threshold is
+    // cnt·1000 > 1000·40 → cnt > 40: a and b qualify, no singleton does.
+    val rows = Seq.fill(400)("a") ++ Seq.fill(50)("b") ++
+      (1 to 550).map(i => s"u$i")
+    val df = rows.toDF("v")
+    val got = Ops.heavyHitters(df, "v", supportPermille = 40)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 400L, "b" -> 50L))
+    Caching.drain()
+    // threshold is STRICT: at exactly the boundary the value drops.
+    // 50·1000 > 1000·50 is false → only "a" survives at 50‰
+    val boundary = Ops.heavyHitters(df, "v", supportPermille = 50)
+      .as[(String, Long)].collect().toMap
+    assert(boundary == Map("a" -> 400L))
+    Caching.drain()
+  }
+
+  test("heavyHitters counts null rows in the total but never emits null") {
+    val df = (Seq.fill(10)(Some("x")) ++ Seq.fill(10)(Option.empty[String]))
+      .toDF("v")
+    // x is 10/20 = 500‰ > 400‰ — nulls count toward n, never qualify
+    val got = Ops.heavyHitters(df, "v", supportPermille = 400)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("x" -> 10L))
+    Caching.drain()
+  }
+
   test("asOfJoin pairs each left row with the latest right row at or before it") {
     val l = Seq(("u1", 10L, "a"), ("u1", 25L, "b"), ("u2", 5L, "c"))
       .toDF("k", "l_ts", "tag")

@@ -44,7 +44,16 @@ class PlanSpec extends SparkSpec {
       "q_incremental_neardup" -> 3,
       // audited multi-exchange shapes
       "q_lsh_pairs" -> 2, "q_snapshot_diff" -> 2, "q_join" -> 2,
-      "q_decontaminate" -> 2, "q_repetition" -> 2, "q_semdedup" -> 2)
+      "q_decontaminate" -> 2, "q_repetition" -> 2, "q_semdedup" -> 2,
+      // r8 additions. substring dedup: hash-ownership window + ONE dup-only
+      // id exchange that the islands windows, both rollup aggs, and the
+      // join back all reuse — 2 total, text never shuffles. drift: vocab
+      // agg (printed twice: it is cached and feeds both the totals branch
+      // and the terms branch) + two 1-row total aggs = 4 counted. heavy
+      // hitters: candidate-folded verify agg (printed twice, same caching)
+      // + 1-row total = 3 counted.
+      "q_substring_dedup" -> 2, "q_distribution_drift" -> 4,
+      "q_heavy_hitters" -> 3)
     val errs = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)

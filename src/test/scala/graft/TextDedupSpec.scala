@@ -407,6 +407,60 @@ class TextDedupSpec extends SparkSpec {
     assert(ct == Seq.tabulate(8)(i => s"t$i t$i'").mkString(" "))
   }
 
+  test("substringDedup merges overlapping dup windows into maximal spans, shift-robust") {
+    // window=3, stride=1. Doc 1 owns everything; doc 2 repeats the run
+    // "a b c d" shifted one token right — the fixed-chunk spanDedup grid
+    // would miss it, sliding windows catch starts 1 and 2 and merge them
+    // into ONE maximal span [1,5); doc 3 repeats "a b c" twice with a gap
+    // (two separate spans); doc 4 is shorter than the window (no windows).
+    val df = Seq(
+      (1L, "a b c d e f"), (2L, "x a b c d y"),
+      (3L, "a b c z z z a b c"), (4L, "p q"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDedup(df, "doc_id", "text", window = 3, stride = 1)
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 6L, 0L, 0L, 0.0)))
+    assert(got(2L) == ((2L, 6L, 1L, 4L, 4.0 / 6.0)))
+    assert(got(3L) == ((3L, 9L, 2L, 6L, 6.0 / 9.0)))
+    assert(got(4L) == ((4L, 2L, 0L, 0L, 0.0)))
+  }
+
+  test("substringDedup self-repetition inside one doc counts after the first copy") {
+    // "a b a b a b": windows [a b a](0), [b a b](1), [a b a](2), [b a b](3)
+    // — starts 2 and 3 duplicate starts 0 and 1, merging to span [2, 6)
+    val df = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(df, "doc_id", "text", window = 3)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(got == ((1L, 6L, 1L, 4L, 4.0 / 6.0)))
+  }
+
+  test("substringDedupClean cuts dup spans, keeps survivors in order, merges adjacency") {
+    val df = Seq(
+      (1L, "a b c d e f"), (2L, "x a b c d y"), (3L, "a b c a b c"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDedupClean(df, "doc_id", "text", window = 3)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 6L, 0L, "a b c d e f"))) // owner: untouched
+    assert(got(2L) == ((2L, 6L, 4L, "x y")))         // span [1,5) cut
+    // doc 3: dup windows at 0 and 3 touch (pmax == start) → ONE merged
+    // span [0,6); fully-duplicated doc survives as an empty row
+    assert(got(3L) == ((3L, 6L, 6L, "")))
+  }
+
+  test("distributionDrift is ~0 on identical snapshots and grows when tokens shift") {
+    val a = Seq((1L, "a a b c"), (2L, "b c d d")).toDF("doc_id", "text")
+    val same = graft.functions.Lm.distributionDrift(a, a, "text")
+      .as[(Long, Long, Long, Double)].head()
+    assert(same._1 == 4L && same._2 == 8L && same._3 == 8L)
+    assert(math.abs(same._4) < 1e-9, s"identical snapshots drifted: $same")
+    // new snapshot floods one token — drift must be strictly positive
+    val b = Seq((1L, "a a b c"), (2L, "z z z z z z z z")).toDF("doc_id", "text")
+    val moved = graft.functions.Lm.distributionDrift(a, b, "text")
+      .as[(Long, Long, Long, Double)].head()
+    assert(moved._4 > 0.1, s"flooded snapshot should drift: $moved")
+    Caching.drain()
+  }
+
   test("boilerplateClean drops over-common chunks from EVERY doc, unlike span dedup") {
     // "h h" appears in 3 docs (>= minDocFreq=3) → boilerplate, dropped
     // everywhere INCLUDING its first occurrence; "a b" appears in only 2
