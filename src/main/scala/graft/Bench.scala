@@ -59,7 +59,15 @@ object Bench {
         val t0 = System.nanoTime()
         // A failed query must be LOUD: stderr + a "failed" list in the JSON —
         // a silent -1 timing would make the bench line lie about coverage.
-        val ok = try { fn(spark, sfDir).count(); true } catch {
+        // Materialize EVERY result row with ALL columns (toRdd on the
+        // query's own plan), not df.count(): wrapping in count(1) lets
+        // Catalyst prune projection tails and DROP cardinality-preserving
+        // joins outright — discovered in r8 when substringDedup's per-doc
+        // rollup (a left join against a unique-keyed aggregate) "cost"
+        // the same at 100x as at 1x because the entire ownership pipeline
+        // was eliminated under count. toRdd measures producing the result
+        // the way Verify writes it, minus the file IO.
+        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
             false
@@ -88,7 +96,11 @@ object Bench {
       if (drift > 1.3 || drift < 1.0 / 1.3)
         f""","anchor_note":"anchor drifted ${drift}%.2fx vs reference $REF_ANCHOR%.3fs - machine load differs; normalize per-query comparisons by anchor ratio before calling regressions""""
       else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","anchor_sec":$anchor,"anchor_ref":$REF_ANCHOR$note,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // "measured" documents the r8 semantics change IN the artifact: full
+    // result materialization (see the toRdd comment above). Per-query
+    // values are not directly comparable to r7-and-earlier lines, which
+    // under-measured projection tails and join-pruned shapes via count().
+    println(s"""{"metric":"total","value":$total,"unit":"sec","measured":"materialize_all_columns_r8","anchor_sec":$anchor,"anchor_ref":$REF_ANCHOR$note,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

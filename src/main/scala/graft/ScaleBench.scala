@@ -75,7 +75,12 @@ object ScaleBench {
     def time(name: String, dir: String)(mk: => DataFrame): Unit = if (want(name)) {
       val ts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        val n = mk.count()
+        // full materialization, not count(): count lets Catalyst prune the
+        // transform tail and drop cardinality-preserving joins (Bench has
+        // the full story); drain between runs so run 2 doesn't read run
+        // 1's tracked cache and report a cache hit as scaling behavior
+        val n = mk.queryExecution.toRdd.count()
+        Caching.drain()
         ((System.nanoTime() - t0) / 1e9, n)
       }
       println(f"[scalebench] $name dir=$dir min=${ts.map(_._1).min}%.2f s " +

@@ -1030,6 +1030,48 @@ object SparkEntry {
           window = 16)
         .select(col("id").as("doc_id"), col("n_tokens"), col("dup_tokens"),
           col("clean_text"))),
+    // STREAMING twin of substring dedup: per-window-hash ownership state
+    // (min (id,start) — batch-split independent), drained changelog
+    // compacted by max n_copies, maximal spans merged at drain time;
+    // must converge on the batch answer exactly (shared oracle)
+    "q_stream_substringdedup" -> ((s, dir) => withStreamShuffle(s) {
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_ss").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      docs.repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+        format = "parquet", schemaDdl = Some(docs.schema.toDDL), maxFilesPerTrigger = 1)
+      val owners = graft.streaming.Streams.substringOwnersStream(stream,
+        "doc_id", "text", window = 16)
+      val q = graft.streaming.Streams.toForeachBatch(owners, ckpt,
+        availableNow = true, outputMode = "update") { (batch, id) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+      }
+      q.awaitTermination()
+      val finalOwners = s.read.parquet(s"$outDir/batch_*")
+        .groupBy("h")
+        .agg(max(struct(col("n_copies"), col("owner_id"), col("owner_start")))
+          .as("__f"))
+        .select(col("h"), col("__f.owner_id").as("owner_id"),
+          col("__f.owner_start").as("owner_start"))
+      val dups = Dedup.windowHashes(docs, "doc_id", "text", 16, 1)
+        .join(finalOwners, col("__h") === col("h"))
+        .filter(col("owner_id") =!= col("id") || col("owner_start") =!= col("start"))
+        .select(col("id"), col("start"), (col("start") + 16).as("__end"))
+      val perDoc = Dedup.mergeSpans(dups).groupBy("id")
+        .agg(count(lit(1)).as("n_dup_spans"),
+          sum(col("__e") - col("__s")).as("dup_tokens"))
+      docs.select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(perDoc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+        .withColumn("dup_frac",
+          when(col("n_tokens") > 0,
+            col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+            .otherwise(lit(0.0)))
+    }),
     // heavy hitters over the corpus token stream: freqItems sketch
     // candidates + one exact verify pass — equals the full GROUP BY answer
     // while only candidate values ever enter an exchange
@@ -1694,6 +1736,37 @@ object SparkEntry {
 
   /** Shared SQL fragments, kept in one place so Spark/DuckDB stay in sync. */
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  // shared by q_substring_dedup and its streaming twin: sliding 16-token
+  // window ownership + gaps-and-islands maximal-span merge, per-doc rollup
+  private lazy val substringDedupOracle: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |base AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks),
+       |wins0 AS (SELECT doc_id, tk, unnest(range(0, len(tk) - 15)) AS start
+       |       FROM base WHERE n_tokens >= 16),
+       |wins AS (SELECT doc_id, CAST(start AS BIGINT) AS start,
+       |       md5(array_to_string(list_slice(tk, CAST(start + 1 AS INT), CAST(start + 16 AS INT)), ' ')) AS h
+       |       FROM wins0),
+       |o AS (SELECT doc_id, start,
+       |      row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn FROM wins),
+       |d AS (SELECT doc_id, start, start + 16 AS e FROM o WHERE rn > 1),
+       |isl AS (SELECT doc_id, start, e,
+       |        max(e) OVER (PARTITION BY doc_id ORDER BY start
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM d),
+       |g AS (SELECT doc_id, start, e,
+       |      SUM(CASE WHEN pmax IS NULL OR start > pmax THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY doc_id ORDER BY start
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle FROM isl),
+       |sp AS (SELECT doc_id, isle, MIN(start) AS s, MAX(e) AS e FROM g GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_dup_spans, CAST(SUM(e - s) AS BIGINT) AS dup_tokens
+       |        FROM sp GROUP BY 1)
+       |SELECT b.doc_id, b.n_tokens,
+       |  CAST(COALESCE(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       |  CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  CASE WHEN b.n_tokens > 0
+       |       THEN CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+       |       ELSE 0.0 END AS dup_frac
+       |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   /** Decontamination oracle — shared verbatim by q_decontaminate, its Bloom
     * scale path (no false negatives + exact verify ⇒ identical output), and
@@ -2684,34 +2757,9 @@ object SparkEntry {
          |  CASE WHEN n_n > 0 THEN CAST(CAST(SUM(lr * c_n) AS DECIMAL(18,6)) AS DOUBLE) /
          |       CAST(n_n AS DOUBLE) END AS drift
          |FROM terms GROUP BY v, n_o, n_n""".stripMargin,
-    "q_substring_dedup" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |base AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks),
-         |wins0 AS (SELECT doc_id, tk, unnest(range(0, len(tk) - 15)) AS start
-         |       FROM base WHERE n_tokens >= 16),
-         |wins AS (SELECT doc_id, CAST(start AS BIGINT) AS start,
-         |       md5(array_to_string(list_slice(tk, CAST(start + 1 AS INT), CAST(start + 16 AS INT)), ' ')) AS h
-         |       FROM wins0),
-         |o AS (SELECT doc_id, start,
-         |      row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn FROM wins),
-         |d AS (SELECT doc_id, start, start + 16 AS e FROM o WHERE rn > 1),
-         |isl AS (SELECT doc_id, start, e,
-         |        max(e) OVER (PARTITION BY doc_id ORDER BY start
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM d),
-         |g AS (SELECT doc_id, start, e,
-         |      SUM(CASE WHEN pmax IS NULL OR start > pmax THEN 1 ELSE 0 END)
-         |        OVER (PARTITION BY doc_id ORDER BY start
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle FROM isl),
-         |sp AS (SELECT doc_id, isle, MIN(start) AS s, MAX(e) AS e FROM g GROUP BY 1, 2),
-         |agg AS (SELECT doc_id, COUNT(*) AS n_dup_spans, CAST(SUM(e - s) AS BIGINT) AS dup_tokens
-         |        FROM sp GROUP BY 1)
-         |SELECT b.doc_id, b.n_tokens,
-         |  CAST(COALESCE(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
-         |  CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-         |  CASE WHEN b.n_tokens > 0
-         |       THEN CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
-         |       ELSE 0.0 END AS dup_frac
-         |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q_substring_dedup" -> substringDedupOracle,
+    // the stream must converge on the batch ownership answer exactly
+    "q_stream_substringdedup" -> substringDedupOracle,
     "q_substring_dedup_clean" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |base AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks),

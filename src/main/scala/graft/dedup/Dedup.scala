@@ -970,32 +970,36 @@ object Dedup {
             " ")).as("clean_text"))
   }
 
-  /** Shared span computation for [[substringDedup]] / [[substringDedupClean]]:
-    * returns (base = (id, __tk, n_tokens) for every doc,
-    * spans = (id, __s, __e) maximal merged dup spans for docs that have any).
+  /** Sliding-window hash projection shared by [[substringDedup]] and
+    * [[graft.streaming.Streams.substringOwnersStream]]: pure zero-shuffle
+    * projection (streamable), one row per full `window`-token window at
+    * `stride`-spaced starts. Output: (id, start, __h).
     */
-  private def substringSpans(df: DataFrame, idCol: String, textCol: String,
-                             window: Int, stride: Int): (DataFrame, DataFrame) = {
+  private[graft] def windowHashes(df: DataFrame, idCol: String, textCol: String,
+                                  window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
-    val base = df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__tk"))
+    df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__tk"))
       .select(col("id"), col("__tk"), size(col("__tk")).cast(LongType).as("n_tokens"))
-    val wins = base.filter(col("n_tokens") >= window)
-      .select(col("id"), col("__tk"), col("n_tokens"),
+      .filter(col("n_tokens") >= window)
+      .select(col("id"), col("__tk"),
         explode(sequence(lit(0L), expr(s"(n_tokens - $window) div $stride"))).as("__i"))
-      .select(col("id"), col("n_tokens"), (col("__i") * stride).as("start"),
+      .select(col("id"), (col("__i") * stride).as("start"),
         md5(array_join(slice(col("__tk"), (col("__i") * stride + 1).cast(IntegerType),
           lit(window)), " ")).as("__h"))
-    val wOwn = Window.partitionBy("__h")
-    val dups = wins
-      .withColumn("__first", min(struct(col("id"), col("start"))).over(wOwn))
-      .filter(col("__first.id") =!= col("id") || col("__first.start") =!= col("start"))
-      .select(col("id"), col("start"), (col("start") + window).as("__end"))
+  }
+
+  /** Merge duplicated windows `(id, start, __end)` into maximal per-doc
+    * spans `(id, __s, __e)` — gaps-and-islands over each document's dup
+    * windows (shuffles only the dup rows, one exchange on id). Shared by
+    * the batch path and the streaming drain-time replay.
+    */
+  private[graft] def mergeSpans(dups: DataFrame): DataFrame = {
     val wPrev = Window.partitionBy("id").orderBy("start")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy("id").orderBy("start")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val spans = dups
+    dups
       .withColumn("__pmax", max(col("__end")).over(wPrev))
       .withColumn("__new",
         when(col("__pmax").isNull || col("start") > col("__pmax"), 1L).otherwise(0L))
@@ -1003,7 +1007,23 @@ object Dedup {
       .groupBy("id", "__island")
       .agg(min(col("start")).as("__s"), max(col("__end")).as("__e"))
       .select(col("id"), col("__s"), col("__e"))
-    (base, spans)
+  }
+
+  /** Shared span computation for [[substringDedup]] / [[substringDedupClean]]:
+    * returns (base = (id, __tk, n_tokens) for every doc,
+    * spans = (id, __s, __e) maximal merged dup spans for docs that have any).
+    */
+  private def substringSpans(df: DataFrame, idCol: String, textCol: String,
+                             window: Int, stride: Int): (DataFrame, DataFrame) = {
+    val base = df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__tk"))
+      .select(col("id"), col("__tk"), size(col("__tk")).cast(LongType).as("n_tokens"))
+    val wins = windowHashes(df, idCol, textCol, window, stride)
+    val wOwn = Window.partitionBy("__h")
+    val dups = wins
+      .withColumn("__first", min(struct(col("id"), col("start"))).over(wOwn))
+      .filter(col("__first.id") =!= col("id") || col("__first.start") =!= col("start"))
+      .select(col("id"), col("start"), (col("start") + window).as("__end"))
+    (base, mergeSpans(dups))
   }
 
   /** Connected components over a near-dup pair list: every document in a

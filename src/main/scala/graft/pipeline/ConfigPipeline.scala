@@ -140,7 +140,8 @@ object ConfigPipeline {
     "snapshot_diff", "span_dedup", "span_dedup_clean", "split",
     "substring_dedup", "substring_dedup_clean",
     "stream_dedup", "stream_dir", "stream_keepbest", "stream_neardup",
-    "stream_repetition", "stream_spandedup", "table", "temperature_sample",
+    "stream_repetition", "stream_spandedup", "stream_substringdedup",
+    "table", "temperature_sample",
     "tfidf", "time_window", "token_budget", "union", "watermark",
     "withColumn", "zorder")
 
@@ -383,6 +384,10 @@ object ConfigPipeline {
         p.stage(name, from)(graft.streaming.Streams.chunkOwnersStream(_,
           knob("id").asText(), knob("text").asText(),
           if (s.has("window")) knob("window").asInt() else 64))
+      case "stream_substringdedup" => // window-ownership changelog (3 longs/hash)
+        p.stage(name, from)(graft.streaming.Streams.substringOwnersStream(_,
+          knob("id").asText(), knob("text").asText(),
+          if (s.has("window")) knob("window").asInt() else 32))
       case "span_dedup_clean" =>
         p.stage(name, from)(graft.dedup.Dedup.spanDedupClean(_,
           knob("id").asText(), knob("text").asText(), knob("window").asInt()))

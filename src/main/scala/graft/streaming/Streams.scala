@@ -372,6 +372,58 @@ object Streams {
       }.toDF("h", "owner_id", "owner_chunk", "n_copies")
   }
 
+  /** Streaming substring-ownership — the stateful twin of
+    * [[graft.dedup.Dedup.substringDedup]]'s ownership pass. The sliding
+    * window-hash projection is the SAME stateless code as the batch path
+    * ([[graft.dedup.Dedup.windowHashes]] — streamable: explode + md5, no
+    * window functions), so the only stateful piece is per-hash ownership:
+    * `(owner_id, owner_start, n_copies)` with the owner the MINIMUM
+    * (id, start) seen — min, not first-arrival, so the answer is
+    * batch-split independent (the batch min-struct rule replayed
+    * incrementally). Changelog semantics mirror [[chunkOwnersStream]]:
+    * every touched hash re-emits, `n_copies` strictly increases, so the
+    * drained result compacts exactly by max-`n_copies` per hash. The
+    * per-doc maximal-span merge is a drain-time batch job
+    * ([[graft.dedup.Dedup.mergeSpans]] over the dup windows from a hash
+    * join against the compacted owners) — q_stream_substringdedup oracles
+    * the whole loop against the batch substringDedup SQL.
+    *
+    * Scale: state is O(#distinct window hashes) × three longs — at
+    * stride 1 that is corpus-token-scale, the streaming rent for
+    * shift-robust dedup (the batch path pays the same volume per run as
+    * a shuffle instead of holding it as state); window TEXT never enters
+    * state (the 32-byte hash is the key).
+    */
+  def substringOwnersStream(docs: DataFrame, idCol: String, textCol: String,
+                            window: Int = 32): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val idType = docs.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"substringOwnersStream: id column '$idCol' must be integral (got $idType); " +
+        "derive a numeric id upstream (e.g. xxhash64) for string-keyed corpora")
+    graft.dedup.Dedup.windowHashes(
+        docs.select(col(idCol).cast(LongType).as(idCol),
+          col(textCol).cast(StringType).as(textCol)),
+        idCol, textCol, window, stride = 1)
+      .select(col("__h").as("h"), col("id"), col("start"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), (String, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (h: String, values: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (oid, ostart, n) =
+            state.getOption.getOrElse((Long.MaxValue, Long.MaxValue, 0L))
+          values.foreach { case (_, id, st) =>
+            n += 1
+            if (id < oid || (id == oid && st < ostart)) { oid = id; ostart = st }
+          }
+          state.update((oid, ostart, n))
+          (h, oid, ostart, n)
+      }.toDF("h", "owner_id", "owner_start", "n_copies")
+  }
+
   /** Exact per-document n-gram repetition stats on a stream — the
     * streaming twin of [[graft.functions.Text.repetitionStats]] (same
     * output row per document). The batch form chains two aggregations,

@@ -316,6 +316,36 @@ class StreamsSpec extends SparkSpec {
     assert(e.getMessage.contains("must be integral"))
   }
 
+  test("substringOwnersStream compacts to the batch window ownership under any split") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sos").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    docs.repartition(3).write.mode("overwrite").parquet(inDir)
+    val stream = Streams.watchDirectory(spark, inDir, format = "parquet",
+      schemaDdl = Some(docs.schema.toDDL), maxFilesPerTrigger = 1)
+    val q = Streams.toForeachBatch(
+      Streams.substringOwnersStream(stream, "doc_id", "text", window = 16),
+      ckpt, availableNow = true, outputMode = "update") { (batch, id) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+    }
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$outDir/batch_*")
+      .groupBy("h")
+      .agg(max(struct(col("n_copies"), col("owner_id"), col("owner_start"))).as("f"))
+      .selectExpr("h", "f.owner_id AS owner_id", "f.owner_start AS owner_start",
+        "f.n_copies AS n_copies")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // the batch rule: min (id, start) per sliding-window hash owns it
+    val want = graft.dedup.Dedup.windowHashes(docs, "doc_id", "text", 16, 1)
+      .groupBy("__h")
+      .agg(min(struct(col("id"), col("start"))).as("o"), count(lit(1)).as("n"))
+      .selectExpr("__h", "o.id AS owner_id", "o.start AS owner_start",
+        "n AS n_copies")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("repetitionStatsStream emits the batch repetitionStats row per document") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
