@@ -1072,6 +1072,15 @@ object SparkEntry {
             col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
             .otherwise(lit(0.0)))
     }),
+    // winnowing fingerprints (MOSS): rightmost-min of each w-hash window
+    // over k-gram hashes — ~2/(w+1) density with a REAL detection
+    // guarantee (runs >= w+k-1 tokens always share a print), the
+    // principled thinning stride sampling lacks
+    "q_winnow" -> ((s, dir) =>
+      Dedup.winnowedDedup(T(s, dir, "documents"), "doc_id", "text",
+          k = 8, w = 4)
+        .select(col("id").as("doc_id"), col("n_prints"), col("n_dup_prints"),
+          col("dup_frac"))),
     // heavy hitters over the corpus token stream: freqItems sketch
     // candidates + one exact verify pass — equals the full GROUP BY answer
     // while only candidate values ever enter an exchange
@@ -2760,6 +2769,31 @@ object SparkEntry {
     "q_substring_dedup" -> substringDedupOracle,
     // the stream must converge on the batch ownership answer exactly
     "q_stream_substringdedup" -> substringDedupOracle,
+    "q_winnow" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |h AS (SELECT doc_id, list_transform(range(0, len(tk) - 8 + 1),
+         |      i -> ('0x' || substring(md5(array_to_string(list_slice(tk, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ')), 1, 15))::BIGINT) AS hs
+         |      FROM toks WHERE len(tk) >= 8),
+         |sel AS (SELECT doc_id, hs,
+         |      list_distinct(list_transform(range(0, greatest(len(hs) - 4, 0) + 1),
+         |        j -> j + least(4, len(hs)) - list_position(
+         |               list_reverse(list_slice(hs, CAST(j + 1 AS INT), CAST(j + least(4, len(hs)) AS INT))),
+         |               list_min(list_slice(hs, CAST(j + 1 AS INT), CAST(j + least(4, len(hs)) AS INT)))))) AS pos
+         |      FROM h),
+         |pr0 AS (SELECT doc_id, hs, unnest(pos) AS p FROM sel),
+         |pr AS (SELECT doc_id, CAST(p AS BIGINT) AS pos, hs[CAST(p + 1 AS INT)] AS print FROM pr0),
+         |o AS (SELECT doc_id, pos,
+         |      row_number() OVER (PARTITION BY print ORDER BY doc_id, pos) AS rn FROM pr),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_prints,
+         |        CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_prints
+         |        FROM o GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(a.n_prints, 0) AS BIGINT) AS n_prints,
+         |  CAST(COALESCE(a.n_dup_prints, 0) AS BIGINT) AS n_dup_prints,
+         |  CASE WHEN COALESCE(a.n_prints, 0) > 0
+         |       THEN CAST(a.n_dup_prints AS DOUBLE) / CAST(a.n_prints AS DOUBLE)
+         |       ELSE 0.0 END AS dup_frac
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q_substring_dedup_clean" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |base AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks),

@@ -989,6 +989,79 @@ object Dedup {
           lit(window)), " ")).as("__h"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS algorithm): per document, hash every k-token gram, then slide a
+    * w-hash window over the hash sequence and select the RIGHTMOST MINIMUM
+    * of each window. Expected density 2/(w+1) of the gram count — yet any
+    * substring of ≥ w + k − 1 tokens shared by two documents is GUARANTEED
+    * to contribute at least one identical selected fingerprint in both,
+    * at ANY token offset (selection inside a window depends only on the
+    * window's own hash values, which agree across copies of the run).
+    * This is the principled scale knob [[substringDedup]]'s `stride`
+    * lacks: stride-s sampling loses detection unless offsets agree mod s;
+    * winnowing thins by ~the same factor and keeps the guarantee.
+    *
+    * Everything per-document is a zero-shuffle HOF projection over the
+    * token array (gram hashing, window argmin selection, dedup of
+    * positions) — only the selected (id, pos, 8-byte print) rows leave
+    * the scan, ~2/(w+1) of the volume the stride-1 substring path
+    * shuffles. Hashes are 60-bit md5 prefixes (the KMV `conv` recipe, so
+    * an external engine reproduces them bit-for-bit); rightmost tie-break
+    * is reverse + first-position arithmetic, identical cross-engine.
+    *
+    * Output: (id, pos, print) — the document sketch, the artifact to
+    * store/index for cross-corpus plagiarism/contamination checks.
+    */
+  def winnowedPrints(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, s"need k > 0 and w > 0, got k=$k w=$w")
+    df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= k)
+      .withColumn("__hs", expr(
+        s"""transform(sequence(0, size(__tk) - $k),
+           |  i -> cast(conv(substring(md5(array_join(slice(__tk, i + 1, $k), ' ')),
+           |       1, 15), 16, 10) as bigint))""".stripMargin))
+      .withColumn("__pos", expr(
+        s"""array_distinct(transform(sequence(0, greatest(size(__hs) - $w, 0)),
+           |  j -> j + least($w, size(__hs)) - array_position(
+           |         reverse(slice(__hs, j + 1, least($w, size(__hs)))),
+           |         array_min(slice(__hs, j + 1, least($w, size(__hs)))))))""".stripMargin))
+      .select(col("id"), explode(col("__pos")).as("pos"), col("__hs"))
+      .select(col("id"), col("pos"),
+        element_at(col("__hs"), (col("pos") + 1).cast(IntegerType)).as("print"))
+  }
+
+  /** Winnowed near-dup report: [[winnowedPrints]] + the corpus-wide
+    * first-(id, pos) ownership rule over the print VALUE, rolled up per
+    * document — (id, n_prints, n_dup_prints, dup_frac), the thinned
+    * substring-dedup signal with the detection guarantee intact. One
+    * print-hash shuffle (ownership window) at 2/(w+1) density plus a
+    * doc-count-sized join back; document text never shuffles. Docs with
+    * fewer than k tokens carry no grams and report 0 prints.
+    */
+  def winnowedDedup(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, w: Int = 4): DataFrame = {
+    val prints = winnowedPrints(df, idCol, textCol, k, w)
+    val wOwn = Window.partitionBy("print")
+    val perDoc = prints
+      .withColumn("__first", min(struct(col("id"), col("pos"))).over(wOwn))
+      .select(col("id"),
+        (col("__first.id") =!= col("id") || col("__first.pos") =!= col("pos"))
+          .as("__dup"))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_prints"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_prints"))
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_prints"), lit(0L)).as("n_prints"),
+        coalesce(col("n_dup_prints"), lit(0L)).as("n_dup_prints"))
+      .withColumn("dup_frac",
+        when(col("n_prints") > 0,
+          col("n_dup_prints").cast(DoubleType) / col("n_prints").cast(DoubleType))
+          .otherwise(lit(0.0)))
+  }
+
   /** Merge duplicated windows `(id, start, __end)` into maximal per-doc
     * spans `(id, __s, __e)` — gaps-and-islands over each document's dup
     * windows (shuffles only the dup rows, one exchange on id). Shared by

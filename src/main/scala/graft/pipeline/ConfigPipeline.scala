@@ -143,7 +143,7 @@ object ConfigPipeline {
     "stream_repetition", "stream_spandedup", "stream_substringdedup",
     "table", "temperature_sample",
     "tfidf", "time_window", "token_budget", "union", "watermark",
-    "withColumn", "zorder")
+    "winnowed_dedup", "withColumn", "zorder")
 
   private def strs(n: JsonNode): Seq[String] =
     n.elements().asScala.map(_.asText()).toSeq
@@ -471,6 +471,12 @@ object ConfigPipeline {
         p.stage(name, from)(graft.dedup.Dedup.substringDedup(_,
           knob("id").asText(), knob("text").asText(),
           knob("window").asInt(), stride))
+      // winnowing (MOSS) fingerprint dedup: guaranteed-detection thinning
+      case "winnowed_dedup" =>
+        p.stage(name, from)(graft.dedup.Dedup.winnowedDedup(_,
+          knob("id").asText(), knob("text").asText(),
+          if (s.has("k")) knob("k").asInt() else 8,
+          if (s.has("w")) knob("w").asInt() else 4))
       // the rewrite twin: dup-span tokens removed, survivors reassembled
       // (stride fixed at 1 — a sampled screen cannot safely rewrite)
       case "substring_dedup_clean" =>

@@ -53,7 +53,10 @@ class PlanSpec extends SparkSpec {
       // hitters: candidate-folded verify agg (printed twice, same caching)
       // + 1-row total = 3 counted.
       "q_substring_dedup" -> 2, "q_distribution_drift" -> 4,
-      "q_heavy_hitters" -> 3)
+      "q_heavy_hitters" -> 3,
+      // winnowing: print-ownership window + per-doc rollup (thinned
+      // 2/(w+1)-density rows), join back broadcast at gate SF
+      "q_winnow" -> 2)
     val errs = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)

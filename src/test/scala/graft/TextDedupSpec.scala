@@ -447,6 +447,37 @@ class TextDedupSpec extends SparkSpec {
     assert(got(3L) == ((3L, 6L, 6L, "")))
   }
 
+  test("winnowing: a shared run >= w+k-1 tokens shares a print at ANY offset") {
+    // k=8, w=4: guarantee threshold is 11 tokens. The same 11-token run
+    // sits at offset 0 in doc 1 and offset 5 in doc 2 — stride-5 sampling
+    // would need the offsets to agree mod 5 (they don't: 0 vs 5 ≡ 0, use
+    // 3) — winnowing detects regardless.
+    val run = (1 to 11).map(i => s"q$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$run t1 t2 t3"),
+      (2L, s"p1 p2 p3 $run")).toDF("doc_id", "text")
+    val got = Dedup.winnowedDedup(df, "doc_id", "text", k = 8, w = 4)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._3 == 0L, s"owner doc has dup prints: $got")
+    assert(got(2L)._3 >= 1L, s"guarantee violated — no shared print: $got")
+  }
+
+  test("winnowing: identical docs share every print; density thins the gram count") {
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val got = Dedup.winnowedDedup(df, "doc_id", "text", k = 8, w = 4)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._3 == 0L && got(2L)._2 == got(2L)._3 && got(2L)._4 == 1.0)
+    // density: 33 grams (40 - 8 + 1), expected ~2/(w+1) = 40% selected
+    val nPrints = got(1L)._2
+    assert(nPrints > 0 && nPrints < 33, s"selection did not thin: $nPrints of 33")
+    // a doc shorter than k reports 0 prints rather than vanishing
+    val short = Dedup.winnowedDedup(
+      Seq((9L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", k = 8, w = 4)
+      .as[(Long, Long, Long, Double)].head()
+    assert(short == ((9L, 0L, 0L, 0.0)))
+  }
+
   test("distributionDrift is ~0 on identical snapshots and grows when tokens shift") {
     val a = Seq((1L, "a a b c"), (2L, "b c d d")).toDF("doc_id", "text")
     val same = graft.functions.Lm.distributionDrift(a, a, "text")
