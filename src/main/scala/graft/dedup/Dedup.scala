@@ -1015,12 +1015,20 @@ object Dedup {
   def winnowedPrints(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 8, w: Int = 4): DataFrame = {
     require(k > 0 && w > 0, s"need k > 0 and w > 0, got k=$k w=$w")
-    df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__tk"))
-      .filter(size(col("__tk")) >= k)
-      .withColumn("__hs", expr(
+    // The degenerate explode(array(x)) selects below are MATERIALIZATION
+    // BARRIERS, not noise: adjacent Projects collapse, and a collapsed
+    // lambda re-evaluates the inlined array expression at EVERY reference
+    // in every lambda call — measured 485 s at sf0.1 (the k-gram md5
+    // transform re-ran ~4× per window per row) vs ~1 s with the Generate
+    // boundaries forcing each array to compute once per document row.
+    df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__tk0"))
+      .filter(size(col("__tk0")) >= k)
+      .select(col("id"), explode(array(col("__tk0"))).as("__tk"))
+      .withColumn("__hs0", expr(
         s"""transform(sequence(0, size(__tk) - $k),
            |  i -> cast(conv(substring(md5(array_join(slice(__tk, i + 1, $k), ' ')),
            |       1, 15), 16, 10) as bigint))""".stripMargin))
+      .select(col("id"), explode(array(col("__hs0"))).as("__hs"))
       .withColumn("__pos", expr(
         s"""array_distinct(transform(sequence(0, greatest(size(__hs) - $w, 0)),
            |  j -> j + least($w, size(__hs)) - array_position(
