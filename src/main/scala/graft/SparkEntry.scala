@@ -1138,6 +1138,16 @@ object SparkEntry {
           k = 5, minHits = 1, fpp = 0.01)
         .select(col("id").as("doc_id"), col("n_hits"), col("contaminated"))
     }),
+    // WINNOWED decontamination: both sides thin to winnowing fingerprints
+    // (~2/(w+1) of the k-gram volume) yet any shared run >= w+k-1 tokens
+    // still shares a print — the storable-sketch cross-corpus check
+    "q_decontaminate_winnow" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      Dedup.decontaminateWinnow(docs, "doc_id", "text", bench, "text",
+          k = 8, w = 4, minHits = 1)
+        .select(col("id").as("doc_id"), col("n_hits"), col("contaminated"))
+    }),
     // equal-width histogram of order totals: bin edges from one min/max
     // fetch, binning is a projection, counting one partial-agg shuffle;
     // the oracle computes the identical IEEE double edges
@@ -2794,6 +2804,28 @@ object SparkEntry {
          |       THEN CAST(a.n_dup_prints AS DOUBLE) / CAST(a.n_prints AS DOUBLE)
          |       ELSE 0.0 END AS dup_frac
          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // winnowed decontamination: the q_winnow print replay on both sides —
+    // bench = doc_id % 97 docs' distinct prints, hits = DISTINCT shared
+    // prints per corpus doc
+    "q_decontaminate_winnow" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |h AS (SELECT doc_id, list_transform(range(0, len(tk) - 8 + 1),
+         |      i -> ('0x' || substring(md5(array_to_string(list_slice(tk, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ')), 1, 15))::BIGINT) AS hs
+         |      FROM toks WHERE len(tk) >= 8),
+         |sel AS (SELECT doc_id, hs,
+         |      list_distinct(list_transform(range(0, greatest(len(hs) - 4, 0) + 1),
+         |        j -> j + least(4, len(hs)) - list_position(
+         |               list_reverse(list_slice(hs, CAST(j + 1 AS INT), CAST(j + least(4, len(hs)) AS INT))),
+         |               list_min(list_slice(hs, CAST(j + 1 AS INT), CAST(j + least(4, len(hs)) AS INT)))))) AS pos
+         |      FROM h),
+         |pr0 AS (SELECT doc_id, hs, unnest(pos) AS p FROM sel),
+         |pr AS (SELECT doc_id, hs[CAST(p + 1 AS INT)] AS print FROM pr0),
+         |bpr AS (SELECT DISTINCT print FROM pr WHERE doc_id % 97 = 0),
+         |hits AS (SELECT doc_id, COUNT(DISTINCT print) AS n_hits
+         |         FROM pr JOIN bpr USING (print) GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
     "q_substring_dedup_clean" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |base AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks),

@@ -781,6 +781,49 @@ object Dedup {
       .withColumn("contaminated", col("n_hits") >= minHits)
   }
 
+  /** [[decontaminate]] via winnowing fingerprints — the THINNED cross-corpus
+    * contamination check [[winnowedPrints]]' sketch exists for: both sides
+    * winnow with the same (k, w), so any run of ≥ w + k − 1 tokens shared
+    * between a corpus document and any benchmark document is GUARANTEED to
+    * contribute an identical selected print to both sketches, at any token
+    * offset — detection survives thinning to ~2/(w+1) of the k-gram volume,
+    * which stride sampling and plain shingle subsampling cannot promise.
+    *
+    * Contract vs the exact path: hits are shared PRINTS, not shared
+    * k-grams, so `n_hits` counts differently than [[decontaminate]] and a
+    * shared run shorter than w + k − 1 tokens may go unseen (the exact
+    * path sees any shared k-gram). That is the documented trade: the bench
+    * side broadcasts at ~2/(w+1) of its shingle-set size and the corpus
+    * side ships the same fraction into the hit aggregate, which is what
+    * makes "every eval suite ever published" checkable against 100 TB in
+    * one pass. `minHits` counts DISTINCT shared prints per document.
+    *
+    * Shape: bench prints (eval-sized, thinned) broadcast; corpus prints
+    * are the same zero-shuffle projection q_winnow audits; the broadcast
+    * join filters before anything shuffles, so the only exchange carries
+    * matched prints (contamination-sized, not corpus-sized). The corpus
+    * prints table can also be built ONCE, stored, and probed per bench
+    * drop — the cross-corpus artifact contract of [[winnowedPrints]].
+    *
+    * Output: (id, n_hits, contaminated) — one row per corpus document.
+    */
+  def decontaminateWinnow(corpus: DataFrame, idCol: String, textCol: String,
+                          bench: DataFrame, benchTextCol: String,
+                          k: Int = 8, w: Int = 4, minHits: Int = 1): DataFrame = {
+    require(minHits > 0, s"minHits must be positive, got $minHits")
+    val benchPr = winnowedPrints(
+        bench.select(lit(0L).as("__bid"), col(benchTextCol).as("__btx")),
+        "__bid", "__btx", k, w)
+      .select(col("print")).distinct()
+    val hits = winnowedPrints(corpus, idCol, textCol, k, w)
+      .join(broadcast(benchPr), "print")
+      .groupBy("id").agg(count_distinct(col("print")).as("n_hits"))
+    corpus.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") >= minHits)
+  }
+
   /** Span-level corpus dedup (the C4/RefinedWeb "remove repeated spans"
     * step): cut every document into NON-overlapping `window`-token chunks,
     * hash each chunk, and mark a chunk as a duplicate when the same hash

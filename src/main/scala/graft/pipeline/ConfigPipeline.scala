@@ -313,7 +313,9 @@ object ConfigPipeline {
       // is the eval/benchmark table. method "exact" broadcasts the bench
       // shingle set; "bloom" is the too-big-to-broadcast-bench scale path
       // (sketch probe + exact verify — IDENTICAL output, knobs fpp /
-      // expectedItems; see Dedup.decontaminateBloom)
+      // expectedItems; see Dedup.decontaminateBloom); "winnow" thins both
+      // sides to winnowing fingerprints (knob w — hits are shared PRINTS,
+      // guaranteed for runs >= w+k-1 tokens; see Dedup.decontaminateWinnow)
       case "decontaminate" =>
         val id = knob("id").asText(); val text = knob("text").asText()
         val bench = p.output(knob("bench").asText())
@@ -330,6 +332,10 @@ object ConfigPipeline {
               if (s.has("expectedItems")) knob("expectedItems").asLong() else -1L
             p.stage(name, from)(graft.dedup.Dedup.decontaminateBloom(_,
               id, text, bench, benchText, k, minHits, fpp, expected))
+          case "winnow" =>
+            val w = if (s.has("w")) knob("w").asInt() else 4
+            p.stage(name, from)(graft.dedup.Dedup.decontaminateWinnow(_,
+              id, text, bench, benchText, k, w, minHits))
           case other => sys.error(s"decontaminate: unknown method '$other'")
         }
       // DATA-LAYOUT ops (write-side twins live in Sinks and are reachable

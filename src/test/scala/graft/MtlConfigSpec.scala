@@ -544,12 +544,23 @@ class MtlConfigSpec extends SparkSpec {
         | {"name": "dc", "op": "decontaminate", "from": "docs", "bench": "bench",
         |  "id": "doc_id", "text": "text", "k": 5},
         | {"name": "dcb", "op": "decontaminate", "from": "docs", "bench": "bench",
-        |  "method": "bloom", "fpp": 0.05, "id": "doc_id", "text": "text", "k": 5}
+        |  "method": "bloom", "fpp": 0.05, "id": "doc_id", "text": "text", "k": 5},
+        | {"name": "dcw", "op": "decontaminate", "from": "docs", "bench": "bench",
+        |  "method": "winnow", "id": "doc_id", "text": "text", "k": 5, "w": 4}
         |]}""".stripMargin)
     val exact = cfg.output("dc").as[(Long, Long, Boolean)].collect().toSet
     // the bench docs self-hit, the rest of the corpus mostly doesn't
     assert(exact.exists(_._3) && exact.exists(!_._3))
     assert(cfg.output("dcb").as[(Long, Long, Boolean)].collect().toSet == exact)
+    // winnow thins to prints: a shared print IS a shared k-gram (same k),
+    // so winnow-flagged ⊆ exact-flagged; the guarantee (runs >= w+k-1)
+    // still catches the self-hitting bench docs, so the set is nonempty
+    val winnowFlagged = cfg.output("dcw").as[(Long, Long, Boolean)].collect()
+      .filter(_._3).map(_._1).toSet
+    val exactFlagged = exact.filter(_._3).map(_._1)
+    assert(winnowFlagged.nonEmpty, "winnow flagged nothing")
+    assert(winnowFlagged.subsetOf(exactFlagged),
+      s"winnow flagged docs exact did not: ${winnowFlagged -- exactFlagged}")
   }
 
   test("ConfigPipeline drives token_budget and snapshot_diff from config") {

@@ -56,7 +56,11 @@ class PlanSpec extends SparkSpec {
       "q_heavy_hitters" -> 3,
       // winnowing: print-ownership window + per-doc rollup (thinned
       // 2/(w+1)-density rows), join back broadcast at gate SF
-      "q_winnow" -> 2)
+      "q_winnow" -> 2,
+      // winnowed decontamination: bench-print distinct + the two
+      // count-distinct phases over HIT rows — corpus prints reach the
+      // broadcast probe join as a pure projection, text never shuffles
+      "q_decontaminate_winnow" -> 3)
     val errs = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)

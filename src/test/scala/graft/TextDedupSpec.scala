@@ -478,6 +478,27 @@ class TextDedupSpec extends SparkSpec {
     assert(short == ((9L, 0L, 0L, 0.0)))
   }
 
+  test("decontaminateWinnow flags a shared run >= w+k-1 at any offset; misses stay clean") {
+    // k=8, w=4: guarantee threshold is 11 tokens. Doc 1 embeds an 11-token
+    // benchmark run at a DIFFERENT offset than the bench doc carries it;
+    // doc 2 shares nothing. n_hits counts DISTINCT shared prints.
+    val run = (1 to 11).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"x1 x2 x3 $run x4"),
+      (2L, (1 to 20).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val bench = Seq((0L, s"$run y1 y2")).toDF("bid", "btext")
+    val got = Dedup.decontaminateWinnow(corpus, "doc_id", "text",
+        bench, "btext", k = 8, w = 4, minHits = 1)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 >= 1L && got(1L)._3, s"guarantee violated: $got")
+    assert(got(2L) == ((2L, 0L, false)), s"clean doc flagged: $got")
+    // minHits above the distinct-print count un-flags without changing hits
+    val strict = Dedup.decontaminateWinnow(corpus, "doc_id", "text",
+        bench, "btext", k = 8, w = 4, minHits = 1000)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(strict(1L)._2 == got(1L)._2 && !strict(1L)._3)
+  }
+
   test("distributionDrift is ~0 on identical snapshots and grows when tokens shift") {
     val a = Seq((1L, "a a b c"), (2L, "b c d d")).toDF("doc_id", "text")
     val same = graft.functions.Lm.distributionDrift(a, a, "text")
