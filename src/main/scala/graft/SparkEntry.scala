@@ -1072,6 +1072,49 @@ object SparkEntry {
             col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
             .otherwise(lit(0.0)))
     }),
+    // STREAMING twin of winnowed dedup: per-print ownership state
+    // (min (id,pos) — batch-split independent) over the same zero-shuffle
+    // print projection; drained changelog compacted by max n_copies,
+    // per-doc rollup at drain time — must equal the batch answer exactly
+    // (shared oracle)
+    "q_stream_winnow" -> ((s, dir) => withStreamShuffle(s) {
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_wn").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      docs.repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+        format = "parquet", schemaDdl = Some(docs.schema.toDDL), maxFilesPerTrigger = 1)
+      val owners = graft.streaming.Streams.winnowOwnersStream(stream,
+        "doc_id", "text", k = 8, w = 4)
+      val q = graft.streaming.Streams.toForeachBatch(owners, ckpt,
+        availableNow = true, outputMode = "update") { (batch, id) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+      }
+      q.awaitTermination()
+      val finalOwners = s.read.parquet(s"$outDir/batch_*")
+        .groupBy("print")
+        .agg(max(struct(col("n_copies"), col("owner_id"), col("owner_pos")))
+          .as("__f"))
+        .select(col("print"), col("__f.owner_id").as("owner_id"),
+          col("__f.owner_pos").as("owner_pos"))
+      val perDoc = Dedup.winnowedPrints(docs, "doc_id", "text", k = 8, w = 4)
+        .join(finalOwners, Seq("print"))
+        .select(col("id"),
+          (col("owner_id") =!= col("id") || col("owner_pos") =!= col("pos"))
+            .as("__dup"))
+        .groupBy("id").agg(
+          count(lit(1)).as("n_prints"),
+          sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_prints"))
+      docs.select(col("doc_id"))
+        .join(perDoc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_prints"), lit(0L)).as("n_prints"),
+          coalesce(col("n_dup_prints"), lit(0L)).as("n_dup_prints"))
+        .withColumn("dup_frac",
+          when(col("n_prints") > 0,
+            col("n_dup_prints").cast("double") / col("n_prints").cast("double"))
+            .otherwise(lit(0.0)))
+    }),
     // winnowing fingerprints (MOSS): rightmost-min of each w-hash window
     // over k-gram hashes — ~2/(w+1) density with a REAL detection
     // guarantee (runs >= w+k-1 tokens always share a print), the
@@ -1786,6 +1829,36 @@ object SparkEntry {
        |       THEN CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
        |       ELSE 0.0 END AS dup_frac
        |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  /** Winnowed-dedup oracle — shared by q_winnow and its streaming twin
+    * (per-print min-(id, pos) ownership commutes, so the drained changelog
+    * compacts to the batch answer exactly).
+    */
+  private lazy val winnowOracle: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |h AS (SELECT doc_id, list_transform(range(0, len(tk) - 8 + 1),
+       |      i -> ('0x' || substring(md5(array_to_string(list_slice(tk, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ')), 1, 15))::BIGINT) AS hs
+       |      FROM toks WHERE len(tk) >= 8),
+       |sel AS (SELECT doc_id, hs,
+       |      list_distinct(list_transform(range(0, greatest(len(hs) - 4, 0) + 1),
+       |        j -> j + least(4, len(hs)) - list_position(
+       |               list_reverse(list_slice(hs, CAST(j + 1 AS INT), CAST(j + least(4, len(hs)) AS INT))),
+       |               list_min(list_slice(hs, CAST(j + 1 AS INT), CAST(j + least(4, len(hs)) AS INT)))))) AS pos
+       |      FROM h),
+       |pr0 AS (SELECT doc_id, hs, unnest(pos) AS p FROM sel),
+       |pr AS (SELECT doc_id, CAST(p AS BIGINT) AS pos, hs[CAST(p + 1 AS INT)] AS print FROM pr0),
+       |o AS (SELECT doc_id, pos,
+       |      row_number() OVER (PARTITION BY print ORDER BY doc_id, pos) AS rn FROM pr),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_prints,
+       |        CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_prints
+       |        FROM o GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(a.n_prints, 0) AS BIGINT) AS n_prints,
+       |  CAST(COALESCE(a.n_dup_prints, 0) AS BIGINT) AS n_dup_prints,
+       |  CASE WHEN COALESCE(a.n_prints, 0) > 0
+       |       THEN CAST(a.n_dup_prints AS DOUBLE) / CAST(a.n_prints AS DOUBLE)
+       |       ELSE 0.0 END AS dup_frac
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   /** Decontamination oracle — shared verbatim by q_decontaminate, its Bloom
     * scale path (no false negatives + exact verify ⇒ identical output), and
@@ -2779,31 +2852,9 @@ object SparkEntry {
     "q_substring_dedup" -> substringDedupOracle,
     // the stream must converge on the batch ownership answer exactly
     "q_stream_substringdedup" -> substringDedupOracle,
-    "q_winnow" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |h AS (SELECT doc_id, list_transform(range(0, len(tk) - 8 + 1),
-         |      i -> ('0x' || substring(md5(array_to_string(list_slice(tk, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ')), 1, 15))::BIGINT) AS hs
-         |      FROM toks WHERE len(tk) >= 8),
-         |sel AS (SELECT doc_id, hs,
-         |      list_distinct(list_transform(range(0, greatest(len(hs) - 4, 0) + 1),
-         |        j -> j + least(4, len(hs)) - list_position(
-         |               list_reverse(list_slice(hs, CAST(j + 1 AS INT), CAST(j + least(4, len(hs)) AS INT))),
-         |               list_min(list_slice(hs, CAST(j + 1 AS INT), CAST(j + least(4, len(hs)) AS INT)))))) AS pos
-         |      FROM h),
-         |pr0 AS (SELECT doc_id, hs, unnest(pos) AS p FROM sel),
-         |pr AS (SELECT doc_id, CAST(p AS BIGINT) AS pos, hs[CAST(p + 1 AS INT)] AS print FROM pr0),
-         |o AS (SELECT doc_id, pos,
-         |      row_number() OVER (PARTITION BY print ORDER BY doc_id, pos) AS rn FROM pr),
-         |agg AS (SELECT doc_id, COUNT(*) AS n_prints,
-         |        CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_prints
-         |        FROM o GROUP BY 1)
-         |SELECT d.doc_id,
-         |  CAST(COALESCE(a.n_prints, 0) AS BIGINT) AS n_prints,
-         |  CAST(COALESCE(a.n_dup_prints, 0) AS BIGINT) AS n_dup_prints,
-         |  CASE WHEN COALESCE(a.n_prints, 0) > 0
-         |       THEN CAST(a.n_dup_prints AS DOUBLE) / CAST(a.n_prints AS DOUBLE)
-         |       ELSE 0.0 END AS dup_frac
-         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q_winnow" -> winnowOracle,
+    // the stream must converge on the batch ownership answer exactly
+    "q_stream_winnow" -> winnowOracle,
     // winnowed decontamination: the q_winnow print replay on both sides —
     // bench = doc_id % 97 docs' distinct prints, hits = DISTINCT shared
     // prints per corpus doc

@@ -141,6 +141,7 @@ object ConfigPipeline {
     "substring_dedup", "substring_dedup_clean",
     "stream_dedup", "stream_dir", "stream_keepbest", "stream_neardup",
     "stream_repetition", "stream_spandedup", "stream_substringdedup",
+    "stream_winnow",
     "table", "temperature_sample",
     "tfidf", "time_window", "token_budget", "union", "watermark",
     "winnowed_dedup", "withColumn", "zorder")
@@ -394,6 +395,11 @@ object ConfigPipeline {
         p.stage(name, from)(graft.streaming.Streams.substringOwnersStream(_,
           knob("id").asText(), knob("text").asText(),
           if (s.has("window")) knob("window").asInt() else 32))
+      case "stream_winnow" => // print-ownership changelog (thinned 2/(w+1))
+        p.stage(name, from)(graft.streaming.Streams.winnowOwnersStream(_,
+          knob("id").asText(), knob("text").asText(),
+          if (s.has("k")) knob("k").asInt() else 8,
+          if (s.has("w")) knob("w").asInt() else 4))
       case "span_dedup_clean" =>
         p.stage(name, from)(graft.dedup.Dedup.spanDedupClean(_,
           knob("id").asText(), knob("text").asText(), knob("window").asInt()))

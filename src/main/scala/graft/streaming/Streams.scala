@@ -424,6 +424,57 @@ object Streams {
       }.toDF("h", "owner_id", "owner_start", "n_copies")
   }
 
+  /** Streaming winnowed-print ownership — the stateful twin of
+    * [[graft.dedup.Dedup.winnowedDedup]]'s ownership pass. The per-doc
+    * fingerprint selection ([[graft.dedup.Dedup.winnowedPrints]] — k-gram
+    * hashing + rightmost-min window selection) is all zero-shuffle HOF
+    * projection, hence streamable unchanged; the only stateful piece is
+    * per-PRINT ownership `(owner_id, owner_pos, n_copies)` under the
+    * min-(id, pos) rule — min and count commute, so the answer is
+    * batch-split independent (the [[substringOwnersStream]] argument).
+    * Changelog semantics as the rest of the family: every touched print
+    * re-emits, `n_copies` strictly increases, drained result compacts by
+    * max-`n_copies` per print.
+    *
+    * Scale: state is O(#distinct prints) × three longs, and the print
+    * key itself is 8 bytes — winnowing's ~2/(w+1) thinning applies to
+    * the STATE STORE too, the whole point of running the guaranteed-
+    * detection form instead of stride-1 substring ownership online
+    * (state at 2/(w+1) of corpus-gram scale instead of full gram scale).
+    * Per-doc dup fractions come from joining the docs' prints against
+    * the compacted owners at drain time — q_stream_winnow oracles the
+    * loop against the batch winnowedDedup SQL.
+    */
+  def winnowOwnersStream(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val idType = docs.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"winnowOwnersStream: id column '$idCol' must be integral (got $idType); " +
+        "derive a numeric id upstream (e.g. xxhash64) for string-keyed corpora")
+    graft.dedup.Dedup.winnowedPrints(
+        docs.select(col(idCol).cast(LongType).as(idCol),
+          col(textCol).cast(StringType).as(textCol)),
+        idCol, textCol, k, w)
+      .select(col("print"), col("id"), col("pos"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (print: Long, values: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (oid, opos, n) =
+            state.getOption.getOrElse((Long.MaxValue, Long.MaxValue, 0L))
+          values.foreach { case (_, id, p) =>
+            n += 1
+            if (id < oid || (id == oid && p < opos)) { oid = id; opos = p }
+          }
+          state.update((oid, opos, n))
+          (print, oid, opos, n)
+      }.toDF("print", "owner_id", "owner_pos", "n_copies")
+  }
+
   /** Exact per-document n-gram repetition stats on a stream — the
     * streaming twin of [[graft.functions.Text.repetitionStats]] (same
     * output row per document). The batch form chains two aggregations,

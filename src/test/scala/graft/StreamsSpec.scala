@@ -346,6 +346,36 @@ class StreamsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("winnowOwnersStream compacts to the batch print ownership under any split") {
+    val base = java.nio.file.Files.createTempDirectory("graft_wos").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    docs.repartition(3).write.mode("overwrite").parquet(inDir)
+    val stream = Streams.watchDirectory(spark, inDir, format = "parquet",
+      schemaDdl = Some(docs.schema.toDDL), maxFilesPerTrigger = 1)
+    val q = Streams.toForeachBatch(
+      Streams.winnowOwnersStream(stream, "doc_id", "text", k = 8, w = 4),
+      ckpt, availableNow = true, outputMode = "update") { (batch, id) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+    }
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$outDir/batch_*")
+      .groupBy("print")
+      .agg(max(struct(col("n_copies"), col("owner_id"), col("owner_pos"))).as("f"))
+      .selectExpr("print", "f.owner_id AS owner_id", "f.owner_pos AS owner_pos",
+        "f.n_copies AS n_copies")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the batch rule: min (id, pos) per selected print owns it
+    val want = graft.dedup.Dedup.winnowedPrints(docs, "doc_id", "text", k = 8, w = 4)
+      .groupBy("print")
+      .agg(min(struct(col("id"), col("pos"))).as("o"), count(lit(1)).as("n"))
+      .selectExpr("print", "o.id AS owner_id", "o.pos AS owner_pos",
+        "n AS n_copies")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("repetitionStatsStream emits the batch repetitionStats row per document") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
