@@ -1132,6 +1132,35 @@ object SparkEntry {
         .select(explode(Text.tokens(col("text"))).as("tok"))
       Ops.heavyHitters(toks, "tok", supportPermille = 33)
     }),
+    // STREAMING heavy hitters: Spark's own update-mode streaming aggregate
+    // maintains the per-value running count (state = one long per distinct
+    // value — smaller than any ownership twin's state); the changelog's
+    // cnt strictly increases, so the drain compacts by max-cnt, derives
+    // the total from the compacted counts, and applies the support
+    // threshold — count is batch-split independent, so the answer equals
+    // the batch q_heavy_hitters exactly (shared oracle)
+    "q_stream_heavyhitters" -> ((s, dir) => withStreamShuffle(s) {
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_hh").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      docs.repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+        format = "parquet", schemaDdl = Some(docs.schema.toDDL), maxFilesPerTrigger = 1)
+      val counts = stream
+        .select(explode(Text.tokens(col("text"))).as("value"))
+        .groupBy("value").agg(count(lit(1)).as("cnt"))
+      val q = graft.streaming.Streams.toForeachBatch(counts, ckpt,
+        availableNow = true, outputMode = "update") { (batch, id) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+      }
+      q.awaitTermination()
+      val finalCounts = s.read.parquet(s"$outDir/batch_*")
+        .groupBy("value").agg(max(col("cnt")).as("cnt"))
+      val total = finalCounts.agg(sum(col("cnt")).as("n"))
+      finalCounts.crossJoin(total)
+        .filter(col("cnt") * 1000 > col("n") * 33)
+        .select(col("value"), col("cnt"))
+    }),
     // KMV distinct sketch: k smallest md5 hashes per group (deterministic,
     // unlike HLL — the oracle reproduces the estimate bit-for-bit)
     "q_kmv" -> ((s, dir) =>
@@ -1829,6 +1858,16 @@ object SparkEntry {
        |       THEN CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
        |       ELSE 0.0 END AS dup_frac
        |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  /** Heavy-hitters oracle — shared by q_heavy_hitters (sketch candidates +
+    * exact verify ≡ the full GROUP BY) and its streaming twin (running
+    * counts compact exactly; the threshold applies at drain).
+    */
+  private lazy val heavyHittersOracle: String =
+    s"""WITH tk AS (SELECT unnest($toksSql) AS value FROM documents),
+       |n AS (SELECT COUNT(*) AS n FROM tk)
+       |SELECT value, COUNT(*) AS cnt FROM tk CROSS JOIN n
+       |GROUP BY value, n.n HAVING COUNT(*) * 1000 > n.n * 33""".stripMargin
 
   /** Winnowed-dedup oracle — shared by q_winnow and its streaming twin
     * (per-print min-(id, pos) ownership commutes, so the drained changelog
@@ -2906,11 +2945,9 @@ object SparkEntry {
          |           i -> len(list_filter(l.spans, x -> i >= x.s AND i < x.e)) = 0),
          |         i -> b.tk[CAST(i + 1 AS INT)]), ' '), '') END AS clean_text
          |FROM base b LEFT JOIN spl l USING (doc_id)""".stripMargin,
-    "q_heavy_hitters" ->
-      s"""WITH tk AS (SELECT unnest($toksSql) AS value FROM documents),
-         |n AS (SELECT COUNT(*) AS n FROM tk)
-         |SELECT value, COUNT(*) AS cnt FROM tk CROSS JOIN n
-         |GROUP BY value, n.n HAVING COUNT(*) * 1000 > n.n * 33""".stripMargin,
+    "q_heavy_hitters" -> heavyHittersOracle,
+    // running streaming counts compact to the same exact answer
+    "q_stream_heavyhitters" -> heavyHittersOracle,
     "q_kmv" ->
       """WITH u AS (SELECT DISTINCT l_returnflag,
         |    ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
