@@ -94,7 +94,7 @@ object ScaleBench {
       // scan-dominated and should grow linearly with constant shuffle.
       for (q <- Seq("q_neardup_pipeline", "q_llm_pipeline", "q_kb_infer", "q_pagerank",
           "q_substring_dedup", "q_substring_dedup_clean", "q_heavy_hitters",
-          "q_distribution_drift"))
+          "q_distribution_drift", "q_winnow", "q_decontaminate_winnow"))
         time(q, dir) { SparkEntry.queries(q)(spark, dir) }
       time("neardup_composed", dir) { neardupComposed(spark, dir) }
     }

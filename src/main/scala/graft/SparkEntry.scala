@@ -1674,6 +1674,37 @@ object SparkEntry {
       Dedup.indexDelta(Dedup.bandKeysOf(genA, "doc_id", "text", 16, 4, 4),
         admitted, "doc_id", "text", retired, 16, 4, 4)
     }),
+    // incremental substring-contamination probe: the delta (doc_id % 10 = 0)
+    // probes the winnow-prints index built over the rest of the corpus —
+    // index streamed, delta-print set broadcast (the G40 build-side law
+    // extended to the winnow family)
+    "q_winnow_probe" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val index = Dedup.winnowedPrints(d.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", k = 8, w = 4)
+      Dedup.winnowProbe(d.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          index, k = 8, w = 4, minHits = 1)
+        .select(col("id").as("doc_id"), col("n_hits"), col("contaminated"))
+    }),
+    // prints-index maintenance: retire removed/changed ids, append admitted
+    // docs' prints — the ORACLE rebuilds the gen-B prints from scratch;
+    // maintained ≡ rebuilt is the maintenance identity, row for row
+    "q_winnow_index_delta" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val genA = d.filter(col("doc_id") % 11 =!= 3)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v1"))).otherwise(col("text")))
+      val diff = graft.operators.Ops.snapshotDiff(genA, d, "doc_id", "text")
+      val retired = diff.filter(col("status").isin("removed", "changed"))
+        .select("id")
+      val admitted = d.join(
+        diff.filter(col("status").isin("added", "changed")).select("id"),
+        col("doc_id") === col("id"), "left_semi")
+      Dedup.winnowIndexDelta(
+          Dedup.winnowedPrints(genA, "doc_id", "text", k = 8, w = 4),
+          admitted, "doc_id", "text", retired, k = 8, w = 4)
+        .select(col("id").as("doc_id"), col("pos"), col("print"))
+    }),
     "q_cosine_neardup" -> ((s, dir) =>
       Dedup.cosineNearDup(
         T(s, dir, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding", 0.2)),
@@ -2894,6 +2925,45 @@ object SparkEntry {
     "q_winnow" -> winnowOracle,
     // the stream must converge on the batch ownership answer exactly
     "q_stream_winnow" -> winnowOracle,
+    // the winnow-print replay split into index (% 10 <> 0) and delta
+    // (% 10 = 0) sides; hits = DISTINCT shared prints per delta doc
+    "q_winnow_probe" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |h AS (SELECT doc_id, list_transform(range(0, len(tk) - 8 + 1),
+         |      i -> ('0x' || substring(md5(array_to_string(list_slice(tk, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ')), 1, 15))::BIGINT) AS hs
+         |      FROM toks WHERE len(tk) >= 8),
+         |sel AS (SELECT doc_id, hs,
+         |      list_distinct(list_transform(range(0, greatest(len(hs) - 4, 0) + 1),
+         |        j -> j + least(4, len(hs)) - list_position(
+         |               list_reverse(list_slice(hs, CAST(j + 1 AS INT), CAST(j + least(4, len(hs)) AS INT))),
+         |               list_min(list_slice(hs, CAST(j + 1 AS INT), CAST(j + least(4, len(hs)) AS INT)))))) AS pos
+         |      FROM h),
+         |pr0 AS (SELECT doc_id, hs, unnest(pos) AS p FROM sel),
+         |pr AS (SELECT doc_id, hs[CAST(p + 1 AS INT)] AS print FROM pr0),
+         |ipr AS (SELECT DISTINCT print FROM pr WHERE doc_id % 10 <> 0),
+         |hits AS (SELECT doc_id, COUNT(DISTINCT print) AS n_hits
+         |         FROM pr JOIN ipr USING (print) WHERE doc_id % 10 = 0 GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id % 10 = 0""".stripMargin,
+    // maintenance identity: retiring changed ids from the gen-A prints and
+    // appending added ∪ changed docs' prints must equal the from-scratch
+    // gen-B (= current documents) prints, row for row
+    "q_winnow_index_delta" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |h AS (SELECT doc_id, list_transform(range(0, len(tk) - 8 + 1),
+         |      i -> ('0x' || substring(md5(array_to_string(list_slice(tk, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ')), 1, 15))::BIGINT) AS hs
+         |      FROM toks WHERE len(tk) >= 8),
+         |sel AS (SELECT doc_id, hs,
+         |      list_distinct(list_transform(range(0, greatest(len(hs) - 4, 0) + 1),
+         |        j -> j + least(4, len(hs)) - list_position(
+         |               list_reverse(list_slice(hs, CAST(j + 1 AS INT), CAST(j + least(4, len(hs)) AS INT))),
+         |               list_min(list_slice(hs, CAST(j + 1 AS INT), CAST(j + least(4, len(hs)) AS INT)))))) AS pos
+         |      FROM h),
+         |pr0 AS (SELECT doc_id, hs, unnest(pos) AS p FROM sel)
+         |SELECT doc_id, CAST(p AS BIGINT) AS pos, hs[CAST(p + 1 AS INT)] AS print
+         |FROM pr0""".stripMargin,
     // winnowed decontamination: the q_winnow print replay on both sides —
     // bench = doc_id % 97 docs' distinct prints, hits = DISTINCT shared
     // prints per corpus doc

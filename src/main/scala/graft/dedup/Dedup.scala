@@ -824,6 +824,70 @@ object Dedup {
       .withColumn("contaminated", col("n_hits") >= minHits)
   }
 
+  /** Incremental substring-contamination probe — [[decontaminateWinnow]]
+    * against a STORED corpus prints index ([[winnowedPrints]] rows built
+    * once over the corpus and persisted), oriented for a corpus-sized
+    * index: the index is STREAMED through a semi join whose broadcast
+    * build is the delta's print set (the [[incrementalNearDup]] build-side
+    * law — a left-semi join can only broadcast its right side, so
+    * delta-SEMI-index would put the corpus on the build). Nothing
+    * corpus-sized ever exchanges or broadcasts; only 8-byte prints move.
+    * Detection inherits winnowing's guarantee: any run ≥ w + k − 1 tokens
+    * shared with ANY indexed document (same k, w) shares a print.
+    *
+    * This is the daily-crawl twin of [[decontaminateWinnow]] (which
+    * broadcasts an eval-sized bench): here the INDEX side is the big one
+    * and the probing batch is small. Equivalence law (spec-pinned):
+    * probing an index built from a corpus equals decontaminateWinnow of
+    * the delta against that corpus's text.
+    *
+    * Contract: `newDocs` is a BATCH — its print set broadcasts by
+    * construction. Output: (id, n_hits, contaminated) per new doc;
+    * `n_hits` counts DISTINCT shared prints.
+    */
+  def winnowProbe(newDocs: DataFrame, idCol: String, textCol: String,
+                  printsIndex: DataFrame, k: Int = 8, w: Int = 4,
+                  minHits: Int = 1): DataFrame = {
+    require(minHits > 0, s"minHits must be positive, got $minHits")
+    val dp = winnowedPrints(newDocs, idCol, textCol, k, w)
+      .select(col("id"), col("print"))
+    val deltaPr = dp.select("print").distinct()
+    // index streamed, delta broadcast: the corpus-sized side never moves
+    val hitPr = printsIndex.select("print")
+      .join(broadcast(deltaPr), Seq("print"), "left_semi")
+      .distinct()
+    val hits = dp.join(broadcast(hitPr), Seq("print"))
+      .groupBy("id").agg(count_distinct(col("print")).as("n_hits"))
+    newDocs.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") >= minHits)
+  }
+
+  /** Prints-index MAINTENANCE — the [[indexDelta]] pattern for the
+    * [[winnowedPrints]] artifact: retire rows whose `id` the snapshot diff
+    * marks removed/changed (old text selected those prints), append the
+    * admitted docs' prints (current text). Prints are a pure per-document
+    * function, so the maintenance identity is exact by construction:
+    * maintained index ≡ from-scratch [[winnowedPrints]] of the new
+    * snapshot, row for row (oracled as q_winnow_index_delta). The retire
+    * anti-join's right side is delta-sized (AQE broadcasts it); the append
+    * side tokenizes only admitted docs.
+    */
+  def winnowIndexDelta(index: DataFrame, admitted: DataFrame, idCol: String,
+                       textCol: String, retiredIds: DataFrame,
+                       k: Int = 8, w: Int = 4): DataFrame = {
+    require(retiredIds.columns.contains("id") || retiredIds.columns.length == 1,
+      s"retiredIds must have an 'id' column or be single-column, got: " +
+        retiredIds.columns.mkString(", "))
+    val idName =
+      if (retiredIds.columns.contains("id")) "id" else retiredIds.columns.head
+    val retired = retiredIds.select(col(idName).as("id"))
+    index.select("id", "pos", "print")
+      .join(retired, Seq("id"), "left_anti")
+      .unionByName(winnowedPrints(admitted, idCol, textCol, k, w))
+  }
+
   /** Span-level corpus dedup (the C4/RefinedWeb "remove repeated spans"
     * step): cut every document into NON-overlapping `window`-token chunks,
     * hash each chunk, and mark a chunk as a duplicate when the same hash

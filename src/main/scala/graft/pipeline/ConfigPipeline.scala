@@ -144,6 +144,7 @@ object ConfigPipeline {
     "stream_winnow",
     "table", "temperature_sample",
     "tfidf", "time_window", "token_budget", "union", "watermark",
+    "winnow_index_delta", "winnow_prints", "winnow_probe",
     "winnowed_dedup", "withColumn", "zorder")
 
   private def strs(n: JsonNode): Seq[String] =
@@ -298,6 +299,29 @@ object ConfigPipeline {
         p.stage(name, from)(graft.dedup.Dedup.incrementalNearDup(_,
           knob("id").asText(), knob("text").asText(), index,
           numHashes, bands, rpb))
+      // the winnow-prints index builder (the substring-family band_keys)
+      case "winnow_prints" =>
+        p.stage(name, from)(graft.dedup.Dedup.winnowedPrints(_,
+          knob("id").asText(), knob("text").asText(),
+          if (s.has("k")) knob("k").asInt() else 8,
+          if (s.has("w")) knob("w").asInt() else 4))
+      // incremental substring-contamination probe against a stored prints
+      // index (a prior winnow_prints stage or a table stage)
+      case "winnow_probe" =>
+        val index = p.output(knob("index").asText())
+        p.stage(name, from)(graft.dedup.Dedup.winnowProbe(_,
+          knob("id").asText(), knob("text").asText(), index,
+          if (s.has("k")) knob("k").asInt() else 8,
+          if (s.has("w")) knob("w").asInt() else 4,
+          if (s.has("minHits")) knob("minHits").asInt() else 1))
+      // prints-index maintenance (the index_delta pattern for winnow)
+      case "winnow_index_delta" =>
+        val index = p.output(knob("index").asText())
+        val retired = p.output(knob("retired").asText())
+        p.stage(name, from)(graft.dedup.Dedup.winnowIndexDelta(index, _,
+          knob("id").asText(), knob("text").asText(), retired,
+          if (s.has("k")) knob("k").asInt() else 8,
+          if (s.has("w")) knob("w").asInt() else 4))
       // index MAINTENANCE between generations: `from` = this generation's
       // admitted docs (current text), `index` = the prior index stage,
       // `retired` = a stage of ids to drop (snapshot_diff removed/changed)

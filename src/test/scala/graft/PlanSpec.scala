@@ -397,4 +397,52 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", prevA)
     }
   }
+
+  test("winnow probe at scale: the corpus-sized prints index is never exchanged " +
+       "and never the broadcast build side") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // same at-scale posture as the LSH probe above — the build-side law
+    // holds for every stored-index probe in the library
+    val marker = "wnplan-" + System.nanoTime()
+    val dir = java.nio.file.Files.createTempDirectory(marker).toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    Dedup.winnowedPrints(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probed = Dedup.winnowProbe(delta, "doc_id", "text", index)
+      val plan = probed.queryExecution.executedPlan
+      def isIndexScan(p: SparkPlan): Boolean =
+        p.children.isEmpty && p.verboseStringWithSuffix(10000).contains(marker)
+      def path(p: SparkPlan): Option[List[SparkPlan]] =
+        if (isIndexScan(p)) Some(List(p))
+        else p.children.view.flatMap(c => path(c).map(p :: _)).headOption
+      val toScan = path(plan).getOrElse(fail("index scan not found in plan:\n" +
+        plan.toString.take(3000)))
+      val firstBarrier = toScan.reverse.drop(1).find {
+        case _: ShuffleExchangeExec => true
+        case _: BroadcastExchangeExec => true
+        case _: BroadcastHashJoinExec => true
+        case p => p.getClass.getSimpleName.contains("Join")
+      }
+      firstBarrier match {
+        case Some(j: BroadcastHashJoinExec) =>
+          assert(path(j.children.head).isDefined,
+            "index must be on the STREAMED (left) side of the probe join:\n" + j)
+        case other => fail(s"first barrier above the index scan is $other, " +
+          "expected a BroadcastHashJoin streaming the index:\n" +
+          plan.toString.take(3000))
+      }
+      assert(probed.filter(col("contaminated")).count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
 }

@@ -499,6 +499,49 @@ class TextDedupSpec extends SparkSpec {
     assert(strict(1L)._2 == got(1L)._2 && !strict(1L)._3)
   }
 
+  test("winnowProbe against a corpus prints index equals decontaminateWinnow " +
+       "against the corpus text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val index = Dedup.winnowedPrints(corpus, "doc_id", "text", k = 8, w = 4)
+    val probed = Dedup.winnowProbe(delta, "doc_id", "text", index, k = 8, w = 4)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val direct = Dedup.decontaminateWinnow(delta, "doc_id", "text",
+        corpus, "text", k = 8, w = 4)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(probed == direct && probed.nonEmpty)
+  }
+
+  test("winnowIndexDelta maintenance identity: maintained prints equal a " +
+       "from-scratch rebuild, both diff directions") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // gen A drops % 11 ids and rewrites % 7 texts; gen B is the original
+    val genA = docs.filter(col("doc_id") % 11 =!= 3)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v1"))).otherwise(col("text")))
+    def maintain(from: org.apache.spark.sql.DataFrame,
+                 to: org.apache.spark.sql.DataFrame) = {
+      val diff = graft.operators.Ops.snapshotDiff(from, to, "doc_id", "text")
+      val retired = diff.filter(col("status").isin("removed", "changed")).select("id")
+      val admitted = to.join(
+        diff.filter(col("status").isin("added", "changed")).select("id"),
+        col("doc_id") === col("id"), "left_semi")
+      Dedup.winnowIndexDelta(
+        Dedup.winnowedPrints(from, "doc_id", "text", k = 8, w = 4),
+        admitted, "doc_id", "text", retired, k = 8, w = 4)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    assert(rows(maintain(genA, docs)) ==
+      rows(Dedup.winnowedPrints(docs, "doc_id", "text", k = 8, w = 4)))
+    // reverse direction: docs → genA retires the % 11 ids and re-prints % 7
+    assert(rows(maintain(docs, genA)) ==
+      rows(Dedup.winnowedPrints(genA, "doc_id", "text", k = 8, w = 4)))
+  }
+
   test("distributionDrift is ~0 on identical snapshots and grows when tokens shift") {
     val a = Seq((1L, "a a b c"), (2L, "b c d d")).toDF("doc_id", "text")
     val same = graft.functions.Lm.distributionDrift(a, a, "text")
