@@ -135,6 +135,33 @@ object ScaleBench {
       }
     }
 
+    // Winnow-probe twin of the incremental experiment: 90% of the corpus's
+    // prints index once (amortized), the 10% delta probes the STORED
+    // index — flat growth here is the substring-contamination analog of
+    // neardup_incremental_probe's O(delta) claim.
+    for (dir <- Seq(base, big) if want("winnow_probe")) {
+      val docs = Tables.load(spark, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+      val idxDir = s"$work/wprints_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val t0 = System.nanoTime()
+      Dedup.winnowedPrints(corpus, "doc_id", "text")
+        .write.mode("overwrite").parquet(idxDir)
+      println(f"[scalebench] winnow_index_build dir=$dir " +
+        f"min=${(System.nanoTime() - t0) / 1e9}%.2f s (one-time, amortized)")
+      val index = spark.read.parquet(idxDir)
+      time("winnow_probe", dir) {
+        Dedup.winnowProbe(delta, "doc_id", "text", index)
+      }
+      if (want("winnow_probe_nobc")) {
+        val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try time("winnow_probe_nobc", dir) {
+          Dedup.winnowProbe(delta, "doc_id", "text", index)
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      }
+    }
+
     // The ONLINE loop: drain the same 10% delta as a 5-batch file stream
     // through indexMaintainStream against the stored 90% index — the
     // recurring cost of the streaming crawl posture, directly comparable
