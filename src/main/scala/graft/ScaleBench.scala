@@ -40,6 +40,14 @@ object ScaleBench {
       .withColumn("o_custkey", col("o_custkey") + col("__r") * maxCust)
       .drop("__r")
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // embeddings replicate like documents (salted vec_id) for the G45/G46
+    // decades; replicas are identical vectors — the dup-saturated regime,
+    // worst case for neighborhood means (every kNN list fills with clones)
+    val emb = Tables.load(spark, base, "embeddings")
+    val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1L
+    emb.crossJoin(reps)
+      .withColumn("vec_id", col("vec_id") + col("__r") * maxVec).drop("__r")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     dir
   }
 
@@ -97,6 +105,25 @@ object ScaleBench {
           "q_distribution_drift", "q_winnow", "q_decontaminate_winnow"))
         time(q, dir) { SparkEntry.queries(q)(spark, dir) }
       time("neardup_composed", dir) { neardupComposed(spark, dir) }
+      // G45/G46 decades: brute margin mining is O(|A|·|B|) BY DESIGN —
+      // k× data = k²× pairs — measured as the motivation for the IVF
+      // route, whose candidate volume grows ~k·(nprobe/nlist)·|corpus|;
+      // k-center is k fixed scans (growth should track the scan alone)
+      lazy val emb = Tables.load(spark, dir, "embeddings")
+      lazy val mSrc = emb.filter(col("vec_id") % 2 === 0)
+      lazy val mTgt = emb.filter(col("vec_id") % 2 === 1)
+      time("margin_brute", dir) {
+        graft.similarity.Mine.marginMine(mSrc, mTgt, "vec_id", "embedding",
+          k = 4, tau = 1.01)
+      }
+      time("margin_ivf", dir) {
+        graft.similarity.Mine.marginMineIvf(mSrc, mTgt, "vec_id", "embedding",
+          k = 4, tau = 1.01, nlist = 64, nprobe = 8)
+      }
+      time("kcenter", dir) {
+        graft.similarity.Clustering.kCenterGreedy(emb, "vec_id", "embedding",
+          k = 16)
+      }
     }
 
     // Incremental vs full re-dedup: 90% of the corpus is indexed once

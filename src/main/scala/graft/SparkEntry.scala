@@ -1754,6 +1754,40 @@ object SparkEntry {
           nlist = 16, nprobe = 16)
         .select("query_id", "rank", "neighbor_id")
     }),
+    // G45: cross-corpus margin-ratio mining (Artetxe–Schwenk) — even ids
+    // mine their best partner among odd ids; the margin RATIO (cos over the
+    // mean of both rows' k-NN neighborhoods) suppresses hub vectors that a
+    // raw cosine threshold would mis-mine
+    "q_margin_mine" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.similarity.Mine.marginMine(
+        emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, tau = 1.01)
+    }),
+    // mutual variant: a pair survives only if it is margin-best in BOTH
+    // directions — the high-precision setting of the original recipe
+    "q_margin_mutual" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.similarity.Mine.marginMine(
+        emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, tau = 1.01, mutual = true)
+    }),
+    // IVF-routed candidate generation with nprobe == nlist probes every
+    // cell, so the mined pairs are EXACTLY q_margin_mine's (shared oracle)
+    // while the plan exercises the routed join that at scale scans only
+    // ~nprobe/nlist of each corpus
+    "q_margin_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.similarity.Mine.marginMineIvf(
+        emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, tau = 1.01, nlist = 16, nprobe = 16)
+    }),
+    // G46: k-center greedy (farthest-point) diversity selection — k corpus
+    // scans against literal centers, zero corpus shuffle; radius traces the
+    // coverage objective
+    "q_kcenter" -> ((s, dir) =>
+      graft.similarity.Clustering.kCenterGreedy(
+        T(s, dir, "embeddings"), "vec_id", "embedding", k = 4)),
     // salted two-phase agg must equal the direct group-by (skew path)
     "q_salted_agg" -> ((s, dir) =>
       Ops.saltedAgg(T(s, dir, "lineitem"), Seq("l_returnflag"), Seq(
@@ -2385,6 +2419,97 @@ object SparkEntry {
   }
 
   /** Brute-force cosine top-3; also the oracle of exhaustive IVF. */
+  /** Shared CTEs for the margin-mining oracles: directional brute-force
+    * top-4 lists (`ft`/`gt`), rank-pivoted neighborhood means (`fa`/`ga` —
+    * the four cosines add in RANK order, replaying the operator's sorted
+    * fold bit-for-bit), and per-direction margin-best tables (`mb`/`mb2`).
+    */
+  private val marginCtes: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |a AS (SELECT * FROM n WHERE vec_id % 2 = 0),
+      |b AS (SELECT * FROM n WHERE vec_id % 2 = 1),
+      |f AS (SELECT a.vec_id AS src, b.vec_id AS tgt,
+      |      CASE WHEN a.nrm * b.nrm = 0 THEN 0
+      |           ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END AS cos
+      |      FROM a CROSS JOIN b),
+      |fr AS (SELECT src, tgt, cos,
+      |       row_number() OVER (PARTITION BY src ORDER BY cos DESC, tgt) AS rnk FROM f),
+      |ft AS (SELECT * FROM fr WHERE rnk <= 4),
+      |fa AS (SELECT src, (max(CASE WHEN rnk = 1 THEN cos END)
+      |                  + max(CASE WHEN rnk = 2 THEN cos END)
+      |                  + max(CASE WHEN rnk = 3 THEN cos END)
+      |                  + max(CASE WHEN rnk = 4 THEN cos END))
+      |                 / CAST(count(*) AS DOUBLE) AS avgc FROM ft GROUP BY src),
+      |g AS (SELECT b.vec_id AS tgt, a.vec_id AS src,
+      |      CASE WHEN b.nrm * a.nrm = 0 THEN 0
+      |           ELSE list_dot_product(b.v, a.v) / (b.nrm * a.nrm) END AS cos
+      |      FROM b CROSS JOIN a),
+      |gr AS (SELECT tgt, src, cos,
+      |       row_number() OVER (PARTITION BY tgt ORDER BY cos DESC, src) AS rnk FROM g),
+      |gt AS (SELECT * FROM gr WHERE rnk <= 4),
+      |ga AS (SELECT tgt, (max(CASE WHEN rnk = 1 THEN cos END)
+      |                  + max(CASE WHEN rnk = 2 THEN cos END)
+      |                  + max(CASE WHEN rnk = 3 THEN cos END)
+      |                  + max(CASE WHEN rnk = 4 THEN cos END))
+      |                 / CAST(count(*) AS DOUBLE) AS avgc FROM gt GROUP BY tgt),
+      |m AS (SELECT ft.src, ft.tgt, ft.cos / ((fa.avgc + ga.avgc) / 2.0) AS mg
+      |      FROM ft JOIN fa ON fa.src = ft.src JOIN ga ON ga.tgt = ft.tgt
+      |      WHERE (fa.avgc + ga.avgc) / 2.0 > 0),
+      |mb AS (SELECT src, tgt, mg,
+      |       row_number() OVER (PARTITION BY src ORDER BY mg DESC, tgt) AS r FROM m),
+      |m2 AS (SELECT gt.tgt, gt.src, gt.cos / ((ga.avgc + fa.avgc) / 2.0) AS mg
+      |       FROM gt JOIN ga ON ga.tgt = gt.tgt JOIN fa ON fa.src = gt.src
+      |       WHERE (ga.avgc + fa.avgc) / 2.0 > 0),
+      |mb2 AS (SELECT tgt, src, mg,
+      |        row_number() OVER (PARTITION BY tgt ORDER BY mg DESC, src) AS r FROM m2)""".stripMargin
+
+  private val marginOracle: String =
+    s"""$marginCtes
+       |SELECT src AS src_id, tgt AS tgt_id,
+       |       CAST(floor(mg * 1000000.0) AS BIGINT) AS margin_ppm
+       |FROM mb WHERE r = 1 AND mg >= 1.01""".stripMargin
+
+  private val marginMutualOracle: String =
+    s"""$marginCtes
+       |SELECT mb.src AS src_id, mb.tgt AS tgt_id,
+       |       CAST(floor(mb.mg * 1000000.0) AS BIGINT) AS margin_ppm
+       |FROM mb WHERE mb.r = 1 AND mb.mg >= 1.01
+       |  AND EXISTS (SELECT 1 FROM mb2 WHERE mb2.r = 1 AND mb2.mg >= 1.01
+       |              AND mb2.src = mb.src AND mb2.tgt = mb.tgt)""".stripMargin
+
+  /** K-center greedy unrolled for k = 4: each `cN` picks the farthest row
+    * (mind DESC, id) from the previous rounds' centers; distances are exact
+    * integral doubles (floor-quantized vectors, same contract as
+    * `kmeansCtes`), so ties and radii are engine-exact.
+    */
+  private val kcenterOracle: String =
+    """WITH q AS (SELECT vec_id,
+      |     list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1048576.0)) AS qv
+      |     FROM embeddings),
+      |c1 AS (SELECT vec_id, qv FROM q
+      |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+      |d1 AS (SELECT t.vec_id, t.qv, list_dot_product(t.d, t.d) AS mind
+      |       FROM (SELECT q.vec_id, q.qv,
+      |             list_transform(range(1, 65), i -> q.qv[i] - c1.qv[i]) AS d
+      |             FROM q CROSS JOIN c1) t),
+      |c2 AS (SELECT vec_id, qv, mind FROM d1 ORDER BY mind DESC, vec_id LIMIT 1),
+      |d2 AS (SELECT t.vec_id, t.qv, least(t.mind, list_dot_product(t.d, t.d)) AS mind
+      |       FROM (SELECT d1.vec_id, d1.qv, d1.mind,
+      |             list_transform(range(1, 65), i -> d1.qv[i] - c2.qv[i]) AS d
+      |             FROM d1 CROSS JOIN c2) t),
+      |c3 AS (SELECT vec_id, qv, mind FROM d2 ORDER BY mind DESC, vec_id LIMIT 1),
+      |d3 AS (SELECT t.vec_id, t.qv, least(t.mind, list_dot_product(t.d, t.d)) AS mind
+      |       FROM (SELECT d2.vec_id, d2.qv, d2.mind,
+      |             list_transform(range(1, 65), i -> d2.qv[i] - c3.qv[i]) AS d
+      |             FROM d2 CROSS JOIN c3) t),
+      |c4 AS (SELECT vec_id, mind FROM d3 ORDER BY mind DESC, vec_id LIMIT 1)
+      |SELECT CAST(1 AS BIGINT) AS step, (SELECT vec_id FROM c1) AS center_id,
+      |       CAST(NULL AS DOUBLE) AS radius
+      |UNION ALL SELECT 2, (SELECT vec_id FROM c2), (SELECT mind FROM c2)
+      |UNION ALL SELECT 3, (SELECT vec_id FROM c3), (SELECT mind FROM c3)
+      |UNION ALL SELECT 4, (SELECT vec_id FROM c4), (SELECT mind FROM c4)""".stripMargin
+
   private val annOracle: String =
     """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
@@ -3613,6 +3738,10 @@ object SparkEntry {
 
     "q_ann" -> annOracle,
     "q_ann_ivf" -> annOracle, // exhaustive IVF ≡ brute force
+    "q_margin_mine" -> marginOracle,
+    "q_margin_mutual" -> marginMutualOracle,
+    "q_margin_ivf" -> marginOracle, // exhaustive IVF routing ≡ brute force
+    "q_kcenter" -> kcenterOracle,
 
     "q_pack" ->
       s"""WITH t AS (SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents)

@@ -133,8 +133,9 @@ object ConfigPipeline {
     "dedup_exact", "dedup_near", "degrees", "distinct", "distinct_sketch",
     "distribution_drift", "dsir", "error_budget", "filter", "fingerprint",
     "flatten", "heavy_hitters", "histogram",
-    "index_delta", "inverted_index", "join", "langid", "limit",
-    "lm_xent", "lm_xent_bigram", "mixture", "neardup_incremental",
+    "index_delta", "inverted_index", "join", "kcenter", "langid", "limit",
+    "lm_xent", "lm_xent_bigram", "margin_mine", "mixture",
+    "neardup_incremental",
     "pack", "pagerank", "parquet", "percentiles", "quality_classifier",
     "repetition", "sample", "sample_per_group", "select", "sessionize",
     "snapshot_diff", "span_dedup", "span_dedup_clean", "split",
@@ -588,6 +589,32 @@ object ConfigPipeline {
           if (s.has("iters")) knob("iters").asInt() else 5))
       case "degrees" =>
         p.stage(name, from)(graft.graph.Graph.degrees(_))
+      // G45 margin mining from config: from[2] = [src stage, tgt stage];
+      // "method": "brute" (default) or "ivf" (+nlist/nprobe), "mutual" for
+      // the both-directions-best setting
+      case "margin_mine" =>
+        val Seq(ss, ts) = strs(knob("from"))
+        val id = knob("id").asText(); val vec = knob("vec").asText()
+        val k = knob("k").asInt()
+        val tau = if (s.has("tau")) knob("tau").asDouble() else 1.0
+        val mutual = s.has("mutual") && knob("mutual").asBoolean()
+        (if (s.has("method")) knob("method").asText() else "brute") match {
+          case "brute" =>
+            p.fanIn(name, Seq(ss, ts))(dfs =>
+              graft.similarity.Mine.marginMine(dfs(0), dfs(1), id, vec, k, tau,
+                mutual))
+          case "ivf" =>
+            p.fanIn(name, Seq(ss, ts))(dfs =>
+              graft.similarity.Mine.marginMineIvf(dfs(0), dfs(1), id, vec, k,
+                tau, nlist = knob("nlist").asInt(),
+                nprobe = knob("nprobe").asInt(), mutual = mutual))
+          case other => throw new IllegalArgumentException(
+            s"margin_mine method '$other' — valid: brute, ivf")
+        }
+      // G46 k-center greedy diversity selection from config
+      case "kcenter" =>
+        p.stage(name, from)(graft.similarity.Clustering.kCenterGreedy(_,
+          knob("id").asText(), knob("vec").asText(), knob("k").asInt()))
       // ANN from config (G6/G7/G35 reachable by a config-driven user):
       // from[2] = [queries stage, corpus stage], both carrying (id, vec)
       case "ann" =>

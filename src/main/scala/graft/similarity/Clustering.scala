@@ -124,6 +124,63 @@ object Clustering {
       .select(col("id"), col("cluster").cast(LongType).as("cluster"), col("dist2"))
   }
 
+  /** K-center greedy / farthest-point selection (Gonzalez 1985; the coreset
+    * selection recipe of Sener & Savarese 2018, arXiv:1708.00489) — pick `k`
+    * rows that COVER the embedding space: start from a deterministic seed
+    * (smallest `md5(id)`, the same device as [[lloydCentroids]]), then
+    * repeatedly take the row FARTHEST from every center chosen so far. The
+    * output's `radius` column traces the k-center objective (the max-min
+    * distance the next center collapses), the standard diversity-sampling
+    * diagnostic for "how many exemplars until the corpus is covered".
+    *
+    * Scale posture: each of the `k` rounds is ONE corpus scan — the selected
+    * centers are plan literals, `min dist²` is a `least()` over codegen'd
+    * [[dist2]] projections (zero shuffle), and the argmax is a
+    * TakeOrdered(1) (per-partition top-1, driver merges one row per
+    * partition). The corpus never shuffles; the driver holds k·dim doubles.
+    * k is a sample-size knob (10²–10⁴), not data-sized.
+    *
+    * Determinism: vectors quantize to integral doubles first (see class
+    * doc), so every distance is an exact integer-valued double — argmax
+    * ties break on id with NO cross-engine ulp risk, and `radius` is
+    * hash-exact in any engine (quantized units; divide by scale² for raw).
+    *
+    * Output: (step 1..k, center_id, radius) — `radius` is null for the seed
+    * row and non-increasing afterwards.
+    */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                    scale: Double = 1048576.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    val q = df.select(col(idCol).as("id"), quantize(col(vecCol), scale).as("qv"))
+    // limit(1) stays the plan ROOT in both the seed and the argmax:
+    // TakeOrderedAndProject then collect-executes as per-partition top-1 +
+    // a driver merge — zero shuffle stages (a projection above the limit
+    // would force a singlePartition exchange instead; PlanSpec pins this)
+    val seed = q.withColumn("__h", md5(col("id").cast(StringType)))
+      .orderBy(col("__h"), col("id")).limit(1).collect()
+    require(seed.nonEmpty, "empty input")
+    var picked = Vector[(Any, Array[Double], Option[Double])](
+      (seed(0).get(0), seed(0).getSeq[Double](1).toArray, None))
+    for (_ <- 2 to k) {
+      val dists = picked.map { case (_, cv, _) => dist2(col("qv"), cv) }
+      val mind = if (dists.size == 1) dists.head else least(dists: _*)
+      val next = q.withColumn("__mind", mind)
+        .orderBy(col("__mind").desc, col("id").asc).limit(1).collect()(0)
+      picked :+= ((next.get(0), next.getSeq[Double](1).toArray,
+        Some(next.getDouble(2))))
+    }
+    val idType = df.schema(idCol).dataType
+    val schema = StructType(Seq(
+      StructField("step", LongType, nullable = false),
+      StructField("center_id", idType, nullable = true),
+      StructField("radius", DoubleType, nullable = true)))
+    val rows = picked.zipWithIndex.map { case ((id, _, r), i) =>
+      Row((i + 1).toLong, id, r.orNull)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
     * k-means the embeddings, then compare vectors ONLY within a cluster and
     * mark every vector whose cosine to a LOWER-id cluster-mate reaches

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.{Clustering, Mine}
+import graft.sources.Tables
+
+/** G45 margin mining + G46 k-center greedy — invariants beyond the oracle:
+  * directional containment, the exhaustive-IVF identity, and the greedy
+  * geometry (distinct centers, non-increasing radii, deterministic seed).
+  */
+class MineSpec extends SparkSpec {
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+  private lazy val src = emb.filter(col("vec_id") % 2 === 0)
+  private lazy val tgt = emb.filter(col("vec_id") % 2 === 1)
+
+  test("mutual margin pairs are a subset of forward-best pairs") {
+    val fwd = Mine.marginMine(src, tgt, "vec_id", "embedding", k = 4, tau = 1.01)
+    val mut = Mine.marginMine(src, tgt, "vec_id", "embedding", k = 4, tau = 1.01,
+      mutual = true)
+    val fwdSet = fwd.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutSet = mut.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mutSet.nonEmpty && mutSet.subsetOf(fwdSet))
+    // at most one mined pair per src, margin at or above tau in ppm
+    assert(fwd.groupBy("src_id").count().filter(col("count") > 1).isEmpty)
+    assert(fwd.filter(col("margin_ppm") < 1010000L).isEmpty)
+  }
+
+  test("exhaustive IVF routing reproduces brute-force margins exactly") {
+    val brute = Mine.marginMine(src, tgt, "vec_id", "embedding", k = 3, tau = 1.0)
+    val ivf = Mine.marginMineIvf(src, tgt, "vec_id", "embedding", k = 3, tau = 1.0,
+      nlist = 8, nprobe = 8)
+    assert(brute.exceptAll(ivf).isEmpty && ivf.exceptAll(brute).isEmpty)
+  }
+
+  test("margin ratio demotes hub-adjacent pairs a raw cosine threshold keeps") {
+    // the mined pair's margin orders pairs differently from raw cosine for
+    // at least one src — the point of the ratio; guard that the operator
+    // isn't just argmax-cosine in disguise
+    val fwd = Mine.marginMine(src, tgt, "vec_id", "embedding", k = 4, tau = 0.0)
+    val topCos = graft.similarity.Ann
+      .bruteForceTopK(src, tgt, "vec_id", "embedding", 1)
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("cos_best"))
+    val joined = fwd.join(topCos, "src_id")
+    assert(joined.filter(col("tgt_id") =!= col("cos_best")).count() > 0)
+  }
+
+  test("k-center greedy: seed, distinct centers, non-increasing radii") {
+    val sel = Clustering.kCenterGreedy(emb, "vec_id", "embedding", k = 5)
+      .orderBy("step").collect()
+    assert(sel.length == 5)
+    // seed = md5-min id, radius null only there
+    val seedId = emb.select(col("vec_id"))
+      .withColumn("__h", md5(col("vec_id").cast("string")))
+      .orderBy("__h", "vec_id").limit(1).collect()(0).getLong(0)
+    assert(sel(0).getLong(1) == seedId && sel(0).isNullAt(2))
+    val ids = sel.map(_.getLong(1))
+    assert(ids.distinct.length == 5)
+    val radii = sel.drop(1).map(_.getDouble(2))
+    assert(radii.forall(_ > 0))
+    assert(radii.sliding(2).forall { case Array(a, b) => b <= a; case _ => true })
+  }
+
+  test("k-center k = 1 returns just the seed") {
+    val one = Clustering.kCenterGreedy(emb, "vec_id", "embedding", k = 1).collect()
+    assert(one.length == 1 && one(0).getLong(0) == 1L && one(0).isNullAt(2))
+  }
+}

@@ -380,6 +380,35 @@ class MtlConfigSpec extends SparkSpec {
     assert(pq.count(_._2 == 1L) == 20 && pq.length == 100) // 20 queries x top-5
   }
 
+  test("ConfigPipeline margin_mine and kcenter match the programmatic forms") {
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val corpus = spark.read.parquet(emb)
+    val mined = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "all", "op": "parquet", "path": "$emb"},
+         | {"name": "src", "op": "filter", "from": "all", "expr": "vec_id % 2 = 0"},
+         | {"name": "tgt", "op": "filter", "from": "all", "expr": "vec_id % 2 = 1"},
+         | {"name": "m", "op": "margin_mine", "from": ["src", "tgt"],
+         |  "id": "vec_id", "vec": "embedding", "k": 4, "tau": 1.01, "mutual": true}
+         |]}""".stripMargin).output("m")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = graft.similarity.Mine.marginMine(
+        corpus.filter(col("vec_id") % 2 === 0), corpus.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, tau = 1.01, mutual = true)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(mined == want && mined.nonEmpty)
+    val centers = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "all", "op": "parquet", "path": "$emb"},
+         | {"name": "kc", "op": "kcenter", "from": "all",
+         |  "id": "vec_id", "vec": "embedding", "k": 3}
+         |]}""".stripMargin).output("kc")
+    val centersWant = graft.similarity.Clustering.kCenterGreedy(
+      corpus, "vec_id", "embedding", k = 3)
+    assert(centers.orderBy("step").collect().toSeq ==
+      centersWant.orderBy("step").collect().toSeq)
+  }
+
   test("stateless curation ops ride streaming pipelines from config for free") {
     // the stateful curation ops need explicit twins (stream_dedup,
     // stream_neardup, stream_spandedup, ...); every STATELESS op — filters,

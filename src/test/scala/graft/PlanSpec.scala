@@ -342,6 +342,60 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("Partial"), p.take(2000))
   }
 
+  test("margin mining: embedding vectors never enter an exchange; both " +
+       "directional passes broadcast the query side") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val src = emb.filter(col("vec_id") % 2 === 0)
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+    val out = graft.similarity.Mine.marginMine(src, tgt, "vec_id", "embedding",
+      k = 3, tau = 1.0)
+    out.count()
+    def exchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case s: ShuffleExchangeExec => s +: s.children.flatMap(exchanges)
+      case _ => p.children.flatMap(exchanges)
+    }
+    val plan = out.queryExecution.executedPlan
+    val ex = exchanges(plan)
+    // the neighborhood-mean aggregates and best-pair windows do shuffle —
+    // but only (id, rank, cosine)-width rows, never a 64-float vector: at
+    // 100 TB the vectors stay where the scan put them
+    assert(ex.nonEmpty)
+    ex.foreach { s =>
+      assert(!s.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+        s"an exchange carries an array column: " +
+          s.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", "))
+    }
+    // the two directional scoring passes are broadcast cross joins (the
+    // query side broadcasts; the corpus side streams off its scan)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan.toString).size >= 2,
+      "expected both directional top-k passes as broadcast cross joins")
+  }
+
+  test("k-center greedy rounds run zero shuffle stages — argmax is a " +
+       "per-partition TakeOrdered, centers are plan literals") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    var shuffleWrites = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleWrites += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val sel = graft.similarity.Clustering
+        .kCenterGreedy(emb, "vec_id", "embedding", k = 4)
+      // collect, not count: count() itself plans a partial-count exchange
+      // and would charge the TEST's aggregation to the operator
+      assert(sel.collect().length == 4)
+      // listener delivery is async; give the bus a moment to drain
+      Thread.sleep(500)
+      assert(shuffleWrites == 0L,
+        s"k-center rounds wrote $shuffleWrites shuffle bytes; every round " +
+          "must be a scan + TakeOrdered(1), no exchange")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("incremental probe at scale: the corpus-sized index is never exchanged " +
        "and never the broadcast build side") {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
