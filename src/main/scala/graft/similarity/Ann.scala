@@ -1,7 +1,7 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType}
 
@@ -17,9 +17,43 @@ import graft.functions.Vectors
   */
 object Ann {
 
+  /** The shared ranking tail: top-k per query over a scored candidate
+    * frame (`query_id`, `neighbor_id`, `cosine`), emitted as
+    * (query_id, rank, neighbor_id, cosine) with the (cosine desc,
+    * neighbor_id asc) total order.
+    *
+    * Implemented as the bounded [[org.apache.spark.sql.graftglue.TopKStruct]]
+    * aggregate, NOT a `row_number()` window: the window form exchanges
+    * every scored candidate row (|Q|·|C| for brute force — the 10× margin
+    * decade measured 625M pair rows per direction through that exchange),
+    * while the aggregate partial-aggregates map-side so only ≤ k rows per
+    * (query, partition) shuffle — |Q|·k·P, independent of corpus size.
+    * Same rows, same order (unique ids per query make the order total), so
+    * window-based SQL oracles remain valid bit-for-bit.
+    */
+  private[similarity] def topKTail(scored: DataFrame, k: Int,
+                                   scoreCol: String = "cosine",
+                                   ascending: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, TopKStruct}
+    // the aggregate keeps the k HIGHEST scores; distance metrics (adc2/d2)
+    // rank ascending, so they negate in and negate back out — an exact
+    // sign-bit flip, no rounding
+    val s = if (ascending) -col(scoreCol) else col(scoreCol)
+    val agg = ColumnBridge.column(
+      TopKStruct(ColumnBridge.expression(s),
+        ColumnBridge.expression(col("neighbor_id")), k).toAggregateExpression())
+    val raw = col("__nb.score")
+    scored.groupBy("query_id").agg(agg.as("__nbrs"))
+      .select(col("query_id"), posexplode(col("__nbrs")).as(Seq("__p", "__nb")))
+      .select(col("query_id"), (col("__p") + 1).cast(LongType).as("rank"),
+        col("__nb.neighbor").as("neighbor_id"),
+        (if (ascending) -raw else raw).as(scoreCol))
+  }
+
   /** Brute-force cosine top-k: every query row scores every corpus row;
-    * the query side is broadcast (no corpus shuffle at all), ranking is a
-    * per-query window. Deterministic tie-break on corpus id.
+    * the query side is broadcast (no corpus shuffle at all), ranking is
+    * the bounded [[topKTail]] aggregate. Deterministic tie-break on
+    * corpus id.
     *
     * Output: (query_id, rank, neighbor_id, cosine).
     */
@@ -36,11 +70,7 @@ object Ann {
       .withColumn("cosine",
         Vectors.fcosine(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
       .filter(col("query_id") =!= col("neighbor_id"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("cosine"))
+    topKTail(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is
@@ -152,11 +182,7 @@ object Ann {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", Vectors.fcosine(col("q_vec"), col("c_vec"),
         col("q_norm"), col("c_norm")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("cosine"))
+    topKTail(cand, k)
   }
 
   /** LSH-bucketed top-k (G7): bucket corpus and queries by the sign pattern
@@ -191,10 +217,6 @@ object Ann {
     val scored = cand
       .withColumn("cosine", Vectors.fcosine(col("q_vec"), col("c_vec"),
         Vectors.fnorm(col("q_vec")), Vectors.fnorm(col("c_vec"))))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("cosine"))
+    topKTail(scored, k)
   }
 }

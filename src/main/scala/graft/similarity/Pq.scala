@@ -117,13 +117,12 @@ object Pq {
     (0 until m).map(j =>
       element_at(col(s"__dt$j"), element_at(col("codes"), j + 1))).reduce(_ + _)
 
-  private def rankTopK(scored: DataFrame, topK: Int): DataFrame = {
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc2").asc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
-      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
-        col("neighbor_id"), col("adc2"))
-  }
+  /** (adc2 asc, neighbor asc) top-k via the bounded [[Ann.topKTail]]
+    * aggregate — candidate rows partial-aggregate map-side instead of all
+    * flowing through a per-query window exchange (see topKTail's note).
+    */
+  private def rankTopK(scored: DataFrame, topK: Int): DataFrame =
+    Ann.topKTail(scored, topK, scoreCol = "adc2", ascending = true)
 
   /** Exact re-rank of an ADC shortlist — the production recall lever
     * named in plans/ANN.md ("recall tuned by re-ranking an ADC shortlist
@@ -151,11 +150,7 @@ object Pq {
         (Vectors.fdot(col("__qv"), col("__qv"))
           + Vectors.fdot(col("__cv"), col("__cv"))
           - lit(2.0) * Vectors.fdot(col("__qv"), col("__cv"))).as("d2"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("d2").asc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
-      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
-        col("neighbor_id"), col("d2"))
+    Ann.topKTail(scored, topK, scoreCol = "d2", ascending = true)
   }
 
   /** IVF-routed ADC — the production composition of [[Ann.ivfTopK]]'s

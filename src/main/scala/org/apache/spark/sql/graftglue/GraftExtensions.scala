@@ -62,6 +62,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       HyperplaneSig(c.head, litMatrix(c(1), "hyperplane_sig")))
     register(ext, "upper_tri_pairs", classOf[UpperTriPairs], 1)(c =>
       UpperTriPairs(c.head))
+    // aggregate: SELECT top_k_struct(score, id, k) — the bounded top-k
+    // (FunctionBuilder returning an AggregateFunction registers like any
+    // expression; the analyzer wraps it in an AggregateExpression)
+    register(ext, "top_k_struct", classOf[TopKStruct], 3)(c =>
+      TopKStruct(c.head, c(1), litInt(c(2), "top_k_struct")))
     ext.injectOptimizerRule(_ => FuseCountInSet)
   }
 }

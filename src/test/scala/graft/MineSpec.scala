@@ -46,6 +46,36 @@ class MineSpec extends SparkSpec {
     assert(joined.filter(col("tgt_id") =!= col("cos_best")).count() > 0)
   }
 
+  test("bounded top-k aggregate ≡ the window formulation it replaced") {
+    // the topKTail contract: identical rows AND order to
+    // row_number() OVER (PARTITION BY query ORDER BY cosine DESC, id ASC)
+    // — long ids and string ids (UTF8String binary order ≡ string sort)
+    import org.apache.spark.sql.expressions.Window
+    val qs = emb.filter(col("vec_id") < 12)
+    val got = graft.similarity.Ann
+      .bruteForceTopK(qs, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val q = qs.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val want = c.crossJoin(q)
+      .withColumn("cosine", graft.functions.Vectors.fcosine(col("qv"), col("cv"),
+        graft.functions.Vectors.fnorm(col("qv")), graft.functions.Vectors.fnorm(col("cv"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want && got.nonEmpty)
+    // string ids exercise the UTF8String comparator + serde path
+    val sQs = qs.withColumn("vec_id", concat(lit("id_"), col("vec_id")))
+    val sEmb = emb.withColumn("vec_id", concat(lit("id_"), col("vec_id")))
+    val sGot = graft.similarity.Ann
+      .bruteForceTopK(sQs, sEmb, "vec_id", "embedding", 3)
+    assert(sGot.count() == 12 * 3 &&
+      sGot.schema("neighbor_id").dataType == org.apache.spark.sql.types.StringType)
+  }
+
   test("k-center greedy: seed, distinct centers, non-increasing radii") {
     val sel = Clustering.kCenterGreedy(emb, "vec_id", "embedding", k = 5)
       .orderBy("step").collect()

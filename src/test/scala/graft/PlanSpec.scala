@@ -342,6 +342,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("Partial"), p.take(2000))
   }
 
+  test("ANN top-k ranks via a partial-aggregating bounded aggregate, not a " +
+       "full-candidate window exchange") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val out = graft.similarity.Ann.bruteForceTopK(
+      emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 3)
+    out.count()
+    val s = planString(out)
+    assert(!s.contains("Window"),
+      "top-k must not rank through a window (it exchanges every candidate row)")
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a partial
+    // phase before the exchange — the map-side combine that caps shuffled
+    // rows at k per (query, partition)
+    assert(s.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$s")
+    assert(s.contains("partial_top_k_struct") || s.contains("partial top_k_struct") ||
+      s.toLowerCase.contains("partial"), s"expected a partial aggregation phase:\n$s")
+  }
+
   test("margin mining: embedding vectors never enter an exchange; both " +
        "directional passes broadcast the query side") {
     val emb = Tables.load(spark, sfDir, "embeddings")

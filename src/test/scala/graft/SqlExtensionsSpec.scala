@@ -124,6 +124,24 @@ class SqlExtensionsSpec extends SparkSpec {
               WHEN id = 2 THEN array('dog', CAST(NULL AS STRING))
               ELSE CAST(NULL AS ARRAY<STRING>) END AS toks""")
 
+  test("top_k_struct is SQL-callable as a grouped aggregate") {
+    withExt { s =>
+      import s.implicits._
+      val got = Seq(
+        ("q1", 0.9, 10L), ("q1", 0.7, 11L), ("q1", 0.9, 9L), ("q1", 0.95, 12L),
+        ("q2", 0.1, 20L))
+        .toDF("q", "score", "id")
+        .createOrReplaceTempView("cands")
+      val rows = s.sql(
+        """SELECT q, top_k_struct(score, id, 2) AS top FROM cands GROUP BY q""")
+        .selectExpr("q", "inline(top)")
+        .as[(String, Long, Double)].collect().toSet
+      // q1 top-2 by (score DESC, id ASC): (12, .95) then the 9-vs-10 tie at
+      // .9 resolves to the smaller id
+      assert(rows == Set(("q1", 12L, 0.95), ("q1", 9L, 0.9), ("q2", 20L, 0.1)))
+    }
+  }
+
   test("FuseCountInSet rewrites the HOF stopword-count shape (array_contains and IN)") {
     withExt { s =>
       import s.implicits._
