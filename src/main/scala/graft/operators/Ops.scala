@@ -450,10 +450,12 @@ object Ops {
     *
     * Scale shape: one count aggregate (group-cardinality rows to the
     * driver, model-sized), then one hash shuffle on the group for the
-    * rank window — (id, group) only, text never shuffles. The same
-    * degenerate-group caveat as [[tokenBudgetSample]] applies (a single
-    * group's rank sort runs in one spill-backed task; pre-thin with
-    * [[stratifiedSample]] if one group is corpus-sized).
+    * quota cut — (id, group) only, text never shuffles — and for quotas
+    * up to 2^20 the cut is the bounded TopKStruct heap aggregate, so at
+    * most maxQuota rows per (group, partition) reach that exchange and no
+    * group ever sorts in a single task (the [[tokenBudgetSample]]
+    * degenerate-group caveat only applies on the big-quota window
+    * fallback).
     *
     * Output: (id, grp) for the kept documents.
     */
@@ -490,13 +492,36 @@ object Ops {
         org.apache.spark.sql.types.StructField("grp",
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("__q", LongType))))
-    val w = Window.partitionBy("grp")
-      .orderBy(md5(col("id").cast(StringType)), col("id"))
-    dfNN.select(col(idCol).as("id"), col(groupCol).cast(StringType).as("grp"))
-      .join(broadcast(quotaDf), Seq("grp"))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= col("__q"))
-      .select(col("id"), col("grp"))
+    val ids = dfNN.select(col(idCol).as("id"), col(groupCol).cast(StringType).as("grp"))
+    val idType = ids.schema("id").dataType
+    val maxQ = quotas.values.max
+    // Bounded path (the common, eval-set-sized case): the per-group quota
+    // cut is the bounded TopKStruct heap (k = max quota, per-group quotas
+    // re-applied on the emitted rank), so at most maxQ rows per (group,
+    // partition) reach the exchange and no group ever sorts in one task.
+    // The heap is maxQ-sized driver-of-executor memory, so quotas past 2^20
+    // — and id types the aggregate doesn't order — keep the window form,
+    // whose per-group sort is spill-backed.
+    if (maxQ >= 1L && maxQ <= (1L << 20) &&
+        (idType == LongType || idType == IntegerType || idType == StringType)) {
+      import org.apache.spark.sql.graftglue.{ColumnBridge, TopKStruct}
+      val bot = ColumnBridge.column(TopKStruct(
+        ColumnBridge.expression(md5(col("id").cast(StringType))),
+        ColumnBridge.expression(col("id")), maxQ.toInt,
+        smallest = true).toAggregateExpression())
+      ids.groupBy("grp").agg(bot.as("__ks"))
+        .select(col("grp"), posexplode(col("__ks")).as(Seq("__p", "__kv")))
+        .join(broadcast(quotaDf), Seq("grp"))
+        .filter(col("__p") < col("__q"))
+        .select(col("__kv.neighbor").as("id"), col("grp"))
+    } else {
+      val w = Window.partitionBy("grp")
+        .orderBy(md5(col("id").cast(StringType)), col("id"))
+      ids.join(broadcast(quotaDf), Seq("grp"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= col("__q"))
+        .select(col("id"), col("grp"))
+    }
   }
 
   /** Token-budget mixture selection — the data-recipe step stated in
@@ -625,23 +650,30 @@ object Ops {
     * values report the EXACT count.
     *
     * Shape: distinct (group, hash) — one shuffle with map-side partials —
-    * then a per-group sort ranks hashes; only k rows per group survive to
-    * the estimate. At 100 TB the distinct-hash sort dominates; a bounded-
-    * heap TypedImperativeAggregate is the drop-in upgrade (same output).
+    * then the k smallest hashes per group come from the bounded
+    * [[org.apache.spark.sql.graftglue.TopKStruct]] heap aggregate
+    * (`smallest = true`): O(n·log k) heap updates in k-sized memory,
+    * where the rank window this replaced SORTED the entire distinct-hash
+    * set map-side (WindowGroupLimit's partial mode bounds the shuffle but
+    * demands sorted input) and again after its exchange. Same kept set
+    * (hashes are unique per group after the distinct, so the order is
+    * total), so the SQL oracle's window form remains bit-identical.
     *
     * Output: (keys..., n_kept, distinct_est).
     */
   def approxDistinctKmv(df: DataFrame, keys: Seq[String], valueCol: String,
                         k: Int = 256): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.graftglue.{ColumnBridge, TopKStruct}
     val hash = conv(substring(md5(col(valueCol).cast(StringType)), 1, 15), 16, 10)
       .cast(LongType)
     val uniq = df.select(keys.map(col) :+ hash.as("__h"): _*).distinct()
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__h"))
-    uniq.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("__kth"))
+    val bot = ColumnBridge.column(TopKStruct(
+      ColumnBridge.expression(col("__h")), ColumnBridge.expression(col("__h")),
+      k, smallest = true).toAggregateExpression())
+    uniq.groupBy(keys.map(col): _*).agg(bot.as("__ks"))
+      .select(keys.map(col) :+ size(col("__ks")).cast(LongType).as("n_kept") :+
+        element_at(col("__ks"), -1).getField("score").as("__kth"): _*)
       .withColumn("distinct_est",
         when(col("n_kept") < k, col("n_kept").cast(DoubleType))
           .otherwise(lit((k - 1).toDouble) /
@@ -1078,17 +1110,46 @@ object Ops {
     * the [[modSample]]/[[stratifiedSample]] device) — and keep the first
     * `n`. The balanced-subset step of a curation run (equal examples per
     * language/source for eval sets or labeling budgets), where
-    * [[stratifiedSample]] keeps a per-stratum FRACTION. One window
-    * shuffle on the group key; a pathologically hot group is one task's
-    * sort (cap group sizes upstream, as with [[asOfJoin]]).
+    * [[stratifiedSample]] keeps a per-stratum FRACTION.
+    *
+    * Scale shape: the n smallest (md5, id) pairs per group come from the
+    * bounded [[org.apache.spark.sql.graftglue.TopKStruct]] heap aggregate
+    * over a (keys, id) PROJECTION — at most n rows per (group, partition)
+    * reach its exchange — and the winners semi-join back as a BROADCAST
+    * (n·|groups| rows, small by this operator's contract), so full-width
+    * corpus rows never sort OR shuffle at all. The rank-window form this
+    * replaced sorted the whole corpus map-side by (group, md5) at full row
+    * width (WindowGroupLimit bounds its shuffle, not its sort) and sorted
+    * the survivors again after the exchange. Same kept set (md5 makes the
+    * order total per id; rows with a NULL id are never kept — under the
+    * window form their relative order was undefined anyway). Ids of
+    * long/int/string type take this path; other types fall back to the
+    * window form.
     */
   def sampleNPerGroup(df: DataFrame, keys: Seq[String], idCol: String,
                       n: Int): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(md5(col(idCol).cast(StringType)), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n).drop("__rn")
+    import org.apache.spark.sql.graftglue.{ColumnBridge, TopKStruct}
+    val idType = df.schema(idCol).dataType
+    val bounded = idType == LongType || idType == IntegerType ||
+      idType == StringType
+    if (!bounded) {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(md5(col(idCol).cast(StringType)), col(idCol))
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= n).drop("__rn")
+    } else {
+      val bot = ColumnBridge.column(TopKStruct(
+        ColumnBridge.expression(md5(col(idCol).cast(StringType))),
+        ColumnBridge.expression(col(idCol)), n,
+        smallest = true).toAggregateExpression())
+      val sel = df.groupBy(keys.map(col): _*).agg(bot.as("__ks"))
+        .select(keys.map(col) :+ explode(col("__ks")).as("__kv"): _*)
+        .select(keys.map(col) :+ col("__kv.neighbor").as(idCol): _*)
+      // the USING join fronts the key columns — restore df's column order
+      df.join(broadcast(sel), keys :+ idCol, "left_semi")
+        .select(df.columns.map(col): _*)
+    }
   }
 
   /** Error-budget gate (reference `MetalNode` max_errors, node.py:102: a

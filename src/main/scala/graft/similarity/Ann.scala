@@ -23,11 +23,12 @@ object Ann {
     * neighbor_id asc) total order.
     *
     * Implemented as the bounded [[org.apache.spark.sql.graftglue.TopKStruct]]
-    * aggregate, NOT a `row_number()` window: the window form exchanges
-    * every scored candidate row (|Q|·|C| for brute force — the 10× margin
-    * decade measured 625M pair rows per direction through that exchange),
-    * while the aggregate partial-aggregates map-side so only ≤ k rows per
-    * (query, partition) shuffle — |Q|·k·P, independent of corpus size.
+    * aggregate, NOT a `row_number()` window: Spark's WindowGroupLimit
+    * pushdown bounds the window form's shuffle too, but forces a full
+    * map-side SORT of every scored candidate (|Q|·|C| rows for brute
+    * force) plus a second sort after the exchange, where the heap
+    * aggregate does O(n·log k) updates with no sort at all — measured
+    * 1.6–1.8× end-to-end on the margin decades (plans/SCALE.md r8.4).
     * Same rows, same order (unique ids per query make the order total), so
     * window-based SQL oracles remain valid bit-for-bit.
     */
@@ -35,19 +36,17 @@ object Ann {
                                    scoreCol: String = "cosine",
                                    ascending: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftglue.{ColumnBridge, TopKStruct}
-    // the aggregate keeps the k HIGHEST scores; distance metrics (adc2/d2)
-    // rank ascending, so they negate in and negate back out — an exact
-    // sign-bit flip, no rounding
-    val s = if (ascending) -col(scoreCol) else col(scoreCol)
+    // distance metrics (adc2/d2) rank ascending — the aggregate's
+    // `smallest` flag flips the keep order without touching the values
     val agg = ColumnBridge.column(
-      TopKStruct(ColumnBridge.expression(s),
-        ColumnBridge.expression(col("neighbor_id")), k).toAggregateExpression())
-    val raw = col("__nb.score")
+      TopKStruct(ColumnBridge.expression(col(scoreCol)),
+        ColumnBridge.expression(col("neighbor_id")), k,
+        smallest = ascending).toAggregateExpression())
     scored.groupBy("query_id").agg(agg.as("__nbrs"))
       .select(col("query_id"), posexplode(col("__nbrs")).as(Seq("__p", "__nb")))
       .select(col("query_id"), (col("__p") + 1).cast(LongType).as("rank"),
         col("__nb.neighbor").as("neighbor_id"),
-        (if (ascending) -raw else raw).as(scoreCol))
+        col("__nb.score").as(scoreCol))
   }
 
   /** Brute-force cosine top-k: every query row scores every corpus row;

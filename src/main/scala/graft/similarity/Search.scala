@@ -118,12 +118,21 @@ object Search {
     *
     * Scale: one tokenize scan; (id, token) counts partial-aggregate
     * map-side; document frequencies aggregate over the (token)-distinct
-    * frame and BROADCAST back; the rank window partitions by document —
-    * same key as the tf aggregate, so AQE plans no extra exchange.
+    * frame and BROADCAST back; the top-m cut is the bounded
+    * [[org.apache.spark.sql.graftglue.TopKStruct]] heap aggregate, so at
+    * most m (token, score) rows per (document, partition) reach its
+    * exchange and nothing ever sorts — the rank window this replaced
+    * sorted every scored (id, token) row (the corpus vocabulary-occurrence
+    * set) map-side before its bounded shuffle, then again after. The heap
+    * compares the score as DOUBLE: the DECIMAL(18,6)→double cast is
+    * injective and monotone up to |score| < 2^53/10⁶ ≈ 9·10⁹ (tf·ln(N/df)
+    * is orders of magnitude below that), so the kept set and tie-breaks
+    * are bit-identical to the decimal-ordered window form.
     */
   def tfIdfKeywords(docs: DataFrame, idCol: String, textCol: String,
                     m: Int): DataFrame = {
     require(m > 0, s"m must be positive, got $m")
+    import org.apache.spark.sql.graftglue.{ColumnBridge, TopKStruct}
     val tok = docs.select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("token"))
     // persisted: the document-frequency branch derives from tf, and without
     // the persist Catalyst re-runs the corpus tokenize+aggregate for it
@@ -136,12 +145,13 @@ object Search {
       .withColumn("score",
         (col("tf") * log(col("n").cast(DoubleType) / col("df").cast(DoubleType)))
           .cast(DecimalType(18, 6)))
-    scored.withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("id")
-          .orderBy(col("score").desc, col("token").asc)))
-      .filter(col("rnk") <= m)
-      .select(col("id"), col("token"), col("score").cast(DoubleType).as("score"),
-        col("rnk").cast(LongType).as("rnk"))
+    val top = ColumnBridge.column(TopKStruct(
+      ColumnBridge.expression(col("score").cast(DoubleType)),
+      ColumnBridge.expression(col("token")), m).toAggregateExpression())
+    scored.groupBy("id").agg(top.as("__ks"))
+      .select(col("id"), posexplode(col("__ks")).as(Seq("__p", "__kv")))
+      .select(col("id"), col("__kv.neighbor").as("token"),
+        col("__kv.score").as("score"), (col("__p") + 1).cast(LongType).as("rnk"))
   }
 
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,

@@ -67,6 +67,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // expression; the analyzer wraps it in an AggregateExpression)
     register(ext, "top_k_struct", classOf[TopKStruct], 3)(c =>
       TopKStruct(c.head, c(1), litInt(c(2), "top_k_struct")))
+    register(ext, "bottom_k_struct", classOf[TopKStruct], 3)(c =>
+      TopKStruct(c.head, c(1), litInt(c(2), "bottom_k_struct"), smallest = true))
     ext.injectOptimizerRule(_ => FuseCountInSet)
   }
 }

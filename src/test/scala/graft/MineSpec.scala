@@ -76,6 +76,53 @@ class MineSpec extends SparkSpec {
       sGot.schema("neighbor_id").dataType == org.apache.spark.sql.types.StringType)
   }
 
+  test("bounded top-k: bounded shuffle AND no candidate sort — where the " +
+       "window form sorts every scored pair (plans/SCALE.md r8.4)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffledRecords(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      // AQE folds every materialized stage into leaf QueryStageExec nodes
+      // (Result/Shuffle/Broadcast) — unwrap via .plan or the walk sees no
+      // shuffle at all
+      def walk(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: ShuffleExchangeLike => s +: s.children.flatMap(walk)
+        case q: QueryStageExec => walk(q.plan)
+        case _ => p.children.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+        .map(_.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)).sum
+    }
+    val qs = emb.filter(col("vec_id") < 256)
+    val nQ = qs.count()
+    val aggDf = graft.similarity.Ann.bruteForceTopK(qs, emb, "vec_id", "embedding", 4)
+    val agg = shuffledRecords(aggDf)
+    // ≤ k rows per (query, partition) reach the exchange — corpus-size-free
+    assert(agg <= nQ * 4 * 32, s"bounded form shuffled $agg > |Q|·k·P")
+    // and NO sort anywhere: Spark's WindowGroupLimit pushdown bounds the
+    // window form's shuffle too, but its partial mode SORTS every scored
+    // candidate map-side (SortExec over |Q|·|C| rows) and re-sorts after
+    // the exchange — the aggregate's whole point is skipping both sorts
+    val aggPlan = aggDf.queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Sort "), s"unexpected sort in:\n${aggPlan.take(3000)}")
+    val q = qs.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val winDf = c.crossJoin(q)
+      .withColumn("cosine", graft.functions.Vectors.fcosine(col("qv"), col("cv"),
+        graft.functions.Vectors.fnorm(col("qv")), graft.functions.Vectors.fnorm(col("cv"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 4)
+      .select(col("query_id"), col("rank"))
+    winDf.collect()
+    val winPlan = winDf.queryExecution.executedPlan.toString
+    assert(winPlan.contains("WindowGroupLimit") && winPlan.contains("Sort "),
+      s"window form no longer sorts — revisit the aggregate's rationale:\n${winPlan.take(3000)}")
+  }
+
   test("k-center greedy: seed, distinct centers, non-increasing radii") {
     val sel = Clustering.kCenterGreedy(emb, "vec_id", "embedding", k = 5)
       .orderBy("step").collect()

@@ -181,6 +181,24 @@ class OpsSpec extends SparkSpec {
     val (_, kept, est) = got("big")
     assert(kept == 64L)
     assert(est > 2500 && est < 10000, s"estimate $est implausible for 4990")
+    // the bounded-aggregate selection ≡ the rank-window formulation the
+    // SQL oracle still uses — identical k-th hash, hence identical estimate
+    val h = conv(substring(md5(col("v").cast("string")), 1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy(col("__h"))
+    val windowed = df.select(col("g"), h.as("__h")).distinct()
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 64)
+      .groupBy("g").agg(count(lit(1)).as("n_kept"), max(col("__h")).as("kth"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val kthGot = Ops.approxDistinctKmv(df, Seq("g"), "v", k = 64)
+      .withColumn("kth", // invert the estimate back to the k-th hash
+        when(col("n_kept") < 64, lit(null))
+          .otherwise((lit(63.0) / col("distinct_est") * lit((1L << 60).toDouble))
+            .cast("long")))
+    assert(windowed("big")._2 == 64L)
+    val bigKth = kthGot.filter(col("g") === "big").select("kth")
+      .as[Long].head()
+    assert(math.abs(bigKth - windowed("big")._3) <= 1, // double round-trip ±1
+      s"kth hash mismatch: $bigKth vs ${windowed("big")._3}")
   }
 
   test("heavyHitters equals the exact group-by answer above the support threshold") {
@@ -310,6 +328,17 @@ class OpsSpec extends SparkSpec {
     // small groups return whole groups
     assert(Ops.sampleNPerGroup(df.filter(col("id") <= 2), Seq("g"), "id", 5)
       .count() == 2)
+    // the bounded-aggregate path ≡ the rank-window formulation it replaced
+    // (and that the SQL oracle still uses)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(md5(col("id").cast("string")), col("id"))
+    val windowed = df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 3).drop("__rn")
+      .as[(Long, String)].collect().toSet
+    assert(got.as[(Long, String)].collect().toSet == windowed)
+    // string ids take the bounded path too
+    val sdf = df.withColumn("id", concat(lit("d_"), col("id")))
+    assert(Ops.sampleNPerGroup(sdf, Seq("g"), "id", n = 3).count() == 6)
   }
 
   test("percentiles computes exact interpolated quantiles per group") {

@@ -350,13 +350,46 @@ class PlanSpec extends SparkSpec {
     out.count()
     val s = planString(out)
     assert(!s.contains("Window"),
-      "top-k must not rank through a window (it exchanges every candidate row)")
+      "top-k must not rank through a window (it sorts every candidate row map-side)")
     // TypedImperativeAggregate plans as ObjectHashAggregate with a partial
     // phase before the exchange — the map-side combine that caps shuffled
     // rows at k per (query, partition)
     assert(s.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$s")
     assert(s.contains("partial_top_k_struct") || s.contains("partial top_k_struct") ||
       s.toLowerCase.contains("partial"), s"expected a partial aggregation phase:\n$s")
+  }
+
+  test("KMV, N-per-group sampling, and TF-IDF keywords select through the " +
+       "bounded aggregate — no rank window anywhere") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val kmv = Ops.approxDistinctKmv(li, Seq("l_returnflag"), "l_partkey", k = 64)
+    kmv.count()
+    val pk = planString(kmv)
+    assert(!pk.contains("Window") && pk.contains("ObjectHashAggregate"), pk.take(3000))
+
+    val docs = Tables.load(spark, sfDir, "documents")
+    val tfidf = graft.similarity.Search.tfIdfKeywords(docs, "doc_id", "text", m = 3)
+    tfidf.count()
+    val pt = planString(tfidf)
+    assert(!pt.contains("Window") && pt.contains("ObjectHashAggregate"), pt.take(3000))
+  }
+
+  test("sampleNPerGroup never shuffles the corpus: bounded selection + " +
+       "broadcast semi join, even with broadcast thresholds off") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = Ops.sampleNPerGroup(docs, Seq("lang"), "doc_id", n = 5)
+      out.count()
+      val p = planString(out)
+      assert(!p.contains("Window"), p.take(3000))
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(3000))
+      // the one exchange is the (lang)-keyed bounded aggregate over the
+      // (lang, doc_id) projection — the full-width corpus never shuffles
+      val ex = "(?<!Broadcast|Reused)Exchange \\(\\d+\\)".r.findAllIn(p).size
+      assert(ex == 1, s"expected 1 exchange, got $ex:\n${p.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("margin mining: embedding vectors never enter an exchange; both " +

@@ -142,6 +142,20 @@ class SqlExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("bottom_k_struct keeps the k SMALLEST, including string scores") {
+    withExt { s =>
+      import s.implicits._
+      Seq(("g", "0b", 1L), ("g", "0a", 2L), ("g", "0c", 3L), ("g", "0a", 4L))
+        .toDF("g", "h", "id").createOrReplaceTempView("hs")
+      val rows = s.sql(
+        "SELECT g, bottom_k_struct(h, id, 2) AS bot FROM hs GROUP BY g")
+        .selectExpr("inline(bot)").as[(Long, String)].collect().toSeq
+      // smallest two by (h ASC, id ASC): the "0a" tie keeps id 2 first,
+      // then id 4 — best-first order in the emitted array
+      assert(rows == Seq((2L, "0a"), (4L, "0a")))
+    }
+  }
+
   test("FuseCountInSet rewrites the HOF stopword-count shape (array_contains and IN)") {
     withExt { s =>
       import s.implicits._
