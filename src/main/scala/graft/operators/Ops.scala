@@ -193,6 +193,42 @@ object Ops {
     pmod(conv(substring(key, 1, 15), 16, 10).cast(LongType),
       lit(numShards.toLong))
 
+  /** Global `row_number` in `order` WITHOUT `Window.orderBy()`'s
+    * all-rows-to-one-task sort: range-repartition on the order key (a
+    * parallel sort — every partition holds one contiguous key range),
+    * count rows per range partition (one tiny eager job), and add the
+    * partition-local position to the partition's cumulative offset. Ranks
+    * depend only on the total order, not on where the sampled range
+    * boundaries fall, so the result is deterministic whenever `order` is a
+    * total order (the same contract as [[batchRows]]).
+    *
+    * The per-partition position is the one genuinely imperative step — a
+    * running counter over each sorted partition — done with the RDD's own
+    * `zipWithIndex`: its index is STRUCTURAL to the RDD's partitions, so
+    * it stays correct under any downstream re-layout (a `coalesce(1)`
+    * above a `mapPartitions`/`spark_partition_id` formulation silently
+    * resets `TaskContext.getPartitionId` to the merged task's id and
+    * restarts every offset at zero — found the hard way by the oracle).
+    * No declarative construct yields partition-local order without
+    * re-introducing a window, and a window keyed by partition id would
+    * re-shuffle the frame a second time for nothing.
+    *
+    * The range-sorted frame is persisted (zipWithIndex's partition-count
+    * job and the output both read it); the persist is scoped to the
+    * returned plan — in a long-lived session drain via [[graft.Caching]]
+    * once consumed.
+    */
+  def globalRowNumber(df: DataFrame, order: Seq[Column],
+                      out: String = "rn"): DataFrame = {
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+      .trackedPersist()
+    val schema = sorted.schema.add(out, LongType, nullable = false)
+    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(ranked, schema)
+  }
+
   def corpusShuffle(df: DataFrame, idCol: String, seed: Long,
                     numShards: Int): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")

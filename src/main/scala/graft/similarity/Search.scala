@@ -54,17 +54,20 @@ object Search {
     * cross-engine deterministic). The vocab-build step before any
     * tokenizer/embedding training run.
     *
-    * One scan + one (token) aggregate; the rank window runs over the
-    * vocab-sized aggregate, not the corpus.
+    * One scan + one (token) aggregate; the global rank runs over the
+    * vocab-sized aggregate, not the corpus — and NOT through
+    * `Window.orderBy()`, which would drag the whole vocabulary (billions
+    * of distinct tokens at 100 TB) through one task's sort:
+    * [[graft.operators.Ops.globalRowNumber]] range-partitions the
+    * aggregate so every partition sorts its own slice in parallel.
     */
   def vocabulary(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("token"))
     val counts = tok.groupBy("token").agg(
       count(lit(1)).as("n_occurrences"),
       count_distinct(col("id")).as("n_docs"))
-    counts.withColumn("freq_rank",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("n_occurrences").desc, col("token").asc)).cast(LongType))
+    graft.operators.Ops.globalRowNumber(counts,
+      Seq(col("n_occurrences").desc, col("token").asc), out = "freq_rank")
   }
 
   /** Inverted index: token → sorted posting list of containing documents

@@ -315,6 +315,26 @@ class OpsSpec extends SparkSpec {
     assert(Ops.histogram(Seq.empty[Double].toDF("v"), "v", 3).count() == 0)
   }
 
+  test("globalRowNumber ≡ the single-partition window rank it avoids") {
+    val df = (1L to 500L).map(i => (i, (i * 7919L) % 101L)).toDF("id", "v")
+      .repartition(8) // multi-partition input: offsets must compose ranges
+    val got = Ops.globalRowNumber(df, Seq(col("v").desc, col("id").asc), "rk")
+      .as[(Long, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v").desc, col("id").asc)
+    val want = df.withColumn("rk", row_number().over(w).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want && got.size == 500)
+    Caching.drain()
+    // ranks survive a downstream coalesce(1) — the Verify writer's shape;
+    // a TaskContext-based offset formulation silently restarts every
+    // partition's rank at 1 under exactly this plan
+    val again = Ops.globalRowNumber(df, Seq(col("v").desc, col("id").asc), "rk")
+      .coalesce(1)
+    assert(again.select("rk").as[Long].collect().sorted.toSeq == (1L to 500L))
+    Caching.drain()
+  }
+
   test("sampleNPerGroup keeps exactly min(n, |group|) deterministic rows") {
     val df = (1L to 20L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
       .toDF("id", "g")

@@ -374,6 +374,17 @@ class PlanSpec extends SparkSpec {
     assert(!pt.contains("Window") && pt.contains("ObjectHashAggregate"), pt.take(3000))
   }
 
+  test("vocabulary ranks without a single-partition exchange") {
+    val out = SparkEntry.queries("q_vocab")(spark, sfDir)
+    val p = planString(out)
+    assert(!p.contains("SinglePartition") && !p.contains("Window"),
+      s"global rank must not funnel the vocabulary through one task:\n${p.take(3000)}")
+    // the rank is zipWithIndex over a range-repartitioned lineage — the
+    // final plan reads that RDD (the range exchange lives in the RDD's
+    // lineage, parallel by construction; AQE may coalesce it at tiny SF)
+    assert(p.contains("ExistingRDD"), p.take(3000))
+  }
+
   test("sampleNPerGroup never shuffles the corpus: bounded selection + " +
        "broadcast semi join, even with broadcast thresholds off") {
     val docs = Tables.load(spark, sfDir, "documents")
