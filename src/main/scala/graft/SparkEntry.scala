@@ -1572,6 +1572,40 @@ object SparkEntry {
       graft.similarity.Pq.rerank(short, queries, emb, "vec_id", "embedding",
         topK = 3)
     }),
+    // G47: PERSISTENT IVFPQ index — the ANN side of the stored-index crawl
+    // loop: model + cell-partitioned codes written to disk, probed from
+    // disk. nprobe = nlist makes the probe ≡ the exhaustive ADC scan, so
+    // the store/load round-trip shares q_pq's oracle; at nprobe < nlist
+    // the cell routing prunes code PARTITIONS at file-listing time
+    // (plans/ANN.md measures the pruned fraction; SourcesAnnSpec pins the
+    // PartitionFilters shape)
+    "q_ann_index_probe" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+      graft.similarity.Pq.writeIndex(emb, "vec_id", "embedding",
+        dim = 64, m = 2, k = 4, dir = idx, nlist = 8)
+      graft.similarity.Pq.probeIndex(emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", idx, topK = 3, nprobe = 8)
+        .select("query_id", "rank", "neighbor_id", "adc2")
+    }),
+    // ANN index maintenance under the FROZEN model: retire ids, encode the
+    // delta with the stored codebooks, output the maintained code table —
+    // the oracle re-derives every maintained code from scratch (train on
+    // the 90% generation, encode the maintained membership), so
+    // maintained ≡ rebuilt is checked row for row, same identity law as
+    // q_index_delta / q_winnow_index_delta
+    "q_ann_index_delta" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_pqidx_d").toString
+      graft.similarity.Pq.writeIndex(emb.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", dim = 64, m = 2, k = 4, dir = idx, nlist = 8)
+      graft.similarity.Pq.indexCodesDelta(
+          emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", idx,
+          emb.filter(col("vec_id") % 13 === 0).select(col("vec_id").as("id")))
+        .select(col("id").as("vec_id"),
+          element_at(col("codes"), 1).cast(LongType).as("code0"),
+          element_at(col("codes"), 2).cast(LongType).as("code1"))
+    }),
     // SemDeDup: k-means blocks + within-cluster cosine, keep-lowest-id
     "q_semdedup" -> ((s, dir) =>
       graft.similarity.Clustering.semDedup(T(s, dir, "embeddings"), "vec_id", "embedding",
@@ -2684,6 +2718,56 @@ object SparkEntry {
        |        JOIN ev cc ON cc.vec_id = sh.neighbor_id))
        |WHERE rnk <= 3""".stripMargin
 
+  /** Replay of q_ann_index_delta's maintained PQ code table: codebooks
+    * train on the 90% generation (`vec_id % 10 <> 0` — the indexed
+    * corpus), codes derive for the MAINTAINED membership (everything not
+    * retired: `vec_id % 13 <> 0`). Same per-subspace Lloyd/assignment CTEs
+    * as `pqScoredCtes`, parameterized by the two filters — the identity
+    * being checked is maintained ≡ re-encoded-from-scratch under the
+    * frozen model.
+    */
+  private val annIndexDeltaOracle: String = {
+    val (m, sub, k) = (2, 32, 4)
+    val trainWhere = "vec_id % 10 <> 0"
+    val codeWhere = "vec_id % 13 <> 0"
+    val perSub = (0 until m).map { j =>
+      val lo = j * sub + 1
+      s"""sq$j AS MATERIALIZED (SELECT vec_id, list_slice(qv, $lo, ${j * sub + sub}) AS sv FROM q),
+         |sc0$j AS MATERIALIZED (SELECT rn - 1 AS cid, list_slice(qv, $lo, ${j * sub + sub}) AS cv
+         |        FROM s WHERE rn <= $k),
+         |sm1$j AS MATERIALIZED (SELECT vec_id, sv, cid FROM (
+         |        SELECT vec_id, sv, cid,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                                  ORDER BY list_dot_product(d, d), cid) AS rnk
+         |        FROM (SELECT vec_id, sv, cid,
+         |              list_transform(range(1, ${sub + 1}), i -> sv[i] - cv[i]) AS d
+         |              FROM (SELECT * FROM sq$j WHERE $trainWhere) CROSS JOIN sc0$j))
+         |        WHERE rnk = 1),
+         |sc1$j AS MATERIALIZED (SELECT cid, list(sval ORDER BY pos) AS cv FROM
+         |        (SELECT cid, pos, SUM(sv[pos]) / CAST(COUNT(*) AS DOUBLE) AS sval
+         |         FROM sm1$j CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS pos)
+         |         GROUP BY cid, pos) GROUP BY cid),
+         |cod$j AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |        SELECT vec_id, cid,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                                  ORDER BY list_dot_product(d, d), cid) AS rnk
+         |        FROM (SELECT vec_id, cid,
+         |              list_transform(range(1, ${sub + 1}), i -> sv[i] - cv[i]) AS d
+         |              FROM (SELECT * FROM sq$j WHERE $codeWhere) CROSS JOIN sc1$j))
+         |        WHERE rnk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (SELECT vec_id,
+       |     list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1048576.0)) AS qv
+       |     FROM embeddings),
+       |s AS MATERIALIZED (SELECT vec_id, qv,
+       |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |      FROM q WHERE $trainWhere),
+       |$perSub
+       |SELECT cod0.vec_id AS vec_id, CAST(cod0.cid AS BIGINT) AS code0,
+       |       CAST(cod1.cid AS BIGINT) AS code1
+       |FROM cod0 JOIN cod1 USING (vec_id)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_counter" -> "SELECT r.range AS n FROM range(0, 1000) r",
     "q_sequence" -> "SELECT r.range AS seq_no, unnest(['a', 'b', 'c']) AS value FROM range(0, 2) r",
@@ -3410,6 +3494,10 @@ object SparkEntry {
     // every cell, so the oracle is the same exhaustive ADC replay
     "q_pq_ivf" -> pqOracle,
     "q_pq_rerank" -> pqRerankOracle,
+    // stored-index probe at nprobe = nlist ≡ the exhaustive ADC scan: the
+    // store/load round-trip must reproduce q_pq bit for bit
+    "q_ann_index_probe" -> pqOracle,
+    "q_ann_index_delta" -> annIndexDeltaOracle,
     "q_semdedup" ->
       s"""$kmeansCtes,
          |asg AS (SELECT vec_id, cid FROM a2 WHERE rnk = 1),

@@ -128,7 +128,8 @@ object ConfigPipeline {
   /** Every op `fromJson` accepts, alphabetized — quoted in the unknown-op
     * diagnostic so a typo'd config names its fix. */
   val validOps: Seq[String] = Seq(
-    "agg", "ann", "band_keys", "boilerplate", "canonical_url", "chunk",
+    "agg", "ann", "ann_index_delta", "ann_index_probe", "band_keys",
+    "boilerplate", "canonical_url", "chunk",
     "corpus_shuffle", "csv_permissive", "decontaminate", "dedup_best",
     "dedup_exact", "dedup_near", "degrees", "distinct", "distinct_sketch",
     "distribution_drift", "dsir", "error_budget", "filter", "fingerprint",
@@ -315,6 +316,21 @@ object ConfigPipeline {
           if (s.has("k")) knob("k").asInt() else 8,
           if (s.has("w")) knob("w").asInt() else 4,
           if (s.has("minHits")) knob("minHits").asInt() else 1))
+      // persistent-IVFPQ-index probe: route this stage's query vectors
+      // against the stored index at `dir` (written by Pq.writeIndex) —
+      // the ANN side of the crawl-loop probe family
+      case "ann_index_probe" =>
+        p.stage(name, from)(graft.similarity.Pq.probeIndex(_,
+          knob("id").asText(), knob("vec").asText(), knob("dir").asText(),
+          knob("topK").asInt(),
+          if (s.has("nprobe")) knob("nprobe").asInt() else 8))
+      // code-table maintenance under the stored (frozen) model: `from` =
+      // admitted vectors, `retired` = a stage of ids to drop
+      case "ann_index_delta" =>
+        val retired = p.output(knob("retired").asText())
+        p.stage(name, from)(graft.similarity.Pq.indexCodesDelta(_,
+          knob("id").asText(), knob("vec").asText(), knob("dir").asText(),
+          retired))
       // prints-index maintenance (the index_delta pattern for winnow)
       case "winnow_index_delta" =>
         val index = p.output(knob("index").asText())

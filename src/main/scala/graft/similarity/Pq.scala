@@ -174,6 +174,130 @@ object Pq {
     * oracle identity); recall < 1 when nprobe < nlist, the standard IVF
     * trade measured in plans/ANN.md.
     */
+  // -------------------------------------------------------------------
+  // Persistent index (G47): the ANN twin of the LSH / winnow stored
+  // indexes — build once, probe deltas daily, maintain by delta.
+  // -------------------------------------------------------------------
+
+  /** Write a persistent IVFPQ index under `dir`:
+    *
+    *   - `model/coarse`    — (cent_id, cent_vec): the nlist coarse cells
+    *   - `model/codebooks` — (subspace, cid, centroid): PQ codebooks
+    *   - `codes`           — (id, codes) parquet PARTITIONED BY `cell`
+    *
+    * The cell partitioning is the point: a probe's nprobe-cell routing
+    * becomes directory-level partition pruning — the scan lists and reads
+    * ~nprobe/nlist of the code files before a byte of ADC work
+    * (plans/ANN.md measures the pruned fraction). The MODEL is frozen at
+    * build time and deliberately tiny (centroids are config-table-sized
+    * by the [[Ann.coarseCentroids]] contract): codes are meaningless
+    * under a retrained model, so daily generations [[indexCodesDelta]]
+    * against the stored model and only a deliberate re-train rewrites the
+    * index — the same economics as [[graft.dedup.Dedup.indexDelta]] /
+    * `winnowIndexDelta`, extended to the vector side of the crawl loop.
+    */
+  def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, m: Int, k: Int, dir: String,
+                 nlist: Int = 64, rounds: Int = 2,
+                 scale: Double = 1048576.0): Unit = {
+    import graft.functions.Vectors
+    val spark = corpus.sparkSession
+    val cbs = trainCodebooks(corpus, idCol, vecCol, dim, m, k, rounds, scale)
+    val cents = Ann.coarseCentroids(corpus, idCol, vecCol, nlist)
+    import spark.implicits._
+    cents.map { case (cid, cv) => (cid, cv) }.toDF("cent_id", "cent_vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model/coarse")
+    cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.map { case (cid, cv) => (j, cid, cv.toSeq) }
+    }.toDF("subspace", "cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model/codebooks")
+    val celled = corpus.select(col(idCol), col(vecCol),
+      Ann.nearestCell(cents, col(vecCol), Vectors.fnorm(col(vecCol))).as("cell"))
+    encode(celled, idCol, vecCol, cbs, scale, carry = Seq("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** Load the frozen model back as plan literals (model-sized collects by
+    * the build contract — nlist cells, m·k codebook rows).
+    */
+  private def readModel(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (Seq[(String, Seq[Float])], Seq[Seq[(Int, Array[Double])]]) = {
+    val cents = spark.read.parquet(s"$dir/model/coarse").collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+    val cbs = spark.read.parquet(s"$dir/model/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(t => (t._2, t._3)).sortBy(_._1).toSeq)
+    (cents, cbs)
+  }
+
+  /** Probe the stored index: route each query to its `nprobe` nearest
+    * cells under the STORED coarse centroids, scan ONLY those cells'
+    * code partitions (the probed-cell set is ≤ nlist values — collected
+    * and pushed as a partition filter, so pruning happens at file-listing
+    * time), and ADC-score with the STORED codebooks. Output and
+    * conventions match [[ivfAdcTopK]] — with `nprobe == nlist` the result
+    * is exactly [[adcTopK]] over the indexed corpus (the oracle identity).
+    */
+  def probeIndex(queries: DataFrame, idCol: String, vecCol: String,
+                 dir: String, topK: Int, nprobe: Int,
+                 scale: Double = 1048576.0): DataFrame = {
+    import graft.functions.Vectors
+    val spark = queries.sparkSession
+    val (cents, cbs) = readModel(spark, dir)
+    require(nprobe >= 1 && nprobe <= cents.size,
+      s"nprobe ($nprobe) must be in [1, nlist=${cents.size}]")
+    val m = cbs.length
+    val q = withDistTables(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__v"), quantize(col(vecCol), scale).as("__qv")), cbs)
+    val probed = q.withColumn("__pc",
+        Ann.probeCells(cents, col("__v"), Vectors.fnorm(col("__v")), nprobe))
+      .select(col("query_id") +: (0 until m).map(j => col(s"__dt$j")) :+
+        col("__pc.cent_id").as("cell"): _*)
+    // the UNION of probed cells across the query batch is ≤ nlist ids —
+    // a bounded collect that turns routing into a partition-pruning
+    // predicate on the cell-partitioned layout
+    val cells = probed.select("cell").distinct().collect().map(_.getString(0))
+    val codes = spark.read.parquet(s"$dir/codes")
+      .filter(col("cell").isin(cells.toSeq: _*))
+    val scored = codes.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), adcSum(m).as("adc2"))
+    rankTopK(scored, topK)
+  }
+
+  /** Index maintenance under the frozen model: retire `retiredIds`, encode
+    * `admitted` with the STORED codebooks/cells, return the maintained
+    * (id, cell, codes) set — row-identical to re-encoding the maintained
+    * membership from scratch under the same model (encoding is a
+    * deterministic per-row projection), which is the maintenance identity
+    * q_ann_index_delta's oracle checks. Same contract as
+    * [[graft.dedup.Dedup.indexDelta]]: the caller writes the result back
+    * (partitionBy("cell")) or appends just the admitted slice.
+    */
+  def indexCodesDelta(admitted: DataFrame, idCol: String, vecCol: String,
+                      dir: String, retiredIds: DataFrame,
+                      scale: Double = 1048576.0): DataFrame = {
+    import graft.functions.Vectors
+    require(retiredIds.columns.contains("id") || retiredIds.columns.length == 1,
+      s"retiredIds needs an 'id' column (or a single column); got " +
+        retiredIds.columns.mkString(", "))
+    val spark = admitted.sparkSession
+    val (cents, cbs) = readModel(spark, dir)
+    val retire = retiredIds.select(
+      col(if (retiredIds.columns.contains("id")) "id"
+          else retiredIds.columns.head).as("id"))
+    val kept = spark.read.parquet(s"$dir/codes")
+      .join(broadcast(retire), Seq("id"), "left_anti")
+      .select("id", "cell", "codes")
+    val celled = admitted.select(col(idCol), col(vecCol),
+      Ann.nearestCell(cents, col(vecCol), Vectors.fnorm(col(vecCol))).as("cell"))
+    val fresh = encode(celled, idCol, vecCol, cbs, scale, carry = Seq("cell"))
+      .join(broadcast(retire), Seq("id"), "left_anti")
+      .select("id", "cell", "codes")
+    kept.unionByName(fresh)
+  }
+
   def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                  vecCol: String, codebooks: Seq[Seq[(Int, Array[Double])]],
                  topK: Int, nlist: Int = 64, nprobe: Int = 8,

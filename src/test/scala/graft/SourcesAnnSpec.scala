@@ -398,6 +398,58 @@ class SourcesAnnSpec extends SparkSpec {
     assert(rr.forall { case (q, _, n, d) => math.abs(d - d2(vecs(q), vecs(n))) < 1e-9 })
   }
 
+  test("persistent IVFPQ index: probe ≡ in-memory ADC, routing prunes " +
+       "partitions, delta-maintained ≡ re-encoded under the frozen model") {
+    val pts = (0 until 16).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array.fill(8)(base + i * 1e-4f))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    graft.similarity.Pq.writeIndex(df, "vec_id", "embedding",
+      dim = 8, m = 2, k = 2, dir = dir, nlist = 4)
+    // training is bit-deterministic, so retraining = the stored model
+    val cbs = graft.similarity.Pq.trainCodebooks(df, "vec_id", "embedding",
+      dim = 8, m = 2, k = 2, rounds = 2)
+    // probe with nprobe = nlist ≡ the exhaustive in-memory ADC scan
+    val got = graft.similarity.Pq.probeIndex(df.filter($"vec_id" < 2),
+        "vec_id", "embedding", dir, topK = 5, nprobe = 4)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val want = graft.similarity.Pq.adcTopK(df.filter($"vec_id" < 2), df,
+        "vec_id", "embedding", cbs, topK = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // nprobe = 1 routing reaches the scan as a PARTITION filter on the
+    // cell-partitioned layout — pruned at file-listing time
+    val pruned = graft.similarity.Pq.probeIndex(df.filter($"vec_id" < 2),
+      "vec_id", "embedding", dir, topK = 5, nprobe = 1)
+    pruned.collect()
+    val p = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"expected a cell partition filter in:\n${p.take(3000)}")
+    // maintenance identity: retire + admit under the stored model ≡
+    // re-encoding the maintained membership from scratch (same model)
+    val fresh = (16 until 20).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array.fill(8)(base + i * 1e-4f))
+    }
+    val admitted = fresh.toDF("vec_id", "embedding")
+    val retired = Seq(3L, 4L).toDF("id")
+    val maintained = graft.similarity.Pq.indexCodesDelta(
+        admitted, "vec_id", "embedding", dir, retired)
+      .as[(Long, String, Seq[Int])].collect().toSet
+    val membership = df.filter(!$"vec_id".isin(3L, 4L)).unionByName(admitted)
+    val cents = graft.similarity.Ann.coarseCentroids(df, "vec_id", "embedding", 4)
+    val celled = membership.select(col("vec_id"), col("embedding"),
+      graft.similarity.Ann.nearestCell(cents, col("embedding"),
+        graft.functions.Vectors.fnorm(col("embedding"))).as("cell"))
+    val rebuilt = graft.similarity.Pq.encode(celled, "vec_id", "embedding",
+        cbs, carry = Seq("cell"))
+      .select(col("id"), col("cell"), col("codes"))
+      .as[(Long, String, Seq[Int])].collect().toSet
+    assert(maintained == rebuilt && maintained.size == 18)
+  }
+
   test("semDedup flags exactly the later ids with a high-cosine cluster-mate") {
     // three tight bundles (within-cosine ≈ 1, across ≤ cos(2.0) ≈ -0.42);
     // expectation derives from the ACTUAL cluster assignment, so this pins
