@@ -162,6 +162,30 @@ object ScaleBench {
       }
     }
 
+    // Persistent-IVFPQ probe: the vector twin of the stored-index probes.
+    // The 90% corpus indexes once (model + cell-partitioned codes,
+    // amortized); a 1% query batch probes it at nprobe = 8 vs nprobe = 1 —
+    // the delta between those two is the partition-pruning term (fewer
+    // code files LISTED and READ, not just fewer rows scored).
+    for (dir <- Seq(base, big) if want("ann_index_probe")) {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val idxDir = s"$work/pqidx_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val t0 = System.nanoTime()
+      graft.similarity.Pq.writeIndex(emb.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", dim = 64, m = 2, k = 4, dir = idxDir, nlist = 64)
+      println(f"[scalebench] ann_index_build dir=$dir " +
+        f"min=${(System.nanoTime() - t0) / 1e9}%.2f s (one-time, amortized)")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      time("ann_index_probe_np8", dir) {
+        graft.similarity.Pq.probeIndex(queries, "vec_id", "embedding",
+          idxDir, topK = 4, nprobe = 8)
+      }
+      time("ann_index_probe_np1", dir) {
+        graft.similarity.Pq.probeIndex(queries, "vec_id", "embedding",
+          idxDir, topK = 4, nprobe = 1)
+      }
+    }
+
     // Winnow-probe twin of the incremental experiment: 90% of the corpus's
     // prints index once (amortized), the 10% delta probes the STORED
     // index — flat growth here is the substring-contamination analog of
