@@ -25,6 +25,14 @@ object GraftSession {
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // ObjectHashAggregate (every TypedImperativeAggregate: TopKStruct,
+    // collect_list tails) falls back to SORT-based aggregation past this
+    // many distinct groups per task — Spark's default of 128 silently
+    // re-introduces a per-partition sort for any top-k-per-query ranking
+    // with more than 128 queries, the exact cost the bounded aggregate
+    // exists to avoid. Each group's state here is a k-sized heap, so
+    // 64k hash entries are a few MB, nowhere near executor pressure.
+    conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
     spark
   }
 

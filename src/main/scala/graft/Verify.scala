@@ -15,13 +15,13 @@ object Verify {
     // that catches executor-side serialization and broadcast-lifecycle
     // bugs local[N] cannot (separate executor JVMs, real RPC).
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val spark = SparkSession.builder()
+    val spark = GraftSession.tune(SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new org.apache.spark.sql.graftglue.GraftExtensions)
-      .getOrCreate()
+      .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

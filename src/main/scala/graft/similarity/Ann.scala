@@ -28,7 +28,9 @@ object Ann {
     * map-side SORT of every scored candidate (|Q|·|C| rows for brute
     * force) plus a second sort after the exchange, where the heap
     * aggregate does O(n·log k) updates with no sort at all — measured
-    * 1.6–1.8× end-to-end on the margin decades (plans/SCALE.md r8.4).
+    * 2.7× end-to-end on the brute margin decade (plans/SCALE.md r8.4;
+    * requires the fallback-threshold conf [[graft.GraftSession.tune]]
+    * sets, see [[org.apache.spark.sql.graftglue.TopKStruct]]).
     * Same rows, same order (unique ids per query make the order total), so
     * window-based SQL oracles remain valid bit-for-bit.
     */

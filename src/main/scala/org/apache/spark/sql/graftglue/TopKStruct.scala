@@ -26,8 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * again after the exchange. The bounded heap does O(n·log k) updates in
   * constant k-sized memory with NO sort on either side of its exchange,
   * and partial-aggregates map-side so ≤ min(k, candidates-in-partition)
-  * rows per (group, partition) shuffle. Measured: 1.6–1.8× end-to-end on
-  * the brute-force margin decade (plans/SCALE.md r8.4).
+  * rows per (group, partition) shuffle. Measured: 2.7× end-to-end on the
+  * brute-force margin decade (plans/SCALE.md r8.4) — PROVIDED
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` exceeds
+  * the per-task group count ([[graft.GraftSession.tune]] sets 65536):
+  * past the threshold Spark silently re-sorts the input by group key,
+  * giving back most of the win.
   *
   * Determinism contract: (score best-first, id ASC) is a TOTAL order
   * whenever ids are unique per group (the callers' invariant), so the kept
