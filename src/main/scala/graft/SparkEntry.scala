@@ -1284,6 +1284,35 @@ object SparkEntry {
       q.awaitTermination()
       s.read.parquet(s"$outDir/batch_*")
     }),
+    // STREAMING ANN probe: the vector side of the live crawl loop —
+    // query embeddings arrive as a file stream and each micro-batch
+    // probes the STORED IVFPQ index (frozen model + cell-partitioned
+    // codes, built once). A query's top-k depends only on the query and
+    // the static index, so any batch split appends the same rows — at
+    // nprobe = nlist the probe is the exhaustive ADC scan and the stream
+    // shares q_pq's oracle bit for bit.
+    "q_stream_annprobe" -> ((s, dir) => withStreamShuffle(s) {
+      val emb = T(s, dir, "embeddings")
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_annp").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val idxDir = s"$base/index"
+      graft.similarity.Pq.writeIndex(emb, "vec_id", "embedding",
+        dim = 64, m = 2, k = 4, dir = idxDir, nlist = 8)
+      val queries = emb.filter(col("vec_id") < 8)
+      queries.repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+        format = "parquet", schemaDdl = Some(queries.schema.toDDL),
+        maxFilesPerTrigger = 1)
+      val q = graft.streaming.Streams.toForeachBatch(stream, ckpt,
+        availableNow = true, outputMode = "append") { (batch, id) =>
+        graft.similarity.Pq.probeIndex(batch, "vec_id", "embedding", idxDir,
+            topK = 3, nprobe = 8)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+      }
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/batch_*")
+        .select("query_id", "rank", "neighbor_id", "adc2")
+    }),
     // STREAMING index MAINTENANCE: the full daily-crawl loop — per batch,
     // probe the stored index and APPEND admitted docs' band keys. The
     // streamed delta is pre-collapsed with keepCanonical (uncapped), whose
@@ -3497,6 +3526,9 @@ object SparkEntry {
     // stored-index probe at nprobe = nlist ≡ the exhaustive ADC scan: the
     // store/load round-trip must reproduce q_pq bit for bit
     "q_ann_index_probe" -> pqOracle,
+    // the streamed probe must converge on the same answer under any
+    // batch split (verdicts depend only on query + static index)
+    "q_stream_annprobe" -> pqOracle,
     "q_ann_index_delta" -> annIndexDeltaOracle,
     "q_semdedup" ->
       s"""$kmeansCtes,

@@ -307,6 +307,32 @@ class StreamsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streamed IVFPQ probe ≡ the batch probe under any query-batch split") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sannp").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val idxDir = s"$base/index"
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.similarity.Pq.writeIndex(emb, "vec_id", "embedding",
+      dim = 64, m = 2, k = 4, dir = idxDir, nlist = 4)
+    val queries = emb.filter(col("vec_id") < 12)
+    queries.repartition(3).write.mode("overwrite").parquet(inDir)
+    val stream = Streams.watchDirectory(spark, inDir, format = "parquet",
+      schemaDdl = Some(queries.schema.toDDL), maxFilesPerTrigger = 1)
+    val q = Streams.toForeachBatch(stream, ckpt,
+      availableNow = true, outputMode = "append") { (batch, id) =>
+      graft.similarity.Pq.probeIndex(batch, "vec_id", "embedding", idxDir,
+          topK = 3, nprobe = 2)
+        .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+    }
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$outDir/batch_*")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want = graft.similarity.Pq.probeIndex(queries, "vec_id", "embedding",
+        idxDir, topK = 3, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("chunkOwnersStream rejects non-integral id columns at plan time") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
