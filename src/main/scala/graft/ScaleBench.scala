@@ -102,7 +102,10 @@ object ScaleBench {
       // scan-dominated and should grow linearly with constant shuffle.
       for (q <- Seq("q_neardup_pipeline", "q_llm_pipeline", "q_kb_infer", "q_pagerank",
           "q_substring_dedup", "q_substring_dedup_clean", "q_heavy_hitters",
-          "q_distribution_drift", "q_winnow", "q_decontaminate_winnow"))
+          "q_distribution_drift", "q_winnow", "q_decontaminate_winnow",
+          // r8 bounded-aggregate conversions (documents/orders-based, so
+          // they ride the synthesized decades)
+          "q_tfidf", "q_sample_per_group", "q_vocab"))
         time(q, dir) { SparkEntry.queries(q)(spark, dir) }
       time("neardup_composed", dir) { neardupComposed(spark, dir) }
       // G45/G46 decades: brute margin mining is O(|A|·|B|) BY DESIGN —
