@@ -38,6 +38,11 @@ class PlanSpec extends SparkSpec {
       "q_agg" -> 1, "q_dedup_exact" -> 1, "q_sessionize" -> 1,
       "q_window" -> 1, "q_token_budget" -> 1, "q_temperature_sample" -> 1,
       "q_corpus_shuffle" -> 1, "q_pack" -> 1, "q_ann" -> 1,
+      // stored-IVFPQ probe: the only exchange is the bounded top-k
+      // aggregate's — codes scan partition-prunes, model is literals,
+      // probed queries broadcast; maintenance is a pure anti-join/union
+      // projection over broadcast retire sets (zero exchanges)
+      "q_ann_index_probe" -> 1, "q_ann_index_delta" -> 0,
       // 3 DELTA-bounded exchanges (delta-key distinct, hit-key distinct,
       // hit-id distinct) — the r7 value of 1 came with the corpus-sized
       // index on the broadcast build side, the round-8 fix's whole point
