@@ -94,6 +94,24 @@ object AnnSweep {
       println(f"| PQ m=$m%-2d k=$kk%-2d | ${recallL2(res)}%.3f | $t%.2f | ${t / tBrute}%.2fx |")
       res.unpersist()
     }
+    // OPQ: ONE parametric rotation (Pca.rotation — exact-integer scatter +
+    // driver Jacobi), then the same PQ configs over rotated vectors. An
+    // orthonormal rotation preserves exact-L2 neighborhoods, so recall
+    // measures against the SAME truthL2; gains appear when per-subspace
+    // variance was imbalanced — on isotropic synthetic embeddings expect
+    // parity (the measurement is the honesty check, either way).
+    val rot = graft.similarity.Pca.rotation(emb, "embedding", dim = 64)
+    val rEmb = graft.similarity.Pca.rotateAll(emb, "embedding", rot)
+    val rQs = graft.similarity.Pca.rotateAll(queries, "embedding", rot)
+    for ((m, kk) <- Seq((2, 16), (4, 16), (4, 64), (8, 64))) {
+      val (res, t) = timed {
+        val cbs = graft.similarity.Pq.trainCodebooks(rEmb, "vec_id", "embedding",
+          dim = 64, m = m, k = kk, rounds = 2)
+        graft.similarity.Pq.adcTopK(rQs, rEmb, "vec_id", "embedding", cbs, k)
+      }
+      println(f"| OPQ-rot PQ m=$m%-2d k=$kk%-2d | ${recallL2(res)}%.3f | $t%.2f | ${t / tBrute}%.2fx |")
+      res.unpersist()
+    }
     // IVF-routed ADC (Pq.ivfAdcTopK): same codebooks per row-group, the
     // scan restricted to nprobe/nlist of the cells. recall measures against
     // the SAME exact-L2 truth; the "scanned" column is the fraction of

@@ -1845,6 +1845,12 @@ object SparkEntry {
         emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
         "vec_id", "embedding", k = 4, tau = 1.01, nlist = 16, nprobe = 16)
     }),
+    // G48: the PCA/OPQ input — the embedding scatter matrix as EXACT
+    // integer sums (floor-quantized components), one corpus pass through
+    // a d²-long aggregate buffer; the oracle replays the same quantized
+    // products and integer sums, so the hash matches at any partitioning
+    "q_gram" -> ((s, dir) =>
+      graft.similarity.Pca.gram(T(s, dir, "embeddings"), "embedding", dim = 64)),
     // G46: k-center greedy (farthest-point) diversity selection — k corpus
     // scans against literal centers, zero corpus shuffle; radius traces the
     // coverage objective
@@ -3530,6 +3536,16 @@ object SparkEntry {
     // batch split (verdicts depend only on query + static index)
     "q_stream_annprobe" -> pqOracle,
     "q_ann_index_delta" -> annIndexDeltaOracle,
+    // exact integer scatter sums — DuckDB's SUM(BIGINT) widens to
+    // HUGEINT, so cast back for the schema match
+    "q_gram" ->
+      """WITH q AS (SELECT list_transform(embedding,
+        |       x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+        |     FROM embeddings),
+        |ij AS (SELECT a.range AS i, b.range AS j
+        |       FROM range(0, 64) a CROSS JOIN range(0, 64) b)
+        |SELECT i, j, CAST(SUM(qv[CAST(i + 1 AS INT)] * qv[CAST(j + 1 AS INT)]) AS BIGINT) AS s
+        |FROM q CROSS JOIN ij GROUP BY i, j""".stripMargin,
     "q_semdedup" ->
       s"""$kmeansCtes,
          |asg AS (SELECT vec_id, cid FROM a2 WHERE rnk = 1),

@@ -133,11 +133,12 @@ object ConfigPipeline {
     "corpus_shuffle", "csv_permissive", "decontaminate", "dedup_best",
     "dedup_exact", "dedup_near", "degrees", "distinct", "distinct_sketch",
     "distribution_drift", "dsir", "error_budget", "filter", "fingerprint",
-    "flatten", "heavy_hitters", "histogram",
+    "flatten", "gram", "heavy_hitters", "histogram",
     "index_delta", "inverted_index", "join", "kcenter", "langid", "limit",
     "lm_xent", "lm_xent_bigram", "margin_mine", "mixture",
     "neardup_incremental",
-    "pack", "pagerank", "parquet", "percentiles", "quality_classifier",
+    "pack", "pagerank", "parquet", "pca_rotate", "percentiles",
+    "quality_classifier",
     "repetition", "sample", "sample_per_group", "select", "sessionize",
     "snapshot_diff", "span_dedup", "span_dedup_clean", "split",
     "substring_dedup", "substring_dedup_clean",
@@ -316,6 +317,20 @@ object ConfigPipeline {
           if (s.has("k")) knob("k").asInt() else 8,
           if (s.has("w")) knob("w").asInt() else 4,
           if (s.has("minHits")) knob("minHits").asInt() else 1))
+      // exact quantized scatter matrix (the PCA/OPQ input) — (i, j, s) rows
+      case "gram" =>
+        p.stage(name, from)(graft.similarity.Pca.gram(_,
+          knob("vec").asText(), knob("dim").asInt(),
+          if (s.has("scale")) knob("scale").asDouble() else 1048576.0))
+      // fit-and-rotate: ONE parametric OPQ rotation from this stage's own
+      // second moments, applied in place (vec column replaced)
+      case "pca_rotate" =>
+        p.stage(name, from) { d =>
+          graft.similarity.Pca.rotateAll(d, knob("vec").asText(),
+            graft.similarity.Pca.rotation(d, knob("vec").asText(),
+              knob("dim").asInt(),
+              if (s.has("scale")) knob("scale").asDouble() else 1048576.0))
+        }
       // persistent-IVFPQ-index probe: route this stage's query vectors
       // against the stored index at `dir` (written by Pq.writeIndex) —
       // the ANN side of the crawl-loop probe family

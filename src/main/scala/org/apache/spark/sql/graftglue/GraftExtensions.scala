@@ -60,6 +60,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SqDistLit(c.head, litDoubles(c(1), "sq_dist_lit")))
     register(ext, "hyperplane_sig", classOf[HyperplaneSig], 2)(c =>
       HyperplaneSig(c.head, litMatrix(c(1), "hyperplane_sig")))
+    register(ext, "mat_vec_mul", classOf[MatVecMul], 2)(c =>
+      MatVecMul(c.head, litMatrix(c(1), "mat_vec_mul")))
+    // aggregate: SELECT gram_sum(vec, scale) — exact quantized scatter sums
+    register(ext, "gram_sum", classOf[GramSum], 2)(c =>
+      GramSum(c.head, litDouble(c(1), "gram_sum")))
     register(ext, "upper_tri_pairs", classOf[UpperTriPairs], 1)(c =>
       UpperTriPairs(c.head))
     // aggregate: SELECT top_k_struct(score, id, k) — the bounded top-k

@@ -156,6 +156,22 @@ class SqlExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("gram_sum and mat_vec_mul are SQL-callable") {
+    withExt { s =>
+      import s.implicits._
+      Seq((1L, Array(0.5f, -1.25f)), (2L, Array(2.0f, 0.75f)))
+        .toDF("id", "v").createOrReplaceTempView("vs")
+      // q = floor(v*4): (2,-5), (8,3) → S = [[68,14],[14,34]]
+      val g = s.sql("SELECT gram_sum(v, 4.0) AS g FROM vs")
+        .as[Seq[Long]].head()
+      assert(g == Seq(68L, 14L, 14L, 34L))
+      val r = s.sql(
+        """SELECT mat_vec_mul(v, array(array(0.0D, 1.0D), array(1.0D, 0.0D))) AS r
+          |FROM vs WHERE id = 1""".stripMargin).as[Seq[Float]].head()
+      assert(r == Seq(-1.25f, 0.5f)) // the swap matrix swaps components
+    }
+  }
+
   test("FuseCountInSet rewrites the HOF stopword-count shape (array_contains and IN)") {
     withExt { s =>
       import s.implicits._
