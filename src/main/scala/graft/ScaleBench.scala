@@ -76,6 +76,11 @@ object ScaleBench {
     def want(n: String): Boolean = only.forall(_.contains(n))
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("ERROR")
+    // the idxmaintain batch_ms series reads recentProgress, which Spark
+    // caps at 100 entries by default — a many-batch decade run would
+    // silently lose its EARLIEST batches, the exact ones the
+    // deepening-tree growth comparison needs
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
 
     val big = synth(spark, base, factor, work)
     println(s"[scalebench] synthesized $big")

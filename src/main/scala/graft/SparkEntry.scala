@@ -2491,7 +2491,10 @@ object SparkEntry {
   /** Shared CTEs for the margin-mining oracles: directional brute-force
     * top-4 lists (`ft`/`gt`), rank-pivoted neighborhood means (`fa`/`ga` —
     * the four cosines add in RANK order, replaying the operator's sorted
-    * fold bit-for-bit), and per-direction margin-best tables (`mb`/`mb2`).
+    * fold bit-for-bit; absent ranks COALESCE to 0.0, which is exact for a
+    * double fold, so queries with fewer than k neighbors keep their mean
+    * instead of going NULL and dropping out), and per-direction
+    * margin-best tables (`mb`/`mb2`).
     */
   private val marginCtes: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2505,10 +2508,10 @@ object SparkEntry {
       |fr AS (SELECT src, tgt, cos,
       |       row_number() OVER (PARTITION BY src ORDER BY cos DESC, tgt) AS rnk FROM f),
       |ft AS (SELECT * FROM fr WHERE rnk <= 4),
-      |fa AS (SELECT src, (max(CASE WHEN rnk = 1 THEN cos END)
-      |                  + max(CASE WHEN rnk = 2 THEN cos END)
-      |                  + max(CASE WHEN rnk = 3 THEN cos END)
-      |                  + max(CASE WHEN rnk = 4 THEN cos END))
+      |fa AS (SELECT src, (COALESCE(max(CASE WHEN rnk = 1 THEN cos END), 0.0)
+      |                  + COALESCE(max(CASE WHEN rnk = 2 THEN cos END), 0.0)
+      |                  + COALESCE(max(CASE WHEN rnk = 3 THEN cos END), 0.0)
+      |                  + COALESCE(max(CASE WHEN rnk = 4 THEN cos END), 0.0))
       |                 / CAST(count(*) AS DOUBLE) AS avgc FROM ft GROUP BY src),
       |g AS (SELECT b.vec_id AS tgt, a.vec_id AS src,
       |      CASE WHEN b.nrm * a.nrm = 0 THEN 0
@@ -2517,10 +2520,10 @@ object SparkEntry {
       |gr AS (SELECT tgt, src, cos,
       |       row_number() OVER (PARTITION BY tgt ORDER BY cos DESC, src) AS rnk FROM g),
       |gt AS (SELECT * FROM gr WHERE rnk <= 4),
-      |ga AS (SELECT tgt, (max(CASE WHEN rnk = 1 THEN cos END)
-      |                  + max(CASE WHEN rnk = 2 THEN cos END)
-      |                  + max(CASE WHEN rnk = 3 THEN cos END)
-      |                  + max(CASE WHEN rnk = 4 THEN cos END))
+      |ga AS (SELECT tgt, (COALESCE(max(CASE WHEN rnk = 1 THEN cos END), 0.0)
+      |                  + COALESCE(max(CASE WHEN rnk = 2 THEN cos END), 0.0)
+      |                  + COALESCE(max(CASE WHEN rnk = 3 THEN cos END), 0.0)
+      |                  + COALESCE(max(CASE WHEN rnk = 4 THEN cos END), 0.0))
       |                 / CAST(count(*) AS DOUBLE) AS avgc FROM gt GROUP BY tgt),
       |m AS (SELECT ft.src, ft.tgt, ft.cos / ((fa.avgc + ga.avgc) / 2.0) AS mg
       |      FROM ft JOIN fa ON fa.src = ft.src JOIN ga ON ga.tgt = ft.tgt

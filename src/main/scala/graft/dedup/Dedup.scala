@@ -21,6 +21,23 @@ import graft.Caching.TrackedSyntax
   */
 object Dedup {
 
+  /** The shared retired-ids contract for every index-maintenance operator
+    * ([[indexDelta]], [[winnowIndexDelta]],
+    * [[graft.similarity.Pq.indexCodesDelta]]): accept either a bare id
+    * frame or full snapshotDiff rows — the `id` column wins by name; a
+    * multi-column frame WITHOUT one is refused rather than guessed at
+    * (anti-joining on whatever column happens to be first would silently
+    * retire nothing).
+    */
+  private[graft] def retiredIdFrame(retiredIds: DataFrame): DataFrame = {
+    require(retiredIds.columns.contains("id") || retiredIds.columns.length == 1,
+      s"retiredIds must have an 'id' column or be single-column, got: " +
+        retiredIds.columns.mkString(", "))
+    val idName =
+      if (retiredIds.columns.contains("id")) "id" else retiredIds.columns.head
+    retiredIds.select(col(idName).as("id"))
+  }
+
   /** Exact dedup (G1): group by md5(content), keep the minimum id.
     * Output: (hash, keep_id, n_copies).
     */
@@ -497,16 +514,7 @@ object Dedup {
                  textCol: String, retiredIds: DataFrame,
                  numHashes: Int = 16, bands: Int = 4,
                  rowsPerBand: Int = 4): DataFrame = {
-    // accept either a bare id frame or full snapshotDiff rows — the `id`
-    // column wins by name; a multi-column frame WITHOUT one is refused
-    // rather than guessed at (anti-joining on whatever column happens to
-    // be first would silently retire nothing)
-    require(retiredIds.columns.contains("id") || retiredIds.columns.length == 1,
-      s"retiredIds must have an 'id' column or be single-column, got: " +
-        retiredIds.columns.mkString(", "))
-    val idName =
-      if (retiredIds.columns.contains("id")) "id" else retiredIds.columns.head
-    val retired = retiredIds.select(col(idName).as("id"))
+    val retired = retiredIdFrame(retiredIds)
     index.select("id", "band", "band_key")
       .join(retired, Seq("id"), "left_anti")
       .unionByName(
@@ -877,12 +885,7 @@ object Dedup {
   def winnowIndexDelta(index: DataFrame, admitted: DataFrame, idCol: String,
                        textCol: String, retiredIds: DataFrame,
                        k: Int = 8, w: Int = 4): DataFrame = {
-    require(retiredIds.columns.contains("id") || retiredIds.columns.length == 1,
-      s"retiredIds must have an 'id' column or be single-column, got: " +
-        retiredIds.columns.mkString(", "))
-    val idName =
-      if (retiredIds.columns.contains("id")) "id" else retiredIds.columns.head
-    val retired = retiredIds.select(col(idName).as("id"))
+    val retired = retiredIdFrame(retiredIds)
     index.select("id", "pos", "print")
       .join(retired, Seq("id"), "left_anti")
       .unionByName(winnowedPrints(admitted, idCol, textCol, k, w))

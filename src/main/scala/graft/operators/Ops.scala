@@ -528,7 +528,12 @@ object Ops {
         org.apache.spark.sql.types.StructField("grp",
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("__q", LongType))))
-    val ids = dfNN.select(col(idCol).as("id"), col(groupCol).cast(StringType).as("grp"))
+    // null ids are unsampleable too (the md5 permutation needs an
+    // identity) — filtered in BOTH paths, so the kept set cannot depend
+    // on which path the quota gate picks (the heap skips null ids; an
+    // unfiltered window fallback would rank them FIRST)
+    val ids = dfNN.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), col(groupCol).cast(StringType).as("grp"))
     val idType = ids.schema("id").dataType
     val maxQ = quotas.values.max
     // Bounded path (the common, eval-set-sized case): the per-group quota
@@ -1156,11 +1161,16 @@ object Ops {
     * corpus rows never sort OR shuffle at all. The rank-window form this
     * replaced sorted the whole corpus map-side by (group, md5) at full row
     * width (WindowGroupLimit bounds its shuffle, not its sort) and sorted
-    * the survivors again after the exchange. Same kept set (md5 makes the
-    * order total per id; rows with a NULL id are never kept — under the
-    * window form their relative order was undefined anyway). Ids of
-    * long/int/string type take this path; other types fall back to the
-    * window form.
+    * the survivors again after the exchange. The selected ID set is the
+    * window form's exactly (md5 makes the order total per id; the join is
+    * null-SAFE on the group keys, so NULL-keyed groups sample like any
+    * other); the contracts that differ, both deliberate: rows with a NULL
+    * id are never kept (the window form's order among them was undefined),
+    * and if `idCol` is not unique per group the semi join keeps EVERY row
+    * of a selected id — deterministic, where the window form kept n
+    * arbitrary copies by partition order. Sample by a unique identity, as
+    * the md5-permutation semantics assume. Ids of long/int/string type
+    * take this path; other types fall back to the window form.
     */
   def sampleNPerGroup(df: DataFrame, keys: Seq[String], idCol: String,
                       n: Int): DataFrame = {
@@ -1182,9 +1192,13 @@ object Ops {
       val sel = df.groupBy(keys.map(col): _*).agg(bot.as("__ks"))
         .select(keys.map(col) :+ explode(col("__ks")).as("__kv"): _*)
         .select(keys.map(col) :+ col("__kv.neighbor").as(idCol): _*)
-      // the USING join fronts the key columns — restore df's column order
-      df.join(broadcast(sel), keys :+ idCol, "left_semi")
-        .select(df.columns.map(col): _*)
+        .toDF((keys :+ idCol).map("__sel_" + _): _*)
+      // null-SAFE equality: a NULL group key is a group like any other
+      // (the window form partitioned nulls together; a plain equi-join
+      // would silently drop them)
+      val cond = (keys :+ idCol).map(k => col(k) <=> col("__sel_" + k))
+        .reduce(_ && _)
+      df.join(broadcast(sel), cond, "left_semi")
     }
   }
 

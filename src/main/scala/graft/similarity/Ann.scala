@@ -32,7 +32,12 @@ object Ann {
     * requires the fallback-threshold conf [[graft.GraftSession.tune]]
     * sets, see [[org.apache.spark.sql.graftglue.TopKStruct]]).
     * Same rows, same order (unique ids per query make the order total), so
-    * window-based SQL oracles remain valid bit-for-bit.
+    * window-based SQL oracles remain valid bit-for-bit — with one
+    * deliberate edge divergence: a NULL score (a null/zero-information
+    * candidate, e.g. a null embedding's cosine) is never ranked, where the
+    * window form's NULLS LAST padded trailing ranks with such candidates
+    * when a query had fewer than k real ones. Ranking a null similarity
+    * is meaningless; every oracled corpus has non-null vectors.
     */
   private[similarity] def topKTail(scored: DataFrame, k: Int,
                                    scoreCol: String = "cosine",

@@ -279,14 +279,9 @@ object Pq {
                       dir: String, retiredIds: DataFrame,
                       scale: Double = 1048576.0): DataFrame = {
     import graft.functions.Vectors
-    require(retiredIds.columns.contains("id") || retiredIds.columns.length == 1,
-      s"retiredIds needs an 'id' column (or a single column); got " +
-        retiredIds.columns.mkString(", "))
     val spark = admitted.sparkSession
     val (cents, cbs) = readModel(spark, dir)
-    val retire = retiredIds.select(
-      col(if (retiredIds.columns.contains("id")) "id"
-          else retiredIds.columns.head).as("id"))
+    val retire = graft.dedup.Dedup.retiredIdFrame(retiredIds)
     val kept = spark.read.parquet(s"$dir/codes")
       .join(broadcast(retire), Seq("id"), "left_anti")
       .select("id", "cell", "codes")

@@ -59,8 +59,6 @@ case class GramSum(
     if (v != null) {
       val a = v.asInstanceOf[ArrayData]
       val d = a.numElements()
-      if (buf.d == 0) { buf.d = d; buf.s = new Array[Long](d * d) }
-      require(buf.d == d, s"gram_sum: mixed vector dimensions ${buf.d} vs $d")
       val q = new Array[Long](d)
       var ok = true
       var i = 0
@@ -72,7 +70,11 @@ case class GramSum(
         }
         i += 1
       }
+      // dimension fixes only from a row that actually counts — a skipped
+      // (null-element) row must not pin d and poison every later row
       if (ok) {
+        if (buf.d == 0) { buf.d = d; buf.s = new Array[Long](d * d) }
+        require(buf.d == d, s"gram_sum: mixed vector dimensions ${buf.d} vs $d")
         var r = 0
         while (r < d) {
           val qr = q(r); val base = r * d

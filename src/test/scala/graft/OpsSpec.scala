@@ -359,6 +359,13 @@ class OpsSpec extends SparkSpec {
     // string ids take the bounded path too
     val sdf = df.withColumn("id", concat(lit("d_"), col("id")))
     assert(Ops.sampleNPerGroup(sdf, Seq("g"), "id", n = 3).count() == 6)
+    // a NULL group key is a group like any other (null-safe semi join) —
+    // the window form partitioned nulls together, so must the bounded path
+    val dfN = Seq((1L, "a"), (2L, "a"), (3L, null), (4L, null), (5L, null))
+      .toDF("id", "g")
+    val gotN = Ops.sampleNPerGroup(dfN, Seq("g"), "id", n = 2)
+    assert(gotN.filter(col("g").isNull).count() == 2 &&
+      gotN.filter(col("g") === "a").count() == 2)
   }
 
   test("percentiles computes exact interpolated quantiles per group") {
@@ -426,6 +433,12 @@ class OpsSpec extends SparkSpec {
     val nn = Ops.temperatureSample(withNull, "id", "g", 400L)
     assert(nn.filter(col("grp").isNull).count() == 0L)
     assert(nn.count() == 400L)
+    // null IDS are unsampleable too — filtered BEFORE the quota-path gate,
+    // so the kept set cannot depend on which path runs
+    val sdf = df.withColumn("id",
+      when(col("id") === 1L, lit(null)).otherwise(col("id").cast("string")))
+    assert(Ops.temperatureSample(sdf, "id", "g", 400L)
+      .filter(col("id").isNull).count() == 0L)
   }
 
   test("tokenBudgetSample fills each budget in md5 order and stops past it") {

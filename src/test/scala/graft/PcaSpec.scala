@@ -31,6 +31,13 @@ class PcaSpec extends SparkSpec {
       .toDF("id", "v"))
     assert(Pca.gram(withNulls, "v", 2, 4.0).as[(Long, Long, Long)]
       .collect().toSet == want)
+    // a skipped row must not pin the buffer dimension either: a
+    // wrong-dimension vector whose null element rejects it arrives FIRST
+    // and the real rows must still aggregate (not throw a mixed-dim error)
+    val poison = spark.range(1).selectExpr("id",
+      "array(CAST(NULL AS FLOAT)) AS v")
+    assert(Pca.gram(poison.unionByName(df).coalesce(1), "v", 2, 4.0)
+      .as[(Long, Long, Long)].collect().toSet == want)
   }
 
   test("rotation is orthonormal, diagonalizes the scatter, and orders " +
