@@ -110,7 +110,7 @@ object ScaleBench {
           "q_distribution_drift", "q_winnow", "q_decontaminate_winnow",
           // r8 bounded-aggregate conversions (documents/orders-based, so
           // they ride the synthesized decades)
-          "q_tfidf", "q_sample_per_group", "q_vocab"))
+          "q_tfidf", "q_sample_per_group", "q_vocab", "q_gram"))
         time(q, dir) { SparkEntry.queries(q)(spark, dir) }
       time("neardup_composed", dir) { neardupComposed(spark, dir) }
       // G45/G46 decades: brute margin mining is O(|A|·|B|) BY DESIGN —
