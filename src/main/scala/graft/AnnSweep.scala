@@ -127,17 +127,17 @@ object AnnSweep {
       // cell-assignment frame, not one per sweep point
       val cents = graft.similarity.Ann.coarseCentroids(emb, "vec_id", "embedding", 64)
       val assigned = emb.select(col("vec_id").as("nid"),
-        graft.similarity.Ann.nearestCell(cents, col("embedding"),
-          Vectors.fnorm(col("embedding"))).as("cell")).cache()
+        graft.similarity.Ann.nearestCell(cents, col("embedding")).as("cell"))
+        .cache()
       for (nprobe <- Seq(1, 2, 4, 8, 16, 32, 64)) {
         val (res, t) = timed(graft.similarity.Pq.ivfAdcTopK(
           queries, emb, "vec_id", "embedding", cbs, k, nlist = 64, nprobe = nprobe))
         // scanned fraction: count the routed candidate pairs pre-top-k
         val scanned = {
           val probed = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-            .withColumn("__pc", graft.similarity.Ann.probeCells(cents, col("qv"),
-              Vectors.fnorm(col("qv")), nprobe))
-            .select(col("qid"), col("__pc.cent_id").as("cell"))
+            .withColumn("__pc",
+              graft.similarity.Ann.probeCells(cents, col("qv"), nprobe))
+            .select(col("qid"), col("__pc").as("cell"))
           probed.join(assigned, Seq("cell")).filter(col("qid") =!= col("nid")).count()
         }
         println(f"| IVFPQ m=4 k=16 nprobe=$nprobe%-2d | ${recallL2(res)}%.3f | $t%.2f | ${t / tBrute}%.2fx | scanned ${scanned / exhaustivePairs * 100}%.1f%% |")

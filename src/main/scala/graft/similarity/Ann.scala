@@ -117,35 +117,39 @@ object Ann {
     cents
   }
 
-  /** (−sim, cent_id) struct per centroid; Vectors.fnorm over a literal
-    * vector constant-folds at plan time, so each struct costs one codegen'd
-    * dot product per row.
+  /** The centroid set as the native [[org.apache.spark.sql.graftglue
+    * .ProbeCells]] expression — ONE reference object holding the whole
+    * matrix, so the PLAN is constant size in nlist. The previous
+    * formulation (`least()`/`array_sort` over nlist per-centroid struct
+    * expressions, each embedding its centroid as a literal) scaled the
+    * expression tree with nlist × dim: at nlist = 64 that is 4096 literal
+    * doubles and 64 inlined dot expansions per projection, seconds of
+    * analysis + Janino time per direction (measured: ivfTopK at
+    * nlist = 16 cost 8× brute force on 1M pairs purely in plan overhead),
+    * and a hard wall long before a production 4096-cell quantizer.
     */
-  private def centStructs(cents: Seq[(String, Seq[Float])],
-                          vec: Column, norm: Column): Seq[Column] =
-    cents.map { case (cid, cv) =>
-      val cvec = typedLit(cv)
-      struct((Vectors.fcosine(vec, cvec, norm, Vectors.fnorm(cvec)) * -1).as("negsim"),
-        lit(cid).as("cent_id"))
-    }
-
-  /** Nearest-cell id for one row — a `least()` over the centroid structs:
-    * a codegen'd projection with ZERO shuffle (a crossJoin+groupBy
-    * formulation would re-shuffle every corpus vector through an exchange).
-    */
-  private[graft] def nearestCell(cents: Seq[(String, Seq[Float])],
-                                      vec: Column, norm: Column): Column = {
-    val ss = centStructs(cents, vec, norm)
-    (if (ss.size == 1) ss.head else least(ss: _*)).getField("cent_id")
+  private def probeExpr(cents: Seq[(String, Seq[Float])], vec: Column,
+                        nprobe: Int): Column = {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, ProbeCells}
+    ColumnBridge.column(ProbeCells(ColumnBridge.expression(vec),
+      cents.map(_._1).toArray,
+      cents.map(_._2.map(_.toDouble).toArray).toArray, nprobe))
   }
 
+  /** Nearest-cell id for one row — a codegen'd projection with ZERO
+    * shuffle (a crossJoin+groupBy formulation would re-shuffle every
+    * corpus vector through an exchange).
+    */
+  private[graft] def nearestCell(cents: Seq[(String, Seq[Float])],
+                                 vec: Column): Column =
+    element_at(probeExpr(cents, vec, 1), 1)
+
   /** The `nprobe` nearest cells for a query row as an exploded column —
-    * `array_sort` + `slice` over the same structs, again a projection.
+    * again a pure projection.
     */
   private[graft] def probeCells(cents: Seq[(String, Seq[Float])],
-                                     vec: Column, norm: Column,
-                                     nprobe: Int): Column =
-    explode(slice(array_sort(array(centStructs(cents, vec, norm): _*)), 1, nprobe))
+                                vec: Column, nprobe: Int): Column =
+    explode(probeExpr(cents, vec, nprobe))
 
   /** IVF top-k (G7 scale path): coarse-quantize the corpus onto `nlist`
     * centroids, then search only the `nprobe` nearest cells per query —
@@ -174,15 +178,14 @@ object Ann {
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("c_norm", Vectors.fnorm(col("c_vec")))
-    val assigned = c.withColumn("cell",
-      nearestCell(cents, col("c_vec"), col("c_norm")))
+    val assigned = c.withColumn("cell", nearestCell(cents, col("c_vec")))
 
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", Vectors.fnorm(col("q_vec")))
     val probed = q.withColumn("__pc",
-        probeCells(cents, col("q_vec"), col("q_norm"), nprobe))
+        probeCells(cents, col("q_vec"), nprobe))
       .select(col("query_id"), col("q_vec"), col("q_norm"),
-        col("__pc.cent_id").as("cell"))
+        col("__pc").as("cell"))
     // 4. search only the probed cells
     val cand = probed.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

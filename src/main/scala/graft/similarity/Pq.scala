@@ -212,7 +212,7 @@ object Pq {
     }.toDF("subspace", "cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/model/codebooks")
     val celled = corpus.select(col(idCol), col(vecCol),
-      Ann.nearestCell(cents, col(vecCol), Vectors.fnorm(col(vecCol))).as("cell"))
+      Ann.nearestCell(cents, col(vecCol)).as("cell"))
     encode(celled, idCol, vecCol, cbs, scale, carry = Seq("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
   }
@@ -251,9 +251,9 @@ object Pq {
     val q = withDistTables(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__v"), quantize(col(vecCol), scale).as("__qv")), cbs)
     val probed = q.withColumn("__pc",
-        Ann.probeCells(cents, col("__v"), Vectors.fnorm(col("__v")), nprobe))
+        Ann.probeCells(cents, col("__v"), nprobe))
       .select(col("query_id") +: (0 until m).map(j => col(s"__dt$j")) :+
-        col("__pc.cent_id").as("cell"): _*)
+        col("__pc").as("cell"): _*)
     // the UNION of probed cells across the query batch is ≤ nlist ids —
     // a bounded collect that turns routing into a partition-pruning
     // predicate on the cell-partitioned layout
@@ -286,7 +286,7 @@ object Pq {
       .join(broadcast(retire), Seq("id"), "left_anti")
       .select("id", "cell", "codes")
     val celled = admitted.select(col(idCol), col(vecCol),
-      Ann.nearestCell(cents, col(vecCol), Vectors.fnorm(col(vecCol))).as("cell"))
+      Ann.nearestCell(cents, col(vecCol)).as("cell"))
     val fresh = encode(celled, idCol, vecCol, cbs, scale, carry = Seq("cell"))
       .join(broadcast(retire), Seq("id"), "left_anti")
       .select("id", "cell", "codes")
@@ -304,14 +304,14 @@ object Pq {
     val cents = Ann.coarseCentroids(corpus, idCol, vecCol, nlist)
     // cell + codes in ONE corpus projection (no second scan, no shuffle)
     val celled = corpus.select(col(idCol), col(vecCol),
-      Ann.nearestCell(cents, col(vecCol), Vectors.fnorm(col(vecCol))).as("__cell"))
+      Ann.nearestCell(cents, col(vecCol)).as("__cell"))
     val codes = encode(celled, idCol, vecCol, codebooks, scale, carry = Seq("__cell"))
     val q = withDistTables(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__v"), quantize(col(vecCol), scale).as("__qv")), codebooks)
     val probed = q.withColumn("__pc",
-        Ann.probeCells(cents, col("__v"), Vectors.fnorm(col("__v")), nprobe))
+        Ann.probeCells(cents, col("__v"), nprobe))
       .select(col("query_id") +: (0 until m).map(j => col(s"__dt$j")) :+
-        col("__pc.cent_id").as("__cell"): _*)
+        col("__pc").as("__cell"): _*)
     val scored = codes.join(broadcast(probed), Seq("__cell"))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"), adcSum(m).as("adc2"))

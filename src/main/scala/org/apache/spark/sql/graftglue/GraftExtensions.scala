@@ -62,6 +62,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       HyperplaneSig(c.head, litMatrix(c(1), "hyperplane_sig")))
     register(ext, "mat_vec_mul", classOf[MatVecMul], 2)(c =>
       MatVecMul(c.head, litMatrix(c(1), "mat_vec_mul")))
+    register(ext, "probe_cells", classOf[ProbeCells], 4)(c =>
+      ProbeCells(c.head,
+        litStrings(c(1), "probe_cells", keepNulls = false).toArray,
+        litMatrix(c(2), "probe_cells"), litInt(c(3), "probe_cells")))
     // aggregate: SELECT gram_sum(vec, scale) — exact quantized scatter sums
     register(ext, "gram_sum", classOf[GramSum], 2)(c =>
       GramSum(c.head, litDouble(c(1), "gram_sum")))

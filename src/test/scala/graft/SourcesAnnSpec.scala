@@ -441,8 +441,7 @@ class SourcesAnnSpec extends SparkSpec {
     val membership = df.filter(!$"vec_id".isin(3L, 4L)).unionByName(admitted)
     val cents = graft.similarity.Ann.coarseCentroids(df, "vec_id", "embedding", 4)
     val celled = membership.select(col("vec_id"), col("embedding"),
-      graft.similarity.Ann.nearestCell(cents, col("embedding"),
-        graft.functions.Vectors.fnorm(col("embedding"))).as("cell"))
+      graft.similarity.Ann.nearestCell(cents, col("embedding")).as("cell"))
     val rebuilt = graft.similarity.Pq.encode(celled, "vec_id", "embedding",
         cbs, carry = Seq("cell"))
       .select(col("id"), col("cell"), col("codes"))

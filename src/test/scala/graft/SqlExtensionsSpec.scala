@@ -156,6 +156,21 @@ class SqlExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("probe_cells is SQL-callable and ranks cells by (cosine DESC, id ASC)") {
+    withExt { s =>
+      import s.implicits._
+      Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+        .toDF("id", "v").createOrReplaceTempView("pv")
+      val rows = s.sql(
+        """SELECT id, probe_cells(v,
+          |  array('cx', 'cy'),
+          |  array(array(1.0D, 0.0D), array(0.0D, 1.0D)), 1) AS cells
+          |FROM pv""".stripMargin)
+        .selectExpr("id", "cells[0]").as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "cx"), (2L, "cy")))
+    }
+  }
+
   test("gram_sum and mat_vec_mul are SQL-callable") {
     withExt { s =>
       import s.implicits._
