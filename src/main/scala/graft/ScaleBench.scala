@@ -132,6 +132,38 @@ object ScaleBench {
         graft.similarity.Clustering.kCenterGreedy(emb, "vec_id", "embedding",
           k = 16)
       }
+      // the coreset regime (Sener & Savarese: k in the thousands) — the
+      // r8 least(SqDistLit…) literal form was plan-explosive here (plan
+      // size O(k·dim) per round, O(k²·dim) across the run); with the
+      // MinDistToSet reference-object matrix the per-round plan is
+      // constant-size and the run cost is k scans, nothing else
+      time("kcenter256", dir) {
+        graft.similarity.Clustering.kCenterGreedy(emb, "vec_id", "embedding",
+          k = 256)
+      }
+      // one-ROUND isolation of the plan cost at 256 picked centers: the
+      // same min-dist scan + TakeOrdered(1), native reference-object
+      // matrix vs the r8 least(SqDistLit…) literal formulation (256
+      // dim-length literals + 256 inlined distance expansions in ONE
+      // projection — analysis + Janino time, not data time)
+      if (want("kcenter256_round_native") || want("kcenter256_round_literal")) {
+        import org.apache.spark.sql.graftglue.{ColumnBridge, MinDistToSet, QuantizeVec, SqDistLit}
+        val centers = emb.orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+          .limit(256).select("embedding").collect()
+          .map(_.getSeq[Float](0).map(v => math.floor(v * 1048576.0)).toArray)
+        val q = emb.select(col("vec_id").as("id"), ColumnBridge.column(
+          QuantizeVec(ColumnBridge.expression(col("embedding")), 1048576.0)).as("qv"))
+        time("kcenter256_round_native", dir) {
+          q.withColumn("__mind", ColumnBridge.column(MinDistToSet(
+              ColumnBridge.expression(col("qv")), centers)))
+            .orderBy(col("__mind").desc, col("id").asc).limit(1)
+        }
+        time("kcenter256_round_literal", dir) {
+          q.withColumn("__mind", least(centers.map(cv => ColumnBridge.column(
+              SqDistLit(ColumnBridge.expression(col("qv")), cv))).toIndexedSeq: _*))
+            .orderBy(col("__mind").desc, col("id").asc).limit(1)
+        }
+      }
     }
 
     // Incremental vs full re-dedup: 90% of the corpus is indexed once

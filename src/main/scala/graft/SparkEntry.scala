@@ -1617,6 +1617,24 @@ object SparkEntry {
           "vec_id", "embedding", idx, topK = 3, nprobe = 8)
         .select("query_id", "rank", "neighbor_id", "adc2")
     }),
+    // OPQ-ROTATED persistent index (r9): the rotation is stored IN the
+    // model and probeIndex applies it to queries automatically — build-
+    // and probe-time rotation cannot drift. The oracled rotation is the
+    // fixed coordinate-reversal permutation (orthonormal; MatVecMul's
+    // double-accumulate narrows back to the exact permuted floats), so
+    // the whole rotated train/encode/ADC replay stays bit-deterministic
+    // in SQL via list_reverse; the data-derived Pca.rotation path is
+    // pinned by SourcesAnnSpec's rotated-index ≡ rotated-adcTopK identity
+    "q_ann_index_opq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_pqidx_r").toString
+      val rev = Array.tabulate(64, 64)((i, j) => if (j == 63 - i) 1.0 else 0.0)
+      graft.similarity.Pq.writeIndex(emb, "vec_id", "embedding",
+        dim = 64, m = 2, k = 4, dir = idx, nlist = 8, rotation = Some(rev))
+      graft.similarity.Pq.probeIndex(emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", idx, topK = 3, nprobe = 8)
+        .select("query_id", "rank", "neighbor_id", "adc2")
+    }),
     // ANN index maintenance under the FROZEN model: retire ids, encode the
     // delta with the stored codebooks, output the maintained code table —
     // the oracle re-derives every maintained code from scratch (train on
@@ -2680,9 +2698,13 @@ object SparkEntry {
     * training (same seeding/quantization as `kmeansCtes`), corpus codes,
     * query distance tables, ADC scores — all relational joins. Parameters
     * must match the q_pq entry: dim=64, m=2 (sub=32), k=4, rounds=2,
-    * queries vec_id < 8, topK=3.
+    * queries vec_id < 8, topK=3. `vecExpr` is the embedding expression the
+    * whole replay quantizes — `list_reverse(embedding)` replays the fixed
+    * reversal ROTATION of q_ann_index_opq (an orthonormal permutation, so
+    * MatVecMul's double-accumulate-then-narrow reproduces the permuted
+    * floats EXACTLY and the rotated replay stays bit-deterministic).
     */
-  private val pqScoredCtes: String = {
+  private def pqScoredCtesFor(vecExpr: String): String = {
     val (m, sub, k) = (2, 32, 4)
     val perSub = (0 until m).map { j =>
       val lo = j * sub + 1; val hi = (j + 1) * sub
@@ -2714,7 +2736,7 @@ object SparkEntry {
          |        CROSS JOIN sc1$j))""".stripMargin
     }.mkString(",\n")
     s"""WITH q AS MATERIALIZED (SELECT vec_id,
-       |     list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1048576.0)) AS qv
+       |     list_transform($vecExpr, x -> floor(CAST(x AS DOUBLE) * 1048576.0)) AS qv
        |     FROM embeddings),
        |s AS MATERIALIZED (SELECT vec_id, qv,
        |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM q),
@@ -2726,8 +2748,20 @@ object SparkEntry {
        |           JOIN dt1 ON dt1.cid = co1.cid AND dt1.query_id = dt0.query_id
        |           WHERE dt0.query_id <> co0.vec_id)""".stripMargin
   }
+  private val pqScoredCtes: String = pqScoredCtesFor("embedding")
   private val pqOracle: String =
     s"""$pqScoredCtes
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, adc2 FROM (
+       |  SELECT query_id, neighbor_id, adc2,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc2, neighbor_id) AS rnk
+       |  FROM scored) WHERE rnk <= 3""".stripMargin
+  /** q_ann_index_opq: the same replay over the REVERSED embedding — the
+    * stored rotation is the coordinate-reversal permutation, so training,
+    * codes, and ADC all happen in the rotated space on both engines.
+    */
+  private val pqOpqOracle: String =
+    s"""${pqScoredCtesFor("list_reverse(embedding)")}
        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, adc2 FROM (
        |  SELECT query_id, neighbor_id, adc2,
        |         row_number() OVER (PARTITION BY query_id
@@ -3268,7 +3302,7 @@ object SparkEntry {
     "q_kmv" ->
       """WITH u AS (SELECT DISTINCT l_returnflag,
         |    ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
-        |  FROM lineitem),
+        |  FROM lineitem WHERE l_partkey IS NOT NULL),
         |r AS (SELECT l_returnflag, h,
         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM u)
         |SELECT l_returnflag, COUNT(*) AS n_kept,
@@ -3535,6 +3569,8 @@ object SparkEntry {
     // stored-index probe at nprobe = nlist ≡ the exhaustive ADC scan: the
     // store/load round-trip must reproduce q_pq bit for bit
     "q_ann_index_probe" -> pqOracle,
+    // the rotated index replay: identical CTE chain over list_reverse(embedding)
+    "q_ann_index_opq" -> pqOpqOracle,
     // the streamed probe must converge on the same answer under any
     // batch split (verdicts depend only on query + static index)
     "q_stream_annprobe" -> pqOracle,

@@ -486,9 +486,10 @@ object Ops {
     *
     * Scale shape: one count aggregate (group-cardinality rows to the
     * driver, model-sized), then one hash shuffle on the group for the
-    * quota cut — (id, group) only, text never shuffles — and for quotas
-    * up to 2^20 the cut is the bounded TopKStruct heap aggregate, so at
-    * most maxQuota rows per (group, partition) reach that exchange and no
+    * quota cut — (id, group) only, text never shuffles — and when
+    * maxQuota · numGroups fits the in-memory heap budget (see the gate
+    * below) the cut is the bounded TopKStruct heap aggregate, so at most
+    * maxQuota rows per (group, partition) reach that exchange and no
     * group ever sorts in a single task (the [[tokenBudgetSample]]
     * degenerate-group caveat only applies on the big-quota window
     * fallback).
@@ -540,10 +541,16 @@ object Ops {
     // cut is the bounded TopKStruct heap (k = max quota, per-group quotas
     // re-applied on the emitted rank), so at most maxQ rows per (group,
     // partition) reach the exchange and no group ever sorts in one task.
-    // The heap is maxQ-sized driver-of-executor memory, so quotas past 2^20
-    // — and id types the aggregate doesn't order — keep the window form,
+    // The heaps are executor memory with NO size-based spill (the
+    // ObjectHashAggregate fallback triggers on group COUNT, raised to 2^16
+    // by GraftSession.tune), and one task can hold a heap for EVERY group,
+    // so the gate bounds the worst-case total — maxQ · numGroups boxed
+    // (md5-string, id) pairs, capped at 2^21 (~10²MB at ~100 B/entry) —
+    // not just the single-heap size. Large-quota/high-cardinality mixes
+    // (and id types the aggregate doesn't order) keep the window form,
     // whose per-group sort is spill-backed.
     if (maxQ >= 1L && maxQ <= (1L << 20) &&
+        maxQ * counts.length <= (1L << 21) &&
         (idType == LongType || idType == IntegerType || idType == StringType)) {
       import org.apache.spark.sql.graftglue.{ColumnBridge, TopKStruct}
       val bot = ColumnBridge.column(TopKStruct(
@@ -700,6 +707,14 @@ object Ops {
     * (hashes are unique per group after the distinct, so the order is
     * total), so the SQL oracle's window form remains bit-identical.
     *
+    * NULL values are excluded EXPLICITLY before the sketch (and the oracle
+    * filters them identically): a null is not a distinct VALUE, so
+    * counting it would bias the estimate — the pre-r8 window form ranked
+    * the null hash FIRST (ASC = NULLS FIRST) and silently counted it into
+    * `n_kept`, which was wrong; the explicit filter makes the (more
+    * correct) semantics deterministic rather than an accident of the heap
+    * aggregate skipping null scores.
+    *
     * Output: (keys..., n_kept, distinct_est).
     */
   def approxDistinctKmv(df: DataFrame, keys: Seq[String], valueCol: String,
@@ -708,7 +723,8 @@ object Ops {
     import org.apache.spark.sql.graftglue.{ColumnBridge, TopKStruct}
     val hash = conv(substring(md5(col(valueCol).cast(StringType)), 1, 15), 16, 10)
       .cast(LongType)
-    val uniq = df.select(keys.map(col) :+ hash.as("__h"): _*).distinct()
+    val uniq = df.filter(col(valueCol).isNotNull)
+      .select(keys.map(col) :+ hash.as("__h"): _*).distinct()
     val bot = ColumnBridge.column(TopKStruct(
       ColumnBridge.expression(col("__h")), ColumnBridge.expression(col("__h")),
       k, smallest = true).toAggregateExpression())

@@ -133,10 +133,16 @@ object Clustering {
     * distance the next center collapses), the standard diversity-sampling
     * diagnostic for "how many exemplars until the corpus is covered".
     *
-    * Scale posture: each of the `k` rounds is ONE corpus scan — the selected
-    * centers are plan literals, `min dist²` is a `least()` over codegen'd
-    * [[dist2]] projections (zero shuffle), and the argmax is a
-    * TakeOrdered(1) (per-partition top-1, driver merges one row per
+    * Scale posture: each of the `k` rounds is ONE corpus scan — `min dist²`
+    * to the picked set is the native
+    * [[org.apache.spark.sql.graftglue.MinDistToSet]] projection (the
+    * picked-center MATRIX rides as one reference object, so the plan is
+    * CONSTANT size in the picked count — the ProbeCells recipe; the
+    * previous `least()` over per-center [[dist2]] literal expansions grew
+    * the plan linearly per round, O(k²·dim) literal work across the run,
+    * plan-explosive at the Sener & Savarese coreset regime of k in the
+    * thousands — measured at k = 256 in plans/SCALE.md r9), and the argmax
+    * is a TakeOrdered(1) (per-partition top-1, driver merges one row per
     * partition). The corpus never shuffles; the driver holds k·dim doubles.
     * k is a sample-size knob (10²–10⁴), not data-sized.
     *
@@ -146,7 +152,10 @@ object Clustering {
     * hash-exact in any engine (quantized units; divide by scale² for raw).
     *
     * Output: (step 1..k, center_id, radius) — `radius` is null for the seed
-    * row and non-increasing afterwards.
+    * row and non-increasing afterwards. Selection STOPS EARLY (fewer than
+    * `k` rows) once the farthest remaining row is at distance 0 — every row
+    * is then a center (or an exact duplicate of one), and further rounds
+    * would only re-emit already-picked ids with radius 0.
     */
   def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String, k: Int,
                     scale: Double = 1048576.0): DataFrame = {
@@ -162,13 +171,21 @@ object Clustering {
     require(seed.nonEmpty, "empty input")
     var picked = Vector[(Any, Array[Double], Option[Double])](
       (seed(0).get(0), seed(0).getSeq[Double](1).toArray, None))
-    for (_ <- 2 to k) {
-      val dists = picked.map { case (_, cv, _) => dist2(col("qv"), cv) }
-      val mind = if (dists.size == 1) dists.head else least(dists: _*)
+    var covered = false
+    for (_ <- 2 to k if !covered) {
+      import org.apache.spark.sql.graftglue.{ColumnBridge, MinDistToSet}
+      val mind = ColumnBridge.column(MinDistToSet(
+        ColumnBridge.expression(col("qv")),
+        picked.map(_._2).toArray))
       val next = q.withColumn("__mind", mind)
         .orderBy(col("__mind").desc, col("id").asc).limit(1).collect()(0)
-      picked :+= ((next.get(0), next.getSeq[Double](1).toArray,
-        Some(next.getDouble(2))))
+      val radius = next.getDouble(2)
+      // radius 0 ⇒ every row coincides with a picked center: the argmax is
+      // an already-picked id (or an exact duplicate), so stop instead of
+      // emitting duplicate centers round after round
+      if (radius == 0.0) covered = true
+      else picked :+= ((next.get(0), next.getSeq[Double](1).toArray,
+        Some(radius)))
     }
     val idType = df.schema(idCol).dataType
     val schema = StructType(Seq(

@@ -183,7 +183,17 @@ object Pq {
     *
     *   - `model/coarse`    — (cent_id, cent_vec): the nlist coarse cells
     *   - `model/codebooks` — (subspace, cid, centroid): PQ codebooks
+    *   - `model/rotation`  — (i, row): the OPQ rotation, when one is used
     *   - `codes`           — (id, codes) parquet PARTITIONED BY `cell`
+    *
+    * `rotation` (typically [[Pca.rotation]] — the OPQ whitening step) is
+    * applied to every corpus vector BEFORE coarse assignment, codebook
+    * training, and encoding, and is PERSISTED AS PART OF THE MODEL:
+    * [[probeIndex]] and [[indexCodesDelta]] read it back and apply it to
+    * queries/deltas automatically, so build-time and probe-time rotation
+    * can never drift apart (previously the caller had to rotate
+    * consistently on both sides by hand, with nothing enforcing it —
+    * codes under a rotated model are meaningless for unrotated queries).
     *
     * The cell partitioning is the point: a probe's nprobe-cell routing
     * becomes directory-level partition pruning — the scan lists and reads
@@ -199,11 +209,16 @@ object Pq {
   def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
                  dim: Int, m: Int, k: Int, dir: String,
                  nlist: Int = 64, rounds: Int = 2,
-                 scale: Double = 1048576.0): Unit = {
+                 scale: Double = 1048576.0,
+                 rotation: Option[Array[Array[Double]]] = None): Unit = {
     import graft.functions.Vectors
     val spark = corpus.sparkSession
-    val cbs = trainCodebooks(corpus, idCol, vecCol, dim, m, k, rounds, scale)
-    val cents = Ann.coarseCentroids(corpus, idCol, vecCol, nlist)
+    // rotate ONCE in the corpus projection; training, cell assignment and
+    // encoding all see the rotated space (zero-shuffle MatVecMul)
+    val corpusR = rotation.fold(corpus)(r =>
+      Pca.rotateAll(corpus.select(col(idCol), col(vecCol)), vecCol, r))
+    val cbs = trainCodebooks(corpusR, idCol, vecCol, dim, m, k, rounds, scale)
+    val cents = Ann.coarseCentroids(corpusR, idCol, vecCol, nlist)
     import spark.implicits._
     cents.map { case (cid, cv) => (cid, cv) }.toDF("cent_id", "cent_vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/model/coarse")
@@ -211,45 +226,64 @@ object Pq {
       cb.map { case (cid, cv) => (j, cid, cv.toSeq) }
     }.toDF("subspace", "cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/model/codebooks")
-    val celled = corpus.select(col(idCol), col(vecCol),
+    rotation.foreach { r =>
+      r.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+        .toDF("i", "row")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/model/rotation")
+    }
+    val celled = corpusR.select(col(idCol), col(vecCol),
       Ann.nearestCell(cents, col(vecCol)).as("cell"))
     encode(celled, idCol, vecCol, cbs, scale, carry = Seq("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
   }
 
   /** Load the frozen model back as plan literals (model-sized collects by
-    * the build contract — nlist cells, m·k codebook rows).
+    * the build contract — nlist cells, m·k codebook rows, d² rotation
+    * doubles when the index was built rotated).
     */
   private def readModel(spark: org.apache.spark.sql.SparkSession, dir: String)
-      : (Seq[(String, Seq[Float])], Seq[Seq[(Int, Array[Double])]]) = {
+      : (Seq[(String, Seq[Float])], Seq[Seq[(Int, Array[Double])]],
+         Option[Array[Array[Double]]]) = {
     val cents = spark.read.parquet(s"$dir/model/coarse").collect()
       .map(r => (r.getString(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
     val cbs = spark.read.parquet(s"$dir/model/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.map(t => (t._2, t._3)).sortBy(_._1).toSeq)
-    (cents, cbs)
+    val rotPath = new org.apache.hadoop.fs.Path(s"$dir/model/rotation")
+    val fs = rotPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rot =
+      if (fs.exists(rotPath))
+        Some(spark.read.parquet(rotPath.toString).collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1).map(_._2))
+      else None
+    (cents, cbs, rot)
   }
 
   /** Probe the stored index: route each query to its `nprobe` nearest
     * cells under the STORED coarse centroids, scan ONLY those cells'
     * code partitions (the probed-cell set is ≤ nlist values — collected
     * and pushed as a partition filter, so pruning happens at file-listing
-    * time), and ADC-score with the STORED codebooks. Output and
+    * time), and ADC-score with the STORED codebooks. A rotation stored in
+    * the model ([[writeIndex]]'s OPQ option) is applied to the queries
+    * automatically — the caller never rotates by hand. Output and
     * conventions match [[ivfAdcTopK]] — with `nprobe == nlist` the result
-    * is exactly [[adcTopK]] over the indexed corpus (the oracle identity).
+    * is exactly [[adcTopK]] over the indexed (rotated) corpus (the oracle
+    * identity).
     */
   def probeIndex(queries: DataFrame, idCol: String, vecCol: String,
                  dir: String, topK: Int, nprobe: Int,
                  scale: Double = 1048576.0): DataFrame = {
     import graft.functions.Vectors
     val spark = queries.sparkSession
-    val (cents, cbs) = readModel(spark, dir)
+    val (cents, cbs, rot) = readModel(spark, dir)
     require(nprobe >= 1 && nprobe <= cents.size,
       s"nprobe ($nprobe) must be in [1, nlist=${cents.size}]")
     val m = cbs.length
+    val qvec = rot.fold(col(vecCol))(r => Pca.rotate(col(vecCol), r))
     val q = withDistTables(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__v"), quantize(col(vecCol), scale).as("__qv")), cbs)
+      qvec.as("__v"), quantize(qvec, scale).as("__qv")), cbs)
     val probed = q.withColumn("__pc",
         Ann.probeCells(cents, col("__v"), nprobe))
       .select(col("query_id") +: (0 until m).map(j => col(s"__dt$j")) :+
@@ -280,12 +314,16 @@ object Pq {
                       scale: Double = 1048576.0): DataFrame = {
     import graft.functions.Vectors
     val spark = admitted.sparkSession
-    val (cents, cbs) = readModel(spark, dir)
+    val (cents, cbs, rot) = readModel(spark, dir)
     val retire = graft.dedup.Dedup.retiredIdFrame(retiredIds)
     val kept = spark.read.parquet(s"$dir/codes")
       .join(broadcast(retire), Seq("id"), "left_anti")
       .select("id", "cell", "codes")
-    val celled = admitted.select(col(idCol), col(vecCol),
+    // a stored rotation applies to the DELTA too — frozen-model encoding
+    // means frozen rotation as well
+    val admittedR = rot.fold(admitted.select(col(idCol), col(vecCol)))(r =>
+      Pca.rotateAll(admitted.select(col(idCol), col(vecCol)), vecCol, r))
+    val celled = admittedR.select(col(idCol), col(vecCol),
       Ann.nearestCell(cents, col(vecCol)).as("cell"))
     val fresh = encode(celled, idCol, vecCol, cbs, scale, carry = Seq("cell"))
       .join(broadcast(retire), Seq("id"), "left_anti")

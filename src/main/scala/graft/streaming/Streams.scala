@@ -579,11 +579,10 @@ object Streams {
                           availableNow: Boolean = true)
   : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
-    val emptyIndex = {
+    val emptySchema = {
       import org.apache.spark.sql.types._
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("id", LongType), StructField("band", IntegerType),
-          StructField("band_key", StringType))))
+      StructType(Seq(StructField("id", LongType), StructField("band", IntegerType),
+        StructField("band_key", StringType)))
     }
     toForeachBatch(docs, checkpoint, availableNow = availableNow) { (batch0, id) =>
       val batch = batch0.persist()
@@ -598,10 +597,10 @@ object Streams {
       // flips to dup_of_corpus
       val ownDir = new org.apache.hadoop.fs.Path(s"$indexDir/batch_$id")
       if (fs.exists(ownDir)) fs.delete(ownDir, true)
-      val index =
-        if (fs.exists(hPath))
-          spark.read.option("recursiveFileLookup", "true").parquet(indexDir)
-        else emptyIndex
+      // readIndex: bootstrap (no dir yet) yields the empty index; a
+      // stranded compaction swap fails loudly instead of admitting
+      // everything against a phantom empty index
+      val index = readIndex(spark, indexDir, emptySchema = Some(emptySchema))
       val probed = graft.dedup.Dedup.incrementalNearDup(
         graft.dedup.Dedup.keepCanonical(batch, idCol, textCol,
           numHashes, bands, rowsPerBand, metricName = s"idx_maintain_b$id"),
@@ -649,6 +648,16 @@ object Streams {
     * `distinct()` makes re-compaction idempotent even if a crashed earlier
     * attempt left duplicate rows.
     *
+    * CONCURRENCY CONTRACT (explicit, not just implied by the recipe):
+    * exactly ONE writer — never run compaction while the maintaining
+    * stream is draining, and never two compactions at once (the swap
+    * protocol has no lock). CONCURRENT READERS are allowed only through
+    * [[readIndex]], whose one-shot retry bridges the brief no-`<dir>`
+    * window between steps 2 and 3; a probe JOB already executing over the
+    * old generation's files must finish before compaction starts (its
+    * file splits die with the `.old` delete). The safe cadence remains
+    * drain → (quiesce probes) → compact → resume.
+    *
     * Why compact at all: every micro-batch appends a `batch_<id>` subdir,
     * and every later probe pays a recursive listing of ALL files — driver
     * work that grows linearly with batch count (measured in
@@ -656,6 +665,55 @@ object Streams {
     * band/band_key payload is 32-byte keys, so even a corpus-sized rewrite
     * is small next to the corpus itself.
     */
+  /** Read a maintained index directory (bootstrap files + per-batch
+    * subdirs — the [[indexMaintainStream]] layout), tolerating
+    * [[compactIndex]]'s rename-swap window: between its step 2 and step 3
+    * the directory does not exist for a moment, so a point-in-time reader
+    * retries ONCE (after `onRetry`, default a 200 ms sleep — two renames
+    * take microseconds, so one retry is ample) before concluding the index
+    * is genuinely absent. Probes ([[graft.dedup.Dedup.incrementalNearDup]]
+    * / `winnowProbe` / ADC callers) should load through this instead of a
+    * bare `spark.read.parquet`.
+    *
+    * If the directory is still missing AND a stranded `<dir>.next` exists,
+    * a compaction crashed mid-swap: reading is impossible until the swap
+    * completes, so this throws with the recovery instruction (run
+    * [[compactIndex]] to completion) rather than fabricating an empty
+    * index — an empty-index probe would silently admit every delta row.
+    * A missing directory with NO stranded swap is the bootstrap case:
+    * `emptySchema` (when provided) yields an empty frame, else this
+    * throws.
+    *
+    * Scope of the guarantee: the retry covers the LISTING window only. A
+    * job still scanning old-generation FILES when a compaction deletes
+    * them will fail mid-flight — that overlap is excluded by contract
+    * (see [[compactIndex]]: one writer, compaction only between drains,
+    * probes launched during a compaction window retry here; probes
+    * launched before it must finish first).
+    */
+  def readIndex(spark: SparkSession, indexDir: String,
+                emptySchema: Option[org.apache.spark.sql.types.StructType] = None,
+                onRetry: () => Unit = () => Thread.sleep(200L)): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def attempt(): Option[DataFrame] =
+      if (fs.exists(dir))
+        Some(spark.read.option("recursiveFileLookup", "true").parquet(indexDir))
+      else None
+    attempt().orElse { onRetry(); attempt() }.getOrElse {
+      if (fs.exists(new Path(indexDir + ".next")))
+        throw new IllegalStateException(
+          s"index dir $indexDir is missing but $indexDir.next exists: a " +
+            "compaction crashed mid-swap — run compactIndex to completion " +
+            "(it finishes the stranded swap first), then retry the probe")
+      emptySchema.map(sc => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc))
+        .getOrElse(throw new IllegalStateException(
+          s"index dir $indexDir does not exist (and no stranded swap to recover)"))
+    }
+  }
+
   def compactIndex(spark: SparkSession, indexDir: String,
                    partitions: Int = 0): Unit = {
     import org.apache.hadoop.fs.Path

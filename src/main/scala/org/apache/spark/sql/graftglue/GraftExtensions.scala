@@ -62,6 +62,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       HyperplaneSig(c.head, litMatrix(c(1), "hyperplane_sig")))
     register(ext, "mat_vec_mul", classOf[MatVecMul], 2)(c =>
       MatVecMul(c.head, litMatrix(c(1), "mat_vec_mul")))
+    register(ext, "min_dist_to_set", classOf[MinDistToSet], 2)(c =>
+      MinDistToSet(c.head, litMatrix(c(1), "min_dist_to_set")))
     register(ext, "probe_cells", classOf[ProbeCells], 4)(c =>
       ProbeCells(c.head,
         litStrings(c(1), "probe_cells", keepNulls = false).toArray,

@@ -30,7 +30,11 @@ import org.apache.spark.sql.types._
   * Overflow headroom: |Σ q_i q_j| ≤ n · (scale · v_max)². At the default
   * scale 2²⁰ and |v| ≤ 4 that allows n ≈ 2¹⁹ rows per AGGREGATE before
   * approaching 2⁶³ — lower `scale` for bigger corpora; exactness holds at
-  * any scale (the oracle replays whatever scale the query used).
+  * any scale (the oracle replays whatever scale the query used). Past the
+  * headroom the aggregate FAILS LOUDLY (`Math.multiplyExact`/`addExact`
+  * in update and merge throw ArithmeticException) rather than silently
+  * wrapping into a corrupted rotation — the overflow check is a single
+  * branch the JIT intrinsifies, invisible next to the multiply itself.
   *
   * Emits the d² sums row-major; rows with a NULL vector or a null element
   * are skipped whole (a half-counted row would corrupt every pair).
@@ -79,7 +83,11 @@ case class GramSum(
         while (r < d) {
           val qr = q(r); val base = r * d
           var c = 0
-          while (c < d) { buf.s(base + c) += qr * q(c); c += 1 }
+          while (c < d) {
+            buf.s(base + c) =
+              Math.addExact(buf.s(base + c), Math.multiplyExact(qr, q(c)))
+            c += 1
+          }
           r += 1
         }
       }
@@ -93,7 +101,9 @@ case class GramSum(
       require(buf.d == other.d,
         s"gram_sum: mixed vector dimensions ${buf.d} vs ${other.d}")
       var i = 0
-      while (i < buf.s.length) { buf.s(i) += other.s(i); i += 1 }
+      while (i < buf.s.length) {
+        buf.s(i) = Math.addExact(buf.s(i), other.s(i)); i += 1
+      }
     }
     buf
   }

@@ -23,7 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantics are IDENTICAL to the struct formulation, bit for bit: cosine
   * = dot/(‖v‖·‖c‖) with left-to-right double accumulation (the
-  * [[FloatVectorDot]] fold), 0.0 when either norm is zero; cells rank by
+  * [[FloatVectorDot]] fold), 0.0 when either norm is zero, -∞ for a
+  * dimension-MISMATCHED centroid (the struct form's fcosine nulled such
+  * centroids out of contention; -∞ reproduces never-wins exactly — a 0.0
+  * would let a corrupt centroid out-rank all-negative real cosines); cells
+  * rank by
   * (cosine DESC, cent_id ASC) — Spark's double order (NaN greatest,
   * -0.0 = 0.0) with the UTF8String id tie-break; the output is the
   * best-first array of cent ids. A null vector (or null element) is NULL.
@@ -90,8 +94,11 @@ case class ProbeCells(child: Expression, centIds: Array[String],
     while (c < centVecs.length) {
       val cv = centVecs(c)
       val cos =
-        if (cv.length != n) 0.0 // mismatched centroid: dot of nothing — the
-                                // struct form's fcosine nulled to not-best
+        // mismatched centroid: -∞, so it NEVER out-ranks a real cosine —
+        // the struct form's fcosine nulled such centroids out of
+        // contention, and a 0.0 here would let a corrupt centroid win
+        // whenever every real cosine is negative
+        if (cv.length != n) Double.NegativeInfinity
         else {
           var acc = 0.0; var k = 0
           while (k < n) { acc += x(k) * cv(k); k += 1 }

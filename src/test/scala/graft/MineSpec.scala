@@ -143,4 +143,43 @@ class MineSpec extends SparkSpec {
     val one = Clustering.kCenterGreedy(emb, "vec_id", "embedding", k = 1).collect()
     assert(one.length == 1 && one(0).getLong(0) == 1L && one(0).isNullAt(2))
   }
+
+  test("k-center stops early when every row coincides with a center — no " +
+       "duplicate center ids at k > effective support") {
+    import spark.implicits._
+    // 6 rows but only 3 distinct vectors: once the 3 are picked, the
+    // farthest remaining row is AT a center (radius 0) — selection must
+    // stop instead of re-emitting picked rows with radius 0
+    val dup = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 0.0)),
+      (3L, Seq(4.0, 0.0)), (4L, Seq(4.0, 0.0)),
+      (5L, Seq(0.0, 4.0)), (6L, Seq(0.0, 4.0)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val sel = Clustering.kCenterGreedy(dup, "vec_id", "embedding", k = 6)
+      .orderBy("step").collect()
+    assert(sel.length == 3, s"expected early stop at 3 centers, got ${sel.length}")
+    assert(sel.map(_.getLong(1)).distinct.length == 3)
+    assert(sel.drop(1).forall(_.getDouble(2) > 0.0))
+  }
+
+  test("min-dist-to-set native ≡ least() over per-center sq-dist literals") {
+    // the MinDistToSet contract: bit-identical to the least(SqDistLit…)
+    // form it replaced, per-row over real embeddings, including the
+    // length-mismatch skip (a mismatched center was a least-skipped null)
+    import org.apache.spark.sql.graftglue.{ColumnBridge, MinDistToSet, QuantizeVec, SqDistLit}
+    val centers = emb.filter(col("vec_id").isin(3L, 7L, 11L))
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(v => math.floor(v * 1048576.0)).toArray)
+    val mismatched = Array(1.0, 2.0) // wrong dim — must be skipped, not win
+    val q = emb.select(col("vec_id"), ColumnBridge.column(QuantizeVec(
+      ColumnBridge.expression(col("embedding")), 1048576.0)).as("qv"))
+    val native = ColumnBridge.column(MinDistToSet(
+      ColumnBridge.expression(col("qv")), centers :+ mismatched))
+    val literal = least((centers :+ mismatched).map(cv => ColumnBridge.column(
+      SqDistLit(ColumnBridge.expression(col("qv")), cv))): _*)
+    val diff = q.select(native.as("a"), literal.as("b"))
+      .filter(not(col("a") <=> col("b")))
+    assert(diff.isEmpty)
+  }
 }

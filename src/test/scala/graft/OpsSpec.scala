@@ -199,6 +199,14 @@ class OpsSpec extends SparkSpec {
       .as[Long].head()
     assert(math.abs(bigKth - windowed("big")._3) <= 1, // double round-trip ±1
       s"kth hash mismatch: $bigKth vs ${windowed("big")._3}")
+    // null values are excluded EXPLICITLY (a null is not a distinct value):
+    // nulls in the column must not shift n_kept or the estimate
+    val withNulls = df.unionByName(
+      Seq(("small", null.asInstanceOf[java.lang.Long]),
+          ("big", null.asInstanceOf[java.lang.Long])).toDF("g", "v"))
+    val gotN = Ops.approxDistinctKmv(withNulls, Seq("g"), "v", k = 64)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(gotN == got, "null values leaked into the KMV sketch")
   }
 
   test("heavyHitters equals the exact group-by answer above the support threshold") {

@@ -40,6 +40,19 @@ class PcaSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet == want)
   }
 
+  test("gram overflow fails loudly instead of silently wrapping") {
+    // q = floor(v·scale) saturates near 2^63; q·q then overflows long —
+    // the aggregate must throw (Math.multiplyExact), not hand Pca.rotation
+    // a wrapped, corrupted scatter
+    val big = Seq((1L, Array(3.0e15f, 0.0f)), (2L, Array(3.0e15f, 0.0f)))
+      .toDF("id", "v")
+    val ex = intercept[Exception] { Pca.gram(big, "v", 2, scale = 1048576.0).collect() }
+    def causes(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: causes(t.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected a loud ArithmeticException, got: $ex")
+  }
+
   test("rotation is orthonormal, diagonalizes the scatter, and orders " +
        "components by variance") {
     val rot = Pca.rotation(emb, "embedding", dim = 64)

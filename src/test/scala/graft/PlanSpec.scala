@@ -462,6 +462,39 @@ class PlanSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("k-center round plan is constant-size in the picked count and stays " +
+       "fused — the MinDistToSet matrix rides as one reference object") {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, MinDistToSet, QuantizeVec}
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    def roundPlan(nCenters: Int): String = {
+      val centers = Array.tabulate(nCenters)(i =>
+        Array.tabulate(64)(j => (i * 64 + j).toDouble))
+      val q = emb.select(col("vec_id").as("id"), ColumnBridge.column(
+        QuantizeVec(ColumnBridge.expression(col("embedding")), 1048576.0)).as("qv"))
+      val df = q.withColumn("__mind", ColumnBridge.column(MinDistToSet(
+          ColumnBridge.expression(col("qv")), centers)))
+        .orderBy(col("__mind").desc, col("id").asc).limit(1)
+      assert(df.collect().length == 1)
+      df.queryExecution.executedPlan.toString
+    }
+    val p4 = roundPlan(4)
+    val p256 = roundPlan(256)
+    // the r8 least(SqDistLit…) form embedded every center as a dim-length
+    // literal: 256 centers put ~16k doubles of literal text in the plan.
+    // The native holds the matrix as a reference object — the plan TEXT at
+    // 256 centers must not exceed the 4-center plan (identical expression
+    // tree, so identical rendering)
+    assert(p4.contains("min_dist_to_set"), p4.take(1500))
+    // "*(1)" is toString's whole-stage-codegen span marker: the projection
+    // carrying min_dist_to_set must sit INSIDE a fused span (a
+    // CodegenFallback would render an unstarred Project)
+    assert(p4.contains("*(1) Project") &&
+        p4.linesIterator.exists(l => l.contains("min_dist_to_set") && l.contains("*(")),
+      s"k-center round scan not fused:\n${p4.take(2000)}")
+    assert(p256.length <= p4.length + 64,
+      s"plan grew with the center count: ${p4.length} -> ${p256.length}")
+  }
+
   test("incremental probe at scale: the corpus-sized index is never exchanged " +
        "and never the broadcast build side") {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec

@@ -449,6 +449,62 @@ class SourcesAnnSpec extends SparkSpec {
     assert(maintained == rebuilt && maintained.size == 18)
   }
 
+  test("OPQ-rotated index: the stored rotation applies automatically at " +
+       "probe AND delta time ≡ hand-rotating everything consistently") {
+    import graft.similarity.{Pca, Pq}
+    val pts = (0 until 16).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array.tabulate(8)(j => base + i * 1e-4f + j * 0.01f))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    // the PRODUCTION rotation: data-derived principal axes (the SQL
+    // oracle uses a fixed permutation instead; this pins the Jacobi path)
+    val rot = Pca.rotation(df, "embedding", dim = 8)
+    val dir = java.nio.file.Files.createTempDirectory("pqidx_rot").toString
+    Pq.writeIndex(df, "vec_id", "embedding", dim = 8, m = 2, k = 2,
+      dir = dir, nlist = 4, rotation = Some(rot))
+    // probe at nprobe = nlist: callers pass RAW vectors; the result must
+    // equal the exhaustive ADC scan where EVERYTHING was rotated by hand
+    val got = Pq.probeIndex(df.filter($"vec_id" < 2), "vec_id", "embedding",
+        dir, topK = 5, nprobe = 4)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val dfR = Pca.rotateAll(df, "embedding", rot)
+    val cbsR = Pq.trainCodebooks(dfR, "vec_id", "embedding",
+      dim = 8, m = 2, k = 2, rounds = 2)
+    val want = Pq.adcTopK(dfR.filter($"vec_id" < 2), dfR,
+        "vec_id", "embedding", cbsR, topK = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // a rotated index must NOT answer like an unrotated one (the rotation
+    // is load-bearing, not a no-op): PQ codes differ under rotation
+    val dirPlain = java.nio.file.Files.createTempDirectory("pqidx_plain").toString
+    Pq.writeIndex(df, "vec_id", "embedding", dim = 8, m = 2, k = 2,
+      dir = dirPlain, nlist = 4)
+    val plainScores = Pq.probeIndex(df.filter($"vec_id" < 2), "vec_id",
+        "embedding", dirPlain, topK = 5, nprobe = 4)
+      .select("adc2").as[Double].collect().toSet
+    assert(got.map(_._4).toSet != plainScores,
+      "rotated and plain indexes scored identically — rotation not applied")
+    // delta maintenance rotates the ADMITTED side with the stored model
+    val admitted = (16 until 20).map { i =>
+      (i.toLong, Array.tabulate(8)(j => 1.0f + i * 1e-4f + j * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val maintained = Pq.indexCodesDelta(admitted, "vec_id", "embedding",
+        dir, Seq(3L).toDF("id"))
+      .as[(Long, String, Seq[Int])].collect().toSet
+    val membershipR = Pca.rotateAll(
+      df.filter($"vec_id" =!= 3L).unionByName(admitted), "embedding", rot)
+    val centsR = graft.similarity.Ann
+      .coarseCentroids(dfR, "vec_id", "embedding", 4)
+    val celledR = membershipR.select(col("vec_id"), col("embedding"),
+      graft.similarity.Ann.nearestCell(centsR, col("embedding")).as("cell"))
+    val rebuilt = Pq.encode(celledR, "vec_id", "embedding", cbsR,
+        carry = Seq("cell"))
+      .select(col("id"), col("cell"), col("codes"))
+      .as[(Long, String, Seq[Int])].collect().toSet
+    assert(maintained == rebuilt && maintained.size == 19)
+  }
+
   test("semDedup flags exactly the later ids with a high-cosine cluster-mate") {
     // three tight bundles (within-cosine ≈ 1, across ≤ cos(2.0) ≈ -0.42);
     // expectation derives from the ACTUAL cluster assignment, so this pins

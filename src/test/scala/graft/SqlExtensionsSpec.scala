@@ -171,6 +171,39 @@ class SqlExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("probe_cells scores a dimension-mismatched centroid -Inf — it can " +
+       "never out-rank a real cosine, even an all-negative one") {
+    withExt { s =>
+      import s.implicits._
+      // v = (-1, 0): cosine to cgood = -1 (the worst real score); the
+      // 3-component ccorrupt must still lose (pre-fix it scored 0.0 and won)
+      Seq((1L, Array(-1.0f, 0.0f))).toDF("id", "v").createOrReplaceTempView("pm")
+      val rows = s.sql(
+        """SELECT probe_cells(v,
+          |  array('cgood', 'ccorrupt'),
+          |  array(array(1.0D, 0.0D), array(1.0D, 0.0D, 0.0D)), 1) AS cells
+          |FROM pm""".stripMargin)
+        .selectExpr("cells[0]").as[String].collect().toSeq
+      assert(rows == Seq("cgood"))
+    }
+  }
+
+  test("min_dist_to_set is SQL-callable and skips mismatched centers like " +
+       "least() over sq_dist_lit") {
+    withExt { s =>
+      import s.implicits._
+      Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 3.0)))
+        .toDF("id", "v").createOrReplaceTempView("mds")
+      val rows = s.sql(
+        """SELECT id, min_dist_to_set(v,
+          |  array(array(0.0D, 0.0D), array(0.0D, 4.0D), array(9.0D))) AS d
+          |FROM mds""".stripMargin)
+        .as[(Long, Double)].collect().toMap
+      // id 1: min(1, 17) = 1; id 2: min(9, 1) = 1; the 1-dim center skips
+      assert(rows == Map(1L -> 1.0, 2L -> 1.0))
+    }
+  }
+
   test("gram_sum and mat_vec_mul are SQL-callable") {
     withExt { s =>
       import s.implicits._

@@ -233,6 +233,46 @@ class StreamsSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(idxDir + ".next")))
   }
 
+  test("readIndex bridges the compaction swap window, fails loudly on a " +
+       "stranded swap, and bootstraps empty with a schema") {
+    val base = java.nio.file.Files.createTempDirectory("graft_idxrace").toString
+    val idxDir = s"$base/index"
+    val rows = Seq((1L, 0, "k1"), (2L, 1, "k2")).toDF("id", "band", "band_key")
+    rows.write.mode("overwrite").parquet(idxDir)
+    val dirP = new org.apache.hadoop.fs.Path(idxDir)
+    val nextP = new org.apache.hadoop.fs.Path(idxDir + ".next")
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // mid-swap: compactIndex is between rename(dir, old) and
+    // rename(next, dir) — dir briefly missing. The retry hook stands in
+    // for the compactor's second rename landing during the reader's wait
+    // (deterministic; no sleep-race)
+    fs.rename(dirP, nextP)
+    var retried = false
+    val got = Streams.readIndex(spark, idxDir,
+      onRetry = () => { retried = true; fs.rename(nextP, dirP) })
+    assert(retried && got.collect().toSet == rows.collect().toSet)
+    // stranded swap (compactor crashed before the second rename): the
+    // retry doesn't help, and a loud failure beats probing a phantom
+    // empty index that would admit every delta row
+    fs.rename(dirP, nextP)
+    val ex = intercept[IllegalStateException] {
+      Streams.readIndex(spark, idxDir, onRetry = () => ())
+    }
+    assert(ex.getMessage.contains("compactIndex"))
+    // compactIndex recovers the stranded swap; readIndex then succeeds
+    Streams.compactIndex(spark, idxDir)
+    assert(Streams.readIndex(spark, idxDir).collect().toSet ==
+      rows.collect().toSet)
+    // bootstrap: no dir, no stranded swap — empty frame iff a schema says
+    // what "empty" looks like, loud otherwise
+    val fresh = s"$base/never_written"
+    assert(Streams.readIndex(spark, fresh, onRetry = () => (),
+      emptySchema = Some(rows.schema)).isEmpty)
+    intercept[IllegalStateException] {
+      Streams.readIndex(spark, fresh, onRetry = () => ())
+    }
+  }
+
   test("a restarted drain resumes from the checkpoint without reprocessing") {
     // the README cluster contract: the checkpoint owns exactly-once
     // file-source progress — a second AvailableNow drain against the SAME
