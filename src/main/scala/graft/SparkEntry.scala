@@ -1863,6 +1863,27 @@ object SparkEntry {
         emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
         "vec_id", "embedding", k = 4, tau = 1.01, nlist = 16, nprobe = 16)
     }),
+    // STREAMING margin mining (r9): the new-snapshot embeddings arrive as
+    // a file stream; each micro-batch writes its exact forward top-k plus
+    // mergeable backward candidates (files-as-state), and the drain-side
+    // finish k-merges the backward lists and runs the shared margin
+    // projection — identical to the batch operator under ANY batch split,
+    // so it shares q_margin_mine's oracle
+    "q_stream_marginmine" -> ((s, dir) => withStreamShuffle(s) {
+      val emb = T(s, dir, "embeddings")
+      val src = emb.filter(col("vec_id") % 2 === 0)
+      val tgt = emb.filter(col("vec_id") % 2 === 1)
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_mm").toString
+      val inDir = s"$base/in"; val workDir = s"$base/work"; val ckpt = s"$base/ckpt"
+      src.repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+        format = "parquet", schemaDdl = Some(src.schema.toDDL),
+        maxFilesPerTrigger = 1)
+      val q = graft.streaming.Streams.marginMineStream(stream, tgt,
+        "vec_id", "embedding", k = 4, workDir, ckpt)
+      q.awaitTermination()
+      graft.streaming.Streams.marginMineFinish(s, workDir, k = 4, tau = 1.01)
+    }),
     // G48: the PCA/OPQ input — the embedding scatter matrix as EXACT
     // integer sums (floor-quantized components), one corpus pass through
     // a d²-long aggregate buffer; the oracle replays the same quantized
@@ -3916,6 +3937,8 @@ object SparkEntry {
     "q_margin_mine" -> marginOracle,
     "q_margin_mutual" -> marginMutualOracle,
     "q_margin_ivf" -> marginOracle, // exhaustive IVF routing ≡ brute force
+    // streamed fwd/bwd lists merge to the batch operator's exactly
+    "q_stream_marginmine" -> marginOracle,
     "q_kcenter" -> kcenterOracle,
 
     "q_pack" ->

@@ -39,9 +39,9 @@ object Ann {
     * when a query had fewer than k real ones. Ranking a null similarity
     * is meaningless; every oracled corpus has non-null vectors.
     */
-  private[similarity] def topKTail(scored: DataFrame, k: Int,
-                                   scoreCol: String = "cosine",
-                                   ascending: Boolean = false): DataFrame = {
+  private[graft] def topKTail(scored: DataFrame, k: Int,
+                              scoreCol: String = "cosine",
+                              ascending: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftglue.{ColumnBridge, TopKStruct}
     // distance metrics (adc2/d2) rank ascending — the aggregate's
     // `smallest` flag flips the keep order without touching the values
@@ -57,14 +57,22 @@ object Ann {
   }
 
   /** Brute-force cosine top-k: every query row scores every corpus row;
-    * the query side is broadcast (no corpus shuffle at all), ranking is
-    * the bounded [[topKTail]] aggregate. Deterministic tie-break on
-    * corpus id.
+    * by default the QUERY side is broadcast (no corpus shuffle at all),
+    * ranking is the bounded [[topKTail]] aggregate. Deterministic
+    * tie-break on corpus id.
+    *
+    * `broadcastCorpus = true` flips the broadcast side — the shape for a
+    * delta-sized CORPUS scored against a big query set (the streaming
+    * margin-mining backward pass: every stored-corpus row ranks its
+    * top-k within the arriving micro-batch, so the batch broadcasts and
+    * the corpus streams through untouched). The result is identical
+    * either way (a cross join is symmetric; only the build side moves).
     *
     * Output: (query_id, rank, neighbor_id, cosine).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
-                     idCol: String, vecCol: String, k: Int): DataFrame = {
+                     idCol: String, vecCol: String, k: Int,
+                     broadcastCorpus: Boolean = false): DataFrame = {
     // Norms computed once per row BEFORE the pairwise cross join — the join
     // then evaluates exactly one codegen'd dot product per (query, corpus)
     // pair instead of three interpreted HOF folds.
@@ -72,7 +80,9 @@ object Ann {
       .withColumn("q_norm", Vectors.fnorm(col("q_vec")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("c_norm", Vectors.fnorm(col("c_vec")))
-    val scored = c.crossJoin(broadcast(q))
+    val joined = if (broadcastCorpus) q.crossJoin(broadcast(c))
+                 else c.crossJoin(broadcast(q))
+    val scored = joined
       .withColumn("cosine",
         Vectors.fcosine(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -665,6 +665,70 @@ object Streams {
     * band/band_key payload is 32-byte keys, so even a corpus-sized rewrite
     * is small next to the corpus itself.
     */
+  /** Streaming twin of [[graft.similarity.Mine.marginMine]] (G45 — the
+    * last r8 family without one): NEW-snapshot embeddings arrive as a
+    * stream and are margin-mined against the STORED corpus `tgt`. The
+    * margin ratio needs both directions' k-NN neighborhoods, and the
+    * backward one (tgt → src) depends on the WHOLE src set — so a batch
+    * cannot emit final pairs. Instead each micro-batch writes two
+    * independent, replay-safe per-batch files (the files-as-state posture
+    * of [[indexMaintainStream]]):
+    *
+    *  - `fwd/batch_<id>`: the batch rows' top-k against `tgt` — exact and
+    *    final (each src row is in exactly one batch);
+    *  - `bwd/batch_<id>`: every `tgt` row's top-k WITHIN the batch —
+    *    top-k is a mergeable summary, so the true tgt→src top-k is the
+    *    re-ranked k-merge of these per-batch lists, exactly.
+    *
+    * [[marginMineFinish]] runs after the drain: merge the backward
+    * candidates, then the shared [[graft.similarity.Mine.marginFromTopK]]
+    * projection — bit-identical to the batch operator under ANY batch
+    * split (both directions' neighbor lists are exact, and the margin is
+    * a deterministic projection over them), so the stream shares
+    * q_margin_mine's oracle.
+    *
+    * Scale shape: per batch BOTH cross joins broadcast the DELTA (the
+    * forward pass broadcasts the batch queries; the backward pass flips
+    * the build side with `broadcastCorpus = true` so the corpus streams
+    * through untouched) — nothing corpus-sized is ever built or
+    * exchanged; per-batch state on disk is ≤ (|batch| + |tgt|)·k rank
+    * rows, no text, no vectors. At 100 TB swap the forward scorer for the
+    * stored-index ADC probe ([[graft.similarity.Pq.probeIndex]], the
+    * q_stream_annprobe path) + exact re-rank, and thin `tgt` to ~k·|batch|
+    * candidates per batch the same way.
+    */
+  def marginMineStream(srcStream: DataFrame, tgt: DataFrame, idCol: String,
+                       vecCol: String, k: Int, workDir: String,
+                       checkpoint: String, availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.similarity.Ann
+    toForeachBatch(srcStream, checkpoint, availableNow = availableNow) { (batch0, id) =>
+      val batch = batch0.persist()
+      try {
+        Ann.bruteForceTopK(batch, tgt, idCol, vecCol, k)
+          .write.mode("overwrite").parquet(s"$workDir/fwd/batch_$id")
+        Ann.bruteForceTopK(tgt, batch, idCol, vecCol, k, broadcastCorpus = true)
+          .write.mode("overwrite").parquet(s"$workDir/bwd/batch_$id")
+      } finally { batch.unpersist(); () }
+    }
+  }
+
+  /** The drain-side finish of [[marginMineStream]]: k-merge the per-batch
+    * backward candidates back to the true tgt→src top-k (ranks recomputed
+    * by the same bounded tail, so ties break identically to the batch
+    * operator), then the shared margin projection. `k` and `tau`/`mutual`
+    * must match the mine's parameters.
+    */
+  def marginMineFinish(spark: SparkSession, workDir: String, k: Int,
+                       tau: Double, mutual: Boolean = false): DataFrame = {
+    import graft.similarity.{Ann, Mine}
+    val fwd = spark.read.parquet(s"$workDir/fwd/batch_*")
+    val bwd = Ann.topKTail(
+      spark.read.parquet(s"$workDir/bwd/batch_*")
+        .select("query_id", "neighbor_id", "cosine"), k)
+    Mine.marginFromTopK(fwd, bwd, tau, mutual)
+  }
+
   /** Read a maintained index directory (bootstrap files + per-batch
     * subdirs — the [[indexMaintainStream]] layout), tolerating
     * [[compactIndex]]'s rename-swap window: between its step 2 and step 3

@@ -373,6 +373,36 @@ class StreamsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streamed margin mining ≡ the batch operator under any src-batch " +
+       "split, forward and mutual") {
+    val base = java.nio.file.Files.createTempDirectory("graft_smm").toString
+    val inDir = s"$base/in"; val workDir = s"$base/work"; val ckpt = s"$base/ckpt"
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val src = emb.filter(col("vec_id") % 2 === 0)
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+    src.repartition(3).write.mode("overwrite").parquet(inDir)
+    val stream = Streams.watchDirectory(spark, inDir, format = "parquet",
+      schemaDdl = Some(src.schema.toDDL), maxFilesPerTrigger = 1)
+    val q = Streams.marginMineStream(stream, tgt, "vec_id", "embedding",
+      k = 4, workDir, ckpt)
+    q.awaitTermination()
+    val got = Streams.marginMineFinish(spark, workDir, k = 4, tau = 1.01)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = graft.similarity.Mine.marginMine(src, tgt, "vec_id",
+        "embedding", k = 4, tau = 1.01)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // the MUTUAL setting reuses the same per-batch state — only the
+    // drain-side projection changes
+    val gotMut = Streams.marginMineFinish(spark, workDir, k = 4, tau = 1.01,
+        mutual = true)
+      .as[(Long, Long, Long)].collect().toSet
+    val wantMut = graft.similarity.Mine.marginMine(src, tgt, "vec_id",
+        "embedding", k = 4, tau = 1.01, mutual = true)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotMut == wantMut && gotMut.subsetOf(got))
+  }
+
   test("chunkOwnersStream rejects non-integral id columns at plan time") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
