@@ -100,7 +100,13 @@ object Bench {
     // result materialization (see the toRdd comment above). Per-query
     // values are not directly comparable to r7-and-earlier lines, which
     // under-measured projection tails and join-pruned shapes via count().
-    println(s"""{"metric":"total","value":$total,"unit":"sec","measured":"materialize_all_columns_r8","anchor_sec":$anchor,"anchor_ref":$REF_ANCHOR$note,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Field ORDER is load-bearing (r9): the driver's BENCH_r{N}.json keeps
+    // only the last 2000 chars of output, and the 174-query map is ~5000
+    // chars — anchor fields BEFORE "queries" were being truncated out of
+    // every archived artifact, which is why no cross-round comparison
+    // could actually normalize by them. Anchor/failed/sf go AFTER the
+    // queries map so they always survive the tail cut.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","measured":"materialize_all_columns_r8","queries":$qs,"anchor_sec":$anchor,"anchor_ref":$REF_ANCHOR$note,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

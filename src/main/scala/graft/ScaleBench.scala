@@ -108,6 +108,10 @@ object ScaleBench {
       for (q <- Seq("q_neardup_pipeline", "q_llm_pipeline", "q_kb_infer", "q_pagerank",
           "q_substring_dedup", "q_substring_dedup_clean", "q_heavy_hitters",
           "q_distribution_drift", "q_winnow", "q_decontaminate_winnow",
+          // r9: the chunk-grid CLEAN transform (spanDedupClean ships text
+          // through the span join like substringDedupClean does — its own
+          // decade row, not inferred from the substring one)
+          "q_span_dedup_clean",
           // r8 bounded-aggregate conversions (documents/orders-based, so
           // they ride the synthesized decades)
           "q_tfidf", "q_sample_per_group", "q_vocab", "q_gram"))
@@ -162,6 +166,66 @@ object ScaleBench {
           q.withColumn("__mind", least(centers.map(cv => ColumnBridge.column(
               SqDistLit(ColumnBridge.expression(col("qv")), cv))).toIndexedSeq: _*))
             .orderBy(col("__mind").desc, col("id").asc).limit(1)
+        }
+      }
+      // r9.2 isolation: the SAME plan-cost trap at the OTHER two
+      // assignment sites — k-means/SemDeDup cluster assignment
+      // (withCluster) and the ADC query-side distance tables — at a
+      // production codebook size (k=256), native reference-object form
+      // vs the r8 literal formulation reconstructed inline
+      if (want("kmeans256_assign_native") || want("kmeans256_assign_literal")) {
+        import org.apache.spark.sql.graftglue.{ColumnBridge, QuantizeVec, SqDistLit}
+        val cents = Seq.tabulate(256)(i =>
+          (i, Array.tabulate(64)(j => ((i * 64 + j) % 97).toDouble)))
+        time("kmeans256_assign_native", dir) {
+          graft.similarity.Clustering.withCluster(
+            emb.select(col("vec_id"), col("embedding")), "embedding", cents)
+        }
+        time("kmeans256_assign_literal", dir) {
+          val qv = ColumnBridge.column(QuantizeVec(
+            ColumnBridge.expression(col("embedding")), 1048576.0))
+          emb.select(col("vec_id"), qv.as("qv"))
+            .withColumn("__best", array_min(array(cents.map { case (cid, cv) =>
+              struct(ColumnBridge.column(SqDistLit(
+                ColumnBridge.expression(col("qv")), cv)).as("dist2"),
+                lit(cid).as("cid"))
+            }.toIndexedSeq: _*)))
+            .select(col("vec_id"), col("__best.cid").as("cluster"),
+              col("__best.dist2").as("dist2"))
+        }
+      }
+      if (want("adc256_native") || want("adc256_literal")) {
+        import org.apache.spark.sql.graftglue.{ColumnBridge, QuantizeVec, SqDistLit}
+        // fabricated m=8, k=256 codebooks (plan cost, not Lloyd): the
+        // production PQ regime — 2048 dim-8 literal expansions in the r8
+        // query-side projection
+        val cbs = Seq.tabulate(8)(j => Seq.tabulate(256)(i =>
+          (i, Array.tabulate(8)(x => ((j * 2048 + i * 8 + x) % 89).toDouble))))
+        val qs = emb.filter(col("vec_id") % 50 === 0)
+        time("adc256_native", dir) {
+          graft.similarity.Pq.adcTopK(qs, emb, "vec_id", "embedding", cbs, 4)
+        }
+        time("adc256_literal", dir) {
+          // the r8 withDistTables + the same ADC sum/top-k tail
+          val q0 = qs.select(col("vec_id").as("query_id"),
+            ColumnBridge.column(QuantizeVec(
+              ColumnBridge.expression(col("embedding")), 1048576.0)).as("__qv"))
+          val q = cbs.zipWithIndex.foldLeft(q0) { case (acc, (cbRaw, j)) =>
+            val cb = cbRaw.sortBy(_._1)
+            val subv = slice(col("__qv"), j * 8 + 1, 8)
+            acc.withColumn(s"__dt$j",
+              map_from_arrays(typedLit(cb.map(_._1)),
+                array(cb.map { case (_, cv) => ColumnBridge.column(
+                  SqDistLit(ColumnBridge.expression(subv), cv)) }: _*)))
+          }
+          val codes = graft.similarity.Pq.encode(emb, "vec_id", "embedding", cbs)
+          val scored = codes.crossJoin(broadcast(q.drop("__qv")))
+            .filter(col("query_id") =!= col("id"))
+            .select(col("query_id"), col("id").as("neighbor_id"),
+              (0 until 8).map(j => element_at(col(s"__dt$j"),
+                element_at(col("codes"), j + 1))).reduce(_ + _).as("adc2"))
+          graft.similarity.Ann.topKTail(scored, 4, scoreCol = "adc2",
+            ascending = true)
         }
       }
     }

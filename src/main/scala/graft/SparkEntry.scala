@@ -1220,6 +1220,18 @@ object SparkEntry {
           k = 8, w = 4, minHits = 1)
         .select(col("id").as("doc_id"), col("n_hits"), col("contaminated"))
     }),
+    // corpus-overlap sketch (G49): KMV resemblance between two corpora —
+    // two scans, two k-sized exchanges (the bounded kmv_set aggregate),
+    // then 1×1 set math; no cross-corpus join exists. The k smallest
+    // distinct hashes are a pure function of the shingle sets, so the
+    // oracle replays with DISTINCT/ORDER BY/LIMIT per side.
+    "q_corpus_overlap" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.corpusOverlap(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0),
+        "text", ngram = 5, sketchK = 256)
+    }),
     // equal-width histogram of order totals: bin edges from one min/max
     // fetch, binning is a projection, counting one partial-agg shuffle;
     // the oracle computes the identical IEEE double edges
@@ -1675,6 +1687,19 @@ object SparkEntry {
       Dedup.keepCanonical(T(s, dir, "documents"), "doc_id", "text",
           numHashes = 16, bands = 4, rowsPerBand = 4, maxBucket = 256)
         .select(col("doc_id"), col("lang"))),
+    // SOFT dedup (G50): the same near-dup clusters, but every doc kept
+    // with weight_permille = 1000 div cluster-size — the downweight-not-
+    // drop posture; oracle = the neardup recursive CTE + a size rollup
+    "q_soft_dedup" -> ((s, dir) =>
+      Dedup.softDedupWeights(T(s, dir, "documents"), "doc_id", "text",
+        numHashes = 16, bands = 4, rowsPerBand = 4, maxBucket = 256)),
+    // CCNet perplexity buckets (G51): head/middle/tail terciles of the
+    // corpus-LM cross-entropy by RANK cutoffs (ntile — all-integer, no
+    // interpolated-threshold ulp hazard); bucket 0 = lowest xent = head
+    "q_ccnet_buckets" -> ((s, dir) =>
+      graft.functions.Lm.perplexityBuckets(T(s, dir, "documents"), "doc_id", "text", 3)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("xent"),
+          col("bucket"))),
     // INCREMENTAL-CURATION flagship: the r6 ops composed as a daily ingest
     // run — diff the snapshots, probe only added ∪ changed against the
     // LSH index of the UNCHANGED (already-curated) corpus, token-budget
@@ -1884,6 +1909,28 @@ object SparkEntry {
       q.awaitTermination()
       graft.streaming.Streams.marginMineFinish(s, workDir, k = 4, tau = 1.01)
     }),
+    // STREAMING corpus-overlap (r9): side A arrives as a file stream;
+    // each micro-batch writes its own KMV sketch (files-as-state), the
+    // drain re-merges them (KMV mergeability ⇒ bit-identical to sketching
+    // the whole corpus), then the overlap statistics vs batch-sketched B
+    // — shares q_corpus_overlap's oracle under ANY batch split
+    "q_stream_corpusoverlap" -> ((s, dir) => withStreamShuffle(s) {
+      val docs = T(s, dir, "documents")
+      val a = docs.filter(col("doc_id") % 3 =!= 0).select("doc_id", "text")
+      val b = docs.filter(col("doc_id") % 3 === 0)
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_ov").toString
+      val inDir = s"$base/in"; val workDir = s"$base/work"; val ckpt = s"$base/ckpt"
+      a.repartition(3).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+        format = "parquet", schemaDdl = Some("doc_id BIGINT, text STRING"),
+        maxFilesPerTrigger = 1)
+      val q = graft.streaming.Streams.kmvSketchStream(stream, "text", workDir,
+        ckpt, ngram = 5, sketchK = 256)
+      q.awaitTermination()
+      Dedup.corpusOverlapFromSketches(
+        graft.streaming.Streams.kmvSketchFinish(s, workDir, 256),
+        Dedup.kmvShingleSketch(b, "text", 5, 256), 256)
+    }),
     // G48: the PCA/OPQ input — the embedding scatter matrix as EXACT
     // integer sums (floor-quantized components), one corpus pass through
     // a d²-long aggregate buffer; the oracle replays the same quantized
@@ -2071,6 +2118,38 @@ object SparkEntry {
        |       THEN CAST(a.n_dup_prints AS DOUBLE) / CAST(a.n_prints AS DOUBLE)
        |       ELSE 0.0 END AS dup_frac
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  /** G49 corpus-overlap oracle — shared by the batch operator and its
+    * streaming twin (KMV mergeability ⇒ the drained sketch is the batch
+    * sketch). The k smallest DISTINCT shingle hashes per side are a pure
+    * function of the shingle sets, so DISTINCT/ORDER BY/LIMIT reproduces
+    * the bounded KmvSet aggregate bit-for-bit.
+    */
+  private lazy val corpusOverlapOracle: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 4),
+       |       i -> array_to_string(list_slice(tk, CAST(i + 1 AS INT), CAST(i + 5 AS INT)), ' '))) AS s
+       |       FROM toks WHERE len(tk) >= 5),
+       |h AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h FROM sh),
+       |ka AS (SELECT DISTINCT h FROM h WHERE doc_id % 3 <> 0 ORDER BY h LIMIT 256),
+       |kb AS (SELECT DISTINCT h FROM h WHERE doc_id % 3 = 0 ORDER BY h LIMIT 256),
+       |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) u ORDER BY h LIMIT 256),
+       |m AS (SELECT
+       |  (SELECT COUNT(*) FROM ku) AS k_used,
+       |  (SELECT COUNT(*) FROM ku k JOIN ka a ON k.h = a.h) AS m_a,
+       |  (SELECT COUNT(*) FROM ku k JOIN kb b ON k.h = b.h) AS m_b,
+       |  (SELECT COUNT(*) FROM ku k JOIN ka a ON k.h = a.h JOIN kb b ON k.h = b.h) AS m_both,
+       |  (SELECT MAX(h) FROM ku) AS vk)
+       |SELECT CAST(k_used AS BIGINT) AS k_used,
+       |  CAST(m_both AS BIGINT) AS m_both,
+       |  CAST(m_a AS BIGINT) AS m_a,
+       |  CAST(m_b AS BIGINT) AS m_b,
+       |  CAST(m_both * 1000 // k_used AS BIGINT) AS jaccard_permille,
+       |  CAST(CASE WHEN m_a > 0 THEN m_both * 1000 // m_a ELSE 0 END AS BIGINT) AS containment_a_permille,
+       |  CAST(CASE WHEN m_b > 0 THEN m_both * 1000 // m_b ELSE 0 END AS BIGINT) AS containment_b_permille,
+       |  CAST(CASE WHEN k_used < 256 THEN k_used
+       |       ELSE CAST(floor((255.0 * 1152921504606846976.0) / CAST(vk AS DOUBLE)) AS BIGINT) END AS BIGINT) AS d_union_est
+       |FROM m""".stripMargin
 
   /** Decontamination oracle — shared verbatim by q_decontaminate, its Bloom
     * scale path (no false negatives + exact verify ⇒ identical output), and
@@ -3623,6 +3702,15 @@ object SparkEntry {
          |FROM asg a LEFT JOIN dup d ON d.id = a.vec_id""".stripMargin,
     "q_decontaminate" -> decontaminateOracle,
     "q_decontaminate_bloom" -> decontaminateOracle,
+    // G49 corpus-overlap: exact replay — the k smallest DISTINCT shingle
+    // hashes per side are a pure function of the shingle sets (no RNG, no
+    // partitioning dependence), so DISTINCT/ORDER BY/LIMIT reproduces the
+    // KmvSet aggregate bit-for-bit; set math and the single double
+    // division then match the Spark projection exactly. The STREAMING twin
+    // shares it: KMV mergeability makes the drained sketch identical to
+    // the batch one under any split.
+    "q_corpus_overlap" -> corpusOverlapOracle,
+    "q_stream_corpusoverlap" -> corpusOverlapOracle,
     "q_histogram" ->
       """WITH s AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
         |           FROM orders WHERE o_totalprice IS NOT NULL),
@@ -3664,6 +3752,41 @@ object SparkEntry {
          |          FROM reach GROUP BY src)
          |SELECT d.doc_id, d.lang FROM documents d LEFT JOIN canon c USING (doc_id)
          |WHERE c.canonical IS NULL OR c.canonical = d.doc_id""".stripMargin,
+    "q_soft_dedup" ->
+      s"""WITH RECURSIVE lp AS (SELECT id_a, id_b FROM (
+         |$lshPairsOracle) q),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM lp
+         |          UNION SELECT id_b, id_a FROM lp),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |canon AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical
+         |          FROM reach GROUP BY src),
+         |sizes AS (SELECT canonical, COUNT(*) AS n FROM canon GROUP BY canonical)
+         |SELECT d.doc_id,
+         |  COALESCE(c.canonical, d.doc_id) AS cluster,
+         |  CAST(COALESCE(s.n, 1) AS BIGINT) AS n_copies,
+         |  CAST(1000 // COALESCE(s.n, 1) AS BIGINT) AS weight_permille
+         |FROM documents d
+         |LEFT JOIN canon c USING (doc_id)
+         |LEFT JOIN sizes s ON s.canonical = c.canonical""".stripMargin,
+    "q_ccnet_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |voc AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS v FROM voc),
+         |q AS (SELECT tok,
+         |      CAST(-ln(CAST(cnt + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)) AS DECIMAL(18,6)) AS xq
+         |      FROM voc CROSS JOIN tot),
+         |s AS (SELECT doc_id, CAST(SUM(xq * tf) AS DECIMAL(18,6)) AS sx,
+         |      CAST(SUM(tf) AS BIGINT) AS n_tokens
+         |      FROM tf JOIN q USING (tok) GROUP BY doc_id),
+         |x AS (SELECT doc_id, n_tokens,
+         |      CAST(sx AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS xent FROM s)
+         |SELECT doc_id, n_tokens, xent,
+         |  CAST(ntile(3) OVER (ORDER BY xent ASC, doc_id ASC) - 1 AS BIGINT) AS bucket
+         |FROM x""".stripMargin,
     "q_minhash" ->
       s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents)
          |SELECT doc_id, MIN(md5('0:' || tok)) AS h0, MIN(md5('1:' || tok)) AS h1,

@@ -1299,4 +1299,147 @@ object Dedup {
         "eccentricity exceeds the round budget")
     labels.select(col("member"), col("label").as("canonical"))
   }
+
+  /** Soft deduplication (G50): per-document sampling weights from near-dup
+    * cluster sizes instead of hard drops — the "don't delete, downweight"
+    * posture (SoftDedup, He et al. ACL 2024, argues hard near-dedup
+    * discards useful signal; inverse-duplication-count reweighting keeps
+    * every document while equalizing each CONTENT's total sampling mass). A doc in a near-dup cluster of n copies gets
+    * `weight_permille = 1000 div n`; singletons keep 1000. Feed the weight
+    * into [[graft.operators.Ops.weightedSample]] (deterministic per-row
+    * Bernoulli) or a loss-weighting column — composing with the md5-bucket
+    * samplers keeps the whole soft-dedup path RNG-free and
+    * engine-replayable.
+    *
+    * Pipeline = the [[keepCanonical]] flagship minus the drop: zero-shuffle
+    * minhash signatures → guarded LSH banding → pointer-jumped connected
+    * components → cluster-size rollup (a cluster-count-sized aggregate)
+    * joined back to the id column only — document text never shuffles, and
+    * the only corpus-sized exchange is the banding's. Same
+    * collision-is-duplicate operating point as keepCanonical (tune with
+    * [[lshRecallReport]]).
+    */
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 16, bands: Int = 4, rowsPerBand: Int = 4,
+                       maxBucket: Int = 1 << 12,
+                       metricName: String = "lsh_bucket_guard"): DataFrame = {
+    val sig = minhashSignature(df, idCol, textCol, numHashes)
+    val pairs = lshPairs(sig, bands, rowsPerBand, maxBucket, metricName)
+    val clusters = dupClusters(pairs) // (member, canonical)
+    val sizes = clusters.groupBy("canonical").agg(count(lit(1)).as("__n"))
+    val m = clusters.join(sizes, "canonical")
+      .select(col("member").as(idCol), col("canonical"), col("__n"))
+    df.select(col(idCol))
+      .join(m, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("canonical"), col(idCol)).as("cluster"),
+        coalesce(col("__n"), lit(1L)).as("n_copies"),
+        expr("1000 div coalesce(__n, 1)").as("weight_permille"))
+  }
+
+  /** KMV sketch of one corpus's k-gram shingle universe: the `sketchK`
+    * smallest distinct 60-bit shingle hashes (the winnow-family `conv`
+    * recipe — externally reproducible), as ONE row holding an ascending
+    * BIGINT array. The whole reduction is the bounded
+    * [[org.apache.spark.sql.graftglue.KmvSet]] aggregate: state ≤ sketchK
+    * longs, map-side partial aggregation, the only exchange carries
+    * ≤ sketchK rows per input partition — a 100 TB corpus reduces to one
+    * scan plus a k-sized exchange, and the sketch row is storable (probe a
+    * new snapshot against last month's sketch without re-reading it).
+    */
+  def kmvShingleSketch(df: DataFrame, textCol: String,
+                       ngram: Int = 5, sketchK: Int = 1024): DataFrame = {
+    require(ngram > 0 && sketchK > 0, "ngram and sketchK must be positive")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftglue.{ColumnBridge, KmvSet}
+    val h = df.select(Text.tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= ngram)
+      // per-doc distinct BEFORE the explode trims within-doc repetition at
+      // projection cost; cross-doc duplicates collapse inside KmvSet
+      .select(explode(array_distinct(Text.shinglesOf(col("__tk"), ngram))).as("__s"))
+      .select(conv(substring(md5(col("__s")), 1, 15), 16, 10)
+        .cast(LongType).as("__h"))
+    h.agg(ColumnBridge.column(KmvSet(
+      ColumnBridge.expression(col("__h")), sketchK).toAggregateExpression())
+      .as("kmv"))
+  }
+
+  /** Corpus-overlap estimation (G49): how much of corpus B's shingle
+    * universe does corpus A share — the "is this crawl mostly a re-crawl /
+    * how contaminated is source X by source Y" question answered WITHOUT
+    * joining the two corpora, from two [[kmvShingleSketch]] rows alone
+    * (Broder resemblance over a bottom-k sample; Beyer et al. SIGMOD'07
+    * give the union/Jaccard estimators under multiset operations —
+    * reference framework `metalpipe` has no sketch layer; this is part of
+    * the engine's first-class training-data surface).
+    *
+    * Estimators, all over K = the `sketchK` smallest distinct hashes of
+    * S_A ∪ S_B (computable from the two sketches because min-k of a union
+    * is min-k of the merged min-k's):
+    *  - `jaccard_permille` = 1000·|K ∩ S_A ∩ S_B| / |K| — the standard
+    *    KMV resemblance estimate (exact when |S_A ∪ S_B| ≤ sketchK);
+    *  - `containment_a_permille` = 1000·|K ∩ S_A ∩ S_B| / |K ∩ S_A| —
+    *    estimates |S_A ∩ S_B| / |S_A| ("how much of A is in B"); same for
+    *    b. Membership of a K element in S_A is exact: every element of K
+    *    at or below A's k-th minimum is covered by A's sketch.
+    *  - `d_union_est` = the KMV distinct-count estimate (k−1)/v_k scaled
+    *    to the 60-bit hash space (exact count when the union fits).
+    * All arithmetic is integer except the single (k−1)·2⁶⁰/v_k division,
+    * done once in double on exactly-representable operands — the
+    * BM25/DSIR determinism pattern, so DuckDB replays every column
+    * bit-for-bit from `SELECT DISTINCT … ORDER BY … LIMIT k` per side.
+    *
+    * Scale shape: two corpus scans (one per side), two k-sized exchanges,
+    * then a 1×1 cross join of single-row frames — nothing corpus-sized
+    * moves, no cross-corpus join exists, and either side's sketch can be
+    * a stored artifact. Accuracy is the KMV bound (~1/√sketchK relative
+    * error): sketchK = 1024 → ~3%, 1<<16 → ~0.4%, state still ≤ 512 KiB.
+    */
+  def corpusOverlap(a: DataFrame, b: DataFrame, textCol: String,
+                    ngram: Int = 5, sketchK: Int = 1024): DataFrame =
+    corpusOverlapFromSketches(
+      kmvShingleSketch(a, textCol, ngram, sketchK),
+      kmvShingleSketch(b, textCol, ngram, sketchK), sketchK)
+
+  /** [[corpusOverlap]] from two PRECOMPUTED sketch rows (each a 1-row
+    * frame with a `kmv` array — [[kmvShingleSketch]]'s output, a stored
+    * artifact, or [[graft.streaming.Streams.kmvSketchFinish]]'s drain):
+    * the stored-sketch path — compare this month's crawl to last month's
+    * without re-reading either corpus. Same statistics, same oracle.
+    */
+  def corpusOverlapFromSketches(skA: DataFrame, skB: DataFrame,
+                                sketchK: Int): DataFrame = {
+    val ka = skA.select(col("kmv").as("__ka"))
+    val kb = skB.select(col("kmv").as("__kb"))
+    val union = array_sort(array_union(col("__ka"), col("__kb")))
+    val kk = least(lit(sketchK), size(union))
+    ka.crossJoin(kb)
+      .withColumn("__k", slice(union, 1, sketchK))
+      .withColumn("__ku", kk.cast(LongType))
+      .withColumn("__ma", size(array_intersect(col("__k"), col("__ka"))).cast(LongType))
+      .withColumn("__mb", size(array_intersect(col("__k"), col("__kb"))).cast(LongType))
+      .withColumn("__mboth", size(array_intersect(
+        array_intersect(col("__k"), col("__ka")), col("__kb"))).cast(LongType))
+      // union-size estimate: exact when the union fit in the sketch, else
+      // (k-1)·2^60 / v_k with v_k = the k-th smallest union hash; the
+      // product is exact in double ((k-1) ≤ 2^20, 2^60 dyadic), one
+      // IEEE division + floor — engine-stable
+      .withColumn("__vk", element_at(col("__k"), size(col("__k"))))
+      .withColumn("d_union_est",
+        when(col("__ku") < sketchK, col("__ku"))
+          .otherwise(floor((lit(sketchK - 1).cast(DoubleType) *
+            lit(1152921504606846976.0)) / col("__vk").cast(DoubleType))
+            .cast(LongType)))
+      .select(
+        col("__ku").as("k_used"),
+        col("__mboth").as("m_both"),
+        col("__ma").as("m_a"),
+        col("__mb").as("m_b"),
+        expr("__mboth * 1000 div __ku").as("jaccard_permille"),
+        expr("CASE WHEN __ma > 0 THEN __mboth * 1000 div __ma ELSE 0L END")
+          .as("containment_a_permille"),
+        expr("CASE WHEN __mb > 0 THEN __mboth * 1000 div __mb ELSE 0L END")
+          .as("containment_b_permille"),
+        col("d_union_est"))
+  }
 }

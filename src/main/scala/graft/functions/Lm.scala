@@ -314,4 +314,40 @@ object Lm {
         .cast(DecimalType(18, 6)).as("score"),
         sum(col("tf")).as("n_features"))
   }
+
+  /** CCNet perplexity buckets (G51): split the corpus into `buckets`
+    * quality tiers by LM cross-entropy — CCNet's head/middle/tail
+    * partition (Wenzek et al., LREC 2020: documents are bucketed by
+    * KenLM perplexity terciles and the head preferred for pretraining;
+    * here the LM is [[unigramCrossEntropy]]'s corpus-trained add-one
+    * unigram — swap in [[bigramCrossEntropy]] upstream for the
+    * order-sensitive variant). Lowest cross-entropy = bucket 0 = "head".
+    *
+    * Determinism: bucket boundaries are RANK cutoffs (`ntile` over the
+    * total order (xent, id)), not interpolated quantiles — all-integer
+    * arithmetic, so a label can never flip on a last-ulp threshold
+    * difference the way an interpolated-percentile comparison can (the
+    * q_quantiles oracle works because its 0.25/0.5/0.75 points
+    * interpolate dyadically; terciles don't). `ntile` is ANSI-specified
+    * (first n mod buckets tiles take the extra row), so DuckDB replays it
+    * verbatim.
+    *
+    * Scale shape: the rank window orders the SCORE table — (id, n_tokens,
+    * xent), ~24 bytes/doc, text never enters — in one exchange. At sizes
+    * where even that global sort offends, compute two cutoff VALUES from
+    * a sample via [[graft.operators.Ops.percentiles]] and bucket by
+    * comparison (the posture CCNet itself uses: thresholds fit on a
+    * sample, applied as constants); the rank form is the exact,
+    * oracle-grade mode.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        buckets: Int = 3): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val scored = unigramCrossEntropy(docs, idCol, textCol)
+    scored
+      .withColumn("bucket",
+        expr(s"ntile($buckets) OVER (ORDER BY xent ASC, id ASC)") - lit(1))
+      .select(col("id"), col("n_tokens"), col("xent"),
+        col("bucket").cast(LongType).as("bucket"))
+  }
 }

@@ -129,8 +129,9 @@ object ConfigPipeline {
     * diagnostic so a typo'd config names its fix. */
   val validOps: Seq[String] = Seq(
     "agg", "ann", "ann_index_delta", "ann_index_probe", "band_keys",
-    "boilerplate", "canonical_url", "chunk",
-    "corpus_shuffle", "csv_permissive", "decontaminate", "dedup_best",
+    "boilerplate", "canonical_url", "ccnet_buckets", "chunk",
+    "corpus_overlap", "corpus_shuffle", "csv_permissive", "decontaminate",
+    "dedup_best",
     "dedup_exact", "dedup_near", "degrees", "distinct", "distinct_sketch",
     "distribution_drift", "dsir", "error_budget", "filter", "fingerprint",
     "flatten", "gram", "heavy_hitters", "histogram",
@@ -140,7 +141,7 @@ object ConfigPipeline {
     "pack", "pagerank", "parquet", "pca_rotate", "percentiles",
     "quality_classifier",
     "repetition", "sample", "sample_per_group", "select", "sessionize",
-    "snapshot_diff", "span_dedup", "span_dedup_clean", "split",
+    "snapshot_diff", "soft_dedup", "span_dedup", "span_dedup_clean", "split",
     "substring_dedup", "substring_dedup_clean",
     "stream_dedup", "stream_dir", "stream_keepbest", "stream_neardup",
     "stream_repetition", "stream_spandedup", "stream_substringdedup",
@@ -642,6 +643,29 @@ object ConfigPipeline {
           case other => throw new IllegalArgumentException(
             s"margin_mine method '$other' — valid: brute, ivf")
         }
+      // G50 soft dedup from config: near-dup clusters → inverse-count
+      // sampling weights (downweight, don't drop)
+      case "soft_dedup" =>
+        p.stage(name, from)(graft.dedup.Dedup.softDedupWeights(_,
+          knob("id").asText(), knob("text").asText(),
+          numHashes = if (s.has("numHashes")) knob("numHashes").asInt() else 16,
+          bands = if (s.has("bands")) knob("bands").asInt() else 4,
+          rowsPerBand = if (s.has("rowsPerBand")) knob("rowsPerBand").asInt() else 4,
+          maxBucket = if (s.has("maxBucket")) knob("maxBucket").asInt() else 1 << 12,
+          metricName = s"${name}_bucket_guard"))
+      // G51 CCNet perplexity buckets from config
+      case "ccnet_buckets" =>
+        p.stage(name, from)(graft.functions.Lm.perplexityBuckets(_,
+          knob("id").asText(), knob("text").asText(),
+          buckets = if (s.has("buckets")) knob("buckets").asInt() else 3))
+      // G49 corpus-overlap sketch from config: from[2] = [a stage, b stage]
+      case "corpus_overlap" =>
+        val Seq(as, bs) = strs(knob("from"))
+        p.fanIn(name, Seq(as, bs))(dfs =>
+          graft.dedup.Dedup.corpusOverlap(dfs(0), dfs(1),
+            knob("text").asText(),
+            ngram = if (s.has("ngram")) knob("ngram").asInt() else 5,
+            sketchK = if (s.has("k")) knob("k").asInt() else 1024))
       // G46 k-center greedy diversity selection from config
       case "kcenter" =>
         p.stage(name, from)(graft.similarity.Clustering.kCenterGreedy(_,

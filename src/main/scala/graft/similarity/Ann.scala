@@ -169,12 +169,14 @@ object Ann {
     *     (deterministic seeding), driver-collected: centroid sets are
     *     config-table sized by design, and landing them in the plan as
     *     LITERALS makes steps 2 and 3 pure projections;
-    *  2. each corpus row assigns to its nearest centroid via `least()` over
-    *     per-centroid (−sim, cent_id) structs — a codegen'd projection with
-    *     ZERO shuffle (a crossJoin+groupBy formulation would re-shuffle
-    *     every corpus vector through the exchange);
-    *  3. each query probes its `nprobe` nearest cells — `array_sort` +
-    *     `slice` over the same structs, again a projection;
+    *  2. each corpus row assigns to its nearest centroid via the native
+    *     [[org.apache.spark.sql.graftglue.ProbeCells]] expression (the
+    *     centroid matrix as ONE reference object — constant plan size in
+    *     nlist; see [[probeExpr]]) — a codegen'd projection with ZERO
+    *     shuffle (a crossJoin+groupBy formulation would re-shuffle every
+    *     corpus vector through the exchange);
+    *  3. each query probes its `nprobe` nearest cells — the same
+    *     expression at nprobe, again a projection;
     *  4. candidates = bucket contents of the probed cells (one equi-join on
     *     cell id); exact cosine re-ranks.
     *

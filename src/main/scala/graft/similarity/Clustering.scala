@@ -61,17 +61,33 @@ object Clustering {
   }
 
   /** Append `cluster` and `dist2` (squared L2 in quantized units) to `df`
-    * by nearest-centroid assignment — a zero-shuffle codegen projection.
+    * by nearest-centroid assignment — a zero-shuffle codegen projection
+    * whose PLAN is constant size in the centroid count: the (cid, center)
+    * set rides as ONE reference object inside the native
+    * [[org.apache.spark.sql.graftglue.NearestCenter]] expression (the
+    * ProbeCells/MinDistToSet recipe — plans/SCALE.md r8.5/r9.1/r9.2).
+    * The r8 formulation (`array_min` over one `struct(SqDistLit, cid)`
+    * per centroid) embedded every centroid as a dim-length literal with a
+    * full distance expansion — plan size, analysis, and Janino time
+    * O(k·dim) per assignment site, and PQ training pays this m×rounds
+    * times ([[Pq.trainCodebooks]]): a production regime (SemDeDup k in
+    * the hundreds, PQ k = 256) was a plan-size wall. Values bit-identical
+    * (same SqDistLit fold, min-cid tie-break via cid-ascending iteration)
+    * except on length-MISMATCHED centroids, where the struct form let the
+    * corrupt centroid WIN with a null dist2 (null sorts first in struct
+    * order) — NearestCenter skips it, the sane divergence stated in its
+    * scaladoc.
     */
   def withCluster(df: DataFrame, vecCol: String,
                   cents: Seq[(Int, Array[Double])],
                   scale: Double = 1048576.0): DataFrame = {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, NearestCenter}
     require(cents.nonEmpty, "centroid set must be non-empty")
+    val sorted = cents.sortBy(_._1) // cid-ascending ⇒ min-cid tie-break
     val qv = quantize(col(vecCol), scale)
-    val candidates = cents.map { case (cid, cv) =>
-      struct(dist2(qv, cv).as("dist2"), lit(cid).as("cid"))
-    }
-    df.withColumn("__best", array_min(array(candidates: _*)))
+    df.withColumn("__best", ColumnBridge.column(NearestCenter(
+        ColumnBridge.expression(qv),
+        sorted.map(_._1).toArray, sorted.map(_._2).toArray)))
       .withColumn("cluster", col("__best.cid"))
       .withColumn("dist2", col("__best.dist2"))
       .drop("__best")

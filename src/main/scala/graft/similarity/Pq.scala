@@ -84,13 +84,21 @@ object Pq {
     */
   private def withDistTables(q: DataFrame,
                              codebooks: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
+    // constant plan size in k: each subspace's (cid, center) codebook rides
+    // as reference objects inside the native DistMap (map values identical
+    // to the per-center SqDistLit values it replaced — its scaladoc has the
+    // contract); the r8 form was m×k dim-length literals with inlined
+    // distance expansions PLUS a k-element cid literal per subspace in one
+    // projection (2048+ literals at a production m=8, k=256 — the
+    // ProbeCells/NearestCenter plan-size pathology)
+    import org.apache.spark.sql.graftglue.{ColumnBridge, DistMap}
     val sub = codebooks.head.head._2.length
     codebooks.zipWithIndex.foldLeft(q) { case (acc, (cbRaw, j)) =>
       val cb = cbRaw.sortBy(_._1)
       val subv = slice(col("__qv"), j * sub + 1, sub)
       acc.withColumn(s"__dt$j",
-        map_from_arrays(typedLit(cb.map(_._1)),
-          array(cb.map { case (_, cv) => dist2(subv, cv) }: _*)))
+        ColumnBridge.column(DistMap(ColumnBridge.expression(subv),
+          cb.map(_._1).toArray, cb.map(_._2).toArray)))
     }
   }
 

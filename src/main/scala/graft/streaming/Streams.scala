@@ -713,6 +713,49 @@ object Streams {
     }
   }
 
+  /** Streaming twin of [[graft.dedup.Dedup.kmvShingleSketch]] (G49): a
+    * corpus arriving as a file stream maintains its shingle-universe KMV
+    * sketch incrementally. KMV's mergeability does ALL the work — the
+    * k smallest distinct hashes of a union are the k smallest of the
+    * merged per-part sketches — so each micro-batch writes its OWN
+    * sketch row (replay-safe per-batch overwrite, the files-as-state
+    * posture) and [[kmvSketchFinish]] re-merges them through the same
+    * bounded aggregate at drain. Batch-split independence is structural:
+    * the sketch of a set is a pure function of the set, so ANY split
+    * drains to the identical row (shared oracle with the batch operator;
+    * StreamsSpec pins stream ≡ batch and the overlap statistics computed
+    * from a streamed side ≡ the batch ones).
+    *
+    * Scale: per batch one scan of the batch + a k-sized exchange; on-disk
+    * state is one ≤ k-long array per batch (compact the directory by
+    * re-sketching if batch count grows unwieldy — the merge IS the
+    * compaction).
+    */
+  def kmvSketchStream(docs: DataFrame, textCol: String, workDir: String,
+                      checkpoint: String, ngram: Int = 5,
+                      sketchK: Int = 1024, availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    toForeachBatch(docs, checkpoint, availableNow = availableNow) { (batch, id) =>
+      graft.dedup.Dedup.kmvShingleSketch(batch, textCol, ngram, sketchK)
+        .write.mode("overwrite").parquet(s"$workDir/batch_$id")
+    }
+
+  /** Drain-side merge of [[kmvSketchStream]]'s per-batch sketches back to
+    * the single corpus sketch row (bit-identical to running
+    * [[graft.dedup.Dedup.kmvShingleSketch]] over the whole corpus —
+    * mergeability, pinned in spec). `sketchK` must match the stream's.
+    */
+  def kmvSketchFinish(spark: SparkSession, workDir: String,
+                      sketchK: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftglue.{ColumnBridge, KmvSet}
+    spark.read.parquet(s"$workDir/batch_*")
+      .select(explode(col("kmv")).as("__h"))
+      .agg(ColumnBridge.column(KmvSet(
+        ColumnBridge.expression(col("__h")), sketchK).toAggregateExpression())
+        .as("kmv"))
+  }
+
   /** The drain-side finish of [[marginMineStream]]: k-merge the per-batch
     * backward candidates back to the true tgt→src top-k (ranks recomputed
     * by the same bounded tail, so ties break identically to the batch

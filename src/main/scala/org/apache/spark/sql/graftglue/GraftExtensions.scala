@@ -64,6 +64,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MatVecMul(c.head, litMatrix(c(1), "mat_vec_mul")))
     register(ext, "min_dist_to_set", classOf[MinDistToSet], 2)(c =>
       MinDistToSet(c.head, litMatrix(c(1), "min_dist_to_set")))
+    register(ext, "nearest_center", classOf[NearestCenter], 3)(c =>
+      NearestCenter(c.head, litInts(c(1), "nearest_center"),
+        litMatrix(c(2), "nearest_center")))
+    register(ext, "dist_map", classOf[DistMap], 3)(c =>
+      DistMap(c.head, litInts(c(1), "dist_map"), litMatrix(c(2), "dist_map")))
     register(ext, "probe_cells", classOf[ProbeCells], 4)(c =>
       ProbeCells(c.head,
         litStrings(c(1), "probe_cells", keepNulls = false).toArray,
@@ -80,6 +85,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TopKStruct(c.head, c(1), litInt(c(2), "top_k_struct")))
     register(ext, "bottom_k_struct", classOf[TopKStruct], 3)(c =>
       TopKStruct(c.head, c(1), litInt(c(2), "bottom_k_struct"), smallest = true))
+    // aggregate: SELECT kmv_set(hash, k) — bounded distinct-k-min sketch
+    register(ext, "kmv_set", classOf[KmvSet], 2)(c =>
+      KmvSet(c.head, litInt(c(1), "kmv_set")))
     ext.injectOptimizerRule(_ => FuseCountInSet)
   }
 }
@@ -135,6 +143,10 @@ private object GraftExtensions {
 
   private def litInt(e: Expression, fn: String): Int =
     asDouble(litValue(e, fn), fn).toInt
+
+  /** Foldable array<numeric> → Array[Int]; NULL elements rejected. */
+  private def litInts(e: Expression, fn: String): Array[Int] =
+    litDoubles(e, fn).map(_.toInt)
 
   private def litDouble(e: Expression, fn: String): Double =
     asDouble(litValue(e, fn), fn)

@@ -182,4 +182,61 @@ class MineSpec extends SparkSpec {
       .filter(not(col("a") <=> col("b")))
     assert(diff.isEmpty)
   }
+
+  test("nearest-center native ≡ array_min over per-center struct literals; " +
+       "dist-map ≡ the per-center sq-dist map") {
+    // the NearestCenter/DistMap contract (r9.2): bit-identical to the
+    // literal forms they replaced, per-row over real embeddings. The one
+    // stated NearestCenter divergence — a length-mismatched center no
+    // longer WINS with a null dist2 — is pinned separately below.
+    import org.apache.spark.sql.graftglue.{ColumnBridge, DistMap, NearestCenter, QuantizeVec, SqDistLit}
+    val cents = emb.filter(col("vec_id").isin(2L, 6L, 10L, 14L))
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(v => math.floor(v * 1048576.0)).toArray)
+      .zipWithIndex.map { case (cv, i) => (i, cv) }
+    val q = emb.select(col("vec_id"), ColumnBridge.column(QuantizeVec(
+      ColumnBridge.expression(col("embedding")), 1048576.0)).as("qv"))
+    val native = ColumnBridge.column(NearestCenter(
+      ColumnBridge.expression(col("qv")),
+      cents.map(_._1), cents.map(_._2)))
+    val literal = array_min(array(cents.map { case (cid, cv) =>
+      struct(ColumnBridge.column(SqDistLit(
+        ColumnBridge.expression(col("qv")), cv)).as("dist2"),
+        lit(cid).as("cid"))
+    }.toIndexedSeq: _*))
+    assert(q.select(native.as("a"), literal.as("b"))
+      .filter(not(col("a") <=> col("b"))).isEmpty)
+
+    val dnative = ColumnBridge.column(DistMap(
+      ColumnBridge.expression(col("qv")), cents.map(_._1), cents.map(_._2)))
+    val dliteral = map_from_arrays(typedLit(cents.map(_._1).toSeq),
+      array(cents.map { case (_, cv) => ColumnBridge.column(
+        SqDistLit(ColumnBridge.expression(col("qv")), cv))
+      }.toIndexedSeq: _*))
+    // maps compare through per-key lookups (map equality is not defined as
+    // a column op): every cid's value must match bit-for-bit
+    val lookups = cents.flatMap { case (cid, _) => Seq(
+      element_at(col("a"), cid).as(s"a$cid"),
+      element_at(col("b"), cid).as(s"b$cid")) }
+    val cmp = q.select(dnative.as("a"), dliteral.as("b"))
+      .select(lookups.toIndexedSeq: _*)
+    val bad = cents.map { case (cid, _) =>
+      not(col(s"a$cid") <=> col(s"b$cid")) }.reduce(_ || _)
+    assert(cmp.filter(bad).isEmpty)
+
+    // divergence pin: with a mismatched center in the set, the struct form
+    // let it win (null dist2 sorts first); NearestCenter skips it and
+    // returns the best REAL center — and dist_map keeps the mismatched cid
+    // with a null value (element_at yields null, not key-not-found)
+    val mism = Array((0, Array(1.0, 2.0)), (1, cents.head._2))
+    val got = q.limit(1).select(
+        ColumnBridge.column(NearestCenter(ColumnBridge.expression(col("qv")),
+          mism.map(_._1), mism.map(_._2))).as("nc"),
+        ColumnBridge.column(DistMap(ColumnBridge.expression(col("qv")),
+          mism.map(_._1), mism.map(_._2))).as("dm"))
+      .selectExpr("nc.cid", "element_at(dm, 0)", "element_at(dm, 1)")
+      .collect().head
+    assert(got.getInt(0) == 1, "mismatched center must not win assignment")
+    assert(got.isNullAt(1) && !got.isNullAt(2))
+  }
 }

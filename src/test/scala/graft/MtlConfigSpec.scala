@@ -446,6 +446,48 @@ class MtlConfigSpec extends SparkSpec {
       centersWant.orderBy("step").collect().toSeq)
   }
 
+  test("ConfigPipeline corpus_overlap matches the programmatic form") {
+    val docsPath = "/root/testdata/sf0.001/documents.parquet"
+    val docs = spark.read.parquet(docsPath)
+    val got = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "all", "op": "parquet", "path": "$docsPath"},
+         | {"name": "a", "op": "filter", "from": "all", "expr": "doc_id % 3 <> 0"},
+         | {"name": "b", "op": "filter", "from": "all", "expr": "doc_id % 3 = 0"},
+         | {"name": "ov", "op": "corpus_overlap", "from": ["a", "b"],
+         |  "text": "text", "ngram": 5, "k": 128}
+         |]}""".stripMargin).output("ov").collect().head
+    val want = graft.dedup.Dedup.corpusOverlap(
+      docs.filter(col("doc_id") % 3 =!= 0), docs.filter(col("doc_id") % 3 === 0),
+      "text", ngram = 5, sketchK = 128).collect().head
+    assert(got.toSeq == want.toSeq)
+    assert(got.getAs[Long]("k_used") > 0)
+  }
+
+  test("ConfigPipeline soft_dedup and ccnet_buckets match the programmatic forms") {
+    val docsPath = "/root/testdata/sf0.001/documents.parquet"
+    val docs = spark.read.parquet(docsPath)
+    val soft = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "d", "op": "parquet", "path": "$docsPath"},
+         | {"name": "w", "op": "soft_dedup", "from": "d",
+         |  "id": "doc_id", "text": "text", "maxBucket": 256}
+         |]}""".stripMargin).output("w")
+    val softWant = graft.dedup.Dedup.softDedupWeights(docs, "doc_id", "text",
+      maxBucket = 256, metricName = "w_bucket_guard")
+    assert(soft.orderBy("doc_id").collect().toSeq ==
+      softWant.orderBy("doc_id").collect().toSeq)
+    val cb = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "d", "op": "parquet", "path": "$docsPath"},
+         | {"name": "b", "op": "ccnet_buckets", "from": "d",
+         |  "id": "doc_id", "text": "text", "buckets": 3}
+         |]}""".stripMargin).output("b")
+    val cbWant = graft.functions.Lm.perplexityBuckets(docs, "doc_id", "text", 3)
+    assert(cb.orderBy("id").collect().toSeq ==
+      cbWant.orderBy("id").collect().toSeq)
+  }
+
   test("stateless curation ops ride streaming pipelines from config for free") {
     // the stateful curation ops need explicit twins (stream_dedup,
     // stream_neardup, stream_spandedup, ...); every STATELESS op — filters,

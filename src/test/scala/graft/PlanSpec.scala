@@ -495,6 +495,47 @@ class PlanSpec extends SparkSpec {
       s"plan grew with the center count: ${p4.length} -> ${p256.length}")
   }
 
+  test("k-means assignment and ADC distance-table plans are constant-size " +
+       "in the codebook size and stay fused (NearestCenter / DistsToSet)") {
+    // r9.2: the r8 withCluster (array_min over k struct(SqDistLit) — one
+    // dim-length literal per centroid) and withDistTables (m×k SqDistLit
+    // literals) carried the same plan-size pathology the r8.5/r9.1
+    // conversions removed for IVF routing and k-center rounds. Both now
+    // ride reference-object natives: plan text at k=256 must not exceed
+    // the k=4 text, and the assignment projection must sit in a fused span.
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    def assignPlan(k: Int): String = {
+      val cents = Seq.tabulate(k)(i =>
+        (i, Array.tabulate(64)(j => (i * 64 + j).toDouble)))
+      val df = graft.similarity.Clustering.withCluster(emb, "embedding", cents)
+      assert(df.limit(1).collect().length == 1)
+      df.queryExecution.executedPlan.toString
+    }
+    val a4 = assignPlan(4)
+    val a256 = assignPlan(256)
+    assert(a4.contains("nearest_center"), a4.take(1500))
+    assert(a4.linesIterator.exists(l =>
+        l.contains("nearest_center") && l.contains("*(")),
+      s"k-means assignment not codegen-fused:\n${a4.take(2000)}")
+    assert(a256.length <= a4.length + 64,
+      s"assignment plan grew with k: ${a4.length} -> ${a256.length}")
+
+    def adcPlan(k: Int): String = {
+      // fabricated codebooks (no Lloyd run — this pins the PLAN): m=2
+      // subspaces of dim 32, k codewords each
+      val cbs = Seq.tabulate(2)(j => Seq.tabulate(k)(i =>
+        (i, Array.tabulate(32)(x => (j * k * 32 + i * 32 + x).toDouble))))
+      val qs = emb.filter(col("vec_id") < 4)
+      graft.similarity.Pq.adcTopK(qs, emb, "vec_id", "embedding", cbs, 3)
+        .queryExecution.executedPlan.toString
+    }
+    val d4 = adcPlan(4)
+    val d256 = adcPlan(256)
+    assert(d4.contains("dist_map"), d4.take(1500))
+    assert(d256.length <= d4.length + 64,
+      s"ADC dist-table plan grew with k: ${d4.length} -> ${d256.length}")
+  }
+
   test("incremental probe at scale: the corpus-sized index is never exchanged " +
        "and never the broadcast build side") {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec

@@ -204,6 +204,38 @@ class SqlExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("nearest_center and dist_map are SQL-callable") {
+    withExt { s =>
+      import s.implicits._
+      Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 3.0)))
+        .toDF("id", "v").createOrReplaceTempView("ncv")
+      val rows = s.sql(
+        """SELECT id, nearest_center(v, array(10, 20),
+          |  array(array(0.0D, 0.0D), array(0.0D, 4.0D))) AS nc
+          |FROM ncv""".stripMargin)
+        .selectExpr("id", "nc.cid", "nc.dist2")
+        .as[(Long, Int, Double)].collect().toSet
+      // id 1: d²=(1, 17) → cid 10; id 2: d²=(9, 1) → cid 20
+      assert(rows == Set((1L, 10, 1.0), (2L, 20, 1.0)))
+      val ds = s.sql(
+        """SELECT element_at(dm, 7) AS d7, element_at(dm, 8) AS d8 FROM (
+          |  SELECT dist_map(v, array(7, 8),
+          |    array(array(0.0D, 0.0D), array(9.0D))) AS dm
+          |  FROM ncv WHERE id = 1)""".stripMargin)
+        .as[(Option[Double], Option[Double])].head()
+      assert(ds == (Some(1.0), None)) // mismatched center → null value
+    }
+  }
+
+  test("kmv_set is SQL-callable and distinct-bounded") {
+    withExt { s =>
+      import s.implicits._
+      Seq(9L, 9L, 1L, 5L, 1L, 7L, 3L).toDF("h").createOrReplaceTempView("kv")
+      val got = s.sql("SELECT kmv_set(h, 3) AS k FROM kv").as[Seq[Long]].head()
+      assert(got == Seq(1L, 3L, 5L)) // distinct 3 smallest, ascending
+    }
+  }
+
   test("gram_sum and mat_vec_mul are SQL-callable") {
     withExt { s =>
       import s.implicits._

@@ -403,6 +403,30 @@ class StreamsSpec extends SparkSpec {
     assert(gotMut == wantMut && gotMut.subsetOf(got))
   }
 
+  test("streamed KMV sketch drains to the batch sketch under any split, " +
+       "and overlap stats from the streamed side equal the batch ones") {
+    val base = java.nio.file.Files.createTempDirectory("graft_skmv").toString
+    val inDir = s"$base/in"; val workDir = s"$base/work"; val ckpt = s"$base/ckpt"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.filter(col("doc_id") % 3 =!= 0).select("doc_id", "text")
+    val b = docs.filter(col("doc_id") % 3 === 0)
+    a.repartition(4).write.mode("overwrite").parquet(inDir)
+    val stream = Streams.watchDirectory(spark, inDir, format = "parquet",
+      schemaDdl = Some("doc_id BIGINT, text STRING"), maxFilesPerTrigger = 1)
+    val q = Streams.kmvSketchStream(stream, "text", workDir, ckpt,
+      ngram = 5, sketchK = 64)
+    q.awaitTermination()
+    val drained = Streams.kmvSketchFinish(spark, workDir, 64)
+    val batch = graft.dedup.Dedup.kmvShingleSketch(a, "text", 5, 64)
+    // mergeability: the drained sketch IS the whole-corpus sketch
+    assert(drained.as[Seq[Long]].head() == batch.as[Seq[Long]].head())
+    val gotStats = graft.dedup.Dedup.corpusOverlapFromSketches(drained,
+      graft.dedup.Dedup.kmvShingleSketch(b, "text", 5, 64), 64).collect().head
+    val wantStats = graft.dedup.Dedup.corpusOverlap(a, b, "text", 5, 64)
+      .collect().head
+    assert(gotStats.toSeq == wantStats.toSeq)
+  }
+
   test("chunkOwnersStream rejects non-integral id columns at plan time") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]

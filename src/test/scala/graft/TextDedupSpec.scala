@@ -929,4 +929,126 @@ class TextDedupSpec extends SparkSpec {
       Vectors.cosine(col("a"), col("b"))).as[(Double, Double, Double)].head()
     assert(d == 25.0 && n == 5.0 && c == 1.0)
   }
+
+  test("KmvSet keeps the k smallest DISTINCT values at any partitioning") {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, KmvSet}
+    // dup-heavy stream: values 0..49 each appearing 40x — a non-distinct
+    // bounded top-k would fill all 8 slots with copies of tiny values
+    val vals = (0 until 2000).map(i => (i.toLong % 50) * 7L)
+    def sketch(parts: Int): Seq[Long] = {
+      val df = vals.toDF("h").repartition(parts)
+      df.agg(ColumnBridge.column(KmvSet(
+          ColumnBridge.expression(col("h")), 8).toAggregateExpression()).as("k"))
+        .as[Seq[Long]].head()
+    }
+    val expected = vals.distinct.sorted.take(8)
+    assert(sketch(1) == expected)
+    assert(sketch(7) == expected)   // merge path: partial buffers combine
+    assert(sketch(32) == expected)
+    // fewer distinct values than k -> exact full set
+    val tiny = Seq(5L, 5L, 3L, 3L, 9L).toDF("h")
+      .agg(ColumnBridge.column(KmvSet(
+        ColumnBridge.expression(col("h")), 8).toAggregateExpression()))
+      .as[Seq[Long]].head()
+    assert(tiny == Seq(3L, 5L, 9L))
+  }
+
+  test("softDedupWeights: cluster weights invert copy counts, singletons " +
+       "keep full weight, and per-cluster mass is ~equalized") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val w = Dedup.softDedupWeights(docs, "doc_id", "text",
+      numHashes = 16, bands = 4, rowsPerBand = 4, maxBucket = 256)
+    val rows = w.collect()
+    assert(rows.length == docs.count())              // NOTHING dropped
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_copies")
+      assert(r.getAs[Long]("weight_permille") == 1000L / n)
+      // cluster label is the member-min (the keepCanonical rule)
+      assert(r.getAs[Long]("cluster") <= r.getAs[Long]("doc_id"))
+    }
+    // singletons = exactly the docs keepCanonical keeps minus cluster
+    // canonicals; consistency: the weighted KEPT mass per cluster is ≤ 1000
+    // and ≥ 1000 - (n-1) (integer division loss)
+    val singles = rows.filter(_.getAs[Long]("n_copies") == 1L)
+    assert(singles.forall(_.getAs[Long]("weight_permille") == 1000L))
+    assert(singles.nonEmpty)
+    val clustered = rows.filter(_.getAs[Long]("n_copies") > 1L)
+    assert(clustered.nonEmpty, "sf data must contain near-dups")
+    clustered.groupBy(_.getAs[Long]("cluster")).foreach { case (_, ms) =>
+      val mass = ms.map(_.getAs[Long]("weight_permille")).sum
+      assert(mass <= 1000L && mass >= 1000L - ms.length + 1)
+    }
+    // agreement with keepCanonical: kept docs = the weight-bearing
+    // canonical representative of each cluster + singletons
+    val kept = Dedup.keepCanonical(docs, "doc_id", "text",
+        numHashes = 16, bands = 4, rowsPerBand = 4, maxBucket = 256)
+      .select("doc_id").as[Long].collect().toSet
+    val canonicals = rows.filter(r =>
+      r.getAs[Long]("cluster") == r.getAs[Long]("doc_id")).map(_.getAs[Long]("doc_id")).toSet
+    assert(canonicals == kept)
+  }
+
+  test("perplexityBuckets: balanced rank terciles ordered by cross-entropy") {
+    import graft.functions.Lm
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val b = Lm.perplexityBuckets(docs, "doc_id", "text", buckets = 3).collect()
+    // every scored doc bucketed 0..2, sizes differ by at most 1 (ntile)
+    val sizes = b.groupBy(_.getAs[Long]("bucket")).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L))
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // buckets are ordered: no doc in a lower bucket scores above one in a
+    // higher bucket (ties can straddle — compare with <=)
+    val maxByB = (0L to 2L).map(i =>
+      b.filter(_.getAs[Long]("bucket") == i).map(_.getAs[Double]("xent")).max)
+    val minByB = (0L to 2L).map(i =>
+      b.filter(_.getAs[Long]("bucket") == i).map(_.getAs[Double]("xent")).min)
+    assert(maxByB(0) <= minByB(1) || maxByB(0) == minByB(1))
+    assert(maxByB(1) <= minByB(2) || maxByB(1) == minByB(2))
+    // bucket assignment matches xent scoring (same rows as q_lm_xent)
+    assert(b.length == Lm.unigramCrossEntropy(docs, "doc_id", "text").count())
+  }
+
+  test("corpusOverlap: exact when the union fits; estimators hit the " +
+       "identical/disjoint endpoints; batch-split independent") {
+    val a = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val b = Seq(
+      (3L, "alpha beta gamma delta epsilon zeta"), // identical to doc 1
+      (4L, "uno dos tres cuatro cinco seis")).toDF("doc_id", "text")
+    // sketchK far above the shingle universe -> every statistic is EXACT:
+    // doc1's 5-gram set (2 grams of a 6-token doc) is shared, doc2/doc4
+    // disjoint -> |A|=|B|=5 grams... compute from the operator's own
+    // contract instead: jaccard = shared/union of the DISTINCT gram sets
+    val r = Dedup.corpusOverlap(a, b, "text", ngram = 5, sketchK = 1024)
+      .collect().head
+    val kUsed = r.getAs[Long]("k_used")
+    val mBoth = r.getAs[Long]("m_both")
+    // exact regime: d_union_est IS the distinct union count
+    assert(r.getAs[Long]("d_union_est") == kUsed)
+    assert(r.getAs[Long]("jaccard_permille") == mBoth * 1000 / kUsed)
+    // doc1 ≡ doc3 contributes shared grams; the other docs are disjoint
+    assert(mBoth > 0 && mBoth < kUsed)
+
+    // identical corpora -> jaccard/containment 1000 exactly
+    val same = Dedup.corpusOverlap(a, a, "text", ngram = 5, sketchK = 1024)
+      .collect().head
+    assert(same.getAs[Long]("jaccard_permille") == 1000L)
+    assert(same.getAs[Long]("containment_a_permille") == 1000L)
+    // disjoint corpora -> all zeros
+    val disj = Dedup.corpusOverlap(
+      a.filter(col("doc_id") === 2L), b.filter(col("doc_id") === 4L),
+      "text", ngram = 5, sketchK = 1024).collect().head
+    assert(disj.getAs[Long]("jaccard_permille") == 0L)
+    assert(disj.getAs[Long]("m_both") == 0L)
+
+    // split independence: sketching A as one frame vs unioning its halves
+    // changes nothing (KMV of a set is order/partition-free)
+    val a1 = a.filter(col("doc_id") === 1L)
+    val a2 = a.filter(col("doc_id") === 2L)
+    val whole = Dedup.corpusOverlap(a, b, "text", 5, 16).collect().head
+    val split = Dedup.corpusOverlap(a1.unionByName(a2), b, "text", 5, 16)
+      .collect().head
+    assert(whole.toSeq == split.toSeq)
+  }
 }
