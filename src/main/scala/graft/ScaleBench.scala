@@ -112,6 +112,10 @@ object ScaleBench {
           // through the span join like substringDedupClean does — its own
           // decade row, not inferred from the substring one)
           "q_span_dedup_clean",
+          // r9 G49/G50/G51: the sketch is k-bounded (flat shuffle by
+          // construction), soft dedup rides the neardup exchanges, the
+          // bucket window sorts only the score table
+          "q_corpus_overlap", "q_soft_dedup", "q_ccnet_buckets",
           // r8 bounded-aggregate conversions (documents/orders-based, so
           // they ride the synthesized decades)
           "q_tfidf", "q_sample_per_group", "q_vocab", "q_gram"))

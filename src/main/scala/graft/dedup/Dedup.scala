@@ -1424,7 +1424,11 @@ object Dedup {
       // (k-1)·2^60 / v_k with v_k = the k-th smallest union hash; the
       // product is exact in double ((k-1) ≤ 2^20, 2^60 dyadic), one
       // IEEE division + floor — engine-stable
-      .withColumn("__vk", element_at(col("__k"), size(col("__k"))))
+      // guard the degenerate empty-universe case (both corpora shorter
+      // than ngram everywhere): element_at(_, 0) is a runtime error and
+      // x div 0 a null — an all-zeros row is the meaningful answer
+      .withColumn("__vk", when(size(col("__k")) > 0,
+        element_at(col("__k"), size(col("__k")))))
       .withColumn("d_union_est",
         when(col("__ku") < sketchK, col("__ku"))
           .otherwise(floor((lit(sketchK - 1).cast(DoubleType) *
@@ -1435,7 +1439,8 @@ object Dedup {
         col("__mboth").as("m_both"),
         col("__ma").as("m_a"),
         col("__mb").as("m_b"),
-        expr("__mboth * 1000 div __ku").as("jaccard_permille"),
+        expr("CASE WHEN __ku > 0 THEN __mboth * 1000 div __ku ELSE 0L END")
+          .as("jaccard_permille"),
         expr("CASE WHEN __ma > 0 THEN __mboth * 1000 div __ma ELSE 0L END")
           .as("containment_a_permille"),
         expr("CASE WHEN __mb > 0 THEN __mboth * 1000 div __mb ELSE 0L END")

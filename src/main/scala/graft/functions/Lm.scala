@@ -350,4 +350,38 @@ object Lm {
       .select(col("id"), col("n_tokens"), col("xent"),
         col("bucket").cast(LongType).as("bucket"))
   }
+
+  /** [[perplexityBuckets]]'s threshold mode — the posture CCNet itself
+    * runs at scale: cutoff VALUES fit once on a deterministic md5-bucket
+    * SAMPLE of the score table (bounded-state `percentile_approx`), then
+    * every doc buckets by comparison — a pure projection, NO global
+    * window, no sort of any corpus-sized table. Buckets approximate the
+    * rank terciles (exact as samplePermille → 1000 and accuracy → ∞);
+    * ties at a cutoff all land in the lower bucket. Not oracled (the
+    * approximation is the point); spec pins high agreement with the
+    * exact rank form and the zero-exchange bucket projection.
+    */
+  def perplexityBucketsByThreshold(docs: DataFrame, idCol: String,
+                                   textCol: String, buckets: Int = 3,
+                                   samplePermille: Int = 1000,
+                                   accuracy: Int = 10000): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(samplePermille > 0 && samplePermille <= 1000,
+      s"samplePermille out of range: $samplePermille")
+    val scored = unigramCrossEntropy(docs, idCol, textCol)
+    // deterministic sample (md5 buckets — the G23 device, no RNG state);
+    // thresholds = the (i/buckets)-quantiles of the sampled xent
+    val sample = scored.filter(
+      conv(substring(md5(col("id").cast(StringType)), 1, 15), 16, 10)
+        .cast(LongType) % 1000 < samplePermille)
+    val cuts = sample.agg(
+      percentile_approx(col("xent"),
+        array((1 until buckets).map(i =>
+          lit(i.toDouble / buckets)): _*), lit(accuracy)).as("__cuts"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        // number of cutoffs strictly below this doc's xent = its tier
+        expr("size(filter(__cuts, c -> c < xent))").cast(LongType))
+      .select(col("id"), col("n_tokens"), col("xent"), col("bucket"))
+  }
 }

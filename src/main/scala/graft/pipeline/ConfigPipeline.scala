@@ -78,7 +78,12 @@ import graft.Caching.TrackedSyntax
   * re-rank recall lever]), layout ops `zorder` (cols[, bits] — adds the
   * Morton `zval` that `Sinks.zorderWrite` clusters by) and
   * `corpus_shuffle` (id/seed/shards — adds the deterministic training
-  * shard + in-shard position).
+  * shard + in-shard position), `corpus_overlap` (from[2] = the two
+  * corpora + text[, ngram/k] — KMV resemblance/containment without a
+  * cross-corpus join), `soft_dedup` (id/text[, banding knobs] —
+  * near-dup clusters → inverse-count sampling weights instead of
+  * drops), `ccnet_buckets` (id/text[, buckets] — perplexity tiers by
+  * rank cutoffs, bucket 0 = head).
   */
 object ConfigPipeline {
 
@@ -653,11 +658,24 @@ object ConfigPipeline {
           rowsPerBand = if (s.has("rowsPerBand")) knob("rowsPerBand").asInt() else 4,
           maxBucket = if (s.has("maxBucket")) knob("maxBucket").asInt() else 1 << 12,
           metricName = s"${name}_bucket_guard"))
-      // G51 CCNet perplexity buckets from config
+      // G51 CCNet perplexity buckets from config: mode "rank" (exact,
+      // oracle-grade ntile) or "threshold" (sampled cutoffs + comparison
+      // projection — the no-global-window 100 TB path)
       case "ccnet_buckets" =>
-        p.stage(name, from)(graft.functions.Lm.perplexityBuckets(_,
-          knob("id").asText(), knob("text").asText(),
-          buckets = if (s.has("buckets")) knob("buckets").asInt() else 3))
+        val nb = if (s.has("buckets")) knob("buckets").asInt() else 3
+        (if (s.has("mode")) knob("mode").asText() else "rank") match {
+          case "rank" =>
+            p.stage(name, from)(graft.functions.Lm.perplexityBuckets(_,
+              knob("id").asText(), knob("text").asText(), nb))
+          case "threshold" =>
+            p.stage(name, from)(graft.functions.Lm.perplexityBucketsByThreshold(_,
+              knob("id").asText(), knob("text").asText(), nb,
+              samplePermille =
+                if (s.has("samplePermille")) knob("samplePermille").asInt() else 1000,
+              accuracy = if (s.has("accuracy")) knob("accuracy").asInt() else 10000))
+          case other => throw new IllegalArgumentException(
+            s"ccnet_buckets mode '$other' — valid: rank, threshold")
+        }
       // G49 corpus-overlap sketch from config: from[2] = [a stage, b stage]
       case "corpus_overlap" =>
         val Seq(as, bs) = strs(knob("from"))

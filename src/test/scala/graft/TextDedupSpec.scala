@@ -1006,6 +1006,20 @@ class TextDedupSpec extends SparkSpec {
     assert(maxByB(1) <= minByB(2) || maxByB(1) == minByB(2))
     // bucket assignment matches xent scoring (same rows as q_lm_xent)
     assert(b.length == Lm.unigramCrossEntropy(docs, "doc_id", "text").count())
+
+    // threshold mode (the no-global-window scale path): full-sample exact
+    // accuracy must agree with the rank form except AT the cutoffs (ties /
+    // ntile's remainder rows straddle) — bound the disagreement
+    val t = Lm.perplexityBucketsByThreshold(docs, "doc_id", "text",
+        buckets = 3, samplePermille = 1000, accuracy = 100000)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("bucket")).toMap
+    val rankMap = b.map(r => r.getAs[Long]("id") -> r.getAs[Long]("bucket")).toMap
+    assert(t.keySet == rankMap.keySet)
+    val disagree = t.count { case (id, bk) => rankMap(id) != bk }
+    assert(disagree <= t.size / 20,
+      s"$disagree of ${t.size} docs bucketed differently — threshold mode drifted")
+    // and no disagreement is ever by more than one tier
+    assert(t.forall { case (id, bk) => math.abs(rankMap(id) - bk) <= 1 })
   }
 
   test("corpusOverlap: exact when the union fits; estimators hit the " +
@@ -1050,5 +1064,13 @@ class TextDedupSpec extends SparkSpec {
     val split = Dedup.corpusOverlap(a1.unionByName(a2), b, "text", 5, 16)
       .collect().head
     assert(whole.toSeq == split.toSeq)
+
+    // degenerate: both sides shorter than the shingle width everywhere —
+    // an all-zeros row, not an element_at/div-by-zero error
+    val tiny = Seq((9L, "too short")).toDF("doc_id", "text")
+    val z = Dedup.corpusOverlap(tiny, tiny, "text", 5, 16).collect().head
+    assert(z.getAs[Long]("k_used") == 0L &&
+      z.getAs[Long]("jaccard_permille") == 0L &&
+      z.getAs[Long]("d_union_est") == 0L)
   }
 }
