@@ -2144,7 +2144,7 @@ object SparkEntry {
        |  CAST(m_both AS BIGINT) AS m_both,
        |  CAST(m_a AS BIGINT) AS m_a,
        |  CAST(m_b AS BIGINT) AS m_b,
-       |  CAST(m_both * 1000 // k_used AS BIGINT) AS jaccard_permille,
+       |  CAST(CASE WHEN k_used > 0 THEN m_both * 1000 // k_used ELSE 0 END AS BIGINT) AS jaccard_permille,
        |  CAST(CASE WHEN m_a > 0 THEN m_both * 1000 // m_a ELSE 0 END AS BIGINT) AS containment_a_permille,
        |  CAST(CASE WHEN m_b > 0 THEN m_both * 1000 // m_b ELSE 0 END AS BIGINT) AS containment_b_permille,
        |  CAST(CASE WHEN k_used < 256 THEN k_used

@@ -1350,7 +1350,6 @@ object Dedup {
   def kmvShingleSketch(df: DataFrame, textCol: String,
                        ngram: Int = 5, sketchK: Int = 1024): DataFrame = {
     require(ngram > 0 && sketchK > 0, "ngram and sketchK must be positive")
-    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.graftglue.{ColumnBridge, KmvSet}
     val h = df.select(Text.tokens(col(textCol)).as("__tk"))
       .filter(size(col("__tk")) >= ngram)

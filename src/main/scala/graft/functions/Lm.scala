@@ -368,20 +368,28 @@ object Lm {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(samplePermille > 0 && samplePermille <= 1000,
       s"samplePermille out of range: $samplePermille")
-    val scored = unigramCrossEntropy(docs, idCol, textCol)
+    val scored = unigramCrossEntropy(docs, idCol, textCol).trackedPersist()
     // deterministic sample (md5 buckets — the G23 device, no RNG state);
-    // thresholds = the (i/buckets)-quantiles of the sampled xent
+    // thresholds = the (i/buckets)-quantiles of the sampled xent. Cutoffs
+    // are MODEL-sized (buckets − 1 doubles) so they collect to the driver
+    // like centroids do — and an EMPTY sample fails loudly here instead of
+    // silently bucketing every doc as size(null) = -1
     val sample = scored.filter(
       conv(substring(md5(col("id").cast(StringType)), 1, 15), 16, 10)
         .cast(LongType) % 1000 < samplePermille)
-    val cuts = sample.agg(
+    val cutsRow = sample.agg(
       percentile_approx(col("xent"),
         array((1 until buckets).map(i =>
-          lit(i.toDouble / buckets)): _*), lit(accuracy)).as("__cuts"))
-    scored.crossJoin(broadcast(cuts))
-      .withColumn("bucket",
-        // number of cutoffs strictly below this doc's xent = its tier
-        expr("size(filter(__cuts, c -> c < xent))").cast(LongType))
-      .select(col("id"), col("n_tokens"), col("xent"), col("bucket"))
+          lit(i.toDouble / buckets)): _*), lit(accuracy)).as("__cuts")).head()
+    require(!cutsRow.isNullAt(0),
+      s"ccnet threshold mode sampled 0 documents at samplePermille=" +
+        s"$samplePermille — raise it (the sample must be non-empty to fit cutoffs)")
+    val cuts = cutsRow.getSeq[Double](0)
+    // number of cutoffs strictly below this doc's xent = its tier — a
+    // pure projection against literal thresholds, zero exchanges
+    val bucket = cuts.map(c => when(lit(c) < col("xent"), 1L).otherwise(0L))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+    scored.select(col("id"), col("n_tokens"), col("xent"),
+      bucket.cast(LongType).as("bucket"))
   }
 }

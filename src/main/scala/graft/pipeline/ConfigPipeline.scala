@@ -159,6 +159,18 @@ object ConfigPipeline {
   private def strs(n: JsonNode): Seq[String] =
     n.elements().asScala.map(_.asText()).toSeq
 
+  /** Exactly-two-input extraction for fan-in ops: a one- or three-element
+    * `from` must name the op and the requirement (the file's posture: a
+    * typo'd config names its fix), not die as a bare scala.MatchError.
+    */
+  private def two(n: JsonNode, op: String): (String, String) =
+    strs(n) match {
+      case Seq(a, b) => (a, b)
+      case other => throw new IllegalArgumentException(
+        s"$op needs exactly two input stages in 'from', got ${other.length}: " +
+          other.mkString("[", ", ", "]"))
+    }
+
   private def addStage(spark: SparkSession, p: Pipeline, s: JsonNode,
                        idx: Int): Pipeline = {
     // required-knob accessor: absent fields fail with the knob's NAME and
@@ -259,7 +271,7 @@ object ConfigPipeline {
       case "union" =>
         p.fanIn(name, strs(knob("from")))()
       case "join" =>
-        val Seq(l, r) = strs(knob("from"))
+        val (l, r) = two(knob("from"), "join")
         val how = if (s.has("how")) knob("how").asText() else "inner"
         p.fanIn(name, Seq(l, r))(dfs => dfs(0).join(dfs(1), expr(knob("on").asText()), how))
       case "limit" =>
@@ -630,7 +642,7 @@ object ConfigPipeline {
       // "method": "brute" (default) or "ivf" (+nlist/nprobe), "mutual" for
       // the both-directions-best setting
       case "margin_mine" =>
-        val Seq(ss, ts) = strs(knob("from"))
+        val (ss, ts) = two(knob("from"), "margin_mine")
         val id = knob("id").asText(); val vec = knob("vec").asText()
         val k = knob("k").asInt()
         val tau = if (s.has("tau")) knob("tau").asDouble() else 1.0
@@ -678,7 +690,7 @@ object ConfigPipeline {
         }
       // G49 corpus-overlap sketch from config: from[2] = [a stage, b stage]
       case "corpus_overlap" =>
-        val Seq(as, bs) = strs(knob("from"))
+        val (as, bs) = two(knob("from"), "corpus_overlap")
         p.fanIn(name, Seq(as, bs))(dfs =>
           graft.dedup.Dedup.corpusOverlap(dfs(0), dfs(1),
             knob("text").asText(),
@@ -691,7 +703,7 @@ object ConfigPipeline {
       // ANN from config (G6/G7/G35 reachable by a config-driven user):
       // from[2] = [queries stage, corpus stage], both carrying (id, vec)
       case "ann" =>
-        val Seq(qs, cs) = strs(knob("from"))
+        val (qs, cs) = two(knob("from"), "ann")
         val id = knob("id").asText(); val vec = knob("vec").asText()
         val k = knob("k").asInt()
         def intKnob(n: String, d: Int) = if (s.has(n)) knob(n).asInt() else d

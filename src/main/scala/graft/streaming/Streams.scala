@@ -747,13 +747,31 @@ object Streams {
     */
   def kmvSketchFinish(spark: SparkSession, workDir: String,
                       sketchK: Int): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.graftglue.{ColumnBridge, KmvSet}
+    // a drain that saw no new files commits without writing any batch
+    // subdir — the empty sketch row IS the answer there (exactly what
+    // kmvShingleSketch returns on an empty corpus), not a glob error
+    if (!anyBatchDir(spark, workDir))
+      return spark.range(1)
+        .select(typedLit(Array.empty[Long]).as("kmv"))
     spark.read.parquet(s"$workDir/batch_*")
       .select(explode(col("kmv")).as("__h"))
       .agg(ColumnBridge.column(KmvSet(
         ColumnBridge.expression(col("__h")), sketchK).toAggregateExpression())
         .as("kmv"))
+  }
+
+  /** True when `dir` holds at least one `batch_*` subdirectory — the
+    * zero-new-data drain guard shared by the files-as-state finish
+    * helpers (a `batch_*` glob read on a batchless dir is an unhelpful
+    * AnalysisException).
+    */
+  private def anyBatchDir(spark: SparkSession, dir: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("batch_"))
   }
 
   /** The drain-side finish of [[marginMineStream]]: k-merge the per-batch
@@ -765,6 +783,13 @@ object Streams {
   def marginMineFinish(spark: SparkSession, workDir: String, k: Int,
                        tau: Double, mutual: Boolean = false): DataFrame = {
     import graft.similarity.{Ann, Mine}
+    // a drain that saw no new files wrote no batches: nothing to merge,
+    // and the empty frame's id types are unknowable here (they follow the
+    // stream's id column) — fail with the remediation instead of the
+    // glob's bare 'Path does not exist'
+    require(anyBatchDir(spark, s"$workDir/fwd"),
+      s"marginMineFinish: no fwd/batch_* under $workDir — the drain " +
+        "processed no files; skip the finish on zero-new-data runs")
     val fwd = spark.read.parquet(s"$workDir/fwd/batch_*")
     val bwd = Ann.topKTail(
       spark.read.parquet(s"$workDir/bwd/batch_*")
@@ -805,9 +830,16 @@ object Streams {
     val dir = new Path(indexDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def attempt(): Option[DataFrame] =
-      if (fs.exists(dir))
-        Some(spark.read.option("recursiveFileLookup", "true").parquet(indexDir))
-      else None
+      if (fs.exists(dir)) {
+        // apply the caller's schema when provided: an existing-but-FILELESS
+        // dir (batch 0 crashed pre-commit, replay deleted its own subdir —
+        // the indexMaintainStream hygiene step) has nothing to infer from,
+        // and bare parquet() would throw 'Unable to infer schema' on every
+        // restart, crash-looping a stream that readIndex's bootstrap
+        // contract says should see an EMPTY index
+        val r = spark.read.option("recursiveFileLookup", "true")
+        Some(emptySchema.fold(r)(sc => r.schema(sc)).parquet(indexDir))
+      } else None
     attempt().orElse { onRetry(); attempt() }.getOrElse {
       if (fs.exists(new Path(indexDir + ".next")))
         throw new IllegalStateException(

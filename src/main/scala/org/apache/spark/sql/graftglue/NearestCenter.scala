@@ -46,6 +46,9 @@ case class NearestCenter(child: Expression, cids: Array[Int],
   require(centers.nonEmpty, "nearest_center: center set must be non-empty")
   require(cids.length == centers.length,
     s"nearest_center: ${cids.length} ids vs ${centers.length} centers")
+  // a duplicate cid is a corrupt model (e.g. a codebook join that fanned
+  // out) — fail at construction like DistMap, not by iteration-order luck
+  require(cids.distinct.length == cids.length, "nearest_center: duplicate cids")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = StructType(Seq(
