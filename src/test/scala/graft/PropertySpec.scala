@@ -346,4 +346,40 @@ class PropertySpec extends SparkSpec {
       got.keySet == deltaIds && got.forall { case (id, v) => v == naive(id) }
     })
   }
+
+  test("law: KmvSet(k) equals distinct-sorted-take(k) at any partitioning") {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, KmvSet}
+    val valsGen = Gen.listOfN(60, Gen.chooseNum(0L, 40L))
+    check(Prop.forAll(valsGen, Gen.chooseNum(1, 12), Gen.chooseNum(1, 8)) {
+      (vals, k, parts) =>
+        val got = vals.toDF("h").repartition(parts)
+          .agg(ColumnBridge.column(KmvSet(
+            ColumnBridge.expression(col("h")), k).toAggregateExpression()))
+          .as[Seq[Long]].head()
+        got == vals.distinct.sorted.take(k)
+    })
+  }
+
+  test("law: NearestCenter agrees with MinDistToSet on the min distance " +
+       "and with exhaustive argmin on the center id") {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, MinDistToSet, NearestCenter}
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-8, 8).map(_.toDouble))
+    val centsGen = Gen.nonEmptyListOf(vecGen).map(_.take(6))
+    check(Prop.forAll(vecGen, centsGen) { (v, cents) =>
+      val cids = cents.indices.toArray
+      val mat = cents.map(_.toArray).toArray
+      val row = Seq(Tuple1(v)).toDF("v")
+        .select(
+          ColumnBridge.column(NearestCenter(
+            ColumnBridge.expression(col("v")), cids, mat)).as("nc"),
+          ColumnBridge.column(MinDistToSet(
+            ColumnBridge.expression(col("v")), mat)).as("md"))
+        .selectExpr("nc.dist2", "nc.cid", "md").collect().head
+      val dists = cents.map(c => v.zip(c).map { case (a, b) =>
+        (a - b) * (a - b) }.sum)
+      val want = dists.zipWithIndex.minBy { case (d, i) => (d, i) }
+      row.getDouble(0) == want._1 && row.getInt(1) == want._2 &&
+        row.getDouble(2) == row.getDouble(0)
+    })
+  }
 }
