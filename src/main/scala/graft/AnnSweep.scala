@@ -158,6 +158,30 @@ object AnnSweep {
         res.unpersist()
       }
     }
+    // SQ8 (G52): byte-per-dim codes, asymmetric distance — measures
+    // against the exact-L2 truth like PQ. Expect recall near 1: the
+    // per-dim error is range/255 (~0.4% of range), far below PQ's
+    // subspace rounding — the point of the 1 B/dim operating point.
+    {
+      val (res, t) = timed {
+        val scales = graft.similarity.Sq.trainScales(emb, "embedding", dim = 64)
+        graft.similarity.Sq.sqTopK(queries, emb, "vec_id", "embedding", scales, k)
+      }
+      println(f"| SQ8 (1 B/dim) | ${recallL2(res)}%.3f | $t%.2f | ${t / tBrute}%.2fx |")
+      res.unpersist()
+    }
+    // JL (G53): brute-force cosine in the sign-projected space, recall
+    // vs the full-space COSINE truth. On these near-isotropic synthetic
+    // embeddings rank gaps sit below the projection distortion, so low
+    // recall here is the data's geometry, not a defect — the distortion
+    // lemma itself is spec-asserted (SqJlSpec); on clustered real
+    // corpora the JL guarantee transfers neighborhoods, not noise ranks.
+    for (outDim <- Seq(8, 16, 32, 48)) {
+      val (res, t) = timed(graft.similarity.Jl.jlTopK(
+        queries, emb, "vec_id", "embedding", dim = 64, outDim = outDim, k))
+      println(f"| JL outDim=$outDim%-2d | ${recall(res)}%.3f | $t%.2f | ${t / tBrute}%.2fx |")
+      res.unpersist()
+    }
     spark.stop()
   }
 }

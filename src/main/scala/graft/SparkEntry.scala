@@ -1860,6 +1860,28 @@ object SparkEntry {
           nlist = 16, nprobe = 16)
         .select("query_id", "rank", "neighbor_id")
     }),
+    // G52: scalar quantization (SQ8) — per-dim affine byte codes, queries
+    // answered by asymmetric distance against the reconstructions; the
+    // 1 B/dim point between the float corpus and PQ's m B/vector. All-long
+    // arithmetic after the quantize floor, so the oracle replays
+    // train → encode → reconstruct → rank bit-for-bit
+    "q_sq_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val scales = graft.similarity.Sq.trainScales(emb, "embedding", dim = 64)
+      graft.similarity.Sq.sqTopK(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", scales, topK = 3)
+    }),
+    // G53: Johnson–Lindenstrauss sign projection — 64 → 16 dims with the
+    // deterministic md5-parity ±1 matrix, then brute-force cosine top-k in
+    // the REDUCED space; the oracle rebuilds the same matrix from the md5
+    // recipe and replays projection (list_dot_product + CAST AS REAL ≡
+    // MatVecMul's accumulate-then-narrow) and ranking in SQL
+    "q_jl_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.similarity.Jl.jlTopK(emb.filter(col("vec_id") < 8), emb,
+          "vec_id", "embedding", dim = 64, outDim = 16, k = 3)
+        .select("query_id", "rank", "neighbor_id")
+    }),
     // G45: cross-corpus margin-ratio mining (Artetxe–Schwenk) — even ids
     // mine their best partner among odd ids; the margin RATIO (cos over the
     // mean of both rows' k-NN neighborhoods) suppresses hub vectors that a
@@ -2703,6 +2725,62 @@ object SparkEntry {
   private val annOracle: String =
     """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |s AS (SELECT query_id, neighbor_id,
+      |  CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) = 0 THEN 0
+      |       ELSE list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) END AS cos
+      | FROM q, c WHERE query_id <> neighbor_id),
+      |r AS (SELECT query_id, neighbor_id,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin
+
+  /** DuckDB replay of scalar quantization (q_sq_topk): per-dim min/max
+    * scales over the quantized corpus, byte codes via clamp-then-truncating-
+    * divide (every division non-negative, so `//` ≡ Java long division ≡
+    * floor — the SqEncode/SqAdcDist contract), reconstructions, and the
+    * exact-long squared distance. Parameters match the q_sq_topk entry:
+    * dim=64, scale=2^16, queries vec_id < 8, topK=3.
+    */
+  private val sqOracle: String =
+    """WITH q AS MATERIALIZED (SELECT vec_id,
+      |     list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)) AS qv
+      |     FROM embeddings),
+      |poss AS (SELECT unnest(range(1, 65)) AS pos),
+      |mm AS MATERIALIZED (SELECT pos, MIN(qv[pos]) AS lo, MAX(qv[pos]) - MIN(qv[pos]) AS w
+      |     FROM q CROSS JOIN poss GROUP BY pos),
+      |rv AS MATERIALIZED (SELECT vec_id,
+      |     list(CASE WHEN w = 0 THEN lo
+      |               ELSE lo + ((((least(greatest(qv[pos], lo), lo + w) - lo) * 255) // w) * w) // 255
+      |          END ORDER BY pos) AS rvec
+      |     FROM q CROSS JOIN poss JOIN mm USING (pos) GROUP BY vec_id),
+      |scored AS (SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+      |     CAST(list_dot_product(
+      |       list_transform(range(1, 65), i -> CAST(qq.qv[i] - cc.rvec[i] AS DOUBLE)),
+      |       list_transform(range(1, 65), i -> CAST(qq.qv[i] - cc.rvec[i] AS DOUBLE))) AS BIGINT) AS sq2
+      |     FROM (SELECT vec_id, qv FROM q WHERE vec_id < 8) qq
+      |     CROSS JOIN rv cc WHERE qq.vec_id <> cc.vec_id)
+      |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, sq2 FROM (
+      |  SELECT query_id, neighbor_id, sq2,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY sq2, neighbor_id) AS rnk
+      |  FROM scored) WHERE rnk <= 3""".stripMargin
+
+  /** DuckDB replay of the JL projection top-k (q_jl_topk): the ±1 sign
+    * matrix rebuilt from the md5-parity recipe (`Jl.signMatrix` seed=42,
+    * 16×64), projection as `list_dot_product` + `CAST(… AS REAL)` (≡
+    * MatVecMul's left-to-right double accumulate narrowed once), then the
+    * annOracle cosine/rank replay in the reduced space.
+    */
+  private val jlOracle: String =
+    """WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sgn AS MATERIALIZED (SELECT i,
+      |     list(CASE WHEN ('0x' || substring(md5('42:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+      |               THEN 1.0 ELSE -1.0 END ORDER BY j) AS srow
+      |     FROM (SELECT unnest(range(0, 16)) AS i) CROSS JOIN (SELECT unnest(range(0, 64)) AS j)
+      |     GROUP BY i),
+      |p AS MATERIALIZED (SELECT vec_id,
+      |     list(CAST(list_dot_product(srow, v) AS REAL) ORDER BY i) AS pv
+      |     FROM e CROSS JOIN sgn GROUP BY vec_id),
+      |q AS (SELECT vec_id AS query_id, CAST(pv AS DOUBLE[]) AS qv FROM p WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS neighbor_id, CAST(pv AS DOUBLE[]) AS cv FROM p),
       |s AS (SELECT query_id, neighbor_id,
       |  CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) = 0 THEN 0
       |       ELSE list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) END AS cos
@@ -4057,6 +4135,8 @@ object SparkEntry {
 
     "q_ann" -> annOracle,
     "q_ann_ivf" -> annOracle, // exhaustive IVF ≡ brute force
+    "q_sq_topk" -> sqOracle,
+    "q_jl_topk" -> jlOracle,
     "q_margin_mine" -> marginOracle,
     "q_margin_mutual" -> marginMutualOracle,
     "q_margin_ivf" -> marginOracle, // exhaustive IVF routing ≡ brute force

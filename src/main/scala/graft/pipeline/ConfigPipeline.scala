@@ -73,9 +73,12 @@ import graft.Caching.TrackedSyntax
   * (id/text[, numHashes/bands/rowsPerBand] — integral ids),
   * `stream_spandedup` (id/text[, window] — integral ids), `ann`
   * (from[2] = queries/corpus stages + id/vec/k — method "brute", "ivf"
-  * [nlist/nprobe], "lsh" [dim/numPlanes/bands], or "ivfpq"
+  * [nlist/nprobe], "lsh" [dim/numPlanes/bands], "ivfpq"
   * [dim/m/codebookK/nlist/nprobe, optional mShort+rerank for the exact
-  * re-rank recall lever]), layout ops `zorder` (cols[, bits] — adds the
+  * re-rank recall lever], "sq" [dim — byte codes + asymmetric distance],
+  * or "jl" [dim/outDim — top-k in the sign-projected space]),
+  * `jl_project` (vec/dim/outDim[, seed] — standalone JL reduction),
+  * layout ops `zorder` (cols[, bits] — adds the
   * Morton `zval` that `Sinks.zorderWrite` clusters by) and
   * `corpus_shuffle` (id/seed/shards — adds the deterministic training
   * shard + in-shard position), `corpus_overlap` (from[2] = the two
@@ -140,7 +143,8 @@ object ConfigPipeline {
     "dedup_exact", "dedup_near", "degrees", "distinct", "distinct_sketch",
     "distribution_drift", "dsir", "error_budget", "filter", "fingerprint",
     "flatten", "gram", "heavy_hitters", "histogram",
-    "index_delta", "inverted_index", "join", "kcenter", "langid", "limit",
+    "index_delta", "inverted_index", "jl_project", "join", "kcenter",
+    "langid", "limit",
     "lm_xent", "lm_xent_bigram", "margin_mine", "mixture",
     "neardup_incremental",
     "pack", "pagerank", "parquet", "pca_rotate", "percentiles",
@@ -742,8 +746,29 @@ object ConfigPipeline {
                 graft.similarity.Pq.rerank(routed, dfs(0), dfs(1), id, vec, k)
               else routed
             }
+          // G52 SQ8: per-dim byte codes + asymmetric distance — scales
+          // train at stage-build time (2·dim longs of driver state)
+          case "sq" =>
+            val dim = knob("dim").asInt()
+            p.fanIn(name, Seq(qs, cs)) { dfs =>
+              val scales = graft.similarity.Sq.trainScales(dfs(1), vec, dim)
+              graft.similarity.Sq.sqTopK(dfs(0), dfs(1), id, vec, scales, k)
+            }
+          // G53 JL: brute-force top-k in the sign-projected space
+          case "jl" =>
+            p.fanIn(name, Seq(qs, cs))(dfs =>
+              graft.similarity.Jl.jlTopK(dfs(0), dfs(1), id, vec,
+                dim = knob("dim").asInt(), outDim = knob("outDim").asInt(), k,
+                seed = intKnob("seed", 42)))
           case other => sys.error(s"unknown ann method '$other'")
         }
+      // G53 JL projection as a standalone reduction stage (the vector
+      // column is replaced; every other column rides through)
+      case "jl_project" =>
+        p.stage(name, from)(graft.similarity.Jl.project(_,
+          knob("vec").asText(), outDim = knob("outDim").asInt(),
+          dim = knob("dim").asInt(),
+          seed = if (s.has("seed")) knob("seed").asInt() else 42))
       case "quality_classifier" => // weights from a named pipeline stage
         val weights = p.output(knob("weights").asText())
         p.stage(name, from)(d => graft.functions.Lm.linearScore(

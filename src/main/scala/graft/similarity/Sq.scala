@@ -1,0 +1,107 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.{ColumnBridge, SqAdcDist, SqEncode}
+
+/** Scalar quantization (SQ8 — the `ScalarQuantizer` of Douze et al., "The
+  * Faiss Library", 2024): compress each embedding to ONE BYTE PER
+  * DIMENSION with an independent affine map per dimension, and answer
+  * queries by asymmetric distance against the reconstructions. The middle
+  * point of the compression spectrum this library now covers end to end:
+  *
+  *   - float corpus ([[Ann.bruteForceTopK]])        — 4 B/dim, exact
+  *   - SQ8 codes (this object)                      — 1 B/dim, per-dim rounding
+  *   - PQ codes ([[Pq]])                            — m B/VECTOR, subspace rounding
+  *
+  * SQ8 is the right operating point when PQ's subspace quantization costs
+  * too much recall but the float corpus no longer fits executor memory —
+  * at 100 TB of raw floats the code table is 25 TB, and unlike PQ no
+  * codebook training round is needed: the model is 2·dim longs.
+  *
+  * Scale shape: training is ONE aggregate over the corpus (per-dimension
+  * min/max — d-sized partials partial-aggregate map-side, a d-row collect
+  * of driver state); encoding is a zero-shuffle projection; scoring
+  * broadcasts the query side and the corpus never shuffles — the only
+  * exchange is [[Ann.topKTail]]'s bounded-aggregate tail over (id, score)
+  * rows. All three stages carry the scales as reference objects inside
+  * native expressions ([[org.apache.spark.sql.graftglue.SqEncode]] /
+  * [[org.apache.spark.sql.graftglue.SqAdcDist]]) — plan size constant in
+  * dim, loops compiled, projections fused.
+  *
+  * Determinism: everything after [[Clustering.quantize]]'s floor step is
+  * EXACT long arithmetic (clamp-then-divide keeps every division
+  * non-negative, so truncation ≡ floor ≡ DuckDB `//`), which is why
+  * q_sq_topk's oracle replays train → encode → reconstruct → distance
+  * bit-for-bit in SQL. The default `scale` is 2^16, not the family's
+  * 2^20: SQ's own byte rounding dwarfs the extra quantization error, and
+  * the smaller scale buys overflow headroom for the squared-distance sum
+  * (|x·2^16| ≤ 2^22 at |x| ≤ 64 leaves the d² fold far under 2^63 —
+  * and the natives overflow LOUDLY past it, the GramSum posture).
+  */
+object Sq {
+
+  /** Per-dimension affine scales: `lo` = corpus minimum, `width` = corpus
+    * range, both in quantized units. Model-sized driver state by
+    * construction (2·dim longs — smaller than one embedding row).
+    */
+  final case class Scales(lo: Array[Long], width: Array[Long]) {
+    require(lo.length == width.length, "scales arrays must align")
+    def dim: Int = lo.length
+  }
+
+  /** Learn `Scales` from a corpus: one min/max aggregate over the
+    * per-dimension explode — d groups, map-side partials, a d-row collect.
+    * `dim` is passed, not probed (the [[Ann]] lesson — no `.head()` at
+    * plan time), and validated against what the aggregate actually saw.
+    */
+  def trainScales(df: DataFrame, vecCol: String, dim: Int,
+                  scale: Double = 65536.0): Scales = {
+    val rows = df
+      .select(posexplode(Clustering.quantize(col(vecCol), scale)).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(min("v").as("lo"), max("v").as("hi"))
+      .collect()
+    require(rows.length == dim,
+      s"trainScales: corpus has ${rows.length} dimensions, expected $dim")
+    val byPos = rows.map(r => (r.getInt(0),
+      (r.getDouble(1).toLong, r.getDouble(2).toLong))).sortBy(_._1)
+    Scales(byPos.map(_._2._1), byPos.map { case (_, (l, h)) => h - l })
+  }
+
+  private def encodeCol(vec: Column, s: Scales, scale: Double): Column =
+    ColumnBridge.column(SqEncode(
+      ColumnBridge.expression(Clustering.quantize(vec, scale)), s.lo, s.width))
+
+  /** Encode a corpus to (id, carry…, codes) — a zero-shuffle projection;
+    * codes are `array<int>` in [0, 255] (byte-range by the clamp
+    * contract, int-typed for oracle-friendly arithmetic). Out-of-range
+    * vectors under FROZEN scales (a delta encode) clamp to the range
+    * edge — the standard SQ saturation, not an error.
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String, s: Scales,
+             scale: Double = 65536.0, carry: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol).as("id") +: carry.map(col) :+
+      encodeCol(col(vecCol), s, scale).as("codes"): _*)
+
+  /** Asymmetric-distance top-k over SQ8 codes: the query keeps full
+    * (quantized) precision, the corpus contributes reconstructions —
+    * output (query_id, rank, neighbor_id, sq2) with sq2 the exact-long
+    * squared L2 in quantized units, ranks tie-broken by neighbor id
+    * (the [[Ann.bruteForceTopK]] conventions, self-pairs excluded).
+    */
+  def sqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, s: Scales, topK: Int,
+             scale: Double = 65536.0): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      Clustering.quantize(col(vecCol), scale).as("__qv"))
+    val codes = encode(corpus, idCol, vecCol, s, scale)
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        ColumnBridge.column(SqAdcDist(
+          ColumnBridge.expression(col("__qv")),
+          ColumnBridge.expression(col("codes")), s.lo, s.width)).as("sq2"))
+    Ann.topKTail(scored, topK, scoreCol = "sq2", ascending = true)
+  }
+}

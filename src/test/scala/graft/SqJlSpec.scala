@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.{Ann, Jl, Pca, Sq}
+import graft.sources.Tables
+
+/** G52 scalar quantization + G53 JL projection — invariants beyond the
+  * oracle: code-range and reconstruction-error bounds, frozen-scale
+  * saturation, the construction identity jlTopK ≡ brute-over-projected,
+  * neighborhood retention floors, and the zero-shuffle/broadcast plan
+  * shapes.
+  */
+class SqJlSpec extends SparkSpec {
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+  private lazy val scales = Sq.trainScales(emb, "embedding", dim = 64)
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("SQ codes are byte-range and the model is 2·dim longs") {
+    assert(scales.dim == 64 && scales.width.forall(_ >= 0L))
+    val codes = Sq.encode(emb, "vec_id", "embedding", scales)
+    val stats = codes.select(explode(col("codes")).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(stats.getInt(0) >= 0 && stats.getInt(1) <= 255)
+  }
+
+  test("SQ reconstruction error is bounded by one code step per dimension") {
+    // recon_i differs from the quantized value by at most width_i/255 + 1
+    // quantized units (one code cell plus the two truncating divisions),
+    // so each vector's distance to its OWN code is within the summed bound
+    import org.apache.spark.sql.graftglue.{ColumnBridge, SqAdcDist}
+    val bound = scales.width.map(w => { val s = w / 255L + 2L; s * s }).sum
+    val self = Sq.encode(emb, "vec_id", "embedding", scales)
+      .join(emb.select(col("vec_id").as("id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 65536.0D) as double))")
+          .as("__qv")), Seq("id"))
+      .select(ColumnBridge.column(SqAdcDist(
+        ColumnBridge.expression(col("__qv")),
+        ColumnBridge.expression(col("codes")),
+        scales.lo, scales.width)).as("d"))
+    assert(self.agg(max("d")).head().getLong(0) <= bound,
+      s"self-distance exceeded the per-dim code-step bound $bound")
+  }
+
+  test("frozen-scale delta encode saturates out-of-range values, never nulls") {
+    import spark.implicits._
+    // scales trained on the corpus; a delta vector far outside the range
+    // must clamp to code 0/255 (the SQ saturation contract)
+    val far = Seq((999L, Array.fill(64)(100.0f)), (998L, Array.fill(64)(-100.0f)))
+      .toDF("vec_id", "embedding")
+    val codes = Sq.encode(far, "vec_id", "embedding", scales).collect()
+    val hi = codes.find(_.getLong(0) == 999L).get.getSeq[Int](1)
+    val lo = codes.find(_.getLong(0) == 998L).get.getSeq[Int](1)
+    assert(hi.forall(_ == 255) && lo.forall(_ == 0))
+  }
+
+  test("SQ dimension mismatch nulls codes instead of corrupting distances") {
+    import spark.implicits._
+    val bad = Seq((1L, Array.fill(32)(0.1f))).toDF("vec_id", "embedding")
+    assert(Sq.encode(bad, "vec_id", "embedding", scales)
+      .filter(col("codes").isNull).count() == 1)
+  }
+
+  test("SQ top-k tracks the exact-L2 order closely at byte precision") {
+    import graft.functions.Vectors
+    val queries = emb.filter(col("vec_id") < 8)
+    val approx = Sq.sqTopK(queries, emb, "vec_id", "embedding", scales, topK = 3)
+    // exact-L2 truth via the same topKTail conventions
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Vectors.fdot(col("qv"), col("qv")) + Vectors.fdot(col("cv"), col("cv"))
+          - lit(2.0) * Vectors.fdot(col("qv"), col("cv"))).as("d2"))
+    val truth = Ann.topKTail(scored, 3, scoreCol = "d2", ascending = true)
+    val hits = approx.join(truth, Seq("query_id", "neighbor_id")).count()
+    assert(hits >= 20, s"recall@3 over 8 queries too low: $hits/24")
+  }
+
+  test("SQ results are partition-order independent") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val a = Sq.sqTopK(queries, emb, "vec_id", "embedding", scales, topK = 3)
+    val b = Sq.sqTopK(queries.repartition(7), emb.repartition(5),
+      "vec_id", "embedding", scales, topK = 3)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("SQ plan: encode is a zero-shuffle projection; scoring broadcasts " +
+       "the query side with a single aggregate exchange") {
+    val codes = Sq.encode(emb, "vec_id", "embedding", scales)
+    codes.count()
+    assert(countShuffles(codes) == 0, planString(codes))
+    val p = planString(
+      Sq.sqTopK(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+        scales, topK = 3))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert("- Exchange \\(\\d+\\)".r.findAllIn(p).size == 1, p)
+  }
+
+  private def countShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def walk(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: ShuffleExchangeExec => 1 + s.children.map(walk).sum
+      case other => other.children.map(walk).sum +
+        other.subqueries.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("JL sign matrix is reproducible, ±1, and roughly balanced") {
+    val a = Jl.signMatrix(16, 64)
+    val b = Jl.signMatrix(16, 64)
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
+    val flat = a.flatten
+    assert(flat.forall(v => v == 1.0 || v == -1.0))
+    val plus = flat.count(_ == 1.0).toDouble / flat.length
+    assert(plus > 0.4 && plus < 0.6, s"sign balance $plus")
+    // a different seed yields a different matrix
+    assert(!Jl.signMatrix(16, 64, seed = 7).flatten.sameElements(flat))
+  }
+
+  test("JL projection emits outDim floats and rides other columns through") {
+    val p = Jl.project(emb, "embedding", outDim = 16, dim = 64)
+    assert(p.columns.sameElements(emb.columns))
+    assert(p.select(size(col("embedding"))).distinct().head().getInt(0) == 16)
+  }
+
+  test("jlTopK is exactly brute force over the projected frames") {
+    val r = Jl.signMatrix(16, 64)
+    val viaOp = Jl.jlTopK(emb.filter(col("vec_id") < 8), emb,
+      "vec_id", "embedding", dim = 64, outDim = 16, k = 3)
+    val byHand = Ann.bruteForceTopK(
+      Pca.rotateAll(emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")), "embedding", r),
+      Pca.rotateAll(emb.select(col("vec_id"), col("embedding")), "embedding", r),
+      "vec_id", "embedding", 3)
+    assert(viaOp.exceptAll(byHand).isEmpty && byHand.exceptAll(viaOp).isEmpty)
+  }
+
+  test("JL satisfies the distance-preservation lemma on every sampled pair") {
+    // the actual JL guarantee is DISTORTION, not rank preservation (these
+    // synthetic embeddings are near-isotropic noise, so top-3 ranks hang
+    // on cosine gaps far below the outDim=16 distortion — recall against
+    // the full-space truth is chance-level BY THE GEOMETRY, and recall is
+    // measured, not asserted, in plans/ANN.md): for a ±1 sign matrix
+    // E[|y|²] = outDim·|x|², so the per-pair ratio
+    // |Δy|² / (outDim·|Δx|²) concentrates around 1 at ~sqrt(2/outDim)
+    val outDim = 16
+    val rows = Jl.project(emb.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding")), "embedding", outDim, 64)
+      .join(emb.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding").as("orig")), Seq("vec_id"))
+      .collect()
+      .map(r => (r.getSeq[Float](1).toArray, r.getSeq[Float](2).toArray))
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val ratios = for {
+      i <- rows.indices; j <- rows.indices if i < j
+    } yield d2(rows(i)._1, rows(j)._1) / (outDim * d2(rows(i)._2, rows(j)._2))
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.4, s"mean distortion ratio $mean")
+    assert(ratios.forall(r => r > 0.05 && r < 5.0),
+      s"pair distortion outside [0.05, 5]: min=${ratios.min} max=${ratios.max}")
+  }
+}
