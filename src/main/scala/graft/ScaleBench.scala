@@ -118,7 +118,12 @@ object ScaleBench {
           "q_corpus_overlap", "q_soft_dedup", "q_ccnet_buckets",
           // r8 bounded-aggregate conversions (documents/orders-based, so
           // they ride the synthesized decades)
-          "q_tfidf", "q_sample_per_group", "q_vocab", "q_gram"))
+          "q_tfidf", "q_sample_per_group", "q_vocab", "q_gram",
+          // r9 G52/G53: SQ is scan-shaped (train aggregate + broadcast
+          // scoring pass — growth should track the two scans); JL's
+          // projection is scan-shaped but the brute top-k behind it pays
+          // |Q|·|C| pairs, k× data = k²× pairs like margin_brute
+          "q_sq_topk", "q_jl_topk"))
         time(q, dir) { SparkEntry.queries(q)(spark, dir) }
       time("neardup_composed", dir) { neardupComposed(spark, dir) }
       // G45/G46 decades: brute margin mining is O(|A|·|B|) BY DESIGN —

@@ -1871,6 +1871,14 @@ object SparkEntry {
       graft.similarity.Sq.sqTopK(emb.filter(col("vec_id") < 8), emb,
         "vec_id", "embedding", scales, topK = 3)
     }),
+    // exhaustive IVF-SQ (nprobe == nlist) must reproduce sqTopK exactly —
+    // shares q_sq_topk's oracle by construction (the q_pq_ivf device)
+    "q_sq_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val scales = graft.similarity.Sq.trainScales(emb, "embedding", dim = 64)
+      graft.similarity.Sq.ivfSqTopK(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", scales, topK = 3, nlist = 16, nprobe = 16)
+    }),
     // G53: Johnson–Lindenstrauss sign projection — 64 → 16 dims with the
     // deterministic md5-parity ±1 matrix, then brute-force cosine top-k in
     // the REDUCED space; the oracle rebuilds the same matrix from the md5
@@ -4136,6 +4144,7 @@ object SparkEntry {
     "q_ann" -> annOracle,
     "q_ann_ivf" -> annOracle, // exhaustive IVF ≡ brute force
     "q_sq_topk" -> sqOracle,
+    "q_sq_ivf" -> sqOracle, // exhaustive IVF-SQ ≡ sqTopK
     "q_jl_topk" -> jlOracle,
     "q_margin_mine" -> marginOracle,
     "q_margin_mutual" -> marginMutualOracle,

@@ -75,7 +75,8 @@ import graft.Caching.TrackedSyntax
   * (from[2] = queries/corpus stages + id/vec/k — method "brute", "ivf"
   * [nlist/nprobe], "lsh" [dim/numPlanes/bands], "ivfpq"
   * [dim/m/codebookK/nlist/nprobe, optional mShort+rerank for the exact
-  * re-rank recall lever], "sq" [dim — byte codes + asymmetric distance],
+  * re-rank recall lever], "sq" [dim — byte codes + asymmetric
+  * distance; optional nlist/nprobe switch to the IVF-routed form],
   * or "jl" [dim/outDim — top-k in the sign-projected space]),
   * `jl_project` (vec/dim/outDim[, seed] — standalone JL reduction),
   * layout ops `zorder` (cols[, bits] — adds the
@@ -747,12 +748,17 @@ object ConfigPipeline {
               else routed
             }
           // G52 SQ8: per-dim byte codes + asymmetric distance — scales
-          // train at stage-build time (2·dim longs of driver state)
+          // train at stage-build time (2·dim longs of driver state);
+          // nlist/nprobe switch to the IVF-routed composition
           case "sq" =>
             val dim = knob("dim").asInt()
             p.fanIn(name, Seq(qs, cs)) { dfs =>
               val scales = graft.similarity.Sq.trainScales(dfs(1), vec, dim)
-              graft.similarity.Sq.sqTopK(dfs(0), dfs(1), id, vec, scales, k)
+              if (s.has("nlist"))
+                graft.similarity.Sq.ivfSqTopK(dfs(0), dfs(1), id, vec, scales, k,
+                  nlist = knob("nlist").asInt(), nprobe = intKnob("nprobe", 8))
+              else
+                graft.similarity.Sq.sqTopK(dfs(0), dfs(1), id, vec, scales, k)
             }
           // G53 JL: brute-force top-k in the sign-projected space
           case "jl" =>

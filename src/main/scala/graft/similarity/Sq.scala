@@ -104,4 +104,44 @@ object Sq {
           ColumnBridge.expression(col("codes")), s.lo, s.width)).as("sq2"))
     Ann.topKTail(scored, topK, scoreCol = "sq2", ascending = true)
   }
+
+  /** IVF-routed SQ8 — the FAISS "IVF-SQ" composition, mirroring
+    * [[Pq.ivfAdcTopK]]: [[sqTopK]] alone scans every code per query (the
+    * right form factor when the byte corpus is RAM-resident); at corpus
+    * scale route through `nlist` coarse cells and score only the `nprobe`
+    * cells nearest each query — the scanned fraction drops to
+    * ~nprobe/nlist of an ALREADY 4×-compressed scan.
+    *
+    * Plan shape: cell assignment rides the same zero-shuffle projection
+    * scan that encodes the corpus; the probed query side (queries ×
+    * nprobe rows carrying the quantized query vector) broadcasts into one
+    * hash join on the cell id — corpus never shuffles, no cartesian; the
+    * only exchange is [[Ann.topKTail]]'s. With `nprobe == nlist` the
+    * result is EXACTLY [[sqTopK]] (same scores, same tie-break — the
+    * q_sq_ivf oracle identity); recall < 1 below that, the standard IVF
+    * trade.
+    */
+  def ivfSqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, s: Scales, topK: Int,
+                nlist: Int = 64, nprobe: Int = 8,
+                scale: Double = 65536.0): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe ($nprobe) must be in [1, nlist=$nlist]")
+    val cents = Ann.coarseCentroids(corpus, idCol, vecCol, nlist)
+    val celled = corpus.select(col(idCol), col(vecCol),
+      Ann.nearestCell(cents, col(vecCol)).as("__cell"))
+    val codes = encode(celled, idCol, vecCol, s, scale, carry = Seq("__cell"))
+    val probed = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__v"),
+        Clustering.quantize(col(vecCol), scale).as("__qv"))
+      .withColumn("__cell", Ann.probeCells(cents, col("__v"), nprobe))
+      .select("query_id", "__qv", "__cell")
+    val scored = codes.join(broadcast(probed), Seq("__cell"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        ColumnBridge.column(SqAdcDist(
+          ColumnBridge.expression(col("__qv")),
+          ColumnBridge.expression(col("codes")), s.lo, s.width)).as("sq2"))
+    Ann.topKTail(scored, topK, scoreCol = "sq2", ascending = true)
+  }
 }

@@ -378,6 +378,27 @@ class MtlConfigSpec extends SparkSpec {
         | "mShort": 20, "rerank": true""".stripMargin.replace("\n", ""))
       .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect()
     assert(pq.count(_._2 == 1L) == 20 && pq.length == 100) // 20 queries x top-5
+    // r9 methods: sq trains its scales at stage-build time; jl projects
+    // both sides with the default seed — each must equal the programmatic op
+    val sq = cfg("sq", """, "dim": 64""")
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    val sqWant = {
+      val scales = graft.similarity.Sq.trainScales(corpus, "embedding", dim = 64)
+      graft.similarity.Sq.sqTopK(queries, corpus, "vec_id", "embedding", scales, 5)
+        .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    }
+    assert(sq == sqWant && sq.nonEmpty)
+    // nlist switches the sq method to the IVF-routed composition;
+    // nprobe=nlist is the exhaustive identity, so it must equal plain sq
+    val sqIvf = cfg("sq", """, "dim": 64, "nlist": 8, "nprobe": 8""")
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    assert(sqIvf == sqWant)
+    val jl = cfg("jl", """, "dim": 64, "outDim": 16""")
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    val jlWant = graft.similarity.Jl.jlTopK(queries, corpus, "vec_id", "embedding",
+        dim = 64, outDim = 16, k = 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    assert(jl == jlWant && jl.nonEmpty)
   }
 
   test("ConfigPipeline drives the persistent IVFPQ index: probe and delta " +

@@ -118,6 +118,32 @@ class SqJlSpec extends SparkSpec {
     walk(df.queryExecution.executedPlan)
   }
 
+  test("exhaustive IVF-SQ reproduces sqTopK exactly; probed results stay " +
+       "score-consistent") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val full = Sq.sqTopK(queries, emb, "vec_id", "embedding", scales, topK = 3)
+    val ivf = Sq.ivfSqTopK(queries, emb, "vec_id", "embedding", scales,
+      topK = 3, nlist = 8, nprobe = 8)
+    assert(full.exceptAll(ivf).isEmpty && ivf.exceptAll(full).isEmpty)
+    // nprobe < nlist: a top-k over fewer candidates — every returned score
+    // must match the full scoring of that same pair (routing changes WHICH
+    // pairs are scored, never the score), so the probed result joined to
+    // the exhaustive per-pair scores on (query, neighbor) agrees on sq2
+    val probed = Sq.ivfSqTopK(queries, emb, "vec_id", "embedding", scales,
+      topK = 3, nlist = 8, nprobe = 2)
+    val allPairs = Sq.sqTopK(queries, emb, "vec_id", "embedding", scales,
+      topK = Int.MaxValue / 2)
+    assert(probed.count() > 0)
+    assert(probed.join(allPairs.withColumnRenamed("sq2", "full_sq2"),
+        Seq("query_id", "neighbor_id"))
+      .filter(col("sq2") =!= col("full_sq2")).isEmpty)
+    // plan: broadcast join on the cell id, single aggregate exchange
+    val p = planString(probed)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert("- Exchange \\(\\d+\\)".r.findAllIn(p).size == 1, p)
+  }
+
   test("JL sign matrix is reproducible, ±1, and roughly balanced") {
     val a = Jl.signMatrix(16, 64)
     val b = Jl.signMatrix(16, 64)
