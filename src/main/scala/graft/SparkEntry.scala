@@ -1325,6 +1325,32 @@ object SparkEntry {
       s.read.parquet(s"$outDir/batch_*")
         .select("query_id", "rank", "neighbor_id", "adc2")
     }),
+    // STREAMING SQ probe: the byte-code sibling of q_stream_annprobe —
+    // scales are the frozen model (2·dim longs, trained once on the
+    // corpus), query embeddings drain as a file stream, each micro-batch
+    // scores against the static code table. A query's top-k depends only
+    // on the query + the frozen (scales, corpus), so any batch split
+    // appends the same rows and the stream shares q_sq_topk's oracle.
+    "q_stream_sqprobe" -> ((s, dir) => withStreamShuffle(s) {
+      val emb = T(s, dir, "embeddings")
+      val scales = graft.similarity.Sq.trainScales(emb, "embedding", dim = 64)
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_sqp").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val queries = emb.filter(col("vec_id") < 8)
+      queries.repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+        format = "parquet", schemaDdl = Some(queries.schema.toDDL),
+        maxFilesPerTrigger = 1)
+      val q = graft.streaming.Streams.toForeachBatch(stream, ckpt,
+        availableNow = true, outputMode = "append") { (batch, id) =>
+        graft.similarity.Sq.sqTopK(batch, emb, "vec_id", "embedding",
+            scales, topK = 3)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+      }
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/batch_*")
+        .select("query_id", "rank", "neighbor_id", "sq2")
+    }),
     // STREAMING index MAINTENANCE: the full daily-crawl loop — per batch,
     // probe the stored index and APPEND admitted docs' band keys. The
     // streamed delta is pre-collapsed with keepCanonical (uncapped), whose
@@ -3760,6 +3786,7 @@ object SparkEntry {
     // the streamed probe must converge on the same answer under any
     // batch split (verdicts depend only on query + static index)
     "q_stream_annprobe" -> pqOracle,
+    "q_stream_sqprobe" -> sqOracle, // stateless probe ≡ batch under any split
     "q_ann_index_delta" -> annIndexDeltaOracle,
     // exact integer scatter sums — DuckDB's SUM(BIGINT) widens to
     // HUGEINT, so cast back for the schema match
