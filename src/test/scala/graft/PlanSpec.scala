@@ -65,7 +65,11 @@ class PlanSpec extends SparkSpec {
       // winnowed decontamination: bench-print distinct + the two
       // count-distinct phases over HIT rows — corpus prints reach the
       // broadcast probe join as a pure projection, text never shuffles
-      "q_decontaminate_winnow" -> 3)
+      "q_decontaminate_winnow" -> 3,
+      // r9 SQ/JL: encode/projection ride the corpus scan, queries
+      // broadcast — the ONE exchange in each is the bounded top-k
+      // aggregate's (audited in plans/PLANS.md)
+      "q_sq_topk" -> 1, "q_sq_ivf" -> 1, "q_jl_topk" -> 1)
     val errs = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)
