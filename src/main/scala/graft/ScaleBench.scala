@@ -121,8 +121,10 @@ object ScaleBench {
           "q_tfidf", "q_sample_per_group", "q_vocab", "q_gram",
           // r9 G52/G53: SQ is scan-shaped (train aggregate + broadcast
           // scoring pass — growth should track the two scans); JL's
-          // projection is scan-shaped but the brute top-k behind it pays
-          // |Q|·|C| pairs, k× data = k²× pairs like margin_brute
+          // projection is scan-shaped too. Both gates fix |Q| at the
+          // oracled 8 vec_ids (salted replicas get NEW ids), so the
+          // |Q|·|C| pair term grows k×, not k² — the quadratic regime
+          // (both sides growing) is margin_brute's row, not these
           "q_sq_topk", "q_jl_topk"))
         time(q, dir) { SparkEntry.queries(q)(spark, dir) }
       time("neardup_composed", dir) { neardupComposed(spark, dir) }

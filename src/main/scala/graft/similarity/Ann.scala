@@ -98,12 +98,22 @@ object Ann {
     */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Int = 42): Array[Array[Double]] = {
     Array.tabulate(numPlanes, dim) { (p, j) =>
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$seed:$p:$j".getBytes("UTF-8"))
-      val hex = digest.map(b => f"$b%02x").mkString
-      val v = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-      v.toDouble / (1L << 59).toDouble - 1.0
+      md5Prefix60(s"$seed:$p:$j").toDouble / (1L << 59).toDouble - 1.0
     }
+  }
+
+  /** The 60-bit md5-prefix integer behind every derived-matrix device
+    * ([[hyperplanes]], [[Jl.signMatrix]]): the 15-hex-digit prefix parses
+    * in any engine's signed 64-bit hex space, so SQL oracles rebuild the
+    * same values. ONE home (the [[Clustering.quantize]] rule): two copies
+    * drifting apart would silently desync whichever family kept the
+    * stale recipe from its oracle.
+    */
+  private[similarity] def md5Prefix60(key: String): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    val hex = digest.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
   /** Coarse-quantizer centroids shared by [[ivfTopK]] and

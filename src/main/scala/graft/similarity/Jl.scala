@@ -34,23 +34,25 @@ import org.apache.spark.sql.functions._
   */
 object Jl {
 
-  /** The deterministic ±1 sign matrix (outDim rows × dim columns). */
+  /** The deterministic ±1 sign matrix (outDim rows × dim columns) —
+    * parity of the shared [[Ann.md5Prefix60]] device.
+    */
   def signMatrix(outDim: Int, dim: Int, seed: Int = 42): Array[Array[Double]] = {
     require(outDim > 0 && dim > 0, "jl: dimensions must be positive")
     Array.tabulate(outDim, dim) { (i, j) =>
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$seed:$i:$j".getBytes("UTF-8"))
-      val hex = digest.map(b => f"$b%02x").mkString
-      val v = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-      if (v % 2 == 0) 1.0 else -1.0
+      if (Ann.md5Prefix60(s"$seed:$i:$j") % 2 == 0) 1.0 else -1.0
     }
   }
 
   /** Replace `vecCol` with its `outDim`-dimensional projection (every
     * other column rides through) — `array<float>`, so the result feeds
-    * the same consumers as raw embeddings.
+    * the same consumers as raw embeddings. Parameter order matches
+    * [[jlTopK]] (`dim` then `outDim`) — the same pair ordered two ways
+    * across one object's API is a silent-empty-result trap (a transposed
+    * call builds a mismatched matrix, MatVecMul nulls every vector, and
+    * downstream top-k quietly drops the null scores).
     */
-  def project(df: DataFrame, vecCol: String, outDim: Int, dim: Int,
+  def project(df: DataFrame, vecCol: String, dim: Int, outDim: Int,
               seed: Int = 42): DataFrame =
     Pca.rotateAll(df, vecCol, signMatrix(outDim, dim, seed))
 

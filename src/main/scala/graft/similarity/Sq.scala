@@ -42,11 +42,18 @@ import org.apache.spark.sql.graftglue.{ColumnBridge, SqAdcDist, SqEncode}
 object Sq {
 
   /** Per-dimension affine scales: `lo` = corpus minimum, `width` = corpus
-    * range, both in quantized units. Model-sized driver state by
-    * construction (2·dim longs — smaller than one embedding row).
+    * range, both in quantized units — plus the QUANTIZATION scale they
+    * were trained at, carried IN the model so encode-time and probe-time
+    * quantization can never drift from training (a mismatched scale would
+    * not error: the clamp contract would silently saturate every code,
+    * which is correct for out-of-range DATA but poison for an
+    * out-of-sync CALLER). Model-sized driver state by construction
+    * (2·dim longs + one double — smaller than one embedding row).
     */
-  final case class Scales(lo: Array[Long], width: Array[Long]) {
+  final case class Scales(lo: Array[Long], width: Array[Long],
+                          scale: Double = 65536.0) {
     require(lo.length == width.length, "scales arrays must align")
+    require(scale > 0.0 && scale.isFinite, s"quantization scale $scale")
     def dim: Int = lo.length
   }
 
@@ -66,12 +73,12 @@ object Sq {
       s"trainScales: corpus has ${rows.length} dimensions, expected $dim")
     val byPos = rows.map(r => (r.getInt(0),
       (r.getDouble(1).toLong, r.getDouble(2).toLong))).sortBy(_._1)
-    Scales(byPos.map(_._2._1), byPos.map { case (_, (l, h)) => h - l })
+    Scales(byPos.map(_._2._1), byPos.map { case (_, (l, h)) => h - l }, scale)
   }
 
-  private def encodeCol(vec: Column, s: Scales, scale: Double): Column =
+  private def encodeCol(vec: Column, s: Scales): Column =
     ColumnBridge.column(SqEncode(
-      ColumnBridge.expression(Clustering.quantize(vec, scale)), s.lo, s.width))
+      ColumnBridge.expression(Clustering.quantize(vec, s.scale)), s.lo, s.width))
 
   /** Encode a corpus to (id, carry…, codes) — a zero-shuffle projection;
     * codes are `array<int>` in [0, 255] (byte-range by the clamp
@@ -80,9 +87,9 @@ object Sq {
     * edge — the standard SQ saturation, not an error.
     */
   def encode(df: DataFrame, idCol: String, vecCol: String, s: Scales,
-             scale: Double = 65536.0, carry: Seq[String] = Nil): DataFrame =
+             carry: Seq[String] = Nil): DataFrame =
     df.select(col(idCol).as("id") +: carry.map(col) :+
-      encodeCol(col(vecCol), s, scale).as("codes"): _*)
+      encodeCol(col(vecCol), s).as("codes"): _*)
 
   /** Asymmetric-distance top-k over SQ8 codes: the query keeps full
     * (quantized) precision, the corpus contributes reconstructions —
@@ -91,11 +98,10 @@ object Sq {
     * (the [[Ann.bruteForceTopK]] conventions, self-pairs excluded).
     */
   def sqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-             vecCol: String, s: Scales, topK: Int,
-             scale: Double = 65536.0): DataFrame = {
+             vecCol: String, s: Scales, topK: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
-      Clustering.quantize(col(vecCol), scale).as("__qv"))
-    val codes = encode(corpus, idCol, vecCol, s, scale)
+      Clustering.quantize(col(vecCol), s.scale).as("__qv"))
+    val codes = encode(corpus, idCol, vecCol, s)
     val scored = codes.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
@@ -123,17 +129,16 @@ object Sq {
     */
   def ivfSqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, s: Scales, topK: Int,
-                nlist: Int = 64, nprobe: Int = 8,
-                scale: Double = 65536.0): DataFrame = {
+                nlist: Int = 64, nprobe: Int = 8): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist,
       s"nprobe ($nprobe) must be in [1, nlist=$nlist]")
     val cents = Ann.coarseCentroids(corpus, idCol, vecCol, nlist)
     val celled = corpus.select(col(idCol), col(vecCol),
       Ann.nearestCell(cents, col(vecCol)).as("__cell"))
-    val codes = encode(celled, idCol, vecCol, s, scale, carry = Seq("__cell"))
+    val codes = encode(celled, idCol, vecCol, s, carry = Seq("__cell"))
     val probed = queries.select(col(idCol).as("query_id"),
         col(vecCol).as("__v"),
-        Clustering.quantize(col(vecCol), scale).as("__qv"))
+        Clustering.quantize(col(vecCol), s.scale).as("__qv"))
       .withColumn("__cell", Ann.probeCells(cents, col("__v"), nprobe))
       .select("query_id", "__qv", "__cell")
     val scored = codes.join(broadcast(probed), Seq("__cell"))

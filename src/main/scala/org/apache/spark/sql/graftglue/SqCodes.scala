@@ -23,9 +23,11 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * The scale arrays ride as reference objects (the
   * [[NearestCenter]]/[[DistMap]] recipe): plan text and generated code are
   * constant in the dimension count, the loop runs compiled, and the
-  * enclosing projection stays fused. A length-MISMATCHED or null-element
-  * vector nulls the OUTPUT (the [[MatVecMul]] convention — a zero-padded
-  * code word would silently corrupt every distance it later enters).
+  * enclosing projection stays fused. A length-MISMATCHED, null-element,
+  * or non-finite-element vector nulls the OUTPUT (the [[MatVecMul]]
+  * convention — a zero-padded code word would silently corrupt every
+  * distance it later enters, and `NaN.toLong` would silently encode a
+  * NaN dimension as the mid-range code for 0).
   *
   * Overflow posture (the [[GramSum]] lesson): multiplies and adds use
   * `Math.multiplyExact`/`addExact`, so a caller quantizing at a scale
@@ -51,7 +53,11 @@ case class SqEncode(child: Expression, lo: Array[Long], width: Array[Long])
     var i = 0
     while (i < n) {
       if (a.isNullAt(i)) return null
-      val x = a.getDouble(i).toLong
+      val xd = a.getDouble(i)
+      // NaN/Infinity would coerce to 0L / saturate silently under toLong —
+      // null the row instead (the null-element contract, stated above)
+      if (java.lang.Double.isNaN(xd) || java.lang.Double.isInfinite(xd)) return null
+      val x = xd.toLong
       val w = width(i)
       out(i) =
         if (w == 0L) 0
@@ -99,9 +105,11 @@ case class SqEncode(child: Expression, lo: Array[Long], width: Array[Long])
   * error is the corpus rounding — half the symmetric-code error.
   *
   * Scales ride as reference objects (constant plan size in dim); a
-  * length mismatch between query, codes, and scales nulls the output;
-  * arithmetic overflows loudly via `Math.addExact`/`multiplyExact` (the
-  * [[GramSum]] posture).
+  * length mismatch between query, codes, and scales nulls the output, as
+  * does a non-finite query component (the [[SqEncode]] contract); EVERY
+  * arithmetic step — reconstruction add, difference, square, accumulate —
+  * overflows loudly via `Math.addExact`/`subtractExact`/`multiplyExact`
+  * (the [[GramSum]] posture).
   */
 case class SqAdcDist(left: Expression, right: Expression,
                      lo: Array[Long], width: Array[Long])
@@ -125,8 +133,11 @@ case class SqAdcDist(left: Expression, right: Expression,
     var i = 0
     while (i < n) {
       if (qa.isNullAt(i) || ca.isNullAt(i)) return null
-      val recon = lo(i) + Math.multiplyExact(ca.getInt(i).toLong, width(i)) / 255L
-      val d = qa.getDouble(i).toLong - recon
+      val qd = qa.getDouble(i)
+      if (java.lang.Double.isNaN(qd) || java.lang.Double.isInfinite(qd)) return null
+      val recon = Math.addExact(lo(i),
+        Math.multiplyExact(ca.getInt(i).toLong, width(i)) / 255L)
+      val d = Math.subtractExact(qd.toLong, recon)
       acc = Math.addExact(acc, Math.multiplyExact(d, d))
       i += 1
     }

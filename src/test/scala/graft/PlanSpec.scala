@@ -15,11 +15,7 @@ import graft.sources.Tables
   */
 class PlanSpec extends SparkSpec {
 
-  private def planString(df: org.apache.spark.sql.DataFrame): String = {
-    val out = new java.io.ByteArrayOutputStream()
-    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
-    out.toString
-  }
+  // planString / countShufflesExec come from SparkSpec (shared, one home)
 
   // Shuffle-BUDGET regression gate: the per-query exchange counts below are
   // the audited values from plans/PLANS.md (SURVEY §5) — a plan change that
@@ -107,30 +103,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("projection-only transforms add no shuffle") {
-    def countShuffles(plan: SparkPlan): Int = {
-      val self = plan match {
-        case _: ShuffleExchangeExec => 1
-        case a: AdaptiveSparkPlanExec => return countShuffles(a.executedPlan)
-        case _ => 0
-      }
-      self + plan.children.map(countShuffles).sum
-    }
     val df = Ops.insertData(
       Ops.substituteRegex(
         Ops.remap(Tables.load(spark, sfDir, "customer"),
           Seq("c_custkey" -> "id", "c_name" -> "name")),
         "name", "_", " "),
       Map("src" -> "t"))
-    assert(countShuffles(df.queryExecution.executedPlan) == 0)
+    assert(countShufflesExec(df.queryExecution.executedPlan) == 0)
   }
 
   test("bucketed tables join without a shuffle on either side") {
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def countShuffles(plan: SparkPlan): Int = plan match {
-      case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
-      case _: ShuffleExchangeExec => 1 + plan.children.map(countShuffles).sum
-      case _ => plan.children.map(countShuffles).sum
-    }
     Tables.writeBucketed(Tables.load(spark, sfDir, "lineitem"),
       "li_b", Seq("l_orderkey"), 4)
     Tables.writeBucketed(Tables.load(spark, sfDir, "orders"),
@@ -141,7 +123,7 @@ class PlanSpec extends SparkSpec {
       val joined = spark.table("li_b")
         .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
       joined.count() // materialize so AQE finalizes the plan
-      assert(countShuffles(joined.queryExecution.executedPlan) == 0,
+      assert(countShufflesExec(joined.queryExecution.executedPlan) == 0,
         joined.queryExecution.executedPlan.toString.take(2000))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
@@ -152,12 +134,6 @@ class PlanSpec extends SparkSpec {
     // two HashAggregates around one Exchange = partial + final
     assert("HashAggregate".r.findAllIn(p.linesIterator.filter(_.contains("+- "))
       .mkString("\n")).size >= 2, p)
-  }
-
-  private def countShufflesExec(plan: SparkPlan): Int = plan match {
-    case a: AdaptiveSparkPlanExec => countShufflesExec(a.executedPlan)
-    case _: ShuffleExchangeExec => 1 + plan.children.map(countShufflesExec).sum
-    case _ => plan.children.map(countShufflesExec).sum
   }
 
   test("lshPairs' bucket guard adds no exchange: window count + groupBy share one shuffle") {

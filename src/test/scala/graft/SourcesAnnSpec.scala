@@ -465,15 +465,18 @@ class SourcesAnnSpec extends SparkSpec {
       dir = dir, nlist = 4, rotation = Some(rot))
     // probe at nprobe = nlist: callers pass RAW vectors; the result must
     // equal the exhaustive ADC scan where EVERYTHING was rotated by hand
+    // collect() row order across queries is partition-arrival order, not
+    // deterministic — compare sorted (the per-query rank already totals
+    // the WITHIN-query order, which is what the identity is about)
     val got = Pq.probeIndex(df.filter($"vec_id" < 2), "vec_id", "embedding",
         dir, topK = 5, nprobe = 4)
-      .as[(Long, Long, Long, Double)].collect().toSeq
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
     val dfR = Pca.rotateAll(df, "embedding", rot)
     val cbsR = Pq.trainCodebooks(dfR, "vec_id", "embedding",
       dim = 8, m = 2, k = 2, rounds = 2)
     val want = Pq.adcTopK(dfR.filter($"vec_id" < 2), dfR,
         "vec_id", "embedding", cbsR, topK = 5)
-      .as[(Long, Long, Long, Double)].collect().toSeq
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
     assert(got == want && got.nonEmpty)
     // a rotated index must NOT answer like an unrotated one (the rotation
     // is load-bearing, not a no-op): PQ codes differ under rotation

@@ -16,11 +16,7 @@ class SqJlSpec extends SparkSpec {
   private lazy val emb = Tables.load(spark, sfDir, "embeddings")
   private lazy val scales = Sq.trainScales(emb, "embedding", dim = 64)
 
-  private def planString(df: org.apache.spark.sql.DataFrame): String = {
-    val out = new java.io.ByteArrayOutputStream()
-    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
-    out.toString
-  }
+  // planString / countShufflesExec come from SparkSpec (shared, one home)
 
   test("SQ codes are byte-range and the model is 2·dim longs") {
     assert(scales.dim == 64 && scales.width.forall(_ >= 0L))
@@ -67,6 +63,23 @@ class SqJlSpec extends SparkSpec {
       .filter(col("codes").isNull).count() == 1)
   }
 
+  test("SQ nulls NaN/Infinity vectors instead of encoding them as codes for 0") {
+    import spark.implicits._
+    // NaN.toLong is 0 — without the guard a NaN dimension would encode as
+    // the mid-range code for value 0 and rank as a plausible neighbor
+    val weird = Seq(
+      (1L, Array.tabulate(64)(i => if (i == 7) Float.NaN else 0.1f)),
+      (2L, Array.tabulate(64)(i => if (i == 7) Float.PositiveInfinity else 0.1f)),
+      (3L, Array.fill(64)(0.1f))).toDF("vec_id", "embedding")
+    val codes = Sq.encode(weird, "vec_id", "embedding", scales)
+    assert(codes.filter(col("codes").isNull).count() == 2)
+    assert(codes.filter(col("id") === 3L && col("codes").isNotNull).count() == 1)
+    // the query side of the distance has the same contract
+    val d = Sq.sqTopK(weird.filter(col("vec_id") === 1L),
+      emb, "vec_id", "embedding", scales, topK = 3)
+    assert(d.count() == 0, "a NaN query must rank no neighbors")
+  }
+
   test("SQ top-k tracks the exact-L2 order closely at byte precision") {
     import graft.functions.Vectors
     val queries = emb.filter(col("vec_id") < 8)
@@ -96,26 +109,14 @@ class SqJlSpec extends SparkSpec {
        "the query side with a single aggregate exchange") {
     val codes = Sq.encode(emb, "vec_id", "embedding", scales)
     codes.count()
-    assert(countShuffles(codes) == 0, planString(codes))
+    assert(countShufflesExec(codes.queryExecution.executedPlan) == 0,
+      planString(codes))
     val p = planString(
       Sq.sqTopK(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
         scales, topK = 3))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p)
     assert("- Exchange \\(\\d+\\)".r.findAllIn(p).size == 1, p)
-  }
-
-  private def countShuffles(df: org.apache.spark.sql.DataFrame): Int = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    def walk(p: SparkPlan): Int = p match {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case s: ShuffleExchangeExec => 1 + s.children.map(walk).sum
-      case other => other.children.map(walk).sum +
-        other.subqueries.map(walk).sum
-    }
-    walk(df.queryExecution.executedPlan)
   }
 
   test("exhaustive IVF-SQ reproduces sqTopK exactly; probed results stay " +
@@ -157,7 +158,7 @@ class SqJlSpec extends SparkSpec {
   }
 
   test("JL projection emits outDim floats and rides other columns through") {
-    val p = Jl.project(emb, "embedding", outDim = 16, dim = 64)
+    val p = Jl.project(emb, "embedding", dim = 64, outDim = 16)
     assert(p.columns.sameElements(emb.columns))
     assert(p.select(size(col("embedding"))).distinct().head().getInt(0) == 16)
   }
@@ -184,7 +185,7 @@ class SqJlSpec extends SparkSpec {
     // |Δy|² / (outDim·|Δx|²) concentrates around 1 at ~sqrt(2/outDim)
     val outDim = 16
     val rows = Jl.project(emb.filter(col("vec_id") < 20)
-        .select(col("vec_id"), col("embedding")), "embedding", outDim, 64)
+        .select(col("vec_id"), col("embedding")), "embedding", 64, outDim)
       .join(emb.filter(col("vec_id") < 20)
         .select(col("vec_id"), col("embedding").as("orig")), Seq("vec_id"))
       .collect()
