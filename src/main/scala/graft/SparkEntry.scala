@@ -1905,6 +1905,35 @@ object SparkEntry {
       graft.similarity.Sq.ivfSqTopK(emb.filter(col("vec_id") < 8), emb,
         "vec_id", "embedding", scales, topK = 3, nlist = 16, nprobe = 16)
     }),
+    // persistent IVF-SQ index: probe at nprobe == nlist is the exhaustive
+    // scan over the stored codes — the store/load round trip shares
+    // q_sq_topk's oracle bit for bit (the G47 device, byte-code edition)
+    "q_sq_index_probe" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val base = java.nio.file.Files.createTempDirectory("graft_sqidx_p").toString
+      graft.similarity.Sq.writeIndex(emb, "vec_id", "embedding",
+        dim = 64, dir = base, nlist = 16)
+      graft.similarity.Sq.probeIndex(emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", base, topK = 3, nprobe = 16)
+    }),
+    // IVF-SQ index maintenance under the FROZEN model: retire + encode
+    // the delta with the stored scales — maintained ≡ re-encoded from
+    // scratch (encoding is a deterministic projection; out-of-range delta
+    // values saturate by the clamp contract, which the oracle replays).
+    // Output exploded to (vec_id, pos, code) scalars for the hash compare.
+    "q_sq_index_delta" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val base = java.nio.file.Files.createTempDirectory("graft_sqidx_d").toString
+      graft.similarity.Sq.writeIndex(emb.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", dim = 64, dir = base, nlist = 8)
+      graft.similarity.Sq.indexCodesDelta(
+          emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", base,
+          emb.filter(col("vec_id") % 13 === 0).select(col("vec_id").as("id")))
+        .select(col("id").as("vec_id"),
+          posexplode(col("codes")).as(Seq("pos", "code")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("code").cast("long").as("code"))
+    }),
     // G53: Johnson–Lindenstrauss sign projection — 64 → 16 dims with the
     // deterministic md5-parity ±1 matrix, then brute-force cosine top-k in
     // the REDUCED space; the oracle rebuilds the same matrix from the md5
@@ -2822,6 +2851,26 @@ object SparkEntry {
       |r AS (SELECT query_id, neighbor_id,
       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin
+
+  /** Replay of q_sq_index_delta's maintained code table: scales train on
+    * the 90% generation (`vec_id % 10 <> 0` — the indexed corpus), codes
+    * derive for the MAINTAINED membership (everything not retired:
+    * `vec_id % 13 <> 0`) under those FROZEN scales — the 10% delta's
+    * out-of-range components saturate via the same clamp-then-divide.
+    */
+  private val sqIndexDeltaOracle: String =
+    """WITH q AS MATERIALIZED (SELECT vec_id,
+      |     list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)) AS qv
+      |     FROM embeddings),
+      |poss AS (SELECT unnest(range(1, 65)) AS pos),
+      |mm AS MATERIALIZED (SELECT pos, MIN(qv[pos]) AS lo, MAX(qv[pos]) - MIN(qv[pos]) AS w
+      |     FROM (SELECT * FROM q WHERE vec_id % 10 <> 0) CROSS JOIN poss GROUP BY pos)
+      |SELECT vec_id, pos - 1 AS pos,
+      |       CASE WHEN w = 0 THEN 0
+      |            ELSE ((least(greatest(qv[pos], lo), lo + w) - lo) * 255) // w
+      |       END AS code
+      |FROM q CROSS JOIN poss JOIN mm USING (pos)
+      |WHERE vec_id % 13 <> 0""".stripMargin
 
   private val langidOracle: String = {
     val codes = Text.stopwords.keys.toSeq.sorted // de, en, es, fr
@@ -4172,6 +4221,8 @@ object SparkEntry {
     "q_ann_ivf" -> annOracle, // exhaustive IVF ≡ brute force
     "q_sq_topk" -> sqOracle,
     "q_sq_ivf" -> sqOracle, // exhaustive IVF-SQ ≡ sqTopK
+    "q_sq_index_probe" -> sqOracle, // stored index at nprobe=nlist ≡ sqTopK
+    "q_sq_index_delta" -> sqIndexDeltaOracle,
     "q_jl_topk" -> jlOracle,
     "q_margin_mine" -> marginOracle,
     "q_margin_mutual" -> marginMutualOracle,

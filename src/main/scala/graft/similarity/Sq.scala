@@ -149,4 +149,113 @@ object Sq {
           ColumnBridge.expression(col("codes")), s.lo, s.width)).as("sq2"))
     Ann.topKTail(scored, topK, scoreCol = "sq2", ascending = true)
   }
+
+  // -------------------------------------------------------------------
+  // Persistent IVF-SQ index: the fourth stored-index family (LSH band
+  // keys [[graft.dedup.Dedup.indexDelta]], winnow prints, IVFPQ codes
+  // [[Pq.writeIndex]] — now byte codes), same build / probe / delta
+  // economics, same frozen-model contract.
+  // -------------------------------------------------------------------
+
+  /** Write a persistent IVF-SQ index under `dir`:
+    *
+    *   - `model/scales` — (pos, lo, width, qscale): the affine model,
+    *     dim rows (config-table-sized by construction)
+    *   - `model/coarse` — (cent_id, cent_vec): the nlist coarse cells
+    *   - `codes`        — (id, codes) parquet PARTITIONED BY `cell`
+    *
+    * The cell partitioning turns a probe's routing into directory-level
+    * partition pruning exactly as [[Pq.writeIndex]]'s does; the model is
+    * FROZEN at build time (codes are meaningless under retrained scales
+    * — the [[Pq]] contract), so daily generations maintain via
+    * [[indexCodesDelta]] and only a deliberate re-train rewrites the
+    * index. No training rounds exist to re-run: rebuilding the model is
+    * one min/max aggregate, which makes IVF-SQ the cheapest index of
+    * the four families to stand up.
+    */
+  def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, dir: String, nlist: Int = 64,
+                 scale: Double = 65536.0): Unit = {
+    val spark = corpus.sparkSession
+    val s = trainScales(corpus, vecCol, dim, scale)
+    val cents = Ann.coarseCentroids(corpus, idCol, vecCol, nlist)
+    import spark.implicits._
+    s.lo.indices.map(i => (i, s.lo(i), s.width(i), s.scale)).toDF(
+        "pos", "lo", "width", "qscale")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model/scales")
+    cents.map { case (cid, cv) => (cid, cv) }.toDF("cent_id", "cent_vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model/coarse")
+    val celled = corpus.select(col(idCol), col(vecCol),
+      Ann.nearestCell(cents, col(vecCol)).as("cell"))
+    encode(celled, idCol, vecCol, s, carry = Seq("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** Load the frozen model back (dim + nlist rows — bounded collects by
+    * the build contract).
+    */
+  private def readModel(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): (Seq[(String, Seq[Float])], Scales) = {
+    val srows = spark.read.parquet(s"$dir/model/scales").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val s = Scales(srows.map(_._2), srows.map(_._3), srows.head._4)
+    val cents = spark.read.parquet(s"$dir/model/coarse").collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+    (cents, s)
+  }
+
+  /** Probe the stored index: route each query to its `nprobe` nearest
+    * cells under the STORED centroids, scan only those cells' code
+    * partitions (the probed-cell union is ≤ nlist values — collected and
+    * pushed as a partition filter, pruning at file-listing time), and
+    * score with the STORED scales. `nprobe == nlist` reproduces
+    * [[sqTopK]] over the indexed corpus exactly (the q_sq_index_probe
+    * oracle identity).
+    */
+  def probeIndex(queries: DataFrame, idCol: String, vecCol: String,
+                 dir: String, topK: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val (cents, s) = readModel(spark, dir)
+    require(nprobe >= 1 && nprobe <= cents.size,
+      s"nprobe ($nprobe) must be in [1, nlist=${cents.size}]")
+    val probed = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__v"),
+        Clustering.quantize(col(vecCol), s.scale).as("__qv"))
+      .withColumn("cell", Ann.probeCells(cents, col("__v"), nprobe))
+      .select("query_id", "__qv", "cell")
+    val cells = probed.select("cell").distinct().collect().map(_.getString(0))
+    val codes = spark.read.parquet(s"$dir/codes")
+      .filter(col("cell").isin(cells.toSeq: _*))
+    val scored = codes.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        ColumnBridge.column(SqAdcDist(
+          ColumnBridge.expression(col("__qv")),
+          ColumnBridge.expression(col("codes")), s.lo, s.width)).as("sq2"))
+    Ann.topKTail(scored, topK, scoreCol = "sq2", ascending = true)
+  }
+
+  /** Index maintenance under the frozen model: retire `retiredIds`,
+    * encode `admitted` with the STORED scales/cells (out-of-range values
+    * SATURATE — the documented frozen-scale delta contract), return the
+    * maintained (id, cell, codes) set — row-identical to re-encoding the
+    * maintained membership from scratch under the same model, the
+    * identity q_sq_index_delta's oracle checks.
+    */
+  def indexCodesDelta(admitted: DataFrame, idCol: String, vecCol: String,
+                      dir: String, retiredIds: DataFrame): DataFrame = {
+    val spark = admitted.sparkSession
+    val (cents, s) = readModel(spark, dir)
+    val retire = graft.dedup.Dedup.retiredIdFrame(retiredIds)
+    val kept = spark.read.parquet(s"$dir/codes")
+      .join(broadcast(retire), Seq("id"), "left_anti")
+      .select("id", "cell", "codes")
+    val celled = admitted.select(col(idCol), col(vecCol),
+      Ann.nearestCell(cents, col(vecCol)).as("cell"))
+    val fresh = encode(celled, idCol, vecCol, s, carry = Seq("cell"))
+      .join(broadcast(retire), Seq("id"), "left_anti")
+      .select("id", "cell", "codes")
+    kept.unionByName(fresh)
+  }
 }

@@ -412,12 +412,14 @@ class SourcesAnnSpec extends SparkSpec {
     val cbs = graft.similarity.Pq.trainCodebooks(df, "vec_id", "embedding",
       dim = 8, m = 2, k = 2, rounds = 2)
     // probe with nprobe = nlist ≡ the exhaustive in-memory ADC scan
+    // (sorted compare: cross-query collect order is partition-arrival
+    // order — the identity is about content + within-query ranks)
     val got = graft.similarity.Pq.probeIndex(df.filter($"vec_id" < 2),
         "vec_id", "embedding", dir, topK = 5, nprobe = 4)
-      .as[(Long, Long, Long, Double)].collect().toSeq
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
     val want = graft.similarity.Pq.adcTopK(df.filter($"vec_id" < 2), df,
         "vec_id", "embedding", cbs, topK = 5)
-      .as[(Long, Long, Long, Double)].collect().toSeq
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
     assert(got == want && got.nonEmpty)
     // nprobe = 1 routing reaches the scan as a PARTITION filter on the
     // cell-partitioned layout — pruned at file-listing time

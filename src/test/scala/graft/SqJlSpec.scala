@@ -145,6 +145,48 @@ class SqJlSpec extends SparkSpec {
     assert("- Exchange \\(\\d+\\)".r.findAllIn(p).size == 1, p)
   }
 
+  test("persistent IVF-SQ index: probe ≡ in-memory sqTopK, routing prunes " +
+       "partitions, delta-maintained ≡ re-encoded under the frozen model") {
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < 4)
+    val dir = java.nio.file.Files.createTempDirectory("sqidx").toString
+    Sq.writeIndex(emb, "vec_id", "embedding", dim = 64, dir = dir, nlist = 8)
+    // probe at nprobe = nlist ≡ the exhaustive in-memory scan (training
+    // is one deterministic aggregate, so retrained scales = stored)
+    val got = Sq.probeIndex(queries, "vec_id", "embedding", dir,
+        topK = 3, nprobe = 8)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val want = Sq.sqTopK(queries, emb, "vec_id", "embedding", scales, topK = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == want && got.nonEmpty)
+    // nprobe = 1 routing reaches the scan as a PARTITION filter
+    val pruned = Sq.probeIndex(queries, "vec_id", "embedding", dir,
+      topK = 3, nprobe = 1)
+    pruned.collect()
+    val p = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"expected a cell partition filter in:\n${p.take(3000)}")
+    // maintenance identity: retire + admit under the stored model ≡
+    // re-encoding the maintained membership from scratch (same scales,
+    // same cells); admitted rows saturate under the frozen scales
+    val admitted = Seq((9001L, Array.fill(64)(50.0f))).toDF("vec_id", "embedding")
+    val retired = Seq(3L, 4L).toDF("id")
+    val maintained = Sq.indexCodesDelta(admitted, "vec_id", "embedding",
+        dir, retired)
+      .as[(Long, String, Seq[Int])].collect().toSet
+    val cents = Ann.coarseCentroids(emb, "vec_id", "embedding", 8)
+    val membership = emb.select(col("vec_id"), col("embedding"))
+      .filter(!col("vec_id").isin(3L, 4L)).unionByName(admitted)
+    val celled = membership.select(col("vec_id"), col("embedding"),
+      Ann.nearestCell(cents, col("embedding")).as("cell"))
+    val rebuilt = Sq.encode(celled, "vec_id", "embedding", scales,
+        carry = Seq("cell"))
+      .as[(Long, String, Seq[Int])].collect().toSet
+    assert(maintained == rebuilt)
+    assert(maintained.exists { case (id, _, codes) =>
+      id == 9001L && codes.forall(_ == 255) }) // saturation, not error
+  }
+
   test("JL sign matrix is reproducible, ±1, and roughly balanced") {
     val a = Jl.signMatrix(16, 64)
     val b = Jl.signMatrix(16, 64)
