@@ -64,8 +64,12 @@ class PlanSpec extends SparkSpec {
       "q_decontaminate_winnow" -> 3,
       // r9 SQ/JL: encode/projection ride the corpus scan, queries
       // broadcast — the ONE exchange in each is the bounded top-k
-      // aggregate's (audited in plans/PLANS.md)
-      "q_sq_topk" -> 1, "q_sq_ivf" -> 1, "q_jl_topk" -> 1)
+      // aggregate's (audited in plans/PLANS.md); the stored-index probe
+      // keeps the same shape (codes scan partition-prunes, model rides
+      // as reference objects) and delta maintenance is a pure
+      // anti-join/union projection like q_ann_index_delta's
+      "q_sq_topk" -> 1, "q_sq_ivf" -> 1, "q_jl_topk" -> 1,
+      "q_sq_index_probe" -> 1, "q_sq_index_delta" -> 0)
     val errs = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)
