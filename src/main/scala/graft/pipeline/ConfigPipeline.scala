@@ -79,6 +79,8 @@ import graft.Caching.TrackedSyntax
   * distance; optional nlist/nprobe switch to the IVF-routed form],
   * or "jl" [dim/outDim — top-k in the sign-projected space]),
   * `jl_project` (vec/dim/outDim[, seed] — standalone JL reduction),
+  * `sq_index_probe`/`sq_index_delta` (the stored IVF-SQ index twins of
+  * `ann_index_probe`/`ann_index_delta`),
   * layout ops `zorder` (cols[, bits] — adds the
   * Morton `zval` that `Sinks.zorderWrite` clusters by) and
   * `corpus_shuffle` (id/seed/shards — adds the deterministic training
@@ -152,6 +154,7 @@ object ConfigPipeline {
     "quality_classifier",
     "repetition", "sample", "sample_per_group", "select", "sessionize",
     "snapshot_diff", "soft_dedup", "span_dedup", "span_dedup_clean", "split",
+    "sq_index_delta", "sq_index_probe",
     "substring_dedup", "substring_dedup_clean",
     "stream_dedup", "stream_dir", "stream_keepbest", "stream_neardup",
     "stream_repetition", "stream_spandedup", "stream_substringdedup",
@@ -367,6 +370,17 @@ object ConfigPipeline {
       case "ann_index_delta" =>
         val retired = p.output(knob("retired").asText())
         p.stage(name, from)(graft.similarity.Pq.indexCodesDelta(_,
+          knob("id").asText(), knob("vec").asText(), knob("dir").asText(),
+          retired))
+      // the IVF-SQ stored-index twins (same contracts, byte codes)
+      case "sq_index_probe" =>
+        p.stage(name, from)(graft.similarity.Sq.probeIndex(_,
+          knob("id").asText(), knob("vec").asText(), knob("dir").asText(),
+          knob("topK").asInt(),
+          if (s.has("nprobe")) knob("nprobe").asInt() else 8))
+      case "sq_index_delta" =>
+        val retired = p.output(knob("retired").asText())
+        p.stage(name, from)(graft.similarity.Sq.indexCodesDelta(_,
           knob("id").asText(), knob("vec").asText(), knob("dir").asText(),
           retired))
       // prints-index maintenance (the index_delta pattern for winnow)

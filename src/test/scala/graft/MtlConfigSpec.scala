@@ -438,6 +438,43 @@ class MtlConfigSpec extends SparkSpec {
     assert(gotDelta == wantDelta && gotDelta.nonEmpty)
   }
 
+  test("ConfigPipeline drives the persistent IVF-SQ index: probe and delta " +
+       "match the programmatic forms") {
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val corpus = spark.read.parquet(emb)
+    val dir = java.nio.file.Files.createTempDirectory("cfg_sqidx").toString
+    graft.similarity.Sq.writeIndex(corpus, "vec_id", "embedding",
+      dim = 64, dir = dir, nlist = 8)
+    val got = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "q", "op": "parquet", "path": "$emb"},
+         | {"name": "qf", "op": "filter", "from": "q", "expr": "vec_id < 8"},
+         | {"name": "nn", "op": "sq_index_probe", "from": "qf",
+         |  "id": "vec_id", "vec": "embedding", "dir": "$dir",
+         |  "topK": 3, "nprobe": 8}
+         |]}""".stripMargin).output("nn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = graft.similarity.Sq.probeIndex(corpus.filter(col("vec_id") < 8),
+        "vec_id", "embedding", dir, topK = 3, nprobe = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    val gotDelta = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "q", "op": "parquet", "path": "$emb"},
+         | {"name": "admitted", "op": "filter", "from": "q", "expr": "vec_id % 10 = 0"},
+         | {"name": "retired", "op": "filter", "from": "q", "expr": "vec_id % 13 = 0"},
+         | {"name": "rids", "op": "select", "from": "retired", "exprs": ["vec_id AS id"]},
+         | {"name": "m", "op": "sq_index_delta", "from": "admitted",
+         |  "id": "vec_id", "vec": "embedding", "dir": "$dir", "retired": "rids"}
+         |]}""".stripMargin).output("m")
+      .as[(Long, String, Seq[Int])].collect().toSet
+    val wantDelta = graft.similarity.Sq.indexCodesDelta(
+        corpus.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", dir,
+        corpus.filter(col("vec_id") % 13 === 0).select(col("vec_id").as("id")))
+      .as[(Long, String, Seq[Int])].collect().toSet
+    assert(gotDelta == wantDelta && gotDelta.nonEmpty)
+  }
+
   test("ConfigPipeline margin_mine and kcenter match the programmatic forms") {
     val emb = "/root/testdata/sf0.001/embeddings.parquet"
     val corpus = spark.read.parquet(emb)
