@@ -1905,6 +1905,18 @@ object SparkEntry {
       graft.similarity.Sq.ivfSqTopK(emb.filter(col("vec_id") < 8), emb,
         "vec_id", "embedding", scales, topK = 3, nlist = 16, nprobe = 16)
     }),
+    // SQ shortlist + exact re-rank: the recall lever is SHARED machinery —
+    // Pq.rerank is shortlist-agnostic, so byte-code search composes with
+    // exact settling the same way ADC does (search wide on 1 B/dim codes,
+    // pay |Q|·m exact dots, never |Q|·|C|)
+    "q_sq_rerank" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val scales = graft.similarity.Sq.trainScales(emb, "embedding", dim = 64)
+      val short = graft.similarity.Sq.sqTopK(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", scales, topK = 8)
+      graft.similarity.Pq.rerank(short, emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", topK = 3)
+    }),
     // persistent IVF-SQ index: probe at nprobe == nlist is the exhaustive
     // scan over the stored codes — the store/load round trip shares
     // q_sq_topk's oracle bit for bit (the G47 device, byte-code edition)
@@ -2803,7 +2815,7 @@ object SparkEntry {
     * exact-long squared distance. Parameters match the q_sq_topk entry:
     * dim=64, scale=2^16, queries vec_id < 8, topK=3.
     */
-  private val sqOracle: String =
+  private val sqScoredCtes: String =
     """WITH q AS MATERIALIZED (SELECT vec_id,
       |     list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)) AS qv
       |     FROM embeddings),
@@ -2820,11 +2832,37 @@ object SparkEntry {
       |       list_transform(range(1, 65), i -> CAST(qq.qv[i] - cc.rvec[i] AS DOUBLE)),
       |       list_transform(range(1, 65), i -> CAST(qq.qv[i] - cc.rvec[i] AS DOUBLE))) AS BIGINT) AS sq2
       |     FROM (SELECT vec_id, qv FROM q WHERE vec_id < 8) qq
-      |     CROSS JOIN rv cc WHERE qq.vec_id <> cc.vec_id)
+      |     CROSS JOIN rv cc WHERE qq.vec_id <> cc.vec_id)""".stripMargin
+
+  private val sqOracle: String =
+    s"""$sqScoredCtes
       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, sq2 FROM (
       |  SELECT query_id, neighbor_id, sq2,
       |         row_number() OVER (PARTITION BY query_id ORDER BY sq2, neighbor_id) AS rnk
       |  FROM scored) WHERE rnk <= 3""".stripMargin
+
+  /** SQ top-8 shortlist, then exact-L2 re-rank to top-3 — the same
+    * (q·q + c·c) − 2·q·c replay as `pqRerankOracle` (the shared
+    * `Pq.rerank` recall lever over an SQ shortlist).
+    */
+  private val sqRerankOracle: String =
+    s"""$sqScoredCtes,
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY sq2, neighbor_id) AS rnk
+       |  FROM scored) WHERE rnk <= 8),
+       |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, d2 FROM (
+       |  SELECT query_id, neighbor_id, d2,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY d2, neighbor_id) AS rnk
+       |  FROM (SELECT sh.query_id, sh.neighbor_id,
+       |        list_dot_product(qq.v, qq.v) + list_dot_product(cc.v, cc.v)
+       |        - 2 * list_dot_product(qq.v, cc.v) AS d2
+       |        FROM short sh JOIN ev qq ON qq.vec_id = sh.query_id
+       |        JOIN ev cc ON cc.vec_id = sh.neighbor_id))
+       |WHERE rnk <= 3""".stripMargin
 
   /** DuckDB replay of the JL projection top-k (q_jl_topk): the ±1 sign
     * matrix rebuilt from the md5-parity recipe (`Jl.signMatrix` seed=42,
@@ -4223,6 +4261,7 @@ object SparkEntry {
     "q_sq_ivf" -> sqOracle, // exhaustive IVF-SQ ≡ sqTopK
     "q_sq_index_probe" -> sqOracle, // stored index at nprobe=nlist ≡ sqTopK
     "q_sq_index_delta" -> sqIndexDeltaOracle,
+    "q_sq_rerank" -> sqRerankOracle,
     "q_jl_topk" -> jlOracle,
     "q_margin_mine" -> marginOracle,
     "q_margin_mutual" -> marginMutualOracle,

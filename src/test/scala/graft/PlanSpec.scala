@@ -69,7 +69,8 @@ class PlanSpec extends SparkSpec {
       // as reference objects) and delta maintenance is a pure
       // anti-join/union projection like q_ann_index_delta's
       "q_sq_topk" -> 1, "q_sq_ivf" -> 1, "q_jl_topk" -> 1,
-      "q_sq_index_probe" -> 1, "q_sq_index_delta" -> 0)
+      "q_sq_index_probe" -> 1, "q_sq_index_delta" -> 0,
+      "q_sq_rerank" -> 1)
     val errs = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)

@@ -145,6 +145,26 @@ class SqJlSpec extends SparkSpec {
     assert("- Exchange \\(\\d+\\)".r.findAllIn(p).size == 1, p)
   }
 
+  test("SQ shortlist + exact rerank: pairs come from the shortlist, order " +
+       "is exact-L2 within it") {
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < 8)
+    val short = Sq.sqTopK(queries, emb, "vec_id", "embedding", scales, topK = 8)
+    val rr = graft.similarity.Pq.rerank(short, queries, emb,
+      "vec_id", "embedding", topK = 3)
+    val shortPairs = short.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val rows = rr.select("query_id", "rank", "neighbor_id", "d2")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.forall { case (q, _, n, _) => shortPairs((q, n)) })
+    // within each query, rank order must agree with d2 order (exact-L2
+    // settles the byte-code shortlist)
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._2).map(_._4)
+      assert(byRank.sameElements(byRank.sorted))
+    }
+  }
+
   test("persistent IVF-SQ index: probe ≡ in-memory sqTopK, routing prunes " +
        "partitions, delta-maintained ≡ re-encoded under the frozen model") {
     import spark.implicits._
