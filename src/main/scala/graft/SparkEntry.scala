@@ -85,6 +85,70 @@ object SparkEntry {
           col("lines")).as("payload"))
   }
 
+  /** Synthesized HTML page wrapping each document — the fixture for the G55
+    * extraction queries (q_html_text / q_html_stats). Exercises: an
+    * uppercase multiline `<SCRIPT>` whose body contains a bare `<` (proves
+    * element-content stripping runs BEFORE tag stripping), a `<style>`
+    * block, a multiline comment, entities including the `&amp;lt;`
+    * no-double-decode case, a multiline `<a` tag, and whitespace runs.
+    * Both engines build the identical string from the SAME literal
+    * fragments (`htmlPre`/`htmlMid`/`htmlPost` feed the Column AND the
+    * oracle SQL), so the extraction chain is the only thing under test.
+    */
+  private val htmlPre = "<html><head><title>t</title><SCRIPT type=\"text/javascript\">\nvar n = 1;\nif (n < 2) { n = 2; }\n</SCRIPT><style>\np { color: red; }\n</style></head>\n<body><h1>Doc &#39;"
+  private val htmlMid = "&#39;</h1><!-- crawl\nartifact --><p>"
+  private val htmlPost = "</p>\n<p>a &amp;&amp; b &lt;tag&gt; &quot;q&quot;&nbsp;end &amp;lt;raw&amp;gt;</p><a href=\"http://x/1\">l1</a> <a\nhref=\"/y\">l2</a></body></html>"
+
+  private def syntheticHtml: Column =
+    concat(lit(htmlPre), col("doc_id").cast(StringType),
+      lit(htmlMid), col("text"), lit(htmlPost))
+
+  /** SQL single-quoted literal (quote-doubled). */
+  private def sqlQ(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** BM25 scored-and-cut CTEs ending in `bmtop(doc_id, score)` — shared by
+    * q_bm25 and the RRF hybrid (per-term scores quantize to DECIMAL(18,6)
+    * before the per-doc sum; see [[graft.similarity.Search]] scaladoc).
+    */
+  private def bm25CtesSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |tstats AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, term, COUNT(*) AS tf
+       |           FROM (SELECT doc_id, tk, unnest(tk) AS term FROM toks)
+       |           WHERE term IN ('spark', 'vector', 'customer')
+       |           GROUP BY 1, 2, 3),
+       |corp AS (SELECT COUNT(*) AS n, SUM(CAST(len(tk) AS BIGINT)) AS sumdl FROM toks),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tstats GROUP BY 1),
+       |scored AS (SELECT t.doc_id,
+       |    CAST(ln(1 + (c.n - f.df + 0.5) / (f.df + 0.5)) *
+       |         ((t.tf * (CAST(1.2 AS DOUBLE) + 1)) /
+       |          (t.tf + CAST(1.2 AS DOUBLE) *
+       |           (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (t.dl / (c.sumdl / c.n)))))
+       |      AS DECIMAL(18,6)) AS s
+       |  FROM tstats t JOIN dfreq f USING (term) CROSS JOIN corp c),
+       |bmtop AS (SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score
+       |          FROM scored GROUP BY doc_id
+       |          ORDER BY score DESC, doc_id LIMIT 10)""".stripMargin
+
+  /** The [[syntheticHtml]] expression in DuckDB SQL — same fragments. */
+  private def htmlExprSql: String =
+    s"${sqlQ(htmlPre)} || CAST(doc_id AS VARCHAR) || ${sqlQ(htmlMid)} || text || ${sqlQ(htmlPost)}"
+
+  /** DuckDB replay of [[graft.functions.Text.htmlToText]] over a column
+    * named `html` — identical regex chain (inline flags, shared syntax) and
+    * the SAME entity list ([[graft.functions.Text.htmlEntities]] renders to
+    * the replace chain, so the two implementations cannot drift).
+    */
+  private def htmlCleanSql: String = {
+    val noScript = "regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    val noStyle = s"regexp_replace($noScript, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    val noComment = s"regexp_replace($noStyle, '(?s)<!--.*?-->', ' ', 'g')"
+    val noTags = s"regexp_replace($noComment, '(?s)<[^>]+>', ' ', 'g')"
+    val decoded = Text.htmlEntities.foldLeft(noTags) { case (acc, (f, t)) =>
+      s"replace($acc, ${sqlQ(f)}, ${sqlQ(t)})"
+    }
+    s"trim(regexp_replace($decoded, '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+  }
+
   // ---------------------------------------------------------------------
   // queries — one per SURVEY §2 row
   // ---------------------------------------------------------------------
@@ -1181,11 +1245,65 @@ object SparkEntry {
         lit(" ip "), (col("c_custkey") % 256).cast(StringType), lit(".10.0.1"))
       c.select(col("c_custkey"), Text.redactPii(contact).as("redacted"))
     }),
+    // G54: Unicode NFC normalization — decomposed a + COMBINING ACUTE
+    // (U+0301) synthesized from the corpus text recomposes to á (U+00E1);
+    // rows without an 'a' pass through the allocation-free already-normal
+    // fast path. DuckDB's nfc_normalize is the bit-exact oracle.
+    "q_nfc_normalize" -> ((s, dir) => {
+      val deco = regexp_replace(col("text"), "a", "a\u0301")
+      T(s, dir, "documents").select(col("doc_id"),
+        Text.normalizeUnicode(deco).as("nfc_text"),
+        when(Text.normalizeUnicode(deco) === deco, lit(0L)).otherwise(lit(1L))
+          .as("changed"))
+    }),
+    // G54: encoding-quality stats over text salted with exactly the
+    // mojibake the filter exists to catch — U+FFFD transcode tombstones,
+    // C0 controls, non-ASCII, and a decomposed e + U+0301 sequence
+    "q_encoding_stats" -> ((s, dir) => {
+      val noisy = concat(col("text"),
+        lit("\uFFFD\uFFFD").substr(lit(1), (col("doc_id") % 3).cast(IntegerType)),
+        when(col("doc_id") % 5 === 0, lit(" \u0001\u0002 caf\u00e9"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" e\u0301")).otherwise(lit("")))
+      T(s, dir, "documents").select(col("doc_id") +: Text.encodingStats(noisy): _*)
+    }),
+    // G55: HTML → visible text over a synthesized page wrapping each doc —
+    // uppercase multiline <SCRIPT> (with a '<' in its body), <style>,
+    // comments, entities (incl. the &amp;-last no-double-decode order),
+    // whitespace collapse. The oracle replays the identical regex chain.
+    "q_html_text" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        Text.htmlToText(syntheticHtml).as("clean"))),
+    // G55: markup-shape stats (tag/link/script counts, visible-text
+    // fraction) — the filter signals read before extraction
+    "q_html_stats" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id") +: Text.htmlStats(syntheticHtml): _*)),
     // BM25 keyword search: top-10 docs for a 3-term query
     "q_bm25" -> ((s, dir) =>
       Search.bm25TopK(T(s, dir, "documents"), "doc_id", "text",
           Seq("spark", "vector", "customer"), k = 10)
         .select(col("id").as("doc_id"), col("score"))),
+    // G56: hybrid retrieval — Reciprocal Rank Fusion of the BM25 lexical
+    // top-10 and the dense cosine top-10 (query = embedding 0; doc_id and
+    // vec_id share the id space at every SF). Contributions are exact
+    // 1e6 div (60 + rank) BIGINTs, so the fused ranking replays in SQL.
+    "q_rrf_hybrid" -> ((s, dir) => {
+      val docs = T(s, dir, "documents"); val emb = T(s, dir, "embeddings")
+      val lex = Search.bm25TopK(docs, "doc_id", "text",
+          Seq("spark", "vector", "customer"), k = 10)
+        .select(lit(0L).as("query_id"), col("id"), col("score"))
+      val lexRanked = lex.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("id").asc)).cast(LongType))
+      val dense = graft.similarity.Ann
+        .bruteForceTopK(emb.filter(col("vec_id") === 0), emb,
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      Search.rrfFuse(Seq(lexRanked.select("query_id", "id", "rank"), dense),
+          "query_id", "id", "rank", topK = 10)
+        .select(col("id").as("doc_id"), col("rrf_ppm"), col("rank"))
+    }),
     // overlapping token-window chunking (64-token windows, 50% overlap)
     "q_chunks" -> ((s, dir) =>
       Text.chunk(T(s, dir, "documents"), "doc_id", "text", 64, 32)
@@ -3625,27 +3743,67 @@ object SparkEntry {
         |   '\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
         |   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted
         |FROM t""".stripMargin,
+    // NFC normalization is defined by the Unicode standard — DuckDB's
+    // nfc_normalize reproduces the JDK Normalizer bit-for-bit
+    "q_nfc_normalize" ->
+      s"""WITH t AS (SELECT doc_id, regexp_replace(text, 'a', 'a' || chr(769), 'g') AS deco
+         |           FROM documents)
+         |SELECT doc_id, nfc_normalize(deco) AS nfc_text,
+         |  CAST(CASE WHEN nfc_normalize(deco) = deco THEN 0 ELSE 1 END AS BIGINT) AS changed
+         |FROM t""".stripMargin,
+    "q_encoding_stats" ->
+      s"""WITH t AS (SELECT doc_id, text ||
+         |  substr(chr(65533) || chr(65533), 1, CAST(doc_id % 3 AS INT)) ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(1) || chr(2) || ' caf' || chr(233) ELSE '' END ||
+         |  CASE WHEN doc_id % 7 = 0 THEN ' e' || chr(769) ELSE '' END AS s2
+         |  FROM documents)
+         |SELECT doc_id,
+         | CAST(length(s2) AS BIGINT) AS n_chars,
+         | CAST(len(regexp_extract_all(s2, chr(65533))) AS BIGINT) AS n_replacement,
+         | CAST(len(regexp_extract_all(s2, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS BIGINT) AS n_control,
+         | CAST(len(regexp_extract_all(s2, '[^\\x00-\\x7F]')) AS DOUBLE) / CAST(greatest(length(s2), 1) AS DOUBLE) AS non_ascii_frac,
+         | CAST(CASE WHEN nfc_normalize(s2) = s2 THEN 0 ELSE 1 END AS BIGINT) AS nfc_changed
+         |FROM t""".stripMargin,
+    "q_html_text" ->
+      s"""WITH h AS (SELECT doc_id, $htmlExprSql AS html FROM documents)
+         |SELECT doc_id, $htmlCleanSql AS clean FROM h""".stripMargin,
+    "q_html_stats" ->
+      s"""WITH h AS (SELECT doc_id, $htmlExprSql AS html FROM documents)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(html, '(?s)<[^>]+>')) AS BIGINT) AS n_tags,
+         | CAST(len(regexp_extract_all(html, '(?is)<a[ \\t\\n>]')) AS BIGINT) AS n_links,
+         | CAST(len(regexp_extract_all(html, '(?is)<script[ \\t\\n>]')) AS BIGINT) AS n_scripts,
+         | CAST(length($htmlCleanSql) AS DOUBLE) / CAST(greatest(length(html), 1) AS DOUBLE) AS text_frac
+         |FROM h""".stripMargin,
     // per-term scores quantize to DECIMAL(18,6) before the per-doc sum:
     // ln differs by 1 ulp cross-engine on rare inputs, and raw double
     // summation is partition-order nondeterministic (see Search scaladoc)
     "q_bm25" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |tstats AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, term, COUNT(*) AS tf
-         |           FROM (SELECT doc_id, tk, unnest(tk) AS term FROM toks)
-         |           WHERE term IN ('spark', 'vector', 'customer')
-         |           GROUP BY 1, 2, 3),
-         |corp AS (SELECT COUNT(*) AS n, SUM(CAST(len(tk) AS BIGINT)) AS sumdl FROM toks),
-         |dfreq AS (SELECT term, COUNT(*) AS df FROM tstats GROUP BY 1),
-         |scored AS (SELECT t.doc_id,
-         |    CAST(ln(1 + (c.n - f.df + 0.5) / (f.df + 0.5)) *
-         |         ((t.tf * (CAST(1.2 AS DOUBLE) + 1)) /
-         |          (t.tf + CAST(1.2 AS DOUBLE) *
-         |           (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (t.dl / (c.sumdl / c.n)))))
-         |      AS DECIMAL(18,6)) AS s
-         |  FROM tstats t JOIN dfreq f USING (term) CROSS JOIN corp c)
-         |SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score
-         |FROM scored GROUP BY doc_id
-         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+      s"""$bm25CtesSql
+         |SELECT doc_id, score FROM bmtop""".stripMargin,
+    // RRF: both lists' ranks replay (BM25 CTEs shared with q_bm25; dense =
+    // the annOracle cosine for query 0), contributions are exact integer
+    // 1e6 // (60 + rank), the fused order is total on (rrf_ppm, id)
+    "q_rrf_hybrid" ->
+      s"""$bm25CtesSql,
+         |lex AS (SELECT doc_id AS id,
+         |        row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bmtop),
+         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+         |cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+         |ds AS (SELECT cv.vec_id AS id,
+         |  CASE WHEN sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v)) = 0 THEN 0
+         |       ELSE list_dot_product(qv.v, cv.v) / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) END AS cos
+         |  FROM qv CROSS JOIN cv),
+         |dense AS (SELECT id, rnk FROM (
+         |  SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS rnk FROM ds)
+         |  WHERE rnk <= 10),
+         |contrib AS (SELECT id, 1000000 // (60 + rnk) AS c FROM lex
+         |            UNION ALL SELECT id, 1000000 // (60 + rnk) FROM dense),
+         |f AS (SELECT id, CAST(SUM(c) AS BIGINT) AS rrf_ppm FROM contrib GROUP BY id)
+         |SELECT doc_id, rrf_ppm, rank FROM (
+         |  SELECT id AS doc_id, rrf_ppm,
+         |    CAST(row_number() OVER (ORDER BY rrf_ppm DESC, id) AS BIGINT) AS rank
+         |  FROM f) WHERE rank <= 10""".stripMargin,
     "q_chunks" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |c AS (SELECT doc_id, tk,

@@ -224,6 +224,113 @@ object Text {
     regexp_replace(concat(headNoPort, tail), "/$", "")
   }
 
+  /** Unicode normalization (G54): NFC by default — the
+    * normalize-before-anything step of a multilingual corpus. The same
+    * grapheme arrives composed (U+00E1) and decomposed (U+0061 U+0301) from
+    * different crawls/encoders; exact dedup, shingle hashing, vocabulary
+    * building, and BPE training all treat them as distinct until the corpus
+    * is code-point normalized. Native codegen expression
+    * ([[org.apache.spark.sql.graftglue.NormalizeUnicode]]): already-normal
+    * (e.g. pure-ASCII) rows return as-is without allocation. DuckDB's
+    * `nfc_normalize` is the bit-exact NFC oracle.
+    */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, NormalizeUnicode}
+    ColumnBridge.column(NormalizeUnicode(ColumnBridge.expression(text), form))
+  }
+
+  /** Encoding-quality statistics (G54): the mojibake/binary-noise signals a
+    * crawl-ingest filter thresholds on, each a pure codegen projection with
+    * exact int ÷ int ratios:
+    *
+    *   - `n_chars` — code-point length;
+    *   - `n_replacement` — U+FFFD replacement characters (the tombstone a
+    *     lossy transcode leaves behind: any count > 0 means bytes were
+    *     already destroyed upstream);
+    *   - `n_control` — C0 control characters other than tab/LF/CR (binary
+    *     junk masquerading as text);
+    *   - `non_ascii_frac` — non-ASCII code points / all code points (a
+    *     language-independent "is this even text for my tokenizer" signal —
+    *     threshold per expected language mix, don't zero it);
+    *   - `nfc_changed` — 1 when NFC normalization would alter the string
+    *     (count these corpus-wide to decide whether a normalize pass must
+    *     precede dedup).
+    *
+    * Character classes use `\x`-hex ranges — syntax Java regex and RE2
+    * share, so the DuckDB oracle runs the identical patterns.
+    */
+  def encodingStats(text: Column): Seq[Column] = Seq(
+    length(text).cast(LongType).as("n_chars"),
+    size(regexp_extract_all(text, lit("�"), lit(0))).cast(LongType)
+      .as("n_replacement"),
+    size(regexp_extract_all(text, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"), lit(0)))
+      .cast(LongType).as("n_control"),
+    size(regexp_extract_all(text, lit("[^\\x00-\\x7F]"), lit(0))).cast(DoubleType) /
+      greatest(length(text), lit(1)).cast(DoubleType) as "non_ascii_frac",
+    when(normalizeUnicode(text) === text, lit(0L)).otherwise(lit(1L))
+      .as("nfc_changed"))
+
+  /** HTML entity decode list shared by [[htmlToText]] and its oracle:
+    * applied via ONE native ChainedReplace (replace-all, left-to-right —
+    * identical to DuckDB `replace()` chains). `&amp;` is deliberately LAST:
+    * decoding it first would turn `&amp;lt;` into `&lt;` and then a second
+    * pass into `<` — double-decoding that fabricates characters the
+    * document never contained.
+    */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
+  /** HTML → visible text (G55): the extraction step between a raw crawl and
+    * every operator above — strip `<script>`/`<style>` elements WITH their
+    * contents (code is not prose), then comments, then all remaining tags,
+    * decode the common entities, and collapse whitespace. A fixed
+    * regex-chain + [[org.apache.spark.sql.graftglue.ChainedReplace]]
+    * projection: zero shuffle, whole-stage codegen, linear in the document.
+    *
+    * Pattern notes (Java/RE2-shared syntax, inline flags instead of
+    * engine-specific call flags): `(?is)` = dotall + case-insensitive so
+    * `<SCRIPT>` blocks spanning lines match; `.*?` lazy so adjacent blocks
+    * don't merge; entity decode runs AFTER tag stripping (a decoded `&lt;`
+    * must not look like a tag); whitespace collapses via an explicit
+    * `[ \t\n\r\f]` class (Java's `\s` includes U+000B, RE2's does not —
+    * the one place the engines' shorthands disagree).
+    *
+    * This is the structural 90% of trafilatura-style extraction; DOM-aware
+    * main-content detection (nav/footer pruning) is [[graft.dedup.Dedup]]'s
+    * `boilerplateClean` downstream — document-frequency over extracted
+    * chunks, which needs no parser and degrades gracefully on the broken
+    * markup real crawls serve.
+    */
+  def htmlToText(html: Column): Column = {
+    import org.apache.spark.sql.graftglue.{ChainedReplace, ColumnBridge}
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]+>", " ")
+    val decoded = ColumnBridge.column(
+      ChainedReplace(ColumnBridge.expression(noTags), htmlEntities))
+    trim(regexp_replace(decoded, "[ \t\n\r\f]+", " "))
+  }
+
+  /** Per-document HTML structure statistics (G55): the markup-shape signals
+    * a crawl filter reads BEFORE extraction — `n_tags` (total tags),
+    * `n_links` (anchor opens), `n_scripts` (script opens), and `text_frac`
+    * (visible-text code points / raw code points, exact int ÷ int): pages
+    * that are mostly markup (link farms, nav shells, JS bundles) die here
+    * without tokenizing a byte. One codegen projection sharing
+    * [[htmlToText]]'s extraction.
+    */
+  def htmlStats(html: Column): Seq[Column] = Seq(
+    size(regexp_extract_all(html, lit("(?s)<[^>]+>"), lit(0))).cast(LongType)
+      .as("n_tags"),
+    size(regexp_extract_all(html, lit("(?is)<a[ \t\n>]"), lit(0))).cast(LongType)
+      .as("n_links"),
+    size(regexp_extract_all(html, lit("(?is)<script[ \t\n>]"), lit(0))).cast(LongType)
+      .as("n_scripts"),
+    length(htmlToText(html)).cast(DoubleType) /
+      greatest(length(html), lit(1)).cast(DoubleType) as "text_frac")
+
   /** Overlapping token-window chunking — the context-window prep step for
     * training sequences and RAG corpora. Each document with n tokens yields
     * `floor((n-1)/stride) + 1` chunks: chunk i covers tokens

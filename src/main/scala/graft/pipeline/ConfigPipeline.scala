@@ -48,7 +48,13 @@ import graft.Caching.TrackedSyntax
   * (id/group/total[, alpha=0.5] — quotas ∝ n^α), `pagerank`/`degrees`
   * (edge frames), `quality_classifier` (id/text/dim + a weights stage),
   * `histogram` (value/bins), `sample_per_group` (keys/id/n),
-  * `canonical_url` (url[, as]), `percentiles` (keys/value/ps[{p,as}] —
+  * `canonical_url` (url[, as]), `normalize_unicode` (text[, form=NFC,
+  * as]), `encoding_stats` (id/text — mojibake/control/non-ASCII/NFC-drift
+  * signals), `html_text` (html[, as] — strip script/style/comments/tags,
+  * decode entities), `html_stats` (id/html — tag/link/script counts +
+  * visible-text fraction), `rrf_fuse` (fan-in: `from` = 2+ ranked-list
+  * stages, query/id/rank/topK[, k0=60] — Reciprocal Rank Fusion),
+  * `percentiles` (keys/value/ps[{p,as}] —
   * mode "approx" by default: bounded-state percentile_approx with an
   * `accuracy` knob; mode "exact" for the oracle-grade quantile),
   * `distinct_sketch` (keys/value — method "kmv" with knob `k`, or "hll"
@@ -144,15 +150,17 @@ object ConfigPipeline {
     "corpus_overlap", "corpus_shuffle", "csv_permissive", "decontaminate",
     "dedup_best",
     "dedup_exact", "dedup_near", "degrees", "distinct", "distinct_sketch",
-    "distribution_drift", "dsir", "error_budget", "filter", "fingerprint",
-    "flatten", "gram", "heavy_hitters", "histogram",
+    "distribution_drift", "dsir", "encoding_stats", "error_budget", "filter",
+    "fingerprint",
+    "flatten", "gram", "heavy_hitters", "histogram", "html_stats", "html_text",
     "index_delta", "inverted_index", "jl_project", "join", "kcenter",
     "langid", "limit",
     "lm_xent", "lm_xent_bigram", "margin_mine", "mixture",
-    "neardup_incremental",
+    "neardup_incremental", "normalize_unicode",
     "pack", "pagerank", "parquet", "pca_rotate", "percentiles",
     "quality_classifier",
-    "repetition", "sample", "sample_per_group", "select", "sessionize",
+    "repetition", "rrf_fuse", "sample", "sample_per_group", "select",
+    "sessionize",
     "snapshot_diff", "soft_dedup", "span_dedup", "span_dedup_clean", "split",
     "sq_index_delta", "sq_index_probe",
     "substring_dedup", "substring_dedup_clean",
@@ -282,6 +290,16 @@ object ConfigPipeline {
         val (l, r) = two(knob("from"), "join")
         val how = if (s.has("how")) knob("how").asText() else "inner"
         p.fanIn(name, Seq(l, r))(dfs => dfs(0).join(dfs(1), expr(knob("on").asText()), how))
+      // hybrid-retrieval fusion (G56): fan-in over N ranked lists, each
+      // carrying (query/id/rank); contributions 1e6 div (k0 + rank)
+      case "rrf_fuse" =>
+        val inputs = strs(knob("from"))
+        require(inputs.size >= 2,
+          s"rrf_fuse needs at least two input stages in 'from', got ${inputs.size}")
+        val k0 = if (s.has("k0")) knob("k0").asInt() else 60
+        p.fanIn(name, inputs)(dfs => graft.similarity.Search.rrfFuse(dfs,
+          knob("query").asText(), knob("id").asText(), knob("rank").asText(),
+          knob("topK").asInt(), k0))
       case "limit" =>
         p.stage(name, from)(_.limit(knob("n").asInt()))
       case "distinct" =>
@@ -541,6 +559,25 @@ object ConfigPipeline {
         p.stage(name, from)(d => d.withColumn(
           if (s.has("as")) knob("as").asText() else "canon",
           graft.functions.Text.canonicalUrl(col(knob("url").asText()))))
+      // Unicode normalization (G54): form NFC (default) / NFD / NFKC / NFKD
+      case "normalize_unicode" =>
+        val form = if (s.has("form")) knob("form").asText() else "NFC"
+        p.stage(name, from)(d => d.withColumn(
+          if (s.has("as")) knob("as").asText() else knob("text").asText(),
+          graft.functions.Text.normalizeUnicode(col(knob("text").asText()), form)))
+      // encoding-quality stats (G54): mojibake/control/non-ASCII signals
+      case "encoding_stats" =>
+        p.stage(name, from)(d => d.select(col(knob("id").asText()) +:
+          graft.functions.Text.encodingStats(col(knob("text").asText())): _*))
+      // HTML -> visible text (G55); stats=true emits the markup-shape
+      // signals beside the extraction
+      case "html_text" =>
+        p.stage(name, from)(d => d.withColumn(
+          if (s.has("as")) knob("as").asText() else "clean",
+          graft.functions.Text.htmlToText(col(knob("html").asText()))))
+      case "html_stats" =>
+        p.stage(name, from)(d => d.select(col(knob("id").asText()) +:
+          graft.functions.Text.htmlStats(col(knob("html").asText())): _*))
       case "lm_xent_bigram" =>
         p.stage(name, from)(graft.functions.Lm.bigramCrossEntropy(_,
           knob("id").asText(), knob("text").asText()))

@@ -157,6 +157,51 @@ object Search {
         col("__kv.score").as("score"), (col("__p") + 1).cast(LongType).as("rnk"))
   }
 
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
+    * the standard way to combine a lexical ranking ([[bm25TopK]]) with a
+    * dense one ([[Ann]]/[[Pq]]/[[Sq]]) into ONE hybrid retrieval list
+    * without calibrating incomparable scores: each list contributes
+    * `1 / (k0 + rank)` per candidate and the fused order is the sum.
+    * Rank-based, so it composes ANY retrievers — lexical+dense, or two
+    * approximate ANN families voting (SQ ⊕ PQ) — and k0 = 60 (the paper's
+    * constant) damps the head so one list's top hit can't dominate.
+    *
+    * Inputs: each list carries (`queryCol`, `idCol`, `rankCol`) with rank
+    * 1-based — i.e. already-cut top-k lists, NOT corpus-sized rankings.
+    * Output: (queryCol, idCol, rrf_ppm, rank) — the fused top `topK` per
+    * query.
+    *
+    * Determinism: contributions are `1_000_000 div (k0 + rank)` in BIGINT
+    * (parts-per-million, exact integer division — no float sum ordering,
+    * DuckDB replays with `//`), summed per (query, candidate); final order
+    * (rrf_ppm DESC, id ASC) is total.
+    *
+    * Scale: every input is a top-k list, so the union is |Q|·Σk rows —
+    * bounded by the retrievers, never by the corpus. One partial-agg
+    * shuffle on (query, id); the final cut is a rank window over ≤ Σk
+    * candidates per query partition. Nothing corpus-sized moves here; the
+    * expensive work already happened inside the retrievers.
+    */
+  def rrfFuse(lists: Seq[DataFrame], queryCol: String, idCol: String,
+              rankCol: String, topK: Int, k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(k0 >= 0, s"k0 must be non-negative, got $k0")
+    val contribs = lists.map(_.select(
+      col(queryCol).as("__q"), col(idCol).as("__id"),
+      expr(s"1000000L div (${k0}L + CAST($rankCol AS BIGINT))").as("__c")))
+    val fused = contribs.reduce(_.unionByName(_))
+      .groupBy("__q", "__id").agg(sum(col("__c")).as("rrf_ppm"))
+    import org.apache.spark.sql.expressions.Window
+    fused
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("__q"))
+          .orderBy(col("rrf_ppm").desc, col("__id").asc)).cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("__q").as(queryCol), col("__id").as(idCol),
+        col("rrf_ppm"), col("rank"))
+  }
+
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {

@@ -88,6 +88,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // aggregate: SELECT kmv_set(hash, k) — bounded distinct-k-min sketch
     register(ext, "kmv_set", classOf[KmvSet], 2)(c =>
       KmvSet(c.head, litInt(c(1), "kmv_set")))
+    register(ext, "normalize_unicode", classOf[NormalizeUnicode], 2)(c =>
+      NormalizeUnicode(c.head, litString(c(1), "normalize_unicode")))
     ext.injectOptimizerRule(_ => FuseCountInSet)
   }
 }
@@ -143,6 +145,13 @@ private object GraftExtensions {
 
   private def litInt(e: Expression, fn: String): Int =
     asDouble(litValue(e, fn), fn).toInt
+
+  /** Foldable string literal → String. */
+  private def litString(e: Expression, fn: String): String = {
+    require(e.dataType == StringType,
+      s"$fn: expected a string literal, got ${e.dataType.catalogString}")
+    litValue(e, fn).asInstanceOf[UTF8String].toString
+  }
 
   /** Foldable array<numeric> → Array[Int]; NULL elements rejected. */
   private def litInts(e: Expression, fn: String): Array[Int] =

@@ -1039,6 +1039,66 @@ class MtlConfigSpec extends SparkSpec {
     assert(samp.count() > 0)
   }
 
+  test("ConfigPipeline reaches the r10 web-ingest ops from config") {
+    import spark.implicits._
+    // crawl-shaped chain: wrap docs in markup -> extract -> NFC-normalize
+    // -> encoding stats, all from config
+    val out = graft.pipeline.ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "docs", "op": "table", "dir": "$sfDir", "table": "documents"},
+         | {"name": "page", "op": "withColumn", "from": "docs",
+         |  "col": "h", "expr": "'<body><script>x()</script><p>' || text || ' &amp; tail</p></body>'"},
+         | {"name": "txt", "op": "html_text", "from": "page", "html": "h"},
+         | {"name": "norm", "op": "normalize_unicode", "from": "txt",
+         |  "text": "clean", "form": "NFC", "as": "clean"},
+         | {"name": "stats", "op": "encoding_stats", "from": "norm",
+         |  "id": "doc_id", "text": "clean"}
+         |]}""".stripMargin)
+    val stats = out.output("stats")
+    assert(stats.columns.toSeq ==
+      Seq("doc_id", "n_chars", "n_replacement", "n_control", "non_ascii_frac",
+        "nfc_changed"))
+    assert(stats.filter(col("n_replacement") > 0 || col("n_control") > 0
+      || col("nfc_changed") > 0).count() == 0L)
+    val txt = out.output("norm").select("clean").as[String].head()
+    assert(!txt.contains("<") && txt.endsWith("& tail"))
+    val hs = graft.pipeline.ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "docs", "op": "table", "dir": "$sfDir", "table": "documents"},
+         | {"name": "page", "op": "withColumn", "from": "docs",
+         |  "col": "h", "expr": "'<p>' || text || '</p><a href=x>l</a>'"},
+         | {"name": "hs", "op": "html_stats", "from": "page", "id": "doc_id",
+         |  "html": "h"}
+         |]}""".stripMargin).output("hs")
+    assert(hs.columns.toSeq ==
+      Seq("doc_id", "n_tags", "n_links", "n_scripts", "text_frac"))
+    assert(hs.filter(col("n_tags") =!= 4 || col("n_links") =!= 1).count() == 0L)
+    // rrf_fuse is a fan-in op: two ranked lists built from config fuse to
+    // one hybrid list (agreeing lists double their candidate's score)
+    val fused = graft.pipeline.ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "docs", "op": "table", "dir": "$sfDir", "table": "documents"},
+         | {"name": "top", "op": "filter", "from": "docs", "expr": "doc_id < 3"},
+         | {"name": "l1", "op": "withColumn", "from": "top",
+         |  "col": "rank", "expr": "doc_id + 1"},
+         | {"name": "l1q", "op": "withColumn", "from": "l1",
+         |  "col": "q", "expr": "0"},
+         | {"name": "l2", "op": "withColumn", "from": "top",
+         |  "col": "rank", "expr": "3 - doc_id"},
+         | {"name": "l2q", "op": "withColumn", "from": "l2",
+         |  "col": "q", "expr": "0"},
+         | {"name": "fused", "op": "rrf_fuse", "from": ["l1q", "l2q"],
+         |  "query": "q", "id": "doc_id", "rank": "rank", "topK": 2}
+         |]}""".stripMargin).output("fused")
+    assert(fused.columns.toSeq == Seq("q", "doc_id", "rrf_ppm", "rank"))
+    // symmetric ranks (1+3, 2+2, 3+1): the reciprocal is convex, so the
+    // extremes (docs 0 and 2, 16393+15873=32266) beat the middle (doc 1,
+    // 2·16129=32258); the 0-vs-2 tie breaks by id
+    val rows = fused.orderBy("rank").as[(Int, Long, Long, Long)].collect()
+    assert(rows.map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((0L, 32266L, 1L), (2L, 32266L, 2L)))
+  }
+
   test("errorBudget drops bad rows within budget and fails loudly past it") {
     val df = Seq((1L, "ok"), (2L, null), (3L, "ok"), (4L, null), (5L, "ok"))
       .toDF("id", "v")

@@ -29,6 +29,10 @@ class PlanSpec extends SparkSpec {
       "q_minhash" -> 0, "q_simhash" -> 0, "q_tokens" -> 0, "q_langid" -> 0,
       "q_quality" -> 0, "q_fingerprint" -> 0, "q_chunks" -> 0,
       "q_split" -> 0, "q_redact" -> 0, "q_canonical_url" -> 0,
+      // r10 web-ingest projections: normalize/encoding-stats/HTML
+      // extraction are all zero-shuffle codegen chains
+      "q_nfc_normalize" -> 0, "q_encoding_stats" -> 0,
+      "q_html_text" -> 0, "q_html_stats" -> 0,
       "q_stratified" -> 0, "q_mixture" -> 0, "q_kmeans" -> 0, "q_topk" -> 0,
       // single-shuffle aggregation/window shapes
       "q_agg" -> 1, "q_dedup_exact" -> 1, "q_sessionize" -> 1,
@@ -70,7 +74,12 @@ class PlanSpec extends SparkSpec {
       // anti-join/union projection like q_ann_index_delta's
       "q_sq_topk" -> 1, "q_sq_ivf" -> 1, "q_jl_topk" -> 1,
       "q_sq_index_probe" -> 1, "q_sq_index_delta" -> 0,
-      "q_sq_rerank" -> 1)
+      "q_sq_rerank" -> 1,
+      // r10 RRF hybrid: the BM25 side carries its audited aggregates
+      // (term stats, corpus stats, dfreq, per-doc sum) + its k-row rank
+      // window; the dense side's bounded top-k agg, the fusion agg, and
+      // the final rank window are all candidate-sized (≤ Σk per query)
+      "q_rrf_hybrid" -> 8)
     val errs = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)

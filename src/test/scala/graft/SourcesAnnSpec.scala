@@ -207,6 +207,28 @@ class SourcesAnnSpec extends SparkSpec {
     assert(ts.contains((1L, 5L, "spark", 3L)) && ts.contains((3L, 5L, "common", 5L)))
   }
 
+  test("rrfFuse sums integer reciprocal-rank contributions and cuts top-k") {
+    val l1 = Seq((0L, 10L, 1L), (0L, 11L, 2L), (1L, 20L, 1L)).toDF("q", "id", "rank")
+    val l2 = Seq((0L, 11L, 1L), (0L, 12L, 2L), (1L, 20L, 1L)).toDF("q", "id", "rank")
+    val got = Search.rrfFuse(Seq(l1, l2), "q", "id", "rank", topK = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // contributions at k0=60: 1e6 div 61 = 16393, 1e6 div 62 = 16129;
+    // q0: id11 = 16393+16129 = 32522 wins over id10 = 16393 and id12 =
+    // 16129 (cut at topK=2); q1: id20 doubles up
+    assert(got == Set((0L, 11L, 32522L, 1L), (0L, 10L, 16393L, 2L),
+      (1L, 20L, 32786L, 1L)))
+    // equal fused scores tie-break by id ascending — total, engine-stable
+    val ta = Seq((0L, 5L, 1L)).toDF("q", "id", "rank")
+    val tb = Seq((0L, 3L, 1L)).toDF("q", "id", "rank")
+    val tie = Search.rrfFuse(Seq(ta, tb), "q", "id", "rank", topK = 2)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect()
+    assert(tie.map(_._2).toSeq == Seq(3L, 5L) && tie.forall(_._3 == 16393L))
+    // k0 damping: with k0=0 rank 1 dominates any tail sum of one list
+    val head = Search.rrfFuse(Seq(l1, l2), "q", "id", "rank", topK = 1, k0 = 0)
+      .filter(col("q") === 0).as[(Long, Long, Long, Long)].head()
+    assert(head._2 == 11L && head._3 == 1000000L + 500000L)
+  }
+
   test("lshTopK returns a subset of brute-force candidates with correct local ranks") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.95f, 0.05f, 0.0f)),

@@ -61,6 +61,24 @@ class SqlExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("normalize_unicode is SQL-callable; form must be a literal") {
+    withExt { s =>
+      import s.implicits._
+      val deco = new String(Array('a'.toInt, 0x301), 0, 2) // a + COMBINING ACUTE
+      val got = Seq(deco).toDF("t")
+        .selectExpr("normalize_unicode(t, 'NFC') AS n").as[String].head()
+      assert(got == new String(Array(0xE1), 0, 1)) // á composed
+      val e = intercept[Exception] {
+        Seq(deco).toDF("t").selectExpr("normalize_unicode(t, t)").collect()
+      }
+      assert(messages(e).contains("must be a literal"))
+      val bad = intercept[Exception] {
+        Seq(deco).toDF("t").selectExpr("normalize_unicode(t, 'NFX')").collect()
+      }
+      assert(messages(bad).contains("unknown form"))
+    }
+  }
+
   test("chained_replace is SQL-callable and applies steps in order") {
     withExt { s =>
       import s.implicits._
