@@ -1837,6 +1837,51 @@ object SparkEntry {
     "q_soft_dedup" -> ((s, dir) =>
       Dedup.softDedupWeights(T(s, dir, "documents"), "doc_id", "text",
         numHashes = 16, bands = 4, rowsPerBand = 4, maxBucket = 256)),
+    // STREAMING soft dedup (G50 twin): the banded bucket state streams
+    // (constant per bucket: min_id + n_members, the lshBucketsStream
+    // state); at drain, STAR edges (member → bucket min) close to the
+    // SAME connected components as the batch pair list — within a bucket
+    // a clique and a star reach identical components — so cluster sizes
+    // and weights land exactly on the batch answer (shared oracle)
+    "q_stream_softdedup" -> ((s, dir) => withStreamShuffle(s) {
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_sdw").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      docs.repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+        format = "parquet", schemaDdl = Some(docs.schema.toDDL), maxFilesPerTrigger = 1)
+      val buckets = graft.streaming.Streams.lshBucketsStream(stream,
+        "doc_id", "text", numHashes = 16, bands = 4, rowsPerBand = 4)
+      val q = graft.streaming.Streams.toForeachBatch(buckets, ckpt,
+        availableNow = true, outputMode = "update") { (batch, id) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+      }
+      q.awaitTermination()
+      // compact the changelog by max n_members, then apply the SAME
+      // maxBucket=256 guard the batch operator uses — the final state
+      // carries each bucket's total membership, so the drop is exact
+      val finalBuckets = s.read.parquet(s"$outDir/batch_*")
+        .groupBy("band", "band_key")
+        .agg(max(struct(col("n_members"), col("min_id"))).as("__f"))
+        .filter(col("__f.n_members") <= 256)
+        .select(col("band"), col("band_key"), col("__f.min_id").as("min_id"))
+      val banded = Dedup.bandedKeys(
+        Dedup.minhashSignature(docs, "doc_id", "text", 16),
+        bands = 4, rowsPerBand = 4)
+      val edges = banded.join(finalBuckets, Seq("band", "band_key"))
+        .filter(col("id") =!= col("min_id"))
+        .select(col("id").as("id_a"), col("min_id").as("id_b")).distinct()
+      val clusters = Dedup.dupClusters(edges)
+      val sizes = clusters.groupBy("canonical").agg(count(lit(1)).as("__n"))
+      val m = clusters.join(sizes, "canonical")
+        .select(col("member").as("doc_id"), col("canonical"), col("__n"))
+      docs.select(col("doc_id"))
+        .join(m, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("canonical"), col("doc_id")).as("cluster"),
+          coalesce(col("__n"), lit(1L)).as("n_copies"),
+          expr("1000 div coalesce(__n, 1)").as("weight_permille"))
+    }),
     // CCNet perplexity buckets (G51): head/middle/tail terciles of the
     // corpus-LM cross-entropy by RANK cutoffs (ntile — all-integer, no
     // interpolated-threshold ulp hazard); bucket 0 = lowest xent = head
@@ -2556,6 +2601,30 @@ object SparkEntry {
        |SELECT DISTINCT x.a AS id_a, y.c AS id_b
        |FROM buckets, unnest(ids) x(a), unnest(ids) y(c) WHERE x.a < y.c""".stripMargin
   }
+
+  /** Soft-dedup weights (q_soft_dedup and its streaming twin): the
+    * [[lshPairsOracle]] pair list closed by the recursive CTE, cluster
+    * sizes rolled up, every doc kept with weight_permille = 1000 // n.
+    */
+  private val softDedupOracle: String =
+    s"""WITH RECURSIVE lp AS (SELECT id_a, id_b FROM (
+       |$lshPairsOracle) q),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM lp
+       |          UNION SELECT id_b, id_a FROM lp),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |canon AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical
+       |          FROM reach GROUP BY src),
+       |sizes AS (SELECT canonical, COUNT(*) AS n FROM canon GROUP BY canonical)
+       |SELECT d.doc_id,
+       |  COALESCE(c.canonical, d.doc_id) AS cluster,
+       |  CAST(COALESCE(s.n, 1) AS BIGINT) AS n_copies,
+       |  CAST(1000 // COALESCE(s.n, 1) AS BIGINT) AS weight_permille
+       |FROM documents d
+       |LEFT JOIN canon c USING (doc_id)
+       |LEFT JOIN sizes s ON s.canonical = c.canonical""".stripMargin
 
   /** DuckDB mirror of the incremental near-dedup probe: the same
     * minhash(16) → 4-band md5 band keys as [[lshPairsOracle]], built
@@ -4110,25 +4179,10 @@ object SparkEntry {
          |          FROM reach GROUP BY src)
          |SELECT d.doc_id, d.lang FROM documents d LEFT JOIN canon c USING (doc_id)
          |WHERE c.canonical IS NULL OR c.canonical = d.doc_id""".stripMargin,
-    "q_soft_dedup" ->
-      s"""WITH RECURSIVE lp AS (SELECT id_a, id_b FROM (
-         |$lshPairsOracle) q),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM lp
-         |          UNION SELECT id_b, id_a FROM lp),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |canon AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical
-         |          FROM reach GROUP BY src),
-         |sizes AS (SELECT canonical, COUNT(*) AS n FROM canon GROUP BY canonical)
-         |SELECT d.doc_id,
-         |  COALESCE(c.canonical, d.doc_id) AS cluster,
-         |  CAST(COALESCE(s.n, 1) AS BIGINT) AS n_copies,
-         |  CAST(1000 // COALESCE(s.n, 1) AS BIGINT) AS weight_permille
-         |FROM documents d
-         |LEFT JOIN canon c USING (doc_id)
-         |LEFT JOIN sizes s ON s.canonical = c.canonical""".stripMargin,
+    "q_soft_dedup" -> softDedupOracle,
+    // the drained bucket state's star edges close to the same components
+    // as the batch pair list — the stream must land on the batch answer
+    "q_stream_softdedup" -> softDedupOracle,
     "q_ccnet_buckets" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
