@@ -106,6 +106,48 @@ object SparkEntry {
   /** SQL single-quoted literal (quote-doubled). */
   private def sqlQ(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** Non-Latin salts for q_script_stats: (doc_id modulus, fragment,
+    * repeat count). The oracle rebuilds each fragment from code points via
+    * chr() — source-encoding-independent on the SQL side.
+    */
+  private val scriptSalts: Seq[(Int, String, Int)] = Seq(
+    (3, "Привет мир", 1),
+    (5, "Γειά σου", 1),
+    (7, "مرحبا", 1),
+    (11, "好世界", 200)) // 600 CJK chars — outweighs any doc's Latin body
+
+  /** The salted-text expression in DuckDB SQL — same fragments. */
+  private def scriptSaltSql: String = {
+    def chrExpr(s: String): String =
+      s.map(c => s"chr(${c.toInt})").mkString("(", " || ", ")")
+    "text || " + scriptSalts.map { case (m, frag, times) =>
+      val f = if (times == 1) chrExpr(frag)
+              else s"repeat(${chrExpr(frag)}, $times)"
+      s"CASE WHEN doc_id % $m = 0 THEN chr(32) || $f ELSE '' END"
+    }.mkString(" || ")
+  }
+
+  /** q_script_stats oracle — counts and the argmax CASE are both generated
+    * from [[graft.functions.Text.scripts]] (name-ascending), so the SQL
+    * can't drift from the Column API's ranges or tie-break.
+    */
+  private def scriptStatsOracle: String = {
+    val names = Text.scripts.map(_._1)
+    val defs = Text.scripts.map { case (n, re) =>
+      s"CAST(len(regexp_extract_all(s2, '$re')) AS BIGINT) AS n_$n"
+    }.mkString(",\n ")
+    val arms = names.init.zipWithIndex.map { case (n, i) =>
+      val rest = names.drop(i + 1)
+      s"WHEN ${rest.map(r => s"n_$n >= n_$r").mkString(" AND ")} THEN '$n'"
+    }.mkString("\n  ")
+    s"""WITH t AS (SELECT doc_id, $scriptSaltSql AS s2 FROM documents),
+       |sc AS (SELECT doc_id, $defs FROM t)
+       |SELECT doc_id, ${names.map("n_" + _).mkString(", ")}, CASE
+       |  WHEN greatest(${names.map("n_" + _).mkString(", ")}) = 0 THEN 'none'
+       |  $arms
+       |  ELSE '${names.last}' END AS main_script FROM sc""".stripMargin
+  }
+
   /** BM25 scored-and-cut CTEs ending in `bmtop(doc_id, score)` — shared by
     * q_bm25 and the RRF hybrid (per-term scores quantize to DECIMAL(18,6)
     * before the per-doc sum; see [[graft.similarity.Search]] scaladoc).
@@ -1266,6 +1308,16 @@ object SparkEntry {
           .otherwise(lit("")),
         when(col("doc_id") % 7 === 0, lit(" e\u0301")).otherwise(lit("")))
       T(s, dir, "documents").select(col("doc_id") +: Text.encodingStats(noisy): _*)
+    }),
+    // G54: script-mix stats over text salted with short non-Latin runs
+    // (the corpus itself is ASCII); every 11th doc gets a CJK block long
+    // enough to flip main_script — the "CJK in my English crawl"
+    // contamination case the signal exists for
+    "q_script_stats" -> ((s, dir) => {
+      val salted = concat(col("text") +: scriptSalts.map { case (m, frag, times) =>
+        when(col("doc_id") % m === 0, lit(" " + frag * times)).otherwise(lit(""))
+      }: _*)
+      T(s, dir, "documents").select(col("doc_id") +: Text.scriptStats(salted): _*)
     }),
     // G55: HTML → visible text over a synthesized page wrapping each doc —
     // uppercase multiline <SCRIPT> (with a '<' in its body), <style>,
@@ -3833,6 +3885,7 @@ object SparkEntry {
          | CAST(len(regexp_extract_all(s2, '[^\\x00-\\x7F]')) AS DOUBLE) / CAST(greatest(length(s2), 1) AS DOUBLE) AS non_ascii_frac,
          | CAST(CASE WHEN nfc_normalize(s2) = s2 THEN 0 ELSE 1 END AS BIGINT) AS nfc_changed
          |FROM t""".stripMargin,
+    "q_script_stats" -> scriptStatsOracle,
     "q_html_text" ->
       s"""WITH h AS (SELECT doc_id, $htmlExprSql AS html FROM documents)
          |SELECT doc_id, $htmlCleanSql AS clean FROM h""".stripMargin,

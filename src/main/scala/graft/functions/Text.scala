@@ -270,6 +270,42 @@ object Text {
     when(normalizeUnicode(text) === text, lit(0L)).otherwise(lit(1L))
       .as("nfc_changed"))
 
+  /** Unicode script ranges (name → Java/RE2-shared character class, name
+    * ascending) behind [[scriptStats]] — deliberately coarse block ranges,
+    * not full Unicode script properties (`\p{IsHan}` etc. differ between
+    * engines; explicit `\x{...}` ranges are identical in Java and RE2, so
+    * the oracle runs the same patterns verbatim). "cjk" covers kana +
+    * unified ideographs; "latin" covers ASCII letters + Latin-1/Extended.
+    */
+  val scripts: Seq[(String, String)] = Seq(
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "cjk" -> "[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "hangul" -> "[\\x{AC00}-\\x{D7AF}]",
+    "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]")
+
+  /** Per-document script mix (G54): one count column per [[scripts]] entry
+    * plus `main_script` — the majority script (ties by name ascending,
+    * all-zero → "none"). The multilingual routing signal [[langId]]'s
+    * stopword heuristic can't see (stopword lists are per-language;
+    * script ranges cover whole writing systems), and the "CJK text in my
+    * 'English' crawl" contamination check. One codegen projection: counts
+    * are `regexp_extract_all` lengths, the argmax is the [[langId]]
+    * struct-min device.
+    */
+  def scriptStats(text: Column): Seq[Column] = {
+    val counts = scripts.map { case (name, re) =>
+      size(regexp_extract_all(text, lit(re), lit(0))).cast(LongType).as(s"n_$name")
+    }
+    val best = array_min(array(scripts.map { case (name, re) =>
+      struct((size(regexp_extract_all(text, lit(re), lit(0))) * -1).as("neg"),
+        lit(name).as("name"))
+    }: _*))
+    counts :+ when(best.getField("neg") < 0, best.getField("name"))
+      .otherwise(lit("none")).as("main_script")
+  }
+
   /** HTML entity decode list shared by [[htmlToText]] and its oracle:
     * applied via ONE native ChainedReplace (replace-all, left-to-right —
     * identical to DuckDB `replace()` chains). `&amp;` is deliberately LAST:

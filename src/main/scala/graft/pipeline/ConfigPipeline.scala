@@ -50,7 +50,8 @@ import graft.Caching.TrackedSyntax
   * `histogram` (value/bins), `sample_per_group` (keys/id/n),
   * `canonical_url` (url[, as]), `normalize_unicode` (text[, form=NFC,
   * as]), `encoding_stats` (id/text — mojibake/control/non-ASCII/NFC-drift
-  * signals), `html_text` (html[, as] — strip script/style/comments/tags,
+  * signals), `script_stats` (id/text — per-script counts + main_script),
+  * `html_text` (html[, as] — strip script/style/comments/tags,
   * decode entities), `html_stats` (id/html — tag/link/script counts +
   * visible-text fraction), `rrf_fuse` (fan-in: `from` = 2+ ranked-list
   * stages, query/id/rank/topK[, k0=60] — Reciprocal Rank Fusion),
@@ -159,8 +160,8 @@ object ConfigPipeline {
     "neardup_incremental", "normalize_unicode",
     "pack", "pagerank", "parquet", "pca_rotate", "percentiles",
     "quality_classifier",
-    "repetition", "rrf_fuse", "sample", "sample_per_group", "select",
-    "sessionize",
+    "repetition", "rrf_fuse", "sample", "sample_per_group", "script_stats",
+    "select", "sessionize",
     "snapshot_diff", "soft_dedup", "span_dedup", "span_dedup_clean", "split",
     "sq_index_delta", "sq_index_probe",
     "substring_dedup", "substring_dedup_clean",
@@ -565,6 +566,10 @@ object ConfigPipeline {
         p.stage(name, from)(d => d.withColumn(
           if (s.has("as")) knob("as").asText() else knob("text").asText(),
           graft.functions.Text.normalizeUnicode(col(knob("text").asText()), form)))
+      // script-mix stats (G54): per-script counts + main_script argmax
+      case "script_stats" =>
+        p.stage(name, from)(d => d.select(col(knob("id").asText()) +:
+          graft.functions.Text.scriptStats(col(knob("text").asText())): _*))
       // encoding-quality stats (G54): mojibake/control/non-ASCII signals
       case "encoding_stats" =>
         p.stage(name, from)(d => d.select(col(knob("id").asText()) +:

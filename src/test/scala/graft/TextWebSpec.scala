@@ -65,6 +65,23 @@ class TextWebSpec extends SparkSpec {
     assert(clean == ((10L, 0L, 0L, 0.0, 0L)))
   }
 
+  test("scriptStats counts block ranges and argmaxes main_script") {
+    val cyr = cp(0x41F, 0x440, 0x438) // При
+    val han = cp(0x4E16, 0x754C)      // 世界
+    val kana = cp(0x3042)             // あ
+    val rows = Seq(
+      "plain ascii words",
+      cyr + cyr + " ab",              // cyrillic 6 > latin 2
+      han + kana + " x" + cyr,        // cjk 3 vs cyrillic 3 vs latin 1 -> tie: cjk (name asc)
+      "12345 .,;"                     // no letters at all
+    ).toDF("t").select(Text.scriptStats(col("t")): _*)
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect()
+    assert(rows(0) == ((0L, 0L, 0L, 0L, 0L, 15L, "latin")))
+    assert(rows(1)._3 == 6L && rows(1)._6 == 2L && rows(1)._7 == "cyrillic")
+    assert(rows(2)._2 == 3L && rows(2)._3 == 3L && rows(2)._7 == "cjk")
+    assert(rows(3)._7 == "none")
+  }
+
   test("htmlToText strips script/style/comments/tags and decodes entities") {
     val html = "<html><head><SCRIPT type=\"a\">\nvar x = 1 < 2;\n</SCRIPT>" +
       "<script>two()</script><style>p { }</style></head>\n" +
