@@ -125,7 +125,13 @@ object ScaleBench {
           // oracled 8 vec_ids (salted replicas get NEW ids), so the
           // |Q|·|C| pair term grows k×, not k² — the quadratic regime
           // (both sides growing) is margin_brute's row, not these
-          "q_sq_topk", "q_jl_topk"))
+          "q_sq_topk", "q_jl_topk",
+          // r10 web-ingest family: all pure projections (the HTML page is
+          // synthesized per row, so the scan IS the work — growth should
+          // be the scan's); RRF's BM25 side is scan-bound with a fixed
+          // query-term set, its dense side fixes |Q| at one vector
+          "q_html_text", "q_nfc_normalize", "q_script_stats",
+          "q_encoding_stats", "q_rrf_hybrid", "q_web_pipeline"))
         time(q, dir) { SparkEntry.queries(q)(spark, dir) }
       time("neardup_composed", dir) { neardupComposed(spark, dir) }
       // G45/G46 decades: brute margin mining is O(|A|·|B|) BY DESIGN —

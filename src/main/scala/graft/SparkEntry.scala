@@ -1330,6 +1330,33 @@ object SparkEntry {
     // fraction) — the filter signals read before extraction
     "q_html_stats" -> ((s, dir) =>
       T(s, dir, "documents").select(col("doc_id") +: Text.htmlStats(syntheticHtml): _*)),
+    // G55 flagship: the WEB-INGEST pipeline in one query — page →
+    // htmlToText → NFC normalize → exact dedup on the EXTRACTED text
+    // (markup variants of the same content collapse — the page wrapper
+    // here carries no doc-unique markup precisely so real duplicate text
+    // still collapses after extraction) → language ID + token count on
+    // survivors. One corpus scan feeds the whole projection chain; the
+    // only corpus-sized exchange is the dedup hash aggregate.
+    "q_web_pipeline" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      // the same content crawled twice under DIFFERENT markup (the
+      // motivating case: raw-URL/raw-HTML dedup misses these; dedup on
+      // the EXTRACTED text collapses them)
+      val pageA = concat(lit("<html><body><script>track();</script><p>"),
+        col("text"), lit(" &amp; tail</p><a href=\"/x\">next</a></body></html>"))
+      val pageB = concat(lit("<div class=\"main\"><style>p{}</style>\n<p>"),
+        col("text"), lit("&nbsp;&amp; tail</p><!-- v2 --><a\nhref=\"/y\">next</a></div>"))
+      val crawl = docs.select(col("doc_id"), pageA.as("__p"))
+        .unionByName(docs.select((col("doc_id") + 100000).as("doc_id"),
+          pageB.as("__p")))
+      val enriched = crawl.select(col("doc_id"),
+        Text.normalizeUnicode(Text.htmlToText(col("__p"))).as("clean"))
+      val keep = Dedup.exact(enriched, "doc_id", "clean")
+        .select(col("keep_id").as("doc_id"))
+      enriched.join(keep, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), Text.langId(col("clean")).as("lang_pred"),
+          size(Text.tokens(col("clean"))).cast(LongType).as("n_tokens"))
+    }),
     // BM25 keyword search: top-10 docs for a 3-term query
     "q_bm25" -> ((s, dir) =>
       Search.bm25TopK(T(s, dir, "documents"), "doc_id", "text",
@@ -3886,6 +3913,32 @@ object SparkEntry {
          | CAST(CASE WHEN nfc_normalize(s2) = s2 THEN 0 ELSE 1 END AS BIGINT) AS nfc_changed
          |FROM t""".stripMargin,
     "q_script_stats" -> scriptStatsOracle,
+    // flagship: extraction chain + nfc + min-id dedup on the extracted
+    // text + the langidOracle CASE over the CLEANED tokens
+    "q_web_pipeline" -> {
+      val pageA = "'<html><body><script>track();</script><p>' || text || " +
+        "' &amp; tail</p><a href=\"/x\">next</a></body></html>'"
+      val pageB = "'<div class=\"main\"><style>p{}</style>' || chr(10) || '<p>' || text || " +
+        "'&nbsp;&amp; tail</p><!-- v2 --><a' || chr(10) || 'href=\"/y\">next</a></div>'"
+      val codes = Text.stopwords.keys.toSeq.sorted
+      val scores = codes.map(c =>
+        s"${langScore(Text.stopwords(c))} AS s_$c").mkString(", ")
+      s"""WITH h AS (SELECT doc_id, $pageA AS html FROM documents
+         |           UNION ALL
+         |           SELECT doc_id + 100000, $pageB FROM documents),
+         |c AS (SELECT doc_id, nfc_normalize($htmlCleanSql) AS clean FROM h),
+         |k AS (SELECT MIN(doc_id) AS doc_id FROM c GROUP BY md5(clean)),
+         |t AS (SELECT c.doc_id, list_filter(string_split(clean, ' '), t -> t <> '') AS tk
+         |      FROM c JOIN k USING (doc_id)),
+         |sc AS (SELECT doc_id, tk, $scores FROM t)
+         |SELECT doc_id, CASE
+         |  WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+         |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |  WHEN s_es >= s_fr THEN 'es'
+         |  ELSE 'fr' END AS lang_pred,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens FROM sc""".stripMargin
+    },
     "q_html_text" ->
       s"""WITH h AS (SELECT doc_id, $htmlExprSql AS html FROM documents)
          |SELECT doc_id, $htmlCleanSql AS clean FROM h""".stripMargin,

@@ -75,6 +75,11 @@ class PlanSpec extends SparkSpec {
       "q_sq_topk" -> 1, "q_sq_ivf" -> 1, "q_jl_topk" -> 1,
       "q_sq_index_probe" -> 1, "q_sq_index_delta" -> 0,
       "q_sq_rerank" -> 1,
+      // r10 web-ingest flagship: the extraction/normalize chain is a pure
+      // projection over the unioned crawl; the ONLY exchanges are the
+      // dedup hash aggregate's two phases — the keep set joins back as a
+      // broadcast semi join
+      "q_web_pipeline" -> 2,
       // r10 RRF hybrid: the BM25 side carries its audited aggregates
       // (term stats, corpus stats, dfreq, per-doc sum) + its k-row rank
       // window; the dense side's bounded top-k agg, the fusion agg, and
