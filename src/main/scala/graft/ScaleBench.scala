@@ -131,7 +131,8 @@ object ScaleBench {
           // be the scan's); RRF's BM25 side is scan-bound with a fixed
           // query-term set, its dense side fixes |Q| at one vector
           "q_html_text", "q_nfc_normalize", "q_script_stats",
-          "q_encoding_stats", "q_rrf_hybrid", "q_web_pipeline"))
+          "q_encoding_stats", "q_rrf_hybrid", "q_web_pipeline",
+          "q_c4_clean"))
         time(q, dir) { SparkEntry.queries(q)(spark, dir) }
       time("neardup_composed", dir) { neardupComposed(spark, dir) }
       // G45/G46 decades: brute margin mining is O(|A|·|B|) BY DESIGN —

@@ -1319,6 +1319,31 @@ object SparkEntry {
       }: _*)
       T(s, dir, "documents").select(col("doc_id") +: Text.scriptStats(salted): _*)
     }),
+    // G57: C4 line-quality cleaning over synthesized multi-line docs —
+    // each doc becomes five lines exercising each rule (kept; <3 words;
+    // banned "javascript"; kept with '?'; no terminal punct), and every
+    // 13th doc gains the doc-level lorem-ipsum/brace markers and drops
+    // whole. Native single-loop projection; the oracle replays the rules
+    // as a DuckDB list_filter lambda.
+    "q_c4_clean" -> ((s, dir) => {
+      val tk = Text.tokens(col("text"))
+      val lines = concat_ws("\n",
+        concat(array_join(slice(tk, 1, 8), " "), lit(".")),
+        lit("ok"),
+        lit("Please enable JavaScript to continue."),
+        concat(array_join(slice(tk, 9, 12), " "), lit(" done?")),
+        array_join(slice(tk, 21, 5), " "))
+      val doc = when(col("doc_id") % 13 === 0,
+        concat(lines, lit("\nlorem ipsum {"))).otherwise(lines)
+      T(s, dir, "documents")
+        .select(col("doc_id"), doc.as("__d"))
+        .filter(Text.c4DocOk(col("__d")))
+        .select(col("doc_id"), Text.c4CleanLines(col("__d")).as("clean"),
+          size(split(col("__d"), "\n")).cast(LongType).as("n_lines"),
+          when(Text.c4CleanLines(col("__d")) === "", lit(0L))
+            .otherwise(size(split(Text.c4CleanLines(col("__d")), "\n"))
+              .cast(LongType)).as("n_kept"))
+    }),
     // G55: HTML → visible text over a synthesized page wrapping each doc —
     // uppercase multiline <SCRIPT> (with a '<' in its body), <style>,
     // comments, entities (incl. the &amp;-last no-double-decode order),
@@ -3913,6 +3938,37 @@ object SparkEntry {
          | CAST(CASE WHEN nfc_normalize(s2) = s2 THEN 0 ELSE 1 END AS BIGINT) AS nfc_changed
          |FROM t""".stripMargin,
     "q_script_stats" -> scriptStatsOracle,
+    // the C4 rules as a DuckDB list_filter lambda: rtrim-then-terminal,
+    // space-split word count, lowercase banned-substring checks — the
+    // native's loop is defined to be exactly this lambda
+    "q_c4_clean" -> {
+      val bans = Text.c4Banned.map(b =>
+        s"NOT contains(lower(l), '$b')").mkString(" AND ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |l0 AS (SELECT doc_id,
+         |  -- COALESCE: DuckDB's array_to_string is NULL on an empty list
+         |  -- where Spark's array_join is '' — short docs must not NULL out
+         |  COALESCE(array_to_string(list_slice(tk, 1, 8), ' '), '') || '.' || chr(10) ||
+         |  'ok' || chr(10) ||
+         |  'Please enable JavaScript to continue.' || chr(10) ||
+         |  COALESCE(array_to_string(list_slice(tk, 9, 20), ' '), '') || ' done?' || chr(10) ||
+         |  COALESCE(array_to_string(list_slice(tk, 21, 25), ' '), '') AS doc0 FROM t),
+         |l AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 13 = 0 THEN doc0 || chr(10) || 'lorem ipsum {'
+         |       ELSE doc0 END AS doc FROM l0),
+         |g AS (SELECT doc_id, doc FROM l
+         |      WHERE NOT (contains(lower(doc), 'lorem ipsum') OR contains(doc, '{'))),
+         |c AS (SELECT doc_id, doc,
+         |  array_to_string(list_filter(string_split(doc, chr(10)), l ->
+         |    regexp_matches(rtrim(l, ' '), '[.!?"'']$$')
+         |    AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+         |    AND $bans), chr(10)) AS clean FROM g)
+         |SELECT doc_id, clean,
+         |  CAST(len(string_split(doc, chr(10))) AS BIGINT) AS n_lines,
+         |  CAST(CASE WHEN clean = '' THEN 0
+         |       ELSE len(string_split(clean, chr(10))) END AS BIGINT) AS n_kept
+         |FROM c""".stripMargin
+    },
     // flagship: extraction chain + nfc + min-id dedup on the extracted
     // text + the langidOracle CASE over the CLEANED tokens
     "q_web_pipeline" -> {

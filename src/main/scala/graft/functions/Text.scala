@@ -270,6 +270,37 @@ object Text {
     when(normalizeUnicode(text) === text, lit(0L)).otherwise(lit(1L))
       .as("nfc_changed"))
 
+  /** Default banned-substring list for [[c4CleanLines]] (lowercase; a line
+    * containing any of these dies): the C4 "javascript" rule plus the
+    * cookie/ToS boilerplate markers and the lorem-ipsum placeholder.
+    */
+  val c4Banned: Seq[String] =
+    Seq("javascript", "cookie policy", "terms of use", "lorem ipsum")
+
+  /** C4 line-level cleaning (G57; Raffel et al., JMLR 2020 §2.2): keep only
+    * lines that end in a terminal character, have ≥ `minWords` words, and
+    * contain no banned substring; survivors rejoin with `\n` ('' when
+    * nothing survives — the caller decides whether empty docs drop). ONE
+    * native compiled loop per row
+    * ([[org.apache.spark.sql.graftglue.CleanLines]]) — the natural
+    * `array_join(filter(split(...)))` spelling is a CodegenFallback lambda
+    * that would de-fuse the whole corpus projection. Zero shuffle.
+    */
+  def c4CleanLines(text: Column, minWords: Int = 3,
+                   terminals: String = ".!?\"'",
+                   banned: Seq[String] = c4Banned): Column = {
+    import org.apache.spark.sql.graftglue.{CleanLines, ColumnBridge}
+    ColumnBridge.column(CleanLines(ColumnBridge.expression(text),
+      minWords, terminals, banned))
+  }
+
+  /** C4's DOCUMENT-level gate (G57): false for pages carrying the
+    * placeholder-text or source-code markers ("lorem ipsum", a curly
+    * brace) — those drop whole, before line cleaning. Codegen predicates.
+    */
+  def c4DocOk(text: Column): Column =
+    !(lower(text).contains("lorem ipsum") || text.contains("{"))
+
   /** Unicode script ranges (name → Java/RE2-shared character class, name
     * ascending) behind [[scriptStats]] — deliberately coarse block ranges,
     * not full Unicode script properties (`\p{IsHan}` etc. differ between

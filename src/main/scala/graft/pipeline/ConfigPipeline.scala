@@ -51,6 +51,7 @@ import graft.Caching.TrackedSyntax
   * `canonical_url` (url[, as]), `normalize_unicode` (text[, form=NFC,
   * as]), `encoding_stats` (id/text — mojibake/control/non-ASCII/NFC-drift
   * signals), `script_stats` (id/text — per-script counts + main_script),
+  * `c4_clean` (text[, minWords=3, as] — C4 doc gate + line-quality rules),
   * `html_text` (html[, as] — strip script/style/comments/tags,
   * decode entities), `html_stats` (id/html — tag/link/script counts +
   * visible-text fraction), `rrf_fuse` (fan-in: `from` = 2+ ranked-list
@@ -147,7 +148,7 @@ object ConfigPipeline {
     * diagnostic so a typo'd config names its fix. */
   val validOps: Seq[String] = Seq(
     "agg", "ann", "ann_index_delta", "ann_index_probe", "band_keys",
-    "boilerplate", "canonical_url", "ccnet_buckets", "chunk",
+    "boilerplate", "c4_clean", "canonical_url", "ccnet_buckets", "chunk",
     "corpus_overlap", "corpus_shuffle", "csv_permissive", "decontaminate",
     "dedup_best",
     "dedup_exact", "dedup_near", "degrees", "distinct", "distinct_sketch",
@@ -566,6 +567,15 @@ object ConfigPipeline {
         p.stage(name, from)(d => d.withColumn(
           if (s.has("as")) knob("as").asText() else knob("text").asText(),
           graft.functions.Text.normalizeUnicode(col(knob("text").asText()), form)))
+      // C4 line-quality cleaning (G57): doc gate + line rules; emits the
+      // cleaned column (default "clean")
+      case "c4_clean" =>
+        val minWords = if (s.has("minWords")) knob("minWords").asInt() else 3
+        p.stage(name, from)(d => d
+          .filter(graft.functions.Text.c4DocOk(col(knob("text").asText())))
+          .withColumn(if (s.has("as")) knob("as").asText() else "clean",
+            graft.functions.Text.c4CleanLines(
+              col(knob("text").asText()), minWords)))
       // script-mix stats (G54): per-script counts + main_script argmax
       case "script_stats" =>
         p.stage(name, from)(d => d.select(col(knob("id").asText()) +:

@@ -90,6 +90,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       KmvSet(c.head, litInt(c(1), "kmv_set")))
     register(ext, "normalize_unicode", classOf[NormalizeUnicode], 2)(c =>
       NormalizeUnicode(c.head, litString(c(1), "normalize_unicode")))
+    register(ext, "clean_lines", classOf[CleanLines], 4)(c =>
+      CleanLines(c.head, litInt(c(1), "clean_lines"),
+        litString(c(2), "clean_lines"),
+        litStrings(c(3), "clean_lines", keepNulls = false)))
     ext.injectOptimizerRule(_ => FuseCountInSet)
   }
 }

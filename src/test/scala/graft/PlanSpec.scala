@@ -33,6 +33,7 @@ class PlanSpec extends SparkSpec {
       // extraction are all zero-shuffle codegen chains
       "q_nfc_normalize" -> 0, "q_encoding_stats" -> 0,
       "q_html_text" -> 0, "q_html_stats" -> 0, "q_script_stats" -> 0,
+      "q_c4_clean" -> 0,
       "q_stratified" -> 0, "q_mixture" -> 0, "q_kmeans" -> 0, "q_topk" -> 0,
       // single-shuffle aggregation/window shapes
       "q_agg" -> 1, "q_dedup_exact" -> 1, "q_sessionize" -> 1,

@@ -79,6 +79,21 @@ class SqlExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("clean_lines is SQL-callable with literal rule parameters") {
+    withExt { s =>
+      import s.implicits._
+      val got = Seq("Keep this line.\nno\nDrop javascript now.")
+        .toDF("t")
+        .selectExpr("clean_lines(t, 3, '.!?', array('javascript')) AS c")
+        .as[String].head()
+      assert(got == "Keep this line.")
+      val e = intercept[Exception] {
+        Seq("x").toDF("t").selectExpr("clean_lines(t, 3, t, array('a'))").collect()
+      }
+      assert(messages(e).contains("must be a literal"))
+    }
+  }
+
   test("chained_replace is SQL-callable and applies steps in order") {
     withExt { s =>
       import s.implicits._

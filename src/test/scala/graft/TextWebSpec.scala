@@ -105,6 +105,44 @@ class TextWebSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), s"projection not codegen-fused:\n$plan")
   }
 
+  test("c4CleanLines applies the three line rules; c4DocOk gates docs") {
+    val doc = Seq(
+      "Good sentence with words.",      // kept
+      "Trailing spaces count.   ",      // kept: rtrim before the terminal check
+      "short.",                         // dropped: < 3 words
+      "no terminal punctuation here",   // dropped: rule 1
+      "Enable JavaScript to proceed.",  // dropped: banned (case-insensitive)
+      "Ends with a question?",          // kept
+      "").mkString("\n")
+    val got = Seq(doc).toDF("t").select(Text.c4CleanLines(col("t")))
+      .as[String].head()
+    assert(got == Seq("Good sentence with words.",
+      "Trailing spaces count.   ", "Ends with a question?").mkString("\n"))
+    // nothing survives -> empty string, not null
+    assert(Seq("x\ny").toDF("t").select(Text.c4CleanLines(col("t")))
+      .as[String].head() == "")
+    // null in, null out
+    assert(Seq[Option[String]](None).toDF("t")
+      .select(Text.c4CleanLines(col("t"))).collect()(0).isNullAt(0))
+    // knobs: minWords and custom banned list
+    assert(Seq("one two.").toDF("t")
+      .select(Text.c4CleanLines(col("t"), minWords = 2)).as[String].head() == "one two.")
+    assert(Seq("the spark rows here.").toDF("t")
+      .select(Text.c4CleanLines(col("t"), banned = Seq("spark"))).as[String].head() == "")
+    // banned list must be lowercase (the contract the oracle shares)
+    intercept[IllegalArgumentException] {
+      Text.c4CleanLines(col("t"), banned = Seq("JavaScript"))
+    }
+    // doc-level gate
+    val ok = Seq("clean doc", "has lorem ipsum inside", "code { here }")
+      .toDF("t").select(Text.c4DocOk(col("t"))).as[Boolean].collect().toSeq
+    assert(ok == Seq(true, false, false))
+    // stays codegen-fused over a real scan
+    val plan = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(Text.c4CleanLines(col("text"))).queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"projection not codegen-fused:\n$plan")
+  }
+
   test("htmlStats counts tags/links/scripts and the visible-text fraction") {
     val html = "<p>hello</p><a href=\"x\">l</a><a\nhref=\"y\">m</a>" +
       "<SCRIPT>s()</SCRIPT><br>"
