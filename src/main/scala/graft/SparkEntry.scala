@@ -1387,6 +1387,32 @@ object SparkEntry {
       Search.bm25TopK(T(s, dir, "documents"), "doc_id", "text",
           Seq("spark", "vector", "customer"), k = 10)
         .select(col("id").as("doc_id"), col("score"))),
+    // G58: the stored LEXICAL index — postings partitioned by term bucket,
+    // probed without re-scanning the corpus; reading the index back and
+    // scoring through the shared bm25Tail must reproduce bm25TopK
+    // bit-for-bit (shares q_bm25's oracle — the stored-index identity the
+    // other four index families pin the same way)
+    "q_bm25_index" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_lexidx").toString
+      Search.writeLexIndex(T(s, dir, "documents"), "doc_id", "text", base,
+        buckets = 16)
+      Search.bm25FromIndex(s, base, Seq("spark", "vector", "customer"), k = 10)
+        .select(col("id").as("doc_id"), col("score"))
+    }),
+    // G58: postings lifecycle — retire + admit under the stored layout;
+    // maintained ≡ tokenized-from-scratch over the maintained membership
+    // (the oracle re-derives every posting row)
+    "q_bm25_index_delta" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val base = java.nio.file.Files.createTempDirectory("graft_lexidx_d").toString
+      Search.writeLexIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", base, buckets = 16)
+      val (posts, _, _) = Search.lexIndexDelta(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", base,
+        docs.filter(col("doc_id") % 13 === 0).select(col("doc_id").as("id")))
+      posts.select(col("id").as("doc_id"), col("term"), col("tf"),
+        col("dl"), col("bucket"))
+    }),
     // G56: hybrid retrieval — Reciprocal Rank Fusion of the BM25 lexical
     // top-10 and the dense cosine top-10 (query = embedding 0; doc_id and
     // vec_id share the id space at every SF). Contributions are exact
@@ -4012,6 +4038,23 @@ object SparkEntry {
     "q_bm25" ->
       s"""$bm25CtesSql
          |SELECT doc_id, score FROM bmtop""".stripMargin,
+    // the store/load round trip is bit-identical to the direct scan
+    "q_bm25_index" ->
+      s"""$bm25CtesSql
+         |SELECT doc_id, score FROM bmtop""".stripMargin,
+    // maintained postings ≡ tokenize-from-scratch over the maintained
+    // membership (base %10!=0 minus retired %13==0, plus admitted %10==0
+    // minus retired = everything but the retired set)
+    "q_bm25_index_delta" ->
+      s"""WITH m AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+         |t AS (SELECT doc_id, $toksSql AS tk FROM m),
+         |p AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, term,
+         |      CAST(COUNT(*) AS BIGINT) AS tf
+         |      FROM (SELECT doc_id, tk, unnest(tk) AS term FROM t)
+         |      GROUP BY 1, 2, 3)
+         |SELECT doc_id, term, tf, dl,
+         |  CAST(('0x' || substring(md5(term), 1, 15))::BIGINT % 16 AS BIGINT) AS bucket
+         |FROM p""".stripMargin,
     // RRF: both lists' ranks replay (BM25 CTEs shared with q_bm25; dense =
     // the annOracle cosine for query 0), contributions are exact integer
     // 1e6 // (60 + rank), the fused order is total on (rrf_ppm, id)

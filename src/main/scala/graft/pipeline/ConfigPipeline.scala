@@ -52,6 +52,8 @@ import graft.Caching.TrackedSyntax
   * as]), `encoding_stats` (id/text — mojibake/control/non-ASCII/NFC-drift
   * signals), `script_stats` (id/text — per-script counts + main_script),
   * `c4_clean` (text[, minWords=3, as] — C4 doc gate + line-quality rules),
+  * `bm25` (terms/k + id/text, or `indexDir` to probe a stored lexical
+  * index without re-scanning),
   * `html_text` (html[, as] — strip script/style/comments/tags,
   * decode entities), `html_stats` (id/html — tag/link/script counts +
   * visible-text fraction), `rrf_fuse` (fan-in: `from` = 2+ ranked-list
@@ -148,6 +150,7 @@ object ConfigPipeline {
     * diagnostic so a typo'd config names its fix. */
   val validOps: Seq[String] = Seq(
     "agg", "ann", "ann_index_delta", "ann_index_probe", "band_keys",
+    "bm25",
     "boilerplate", "c4_clean", "canonical_url", "ccnet_buckets", "chunk",
     "corpus_overlap", "corpus_shuffle", "csv_permissive", "decontaminate",
     "dedup_best",
@@ -567,6 +570,17 @@ object ConfigPipeline {
         p.stage(name, from)(d => d.withColumn(
           if (s.has("as")) knob("as").asText() else knob("text").asText(),
           graft.functions.Text.normalizeUnicode(col(knob("text").asText()), form)))
+      // BM25 keyword search (G19/G58): over the input stage directly, or
+      // over a stored lexical index (indexDir) without re-scanning
+      case "bm25" =>
+        val terms = strs(knob("terms"))
+        val k = knob("k").asInt()
+        if (s.has("indexDir"))
+          p.stage(name, from)(d => graft.similarity.Search.bm25FromIndex(
+            d.sparkSession, knob("indexDir").asText(), terms, k))
+        else
+          p.stage(name, from)(graft.similarity.Search.bm25TopK(_,
+            knob("id").asText(), knob("text").asText(), terms, k))
       // C4 line-quality cleaning (G57): doc gate + line rules; emits the
       // cleaned column (default "clean")
       case "c4_clean" =>

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -205,16 +205,27 @@ object Search {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
     val toks = docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__tk"))
     val stats = termStats(docs, idCol, textCol, queryTerms)
     val corp = toks.agg(count(lit(1)).as("n"),
       sum(size(col("__tk")).cast(LongType)).as("sumdl"))
-    val dfreq = stats.groupBy("term").agg(count(lit(1)).as("df"))
-    // expression shapes mirror the SQL oracle operator-for-operator: every
-    // double op is IEEE-correctly-rounded, so identical operand order =
-    // identical bits (ln excepted — handled by the decimal quantization)
-    val scored = stats.join(broadcast(dfreq), "term").crossJoin(broadcast(corp))
+    bm25Tail(stats, corp, k, k1, b)
+  }
+
+  /** The BM25 scoring tail over a postings-shaped frame (id, dl, term, tf)
+    * + a 1-row corpus-stats frame (n, sumdl) — ONE definition shared by
+    * [[bm25TopK]] (postings computed from the corpus scan) and
+    * [[bm25FromIndex]] (postings read from the stored index), so the two
+    * paths are bit-identical by construction and share one oracle.
+    * Expression shapes mirror the SQL oracle operator-for-operator: every
+    * double op is IEEE-correctly-rounded, so identical operand order =
+    * identical bits (ln excepted — handled by the decimal quantization).
+    */
+  private def bm25Tail(posts: DataFrame, corp: DataFrame, k: Int,
+                       k1: Double, b: Double): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = posts.join(broadcast(dfreq), "term").crossJoin(broadcast(corp))
       .withColumn("__idf",
         log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .withColumn("__tfc",
@@ -226,5 +237,112 @@ object Search {
       .select(col("id"), col("__sdec").cast(DoubleType).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** A term's storage bucket: the 60-bit md5 prefix mod `buckets` —
+    * engine-portable (the [[Ann.md5Prefix60]] recipe), computable
+    * DRIVER-side for probe routing and as a codegen column at build time.
+    */
+  private def termBucket(term: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(term), 1, 15), 16, 10).cast(LongType),
+      lit(buckets.toLong))
+
+  /** Persistent lexical (BM25) index — the FIFTH stored-index family
+    * (G40 LSH keys, G44 winnow prints, G47 IVFPQ codes, G52 SQ codes, now
+    * postings): query a 100 TB corpus's keyword surface WITHOUT
+    * re-scanning it. Layout under `dir`:
+    *
+    *   - `postings/` — (id, dl, term, tf) parquet PARTITIONED BY
+    *     `bucket` = [[termBucket]](term), so a probe's term routing
+    *     becomes directory-level partition pruning: the scan lists
+    *     ~|queryTerms|/buckets of the posting files before reading a row;
+    *   - `doclens/` — (id, dl) for EVERY doc (including term-less empty
+    *     docs, which have no postings but count in the corpus stats);
+    *   - `stats/` — one row (n, sumdl, buckets): the corpus-level BM25
+    *     inputs plus the layout's bucket count, so probes are
+    *     self-describing.
+    *
+    * Build cost: one corpus tokenize scan; the postings aggregate shuffles
+    * (id, term) pairs — fixed-width rows, never the text.
+    */
+  def writeLexIndex(docs: DataFrame, idCol: String, textCol: String,
+                    dir: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = docs.sparkSession
+    val toks = docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__tk"))
+    val doclens = toks.select(col("id"), size(col("__tk")).cast(LongType).as("dl"))
+    doclens.write.mode("overwrite").parquet(s"$dir/doclens")
+    toks.select(col("id"), size(col("__tk")).cast(LongType).as("dl"),
+        explode(col("__tk")).as("term"))
+      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", termBucket(col("term"), buckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+    import spark.implicits._
+    val st = doclens.agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L))
+      .as("sumdl")).head()
+    Seq((st.getLong(0), st.getLong(1), buckets)).toDF("n", "sumdl", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** BM25 over the STORED index: reads only the query terms' bucket
+    * partitions (directory pruning — spec pins the `PartitionFilters`
+    * shape), computes df from the pruned postings, and runs the SHARED
+    * [[bm25Tail]] — bit-identical to [[bm25TopK]] over the same corpus
+    * (q_bm25_index shares q_bm25's oracle). Per-query cost is the probed
+    * buckets' postings, independent of corpus text size.
+    */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    queryTerms: Seq[String], k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val st = spark.read.parquet(s"$dir/stats").head()
+    val (n, sumdl, buckets) = (st.getLong(0), st.getLong(1), st.getInt(2))
+    val bks = queryTerms.map(t => Ann.md5Prefix60(t) % buckets).distinct
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(bks: _*))
+      .filter(col("term").isin(queryTerms: _*))
+      .select("id", "dl", "term", "tf")
+    import spark.implicits._
+    val corp = Seq((n, sumdl)).toDF("n", "sumdl")
+    bm25Tail(posts, corp, k, k1, b)
+  }
+
+  /** Lexical-index maintenance (the G40/G44/G47/G52 lifecycle identity,
+    * postings edition): retire `retiredIds`, tokenize ONLY the admitted
+    * delta, return the maintained (postings, doclens, stats) — each
+    * row-identical to a from-scratch rebuild over the maintained
+    * membership (q_bm25_index_delta's oracle re-derives every posting).
+    * The retire anti-join scans the stored postings (fixed-width rows,
+    * text-free) — a retired doc's postings are spread across term buckets
+    * by construction, so the rewrite is index-scan-sized; corpus text is
+    * touched only for the delta.
+    */
+  def lexIndexDelta(admitted: DataFrame, idCol: String, textCol: String,
+                    dir: String, retiredIds: DataFrame):
+      (DataFrame, DataFrame, DataFrame) = {
+    val spark = admitted.sparkSession
+    val buckets = spark.read.parquet(s"$dir/stats").head().getInt(2)
+    val retire = graft.dedup.Dedup.retiredIdFrame(retiredIds)
+    val keptPosts = spark.read.parquet(s"$dir/postings")
+      .join(broadcast(retire), Seq("id"), "left_anti")
+      // partition-column inference reads bucket back as INT; the fresh
+      // side computes LONG — align before the union
+      .select(col("id"), col("dl"), col("term"), col("tf"),
+        col("bucket").cast(org.apache.spark.sql.types.LongType).as("bucket"))
+    val toks = admitted.select(col(idCol).as("id"),
+      Text.tokens(col(textCol)).as("__tk"))
+      .join(broadcast(retire), Seq("id"), "left_anti")
+    val freshPosts = toks.select(col("id"),
+        size(col("__tk")).cast(LongType).as("dl"), explode(col("__tk")).as("term"))
+      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", termBucket(col("term"), buckets))
+    val posts = keptPosts.unionByName(freshPosts)
+    val doclens = spark.read.parquet(s"$dir/doclens")
+      .join(broadcast(retire), Seq("id"), "left_anti")
+      .unionByName(toks.select(col("id"), size(col("__tk")).cast(LongType).as("dl")))
+    val stats = doclens.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("sumdl"),
+      lit(buckets).as("buckets"))
+    (posts, doclens, stats)
   }
 }

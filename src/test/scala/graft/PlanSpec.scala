@@ -76,6 +76,12 @@ class PlanSpec extends SparkSpec {
       "q_sq_topk" -> 1, "q_sq_ivf" -> 1, "q_jl_topk" -> 1,
       "q_sq_index_probe" -> 1, "q_sq_index_delta" -> 0,
       "q_sq_rerank" -> 1,
+      // r10 stored lexical index: the probe's only exchanges are the
+      // query-term df aggregate and the per-doc score sum over the PRUNED
+      // postings (corp stats and dfreq broadcast; top-k is TakeOrdered);
+      // delta maintenance is one delta-tokenize aggregate — kept postings
+      // anti-join a broadcast retire set, no index-sized exchange
+      "q_bm25_index" -> 2, "q_bm25_index_delta" -> 1,
       // r10 web-ingest flagship: the extraction/normalize chain is a pure
       // projection over the unioned crawl; the ONLY exchanges are the
       // dedup hash aggregate's two phases — the keep set joins back as a

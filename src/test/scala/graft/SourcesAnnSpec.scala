@@ -207,6 +207,53 @@ class SourcesAnnSpec extends SparkSpec {
     assert(ts.contains((1L, 5L, "spark", 3L)) && ts.contains((3L, 5L, "common", 5L)))
   }
 
+  test("stored lexical index: probe ≡ direct BM25, bucket pruning, delta identity") {
+    val docs = Seq(
+      (1L, "spark spark spark common common"),
+      (2L, "spark common common common common"),
+      (3L, "common common common common common"),
+      (4L, "spark spark spark common common"),
+      (5L, "")).toDF("doc_id", "text") // empty doc: no postings, counts in stats
+    val dir = java.nio.file.Files.createTempDirectory("lexidx").toString
+    Search.writeLexIndex(docs, "doc_id", "text", dir, buckets = 8)
+    // store/load identity: shared bm25Tail ⇒ bit-identical scores
+    val got = Search.bm25FromIndex(spark, dir, Seq("spark", "common"), k = 5)
+      .as[(Long, Double)].collect().toSeq
+    val want = Search.bm25TopK(docs, "doc_id", "text", Seq("spark", "common"), k = 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // the empty doc reached the corpus stats (n=5), not the postings
+    val st = spark.read.parquet(s"$dir/stats").head()
+    assert(st.getLong(0) == 5L && st.getLong(1) == 20L)
+    // term routing reaches the scan as a PARTITION filter on the
+    // bucket-partitioned layout — pruned at file-listing time
+    val probe = Search.bm25FromIndex(spark, dir, Seq("spark"), k = 3)
+    probe.collect()
+    val p = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+      s"expected a bucket partition filter in:\n${p.take(3000)}")
+    // maintenance identity: retire + admit ≡ rebuild over the membership
+    val admitted = Seq((6L, "fresh spark doc"), (7L, "common fresh")).toDF("doc_id", "text")
+    val retired = Seq(2L, 6L).toDF("id")
+    val (posts, doclens, stats) = Search.lexIndexDelta(
+      admitted, "doc_id", "text", dir, retired)
+    val membership = docs.filter(!$"doc_id".isin(2L, 6L))
+      .unionByName(admitted.filter($"doc_id" =!= 6L))
+    val dir2 = java.nio.file.Files.createTempDirectory("lexidx2").toString
+    Search.writeLexIndex(membership, "doc_id", "text", dir2, buckets = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "dl", "term", "tf", "bucket")
+        .as[(Long, Long, String, Long, Long)].collect().toSet
+    assert(rows(posts) == rows(spark.read.parquet(s"$dir2/postings")
+      .select(col("id"), col("dl"), col("term"), col("tf"),
+        col("bucket").cast("long"))))
+    assert(doclens.as[(Long, Long)].collect().toSet ==
+      spark.read.parquet(s"$dir2/doclens").as[(Long, Long)].collect().toSet)
+    assert(stats.select("n", "sumdl").as[(Long, Long)].head() ==
+      spark.read.parquet(s"$dir2/stats").select("n", "sumdl")
+        .as[(Long, Long)].head())
+  }
+
   test("rrfFuse sums integer reciprocal-rank contributions and cuts top-k") {
     val l1 = Seq((0L, 10L, 1L), (0L, 11L, 2L), (1L, 20L, 1L)).toDF("q", "id", "rank")
     val l2 = Seq((0L, 11L, 1L), (0L, 12L, 2L), (1L, 20L, 1L)).toDF("q", "id", "rank")
