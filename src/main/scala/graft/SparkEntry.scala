@@ -148,6 +148,48 @@ object SparkEntry {
        |  ELSE '${names.last}' END AS main_script FROM sc""".stripMargin
   }
 
+  /** Query term-sets for q_bm25_many / q_stream_bm25probe — one Scala
+    * definition feeds the Spark frame AND the oracle's VALUES list.
+    */
+  private val bm25ManyQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "vector", "customer"),
+    1L -> Seq("spark", "window"),
+    2L -> Seq("merge", "batch"))
+
+  /** Multi-query BM25 oracle: the bm25CtesSql scoring chain per (query,
+    * doc) with the term sets from [[bm25ManyQueries]] as a VALUES list.
+    */
+  private def bm25ManyOracle: String = {
+    val values = bm25ManyQueries.flatMap { case (qid, ts) =>
+      ts.map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    val allTerms = bm25ManyQueries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+       |      FROM (VALUES $values) v(query_id, term)),
+       |tstats AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, term, COUNT(*) AS tf
+       |           FROM (SELECT doc_id, tk, unnest(tk) AS term FROM toks)
+       |           WHERE term IN ($allTerms)
+       |           GROUP BY 1, 2, 3),
+       |corp AS (SELECT COUNT(*) AS n, SUM(CAST(len(tk) AS BIGINT)) AS sumdl FROM toks),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tstats GROUP BY 1),
+       |scored AS (SELECT q.query_id, t.doc_id,
+       |    CAST(ln(1 + (c.n - f.df + 0.5) / (f.df + 0.5)) *
+       |         ((t.tf * (CAST(1.2 AS DOUBLE) + 1)) /
+       |          (t.tf + CAST(1.2 AS DOUBLE) *
+       |           (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (t.dl / (c.sumdl / c.n)))))
+       |      AS DECIMAL(18,6)) AS s
+       |  FROM tstats t JOIN q USING (term) JOIN dfreq f USING (term) CROSS JOIN corp c),
+       |sc AS (SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS score
+       |       FROM scored GROUP BY 1, 2)
+       |SELECT query_id, doc_id, score, rank FROM (
+       |  SELECT query_id, doc_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM sc) WHERE rank <= 5""".stripMargin
+  }
+
   /** BM25 scored-and-cut CTEs ending in `bmtop(doc_id, score)` — shared by
     * q_bm25 and the RRF hybrid (per-term scores quantize to DECIMAL(18,6)
     * before the per-doc sum; see [[graft.similarity.Search]] scaladoc).
@@ -1412,6 +1454,51 @@ object SparkEntry {
         docs.filter(col("doc_id") % 13 === 0).select(col("doc_id").as("id")))
       posts.select(col("id").as("doc_id"), col("term"), col("tf"),
         col("dl"), col("bucket"))
+    }),
+    // G58: MULTI-query BM25 over the stored index — the batch-retrieval
+    // shape (every query scored in one pass); per-query results are
+    // bit-identical to per-call probes (spec) and the oracle replays all
+    // three term sets through one rank window
+    "q_bm25_many" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_lexidx_m").toString
+      Search.writeLexIndex(T(s, dir, "documents"), "doc_id", "text", base,
+        buckets = 16)
+      import s.implicits._
+      val q = bm25ManyQueries.flatMap { case (qid, ts) => ts.map(qid -> _) }
+        .toDF("qid", "term")
+      Search.bm25ManyFromIndex(s, base, q, "qid", "term", k = 5)
+        .select(col("query_id"), col("id").as("doc_id"), col("score"),
+          col("rank"))
+    }),
+    // G58: the STREAMING probe twin (the G47 device, lexical edition) —
+    // query term-sets drain as a file stream, each micro-batch probes the
+    // static stored index via foreachBatch; a query's top-k depends only
+    // on its own terms + the index, so any whole-query batch split
+    // appends the same rows (shares q_bm25_many's oracle)
+    "q_stream_bm25probe" -> ((s, dir) => withStreamShuffle(s) {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_bm").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      Search.writeLexIndex(T(s, dir, "documents"), "doc_id", "text",
+        s"$base/idx", buckets = 16)
+      import s.implicits._
+      val q = bm25ManyQueries.flatMap { case (qid, ts) => ts.map(qid -> _) }
+        .toDF("qid", "term")
+      // keep each query's terms within one file ⇒ every micro-batch holds
+      // whole queries
+      q.repartition(2, col("qid")).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+        format = "parquet", schemaDdl = Some("qid BIGINT, term STRING"),
+        maxFilesPerTrigger = 1)
+      val run = graft.streaming.Streams.toForeachBatch(stream, ckpt,
+        availableNow = true) { (batch, id) =>
+        if (!batch.isEmpty)
+          Search.bm25ManyFromIndex(s, s"$base/idx", batch, "qid", "term", k = 5)
+            .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+      }
+      run.awaitTermination()
+      s.read.parquet(s"$outDir/batch_*")
+        .select(col("query_id"), col("id").as("doc_id"), col("score"),
+          col("rank"))
     }),
     // G56: hybrid retrieval — Reciprocal Rank Fusion of the BM25 lexical
     // top-10 and the dense cosine top-10 (query = embedding 0; doc_id and
@@ -4042,6 +4129,10 @@ object SparkEntry {
     "q_bm25_index" ->
       s"""$bm25CtesSql
          |SELECT doc_id, score FROM bmtop""".stripMargin,
+    "q_bm25_many" -> bm25ManyOracle,
+    // whole-query batch splits append the same rows — the stream lands on
+    // the batch answer exactly
+    "q_stream_bm25probe" -> bm25ManyOracle,
     // maintained postings ≡ tokenize-from-scratch over the maintained
     // membership (base %10!=0 minus retired %13==0, plus admitted %10==0
     // minus retired = everything but the retired set)

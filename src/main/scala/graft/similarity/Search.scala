@@ -307,6 +307,55 @@ object Search {
     bm25Tail(posts, corp, k, k1, b)
   }
 
+  /** MULTI-query BM25 over the stored index: `queries` is a (query_id,
+    * term) frame — the batch-retrieval shape (score every training/eval
+    * query against the corpus in ONE pass) that per-call [[bm25FromIndex]]
+    * can't express. Routing: the DISTINCT buckets of the query terms are a
+    * bounded collect (≤ the layout's bucket count, never vocabulary-sized),
+    * so partition pruning still happens at file-listing time; the term
+    * filter itself is a distributed semi join (query terms never collect).
+    * Document frequencies come from the pruned postings — pruning keeps
+    * EVERY posting of a surviving term, so df equals the global value.
+    * Scoring is the [[bm25Tail]] expression chain per (query, doc); the
+    * per-query cut is a rank window over ≤ |postings-of-query-terms| rows.
+    * Per-query results are bit-identical to [[bm25FromIndex]] with the
+    * same term set (spec-pinned; q_bm25_many oracles three query sets).
+    */
+  def bm25ManyFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        queries: DataFrame, queryCol: String, termCol: String,
+                        k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val st = spark.read.parquet(s"$dir/stats").head()
+    val (n, sumdl, buckets) = (st.getLong(0), st.getLong(1), st.getInt(2))
+    val q = queries.select(col(queryCol).as("query_id"), col(termCol).as("term"))
+      .distinct()
+    val bks = q.select(termBucket(col("term"), buckets).as("b"))
+      .distinct().collect().map(_.getLong(0)) // bounded: <= buckets values
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(bks.toSeq: _*))
+      .join(q.select("term").distinct(), Seq("term"), "left_semi")
+      .select("id", "dl", "term", "tf")
+    val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = posts.join(q, "term")
+      .join(broadcast(dfreq), "term")
+      .withColumn("n", lit(n)).withColumn("sumdl", lit(sumdl))
+      .withColumn("__idf",
+        log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("__tfc",
+        (col("tf") * (lit(k1) + lit(1))) /
+          (col("tf") + lit(k1) *
+            (lit(1) - lit(b) + lit(b) * (col("dl") / (col("sumdl") / col("n"))))))
+      .withColumn("__s", (col("__idf") * col("__tfc")).cast(DecimalType(18, 6)))
+    import org.apache.spark.sql.expressions.Window
+    scored.groupBy("query_id", "id").agg(sum(col("__s")).as("__sdec"))
+      .select(col("query_id"), col("id"),
+        col("__sdec").cast(DoubleType).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("id").asc)).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+
   /** Lexical-index maintenance (the G40/G44/G47/G52 lifecycle identity,
     * postings edition): retire `retiredIds`, tokenize ONLY the admitted
     * delta, return the maintained (postings, doclens, stats) — each

@@ -82,6 +82,11 @@ class PlanSpec extends SparkSpec {
       // delta maintenance is one delta-tokenize aggregate — kept postings
       // anti-join a broadcast retire set, no index-sized exchange
       "q_bm25_index" -> 2, "q_bm25_index_delta" -> 1,
+      // multi-query probe: every exchange is query- or candidate-sized
+      // (query-term distinct, bucket distinct, the term semi/equi joins,
+      // df agg, the (query,doc) score agg + per-query rank window) over
+      // the PRUNED postings — none is corpus-sized
+      "q_bm25_many" -> 6,
       // r10 web-ingest flagship: the extraction/normalize chain is a pure
       // projection over the unioned crawl; the ONLY exchanges are the
       // dedup hash aggregate's two phases — the keep set joins back as a

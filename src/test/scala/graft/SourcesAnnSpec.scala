@@ -254,6 +254,28 @@ class SourcesAnnSpec extends SparkSpec {
         .as[(Long, Long)].head())
   }
 
+  test("bm25ManyFromIndex matches per-call probes and dedupes repeated terms") {
+    val docs = Seq(
+      (1L, "spark spark spark common common"),
+      (2L, "spark common common common common"),
+      (3L, "common common common common common"),
+      (4L, "spark rare common")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lexidx_m").toString
+    Search.writeLexIndex(docs, "doc_id", "text", dir, buckets = 8)
+    val q = Seq((0L, "spark"), (0L, "common"), (1L, "rare"),
+      (1L, "rare")) // repeated term must count once (term SETS)
+      .toDF("qid", "term")
+    val many = Search.bm25ManyFromIndex(spark, dir, q, "qid", "term", k = 3)
+      .as[(Long, Long, Double, Long)].collect().toSeq.sorted
+    val per = Seq(0L -> Seq("spark", "common"), 1L -> Seq("rare")).flatMap {
+      case (qid, ts) =>
+        Search.bm25FromIndex(spark, dir, ts, k = 3)
+          .as[(Long, Double)].collect().toSeq.zipWithIndex
+          .map { case ((id, sc), i) => (qid, id, sc, i + 1L) }
+    }.sorted
+    assert(many == per && many.nonEmpty)
+  }
+
   test("rrfFuse sums integer reciprocal-rank contributions and cuts top-k") {
     val l1 = Seq((0L, 10L, 1L), (0L, 11L, 2L), (1L, 20L, 1L)).toDF("q", "id", "rank")
     val l2 = Seq((0L, 11L, 1L), (0L, 12L, 2L), (1L, 20L, 1L)).toDF("q", "id", "rank")
