@@ -270,16 +270,19 @@ object Search {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = docs.sparkSession
     val toks = docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__tk"))
-    val doclens = toks.select(col("id"), size(col("__tk")).cast(LongType).as("dl"))
-    doclens.write.mode("overwrite").parquet(s"$dir/doclens")
+    toks.select(col("id"), size(col("__tk")).cast(LongType).as("dl"))
+      .write.mode("overwrite").parquet(s"$dir/doclens")
     toks.select(col("id"), size(col("__tk")).cast(LongType).as("dl"),
         explode(col("__tk")).as("term"))
       .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
       .withColumn("bucket", termBucket(col("term"), buckets))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
     import spark.implicits._
-    val st = doclens.agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L))
-      .as("sumdl")).head()
+    // stats from the WRITTEN doclens (16-byte rows), not a third corpus
+    // tokenize scan — the build pays exactly two text scans
+    val st = spark.read.parquet(s"$dir/doclens")
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L))
+        .as("sumdl")).head()
     Seq((st.getLong(0), st.getLong(1), buckets)).toDF("n", "sumdl", "buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
