@@ -1413,8 +1413,12 @@ object SparkEntry {
         col("text"), lit(" &amp; tail</p><a href=\"/x\">next</a></body></html>"))
       val pageB = concat(lit("<div class=\"main\"><style>p{}</style>\n<p>"),
         col("text"), lit("&nbsp;&amp; tail</p><!-- v2 --><a\nhref=\"/y\">next</a></div>"))
+      // variant-B ids offset past the REAL id space (max+1, the ScaleBench
+      // salting device) — a fixed constant would collide with salted
+      // replica ids at high replication factors
+      val off = docs.agg(max("doc_id")).head().getLong(0) + 1L
       val crawl = docs.select(col("doc_id"), pageA.as("__p"))
-        .unionByName(docs.select((col("doc_id") + 100000).as("doc_id"),
+        .unionByName(docs.select((col("doc_id") + off).as("doc_id"),
           pageB.as("__p")))
       val enriched = crawl.select(col("doc_id"),
         Text.normalizeUnicode(Text.htmlToText(col("__p"))).as("clean"))
@@ -4094,7 +4098,8 @@ object SparkEntry {
         s"${langScore(Text.stopwords(c))} AS s_$c").mkString(", ")
       s"""WITH h AS (SELECT doc_id, $pageA AS html FROM documents
          |           UNION ALL
-         |           SELECT doc_id + 100000, $pageB FROM documents),
+         |           SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+         |                  $pageB FROM documents),
          |c AS (SELECT doc_id, nfc_normalize($htmlCleanSql) AS clean FROM h),
          |k AS (SELECT MIN(doc_id) AS doc_id FROM c GROUP BY md5(clean)),
          |t AS (SELECT c.doc_id, list_filter(string_split(clean, ' '), t -> t <> '') AS tk

@@ -598,8 +598,8 @@ object ConfigPipeline {
       case "encoding_stats" =>
         p.stage(name, from)(d => d.select(col(knob("id").asText()) +:
           graft.functions.Text.encodingStats(col(knob("text").asText())): _*))
-      // HTML -> visible text (G55); stats=true emits the markup-shape
-      // signals beside the extraction
+      // HTML -> visible text (G55); markup-shape signals are the separate
+      // html_stats op
       case "html_text" =>
         p.stage(name, from)(d => d.withColumn(
           if (s.has("as")) knob("as").asText() else "clean",

@@ -189,7 +189,7 @@ object Search {
     require(k0 >= 0, s"k0 must be non-negative, got $k0")
     val contribs = lists.map(_.select(
       col(queryCol).as("__q"), col(idCol).as("__id"),
-      expr(s"1000000L div (${k0}L + CAST($rankCol AS BIGINT))").as("__c")))
+      expr(s"1000000L div (${k0}L + CAST(`$rankCol` AS BIGINT))").as("__c")))
     val fused = contribs.reduce(_.unionByName(_))
       .groupBy("__q", "__id").agg(sum(col("__c")).as("rrf_ppm"))
     import org.apache.spark.sql.expressions.Window
@@ -226,17 +226,27 @@ object Search {
     require(k > 0, s"k must be positive, got $k")
     val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = posts.join(broadcast(dfreq), "term").crossJoin(broadcast(corp))
-      .withColumn("__idf",
-        log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("__tfc",
-        (col("tf") * (lit(k1) + lit(1))) /
-          (col("tf") + lit(k1) *
-            (lit(1) - lit(b) + lit(b) * (col("dl") / (col("sumdl") / col("n"))))))
-      .withColumn("__s", (col("__idf") * col("__tfc")).cast(DecimalType(18, 6)))
+      .withColumn("__s", bm25ScoreCol(k1, b))
     scored.groupBy("id").agg(sum(col("__s")).as("__sdec"))
       .select(col("id"), col("__sdec").cast(DoubleType).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** The per-posting quantized BM25 score over columns (tf, dl, df, n,
+    * sumdl) — the ONE arithmetic definition behind [[bm25Tail]] AND
+    * [[bm25ManyFromIndex]]: a tweak to operand order or the quantization
+    * here changes every path together, so the spec-pinned per-query
+    * bit-identity between the single- and multi-query probes cannot
+    * silently fork.
+    */
+  private def bm25ScoreCol(k1: Double, b: Double): Column = {
+    val idf =
+      log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfc = (col("tf") * (lit(k1) + lit(1))) /
+      (col("tf") + lit(k1) *
+        (lit(1) - lit(b) + lit(b) * (col("dl") / (col("sumdl") / col("n")))))
+    (idf * tfc).cast(DecimalType(18, 6))
   }
 
   /** A term's storage bucket: the 60-bit md5 prefix mod `buckets` —
@@ -342,13 +352,7 @@ object Search {
     val scored = posts.join(q, "term")
       .join(broadcast(dfreq), "term")
       .withColumn("n", lit(n)).withColumn("sumdl", lit(sumdl))
-      .withColumn("__idf",
-        log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("__tfc",
-        (col("tf") * (lit(k1) + lit(1))) /
-          (col("tf") + lit(k1) *
-            (lit(1) - lit(b) + lit(b) * (col("dl") / (col("sumdl") / col("n"))))))
-      .withColumn("__s", (col("__idf") * col("__tfc")).cast(DecimalType(18, 6)))
+      .withColumn("__s", bm25ScoreCol(k1, b))
     import org.apache.spark.sql.expressions.Window
     scored.groupBy("query_id", "id").agg(sum(col("__s")).as("__sdec"))
       .select(col("query_id"), col("id"),
@@ -381,9 +385,14 @@ object Search {
       // side computes LONG — align before the union
       .select(col("id"), col("dl"), col("term"), col("tf"),
         col("bucket").cast(org.apache.spark.sql.types.LongType).as("bucket"))
+    // persisted: posts, doclens, AND stats all derive from this delta
+    // tokenize — without the pin a caller materializing all three frames
+    // re-tokenizes the admitted text three times (the tfIdfKeywords
+    // lesson); delta-sized, dropped by Caching.drain()
     val toks = admitted.select(col(idCol).as("id"),
       Text.tokens(col(textCol)).as("__tk"))
       .join(broadcast(retire), Seq("id"), "left_anti")
+      .trackedPersist()
     val freshPosts = toks.select(col("id"),
         size(col("__tk")).cast(LongType).as("dl"), explode(col("__tk")).as("term"))
       .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
