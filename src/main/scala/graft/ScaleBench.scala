@@ -132,7 +132,12 @@ object ScaleBench {
           // query-term set, its dense side fixes |Q| at one vector
           "q_html_text", "q_nfc_normalize", "q_script_stats",
           "q_encoding_stats", "q_rrf_hybrid", "q_web_pipeline",
-          "q_c4_clean"))
+          "q_c4_clean",
+          // r10 G59: q_maxsim's query set (id % 20) grows WITH the corpus,
+          // so this row is the |Q|·|C| quadratic regime (margin_brute's
+          // law — the motivation for the stored-index shortlist
+          // composition); maxsim_fixedq below isolates the linear term
+          "q_maxsim"))
         time(q, dir) { SparkEntry.queries(q)(spark, dir) }
       time("neardup_composed", dir) { neardupComposed(spark, dir) }
       // G45/G46 decades: brute margin mining is O(|A|·|B|) BY DESIGN —
@@ -153,6 +158,17 @@ object ScaleBench {
       time("kcenter", dir) {
         graft.similarity.Clustering.kCenterGreedy(emb, "vec_id", "embedding",
           k = 16)
+      }
+      // G59 fixed-|Q| MaxSim: the 5 base-corpus query docs stay fixed while
+      // the corpus replicates (salted replicas get NEW ids, so id % 20
+      // replicas never join the query set here) — growth should track the
+      // doc-gather scan + the |Q|-proportional score pass alone
+      time("maxsim_fixedq", dir) {
+        val toks = emb.select(expr("vec_id DIV 5").as("id"),
+          expr("vec_id % 5").as("pos"), col("embedding"))
+        graft.similarity.MaxSim.maxSimTopK(toks,
+          toks.filter(col("id").isin(0L, 20L, 40L, 60L, 80L)),
+          "id", "pos", "embedding", k = 3)
       }
       // the coreset regime (Sener & Savarese: k in the thousands) — the
       // r8 least(SqDistLit…) literal form was plan-explosive here (plan

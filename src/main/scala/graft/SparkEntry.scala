@@ -1690,6 +1690,35 @@ object SparkEntry {
       s.read.parquet(s"$outDir/batch_*")
         .select("query_id", "rank", "neighbor_id", "sq2")
     }),
+    // STREAMING MaxSim probe: the late-interaction sibling of
+    // q_stream_annprobe — the corpus token-vector table is static, query
+    // token rows drain as a file stream in WHOLE-QUERY file granularity
+    // (repartition BY query id — a file split mid-query would gather a
+    // partial matrix; the q_bm25_many whole-term-set device). A query's
+    // top-k depends only on its own tokens + the static corpus, so any
+    // whole-query batch split appends the same rows and the stream shares
+    // q_maxsim's oracle.
+    "q_stream_maxsim" -> ((s, dir) => withStreamShuffle(s) {
+      val emb = T(s, dir, "embeddings")
+      val toks = emb.select(expr("vec_id DIV 5").as("id"),
+        expr("vec_id % 5").as("pos"), col("embedding"))
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_ms").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val queries = toks.filter(col("id") % 20 === 0)
+      queries.repartition(2, col("id")).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+        format = "parquet", schemaDdl = Some(queries.schema.toDDL),
+        maxFilesPerTrigger = 1)
+      val q = graft.streaming.Streams.toForeachBatch(stream, ckpt,
+        availableNow = true, outputMode = "append") { (batch, id) =>
+        graft.similarity.MaxSim.maxSimTopK(toks, batch,
+            "id", "pos", "embedding", k = 3)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+      }
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/batch_*")
+        .select("query_id", "rank", "neighbor_id", "maxsim")
+    }),
     // STREAMING index MAINTENANCE: the full daily-crawl loop — per batch,
     // probe the stored index and APPEND admitted docs' band keys. The
     // streamed delta is pre-collapsed with keepCanonical (uncapped), whose
@@ -2340,6 +2369,30 @@ object SparkEntry {
       graft.similarity.Jl.jlTopK(emb.filter(col("vec_id") < 8), emb,
           "vec_id", "embedding", dim = 64, outDim = 16, k = 3)
         .select("query_id", "rank", "neighbor_id")
+    }),
+    // G59: late-interaction MaxSim (ColBERT) — every 5 consecutive vec_ids
+    // form one multi-vector "document" (pos = vec_id % 5); every 20th
+    // document is a query. Quantized token vectors make each score an
+    // EXACT BIGINT the oracle replays bit-for-bit (stronger than the
+    // cosine families' order-only parity)
+    "q_maxsim" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val toks = emb.select(expr("vec_id DIV 5").as("id"),
+        expr("vec_id % 5").as("pos"), col("embedding"))
+      graft.similarity.MaxSim.maxSimTopK(
+        toks, toks.filter(col("id") % 20 === 0), "id", "pos", "embedding", k = 3)
+    }),
+    // two-stage ColBERT: SUM-pooled single-vector screen to an mShort=8
+    // shortlist, exact MaxSim re-rank to top-3 — pooling, both scores and
+    // both rank cuts are exact integers, so the full two-stage composition
+    // replays in SQL (the Pq.rerank device at matrix granularity)
+    "q_maxsim_rerank" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val toks = emb.select(expr("vec_id DIV 5").as("id"),
+        expr("vec_id % 5").as("pos"), col("embedding"))
+      graft.similarity.MaxSim.maxSimTopKPooled(
+        toks, toks.filter(col("id") % 20 === 0), "id", "pos", "embedding",
+        k = 3, mShort = 8)
     }),
     // G45: cross-corpus margin-ratio mining (Artetxe–Schwenk) — even ids
     // mine their best partner among odd ids; the margin RATIO (cos over the
@@ -3271,6 +3324,62 @@ object SparkEntry {
        |        FROM short sh JOIN ev qq ON qq.vec_id = sh.query_id
        |        JOIN ev cc ON cc.vec_id = sh.neighbor_id))
        |WHERE rnk <= 3""".stripMargin
+
+  /** DuckDB replay of late-interaction MaxSim (q_maxsim): quantize every
+    * token vector with the same floor(x·2^16) the Column API applies, take
+    * per-(query, query-token, doc) maxima of the EXACT integer dots, sum
+    * per (query, doc), and rank — all arithmetic integral below 2^53, so
+    * the BIGINT scores hash-match bit-for-bit.
+    */
+  private val maxSimOracle: String =
+    """WITH e AS (SELECT vec_id // 5 AS id, vec_id % 5 AS pos,
+      |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 65536.0)) AS qv
+      |  FROM embeddings),
+      |pm AS (SELECT q.id AS query_id, q.pos AS qpos, d.id AS neighbor_id,
+      |  max(CAST(list_dot_product(q.qv, d.qv) AS BIGINT)) AS m
+      | FROM e q JOIN e d ON q.id % 20 = 0 AND q.id <> d.id
+      | GROUP BY 1, 2, 3),
+      |sc AS (SELECT query_id, neighbor_id, CAST(SUM(m) AS BIGINT) AS maxsim
+      | FROM pm GROUP BY 1, 2)
+      |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, maxsim FROM (
+      |  SELECT query_id, neighbor_id, maxsim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY maxsim DESC, neighbor_id) AS rnk
+      |  FROM sc) WHERE rnk <= 3""".stripMargin
+
+  /** DuckDB replay of two-stage MaxSim (q_maxsim_rerank): pool by
+    * per-component sums over each document's quantized token vectors
+    * (the sqScoredCtes positional-subscript device), screen to the top-8
+    * pooled-dot candidates, then replay the exact MaxSim interaction on
+    * shortlist pairs only — every stage integral below 2^53.
+    */
+  private val maxSimRerankOracle: String =
+    """WITH e AS MATERIALIZED (SELECT vec_id // 5 AS id, vec_id % 5 AS pos,
+      |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 65536.0)) AS qv
+      |  FROM embeddings),
+      |pool AS (SELECT id, list(comp ORDER BY j) AS pv FROM (
+      |    SELECT id, j, SUM(qv[j]) AS comp
+      |    FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS j) GROUP BY id, j)
+      |  GROUP BY id),
+      |short AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT q.id AS query_id, d.id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.id
+      |        ORDER BY CAST(list_dot_product(q.pv, d.pv) AS BIGINT) DESC, d.id)
+      |        AS rnk
+      |    FROM pool q JOIN pool d ON q.id % 20 = 0 AND q.id <> d.id)
+      |  WHERE rnk <= 8),
+      |pm AS (SELECT s.query_id, q.pos AS qpos, s.neighbor_id,
+      |  max(CAST(list_dot_product(q.qv, d.qv) AS BIGINT)) AS m
+      | FROM short s JOIN e q ON q.id = s.query_id
+      |   JOIN e d ON d.id = s.neighbor_id
+      | GROUP BY 1, 2, 3),
+      |sc AS (SELECT query_id, neighbor_id, CAST(SUM(m) AS BIGINT) AS maxsim
+      | FROM pm GROUP BY 1, 2)
+      |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, maxsim FROM (
+      |  SELECT query_id, neighbor_id, maxsim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY maxsim DESC, neighbor_id) AS rnk
+      |  FROM sc) WHERE rnk <= 3""".stripMargin
 
   /** DuckDB replay of the JL projection top-k (q_jl_topk): the ±1 sign
     * matrix rebuilt from the md5-parity recipe (`Jl.signMatrix` seed=42,
@@ -4402,6 +4511,7 @@ object SparkEntry {
     // batch split (verdicts depend only on query + static index)
     "q_stream_annprobe" -> pqOracle,
     "q_stream_sqprobe" -> sqOracle, // stateless probe ≡ batch under any split
+    "q_stream_maxsim" -> maxSimOracle, // stateless probe, whole-query splits
     "q_ann_index_delta" -> annIndexDeltaOracle,
     // exact integer scatter sums — DuckDB's SUM(BIGINT) widens to
     // HUGEINT, so cast back for the schema match
@@ -4776,6 +4886,8 @@ object SparkEntry {
     "q_sq_index_delta" -> sqIndexDeltaOracle,
     "q_sq_rerank" -> sqRerankOracle,
     "q_jl_topk" -> jlOracle,
+    "q_maxsim" -> maxSimOracle,
+    "q_maxsim_rerank" -> maxSimRerankOracle,
     "q_margin_mine" -> marginOracle,
     "q_margin_mutual" -> marginMutualOracle,
     "q_margin_ivf" -> marginOracle, // exhaustive IVF routing ≡ brute force

@@ -160,7 +160,7 @@ object ConfigPipeline {
     "flatten", "gram", "heavy_hitters", "histogram", "html_stats", "html_text",
     "index_delta", "inverted_index", "jl_project", "join", "kcenter",
     "langid", "limit",
-    "lm_xent", "lm_xent_bigram", "margin_mine", "mixture",
+    "lm_xent", "lm_xent_bigram", "margin_mine", "maxsim", "mixture",
     "neardup_incremental", "normalize_unicode",
     "pack", "pagerank", "parquet", "pca_rotate", "percentiles",
     "quality_classifier",
@@ -847,6 +847,22 @@ object ConfigPipeline {
                 dim = knob("dim").asInt(), outDim = knob("outDim").asInt(), k,
                 seed = intKnob("seed", 42)))
           case other => sys.error(s"unknown ann method '$other'")
+        }
+      // G59 late-interaction MaxSim from config: from[2] = [queries stage,
+      // corpus stage], both carrying (id, pos, vec) token-vector rows;
+      // "mShort" switches to the two-stage pooled-screen + exact-re-rank
+      // composition (the corpus-scale shape)
+      case "maxsim" =>
+        val (qs, cs) = two(knob("from"), "maxsim")
+        p.fanIn(name, Seq(qs, cs)) { dfs =>
+          val (id, pos, vec) = (knob("id").asText(), knob("pos").asText(),
+            knob("vec").asText())
+          val k = knob("k").asInt()
+          if (s.has("mShort"))
+            graft.similarity.MaxSim.maxSimTopKPooled(dfs(1), dfs(0),
+              id, pos, vec, k, mShort = knob("mShort").asInt())
+          else
+            graft.similarity.MaxSim.maxSimTopK(dfs(1), dfs(0), id, pos, vec, k)
         }
       // G53 JL projection as a standalone reduction stage (the vector
       // column is replaced; every other column rides through)

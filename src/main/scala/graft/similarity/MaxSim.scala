@@ -1,0 +1,158 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Late-interaction retrieval — MaxSim over multi-vector documents
+  * (Khattab & Zaharia, "ColBERT: Efficient and Effective Passage Search
+  * via Contextualized Late Interaction over BERT", SIGIR 2020; SURVEY
+  * §2.G59).
+  *
+  * Single-vector retrieval ([[Ann]]/[[Pq]]/[[Sq]]) collapses a document
+  * to one embedding before any query arrives; late interaction keeps one
+  * vector PER TOKEN (or chunk) and scores a (query, document) pair as
+  * Σ_{query token} max_{doc token} ⟨q, d⟩ — the query token "soft-matches"
+  * its best document token, which is what makes ColBERT-family retrievers
+  * outrank single-vector ones on precision-sensitive workloads. This is
+  * the fourth leg of the retrieval surface: lexical ([[Search.bm25TopK]]),
+  * dense single-vector (the ANN families), rank fusion
+  * ([[Search.rrfFuse]]), and now multi-vector late interaction.
+  *
+  * Spark shape: both sides gather their token vectors into ONE
+  * matrix row per document (`sort_array(collect_list(struct(pos, vec)))`
+  * — for the corpus this is the operator's single corpus-sized exchange,
+  * a hash shuffle of QUANTIZED fixed-width vectors; a corpus STORED in
+  * the gathered layout — the ColBERT index layout, one matrix column per
+  * doc — skips it entirely, the [[Pq.writeIndex]] lesson applied to
+  * matrices). The query side broadcasts (|Q| · tokens · dim — queries
+  * are short), the cross join stays at DOCUMENT granularity, and the
+  * whole token×token interaction for a pair runs inside ONE fused native
+  * ([[org.apache.spark.sql.graftglue.MaxSimScore]]) — the relational
+  * spelling would explode |corpus tokens| × |query tokens| rows through
+  * a shuffle, and the nested-HOF spelling is CodegenFallback and would
+  * de-fuse the scoring projection. Ranking is the bounded
+  * [[Ann.topKTail]] heap aggregate (no sort, k-sized state).
+  *
+  * At 100 TB: the corpus never shuffles after (or without) the gather,
+  * nothing all-pairs is unguarded — the score scan is |docs| × |Q| like
+  * [[Ann.bruteForceTopK]], and when |Q| outgrows the broadcast budget
+  * the composition is the standard ColBERT two-stage: per-query-token
+  * candidate generation against a stored single-vector index
+  * ([[Pq.probeIndex]] over the token vectors) to a shortlist, then this
+  * exact MaxSim as the re-rank over shortlist-sized pairs (the
+  * [[Pq.rerank]] device at matrix granularity).
+  *
+  * Determinism: token vectors quantize to integral doubles
+  * (floor(x·scale), the [[Clustering]] contract), so every dot, max, and
+  * sum inside the native is EXACT integer arithmetic below 2^53 and the
+  * emitted BIGINT score hash-matches a SQL replay bit-for-bit — stronger
+  * than the cosine families' order-only parity. Self-pairs (same id on
+  * both sides) are excluded, mirroring [[Ann.bruteForceTopK]]; disjoint
+  * id spaces are unaffected.
+  */
+object MaxSim {
+
+  /** Gather (id, pos, vec) rows into one quantized token-matrix row per
+    * id: (outId, __mat: array<array<double>>), matrix rows in `pos`
+    * order. Exposed for callers that persist the gathered layout.
+    */
+  def gatherMatrix(vecs: DataFrame, idCol: String, posCol: String,
+                   vecCol: String, outId: String, matCol: String,
+                   scale: Double = 65536.0): DataFrame =
+    vecs.select(col(idCol).as(outId), col(posCol).as("__pos"),
+        Clustering.quantize(col(vecCol), scale).as("__qv"))
+      .groupBy(outId)
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__qv"))))
+        .as("__toks"))
+      .select(col(outId), transform(col("__toks"), t => t.getField("__qv"))
+        .as(matCol))
+
+  /** Top-k documents per query under the MaxSim late-interaction score.
+    *
+    * Inputs are token-vector frames (`idCol`, `posCol`, `vecCol`:
+    * array<float>) for the corpus and the query set; both sides quantize
+    * with the same `scale`. Output: (query_id, rank, neighbor_id,
+    * maxsim BIGINT) with the (maxsim DESC, neighbor_id ASC) total order.
+    * Token-less ids never score (no rows after the gather); rows whose
+    * ids collide across sides are excluded as self-pairs.
+    */
+  def maxSimTopK(docVecs: DataFrame, queryVecs: DataFrame,
+                 idCol: String, posCol: String, vecCol: String, k: Int,
+                 scale: Double = 65536.0): DataFrame = {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, MaxSimScore}
+    require(k > 0, s"k must be positive, got $k")
+    val d = gatherMatrix(docVecs, idCol, posCol, vecCol,
+      "neighbor_id", "__dmat", scale)
+    val q = gatherMatrix(queryVecs, idCol, posCol, vecCol,
+      "query_id", "__qmat", scale)
+    val scored = d.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        ColumnBridge.column(MaxSimScore(
+          ColumnBridge.expression(col("__qmat")),
+          ColumnBridge.expression(col("__dmat"))))
+          .cast(LongType).as("maxsim"))
+    Ann.topKTail(scored, k, scoreCol = "maxsim")
+  }
+
+  /** Two-stage late interaction — the production ColBERT shape: SUM-pooled
+    * single vectors screen candidates (dot(Σqᵢ, Σdⱼ) = ΣᵢΣⱼ⟨qᵢ,dⱼ⟩ — one
+    * dim-cost dot per pair instead of the tokens²·dim exact interaction),
+    * the `mShort` best candidates per query re-rank by exact
+    * [[maxSimTopK]] MaxSim. The screening stage is where a stored
+    * single-vector ANN index over the pooled vectors slots in at corpus
+    * scale ([[Pq.writeIndex]]); here the screen is the brute pooled pass,
+    * so the whole composition stays oracled: pooling, both scores, and
+    * both rank cuts are exact integer arithmetic on the quantized
+    * vectors, replayed bit-for-bit in SQL.
+    *
+    * The exact-MaxSim pass touches only `mShort` (query, doc) pairs per
+    * query — the [[Pq.rerank]] recall lever at matrix granularity: the
+    * matrices of non-shortlisted documents are never interacted with.
+    *
+    * Output: (query_id, rank, neighbor_id, maxsim BIGINT), rank ≤ k.
+    */
+  def maxSimTopKPooled(docVecs: DataFrame, queryVecs: DataFrame,
+                       idCol: String, posCol: String, vecCol: String,
+                       k: Int, mShort: Int,
+                       scale: Double = 65536.0): DataFrame = {
+    import graft.Caching.TrackedSyntax
+    import org.apache.spark.sql.graftglue.{ColumnBridge, DoubleVectorDot, MaxSimScore, SumVecs}
+    require(k > 0, s"k must be positive, got $k")
+    require(mShort >= k, s"shortlist mShort=$mShort must be >= k=$k")
+    def pooled(m: org.apache.spark.sql.Column) =
+      ColumnBridge.column(SumVecs(ColumnBridge.expression(m)))
+    // gathered once, read twice (pooled screen + shortlist re-rank) — the
+    // tfIdfKeywords persist device, else Catalyst re-runs the corpus
+    // gather aggregate for the second consumer
+    val d = gatherMatrix(docVecs, idCol, posCol, vecCol,
+      "neighbor_id", "__dmat", scale)
+      .withColumn("__dpool", pooled(col("__dmat")))
+      .trackedPersist()
+    val q = gatherMatrix(queryVecs, idCol, posCol, vecCol,
+      "query_id", "__qmat", scale)
+      .withColumn("__qpool", pooled(col("__qmat")))
+    // stage 1: pooled screen — matrices stay OUT of the scored rows
+    val screened = d.select(col("neighbor_id"), col("__dpool"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("__qpool"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        ColumnBridge.column(DoubleVectorDot(
+          ColumnBridge.expression(col("__qpool")),
+          ColumnBridge.expression(col("__dpool"))))
+          .cast(LongType).as("pooled"))
+    val shortlist = Ann.topKTail(screened, mShort, scoreCol = "pooled")
+      .select("query_id", "neighbor_id")
+    // stage 2: exact MaxSim over shortlist-sized pairs only
+    val rescored = shortlist
+      .join(d.select(col("neighbor_id"), col("__dmat")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("__qmat"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        ColumnBridge.column(MaxSimScore(
+          ColumnBridge.expression(col("__qmat")),
+          ColumnBridge.expression(col("__dmat"))))
+          .cast(LongType).as("maxsim"))
+    Ann.topKTail(rescored, k, scoreCol = "maxsim")
+  }
+}

@@ -88,6 +88,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // aggregate: SELECT kmv_set(hash, k) — bounded distinct-k-min sketch
     register(ext, "kmv_set", classOf[KmvSet], 2)(c =>
       KmvSet(c.head, litInt(c(1), "kmv_set")))
+    register(ext, "max_sim_score", classOf[MaxSimScore], 2)(c =>
+      MaxSimScore(c.head, c(1)))
+    register(ext, "sum_vecs", classOf[SumVecs], 1)(c => SumVecs(c.head))
+    register(ext, "double_vector_dot", classOf[DoubleVectorDot], 2)(c =>
+      DoubleVectorDot(c.head, c(1)))
     register(ext, "normalize_unicode", classOf[NormalizeUnicode], 2)(c =>
       NormalizeUnicode(c.head, litString(c(1), "normalize_unicode")))
     register(ext, "clean_lines", classOf[CleanLines], 4)(c =>

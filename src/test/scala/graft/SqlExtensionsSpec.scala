@@ -285,6 +285,31 @@ class SqlExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("max_sim_score is SQL-callable") {
+    withExt { s =>
+      import s.implicits._
+      Seq((Array(Array(1.0, 2.0)), Array(Array(2.0, 1.0), Array(3.0, 0.0))))
+        .toDF("q", "d").createOrReplaceTempView("ms")
+      val got = s.sql("SELECT max_sim_score(q, d) AS x FROM ms")
+        .as[Double].head()
+      assert(got == 4.0, s"max(1·2+2·1, 1·3+2·0) = 4, got $got")
+    }
+  }
+
+  test("sum_vecs and double_vector_dot are SQL-callable") {
+    withExt { s =>
+      import s.implicits._
+      Seq((Array(Array(1.0, 2.0), Array(3.0, -1.0)), Array(2.0, 2.0)))
+        .toDF("m", "v").createOrReplaceTempView("sv")
+      val pooled = s.sql("SELECT sum_vecs(m) AS p FROM sv")
+        .as[Seq[Double]].head()
+      assert(pooled == Seq(4.0, 1.0))
+      val dp = s.sql("SELECT double_vector_dot(sum_vecs(m), v) AS d FROM sv")
+        .as[Double].head()
+      assert(dp == 10.0, s"(4,1)·(2,2) = 10, got $dp")
+    }
+  }
+
   test("FuseCountInSet rewrites the HOF stopword-count shape (array_contains and IN)") {
     withExt { s =>
       import s.implicits._
