@@ -2394,6 +2394,44 @@ object SparkEntry {
         toks, toks.filter(col("id") % 20 === 0), "id", "pos", "embedding",
         k = 3, mShort = 8)
     }),
+    // PERSISTENT late-interaction index (the ColBERT gathered layout with
+    // pooled-vector cell routing): build once — the corpus gather exchange
+    // paid at build time — probe with nprobe == nlist, so the result is
+    // exactly the two-stage pooled composition over the indexed corpus and
+    // q_maxsim_rerank's oracle replays it bit-for-bit (Pq.probeIndex's
+    // identity law at matrix granularity)
+    "q_maxsim_index" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val toks = emb.select(expr("vec_id DIV 5").as("id"),
+        expr("vec_id % 5").as("pos"), col("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("graft_msidx").toString
+      graft.similarity.MaxSim.writeIndex(toks, "id", "pos", "embedding",
+        idx, nlist = 8)
+      graft.similarity.MaxSim.probeIndex(toks.filter(col("id") % 20 === 0),
+        "id", "pos", "embedding", idx, k = 3, nprobe = 8, mShort = 8)
+    }),
+    // MaxSim index maintenance under the FROZEN model: retire ids, gather +
+    // pool + route the admitted docs with the stored scale/centroids — the
+    // oracle re-derives every maintained row from scratch (pooled centroids
+    // from the 90% generation, cosine routing, token counts, exact
+    // Frobenius digests), so maintained ≡ rebuilt is checked row for row
+    // (the q_ann_index_delta identity at matrix granularity)
+    "q_maxsim_index_delta" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val toks = emb.select(expr("vec_id DIV 5").as("id"),
+        expr("vec_id % 5").as("pos"), col("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("graft_msidx_d").toString
+      graft.similarity.MaxSim.writeIndex(toks.filter(col("id") % 10 =!= 0),
+        "id", "pos", "embedding", idx, nlist = 8)
+      graft.similarity.MaxSim.indexMatsDelta(
+          toks.filter(col("id") % 10 === 0), "id", "pos", "embedding", idx,
+          toks.filter(col("id") % 13 === 0).select(col("id")))
+        .select(col("id"), col("cell"),
+          size(col("mat")).cast(LongType).as("ntoks"),
+          aggregate(col("mat"), lit(0.0), (acc, r) =>
+            acc + aggregate(r, lit(0.0), (a, x) => a + x * x))
+            .cast(LongType).as("fro"))
+    }),
     // G45: cross-corpus margin-ratio mining (Artetxe–Schwenk) — even ids
     // mine their best partner among odd ids; the margin RATIO (cos over the
     // mean of both rows' k-NN neighborhoods) suppresses hub vectors that a
@@ -3380,6 +3418,45 @@ object SparkEntry {
       |         row_number() OVER (PARTITION BY query_id
       |                            ORDER BY maxsim DESC, neighbor_id) AS rnk
       |  FROM sc) WHERE rnk <= 3""".stripMargin
+
+  /** Replay of q_maxsim_index_delta's maintained matrix table: pooled
+    * vectors per document (exact integer sums of the quantized token
+    * components), centroids = the 8 md5-first pooled vectors of the 90%
+    * generation (`id % 10 <> 0` — the indexed corpus), routing = argmax
+    * cosine over the pooled doubles with the (cos DESC, cent_id ASC)
+    * ProbeCells order (dots are exact integers; sqrt/division are
+    * correctly-rounded IEEE on both engines, so the cosines are
+    * bit-identical), membership = everything not retired
+    * (`id % 13 <> 0`). ntoks pins each matrix's shape and fro (the exact
+    * integer Σ_tokens ⟨t,t⟩ Frobenius digest) pins its content — the
+    * identity being checked is maintained ≡ re-gathered-from-scratch under
+    * the frozen model.
+    */
+  private val maxSimIndexDeltaOracle: String =
+    """WITH e AS MATERIALIZED (SELECT vec_id // 5 AS id, vec_id % 5 AS pos,
+      |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 65536.0)) AS qv
+      |  FROM embeddings),
+      |pool AS MATERIALIZED (SELECT id, list(comp ORDER BY j) AS pv FROM (
+      |    SELECT id, j, SUM(qv[j]) AS comp
+      |    FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS j) GROUP BY id, j)
+      |  GROUP BY id),
+      |stats AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS ntoks,
+      |    CAST(SUM(list_dot_product(qv, qv)) AS BIGINT) AS fro
+      |  FROM e GROUP BY id),
+      |cents AS MATERIALIZED (SELECT md5(CAST(id AS VARCHAR)) AS cent_id, pv AS cv
+      |  FROM pool WHERE id % 10 <> 0 ORDER BY cent_id LIMIT 8),
+      |asg AS (SELECT id, cent_id AS cell FROM (
+      |    SELECT p.id, c.cent_id,
+      |      row_number() OVER (PARTITION BY p.id ORDER BY
+      |        CASE WHEN sqrt(list_dot_product(p.pv, p.pv))
+      |                  * sqrt(list_dot_product(c.cv, c.cv)) = 0 THEN 0.0
+      |             ELSE list_dot_product(p.pv, c.cv)
+      |                  / (sqrt(list_dot_product(p.pv, p.pv))
+      |                     * sqrt(list_dot_product(c.cv, c.cv))) END DESC,
+      |        c.cent_id) AS rnk
+      |    FROM pool p CROSS JOIN cents c) WHERE rnk = 1)
+      |SELECT a.id, a.cell, s.ntoks, s.fro
+      |FROM asg a JOIN stats s USING (id) WHERE a.id % 13 <> 0""".stripMargin
 
   /** DuckDB replay of the JL projection top-k (q_jl_topk): the ±1 sign
     * matrix rebuilt from the md5-parity recipe (`Jl.signMatrix` seed=42,
@@ -4888,6 +4965,11 @@ object SparkEntry {
     "q_jl_topk" -> jlOracle,
     "q_maxsim" -> maxSimOracle,
     "q_maxsim_rerank" -> maxSimRerankOracle,
+    // nprobe == nlist ⇒ the stored-index probe IS the two-stage pooled
+    // composition over the indexed corpus — same replay, same law as
+    // q_ann_index_probe reusing pqOracle
+    "q_maxsim_index" -> maxSimRerankOracle,
+    "q_maxsim_index_delta" -> maxSimIndexDeltaOracle,
     "q_margin_mine" -> marginOracle,
     "q_margin_mutual" -> marginMutualOracle,
     "q_margin_ivf" -> marginOracle, // exhaustive IVF routing ≡ brute force

@@ -91,6 +91,9 @@ import graft.Caching.TrackedSyntax
   * `jl_project` (vec/dim/outDim[, seed] — standalone JL reduction),
   * `sq_index_probe`/`sq_index_delta` (the stored IVF-SQ index twins of
   * `ann_index_probe`/`ann_index_delta`),
+  * `maxsim_index_probe`/`maxsim_index_delta` (the stored late-interaction
+  * index: id/pos/vec token rows, dir, k/nprobe/mShort — scale comes from
+  * the model),
   * layout ops `zorder` (cols[, bits] — adds the
   * Morton `zval` that `Sinks.zorderWrite` clusters by) and
   * `corpus_shuffle` (id/seed/shards — adds the deterministic training
@@ -160,7 +163,8 @@ object ConfigPipeline {
     "flatten", "gram", "heavy_hitters", "histogram", "html_stats", "html_text",
     "index_delta", "inverted_index", "jl_project", "join", "kcenter",
     "langid", "limit",
-    "lm_xent", "lm_xent_bigram", "margin_mine", "maxsim", "mixture",
+    "lm_xent", "lm_xent_bigram", "margin_mine", "maxsim",
+    "maxsim_index_delta", "maxsim_index_probe", "mixture",
     "neardup_incremental", "normalize_unicode",
     "pack", "pagerank", "parquet", "pca_rotate", "percentiles",
     "quality_classifier",
@@ -406,6 +410,19 @@ object ConfigPipeline {
         p.stage(name, from)(graft.similarity.Sq.indexCodesDelta(_,
           knob("id").asText(), knob("vec").asText(), knob("dir").asText(),
           retired))
+      // the stored late-interaction (MaxSim) index twins: `from` carries
+      // (id, pos, vec) token-vector rows; scale comes from the model
+      case "maxsim_index_probe" =>
+        p.stage(name, from)(graft.similarity.MaxSim.probeIndex(_,
+          knob("id").asText(), knob("pos").asText(), knob("vec").asText(),
+          knob("dir").asText(), knob("k").asInt(),
+          if (s.has("nprobe")) knob("nprobe").asInt() else 8,
+          knob("mShort").asInt()))
+      case "maxsim_index_delta" =>
+        val retired = p.output(knob("retired").asText())
+        p.stage(name, from)(graft.similarity.MaxSim.indexMatsDelta(_,
+          knob("id").asText(), knob("pos").asText(), knob("vec").asText(),
+          knob("dir").asText(), retired))
       // prints-index maintenance (the index_delta pattern for winnow)
       case "winnow_index_delta" =>
         val index = p.output(knob("index").asText())

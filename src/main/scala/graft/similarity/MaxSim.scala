@@ -1,8 +1,8 @@
 package graft.similarity
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** Late-interaction retrieval — MaxSim over multi-vector documents
   * (Khattab & Zaharia, "ColBERT: Efficient and Effective Passage Search
@@ -154,5 +154,175 @@ object MaxSim {
           ColumnBridge.expression(col("__dmat"))))
           .cast(LongType).as("maxsim"))
     Ann.topKTail(rescored, k, scoreCol = "maxsim")
+  }
+
+  /** The cell-routing expression over DOUBLE pooled vectors — the
+    * [[org.apache.spark.sql.graftglue.ProbeCells]] reference-object form
+    * ([[Ann]]'s device) at double width: pooled sums of quantized token
+    * components outgrow a float mantissa long before they threaten 2^53,
+    * so the centroid matrix stays in the exact-integer regime end to end.
+    */
+  private def probeCellsD(cents: Seq[(String, Array[Double])], vec: Column,
+                          nprobe: Int): Column = {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, ProbeCells}
+    ColumnBridge.column(ProbeCells(ColumnBridge.expression(vec),
+      cents.map(_._1).toArray, cents.map(_._2).toArray, nprobe))
+  }
+
+  /** Write a persistent late-interaction index under `dir` — the gathered
+    * ColBERT layout (one token matrix per document) with pooled-vector
+    * cell routing:
+    *
+    *   - `model/meta`   — (nlist, scale): the frozen build parameters.
+    *     `scale` is PART OF THE MODEL (the r9 [[Pq.writeIndex]] rotation
+    *     lesson): matrices quantized at one scale are meaningless for a
+    *     probe quantizing at another, so [[probeIndex]] and
+    *     [[indexMatsDelta]] read it back rather than trusting the caller
+    *     to repeat it.
+    *   - `model/coarse` — (cent_id, cent_vec: array<double>): `nlist`
+    *     SUM-pooled document vectors picked by md5-order of the doc id
+    *     (the [[Ann.coarseCentroids]] contract), driver-collected by
+    *     design — config-table sized.
+    *   - `mats`         — (id, mat, pool) parquet PARTITIONED BY `cell`.
+    *
+    * The cell partitioning turns a probe's routing into directory-level
+    * partition pruning exactly as [[Pq.writeIndex]] does for codes: a
+    * query batch lists and reads ~nprobe/nlist of the matrix files before
+    * a byte of interaction work. Pooled vectors are stored alongside the
+    * matrices so the screen stage never re-pools the corpus, and the
+    * corpus-sized gather exchange is paid ONCE at build time — every
+    * probe afterwards starts from the gathered layout (the scaladoc
+    * promise at the top of this file made real).
+    */
+  def writeIndex(docVecs: DataFrame, idCol: String, posCol: String,
+                 vecCol: String, dir: String, nlist: Int = 8,
+                 scale: Double = 65536.0): Unit = {
+    import graft.Caching.TrackedSyntax
+    import org.apache.spark.sql.graftglue.{ColumnBridge, SumVecs}
+    val spark = docVecs.sparkSession
+    import spark.implicits._
+    // gathered once, consumed twice (centroid pick + partitioned write)
+    val d = gatherMatrix(docVecs, idCol, posCol, vecCol, "id", "mat", scale)
+      .withColumn("pool",
+        ColumnBridge.column(SumVecs(ColumnBridge.expression(col("mat")))))
+      .trackedPersist()
+    val centRows = d
+      .select(md5(col("id").cast(StringType)).as("cent_id"), col("pool"))
+      .orderBy("cent_id").limit(nlist).collect()
+    require(centRows.nonEmpty, "empty corpus")
+    val cents = centRows.toIndexedSeq
+      .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
+    Seq((cents.size, scale)).toDF("nlist", "scale")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model/meta")
+    cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cent_id", "cent_vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model/coarse")
+    d.withColumn("cell", element_at(probeCellsD(cents, col("pool"), 1), 1))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/mats")
+  }
+
+  /** The frozen model as plan-side values — a bounded collect by the build
+    * contract (nlist centroid rows + one meta row).
+    */
+  private def readModel(spark: SparkSession, dir: String)
+      : (Seq[(String, Array[Double])], Double) = {
+    val meta = spark.read.parquet(s"$dir/model/meta").collect().head
+    val cents = spark.read.parquet(s"$dir/model/coarse").collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
+      .toIndexedSeq.sortBy(_._1)
+    (cents, meta.getAs[Double]("scale"))
+  }
+
+  /** Probe the stored late-interaction index: route each query's pooled
+    * vector to its `nprobe` nearest cells under the STORED centroids, scan
+    * ONLY those cells' matrix partitions (the probed-cell union is ≤ nlist
+    * values — collected and pushed as a partition filter, so pruning
+    * happens at file-listing time), pooled-screen to an `mShort`
+    * shortlist, and exact-MaxSim re-rank to top `k`. The quantization
+    * scale comes from the model, never the caller.
+    *
+    * Both stages re-scan the pruned parquet rather than persisting it —
+    * the shortlist is broadcast INTO the second scan (mShort·|Q| rows), so
+    * nothing corpus-sized shuffles or pins memory at any index size. With
+    * `nprobe == nlist` the result is exactly [[maxSimTopKPooled]] over the
+    * indexed corpus (the oracle identity, [[Pq.probeIndex]]'s law); at
+    * nprobe < nlist recall trades against the pruned-scan fraction, the
+    * knob plans/ANN.md measures for the vector families.
+    *
+    * Output: (query_id, rank, neighbor_id, maxsim BIGINT) under the
+    * (maxsim DESC, neighbor_id ASC) total order; self-pairs excluded.
+    */
+  def probeIndex(queryVecs: DataFrame, idCol: String, posCol: String,
+                 vecCol: String, dir: String, k: Int, nprobe: Int,
+                 mShort: Int): DataFrame = {
+    import graft.Caching.TrackedSyntax
+    import org.apache.spark.sql.graftglue.{ColumnBridge, DoubleVectorDot, MaxSimScore, SumVecs}
+    require(k > 0, s"k must be positive, got $k")
+    require(mShort >= k, s"shortlist mShort=$mShort must be >= k=$k")
+    val spark = queryVecs.sparkSession
+    val (cents, scale) = readModel(spark, dir)
+    require(nprobe >= 1 && nprobe <= cents.size,
+      s"nprobe ($nprobe) must be in [1, nlist=${cents.size}]")
+    // gathered once, consumed three times (routing collect, screen, re-rank)
+    val q = gatherMatrix(queryVecs, idCol, posCol, vecCol,
+      "query_id", "__qmat", scale)
+      .withColumn("__qpool",
+        ColumnBridge.column(SumVecs(ColumnBridge.expression(col("__qmat")))))
+      .trackedPersist()
+    val probed = q.select(col("query_id"), col("__qpool"),
+      explode(probeCellsD(cents, col("__qpool"), nprobe)).as("cell"))
+    // the probed-cell union across the batch: ≤ nlist ids, a bounded
+    // collect that becomes a partition-pruning predicate on the layout
+    val cells = probed.select("cell").distinct().collect().map(_.getString(0))
+    val mats = spark.read.parquet(s"$dir/mats")
+      .filter(col("cell").isin(cells.toSeq: _*))
+    val screened = mats.select(col("id").as("neighbor_id"), col("pool"), col("cell"))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        ColumnBridge.column(DoubleVectorDot(
+          ColumnBridge.expression(col("__qpool")),
+          ColumnBridge.expression(col("pool"))))
+          .cast(LongType).as("pooled"))
+    val shortlist = Ann.topKTail(screened, mShort, scoreCol = "pooled")
+      .select("query_id", "neighbor_id")
+    val rescored = mats.select(col("id").as("neighbor_id"), col("mat"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("__qmat"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        ColumnBridge.column(MaxSimScore(
+          ColumnBridge.expression(col("__qmat")),
+          ColumnBridge.expression(col("mat"))))
+          .cast(LongType).as("maxsim"))
+    Ann.topKTail(rescored, k, scoreCol = "maxsim")
+  }
+
+  /** Index maintenance under the frozen model ([[Pq.indexCodesDelta]]'s
+    * contract): retire `retiredIds` (the shared
+    * [[graft.dedup.Dedup.retiredIdFrame]] rule), gather + pool + route the
+    * admitted documents with the STORED scale and centroids, and return
+    * the maintained (id, cell, mat, pool) set — row-identical to
+    * re-gathering the maintained membership from scratch under the same
+    * model (gather, pooling, and routing are deterministic projections of
+    * the token rows), the identity q_maxsim_index_delta's oracle checks.
+    * The caller writes the result back (`partitionBy("cell")`) or appends
+    * just the admitted slice.
+    */
+  def indexMatsDelta(admitted: DataFrame, idCol: String, posCol: String,
+                     vecCol: String, dir: String,
+                     retiredIds: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, SumVecs}
+    val spark = admitted.sparkSession
+    val (cents, scale) = readModel(spark, dir)
+    val retire = graft.dedup.Dedup.retiredIdFrame(retiredIds)
+    val kept = spark.read.parquet(s"$dir/mats")
+      .join(broadcast(retire), Seq("id"), "left_anti")
+      .select("id", "cell", "mat", "pool")
+    val fresh = gatherMatrix(admitted, idCol, posCol, vecCol, "id", "mat", scale)
+      .withColumn("pool",
+        ColumnBridge.column(SumVecs(ColumnBridge.expression(col("mat")))))
+      .withColumn("cell", element_at(probeCellsD(cents, col("pool"), 1), 1))
+      .join(broadcast(retire), Seq("id"), "left_anti")
+      .select("id", "cell", "mat", "pool")
+    kept.unionByName(fresh)
   }
 }

@@ -132,4 +132,70 @@ class MaxSimSpec extends SparkSpec {
         l.contains("max_sim_score") && l.contains("*(")),
       s"MaxSim scoring projection not fused:\n${plan.take(2000)}")
   }
+
+  test("persistent MaxSim index: probe at nprobe = nlist ≡ in-memory " +
+       "two-stage, routing prunes partitions, stored scale wins") {
+    val queries = toks.filter(col("id") % 20 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("msidx").toString
+    MaxSim.writeIndex(toks, "id", "pos", "embedding", dir, nlist = 8)
+    val got = MaxSim.probeIndex(queries, "id", "pos", "embedding", dir,
+      k = 3, nprobe = 8, mShort = 8)
+    val want = MaxSim.maxSimTopKPooled(toks, queries, "id", "pos",
+      "embedding", k = 3, mShort = 8)
+    assert(got.count() > 0)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "stored-index probe diverged from the in-memory two-stage")
+    // nprobe = 1 routing reaches the matrix scan as a PARTITION filter —
+    // pruning at file-listing time, the layout's reason to exist
+    val pruned = MaxSim.probeIndex(queries, "id", "pos", "embedding", dir,
+      k = 3, nprobe = 1, mShort = 8)
+    pruned.collect()
+    val p = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"expected a cell partition filter in:\n${p.take(3000)}")
+    // the quantization scale is part of the MODEL: a probe against an
+    // index built at a different scale must use the stored one, matching
+    // the in-memory composition AT THAT SCALE (caller passes nothing)
+    val dir2 = java.nio.file.Files.createTempDirectory("msidx2").toString
+    MaxSim.writeIndex(toks, "id", "pos", "embedding", dir2, nlist = 8,
+      scale = 1024.0)
+    val got2 = MaxSim.probeIndex(queries, "id", "pos", "embedding", dir2,
+      k = 3, nprobe = 8, mShort = 8)
+    val want2 = MaxSim.maxSimTopKPooled(toks, queries, "id", "pos",
+      "embedding", k = 3, mShort = 8, scale = 1024.0)
+    assert(got2.except(want2).isEmpty && want2.except(got2).isEmpty,
+      "probe ignored the stored quantization scale")
+  }
+
+  test("MaxSim index maintenance: retired ids leave, admitted ids route " +
+       "under the frozen model, kept rows are byte-stable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("msidx_d").toString
+    MaxSim.writeIndex(toks.filter(col("id") % 10 =!= 0), "id", "pos",
+      "embedding", dir, nlist = 8)
+    val admitted = toks.filter(col("id") % 10 === 0)
+    val retired = toks.filter(col("id") % 13 === 0).select(col("id"))
+    val maintained = MaxSim.indexMatsDelta(admitted, "id", "pos",
+      "embedding", dir, retired).cache()
+    val ids = maintained.select("id").as[Long].collect().toSet
+    val allIds = toks.select("id").distinct().as[Long].collect().toSet
+    assert(ids == allIds.filterNot(_ % 13 == 0),
+      "maintained membership is not (indexed ∪ admitted) − retired")
+    // admitted rows route onto STORED cells only (frozen model: no new
+    // centroids appear at maintenance time)
+    val centIds = spark.read.parquet(s"$dir/model/coarse")
+      .select("cent_id").as[String].collect().toSet
+    val freshCells = maintained.filter(col("id") % 10 === 0)
+      .select("cell").as[String].collect().toSet
+    assert(freshCells.nonEmpty && freshCells.subsetOf(centIds),
+      s"admitted rows routed off-model: ${freshCells -- centIds}")
+    // kept rows pass through byte-identical to the stored layout
+    val storedKept = spark.read.parquet(s"$dir/mats")
+      .filter(col("id") % 13 =!= 0).select("id", "cell", "mat", "pool")
+    val keptOut = maintained.filter(col("id") % 10 =!= 0)
+      .select("id", "cell", "mat", "pool")
+    assert(keptOut.except(storedKept).isEmpty &&
+           storedKept.except(keptOut).isEmpty,
+      "kept rows were rewritten during maintenance")
+  }
 }

@@ -475,6 +475,50 @@ class MtlConfigSpec extends SparkSpec {
     assert(gotDelta == wantDelta && gotDelta.nonEmpty)
   }
 
+  test("ConfigPipeline drives the persistent MaxSim index: probe and delta " +
+       "match the programmatic forms") {
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val toks = spark.read.parquet(emb)
+      .select(expr("vec_id DIV 5").as("id"), expr("vec_id % 5").as("pos"),
+        col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("cfg_msidx").toString
+    graft.similarity.MaxSim.writeIndex(toks, "id", "pos", "embedding",
+      dir, nlist = 8)
+    val tokSel = """["vec_id DIV 5 AS id", "vec_id % 5 AS pos", "embedding"]"""
+    val got = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "e", "op": "parquet", "path": "$emb"},
+         | {"name": "t", "op": "select", "from": "e", "exprs": $tokSel},
+         | {"name": "qf", "op": "filter", "from": "t", "expr": "id % 20 = 0"},
+         | {"name": "nn", "op": "maxsim_index_probe", "from": "qf",
+         |  "id": "id", "pos": "pos", "vec": "embedding", "dir": "$dir",
+         |  "k": 3, "nprobe": 8, "mShort": 8}
+         |]}""".stripMargin).output("nn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = graft.similarity.MaxSim.probeIndex(
+        toks.filter(col("id") % 20 === 0), "id", "pos", "embedding", dir,
+        k = 3, nprobe = 8, mShort = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    val gotDelta = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "e", "op": "parquet", "path": "$emb"},
+         | {"name": "t", "op": "select", "from": "e", "exprs": $tokSel},
+         | {"name": "admitted", "op": "filter", "from": "t", "expr": "id % 10 = 0"},
+         | {"name": "retired", "op": "filter", "from": "t", "expr": "id % 13 = 0"},
+         | {"name": "rids", "op": "select", "from": "retired", "exprs": ["id"]},
+         | {"name": "m", "op": "maxsim_index_delta", "from": "admitted",
+         |  "id": "id", "pos": "pos", "vec": "embedding", "dir": "$dir",
+         |  "retired": "rids"}
+         |]}""".stripMargin).output("m")
+      .as[(Long, String, Seq[Seq[Double]], Seq[Double])].collect().toSet
+    val wantDelta = graft.similarity.MaxSim.indexMatsDelta(
+        toks.filter(col("id") % 10 === 0), "id", "pos", "embedding", dir,
+        toks.filter(col("id") % 13 === 0).select(col("id")))
+      .as[(Long, String, Seq[Seq[Double]], Seq[Double])].collect().toSet
+    assert(gotDelta == wantDelta && gotDelta.nonEmpty)
+  }
+
   test("ConfigPipeline margin_mine and kcenter match the programmatic forms") {
     val emb = "/root/testdata/sf0.001/embeddings.parquet"
     val corpus = spark.read.parquet(emb)
