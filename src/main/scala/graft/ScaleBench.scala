@@ -324,6 +324,32 @@ object ScaleBench {
       }
     }
 
+    // Persistent-MaxSim probe: the late-interaction twin. The 90% corpus
+    // gathers + indexes once (the operator's corpus-sized exchange,
+    // amortized); a 1% query batch probes at nprobe = 8 vs nprobe = 1 —
+    // the delta is the matrix-partition pruning term (fewer matrix files
+    // LISTED and READ before any pooled-dot or interaction work).
+    for (dir <- Seq(base, big) if want("maxsim_index_probe")) {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val toks = emb.select(expr("vec_id DIV 5").as("id"),
+        expr("vec_id % 5").as("pos"), col("embedding"))
+      val idxDir = s"$work/msidx_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val t0 = System.nanoTime()
+      graft.similarity.MaxSim.writeIndex(toks.filter(col("id") % 10 =!= 0),
+        "id", "pos", "embedding", idxDir, nlist = 64)
+      println(f"[scalebench] maxsim_index_build dir=$dir " +
+        f"min=${(System.nanoTime() - t0) / 1e9}%.2f s (one-time, amortized)")
+      val queries = toks.filter(col("id") % 100 === 0)
+      time("maxsim_index_probe_np8", dir) {
+        graft.similarity.MaxSim.probeIndex(queries, "id", "pos", "embedding",
+          idxDir, k = 3, nprobe = 8, mShort = 8)
+      }
+      time("maxsim_index_probe_np1", dir) {
+        graft.similarity.MaxSim.probeIndex(queries, "id", "pos", "embedding",
+          idxDir, k = 3, nprobe = 1, mShort = 8)
+      }
+    }
+
     // Winnow-probe twin of the incremental experiment: 90% of the corpus's
     // prints index once (amortized), the 10% delta probes the STORED
     // index — flat growth here is the substring-contamination analog of

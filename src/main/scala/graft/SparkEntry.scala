@@ -1719,6 +1719,38 @@ object SparkEntry {
       s.read.parquet(s"$outDir/batch_*")
         .select("query_id", "rank", "neighbor_id", "maxsim")
     }),
+    // STREAMING stored-index MaxSim probe: the late-interaction leg of the
+    // crawl-loop probe family (q_stream_annprobe / q_stream_sqprobe /
+    // q_stream_bm25probe) — the gathered matrix layout is built ONCE on
+    // disk, query token rows drain as a file stream in whole-query file
+    // granularity, each micro-batch routes/screens/re-ranks against the
+    // frozen index. A query's top-k depends only on its own tokens + the
+    // frozen index, so any whole-query split appends the same rows and
+    // the stream shares q_maxsim_index's oracle (nprobe == nlist).
+    "q_stream_maxsimprobe" -> ((s, dir) => withStreamShuffle(s) {
+      val emb = T(s, dir, "embeddings")
+      val toks = emb.select(expr("vec_id DIV 5").as("id"),
+        expr("vec_id % 5").as("pos"), col("embedding"))
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_msp").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val idxDir = s"$base/index"
+      graft.similarity.MaxSim.writeIndex(toks, "id", "pos", "embedding",
+        idxDir, nlist = 8)
+      val queries = toks.filter(col("id") % 20 === 0)
+      queries.repartition(2, col("id")).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+        format = "parquet", schemaDdl = Some(queries.schema.toDDL),
+        maxFilesPerTrigger = 1)
+      val q = graft.streaming.Streams.toForeachBatch(stream, ckpt,
+        availableNow = true, outputMode = "append") { (batch, id) =>
+        graft.similarity.MaxSim.probeIndex(batch, "id", "pos", "embedding",
+            idxDir, k = 3, nprobe = 8, mShort = 8)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+      }
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/batch_*")
+        .select("query_id", "rank", "neighbor_id", "maxsim")
+    }),
     // STREAMING index MAINTENANCE: the full daily-crawl loop — per batch,
     // probe the stored index and APPEND admitted docs' band keys. The
     // streamed delta is pre-collapsed with keepCanonical (uncapped), whose
@@ -4970,6 +5002,9 @@ object SparkEntry {
     // q_ann_index_probe reusing pqOracle
     "q_maxsim_index" -> maxSimRerankOracle,
     "q_maxsim_index_delta" -> maxSimIndexDeltaOracle,
+    // whole-query batch splits against the frozen index append the same
+    // rows the one-shot probe emits
+    "q_stream_maxsimprobe" -> maxSimRerankOracle,
     "q_margin_mine" -> marginOracle,
     "q_margin_mutual" -> marginMutualOracle,
     "q_margin_ivf" -> marginOracle, // exhaustive IVF routing ≡ brute force
