@@ -182,6 +182,43 @@ object AnnSweep {
       println(f"| JL outDim=$outDim%-2d | ${recall(res)}%.3f | $t%.2f | ${t / tBrute}%.2fx |")
       res.unpersist()
     }
+    // MaxSim (G59): late-interaction recall — documents are 5-token
+    // matrices (vec_id DIV 5), ground truth is the exact MaxSim
+    // interaction, and the two approximation knobs measure separately:
+    // mShort (how much the SUM-pooled screen loses before the exact
+    // re-rank) and nprobe (how much pooled-centroid routing loses on top,
+    // via the stored index). recall@k is against the MaxSim truth, so a
+    // 1.000 row means the knob was lossless ON THIS DATA at that setting.
+    {
+      val toks = emb.select(expr("vec_id DIV 5").as("id"),
+        expr("vec_id % 5").as("pos"), col("embedding"))
+      val qToks = toks.filter(col("id") < 40)
+      val nQDocs = qToks.select("id").distinct().count()
+      val denomMs = (nQDocs * k).toDouble
+      val (truthMs, tMs) = timed(graft.similarity.MaxSim.maxSimTopK(
+        toks, qToks, "id", "pos", "embedding", k))
+      def recallMs(approx: DataFrame): Double =
+        approx.join(truthMs, Seq("query_id", "neighbor_id")).count() / denomMs
+      println(f"| MaxSim exact (multi-vector) | 1.000 | $tMs%.2f | ${tMs / tBrute}%.2fx |")
+      for (mShort <- Seq(10, 20, 50)) {
+        val (res, t) = timed(graft.similarity.MaxSim.maxSimTopKPooled(
+          toks, qToks, "id", "pos", "embedding", k, mShort = mShort))
+        println(f"| MaxSim pooled mShort=$mShort%-3d | ${recallMs(res)}%.3f | $t%.2f | ${t / tBrute}%.2fx |")
+        res.unpersist()
+      }
+      // the stored index: build once OUTSIDE the probe timer (amortized —
+      // the decade rows in plans/SCALE.md r10.3 time the build)
+      val idxDir = java.nio.file.Files.createTempDirectory("sweep_msidx").toString
+      graft.similarity.MaxSim.writeIndex(toks, "id", "pos", "embedding",
+        idxDir, nlist = 16)
+      for (nprobe <- Seq(1, 2, 4, 8, 16)) {
+        val (res, t) = timed(graft.similarity.MaxSim.probeIndex(
+          qToks, "id", "pos", "embedding", idxDir, k = k, nprobe = nprobe,
+          mShort = 50))
+        println(f"| MaxSim index nlist=16 nprobe=$nprobe%-2d mShort=50 | ${recallMs(res)}%.3f | $t%.2f | ${t / tBrute}%.2fx |")
+        res.unpersist()
+      }
+    }
     spark.stop()
   }
 }
