@@ -1525,6 +1525,37 @@ object SparkEntry {
           "query_id", "id", "rank", topK = 10)
         .select(col("id").as("doc_id"), col("rrf_ppm"), col("rank"))
     }),
+    // G56+G59 capstone — the production retrieval stack in one query:
+    // RRF-fuse the lexical BM25 top-10 with the dense POOLED
+    // late-interaction top-10 (MaxSim.pooledTopK — one exact pooled dot
+    // per pair), then settle the fused candidates with the exact MaxSim
+    // token interaction (MaxSim.rerank — candidate-sized work: the corpus
+    // semi-joins to the 10 fused ids BEFORE any gather). Lexical hits
+    // outside the multi-vector sub-corpus carry no token matrix and drop
+    // at the re-rank (the documented token-less contract); every stage is
+    // exact integer/decimal arithmetic, so the whole stack replays in SQL.
+    "q_hybrid_rerank" -> ((s, dir) => {
+      val docs = T(s, dir, "documents"); val emb = T(s, dir, "embeddings")
+      val toks = emb.select(expr("vec_id DIV 5").as("id"),
+        expr("vec_id % 5").as("pos"), col("embedding"))
+      val qToks = toks.filter(col("id") === 0)
+      val lex = Search.bm25TopK(docs, "doc_id", "text",
+          Seq("spark", "vector", "customer"), k = 10)
+        .select(lit(0L).as("query_id"), col("id"), col("score"))
+      val lexRanked = lex.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("id").asc)).cast(LongType))
+        .select("query_id", "id", "rank")
+      val dense = graft.similarity.MaxSim.pooledTopK(toks, qToks,
+          "id", "pos", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      val fused = Search.rrfFuse(Seq(lexRanked, dense), "query_id", "id",
+        "rank", topK = 10)
+      graft.similarity.MaxSim.rerank(
+        fused.select(col("query_id"), col("id").as("neighbor_id")),
+        toks, qToks, "id", "pos", "embedding", k = 5)
+    }),
     // overlapping token-window chunking (64-token windows, 50% overlap)
     "q_chunks" -> ((s, dir) =>
       Text.chunk(T(s, dir, "documents"), "doc_id", "text", 64, 32)
@@ -4392,6 +4423,45 @@ object SparkEntry {
          |  SELECT id AS doc_id, rrf_ppm,
          |    CAST(row_number() OVER (ORDER BY rrf_ppm DESC, id) AS BIGINT) AS rank
          |  FROM f) WHERE rank <= 10""".stripMargin,
+    // the full hybrid stack replay: bmtop (lexical), pooled dots (dense),
+    // RRF fusion, then the exact MaxSim interaction over the 10 fused
+    // candidates — every stage integral/decimal, bit-for-bit
+    "q_hybrid_rerank" ->
+      s"""$bm25CtesSql,
+         |lex AS (SELECT doc_id AS id,
+         |        row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bmtop),
+         |e AS MATERIALIZED (SELECT vec_id // 5 AS id, vec_id % 5 AS pos,
+         |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 65536.0)) AS qv
+         |  FROM embeddings),
+         |pool AS MATERIALIZED (SELECT id, list(comp ORDER BY j) AS pv FROM (
+         |    SELECT id, j, SUM(qv[j]) AS comp
+         |    FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS j) GROUP BY id, j)
+         |  GROUP BY id),
+         |dense AS (SELECT id, rnk FROM (
+         |    SELECT d.id,
+         |      row_number() OVER (ORDER BY
+         |        CAST(list_dot_product(q.pv, d.pv) AS BIGINT) DESC, d.id) AS rnk
+         |    FROM (SELECT pv FROM pool WHERE id = 0) q
+         |    CROSS JOIN (SELECT * FROM pool WHERE id <> 0) d)
+         |  WHERE rnk <= 10),
+         |contrib AS (SELECT id, 1000000 // (60 + rnk) AS c FROM lex
+         |            UNION ALL SELECT id, 1000000 // (60 + rnk) FROM dense),
+         |f AS (SELECT id, CAST(SUM(c) AS BIGINT) AS rrf_ppm FROM contrib GROUP BY id),
+         |cand AS (SELECT id FROM (
+         |    SELECT id, row_number() OVER (ORDER BY rrf_ppm DESC, id) AS rank FROM f)
+         |  WHERE rank <= 10 AND id <> 0),
+         |pm AS (SELECT q.pos AS qpos, d.id AS neighbor_id,
+         |    max(CAST(list_dot_product(q.qv, d.qv) AS BIGINT)) AS m
+         |  FROM (SELECT * FROM e WHERE id = 0) q
+         |  CROSS JOIN (SELECT e.* FROM e JOIN cand ON e.id = cand.id) d
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT neighbor_id, CAST(SUM(m) AS BIGINT) AS maxsim
+         |  FROM pm GROUP BY 1)
+         |SELECT CAST(0 AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+         |       neighbor_id, maxsim FROM (
+         |  SELECT neighbor_id, maxsim,
+         |         row_number() OVER (ORDER BY maxsim DESC, neighbor_id) AS rnk
+         |  FROM sc) WHERE rnk <= 5""".stripMargin,
     "q_chunks" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |c AS (SELECT doc_id, tk,

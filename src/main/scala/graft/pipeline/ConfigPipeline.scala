@@ -93,7 +93,10 @@ import graft.Caching.TrackedSyntax
   * `ann_index_probe`/`ann_index_delta`),
   * `maxsim_index_probe`/`maxsim_index_delta` (the stored late-interaction
   * index: id/pos/vec token rows, dir, k/nprobe/mShort — scale comes from
-  * the model),
+  * the model), `maxsim_pooled` (from[2] = [queries, corpus] — the
+  * SUM-pooled coarse retriever) and `maxsim_rerank` (from[3] =
+  * [candidates, queries, corpus] — exact-MaxSim settle of a fused
+  * candidate frame, the hybrid-stack tail),
   * layout ops `zorder` (cols[, bits] — adds the
   * Morton `zval` that `Sinks.zorderWrite` clusters by) and
   * `corpus_shuffle` (id/seed/shards — adds the deterministic training
@@ -164,7 +167,8 @@ object ConfigPipeline {
     "index_delta", "inverted_index", "jl_project", "join", "kcenter",
     "langid", "limit",
     "lm_xent", "lm_xent_bigram", "margin_mine", "maxsim",
-    "maxsim_index_delta", "maxsim_index_probe", "mixture",
+    "maxsim_index_delta", "maxsim_index_probe", "maxsim_pooled",
+    "maxsim_rerank", "mixture",
     "neardup_incremental", "normalize_unicode",
     "pack", "pagerank", "parquet", "pca_rotate", "percentiles",
     "quality_classifier",
@@ -881,6 +885,25 @@ object ConfigPipeline {
           else
             graft.similarity.MaxSim.maxSimTopK(dfs(1), dfs(0), id, pos, vec, k)
         }
+      // G59 hybrid-stack legs: the SUM-pooled coarse retriever (from[2] =
+      // [queries, corpus]) and the exact-MaxSim candidate re-rank
+      // (from[3] = [candidates, queries, corpus] — candidates carry
+      // (query_id, neighbor_id), e.g. an rrf_fuse stage's output)
+      case "maxsim_pooled" =>
+        val (qs, cs) = two(knob("from"), "maxsim_pooled")
+        p.fanIn(name, Seq(qs, cs))(dfs =>
+          graft.similarity.MaxSim.pooledTopK(dfs(1), dfs(0),
+            knob("id").asText(), knob("pos").asText(), knob("vec").asText(),
+            knob("k").asInt()))
+      case "maxsim_rerank" =>
+        val inputs = strs(knob("from"))
+        require(inputs.size == 3,
+          s"maxsim_rerank needs from = [candidates, queries, corpus], " +
+            s"got ${inputs.size} stages")
+        p.fanIn(name, inputs)(dfs =>
+          graft.similarity.MaxSim.rerank(dfs(0), dfs(2), dfs(1),
+            knob("id").asText(), knob("pos").asText(), knob("vec").asText(),
+            knob("k").asInt()))
       // G53 JL projection as a standalone reduction stage (the vector
       // column is replaced; every other column rides through)
       case "jl_project" =>

@@ -156,6 +156,72 @@ object MaxSim {
     Ann.topKTail(rescored, k, scoreCol = "maxsim")
   }
 
+  /** SUM-pooled late-interaction retrieval — [[maxSimTopKPooled]]'s screen
+    * stage as a first-class retriever: one pooled vector per document
+    * (dot(Σqᵢ, Σdⱼ) = ΣᵢΣⱼ⟨q,d⟩ — every token pair contributes once, at
+    * dim-cost per pair), top-k by exact BIGINT pooled dot. The coarse leg
+    * of a hybrid stack: fuse with lexical ranking ([[Search.rrfFuse]])
+    * and settle the fused candidates with [[rerank]]. Output: (query_id,
+    * rank, neighbor_id, pooled BIGINT), self-pairs excluded.
+    */
+  def pooledTopK(docVecs: DataFrame, queryVecs: DataFrame, idCol: String,
+                 posCol: String, vecCol: String, k: Int,
+                 scale: Double = 65536.0): DataFrame = {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, DoubleVectorDot, SumVecs}
+    require(k > 0, s"k must be positive, got $k")
+    def pooled(m: Column) =
+      ColumnBridge.column(SumVecs(ColumnBridge.expression(m)))
+    val d = gatherMatrix(docVecs, idCol, posCol, vecCol,
+        "neighbor_id", "__dmat", scale)
+      .select(col("neighbor_id"), pooled(col("__dmat")).as("__dpool"))
+    val q = gatherMatrix(queryVecs, idCol, posCol, vecCol,
+        "query_id", "__qmat", scale)
+      .select(col("query_id"), pooled(col("__qmat")).as("__qpool"))
+    val scored = d.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        ColumnBridge.column(DoubleVectorDot(
+          ColumnBridge.expression(col("__qpool")),
+          ColumnBridge.expression(col("__dpool"))))
+          .cast(LongType).as("pooled"))
+    Ann.topKTail(scored, k, scoreCol = "pooled")
+  }
+
+  /** Exact-MaxSim re-rank of a (query_id, neighbor_id) candidate frame —
+    * the [[Pq.rerank]] recall lever at matrix granularity, exposed for
+    * compositions whose candidates come from elsewhere (RRF hybrid
+    * fusion, a stored single-vector index, [[pooledTopK]]). The corpus
+    * side SEMI-JOINS to the candidate ids BEFORE the gather, so only
+    * shortlisted documents' tokens ever aggregate — candidate-sized work
+    * at any corpus size. Candidates without token vectors never score
+    * (no rows after the gather — the [[maxSimTopK]] token-less contract);
+    * id-colliding pairs are excluded as self-pairs. Output: (query_id,
+    * rank, neighbor_id, maxsim BIGINT), rank ≤ k per query.
+    */
+  def rerank(candidates: DataFrame, docVecs: DataFrame,
+             queryVecs: DataFrame, idCol: String, posCol: String,
+             vecCol: String, k: Int, scale: Double = 65536.0): DataFrame = {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, MaxSimScore}
+    require(k > 0, s"k must be positive, got $k")
+    val cand = candidates.select("query_id", "neighbor_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val candToks = docVecs.join(
+      broadcast(cand.select(col("neighbor_id").as(idCol)).distinct()),
+      Seq(idCol), "left_semi")
+    val d = gatherMatrix(candToks, idCol, posCol, vecCol,
+      "neighbor_id", "__dmat", scale)
+    val q = gatherMatrix(queryVecs, idCol, posCol, vecCol,
+      "query_id", "__qmat", scale)
+    val rescored = d.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        ColumnBridge.column(MaxSimScore(
+          ColumnBridge.expression(col("__qmat")),
+          ColumnBridge.expression(col("__dmat"))))
+          .cast(LongType).as("maxsim"))
+    Ann.topKTail(rescored, k, scoreCol = "maxsim")
+  }
+
   /** The cell-routing expression over DOUBLE pooled vectors — the
     * [[org.apache.spark.sql.graftglue.ProbeCells]] reference-object form
     * ([[Ann]]'s device) at double width: pooled sums of quantized token

@@ -133,6 +133,30 @@ class MaxSimSpec extends SparkSpec {
       s"MaxSim scoring projection not fused:\n${plan.take(2000)}")
   }
 
+  test("two-stage decomposition law: maxSimTopKPooled ≡ " +
+       "rerank(pooledTopK(mShort)) — the hybrid-stack legs compose back") {
+    val queries = toks.filter(col("id") % 20 === 0)
+    val fusedForm = MaxSim.maxSimTopKPooled(toks, queries, "id", "pos",
+      "embedding", k = 3, mShort = 8)
+    val candidates = MaxSim.pooledTopK(toks, queries, "id", "pos",
+      "embedding", k = 8).select("query_id", "neighbor_id")
+    val composed = MaxSim.rerank(candidates, toks, queries, "id", "pos",
+      "embedding", k = 3)
+    assert(composed.count() > 0)
+    assert(composed.except(fusedForm).isEmpty &&
+           fusedForm.except(composed).isEmpty,
+      "pooledTopK → rerank diverged from the fused two-stage operator")
+    // a candidate id with no token vectors silently drops at the re-rank
+    // (the documented token-less contract) rather than scoring or failing
+    val spiked = candidates.unionByName(
+      spark.range(1).select(col("id").as("query_id"),
+        lit(999999999L).as("neighbor_id")))
+    val withGhost = MaxSim.rerank(spiked, toks, queries, "id", "pos",
+      "embedding", k = 3)
+    assert(withGhost.filter(col("neighbor_id") === 999999999L).isEmpty,
+      "a token-less candidate must never score")
+  }
+
   test("persistent MaxSim index: probe at nprobe = nlist ≡ in-memory " +
        "two-stage, routing prunes partitions, stored scale wins") {
     val queries = toks.filter(col("id") % 20 === 0)

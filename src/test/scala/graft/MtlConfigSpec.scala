@@ -519,6 +519,36 @@ class MtlConfigSpec extends SparkSpec {
     assert(gotDelta == wantDelta && gotDelta.nonEmpty)
   }
 
+  test("ConfigPipeline drives the hybrid-stack legs: maxsim_pooled and " +
+       "maxsim_rerank match the programmatic composition") {
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val toks = spark.read.parquet(emb)
+      .select(expr("vec_id DIV 5").as("id"), expr("vec_id % 5").as("pos"),
+        col("embedding"))
+    val tokSel = """["vec_id DIV 5 AS id", "vec_id % 5 AS pos", "embedding"]"""
+    val got = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "e", "op": "parquet", "path": "$emb"},
+         | {"name": "t", "op": "select", "from": "e", "exprs": $tokSel},
+         | {"name": "qf", "op": "filter", "from": "t", "expr": "id % 20 = 0"},
+         | {"name": "coarse", "op": "maxsim_pooled", "from": ["qf", "t"],
+         |  "id": "id", "pos": "pos", "vec": "embedding", "k": 8},
+         | {"name": "cand", "op": "select", "from": "coarse",
+         |  "exprs": ["query_id", "neighbor_id"]},
+         | {"name": "settled", "op": "maxsim_rerank",
+         |  "from": ["cand", "qf", "t"],
+         |  "id": "id", "pos": "pos", "vec": "embedding", "k": 3}
+         |]}""".stripMargin).output("settled")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val queries = toks.filter(col("id") % 20 === 0)
+    val want = graft.similarity.MaxSim.rerank(
+        graft.similarity.MaxSim.pooledTopK(toks, queries, "id", "pos",
+          "embedding", k = 8).select("query_id", "neighbor_id"),
+        toks, queries, "id", "pos", "embedding", k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("ConfigPipeline margin_mine and kcenter match the programmatic forms") {
     val emb = "/root/testdata/sf0.001/embeddings.parquet"
     val corpus = spark.read.parquet(emb)
