@@ -137,7 +137,12 @@ object ScaleBench {
           // so this row is the |Q|·|C| quadratic regime (margin_brute's
           // law — the motivation for the stored-index shortlist
           // composition); maxsim_fixedq below isolates the linear term
-          "q_maxsim"))
+          "q_maxsim",
+          // r10 hybrid capstone: ONE query (id 0) against a growing corpus
+          // — the BM25 term-stats scan and the pooled gather are the only
+          // corpus-sized terms; fusion + the exact-MaxSim settle are
+          // candidate-sized (≤ 10 fused ids) at every size
+          "q_hybrid_rerank"))
         time(q, dir) { SparkEntry.queries(q)(spark, dir) }
       time("neardup_composed", dir) { neardupComposed(spark, dir) }
       // G45/G46 decades: brute margin mining is O(|A|·|B|) BY DESIGN —

@@ -201,10 +201,16 @@ object MaxSim {
   def rerank(candidates: DataFrame, docVecs: DataFrame,
              queryVecs: DataFrame, idCol: String, posCol: String,
              vecCol: String, k: Int, scale: Double = 65536.0): DataFrame = {
+    import graft.Caching.TrackedSyntax
     import org.apache.spark.sql.graftglue.{ColumnBridge, MaxSimScore}
     require(k > 0, s"k must be positive, got $k")
+    // the candidate frame is consumed twice (the semi-join's id set + the
+    // pair join) and is candidate-sized by contract — persist it, or
+    // Catalyst re-computes the caller's ENTIRE candidate-generation stack
+    // (a fused hybrid retrieval, a stored-index probe) once per consumer
     val cand = candidates.select("query_id", "neighbor_id")
       .filter(col("query_id") =!= col("neighbor_id"))
+      .trackedPersist()
     val candToks = docVecs.join(
       broadcast(cand.select(col("neighbor_id").as(idCol)).distinct()),
       Seq(idCol), "left_semi")

@@ -155,6 +155,13 @@ class MaxSimSpec extends SparkSpec {
       "embedding", k = 3)
     assert(withGhost.filter(col("neighbor_id") === 999999999L).isEmpty,
       "a token-less candidate must never score")
+    // the candidate frame is consumed twice inside rerank (semi-join ids +
+    // pair join) — pin the persist device, or the caller's whole
+    // candidate-generation stack executes once per consumer
+    val p = composed.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("InMemoryTableScan"),
+      s"rerank's candidate frame is not persisted:\n${p.take(2000)}")
   }
 
   test("persistent MaxSim index: probe at nprobe = nlist ≡ in-memory " +

@@ -96,7 +96,23 @@ class PlanSpec extends SparkSpec {
       // (term stats, corpus stats, dfreq, per-doc sum) + its k-row rank
       // window; the dense side's bounded top-k agg, the fusion agg, and
       // the final rank window are all candidate-sized (≤ Σk per query)
-      "q_rrf_hybrid" -> 8)
+      "q_rrf_hybrid" -> 8,
+      // r10 stored MaxSim index. Probe: the REAL exchanges are the cached
+      // query-side gather (1, query-sized) + the screen's and re-rank's
+      // bounded top-k aggregates (1 each, candidate-sized) — the counter
+      // reads 8 because the cached gather subplan PRINTS its exchange at
+      // both consumers in initial+final AQE form (executed once; the pin
+      // still catches any new real exchange). Delta: one delta-sized
+      // gather aggregate — kept mats anti-join a broadcast retire set,
+      // nothing index-sized moves.
+      "q_maxsim_index" -> 8, "q_maxsim_index_delta" -> 1,
+      // hybrid capstone: BM25's audited aggregates + the pooled gather +
+      // bounded top-k + fusion aggregates, every one query- or
+      // candidate-sized; the fused candidate frame is trackedPersist'd in
+      // MaxSim.rerank (consumed twice — without it the whole retrieval
+      // stack would EXECUTE twice), and the cached stack printing under
+      // both consumers is what inflates the count to 24
+      "q_hybrid_rerank" -> 24)
     val errs = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)
