@@ -382,4 +382,45 @@ class PropertySpec extends SparkSpec {
         row.getDouble(2) == row.getDouble(0)
     })
   }
+
+  test("law: MaxSimScore equals the scala fold, is invariant under " +
+       "doc-row permutation, and is additive over query rows") {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, MaxSimScore}
+    // integral components: every dot/max/sum is exact, so == is exact
+    val rowGen = Gen.listOfN(5, Gen.chooseNum(-9, 9).map(_.toDouble))
+    val matGen = Gen.listOfN(4, rowGen)
+    def score(qm: List[List[Double]], dm: List[List[Double]]): Double =
+      Seq((qm, dm)).toDF("q", "d")
+        .select(ColumnBridge.column(MaxSimScore(
+          ColumnBridge.expression(col("q")),
+          ColumnBridge.expression(col("d")))))
+        .as[Double].head()
+    check(Prop.forAll(matGen, matGen) { (q, d) =>
+      val got = score(q, d)
+      val want = q.map(qr =>
+        d.map(dr => qr.zip(dr).map { case (a, b) => a * b }.sum).max).sum
+      // max over doc tokens ⇒ doc-row order cannot matter; Σ over query
+      // tokens ⇒ the score decomposes over any query-row split
+      got == want && score(q, d.reverse) == want &&
+        score(q.take(2), d) + score(q.drop(2), d) == got
+    })
+  }
+
+  test("law: SumVecs equals per-component scala sums; ragged input is null") {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, SumVecs}
+    val rowGen = Gen.listOfN(5, Gen.chooseNum(-9, 9).map(_.toDouble))
+    val matGen = Gen.listOfN(4, rowGen)
+    check(Prop.forAll(matGen) { m =>
+      val got = Seq(Tuple1(m)).toDF("m")
+        .select(ColumnBridge.column(SumVecs(ColumnBridge.expression(col("m")))))
+        .as[Seq[Double]].head()
+      val want = m.transpose.map(_.sum)
+      got == want
+    })
+    val ragged = Seq(Tuple1(Seq(Seq(1.0, 2.0), Seq(3.0)))).toDF("m")
+      .select(ColumnBridge.column(SumVecs(ColumnBridge.expression(col("m"))))
+        .as("s"))
+    assert(ragged.filter(col("s").isNull).count() == 1,
+      "a ragged matrix must pool to null, not a partial sum")
+  }
 }
