@@ -207,9 +207,13 @@ object MaxSim {
     // the candidate frame is consumed twice (the semi-join's id set + the
     // pair join) and is candidate-sized by contract — persist it, or
     // Catalyst re-computes the caller's ENTIRE candidate-generation stack
-    // (a fused hybrid retrieval, a stored-index probe) once per consumer
+    // (a fused hybrid retrieval, a stored-index probe) once per consumer.
+    // distinct(): a pair listed twice (two fused lists both proposing it
+    // un-deduped) must score ONCE — duplicate scored rows would occupy
+    // two of the k ranks for one neighbor
     val cand = candidates.select("query_id", "neighbor_id")
       .filter(col("query_id") =!= col("neighbor_id"))
+      .distinct()
       .trackedPersist()
     val candToks = docVecs.join(
       broadcast(cand.select(col("neighbor_id").as(idCol)).distinct()),
@@ -377,7 +381,9 @@ object MaxSim {
     * model (gather, pooling, and routing are deterministic projections of
     * the token rows), the identity q_maxsim_index_delta's oracle checks.
     * The caller writes the result back (`partitionBy("cell")`) or appends
-    * just the admitted slice.
+    * just the admitted slice. Admitted ids are assumed NEW (disjoint from
+    * the stored membership, the [[Pq.indexCodesDelta]] contract) — to
+    * re-encode a changed document, retire its id in the same call.
     */
   def indexMatsDelta(admitted: DataFrame, idCol: String, posCol: String,
                      vecCol: String, dir: String,

@@ -155,6 +155,12 @@ class MaxSimSpec extends SparkSpec {
       "embedding", k = 3)
     assert(withGhost.filter(col("neighbor_id") === 999999999L).isEmpty,
       "a token-less candidate must never score")
+    // a pair proposed twice (two un-deduped fused lists) scores ONCE —
+    // duplicates must not occupy two of the k ranks for one neighbor
+    val doubled = MaxSim.rerank(candidates.unionByName(candidates),
+      toks, queries, "id", "pos", "embedding", k = 3)
+    assert(doubled.except(composed).isEmpty && composed.except(doubled).isEmpty,
+      "duplicate candidate pairs changed the re-rank")
     // the candidate frame is consumed twice inside rerank (semi-join ids +
     // pair join) — pin the persist device, or the caller's whole
     // candidate-generation stack executes once per consumer
