@@ -3489,8 +3489,9 @@ object SparkEntry {
     * cosine over the pooled doubles with the (cos DESC, cent_id ASC)
     * ProbeCells order (dots are exact integers; sqrt/division are
     * correctly-rounded IEEE on both engines, so the cosines are
-    * bit-identical), membership = everything not retired
-    * (`id % 13 <> 0`). ntoks pins each matrix's shape and fro (the exact
+    * bit-identical), membership = (indexed − retired) ∪ admitted (retire
+    * applies to stored rows only: `id % 13 <> 0 OR id % 10 = 0`).
+    * ntoks pins each matrix's shape and fro (the exact
     * integer Σ_tokens ⟨t,t⟩ Frobenius digest) pins its content — the
     * identity being checked is maintained ≡ re-gathered-from-scratch under
     * the frozen model.
@@ -3519,7 +3520,8 @@ object SparkEntry {
       |        c.cent_id) AS rnk
       |    FROM pool p CROSS JOIN cents c) WHERE rnk = 1)
       |SELECT a.id, a.cell, s.ntoks, s.fro
-      |FROM asg a JOIN stats s USING (id) WHERE a.id % 13 <> 0""".stripMargin
+      |FROM asg a JOIN stats s USING (id)
+      |WHERE a.id % 13 <> 0 OR a.id % 10 = 0""".stripMargin
 
   /** DuckDB replay of the JL projection top-k (q_jl_topk): the ±1 sign
     * matrix rebuilt from the md5-parity recipe (`Jl.signMatrix` seed=42,
@@ -3549,9 +3551,10 @@ object SparkEntry {
 
   /** Replay of q_sq_index_delta's maintained code table: scales train on
     * the 90% generation (`vec_id % 10 <> 0` — the indexed corpus), codes
-    * derive for the MAINTAINED membership (everything not retired:
-    * `vec_id % 13 <> 0`) under those FROZEN scales — the 10% delta's
-    * out-of-range components saturate via the same clamp-then-divide.
+    * derive for the MAINTAINED membership ((indexed − retired) ∪ admitted
+    * — retire applies to stored rows only, single-call replace) under
+    * those FROZEN scales — the 10% delta's out-of-range components
+    * saturate via the same clamp-then-divide.
     */
   private val sqIndexDeltaOracle: String =
     """WITH q AS MATERIALIZED (SELECT vec_id,
@@ -3565,7 +3568,7 @@ object SparkEntry {
       |            ELSE ((least(greatest(qv[pos], lo), lo + w) - lo) * 255) // w
       |       END AS code
       |FROM q CROSS JOIN poss JOIN mm USING (pos)
-      |WHERE vec_id % 13 <> 0""".stripMargin
+      |WHERE vec_id % 13 <> 0 OR vec_id % 10 = 0""".stripMargin
 
   private val langidOracle: String = {
     val codes = Text.stopwords.keys.toSeq.sorted // de, en, es, fr
@@ -3748,8 +3751,10 @@ object SparkEntry {
 
   /** Replay of q_ann_index_delta's maintained PQ code table: codebooks
     * train on the 90% generation (`vec_id % 10 <> 0` — the indexed
-    * corpus), codes derive for the MAINTAINED membership (everything not
-    * retired: `vec_id % 13 <> 0`). Same per-subspace Lloyd/assignment CTEs
+    * corpus), codes derive for the MAINTAINED membership ((indexed −
+    * retired) ∪ admitted — retire applies to stored rows only, so
+    * `vec_id % 13 <> 0 OR vec_id % 10 = 0`). Same per-subspace
+    * Lloyd/assignment CTEs
     * as `pqScoredCtes`, parameterized by the two filters — the identity
     * being checked is maintained ≡ re-encoded-from-scratch under the
     * frozen model.
@@ -3757,7 +3762,10 @@ object SparkEntry {
   private val annIndexDeltaOracle: String = {
     val (m, sub, k) = (2, 32, 4)
     val trainWhere = "vec_id % 10 <> 0"
-    val codeWhere = "vec_id % 13 <> 0"
+    // maintained membership = (indexed − retired) ∪ admitted: retire
+    // applies to stored rows only, admitted always enters (the
+    // single-call-replace contract) — ids in both sets stay
+    val codeWhere = "(vec_id % 13 <> 0 OR vec_id % 10 = 0)"
     val perSub = (0 until m).map { j =>
       val lo = j * sub + 1
       s"""sq$j AS MATERIALIZED (SELECT vec_id, list_slice(qv, $lo, ${j * sub + sub}) AS sv FROM q),
@@ -4388,10 +4396,12 @@ object SparkEntry {
     // the batch answer exactly
     "q_stream_bm25probe" -> bm25ManyOracle,
     // maintained postings ≡ tokenize-from-scratch over the maintained
-    // membership (base %10!=0 minus retired %13==0, plus admitted %10==0
-    // minus retired = everything but the retired set)
+    // membership (base %10!=0 minus retired %13==0, plus ALL of the
+    // admitted %10==0 — retire applies to stored rows only, so a doc in
+    // both sets is REPLACED, not dropped)
     "q_bm25_index_delta" ->
-      s"""WITH m AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+      s"""WITH m AS (SELECT doc_id, text FROM documents
+         |           WHERE doc_id % 13 <> 0 OR doc_id % 10 = 0),
          |t AS (SELECT doc_id, $toksSql AS tk FROM m),
          |p AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, term,
          |      CAST(COUNT(*) AS BIGINT) AS tf

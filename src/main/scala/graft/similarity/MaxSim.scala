@@ -53,6 +53,33 @@ import org.apache.spark.sql.types.{LongType, StringType}
   */
 object MaxSim {
 
+  /** The exact MaxSim interaction score as a BIGINT column — ONE
+    * definition shared by every scoring site (single-stage, two-stage
+    * re-rank, stored-index re-rank, candidate [[rerank]]): the family's
+    * bit-parity claims hang on all paths sharing one spelling (the
+    * [[Search]] bm25Tail principle) — a forked copy drifting in cast or
+    * tie-break would silently desync one query's oracle from its
+    * siblings'.
+    */
+  private def maxSimCol(qmat: Column, dmat: Column): Column = {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, MaxSimScore}
+    ColumnBridge.column(MaxSimScore(ColumnBridge.expression(qmat),
+      ColumnBridge.expression(dmat))).cast(LongType)
+  }
+
+  /** SUM-pooling of a token matrix (exact integral-double sums). */
+  private def pooledCol(m: Column): Column = {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, SumVecs}
+    ColumnBridge.column(SumVecs(ColumnBridge.expression(m)))
+  }
+
+  /** The exact pooled dot as a BIGINT column — the screen's score. */
+  private def pooledDotCol(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftglue.{ColumnBridge, DoubleVectorDot}
+    ColumnBridge.column(DoubleVectorDot(ColumnBridge.expression(a),
+      ColumnBridge.expression(b))).cast(LongType)
+  }
+
   /** Gather (id, pos, vec) rows into one quantized token-matrix row per
     * id: (outId, __mat: array<array<double>>), matrix rows in `pos`
     * order. Exposed for callers that persist the gathered layout.
@@ -80,7 +107,6 @@ object MaxSim {
   def maxSimTopK(docVecs: DataFrame, queryVecs: DataFrame,
                  idCol: String, posCol: String, vecCol: String, k: Int,
                  scale: Double = 65536.0): DataFrame = {
-    import org.apache.spark.sql.graftglue.{ColumnBridge, MaxSimScore}
     require(k > 0, s"k must be positive, got $k")
     val d = gatherMatrix(docVecs, idCol, posCol, vecCol,
       "neighbor_id", "__dmat", scale)
@@ -89,10 +115,7 @@ object MaxSim {
     val scored = d.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        ColumnBridge.column(MaxSimScore(
-          ColumnBridge.expression(col("__qmat")),
-          ColumnBridge.expression(col("__dmat"))))
-          .cast(LongType).as("maxsim"))
+        maxSimCol(col("__qmat"), col("__dmat")).as("maxsim"))
     Ann.topKTail(scored, k, scoreCol = "maxsim")
   }
 
@@ -118,30 +141,24 @@ object MaxSim {
                        k: Int, mShort: Int,
                        scale: Double = 65536.0): DataFrame = {
     import graft.Caching.TrackedSyntax
-    import org.apache.spark.sql.graftglue.{ColumnBridge, DoubleVectorDot, MaxSimScore, SumVecs}
     require(k > 0, s"k must be positive, got $k")
     require(mShort >= k, s"shortlist mShort=$mShort must be >= k=$k")
-    def pooled(m: org.apache.spark.sql.Column) =
-      ColumnBridge.column(SumVecs(ColumnBridge.expression(m)))
     // gathered once, read twice (pooled screen + shortlist re-rank) — the
     // tfIdfKeywords persist device, else Catalyst re-runs the corpus
     // gather aggregate for the second consumer
     val d = gatherMatrix(docVecs, idCol, posCol, vecCol,
       "neighbor_id", "__dmat", scale)
-      .withColumn("__dpool", pooled(col("__dmat")))
+      .withColumn("__dpool", pooledCol(col("__dmat")))
       .trackedPersist()
     val q = gatherMatrix(queryVecs, idCol, posCol, vecCol,
       "query_id", "__qmat", scale)
-      .withColumn("__qpool", pooled(col("__qmat")))
+      .withColumn("__qpool", pooledCol(col("__qmat")))
     // stage 1: pooled screen — matrices stay OUT of the scored rows
     val screened = d.select(col("neighbor_id"), col("__dpool"))
       .crossJoin(broadcast(q.select(col("query_id"), col("__qpool"))))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        ColumnBridge.column(DoubleVectorDot(
-          ColumnBridge.expression(col("__qpool")),
-          ColumnBridge.expression(col("__dpool"))))
-          .cast(LongType).as("pooled"))
+        pooledDotCol(col("__qpool"), col("__dpool")).as("pooled"))
     val shortlist = Ann.topKTail(screened, mShort, scoreCol = "pooled")
       .select("query_id", "neighbor_id")
     // stage 2: exact MaxSim over shortlist-sized pairs only
@@ -149,10 +166,7 @@ object MaxSim {
       .join(d.select(col("neighbor_id"), col("__dmat")), Seq("neighbor_id"))
       .join(broadcast(q.select(col("query_id"), col("__qmat"))), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        ColumnBridge.column(MaxSimScore(
-          ColumnBridge.expression(col("__qmat")),
-          ColumnBridge.expression(col("__dmat"))))
-          .cast(LongType).as("maxsim"))
+        maxSimCol(col("__qmat"), col("__dmat")).as("maxsim"))
     Ann.topKTail(rescored, k, scoreCol = "maxsim")
   }
 
@@ -167,23 +181,17 @@ object MaxSim {
   def pooledTopK(docVecs: DataFrame, queryVecs: DataFrame, idCol: String,
                  posCol: String, vecCol: String, k: Int,
                  scale: Double = 65536.0): DataFrame = {
-    import org.apache.spark.sql.graftglue.{ColumnBridge, DoubleVectorDot, SumVecs}
     require(k > 0, s"k must be positive, got $k")
-    def pooled(m: Column) =
-      ColumnBridge.column(SumVecs(ColumnBridge.expression(m)))
     val d = gatherMatrix(docVecs, idCol, posCol, vecCol,
         "neighbor_id", "__dmat", scale)
-      .select(col("neighbor_id"), pooled(col("__dmat")).as("__dpool"))
+      .select(col("neighbor_id"), pooledCol(col("__dmat")).as("__dpool"))
     val q = gatherMatrix(queryVecs, idCol, posCol, vecCol,
         "query_id", "__qmat", scale)
-      .select(col("query_id"), pooled(col("__qmat")).as("__qpool"))
+      .select(col("query_id"), pooledCol(col("__qmat")).as("__qpool"))
     val scored = d.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        ColumnBridge.column(DoubleVectorDot(
-          ColumnBridge.expression(col("__qpool")),
-          ColumnBridge.expression(col("__dpool"))))
-          .cast(LongType).as("pooled"))
+        pooledDotCol(col("__qpool"), col("__dpool")).as("pooled"))
     Ann.topKTail(scored, k, scoreCol = "pooled")
   }
 
@@ -202,7 +210,6 @@ object MaxSim {
              queryVecs: DataFrame, idCol: String, posCol: String,
              vecCol: String, k: Int, scale: Double = 65536.0): DataFrame = {
     import graft.Caching.TrackedSyntax
-    import org.apache.spark.sql.graftglue.{ColumnBridge, MaxSimScore}
     require(k > 0, s"k must be positive, got $k")
     // the candidate frame is consumed twice (the semi-join's id set + the
     // pair join) and is candidate-sized by contract — persist it, or
@@ -225,10 +232,7 @@ object MaxSim {
     val rescored = d.join(broadcast(cand), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        ColumnBridge.column(MaxSimScore(
-          ColumnBridge.expression(col("__qmat")),
-          ColumnBridge.expression(col("__dmat"))))
-          .cast(LongType).as("maxsim"))
+        maxSimCol(col("__qmat"), col("__dmat")).as("maxsim"))
     Ann.topKTail(rescored, k, scoreCol = "maxsim")
   }
 
@@ -274,13 +278,17 @@ object MaxSim {
                  vecCol: String, dir: String, nlist: Int = 8,
                  scale: Double = 65536.0): Unit = {
     import graft.Caching.TrackedSyntax
-    import org.apache.spark.sql.graftglue.{ColumnBridge, SumVecs}
     val spark = docVecs.sparkSession
     import spark.implicits._
-    // gathered once, consumed twice (centroid pick + partitioned write)
+    // gathered once, consumed twice (centroid pick + partitioned write).
+    // a null pool (ragged/null token vector — the SumVecs poison device)
+    // can never screen or score; filtering it OUT of the layout preserves
+    // the "null poisons the row, never ranked" contract where keeping it
+    // would NPE the centroid pick or write an unreachable
+    // __HIVE_DEFAULT_PARTITION__ matrix
     val d = gatherMatrix(docVecs, idCol, posCol, vecCol, "id", "mat", scale)
-      .withColumn("pool",
-        ColumnBridge.column(SumVecs(ColumnBridge.expression(col("mat")))))
+      .withColumn("pool", pooledCol(col("mat")))
+      .filter(col("pool").isNotNull)
       .trackedPersist()
     val centRows = d
       .select(md5(col("id").cast(StringType)).as("cent_id"), col("pool"))
@@ -331,7 +339,6 @@ object MaxSim {
                  vecCol: String, dir: String, k: Int, nprobe: Int,
                  mShort: Int): DataFrame = {
     import graft.Caching.TrackedSyntax
-    import org.apache.spark.sql.graftglue.{ColumnBridge, DoubleVectorDot, MaxSimScore, SumVecs}
     require(k > 0, s"k must be positive, got $k")
     require(mShort >= k, s"shortlist mShort=$mShort must be >= k=$k")
     val spark = queryVecs.sparkSession
@@ -341,8 +348,7 @@ object MaxSim {
     // gathered once, consumed three times (routing collect, screen, re-rank)
     val q = gatherMatrix(queryVecs, idCol, posCol, vecCol,
       "query_id", "__qmat", scale)
-      .withColumn("__qpool",
-        ColumnBridge.column(SumVecs(ColumnBridge.expression(col("__qmat")))))
+      .withColumn("__qpool", pooledCol(col("__qmat")))
       .trackedPersist()
     val probed = q.select(col("query_id"), col("__qpool"),
       explode(probeCellsD(cents, col("__qpool"), nprobe)).as("cell"))
@@ -355,20 +361,14 @@ object MaxSim {
       .join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        ColumnBridge.column(DoubleVectorDot(
-          ColumnBridge.expression(col("__qpool")),
-          ColumnBridge.expression(col("pool"))))
-          .cast(LongType).as("pooled"))
+        pooledDotCol(col("__qpool"), col("pool")).as("pooled"))
     val shortlist = Ann.topKTail(screened, mShort, scoreCol = "pooled")
       .select("query_id", "neighbor_id")
     val rescored = mats.select(col("id").as("neighbor_id"), col("mat"))
       .join(broadcast(shortlist), Seq("neighbor_id"))
       .join(broadcast(q.select(col("query_id"), col("__qmat"))), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        ColumnBridge.column(MaxSimScore(
-          ColumnBridge.expression(col("__qmat")),
-          ColumnBridge.expression(col("mat"))))
-          .cast(LongType).as("maxsim"))
+        maxSimCol(col("__qmat"), col("mat")).as("maxsim"))
     Ann.topKTail(rescored, k, scoreCol = "maxsim")
   }
 
@@ -381,25 +381,28 @@ object MaxSim {
     * model (gather, pooling, and routing are deterministic projections of
     * the token rows), the identity q_maxsim_index_delta's oracle checks.
     * The caller writes the result back (`partitionBy("cell")`) or appends
-    * just the admitted slice. Admitted ids are assumed NEW (disjoint from
-    * the stored membership, the [[Pq.indexCodesDelta]] contract) — to
-    * re-encode a changed document, retire its id in the same call.
+    * just the admitted slice. `retiredIds` retires STORED rows only;
+    * admitted rows always enter — so retire + admit in one call replaces
+    * a changed document (the [[graft.dedup.Dedup.indexDelta]] snapshotDiff
+    * contract: retired = removed ∪ changed, admitted = added ∪ changed).
     */
   def indexMatsDelta(admitted: DataFrame, idCol: String, posCol: String,
                      vecCol: String, dir: String,
                      retiredIds: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graftglue.{ColumnBridge, SumVecs}
     val spark = admitted.sparkSession
     val (cents, scale) = readModel(spark, dir)
     val retire = graft.dedup.Dedup.retiredIdFrame(retiredIds)
     val kept = spark.read.parquet(s"$dir/mats")
       .join(broadcast(retire), Seq("id"), "left_anti")
       .select("id", "cell", "mat", "pool")
+    // retire applies to STORED rows only — retire + admit = single-call
+    // replace (the Dedup.indexDelta contract; see Pq.indexCodesDelta).
+    // null pools filter out exactly as writeIndex does, keeping the
+    // maintained ≡ rebuilt identity over the same layout rule
     val fresh = gatherMatrix(admitted, idCol, posCol, vecCol, "id", "mat", scale)
-      .withColumn("pool",
-        ColumnBridge.column(SumVecs(ColumnBridge.expression(col("mat")))))
+      .withColumn("pool", pooledCol(col("mat")))
+      .filter(col("pool").isNotNull)
       .withColumn("cell", element_at(probeCellsD(cents, col("pool"), 1), 1))
-      .join(broadcast(retire), Seq("id"), "left_anti")
       .select("id", "cell", "mat", "pool")
     kept.unionByName(fresh)
   }

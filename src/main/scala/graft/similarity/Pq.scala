@@ -315,7 +315,10 @@ object Pq {
     * deterministic per-row projection), which is the maintenance identity
     * q_ann_index_delta's oracle checks. Same contract as
     * [[graft.dedup.Dedup.indexDelta]]: the caller writes the result back
-    * (partitionBy("cell")) or appends just the admitted slice.
+    * (partitionBy("cell")) or appends just the admitted slice, and
+    * `retiredIds` retires STORED rows only while admitted rows always
+    * enter — retire + admit in one call replaces a changed document
+    * (retired = removed ∪ changed, admitted = added ∪ changed).
     */
   def indexCodesDelta(admitted: DataFrame, idCol: String, vecCol: String,
                       dir: String, retiredIds: DataFrame,
@@ -333,8 +336,13 @@ object Pq {
       Pca.rotateAll(admitted.select(col(idCol), col(vecCol)), vecCol, r))
     val celled = admittedR.select(col(idCol), col(vecCol),
       Ann.nearestCell(cents, col(vecCol)).as("cell"))
+    // NO retire filter on the fresh side: retiredIds retires STORED rows
+    // only, admitted rows always enter — so retire + admit in ONE call
+    // re-encodes a changed document (the canonical Dedup.indexDelta
+    // snapshotDiff recipe: retired = removed ∪ changed, admitted =
+    // added ∪ changed). Anti-joining fresh too would silently DELETE
+    // every changed document.
     val fresh = encode(celled, idCol, vecCol, cbs, scale, carry = Seq("cell"))
-      .join(broadcast(retire), Seq("id"), "left_anti")
       .select("id", "cell", "codes")
     kept.unionByName(fresh)
   }

@@ -371,7 +371,10 @@ object Search {
     * The retire anti-join scans the stored postings (fixed-width rows,
     * text-free) — a retired doc's postings are spread across term buckets
     * by construction, so the rewrite is index-scan-sized; corpus text is
-    * touched only for the delta.
+    * touched only for the delta. `retiredIds` retires STORED rows only;
+    * admitted docs always enter — retire + admit in one call replaces a
+    * changed document (the [[graft.dedup.Dedup.indexDelta]] snapshotDiff
+    * contract).
     */
   def lexIndexDelta(admitted: DataFrame, idCol: String, textCol: String,
                     dir: String, retiredIds: DataFrame):
@@ -389,9 +392,11 @@ object Search {
     // tokenize — without the pin a caller materializing all three frames
     // re-tokenizes the admitted text three times (the tfIdfKeywords
     // lesson); delta-sized, dropped by Caching.drain()
+    // no retire filter here: retiredIds retires STORED rows only, the
+    // admitted delta always enters — retire + admit in one call replaces
+    // a changed document (the Dedup.indexDelta snapshotDiff contract)
     val toks = admitted.select(col(idCol).as("id"),
       Text.tokens(col(textCol)).as("__tk"))
-      .join(broadcast(retire), Seq("id"), "left_anti")
       .trackedPersist()
     val freshPosts = toks.select(col("id"),
         size(col("__tk")).cast(LongType).as("dl"), explode(col("__tk")).as("term"))

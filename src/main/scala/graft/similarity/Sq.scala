@@ -253,8 +253,9 @@ object Sq {
       .select("id", "cell", "codes")
     val celled = admitted.select(col(idCol), col(vecCol),
       Ann.nearestCell(cents, col(vecCol)).as("cell"))
+    // retire applies to STORED rows only — retire + admit = single-call
+    // replace (the Dedup.indexDelta contract; see Pq.indexCodesDelta)
     val fresh = encode(celled, idCol, vecCol, s, carry = Seq("cell"))
-      .join(broadcast(retire), Seq("id"), "left_anti")
       .select("id", "cell", "codes")
     kept.unionByName(fresh)
   }

@@ -204,6 +204,36 @@ class MaxSimSpec extends SparkSpec {
       "probe ignored the stored quantization scale")
   }
 
+  test("a ragged (null-pool) document stays OUT of the stored layout " +
+       "instead of poisoning the build") {
+    import spark.implicits._
+    // doc 999999 has token vectors of differing lengths → SumVecs pools
+    // it to null; previously it could NPE the centroid pick (if its md5
+    // sorted into the first nlist rows) or write an unreachable
+    // __HIVE_DEFAULT_PARTITION__ matrix
+    val ragged = Seq(
+      (999999L, 0L, Array.fill(64)(0.5f)),
+      (999999L, 1L, Array.fill(3)(0.5f))).toDF("id", "pos", "embedding")
+    val spiked = toks.unionByName(ragged)
+    val dir = java.nio.file.Files.createTempDirectory("msidx_null").toString
+    MaxSim.writeIndex(spiked, "id", "pos", "embedding", dir, nlist = 8)
+    val stored = spark.read.parquet(s"$dir/mats")
+    assert(stored.filter(col("id") === 999999L).isEmpty,
+      "a null-pool document leaked into the stored layout")
+    // the index over the clean subset still probes identically
+    val queries = toks.filter(col("id") % 20 === 0)
+    val got = MaxSim.probeIndex(queries, "id", "pos", "embedding", dir,
+      k = 3, nprobe = 8, mShort = 8)
+    val want = MaxSim.maxSimTopKPooled(toks, queries, "id", "pos",
+      "embedding", k = 3, mShort = 8)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // delta maintenance filters the same way — the layout rule is shared
+    val maintained = MaxSim.indexMatsDelta(ragged, "id", "pos", "embedding",
+      dir, spark.emptyDataFrame.withColumn("id", lit(0L)).limit(0))
+    assert(maintained.filter(col("id") === 999999L).isEmpty,
+      "a null-pool admitted doc leaked through maintenance")
+  }
+
   test("MaxSim index maintenance: retired ids leave, admitted ids route " +
        "under the frozen model, kept rows are byte-stable") {
     import spark.implicits._
@@ -216,8 +246,10 @@ class MaxSimSpec extends SparkSpec {
       "embedding", dir, retired).cache()
     val ids = maintained.select("id").as[Long].collect().toSet
     val allIds = toks.select("id").distinct().as[Long].collect().toSet
-    assert(ids == allIds.filterNot(_ % 13 == 0),
-      "maintained membership is not (indexed ∪ admitted) − retired")
+    // retire applies to STORED rows only: an id in both sets (0, 130, …)
+    // is REPLACED by its admitted tokens, not dropped
+    assert(ids == allIds.filter(i => i % 13 != 0 || i % 10 == 0),
+      "maintained membership is not (indexed − retired) ∪ admitted")
     // admitted rows route onto STORED cells only (frozen model: no new
     // centroids appear at maintenance time)
     val centIds = spark.read.parquet(s"$dir/model/coarse")

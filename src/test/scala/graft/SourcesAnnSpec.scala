@@ -232,13 +232,16 @@ class SourcesAnnSpec extends SparkSpec {
     val p = probe.queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
       s"expected a bucket partition filter in:\n${p.take(3000)}")
-    // maintenance identity: retire + admit ≡ rebuild over the membership
+    // maintenance identity: retire + admit ≡ rebuild over the membership.
+    // doc 6 is in BOTH sets — the single-call replace: its stored postings
+    // retire, its admitted text enters (previously the drop semantics
+    // silently deleted a changed doc; the Dedup.indexDelta contract wins)
     val admitted = Seq((6L, "fresh spark doc"), (7L, "common fresh")).toDF("doc_id", "text")
     val retired = Seq(2L, 6L).toDF("id")
     val (posts, doclens, stats) = Search.lexIndexDelta(
       admitted, "doc_id", "text", dir, retired)
     val membership = docs.filter(!$"doc_id".isin(2L, 6L))
-      .unionByName(admitted.filter($"doc_id" =!= 6L))
+      .unionByName(admitted)
     val dir2 = java.nio.file.Files.createTempDirectory("lexidx2").toString
     Search.writeLexIndex(membership, "doc_id", "text", dir2, buckets = 8)
     def rows(df: org.apache.spark.sql.DataFrame) =
