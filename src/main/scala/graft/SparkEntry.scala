@@ -944,6 +944,15 @@ object SparkEntry {
       Ops.corpusShuffle(T(s, dir, "documents"), "doc_id", seed = 7L,
           numShards = 8)
         .select(col("doc_id"), col("shard"), col("pos").cast("long").as("pos"))),
+    // SHARD MANIFEST: per-shard row count, content length, and an
+    // order-independent xor digest over (id, text) — the integrity check
+    // two independent exports compare before training starts; the oracle
+    // replays sharding, hashing, and the xor fold exactly
+    "q_manifest" -> ((s, dir) =>
+      Ops.shardManifest(
+        Ops.corpusShuffle(T(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", seed = 7L, numShards = 8),
+        "shard", "doc_id", "text")),
 
     // ---- file-format round trips (A1/A2): write → read back → oracle vs
     // the source parquet, so header/quoting/type-inference mangling fails ----
@@ -4956,6 +4965,19 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |  row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos
         |FROM s""".stripMargin,
+    // manifest: same shard derivation, then per-shard count / char sum /
+    // bit_xor of the 60-bit md5 prefix over id || chr(1) || text
+    "q_manifest" ->
+      """WITH k AS (SELECT doc_id, text,
+        |  md5('7|' || CAST(doc_id AS VARCHAR)) AS key FROM documents),
+        |s AS (SELECT doc_id, text,
+        |  ('0x' || substring(key, 1, 15))::BIGINT % 8 AS shard FROM k),
+        |h AS (SELECT shard, length(text) AS len,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || chr(1) || text), 1, 15))::BIGINT AS h
+        |  FROM s)
+        |SELECT shard, COUNT(*) AS n_rows, CAST(SUM(len) AS BIGINT) AS n_chars,
+        |       bit_xor(h) AS content_xor
+        |FROM h GROUP BY shard""".stripMargin,
     "q_jdbc_query" ->
       """SELECT o_custkey, COUNT(*) AS n_big, MAX(o_totalprice) AS max_price
         |FROM orders WHERE o_totalprice > 200000.0 GROUP BY o_custkey""".stripMargin,

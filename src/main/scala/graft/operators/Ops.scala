@@ -239,6 +239,33 @@ object Ops {
       .drop("__key")
   }
 
+  /** Per-shard integrity MANIFEST of a sharded export (no reference
+    * counterpart — the reproducibility primitive of a large training
+    * run): one row per shard with the row count, summed content length,
+    * and an ORDER-INDEPENDENT content digest — `bit_xor` of each row's
+    * 60-bit md5 prefix over (id, text) — so two exports match iff every
+    * shard holds the same (id, text) SET, regardless of file order,
+    * partitioning, or write parallelism. XOR (not SUM) keeps the digest
+    * in exact 64-bit space on both engines (DuckDB widens SUM(BIGINT) to
+    * HUGEINT); the id sits INSIDE the hash, so an id↔text crosswire
+    * between two rows changes the digest even though both strings
+    * survive. Scale: one scan + one shard-keyed exchange of fixed-width
+    * partials (count/sum/xor all combine map-side); the manifest itself
+    * is shard-count-sized.
+    */
+  def shardManifest(df: DataFrame, shardCol: String, idCol: String,
+                    textCol: String): DataFrame =
+    df.select(col(shardCol),
+        length(col(textCol)).cast(LongType).as("__len"),
+        // U+0001 separator: without one, (id=1, "2x") and (id=12, "x")
+        // would hash identically (DuckDB replays it as chr(1))
+        conv(substring(md5(concat_ws("\u0001",
+          col(idCol).cast(StringType), col(textCol))), 1, 15), 16, 10)
+          .cast(LongType).as("__h"))
+      .groupBy(shardCol)
+      .agg(count(lit(1)).as("n_rows"), sum(col("__len")).as("n_chars"),
+        expr("bit_xor(__h)").as("content_xor"))
+
   // -------------------------------------------------------------------
   // Aggregation
   // -------------------------------------------------------------------

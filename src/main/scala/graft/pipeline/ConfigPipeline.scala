@@ -100,7 +100,9 @@ import graft.Caching.TrackedSyntax
   * layout ops `zorder` (cols[, bits] — adds the
   * Morton `zval` that `Sinks.zorderWrite` clusters by) and
   * `corpus_shuffle` (id/seed/shards — adds the deterministic training
-  * shard + in-shard position), `corpus_overlap` (from[2] = the two
+  * shard + in-shard position), `manifest` (shard/id/text — per-shard
+  * row count, char sum, and order-independent xor content digest: the
+  * export-integrity check), `corpus_overlap` (from[2] = the two
   * corpora + text[, ngram/k] — KMV resemblance/containment without a
   * cross-corpus join), `soft_dedup` (id/text[, banding knobs] —
   * near-dup clusters → inverse-count sampling weights instead of
@@ -165,7 +167,7 @@ object ConfigPipeline {
     "fingerprint",
     "flatten", "gram", "heavy_hitters", "histogram", "html_stats", "html_text",
     "index_delta", "inverted_index", "jl_project", "join", "kcenter",
-    "langid", "limit",
+    "langid", "limit", "manifest",
     "lm_xent", "lm_xent_bigram", "margin_mine", "maxsim",
     "maxsim_index_delta", "maxsim_index_probe", "maxsim_pooled",
     "maxsim_rerank", "mixture",
@@ -313,6 +315,11 @@ object ConfigPipeline {
         p.fanIn(name, inputs)(dfs => graft.similarity.Search.rrfFuse(dfs,
           knob("query").asText(), knob("id").asText(), knob("rank").asText(),
           knob("topK").asInt(), k0))
+      // per-shard integrity manifest (count / chars / xor digest) of a
+      // sharded frame — typically a corpus_shuffle stage's output
+      case "manifest" =>
+        p.stage(name, from)(graft.operators.Ops.shardManifest(_,
+          knob("shard").asText(), knob("id").asText(), knob("text").asText()))
       case "limit" =>
         p.stage(name, from)(_.limit(knob("n").asInt()))
       case "distinct" =>

@@ -571,4 +571,40 @@ class OpsSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(again == splits)
   }
+
+  test("shardManifest: order/partitioning-independent, detects a mutated " +
+       "row and an id↔text crosswire") {
+    val docs = (0L until 60L).map(i => (i, s"doc body $i")).toDF("id", "text")
+    val sharded = Ops.corpusShuffle(docs, "id", seed = 7L, numShards = 4)
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Ops.shardManifest(df, "shard", "id", "text")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val base = manifest(sharded)
+    assert(base.map(_._1) == (0L until 4L).toSet && base.map(_._2).sum == 60L)
+    // the digest is a SET property: repartitioning / reordering the
+    // export changes nothing
+    assert(manifest(sharded.repartition(13)) == base)
+    assert(manifest(sharded.orderBy(col("text").desc)) == base)
+    // a one-character mutation changes EXACTLY its shard's digest (row
+    // count and every other shard untouched)
+    val mutated = sharded.withColumn("text",
+      when(col("id") === 17L, concat(col("text"), lit("!")))
+        .otherwise(col("text")))
+    val m = manifest(mutated)
+    assert(m != base && (base -- m).size == 1 && (m -- base).size == 1)
+    assert(m.map(t => (t._1, t._2)) == base.map(t => (t._1, t._2)),
+      "a content mutation must not change row counts")
+    // an id↔text crosswire between two rows of the SAME shard keeps both
+    // strings and both ids in the shard — only the (id, text) PAIRING
+    // broke, and the digest must still catch it
+    val shard0 = sharded.filter(col("shard") === 0L)
+      .select("id").as[Long].collect().sorted.take(2)
+    val (a, b) = (shard0(0), shard0(1))
+    val crossed = sharded.withColumn("text",
+      when(col("id") === a, s"doc body $b")
+        .when(col("id") === b, s"doc body $a")
+        .otherwise(col("text")))
+    assert(manifest(crossed) != base,
+      "an id↔text crosswire slipped past the manifest digest")
+  }
 }
