@@ -142,7 +142,10 @@ object ScaleBench {
           // — the BM25 term-stats scan and the pooled gather are the only
           // corpus-sized terms; fusion + the exact-MaxSim settle are
           // candidate-sized (≤ 10 fused ids) at every size
-          "q_hybrid_rerank"))
+          "q_hybrid_rerank",
+          // r10 G60: one scan + one shard-keyed exchange of fixed-width
+          // (count, sum, xor) partials — growth should be the scan's
+          "q_manifest"))
         time(q, dir) { SparkEntry.queries(q)(spark, dir) }
       time("neardup_composed", dir) { neardupComposed(spark, dir) }
       // G45/G46 decades: brute margin mining is O(|A|·|B|) BY DESIGN —
