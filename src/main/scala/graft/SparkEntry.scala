@@ -924,6 +924,22 @@ object SparkEntry {
       Sinks.compact(s, frag, out)
       s.read.parquet(out)
     }),
+    // ATOMIC-SWAP rewrite round trip (the index write-back device): first
+    // swapWrite creates the dir, the second READS the live dir and writes
+    // back over it through the .next/rename protocol — the exact
+    // maintenance loop every stored-index family runs; the read-back must
+    // be the full unchanged table (partition layout included)
+    "q_swap_roundtrip" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_swp").toString
+      val idx = s"$base/idx"
+      Sinks.swapWrite(
+        T(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey"),
+        idx, Seq("c_nationkey"))
+      // maintenance shape: read the live dir, write back over it
+      Sinks.swapWrite(s.read.parquet(idx), idx, Seq("c_nationkey"))
+      s.read.parquet(idx).select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast(LongType).as("c_nationkey"))
+    }),
     // Z-ORDER layout (D5): the Morton keys zorderWrite range-partitions by.
     // Binning and interleave are pure BIGINT arithmetic, so the oracle
     // replays every key bit-exactly; the file-skip win the layout buys is
@@ -4943,6 +4959,7 @@ object SparkEntry {
     "q_recorder_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_partition_pruning" -> "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
     "q_compact_roundtrip" -> "SELECT c_custkey, c_name, c_nationkey FROM customer",
+    "q_swap_roundtrip" -> "SELECT c_custkey, c_name, c_nationkey FROM customer",
     // zval mirror: same BIGINT binning, interleave unrolled as 16 shift-or
     // terms (out bit i*2+j = bit i of dim j; dim order custkey, cents)
     "q_zorder" -> {

@@ -188,6 +188,50 @@ object Sinks {
      else w).parquet(path)
   }
 
+  /** Atomic-swap parquet rewrite — the safe way to write an index-delta
+    * result BACK over the live directory it was read from (the
+    * [[graft.streaming.Streams.compactIndex]] device, generalized to any
+    * parquet dir): materialize to `<dir>.next`, then two renames swap it
+    * in, so no reader ever sees a half-written directory and a crash at
+    * ANY point leaves either the old data or a completed `.next` that the
+    * next call finishes first (stranded-swap recovery). The in-place
+    * alternative — `mode("overwrite")` onto `dir` — deletes the input
+    * BEFORE the job that reads it finishes planning, and a failure
+    * mid-write loses the index outright.
+    *
+    * The only residual window is the microseconds between the two
+    * renames, during which a CONCURRENT reader's file listing can miss
+    * the dir — the single-writer cadence (or the one-shot listing retry,
+    * [[graft.streaming.Streams]]' readIndex recipe) covers it. The four
+    * stored-index families' delta functions ([[graft.similarity.Pq
+    * .indexCodesDelta]], `Sq.indexCodesDelta`, `Search.lexIndexDelta`,
+    * [[graft.similarity.MaxSim.indexMatsDelta]]) all say "the caller
+    * writes the result back" — this is the writer they mean.
+    *
+    * NOTE: the maintained frame READS from `dir`, so it must be fully
+    * materialized before `dir` can move — the write to `.next` does that;
+    * the renames run after the job completes.
+    */
+  def swapWrite(df: DataFrame, dir: String,
+                partitionCols: Seq[String] = Nil): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val d = new Path(dir)
+    val next = new Path(dir + ".next")
+    val old = new Path(dir + ".old")
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recovery: a stranded swap from a crashed earlier run finishes first
+    if (!fs.exists(d) && fs.exists(next)) fs.rename(next, d)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(next)) fs.delete(next, true)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(next.toString)
+    if (fs.exists(d)) fs.rename(d, old)
+    fs.rename(next, d)
+    fs.delete(old, true)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * `ceil(bytes / targetBytes)` files at `outDir`. Streaming ingest and
     * per-batch appends accrete thousands of KB-sized files; at scale the

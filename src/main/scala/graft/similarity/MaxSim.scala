@@ -380,8 +380,10 @@ object MaxSim {
     * re-gathering the maintained membership from scratch under the same
     * model (gather, pooling, and routing are deterministic projections of
     * the token rows), the identity q_maxsim_index_delta's oracle checks.
-    * The caller writes the result back (`partitionBy("cell")`) or appends
-    * just the admitted slice. `retiredIds` retires STORED rows only;
+    * The caller writes the result back
+    * ([[graft.operators.Sinks.swapWrite]] with `partitionBy("cell")` —
+    * the atomic-swap writer; an in-place overwrite would delete the input
+    * under the job reading it) or appends just the admitted slice. `retiredIds` retires STORED rows only;
     * admitted rows always enter — so retire + admit in one call replaces
     * a changed document (the [[graft.dedup.Dedup.indexDelta]] snapshotDiff
     * contract: retired = removed ∪ changed, admitted = added ∪ changed).

@@ -315,7 +315,8 @@ object Pq {
     * deterministic per-row projection), which is the maintenance identity
     * q_ann_index_delta's oracle checks. Same contract as
     * [[graft.dedup.Dedup.indexDelta]]: the caller writes the result back
-    * (partitionBy("cell")) or appends just the admitted slice, and
+    * ([[graft.operators.Sinks.swapWrite]] with partitionBy("cell") — the
+    * atomic-swap writer) or appends just the admitted slice, and
     * `retiredIds` retires STORED rows only while admitted rows always
     * enter — retire + admit in one call replaces a changed document
     * (retired = removed ∪ changed, admitted = added ∪ changed).

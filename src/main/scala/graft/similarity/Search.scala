@@ -374,7 +374,10 @@ object Search {
     * touched only for the delta. `retiredIds` retires STORED rows only;
     * admitted docs always enter — retire + admit in one call replaces a
     * changed document (the [[graft.dedup.Dedup.indexDelta]] snapshotDiff
-    * contract).
+    * contract). Write each frame back via
+    * [[graft.operators.Sinks.swapWrite]] (postings with
+    * partitionBy("bucket")) — the atomic-swap writer; an in-place
+    * overwrite would delete the postings under the job reading them.
     */
   def lexIndexDelta(admitted: DataFrame, idCol: String, textCol: String,
                     dir: String, retiredIds: DataFrame):

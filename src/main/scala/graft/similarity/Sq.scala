@@ -241,7 +241,10 @@ object Sq {
     * SATURATE — the documented frozen-scale delta contract), return the
     * maintained (id, cell, codes) set — row-identical to re-encoding the
     * maintained membership from scratch under the same model, the
-    * identity q_sq_index_delta's oracle checks.
+    * identity q_sq_index_delta's oracle checks. Retire + admit in one
+    * call replaces a changed vector (the Dedup.indexDelta contract); the
+    * caller writes the result back via
+    * [[graft.operators.Sinks.swapWrite]] (partitionBy("cell")).
     */
   def indexCodesDelta(admitted: DataFrame, idCol: String, vecCol: String,
                       dir: String, retiredIds: DataFrame): DataFrame = {

@@ -181,4 +181,43 @@ class LayoutSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("knobs LAST"))
   }
+
+  test("swapWrite: first write, read-then-rewrite over the live dir, " +
+       "partition layout preserved, stranded swaps recovered") {
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files.createTempDirectory("swapw").toString
+    val dir = s"$base/idx"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rows = spark.read.parquet(dir)
+      .select(col("id"), col("v"), col("cell").cast("long").as("cell"))
+      .as[(Long, String, Long)].collect().toSet
+    val df1 = (0L until 20L).map(i => (i, s"v$i", i % 4)).toDF("id", "v", "cell")
+    // first write: no dir yet — swapWrite must create it
+    Sinks.swapWrite(df1, dir, Seq("cell"))
+    assert(rows == df1.as[(Long, String, Long)].collect().toSet)
+    assert(fs.exists(new Path(s"$dir/cell=0")), "partition layout lost")
+    // the maintenance loop: a frame READING from dir writes back over it
+    // (the in-place overwrite this exists to replace would delete the
+    // input under the running job)
+    val maintained = spark.read.parquet(dir)
+      .filter(col("id") =!= 3L)
+      .select(col("id"), concat(col("v"), lit("'")) .as("v"), col("cell"))
+    Sinks.swapWrite(maintained, dir, Seq("cell"))
+    assert(rows.map(_._1) == (0L until 20L).toSet - 3L)
+    assert(rows.forall(_._2.endsWith("'")), "rewrite lost the projection")
+    // stranded swap (crash between the two renames): dir missing, .next
+    // complete — the next call finishes the swap FIRST, so the recovered
+    // content is what .next held before the new write lands
+    fs.rename(new Path(dir), new Path(s"$dir.next"))
+    val df3 = Seq((100L, "fresh", 0L)).toDF("id", "v", "cell")
+    Sinks.swapWrite(df3, dir, Seq("cell"))
+    assert(rows == Set((100L, "fresh", 0L)))
+    // stale .next beside a live dir (crash BEFORE the first rename) is
+    // discarded, not swapped in
+    val df4 = Seq((200L, "live", 1L)).toDF("id", "v", "cell")
+    df4.write.partitionBy("cell").parquet(s"$dir.next")
+    Sinks.swapWrite(df3, dir, Seq("cell"))
+    assert(rows == Set((100L, "fresh", 0L)),
+      "a stale .next from a pre-swap crash leaked into the index")
+  }
 }
