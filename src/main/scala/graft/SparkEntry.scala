@@ -969,6 +969,30 @@ object SparkEntry {
         Ops.corpusShuffle(T(s, dir, "documents").select("doc_id", "text"),
           "doc_id", seed = 7L, numShards = 8),
         "shard", "doc_id", "text")),
+    // STREAMING manifest twin: count, char-sum, and xor are all MERGEABLE
+    // (that mergeability is the digest's design point — it's why an
+    // export's manifest is order/parallelism-independent), so the
+    // complete-mode streaming aggregate over the sharded corpus drained
+    // as a file stream converges to the batch manifest EXACTLY at the
+    // final micro-batch — shares q_manifest's oracle
+    "q_stream_manifest" -> ((s, dir) => withStreamShuffle(s) {
+      val sharded = Ops.corpusShuffle(
+        T(s, dir, "documents").select("doc_id", "text"), "doc_id",
+        seed = 7L, numShards = 8).select("shard", "doc_id", "text")
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_man").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      sharded.repartition(4).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+        format = "parquet", schemaDdl = Some(sharded.schema.toDDL),
+        maxFilesPerTrigger = 1)
+      val manifest = Ops.shardManifest(stream, "shard", "doc_id", "text")
+      val q = graft.streaming.Streams.toForeachBatch(manifest, ckpt,
+        availableNow = true, outputMode = "complete") { (batch, _) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      q.awaitTermination()
+      s.read.parquet(outDir)
+    }),
 
     // ---- file-format round trips (A1/A2): write → read back → oracle vs
     // the source parquet, so header/quoting/type-inference mangling fails ----
@@ -3548,6 +3572,23 @@ object SparkEntry {
       |FROM asg a JOIN stats s USING (id)
       |WHERE a.id % 13 <> 0 OR a.id % 10 = 0""".stripMargin
 
+  /** Replay of q_manifest / q_stream_manifest: the corpus_shuffle shard
+    * derivation, then per-shard count / char sum / bit_xor of the 60-bit
+    * md5 prefix over id ∥ chr(1) ∥ text. The streaming twin converges to
+    * the same table because all three measures are mergeable.
+    */
+  private val manifestOracle: String =
+    """WITH k AS (SELECT doc_id, text,
+      |  md5('7|' || CAST(doc_id AS VARCHAR)) AS key FROM documents),
+      |s AS (SELECT doc_id, text,
+      |  ('0x' || substring(key, 1, 15))::BIGINT % 8 AS shard FROM k),
+      |h AS (SELECT shard, length(text) AS len,
+      |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || chr(1) || text), 1, 15))::BIGINT AS h
+      |  FROM s)
+      |SELECT shard, COUNT(*) AS n_rows, CAST(SUM(len) AS BIGINT) AS n_chars,
+      |       bit_xor(h) AS content_xor
+      |FROM h GROUP BY shard""".stripMargin
+
   /** DuckDB replay of the JL projection top-k (q_jl_topk): the ±1 sign
     * matrix rebuilt from the md5-parity recipe (`Jl.signMatrix` seed=42,
     * 16×64), projection as `list_dot_product` + `CAST(… AS REAL)` (≡
@@ -4983,18 +5024,10 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos
         |FROM s""".stripMargin,
     // manifest: same shard derivation, then per-shard count / char sum /
-    // bit_xor of the 60-bit md5 prefix over id || chr(1) || text
-    "q_manifest" ->
-      """WITH k AS (SELECT doc_id, text,
-        |  md5('7|' || CAST(doc_id AS VARCHAR)) AS key FROM documents),
-        |s AS (SELECT doc_id, text,
-        |  ('0x' || substring(key, 1, 15))::BIGINT % 8 AS shard FROM k),
-        |h AS (SELECT shard, length(text) AS len,
-        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || chr(1) || text), 1, 15))::BIGINT AS h
-        |  FROM s)
-        |SELECT shard, COUNT(*) AS n_rows, CAST(SUM(len) AS BIGINT) AS n_chars,
-        |       bit_xor(h) AS content_xor
-        |FROM h GROUP BY shard""".stripMargin,
+    // bit_xor of the 60-bit md5 prefix over id || chr(1) || text; the
+    // streaming twin converges to the same table (mergeable measures)
+    "q_stream_manifest" -> manifestOracle,
+    "q_manifest" -> manifestOracle,
     "q_jdbc_query" ->
       """SELECT o_custkey, COUNT(*) AS n_big, MAX(o_totalprice) AS max_price
         |FROM orders WHERE o_totalprice > 200000.0 GROUP BY o_custkey""".stripMargin,
