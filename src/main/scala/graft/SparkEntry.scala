@@ -237,6 +237,22 @@ object SparkEntry {
   // queries — one per SURVEY §2 row
   // ---------------------------------------------------------------------
 
+  /** The shared lexical retrieval leg of both hybrid queries
+    * (q_rrf_hybrid, q_hybrid_rerank): BM25 top-10 on the fixed term set,
+    * ranked (score DESC, id ASC) under query_id 0 — ONE spelling, because
+    * both queries' bit-parity with the shared bm25CtesSql oracle hangs on
+    * this exact ranking (the maxSimCol single-sourcing rule).
+    */
+  private def lexTopKRanked(docs: DataFrame): DataFrame =
+    Search.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "vector", "customer"), k = 10)
+      .select(lit(0L).as("query_id"), col("id"), col("score"))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("id").asc)).cast(LongType))
+      .select("query_id", "id", "rank")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- sources (A4/A5/A6) ----
     "q_counter" -> ((s, _) => Sources.counter(s, 0, 1000)),
@@ -1559,18 +1575,11 @@ object SparkEntry {
     // 1e6 div (60 + rank) BIGINTs, so the fused ranking replays in SQL.
     "q_rrf_hybrid" -> ((s, dir) => {
       val docs = T(s, dir, "documents"); val emb = T(s, dir, "embeddings")
-      val lex = Search.bm25TopK(docs, "doc_id", "text",
-          Seq("spark", "vector", "customer"), k = 10)
-        .select(lit(0L).as("query_id"), col("id"), col("score"))
-      val lexRanked = lex.withColumn("rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("id").asc)).cast(LongType))
       val dense = graft.similarity.Ann
         .bruteForceTopK(emb.filter(col("vec_id") === 0), emb,
           "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
-      Search.rrfFuse(Seq(lexRanked.select("query_id", "id", "rank"), dense),
+      Search.rrfFuse(Seq(lexTopKRanked(docs), dense),
           "query_id", "id", "rank", topK = 10)
         .select(col("id").as("doc_id"), col("rrf_ppm"), col("rank"))
     }),
@@ -1588,19 +1597,11 @@ object SparkEntry {
       val toks = emb.select(expr("vec_id DIV 5").as("id"),
         expr("vec_id % 5").as("pos"), col("embedding"))
       val qToks = toks.filter(col("id") === 0)
-      val lex = Search.bm25TopK(docs, "doc_id", "text",
-          Seq("spark", "vector", "customer"), k = 10)
-        .select(lit(0L).as("query_id"), col("id"), col("score"))
-      val lexRanked = lex.withColumn("rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("id").asc)).cast(LongType))
-        .select("query_id", "id", "rank")
       val dense = graft.similarity.MaxSim.pooledTopK(toks, qToks,
           "id", "pos", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
-      val fused = Search.rrfFuse(Seq(lexRanked, dense), "query_id", "id",
-        "rank", topK = 10)
+      val fused = Search.rrfFuse(Seq(lexTopKRanked(docs), dense),
+        "query_id", "id", "rank", topK = 10)
       graft.similarity.MaxSim.rerank(
         fused.select(col("query_id"), col("id").as("neighbor_id")),
         toks, qToks, "id", "pos", "embedding", k = 5)

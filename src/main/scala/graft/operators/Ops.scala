@@ -251,16 +251,24 @@ object Ops {
     * between two rows changes the digest even though both strings
     * survive. Scale: one scan + one shard-keyed exchange of fixed-width
     * partials (count/sum/xor all combine map-side); the manifest itself
-    * is shard-count-sized.
+    * is shard-count-sized. A null id or text COUNTS in `n_rows` but
+    * contributes nothing to the digest or char sum (null propagates
+    * through the hash on both engines) — assert non-null upstream if
+    * nulls should fail the export instead.
     */
   def shardManifest(df: DataFrame, shardCol: String, idCol: String,
                     textCol: String): DataFrame =
     df.select(col(shardCol),
         length(col(textCol)).cast(LongType).as("__len"),
         // U+0001 separator: without one, (id=1, "2x") and (id=12, "x")
-        // would hash identically (DuckDB replays it as chr(1))
-        conv(substring(md5(concat_ws("\u0001",
-          col(idCol).cast(StringType), col(textCol))), 1, 15), 16, 10)
+        // would hash identically (DuckDB replays it as chr(1)). concat,
+        // NOT concat_ws: concat_ws SKIPS nulls (a null-text row would
+        // hash as md5(id) alone, diverging from the oracle's
+        // null-propagating `||`); with concat a null id/text row COUNTS
+        // in n_rows but contributes nothing to the digest or char sum —
+        // identically on both engines
+        conv(substring(md5(concat(col(idCol).cast(StringType),
+          lit("\u0001"), col(textCol))), 1, 15), 16, 10)
           .cast(LongType).as("__h"))
       .groupBy(shardCol)
       .agg(count(lit(1)).as("n_rows"), sum(col("__len")).as("n_chars"),

@@ -216,20 +216,33 @@ object Sinks {
                 partitionCols: Seq[String] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
+    // siblings derive from the NORMALIZED path (Path strips trailing
+    // slashes): raw `dir + ".next"` on "/data/idx/" would put .next
+    // INSIDE the live directory and the swap would silently no-op
     val d = new Path(dir)
-    val next = new Path(dir + ".next")
-    val old = new Path(dir + ".old")
+    val next = new Path(d.getParent, d.getName + ".next")
+    val old = new Path(d.getParent, d.getName + ".old")
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // every rename/delete result is CHECKED: Hadoop FileSystem signals
+    // most failures by returning false, not throwing — an unchecked
+    // false here would return "success" with the live dir still holding
+    // old data and the only copy of the update stranded in .next, which
+    // the NEXT call's cleanup would then delete
+    def renameOrDie(from: Path, to: Path): Unit =
+      require(fs.rename(from, to), s"swapWrite: rename $from -> $to failed")
+    def deleteOrDie(p: Path): Unit =
+      require(!fs.exists(p) || fs.delete(p, true),
+        s"swapWrite: delete $p failed")
     // recovery: a stranded swap from a crashed earlier run finishes first
-    if (!fs.exists(d) && fs.exists(next)) fs.rename(next, d)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(next)) fs.delete(next, true)
+    if (!fs.exists(d) && fs.exists(next)) renameOrDie(next, d)
+    deleteOrDie(old)
+    deleteOrDie(next)
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(next.toString)
-    if (fs.exists(d)) fs.rename(d, old)
-    fs.rename(next, d)
-    fs.delete(old, true)
+    if (fs.exists(d)) renameOrDie(d, old)
+    renameOrDie(next, d)
+    deleteOrDie(old)
   }
 
   /** Small-file compaction: rewrite a parquet directory into

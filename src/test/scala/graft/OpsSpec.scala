@@ -606,5 +606,19 @@ class OpsSpec extends SparkSpec {
         .otherwise(col("text")))
     assert(manifest(crossed) != base,
       "an id↔text crosswire slipped past the manifest digest")
+    // a null text COUNTS in n_rows but contributes nothing to the digest
+    // or char sum (concat propagates null; concat_ws would silently hash
+    // the id alone and diverge from the null-propagating SQL oracle)
+    val withNull = sharded.withColumn("text",
+      when(col("id") === 5L, lit(null: String)).otherwise(col("text")))
+    val mn = manifest(withNull)
+    val nullShard = sharded.filter(col("id") === 5L)
+      .select("shard").as[Long].head()
+    val expect = manifest(sharded.filter(col("id") =!= 5L)).map {
+      case (s, n, c, x) if s == nullShard => (s, n + 1, c, x)
+      case t => t
+    }
+    assert(mn == expect,
+      "a null-text row must count rows but stay out of digest/chars")
   }
 }
