@@ -786,6 +786,30 @@ object SparkEntry {
           T(s, dir, "events").select(col("user_id"), expr("ts_ns div 1000").as("ts_us")),
           Seq("user_id"), "ts_us", gap = 600000000L)
         .select("user_id", "session_id", "session_start", "session_end", "n_events")),
+    // DIALOGUE-PACK flagship: the conversation-data training-prep flow in
+    // one query — gap-sessionize the event stream (sessionTag keeps the
+    // member rows), assemble each session's events into one time-ordered
+    // "dialogue" string (ties break on the utterance text), then pack the
+    // dialogues into fixed-token-budget training sequences (packByBudget
+    // over (user_id, session_id) order). Every stage is deterministic
+    // integer/string work, so the whole flow replays in SQL.
+    "q_dialogue_pack" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(col("user_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+      val tagged = Ops.sessionTag(ev, Seq("user_id"), "ts_us",
+        gap = 600000000L)
+      val dialogues = tagged.groupBy("user_id", "session_id")
+        .agg(array_join(transform(
+            sort_array(collect_list(struct(col("ts_us"), col("event_type")))),
+            x => x.getField("event_type")), " ").as("dialogue"),
+          count(lit(1)).as("n_tokens"))
+      // per-user packing: each user's sessions fill that user's context
+      // windows in session order — the exchange stays keyed (a global
+      // pack would funnel every dialogue through one window task)
+      Ops.packByBudget(dialogues, Seq("user_id"), Seq("session_id"),
+          "n_tokens", budget = 50L)
+        .select("user_id", "session_id", "dialogue", "n_tokens", "bin_id")
+    }),
     "q_sessionize_state" -> ((s, dir) => {
       import s.implicits._
       val ev = T(s, dir, "events")
@@ -5040,6 +5064,26 @@ object SparkEntry {
         | JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
     "q_text_roundtrip" -> "SELECT text AS value FROM documents",
     "q_sessionize" -> sessionizeOracle,
+    // the dialogue flow: sessionize replay (shared spelling with
+    // sessionizeOracle), time-ordered string_agg per session, then the
+    // q_pack cumulative-sum binning per user
+    "q_dialogue_pack" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |d AS (SELECT user_id, ts_us, event_type,
+        |      CASE WHEN lag(ts_us) OVER w IS NULL
+        |                OR ts_us - lag(ts_us) OVER w > 600000000 THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (SELECT user_id, ts_us, event_type,
+        |      SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM d),
+        |g AS (SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+        |      string_agg(event_type, ' ' ORDER BY ts_us, event_type) AS dialogue,
+        |      COUNT(*) AS n_tokens
+        |      FROM s GROUP BY user_id, sid)
+        |SELECT user_id, session_id, dialogue, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY user_id ORDER BY session_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 50 AS BIGINT) AS bin_id
+        |FROM g""".stripMargin,
     "q_stream_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
         |d AS (SELECT user_id, ts_us,

@@ -1298,15 +1298,29 @@ object Ops {
     * Equal timestamps land in one session regardless of intra-key order, so
     * the result is deterministic without a total order on events.
     */
-  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String, gap: Long): DataFrame = {
+  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String, gap: Long): DataFrame =
+    sessionTag(df, keys, tsCol, gap)
+      .groupBy((keys :+ "session_id").map(col): _*)
+      .agg(min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+
+  /** Session-id tagging WITHOUT the rollup: every input row back, plus
+    * the `session_id` its (keys, ts) gap-partition assigns — the first
+    * half of [[sessionize]] (which is now its rollup, so the two can
+    * never drift), exposed for flows that need a session's MEMBER rows:
+    * dialogue assembly (q_dialogue_pack concatenates each session's
+    * events in time order), per-session transforms, session-scoped
+    * dedup. Same shuffle shape as sessionize — one exchange on `keys`
+    * shared by both windows.
+    */
+  def sessionTag(df: DataFrame, keys: Seq[String], tsCol: String,
+                 gap: Long): DataFrame = {
     val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
     val prev = lag(col(tsCol), 1).over(byKey)
     val brk = when(prev.isNull || col(tsCol) - prev > gap, 1L).otherwise(0L)
     df.withColumn("__brk", brk)
       .withColumn("session_id",
         sum(col("__brk")).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy((keys :+ "session_id").map(col): _*)
-      .agg(min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"),
-        count(lit(1)).as("n_events"))
+      .drop("__brk")
   }
 }

@@ -175,7 +175,7 @@ object ConfigPipeline {
     "pack", "pagerank", "parquet", "pca_rotate", "percentiles",
     "quality_classifier",
     "repetition", "rrf_fuse", "sample", "sample_per_group", "script_stats",
-    "select", "sessionize",
+    "select", "session_tag", "sessionize",
     "snapshot_diff", "soft_dedup", "span_dedup", "span_dedup_clean", "split",
     "sq_index_delta", "sq_index_probe",
     "substring_dedup", "substring_dedup_clean",
@@ -640,6 +640,11 @@ object ConfigPipeline {
           knob("id").asText(), knob("text").asText()))
       case "sessionize" =>
         p.stage(name, from)(graft.operators.Ops.sessionize(_, strs(knob("keys")),
+          knob("ts").asText(), knob("gap").asLong()))
+      // sessionize's member-row half: every input row back + session_id
+      // (dialogue assembly / per-session transforms)
+      case "session_tag" =>
+        p.stage(name, from)(graft.operators.Ops.sessionTag(_, strs(knob("keys")),
           knob("ts").asText(), knob("gap").asLong()))
       case "pack" =>
         p.stage(name, from)(graft.operators.Ops.packByBudget(_, strs(knob("keys")),
