@@ -48,6 +48,19 @@ object ScaleBench {
     emb.crossJoin(reps)
       .withColumn("vec_id", col("vec_id") + col("__r") * maxVec).drop("__r")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // events replicate RAW (spark.read, not Tables.events — the loader
+    // adds normalized ts columns that would change the stored schema),
+    // salting BOTH ids so each replica is its own user population:
+    // per-user session shapes are preserved and the sessionize family
+    // grows by users, not by per-user event depth
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val maxUser = ev.agg(max("user_id")).head().getLong(0) + 1L
+    val maxEv = ev.agg(max("event_id")).head().getLong(0) + 1L
+    ev.crossJoin(reps)
+      .withColumn("user_id", col("user_id") + col("__r") * maxUser)
+      .withColumn("event_id", col("event_id") + col("__r") * maxEv)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }
 
@@ -145,7 +158,12 @@ object ScaleBench {
           "q_hybrid_rerank",
           // r10 G60: one scan + one shard-keyed exchange of fixed-width
           // (count, sum, xor) partials — growth should be the scan's
-          "q_manifest"))
+          "q_manifest",
+          // r10 dialogue flagship: user-keyed windows end to end (the
+          // salted replication grows the USER population, so per-user
+          // session/window depth is constant) — growth should track the
+          // event scan + the one user-keyed exchange
+          "q_dialogue_pack"))
         time(q, dir) { SparkEntry.queries(q)(spark, dir) }
       time("neardup_composed", dir) { neardupComposed(spark, dir) }
       // G45/G46 decades: brute margin mining is O(|A|·|B|) BY DESIGN —
