@@ -30,8 +30,9 @@ object ScaleBench {
       .withColumn("doc_id", col("doc_id") + col("__r") * maxDoc).drop("__r")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val orders = Tables.load(spark, base, "orders")
-    val maxOrd = orders.agg(max("o_orderkey")).head().getLong(0) + 1L
-    val maxCust = orders.agg(max("o_custkey")).head().getLong(0) + 1L
+    val ordMax = orders.agg(max("o_orderkey"), max("o_custkey")).head()
+    val maxOrd = ordMax.getLong(0) + 1L
+    val maxCust = ordMax.getLong(1) + 1L
     // salt BOTH keys: each replica is its own customer population, so
     // per-customer chain lengths (the kb/pagerank graph shape) are
     // preserved and the graph grows by components, not by depth
@@ -52,10 +53,17 @@ object ScaleBench {
     // adds normalized ts columns that would change the stored schema),
     // salting BOTH ids so each replica is its own user population:
     // per-user session shapes are preserved and the sessionize family
-    // grows by users, not by per-user event depth
+    // grows by users, not by per-user event depth. The raw read needs
+    // the same NANOS escape hatch Tables.events sets — some testdata
+    // generations ship TIMESTAMP(NANOS), which the reader rejects
+    // outright without it (the replica then round-trips as LongType ts,
+    // the case Tables.events already normalizes)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$base/events.parquet")
-    val maxUser = ev.agg(max("user_id")).head().getLong(0) + 1L
-    val maxEv = ev.agg(max("event_id")).head().getLong(0) + 1L
+    // one scan for both maxima, not one aggregate job per key
+    val evMax = ev.agg(max("user_id"), max("event_id")).head()
+    val maxUser = evMax.getLong(0) + 1L
+    val maxEv = evMax.getLong(1) + 1L
     ev.crossJoin(reps)
       .withColumn("user_id", col("user_id") + col("__r") * maxUser)
       .withColumn("event_id", col("event_id") + col("__r") * maxEv)

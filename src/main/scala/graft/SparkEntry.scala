@@ -794,8 +794,12 @@ object SparkEntry {
     // over (user_id, session_id) order). Every stage is deterministic
     // integer/string work, so the whole flow replays in SQL.
     "q_dialogue_pack" -> ((s, dir) => {
+      // null utterances filter out BEFORE tagging (matching the oracle's
+      // WHERE): an ALL-null session would otherwise diverge — Spark's
+      // array_join yields "" where DuckDB's string_agg yields NULL
       val ev = T(s, dir, "events").select(col("user_id"),
         expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+        .filter(col("event_type").isNotNull)
       val tagged = Ops.sessionTag(ev, Seq("user_id"), "ts_us",
         gap = 600000000L)
       val dialogues = tagged.groupBy("user_id", "session_id")
@@ -3679,18 +3683,30 @@ object SparkEntry {
     * is never timestamp-tied with its predecessor (break needs diff > gap >
     * 0), so the cumulative-sum session ids are deterministic under ties.
     */
+  /** The gap-sessionization CTE prefix (e → lag/brk → running-sum sid)
+    * shared by sessionizeOracle, the q_stream_sessions oracle (Spark's
+    * `session_window` closes at `>=` gap where sessionize breaks at `>`
+    * — the comparator is the ONE sanctioned difference, passed in), and
+    * the q_dialogue_pack oracle (which carries event_type through and
+    * filters null utterances) — one spelling of the chain, so a gap or
+    * brk edit cannot silently fork one replay from its siblings.
+    */
+  private def sessionCtesSql(cmp: String, extraCols: String = "",
+                             eWhere: String = ""): String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us$extraCols FROM events$eWhere),
+       |d AS (SELECT user_id, ts_us$extraCols,
+       |      CASE WHEN lag(ts_us) OVER w IS NULL
+       |                OR ts_us - lag(ts_us) OVER w $cmp 600000000 THEN 1 ELSE 0 END AS brk
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+       |s AS (SELECT user_id, ts_us$extraCols,
+       |      SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
+       |      FROM d)""".stripMargin
+
   private val sessionizeOracle: String =
-    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
-      |d AS (SELECT user_id, ts_us,
-      |      CASE WHEN lag(ts_us) OVER w IS NULL
-      |                OR ts_us - lag(ts_us) OVER w > 600000000 THEN 1 ELSE 0 END AS brk
-      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
-      |s AS (SELECT user_id, ts_us,
-      |      SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
-      |      FROM d)
-      |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
-      | MIN(ts_us) AS session_start, MAX(ts_us) AS session_end, COUNT(*) AS n_events
-      |FROM s GROUP BY user_id, sid""".stripMargin
+    s"""${sessionCtesSql(">")}
+       |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       | MIN(ts_us) AS session_start, MAX(ts_us) AS session_end, COUNT(*) AS n_events
+       |FROM s GROUP BY user_id, sid""".stripMargin
 
   /** Exhaustive shingle-Jaccard at a given tau — oracles both the bucket
     * (q_jaccard) and prefix-filtered (q_jaccard_prefix) implementations,
@@ -5064,38 +5080,26 @@ object SparkEntry {
         | JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
     "q_text_roundtrip" -> "SELECT text AS value FROM documents",
     "q_sessionize" -> sessionizeOracle,
-    // the dialogue flow: sessionize replay (shared spelling with
-    // sessionizeOracle), time-ordered string_agg per session, then the
-    // q_pack cumulative-sum binning per user
+    // the dialogue flow: the SHARED sessionize CTE prefix (event_type
+    // carried through, null utterances filtered on both engines),
+    // time-ordered string_agg per session, then the q_pack
+    // cumulative-sum binning per user
     "q_dialogue_pack" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
-        |d AS (SELECT user_id, ts_us, event_type,
-        |      CASE WHEN lag(ts_us) OVER w IS NULL
-        |                OR ts_us - lag(ts_us) OVER w > 600000000 THEN 1 ELSE 0 END AS brk
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
-        |s AS (SELECT user_id, ts_us, event_type,
-        |      SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
-        |      FROM d),
-        |g AS (SELECT user_id, CAST(sid AS BIGINT) AS session_id,
-        |      string_agg(event_type, ' ' ORDER BY ts_us, event_type) AS dialogue,
-        |      COUNT(*) AS n_tokens
-        |      FROM s GROUP BY user_id, sid)
-        |SELECT user_id, session_id, dialogue, n_tokens,
-        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY user_id ORDER BY session_id
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 50 AS BIGINT) AS bin_id
-        |FROM g""".stripMargin,
+      s"""${sessionCtesSql(">", ", event_type",
+            " WHERE event_type IS NOT NULL")},
+         |g AS (SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+         |      string_agg(event_type, ' ' ORDER BY ts_us, event_type) AS dialogue,
+         |      COUNT(*) AS n_tokens
+         |      FROM s GROUP BY user_id, sid)
+         |SELECT user_id, session_id, dialogue, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY user_id ORDER BY session_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 50 AS BIGINT) AS bin_id
+         |FROM g""".stripMargin,
     "q_stream_sessions" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
-        |d AS (SELECT user_id, ts_us,
-        |      CASE WHEN lag(ts_us) OVER w IS NULL
-        |                OR ts_us - lag(ts_us) OVER w >= 600000000 THEN 1 ELSE 0 END AS brk
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
-        |s AS (SELECT user_id, ts_us,
-        |      SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
-        |      FROM d)
-        |SELECT user_id, MIN(ts_us) AS s_us, MAX(ts_us) + 600000000 AS e_us,
-        | COUNT(*) AS n_events
-        |FROM s GROUP BY user_id, sid""".stripMargin,
+      s"""${sessionCtesSql(">=")}
+         |SELECT user_id, MIN(ts_us) AS s_us, MAX(ts_us) + 600000000 AS e_us,
+         | COUNT(*) AS n_events
+         |FROM s GROUP BY user_id, sid""".stripMargin,
     "q_sessionize_state" -> sessionizeOracle,
     "q_jdbc_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_mtl" ->

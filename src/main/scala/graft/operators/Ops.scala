@@ -251,10 +251,12 @@ object Ops {
     * between two rows changes the digest even though both strings
     * survive. Scale: one scan + one shard-keyed exchange of fixed-width
     * partials (count/sum/xor all combine map-side); the manifest itself
-    * is shard-count-sized. A null id or text COUNTS in `n_rows` but
-    * contributes nothing to the digest or char sum (null propagates
-    * through the hash on both engines) — assert non-null upstream if
-    * nulls should fail the export instead.
+    * is shard-count-sized. Null handling (identical on both engines): a
+    * null id or text keeps the row in `n_rows` and contributes NOTHING
+    * to the digest (null propagates through the hash); `n_chars` skips
+    * the row only when TEXT is null — a null id with non-null text still
+    * counts its characters. Assert non-null upstream if nulls should
+    * fail the export instead.
     */
   def shardManifest(df: DataFrame, shardCol: String, idCol: String,
                     textCol: String): DataFrame =

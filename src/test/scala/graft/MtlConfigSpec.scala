@@ -1079,9 +1079,21 @@ class MtlConfigSpec extends SparkSpec {
          | {"name": "us", "op": "withColumn", "from": "ev",
          |  "col": "ts_us", "expr": "ts_ns div 1000"},
          | {"name": "sess", "op": "sessionize", "from": "us", "keys": ["user_id"],
+         |  "ts": "ts_us", "gap": 600000000},
+         | {"name": "tag", "op": "session_tag", "from": "us", "keys": ["user_id"],
          |  "ts": "ts_us", "gap": 600000000}
-         |]}""".stripMargin).output("sess")
-    assert(sess.count() > 0 && sess.columns.contains("session_start"))
+         |]}""".stripMargin)
+    val rolled = sess.output("sess")
+    assert(rolled.count() > 0 && rolled.columns.contains("session_start"))
+    // session_tag is sessionize's member-row half: every input row back,
+    // and its rollup reproduces sessionize exactly
+    val tagged = sess.output("tag")
+    assert(tagged.count() == graft.sources.Tables.load(spark, sfDir, "events").count())
+    val reRolled = tagged.groupBy("user_id", "session_id")
+      .agg(min(col("ts_us")).as("session_start"),
+        max(col("ts_us")).as("session_end"),
+        count(lit(1)).as("n_events"))
+    assert(reRolled.except(rolled).isEmpty && rolled.except(reRolled).isEmpty)
   }
 
   test("ConfigPipeline reaches the r5 curation ops from config") {

@@ -620,5 +620,18 @@ class OpsSpec extends SparkSpec {
     }
     assert(mn == expect,
       "a null-text row must count rows but stay out of digest/chars")
+    // a null ID with non-null text: out of the digest (hash propagates
+    // null) but its characters DO count — n_chars depends on text alone
+    val idNull = sharded.withColumn("id",
+      when(col("id") === 5L, lit(null: java.lang.Long)).otherwise(col("id")))
+    val mi = Ops.shardManifest(idNull, "shard", "id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val expectI = manifest(sharded.filter(col("id") =!= 5L)).map {
+      case (s, n, c, x) if s == nullShard =>
+        (s, n + 1, c + "doc body 5".length, x)
+      case t => t
+    }
+    assert(mi == expectI,
+      "a null-id row must keep its chars in n_chars but stay out of the digest")
   }
 }
