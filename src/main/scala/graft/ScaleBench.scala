@@ -58,17 +58,27 @@ object ScaleBench {
     // generations ship TIMESTAMP(NANOS), which the reader rejects
     // outright without it (the replica then round-trips as LongType ts,
     // the case Tables.events already normalizes)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$base/events.parquet")
-    // one scan for both maxima, not one aggregate job per key
-    val evMax = ev.agg(max("user_id"), max("event_id")).head()
-    val maxUser = evMax.getLong(0) + 1L
-    val maxEv = evMax.getLong(1) + 1L
-    ev.crossJoin(reps)
-      .withColumn("user_id", col("user_id") + col("__r") * maxUser)
-      .withColumn("event_id", col("event_id") + col("__r") * maxEv)
-      .drop("__r")
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // the escape hatch is SCOPED to this replication read (save/restore):
+    // session-wide it would leak legacy nanos-as-long semantics into every
+    // later parquet read of the same driver run
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val nanosPrev = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    try {
+      val ev = spark.read.parquet(s"$base/events.parquet")
+      // one scan for both maxima, not one aggregate job per key
+      val evMax = ev.agg(max("user_id"), max("event_id")).head()
+      val maxUser = evMax.getLong(0) + 1L
+      val maxEv = evMax.getLong(1) + 1L
+      ev.crossJoin(reps)
+        .withColumn("user_id", col("user_id") + col("__r") * maxUser)
+        .withColumn("event_id", col("event_id") + col("__r") * maxEv)
+        .drop("__r")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    } finally nanosPrev match {
+      case Some(v) => spark.conf.set(nanosKey, v)
+      case None    => spark.conf.unset(nanosKey)
+    }
     dir
   }
 

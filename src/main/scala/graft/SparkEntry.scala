@@ -4484,8 +4484,8 @@ object SparkEntry {
       s"""WITH h AS (SELECT doc_id, $htmlExprSql AS html FROM documents)
          |SELECT doc_id,
          | CAST(len(regexp_extract_all(html, '(?s)<[^>]+>')) AS BIGINT) AS n_tags,
-         | CAST(len(regexp_extract_all(html, '(?is)<a[ \\t\\n>]')) AS BIGINT) AS n_links,
-         | CAST(len(regexp_extract_all(html, '(?is)<script[ \\t\\n>]')) AS BIGINT) AS n_scripts,
+         | CAST(len(regexp_extract_all(html, '(?is)<a[ \\t\\n\\r\\f>]')) AS BIGINT) AS n_links,
+         | CAST(len(regexp_extract_all(html, '(?is)<script[ \\t\\n\\r\\f>]')) AS BIGINT) AS n_scripts,
          | CAST(length($htmlCleanSql) AS DOUBLE) / CAST(greatest(length(html), 1) AS DOUBLE) AS text_frac
          |FROM h""".stripMargin,
     // per-term scores quantize to DECIMAL(18,6) before the per-doc sum:

@@ -391,9 +391,9 @@ object Text {
   def htmlStats(html: Column): Seq[Column] = Seq(
     size(regexp_extract_all(html, lit("(?s)<[^>]+>"), lit(0))).cast(LongType)
       .as("n_tags"),
-    size(regexp_extract_all(html, lit("(?is)<a[ \t\n>]"), lit(0))).cast(LongType)
+    size(regexp_extract_all(html, lit("(?is)<a[ \t\n\r\f>]"), lit(0))).cast(LongType)
       .as("n_links"),
-    size(regexp_extract_all(html, lit("(?is)<script[ \t\n>]"), lit(0))).cast(LongType)
+    size(regexp_extract_all(html, lit("(?is)<script[ \t\n\r\f>]"), lit(0))).cast(LongType)
       .as("n_scripts"),
     length(htmlToText(html)).cast(DoubleType) /
       greatest(length(html), lit(1)).cast(DoubleType) as "text_frac")

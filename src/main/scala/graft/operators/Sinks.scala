@@ -193,8 +193,10 @@ object Sinks {
     * [[graft.streaming.Streams.compactIndex]] device, generalized to any
     * parquet dir): materialize to `<dir>.next`, then two renames swap it
     * in, so no reader ever sees a half-written directory and a crash at
-    * ANY point leaves either the old data or a completed `.next` that the
-    * next call finishes first (stranded-swap recovery). The in-place
+    * ANY point leaves either the old data or a completed `.next` (marked
+    * `_SWAP_READY` once its write job finishes) that [[recoverSwap]] —
+    * the restart step, run before delta frames are built — promotes, so
+    * completed-but-unswapped deltas are kept rather than redone. The in-place
     * alternative — `mode("overwrite")` onto `dir` — deletes the input
     * BEFORE the job that reads it finishes planning, and a failure
     * mid-write loses the index outright.
@@ -234,15 +236,75 @@ object Sinks {
       require(!fs.exists(p) || fs.delete(p, true),
         s"swapWrite: delete $p failed")
     // recovery: a stranded swap from a crashed earlier run finishes first
+    // when the live dir is GONE (the between-renames crash window — a
+    // .next beside a missing live dir is always a completed write, since
+    // the write job runs while the live dir still exists). A completed
+    // .next BESIDE a live dir (crash after the write job, before the
+    // first rename — the _SWAP_READY marker distinguishes it from a
+    // mid-write carcass) is NOT promoted here: the caller's input frame
+    // was already constructed against the live dir, and Spark file
+    // indexes list eagerly — renaming the live dir away now would fail
+    // that frame's tasks on deleted files mid-job. [[recoverSwap]],
+    // run BEFORE delta frames are built, is the path that promotes it;
+    // reaching this line without it means the caller recomputed the same
+    // deterministic delta against the unchanged live generation, so
+    // discarding the stranded copy costs the redo but never correctness.
     if (!fs.exists(d) && fs.exists(next)) renameOrDie(next, d)
+    deleteOrDie(markerPath(d))
     deleteOrDie(old)
     deleteOrDie(next)
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(next.toString)
+    // the marker commits the write: from here on, recovery PROMOTES this
+    // .next instead of redoing the delta (an underscore file — the
+    // _SUCCESS convention — so parquet readers never see it)
+    fs.create(markerPath(next), true).close()
     if (fs.exists(d)) renameOrDie(d, old)
     renameOrDie(next, d)
+    deleteOrDie(markerPath(d))
     deleteOrDie(old)
+  }
+
+  /** The `_SWAP_READY` marker a completed-but-unswapped `<dir>.next`
+    * carries (written by [[swapWrite]] after its write job finishes,
+    * removed once the swap lands).
+    */
+  private def markerPath(p: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(p, "_SWAP_READY")
+
+  /** Finish a [[swapWrite]] interrupted by a crash — the RESTART step a
+    * maintenance loop runs BEFORE constructing its delta frames. Promotes
+    * a completed `<dir>.next` (live dir missing, or `_SWAP_READY` marker
+    * present) so the previous run's finished delta is kept instead of
+    * silently redone; leaves a mid-write carcass for [[swapWrite]]'s own
+    * cleanup. Returns true when a stranded swap was promoted.
+    *
+    * Ordering matters: promoting moves the live directory, so frames
+    * already listed against it would fail on deleted files — which is why
+    * [[swapWrite]] itself cannot do this once the caller's inputs exist.
+    */
+  def recoverSwap(spark: SparkSession, dir: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val d = new Path(dir)
+    val next = new Path(d.getParent, d.getName + ".next")
+    val old = new Path(d.getParent, d.getName + ".old")
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def renameOrDie(from: Path, to: Path): Unit =
+      require(fs.rename(from, to), s"recoverSwap: rename $from -> $to failed")
+    def deleteOrDie(p: Path): Unit =
+      require(!fs.exists(p) || fs.delete(p, true),
+        s"recoverSwap: delete $p failed")
+    val stranded = fs.exists(next) &&
+      (!fs.exists(d) || fs.exists(markerPath(next)))
+    if (stranded) {
+      deleteOrDie(old)
+      if (fs.exists(d)) renameOrDie(d, old)
+      renameOrDie(next, d)
+      deleteOrDie(markerPath(d))
+      deleteOrDie(old)
+    }
+    stranded
   }
 
   /** Small-file compaction: rewrite a parquet directory into

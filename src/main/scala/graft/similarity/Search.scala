@@ -187,9 +187,16 @@ object Search {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
     require(topK > 0, s"topK must be positive, got $topK")
     require(k0 >= 0, s"k0 must be non-negative, got $k0")
+    // each list contributes AT MOST ONCE per (query, id): a duplicate row
+    // inside one input list (e.g. a retriever that emits a candidate under
+    // two ranks) keeps only its best rank — max contribution — instead of
+    // double-counting into the fused sum. The per-list max rides the same
+    // partial-agg shuffle shape as the fusion sum (top-k-sized inputs), so
+    // the guard costs one map-side combine per list, never a corpus scan.
     val contribs = lists.map(_.select(
-      col(queryCol).as("__q"), col(idCol).as("__id"),
-      expr(s"1000000L div (${k0}L + CAST(`$rankCol` AS BIGINT))").as("__c")))
+        col(queryCol).as("__q"), col(idCol).as("__id"),
+        expr(s"1000000L div (${k0}L + CAST(`$rankCol` AS BIGINT))").as("__c"))
+      .groupBy("__q", "__id").agg(max(col("__c")).as("__c")))
     val fused = contribs.reduce(_.unionByName(_))
       .groupBy("__q", "__id").agg(sum(col("__c")).as("rrf_ppm"))
     import org.apache.spark.sql.expressions.Window

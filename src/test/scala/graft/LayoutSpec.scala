@@ -219,5 +219,48 @@ class LayoutSpec extends SparkSpec {
     Sinks.swapWrite(df3, dir, Seq("cell"))
     assert(rows == Set((100L, "fresh", 0L)),
       "a stale .next from a pre-swap crash leaked into the index")
+    // no _SWAP_READY marker survives in the live dir after a clean swap
+    assert(!fs.exists(new Path(s"$dir/_SWAP_READY")),
+      "marker leaked into the live directory")
+  }
+
+  test("recoverSwap: completed .next promoted at restart, mid-write " +
+       "carcass left alone, between-renames window finished") {
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files.createTempDirectory("swapr").toString
+    val dir = s"$base/idx"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rows = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    Seq((1L, "gen0")).toDF("id", "v").write.parquet(dir)
+    // crash AFTER the .next write job, BEFORE the first rename: the
+    // marker marks it complete — recoverSwap (the restart step, before
+    // any delta frame is built) promotes it instead of redoing the delta
+    Seq((2L, "gen1")).toDF("id", "v").write.parquet(s"$dir.next")
+    fs.create(new Path(s"$dir.next/_SWAP_READY"), true).close()
+    assert(Sinks.recoverSwap(spark, dir), "completed .next not promoted")
+    assert(rows == Set((2L, "gen1")))
+    assert(!fs.exists(new Path(s"$dir.next")) &&
+      !fs.exists(new Path(s"$dir/_SWAP_READY")))
+    // mid-write carcass (no marker, live dir present): NOT promoted —
+    // swapWrite's own cleanup owns it
+    Seq((9L, "junk")).toDF("id", "v").write.parquet(s"$dir.next")
+    assert(!Sinks.recoverSwap(spark, dir), "promoted a mid-write carcass")
+    assert(rows == Set((2L, "gen1")) && fs.exists(new Path(s"$dir.next")))
+    fs.delete(new Path(s"$dir.next"), true)
+    // between-renames crash window: live dir gone, .next complete (the
+    // marker travelled with the directory through rename d -> old)
+    fs.rename(new Path(dir), new Path(s"$dir.next"))
+    assert(Sinks.recoverSwap(spark, dir), "window swap not finished")
+    assert(rows == Set((2L, "gen1")))
+    // restart cadence end-to-end: recover first, THEN build the delta
+    // frame, then swapWrite — the maintained generation is gen1's
+    Seq((3L, "gen2")).toDF("id", "v").write.parquet(s"$dir.next")
+    fs.create(new Path(s"$dir.next/_SWAP_READY"), true).close()
+    Sinks.recoverSwap(spark, dir)
+    val delta = spark.read.parquet(dir)
+      .select(col("id") + 10L as "id", col("v"))
+    Sinks.swapWrite(delta, dir)
+    assert(rows == Set((13L, "gen2")),
+      "delta did not build on the recovered generation")
   }
 }
