@@ -355,7 +355,7 @@ object MaxSim {
     // the probed-cell union across the batch: ≤ nlist ids, a bounded
     // collect that becomes a partition-pruning predicate on the layout
     val cells = probed.select("cell").distinct().collect().map(_.getString(0))
-    val mats = spark.read.parquet(s"$dir/mats")
+    val mats = graft.streaming.Streams.readIndex(spark, s"$dir/mats", recursive = false)
       .filter(col("cell").isin(cells.toSeq: _*))
     val screened = mats.select(col("id").as("neighbor_id"), col("pool"), col("cell"))
       .join(broadcast(probed), Seq("cell"))
@@ -394,7 +394,7 @@ object MaxSim {
     val spark = admitted.sparkSession
     val (cents, scale) = readModel(spark, dir)
     val retire = graft.dedup.Dedup.retiredIdFrame(retiredIds)
-    val kept = spark.read.parquet(s"$dir/mats")
+    val kept = graft.streaming.Streams.readIndex(spark, s"$dir/mats", recursive = false)
       .join(broadcast(retire), Seq("id"), "left_anti")
       .select("id", "cell", "mat", "pool")
     // retire applies to STORED rows only — retire + admit = single-call

@@ -300,7 +300,7 @@ object Pq {
     // a bounded collect that turns routing into a partition-pruning
     // predicate on the cell-partitioned layout
     val cells = probed.select("cell").distinct().collect().map(_.getString(0))
-    val codes = spark.read.parquet(s"$dir/codes")
+    val codes = graft.streaming.Streams.readIndex(spark, s"$dir/codes", recursive = false)
       .filter(col("cell").isin(cells.toSeq: _*))
     val scored = codes.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("id"))
@@ -328,7 +328,7 @@ object Pq {
     val spark = admitted.sparkSession
     val (cents, cbs, rot) = readModel(spark, dir)
     val retire = graft.dedup.Dedup.retiredIdFrame(retiredIds)
-    val kept = spark.read.parquet(s"$dir/codes")
+    val kept = graft.streaming.Streams.readIndex(spark, s"$dir/codes", recursive = false)
       .join(broadcast(retire), Seq("id"), "left_anti")
       .select("id", "cell", "codes")
     // a stored rotation applies to the DELTA too — frozen-model encoding

@@ -315,10 +315,10 @@ object Search {
                     queryTerms: Seq[String], k: Int,
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val st = spark.read.parquet(s"$dir/stats").head()
+    val st = graft.streaming.Streams.readIndex(spark, s"$dir/stats", recursive = false).head()
     val (n, sumdl, buckets) = (st.getLong(0), st.getLong(1), st.getInt(2))
     val bks = queryTerms.map(t => Ann.md5Prefix60(t) % buckets).distinct
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = graft.streaming.Streams.readIndex(spark, s"$dir/postings", recursive = false)
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(queryTerms: _*))
       .select("id", "dl", "term", "tf")
@@ -345,13 +345,13 @@ object Search {
                         queries: DataFrame, queryCol: String, termCol: String,
                         k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val st = spark.read.parquet(s"$dir/stats").head()
+    val st = graft.streaming.Streams.readIndex(spark, s"$dir/stats", recursive = false).head()
     val (n, sumdl, buckets) = (st.getLong(0), st.getLong(1), st.getInt(2))
     val q = queries.select(col(queryCol).as("query_id"), col(termCol).as("term"))
       .distinct()
     val bks = q.select(termBucket(col("term"), buckets).as("b"))
       .distinct().collect().map(_.getLong(0)) // bounded: <= buckets values
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = graft.streaming.Streams.readIndex(spark, s"$dir/postings", recursive = false)
       .filter(col("bucket").isin(bks.toSeq: _*))
       .join(q.select("term").distinct(), Seq("term"), "left_semi")
       .select("id", "dl", "term", "tf")
@@ -390,9 +390,9 @@ object Search {
                     dir: String, retiredIds: DataFrame):
       (DataFrame, DataFrame, DataFrame) = {
     val spark = admitted.sparkSession
-    val buckets = spark.read.parquet(s"$dir/stats").head().getInt(2)
+    val buckets = graft.streaming.Streams.readIndex(spark, s"$dir/stats", recursive = false).head().getInt(2)
     val retire = graft.dedup.Dedup.retiredIdFrame(retiredIds)
-    val keptPosts = spark.read.parquet(s"$dir/postings")
+    val keptPosts = graft.streaming.Streams.readIndex(spark, s"$dir/postings", recursive = false)
       .join(broadcast(retire), Seq("id"), "left_anti")
       // partition-column inference reads bucket back as INT; the fresh
       // side computes LONG — align before the union
@@ -413,7 +413,7 @@ object Search {
       .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
       .withColumn("bucket", termBucket(col("term"), buckets))
     val posts = keptPosts.unionByName(freshPosts)
-    val doclens = spark.read.parquet(s"$dir/doclens")
+    val doclens = graft.streaming.Streams.readIndex(spark, s"$dir/doclens", recursive = false)
       .join(broadcast(retire), Seq("id"), "left_anti")
       .unionByName(toks.select(col("id"), size(col("__tk")).cast(LongType).as("dl")))
     val stats = doclens.agg(count(lit(1)).as("n"),

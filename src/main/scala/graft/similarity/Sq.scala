@@ -225,7 +225,7 @@ object Sq {
       .withColumn("cell", Ann.probeCells(cents, col("__v"), nprobe))
       .select("query_id", "__qv", "cell")
     val cells = probed.select("cell").distinct().collect().map(_.getString(0))
-    val codes = spark.read.parquet(s"$dir/codes")
+    val codes = graft.streaming.Streams.readIndex(spark, s"$dir/codes", recursive = false)
       .filter(col("cell").isin(cells.toSeq: _*))
     val scored = codes.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("id"))
@@ -251,7 +251,7 @@ object Sq {
     val spark = admitted.sparkSession
     val (cents, s) = readModel(spark, dir)
     val retire = graft.dedup.Dedup.retiredIdFrame(retiredIds)
-    val kept = spark.read.parquet(s"$dir/codes")
+    val kept = graft.streaming.Streams.readIndex(spark, s"$dir/codes", recursive = false)
       .join(broadcast(retire), Seq("id"), "left_anti")
       .select("id", "cell", "codes")
     val celled = admitted.select(col(idCol), col(vecCol),

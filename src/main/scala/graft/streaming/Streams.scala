@@ -825,7 +825,8 @@ object Streams {
     */
   def readIndex(spark: SparkSession, indexDir: String,
                 emptySchema: Option[org.apache.spark.sql.types.StructType] = None,
-                onRetry: () => Unit = () => Thread.sleep(200L)): DataFrame = {
+                onRetry: () => Unit = () => Thread.sleep(200L),
+                recursive: Boolean = true): DataFrame = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(indexDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -837,7 +838,14 @@ object Streams {
         // and bare parquet() would throw 'Unable to infer schema' on every
         // restart, crash-looping a stream that readIndex's bootstrap
         // contract says should see an EMPTY index
-        val r = spark.read.option("recursiveFileLookup", "true")
+        //
+        // recursive = false is the BATCH stored-index shape ([[Pq]]/[[Sq]]/
+        // [[MaxSim]]/Search probes): those layouts are hive-partitioned
+        // (cell=… / bucket=… directories), and recursiveFileLookup DISABLES
+        // partition inference — the probes' partition-pruning filters need
+        // the partition column discovered
+        val r0 = spark.read
+        val r = if (recursive) r0.option("recursiveFileLookup", "true") else r0
         Some(emptySchema.fold(r)(sc => r.schema(sc)).parquet(indexDir))
       } else None
     attempt().orElse { onRetry(); attempt() }.getOrElse {

@@ -263,4 +263,27 @@ class LayoutSpec extends SparkSpec {
     assert(rows == Set((13L, "gen2")),
       "delta did not build on the recovered generation")
   }
+
+  test("readIndex(recursive=false): hive partition column inferred, and a " +
+       "probe issued inside swapWrite's rename window retries through it") {
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files.createTempDirectory("swapri").toString
+    val dir = s"$base/codes"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df = (0L until 12L).map(i => (i, i % 3)).toDF("id", "cell")
+    Sinks.swapWrite(df, dir, Seq("cell"))
+    // the batch stored-index probes (Pq/Sq/MaxSim/Search) read through
+    // this shape: partition inference ON (recursiveFileLookup would drop
+    // the cell column their pruning filters need)
+    val flat = graft.streaming.Streams.readIndex(spark, dir, recursive = false)
+    assert(flat.columns.contains("cell"), "partition column lost")
+    assert(flat.filter(col("cell") === 1).count() == 4)
+    // concurrent swapWrite's between-renames window: the dir is missing
+    // for the first listing; the retry (here: the swap completing) finds it
+    fs.rename(new Path(dir), new Path(s"$dir.next"))
+    val probed = graft.streaming.Streams.readIndex(spark, dir,
+      onRetry = () => { fs.rename(new Path(s"$dir.next"), new Path(dir)); () },
+      recursive = false)
+    assert(probed.count() == 12 && probed.columns.contains("cell"))
+  }
 }
