@@ -2131,7 +2131,8 @@ object SparkEntry {
       val cbs = graft.similarity.Pq.trainCodebooks(emb, "vec_id", "embedding",
         dim = 64, m = 2, k = 4, rounds = 2)
       graft.similarity.Pq.ivfAdcTopK(emb.filter(col("vec_id") < 8), emb,
-          "vec_id", "embedding", cbs, topK = 3, nlist = 8, nprobe = 8)
+          "vec_id", "embedding", cbs, topK = 3, nlist = 8, nprobe = 8,
+          trained = true)
         .select("query_id", "rank", "neighbor_id", "adc2")
     }),
     // ADC shortlist + exact re-rank (the production recall lever): search
@@ -2158,8 +2159,12 @@ object SparkEntry {
     "q_ann_index_probe" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val idx = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+      // trained = true: the k-means coarse quantizer is the production
+      // routing path (balanced cells on real distributions); at
+      // nprobe = nlist the probe result is centroid-independent, so the
+      // store/load identity oracle is unchanged
       graft.similarity.Pq.writeIndex(emb, "vec_id", "embedding",
-        dim = 64, m = 2, k = 4, dir = idx, nlist = 8)
+        dim = 64, m = 2, k = 4, dir = idx, nlist = 8, trained = true)
       graft.similarity.Pq.probeIndex(emb.filter(col("vec_id") < 8),
           "vec_id", "embedding", idx, topK = 3, nprobe = 8)
         .select("query_id", "rank", "neighbor_id", "adc2")
@@ -2478,7 +2483,7 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       val base = java.nio.file.Files.createTempDirectory("graft_sqidx_p").toString
       graft.similarity.Sq.writeIndex(emb, "vec_id", "embedding",
-        dim = 64, dir = base, nlist = 16)
+        dim = 64, dir = base, nlist = 16, trained = true)
       graft.similarity.Sq.probeIndex(emb.filter(col("vec_id") < 8),
         "vec_id", "embedding", base, topK = 3, nprobe = 16)
     }),
@@ -2547,7 +2552,7 @@ object SparkEntry {
         expr("vec_id % 5").as("pos"), col("embedding"))
       val idx = java.nio.file.Files.createTempDirectory("graft_msidx").toString
       graft.similarity.MaxSim.writeIndex(toks, "id", "pos", "embedding",
-        idx, nlist = 8)
+        idx, nlist = 8, trained = true)
       graft.similarity.MaxSim.probeIndex(toks.filter(col("id") % 20 === 0),
         "id", "pos", "embedding", idx, k = 3, nprobe = 8, mShort = 8)
     }),

@@ -109,7 +109,7 @@ object Ann {
     * drifting apart would silently desync whichever family kept the
     * stale recipe from its oracle.
     */
-  private[similarity] def md5Prefix60(key: String): Long = {
+  private[graft] def md5Prefix60(key: String): Long = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8"))
     val hex = digest.map(b => f"$b%02x").mkString
@@ -136,6 +136,124 @@ object Ann {
     require(cents.nonEmpty, "empty corpus")
     cents
   }
+
+  /** TRAINED coarse-quantizer centroids: deterministic k-means
+    * ([[Clustering.lloydCentroids]] — md5-order seeding, exact integral
+    * sums) over an md5 hash-mod sample of the corpus, returned in the
+    * [[coarseCentroids]] shape. On near-isotropic synthetic embeddings the
+    * md5-order document pick is indistinguishable from a trained
+    * quantizer, but on REAL embedding distributions (clustered,
+    * anisotropic) random-document centroids produce badly unbalanced
+    * cells — one hot cell holds most of the corpus and the stored-index
+    * partition-pruning story silently degrades toward a full scan; FAISS
+    * k-means-trains coarse quantizers for exactly this reason.
+    * plans/ANN.md r11 measures cell balance and recall@k on clustered
+    * (non-isotropic) synthetic data for both paths.
+    *
+    *  - Seeding is farthest-point (Gonzalez) over an md5-order CANDIDATE
+    *    set of `8 · nlist` corpus vectors, run on the driver (config-table
+    *    sized — the FAISS train-on-a-sample economics): md5-order seeds
+    *    alone routinely land two in one cluster, and Lloyd can never
+    *    split them apart while another true cluster goes unseeded —
+    *    farthest-point guarantees one seed per well-separated cluster
+    *    before Lloyd refines the means;
+    *  - `rounds` Lloyd passes (2 by default — seed, assign, update),
+    *    each one corpus-sample scan + a k·dim-row driver collect;
+    *  - `sampleMod` trains on the deterministic 1/sampleMod md5 slice of
+    *    the corpus (production corpora train on a sample; the assignment
+    *    pass always covers every row);
+    *  - duplicate-heavy candidates or empty Lloyd clusters can leave
+    *    fewer than `nlist` centroids: missing slots refill with md5-order
+    *    corpus picks so the caller's `nlist` is the cell count actually
+    *    stored — probe `require(nprobe <= nlist)` contracts and
+    *    plans/ANN.md's pruned-fraction math depend on it. A refill
+    *    duplicating a trained mean is harmless: assignment tie-breaks to
+    *    the lower cell id and the loser stays empty.
+    *
+    * Ids are `t%05d` by cluster index — disjoint from the md5-hex ids of
+    * the untrained pick and string-sort-stable, so stored models remain
+    * self-describing about which path built them.
+    */
+  private[graft] def trainedCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, nlist: Int,
+      rounds: Int = 2, sampleMod: Int = 1,
+      scale: Double = 1048576.0): Seq[(String, Seq[Float])] = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val base = corpus.select(col(idCol).as("__tid"), col(vecCol).as("__tv"))
+    val sample =
+      if (sampleMod == 1) base
+      else base.filter(
+        pmod(conv(substring(md5(col("__tid").cast(StringType)), 1, 15), 16, 10)
+          .cast(LongType), lit(sampleMod.toLong)) === 0)
+    val q = sample.select(col("__tid").as("id"),
+      Clustering.quantize(col("__tv"), scale).as("qv"))
+    val trained = trainCentroidsQ(q, nlist, rounds)
+      .map(_.map(_ / scale).map(_.toFloat).toSeq) // quantized units → raw
+    val full =
+      if (trained.size >= nlist) trained.take(nlist)
+      else trained ++
+        coarseCentroids(corpus, idCol, vecCol, nlist - trained.size).map(_._2)
+    full.zipWithIndex.map { case (v, i) => (f"t$i%05d", v) }
+  }
+
+  /** The shared quantized-space trainer behind [[trainedCentroids]] and
+    * [[MaxSim.writeIndex]]'s pooled-vector path: Gonzalez farthest-point
+    * seeding over an md5-order candidate set, then
+    * [[Clustering.lloydRounds]]. Input `q` is an (id, qv) frame whose
+    * vectors are already in the space the centroids should live in
+    * (quantized embeddings, or integral pooled sums at scale 1); output
+    * means stay in that space and may number FEWER than `nlist`
+    * (duplicate-saturated candidates, empty Lloyd clusters) — callers pad.
+    */
+  private[similarity] def trainCentroidsQ(q: DataFrame, nlist: Int,
+                                          rounds: Int): Seq[Array[Double]] = {
+    // candidate set: 8·nlist vectors in md5-order (deterministic), driver-
+    // collected — config-table sized, the scale contract of every centroid
+    // device in this file
+    val cand = q
+      .withColumn("__h", md5(col("id").cast(StringType)))
+      .orderBy(col("__h"), col("id")).limit(8 * nlist)
+      .select(col("qv")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(cand.nonEmpty, "empty corpus")
+    // Gonzalez farthest-point over the candidates (driver-side O((8k)²·d)):
+    // start from the smallest-md5 candidate, repeatedly take the candidate
+    // farthest from the picked set (ties → lowest candidate index); stop
+    // early when the farthest remaining distance is 0 — every candidate
+    // then coincides with a seed
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val seeds = scala.collection.mutable.ArrayBuffer(cand(0))
+    val minD = Array.fill(cand.length)(Double.MaxValue)
+    var covered = false
+    while (seeds.size < nlist && !covered) {
+      var best = -1; var bestD = -1.0
+      var i = 0
+      while (i < cand.length) {
+        minD(i) = math.min(minD(i), d2(cand(i), seeds.last))
+        if (minD(i) > bestD) { bestD = minD(i); best = i }
+        i += 1
+      }
+      if (bestD == 0.0) covered = true else seeds += cand(best)
+    }
+    Clustering.lloydRounds(q, seeds.toSeq.zipWithIndex.map(_.swap), rounds)
+      .map(_._2)
+  }
+
+  /** The build-time centroid switch shared by every IVF family:
+    * md5-order document pick (`trained = false` — zero extra jobs) or
+    * [[trainedCentroids]] k-means (`trained = true` — the real-
+    * distribution cell-balance path).
+    */
+  private[graft] def centroidsFor(
+      corpus: DataFrame, idCol: String, vecCol: String, nlist: Int,
+      trained: Boolean): Seq[(String, Seq[Float])] =
+    if (trained) trainedCentroids(corpus, idCol, vecCol, nlist)
+    else coarseCentroids(corpus, idCol, vecCol, nlist)
 
   /** The centroid set as the native [[org.apache.spark.sql.graftglue
     * .ProbeCells]] expression — ONE reference object holding the whole
@@ -195,8 +313,9 @@ object Ann {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nlist: Int = 64, nprobe: Int = 8): DataFrame = {
-    val cents = coarseCentroids(corpus, idCol, vecCol, nlist)
+              nlist: Int = 64, nprobe: Int = 8,
+              trained: Boolean = false): DataFrame = {
+    val cents = centroidsFor(corpus, idCol, vecCol, nlist, trained)
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("c_norm", Vectors.fnorm(col("c_vec")))

@@ -103,13 +103,28 @@ object Clustering {
     require(k > 0, s"k must be positive, got $k")
     require(rounds > 0, s"rounds must be positive, got $rounds")
     val q = df.select(col(idCol).as("id"), quantize(col(vecCol), scale).as("qv"))
-    var cents: Seq[(Int, Array[Double])] = q
+    val seeds: Seq[(Int, Array[Double])] = q
       .withColumn("__h", md5(col("id").cast(StringType)))
       .orderBy(col("__h"), col("id"))
       .limit(k)
       .select(col("qv")).collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }.toSeq
+    lloydRounds(q, seeds, rounds)
+  }
+
+  /** The Lloyd update loop over an already-quantized (id, qv) frame and an
+    * explicit seed set — the shared engine behind [[lloydCentroids]]'s
+    * md5-order seeding (the oracled q_kmeans/q_semdedup recipe, which must
+    * stay bit-identical) and [[Ann.trainedCentroids]]'s farthest-point
+    * seeding (the coarse-quantizer training path, where md5-order seeds
+    * can land two in one cluster and Lloyd can never escape it). Each of
+    * the `rounds - 1` updates is one (cluster, position) partial-sum
+    * shuffle; only k·dim (sum, count) rows reach the driver.
+    */
+  private[similarity] def lloydRounds(q: DataFrame,
+      seeds: Seq[(Int, Array[Double])], rounds: Int): Seq[(Int, Array[Double])] = {
+    var cents = seeds
     for (_ <- 1 until rounds) {
       val sums = withCluster(q, "qv", cents, scale = 1.0)
         .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))

@@ -276,7 +276,7 @@ object MaxSim {
     */
   def writeIndex(docVecs: DataFrame, idCol: String, posCol: String,
                  vecCol: String, dir: String, nlist: Int = 8,
-                 scale: Double = 65536.0): Unit = {
+                 scale: Double = 65536.0, trained: Boolean = false): Unit = {
     import graft.Caching.TrackedSyntax
     val spark = docVecs.sparkSession
     import spark.implicits._
@@ -290,12 +290,30 @@ object MaxSim {
       .withColumn("pool", pooledCol(col("mat")))
       .filter(col("pool").isNotNull)
       .trackedPersist()
-    val centRows = d
-      .select(md5(col("id").cast(StringType)).as("cent_id"), col("pool"))
-      .orderBy("cent_id").limit(nlist).collect()
-    require(centRows.nonEmpty, "empty corpus")
-    val cents = centRows.toIndexedSeq
-      .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
+    def picked(n: Int): IndexedSeq[(String, Array[Double])] = {
+      val centRows = d
+        .select(md5(col("id").cast(StringType)).as("cent_id"), col("pool"))
+        .orderBy("cent_id").limit(n).collect()
+      require(centRows.nonEmpty, "empty corpus")
+      centRows.toIndexedSeq
+        .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
+    }
+    // trained = true: k-means the POOLED vectors ([[Ann.trainedCentroids]]'s
+    // rationale — balanced cells under real, clustered distributions; same
+    // Gonzalez-seeded trainer). Pools are already exact integral doubles,
+    // so training runs directly in the routing space (no re-quantization);
+    // empty-cluster slots refill from the md5-order pick (duplicates are
+    // harmless — lower cell id wins ties, the loser stays empty).
+    val cents: IndexedSeq[(String, Array[Double])] =
+      if (!trained) picked(nlist)
+      else {
+        val means = Ann.trainCentroidsQ(
+          d.select(col("id"), col("pool").as("qv")), nlist, rounds = 2)
+        val full =
+          if (means.size >= nlist) means.take(nlist)
+          else means ++ picked(nlist - means.size).map(_._2)
+        full.toIndexedSeq.zipWithIndex.map { case (v, i) => (f"t$i%05d", v) }
+      }
     Seq((cents.size, scale)).toDF("nlist", "scale")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/model/meta")
     cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cent_id", "cent_vec")

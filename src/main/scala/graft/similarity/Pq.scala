@@ -218,7 +218,8 @@ object Pq {
                  dim: Int, m: Int, k: Int, dir: String,
                  nlist: Int = 64, rounds: Int = 2,
                  scale: Double = 1048576.0,
-                 rotation: Option[Array[Array[Double]]] = None): Unit = {
+                 rotation: Option[Array[Array[Double]]] = None,
+                 trained: Boolean = false): Unit = {
     import graft.functions.Vectors
     val spark = corpus.sparkSession
     // rotate ONCE in the corpus projection; training, cell assignment and
@@ -226,7 +227,7 @@ object Pq {
     val corpusR = rotation.fold(corpus)(r =>
       Pca.rotateAll(corpus.select(col(idCol), col(vecCol)), vecCol, r))
     val cbs = trainCodebooks(corpusR, idCol, vecCol, dim, m, k, rounds, scale)
-    val cents = Ann.coarseCentroids(corpusR, idCol, vecCol, nlist)
+    val cents = Ann.centroidsFor(corpusR, idCol, vecCol, nlist, trained)
     import spark.implicits._
     cents.map { case (cid, cv) => (cid, cv) }.toDF("cent_id", "cent_vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/model/coarse")
@@ -351,12 +352,13 @@ object Pq {
   def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                  vecCol: String, codebooks: Seq[Seq[(Int, Array[Double])]],
                  topK: Int, nlist: Int = 64, nprobe: Int = 8,
-                 scale: Double = 1048576.0): DataFrame = {
+                 scale: Double = 1048576.0,
+                 trained: Boolean = false): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist,
       s"nprobe ($nprobe) must be in [1, nlist=$nlist]")
     import graft.functions.Vectors
     val m = codebooks.length
-    val cents = Ann.coarseCentroids(corpus, idCol, vecCol, nlist)
+    val cents = Ann.centroidsFor(corpus, idCol, vecCol, nlist, trained)
     // cell + codes in ONE corpus projection (no second scan, no shuffle)
     val celled = corpus.select(col(idCol), col(vecCol),
       Ann.nearestCell(cents, col(vecCol)).as("__cell"))

@@ -129,10 +129,11 @@ object Sq {
     */
   def ivfSqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, s: Scales, topK: Int,
-                nlist: Int = 64, nprobe: Int = 8): DataFrame = {
+                nlist: Int = 64, nprobe: Int = 8,
+                trained: Boolean = false): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist,
       s"nprobe ($nprobe) must be in [1, nlist=$nlist]")
-    val cents = Ann.coarseCentroids(corpus, idCol, vecCol, nlist)
+    val cents = Ann.centroidsFor(corpus, idCol, vecCol, nlist, trained)
     val celled = corpus.select(col(idCol), col(vecCol),
       Ann.nearestCell(cents, col(vecCol)).as("__cell"))
     val codes = encode(celled, idCol, vecCol, s, carry = Seq("__cell"))
@@ -175,10 +176,11 @@ object Sq {
     */
   def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
                  dim: Int, dir: String, nlist: Int = 64,
-                 scale: Double = 65536.0): Unit = {
+                 scale: Double = 65536.0,
+                 trained: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val s = trainScales(corpus, vecCol, dim, scale)
-    val cents = Ann.coarseCentroids(corpus, idCol, vecCol, nlist)
+    val cents = Ann.centroidsFor(corpus, idCol, vecCol, nlist, trained)
     import spark.implicits._
     s.lo.indices.map(i => (i, s.lo(i), s.width(i), s.scale)).toDF(
         "pos", "lo", "width", "qscale")

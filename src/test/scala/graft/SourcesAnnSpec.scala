@@ -545,6 +545,55 @@ class SourcesAnnSpec extends SparkSpec {
     assert(maintained == rebuilt && maintained.size == 18)
   }
 
+  test("trained coarse quantizer: probe identity unchanged, exactly nlist " +
+       "cells (pad path), balanced cells on clustered data") {
+    import graft.similarity.{Ann, Pq}
+    // 4 well-separated clusters of 16 points each — the regime where the
+    // md5-order document pick lands multiple centroids in one cluster and
+    // leaves other clusters to pile into someone else's cell
+    val pts = (0 until 64).map { i =>
+      val c = i % 4
+      val v = Array.fill(8)(0.001f * (i % 7))
+      v(c * 2) = 10.0f + 0.01f * (i / 4)
+      (i.toLong, v)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val trained = Ann.trainedCentroids(df, "vec_id", "embedding", nlist = 4)
+    assert(trained.map(_._1) == Seq("t00000", "t00001", "t00002", "t00003"))
+    def cellCounts(cents: Seq[(String, Seq[Float])]): Map[String, Long] =
+      df.select(Ann.nearestCell(cents, col("embedding")).as("cell"))
+        .groupBy("cell").count().as[(String, Long)].collect().toMap
+    val tc = cellCounts(trained)
+    val uc = cellCounts(Ann.coarseCentroids(df, "vec_id", "embedding", 4))
+    // k-means finds the 4 true clusters exactly (deterministic seeding on
+    // fixed data); the doc-pick path is whatever md5-order luck gives it
+    assert(tc.values.toSeq.sorted == Seq(16L, 16L, 16L, 16L),
+      s"trained cells unbalanced: $tc (untrained: $uc)")
+    assert(tc.values.max <= uc.values.max,
+      "training made cell balance worse than the md5-order pick")
+    // probe identity: at nprobe = nlist the stored-index probe result is
+    // centroid-independent — trained and untrained builds agree
+    def probeAll(trainedFlag: Boolean): Seq[(Long, Long, Long, Double)] = {
+      val dir = java.nio.file.Files.createTempDirectory("pqtrained").toString
+      Pq.writeIndex(df, "vec_id", "embedding", dim = 8, m = 2, k = 2,
+        dir = dir, nlist = 4, trained = trainedFlag)
+      Pq.probeIndex(df.filter($"vec_id" < 2), "vec_id", "embedding",
+          dir, topK = 5, nprobe = 4)
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    }
+    assert(probeAll(trainedFlag = true) == probeAll(trainedFlag = false))
+    // pad path: more cells than distinct training survivors — empty-cluster
+    // slots refill with md5-order picks so nlist is honored exactly
+    val tiny = Seq((0L, Array.fill(8)(1.0f)), (1L, Array.fill(8)(-1.0f)),
+      (2L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val padded = Ann.trainedCentroids(tiny, "vec_id", "embedding", nlist = 5)
+    assert(padded.size == 5 && padded.map(_._1).distinct.size == 5)
+    // deterministic hash-mod sampling still yields a full centroid set
+    val sampled = Ann.trainedCentroids(df, "vec_id", "embedding", nlist = 4,
+      sampleMod = 4)
+    assert(sampled.size == 4)
+  }
+
   test("OPQ-rotated index: the stored rotation applies automatically at " +
        "probe AND delta time ≡ hand-rotating everything consistently") {
     import graft.similarity.{Pca, Pq}
