@@ -1538,6 +1538,20 @@ object SparkEntry {
       Search.bm25FromIndex(s, base, Seq("spark", "vector", "customer"), k = 10)
         .select(col("id").as("doc_id"), col("score"))
     }),
+    // G58: stop-term guard — a query term whose df exceeds the ceiling
+    // (batch: ~800‰ of these docs) is dropped from the stored terms/
+    // table BEFORE its corpus-sized posting list is scanned; the cut is
+    // exact and the oracle applies the identical df*1000 <= ceiling*n
+    // predicate to its own dfreq, so both engines drop the same terms at
+    // ANY scale factor
+    "q_bm25_stopguard" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_lexidx_g").toString
+      Search.writeLexIndex(T(s, dir, "documents"), "doc_id", "text", base,
+        buckets = 16)
+      Search.bm25FromIndex(s, base, Seq("spark", "vector", "batch"), k = 10,
+          maxDfPermille = 780)
+        .select(col("id").as("doc_id"), col("score"))
+    }),
     // G58: postings lifecycle — retire + admit under the stored layout;
     // maintained ≡ tokenized-from-scratch over the maintained membership
     // (the oracle re-derives every posting row)
@@ -1546,7 +1560,7 @@ object SparkEntry {
       val base = java.nio.file.Files.createTempDirectory("graft_lexidx_d").toString
       Search.writeLexIndex(docs.filter(col("doc_id") % 10 =!= 0),
         "doc_id", "text", base, buckets = 16)
-      val (posts, _, _) = Search.lexIndexDelta(
+      val (posts, _, _, _) = Search.lexIndexDelta(
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", base,
         docs.filter(col("doc_id") % 13 === 0).select(col("doc_id").as("id")))
       posts.select(col("id").as("doc_id"), col("term"), col("tf"),
@@ -4502,6 +4516,31 @@ object SparkEntry {
     // the store/load round trip is bit-identical to the direct scan
     "q_bm25_index" ->
       s"""$bm25CtesSql
+         |SELECT doc_id, score FROM bmtop""".stripMargin,
+    // df-ceiling stop-term guard: the SAME predicate the probe applies to
+    // the stored terms/ table (df·1000 <= 780·n) filters the oracle's own
+    // dfreq, so both engines drop the identical term set data-derivedly —
+    // the cut stays exact at any scale factor
+    "q_bm25_stopguard" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |tstats AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, term, COUNT(*) AS tf
+         |           FROM (SELECT doc_id, tk, unnest(tk) AS term FROM toks)
+         |           WHERE term IN ('spark', 'vector', 'batch')
+         |           GROUP BY 1, 2, 3),
+         |corp AS (SELECT COUNT(*) AS n, SUM(CAST(len(tk) AS BIGINT)) AS sumdl FROM toks),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tstats GROUP BY 1),
+         |keep AS (SELECT f.term, f.df FROM dfreq f CROSS JOIN corp c
+         |         WHERE f.df * 1000 <= 780 * c.n),
+         |scored AS (SELECT t.doc_id,
+         |    CAST(ln(1 + (c.n - f.df + 0.5) / (f.df + 0.5)) *
+         |         ((t.tf * (CAST(1.2 AS DOUBLE) + 1)) /
+         |          (t.tf + CAST(1.2 AS DOUBLE) *
+         |           (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (t.dl / (c.sumdl / c.n)))))
+         |      AS DECIMAL(18,6)) AS s
+         |  FROM tstats t JOIN keep f USING (term) CROSS JOIN corp c),
+         |bmtop AS (SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score
+         |          FROM scored GROUP BY doc_id
+         |          ORDER BY score DESC, doc_id LIMIT 10)
          |SELECT doc_id, score FROM bmtop""".stripMargin,
     "q_bm25_many" -> bm25ManyOracle,
     // whole-query batch splits append the same rows — the stream lands on

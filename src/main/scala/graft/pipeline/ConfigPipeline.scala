@@ -603,9 +603,14 @@ object ConfigPipeline {
       case "bm25" =>
         val terms = strs(knob("terms"))
         val k = knob("k").asInt()
+        // maxDfPermille (index path only): drop near-zero-idf stop terms
+        // whose df exceeds the ceiling before their postings are scanned
+        val maxDfPm =
+          if (s.has("maxDfPermille")) knob("maxDfPermille").asInt() else 1000
         if (s.has("indexDir"))
           p.stage(name, from)(d => graft.similarity.Search.bm25FromIndex(
-            d.sparkSession, knob("indexDir").asText(), terms, k))
+            d.sparkSession, knob("indexDir").asText(), terms, k,
+            maxDfPermille = maxDfPm))
         else
           p.stage(name, from)(graft.similarity.Search.bm25TopK(_,
             knob("id").asText(), knob("text").asText(), terms, k))

@@ -302,7 +302,32 @@ object Search {
         .as("sumdl")).head()
     Seq((st.getLong(0), st.getLong(1), buckets)).toDF("n", "sumdl", "buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    // per-term document frequency, bucket-partitioned like the postings:
+    // a probe learns every query term's df from the pruned terms/ buckets
+    // BEFORE touching a posting row, so the df-ceiling guard can drop a
+    // near-zero-idf stop term without paying its corpus-sized posting
+    // list. Derived from the WRITTEN postings (fixed-width rows — no
+    // third text scan); vocabulary-sized, not corpus-sized.
+    spark.read.parquet(s"$dir/postings")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("bucket", termBucket(col("term"), buckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
   }
+
+  /** The df-ceiling guard shared by [[bm25FromIndex]] and
+    * [[bm25ManyFromIndex]]: a term whose document frequency exceeds
+    * `maxDfPermille`/1000 of the corpus is DROPPED before its postings are
+    * scanned. BM25's idf makes such a term's contribution ~0 while its
+    * posting list is corpus-sized — and in the multi-query probe that
+    * list lands in ONE task's per-query window partition (per-key skew) —
+    * so production engines skip or impact-order high-df terms. 1000‰
+    * (the default) admits every term: today's behavior, bit-for-bit,
+    * without reading `terms/` (older indexes without it keep probing).
+    * The cut is EXACT and engine-replayable: the oracle applies the same
+    * `df · 1000 <= maxDfPermille · n` predicate on its own dfreq CTE.
+    */
+  private def dfCeilingOk(n: Long, maxDfPermille: Int): Column =
+    col("df") * lit(1000L) <= lit(maxDfPermille.toLong) * lit(n)
 
   /** BM25 over the STORED index: reads only the query terms' bucket
     * partitions (directory pruning — spec pins the `PartitionFilters`
@@ -313,14 +338,31 @@ object Search {
     */
   def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                     queryTerms: Seq[String], k: Int,
-                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                    k1: Double = 1.2, b: Double = 0.75,
+                    maxDfPermille: Int = 1000): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(maxDfPermille >= 0 && maxDfPermille <= 1000,
+      s"maxDfPermille must be in [0, 1000], got $maxDfPermille")
     val st = graft.streaming.Streams.readIndex(spark, s"$dir/stats", recursive = false).head()
     val (n, sumdl, buckets) = (st.getLong(0), st.getLong(1), st.getInt(2))
-    val bks = queryTerms.map(t => Ann.md5Prefix60(t) % buckets).distinct
+    // df-ceiling guard ([[dfCeilingOk]]): consult the stored terms/ table
+    // (pruned to the query terms' buckets — a ≤ |queryTerms|-row collect)
+    // and keep only surviving terms; their buckets alone are listed below,
+    // so a dropped stop term's posting partition is never even listed
+    val terms: Seq[String] =
+      if (maxDfPermille >= 1000) queryTerms
+      else {
+        val tbks = queryTerms.map(t => Ann.md5Prefix60(t) % buckets).distinct
+        graft.streaming.Streams.readIndex(spark, s"$dir/terms", recursive = false)
+          .filter(col("bucket").isin(tbks: _*))
+          .filter(col("term").isin(queryTerms: _*))
+          .filter(dfCeilingOk(n, maxDfPermille))
+          .select("term").collect().map(_.getString(0)).toSeq
+      }
+    val bks = terms.map(t => Ann.md5Prefix60(t) % buckets).distinct
     val posts = graft.streaming.Streams.readIndex(spark, s"$dir/postings", recursive = false)
       .filter(col("bucket").isin(bks: _*))
-      .filter(col("term").isin(queryTerms: _*))
+      .filter(col("term").isin(terms: _*))
       .select("id", "dl", "term", "tf")
     import spark.implicits._
     val corp = Seq((n, sumdl)).toDF("n", "sumdl")
@@ -343,12 +385,33 @@ object Search {
     */
   def bm25ManyFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                         queries: DataFrame, queryCol: String, termCol: String,
-                        k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                        k: Int, k1: Double = 1.2, b: Double = 0.75,
+                        maxDfPermille: Int = 1000): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(maxDfPermille >= 0 && maxDfPermille <= 1000,
+      s"maxDfPermille must be in [0, 1000], got $maxDfPermille")
     val st = graft.streaming.Streams.readIndex(spark, s"$dir/stats", recursive = false).head()
     val (n, sumdl, buckets) = (st.getLong(0), st.getLong(1), st.getInt(2))
-    val q = queries.select(col(queryCol).as("query_id"), col(termCol).as("term"))
+    val qAll = queries.select(col(queryCol).as("query_id"), col(termCol).as("term"))
       .distinct()
+    // df-ceiling guard ([[dfCeilingOk]]): semi-join the query terms
+    // against the surviving slice of the stored terms/ table — fully
+    // distributed (query terms never collect; terms/ reads only the query
+    // terms' buckets). A stop term here is not just a corpus-sized scan:
+    // its postings land in ONE task's per-query window partition below,
+    // so dropping it removes the per-key skew too.
+    val q =
+      if (maxDfPermille >= 1000) qAll
+      else {
+        val tbks = qAll.select(termBucket(col("term"), buckets).as("b"))
+          .distinct().collect().map(_.getLong(0)) // bounded: <= buckets
+        val survivors = graft.streaming.Streams
+          .readIndex(spark, s"$dir/terms", recursive = false)
+          .filter(col("bucket").isin(tbks.toSeq: _*))
+          .filter(dfCeilingOk(n, maxDfPermille))
+          .select("term")
+        qAll.join(survivors, Seq("term"), "left_semi")
+      }
     val bks = q.select(termBucket(col("term"), buckets).as("b"))
       .distinct().collect().map(_.getLong(0)) // bounded: <= buckets values
     val posts = graft.streaming.Streams.readIndex(spark, s"$dir/postings", recursive = false)
@@ -382,13 +445,19 @@ object Search {
     * admitted docs always enter — retire + admit in one call replaces a
     * changed document (the [[graft.dedup.Dedup.indexDelta]] snapshotDiff
     * contract). Write each frame back via
-    * [[graft.operators.Sinks.swapWrite]] (postings with
+    * [[graft.operators.Sinks.swapWrite]] (postings and terms with
     * partitionBy("bucket")) — the atomic-swap writer; an in-place
     * overwrite would delete the postings under the job reading them.
+    *
+    * Returns (postings, doclens, stats, terms) — `terms` is the
+    * maintained per-term df table ([[writeLexIndex]]'s fourth artifact,
+    * re-aggregated from the maintained postings: index-scan-sized, no
+    * text). An old-layout index without `terms/` migrates on its first
+    * delta: the returned frame materializes either way.
     */
   def lexIndexDelta(admitted: DataFrame, idCol: String, textCol: String,
                     dir: String, retiredIds: DataFrame):
-      (DataFrame, DataFrame, DataFrame) = {
+      (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val spark = admitted.sparkSession
     val buckets = graft.streaming.Streams.readIndex(spark, s"$dir/stats", recursive = false).head().getInt(2)
     val retire = graft.dedup.Dedup.retiredIdFrame(retiredIds)
@@ -419,6 +488,8 @@ object Search {
     val stats = doclens.agg(count(lit(1)).as("n"),
       coalesce(sum(col("dl")), lit(0L)).as("sumdl"),
       lit(buckets).as("buckets"))
-    (posts, doclens, stats)
+    val terms = posts.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("bucket", termBucket(col("term"), buckets))
+    (posts, doclens, stats, terms)
   }
 }

@@ -232,13 +232,38 @@ class SourcesAnnSpec extends SparkSpec {
     val p = probe.queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
       s"expected a bucket partition filter in:\n${p.take(3000)}")
+    // df-ceiling stop-term guard: 1000‰ admits everything — today's
+    // behavior bit-for-bit; 700‰ drops 'common' (df 4/5 = 800‰) and the
+    // result equals a spark-only probe; the dropped term's bucket
+    // partition (common → bucket 0, spark → bucket 1 at buckets=8) is
+    // never read — pruning happens at file-listing time off the stored
+    // terms/ table, before a posting row is touched
+    val full = Search.bm25FromIndex(spark, dir, Seq("spark", "common"),
+      k = 5, maxDfPermille = 1000).as[(Long, Double)].collect().toSeq
+    assert(full == got)
+    val guarded = Search.bm25FromIndex(spark, dir, Seq("spark", "common"),
+      k = 5, maxDfPermille = 700)
+    assert(guarded.as[(Long, Double)].collect().toSeq ==
+      Search.bm25FromIndex(spark, dir, Seq("spark"), k = 5)
+        .as[(Long, Double)].collect().toSeq)
+    guarded.collect()
+    val pfSeg = "PartitionFilters: \\[[^\\]]*\\]".r
+      .findFirstIn(guarded.queryExecution.executedPlan.toString).getOrElse("")
+    assert(pfSeg.nonEmpty &&
+      (pfSeg.contains("= 1)") || pfSeg.contains("IN (1)")) &&
+      !pfSeg.contains("= 0)") && !pfSeg.contains("IN (0"),
+      s"expected a bucket=1-only partition filter, got: $pfSeg")
+    // a ceiling that drops EVERY query term yields an empty result, not
+    // an error (the all-stop-words query)
+    assert(Search.bm25FromIndex(spark, dir, Seq("spark", "common"), k = 5,
+      maxDfPermille = 0).count() == 0)
     // maintenance identity: retire + admit ≡ rebuild over the membership.
     // doc 6 is in BOTH sets — the single-call replace: its stored postings
     // retire, its admitted text enters (previously the drop semantics
     // silently deleted a changed doc; the Dedup.indexDelta contract wins)
     val admitted = Seq((6L, "fresh spark doc"), (7L, "common fresh")).toDF("doc_id", "text")
     val retired = Seq(2L, 6L).toDF("id")
-    val (posts, doclens, stats) = Search.lexIndexDelta(
+    val (posts, doclens, stats, terms) = Search.lexIndexDelta(
       admitted, "doc_id", "text", dir, retired)
     val membership = docs.filter(!$"doc_id".isin(2L, 6L))
       .unionByName(admitted)
@@ -255,6 +280,12 @@ class SourcesAnnSpec extends SparkSpec {
     assert(stats.select("n", "sumdl").as[(Long, Long)].head() ==
       spark.read.parquet(s"$dir2/stats").select("n", "sumdl")
         .as[(Long, Long)].head())
+    // the maintained terms table ≡ the rebuilt one (df + bucket per term)
+    assert(terms.select("term", "df", "bucket")
+        .as[(String, Long, Long)].collect().toSet ==
+      spark.read.parquet(s"$dir2/terms")
+        .select(col("term"), col("df"), col("bucket").cast("long"))
+        .as[(String, Long, Long)].collect().toSet)
   }
 
   test("bm25ManyFromIndex matches per-call probes and dedupes repeated terms") {
@@ -277,6 +308,20 @@ class SourcesAnnSpec extends SparkSpec {
           .map { case ((id, sc), i) => (qid, id, sc, i + 1L) }
     }.sorted
     assert(many == per && many.nonEmpty)
+    // the df-ceiling guard runs as a distributed semi-join here (query
+    // terms never collect): at 800‰, 'common' (df 4/4 = 1000‰) drops from
+    // query 0 while spark (750‰) and rare (250‰) survive — per-query
+    // results equal per-call probes over the guarded term sets
+    val guardedMany = Search.bm25ManyFromIndex(spark, dir, q, "qid", "term",
+        k = 3, maxDfPermille = 800)
+      .as[(Long, Long, Double, Long)].collect().toSeq.sorted
+    val perGuarded = Seq(0L -> Seq("spark"), 1L -> Seq("rare")).flatMap {
+      case (qid, ts) =>
+        Search.bm25FromIndex(spark, dir, ts, k = 3)
+          .as[(Long, Double)].collect().toSeq.zipWithIndex
+          .map { case ((id, sc), i) => (qid, id, sc, i + 1L) }
+    }.sorted
+    assert(guardedMany == perGuarded && guardedMany.nonEmpty)
   }
 
   test("rrfFuse sums integer reciprocal-rank contributions and cuts top-k") {
