@@ -214,6 +214,38 @@ object ScaleBench {
           toks.filter(col("id").isin(0L, 20L, 40L, 60L, 80L)),
           "id", "pos", "embedding", k = 3)
       }
+      // r11 G59 at-scale composition (q_maxsim_ann_candidates' decade):
+      // candidates from a stored token-vector index (G47), per-doc votes,
+      // exact MaxSim settle. Index built once per dir UNTIMED (build
+      // decades are r10.3's story); the probe runs nprobe=4/64 with the 5
+      // fixed base query docs, so growth should track the probed-cell
+      // fraction of the token scan — the escape from q_maxsim's |Q|·|C|
+      // quadratic regime, measured
+      if (want("maxsim_ann_cand")) {
+        val idxDir = s"$work/mscand_idx"
+        graft.similarity.Pq.writeIndex(emb, "vec_id", "embedding", dim = 64,
+          m = 2, k = 4, dir = idxDir, nlist = 64, trained = true)
+        time("maxsim_ann_cand", dir) {
+          val toks = emb.select(expr("vec_id DIV 5").as("id"),
+            expr("vec_id % 5").as("pos"), col("embedding"))
+          val qTokVecs = emb.filter(
+            expr("vec_id DIV 5").isin(0L, 20L, 40L, 60L, 80L))
+          val hits = graft.similarity.Pq.probeIndex(qTokVecs, "vec_id",
+            "embedding", idxDir, topK = 5, nprobe = 4)
+          val votes = hits.select(expr("query_id DIV 5").as("query_id"),
+              expr("neighbor_id DIV 5").as("neighbor_id"))
+            .filter(col("query_id") =!= col("neighbor_id"))
+            .groupBy("query_id", "neighbor_id").agg(count(lit(1)).as("votes"))
+          val cand = votes.withColumn("rnk",
+              row_number().over(org.apache.spark.sql.expressions.Window
+                .partitionBy(col("query_id"))
+                .orderBy(col("votes").desc, col("neighbor_id").asc)))
+            .filter(col("rnk") <= 8).select("query_id", "neighbor_id")
+          graft.similarity.MaxSim.rerank(cand, toks,
+            toks.filter(col("id").isin(0L, 20L, 40L, 60L, 80L)),
+            "id", "pos", "embedding", k = 3)
+        }
+      }
       // the coreset regime (Sener & Savarese: k in the thousands) — the
       // r8 least(SqDistLit…) literal form was plan-explosive here (plan
       // size O(k·dim) per round, O(k²·dim) across the run); with the

@@ -2570,6 +2570,37 @@ object SparkEntry {
       graft.similarity.MaxSim.probeIndex(toks.filter(col("id") % 20 === 0),
         "id", "pos", "embedding", idx, k = 3, nprobe = 8, mShort = 8)
     }),
+    // G59 at-scale composition (the scaladoc promise made real): when |Q|
+    // outgrows the broadcast budget, candidates come from a stored
+    // single-vector index over the TOKEN vectors (G47) — each query token
+    // probes for its nearest corpus tokens, hits vote per document, and
+    // exact MaxSim settles only the top-voted candidates (Pq.rerank's
+    // recall lever at matrix granularity). nprobe = nlist keeps the probe
+    // ≡ exhaustive ADC, so the trained-centroid routing needs no SQL
+    // replay while the full plumbing (stored index, probe, votes, rerank)
+    // runs for real.
+    "q_maxsim_ann_candidates" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val toks = emb.select(expr("vec_id DIV 5").as("id"),
+        expr("vec_id % 5").as("pos"), col("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("graft_mscand").toString
+      graft.similarity.Pq.writeIndex(emb, "vec_id", "embedding",
+        dim = 64, m = 2, k = 4, dir = idx, nlist = 8, trained = true)
+      val qTokVecs = emb.filter(expr("vec_id DIV 5 % 20 = 0"))
+      val hits = graft.similarity.Pq.probeIndex(qTokVecs, "vec_id",
+        "embedding", idx, topK = 5, nprobe = 8)
+      val votes = hits.select(expr("query_id DIV 5").as("query_id"),
+          expr("neighbor_id DIV 5").as("neighbor_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id").agg(count(lit(1)).as("votes"))
+      val cand = votes.withColumn("rnk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("votes").desc, col("neighbor_id").asc)))
+        .filter(col("rnk") <= 8).select("query_id", "neighbor_id")
+      graft.similarity.MaxSim.rerank(cand, toks,
+        toks.filter(col("id") % 20 === 0), "id", "pos", "embedding", k = 3)
+    }),
     // MaxSim index maintenance under the FROZEN model: retire ids, gather +
     // pool + route the admitted docs with the stored scale/centroids — the
     // oracle re-derives every maintained row from scratch (pooled centroids
@@ -3789,7 +3820,8 @@ object SparkEntry {
     * MatVecMul's double-accumulate-then-narrow reproduces the permuted
     * floats EXACTLY and the rotated replay stays bit-deterministic).
     */
-  private def pqScoredCtesFor(vecExpr: String): String = {
+  private def pqScoredCtesFor(vecExpr: String,
+                              queryWhere: String = "vec_id < 8"): String = {
     val (m, sub, k) = (2, 32, 4)
     val perSub = (0 until m).map { j =>
       val lo = j * sub + 1; val hi = (j + 1) * sub
@@ -3817,7 +3849,7 @@ object SparkEntry {
          |dt$j AS MATERIALIZED (SELECT query_id, cid, list_dot_product(d, d) AS d2 FROM (
          |        SELECT qq.vec_id AS query_id, cid,
          |               list_transform(range(1, ${sub + 1}), i -> qq.sv[i] - cv[i]) AS d
-         |        FROM (SELECT vec_id, sv FROM sq$j WHERE vec_id < 8) qq
+         |        FROM (SELECT vec_id, sv FROM sq$j WHERE $queryWhere) qq
          |        CROSS JOIN sc1$j))""".stripMargin
     }.mkString(",\n")
     s"""WITH q AS MATERIALIZED (SELECT vec_id,
@@ -3834,6 +3866,42 @@ object SparkEntry {
        |           WHERE dt0.query_id <> co0.vec_id)""".stripMargin
   }
   private val pqScoredCtes: String = pqScoredCtesFor("embedding")
+
+  /** Replay of q_maxsim_ann_candidates: the pqScoredCtes ADC chain with
+    * the query-TOKEN predicate (every token of every 20th document), cut
+    * to top-5 corpus tokens per query token (nprobe = nlist ⇒ exhaustive
+    * ADC — no cell replay needed), votes per (query doc, corpus doc),
+    * top-8 candidates by (votes DESC, doc ASC), then the exact MaxSim
+    * interaction (the maxSimOracle arithmetic) over candidate pairs only.
+    */
+  private val maxSimAnnCandOracle: String =
+    s"""${pqScoredCtesFor("embedding", "vec_id // 5 % 20 = 0")},
+       |hits AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc2, neighbor_id) AS rnk
+       |  FROM scored) WHERE rnk <= 5),
+       |votes AS (SELECT query_id // 5 AS qdoc, neighbor_id // 5 AS ndoc,
+       |          COUNT(*) AS v
+       |          FROM hits WHERE query_id // 5 <> neighbor_id // 5
+       |          GROUP BY 1, 2),
+       |cand AS (SELECT qdoc, ndoc FROM (
+       |  SELECT qdoc, ndoc, row_number() OVER (PARTITION BY qdoc
+       |         ORDER BY v DESC, ndoc) AS rnk FROM votes) WHERE rnk <= 8),
+       |e AS (SELECT vec_id // 5 AS id, vec_id % 5 AS pos,
+       |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 65536.0)) AS tv
+       |  FROM embeddings),
+       |pm AS (SELECT c.qdoc AS query_id, q2.pos AS qpos, c.ndoc AS neighbor_id,
+       |  max(CAST(list_dot_product(q2.tv, d.tv) AS BIGINT)) AS m
+       | FROM cand c JOIN e q2 ON q2.id = c.qdoc JOIN e d ON d.id = c.ndoc
+       | GROUP BY 1, 2, 3),
+       |sc AS (SELECT query_id, neighbor_id, CAST(SUM(m) AS BIGINT) AS maxsim
+       | FROM pm GROUP BY 1, 2)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, maxsim FROM (
+       |  SELECT query_id, neighbor_id, maxsim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY maxsim DESC, neighbor_id) AS rnk
+       |  FROM sc) WHERE rnk <= 3""".stripMargin
   private val pqOracle: String =
     s"""$pqScoredCtes
        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, adc2 FROM (
@@ -5241,6 +5309,7 @@ object SparkEntry {
     "q_sq_rerank" -> sqRerankOracle,
     "q_jl_topk" -> jlOracle,
     "q_maxsim" -> maxSimOracle,
+    "q_maxsim_ann_candidates" -> maxSimAnnCandOracle,
     "q_maxsim_rerank" -> maxSimRerankOracle,
     // nprobe == nlist ⇒ the stored-index probe IS the two-stage pooled
     // composition over the indexed corpus — same replay, same law as
