@@ -213,6 +213,38 @@ object SparkEntry {
        |          FROM scored GROUP BY doc_id
        |          ORDER BY score DESC, doc_id LIMIT 10)""".stripMargin
 
+  /** Heterogeneous JSON messages synthesized from `events` for the
+    * JSON-Schema gate (q_json_schema) — ONE SQL fragment evaluated by
+    * BOTH engines (Spark `expr` and DuckDB share the CASE/||/CAST
+    * syntax), so the validated input cannot drift between them. Five
+    * shapes by event_id % 5 (valid / string-typed value / missing
+    * required user.id / enum-violating type / missing required value),
+    * with every 7th message malformed outright.
+    */
+  private val jsonSynthSql: String =
+    """CASE WHEN event_id % 7 = 0 THEN '{broken'
+      | ELSE CASE CAST(event_id % 5 AS INT)
+      |  WHEN 0 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["a", "b"]}'
+      |  WHEN 1 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "' || event_type || '", "value": "' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '"}'
+      |  WHEN 2 THEN '{"user": {"name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '}'
+      |  WHEN 3 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "badtype", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '}'
+      |  ELSE '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "' || event_type || '"}'
+      | END END""".stripMargin.replace("\n", " ")
+
+  /** The q_json_schema demo schema (types + required + enum + nested
+    * object + array — the supported subset exercised end to end).
+    */
+  private val jsonSchemaDemo: String =
+    """{"type": "object", "required": ["user", "type", "value"],
+      | "properties": {
+      |  "user": {"type": "object", "required": ["id"],
+      |           "properties": {"id": {"type": "integer"},
+      |                          "name": {"type": "string"}}},
+      |  "type": {"type": "string",
+      |           "enum": ["click", "view", "purchase", "error", "signup"]},
+      |  "value": {"type": "number"},
+      |  "tags": {"type": "array"}}}""".stripMargin
+
   /** The [[syntheticHtml]] expression in DuckDB SQL — same fragments. */
   private def htmlExprSql: String =
     s"${sqlQ(htmlPre)} || CAST(doc_id AS VARCHAR) || ${sqlQ(htmlMid)} || text || ${sqlQ(htmlPost)}"
@@ -273,6 +305,16 @@ object SparkEntry {
     "q_json" -> ((s, dir) =>
       Ops.parseJson(T(s, dir, "events"), "props", "k INT")
         .select(col("event_id"), col("parsed.k").as("k"))),
+    // JSON-Schema validation gate (the reference JsonValidator experiment,
+    // working form): heterogeneous synthesized messages validated against
+    // a nested schema (types/required/enum/array) — the DuckDB replay is
+    // GENERATED from the same compiled schema walk, so the check lists
+    // cannot drift (JsonSchemaGate.oracleChecksSql)
+    "q_json_schema" -> ((s, dir) =>
+      graft.schema.JsonSchemaGate.validate(
+          T(s, dir, "events").withColumn("raw", expr(jsonSynthSql)),
+          "raw", jsonSchemaDemo, parsedCol = None)
+        .select(col("event_id"), col("is_valid"), col("violations"))),
     "q_explode" -> ((s, dir) =>
       Ops.serialize(
         T(s, dir, "documents").withColumn("toks", Text.tokens(col("text"))),
@@ -4013,6 +4055,12 @@ object SparkEntry {
       "SELECT doc_id, token FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) WHERE token <> ''",
     "q_json" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",
+    "q_json_schema" -> {
+      val (viol, valid) =
+        graft.schema.JsonSchemaGate.oracleChecksSql(jsonSchemaDemo, "raw")
+      s"""WITH j AS (SELECT event_id, $jsonSynthSql AS raw FROM events)
+         |SELECT event_id, $valid AS is_valid, $viol AS violations FROM j""".stripMargin
+    },
     "q_filter" ->
       "SELECT event_id, user_id, value FROM events WHERE value IS NOT NULL AND event_type = 'purchase'",
     "q_sample" -> "SELECT * FROM documents WHERE doc_id % 10 = 0",

@@ -32,7 +32,10 @@ import graft.Caching.TrackedSyntax
   * (expr), `select` (exprs), `withColumn` (name/expr), `agg` (keys/aggs),
   * `union` (from[]), `join` (from[2], on, how), `limit` (n), `distinct`,
   * `sample` (key/mod), `error_budget` (maxErrors[, expr] — drop up to N
-  * bad rows, fail past the budget; reference max_errors).
+  * bad rows, fail past the budget; reference max_errors), `json_schema`
+  * (json + inline `schema` — validate each message against a JSON-Schema
+  * subset: types/required/enum/nested; mode annotate (default) / filter /
+  * enforce+maxErrors — the reference's JsonValidator experiment, working).
   *
   * Training-pipeline ops (SURVEY §2.G from config, so a config-driven user
   * reaches the whole library): `dedup_exact` (id/text), `dedup_best`
@@ -166,7 +169,8 @@ object ConfigPipeline {
     "distribution_drift", "dsir", "encoding_stats", "error_budget", "filter",
     "fingerprint",
     "flatten", "gram", "heavy_hitters", "histogram", "html_stats", "html_text",
-    "index_delta", "inverted_index", "jl_project", "join", "kcenter",
+    "index_delta", "inverted_index", "jl_project", "join", "json_schema",
+    "kcenter",
     "langid", "limit", "manifest",
     "lm_xent", "lm_xent_bigram", "margin_mine", "maxsim",
     "maxsim_index_delta", "maxsim_index_probe", "maxsim_pooled",
@@ -280,6 +284,27 @@ object ConfigPipeline {
           if (dropCorrupt && gated.columns.contains("_corrupt_record"))
             gated.drop("_corrupt_record")
           else gated
+        }
+      // JSON-Schema message validation gate (the reference's JsonValidator
+      // experiment, working form): annotate every row with its violations
+      // against an inline schema, optionally keep only valid rows
+      // ("mode": "filter") or abort past an error budget ("mode":
+      // "enforce" + maxErrors — Ops.errorBudget over the invalid rows).
+      case "json_schema" =>
+        val schemaText = knob("schema").toString // the schema node verbatim
+        val jcol = knob("json").asText()
+        val mode = if (s.has("mode")) knob("mode").asText() else "annotate"
+        p.stage(name, from) { d =>
+          val v = graft.schema.JsonSchemaGate.validate(d, jcol, schemaText)
+          mode match {
+            case "annotate" => v
+            case "filter" => v.filter(col("is_valid"))
+              .drop("violations", "is_valid", "parsed")
+            case "enforce" => graft.operators.Ops.errorBudget(v,
+              !col("is_valid"), knob("maxErrors").asLong())
+            case other => throw new IllegalArgumentException(
+              s"json_schema mode must be annotate/filter/enforce, got $other")
+          }
         }
       case "filter" =>
         p.stage(name, from)(_.filter(expr(knob("expr").asText())))

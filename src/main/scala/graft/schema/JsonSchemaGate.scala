@@ -1,0 +1,258 @@
+package graft.schema
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** JSON-Schema message validation gate — the working form of the
+  * reference's dead-code `JsonValidator` experiment
+  * (exp/nanostream_json_validator.py:6-23: validate each message against
+  * a JSON Schema), rebuilt as a codegen Column pipeline over a JSON
+  * string column.
+  *
+  * Supported subset: `type` (object / array / string / integer / number /
+  * boolean), `required`, `enum` (string values), nested `properties` to
+  * any depth, `items` (typing the parsed array — per-ELEMENT validation
+  * is out of subset and documented so). Integers beyond the int64 range
+  * classify engine-dependently and are likewise out of subset.
+  *
+  * Validation semantics (JSON-Schema-conventional):
+  *  - an unparseable or NULL message → the single violation `malformed`;
+  *  - a `required` name absent from its (present) parent object →
+  *    `missing:$.path`;
+  *  - a PRESENT value (including JSON null) whose type differs from the
+  *    declared one → `type:$.path`; `number` admits ints, `integer` does
+  *    not admit decimals;
+  *  - a present string outside its `enum` → `enum:$.path`;
+  *  - checks under an object are CONDITIONAL on that object being present
+  *    and object-typed — a missing `user` fires `missing:$.user` once,
+  *    not a cascade for every child.
+  *
+  * Cross-engine exactness (the repo's oracle bar): the type of a JSON
+  * node is introspected via Spark's variant functions
+  * (`try_parse_json` / `try_variant_get` / `schema_of_variant` /
+  * `is_variant_null`) and DuckDB's `json_type`, both folded to ONE
+  * canonical type alphabet {int, double, string, bool, object, array,
+  * null}; the violation string is `concat_ws(",", …)` over the SAME
+  * fragment order on both engines (both skip NULL fragments and yield ""
+  * when every check passes). [[oracleChecksSql]] generates the DuckDB
+  * replay from the SAME compiled schema walk, so the two engines' check
+  * lists cannot drift — the htmlEntities single-sourcing device.
+  *
+  * Scale shape: everything is a per-row projection (no shuffle, no UDF);
+  * the parse cost is one `try_parse_json` per row (aliased to one
+  * internal column, consumed by every check) plus one `from_json` for
+  * the typed struct output.
+  */
+object JsonSchemaGate {
+
+  private val mapper = new ObjectMapper()
+
+  /** One node of the compiled schema tree. */
+  private case class Node(typ: Option[String], enumVals: Seq[String],
+                          required: Set[String], props: Seq[(String, Node)],
+                          items: Option[Node])
+
+  private def compile(n: JsonNode): Node = {
+    val typ = Option(n.get("type")).map(_.asText())
+    typ.foreach { t =>
+      require(Seq("object", "array", "string", "integer", "number",
+        "boolean").contains(t), s"unsupported JSON-Schema type: $t")
+    }
+    val enumVals = Option(n.get("enum")).toSeq
+      .flatMap(_.elements().asScala).map(_.asText())
+    val req = Option(n.get("required")).toSeq
+      .flatMap(_.elements().asScala).map(_.asText()).toSet
+    val props = Option(n.get("properties")).toSeq.flatMap { p =>
+      p.fields().asScala.map { e =>
+        // names interpolate into JSON paths on BOTH engines — a
+        // non-identifier name is a path-injection vector and must abort
+        // (the cypherStatements rule)
+        require(e.getKey.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"non-identifier property name: ${e.getKey}")
+        (e.getKey, compile(e.getValue))
+      }
+    }
+    val items = Option(n.get("items")).map(compile)
+    Node(typ, enumVals, req, props, items)
+  }
+
+  private def parseSchema(schemaJson: String): Node =
+    compile(mapper.readTree(schemaJson))
+
+  // ------------------------------------------------------------------
+  // the check list — ONE walk feeds both generators
+  // ------------------------------------------------------------------
+
+  /** guards = ancestor object paths that must be present+object-typed
+    * before this check may fire.
+    */
+  private sealed trait Check { def path: String; def guards: Seq[String] }
+  private case class Missing(path: String, guards: Seq[String]) extends Check
+  private case class TypeIs(path: String, expected: String,
+                            guards: Seq[String]) extends Check
+  private case class EnumIn(path: String, values: Seq[String],
+                            guards: Seq[String]) extends Check
+
+  private def checksOf(root: Node): Seq[Check] = {
+    val out = Seq.newBuilder[Check]
+    root.typ.foreach(t => out += TypeIs("$", t, Nil))
+    def walk(node: Node, path: String, guards: Seq[String]): Unit =
+      node.props.foreach { case (name, child) =>
+        val cp = s"$path.$name"
+        if (node.required(name)) out += Missing(cp, guards)
+        child.typ.foreach(t => out += TypeIs(cp, t, guards))
+        if (child.enumVals.nonEmpty) out += EnumIn(cp, child.enumVals, guards)
+        if (child.props.nonEmpty) walk(child, cp, guards :+ cp)
+      }
+    walk(root, "$", if (root.typ.contains("object")) Seq("$") else Nil)
+    out.result()
+  }
+
+  /** canonical-type match for a declared JSON-Schema type. */
+  private def matches(actual: Column, declared: String): Column =
+    declared match {
+      case "number"  => actual.isin("int", "double")
+      case "integer" => actual === "int"
+      case "boolean" => actual === "bool"
+      case t         => actual === t // string / object / array
+    }
+
+  // ------------------------------------------------------------------
+  // Spark side
+  // ------------------------------------------------------------------
+
+  /** canonical node type at `path` of the variant column `vcol`: SQL NULL
+    * when the path is missing, else one of the canonical alphabet.
+    */
+  private def actualType(vcol: String, path: String): Column = {
+    val node = expr(s"try_variant_get($vcol, '$path')")
+    val st = expr(s"schema_of_variant(try_variant_get($vcol, '$path'))")
+    when(node.isNull, lit(null).cast(StringType))
+      .when(expr(s"is_variant_null(try_variant_get($vcol, '$path'))"), "null")
+      .when(st.startsWith("OBJECT"), "object")
+      .when(st.startsWith("ARRAY"), "array")
+      .when(st === "STRING", "string")
+      .when(st === "BOOLEAN", "bool")
+      .when(st === "BIGINT", "int")
+      .when(st.startsWith("DECIMAL") || st === "DOUBLE" || st === "FLOAT",
+        "double")
+      .otherwise("other")
+  }
+
+  /** The Spark StructType the schema's `type`s describe — the typed
+    * `from_json` target for the parsed output column.
+    */
+  def structType(schemaJson: String): StructType = {
+    def dt(n: Node): DataType = n.typ match {
+      case Some("object")  => StructType(n.props.map { case (k, c) =>
+        StructField(k, dt(c), nullable = true) })
+      case Some("array")   => ArrayType(n.items.map(dt).getOrElse(StringType))
+      case Some("string")  => StringType
+      case Some("integer") => LongType
+      case Some("number")  => DoubleType
+      case Some("boolean") => BooleanType
+      case _               => StringType
+    }
+    dt(parseSchema(schemaJson)) match {
+      case st: StructType => st
+      case other => StructType(Seq(StructField("value", other)))
+    }
+  }
+
+  /** Validate `jsonCol` against the schema: appends `violations` (the
+    * comma-joined ordered violation tags, "" when clean), `is_valid`,
+    * and (optionally) the typed `parsed` struct.
+    */
+  def validate(df: DataFrame, jsonCol: String, schemaJson: String,
+               violationsCol: String = "violations",
+               validCol: String = "is_valid",
+               parsedCol: Option[String] = Some("parsed")): DataFrame = {
+    val root = parseSchema(schemaJson)
+    val vcol = "__jsv"
+    val malformed = col(vcol).isNull
+    def guarded(c: Check)(cond: Column): Column = {
+      val g = c.guards.foldLeft(!malformed) { (acc, gp) =>
+        acc && actualType(vcol, gp) === "object"
+      }
+      when(g && cond, lit(tagOf(c)))
+    }
+    val frags: Seq[Column] = when(malformed, "malformed") +: checksOf(root)
+      .map {
+        case c @ Missing(p, _) => guarded(c)(actualType(vcol, p).isNull)
+        case c @ TypeIs(p, t, _) =>
+          guarded(c)(actualType(vcol, p).isNotNull &&
+            !matches(actualType(vcol, p), t))
+        case c @ EnumIn(p, vs, _) =>
+          guarded(c)(actualType(vcol, p) === "string" &&
+            !expr(s"cast(try_variant_get($vcol, '$p') as string)")
+              .isin(vs: _*))
+      }
+    val out = df
+      .withColumn(vcol, expr(s"try_parse_json(`$jsonCol`)"))
+      .withColumn(violationsCol, concat_ws(",", frags: _*))
+      .withColumn(validCol, col(violationsCol) === "")
+      .drop(vcol)
+    parsedCol.fold(out)(pc => out.withColumn(pc,
+      from_json(col(jsonCol), structType(schemaJson))))
+  }
+
+  private def tagOf(c: Check): String = c match {
+    case Missing(p, _)   => s"missing:$p"
+    case TypeIs(p, _, _) => s"type:$p"
+    case EnumIn(p, _, _) => s"enum:$p"
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle side — generated from the SAME compiled walk
+  // ------------------------------------------------------------------
+
+  /** (violationsSql, isValidSql) over the raw-JSON SQL expression
+    * `rawExpr` — the DuckDB replay of [[validate]]'s two appended
+    * columns, fragment-for-fragment in the same order.
+    */
+  def oracleChecksSql(schemaJson: String, rawExpr: String): (String, String) = {
+    val root = parseSchema(schemaJson)
+    val malformed = s"(($rawExpr) IS NULL OR NOT json_valid($rawExpr))"
+    // TRY_CAST, not ::JSON: a plain cast THROWS on a malformed message
+    // even under a CASE guard (DuckDB's vectorized executor can evaluate
+    // the branch eagerly) — TRY_CAST folds malformed to NULL, and
+    // json_type(NULL, path) is NULL, which the canonical alphabet already
+    // treats as missing
+    def actual(path: String): String =
+      s"""(CASE WHEN json_type(TRY_CAST(($rawExpr) AS JSON), '$path') IS NULL
+         |  THEN NULL ELSE
+         |  (CASE json_type(TRY_CAST(($rawExpr) AS JSON), '$path')
+         |  WHEN 'UBIGINT' THEN 'int' WHEN 'BIGINT' THEN 'int'
+         |  WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
+         |  WHEN 'BOOLEAN' THEN 'bool' WHEN 'OBJECT' THEN 'object'
+         |  WHEN 'ARRAY' THEN 'array' WHEN 'NULL' THEN 'null'
+         |  ELSE 'other' END) END)""".stripMargin.replace("\n", " ")
+    def matchesSql(a: String, declared: String): String = declared match {
+      case "number"  => s"$a IN ('int', 'double')"
+      case "integer" => s"$a = 'int'"
+      case "boolean" => s"$a = 'bool'"
+      case t         => s"$a = '$t'"
+    }
+    def guardSql(c: Check): String =
+      (s"NOT $malformed" +: c.guards.map(g => s"${actual(g)} = 'object'"))
+        .mkString("(", " AND ", ")")
+    val frags = s"CASE WHEN $malformed THEN 'malformed' END" +:
+      checksOf(root).map { c =>
+        val cond = c match {
+          case Missing(p, _)   => s"${actual(p)} IS NULL"
+          case TypeIs(p, t, _) =>
+            s"(${actual(p)} IS NOT NULL AND NOT (${matchesSql(actual(p), t)}))"
+          case EnumIn(p, vs, _) =>
+            val list = vs.map(v => s"'${v.replace("'", "''")}'").mkString(", ")
+            s"(${actual(p)} = 'string' AND json_extract_string(TRY_CAST(($rawExpr) AS JSON), '${c.path}') NOT IN ($list))"
+        }
+        s"CASE WHEN ${guardSql(c)} AND $cond THEN '${tagOf(c)}' END"
+      }
+    val violations = frags.mkString("concat_ws(',', ", ", ", ")")
+    (violations, s"($violations = '')")
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.schema.JsonSchemaGate
+
+/** JSON-Schema validation gate (reference JsonValidator experiment,
+  * working form; oracled as q_json_schema).
+  */
+class JsonSchemaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema =
+    """{"type": "object", "required": ["user", "type", "value"],
+      | "properties": {
+      |  "user": {"type": "object", "required": ["id"],
+      |           "properties": {"id": {"type": "integer"},
+      |                          "name": {"type": "string"}}},
+      |  "type": {"type": "string", "enum": ["click", "view"]},
+      |  "value": {"type": "number"},
+      |  "tags": {"type": "array"}}}""".stripMargin
+
+  private def violationsOf(raws: (Long, String)*): Map[Long, (Boolean, String)] =
+    JsonSchemaGate.validate(raws.toSeq.toDF("id", "raw"), "raw", schema,
+        parsedCol = None)
+      .select("id", "is_valid", "violations")
+      .as[(Long, Boolean, String)].collect()
+      .map { case (i, v, s) => i -> (v, s) }.toMap
+
+  test("violations fire per rule, in walk order, and only under present parents") {
+    val got = violationsOf(
+      1L -> """{"user": {"id": 7, "name": "u"}, "type": "click", "value": 1.5, "tags": ["a"]}""",
+      2L -> """{"user": {"id": 7}, "type": "view", "value": 3}""", // optional name/tags absent: valid; int is a number
+      3L -> """{"user": {"name": "u"}, "type": "click", "value": 1}""", // required user.id missing
+      4L -> """{"user": {"id": "7"}, "type": "click", "value": 1}""", // string where integer declared
+      5L -> """{"type": "buy", "value": 1}""", // user missing ENTIRELY: one violation, no child cascade; enum violation
+      6L -> """{"user": {"id": 7}, "type": "click", "value": "high"}""", // quoted number is not a number
+      7L -> """{"user": {"id": 7}, "type": "click"}""", // required value missing
+      8L -> """not json at all""",
+      9L -> """{"user": {"id": 7}, "type": "click", "value": null}""", // JSON null is PRESENT and fails the type
+      10L -> """[1, 2]""", // root isn't an object: one violation, nothing nested fires
+      11L -> """{"user": {"id": 7}, "type": "click", "value": 2, "tags": "notarray"}""")
+    assert(got(1L) == (true, "") && got(2L) == (true, ""))
+    assert(got(3L) == (false, "missing:$.user.id"))
+    assert(got(4L) == (false, "type:$.user.id"))
+    assert(got(5L) == (false, "missing:$.user,enum:$.type"))
+    assert(got(6L) == (false, "type:$.value"))
+    assert(got(7L) == (false, "missing:$.value"))
+    assert(got(8L) == (false, "malformed"))
+    assert(got(9L) == (false, "type:$.value"))
+    assert(got(10L) == (false, "type:$"))
+    assert(got(11L) == (false, "type:$.tags"))
+  }
+
+  test("parsed struct carries the schema's types; null raw is malformed") {
+    val df = Seq((1L, """{"user": {"id": 7}, "type": "click", "value": 1.5}"""),
+      (2L, null.asInstanceOf[String])).toDF("id", "raw")
+    val v = JsonSchemaGate.validate(df, "raw", schema)
+    val f = v.schema("parsed").dataType.asInstanceOf[StructType]
+    assert(f("user").dataType.asInstanceOf[StructType]("id").dataType == LongType)
+    assert(f("value").dataType == DoubleType)
+    assert(f("tags").dataType == ArrayType(StringType))
+    assert(v.filter(col("id") === 1).select("parsed.user.id", "parsed.value")
+      .as[(Long, Double)].head() == ((7L, 1.5)))
+    assert(v.filter(col("id") === 2).select("violations").as[String].head()
+      == "malformed")
+  }
+
+  test("non-identifier property names abort (path injection guard)") {
+    val bad = """{"type": "object", "properties": {"a'] || x": {"type": "string"}}}"""
+    val e = intercept[IllegalArgumentException] {
+      JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw", bad)
+    }
+    assert(e.getMessage.contains("non-identifier"))
+  }
+
+  test("config pipeline json_schema op: annotate, filter, enforce") {
+    val base = java.nio.file.Files.createTempDirectory("jsgate").toString
+    Seq((1L, """{"k": 1}"""), (2L, """{"nope": 1}"""), (3L, "junk"))
+      .toDF("event_id", "raw").write.parquet(s"$base/msgs")
+    def conf(modeKnobs: String) =
+      s"""{"stages": [
+         | {"name": "src", "op": "parquet", "path": "$base/msgs"},
+         | {"name": "gate", "op": "json_schema", "from": "src",
+         |  "json": "raw", $modeKnobs
+         |  "schema": {"type": "object", "required": ["k"],
+         |             "properties": {"k": {"type": "integer"}}}}
+         |]}""".stripMargin
+    def run(modeKnobs: String) = graft.pipeline.ConfigPipeline
+      .fromJson(spark, conf(modeKnobs)).output("gate")
+    val annotated = run("") // default mode: annotate
+    assert(annotated.count() == 3 &&
+      annotated.columns.contains("violations") &&
+      annotated.columns.contains("parsed"))
+    assert(run("\"mode\": \"filter\",")
+      .select("event_id").as[Long].collect().toSet == Set(1L))
+    val e = intercept[IllegalArgumentException] {
+      run("\"mode\": \"enforce\", \"maxErrors\": 1,").collect()
+    }
+    assert(e.getMessage.contains("error budget"))
+  }
+}
