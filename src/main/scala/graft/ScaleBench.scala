@@ -246,6 +246,32 @@ object ScaleBench {
             "id", "pos", "embedding", k = 3)
         }
       }
+      // r11 celebrity-key sessionization: one user holds 10% of the corpus
+      // (the bot/power-user reality of dialogue data). sessionize's
+      // per-key window puts that user's whole history through ONE task's
+      // sort; the segmented two-phase form tags within (user, hour)
+      // buckets and chains summary rows — same output (oracle-shared),
+      // skew ceiling removed. Three rows: uniform baseline, celebrity
+      // through the plain window, celebrity through the segmented form.
+      if (want("sessionize_celebrity")) {
+        lazy val ev = Tables.events(spark, dir)
+          .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+        lazy val celeb = ev.select(
+          when(pmod(col("ts_us"), lit(10L)) < 1L, lit(-1L))
+            .otherwise(col("user_id")).as("user_id"), col("ts_us"))
+        time("sessionize_uniform", dir) {
+          graft.operators.Ops.sessionize(ev, Seq("user_id"), "ts_us",
+            gap = 600000000L)
+        }
+        time("sessionize_celeb_plain", dir) {
+          graft.operators.Ops.sessionize(celeb, Seq("user_id"), "ts_us",
+            gap = 600000000L)
+        }
+        time("sessionize_celeb_segmented", dir) {
+          graft.operators.Ops.sessionizeSegmented(celeb, Seq("user_id"),
+            "ts_us", gap = 600000000L, segment = 3600000000L)
+        }
+      }
       // the coreset regime (Sener & Savarese: k in the thousands) — the
       // r8 least(SqDistLit…) literal form was plan-explosive here (plan
       // size O(k·dim) per round, O(k²·dim) across the run); with the

@@ -828,6 +828,15 @@ object SparkEntry {
           T(s, dir, "events").select(col("user_id"), expr("ts_ns div 1000").as("ts_us")),
           Seq("user_id"), "ts_us", gap = 600000000L)
         .select("user_id", "session_id", "session_start", "session_end", "n_events")),
+    // celebrity-key-safe two-phase form: per-(user, hour-bucket) local
+    // tags chained through summary rows — bit-identical to q_sessionize
+    // (shares its oracle) with the per-key skew ceiling removed
+    // (plans/SKEW.md r11 measures the hot-user decade)
+    "q_sessionize_segmented" -> ((s, dir) =>
+      Ops.sessionizeSegmented(
+          T(s, dir, "events").select(col("user_id"), expr("ts_ns div 1000").as("ts_us")),
+          Seq("user_id"), "ts_us", gap = 600000000L, segment = 3600000000L)
+        .select("user_id", "session_id", "session_start", "session_end", "n_events")),
     // DIALOGUE-PACK flagship: the conversation-data training-prep flow in
     // one query — gap-sessionize the event stream (sessionTag keeps the
     // member rows), assemble each session's events into one time-ordered
@@ -5240,6 +5249,9 @@ object SparkEntry {
         | JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
     "q_text_roundtrip" -> "SELECT text AS value FROM documents",
     "q_sessionize" -> sessionizeOracle,
+    // identical output by construction — the segmented form shares the
+    // plain form's oracle
+    "q_sessionize_segmented" -> sessionizeOracle,
     // the dialogue flow: the SHARED sessionize CTE prefix (event_type
     // carried through, null utterances filtered on both engines),
     // time-ordered string_agg per session, then the q_pack

@@ -1325,4 +1325,74 @@ object Ops {
         sum(col("__brk")).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__brk")
   }
+
+  /** [[sessionTag]] for CELEBRITY-KEY distributions — bot/power users
+    * holding a visible fraction of the whole corpus, the dialogue-data
+    * reality. [[sessionTag]]'s per-key window puts one user's ENTIRE
+    * history through one task's sort; measured at 10× with one user
+    * holding 10% of events, that task dominates the stage wall-clock
+    * (plans/SKEW.md r11). This form is the asOfJoinBucketed device
+    * applied to C4 — two phases, BIT-IDENTICAL output:
+    *
+    *  1. tag within (keys, `ts div segment`) partitions — the hot user's
+    *    events sort in parallel, one coarse time bucket per task;
+    *  2. chain the per-(key, segment) SUMMARIES (first/last ts, session
+    *    count; one row per non-empty segment, bounded by time range ÷
+    *    `segment`, never by event count) with a per-key window: a
+    *    segment's first local session merges into the previous non-empty
+    *    segment's last iff the boundary gap is ≤ `gap`, and each event's
+    *    global id is `sessions-before + local-id − merges-so-far`.
+    *
+    * A session spanning any number of segments chains through
+    * consecutive merge flags; equal boundary timestamps cannot split
+    * (same ts ⇒ same segment). `tsCol` must be integral (the `div`
+    * segmenting is exact where float division would corrupt ts_ns-scale
+    * values past 2^53).
+    *
+    * Cost: one extra summary-sized window + one (keys, segment) join over
+    * [[sessionTag]]'s single exchange — the flat price for removing the
+    * per-key skew ceiling. Pick `segment` ≥ the typical session span
+    * (e.g. hours for a 10-minute gap): too-fine segments only grow the
+    * summary table, they never change the result.
+    */
+  def sessionTagSegmented(df: DataFrame, keys: Seq[String], tsCol: String,
+                          gap: Long, segment: Long): DataFrame = {
+    require(segment > 0, s"segment must be positive, got $segment")
+    val segc = expr(s"`$tsCol` div $segment")
+    val keySegW = Window.partitionBy((keys.map(col) :+ col("__seg")): _*)
+      .orderBy(col(tsCol))
+    val prev = lag(col(tsCol), 1).over(keySegW)
+    val brk = when(prev.isNull || col(tsCol) - prev > gap, 1L).otherwise(0L)
+    val tagged = df.withColumn("__seg", segc)
+      .withColumn("__lid", sum(brk).over(
+        keySegW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col("__seg"))
+    val prevLast = lag(col("__last"), 1).over(byKey)
+    val summaries = tagged
+      .groupBy((keys :+ "__seg").map(col): _*)
+      .agg(min(col(tsCol)).as("__first"), max(col(tsCol)).as("__last"),
+        max(col("__lid")).as("__ns"))
+      .withColumn("__m",
+        when(prevLast.isNotNull && col("__first") - prevLast <= gap, 1L)
+          .otherwise(0L))
+      .withColumn("__cumS", coalesce(sum(col("__ns")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__cumM", sum(col("__m")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select((keys.map(col) :+ col("__seg") :+ col("__cumS") :+ col("__cumM")): _*)
+    tagged.join(summaries, keys :+ "__seg")
+      .withColumn("session_id", col("__cumS") + col("__lid") - col("__cumM"))
+      .drop("__seg", "__lid", "__cumS", "__cumM")
+  }
+
+  /** [[sessionize]] through [[sessionTagSegmented]] — identical rollup,
+    * identical output (q_sessionize_segmented shares q_sessionize's
+    * oracle), celebrity-key-safe.
+    */
+  def sessionizeSegmented(df: DataFrame, keys: Seq[String], tsCol: String,
+                          gap: Long, segment: Long): DataFrame =
+    sessionTagSegmented(df, keys, tsCol, gap, segment)
+      .groupBy((keys :+ "session_id").map(col): _*)
+      .agg(min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
 }

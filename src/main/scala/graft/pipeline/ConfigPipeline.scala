@@ -668,9 +668,16 @@ object ConfigPipeline {
       case "lm_xent_bigram" =>
         p.stage(name, from)(graft.functions.Lm.bigramCrossEntropy(_,
           knob("id").asText(), knob("text").asText()))
+      // optional "segment" switches to the celebrity-key-safe two-phase
+      // form (bit-identical output; see Ops.sessionTagSegmented)
       case "sessionize" =>
-        p.stage(name, from)(graft.operators.Ops.sessionize(_, strs(knob("keys")),
-          knob("ts").asText(), knob("gap").asLong()))
+        p.stage(name, from)(d =>
+          if (s.has("segment"))
+            graft.operators.Ops.sessionizeSegmented(d, strs(knob("keys")),
+              knob("ts").asText(), knob("gap").asLong(),
+              knob("segment").asLong())
+          else graft.operators.Ops.sessionize(d, strs(knob("keys")),
+            knob("ts").asText(), knob("gap").asLong()))
       // sessionize's member-row half: every input row back + session_id
       // (dialogue assembly / per-session transforms)
       case "session_tag" =>

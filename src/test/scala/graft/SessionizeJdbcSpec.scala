@@ -26,6 +26,34 @@ class SessionizeJdbcSpec extends SparkSpec {
       (2L, 1L, 10L, 10L, 1L), (2L, 2L, 111L, 111L, 1L)))
   }
 
+  test("sessionizeSegmented ≡ sessionize: boundary merges, multi-segment " +
+       "chains, exact-gap edges, and the real events table") {
+    // hand-built edges around a segment size of 100: sessions that span
+    // 2 and 3+ segments, a boundary gap EXACTLY equal to `gap` (merges),
+    // one over (splits), empty segments between events, multiple keys
+    val df = Seq(
+      (1L, 0L), (1L, 95L), (1L, 105L), (1L, 215L), (1L, 299L), (1L, 301L),
+      (1L, 900L),            // empty segments 4..8, new session
+      (2L, 99L), (2L, 199L), // exact-gap boundary merge (gap = 100)
+      (2L, 300L),            // gap 101 > 100: splits at a boundary
+      (3L, 50L)
+    ).toDF("user_id", "ts_us")
+    def canon(d: org.apache.spark.sql.DataFrame) = d
+      .select("user_id", "session_id", "session_start", "session_end", "n_events")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val plain = canon(Ops.sessionize(df, Seq("user_id"), "ts_us", gap = 100L))
+    for (segment <- Seq(100L, 64L, 1000L))
+      assert(canon(Ops.sessionizeSegmented(df, Seq("user_id"), "ts_us",
+        gap = 100L, segment = segment)) == plain, s"segment=$segment")
+    // the real table, celebrity-skewed: remap ~10% of events onto one user
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(when(expr("ts_ns % 10 < 1"), lit(-1L)).otherwise(col("user_id"))
+        .as("user_id"), expr("ts_ns div 1000").as("ts_us"))
+    assert(canon(Ops.sessionizeSegmented(ev, Seq("user_id"), "ts_us",
+        gap = 600000000L, segment = 3600000000L)) ==
+      canon(Ops.sessionize(ev, Seq("user_id"), "ts_us", gap = 600000000L)))
+  }
+
   test("sessionizeState (flatMapGroupsWithState) equals the window-fn form on batch") {
     val ev = graft.sources.Tables.load(spark, sfDir, "events")
       .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
