@@ -85,6 +85,14 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // the driver archives only the LAST ~2000 chars of output, and the
+    // full per-query map is ~6000 — every pre-r11 artifact lost its head
+    // (BENCH_r10's "parsed": null), so no round could diff its
+    // predecessor mechanically. Two-part fix: the FULL map (all queries,
+    // full precision) is written into the repo at plans/BENCH_FULL.json —
+    // committed with the round, so round N+1 diffs N via git history —
+    // and the stdout line (below) carries only the SLOWEST-45 subset,
+    // ms-rounded, so the whole line fits the archive window and parses.
     // anchor gate: REF_ANCHOR is the recorded quiet-machine value (round-7
     // full run, sf0.1/local[32]). Drift beyond ±30% means the machine —
     // not the code — moved; the note makes every cross-round comparison
@@ -96,17 +104,24 @@ object Bench {
       if (drift > 1.3 || drift < 1.0 / 1.3)
         f""","anchor_note":"anchor drifted ${drift}%.2fx vs reference $REF_ANCHOR%.3fs - machine load differs; normalize per-query comparisons by anchor ratio before calling regressions""""
       else ""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","measured":"materialize_all_columns_r8","queries":$qs,"anchor_sec":$anchor,"anchor_ref":$REF_ANCHOR$note,"failed":$failed,"sf":"$sfDir"}"""
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "plans/BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
+      fullLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
+    }
+    val slow = results.sortBy(-_._2).take(45)
+      .map { case (k, v, _) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
+      .mkString("{", ",", "}")
     // "measured" documents the r8 semantics change IN the artifact: full
-    // result materialization (see the toRdd comment above). Per-query
-    // values are not directly comparable to r7-and-earlier lines, which
-    // under-measured projection tails and join-pruned shapes via count().
-    // Field ORDER is load-bearing (r9): the driver's BENCH_r{N}.json keeps
-    // only the last 2000 chars of output, and the 174-query map is ~5000
-    // chars — anchor fields BEFORE "queries" were being truncated out of
-    // every archived artifact, which is why no cross-round comparison
-    // could actually normalize by them. Anchor/failed/sf go AFTER the
-    // queries map so they always survive the tail cut.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","measured":"materialize_all_columns_r8","queries":$qs,"anchor_sec":$anchor,"anchor_ref":$REF_ANCHOR$note,"failed":$failed,"sf":"$sfDir"}""")
+    // result materialization (see the toRdd comment above). The stdout
+    // line must FIT the driver's 2000-char archive window whole — so
+    // "queries" here is the slowest-45 ms-rounded subset (the ones any
+    // regression hunt starts from), "n_queries" carries coverage, and the
+    // complete map lives in the committed plans/BENCH_FULL.json.
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","measured":"materialize_all_columns_r8","n_queries":${results.size},"queries":$slow,"queries_note":"slowest 45 by min-of-2; full map committed at $fullPath","anchor_sec":${math.round(anchor * 100000) / 100000.0},"anchor_ref":$REF_ANCHOR$note,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
