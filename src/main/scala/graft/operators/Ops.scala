@@ -1351,7 +1351,13 @@ object Ops {
     *
     * Cost: one extra summary-sized window + one (keys, segment) join over
     * [[sessionTag]]'s single exchange — the flat price for removing the
-    * per-key skew ceiling. Pick `segment` ≥ the typical session span
+    * per-key skew ceiling. The summary branch deliberately RE-DERIVES the
+    * local tags from a second scan instead of persisting the tagged
+    * corpus: Catalyst prunes that branch to (keys, ts) — fixed-width rows
+    * through its exchange — where a persist would pin every carry column
+    * (the dialogue text) in memory (PLANS.md shows both scans pruned to
+    * 2 columns; AQE broadcasts the summary side of the join back). Pick
+    * `segment` ≥ the typical session span
     * (e.g. hours for a 10-minute gap): too-fine segments only grow the
     * summary table, they never change the result.
     */

@@ -112,7 +112,19 @@ class PlanSpec extends SparkSpec {
       // MaxSim.rerank (consumed twice — without it the whole retrieval
       // stack would EXECUTE twice), and the cached stack printing under
       // both consumers is what inflates the count to 24
-      "q_hybrid_rerank" -> 24)
+      "q_hybrid_rerank" -> 24,
+      // r11 JSON-Schema gate: one fully-fused zero-shuffle projection
+      // (variant parse + every check + concat_ws in one codegen stage)
+      "q_json_schema" -> 0,
+      // r11 stop-term guard: same audited shape as q_bm25_index (df agg +
+      // per-doc sum over the PRUNED postings) — the terms/ consult happens
+      // at plan-construction time, never in the probe plan
+      "q_bm25_stopguard" -> 2,
+      // r11 segmented sessionize: tag window + final rollup on the probe
+      // branch, tag window + summary chain window on the (column-pruned)
+      // summary branch — AQE broadcasts the summary side back, so all 4
+      // exchanges carry (keys, ts)-width rows, never the carry columns
+      "q_sessionize_segmented" -> 4)
     val errs = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)
