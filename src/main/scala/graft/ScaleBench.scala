@@ -246,6 +246,31 @@ object ScaleBench {
             "id", "pos", "embedding", k = 3)
         }
       }
+      // r11 stop-term guard (G58): 50 queries each asking {dup, batch} —
+      // 'dup' is genuinely rare (~5% df), 'batch' is stop-term-df (~76%).
+      // Unguarded, every query's candidate set is corpus-sized (batch's
+      // whole posting list lands in that query's rank-window partition —
+      // the per-key skew the r10 verdict flagged); at maxDfPermille=500
+      // the guard drops 'batch' off the stored terms/ table before its
+      // buckets are listed. Index build untimed per dir (build cost is
+      // the lexical family's r10 story).
+      if (want("bm25_stopterm")) {
+        val idxDir = s"$work/lexidx"
+        graft.similarity.Search.writeLexIndex(
+          Tables.load(spark, dir, "documents"), "doc_id", "text", idxDir,
+          buckets = 16)
+        import spark.implicits._
+        val qs = (0L until 200L).flatMap(q => Seq((q, "dup"), (q, "batch")))
+          .toDF("qid", "term")
+        time("bm25many_stop_unguarded", dir) {
+          graft.similarity.Search.bm25ManyFromIndex(spark, idxDir, qs,
+            "qid", "term", k = 5)
+        }
+        time("bm25many_stop_guarded", dir) {
+          graft.similarity.Search.bm25ManyFromIndex(spark, idxDir, qs,
+            "qid", "term", k = 5, maxDfPermille = 500)
+        }
+      }
       // r11 celebrity-key sessionization: one user holds 10% of the corpus
       // (the bot/power-user reality of dialogue data). sessionize's
       // per-key window puts that user's whole history through ONE task's
