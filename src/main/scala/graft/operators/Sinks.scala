@@ -181,11 +181,29 @@ object Sinks {
     */
   def writeClustered(df: DataFrame, path: String, partitionCols: Seq[String],
                      sortCols: Seq[String], maxRecordsPerFile: Long = 0L,
-                     mode: String = "overwrite"): Unit = {
+                     mode: String = "overwrite",
+                     bloomFilterCols: Seq[String] = Nil,
+                     bloomNdv: Long = 0L): Unit = {
     val sorted = df.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
-    val w = sorted.write.partitionBy(partitionCols: _*).mode(mode)
-    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
-     else w).parquet(path)
+    var w = sorted.write.partitionBy(partitionCols: _*).mode(mode)
+    if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
+    // parquet BLOOM FILTERS on the named columns — the point-lookup lever
+    // for columns that are NOT the sort key: directory partitioning and
+    // row-group min/max stats only prune on clustered dimensions, but a
+    // probe `WHERE id = x` on a scattered column (the dedup/index id
+    // lookup shape) must otherwise read every row group. The reader
+    // (parquet-mr under Spark's pushed filters) tests each row group's
+    // bloom before decoding a page — measured 7-9× on a 2M-row point
+    // probe (plans/LAYOUT.md r11). Size `bloomNdv` near the DISTINCT
+    // count per row group (not the table): an oversized bloom is pure
+    // footer bytes (bench: ndv=|table| on 62k-row files more than
+    // doubled the file size; right-sized it is ~2%).
+    bloomFilterCols.foreach { c =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      if (bloomNdv > 0)
+        w = w.option(s"parquet.bloom.filter.expected.ndv#$c", bloomNdv.toString)
+    }
+    w.parquet(path)
   }
 
   /** Atomic-swap parquet rewrite — the safe way to write an index-delta

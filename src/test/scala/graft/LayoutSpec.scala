@@ -224,6 +224,32 @@ class LayoutSpec extends SparkSpec {
       "marker leaked into the live directory")
   }
 
+  test("bloom-filtered layout: a point probe on a scattered column skips " +
+       "row groups that min/max stats cannot") {
+    val n = 200000L
+    val df = spark.range(n).select(
+      (col("id") * 2654435761L % n).as("k"),
+      concat(lit("pad"), col("id").cast("string")).as("pay"))
+    val base = java.nio.file.Files.createTempDirectory("graft_bloomspec").toString
+    Sinks.writeClustered(df.repartition(8), s"$base/plain", Nil, Nil)
+    Sinks.writeClustered(df.repartition(8), s"$base/bloom", Nil, Nil,
+      bloomFilterCols = Seq("k"), bloomNdv = n / 8)
+    def recordsRead(path: String): Long = {
+      val m = graft.monitor.PipelineMetrics.attach(spark)
+      assert(spark.read.parquet(path).filter(col("k") === 12345L).count() == 1L)
+      Thread.sleep(500) // listener events are async
+      val r = m.snapshot("records_read")
+      m.detach()
+      r
+    }
+    val plain = recordsRead(s"$base/plain")
+    val bloom = recordsRead(s"$base/bloom")
+    // the scattered key defeats min/max pruning (plain reads everything);
+    // the bloom drops all but the holding row group(s)
+    assert(plain >= n, s"expected a full scan without blooms, read $plain")
+    assert(bloom <= plain / 4, s"bloom read $bloom of $plain — no row-group skip")
+  }
+
   test("recoverSwap: completed .next promoted at restart, mid-write " +
        "carcass left alone, between-renames window finished") {
     import org.apache.hadoop.fs.Path

@@ -80,6 +80,29 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("law: sessionizeSegmented equals sessionize for any events, gap, " +
+       "and segment width") {
+    // small ts domain FORCES collisions, boundary-exact gaps, multi-
+    // segment chains, and empty segments; multiple keys share ts values
+    val evGen = for {
+      n <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.chooseNum(1L, 3L)
+        ts <- Gen.chooseNum(0L, 120L)
+      } yield (k, ts))
+    } yield rows
+    check(Prop.forAll(evGen, Gen.chooseNum(1L, 30L), Gen.chooseNum(1L, 50L)) {
+      (rows, gap, segment) =>
+        val df = rows.toDF("user_id", "ts")
+        def canon(d: org.apache.spark.sql.DataFrame) = d
+          .select("user_id", "session_id", "session_start", "session_end",
+            "n_events")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        canon(Ops.sessionizeSegmented(df, Seq("user_id"), "ts", gap, segment)) ==
+          canon(Ops.sessionize(df, Seq("user_id"), "ts", gap))
+    })
+  }
+
   test("law: dupClusters pointer-jumped labels equal the plain fixpoint") {
     // random edge sets: path compression must not change the component
     // minimum any member maps to
