@@ -238,11 +238,12 @@ object SparkEntry {
     """{"type": "object", "required": ["user", "type", "value"],
       | "properties": {
       |  "user": {"type": "object", "required": ["id"],
-      |           "properties": {"id": {"type": "integer"},
-      |                          "name": {"type": "string"}}},
+      |           "properties": {"id": {"type": "integer", "minimum": 0},
+      |                          "name": {"type": "string", "minLength": 1,
+      |                                   "maxLength": 64}}},
       |  "type": {"type": "string",
       |           "enum": ["click", "view", "purchase", "error", "signup"]},
-      |  "value": {"type": "number"},
+      |  "value": {"type": "number", "minimum": 0, "maximum": 15},
       |  "tags": {"type": "array"}}}""".stripMargin
 
   /** The [[syntheticHtml]] expression in DuckDB SQL — same fragments. */
@@ -315,6 +316,31 @@ object SparkEntry {
           T(s, dir, "events").withColumn("raw", expr(jsonSynthSql)),
           "raw", jsonSchemaDemo, parsedCol = None)
         .select(col("event_id"), col("is_valid"), col("violations"))),
+    // STREAMING twin: the gate is a stateless per-row projection, so
+    // validating each micro-batch appends exactly the batch answer
+    // regardless of how the drain splits files (shares q_json_schema's
+    // oracle) — the ingest-side schema firewall a crawl pipeline runs
+    // BEFORE anything stateful sees a malformed message
+    "q_stream_jsonschema" -> ((s, dir) => withStreamShuffle(s) {
+      val msgs = T(s, dir, "events").select(col("event_id"),
+        expr(jsonSynthSql).as("raw"))
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_js").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      msgs.repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+        format = "parquet", schemaDdl = Some(msgs.schema.toDDL),
+        maxFilesPerTrigger = 1)
+      val run = graft.streaming.Streams.toForeachBatch(stream, ckpt,
+        availableNow = true) { (batch, id) =>
+        if (!batch.isEmpty)
+          graft.schema.JsonSchemaGate.validate(batch, "raw", jsonSchemaDemo,
+              parsedCol = None)
+            .select(col("event_id"), col("is_valid"), col("violations"))
+            .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+      }
+      run.awaitTermination()
+      s.read.parquet(s"$outDir/batch_*")
+    }),
     "q_explode" -> ((s, dir) =>
       Ops.serialize(
         T(s, dir, "documents").withColumn("toks", Text.tokens(col("text"))),
@@ -4065,6 +4091,13 @@ object SparkEntry {
     "q_json" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",
     "q_json_schema" -> {
+      val (viol, valid) =
+        graft.schema.JsonSchemaGate.oracleChecksSql(jsonSchemaDemo, "raw")
+      s"""WITH j AS (SELECT event_id, $jsonSynthSql AS raw FROM events)
+         |SELECT event_id, $valid AS is_valid, $viol AS violations FROM j""".stripMargin
+    },
+    // stateless projection: any batch split appends the same rows
+    "q_stream_jsonschema" -> {
       val (viol, valid) =
         graft.schema.JsonSchemaGate.oracleChecksSql(jsonSchemaDemo, "raw")
       s"""WITH j AS (SELECT event_id, $jsonSynthSql AS raw FROM events)

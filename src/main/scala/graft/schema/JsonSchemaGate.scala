@@ -14,10 +14,13 @@ import scala.jdk.CollectionConverters._
   * string column.
   *
   * Supported subset: `type` (object / array / string / integer / number /
-  * boolean), `required`, `enum` (string values), nested `properties` to
-  * any depth, `items` (typing the parsed array — per-ELEMENT validation
-  * is out of subset and documented so). Integers beyond the int64 range
-  * classify engine-dependently and are likewise out of subset.
+  * boolean), `required`, `enum` (string values), `minimum`/`maximum`
+  * (numeric bounds, compared as correctly-rounded doubles on both
+  * engines), `minLength`/`maxLength` (string lengths in code points —
+  * Spark `length` ≡ DuckDB `length`), nested `properties` to any depth,
+  * `items` (typing the parsed array — per-ELEMENT validation is out of
+  * subset and documented so). Integers beyond the int64 range classify
+  * engine-dependently and are likewise out of subset.
   *
   * Validation semantics (JSON-Schema-conventional):
   *  - an unparseable or NULL message → the single violation `malformed`;
@@ -54,7 +57,11 @@ object JsonSchemaGate {
   /** One node of the compiled schema tree. */
   private case class Node(typ: Option[String], enumVals: Seq[String],
                           required: Set[String], props: Seq[(String, Node)],
-                          items: Option[Node])
+                          items: Option[Node],
+                          minimum: Option[Double] = None,
+                          maximum: Option[Double] = None,
+                          minLength: Option[Int] = None,
+                          maxLength: Option[Int] = None)
 
   private def compile(n: JsonNode): Node = {
     val typ = Option(n.get("type")).map(_.asText())
@@ -77,7 +84,11 @@ object JsonSchemaGate {
       }
     }
     val items = Option(n.get("items")).map(compile)
-    Node(typ, enumVals, req, props, items)
+    Node(typ, enumVals, req, props, items,
+      minimum = Option(n.get("minimum")).map(_.asDouble()),
+      maximum = Option(n.get("maximum")).map(_.asDouble()),
+      minLength = Option(n.get("minLength")).map(_.asInt()),
+      maxLength = Option(n.get("maxLength")).map(_.asInt()))
   }
 
   private def parseSchema(schemaJson: String): Node =
@@ -96,6 +107,17 @@ object JsonSchemaGate {
                             guards: Seq[String]) extends Check
   private case class EnumIn(path: String, values: Seq[String],
                             guards: Seq[String]) extends Check
+  /** numeric bounds — checked only when the node IS numeric (a type
+    * violation already reports the rest); both engines compare the same
+    * correctly-rounded double. op ∈ min/max.
+    */
+  private case class Bound(path: String, op: String, bound: Double,
+                           guards: Seq[String]) extends Check
+  /** string length bounds in CODE POINTS (Spark `length` ≡ DuckDB
+    * `length`); checked only when the node IS a string. op ∈ minlen/maxlen.
+    */
+  private case class LenBound(path: String, op: String, bound: Int,
+                              guards: Seq[String]) extends Check
 
   private def checksOf(root: Node): Seq[Check] = {
     val out = Seq.newBuilder[Check]
@@ -106,6 +128,10 @@ object JsonSchemaGate {
         if (node.required(name)) out += Missing(cp, guards)
         child.typ.foreach(t => out += TypeIs(cp, t, guards))
         if (child.enumVals.nonEmpty) out += EnumIn(cp, child.enumVals, guards)
+        child.minimum.foreach(b => out += Bound(cp, "min", b, guards))
+        child.maximum.foreach(b => out += Bound(cp, "max", b, guards))
+        child.minLength.foreach(b => out += LenBound(cp, "minlen", b, guards))
+        child.maxLength.foreach(b => out += LenBound(cp, "maxlen", b, guards))
         if (child.props.nonEmpty) walk(child, cp, guards :+ cp)
       }
     walk(root, "$", if (root.typ.contains("object")) Seq("$") else Nil)
@@ -190,6 +216,14 @@ object JsonSchemaGate {
           guarded(c)(actualType(vcol, p) === "string" &&
             !expr(s"cast(try_variant_get($vcol, '$p') as string)")
               .isin(vs: _*))
+        case c @ Bound(p, op, b, _) =>
+          val v = expr(s"cast(try_variant_get($vcol, '$p') as double)")
+          guarded(c)(actualType(vcol, p).isin("int", "double") &&
+            (if (op == "min") v < lit(b) else v > lit(b)))
+        case c @ LenBound(p, op, b, _) =>
+          val l = length(expr(s"cast(try_variant_get($vcol, '$p') as string)"))
+          guarded(c)(actualType(vcol, p) === "string" &&
+            (if (op == "minlen") l < lit(b) else l > lit(b)))
       }
     val out = df
       .withColumn(vcol, expr(s"try_parse_json(`$jsonCol`)"))
@@ -201,9 +235,11 @@ object JsonSchemaGate {
   }
 
   private def tagOf(c: Check): String = c match {
-    case Missing(p, _)   => s"missing:$p"
-    case TypeIs(p, _, _) => s"type:$p"
-    case EnumIn(p, _, _) => s"enum:$p"
+    case Missing(p, _)      => s"missing:$p"
+    case TypeIs(p, _, _)    => s"type:$p"
+    case EnumIn(p, _, _)    => s"enum:$p"
+    case Bound(p, op, _, _) => s"$op:$p"
+    case LenBound(p, op, _, _) => s"$op:$p"
   }
 
   // ------------------------------------------------------------------
@@ -249,6 +285,12 @@ object JsonSchemaGate {
           case EnumIn(p, vs, _) =>
             val list = vs.map(v => s"'${v.replace("'", "''")}'").mkString(", ")
             s"(${actual(p)} = 'string' AND json_extract_string(TRY_CAST(($rawExpr) AS JSON), '${c.path}') NOT IN ($list))"
+          case Bound(p, op, b, _) =>
+            val cmp = if (op == "min") "<" else ">"
+            s"(${actual(p)} IN ('int', 'double') AND TRY_CAST(json_extract_string(TRY_CAST(($rawExpr) AS JSON), '$p') AS DOUBLE) $cmp $b)"
+          case LenBound(p, op, b, _) =>
+            val cmp = if (op == "minlen") "<" else ">"
+            s"(${actual(p)} = 'string' AND length(json_extract_string(TRY_CAST(($rawExpr) AS JSON), '$p')) $cmp $b)"
         }
         s"CASE WHEN ${guardSql(c)} AND $cond THEN '${tagOf(c)}' END"
       }

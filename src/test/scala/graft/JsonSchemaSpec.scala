@@ -53,6 +53,26 @@ class JsonSchemaSpec extends SparkSpec {
     assert(got(11L) == (false, "type:$.tags"))
   }
 
+  test("numeric bounds and string-length bounds fire exactly, typed-guarded") {
+    val sc =
+      """{"type": "object",
+        | "properties": {
+        |  "n": {"type": "number", "minimum": 0, "maximum": 10},
+        |  "s": {"type": "string", "minLength": 2, "maxLength": 4}}}""".stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"n": 5, "s": "ok"}"""),
+        (2L, """{"n": -0.5, "s": "toolong"}"""),
+        (3L, """{"n": 10.5, "s": "x"}"""),
+        (4L, """{"n": 10, "s": "four"}"""), // boundary values pass (<=, >=)
+        (5L, """{"n": "5", "s": 3}""")      // wrong types: bounds stay silent
+      ).toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "" && got(4L) == "")
+    assert(got(2L) == "min:$.n,maxlen:$.s")
+    assert(got(3L) == "max:$.n,minlen:$.s")
+    assert(got(5L) == "type:$.n,type:$.s")
+  }
+
   test("parsed struct carries the schema's types; null raw is malformed") {
     val df = Seq((1L, """{"user": {"id": 7}, "type": "click", "value": 1.5}"""),
       (2L, null.asInstanceOf[String])).toDF("id", "raw")
