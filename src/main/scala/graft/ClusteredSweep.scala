@@ -55,16 +55,18 @@ object ClusteredSweep {
     val k = 10
     val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
 
-    def centersDf(radius: Float) = (0 until nClusters).map { c =>
-      (c.toLong, Array.tabulate(dim) { j =>
-        (Ann.md5Prefix60(s"ctr:$c:$j").toDouble / (1L << 59).toDouble - 1.0)
-          .toFloat * radius
-      })
-    }.toDF("__c", "__ctr")
+    def centersDf(radius: Float, count: Int = nClusters) =
+      (0 until count).map { c =>
+        (c.toLong, Array.tabulate(dim) { j =>
+          (Ann.md5Prefix60(s"ctr:$c:$j").toDouble / (1L << 59).toDouble - 1.0)
+            .toFloat * radius
+        })
+      }.toDF("__c", "__ctr")
 
-    def deform(clusterOf: org.apache.spark.sql.Column): DataFrame = emb
+    def deform(clusterOf: org.apache.spark.sql.Column,
+               count: Int = nClusters): DataFrame = emb
       .withColumn("__c", clusterOf)
-      .join(broadcast(centersDf(3.0f)), Seq("__c"))
+      .join(broadcast(centersDf(3.0f, count)), Seq("__c"))
       .select(col("vec_id"),
         zip_with(col("__ctr"), col("embedding"),
           (a, b) => a + lit(0.5f) * b).as("embedding"),
@@ -156,9 +158,111 @@ object ClusteredSweep {
           val rec = res.join(truthMs, Seq("query_id", "neighbor_id")).count() / denomMs
           println(f"| pooled mShort=$mShort%-3d | $rec%.3f |")
         }
+        // the q_maxsim_ann_candidates composition's recall knobs: per-token
+        // stored-index probes (trained centroids) vote candidates, exact
+        // MaxSim settles — how much of the true top-k does the vote screen
+        // recover at nprobe < nlist and small per-token shortlists?
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("sweep_mscand").toString
+        graft.similarity.Pq.writeIndex(df, "vec_id", "embedding",
+          dim = dim, m = 4, k = 16, dir = idxDir, nlist = nlist,
+          trained = true)
+        val qTokVecs = df.filter(expr("vec_id DIV 5 % 29 = 0"))
+        println("| composition (tokTopK, nprobe, cand=2k) | recall@10 |")
+        println("|---|---|")
+        for ((tk, nprobe, scored) <- Seq(
+            (3, 2, false), (3, 4, false), (5, 4, false), (10, 8, false),
+            (10, 16, false),
+            (3, 2, true), (3, 4, true), (5, 4, true), (10, 8, true),
+            (10, 16, true))) {
+          val hits = graft.similarity.Pq.probeIndex(qTokVecs, "vec_id",
+            "embedding", idxDir, topK = tk, nprobe = nprobe)
+          import org.apache.spark.sql.expressions.Window
+          val cand = (if (!scored) {
+            // plain hit-count votes (the r11 query's first screen)
+            hits.select(expr("query_id DIV 5").as("query_id"),
+                expr("neighbor_id DIV 5").as("neighbor_id"))
+              .filter(col("query_id") =!= col("neighbor_id"))
+              .groupBy("query_id", "neighbor_id").agg(count(lit(1)).as("v"))
+              .withColumn("rnk", row_number().over(
+                Window.partitionBy(col("query_id"))
+                  .orderBy(col("v").desc, col("neighbor_id").asc)))
+          } else {
+            // coverage+score screen: per (query token, doc) keep the MIN
+            // ADC distance, rank docs by (#covering query tokens DESC,
+            // summed min distance ASC) — the ColBERT-style approximate
+            // MaxSim from retrieved token scores
+            hits.select(col("query_id").as("qtok"),
+                expr("query_id DIV 5").as("query_id"),
+                expr("neighbor_id DIV 5").as("neighbor_id"), col("adc2"))
+              .filter(col("query_id") =!= col("neighbor_id"))
+              .groupBy("query_id", "qtok", "neighbor_id")
+              .agg(min(col("adc2")).as("mind"))
+              .groupBy("query_id", "neighbor_id")
+              .agg(count(lit(1)).as("cov"), sum(col("mind")).as("sd"))
+              .withColumn("rnk", row_number().over(
+                Window.partitionBy(col("query_id"))
+                  .orderBy(col("cov").desc, col("sd").asc,
+                    col("neighbor_id").asc)))
+          }).filter(col("rnk") <= 2 * k).select("query_id", "neighbor_id")
+          val settled = MaxSim.rerank(cand, toks, qToks, "id", "pos",
+            "embedding", k).select("query_id", "neighbor_id")
+          val rec = settled.join(truthMs, Seq("query_id", "neighbor_id"))
+            .count() / denomMs
+          val label = if (scored) "cov+score" else "votes    "
+          println(f"| $label tokTopK=$tk%-2d nprobe=$nprobe%-2d/$nlist | $rec%.3f |")
+        }
         truthMs.unpersist()
       }
       df.unpersist()
+    }
+
+    // ---- 4. the composition in its NATIVE regime: distinctive tokens ----
+    // real token embeddings cluster at vocabulary granularity — a query
+    // token's true MaxSim contributors ARE its nearest neighbors. 128
+    // fine clusters over 2000 tokens (~16 tokens each), index nlist = 32:
+    // the regime the per-token candidate generation exists for, vs the
+    // 16-coarse-cluster corpus above where within-cluster order is noise
+    // and the pooled screen wins.
+    {
+      val fine = deform(pmod(col("vec_id"), lit(128L)), count = 128)
+      val toks = fine.select(expr("vec_id DIV 5").as("id"),
+        expr("vec_id % 5").as("pos"), col("embedding"))
+      val qToks = toks.filter(col("id") % 29 === 0)
+      val k = 10
+      val nQDocs = qToks.select("id").distinct().count()
+      val denomMs = (nQDocs * k).toDouble
+      val truthMs = MaxSim.maxSimTopK(toks, qToks, "id", "pos", "embedding", k)
+        .select("query_id", "neighbor_id").cache()
+      truthMs.count()
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("sweep_mscand_fine").toString
+      graft.similarity.Pq.writeIndex(fine, "vec_id", "embedding",
+        dim = dim, m = 4, k = 16, dir = idxDir, nlist = 32, trained = true)
+      val qTokVecs = fine.filter(expr("vec_id DIV 5 % 29 = 0"))
+      println(s"\n==== distinctive-token regime (128 fine clusters, " +
+        s"qdocs=$nQDocs, k=$k) ====")
+      println("| composition (tokTopK, nprobe, cand=2k) | recall@10 |")
+      println("|---|---|")
+      import org.apache.spark.sql.expressions.Window
+      for ((tk, nprobe) <- Seq((3, 4), (5, 4), (5, 8), (10, 8), (10, 32))) {
+        val hits = graft.similarity.Pq.probeIndex(qTokVecs, "vec_id",
+          "embedding", idxDir, topK = tk, nprobe = nprobe)
+        val cand = hits.select(expr("query_id DIV 5").as("query_id"),
+            expr("neighbor_id DIV 5").as("neighbor_id"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .groupBy("query_id", "neighbor_id").agg(count(lit(1)).as("v"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("v").desc, col("neighbor_id").asc)))
+          .filter(col("rnk") <= 2 * k).select("query_id", "neighbor_id")
+        val settled = MaxSim.rerank(cand, toks, qToks, "id", "pos",
+          "embedding", k).select("query_id", "neighbor_id")
+        val rec = settled.join(truthMs, Seq("query_id", "neighbor_id"))
+          .count() / denomMs
+        println(f"| votes tokTopK=$tk%-2d nprobe=$nprobe%-2d/32 | $rec%.3f |")
+      }
+      truthMs.unpersist(); fine.unpersist()
     }
     spark.stop()
   }

@@ -110,9 +110,22 @@ object RunPipeline {
       case Some(Array("partitioned", spec)) =>
         graft.operators.Sinks.writePartitioned(df, path,
           spec.split(",").toSeq)
+      // bloom=cols[,ndv]: parquet row-group bloom filters on the named
+      // columns — the point-lookup layout for scattered id probes
+      // (Sinks.writeClustered's r11 lever; plans/LAYOUT.md)
+      case Some(Array("bloom", spec)) =>
+        val parts = spec.split(",", -1).toSeq
+        require(parts.nonEmpty && parts.forall(_.nonEmpty),
+          s"bloom layout has an empty segment: '$spec'")
+        val (cols, knobs) = parts.span(p => !p.forall(_.isDigit))
+        require(cols.nonEmpty && knobs.size <= 1,
+          s"bloom layout is cols[,ndv] with the knob LAST: '$spec'")
+        graft.operators.Sinks.writeClustered(df, path, Nil, Nil,
+          bloomFilterCols = cols,
+          bloomNdv = knobs.headOption.map(_.toLong).getOrElse(0L))
       case Some(other) => sys.error(
         s"unknown layout directive '${layout.get}' — expected " +
           "zorder=cols[,bits[,files]] | shuffled=id,seed,shards | " +
-          "partitioned=cols")
+          "partitioned=cols | bloom=cols[,ndv]")
     }
 }
