@@ -273,6 +273,14 @@ object MaxSim {
     * corpus-sized gather exchange is paid ONCE at build time — every
     * probe afterwards starts from the gathered layout (the scaladoc
     * promise at the top of this file made real).
+    *
+    * `trained = true` (k-means coarse quantizer, [[Ann.trainedCentroids]])
+    * is the RECOMMENDED production setting: on real (clustered) embedding
+    * distributions the md5-order document pick leaves hot cells that
+    * defeat partition pruning — measured in plans/ANN.md r11. The
+    * untrained default stays for oracle-replayable cell ids and
+    * zero-training builds; probes and deltas read whichever centroids the
+    * model stores, so the flag is build-time only.
     */
   def writeIndex(docVecs: DataFrame, idCol: String, posCol: String,
                  vecCol: String, dir: String, nlist: Int = 8,

@@ -213,6 +213,14 @@ object Pq {
     * against the stored model and only a deliberate re-train rewrites the
     * index — the same economics as [[graft.dedup.Dedup.indexDelta]] /
     * `winnowIndexDelta`, extended to the vector side of the crawl loop.
+    *
+    * `trained = true` (k-means coarse quantizer, [[Ann.trainedCentroids]])
+    * is the RECOMMENDED production setting: on real (clustered) embedding
+    * distributions the md5-order document pick leaves hot cells that
+    * defeat partition pruning — measured in plans/ANN.md r11. The
+    * untrained default stays for oracle-replayable cell ids and
+    * zero-training builds; probes and deltas read whichever centroids the
+    * model stores, so the flag is build-time only.
     */
   def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
                  dim: Int, m: Int, k: Int, dir: String,

@@ -173,6 +173,14 @@ object Sq {
     * index. No training rounds exist to re-run: rebuilding the model is
     * one min/max aggregate, which makes IVF-SQ the cheapest index of
     * the four families to stand up.
+    *
+    * `trained = true` (k-means coarse quantizer, [[Ann.trainedCentroids]])
+    * is the RECOMMENDED production setting: on real (clustered) embedding
+    * distributions the md5-order document pick leaves hot cells that
+    * defeat partition pruning — measured in plans/ANN.md r11. The
+    * untrained default stays for oracle-replayable cell ids and
+    * zero-training builds; probes and deltas read whichever centroids the
+    * model stores, so the flag is build-time only.
     */
   def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
                  dim: Int, dir: String, nlist: Int = 64,

@@ -627,6 +627,29 @@ class SourcesAnnSpec extends SparkSpec {
         .as[(Long, Long, Long, Double)].collect().toSeq.sorted
     }
     assert(probeAll(trainedFlag = true) == probeAll(trainedFlag = false))
+    // the full lifecycle under a TRAINED model: delta maintenance reads
+    // the stored (trained) centroids, swapWrite rewrites the codes, and
+    // the maintained probe ≡ exhaustive ADC over the maintained
+    // membership under the frozen model — the G47 identity law holds for
+    // trained builds end to end
+    val dirT = java.nio.file.Files.createTempDirectory("pqtrained_d").toString
+    Pq.writeIndex(df.filter($"vec_id" < 48), "vec_id", "embedding",
+      dim = 8, m = 2, k = 2, dir = dirT, nlist = 4, trained = true)
+    val admitted = df.filter($"vec_id" >= 48)
+    val retired = Seq(5L, 6L).toDF("id")
+    graft.operators.Sinks.swapWrite(
+      Pq.indexCodesDelta(admitted, "vec_id", "embedding", dirT, retired),
+      s"$dirT/codes", Seq("cell"))
+    val maintained = df.filter(!$"vec_id".isin(5L, 6L))
+    val cbsT = Pq.trainCodebooks(df.filter($"vec_id" < 48), "vec_id",
+      "embedding", dim = 8, m = 2, k = 2, rounds = 2)
+    val gotT = Pq.probeIndex(df.filter($"vec_id" < 2), "vec_id", "embedding",
+        dirT, topK = 5, nprobe = 4)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val wantT = Pq.adcTopK(df.filter($"vec_id" < 2), maintained,
+        "vec_id", "embedding", cbsT, topK = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(gotT == wantT && gotT.nonEmpty)
     // pad path: more cells than distinct training survivors — empty-cluster
     // slots refill with md5-order picks so nlist is honored exactly
     val tiny = Seq((0L, Array.fill(8)(1.0f)), (1L, Array.fill(8)(-1.0f)),
