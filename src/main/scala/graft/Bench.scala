@@ -82,8 +82,14 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val failedAll = results.collect { case (k, _, false) => k }
+    val failed = failedAll.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+    // the stdout line caps its failed list at 10 names + a count — a
+    // mass-failure round would otherwise blow the line past the archive
+    // window in exactly the case the artifact matters most
+    val failedShort = (failedAll.take(10).map(s => "\"" + s + "\"") ++
+      (if (failedAll.size > 10) Seq("\"+" + (failedAll.size - 10) + " more\"")
+       else Nil)).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // the driver archives only the LAST ~2000 chars of output, and the
     // full per-query map is ~6000 — every pre-r11 artifact lost its head
@@ -91,7 +97,7 @@ object Bench {
     // predecessor mechanically. Two-part fix: the FULL map (all queries,
     // full precision) is written into the repo at plans/BENCH_FULL.json —
     // committed with the round, so round N+1 diffs N via git history —
-    // and the stdout line (below) carries only the SLOWEST-45 subset,
+    // and the stdout line (below) carries only the SLOWEST-40 subset,
     // ms-rounded, so the whole line fits the archive window and parses.
     // anchor gate: REF_ANCHOR is the recorded quiet-machine value (round-7
     // full run, sf0.1/local[32]). Drift beyond ±30% means the machine —
@@ -112,16 +118,16 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
     }
-    val slow = results.sortBy(-_._2).take(45)
+    val slow = results.sortBy(-_._2).take(40)
       .map { case (k, v, _) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
     // "measured" documents the r8 semantics change IN the artifact: full
     // result materialization (see the toRdd comment above). The stdout
     // line must FIT the driver's 2000-char archive window whole — so
-    // "queries" here is the slowest-45 ms-rounded subset (the ones any
+    // "queries" here is the slowest-40 ms-rounded subset (the ones any
     // regression hunt starts from), "n_queries" carries coverage, and the
     // complete map lives in the committed plans/BENCH_FULL.json.
-    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","measured":"materialize_all_columns_r8","n_queries":${results.size},"queries":$slow,"queries_note":"slowest 45 by min-of-2; full map committed at $fullPath","anchor_sec":${math.round(anchor * 100000) / 100000.0},"anchor_ref":$REF_ANCHOR$note,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","measured":"materialize_all_columns_r8","n_queries":${results.size},"queries":$slow,"queries_note":"slowest 40; full: $fullPath","anchor_sec":${math.round(anchor * 100000) / 100000.0},"anchor_ref":$REF_ANCHOR$note,"failed":$failedShort,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -41,8 +41,14 @@ object BloomBench {
       val d = new java.io.File(p)
       d.listFiles().map(_.length()).sum
     }
+    // the scatter is a bijection on [0, n) iff gcd(multiplier, n) = 1 —
+    // probe keys are then the images of three existing ids, so every
+    // probe finds exactly one row at ANY n
+    require(BigInt(2654435761L).gcd(BigInt(n)) == 1,
+      s"rows=$n must be coprime with the scatter multiplier 2654435761")
+    val probeKeys = Seq(n / 7, n / 3, n / 2).map(id => id * 2654435761L % n)
     def probe(path: String): (Double, Long, Long) = {
-      val runs = Seq(123456L, 424242L, 999999L).map { key =>
+      val runs = probeKeys.map { key =>
         val m = PipelineMetrics.attach(spark)
         val t0 = System.nanoTime()
         val c = spark.read.parquet(path).filter(col("k") === key).count()

@@ -120,9 +120,8 @@ object ClusteredSweep {
           Ann.nearestCell(cents, col("embedding")).as("cell")).cache()
         assigned.count()
         for (nprobe <- Seq(1, 2, 4)) {
-          val res = Ann.ivfTopK(queries, df, "vec_id", "embedding", k,
-              nlist = nlist, nprobe = nprobe,
-              trained = label.trim == "trained")
+          val res = Ann.ivfTopKWith(queries, df, "vec_id", "embedding", k,
+              cents, nprobe)
             .select("query_id", "neighbor_id")
           val rec = res.join(truth, Seq("query_id", "neighbor_id")).count() / denom
           val scannedPairs = queries
@@ -179,14 +178,12 @@ object ClusteredSweep {
             "embedding", idxDir, topK = tk, nprobe = nprobe)
           import org.apache.spark.sql.expressions.Window
           val cand = (if (!scored) {
-            // plain hit-count votes (the r11 query's first screen)
-            hits.select(expr("query_id DIV 5").as("query_id"),
-                expr("neighbor_id DIV 5").as("neighbor_id"))
-              .filter(col("query_id") =!= col("neighbor_id"))
-              .groupBy("query_id", "neighbor_id").agg(count(lit(1)).as("v"))
-              .withColumn("rnk", row_number().over(
-                Window.partitionBy(col("query_id"))
-                  .orderBy(col("v").desc, col("neighbor_id").asc)))
+            // plain hit-count votes (the r11 query's screen — the shared
+            // MaxSim.voteCandidates recipe, pre-cut form for the rnk below)
+            graft.similarity.MaxSim.voteCandidates(
+                hits.select(expr("query_id DIV 5").as("query_id"),
+                  expr("neighbor_id DIV 5").as("neighbor_id")), topN = 2 * k)
+              .withColumn("rnk", lit(1)) // already cut
           } else {
             // coverage+score screen: per (query token, doc) keep the MIN
             // ADC distance, rank docs by (#covering query tokens DESC,
@@ -248,14 +245,9 @@ object ClusteredSweep {
       for ((tk, nprobe) <- Seq((3, 4), (5, 4), (5, 8), (10, 8), (10, 32))) {
         val hits = graft.similarity.Pq.probeIndex(qTokVecs, "vec_id",
           "embedding", idxDir, topK = tk, nprobe = nprobe)
-        val cand = hits.select(expr("query_id DIV 5").as("query_id"),
-            expr("neighbor_id DIV 5").as("neighbor_id"))
-          .filter(col("query_id") =!= col("neighbor_id"))
-          .groupBy("query_id", "neighbor_id").agg(count(lit(1)).as("v"))
-          .withColumn("rnk", row_number().over(
-            Window.partitionBy(col("query_id"))
-              .orderBy(col("v").desc, col("neighbor_id").asc)))
-          .filter(col("rnk") <= 2 * k).select("query_id", "neighbor_id")
+        val cand = MaxSim.voteCandidates(
+          hits.select(expr("query_id DIV 5").as("query_id"),
+            expr("neighbor_id DIV 5").as("neighbor_id")), topN = 2 * k)
         val settled = MaxSim.rerank(cand, toks, qToks, "id", "pos",
           "embedding", k).select("query_id", "neighbor_id")
         val rec = settled.join(truthMs, Seq("query_id", "neighbor_id"))

@@ -232,21 +232,15 @@ object ScaleBench {
             expr("vec_id DIV 5").isin(0L, 20L, 40L, 60L, 80L))
           val hits = graft.similarity.Pq.probeIndex(qTokVecs, "vec_id",
             "embedding", idxDir, topK = 5, nprobe = 4)
-          val votes = hits.select(expr("query_id DIV 5").as("query_id"),
-              expr("neighbor_id DIV 5").as("neighbor_id"))
-            .filter(col("query_id") =!= col("neighbor_id"))
-            .groupBy("query_id", "neighbor_id").agg(count(lit(1)).as("votes"))
-          val cand = votes.withColumn("rnk",
-              row_number().over(org.apache.spark.sql.expressions.Window
-                .partitionBy(col("query_id"))
-                .orderBy(col("votes").desc, col("neighbor_id").asc)))
-            .filter(col("rnk") <= 8).select("query_id", "neighbor_id")
+          val cand = graft.similarity.MaxSim.voteCandidates(
+            hits.select(expr("query_id DIV 5").as("query_id"),
+              expr("neighbor_id DIV 5").as("neighbor_id")), topN = 8)
           graft.similarity.MaxSim.rerank(cand, toks,
             toks.filter(col("id").isin(0L, 20L, 40L, 60L, 80L)),
             "id", "pos", "embedding", k = 3)
         }
       }
-      // r11 stop-term guard (G58): 50 queries each asking {dup, batch} —
+      // r11 stop-term guard (G58): 200 queries each asking {dup, batch} —
       // 'dup' is genuinely rare (~5% df), 'batch' is stop-term-df (~76%).
       // Unguarded, every query's candidate set is corpus-sized (batch's
       // whole posting list lands in that query's rank-window partition —
@@ -254,7 +248,7 @@ object ScaleBench {
       // the guard drops 'batch' off the stored terms/ table before its
       // buckets are listed. Index build untimed per dir (build cost is
       // the lexical family's r10 story).
-      if (want("bm25_stopterm")) {
+      if (want("bm25many_stop_unguarded") || want("bm25many_stop_guarded")) {
         val idxDir = s"$work/lexidx"
         graft.similarity.Search.writeLexIndex(
           Tables.load(spark, dir, "documents"), "doc_id", "text", idxDir,
@@ -278,7 +272,8 @@ object ScaleBench {
       // buckets and chains summary rows — same output (oracle-shared),
       // skew ceiling removed. Three rows: uniform baseline, celebrity
       // through the plain window, celebrity through the segmented form.
-      if (want("sessionize_celebrity")) {
+      if (want("sessionize_uniform") || want("sessionize_celeb_plain") ||
+          want("sessionize_celeb_segmented")) {
         lazy val ev = Tables.events(spark, dir)
           .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
         lazy val celeb = ev.select(

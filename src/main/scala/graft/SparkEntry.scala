@@ -2666,15 +2666,9 @@ object SparkEntry {
       val qTokVecs = emb.filter(expr("vec_id DIV 5 % 20 = 0"))
       val hits = graft.similarity.Pq.probeIndex(qTokVecs, "vec_id",
         "embedding", idx, topK = 5, nprobe = 8)
-      val votes = hits.select(expr("query_id DIV 5").as("query_id"),
-          expr("neighbor_id DIV 5").as("neighbor_id"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id").agg(count(lit(1)).as("votes"))
-      val cand = votes.withColumn("rnk",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("query_id"))
-            .orderBy(col("votes").desc, col("neighbor_id").asc)))
-        .filter(col("rnk") <= 8).select("query_id", "neighbor_id")
+      val cand = graft.similarity.MaxSim.voteCandidates(
+        hits.select(expr("query_id DIV 5").as("query_id"),
+          expr("neighbor_id DIV 5").as("neighbor_id")), topN = 8)
       graft.similarity.MaxSim.rerank(cand, toks,
         toks.filter(col("id") % 20 === 0), "id", "pos", "embedding", k = 3)
     }),

@@ -295,12 +295,17 @@ object ConfigPipeline {
         val jcol = knob("json").asText()
         val mode = if (s.has("mode")) knob("mode").asText() else "annotate"
         p.stage(name, from) { d =>
-          val v = graft.schema.JsonSchemaGate.validate(d, jcol, schemaText)
           mode match {
-            case "annotate" => v
-            case "filter" => v.filter(col("is_valid"))
-              .drop("violations", "is_valid", "parsed")
-            case "enforce" => graft.operators.Ops.errorBudget(v,
+            case "annotate" =>
+              graft.schema.JsonSchemaGate.validate(d, jcol, schemaText)
+            // filter discards every appended column, so skip the typed
+            // from_json parse entirely — one JSON parse per row, not two
+            case "filter" =>
+              graft.schema.JsonSchemaGate
+                .validate(d, jcol, schemaText, parsedCol = None)
+                .filter(col("is_valid")).drop("violations", "is_valid")
+            case "enforce" => graft.operators.Ops.errorBudget(
+              graft.schema.JsonSchemaGate.validate(d, jcol, schemaText),
               !col("is_valid"), knob("maxErrors").asLong())
             case other => throw new IllegalArgumentException(
               s"json_schema mode must be annotate/filter/enforce, got $other")

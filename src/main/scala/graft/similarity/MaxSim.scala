@@ -195,6 +195,27 @@ object MaxSim {
     Ann.topKTail(scored, k, scoreCol = "pooled")
   }
 
+  /** Vote-based candidate cut for the stored-candidates composition
+    * (q_maxsim_ann_candidates — its DuckDB oracle replays this exact
+    * arithmetic, so the recipe must live in ONE place; ScaleBench and
+    * ClusteredSweep share it too). `docHits` is a (query_id, neighbor_id)
+    * frame at DOCUMENT granularity — one row per retained token hit,
+    * repeats counting as votes; self-pairs drop and the `topN` most-voted
+    * docs per query survive (ties → lower doc id). Hit-set-sized at every
+    * corpus size; the per-query window sees ≤ |hits| rows.
+    */
+  def voteCandidates(docHits: DataFrame, topN: Int): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    import org.apache.spark.sql.expressions.Window
+    docHits.select(col("query_id"), col("neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id").agg(count(lit(1)).as("__v"))
+      .withColumn("__rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__v").desc, col("neighbor_id").asc)))
+      .filter(col("__rnk") <= topN).select("query_id", "neighbor_id")
+  }
+
   /** Exact-MaxSim re-rank of a (query_id, neighbor_id) candidate frame —
     * the [[Pq.rerank]] recall lever at matrix granularity, exposed for
     * compositions whose candidates come from elsewhere (RRF hybrid

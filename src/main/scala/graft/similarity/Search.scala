@@ -321,6 +321,21 @@ object Search {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
   }
 
+  /** A guarded probe against a pre-r11 layout must fail with the CAUSE
+    * (no terms/ table) and the migration path — not readIndex's
+    * stranded-swap diagnosis, which is about a different failure.
+    */
+  private def requireTermsTable(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, maxDfPermille: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/terms")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"maxDfPermille=$maxDfPermille needs the stored terms/ table, but " +
+        s"$dir has none (pre-guard layout): rebuild with writeLexIndex, " +
+        "run one lexIndexDelta generation to migrate, or probe with " +
+        "maxDfPermille = 1000")
+  }
+
   /** The df-ceiling guard shared by [[bm25FromIndex]] and
     * [[bm25ManyFromIndex]]: a term whose document frequency exceeds
     * `maxDfPermille`/1000 of the corpus is DROPPED before its postings are
@@ -359,6 +374,7 @@ object Search {
     val terms: Seq[String] =
       if (maxDfPermille >= 1000) queryTerms
       else {
+        requireTermsTable(spark, dir, maxDfPermille)
         val tbks = queryTerms.map(t => Ann.md5Prefix60(t) % buckets).distinct
         graft.streaming.Streams.readIndex(spark, s"$dir/terms", recursive = false)
           .filter(col("bucket").isin(tbks: _*))
@@ -410,6 +426,7 @@ object Search {
     val q =
       if (maxDfPermille >= 1000) qAll
       else {
+        requireTermsTable(spark, dir, maxDfPermille)
         val tbks = qAll.select(termBucket(col("term"), buckets).as("b"))
           .distinct().collect().map(_.getLong(0)) // bounded: <= buckets
         val survivors = graft.streaming.Streams
