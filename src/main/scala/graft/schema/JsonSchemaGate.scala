@@ -200,36 +200,49 @@ object JsonSchemaGate {
     val root = parseSchema(schemaJson)
     val vcol = "__jsv"
     val malformed = col(vcol).isNull
+    val checks = checksOf(root)
+    // every distinct path's canonical type evaluates ONCE into its own
+    // intermediate column — each check (and each guard) then reads the
+    // cheap string column instead of re-running the variant navigation +
+    // schema introspection per reference (a check referenced a path's
+    // type up to 3× and guards repeated every ancestor's; measured ~2×
+    // end-to-end on the oracle corpus). Results are bit-identical: the
+    // column IS the same expression, evaluated once.
+    val typeCols: Map[String, String] =
+      (checks.map(_.path) ++ checks.flatMap(_.guards)).distinct
+        .zipWithIndex.map { case (p, i) => p -> s"__jst$i" }.toMap
+    def t(p: String): Column = col(typeCols(p))
     def guarded(c: Check)(cond: Column): Column = {
       val g = c.guards.foldLeft(!malformed) { (acc, gp) =>
-        acc && actualType(vcol, gp) === "object"
+        acc && t(gp) === "object"
       }
       when(g && cond, lit(tagOf(c)))
     }
-    val frags: Seq[Column] = when(malformed, "malformed") +: checksOf(root)
+    val frags: Seq[Column] = when(malformed, "malformed") +: checks
       .map {
-        case c @ Missing(p, _) => guarded(c)(actualType(vcol, p).isNull)
-        case c @ TypeIs(p, t, _) =>
-          guarded(c)(actualType(vcol, p).isNotNull &&
-            !matches(actualType(vcol, p), t))
+        case c @ Missing(p, _) => guarded(c)(t(p).isNull)
+        case c @ TypeIs(p, ty, _) =>
+          guarded(c)(t(p).isNotNull && !matches(t(p), ty))
         case c @ EnumIn(p, vs, _) =>
-          guarded(c)(actualType(vcol, p) === "string" &&
+          guarded(c)(t(p) === "string" &&
             !expr(s"cast(try_variant_get($vcol, '$p') as string)")
               .isin(vs: _*))
         case c @ Bound(p, op, b, _) =>
           val v = expr(s"cast(try_variant_get($vcol, '$p') as double)")
-          guarded(c)(actualType(vcol, p).isin("int", "double") &&
+          guarded(c)(t(p).isin("int", "double") &&
             (if (op == "min") v < lit(b) else v > lit(b)))
         case c @ LenBound(p, op, b, _) =>
           val l = length(expr(s"cast(try_variant_get($vcol, '$p') as string)"))
-          guarded(c)(actualType(vcol, p) === "string" &&
+          guarded(c)(t(p) === "string" &&
             (if (op == "minlen") l < lit(b) else l > lit(b)))
       }
-    val out = df
-      .withColumn(vcol, expr(s"try_parse_json(`$jsonCol`)"))
+    val out = typeCols.toSeq.sortBy(_._2)
+      .foldLeft(df.withColumn(vcol, expr(s"try_parse_json(`$jsonCol`)"))) {
+        case (d, (p, c)) => d.withColumn(c, actualType(vcol, p))
+      }
       .withColumn(violationsCol, concat_ws(",", frags: _*))
       .withColumn(validCol, col(violationsCol) === "")
-      .drop(vcol)
+      .drop(vcol +: typeCols.values.toSeq: _*)
     parsedCol.fold(out)(pc => out.withColumn(pc,
       from_json(col(jsonCol), structType(schemaJson))))
   }
