@@ -158,6 +158,9 @@ object SparkEntry {
 
   /** Multi-query BM25 oracle: the bm25CtesSql scoring chain per (query,
     * doc) with the term sets from [[bm25ManyQueries]] as a VALUES list.
+    * Carries the df-ceiling keep CTE at 990‰ — the r12 default
+    * [[graft.similarity.Search.bm25ManyFromIndex]] now applies — so both
+    * engines drop the same stop terms at any scale factor.
     */
   private def bm25ManyOracle: String = {
     val values = bm25ManyQueries.flatMap { case (qid, ts) =>
@@ -173,7 +176,9 @@ object SparkEntry {
        |           WHERE term IN ($allTerms)
        |           GROUP BY 1, 2, 3),
        |corp AS (SELECT COUNT(*) AS n, SUM(CAST(len(tk) AS BIGINT)) AS sumdl FROM toks),
-       |dfreq AS (SELECT term, COUNT(*) AS df FROM tstats GROUP BY 1),
+       |dfreq0 AS (SELECT term, COUNT(*) AS df FROM tstats GROUP BY 1),
+       |dfreq AS (SELECT f0.term, f0.df FROM dfreq0 f0 CROSS JOIN corp c0
+       |          WHERE f0.df * 1000 <= 990 * c0.n),
        |scored AS (SELECT q.query_id, t.doc_id,
        |    CAST(ln(1 + (c.n - f.df + 0.5) / (f.df + 0.5)) *
        |         ((t.tf * (CAST(1.2 AS DOUBLE) + 1)) /
@@ -193,8 +198,19 @@ object SparkEntry {
   /** BM25 scored-and-cut CTEs ending in `bmtop(doc_id, score)` — shared by
     * q_bm25 and the RRF hybrid (per-term scores quantize to DECIMAL(18,6)
     * before the per-doc sum; see [[graft.similarity.Search]] scaladoc).
+    * `maxDfPermille < 1000` inserts the df-ceiling keep CTE — the SAME
+    * `df·1000 <= ceiling·n` predicate the guarded index probe applies to
+    * its stored terms/ table (990 is [[graft.similarity.Search
+    * .bm25FromIndex]]'s r12 default, so q_bm25_index's oracle carries it
+    * too; the direct-scan q_bm25 stays unguarded, as bm25TopK is).
     */
-  private def bm25CtesSql: String =
+  private def bm25CtesSql: String = bm25CtesSql(1000)
+  private def bm25CtesSql(maxDfPermille: Int): String = {
+    val dfSrc =
+      if (maxDfPermille >= 1000) "dfreq"
+      else
+        s"""(SELECT f0.term, f0.df FROM dfreq f0 CROSS JOIN corp c0
+           |        WHERE f0.df * 1000 <= $maxDfPermille * c0.n)""".stripMargin
     s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
        |tstats AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, term, COUNT(*) AS tf
        |           FROM (SELECT doc_id, tk, unnest(tk) AS term FROM toks)
@@ -208,31 +224,34 @@ object SparkEntry {
        |          (t.tf + CAST(1.2 AS DOUBLE) *
        |           (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (t.dl / (c.sumdl / c.n)))))
        |      AS DECIMAL(18,6)) AS s
-       |  FROM tstats t JOIN dfreq f USING (term) CROSS JOIN corp c),
+       |  FROM tstats t JOIN $dfSrc f USING (term) CROSS JOIN corp c),
        |bmtop AS (SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score
        |          FROM scored GROUP BY doc_id
        |          ORDER BY score DESC, doc_id LIMIT 10)""".stripMargin
+  }
 
   /** Heterogeneous JSON messages synthesized from `events` for the
     * JSON-Schema gate (q_json_schema) — ONE SQL fragment evaluated by
     * BOTH engines (Spark `expr` and DuckDB share the CASE/||/CAST
     * syntax), so the validated input cannot drift between them. Five
-    * shapes by event_id % 5 (valid / string-typed value / missing
-    * required user.id / enum-violating type / missing required value),
-    * with every 7th message malformed outright.
+    * shapes by event_id % 5 (valid / string-typed value + an
+    * integer-element `tags` array that trips the r12 per-ELEMENT items
+    * check / missing required user.id / enum-violating type / missing
+    * required value), with every 7th message malformed outright.
     */
   private val jsonSynthSql: String =
     """CASE WHEN event_id % 7 = 0 THEN '{broken'
       | ELSE CASE CAST(event_id % 5 AS INT)
       |  WHEN 0 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["a", "b"]}'
-      |  WHEN 1 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "' || event_type || '", "value": "' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '"}'
+      |  WHEN 1 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "' || event_type || '", "value": "' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '", "tags": ["ok", 3]}'
       |  WHEN 2 THEN '{"user": {"name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '}'
       |  WHEN 3 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "badtype", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '}'
       |  ELSE '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "' || event_type || '"}'
       | END END""".stripMargin.replace("\n", " ")
 
   /** The q_json_schema demo schema (types + required + enum + nested
-    * object + array — the supported subset exercised end to end).
+    * object + array with per-ELEMENT items validation (r12) — the
+    * supported subset exercised end to end).
     */
   private val jsonSchemaDemo: String =
     """{"type": "object", "required": ["user", "type", "value"],
@@ -244,7 +263,9 @@ object SparkEntry {
       |  "type": {"type": "string",
       |           "enum": ["click", "view", "purchase", "error", "signup"]},
       |  "value": {"type": "number", "minimum": 0, "maximum": 15},
-      |  "tags": {"type": "array"}}}""".stripMargin
+      |  "tags": {"type": "array",
+      |           "items": {"type": "string", "minLength": 1,
+      |                     "maxLength": 8}}}}""".stripMargin
 
   /** The [[syntheticHtml]] expression in DuckDB SQL — same fragments. */
   private def htmlExprSql: String =
@@ -741,6 +762,26 @@ object SparkEntry {
            | {"name": "train", "op": "filter", "from": "sp", "expr": "split = 'train'"},
            | {"name": "dd", "op": "dedup_exact", "from": "train", "id": "doc_id", "text": "text"}
            |]}""".stripMargin).output("dd")),
+
+    // config-built INDEX lifecycle (E4 + G52, r12): the config path stands
+    // a stored IVF-SQ index UP (sq_index_write — trained coarse quantizer
+    // by default) and probes it in the SAME pipeline; nprobe = nlist makes
+    // the probe ≡ the exhaustive sqTopK scan, so the whole build→probe
+    // chain shares q_sq_topk's oracle bit for bit
+    "q_config_index" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_cfg_idx").toString
+      graft.pipeline.ConfigPipeline.fromJson(s,
+        s"""{"stages": [
+           | {"name": "c", "op": "table", "dir": "$dir", "table": "embeddings"},
+           | {"name": "built", "op": "sq_index_write", "from": "c",
+           |  "id": "vec_id", "vec": "embedding", "dim": 64,
+           |  "dir": "$base/sq", "nlist": 16},
+           | {"name": "qf", "op": "filter", "from": "c", "expr": "vec_id < 8"},
+           | {"name": "nn", "op": "sq_index_probe", "from": "qf",
+           |  "id": "vec_id", "vec": "embedding", "dir": "$base/sq",
+           |  "topK": 3, "nprobe": 16}
+           |]}""".stripMargin).output("nn")
+    }),
 
     // ---- bucketed interval join (C5 scale path; same oracle as q_join_window) ----
     "q_join_window_bucketed" -> ((s, dir) => {
@@ -1252,6 +1293,22 @@ object SparkEntry {
           col("__nxt").cast(StringType).as("dst_id"))
       graft.graph.Graph.pageRank(edges, iters = 3)
     }),
+    // DANGLING-mass redistribution (r12) over the SAME sink-bearing graph
+    // (every customer's last order is a sink): each iteration the dangling
+    // nodes' summed rank splits evenly into every node's contribution
+    // before damping — (85·(cs + D div N)) div 100, exact BIGINT, so the
+    // oracle unrolls the same three iterations with the same floor
+    // divisions and total mass no longer decays with the sink count
+    "q_pagerank_dangling" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val edges = T(s, dir, "orders")
+        .withColumn("__nxt", lead(col("o_orderkey"), 1).over(w))
+        .filter(col("__nxt").isNotNull)
+        .select(col("o_orderkey").cast(StringType).as("src_id"),
+          col("__nxt").cast(StringType).as("dst_id"))
+      graft.graph.Graph.pageRank(edges, iters = 3, danglingRedistribute = true)
+    }),
     // degree table over the customer→part purchase graph
     "q_degrees" -> ((s, dir) => {
       val edges = T(s, dir, "orders")
@@ -1604,10 +1661,11 @@ object SparkEntry {
           Seq("spark", "vector", "customer"), k = 10)
         .select(col("id").as("doc_id"), col("score"))),
     // G58: the stored LEXICAL index — postings partitioned by term bucket,
-    // probed without re-scanning the corpus; reading the index back and
-    // scoring through the shared bm25Tail must reproduce bm25TopK
-    // bit-for-bit (shares q_bm25's oracle — the stored-index identity the
-    // other four index families pin the same way)
+    // probed without re-scanning the corpus under the r12 GUARDED default
+    // (maxDfPermille = 990): surviving terms score through the shared
+    // bm25Tail bit-identically to bm25TopK (the stored-index identity the
+    // other four index families pin the same way), and the oracle applies
+    // the identical df·1000 <= 990·n predicate to its own dfreq
     "q_bm25_index" -> ((s, dir) => {
       val base = java.nio.file.Files.createTempDirectory("graft_lexidx").toString
       Search.writeLexIndex(T(s, dir, "documents"), "doc_id", "text", base,
@@ -2674,15 +2732,19 @@ object SparkEntry {
     }),
     // MaxSim index maintenance under the FROZEN model: retire ids, gather +
     // pool + route the admitted docs with the stored scale/centroids — the
-    // oracle re-derives every maintained row from scratch (pooled centroids
-    // from the 90% generation, cosine routing, token counts, exact
-    // Frobenius digests), so maintained ≡ rebuilt is checked row for row
-    // (the q_ann_index_delta identity at matrix granularity)
+    // index builds with the TRAINED coarse quantizer (the r12 default),
+    // whose k-means means are not SQL-replayable, so the oracle reads the
+    // centroids back from the stored model/coarse parquet (the model IS
+    // the frozen contract) and re-derives everything else from scratch
+    // (cosine routing, token counts, exact Frobenius digests): maintained
+    // ≡ rebuilt-under-the-stored-model is checked row for row (the
+    // q_ann_index_delta identity at matrix granularity)
     "q_maxsim_index_delta" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val toks = emb.select(expr("vec_id DIV 5").as("id"),
         expr("vec_id % 5").as("pos"), col("embedding"))
       val idx = java.nio.file.Files.createTempDirectory("graft_msidx_d").toString
+      msIdxDeltaDir.set(idx) // the oracle replay reads model/coarse here
       graft.similarity.MaxSim.writeIndex(toks.filter(col("id") % 10 =!= 0),
         "id", "pos", "embedding", idx, nlist = 8)
       graft.similarity.MaxSim.indexMatsDelta(
@@ -3681,22 +3743,34 @@ object SparkEntry {
       |                            ORDER BY maxsim DESC, neighbor_id) AS rnk
       |  FROM sc) WHERE rnk <= 3""".stripMargin
 
+  /** The index dir the current session's q_maxsim_index_delta run wrote —
+    * the oracle replay reads the TRAINED coarse centroids back from this
+    * stored model (k-means means are not SQL-replayable; the stored model
+    * is the frozen contract both engines must share). [[Verify]] dumps
+    * `oracleSql` AFTER running every query in the same JVM, so the path
+    * is always bound by dump time; the never-written fallback keeps the
+    * SQL well-formed if the map is rendered without a prior run.
+    */
+  private val msIdxDeltaDir = new java.util.concurrent.atomic.AtomicReference[String](
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_msidx_delta_unset")
+
   /** Replay of q_maxsim_index_delta's maintained matrix table: pooled
     * vectors per document (exact integer sums of the quantized token
-    * components), centroids = the 8 md5-first pooled vectors of the 90%
-    * generation (`id % 10 <> 0` — the indexed corpus), routing = argmax
-    * cosine over the pooled doubles with the (cos DESC, cent_id ASC)
-    * ProbeCells order (dots are exact integers; sqrt/division are
-    * correctly-rounded IEEE on both engines, so the cosines are
-    * bit-identical), membership = (indexed − retired) ∪ admitted (retire
-    * applies to stored rows only: `id % 13 <> 0 OR id % 10 = 0`).
-    * ntoks pins each matrix's shape and fro (the exact
-    * integer Σ_tokens ⟨t,t⟩ Frobenius digest) pins its content — the
-    * identity being checked is maintained ≡ re-gathered-from-scratch under
-    * the frozen model.
+    * components), centroids READ FROM THE STORED MODEL ([[msIdxDeltaDir]]
+    * — the build trains them with k-means, which SQL cannot replay; what
+    * the oracle checks is maintenance under the frozen model, and the
+    * model/coarse parquet IS that model), routing = argmax cosine over
+    * the pooled doubles with the (cos DESC, cent_id ASC) ProbeCells order
+    * (dots are exact integers; sqrt/division are correctly-rounded IEEE
+    * on both engines, so the cosines are bit-identical), membership =
+    * (indexed − retired) ∪ admitted (retire applies to stored rows only:
+    * `id % 13 <> 0 OR id % 10 = 0`). ntoks pins each matrix's shape and
+    * fro (the exact integer Σ_tokens ⟨t,t⟩ Frobenius digest) pins its
+    * content — the identity being checked is maintained ≡
+    * re-gathered-from-scratch under the stored model.
     */
-  private val maxSimIndexDeltaOracle: String =
-    """WITH e AS MATERIALIZED (SELECT vec_id // 5 AS id, vec_id % 5 AS pos,
+  private def maxSimIndexDeltaOracle: String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id // 5 AS id, vec_id % 5 AS pos,
       |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 65536.0)) AS qv
       |  FROM embeddings),
       |pool AS MATERIALIZED (SELECT id, list(comp ORDER BY j) AS pv FROM (
@@ -3706,8 +3780,8 @@ object SparkEntry {
       |stats AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS ntoks,
       |    CAST(SUM(list_dot_product(qv, qv)) AS BIGINT) AS fro
       |  FROM e GROUP BY id),
-      |cents AS MATERIALIZED (SELECT md5(CAST(id AS VARCHAR)) AS cent_id, pv AS cv
-      |  FROM pool WHERE id % 10 <> 0 ORDER BY cent_id LIMIT 8),
+      |cents AS MATERIALIZED (SELECT cent_id, CAST(cent_vec AS DOUBLE[]) AS cv
+      |  FROM read_parquet('${msIdxDeltaDir.get}/model/coarse/*.parquet')),
       |asg AS (SELECT id, cent_id AS cell FROM (
       |    SELECT p.id, c.cent_id,
       |      row_number() OVER (PARTITION BY p.id ORDER BY
@@ -4315,6 +4389,35 @@ object SparkEntry {
         |r3 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(cs, 0)) // 100 AS BIGINT) AS rank
         |       FROM nodes n LEFT JOIN c3 ON c3.dst = n.id)
         |SELECT id, rank FROM r3""".stripMargin,
+    // dangling redistribution unrolled the same way: dm_i = the dangling
+    // nodes' summed rank, share = dm // n, added to every contribution
+    // BEFORE damping — same floor divisions, exact BIGINT on both engines
+    "q_pagerank_dangling" ->
+      """WITH nxt AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS src,
+        |    CAST(lead(o_orderkey) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS VARCHAR) AS dst
+        |  FROM orders),
+        |e AS (SELECT src, dst FROM nxt WHERE dst IS NOT NULL),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |dang AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM e)),
+        |od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+        |eo AS (SELECT e.src, e.dst, od.od FROM e JOIN od USING (src)),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |d1 AS (SELECT COALESCE(SUM(rank), 0) AS dm FROM r0 JOIN dang USING (id)),
+        |c1 AS (SELECT dst, SUM(rank // od) AS cs FROM eo JOIN r0 ON r0.id = eo.src GROUP BY dst),
+        |r1 AS (SELECT n.id, CAST(150000 + (85 * (COALESCE(cs, 0) + dm // nn.n)) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN c1 ON c1.dst = n.id CROSS JOIN d1 CROSS JOIN nn),
+        |d2 AS (SELECT COALESCE(SUM(rank), 0) AS dm FROM r1 JOIN dang USING (id)),
+        |c2 AS (SELECT dst, SUM(rank // od) AS cs FROM eo JOIN r1 ON r1.id = eo.src GROUP BY dst),
+        |r2 AS (SELECT n.id, CAST(150000 + (85 * (COALESCE(cs, 0) + dm // nn.n)) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN c2 ON c2.dst = n.id CROSS JOIN d2 CROSS JOIN nn),
+        |d3 AS (SELECT COALESCE(SUM(rank), 0) AS dm FROM r2 JOIN dang USING (id)),
+        |c3 AS (SELECT dst, SUM(rank // od) AS cs FROM eo JOIN r2 ON r2.id = eo.src GROUP BY dst),
+        |r3 AS (SELECT n.id, CAST(150000 + (85 * (COALESCE(cs, 0) + dm // nn.n)) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN c3 ON c3.dst = n.id CROSS JOIN d3 CROSS JOIN nn)
+        |SELECT id, rank FROM r3""".stripMargin,
     "q_degrees" ->
       """WITH e AS (SELECT CAST(o_custkey AS VARCHAR) AS src_id,
         |  CAST(l_partkey AS VARCHAR) AS dst_id
@@ -4665,9 +4768,10 @@ object SparkEntry {
     "q_bm25" ->
       s"""$bm25CtesSql
          |SELECT doc_id, score FROM bmtop""".stripMargin,
-    // the store/load round trip is bit-identical to the direct scan
+    // store/load round trip + the 990‰ df-ceiling default: identical to
+    // the direct scan except terms above the ceiling drop on both engines
     "q_bm25_index" ->
-      s"""$bm25CtesSql
+      s"""${bm25CtesSql(990)}
          |SELECT doc_id, score FROM bmtop""".stripMargin,
     // df-ceiling stop-term guard: the SAME predicate the probe applies to
     // the stored terms/ table (df·1000 <= 780·n) filters the oracle's own
@@ -5392,6 +5496,8 @@ object SparkEntry {
     "q_sq_topk" -> sqOracle,
     "q_sq_ivf" -> sqOracle, // exhaustive IVF-SQ ≡ sqTopK
     "q_sq_index_probe" -> sqOracle, // stored index at nprobe=nlist ≡ sqTopK
+    // config build→probe chain at nprobe=nlist ≡ the exhaustive scan
+    "q_config_index" -> sqOracle,
     "q_sq_index_delta" -> sqIndexDeltaOracle,
     "q_sq_rerank" -> sqRerankOracle,
     "q_jl_topk" -> jlOracle,

@@ -8,13 +8,30 @@ import org.apache.spark.sql.functions._
   * frame-sample as `mapPartitions` stages.
   *
   * The Spark-side plumbing — schema, typed Datasets, per-partition batch
-  * iteration, partition sizing — is REAL and tested. The codec itself is a
-  * clearly marked DETERMINISTIC FAKE (`fakeDecode`): the container has no
-  * image/audio libraries, so the stub derives "pixels" from the bytes in a
-  * reproducible way. Swapping in a real codec changes only the body of
-  * `fakeDecode`; every schema and plan stays identical.
+  * iteration, partition sizing — is REAL and tested. The codec is a
+  * PLUGGABLE SEAM (r12 — the `cypherExecute` injectable-factory device):
+  * [[decodeFeatures]] takes any serializable [[Decoder]]; the default
+  * [[FakeDecoder]] is a clearly marked DETERMINISTIC FAKE (this container
+  * ships no media codecs, so it derives "pixels" from the bytes
+  * reproducibly), and [[ImageIoDecoder]] wires the JDK's own
+  * `javax.imageio` for real PNG/JPEG pixel stats — a production drop-in
+  * (OpenCV, ffmpeg bindings) implements the same one-method trait and NO
+  * operator, schema, or plan changes.
   */
 object Multimodal {
+
+  /** The codec seam: decode one media row to its features. Implementations
+    * MUST be serializable (the instance ships inside the `mapPartitions`
+    * closure to executors) and deterministic per row if downstream oracles
+    * are to replay. Per-partition init (loading a native codec, pinning a
+    * GPU) belongs in [[Decoder.open]], called once per partition before
+    * the row loop.
+    */
+  trait Decoder extends Serializable {
+    /** once-per-partition initialization hook (default no-op). */
+    def open(): Unit = {}
+    def decode(m: Media, frameStride: Int): MediaFeatures
+  }
 
   /** A media row: opaque bytes + typed metadata. */
   final case class Media(id: Long, content: Array[Byte], format: String,
@@ -44,38 +61,82 @@ object Multimodal {
     }
   }
 
-  /** ===== FAKE DECODE (stand-in for a real codec) =====
+  /** ===== FAKE DECODE (the default [[Decoder]]) =====
     * Real version: decode `m.content` with an image/video library and
     * compute per-frame features. This deterministic fake folds the bytes
-    * instead — same signature, same cost shape (touches every byte).
+    * instead — same signature, same cost shape (touches every byte) — and
+    * is what q_multimodal's oracle replays.
     */
-  private def fakeDecode(m: Media, frameStride: Int): MediaFeatures = {
-    var sum = 0L
-    var i = 0
-    while (i < m.content.length) { sum += (m.content(i) & 0xff); i += 1 }
-    val frames = (0 until m.n_frames by frameStride).map { f =>
-      // fake per-frame hash: mix frame index with content prefix
-      var h = 1125899906842597L
-      var j = 0
-      val limit = math.min(m.content.length, 64)
-      while (j < limit) { h = 31 * h + (m.content(j) & 0xff); j += 1 }
-      31 * h + f
+  object FakeDecoder extends Decoder {
+    def decode(m: Media, frameStride: Int): MediaFeatures = {
+      var sum = 0L
+      var i = 0
+      while (i < m.content.length) { sum += (m.content(i) & 0xff); i += 1 }
+      val frames = (0 until m.n_frames by frameStride).map { f =>
+        // fake per-frame hash: mix frame index with content prefix
+        var h = 1125899906842597L
+        var j = 0
+        val limit = math.min(m.content.length, 64)
+        while (j < limit) { h = 31 * h + (m.content(j) & 0xff); j += 1 }
+        31 * h + f
+      }
+      MediaFeatures(m.id, m.format, m.content.length, sum,
+        sum.toDouble / math.max(m.content.length, 1), frames)
     }
-    MediaFeatures(m.id, m.format, m.content.length, sum,
-      sum.toDouble / math.max(m.content.length, 1), frames)
+  }
+
+  /** A REAL decoder over the JDK's own imaging stack (`javax.imageio` —
+    * present in every JRE, no extra dependency): PNG/JPEG bytes decode to
+    * pixels; n_bytes stays the payload size, byte_sum/mean_byte become
+    * pixel-luminance statistics, and each sampled frame hashes its pixel
+    * rows (single-frame stills hash frame 0). Bytes ImageIO cannot parse
+    * (synthetic payloads, unsupported codecs) fall back to [[FakeDecoder]]
+    * rather than fail the partition — a crawl's occasional corrupt image
+    * must not kill the batch.
+    */
+  object ImageIoDecoder extends Decoder {
+    def decode(m: Media, frameStride: Int): MediaFeatures = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+        catch { case _: java.io.IOException => null }
+      if (img == null) FakeDecoder.decode(m, frameStride)
+      else {
+        var lum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            lum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val nPix = math.max(img.getWidth * img.getHeight, 1)
+        val frames = (0 until m.n_frames by frameStride).map { f =>
+          31L * lum + f // stills: one decoded plane hashed per kept frame
+        }
+        MediaFeatures(m.id, m.format, m.content.length, lum,
+          lum.toDouble / (3.0 * nPix), frames)
+      }
+    }
   }
 
   /** Decode + feature-extract as a `mapPartitions` stage: one iterator per
-    * partition (real codecs amortize per-partition init — e.g. loading a
-    * decoder — exactly here), rows stream through without materializing the
-    * whole partition.
+    * partition (codecs amortize per-partition init in [[Decoder.open]],
+    * called exactly here), rows stream through without materializing the
+    * whole partition. The decoder defaults to the deterministic
+    * [[FakeDecoder]]; swap [[ImageIoDecoder]] (or any [[Decoder]]) in and
+    * every schema, partition shape, and downstream plan stays identical —
+    * the spec pins that law.
     */
   def decodeFeatures(spark: SparkSession, media: Dataset[Media],
-                     frameStride: Int = 2): Dataset[MediaFeatures] = {
+                     frameStride: Int = 2,
+                     decoder: Decoder = FakeDecoder): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      // real pipeline: init codec once per partition here
-      it.map(m => fakeDecode(m, frameStride))
+      decoder.open() // once per partition: codec/library init
+      it.map(m => decoder.decode(m, frameStride))
     }
   }
 

@@ -254,20 +254,26 @@ object Sinks {
       require(!fs.exists(p) || fs.delete(p, true),
         s"swapWrite: delete $p failed")
     // recovery: a stranded swap from a crashed earlier run finishes first
-    // when the live dir is GONE (the between-renames crash window — a
-    // .next beside a missing live dir is always a completed write, since
-    // the write job runs while the live dir still exists). A completed
-    // .next BESIDE a live dir (crash after the write job, before the
-    // first rename — the _SWAP_READY marker distinguishes it from a
-    // mid-write carcass) is NOT promoted here: the caller's input frame
-    // was already constructed against the live dir, and Spark file
-    // indexes list eagerly — renaming the live dir away now would fail
-    // that frame's tasks on deleted files mid-job. [[recoverSwap]],
-    // run BEFORE delta frames are built, is the path that promotes it;
-    // reaching this line without it means the caller recomputed the same
-    // deterministic delta against the unchanged live generation, so
-    // discarding the stranded copy costs the redo but never correctness.
-    if (!fs.exists(d) && fs.exists(next)) renameOrDie(next, d)
+    // when the live dir is GONE and the .next carries its _SWAP_READY
+    // marker (the between-renames crash window — post-marker writes
+    // always carry it through that window). The marker is REQUIRED even
+    // with the live dir missing: a FIRST-generation swapWrite runs its
+    // write job with no live dir existing at all, so a crash mid-write
+    // leaves an unmarked partial .next beside a missing live dir —
+    // promoting that carcass would hand every downstream delta a
+    // partial index. Unmarked .next falls through to the cleanup delete
+    // below. A completed .next BESIDE a live dir (crash after the write
+    // job, before the first rename) is NOT promoted here either: the
+    // caller's input frame was already constructed against the live dir,
+    // and Spark file indexes list eagerly — renaming the live dir away
+    // now would fail that frame's tasks on deleted files mid-job.
+    // [[recoverSwap]], run BEFORE delta frames are built, is the path
+    // that promotes it; reaching this line without it means the caller
+    // recomputed the same deterministic delta against the unchanged live
+    // generation, so discarding the stranded copy costs the redo but
+    // never correctness.
+    if (!fs.exists(d) && fs.exists(next) && fs.exists(markerPath(next)))
+      renameOrDie(next, d)
     deleteOrDie(markerPath(d))
     deleteOrDie(old)
     deleteOrDie(next)
@@ -293,10 +299,20 @@ object Sinks {
 
   /** Finish a [[swapWrite]] interrupted by a crash — the RESTART step a
     * maintenance loop runs BEFORE constructing its delta frames. Promotes
-    * a completed `<dir>.next` (live dir missing, or `_SWAP_READY` marker
-    * present) so the previous run's finished delta is kept instead of
-    * silently redone; leaves a mid-write carcass for [[swapWrite]]'s own
-    * cleanup. Returns true when a stranded swap was promoted.
+    * a completed `<dir>.next` — identified by its `_SWAP_READY` marker,
+    * which is REQUIRED: post-marker writes carry it through every window
+    * a promotable .next can exist in (including between the two renames,
+    * when the live dir is briefly missing), so a marker-less .next is
+    * always a mid-write carcass, never a completed swap. The one case a
+    * missing live dir does NOT imply a completed write is exactly the
+    * dangerous one — a FIRST-generation swapWrite (no live dir exists
+    * during its write job) that crashed mid-write: promoting that
+    * unmarked partial would hand the maintenance loop a half-written
+    * index to build every subsequent delta on. Such a carcass beside a
+    * missing live dir is deleted here (there is no old data to preserve
+    * and [[swapWrite]]'s own cleanup would delete it anyway); a carcass
+    * beside a LIVE dir is left for swapWrite's cleanup. Returns true
+    * when a stranded swap was promoted.
     *
     * Ordering matters: promoting moves the live directory, so frames
     * already listed against it would fail on deleted files — which is why
@@ -313,8 +329,10 @@ object Sinks {
     def deleteOrDie(p: Path): Unit =
       require(!fs.exists(p) || fs.delete(p, true),
         s"recoverSwap: delete $p failed")
-    val stranded = fs.exists(next) &&
-      (!fs.exists(d) || fs.exists(markerPath(next)))
+    val stranded = fs.exists(next) && fs.exists(markerPath(next))
+    // first-generation mid-write carcass: unmarked .next, no live dir —
+    // delete rather than promote (see scaladoc)
+    if (!stranded && !fs.exists(d) && fs.exists(next)) deleteOrDie(next)
     if (stranded) {
       deleteOrDie(old)
       if (fs.exists(d)) renameOrDie(d, old)

@@ -92,6 +92,14 @@ import graft.Caching.TrackedSyntax
   * distance; optional nlist/nprobe switch to the IVF-routed form],
   * or "jl" [dim/outDim — top-k in the sign-projected space]),
   * `jl_project` (vec/dim/outDim[, seed] — standalone JL reduction),
+  * stored-index BUILD ops (r12 — a config can stand an index up, then
+  * probe it in the same pipeline: stages resolve in declaration order):
+  * `ann_index_write` (id/vec/dim/m/codebookK/dir[, nlist=64,
+  * trained=true] — the persistent IVFPQ layout), `sq_index_write`
+  * (id/vec/dim/dir[, nlist=64, trained=true]), `maxsim_index_write`
+  * (id/pos/vec/dir[, nlist=8, trained=true] — gathered token matrices),
+  * `lex_index_write` (id/text/dir[, buckets=64] — postings/doclens/
+  * stats/terms; probe with `bm25` + `indexDir`),
   * `sq_index_probe`/`sq_index_delta` (the stored IVF-SQ index twins of
   * `ann_index_probe`/`ann_index_delta`),
   * `maxsim_index_probe`/`maxsim_index_delta` (the stored late-interaction
@@ -160,7 +168,8 @@ object ConfigPipeline {
   /** Every op `fromJson` accepts, alphabetized — quoted in the unknown-op
     * diagnostic so a typo'd config names its fix. */
   val validOps: Seq[String] = Seq(
-    "agg", "ann", "ann_index_delta", "ann_index_probe", "band_keys",
+    "agg", "ann", "ann_index_delta", "ann_index_probe", "ann_index_write",
+    "band_keys",
     "bm25",
     "boilerplate", "c4_clean", "canonical_url", "ccnet_buckets", "chunk",
     "corpus_overlap", "corpus_shuffle", "csv_permissive", "decontaminate",
@@ -171,9 +180,10 @@ object ConfigPipeline {
     "flatten", "gram", "heavy_hitters", "histogram", "html_stats", "html_text",
     "index_delta", "inverted_index", "jl_project", "join", "json_schema",
     "kcenter",
-    "langid", "limit", "manifest",
+    "langid", "lex_index_write", "limit", "manifest",
     "lm_xent", "lm_xent_bigram", "margin_mine", "maxsim",
-    "maxsim_index_delta", "maxsim_index_probe", "maxsim_pooled",
+    "maxsim_index_delta", "maxsim_index_probe", "maxsim_index_write",
+    "maxsim_pooled",
     "maxsim_rerank", "mixture",
     "neardup_incremental", "normalize_unicode",
     "pack", "pagerank", "parquet", "pca_rotate", "percentiles",
@@ -181,7 +191,7 @@ object ConfigPipeline {
     "repetition", "rrf_fuse", "sample", "sample_per_group", "script_stats",
     "select", "session_tag", "sessionize",
     "snapshot_diff", "soft_dedup", "span_dedup", "span_dedup_clean", "split",
-    "sq_index_delta", "sq_index_probe",
+    "sq_index_delta", "sq_index_probe", "sq_index_write",
     "substring_dedup", "substring_dedup_clean",
     "stream_dedup", "stream_dir", "stream_keepbest", "stream_neardup",
     "stream_repetition", "stream_spandedup", "stream_substringdedup",
@@ -425,6 +435,61 @@ object ConfigPipeline {
               knob("dim").asInt(),
               if (s.has("scale")) knob("scale").asDouble() else 1048576.0))
         }
+      // ---- stored-index BUILD ops (r12): the config path can now stand
+      // an index UP, not just probe/maintain one — "the config path IS
+      // the 100 TB path". Each writes the index eagerly when its stage
+      // resolves (stages resolve in declaration order, so a later probe
+      // stage in the same config reads the finished layout) and emits a
+      // one-row summary frame (dir + the frozen build knobs) as its
+      // output. `trained` (default true — the library-wide r12 default)
+      // switches the coarse quantizer; every family forwards it.
+      case "ann_index_write" =>
+        val id = knob("id").asText(); val vec = knob("vec").asText()
+        val dir = knob("dir").asText()
+        val dim = knob("dim").asInt(); val m = knob("m").asInt()
+        val ck = knob("codebookK").asInt()
+        val nlist = if (s.has("nlist")) knob("nlist").asInt() else 64
+        val trained = if (s.has("trained")) knob("trained").asBoolean() else true
+        p.stage(name, from) { d =>
+          graft.similarity.Pq.writeIndex(d, id, vec, dim, m, ck, dir,
+            nlist = nlist, trained = trained)
+          val sp = d.sparkSession; import sp.implicits._
+          Seq((dir, nlist.toLong, m.toLong, ck.toLong, trained))
+            .toDF("dir", "nlist", "m", "codebook_k", "trained")
+        }
+      case "sq_index_write" =>
+        val id = knob("id").asText(); val vec = knob("vec").asText()
+        val dir = knob("dir").asText(); val dim = knob("dim").asInt()
+        val nlist = if (s.has("nlist")) knob("nlist").asInt() else 64
+        val trained = if (s.has("trained")) knob("trained").asBoolean() else true
+        p.stage(name, from) { d =>
+          graft.similarity.Sq.writeIndex(d, id, vec, dim, dir,
+            nlist = nlist, trained = trained)
+          val sp = d.sparkSession; import sp.implicits._
+          Seq((dir, nlist.toLong, dim.toLong, trained))
+            .toDF("dir", "nlist", "dim", "trained")
+        }
+      case "maxsim_index_write" =>
+        val id = knob("id").asText(); val pos = knob("pos").asText()
+        val vec = knob("vec").asText(); val dir = knob("dir").asText()
+        val nlist = if (s.has("nlist")) knob("nlist").asInt() else 8
+        val trained = if (s.has("trained")) knob("trained").asBoolean() else true
+        p.stage(name, from) { d =>
+          graft.similarity.MaxSim.writeIndex(d, id, pos, vec, dir,
+            nlist = nlist, trained = trained)
+          val sp = d.sparkSession; import sp.implicits._
+          Seq((dir, nlist.toLong, trained)).toDF("dir", "nlist", "trained")
+        }
+      // the lexical (BM25) index build — `bm25` with `indexDir` probes it
+      case "lex_index_write" =>
+        val id = knob("id").asText(); val text = knob("text").asText()
+        val dir = knob("dir").asText()
+        val buckets = if (s.has("buckets")) knob("buckets").asInt() else 64
+        p.stage(name, from) { d =>
+          graft.similarity.Search.writeLexIndex(d, id, text, dir, buckets)
+          val sp = d.sparkSession; import sp.implicits._
+          Seq((dir, buckets.toLong)).toDF("dir", "buckets")
+        }
       // persistent-IVFPQ-index probe: route this stage's query vectors
       // against the stored index at `dir` (written by Pq.writeIndex) —
       // the ANN side of the crawl-loop probe family
@@ -634,9 +699,11 @@ object ConfigPipeline {
         val terms = strs(knob("terms"))
         val k = knob("k").asInt()
         // maxDfPermille (index path only): drop near-zero-idf stop terms
-        // whose df exceeds the ceiling before their postings are scanned
+        // whose df exceeds the ceiling before their postings are scanned.
+        // 990 is the library-wide guarded default (Search.bm25FromIndex);
+        // 1000 is the explicit opt-out that admits every term
         val maxDfPm =
-          if (s.has("maxDfPermille")) knob("maxDfPermille").asInt() else 1000
+          if (s.has("maxDfPermille")) knob("maxDfPermille").asInt() else 990
         if (s.has("indexDir"))
           p.stage(name, from)(d => graft.similarity.Search.bm25FromIndex(
             d.sparkSession, knob("indexDir").asText(), terms, k,

@@ -18,9 +18,15 @@ import scala.jdk.CollectionConverters._
   * (numeric bounds, compared as correctly-rounded doubles on both
   * engines), `minLength`/`maxLength` (string lengths in code points —
   * Spark `length` ≡ DuckDB `length`), nested `properties` to any depth,
-  * `items` (typing the parsed array — per-ELEMENT validation is out of
-  * subset and documented so). Integers beyond the int64 range classify
-  * engine-dependently and are likewise out of subset.
+  * `items` with PER-ELEMENT validation (r12): a declared element `type`
+  * is checked against EVERY element (violation `type:$.path[]`), and
+  * element-level `enum` / numeric bounds / string-length bounds fire as
+  * `enum:$.path[]` / `min:`/`max:`/`minlen:`/`maxlen:$.path[]` — each
+  * check conditional on the node being array-typed (a non-array already
+  * reports `type:$.path`) and, like the scalar checks, on the element
+  * being of the checkable runtime type. Element-level `properties`
+  * (arrays of objects) remain out of subset, as do integers beyond the
+  * int64 range (they classify engine-dependently).
   *
   * Validation semantics (JSON-Schema-conventional):
   *  - an unparseable or NULL message → the single violation `malformed`;
@@ -118,10 +124,31 @@ object JsonSchemaGate {
     */
   private case class LenBound(path: String, op: String, bound: Int,
                               guards: Seq[String]) extends Check
+  /** per-ELEMENT checks over an `items`-typed array at `path` (r12):
+    * fire only when the node IS array-typed (a non-array already reports
+    * `type:$path`), and — like their scalar siblings — only on elements
+    * of the checkable runtime type. `kind` ∈ type/enum/min/max/minlen/
+    * maxlen; tag is `<kind-tag>:$path[]`.
+    */
+  private case class ItemsCheck(path: String, kind: String,
+                                expected: String, enumVals: Seq[String],
+                                bound: Double,
+                                guards: Seq[String]) extends Check
 
   private def checksOf(root: Node): Seq[Check] = {
     val out = Seq.newBuilder[Check]
     root.typ.foreach(t => out += TypeIs("$", t, Nil))
+    def itemChecks(cp: String, it: Node, guards: Seq[String]): Unit = {
+      it.typ.foreach(t => out += ItemsCheck(cp, "type", t, Nil, 0, guards))
+      if (it.enumVals.nonEmpty)
+        out += ItemsCheck(cp, "enum", "", it.enumVals, 0, guards)
+      it.minimum.foreach(b => out += ItemsCheck(cp, "min", "", Nil, b, guards))
+      it.maximum.foreach(b => out += ItemsCheck(cp, "max", "", Nil, b, guards))
+      it.minLength.foreach(b =>
+        out += ItemsCheck(cp, "minlen", "", Nil, b.toDouble, guards))
+      it.maxLength.foreach(b =>
+        out += ItemsCheck(cp, "maxlen", "", Nil, b.toDouble, guards))
+    }
     def walk(node: Node, path: String, guards: Seq[String]): Unit =
       node.props.foreach { case (name, child) =>
         val cp = s"$path.$name"
@@ -132,8 +159,10 @@ object JsonSchemaGate {
         child.maximum.foreach(b => out += Bound(cp, "max", b, guards))
         child.minLength.foreach(b => out += LenBound(cp, "minlen", b, guards))
         child.maxLength.foreach(b => out += LenBound(cp, "maxlen", b, guards))
+        child.items.foreach(it => itemChecks(cp, it, guards))
         if (child.props.nonEmpty) walk(child, cp, guards :+ cp)
       }
+    root.items.foreach(it => itemChecks("$", it, Nil))
     walk(root, "$", if (root.typ.contains("object")) Seq("$") else Nil)
     out.result()
   }
@@ -156,9 +185,17 @@ object JsonSchemaGate {
     */
   private def actualType(vcol: String, path: String): Column = {
     val node = expr(s"try_variant_get($vcol, '$path')")
-    val st = expr(s"schema_of_variant(try_variant_get($vcol, '$path'))")
     when(node.isNull, lit(null).cast(StringType))
-      .when(expr(s"is_variant_null(try_variant_get($vcol, '$path'))"), "null")
+      .otherwise(canonicalType(node))
+  }
+
+  /** the canonical-alphabet fold of one PRESENT variant value — shared by
+    * the per-path [[actualType]] and the per-ELEMENT lambda bodies (one
+    * spelling, so path- and element-level classification cannot drift).
+    */
+  private def canonicalType(node: Column): Column = {
+    val st = schema_of_variant(node)
+    when(is_variant_null(node), "null")
       .when(st.startsWith("OBJECT"), "object")
       .when(st.startsWith("ARRAY"), "array")
       .when(st === "STRING", "string")
@@ -198,7 +235,17 @@ object JsonSchemaGate {
                validCol: String = "is_valid",
                parsedCol: Option[String] = Some("parsed")): DataFrame = {
     val root = parseSchema(schemaJson)
-    val vcol = "__jsv"
+    // internal working columns are derived UNIQUE against the input's
+    // own columns (suffix a counter until fresh): there is no
+    // reserved-prefix contract on the input, and withColumn would
+    // silently replace — then drop — a real `__jsv`/`__jst0` column
+    val used = scala.collection.mutable.Set[String](df.columns: _*)
+    def fresh(base: String): String = {
+      var c = base; var i = 0
+      while (used(c)) { c = s"${base}_$i"; i += 1 }
+      used += c; c
+    }
+    val vcol = fresh("__jsv")
     val malformed = col(vcol).isNull
     val checks = checksOf(root)
     // every distinct path's canonical type evaluates ONCE into its own
@@ -207,10 +254,14 @@ object JsonSchemaGate {
     // schema introspection per reference (a check referenced a path's
     // type up to 3× and guards repeated every ancestor's; measured ~2×
     // end-to-end on the oracle corpus). Results are bit-identical: the
-    // column IS the same expression, evaluated once.
+    // column IS the same expression, evaluated once. Array paths under
+    // per-element checks likewise extract their array<variant> ONCE.
     val typeCols: Map[String, String] =
       (checks.map(_.path) ++ checks.flatMap(_.guards)).distinct
-        .zipWithIndex.map { case (p, i) => p -> s"__jst$i" }.toMap
+        .zipWithIndex.map { case (p, i) => p -> fresh(s"__jst$i") }.toMap
+    val arrCols: Map[String, String] =
+      checks.collect { case ItemsCheck(p, _, _, _, _, _) => p }.distinct
+        .zipWithIndex.map { case (p, i) => p -> fresh(s"__jsa$i") }.toMap
     def t(p: String): Column = col(typeCols(p))
     def guarded(c: Check)(cond: Column): Column = {
       val g = c.guards.foldLeft(!malformed) { (acc, gp) =>
@@ -235,14 +286,41 @@ object JsonSchemaGate {
           val l = length(expr(s"cast(try_variant_get($vcol, '$p') as string)"))
           guarded(c)(t(p) === "string" &&
             (if (op == "minlen") l < lit(b) else l > lit(b)))
+        // per-element checks: EXISTS over the extracted array<variant>,
+        // guarded on the node being array-typed; element-level type
+        // classification shares [[canonicalType]] with the path checks
+        case c @ ItemsCheck(p, kind, ty, vs, b, _) =>
+          val arr = col(arrCols(p))
+          val bad: Column => Column = kind match {
+            case "type" => e =>
+              !matches(canonicalType(e), ty)
+            case "enum" => e =>
+              canonicalType(e) === "string" && !e.cast(StringType).isin(vs: _*)
+            case "min" => e =>
+              canonicalType(e).isin("int", "double") &&
+                e.cast(DoubleType) < lit(b)
+            case "max" => e =>
+              canonicalType(e).isin("int", "double") &&
+                e.cast(DoubleType) > lit(b)
+            case "minlen" => e =>
+              canonicalType(e) === "string" &&
+                length(e.cast(StringType)) < lit(b.toInt)
+            case "maxlen" => e =>
+              canonicalType(e) === "string" &&
+                length(e.cast(StringType)) > lit(b.toInt)
+          }
+          guarded(c)(t(p) === "array" && exists(arr, bad))
       }
-    val out = typeCols.toSeq.sortBy(_._2)
-      .foldLeft(df.withColumn(vcol, expr(s"try_parse_json(`$jsonCol`)"))) {
-        case (d, (p, c)) => d.withColumn(c, actualType(vcol, p))
+    val withV = df.withColumn(vcol, expr(s"try_parse_json(`$jsonCol`)"))
+    val withTypes = typeCols.toSeq.sortBy(_._2)
+      .foldLeft(withV) { case (d, (p, c)) => d.withColumn(c, actualType(vcol, p)) }
+    val out = arrCols.toSeq.sortBy(_._2)
+      .foldLeft(withTypes) { case (d, (p, c)) =>
+        d.withColumn(c, expr(s"try_variant_get($vcol, '$p', 'array<variant>')"))
       }
       .withColumn(violationsCol, concat_ws(",", frags: _*))
       .withColumn(validCol, col(violationsCol) === "")
-      .drop(vcol +: typeCols.values.toSeq: _*)
+      .drop(vcol +: (typeCols.values.toSeq ++ arrCols.values.toSeq): _*)
     parsedCol.fold(out)(pc => out.withColumn(pc,
       from_json(col(jsonCol), structType(schemaJson))))
   }
@@ -253,6 +331,7 @@ object JsonSchemaGate {
     case EnumIn(p, _, _)    => s"enum:$p"
     case Bound(p, op, _, _) => s"$op:$p"
     case LenBound(p, op, _, _) => s"$op:$p"
+    case ItemsCheck(p, kind, _, _, _, _) => s"$kind:$p[]"
   }
 
   // ------------------------------------------------------------------
@@ -289,6 +368,21 @@ object JsonSchemaGate {
     def guardSql(c: Check): String =
       (s"NOT $malformed" +: c.guards.map(g => s"${actual(g)} = 'object'"))
         .mkString("(", " AND ", ")")
+    // per-element replay: unnest the array's elements ('$path[*]' — each a
+    // JSON value whose json_type is the element's own type) inside a
+    // correlated EXISTS; the CASE arm keeps unnest off non-arrays, and an
+    // empty array yields EXISTS(∅) = false on both engines
+    def elems(path: String): String =
+      s"""(SELECT unnest(CASE WHEN json_type(TRY_CAST(($rawExpr) AS JSON), '$path') = 'ARRAY'
+         |  THEN json_extract(TRY_CAST(($rawExpr) AS JSON), '$path[*]')
+         |  ELSE CAST([] AS JSON[]) END) AS el)""".stripMargin.replace("\n", " ")
+    def elemActual: String =
+      s"""(CASE json_type(el)
+         |  WHEN 'UBIGINT' THEN 'int' WHEN 'BIGINT' THEN 'int'
+         |  WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
+         |  WHEN 'BOOLEAN' THEN 'bool' WHEN 'OBJECT' THEN 'object'
+         |  WHEN 'ARRAY' THEN 'array' WHEN 'NULL' THEN 'null'
+         |  ELSE 'other' END)""".stripMargin.replace("\n", " ")
     val frags = s"CASE WHEN $malformed THEN 'malformed' END" +:
       checksOf(root).map { c =>
         val cond = c match {
@@ -304,6 +398,23 @@ object JsonSchemaGate {
           case LenBound(p, op, b, _) =>
             val cmp = if (op == "minlen") "<" else ">"
             s"(${actual(p)} = 'string' AND length(json_extract_string(TRY_CAST(($rawExpr) AS JSON), '$p')) $cmp $b)"
+          case ItemsCheck(p, kind, t, vs, b, _) =>
+            val badElem = kind match {
+              case "type" => s"NOT (${matchesSql(elemActual, t)})"
+              case "enum" =>
+                val list = vs.map(v => s"'${v.replace("'", "''")}'")
+                  .mkString(", ")
+                s"($elemActual = 'string' AND json_extract_string(el, '$$') NOT IN ($list))"
+              case "min" =>
+                s"($elemActual IN ('int', 'double') AND TRY_CAST(json_extract_string(el, '$$') AS DOUBLE) < $b)"
+              case "max" =>
+                s"($elemActual IN ('int', 'double') AND TRY_CAST(json_extract_string(el, '$$') AS DOUBLE) > $b)"
+              case "minlen" =>
+                s"($elemActual = 'string' AND length(json_extract_string(el, '$$')) < ${b.toInt})"
+              case "maxlen" =>
+                s"($elemActual = 'string' AND length(json_extract_string(el, '$$')) > ${b.toInt})"
+            }
+            s"(${actual(p)} = 'array' AND EXISTS (SELECT 1 FROM ${elems(p)} WHERE $badElem))"
         }
         s"CASE WHEN ${guardSql(c)} AND $cond THEN '${tagOf(c)}' END"
       }

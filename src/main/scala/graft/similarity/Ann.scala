@@ -161,7 +161,12 @@ object Ann {
     *    each one corpus-sample scan + a k·dim-row driver collect;
     *  - `sampleMod` trains on the deterministic 1/sampleMod md5 slice of
     *    the corpus (production corpora train on a sample; the assignment
-    *    pass always covers every row);
+    *    pass always covers every row). A sampleMod whose hash-mod slice
+    *    selects ZERO rows (legal range depends on corpus size) is not an
+    *    error: [[trainCentroidsQ]] returns no means and every slot
+    *    refills from the md5-order corpus pick below — the caller gets
+    *    the untrained selection instead of a misleading "empty corpus"
+    *    abort;
     *  - duplicate-heavy candidates or empty Lloyd clusters can leave
     *    fewer than `nlist` centroids: missing slots refill with md5-order
     *    corpus picks so the caller's `nlist` is the cell count actually
@@ -203,7 +208,10 @@ object Ann {
     * vectors are already in the space the centroids should live in
     * (quantized embeddings, or integral pooled sums at scale 1); output
     * means stay in that space and may number FEWER than `nlist`
-    * (duplicate-saturated candidates, empty Lloyd clusters) — callers pad.
+    * (duplicate-saturated candidates, empty Lloyd clusters) — or NONE at
+    * all when `q` is empty (an over-aggressive sampleMod slice) — callers
+    * pad from their md5-order pick, which is also where a genuinely empty
+    * corpus fails with its own message.
     */
   private[similarity] def trainCentroidsQ(q: DataFrame, nlist: Int,
                                           rounds: Int): Seq[Array[Double]] = {
@@ -215,7 +223,7 @@ object Ann {
       .orderBy(col("__h"), col("id")).limit(8 * nlist)
       .select(col("qv")).collect()
       .map(_.getSeq[Double](0).toArray)
-    require(cand.nonEmpty, "empty corpus")
+    if (cand.isEmpty) return Nil
     // Gonzalez farthest-point over the candidates (driver-side O((8k)²·d)):
     // start from the smallest-md5 candidate, repeatedly take the candidate
     // farthest from the picked set (ties → lowest candidate index); stop
@@ -245,9 +253,14 @@ object Ann {
   }
 
   /** The build-time centroid switch shared by every IVF family:
-    * md5-order document pick (`trained = false` — zero extra jobs) or
-    * [[trainedCentroids]] k-means (`trained = true` — the real-
-    * distribution cell-balance path).
+    * [[trainedCentroids]] k-means (`trained = true` — the DEFAULT since
+    * r12: on real, clustered embedding distributions the md5 document
+    * pick leaves hot cells that defeat routing and partition pruning —
+    * 4× scan cost for the same recall, recall capped at 0.79 on skewed
+    * regimes where trained reaches 1.0, plans/ANN.md r11 — and a default
+    * IS the product at 100× scale) or the md5-order document pick
+    * (`trained = false` — zero extra jobs, and cell ids an external SQL
+    * replay can re-derive; the oracle-replayable test form).
     */
   private[graft] def centroidsFor(
       corpus: DataFrame, idCol: String, vecCol: String, nlist: Int,
@@ -314,7 +327,7 @@ object Ann {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nlist: Int = 64, nprobe: Int = 8,
-              trained: Boolean = false): DataFrame =
+              trained: Boolean = true): DataFrame =
     ivfTopKWith(queries, corpus, idCol, vecCol, k,
       centroidsFor(corpus, idCol, vecCol, nlist, trained), nprobe)
 

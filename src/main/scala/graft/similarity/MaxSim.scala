@@ -295,17 +295,18 @@ object MaxSim {
     * probe afterwards starts from the gathered layout (the scaladoc
     * promise at the top of this file made real).
     *
-    * `trained = true` (k-means coarse quantizer, [[Ann.trainedCentroids]])
-    * is the RECOMMENDED production setting: on real (clustered) embedding
-    * distributions the md5-order document pick leaves hot cells that
-    * defeat partition pruning — measured in plans/ANN.md r11. The
-    * untrained default stays for oracle-replayable cell ids and
-    * zero-training builds; probes and deltas read whichever centroids the
-    * model stores, so the flag is build-time only.
+    * `trained = true` (k-means coarse quantizer over the pooled vectors,
+    * [[Ann.trainedCentroids]]'s trainer) is the DEFAULT (r12): on real
+    * (clustered) embedding distributions the md5-order document pick
+    * leaves hot cells that defeat partition pruning — measured in
+    * plans/ANN.md r11, and a default IS the product at 100× scale.
+    * `trained = false` remains for zero-training builds and cell ids an
+    * external SQL replay can re-derive; probes and deltas read whichever
+    * centroids the model stores, so the flag is build-time only.
     */
   def writeIndex(docVecs: DataFrame, idCol: String, posCol: String,
                  vecCol: String, dir: String, nlist: Int = 8,
-                 scale: Double = 65536.0, trained: Boolean = false): Unit = {
+                 scale: Double = 65536.0, trained: Boolean = true): Unit = {
     import graft.Caching.TrackedSyntax
     val spark = docVecs.sparkSession
     import spark.implicits._

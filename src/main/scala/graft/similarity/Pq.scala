@@ -215,19 +215,20 @@ object Pq {
     * `winnowIndexDelta`, extended to the vector side of the crawl loop.
     *
     * `trained = true` (k-means coarse quantizer, [[Ann.trainedCentroids]])
-    * is the RECOMMENDED production setting: on real (clustered) embedding
-    * distributions the md5-order document pick leaves hot cells that
-    * defeat partition pruning — measured in plans/ANN.md r11. The
-    * untrained default stays for oracle-replayable cell ids and
-    * zero-training builds; probes and deltas read whichever centroids the
-    * model stores, so the flag is build-time only.
+    * is the DEFAULT (r12): on real (clustered) embedding distributions
+    * the md5-order document pick leaves hot cells that defeat partition
+    * pruning — measured 4× scan cost at equal recall in plans/ANN.md
+    * r11, and a default IS the product at 100× scale. `trained = false`
+    * remains for zero-training builds and for cell ids an external SQL
+    * replay can re-derive; probes and deltas read whichever centroids
+    * the model stores, so the flag is build-time only.
     */
   def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
                  dim: Int, m: Int, k: Int, dir: String,
                  nlist: Int = 64, rounds: Int = 2,
                  scale: Double = 1048576.0,
                  rotation: Option[Array[Array[Double]]] = None,
-                 trained: Boolean = false): Unit = {
+                 trained: Boolean = true): Unit = {
     import graft.functions.Vectors
     val spark = corpus.sparkSession
     // rotate ONCE in the corpus projection; training, cell assignment and
@@ -361,7 +362,7 @@ object Pq {
                  vecCol: String, codebooks: Seq[Seq[(Int, Array[Double])]],
                  topK: Int, nlist: Int = 64, nprobe: Int = 8,
                  scale: Double = 1048576.0,
-                 trained: Boolean = false): DataFrame = {
+                 trained: Boolean = true): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist,
       s"nprobe ($nprobe) must be in [1, nlist=$nlist]")
     import graft.functions.Vectors

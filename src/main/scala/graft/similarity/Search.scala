@@ -342,9 +342,14 @@ object Search {
     * scanned. BM25's idf makes such a term's contribution ~0 while its
     * posting list is corpus-sized — and in the multi-query probe that
     * list lands in ONE task's per-query window partition (per-key skew) —
-    * so production engines skip or impact-order high-df terms. 1000‰
-    * (the default) admits every term: today's behavior, bit-for-bit,
-    * without reading `terms/` (older indexes without it keep probing).
+    * so production engines skip or impact-order high-df terms. 990‰ is
+    * the DEFAULT (r12): the unguarded probe's |Q|·|stop-postings| cost
+    * grows with the corpus (measured 14× at the ×100 decade and widening,
+    * plans/SCALE.md r11.2) while the guarded cut is semantically free
+    * (idf ≈ 0 above 990‰) — a default IS the product at 100× scale.
+    * 1000‰ is the explicit opt-out that admits every term without
+    * reading `terms/` (pre-r11 indexes without that table keep probing
+    * at 1000; any guarded ceiling requires it — [[requireTermsTable]]).
     * The cut is EXACT and engine-replayable: the oracle applies the same
     * `df · 1000 <= maxDfPermille · n` predicate on its own dfreq CTE.
     */
@@ -361,7 +366,7 @@ object Search {
   def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                     queryTerms: Seq[String], k: Int,
                     k1: Double = 1.2, b: Double = 0.75,
-                    maxDfPermille: Int = 1000): DataFrame = {
+                    maxDfPermille: Int = 990): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(maxDfPermille >= 0 && maxDfPermille <= 1000,
       s"maxDfPermille must be in [0, 1000], got $maxDfPermille")
@@ -409,7 +414,7 @@ object Search {
   def bm25ManyFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                         queries: DataFrame, queryCol: String, termCol: String,
                         k: Int, k1: Double = 1.2, b: Double = 0.75,
-                        maxDfPermille: Int = 1000): DataFrame = {
+                        maxDfPermille: Int = 990): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(maxDfPermille >= 0 && maxDfPermille <= 1000,
       s"maxDfPermille must be in [0, 1000], got $maxDfPermille")
@@ -473,6 +478,20 @@ object Search {
     * partitionBy("bucket")) — the atomic-swap writer; an in-place
     * overwrite would delete the postings under the job reading them.
     *
+    * WRITE-BACK ORDER MATTERS: the returned frames read the LIVE index
+    * lazily — `posts` and `terms` list `$dir/postings` eagerly at first
+    * materialization, `doclens` and `stats` list `$dir/doclens` — so a
+    * frame must be written BEFORE the directory it reads is swapped out
+    * from under it. The safe order is terms, stats, postings, doclens
+    * (terms before the postings swap, stats before the doclens swap;
+    * postings/doclens last — swapWrite materializes each to `.next`
+    * before any rename, so a frame may safely read the directory it is
+    * itself replacing). [[writeLexDelta]] performs exactly this sequence;
+    * use it unless you have a reason to hand-order. Each directory swap
+    * is individually atomic; a crash between swaps leaves dirs from two
+    * generations, which the next [[lexIndexDelta]] + [[writeLexDelta]]
+    * run re-converges (every artifact re-derives from postings/doclens).
+    *
     * Returns (postings, doclens, stats, terms) — `terms` is the
     * maintained per-term df table ([[writeLexIndex]]'s fourth artifact,
     * re-aggregated from the maintained postings: index-scan-sized, no
@@ -515,5 +534,28 @@ object Search {
     val terms = posts.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("bucket", termBucket(col("term"), buckets))
     (posts, doclens, stats, terms)
+  }
+
+  /** Write a [[lexIndexDelta]] result back over the live index in the
+    * SAFE order (see lexIndexDelta's scaladoc): terms and stats first —
+    * they lazily read the live postings/doclens directories that the
+    * later swaps replace — then postings, then doclens, each through
+    * [[graft.operators.Sinks.swapWrite]] (atomic per directory). Writing
+    * in the returned-tuple order instead would swap postings out from
+    * under the terms frame's eager file listing: the terms write fails
+    * and the index is left with new postings beside a stale terms/ table,
+    * silently mis-guarding every subsequent df-ceiling probe.
+    */
+  def writeLexDelta(dir: String, posts: DataFrame, doclens: DataFrame,
+                    stats: DataFrame, terms: DataFrame): Unit = {
+    import graft.operators.Sinks
+    // repartition ON the bucket first — the writeLexIndex layout rule:
+    // an unrepartitioned write fans every shuffle partition across every
+    // bucket directory (partitions × buckets tiny files)
+    Sinks.swapWrite(terms.repartition(col("bucket")), s"$dir/terms",
+      Seq("bucket"))
+    Sinks.swapWrite(stats.coalesce(1), s"$dir/stats")
+    Sinks.swapWrite(posts, s"$dir/postings", Seq("bucket"))
+    Sinks.swapWrite(doclens, s"$dir/doclens")
   }
 }

@@ -130,7 +130,7 @@ object Sq {
   def ivfSqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, s: Scales, topK: Int,
                 nlist: Int = 64, nprobe: Int = 8,
-                trained: Boolean = false): DataFrame = {
+                trained: Boolean = true): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist,
       s"nprobe ($nprobe) must be in [1, nlist=$nlist]")
     val cents = Ann.centroidsFor(corpus, idCol, vecCol, nlist, trained)
@@ -175,17 +175,18 @@ object Sq {
     * the four families to stand up.
     *
     * `trained = true` (k-means coarse quantizer, [[Ann.trainedCentroids]])
-    * is the RECOMMENDED production setting: on real (clustered) embedding
-    * distributions the md5-order document pick leaves hot cells that
-    * defeat partition pruning — measured in plans/ANN.md r11. The
-    * untrained default stays for oracle-replayable cell ids and
-    * zero-training builds; probes and deltas read whichever centroids the
-    * model stores, so the flag is build-time only.
+    * is the DEFAULT (r12): on real (clustered) embedding distributions
+    * the md5-order document pick leaves hot cells that defeat partition
+    * pruning — measured in plans/ANN.md r11, and a default IS the
+    * product at 100× scale. `trained = false` remains for zero-training
+    * builds and oracle-replayable cell ids; probes and deltas read
+    * whichever centroids the model stores, so the flag is build-time
+    * only.
     */
   def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
                  dim: Int, dir: String, nlist: Int = 64,
                  scale: Double = 65536.0,
-                 trained: Boolean = false): Unit = {
+                 trained: Boolean = true): Unit = {
     val spark = corpus.sparkSession
     val s = trainScales(corpus, vecCol, dim, scale)
     val cents = Ann.centroidsFor(corpus, idCol, vecCol, nlist, trained)

@@ -28,6 +28,37 @@ class GraphSpec extends SparkSpec {
     assert(r("a") == 150000L)
   }
 
+  test("pageRank danglingRedistribute: hand-computed round, mass no " +
+       "longer decays, default untouched") {
+    // single edge a -> b, 1 iter, redistribute: b is dangling with rank
+    // 1e6; N = 2, share = 500000 — a gains (85·500000) div 100 on top of
+    // teleport, b gains its in-contribution plus the same share
+    val r = Graph.pageRank(Seq(("a", "b")).toDF("src_id", "dst_id"),
+        iters = 1, danglingRedistribute = true)
+      .as[(String, Long)].collect().toMap
+    assert(r("a") == 150000L + (85L * 500000L) / 100L)
+    assert(r("b") == 150000L + (85L * (1000000L + 500000L)) / 100L)
+    // on the sink-bearing chain, redistribution conserves mass up to the
+    // deterministic floor losses: total stays within N·(div remainders)
+    // of N·1e6, where the dropped default visibly decays
+    val n = 3L
+    val tot = Graph.pageRank(chain, iters = 4, danglingRedistribute = true)
+      .agg(sum("rank")).as[Long].head()
+    val totDropped = Graph.pageRank(chain, iters = 4)
+      .agg(sum("rank")).as[Long].head()
+    assert(tot > totDropped, "redistribution did not add the sink mass back")
+    // floor losses are a handful of UNITS per iteration (div od + div 100
+    // + div N), not the ~10^5-unit decay the dropped default shows
+    assert(n * 1000000L - tot < 100L,
+      s"mass decayed beyond floor losses: $tot")
+    assert(n * 1000000L - totDropped > 100000L,
+      s"dropped-mass default unexpectedly conserved: $totDropped")
+    // the default path is byte-identical to before (the flag defaults off)
+    assert(Graph.pageRank(chain, iters = 3).as[(String, Long)].collect().toMap
+      == Graph.pageRank(chain, iters = 3, danglingRedistribute = false)
+        .as[(String, Long)].collect().toMap)
+  }
+
   test("pageRank: result independent of partitioning") {
     val e = chain.repartition(7)
     val a = Graph.pageRank(chain, iters = 4).as[(String, Long)].collect().toSet

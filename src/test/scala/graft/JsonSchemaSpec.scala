@@ -87,6 +87,53 @@ class JsonSchemaSpec extends SparkSpec {
       == "malformed")
   }
 
+  test("per-element items validation: type/enum/bounds/lengths fire as " +
+       "path[] tags, guarded on the node being array-typed") {
+    val sc =
+      """{"type": "object",
+        | "properties": {
+        |  "tags": {"type": "array",
+        |           "items": {"type": "string", "minLength": 2,
+        |                     "maxLength": 4,
+        |                     "enum": ["ab", "cd", "four"]}},
+        |  "ns":   {"type": "array", "items": {"type": "integer",
+        |           "minimum": 0, "maximum": 10}}}}""".stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"tags": ["ab", "cd"], "ns": [0, 10]}"""),
+        (2L, """{"tags": ["ab", 3]}"""),          // int element in a string array
+        (3L, """{"tags": ["x"]}"""),              // too short AND outside enum
+        (4L, """{"tags": ["toolong"]}"""),        // too long AND outside enum
+        (5L, """{"ns": [5, -1, 11]}"""),          // both bounds violated
+        (6L, """{"ns": [5, 2.5]}"""),             // decimal is not an integer
+        (7L, """{"tags": [], "ns": []}"""),       // empty arrays are clean
+        (8L, """{"tags": "notarray"}"""),         // items checks stay silent
+        (9L, """{"tags": ["ab", null]}"""))       // null element fails the type
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "" && got(7L) == "")
+    assert(got(2L) == "type:$.tags[]")
+    assert(got(3L) == "enum:$.tags[],minlen:$.tags[]")
+    assert(got(4L) == "enum:$.tags[],maxlen:$.tags[]")
+    assert(got(5L) == "min:$.ns[],max:$.ns[]")
+    assert(got(6L) == "type:$.ns[]")
+    assert(got(8L) == "type:$.tags")
+    assert(got(9L) == "type:$.tags[]")
+  }
+
+  test("input columns colliding with internal working names survive intact") {
+    val sc = """{"type": "object",
+               | "properties": {"k": {"type": "integer"}}}""".stripMargin
+    // __jsv and __jst0 are the gate's own first picks — a real input
+    // column with those names must pass through untouched
+    val df = Seq((1L, """{"k": 1}""", "keepme", 42L))
+      .toDF("id", "raw", "__jsv", "__jst0")
+    val v = JsonSchemaGate.validate(df, "raw", sc, parsedCol = None)
+    assert(v.columns.count(_ == "__jsv") == 1 &&
+      v.columns.count(_ == "__jst0") == 1)
+    assert(v.select("__jsv", "__jst0", "is_valid")
+      .as[(String, Long, Boolean)].head() == (("keepme", 42L, true)))
+  }
+
   test("non-identifier property names abort (path injection guard)") {
     val bad = """{"type": "object", "properties": {"a'] || x": {"type": "string"}}}"""
     val e = intercept[IllegalArgumentException] {

@@ -273,11 +273,24 @@ class LayoutSpec extends SparkSpec {
     assert(!Sinks.recoverSwap(spark, dir), "promoted a mid-write carcass")
     assert(rows == Set((2L, "gen1")) && fs.exists(new Path(s"$dir.next")))
     fs.delete(new Path(s"$dir.next"), true)
-    // between-renames crash window: live dir gone, .next complete (the
-    // marker travelled with the directory through rename d -> old)
+    // between-renames crash window: live dir gone, .next complete AND
+    // marked — in a real swapWrite the _SWAP_READY marker is created
+    // right after the write job and deleted only after the final rename,
+    // so it is always present in this window
     fs.rename(new Path(dir), new Path(s"$dir.next"))
+    fs.create(new Path(s"$dir.next/_SWAP_READY"), true).close()
     assert(Sinks.recoverSwap(spark, dir), "window swap not finished")
     assert(rows == Set((2L, "gen1")))
+    // FIRST-GENERATION mid-write carcass: unmarked .next beside a MISSING
+    // live dir (the write job of a first build runs with no live dir at
+    // all, so a crash mid-write leaves exactly this). It must be deleted,
+    // never promoted — promoting a partial write would hand every later
+    // delta a half-written index
+    val dirG0 = s"$base/idx_gen0"
+    Seq((7L, "partial")).toDF("id", "v").write.parquet(s"$dirG0.next")
+    assert(!Sinks.recoverSwap(spark, dirG0), "promoted an unmarked carcass")
+    assert(!fs.exists(new Path(s"$dirG0.next")) && !fs.exists(new Path(dirG0)),
+      "first-generation carcass not cleaned up")
     // restart cadence end-to-end: recover first, THEN build the delta
     // frame, then swapWrite — the maintained generation is gen1's
     Seq((3L, "gen2")).toDF("id", "v").write.parquet(s"$dir.next")

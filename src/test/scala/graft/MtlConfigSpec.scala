@@ -401,6 +401,96 @@ class MtlConfigSpec extends SparkSpec {
     assert(jl == jlWant && jl.nonEmpty)
   }
 
+  test("config index BUILD ops: build -> probe chains in ONE config for all " +
+       "four stored families match the programmatic forms") {
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val corpus = spark.read.parquet(emb)
+    val base = java.nio.file.Files.createTempDirectory("cfg_build").toString
+    // IVFPQ: ann_index_write (trained by default) then ann_index_probe at
+    // nprobe = nlist — stages resolve in declaration order, so the probe
+    // reads the finished layout
+    val gotPq = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "c", "op": "parquet", "path": "$emb"},
+         | {"name": "built", "op": "ann_index_write", "from": "c",
+         |  "id": "vec_id", "vec": "embedding", "dim": 64, "m": 2,
+         |  "codebookK": 4, "dir": "$base/pq", "nlist": 8},
+         | {"name": "qf", "op": "filter", "from": "c", "expr": "vec_id < 8"},
+         | {"name": "nn", "op": "ann_index_probe", "from": "qf",
+         |  "id": "vec_id", "vec": "embedding", "dir": "$base/pq",
+         |  "topK": 3, "nprobe": 8}
+         |]}""".stripMargin).output("nn")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val wantPq = graft.similarity.Pq.probeIndex(
+        corpus.filter(col("vec_id") < 8), "vec_id", "embedding", s"$base/pq",
+        topK = 3, nprobe = 8)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(gotPq == wantPq && gotPq.nonEmpty)
+    // the build stage's own output is the frozen-knob summary row
+    assert(ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "c", "op": "parquet", "path": "$emb"},
+         | {"name": "built", "op": "sq_index_write", "from": "c",
+         |  "id": "vec_id", "vec": "embedding", "dim": 64,
+         |  "dir": "$base/sq", "nlist": 8}
+         |]}""".stripMargin).output("built")
+      .select("dir", "nlist").as[(String, Long)].head() == ((s"$base/sq", 8L)))
+    val gotSq = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "c", "op": "parquet", "path": "$emb"},
+         | {"name": "qf", "op": "filter", "from": "c", "expr": "vec_id < 8"},
+         | {"name": "nn", "op": "sq_index_probe", "from": "qf",
+         |  "id": "vec_id", "vec": "embedding", "dir": "$base/sq",
+         |  "topK": 3, "nprobe": 8}
+         |]}""".stripMargin).output("nn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val wantSq = graft.similarity.Sq.probeIndex(
+        corpus.filter(col("vec_id") < 8), "vec_id", "embedding", s"$base/sq",
+        topK = 3, nprobe = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(gotSq == wantSq && gotSq.nonEmpty)
+    // MaxSim: gathered-matrix build + probe in one config
+    val gotMs = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "e", "op": "parquet", "path": "$emb"},
+         | {"name": "t", "op": "select", "from": "e",
+         |  "exprs": ["vec_id DIV 5 AS id", "vec_id % 5 AS pos", "embedding"]},
+         | {"name": "built", "op": "maxsim_index_write", "from": "t",
+         |  "id": "id", "pos": "pos", "vec": "embedding",
+         |  "dir": "$base/ms", "nlist": 8},
+         | {"name": "qt", "op": "filter", "from": "t", "expr": "id % 20 = 0"},
+         | {"name": "nn", "op": "maxsim_index_probe", "from": "qt",
+         |  "id": "id", "pos": "pos", "vec": "embedding", "dir": "$base/ms",
+         |  "k": 3, "nprobe": 8, "mShort": 8}
+         |]}""".stripMargin).output("nn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val toks = corpus.select(expr("vec_id DIV 5").as("id"),
+      expr("vec_id % 5").as("pos"), col("embedding"))
+    val wantMs = graft.similarity.MaxSim.probeIndex(
+        toks.filter(col("id") % 20 === 0), "id", "pos", "embedding",
+        s"$base/ms", k = 3, nprobe = 8, mShort = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(gotMs == wantMs && gotMs.nonEmpty)
+    // lexical: lex_index_write + the bm25 op's indexDir probe path
+    val gotLex = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "d", "op": "parquet", "path": "$docs"},
+         | {"name": "built", "op": "lex_index_write", "from": "d",
+         |  "id": "doc_id", "text": "text", "dir": "$base/lex",
+         |  "buckets": 16},
+         | {"name": "hits", "op": "bm25", "from": "built",
+         |  "indexDir": "$base/lex",
+         |  "terms": ["spark", "vector", "customer"], "k": 10}
+         |]}""".stripMargin).output("hits")
+      .as[(Long, Double)].collect().toSeq
+    val wantLex = graft.similarity.Search.bm25FromIndex(spark, s"$base/lex",
+        Seq("spark", "vector", "customer"), k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(gotLex == wantLex && gotLex.nonEmpty)
+    graft.Caching.drain()
+  }
+
   test("ConfigPipeline drives the persistent IVFPQ index: probe and delta " +
        "match the programmatic forms") {
     val emb = "/root/testdata/sf0.001/embeddings.parquet"

@@ -201,4 +201,37 @@ class PipelineMultimodalSpec extends SparkSpec {
     val sampled = Multimodal.frameSample(media.toDF(), 2)
     assert(sampled.filter(col("id") === 5).count() == (8 + 5 % 16 + 1) / 2)
   }
+
+  test("decoder seam: a swapped Decoder reaches the same pipeline shape, " +
+       "and ImageIoDecoder really decodes a PNG") {
+    val docs = Seq((0L, "x"), (5L, "y")).toDF("doc_id", "text")
+    val media = Multimodal.fakeMedia(spark, docs, "doc_id")
+    // swapping the decoder changes VALUES only — schema, row count, and
+    // every downstream plan stay identical (the seam's whole contract)
+    val fake = Multimodal.decodeFeatures(spark, media)
+    val swapped = Multimodal.decodeFeatures(spark,
+      Multimodal.fakeMedia(spark, docs, "doc_id"),
+      decoder = Multimodal.ImageIoDecoder)
+    assert(fake.schema == swapped.schema)
+    assert(fake.count() == swapped.count())
+    // fakeMedia payloads are not parseable images, so ImageIoDecoder's
+    // corrupt-input fallback kicks in and values agree with the fake —
+    // the batch survives unparseable bytes instead of dying
+    assert(fake.collect().map(f => (f.id, f.byte_sum)).toSeq.sorted ==
+      swapped.collect().map(f => (f.id, f.byte_sum)).toSeq.sorted)
+    // a REAL PNG (rendered with the same JDK imaging stack) decodes to
+    // pixel-luminance stats: 2x2 pure white -> lum = 4 * 3 * 255
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 2).foreach(y => (0 until 2).foreach(x =>
+      img.setRGB(x, y, 0xffffff)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val m = Multimodal.Media(1L, bos.toByteArray, "png", 2, 2, 1)
+    val got = Multimodal.ImageIoDecoder.decode(m, frameStride = 1)
+    assert(got.byte_sum == 4L * 3L * 255L)
+    assert(got.mean_byte == 255.0)
+    assert(got.n_bytes == bos.toByteArray.length)
+    assert(got.frame_hashes == Seq(31L * (4L * 3L * 255L)))
+  }
 }

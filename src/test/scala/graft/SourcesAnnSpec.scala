@@ -324,6 +324,42 @@ class SourcesAnnSpec extends SparkSpec {
     assert(guardedMany == perGuarded && guardedMany.nonEmpty)
   }
 
+  test("writeLexDelta writes the maintained index back in the SAFE order; " +
+       "probes over the written-back index ≡ a from-scratch rebuild") {
+    val docs = Seq(
+      (1L, "spark spark spark common common"),
+      (2L, "spark common common common common"),
+      (3L, "common common common common common"),
+      (4L, "spark rare common")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lexidx_wb").toString
+    Search.writeLexIndex(docs, "doc_id", "text", dir, buckets = 8)
+    // doc 2 is in BOTH sets — the single-call replace; 3 retires; 5 enters
+    val admitted = Seq((5L, "fresh spark doc"), (2L, "spark rare rewrite"))
+      .toDF("doc_id", "text")
+    val retired = Seq(2L, 3L).toDF("id")
+    val (posts, doclens, stats, terms) = Search.lexIndexDelta(
+      admitted, "doc_id", "text", dir, retired)
+    // the hazard under test: terms/stats lazily read the live
+    // postings/doclens dirs, so writeLexDelta must swap them FIRST —
+    // tuple-order writes would fail the terms job on deleted files
+    Search.writeLexDelta(dir, posts, doclens, stats, terms)
+    val membership = docs.filter(!$"doc_id".isin(2L, 3L)).unionByName(admitted)
+    val dir2 = java.nio.file.Files.createTempDirectory("lexidx_wb2").toString
+    Search.writeLexIndex(membership, "doc_id", "text", dir2, buckets = 8)
+    def probe(d: String) =
+      Search.bm25FromIndex(spark, d, Seq("spark", "rare"), k = 5)
+        .as[(Long, Double)].collect().toSeq
+    assert(probe(dir) == probe(dir2) && probe(dir).nonEmpty)
+    // the guarded probe consults the SWAPPED terms/ table — a stale
+    // terms/ beside new postings would drop the wrong terms
+    def guarded(d: String) =
+      Search.bm25FromIndex(spark, d, Seq("spark", "common"), k = 5,
+          maxDfPermille = 700)
+        .as[(Long, Double)].collect().toSeq
+    assert(guarded(dir) == guarded(dir2))
+    graft.Caching.drain()
+  }
+
   test("rrfFuse sums integer reciprocal-rank contributions and cuts top-k") {
     val l1 = Seq((0L, 10L, 1L), (0L, 11L, 2L), (1L, 20L, 1L)).toDF("q", "id", "rank")
     val l2 = Seq((0L, 11L, 1L), (0L, 12L, 2L), (1L, 20L, 1L)).toDF("q", "id", "rank")
@@ -580,7 +616,11 @@ class SourcesAnnSpec extends SparkSpec {
         admitted, "vec_id", "embedding", dir, retired)
       .as[(Long, String, Seq[Int])].collect().toSet
     val membership = df.filter(!$"vec_id".isin(3L, 4L)).unionByName(admitted)
-    val cents = graft.similarity.Ann.coarseCentroids(df, "vec_id", "embedding", 4)
+    // the rebuild must route with the STORED (trained — the r12 default)
+    // centroids: the identity under test is maintenance under the frozen
+    // model, and the model/coarse parquet IS that model
+    val cents = spark.read.parquet(s"$dir/model/coarse")
+      .as[(String, Seq[Float])].collect().toSeq.sortBy(_._1)
     val celled = membership.select(col("vec_id"), col("embedding"),
       graft.similarity.Ann.nearestCell(cents, col("embedding")).as("cell"))
     val rebuilt = graft.similarity.Pq.encode(celled, "vec_id", "embedding",
@@ -710,8 +750,10 @@ class SourcesAnnSpec extends SparkSpec {
       .as[(Long, String, Seq[Int])].collect().toSet
     val membershipR = Pca.rotateAll(
       df.filter($"vec_id" =!= 3L).unionByName(admitted), "embedding", rot)
-    val centsR = graft.similarity.Ann
-      .coarseCentroids(dfR, "vec_id", "embedding", 4)
+    // rebuild routes with the STORED (trained-by-default) centroids —
+    // frozen-model identity, same device as the unrotated delta test
+    val centsR = spark.read.parquet(s"$dir/model/coarse")
+      .as[(String, Seq[Float])].collect().toSeq.sortBy(_._1)
     val celledR = membershipR.select(col("vec_id"), col("embedding"),
       graft.similarity.Ann.nearestCell(centsR, col("embedding")).as("cell"))
     val rebuilt = Pq.encode(celledR, "vec_id", "embedding", cbsR,

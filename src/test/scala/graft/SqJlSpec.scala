@@ -194,7 +194,10 @@ class SqJlSpec extends SparkSpec {
     val maintained = Sq.indexCodesDelta(admitted, "vec_id", "embedding",
         dir, retired)
       .as[(Long, String, Seq[Int])].collect().toSet
-    val cents = Ann.coarseCentroids(emb, "vec_id", "embedding", 8)
+    // rebuild routes with the STORED (trained — the r12 default) cells:
+    // the identity is maintenance under the frozen model
+    val cents = spark.read.parquet(s"$dir/model/coarse")
+      .as[(String, Seq[Float])].collect().toSeq.sortBy(_._1)
     val membership = emb.select(col("vec_id"), col("embedding"))
       .filter(!col("vec_id").isin(3L, 4L)).unionByName(admitted)
     val celled = membership.select(col("vec_id"), col("embedding"),
