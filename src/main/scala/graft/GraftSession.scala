@@ -33,6 +33,17 @@ object GraftSession {
     // exists to avoid. Each group's state here is a k-sized heap, so
     // 64k hash entries are a few MB, nowhere near executor pressure.
     conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+    // FileStreamSink.hasMetadata logs a FULL FileNotFoundException stack
+    // trace at WARN every time a batch read opens a glob path (our
+    // stream queries' `read.parquet(".../batch_*")` drain shape) — pure
+    // noise that buried the r11 bench artifact's JSON tail. Benign by
+    // construction (the probe just means "not a streaming-sink dir"), so
+    // that ONE logger is raised to ERROR; everything else keeps the
+    // session's level.
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () } // a non-log4j2 binding: skip, cosmetic
     spark
   }
 

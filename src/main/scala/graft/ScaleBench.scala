@@ -265,6 +265,33 @@ object ScaleBench {
             "qid", "term", k = 5, maxDfPermille = 500)
         }
       }
+      // r12: the SHIPPED default (maxDfPermille = 990) across the decade.
+      // 990 only cuts terms in >99% of documents (idf ≈ 0.01 — the truly
+      // free cut; 'batch' at 76% df keeps real signal and survives the
+      // default), so the corpus gets an omnipresent token appended to
+      // every doc — the "the"-grade term every real crawl has. Queries
+      // ask {dup, omni}: under the 1000 opt-out every query drags the
+      // WHOLE omni posting list through its rank-window partition; the
+      // default drops it off the stored terms/ table before its buckets
+      // are listed and the row stays flat.
+      if (want("bm25many_default_990") || want("bm25many_default_1000")) {
+        val idxDir = s"$work/lexidx_omni"
+        graft.similarity.Search.writeLexIndex(
+          Tables.load(spark, dir, "documents")
+            .withColumn("text", concat(col("text"), lit(" omni"))),
+          "doc_id", "text", idxDir, buckets = 16)
+        import spark.implicits._
+        val qs = (0L until 200L).flatMap(q => Seq((q, "dup"), (q, "omni")))
+          .toDF("qid", "term")
+        time("bm25many_default_990", dir) {
+          graft.similarity.Search.bm25ManyFromIndex(spark, idxDir, qs,
+            "qid", "term", k = 5) // 990 IS the default
+        }
+        time("bm25many_default_1000", dir) {
+          graft.similarity.Search.bm25ManyFromIndex(spark, idxDir, qs,
+            "qid", "term", k = 5, maxDfPermille = 1000)
+        }
+      }
       // r11 celebrity-key sessionization: one user holds 10% of the corpus
       // (the bot/power-user reality of dialogue data). sessionize's
       // per-key window puts that user's whole history through ONE task's
