@@ -76,6 +76,10 @@ class PlanSpec extends SparkSpec {
       "q_sq_topk" -> 1, "q_sq_ivf" -> 1, "q_jl_topk" -> 1,
       "q_sq_index_probe" -> 1, "q_sq_index_delta" -> 0,
       "q_sq_rerank" -> 1,
+      // r12 config build→probe chain: the probe plan is q_sq_index_probe's
+      // (the build stage runs eagerly at pipeline resolution, before the
+      // returned plan exists — its jobs never appear in the probe plan)
+      "q_config_index" -> 1,
       // r10 stored lexical index: the probe's only exchanges are the
       // query-term df aggregate and the per-doc score sum over the PRUNED
       // postings (corp stats and dfreq broadcast; top-k is TakeOrdered);
