@@ -52,8 +52,13 @@ object AnnSweep {
     println("|---|---|---|---|")
     println(f"| brute force | 1.000 | $tBrute%.2f | 1.00x |")
     for (nprobe <- Seq(1, 2, 4, 8, 16, 32, 64)) {
+      // trained = false, explicitly: this sweep's historical tables
+      // (plans/ANN.md r8-r11) measure the md5-pick quantizer, and the
+      // r12 trained default would otherwise re-run full k-means INSIDE
+      // the timer once per nprobe row over identical inputs — the
+      // trained-quantizer comparison has its own harness (ClusteredSweep)
       val (res, t) = timed(Ann.ivfTopK(queries, emb, "vec_id", "embedding", k,
-        nlist = 64, nprobe = nprobe))
+        nlist = 64, nprobe = nprobe, trained = false))
       println(f"| IVF nlist=64 nprobe=$nprobe%-2d | ${recall(res)}%.3f | $t%.2f | ${t / tBrute}%.2fx |")
       res.unpersist()
     }

@@ -257,8 +257,10 @@ object ScaleBench {
         val qs = (0L until 200L).flatMap(q => Seq((q, "dup"), (q, "batch")))
           .toDF("qid", "term")
         time("bm25many_stop_unguarded", dir) {
+          // explicit 1000: the library default is now the 990 guard, and
+          // this row's whole point is the UNGUARDED r11 baseline
           graft.similarity.Search.bm25ManyFromIndex(spark, idxDir, qs,
-            "qid", "term", k = 5)
+            "qid", "term", k = 5, maxDfPermille = 1000)
         }
         time("bm25many_stop_guarded", dir) {
           graft.similarity.Search.bm25ManyFromIndex(spark, idxDir, qs,

@@ -56,6 +56,13 @@ object SparkEntry {
   private def derbyJarFixture(df: DataFrame, tag: String, table: String,
                               ddl: Seq[(String, String)]): (String, Map[String, String]) = {
     System.setProperty("derby.stream.error.path", "/tmp/derby.log")
+    // read-only/jar databases REQUIRE a writable temp directory (Derby's
+    // default puts temp spill files inside the database directory — the
+    // unwritable jar here): without this, any in-database sort/aggregate
+    // that outgrows the in-memory buffer fails with SQLException at
+    // larger SFs
+    System.setProperty("derby.storage.tempDirectory",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     val base = java.nio.file.Files.createTempDirectory(s"graft_derby_$tag").toString
     val db = s"$base/db"
     val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$db;create=true")
@@ -70,11 +77,15 @@ object SparkEntry {
       if (numericOnly) {
         // numeric fixtures go through Derby's BULK IMPORT (~5× the insert
         // path: 2.5 s vs 13 s for the 105k-row orders slice) — Long/Double
-        // toString round-trips exactly and Derby parses it back bit-equal
+        // toString round-trips exactly and Derby parses it back bit-equal;
+        // a NULL cell writes as the empty field, which IMPORT_TABLE loads
+        // as SQL NULL for non-character columns (numericOnly guarantees
+        // that)
         val csv = java.nio.file.Files.createTempFile("graft_derby_seed", ".csv")
         val w = new java.io.PrintWriter(java.nio.file.Files.newBufferedWriter(csv))
         try df.collect().foreach { r =>
-          w.println(ddl.indices.map(r.get(_).toString).mkString(","))
+          w.println(ddl.indices.map(i =>
+            if (r.isNullAt(i)) "" else r.get(i).toString).mkString(","))
         } finally w.close()
         val cs = conn.prepareCall(
           "CALL SYSCS_UTIL.SYSCS_IMPORT_TABLE(null, ?, ?, null, null, 'UTF-8', 0)")
@@ -87,10 +98,20 @@ object SparkEntry {
         // small (customer-sized) by construction
         val ps = conn.prepareStatement(
           s"INSERT INTO $table VALUES (${ddl.map(_ => "?").mkString(", ")})")
+        // NULL cells need a TYPED setNull — Derby rejects a bare
+        // setObject(i, null)
+        def sqlType(t: String): Int = t.toUpperCase.takeWhile(_ != '(') match {
+          case "BIGINT"  => java.sql.Types.BIGINT
+          case "INTEGER" => java.sql.Types.INTEGER
+          case "DOUBLE"  => java.sql.Types.DOUBLE
+          case "BLOB"    => java.sql.Types.BLOB
+          case _         => java.sql.Types.VARCHAR
+        }
         var pending = 0
         df.collect().foreach { r =>
           ddl.indices.foreach { i =>
-            r.get(i) match {
+            if (r.isNullAt(i)) ps.setNull(i + 1, sqlType(ddl(i)._2))
+            else r.get(i) match {
               case b: Array[Byte] => ps.setBytes(i + 1, b)
               case v              => ps.setObject(i + 1, v)
             }

@@ -96,9 +96,14 @@ object Multimodal {
     */
   object ImageIoDecoder extends Decoder {
     def decode(m: Media, frameStride: Int): MediaFeatures = {
+      // NonFatal, not just IOException: ImageIO throws unchecked
+      // exceptions on plenty of real corrupt images (CMMException on bad
+      // ICC profiles, IllegalArgumentException / AIOOBE on truncated
+      // headers) — any of them escaping decode() inside mapPartitions
+      // would fail the task and, after retries, the whole batch
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) FakeDecoder.decode(m, frameStride)
       else {
         var lum = 0L
