@@ -294,6 +294,27 @@ object ScaleBench {
             "qid", "term", k = 5, maxDfPermille = 1000)
         }
       }
+      // r12: what the trained-by-default coarse quantizer COSTS at build
+      // time across the decade — the price of the flipped default. The
+      // trainer is a bounded 8·nlist candidate collect + 2 Lloyd corpus
+      // passes, so the increment should grow like two extra scans, not
+      // quadratically. (writeIndex is Unit; timed directly, min of 2.)
+      if (want("sq_index_build_untrained") || want("sq_index_build_trained")) {
+        val emb = Tables.load(spark, dir, "embeddings")
+        def build(name: String, trained: Boolean): Unit = if (want(name)) {
+          val ts = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            graft.similarity.Sq.writeIndex(emb, "vec_id", "embedding",
+              dim = 64, dir = s"$work/sqbuild_$trained", nlist = 64,
+              trained = trained)
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[scalebench] $name dir=$dir min=${ts.min}%.2f s " +
+            f"rows=0 runs=${ts.map(t => f"$t%.2f").mkString(",")}")
+        }
+        build("sq_index_build_untrained", trained = false)
+        build("sq_index_build_trained", trained = true)
+      }
       // r11 celebrity-key sessionization: one user holds 10% of the corpus
       // (the bot/power-user reality of dialogue data). sessionize's
       // per-key window puts that user's whole history through ONE task's

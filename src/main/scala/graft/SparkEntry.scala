@@ -1839,6 +1839,47 @@ object SparkEntry {
       posts.select(col("id").as("doc_id"), col("term"), col("tf"),
         col("dl"), col("bucket"))
     }),
+    // G58: STREAMING lexical-index MAINTENANCE — the crawl loop for the
+    // postings family (the G40 q_stream_idxmaintain device, lexical
+    // edition, and the first ONLINE exerciser of the r12 safe-order
+    // writeLexDelta): bootstrap the 90% generation, drain admitted docs
+    // as a file stream, and per micro-batch run lexIndexDelta + the
+    // atomic-swap write-back over the LIVE index. The retire set is
+    // disjoint from the admitted ids and re-applied idempotently each
+    // batch (anti-joins no-op once retired), so the final maintained
+    // membership — (stored − retired) ∪ admitted — is identical under
+    // ANY batch split and equals q_bm25_index_delta's, whose oracle this
+    // query shares verbatim (postings re-derived from scratch in SQL).
+    "q_stream_lexmaintain" -> ((s, dir) => withStreamShuffle(s) {
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      val admitted = d.filter(col("doc_id") % 10 === 0)
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_lxm").toString
+      val inDir = s"$base/in"; val idxDir = s"$base/index"; val ckpt = s"$base/ckpt"
+      Search.writeLexIndex(corpus, "doc_id", "text", idxDir, buckets = 16)
+      admitted.repartition(2).write.mode("overwrite").parquet(inDir)
+      // retired ⊆ stored and disjoint from admitted: %13 hits minus the
+      // %10 admits — retiring S every batch is idempotent, which is what
+      // makes the loop batch-split invariant
+      val retired = d.filter(col("doc_id") % 13 === 0 && col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("id"))
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+        format = "parquet", schemaDdl = Some(admitted.schema.toDDL),
+        maxFilesPerTrigger = 1)
+      val q = graft.streaming.Streams.toForeachBatch(stream, ckpt,
+        availableNow = true) { (batch, _) =>
+        if (!batch.isEmpty) {
+          val (posts, doclens, stats, terms) = Search.lexIndexDelta(
+            batch, "doc_id", "text", idxDir, retired)
+          Search.writeLexDelta(idxDir, posts, doclens, stats, terms)
+          graft.Caching.drain() // each delta's tracked tokenize pin
+        }
+      }
+      q.awaitTermination()
+      graft.streaming.Streams.readIndex(s, s"$idxDir/postings", recursive = false)
+        .select(col("id").as("doc_id"), col("term"), col("tf"), col("dl"),
+          col("bucket").cast(LongType).as("bucket"))
+    }),
     // G58: MULTI-query BM25 over the stored index — the batch-retrieval
     // shape (every query scored in one pass); per-query results are
     // bit-identical to per-call probes (spec) and the oracle replays all
@@ -4944,6 +4985,21 @@ object SparkEntry {
     // membership (base %10!=0 minus retired %13==0, plus ALL of the
     // admitted %10==0 — retire applies to stored rows only, so a doc in
     // both sets is REPLACED, not dropped)
+    // the STREAMING maintain loop converges to the same maintained
+    // membership ((stored − retired) ∪ admitted — the retire set is
+    // idempotent per batch and disjoint from the admits), so it shares
+    // the delta oracle verbatim
+    "q_stream_lexmaintain" ->
+      s"""WITH m AS (SELECT doc_id, text FROM documents
+         |           WHERE doc_id % 13 <> 0 OR doc_id % 10 = 0),
+         |t AS (SELECT doc_id, $toksSql AS tk FROM m),
+         |p AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, term,
+         |      CAST(COUNT(*) AS BIGINT) AS tf
+         |      FROM (SELECT doc_id, tk, unnest(tk) AS term FROM t)
+         |      GROUP BY 1, 2, 3)
+         |SELECT doc_id, term, tf, dl,
+         |  CAST(('0x' || substring(md5(term), 1, 15))::BIGINT % 16 AS BIGINT) AS bucket
+         |FROM p""".stripMargin,
     "q_bm25_index_delta" ->
       s"""WITH m AS (SELECT doc_id, text FROM documents
          |           WHERE doc_id % 13 <> 0 OR doc_id % 10 = 0),
