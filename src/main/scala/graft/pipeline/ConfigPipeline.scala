@@ -48,8 +48,10 @@ import graft.Caching.TrackedSyntax
   * from every doc)/
   * `chunk`/`lm_xent`/`lm_xent_bigram`/`dsir`/`tfidf`/`inverted_index`
   * (id/text...), `mixture` (id/group/weights), `temperature_sample`
-  * (id/group/total[, alpha=0.5] — quotas ∝ n^α), `pagerank`/`degrees`
-  * (edge frames), `quality_classifier` (id/text/dim + a weights stage),
+  * (id/group/total[, alpha=0.5] — quotas ∝ n^α), `pagerank` (edge
+  * frames[, iters=5, danglingRedistribute — r12: exact even-share
+  * redistribution of sink mass])/`degrees`,
+  * `quality_classifier` (id/text/dim + a weights stage),
   * `histogram` (value/bins), `sample_per_group` (keys/id/n),
   * `canonical_url` (url[, as]), `normalize_unicode` (text[, form=NFC,
   * as]), `encoding_stats` (id/text — mojibake/control/non-ASCII/NFC-drift
@@ -85,7 +87,9 @@ import graft.Caching.TrackedSyntax
   * (key/id/score), `stream_repetition` (id/text/n), `stream_neardup`
   * (id/text[, numHashes/bands/rowsPerBand] — integral ids),
   * `stream_spandedup` (id/text[, window] — integral ids), `ann`
-  * (from[2] = queries/corpus stages + id/vec/k — method "brute", "ivf"
+  * (from[2] = queries/corpus stages + id/vec/k; the IVF-routed methods
+  * take `trained` for the coarse quantizer, default true — the r12
+  * library default — method "brute", "ivf"
   * [nlist/nprobe], "lsh" [dim/numPlanes/bands], "ivfpq"
   * [dim/m/codebookK/nlist/nprobe, optional mShort+rerank for the exact
   * re-rank recall lever], "sq" [dim — byte codes + asymmetric
@@ -860,6 +864,10 @@ object ConfigPipeline {
         p.stage(name, from)(graft.similarity.Search.invertedIndex(_,
           knob("id").asText(), knob("text").asText(),
           if (s.has("maxPostings")) knob("maxPostings").asLong() else Long.MaxValue))
+      case "pagerank" if s.has("danglingRedistribute") =>
+        p.stage(name, from)(graft.graph.Graph.pageRank(_,
+          iters = if (s.has("iters")) knob("iters").asInt() else 5,
+          danglingRedistribute = knob("danglingRedistribute").asBoolean()))
       case "pagerank" =>
         p.stage(name, from)(graft.graph.Graph.pageRank(_,
           if (s.has("iters")) knob("iters").asInt() else 5))
@@ -934,6 +942,9 @@ object ConfigPipeline {
         val id = knob("id").asText(); val vec = knob("vec").asText()
         val k = knob("k").asInt()
         def intKnob(n: String, d: Int) = if (s.has(n)) knob(n).asInt() else d
+        // trained coarse quantizer — true is the library default (r12);
+        // config parity so a JSON user can ask for the zero-training build
+        def trainedKnob = !s.has("trained") || knob("trained").asBoolean()
         (if (s.has("method")) knob("method").asText() else "brute") match {
           case "brute" =>
             p.fanIn(name, Seq(qs, cs))(dfs =>
@@ -941,7 +952,8 @@ object ConfigPipeline {
           case "ivf" =>
             p.fanIn(name, Seq(qs, cs))(dfs =>
               graft.similarity.Ann.ivfTopK(dfs(0), dfs(1), id, vec, k,
-                nlist = intKnob("nlist", 64), nprobe = intKnob("nprobe", 8)))
+                nlist = intKnob("nlist", 64), nprobe = intKnob("nprobe", 8),
+                trained = trainedKnob))
           case "lsh" =>
             p.fanIn(name, Seq(qs, cs))(dfs =>
               graft.similarity.Ann.lshTopK(dfs(0), dfs(1), id, vec, k,
@@ -964,7 +976,8 @@ object ConfigPipeline {
                 rounds = intKnob("rounds", 2))
               val routed = graft.similarity.Pq.ivfAdcTopK(dfs(0), dfs(1), id, vec,
                 cbs, if (rerank) intKnob("mShort", k) else k,
-                nlist = intKnob("nlist", 64), nprobe = intKnob("nprobe", 8))
+                nlist = intKnob("nlist", 64), nprobe = intKnob("nprobe", 8),
+                trained = trainedKnob)
               if (rerank)
                 graft.similarity.Pq.rerank(routed, dfs(0), dfs(1), id, vec, k)
               else routed
@@ -978,7 +991,8 @@ object ConfigPipeline {
               val scales = graft.similarity.Sq.trainScales(dfs(1), vec, dim)
               if (s.has("nlist"))
                 graft.similarity.Sq.ivfSqTopK(dfs(0), dfs(1), id, vec, scales, k,
-                  nlist = knob("nlist").asInt(), nprobe = intKnob("nprobe", 8))
+                  nlist = knob("nlist").asInt(), nprobe = intKnob("nprobe", 8),
+                  trained = trainedKnob)
               else
                 graft.similarity.Sq.sqTopK(dfs(0), dfs(1), id, vec, scales, k)
             }

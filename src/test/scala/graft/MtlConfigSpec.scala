@@ -401,6 +401,43 @@ class MtlConfigSpec extends SparkSpec {
     assert(jl == jlWant && jl.nonEmpty)
   }
 
+  test("config knob parity (r12): ann trained=false and pagerank " +
+       "danglingRedistribute reach the programmatic forms") {
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val corpus = spark.read.parquet(emb)
+    // trained=false from config ≡ the programmatic md5-pick build (nprobe
+    // < nlist so the routing actually differs between quantizers)
+    val got = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "c", "op": "parquet", "path": "$emb"},
+         | {"name": "qf", "op": "filter", "from": "c", "expr": "vec_id < 8"},
+         | {"name": "nn", "op": "ann", "from": ["qf", "c"], "method": "ivf",
+         |  "id": "vec_id", "vec": "embedding", "k": 3,
+         |  "nlist": 8, "nprobe": 2, "trained": false}
+         |]}""".stripMargin).output("nn")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want = graft.similarity.Ann.ivfTopK(corpus.filter(col("vec_id") < 8),
+        corpus, "vec_id", "embedding", 3, nlist = 8, nprobe = 2,
+        trained = false)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // pagerank danglingRedistribute from config ≡ programmatic
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src_id", "dst_id")
+    val base = java.nio.file.Files.createTempDirectory("cfg_pr").toString
+    edges.write.mode("overwrite").parquet(s"$base/edges")
+    val gotPr = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "e", "op": "parquet", "path": "$base/edges"},
+         | {"name": "pr", "op": "pagerank", "from": "e", "iters": 3,
+         |  "danglingRedistribute": true}
+         |]}""".stripMargin).output("pr")
+      .as[(String, Long)].collect().toMap
+    val wantPr = graft.graph.Graph.pageRank(edges, iters = 3,
+        danglingRedistribute = true)
+      .as[(String, Long)].collect().toMap
+    assert(gotPr == wantPr && gotPr.nonEmpty)
+  }
+
   test("config index BUILD ops: build -> probe chains in ONE config for all " +
        "four stored families match the programmatic forms") {
     val emb = "/root/testdata/sf0.001/embeddings.parquet"
