@@ -306,10 +306,11 @@ object Ann {
     * centroids, then search only the `nprobe` nearest cells per query —
     * the inverted-file ANN layout (à la FAISS IVF-Flat), relational:
     *
-    *  1. centroids = `nlist` corpus vectors picked by md5-order
-    *     (deterministic seeding), driver-collected: centroid sets are
-    *     config-table sized by design, and landing them in the plan as
-    *     LITERALS makes steps 2 and 3 pure projections;
+    *  1. centroids = [[centroidsFor]]'s pick — k-means-TRAINED by default
+    *     (r12; `trained = false` falls back to the md5-order document
+    *     pick), driver-collected: centroid sets are config-table sized by
+    *     design, and landing them in the plan as LITERALS makes steps 2
+    *     and 3 pure projections;
     *  2. each corpus row assigns to its nearest centroid via the native
     *     [[org.apache.spark.sql.graftglue.ProbeCells]] expression (the
     *     centroid matrix as ONE reference object — constant plan size in

@@ -446,4 +446,73 @@ class PropertySpec extends SparkSpec {
     assert(ragged.filter(col("s").isNull).count() == 1,
       "a ragged matrix must pool to null, not a partial sum")
   }
+
+  test("law: pageRank danglingRedistribute conserves mass up to the " +
+       "deterministic floor losses on ANY graph; the default only loses") {
+    val edgeGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0, 8), Gen.chooseNum(0, 8)))
+      .map(_.take(12))
+    check(Prop.forAll(edgeGen, Gen.chooseNum(1, 4)) { (es, iters) =>
+      val edges = es.map { case (a, b) => (s"n$a", s"n$b") }
+        .toDF("src_id", "dst_id")
+      val n = es.flatMap { case (a, b) => Seq(a, b) }.distinct.size.toLong
+      val nEdges = es.size.toLong
+      val tot = graft.graph.Graph.pageRank(edges, iters,
+          danglingRedistribute = true)
+        .agg(sum("rank")).as[Long].head()
+      val totDropped = graft.graph.Graph.pageRank(edges, iters)
+        .agg(sum("rank")).as[Long].head()
+      // per iteration the only mass leaks are floors: rank div od across
+      // a node's edges (≤ od−1 ≤ edges total), (85·x) div 100 per node
+      // (< 1 each), and the even-share D div N (≤ N−1) — so cumulative
+      // loss is bounded by iters·(E + 2N), integer-exactly, while the
+      // drop-dangling default loses whole sink ranks (strictly more on
+      // any graph that HAS a dangling node)
+      val loss = n * 1000000L - tot
+      loss >= 0 && loss <= iters * (nEdges + 2 * n) && totDropped <= tot
+    })
+  }
+
+  test("law: lexIndexDelta maintained ≡ writeLexIndex rebuilt over the " +
+       "maintained membership, for ANY stored/retired/admitted sets") {
+    import graft.similarity.Search
+    val vocab = Gen.oneOf("spark", "merge", "dup", "rare", "common", "batch")
+    val docGen = Gen.zip(Gen.chooseNum(0L, 24L),
+      Gen.nonEmptyListOf(vocab).map(_.take(6).mkString(" ")))
+    val caseGen = Gen.zip(
+      Gen.nonEmptyListOf(docGen).map(_.take(10).distinctBy(_._1)),
+      Gen.listOf(docGen).map(_.take(4).distinctBy(_._1)),
+      Gen.listOf(Gen.chooseNum(0L, 24L)).map(_.take(4).distinct))
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(4)
+    val res = SCTest.check(params, Prop.forAll(caseGen) {
+      case (stored, admitted, retiredBase) =>
+        val dir = java.nio.file.Files.createTempDirectory("lexlaw").toString
+        Search.writeLexIndex(stored.toDF("doc_id", "text"), "doc_id", "text",
+          dir, buckets = 4)
+        // the documented snapshotDiff contract: a CHANGED doc appears in
+        // BOTH sets (retired = removed ∪ changed, admitted = added ∪
+        // changed) — so every admitted id that might already be stored
+        // rides in the retire set too (retiring a never-stored id no-ops)
+        val admittedIds = admitted.map(_._1).toSet
+        val retired = (retiredBase ++ admittedIds).distinct
+        val (posts, _, _, _) = Search.lexIndexDelta(
+          admitted.toDF("doc_id", "text"), "doc_id", "text", dir,
+          retired.toDF("id"))
+        // membership law: (stored − retired) ∪ admitted
+        val membership = stored.filterNot(d =>
+          retired.contains(d._1)) ++ admitted
+        val dir2 = java.nio.file.Files.createTempDirectory("lexlaw2").toString
+        Search.writeLexIndex(membership.toDF("doc_id", "text"),
+          "doc_id", "text", dir2, buckets = 4)
+        def rows(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("id"), col("dl"), col("term"), col("tf"),
+              col("bucket").cast("long"))
+            .as[(Long, Long, String, Long, Long)].collect().toSet
+        val ok = rows(posts) ==
+          rows(spark.read.parquet(s"$dir2/postings"))
+        graft.Caching.drain()
+        ok
+    })
+    assert(res.passed, res.status.toString)
+  }
 }
