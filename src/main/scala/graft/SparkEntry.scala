@@ -2101,6 +2101,45 @@ object SparkEntry {
       s.read.parquet(s"$outDir/batch_*")
         .select("query_id", "rank", "neighbor_id", "adc2")
     }),
+    // STREAMING vector-index MAINTENANCE (the q_stream_lexmaintain device,
+    // codes edition — with it, every index family with a delta function
+    // also has its crawl loop online): admitted vectors drain as a file
+    // stream; each micro-batch encodes them under the FROZEN stored model
+    // (Pq.indexCodesDelta) and swap-writes the maintained code table back
+    // over the live cell-partitioned layout. The retire set is disjoint
+    // from the admits and idempotent per batch, so the final membership —
+    // (stored − retired) ∪ admitted — is batch-split invariant and equals
+    // q_ann_index_delta's, whose oracle (codebooks replayed on the 90%
+    // generation, codes re-derived for the membership) this query shares.
+    "q_stream_annmaintain" -> ((s, dir) => withStreamShuffle(s) {
+      val emb = T(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      val admitted = emb.filter(col("vec_id") % 10 === 0)
+      val retired = emb.filter(col("vec_id") % 13 === 0 && col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("id"))
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_annm").toString
+      val inDir = s"$base/in"; val idxDir = s"$base/index"; val ckpt = s"$base/ckpt"
+      graft.similarity.Pq.writeIndex(corpus, "vec_id", "embedding",
+        dim = 64, m = 2, k = 4, dir = idxDir, nlist = 8)
+      admitted.repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+        format = "parquet", schemaDdl = Some(admitted.schema.toDDL),
+        maxFilesPerTrigger = 1)
+      val q = graft.streaming.Streams.toForeachBatch(stream, ckpt,
+        availableNow = true) { (batch, _) =>
+        if (!batch.isEmpty) {
+          val maintained = graft.similarity.Pq.indexCodesDelta(
+            batch, "vec_id", "embedding", idxDir, retired)
+          graft.operators.Sinks.swapWrite(maintained, s"$idxDir/codes",
+            Seq("cell"))
+        }
+      }
+      q.awaitTermination()
+      graft.streaming.Streams.readIndex(s, s"$idxDir/codes", recursive = false)
+        .select(col("id").as("vec_id"),
+          element_at(col("codes"), 1).cast(LongType).as("code0"),
+          element_at(col("codes"), 2).cast(LongType).as("code1"))
+    }),
     // STREAMING SQ probe: the byte-code sibling of q_stream_annprobe —
     // scales are the frozen model (2·dim longs, trained once on the
     // corpus), query embeddings drain as a file stream, each micro-batch
@@ -5303,6 +5342,10 @@ object SparkEntry {
     "q_stream_sqprobe" -> sqOracle, // stateless probe ≡ batch under any split
     "q_stream_maxsim" -> maxSimOracle, // stateless probe, whole-query splits
     "q_ann_index_delta" -> annIndexDeltaOracle,
+    // the streaming maintain loop converges to the same maintained
+    // membership (retire idempotent, admits re-encode deterministically
+    // under the frozen model) — shared oracle
+    "q_stream_annmaintain" -> annIndexDeltaOracle,
     // exact integer scatter sums — DuckDB's SUM(BIGINT) widens to
     // HUGEINT, so cast back for the schema match
     "q_gram" ->
