@@ -234,6 +234,42 @@ class MaxSimSpec extends SparkSpec {
       "a null-pool admitted doc leaked through maintenance")
   }
 
+  test("MaxSim maintain LOOP: two delta generations through swapWrite ≡ " +
+       "one combined generation over a pristine copy (the streaming " +
+       "composition law at matrix granularity)") {
+    import spark.implicits._
+    val stored = toks.filter(col("id") % 4 === 0)
+    val a1 = toks.filter(col("id") % 4 === 1)
+    val r1 = stored.filter(col("id") % 3 === 0).select(col("id")).distinct()
+    val a2 = toks.filter(col("id") % 4 === 2)
+    val r2 = toks.filter(col("id") % 4 === 1 && col("id") % 5 === 0)
+      .select(col("id")).distinct()
+    // two identical deterministic builds — one walks the loop, one takes
+    // the combined single generation
+    val dirA = java.nio.file.Files.createTempDirectory("msidx_loopA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("msidx_loopB").toString
+    Seq(dirA, dirB).foreach(d =>
+      MaxSim.writeIndex(stored, "id", "pos", "embedding", d, nlist = 8))
+    // loop: gen 1 then gen 2, each swap-written over the live layout
+    graft.operators.Sinks.swapWrite(
+      MaxSim.indexMatsDelta(a1, "id", "pos", "embedding", dirA, r1),
+      s"$dirA/mats", Seq("cell"))
+    graft.operators.Sinks.swapWrite(
+      MaxSim.indexMatsDelta(a2, "id", "pos", "embedding", dirA, r2),
+      s"$dirA/mats", Seq("cell"))
+    // combined: one call with retired = r1 ∪ r2, admitted = (a1 − r2) ∪ a2
+    graft.operators.Sinks.swapWrite(
+      MaxSim.indexMatsDelta(
+        a1.join(r2, Seq("id"), "left_anti").unionByName(a2),
+        "id", "pos", "embedding", dirB, r1.unionByName(r2)),
+      s"$dirB/mats", Seq("cell"))
+    def rows(d: String) = spark.read.parquet(s"$d/mats")
+      .select(col("id"), col("cell").cast("string"), col("mat"), col("pool"))
+      .as[(Long, String, Seq[Seq[Double]], Seq[Double])].collect().toSet
+    val (loop, combined) = (rows(dirA), rows(dirB))
+    assert(loop == combined && loop.nonEmpty)
+  }
+
   test("MaxSim index maintenance: retired ids leave, admitted ids route " +
        "under the frozen model, kept rows are byte-stable") {
     import spark.implicits._

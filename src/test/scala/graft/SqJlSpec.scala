@@ -210,6 +210,49 @@ class SqJlSpec extends SparkSpec {
       id == 9001L && codes.forall(_ == 255) }) // saturation, not error
   }
 
+  test("Sq maintain LOOP: two delta generations through swapWrite over the " +
+       "live layout ≡ one re-encode of the final membership (the streaming " +
+       "maintain composition at batch granularity)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sqidx_loop").toString
+    val stored = emb.filter(col("vec_id") % 4 === 0)
+    Sq.writeIndex(stored, "vec_id", "embedding", dim = 64, dir = dir, nlist = 8)
+    // generation 1: admit the %4==1 slice, retire stored %3==0 ids
+    val a1 = emb.filter(col("vec_id") % 4 === 1)
+    val r1 = stored.filter(col("vec_id") % 3 === 0).select(col("vec_id").as("id"))
+    graft.operators.Sinks.swapWrite(
+      Sq.indexCodesDelta(a1, "vec_id", "embedding", dir, r1),
+      s"$dir/codes", Seq("cell"))
+    // generation 2: admit the %4==2 slice, retire some of gen-1's admits
+    val a2 = emb.filter(col("vec_id") % 4 === 2)
+    val r2 = emb.filter(col("vec_id") % 4 === 1 && col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("id"))
+    graft.operators.Sinks.swapWrite(
+      Sq.indexCodesDelta(a2, "vec_id", "embedding", dir, r2),
+      s"$dir/codes", Seq("cell"))
+    val maintained = spark.read.parquet(s"$dir/codes")
+      .select(col("id"), col("cell").cast("string"), col("codes"))
+      .as[(Long, String, Seq[Int])].collect().toSet
+    // one re-encode of the FINAL membership under the same frozen model
+    val membership = emb.select(col("vec_id"), col("embedding")).filter(
+      (col("vec_id") % 4 === 0 && col("vec_id") % 3 =!= 0) ||
+      (col("vec_id") % 4 === 1 && col("vec_id") % 5 =!= 0) ||
+      (col("vec_id") % 4 === 2))
+    val cents = spark.read.parquet(s"$dir/model/coarse")
+      .as[(String, Seq[Float])].collect().toSeq.sortBy(_._1)
+    val celled = membership.select(col("vec_id"), col("embedding"),
+      Ann.nearestCell(cents, col("embedding")).as("cell"))
+    // scales come from the STORED model (trained on the %4==0 generation,
+    // NOT the suite's full-corpus fixture) — the frozen-model contract
+    val srows = spark.read.parquet(s"$dir/model/scales")
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    val storedScales = Sq.Scales(srows.map(_._2), srows.map(_._3), srows.head._4)
+    val rebuilt = Sq.encode(celled, "vec_id", "embedding", storedScales,
+        carry = Seq("cell"))
+      .as[(Long, String, Seq[Int])].collect().toSet
+    assert(maintained == rebuilt && maintained.nonEmpty)
+  }
+
   test("JL sign matrix is reproducible, ±1, and roughly balanced") {
     val a = Jl.signMatrix(16, 64)
     val b = Jl.signMatrix(16, 64)
