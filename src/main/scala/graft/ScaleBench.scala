@@ -315,6 +315,53 @@ object ScaleBench {
         build("sq_index_build_untrained", trained = false)
         build("sq_index_build_trained", trained = true)
       }
+      // r12: one lexical maintain GENERATION (lexIndexDelta + the
+      // safe-order swap write-back) of a FIXED 500-doc delta against an
+      // index that grows with the decade. The retire anti-join and the
+      // terms re-aggregate scan the INDEX (fixed-width, text-free), so
+      // the row should grow with index size but far below the corpus
+      // tokenize a rebuild pays — the maintained-vs-rebuilt economics
+      // measured rather than asserted. Index build untimed per dir.
+      if (want("lex_maintain_gen")) {
+        val idxDir = s"$work/lexidx_maint"
+        val docs = Tables.load(spark, dir, "documents")
+        graft.similarity.Search.writeLexIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", idxDir,
+          buckets = 16)
+        val admitted = docs.filter(col("doc_id") % 10 === 0).limit(500)
+        // retire = removed ∪ changed (the snapshotDiff contract): the
+        // admitted ids ride in the retire set so run 2 — which maintains
+        // the ALREADY-maintained generation — replaces rather than
+        // duplicates them
+        val retired = docs.filter(
+            col("doc_id") % 13 === 0 && col("doc_id") % 10 =!= 0)
+          .select(col("doc_id").as("id")).limit(500)
+          .unionByName(admitted.select(col("doc_id").as("id")))
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val (p, dl, st, tm) = graft.similarity.Search.lexIndexDelta(
+            admitted, "doc_id", "text", idxDir, retired)
+          graft.similarity.Search.writeLexDelta(idxDir, p, dl, st, tm)
+          Caching.drain()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[scalebench] lex_maintain_gen dir=$dir min=${ts.min}%.2f s " +
+          f"rows=0 runs=${ts.map(t => f"$t%.2f").mkString(",")}")
+      }
+      // the comparison row: what a FROM-SCRATCH rebuild of the same
+      // index costs at this decade (two corpus tokenize scans + writes)
+      if (want("lex_rebuild")) {
+        val docs = Tables.load(spark, dir, "documents")
+        val ts = (1 to 2).map { i =>
+          val t0 = System.nanoTime()
+          graft.similarity.Search.writeLexIndex(
+            docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+            s"$work/lexidx_rebuild_$i", buckets = 16)
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[scalebench] lex_rebuild dir=$dir min=${ts.min}%.2f s " +
+          f"rows=0 runs=${ts.map(t => f"$t%.2f").mkString(",")}")
+      }
       // r11 celebrity-key sessionization: one user holds 10% of the corpus
       // (the bot/power-user reality of dialogue data). sessionize's
       // per-key window puts that user's whole history through ONE task's
