@@ -262,15 +262,6 @@ object JsonSchemaGate {
     val arrCols: Map[String, String] =
       checks.collect { case ItemsCheck(p, _, _, _, _, _) => p }.distinct
         .zipWithIndex.map { case (p, i) => p -> fresh(s"__jsa$i") }.toMap
-    // per-ELEMENT canonical types also evaluate ONCE per array path (the
-    // typeCols device at element granularity): each items check then
-    // reads the cheap string array instead of re-running
-    // schema_of_variant per element per check — with type+enum+bounds on
-    // one array that is a 3× introspection cut, measured ~2× end-to-end
-    // on the oracle corpus's gate row
-    val arrTypeCols: Map[String, String] =
-      arrCols.keys.toSeq.sorted
-        .zipWithIndex.map { case (p, i) => p -> fresh(s"__jsat$i") }.toMap
     def t(p: String): Column = col(typeCols(p))
     def guarded(c: Check)(cond: Column): Column = {
       val g = c.guards.foldLeft(!malformed) { (acc, gp) =>
@@ -295,28 +286,19 @@ object JsonSchemaGate {
           val l = length(expr(s"cast(try_variant_get($vcol, '$p') as string)"))
           guarded(c)(t(p) === "string" &&
             (if (op == "minlen") l < lit(b) else l > lit(b)))
-        // per-element checks: EXISTS over the precomputed element-type
-        // array (zipped with the raw elements where the check needs the
-        // VALUE), guarded on the node being array-typed; element-level
-        // type classification shares [[canonicalType]] with path checks
+        // per-element checks: ONE native compiled loop per check over the
+        // extracted array<variant> (graftglue.VariantItemsViolates),
+        // guarded on the node being array-typed. A HOF spelling
+        // (exists/zip_with) is CodegenFallback and de-fused the gate's
+        // ENTIRE projection — parse, every path check, the concat_ws —
+        // measured +112% on the oracle corpus before the native
+        // (plans/FUSION.md's r6 lesson, re-learned r12); the native's
+        // element classification folds the variant type tag to the same
+        // canonical alphabet [[canonicalType]] reads via schema_of_variant
         case c @ ItemsCheck(p, kind, ty, vs, b, _) =>
-          val arr = col(arrCols(p))
-          val et = col(arrTypeCols(p))
-          val cond = kind match {
-            case "type" => exists(et, x => !matches(x, ty))
-            case "enum" => exists(zip_with(et, arr, (x, e) =>
-              x === "string" && !e.cast(StringType).isin(vs: _*)), identity)
-            case "min" => exists(zip_with(et, arr, (x, e) =>
-              x.isin("int", "double") && e.cast(DoubleType) < lit(b)), identity)
-            case "max" => exists(zip_with(et, arr, (x, e) =>
-              x.isin("int", "double") && e.cast(DoubleType) > lit(b)), identity)
-            case "minlen" => exists(zip_with(et, arr, (x, e) =>
-              x === "string" && length(e.cast(StringType)) < lit(b.toInt)),
-              identity)
-            case "maxlen" => exists(zip_with(et, arr, (x, e) =>
-              x === "string" && length(e.cast(StringType)) > lit(b.toInt)),
-              identity)
-          }
+          import org.apache.spark.sql.graftglue.{ColumnBridge, VariantItemsViolates}
+          val cond = ColumnBridge.column(VariantItemsViolates(
+            ColumnBridge.expression(col(arrCols(p))), kind, ty, vs, b))
           guarded(c)(t(p) === "array" && cond)
       }
     val withV = df.withColumn(vcol, expr(s"try_parse_json(`$jsonCol`)"))
@@ -325,12 +307,10 @@ object JsonSchemaGate {
     val out = arrCols.toSeq.sortBy(_._2)
       .foldLeft(withTypes) { case (d, (p, c)) =>
         d.withColumn(c, expr(s"try_variant_get($vcol, '$p', 'array<variant>')"))
-          .withColumn(arrTypeCols(p), transform(col(c), e => canonicalType(e)))
       }
       .withColumn(violationsCol, concat_ws(",", frags: _*))
       .withColumn(validCol, col(violationsCol) === "")
-      .drop(vcol +: (typeCols.values.toSeq ++ arrCols.values.toSeq
-        ++ arrTypeCols.values.toSeq): _*)
+      .drop(vcol +: (typeCols.values.toSeq ++ arrCols.values.toSeq): _*)
     parsedCol.fold(out)(pc => out.withColumn(pc,
       from_json(col(jsonCol), structType(schemaJson))))
   }

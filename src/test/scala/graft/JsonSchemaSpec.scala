@@ -120,6 +120,31 @@ class JsonSchemaSpec extends SparkSpec {
     assert(got(9L) == "type:$.tags[]")
   }
 
+  test("the gate's projection chain stays WHOLE-STAGE-CODEGEN fused with " +
+       "per-element items checks present (the FUSION.md r6 rule)") {
+    val sc =
+      """{"type": "object",
+        | "properties": {
+        |  "tags": {"type": "array",
+        |           "items": {"type": "string", "minLength": 1,
+        |                     "enum": ["ab", "cd"]}}}}""".stripMargin
+    val v = JsonSchemaGate.validate(
+      Seq((1L, """{"tags": ["ab"]}""")).toDF("id", "raw"), "raw", sc,
+      parsedCol = None)
+    v.collect()
+    val plan = v.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // every Project node must be inside whole-stage codegen ("* Project"):
+    // a HOF spelling of the items checks is CodegenFallback and de-fuses
+    // the WHOLE chain (parse + every path check), which is why they run
+    // as the native VariantItemsViolates loop instead
+    val unfused = plan.linesIterator
+      .filter(l => l.contains("Project (") && !l.contains("* Project"))
+      .toSeq
+    assert(unfused.isEmpty,
+      s"projection dropped out of whole-stage codegen:\n${unfused.mkString("\n")}")
+  }
+
   test("input columns colliding with internal working names survive intact") {
     val sc = """{"type": "object",
                | "properties": {"k": {"type": "integer"}}}""".stripMargin
