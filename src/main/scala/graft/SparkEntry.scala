@@ -2763,6 +2763,41 @@ object SparkEntry {
           admitted, "doc_id", "text", retired, k = 8, w = 4)
         .select(col("id").as("doc_id"), col("pos"), col("print"))
     }),
+    // STREAMING prints-index MAINTENANCE (the q_stream_lexmaintain device,
+    // winnow edition — the last delta-bearing family to get its crawl
+    // loop online): admitted docs drain as a file stream; each
+    // micro-batch anti-joins the retire set off the LIVE prints and
+    // appends its own docs' winnowed prints, swap-written back. Retire
+    // set disjoint from the admits and idempotent ⇒ batch-split
+    // invariant; the oracle re-derives every print of the final
+    // membership from scratch.
+    "q_stream_winnowmaintain" -> ((s, dir) => withStreamShuffle(s) {
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      val stored = d.filter(col("doc_id") % 10 =!= 0)
+      val admitted = d.filter(col("doc_id") % 10 === 0)
+      val retired = d.filter(col("doc_id") % 13 === 0 && col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("id"))
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_wnm").toString
+      val inDir = s"$base/in"; val idxDir = s"$base/index"; val ckpt = s"$base/ckpt"
+      Dedup.winnowedPrints(stored, "doc_id", "text", k = 8, w = 4)
+        .write.mode("overwrite").parquet(idxDir)
+      admitted.repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = graft.streaming.Streams.watchDirectory(s, inDir,
+        format = "parquet", schemaDdl = Some(admitted.schema.toDDL),
+        maxFilesPerTrigger = 1)
+      val q = graft.streaming.Streams.toForeachBatch(stream, ckpt,
+        availableNow = true) { (batch, _) =>
+        if (!batch.isEmpty) {
+          val idx = graft.streaming.Streams.readIndex(s, idxDir, recursive = false)
+          graft.operators.Sinks.swapWrite(
+            Dedup.winnowIndexDelta(idx, batch, "doc_id", "text", retired,
+              k = 8, w = 4), idxDir)
+        }
+      }
+      q.awaitTermination()
+      graft.streaming.Streams.readIndex(s, idxDir, recursive = false)
+        .select(col("id").as("doc_id"), col("pos"), col("print"))
+    }),
     "q_cosine_neardup" -> ((s, dir) =>
       Dedup.cosineNearDup(
         T(s, dir, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding", 0.2)),
@@ -4792,6 +4827,25 @@ object SparkEntry {
          |FROM documents d LEFT JOIN hits h USING (doc_id)
          |WHERE d.doc_id % 10 = 0""".stripMargin,
     // maintenance identity: retiring changed ids from the gen-A prints and
+    // the STREAMING maintain loop converges to the winnowed prints of the
+    // final membership ((stored − retired) ∪ admitted — retire idempotent,
+    // admits disjoint), re-derived from scratch here
+    "q_stream_winnowmaintain" ->
+      s"""WITH m AS (SELECT doc_id, text FROM documents
+         |           WHERE doc_id % 13 <> 0 OR doc_id % 10 = 0),
+         |toks AS (SELECT doc_id, $toksSql AS tk FROM m),
+         |h AS (SELECT doc_id, list_transform(range(0, len(tk) - 8 + 1),
+         |      i -> ('0x' || substring(md5(array_to_string(list_slice(tk, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ')), 1, 15))::BIGINT) AS hs
+         |      FROM toks WHERE len(tk) >= 8),
+         |sel AS (SELECT doc_id, hs,
+         |      list_distinct(list_transform(range(0, greatest(len(hs) - 4, 0) + 1),
+         |        j -> j + least(4, len(hs)) - list_position(
+         |               list_reverse(list_slice(hs, CAST(j + 1 AS INT), CAST(j + least(4, len(hs)) AS INT))),
+         |               list_min(list_slice(hs, CAST(j + 1 AS INT), CAST(j + least(4, len(hs)) AS INT)))))) AS pos
+         |      FROM h),
+         |pr0 AS (SELECT doc_id, hs, unnest(pos) AS p FROM sel)
+         |SELECT doc_id, CAST(p AS BIGINT) AS pos, hs[CAST(p + 1 AS INT)] AS print
+         |FROM pr0""".stripMargin,
     // appending added ∪ changed docs' prints must equal the from-scratch
     // gen-B (= current documents) prints, row for row
     "q_winnow_index_delta" ->
