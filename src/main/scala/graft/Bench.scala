@@ -22,11 +22,47 @@ object Bench {
     // the single final JSON line.
     val realOut = System.out
     System.setOut(System.err)
-    try benchBody(realOut)
+    // System.setOut only redirects writers that READ System.out after this
+    // point; scala.Console and log4j ConsoleAppenders capture the stream at
+    // their own initialization, so under a launcher that initializes them
+    // first (sbt run, spark-submit) stray prints could still reach the
+    // archived stdout tail — redirect both explicitly for defense in depth.
+    try scala.Console.withOut(System.err) { benchBody(realOut) }
     finally System.setOut(realOut)
   }
 
+  /** Detach any log4j2 console appender that targets SYSTEM_OUT from the
+    * root logger. Appenders capture their stream reference at config time,
+    * so the System.setOut redirect above never reaches them. Spark's
+    * default log4j2 template logs to SYSTEM_ERR already (this is a no-op
+    * there); a user config pointed at stdout loses its console logging for
+    * the bench run — the right trade when the artifact tail must be pure
+    * JSON. Non-log4j2 bindings skip (cosmetic).
+    */
+  private def log4jConsoleToStderr(): Unit =
+    try {
+      import org.apache.logging.log4j.core.LoggerContext
+      import org.apache.logging.log4j.core.appender.ConsoleAppender
+      val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+        .asInstanceOf[LoggerContext]
+      val cfg = ctx.getConfiguration
+      val stdoutNames = new scala.collection.mutable.ArrayBuffer[String]
+      cfg.getAppenders.forEach { (name, app) =>
+        app match {
+          case c: ConsoleAppender
+              if c.getTarget == ConsoleAppender.Target.SYSTEM_OUT =>
+            stdoutNames += name
+          case _ => ()
+        }
+      }
+      if (stdoutNames.nonEmpty) {
+        stdoutNames.foreach(cfg.getRootLogger.removeAppender)
+        ctx.updateLoggers()
+      }
+    } catch { case _: Throwable => () }
+
   private def benchBody(realOut: java.io.PrintStream): Unit = {
+    log4jConsoleToStderr()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.tune(SparkSession.builder()

@@ -40,9 +40,18 @@ object GraftSession {
     // construction (the probe just means "not a streaming-sink dir"), so
     // that ONE logger is raised to ERROR; everything else keeps the
     // session's level.
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+    // ResolveWriteToStream WARNs once per stream start that AQE is
+    // disabled for streaming queries (it always is — not actionable), and
+    // MicroBatchExecution WARNs on every empty-trigger housekeeping path;
+    // with ~40 streaming queries per bench run these two were the entire
+    // WARN tail of the archived artifact. Benign and unactionable by
+    // construction, so both are raised to ERROR alongside FileStreamSink.
+    try Seq(
       "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
-      org.apache.logging.log4j.Level.ERROR)
+      "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream",
+      "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution"
+    ).foreach(l => org.apache.logging.log4j.core.config.Configurator.setLevel(
+      l, org.apache.logging.log4j.Level.ERROR))
     catch { case _: Throwable => () } // a non-log4j2 binding: skip, cosmetic
     spark
   }

@@ -53,16 +53,28 @@ object SparkEntry {
     * (case-preserved) in the DDL, matching what Spark's own JDBC writer
     * does.
     */
-  private def derbyJarFixture(df: DataFrame, tag: String, table: String,
-                              ddl: Seq[(String, String)]): (String, Map[String, String]) = {
+  /** Derby ENGINE properties — read ONCE when the embedded engine boots
+    * (the first getConnection in this JVM), then frozen. Every Derby entry
+    * point calls this before connecting, so whichever query boots the
+    * engine first (the in-memory q_jdbc_roundtrip or a jar fixture) boots
+    * it with BOTH properties — setting them per-fixture was query-order
+    * dependent: an earlier in-memory boot would silently discard the
+    * tempDirectory a later jar fixture needs.
+    *
+    * derby.storage.tempDirectory matters for read-only/jar databases:
+    * Derby's default puts temp spill files inside the database directory —
+    * the unwritable jar — so any in-database sort/aggregate that outgrows
+    * the in-memory buffer fails with SQLException at larger SFs.
+    */
+  private lazy val derbyEngineProps: Unit = {
     System.setProperty("derby.stream.error.path", "/tmp/derby.log")
-    // read-only/jar databases REQUIRE a writable temp directory (Derby's
-    // default puts temp spill files inside the database directory — the
-    // unwritable jar here): without this, any in-database sort/aggregate
-    // that outgrows the in-memory buffer fails with SQLException at
-    // larger SFs
     System.setProperty("derby.storage.tempDirectory",
       sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+  }
+
+  private def derbyJarFixture(df: DataFrame, tag: String, table: String,
+                              ddl: Seq[(String, String)]): (String, Map[String, String]) = {
+    derbyEngineProps
     val base = java.nio.file.Files.createTempDirectory(s"graft_derby_$tag").toString
     val db = s"$base/db"
     val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$db;create=true")
@@ -1128,7 +1140,7 @@ object SparkEntry {
     // the read-only jar device that fixed q_jdbc_query/q_jdbc_typed cannot
     // carry a write. plans/CLUSTER.md r12 has the adjudication.
     "q_jdbc_roundtrip" -> ((s, dir) => {
-      System.setProperty("derby.stream.error.path", "/tmp/derby.log")
+      derbyEngineProps
       val url = "jdbc:derby:memory:graft_rt;create=true"
       val drv = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
       val n = T(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")

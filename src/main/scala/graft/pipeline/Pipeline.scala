@@ -41,8 +41,18 @@ final class Pipeline private (stages: Vector[(String, Pipeline.Stage)]) {
 
   /** Resolve the DAG to DataFrames. Stages consumed by 2+ downstreams are
     * persisted so fan-out does not recompute the shared prefix.
+    *
+    * Memoized per Pipeline instance: stage functions may carry real side
+    * effects (the config `*_index_write` ops run an index build when their
+    * stage resolves), so re-resolving on every `output()` call would
+    * re-execute those builds — requesting two outputs from one config
+    * would rebuild and overwrite the index twice. The class is immutable
+    * (every combinator returns a new Pipeline), so one resolution per
+    * instance is always the right answer.
     */
-  def build(): Map[String, DataFrame] = {
+  def build(): Map[String, DataFrame] = resolved0
+
+  private lazy val resolved0: Map[String, DataFrame] = {
     val consumers = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     stages.foreach {
       case (_, Transform(from, _)) => consumers(from) += 1

@@ -321,19 +321,109 @@ object Search {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
   }
 
-  /** A guarded probe against a pre-r11 layout must fail with the CAUSE
-    * (no terms/ table) and the migration path — not readIndex's
-    * stranded-swap diagnosis, which is about a different failure.
+  /** How the df-ceiling guard resolves against a stored index generation:
+    * the cached stop-term set (the common case), the legacy per-probe
+    * terms/ consult (adversarially low ceilings whose stop set is too
+    * large to cache), or unguarded (pre-guard layout without a terms/
+    * table — warn-and-fallback, not an error: the index was built before
+    * the guard existed and probing it at 1000‰ is exactly what it did
+    * then; failing at probe time would break every existing index the day
+    * the default flipped).
     */
-  private def requireTermsTable(spark: org.apache.spark.sql.SparkSession,
-                                dir: String, maxDfPermille: Int): Unit = {
+  private sealed trait GuardPlan
+  private final case class StopSet(terms: Set[String]) extends GuardPlan
+  private case object ConsultPerProbe extends GuardPlan
+  private case object Unguarded extends GuardPlan
+
+  /** Stop sets above this size are not cached (or collected): at 990‰ the
+    * stop set is a handful of true stop terms, but an adversarially low
+    * ceiling (q_bm25 specs probe at 0‰) would make it the whole
+    * vocabulary — unbounded driver memory. Such probes keep the legacy
+    * distributed per-probe consult.
+    */
+  private val StopSetCacheCap = 4096
+
+  /** dir → (terms-dir mtime, n, maxDfPermille, stop set). One live entry
+    * per index dir: a maintain generation lands via swapWrite, whose
+    * rename gives the new terms/ directory a NEW mtime (it is the `.next`
+    * dir, created when the delta job wrote it), so the key changes and the
+    * stale set is recomputed — maintain-safe by construction. `n` is in
+    * the key too: stats/ swaps with the same generation, so a changed
+    * corpus size invalidates even if mtime granularity (ms) ever aliased.
+    */
+  private val stopTermCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Int, Set[String])]()
+
+  /** Test hook: the live cache entry for `dir` as (mtime, n, permille,
+    * stop set) — lets the invalidation spec pin that a swapWrite actually
+    * rotates the generation key rather than inferring it from results.
+    */
+  private[graft] def stopTermCacheEntry(
+      dir: String): Option[(Long, Long, Int, Set[String])] =
+    Option(stopTermCache.get(dir))
+
+  /** Dirs already warned about probing unguarded (pre-guard layout) — the
+    * warning is per-dir, not per-probe, so a streaming probe loop does not
+    * spam it every micro-batch.
+    */
+  private val warnedPreGuard =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Resolve the guard for one probe. The stop-term SET of a generation
+    * (every term whose df exceeds the ceiling) is computed ONCE per
+    * (dir, generation, ceiling) and cached — a static index pays the
+    * terms/ consult once instead of per micro-batch (q_stream_bm25probe
+    * was +30% paying it every batch), and a maintained index invalidates
+    * on the swap (see [[stopTermCache]]). The terms/ scan here reads the
+    * whole vocabulary-sized table once (column-pruned to term+df) instead
+    * of the legacy query-bucket-pruned read; past [[StopSetCacheCap]]
+    * survivors it falls back to that legacy consult.
+    *
+    * Absent terms/ handling distinguishes the swap window (retry, mirror
+    * of [[graft.streaming.Streams.readIndex]]) from a genuinely pre-guard
+    * layout (WARN once per dir + probe unguarded).
+    */
+  private def guardPlan(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, n: Long, maxDfPermille: Int): GuardPlan = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/terms")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p),
-      s"maxDfPermille=$maxDfPermille needs the stored terms/ table, but " +
-        s"$dir has none (pre-guard layout): rebuild with writeLexIndex, " +
-        "run one lexIndexDelta generation to migrate, or probe with " +
-        "maxDfPermille = 1000")
+    def status(): Option[org.apache.hadoop.fs.FileStatus] =
+      try Some(fs.getFileStatus(p)) catch {
+        case _: java.io.FileNotFoundException => None
+      }
+    val st = status().orElse { Thread.sleep(200L); status() }
+    st match {
+      case None =>
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/terms.next")))
+          throw new IllegalStateException(
+            s"terms table $dir/terms is missing but terms.next exists: a " +
+              "maintenance swap crashed mid-rename — run recoverSwap/" +
+              "compactIndex to completion, then retry the probe")
+        if (warnedPreGuard.add(dir))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"maxDfPermille=$maxDfPermille requested but $dir has no stored " +
+              "terms/ table (pre-guard layout): probing UNGUARDED " +
+              "(= maxDfPermille 1000). Rebuild with writeLexIndex or run " +
+              "one lexIndexDelta generation to migrate.")
+        Unguarded
+      case Some(s) =>
+        val mtime = s.getModificationTime
+        val hit = stopTermCache.get(dir)
+        if (hit != null && hit._1 == mtime && hit._2 == n && hit._3 == maxDfPermille)
+          StopSet(hit._4)
+        else {
+          val stop = graft.streaming.Streams
+            .readIndex(spark, s"$dir/terms", recursive = false)
+            .filter(!dfCeilingOk(n, maxDfPermille))
+            .select("term").limit(StopSetCacheCap + 1)
+            .collect().map(_.getString(0)).toSet
+          if (stop.size > StopSetCacheCap) ConsultPerProbe
+          else {
+            stopTermCache.put(dir, (mtime, n, maxDfPermille, stop))
+            StopSet(stop)
+          }
+        }
+    }
   }
 
   /** The df-ceiling guard shared by [[bm25FromIndex]] and
@@ -348,8 +438,9 @@ object Search {
     * plans/SCALE.md r11.2) while the guarded cut is semantically free
     * (idf ≈ 0 above 990‰) — a default IS the product at 100× scale.
     * 1000‰ is the explicit opt-out that admits every term without
-    * reading `terms/` (pre-r11 indexes without that table keep probing
-    * at 1000; any guarded ceiling requires it — [[requireTermsTable]]).
+    * reading `terms/`; a pre-r11 index without that table probes
+    * unguarded with a one-time WARN ([[guardPlan]]) — the layout predates
+    * the guard, so failing at probe time would break it retroactively.
     * The cut is EXACT and engine-replayable: the oracle applies the same
     * `df · 1000 <= maxDfPermille · n` predicate on its own dfreq CTE.
     */
@@ -372,20 +463,23 @@ object Search {
       s"maxDfPermille must be in [0, 1000], got $maxDfPermille")
     val st = graft.streaming.Streams.readIndex(spark, s"$dir/stats", recursive = false).head()
     val (n, sumdl, buckets) = (st.getLong(0), st.getLong(1), st.getInt(2))
-    // df-ceiling guard ([[dfCeilingOk]]): consult the stored terms/ table
-    // (pruned to the query terms' buckets — a ≤ |queryTerms|-row collect)
-    // and keep only surviving terms; their buckets alone are listed below,
-    // so a dropped stop term's posting partition is never even listed
+    // df-ceiling guard ([[dfCeilingOk]] via [[guardPlan]]): drop stop
+    // terms BEFORE their buckets are listed, so a dropped term's posting
+    // partition is never even read. The common path is the cached
+    // generation stop set (one terms/ consult per generation, not per
+    // probe); adversarially low ceilings keep the legacy pruned consult.
     val terms: Seq[String] =
       if (maxDfPermille >= 1000) queryTerms
-      else {
-        requireTermsTable(spark, dir, maxDfPermille)
-        val tbks = queryTerms.map(t => Ann.md5Prefix60(t) % buckets).distinct
-        graft.streaming.Streams.readIndex(spark, s"$dir/terms", recursive = false)
-          .filter(col("bucket").isin(tbks: _*))
-          .filter(col("term").isin(queryTerms: _*))
-          .filter(dfCeilingOk(n, maxDfPermille))
-          .select("term").collect().map(_.getString(0)).toSeq
+      else guardPlan(spark, dir, n, maxDfPermille) match {
+        case Unguarded      => queryTerms
+        case StopSet(stop)  => queryTerms.filterNot(stop)
+        case ConsultPerProbe =>
+          val tbks = queryTerms.map(t => Ann.md5Prefix60(t) % buckets).distinct
+          graft.streaming.Streams.readIndex(spark, s"$dir/terms", recursive = false)
+            .filter(col("bucket").isin(tbks: _*))
+            .filter(col("term").isin(queryTerms: _*))
+            .filter(dfCeilingOk(n, maxDfPermille))
+            .select("term").collect().map(_.getString(0)).toSeq
       }
     val bks = terms.map(t => Ann.md5Prefix60(t) % buckets).distinct
     val posts = graft.streaming.Streams.readIndex(spark, s"$dir/postings", recursive = false)
@@ -422,24 +516,30 @@ object Search {
     val (n, sumdl, buckets) = (st.getLong(0), st.getLong(1), st.getInt(2))
     val qAll = queries.select(col(queryCol).as("query_id"), col(termCol).as("term"))
       .distinct()
-    // df-ceiling guard ([[dfCeilingOk]]): semi-join the query terms
-    // against the surviving slice of the stored terms/ table — fully
-    // distributed (query terms never collect; terms/ reads only the query
-    // terms' buckets). A stop term here is not just a corpus-sized scan:
-    // its postings land in ONE task's per-query window partition below,
-    // so dropping it removes the per-key skew too.
+    // df-ceiling guard ([[dfCeilingOk]] via [[guardPlan]]). A stop term
+    // here is not just a corpus-sized scan: its postings land in ONE
+    // task's per-query window partition below, so dropping it removes the
+    // per-key skew too. Common path: the cached generation stop set is a
+    // handful of literals, so the cut is a NOT-isin projection on the
+    // query frame (q_stream_bm25probe paid a distributed terms/ semi-join
+    // every micro-batch for it — +30%); adversarially low ceilings keep
+    // that legacy semi-join (query terms never collect there).
     val q =
       if (maxDfPermille >= 1000) qAll
-      else {
-        requireTermsTable(spark, dir, maxDfPermille)
-        val tbks = qAll.select(termBucket(col("term"), buckets).as("b"))
-          .distinct().collect().map(_.getLong(0)) // bounded: <= buckets
-        val survivors = graft.streaming.Streams
-          .readIndex(spark, s"$dir/terms", recursive = false)
-          .filter(col("bucket").isin(tbks.toSeq: _*))
-          .filter(dfCeilingOk(n, maxDfPermille))
-          .select("term")
-        qAll.join(survivors, Seq("term"), "left_semi")
+      else guardPlan(spark, dir, n, maxDfPermille) match {
+        case Unguarded => qAll
+        case StopSet(stop) =>
+          if (stop.isEmpty) qAll
+          else qAll.filter(!col("term").isin(stop.toSeq: _*))
+        case ConsultPerProbe =>
+          val tbks = qAll.select(termBucket(col("term"), buckets).as("b"))
+            .distinct().collect().map(_.getLong(0)) // bounded: <= buckets
+          val survivors = graft.streaming.Streams
+            .readIndex(spark, s"$dir/terms", recursive = false)
+            .filter(col("bucket").isin(tbks.toSeq: _*))
+            .filter(dfCeilingOk(n, maxDfPermille))
+            .select("term")
+          qAll.join(survivors, Seq("term"), "left_semi")
       }
     val bks = q.select(termBucket(col("term"), buckets).as("b"))
       .distinct().collect().map(_.getLong(0)) // bounded: <= buckets values

@@ -360,6 +360,56 @@ class SourcesAnnSpec extends SparkSpec {
     graft.Caching.drain()
   }
 
+  test("stop-term guard cache invalidates across a swapWrite generation; " +
+       "a pre-guard layout (no terms/) probes unguarded instead of failing") {
+    import graft.similarity.Search
+    val docs = Seq(
+      (1L, "spark common alpha"),
+      (2L, "spark common beta"),
+      (3L, "common rare"),
+      (4L, "gamma delta")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lexidx_gc").toString
+    Search.writeLexIndex(docs, "doc_id", "text", dir, buckets = 8)
+    // generation 1: common df 3/4 = 750‰ > 700 → stopped; the probe
+    // populates the generation-keyed cache
+    def probe(terms: Seq[String], permille: Int) =
+      Search.bm25FromIndex(spark, dir, terms, k = 5, maxDfPermille = permille)
+        .as[(Long, Double)].collect().toSeq
+    assert(probe(Seq("spark", "common"), 700) == probe(Seq("spark"), 1000))
+    val e1 = Search.stopTermCacheEntry(dir)
+    assert(e1.exists { case (_, n, p, stop) =>
+      n == 4L && p == 700 && stop == Set("common") }, s"cache entry: $e1")
+    // maintain generation 2 via the REAL swap path: retire doc 3, admit
+    // doc 5 — membership {1,2,4,5}, common df 2/4 = 500‰ ≤ 700 → common
+    // must now SURVIVE the guard. A stale cache would keep dropping it.
+    val admitted = Seq((5L, "rare fresh")).toDF("doc_id", "text")
+    val retired = Seq(3L).toDF("id")
+    val (posts, doclens, stats, terms) = Search.lexIndexDelta(
+      admitted, "doc_id", "text", dir, retired)
+    Search.writeLexDelta(dir, posts, doclens, stats, terms)
+    assert(probe(Seq("spark", "common"), 700) ==
+      probe(Seq("spark", "common"), 1000),
+      "post-swap guarded probe must see the NEW generation's df (common " +
+        "is no longer a stop term) — a stale cache entry survived the swap")
+    val e2 = Search.stopTermCacheEntry(dir)
+    assert(e2.exists { case (_, n, p, stop) =>
+      n == 4L && p == 700 && stop.isEmpty }, s"cache entry: $e2")
+    assert(e1.get._1 != e2.get._1 || e1.get._4 != e2.get._4,
+      "the generation key (terms/ mtime) must rotate across a swapWrite")
+    graft.Caching.drain()
+    // pre-guard layout: delete terms/ entirely — the guarded DEFAULT must
+    // warn-and-fallback to the unguarded probe, not fail at probe time
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/terms"), true)
+    assert(probe(Seq("spark", "common"), 990) ==
+      probe(Seq("spark", "common"), 1000))
+    // multi-query twin over the same pre-guard layout
+    val q = Seq((0L, "spark"), (0L, "common")).toDF("qid", "term")
+    assert(Search.bm25ManyFromIndex(spark, dir, q, "qid", "term", k = 5)
+        .count() > 0)
+  }
+
   test("rrfFuse sums integer reciprocal-rank contributions and cuts top-k") {
     val l1 = Seq((0L, 10L, 1L), (0L, 11L, 2L), (1L, 20L, 1L)).toDF("q", "id", "rank")
     val l2 = Seq((0L, 11L, 1L), (0L, 12L, 2L), (1L, 20L, 1L)).toDF("q", "id", "rank")
