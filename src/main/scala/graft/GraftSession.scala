@@ -15,9 +15,36 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** The RocksDB state-store provider — the LARGE-STATE default for the
+    * stateful streaming twins (keep-best, LSH buckets, winnow owners,
+    * heavy hitters): the default HDFS-backed provider holds every key's
+    * state on the executor HEAP, so at 100× the per-key state (G44's
+    * print universe, G42's key domain) it outgrows executor memory where
+    * RocksDB spills to local disk with bounded block-cache memory. Opt in
+    * per session via [[useRocksDbStateStore]] or fleet-wide via
+    * `SPARK_GRAFT_STATESTORE=rocksdb` (read by [[tune]]); the provider is
+    * a stream-START conf, so set it before `writeStream.start()`.
+    * Correctness is provider-independent (the full streaming suite runs
+    * green under it — StreamsRocksDbSpec; per-query deltas in
+    * plans/BENCHNOTES.md r13).
+    */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Switch this session's stateful streams to the RocksDB state store. */
+  def useRocksDbStateStore(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      RocksDbProvider)
+    spark
+  }
+
   /** Runtime confs graft depends on; safe to (re)apply to a live session. */
   def tune(spark: SparkSession): SparkSession = {
     val conf = spark.conf
+    // large-state opt-in (see [[RocksDbProvider]]): env-selectable so the
+    // whole suite/bench can run under RocksDB without code changes
+    if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb"))
+      conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
     // TIMESTAMP(NANOS) parquet (the `events` table) is rejected by the
     // vectorized reader; read the raw int64 and convert (see Tables.events).
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -371,24 +371,31 @@ object SparkEntry {
     * JSON-Schema gate (q_json_schema) — ONE SQL fragment evaluated by
     * BOTH engines (Spark `expr` and DuckDB share the CASE/||/CAST
     * syntax), so the validated input cannot drift between them. Five
-    * shapes by event_id % 5 (valid / string-typed value + an
-    * integer-element `tags` array that trips the r12 per-ELEMENT items
-    * check / missing required user.id / enum-violating type / missing
+    * shapes by event_id % 5 (valid — incl. an in-enum integer `priority`
+    * and a well-formed object-element `items` array / string-typed value
+    * + an integer-element `tags` array that trips the r12 per-ELEMENT
+    * items check + an out-of-enum integer priority (the r13 typed-enum
+    * check) + an object element whose `sku` is a string (r13
+    * `type:$.items[].sku`) / missing required user.id + an object
+    * element LACKING `sku` (r13 `missing:$.items[].sku`) / enum-violating
+    * type + a STRING priority (rejected by the integer enum AND the type
+    * check) + an EMPTY items array (r13 `minitems:$.items`) / missing
     * required value), with every 7th message malformed outright.
     */
   private val jsonSynthSql: String =
     """CASE WHEN event_id % 7 = 0 THEN '{broken'
       | ELSE CASE CAST(event_id % 5 AS INT)
-      |  WHEN 0 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["a", "b"]}'
-      |  WHEN 1 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "' || event_type || '", "value": "' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '", "tags": ["ok", 3]}'
-      |  WHEN 2 THEN '{"user": {"name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '}'
-      |  WHEN 3 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "badtype", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '}'
+      |  WHEN 0 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["a", "b"], "priority": 2, "items": [{"sku": 5, "qty": 2}]}'
+      |  WHEN 1 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "' || event_type || '", "value": "' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '", "tags": ["ok", 3], "priority": 9, "items": [{"sku": "x", "qty": 1}]}'
+      |  WHEN 2 THEN '{"user": {"name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "items": [{"qty": 3}]}'
+      |  WHEN 3 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "badtype", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "priority": "high", "items": []}'
       |  ELSE '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "' || event_type || '"}'
       | END END""".stripMargin.replace("\n", " ")
 
-  /** The q_json_schema demo schema (types + required + enum + nested
-    * object + array with per-ELEMENT items validation (r12) — the
-    * supported subset exercised end to end).
+  /** The q_json_schema demo schema (types + required + enum — incl. the
+    * r13 TYPED integer enum — + nested object + array with per-ELEMENT
+    * items validation (r12) + the r13 array-of-OBJECTS element
+    * required/type descent — the supported subset exercised end to end).
     */
   private val jsonSchemaDemo: String =
     """{"type": "object", "required": ["user", "type", "value"],
@@ -400,9 +407,14 @@ object SparkEntry {
       |  "type": {"type": "string",
       |           "enum": ["click", "view", "purchase", "error", "signup"]},
       |  "value": {"type": "number", "minimum": 0, "maximum": 15},
-      |  "tags": {"type": "array",
+      |  "tags": {"type": "array", "maxItems": 8,
       |           "items": {"type": "string", "minLength": 1,
-      |                     "maxLength": 8}}}}""".stripMargin
+      |                     "maxLength": 8}},
+      |  "priority": {"type": "integer", "enum": [1, 2, 3]},
+      |  "items": {"type": "array", "minItems": 1,
+      |            "items": {"type": "object", "required": ["sku"],
+      |                      "properties": {"sku": {"type": "integer"},
+      |                                     "qty": {"type": "integer"}}}}}}""".stripMargin
 
   /** The [[syntheticHtml]] expression in DuckDB SQL — same fragments. */
   private def htmlExprSql: String =
@@ -2800,6 +2812,10 @@ object SparkEntry {
       val q = graft.streaming.Streams.toForeachBatch(stream, ckpt,
         availableNow = true) { (batch, _) =>
         if (!batch.isEmpty) {
+          // restart step: finish any swap a crashed generation stranded
+          // BEFORE listing the prints dir (winnowIndexDelta takes the
+          // frame, so the loop owns the read — and the recovery)
+          graft.operators.Sinks.recoverSwap(s, idxDir)
           val idx = graft.streaming.Streams.readIndex(s, idxDir, recursive = false)
           graft.operators.Sinks.swapWrite(
             Dedup.winnowIndexDelta(idx, batch, "doc_id", "text", retired,

@@ -38,6 +38,24 @@ object Dedup {
     retiredIds.select(col(idName).as("id"))
   }
 
+  /** The kept-side anti-join key set of an index delta (r13): retired ids
+    * ∪ admitted ids. Admitted ids ALWAYS replace any stored copy — the
+    * explicit retire stays the snapshotDiff contract, but without the
+    * union a maintenance loop REPLAYING its uncommitted micro-batch after
+    * a crash whose swap already landed (checkpoint commits after the
+    * foreachBatch body) would duplicate every admitted row. With it, the
+    * delta apply is IDEMPOTENT — apply(apply(index, d), d) = apply(index,
+    * d) — which is what makes the online maintain loops crash-convergent
+    * (MaintainCrashSpec). On a first apply admitted ids are absent from
+    * the stored side, so the union changes nothing; duplicates in the
+    * union are harmless to an anti-join (existence, not counts) and it
+    * stays delta-sized — no distinct, no extra exchange.
+    */
+  private[graft] def replaceIdFrame(retiredIds: DataFrame, admitted: DataFrame,
+                                    idCol: String): DataFrame =
+    retiredIdFrame(retiredIds)
+      .unionByName(admitted.select(col(idCol).as("id")))
+
   /** Exact dedup (G1): group by md5(content), keep the minimum id.
     * Output: (hash, keep_id, n_copies).
     */
@@ -514,7 +532,9 @@ object Dedup {
                  textCol: String, retiredIds: DataFrame,
                  numHashes: Int = 16, bands: Int = 4,
                  rowsPerBand: Int = 4): DataFrame = {
-    val retired = retiredIdFrame(retiredIds)
+    // retired ∪ admitted ids ([[replaceIdFrame]]): admitted docs replace
+    // any stored copy, making the apply idempotent under crash replay
+    val retired = replaceIdFrame(retiredIds, admitted, idCol)
     index.select("id", "band", "band_key")
       .join(retired, Seq("id"), "left_anti")
       .unionByName(
@@ -885,7 +905,9 @@ object Dedup {
   def winnowIndexDelta(index: DataFrame, admitted: DataFrame, idCol: String,
                        textCol: String, retiredIds: DataFrame,
                        k: Int = 8, w: Int = 4): DataFrame = {
-    val retired = retiredIdFrame(retiredIds)
+    // retired ∪ admitted ids ([[replaceIdFrame]]): admitted docs replace
+    // any stored copy, making the apply idempotent under crash replay
+    val retired = replaceIdFrame(retiredIds, admitted, idCol)
     index.select("id", "pos", "print")
       .join(retired, Seq("id"), "left_anti")
       .unionByName(winnowedPrints(admitted, idCol, textCol, k, w))

@@ -176,8 +176,8 @@ object ConfigPipeline {
     "band_keys",
     "bm25",
     "boilerplate", "c4_clean", "canonical_url", "ccnet_buckets", "chunk",
-    "corpus_overlap", "corpus_shuffle", "csv_permissive", "decontaminate",
-    "dedup_best",
+    "corpus_overlap", "corpus_shuffle", "csv_permissive", "decode_features",
+    "decontaminate", "dedup_best",
     "dedup_exact", "dedup_near", "degrees", "distinct", "distinct_sketch",
     "distribution_drift", "dsir", "encoding_stats", "error_budget", "filter",
     "fingerprint",
@@ -493,6 +493,46 @@ object ConfigPipeline {
           graft.similarity.Search.writeLexIndex(d, id, text, dir, buckets)
           val sp = d.sparkSession; import sp.implicits._
           Seq((dir, buckets.toLong)).toDF("dir", "buckets")
+        }
+      // ---- G12 multimodal decode (r13): the config path can run the
+      // decoder seam — previously Scala-callers-only, the one G12 gap on
+      // the stated 100 TB path (E4). `decoder` picks from the registry
+      // over Multimodal's pluggable trait ("fake" = the deterministic
+      // fake the q_multimodal oracle replays; "imageio" = the JDK
+      // javax.imageio PNG/JPEG decoder with corrupt-byte fallback);
+      // `media` picks the input adapter: "columns" reads the stage's own
+      // (id, content, format, width, height, n_frames) columns — the
+      // real-crawl shape — and "fake" derives deterministic media rows
+      // from `id` (the fixture shape). Output = the MediaFeatures frame.
+      case "decode_features" =>
+        val decoderName =
+          if (s.has("decoder")) knob("decoder").asText() else "fake"
+        val decoder: graft.multimodal.Multimodal.Decoder = decoderName match {
+          case "fake"    => graft.multimodal.Multimodal.FakeDecoder
+          case "imageio" => graft.multimodal.Multimodal.ImageIoDecoder
+          case other => throw new IllegalArgumentException(
+            s"unknown decoder '$other' (supported: fake | imageio)")
+        }
+        val stride =
+          if (s.has("frameStride")) knob("frameStride").asInt() else 2
+        val mediaMode = if (s.has("media")) knob("media").asText() else "columns"
+        p.stage(name, from) { d =>
+          val sp = d.sparkSession
+          import sp.implicits._
+          val media = mediaMode match {
+            case "fake" =>
+              graft.multimodal.Multimodal.fakeMedia(sp, d, knob("id").asText())
+            case "columns" =>
+              d.select(col("id").cast("long").as("id"), col("content"),
+                  col("format"), col("width").cast("int").as("width"),
+                  col("height").cast("int").as("height"),
+                  col("n_frames").cast("int").as("n_frames"))
+                .as[graft.multimodal.Multimodal.Media]
+            case other => throw new IllegalArgumentException(
+              s"unknown media adapter '$other' (supported: columns | fake)")
+          }
+          graft.multimodal.Multimodal.decodeFeatures(sp, media, stride, decoder)
+            .toDF()
         }
       // persistent-IVFPQ-index probe: route this stage's query vectors
       // against the stored index at `dir` (written by Pq.writeIndex) —

@@ -14,19 +14,39 @@ import scala.jdk.CollectionConverters._
   * string column.
   *
   * Supported subset: `type` (object / array / string / integer / number /
-  * boolean), `required`, `enum` (string values), `minimum`/`maximum`
-  * (numeric bounds, compared as correctly-rounded doubles on both
-  * engines), `minLength`/`maxLength` (string lengths in code points —
-  * Spark `length` ≡ DuckDB `length`), nested `properties` to any depth,
-  * `items` with PER-ELEMENT validation (r12): a declared element `type`
-  * is checked against EVERY element (violation `type:$.path[]`), and
-  * element-level `enum` / numeric bounds / string-length bounds fire as
-  * `enum:$.path[]` / `min:`/`max:`/`minlen:`/`maxlen:$.path[]` — each
-  * check conditional on the node being array-typed (a non-array already
-  * reports `type:$.path`) and, like the scalar checks, on the element
-  * being of the checkable runtime type. Element-level `properties`
-  * (arrays of objects) remain out of subset, as do integers beyond the
-  * int64 range (they classify engine-dependently).
+  * boolean), `required`, `enum` (TYPED values, r13: string, integer,
+  * number, boolean literals — a string value checks against the string
+  * members, an int value against the integer members by EXACT long
+  * compare, a double value against the number members as the
+  * correctly-rounded double both engines parse from the same JSON text,
+  * a bool against the boolean members; a scalar value with NO same-type
+  * members violates, so `enum: [1,2,3]` rejects `4` AND `"four"`;
+  * object/array/null values stay the type check's business; cross-type
+  * numeric equality — 1 matching an enum literal 1.0 — is out of
+  * subset), `minimum`/`maximum` (numeric bounds, compared as
+  * correctly-rounded doubles on both engines), `minLength`/`maxLength`
+  * (string lengths in code points — Spark `length` ≡ DuckDB `length`),
+  * `minItems`/`maxItems` (r13 array element-count bounds — Spark `size`
+  * over the extracted array ≡ DuckDB `json_array_length`, fired only on
+  * array-typed nodes as `minitems:`/`maxitems:$.p`; element-level array
+  * bounds — arrays of arrays — abort loudly),
+  * nested `properties` to any depth, `items` with PER-ELEMENT validation
+  * (r12): a declared element `type` is checked against EVERY element
+  * (violation `type:$.path[]`), and element-level `enum` / numeric
+  * bounds / string-length bounds fire as `enum:$.path[]` /
+  * `min:`/`max:`/`minlen:`/`maxlen:$.path[]` — each check conditional on
+  * the node being array-typed (a non-array already reports
+  * `type:$.path`) and, like the scalar checks, on the element being of
+  * the checkable runtime type. ARRAYS OF OBJECTS (r13): an `items` node
+  * of type object descends ONE level into its `properties` —
+  * per-element `required` fires `missing:$.path[].field` and a
+  * per-element field `type` fires `type:$.path[].field`, both only on
+  * elements that ARE objects (a non-object element is the items-type
+  * check's business) and with a present-but-JSON-null field failing the
+  * type like the path-level convention. Deeper element nesting and
+  * element-field enum/bounds abort LOUDLY at compile (no silent no-op),
+  * as do integers beyond the int64 range (they classify
+  * engine-dependently).
   *
   * Validation semantics (JSON-Schema-conventional):
   *  - an unparseable or NULL message → the single violation `malformed`;
@@ -60,14 +80,25 @@ object JsonSchemaGate {
 
   private val mapper = new ObjectMapper()
 
+  /** One typed `enum` member (r13): the literal's own JSON type decides
+    * which runtime values it can match — see the class doc's enum rules.
+    */
+  private sealed trait EnumVal
+  private final case class EStr(v: String) extends EnumVal
+  private final case class EInt(v: Long) extends EnumVal
+  private final case class EDbl(v: Double) extends EnumVal
+  private final case class EBool(v: Boolean) extends EnumVal
+
   /** One node of the compiled schema tree. */
-  private case class Node(typ: Option[String], enumVals: Seq[String],
+  private case class Node(typ: Option[String], enumVals: Seq[EnumVal],
                           required: Set[String], props: Seq[(String, Node)],
                           items: Option[Node],
                           minimum: Option[Double] = None,
                           maximum: Option[Double] = None,
                           minLength: Option[Int] = None,
-                          maxLength: Option[Int] = None)
+                          maxLength: Option[Int] = None,
+                          minItems: Option[Int] = None,
+                          maxItems: Option[Int] = None)
 
   private def compile(n: JsonNode): Node = {
     val typ = Option(n.get("type")).map(_.asText())
@@ -75,8 +106,15 @@ object JsonSchemaGate {
       require(Seq("object", "array", "string", "integer", "number",
         "boolean").contains(t), s"unsupported JSON-Schema type: $t")
     }
-    val enumVals = Option(n.get("enum")).toSeq
-      .flatMap(_.elements().asScala).map(_.asText())
+    val enumVals: Seq[EnumVal] = Option(n.get("enum")).toSeq
+      .flatMap(_.elements().asScala).map { e =>
+        if (e.isTextual) EStr(e.asText())
+        else if (e.isBoolean) EBool(e.asBoolean())
+        else if (e.isIntegralNumber && e.canConvertToLong) EInt(e.asLong())
+        else if (e.isNumber) EDbl(e.asDouble())
+        else throw new IllegalArgumentException(
+          s"unsupported enum literal (string/int/number/boolean only): $e")
+      }
     val req = Option(n.get("required")).toSeq
       .flatMap(_.elements().asScala).map(_.asText()).toSet
     val props = Option(n.get("properties")).toSeq.flatMap { p =>
@@ -94,7 +132,9 @@ object JsonSchemaGate {
       minimum = Option(n.get("minimum")).map(_.asDouble()),
       maximum = Option(n.get("maximum")).map(_.asDouble()),
       minLength = Option(n.get("minLength")).map(_.asInt()),
-      maxLength = Option(n.get("maxLength")).map(_.asInt()))
+      maxLength = Option(n.get("maxLength")).map(_.asInt()),
+      minItems = Option(n.get("minItems")).map(_.asInt()),
+      maxItems = Option(n.get("maxItems")).map(_.asInt()))
   }
 
   private def parseSchema(schemaJson: String): Node =
@@ -111,7 +151,7 @@ object JsonSchemaGate {
   private case class Missing(path: String, guards: Seq[String]) extends Check
   private case class TypeIs(path: String, expected: String,
                             guards: Seq[String]) extends Check
-  private case class EnumIn(path: String, values: Seq[String],
+  private case class EnumIn(path: String, values: Seq[EnumVal],
                             guards: Seq[String]) extends Check
   /** numeric bounds — checked only when the node IS numeric (a type
     * violation already reports the rest); both engines compare the same
@@ -124,16 +164,26 @@ object JsonSchemaGate {
     */
   private case class LenBound(path: String, op: String, bound: Int,
                               guards: Seq[String]) extends Check
+  /** array ELEMENT-COUNT bounds (r13 `minItems`/`maxItems`): checked only
+    * when the node IS array-typed — Spark `size` over the extracted
+    * `array<variant>` ≡ DuckDB `json_array_length`, an exact integer on
+    * both engines. op ∈ minitems/maxitems.
+    */
+  private case class ArrBound(path: String, op: String, bound: Int,
+                              guards: Seq[String]) extends Check
   /** per-ELEMENT checks over an `items`-typed array at `path` (r12):
     * fire only when the node IS array-typed (a non-array already reports
     * `type:$path`), and — like their scalar siblings — only on elements
     * of the checkable runtime type. `kind` ∈ type/enum/min/max/minlen/
-    * maxlen; tag is `<kind-tag>:$path[]`.
+    * maxlen (tag `<kind-tag>:$path[]`) plus the r13 object-element pair
+    * missing/fieldtype (tag `missing:$path[].field` /
+    * `type:$path[].field` — `field` names the element property).
     */
   private case class ItemsCheck(path: String, kind: String,
-                                expected: String, enumVals: Seq[String],
+                                expected: String, enumVals: Seq[EnumVal],
                                 bound: Double,
-                                guards: Seq[String]) extends Check
+                                guards: Seq[String],
+                                field: String = "") extends Check
 
   private def checksOf(root: Node): Seq[Check] = {
     val out = Seq.newBuilder[Check]
@@ -148,6 +198,28 @@ object JsonSchemaGate {
         out += ItemsCheck(cp, "minlen", "", Nil, b.toDouble, guards))
       it.maxLength.foreach(b =>
         out += ItemsCheck(cp, "maxlen", "", Nil, b.toDouble, guards))
+      // per-ELEMENT array bounds would mean arrays of arrays — out of the
+      // subset, and LOUDLY (the no-silent-no-op rule)
+      require(it.minItems.isEmpty && it.maxItems.isEmpty,
+        s"items at $cp: element-level minItems/maxItems (arrays of arrays) " +
+          "are out of the supported subset")
+      // arrays of OBJECTS (r13): descend ONE level into the element's
+      // properties — required/type per element. Anything deeper (or
+      // element-field enum/bounds) aborts LOUDLY: a silently-ignored
+      // schema constraint is the failure mode this gate exists to close.
+      it.props.foreach { case (f, sub) =>
+        require(sub.props.isEmpty && sub.items.isEmpty,
+          s"items.properties.$f: element-object checks descend ONE level " +
+            "(required + type); deeper nesting is out of the supported subset")
+        require(sub.enumVals.isEmpty && sub.minimum.isEmpty &&
+          sub.maximum.isEmpty && sub.minLength.isEmpty && sub.maxLength.isEmpty,
+          s"items.properties.$f: element-field enum/bounds are out of the " +
+            "supported subset (required + type only)")
+        if (it.required(f))
+          out += ItemsCheck(cp, "missing", "", Nil, 0, guards, field = f)
+        sub.typ.foreach(t =>
+          out += ItemsCheck(cp, "fieldtype", t, Nil, 0, guards, field = f))
+      }
     }
     def walk(node: Node, path: String, guards: Seq[String]): Unit =
       node.props.foreach { case (name, child) =>
@@ -159,9 +231,13 @@ object JsonSchemaGate {
         child.maximum.foreach(b => out += Bound(cp, "max", b, guards))
         child.minLength.foreach(b => out += LenBound(cp, "minlen", b, guards))
         child.maxLength.foreach(b => out += LenBound(cp, "maxlen", b, guards))
+        child.minItems.foreach(b => out += ArrBound(cp, "minitems", b, guards))
+        child.maxItems.foreach(b => out += ArrBound(cp, "maxitems", b, guards))
         child.items.foreach(it => itemChecks(cp, it, guards))
         if (child.props.nonEmpty) walk(child, cp, guards :+ cp)
       }
+    root.minItems.foreach(b => out += ArrBound("$", "minitems", b, Nil))
+    root.maxItems.foreach(b => out += ArrBound("$", "maxitems", b, Nil))
     root.items.foreach(it => itemChecks("$", it, Nil))
     walk(root, "$", if (root.typ.contains("object")) Seq("$") else Nil)
     out.result()
@@ -260,7 +336,8 @@ object JsonSchemaGate {
       (checks.map(_.path) ++ checks.flatMap(_.guards)).distinct
         .zipWithIndex.map { case (p, i) => p -> fresh(s"__jst$i") }.toMap
     val arrCols: Map[String, String] =
-      checks.collect { case ItemsCheck(p, _, _, _, _, _) => p }.distinct
+      checks.collect { case ic: ItemsCheck => ic.path
+                       case ab: ArrBound => ab.path }.distinct
         .zipWithIndex.map { case (p, i) => p -> fresh(s"__jsa$i") }.toMap
     def t(p: String): Column = col(typeCols(p))
     def guarded(c: Check)(cond: Column): Column = {
@@ -275,9 +352,24 @@ object JsonSchemaGate {
         case c @ TypeIs(p, ty, _) =>
           guarded(c)(t(p).isNotNull && !matches(t(p), ty))
         case c @ EnumIn(p, vs, _) =>
-          guarded(c)(t(p) === "string" &&
-            !expr(s"cast(try_variant_get($vcol, '$p') as string)")
-              .isin(vs: _*))
+          // typed membership (r13): each checkable runtime type tests
+          // against its OWN member bucket; an empty bucket means any
+          // value of that type violates (enum [1,2,3] rejects "four")
+          val strs = vs.collect { case EStr(s) => s }
+          val ints = vs.collect { case EInt(i) => i }
+          val dbls = vs.collect { case EDbl(d) => d }
+          val bools = vs.collect { case EBool(b) => b }
+          def viaCast[T](ty: String, castTo: String, members: Seq[T]): Column = {
+            val in =
+              if (members.isEmpty) lit(false)
+              else expr(s"cast(try_variant_get($vcol, '$p') as $castTo)")
+                .isin(members: _*)
+            t(p) === ty && !in
+          }
+          guarded(c)(viaCast("string", "string", strs) ||
+            viaCast("int", "long", ints) ||
+            viaCast("double", "double", dbls) ||
+            viaCast("bool", "boolean", bools))
         case c @ Bound(p, op, b, _) =>
           val v = expr(s"cast(try_variant_get($vcol, '$p') as double)")
           guarded(c)(t(p).isin("int", "double") &&
@@ -286,6 +378,10 @@ object JsonSchemaGate {
           val l = length(expr(s"cast(try_variant_get($vcol, '$p') as string)"))
           guarded(c)(t(p) === "string" &&
             (if (op == "minlen") l < lit(b) else l > lit(b)))
+        case c @ ArrBound(p, op, b, _) =>
+          val n = size(col(arrCols(p)))
+          guarded(c)(t(p) === "array" &&
+            (if (op == "minitems") n < lit(b) else n > lit(b)))
         // per-element checks: ONE native compiled loop per check over the
         // extracted array<variant> (graftglue.VariantItemsViolates),
         // guarded on the node being array-typed. A HOF spelling
@@ -295,10 +391,15 @@ object JsonSchemaGate {
         // (plans/FUSION.md's r6 lesson, re-learned r12); the native's
         // element classification folds the variant type tag to the same
         // canonical alphabet [[canonicalType]] reads via schema_of_variant
-        case c @ ItemsCheck(p, kind, ty, vs, b, _) =>
+        case c @ ItemsCheck(p, kind, ty, vs, b, _, field) =>
           import org.apache.spark.sql.graftglue.{ColumnBridge, VariantItemsViolates}
           val cond = ColumnBridge.column(VariantItemsViolates(
-            ColumnBridge.expression(col(arrCols(p))), kind, ty, vs, b))
+            ColumnBridge.expression(col(arrCols(p))), kind, ty,
+            vs.collect { case EStr(s) => s },
+            vs.collect { case EInt(i) => i },
+            vs.collect { case EDbl(d) => d },
+            vs.collect { case EBool(bv) => bv },
+            b, field))
           guarded(c)(t(p) === "array" && cond)
       }
     val withV = df.withColumn(vcol, expr(s"try_parse_json(`$jsonCol`)"))
@@ -321,7 +422,12 @@ object JsonSchemaGate {
     case EnumIn(p, _, _)    => s"enum:$p"
     case Bound(p, op, _, _) => s"$op:$p"
     case LenBound(p, op, _, _) => s"$op:$p"
-    case ItemsCheck(p, kind, _, _, _, _) => s"$kind:$p[]"
+    case ArrBound(p, op, _, _) => s"$op:$p"
+    case ItemsCheck(p, kind, _, _, _, _, field) => kind match {
+      case "missing"   => s"missing:$p[].$field"
+      case "fieldtype" => s"type:$p[].$field"
+      case k           => s"$k:$p[]"
+    }
   }
 
   // ------------------------------------------------------------------
@@ -373,6 +479,28 @@ object JsonSchemaGate {
          |  WHEN 'BOOLEAN' THEN 'bool' WHEN 'OBJECT' THEN 'object'
          |  WHEN 'ARRAY' THEN 'array' WHEN 'NULL' THEN 'null'
          |  ELSE 'other' END)""".stripMargin.replace("\n", " ")
+    // typed enum membership (r13) — the SQL twin of the Spark buckets:
+    // `a` is the canonical-type CASE, `rawStr` the value's text form; an
+    // empty bucket renders as the bare type test (any value of that type
+    // violates)
+    def enumSql(a: String, rawStr: String, vs: Seq[EnumVal]): String = {
+      val strs = vs.collect { case EStr(s) => s"'${s.replace("'", "''")}'" }
+      val ints = vs.collect { case EInt(i) => i.toString }
+      val dbls = vs.collect { case EDbl(d) => d.toString }
+      val bools = vs.collect { case EBool(b) => if (b) "'true'" else "'false'" }
+      def bucket(ty: String, cond: Option[String]) =
+        cond.fold(s"$a = '$ty'")(cc => s"($a = '$ty' AND $cc)")
+      Seq(
+        bucket("string", Option.when(strs.nonEmpty)(
+          s"$rawStr NOT IN (${strs.mkString(", ")})")),
+        bucket("int", Option.when(ints.nonEmpty)(
+          s"TRY_CAST($rawStr AS BIGINT) NOT IN (${ints.mkString(", ")})")),
+        bucket("double", Option.when(dbls.nonEmpty)(
+          s"TRY_CAST($rawStr AS DOUBLE) NOT IN (${dbls.mkString(", ")})")),
+        bucket("bool", Option.when(bools.nonEmpty)(
+          s"$rawStr NOT IN (${bools.mkString(", ")})"))
+      ).mkString("(", " OR ", ")")
+    }
     val frags = s"CASE WHEN $malformed THEN 'malformed' END" +:
       checksOf(root).map { c =>
         val cond = c match {
@@ -380,21 +508,35 @@ object JsonSchemaGate {
           case TypeIs(p, t, _) =>
             s"(${actual(p)} IS NOT NULL AND NOT (${matchesSql(actual(p), t)}))"
           case EnumIn(p, vs, _) =>
-            val list = vs.map(v => s"'${v.replace("'", "''")}'").mkString(", ")
-            s"(${actual(p)} = 'string' AND json_extract_string(TRY_CAST(($rawExpr) AS JSON), '${c.path}') NOT IN ($list))"
+            enumSql(actual(p),
+              s"json_extract_string(TRY_CAST(($rawExpr) AS JSON), '$p')", vs)
           case Bound(p, op, b, _) =>
             val cmp = if (op == "min") "<" else ">"
             s"(${actual(p)} IN ('int', 'double') AND TRY_CAST(json_extract_string(TRY_CAST(($rawExpr) AS JSON), '$p') AS DOUBLE) $cmp $b)"
           case LenBound(p, op, b, _) =>
             val cmp = if (op == "minlen") "<" else ">"
             s"(${actual(p)} = 'string' AND length(json_extract_string(TRY_CAST(($rawExpr) AS JSON), '$p')) $cmp $b)"
-          case ItemsCheck(p, kind, t, vs, b, _) =>
+          case ArrBound(p, op, b, _) =>
+            val cmp = if (op == "minitems") "<" else ">"
+            s"(${actual(p)} = 'array' AND json_array_length(TRY_CAST(($rawExpr) AS JSON), '$p') $cmp $b)"
+          case ItemsCheck(p, kind, t, vs, b, _, field) =>
+            // the element FIELD's canonical type (r13 object-element
+            // checks) — same fold, one path level down from the element
+            def fieldActual: String =
+              s"""(CASE json_type(el, '$$.$field')
+                 |  WHEN 'UBIGINT' THEN 'int' WHEN 'BIGINT' THEN 'int'
+                 |  WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
+                 |  WHEN 'BOOLEAN' THEN 'bool' WHEN 'OBJECT' THEN 'object'
+                 |  WHEN 'ARRAY' THEN 'array' WHEN 'NULL' THEN 'null'
+                 |  ELSE 'other' END)""".stripMargin.replace("\n", " ")
             val badElem = kind match {
               case "type" => s"NOT (${matchesSql(elemActual, t)})"
               case "enum" =>
-                val list = vs.map(v => s"'${v.replace("'", "''")}'")
-                  .mkString(", ")
-                s"($elemActual = 'string' AND json_extract_string(el, '$$') NOT IN ($list))"
+                enumSql(elemActual, s"json_extract_string(el, '$$')", vs)
+              case "missing" =>
+                s"($elemActual = 'object' AND json_type(el, '$$.$field') IS NULL)"
+              case "fieldtype" =>
+                s"($elemActual = 'object' AND json_type(el, '$$.$field') IS NOT NULL AND NOT (${matchesSql(fieldActual, t)}))"
               case "min" =>
                 s"($elemActual IN ('int', 'double') AND TRY_CAST(json_extract_string(el, '$$') AS DOUBLE) < $b)"
               case "max" =>

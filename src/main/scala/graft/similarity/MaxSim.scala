@@ -440,8 +440,12 @@ object MaxSim {
                      vecCol: String, dir: String,
                      retiredIds: DataFrame): DataFrame = {
     val spark = admitted.sparkSession
+    // restart step first: finish any stranded swap before listing mats/
+    graft.operators.Sinks.recoverSwap(spark, s"$dir/mats")
     val (cents, scale) = readModel(spark, dir)
-    val retire = graft.dedup.Dedup.retiredIdFrame(retiredIds)
+    // retired ∪ admitted ids (Dedup.replaceIdFrame): admitted documents
+    // replace any stored copy — idempotent under crash replay
+    val retire = graft.dedup.Dedup.replaceIdFrame(retiredIds, admitted, idCol)
     val kept = graft.streaming.Streams.readIndex(spark, s"$dir/mats", recursive = false)
       .join(broadcast(retire), Seq("id"), "left_anti")
       .select("id", "cell", "mat", "pool")

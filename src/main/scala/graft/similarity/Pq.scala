@@ -336,8 +336,14 @@ object Pq {
                       scale: Double = 1048576.0): DataFrame = {
     import graft.functions.Vectors
     val spark = admitted.sparkSession
+    // restart step first: finish any swap a crashed maintenance loop left
+    // stranded on the codes dir BEFORE listing it (the model is frozen,
+    // never delta-swapped)
+    graft.operators.Sinks.recoverSwap(spark, s"$dir/codes")
     val (cents, cbs, rot) = readModel(spark, dir)
-    val retire = graft.dedup.Dedup.retiredIdFrame(retiredIds)
+    // retired ∪ admitted ids (Dedup.replaceIdFrame): admitted vectors
+    // replace any stored copy — idempotent under crash replay
+    val retire = graft.dedup.Dedup.replaceIdFrame(retiredIds, admitted, idCol)
     val kept = graft.streaming.Streams.readIndex(spark, s"$dir/codes", recursive = false)
       .join(broadcast(retire), Seq("id"), "left_anti")
       .select("id", "cell", "codes")

@@ -602,8 +602,21 @@ object Search {
                     dir: String, retiredIds: DataFrame):
       (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val spark = admitted.sparkSession
+    // restart step first (before ANY of the four dirs is listed): finish
+    // every swap a crashed [[writeLexDelta]] left stranded — a crash
+    // between its two renames leaves that dir missing with a marked
+    // .next, and a bare readIndex would fail where promotion is the
+    // correct move. Safe mid-construction because no input frame exists
+    // yet; a no-op in the common case (two exists() probes per dir).
+    Seq("terms", "stats", "postings", "doclens").foreach(sub =>
+      graft.operators.Sinks.recoverSwap(spark, s"$dir/$sub"))
     val buckets = graft.streaming.Streams.readIndex(spark, s"$dir/stats", recursive = false).head().getInt(2)
-    val retire = graft.dedup.Dedup.retiredIdFrame(retiredIds)
+    // retired ∪ admitted ids (Dedup.replaceIdFrame): admitted documents
+    // replace any stored copy — the apply is idempotent, so a maintenance
+    // loop replaying its uncommitted micro-batch after a crash (even one
+    // whose swaps PARTIALLY landed across the four dirs) converges to the
+    // same generation (MaintainCrashSpec pins all three crash windows)
+    val retire = graft.dedup.Dedup.replaceIdFrame(retiredIds, admitted, idCol)
     val keptPosts = graft.streaming.Streams.readIndex(spark, s"$dir/postings", recursive = false)
       .join(broadcast(retire), Seq("id"), "left_anti")
       // partition-column inference reads bucket back as INT; the fresh

@@ -260,8 +260,12 @@ object Sq {
   def indexCodesDelta(admitted: DataFrame, idCol: String, vecCol: String,
                       dir: String, retiredIds: DataFrame): DataFrame = {
     val spark = admitted.sparkSession
+    // restart step first: finish any stranded swap before listing codes/
+    graft.operators.Sinks.recoverSwap(spark, s"$dir/codes")
     val (cents, s) = readModel(spark, dir)
-    val retire = graft.dedup.Dedup.retiredIdFrame(retiredIds)
+    // retired ∪ admitted ids (Dedup.replaceIdFrame): admitted vectors
+    // replace any stored copy — idempotent under crash replay
+    val retire = graft.dedup.Dedup.replaceIdFrame(retiredIds, admitted, idCol)
     val kept = graft.streaming.Streams.readIndex(spark, s"$dir/codes", recursive = false)
       .join(broadcast(retire), Seq("id"), "left_anti")
       .select("id", "cell", "codes")

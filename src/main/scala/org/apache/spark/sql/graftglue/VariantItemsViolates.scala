@@ -29,12 +29,29 @@ import org.apache.spark.types.variant.{Variant, VariantUtil}
   *  - `kind = "type"`: any element whose canonical type fails the
   *    declared one (number admits int|double, integer only int, boolean
   *    folds to bool) violates;
-  *  - `kind = "enum"` / `"minlen"` / `"maxlen"`: checked only on STRING
-  *    elements (a wrongly-typed element is the type check's business);
+  *  - `kind = "enum"`: TYPED membership (r13) — a string element checks
+  *    against the enum's string members, an int element against its
+  *    integer members by EXACT long compare, a double element against its
+  *    double members (the correctly-rounded double both engines parse
+  *    from the same JSON text), a bool element against its boolean
+  *    members; an element of a checkable scalar type with NO same-type
+  *    members violates (enum [1,2,3] rejects "four" as well as 4);
+  *    object/array/null elements stay the type check's business.
+  *    Cross-type numeric equality (1 matching an enum literal 1.0) is
+  *    out of subset, documented;
+  *  - `kind = "minlen"` / `"maxlen"`: checked only on STRING elements;
   *    lengths count CODE POINTS (Spark `length` ≡ DuckDB `length`);
   *  - `kind = "min"` / `"max"`: checked only on int|double elements,
   *    compared as doubles (the correctly-rounded widening `cast(variant
   *    as double)` performs);
+  *  - `kind = "missing"` (r13, arrays of OBJECTS): any OBJECT element
+  *    lacking the required `field` violates — a JSON-null field is
+  *    PRESENT (the fieldtype check's business), non-object elements are
+  *    the items-type check's business;
+  *  - `kind = "fieldtype"` (r13): any OBJECT element whose PRESENT
+  *    `field` fails the declared canonical type violates (a present JSON
+  *    null field has canonical type "null" and fails every declared
+  *    type, matching the path-level TypeIs convention);
   *  - a JSON null element has canonical type "null" (violates any
   *    declared type, invisible to value checks); a SQL-null element slot
   *    (not producible from `try_variant_get`'s array extraction, handled
@@ -43,11 +60,14 @@ import org.apache.spark.types.variant.{Variant, VariantUtil}
   *    caller guards on the node being array-typed anyway).
   */
 case class VariantItemsViolates(child: Expression, kind: String,
-                                expected: String, enumVals: Seq[String],
-                                bound: Double)
+                                expected: String, enumStrs: Seq[String],
+                                enumLongs: Seq[Long], enumDoubles: Seq[Double],
+                                enumBools: Seq[Boolean],
+                                bound: Double, field: String)
     extends UnaryExpression with ExpectsInputTypes {
 
-  require(Seq("type", "enum", "min", "max", "minlen", "maxlen").contains(kind),
+  require(Seq("type", "enum", "min", "max", "minlen", "maxlen",
+    "missing", "fieldtype").contains(kind),
     s"variant_items_violates: unknown kind '$kind'")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(VariantType))
@@ -55,7 +75,10 @@ case class VariantItemsViolates(child: Expression, kind: String,
   override def prettyName: String = "variant_items_violates"
   override def nullable: Boolean = true
 
-  @transient private lazy val enumSet: Set[String] = enumVals.toSet
+  @transient private lazy val strSet: Set[String] = enumStrs.toSet
+  @transient private lazy val longSet: Set[Long] = enumLongs.toSet
+  @transient private lazy val dblSet: Set[Double] = enumDoubles.toSet
+  @transient private lazy val boolSet: Set[Boolean] = enumBools.toSet
 
   /** canonical-alphabet fold of one element's variant type tag. */
   private def canon(v: Variant): String = v.getType match {
@@ -85,6 +108,17 @@ case class VariantItemsViolates(child: Expression, kind: String,
     case other     => t == other
   }
 
+  /** typed enum membership of one element — mirrors the path-level
+    * [[graft.schema.JsonSchemaGate]] EnumIn buckets exactly.
+    */
+  private def enumViolates(c: String, v: Variant): Boolean = c match {
+    case "string" => !strSet(v.getString)
+    case "int"    => !longSet(v.getLong)
+    case "double" => !dblSet(asDouble(v))
+    case "bool"   => !boolSet(v.getBoolean)
+    case _        => false // object/array/null: the type check's business
+  }
+
   /** Shared eval/codegen body (public for the generated code). */
   def doViolates(arr: ArrayData): Boolean = {
     val n = arr.numElements()
@@ -102,7 +136,7 @@ case class VariantItemsViolates(child: Expression, kind: String,
           case "type" =>
             if (!typeMatches(c)) return true
           case "enum" =>
-            if (c == "string" && !enumSet(v.getString)) return true
+            if (enumViolates(c, v)) return true
           case "min" =>
             if ((c == "int" || c == "double") && asDouble(v) < bound)
               return true
@@ -118,6 +152,13 @@ case class VariantItemsViolates(child: Expression, kind: String,
             if (c == "string") {
               val s = v.getString
               if (s.codePointCount(0, s.length) > bound.toInt) return true
+            }
+          case "missing" =>
+            if (c == "object" && v.getFieldByKey(field) == null) return true
+          case "fieldtype" =>
+            if (c == "object") {
+              val f = v.getFieldByKey(field)
+              if (f != null && !typeMatches(canon(f))) return true
             }
         }
       }

@@ -111,13 +111,118 @@ class JsonSchemaSpec extends SparkSpec {
       .toDF("id", "raw"), "raw", sc, parsedCol = None)
       .select("id", "violations").as[(Long, String)].collect().toMap
     assert(got(1L) == "" && got(7L) == "")
-    assert(got(2L) == "type:$.tags[]")
+    // the int element fails the string items-type AND (r13 typed enum)
+    // the enum — an int with no integer members violates membership too
+    assert(got(2L) == "type:$.tags[],enum:$.tags[]")
     assert(got(3L) == "enum:$.tags[],minlen:$.tags[]")
     assert(got(4L) == "enum:$.tags[],maxlen:$.tags[]")
     assert(got(5L) == "min:$.ns[],max:$.ns[]")
     assert(got(6L) == "type:$.ns[]")
     assert(got(8L) == "type:$.tags")
     assert(got(9L) == "type:$.tags[]")
+  }
+
+  test("typed enum (r13): integer/number/boolean enums reject by exact " +
+       "typed compare; a scalar with no same-type members violates") {
+    val sc =
+      """{"type": "object",
+        | "properties": {
+        |  "p": {"type": "integer", "enum": [1, 2, 3]},
+        |  "r": {"enum": [0.5, 2.0]},
+        |  "b": {"enum": [true]},
+        |  "m": {"enum": ["a", 1]}}}""".stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"p": 2, "r": 0.5, "b": true, "m": "a"}"""),
+        (2L, """{"p": 4}"""),        // the verdict's canonical case: 4 ∉ [1,2,3]
+        (3L, """{"p": "four"}"""),   // wrong type AND outside membership
+        (4L, """{"r": 2.5}"""),
+        (5L, """{"r": 2.0}"""),
+        (6L, """{"r": 2}"""),        // int vs double members: out-of-subset → violates
+        (7L, """{"b": false}"""),
+        (8L, """{"m": 1}"""),        // mixed enum: int bucket has 1
+        (9L, """{"m": 2}"""),
+        (10L, """{"p": null}"""))    // JSON null: type's business, enum silent
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "" && got(5L) == "" && got(8L) == "")
+    assert(got(2L) == "enum:$.p")
+    assert(got(3L) == "type:$.p,enum:$.p")
+    assert(got(4L) == "enum:$.r" && got(6L) == "enum:$.r")
+    assert(got(7L) == "enum:$.b")
+    assert(got(9L) == "enum:$.m")
+    assert(got(10L) == "type:$.p")
+  }
+
+  test("arrays of objects (r13): per-element required/type fire as " +
+       "missing:/type:$.path[].field, only on object elements") {
+    val sc =
+      """{"type": "object",
+        | "properties": {
+        |  "evs": {"type": "array",
+        |          "items": {"type": "object", "required": ["k"],
+        |                    "properties": {"k": {"type": "integer"},
+        |                                   "s": {"type": "string"}}}}}}""".stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"evs": [{"k": 1, "s": "a"}, {"k": 2}]}"""), // optional s absent: clean
+        (2L, """{"evs": [{"s": "a"}]}"""),
+        (3L, """{"evs": [{"k": "x"}]}"""),
+        (4L, """{"evs": [{"k": null}]}"""), // present JSON null fails type, not missing
+        (5L, """{"evs": [1, {"k": 1}]}"""), // non-object element: items-type only
+        (6L, """{"evs": "notarray"}"""),
+        (7L, """{"evs": []}"""))
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "" && got(7L) == "")
+    assert(got(2L) == "missing:$.evs[].k")
+    assert(got(3L) == "type:$.evs[].k")
+    assert(got(4L) == "type:$.evs[].k")
+    assert(got(5L) == "type:$.evs[]")
+    assert(got(6L) == "type:$.evs")
+  }
+
+  test("minItems/maxItems fire on array-typed nodes only (r13)") {
+    val sc =
+      """{"type": "object",
+        | "properties": {
+        |  "a": {"type": "array", "minItems": 2, "maxItems": 3}}}""".stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"a": [1, 2]}"""),       // boundary passes
+        (2L, """{"a": [1, 2, 3]}"""),    // boundary passes
+        (3L, """{"a": [1]}"""),
+        (4L, """{"a": [1, 2, 3, 4]}"""),
+        (5L, """{"a": []}"""),
+        (6L, """{"a": "notarray"}"""),   // bounds stay silent; type fires
+        (7L, """{}"""))                  // absent: nothing fires
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "" && got(2L) == "" && got(7L) == "")
+    assert(got(3L) == "minitems:$.a")
+    assert(got(4L) == "maxitems:$.a")
+    assert(got(5L) == "minitems:$.a")
+    assert(got(6L) == "type:$.a")
+    // arrays of arrays: element-level bounds abort LOUDLY
+    val e = intercept[IllegalArgumentException] {
+      JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw",
+        """{"type": "object", "properties": {"a": {"type": "array",
+          | "items": {"type": "array", "minItems": 1}}}}""".stripMargin,
+        parsedCol = None)
+    }
+    assert(e.getMessage.contains("out of the supported subset"))
+  }
+
+  test("element-object constructs beyond the subset abort LOUDLY") {
+    def gate(sc: String) = JsonSchemaGate.validate(
+      Seq((1L, "{}")).toDF("id", "raw"), "raw", sc, parsedCol = None)
+    val deeper = intercept[IllegalArgumentException] { gate(
+      """{"type": "object", "properties": {"a": {"type": "array",
+        | "items": {"type": "object", "properties":
+        |   {"k": {"type": "object", "properties": {"x": {"type": "integer"}}}}}}}}""".stripMargin) }
+    assert(deeper.getMessage.contains("ONE level"))
+    val fieldEnum = intercept[IllegalArgumentException] { gate(
+      """{"type": "object", "properties": {"a": {"type": "array",
+        | "items": {"type": "object", "properties":
+        |   {"k": {"type": "integer", "enum": [1]}}}}}}""".stripMargin) }
+    assert(fieldEnum.getMessage.contains("out of the supported subset"))
   }
 
   test("the gate's projection chain stays WHOLE-STAGE-CODEGEN fused with " +

@@ -234,4 +234,51 @@ class PipelineMultimodalSpec extends SparkSpec {
     assert(got.n_bytes == bos.toByteArray.length)
     assert(got.frame_hashes == Seq(31L * (4L * 3L * 255L)))
   }
+
+  test("config decode_features op: source → decode → filter from JSON " +
+       "config equals the Scala path, for both media adapters") {
+    val base = java.nio.file.Files.createTempDirectory("mmcfg").toString
+    val docs = Seq((0L, "x"), (5L, "y"), (11L, "z")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$base/docs")
+    // the real-crawl shape: media COLUMNS persisted, read back through the
+    // "columns" adapter with the imageio decoder (fake payloads fall back)
+    Multimodal.fakeMedia(spark, docs, "doc_id").toDF()
+      .write.mode("overwrite").parquet(s"$base/media")
+    def run(conf: String) =
+      graft.pipeline.ConfigPipeline.fromJson(spark, conf)
+    val viaFake = run(
+      s"""{"stages": [
+         | {"name": "src", "op": "parquet", "path": "$base/docs"},
+         | {"name": "feats", "op": "decode_features", "from": "src",
+         |  "media": "fake", "id": "doc_id", "decoder": "fake"},
+         | {"name": "big", "op": "filter", "from": "feats",
+         |  "expr": "n_bytes >= 300"}]}""".stripMargin).output("big")
+    val direct = Multimodal.decodeFeatures(spark,
+        Multimodal.fakeMedia(spark, docs, "doc_id")).toDF()
+      .filter(col("n_bytes") >= 300)
+    assert(viaFake.schema == direct.schema)
+    assert(viaFake.collect().map(_.getLong(0)).sorted.toSeq ==
+      direct.collect().map(_.getLong(0)).sorted.toSeq && direct.count() > 0)
+    val viaColumns = run(
+      s"""{"stages": [
+         | {"name": "m", "op": "parquet", "path": "$base/media"},
+         | {"name": "feats", "op": "decode_features", "from": "m",
+         |  "media": "columns", "decoder": "imageio"}]}""".stripMargin)
+      .output("feats")
+    assert(viaColumns.select("id", "byte_sum")
+        .as[(Long, Long)].collect().sorted.toSeq ==
+      direct.unionByName(Multimodal.decodeFeatures(spark,
+          Multimodal.fakeMedia(spark, docs, "doc_id")).toDF()
+        .filter(col("n_bytes") < 300))
+        .select("id", "byte_sum").as[(Long, Long)].collect().sorted.toSeq)
+    // unknown decoder aborts loudly at compile, not silently at runtime
+    // ConfigPipeline wraps stage-compile failures with the stage context
+    val e = intercept[Exception] { run(
+      s"""{"stages": [
+         | {"name": "src", "op": "parquet", "path": "$base/docs"},
+         | {"name": "f", "op": "decode_features", "from": "src",
+         |  "media": "fake", "id": "doc_id", "decoder": "opencv"}]}""".stripMargin)
+      .output("f") }
+    assert(e.getMessage.contains("unknown decoder"))
+  }
 }
