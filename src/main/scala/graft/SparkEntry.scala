@@ -372,30 +372,38 @@ object SparkEntry {
     * BOTH engines (Spark `expr` and DuckDB share the CASE/||/CAST
     * syntax), so the validated input cannot drift between them. Five
     * shapes by event_id % 5 (valid — incl. an in-enum integer `priority`
-    * and a well-formed object-element `items` array / string-typed value
-    * + an integer-element `tags` array that trips the r12 per-ELEMENT
-    * items check + an out-of-enum integer priority (the r13 typed-enum
-    * check) + an object element whose `sku` is a string (r13
-    * `type:$.items[].sku`) / missing required user.id + an object
-    * element LACKING `sku` (r13 `missing:$.items[].sku`) / enum-violating
-    * type + a STRING priority (rejected by the integer enum AND the type
-    * check) + an EMPTY items array (r13 `minitems:$.items`) / missing
-    * required value), with every 7th message malformed outright.
+    * and a deep well-formed `items` element (nested `dims` array +
+    * nested `meta` object + the properties-less required `lot`) /
+    * string-typed value + an integer-element `tags` array (r12
+    * per-ELEMENT items check) + an out-of-enum integer priority (r13
+    * typed enum) + an element whose `sku` is a string, whose `dims`
+    * trips ALL THREE array-of-arrays checks (r13: `maxitems:` +
+    * element `type:` + element `min:$.items[].dims[]`) and whose
+    * `meta.w` is a string (r13 two-level `type:$.items[].meta.w`) /
+    * missing required user.id + an element missing `sku`, `lot` AND
+    * `meta.w` with a bound-violating `qty` (r13 element-field `min`) /
+    * enum-violating type + a STRING priority + an EMPTY items array
+    * (`minitems:$.items`) / missing required value + a `name` that
+    * fails the r13 `pattern`), with every 7th message malformed
+    * outright.
     */
   private val jsonSynthSql: String =
     """CASE WHEN event_id % 7 = 0 THEN '{broken'
       | ELSE CASE CAST(event_id % 5 AS INT)
-      |  WHEN 0 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["a", "b"], "priority": 2, "items": [{"sku": 5, "qty": 2}]}'
-      |  WHEN 1 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "' || event_type || '", "value": "' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '", "tags": ["ok", 3], "priority": 9, "items": [{"sku": "x", "qty": 1}]}'
-      |  WHEN 2 THEN '{"user": {"name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "items": [{"qty": 3}]}'
+      |  WHEN 0 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["a", "b"], "priority": 2, "items": [{"sku": 5, "qty": 2, "lot": 1, "dims": [1, 2], "meta": {"w": 1.5}}]}'
+      |  WHEN 1 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "' || event_type || '", "value": "' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '", "tags": ["ok", 3], "priority": 9, "items": [{"sku": "x", "qty": 1, "lot": 2, "dims": [9, -2, "x"], "meta": {"w": "heavy"}}]}'
+      |  WHEN 2 THEN '{"user": {"name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "items": [{"qty": 0, "meta": {}}]}'
       |  WHEN 3 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "badtype", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "priority": "high", "items": []}'
-      |  ELSE '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "' || event_type || '"}'
+      |  ELSE '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "v' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '"}'
       | END END""".stripMargin.replace("\n", " ")
 
   /** The q_json_schema demo schema (types + required + enum — incl. the
     * r13 TYPED integer enum — + nested object + array with per-ELEMENT
-    * items validation (r12) + the r13 array-of-OBJECTS element
-    * required/type descent — the supported subset exercised end to end).
+    * items validation (r12) + the r13 FULL element recursion: arrays of
+    * arrays (`dims` with its own items + maxItems), two-level element
+    * objects (`meta.w`), element-field bounds (`qty` minimum), a
+    * properties-less required (`lot`), and the r13 `pattern` on
+    * user.name — the supported subset exercised end to end).
     */
   private val jsonSchemaDemo: String =
     """{"type": "object", "required": ["user", "type", "value"],
@@ -403,7 +411,8 @@ object SparkEntry {
       |  "user": {"type": "object", "required": ["id"],
       |           "properties": {"id": {"type": "integer", "minimum": 0},
       |                          "name": {"type": "string", "minLength": 1,
-      |                                   "maxLength": 64}}},
+      |                                   "maxLength": 64,
+      |                                   "pattern": "^u[0-9]+$"}}},
       |  "type": {"type": "string",
       |           "enum": ["click", "view", "purchase", "error", "signup"]},
       |  "value": {"type": "number", "minimum": 0, "maximum": 15},
@@ -412,9 +421,16 @@ object SparkEntry {
       |                     "maxLength": 8}},
       |  "priority": {"type": "integer", "enum": [1, 2, 3]},
       |  "items": {"type": "array", "minItems": 1,
-      |            "items": {"type": "object", "required": ["sku"],
-      |                      "properties": {"sku": {"type": "integer"},
-      |                                     "qty": {"type": "integer"}}}}}}""".stripMargin
+      |            "items": {"type": "object", "required": ["sku", "lot"],
+      |                      "properties": {
+      |                        "sku": {"type": "integer"},
+      |                        "qty": {"type": "integer", "minimum": 1},
+      |                        "dims": {"type": "array", "maxItems": 2,
+      |                                 "items": {"type": "integer",
+      |                                           "minimum": 0}},
+      |                        "meta": {"type": "object", "required": ["w"],
+      |                                 "properties": {
+      |                                   "w": {"type": "number"}}}}}}}}""".stripMargin
 
   /** The [[syntheticHtml]] expression in DuckDB SQL — same fragments. */
   private def htmlExprSql: String =

@@ -28,25 +28,39 @@ import scala.jdk.CollectionConverters._
   * (string lengths in code points — Spark `length` ≡ DuckDB `length`),
   * `minItems`/`maxItems` (r13 array element-count bounds — Spark `size`
   * over the extracted array ≡ DuckDB `json_array_length`, fired only on
-  * array-typed nodes as `minitems:`/`maxitems:$.p`; element-level array
-  * bounds — arrays of arrays — abort loudly),
-  * nested `properties` to any depth, `items` with PER-ELEMENT validation
-  * (r12): a declared element `type` is checked against EVERY element
-  * (violation `type:$.path[]`), and element-level `enum` / numeric
-  * bounds / string-length bounds fire as `enum:$.path[]` /
-  * `min:`/`max:`/`minlen:`/`maxlen:$.path[]` — each check conditional on
-  * the node being array-typed (a non-array already reports
-  * `type:$.path`) and, like the scalar checks, on the element being of
-  * the checkable runtime type. ARRAYS OF OBJECTS (r13): an `items` node
-  * of type object descends ONE level into its `properties` —
-  * per-element `required` fires `missing:$.path[].field` and a
-  * per-element field `type` fires `type:$.path[].field`, both only on
-  * elements that ARE objects (a non-object element is the items-type
-  * check's business) and with a present-but-JSON-null field failing the
-  * type like the path-level convention. Deeper element nesting and
-  * element-field enum/bounds abort LOUDLY at compile (no silent no-op),
-  * as do integers beyond the int64 range (they classify
-  * engine-dependently).
+  * array-typed nodes as `minitems:`/`maxitems:$.p`),
+  * `pattern` (r13: regex PARTIAL match on string-typed nodes — Spark
+  * RLIKE ≡ DuckDB `regexp_matches`, both Java-`find()` semantics;
+  * compile rejects backreferences and lookaround, the constructs where
+  * the two engines' regex dialects diverge, and pre-compiles the pattern
+  * so a syntax error aborts at plan time),
+  * nested `properties` to any depth, and `items` with PER-ELEMENT
+  * validation to ANY DEPTH (r12 flat, r13 FULL RECURSION): every
+  * schema node reachable from an array element — through nested object
+  * `properties` and nested `items` (arrays of arrays) alike — has its
+  * `type`/`enum`/bounds/length/`pattern`/`minItems`/`maxItems`/
+  * `required` checks evaluated against EVERY reached runtime node, as
+  * violation tags rooted at the array path (`type:$.p[]`,
+  * `min:$.p[].qty`, `maxitems:$.p[].dims`, `type:$.p[].dims[]`,
+  * `missing:$.p[].meta.w`, …). The walk skips silently exactly where
+  * the scalar convention does: a non-object at a field step / non-array
+  * at an element step is the type check at its own path's business, an
+  * absent field is the missing check's business, and each terminal
+  * check fires only on nodes of its checkable runtime type (a
+  * present-but-JSON-null node fails the type check, never a value
+  * check). Every check runs inside ONE native compiled walk per (path,
+  * check) — [[org.apache.spark.sql.graftglue.VariantItemsViolates]] —
+  * over the once-extracted `array<variant>`, so the gate stays one
+  * fused codegen stage.
+  *
+  * A `required` name with NO matching `properties` entry still fires its
+  * `missing` check (r13 — previously silently skipped), and an
+  * UNRECOGNIZED schema keyword aborts LOUDLY at compile unless it is a
+  * known no-validation annotation (`$schema`/`$id`/`title`/
+  * `description`/`default`/`examples`/`$comment`) — a silently-ignored
+  * constraint is the failure mode this gate exists to close. Integers
+  * beyond the int64 range stay out of subset (they classify
+  * engine-dependently), as does cross-type numeric enum equality.
   *
   * Validation semantics (JSON-Schema-conventional):
   *  - an unparseable or NULL message → the single violation `malformed`;
@@ -98,9 +112,36 @@ object JsonSchemaGate {
                           minLength: Option[Int] = None,
                           maxLength: Option[Int] = None,
                           minItems: Option[Int] = None,
-                          maxItems: Option[Int] = None)
+                          maxItems: Option[Int] = None,
+                          pattern: Option[String] = None)
+
+  /** keywords this gate VALIDATES, plus JSON-Schema annotations that
+    * carry no validation semantics (ignoring them is not a silent
+    * no-op). Anything else — `additionalProperties`, `oneOf`, `$ref`,
+    * `patternProperties`, … — aborts LOUDLY at compile: a schema author
+    * must never discover a constraint was skipped by a bad row sailing
+    * through.
+    */
+  private val knownKeywords = Set(
+    "type", "enum", "required", "properties", "items",
+    "minimum", "maximum", "minLength", "maxLength",
+    "minItems", "maxItems", "pattern",
+    // no-validation annotations
+    "$schema", "$id", "$comment", "title", "description", "default",
+    "examples")
 
   private def compile(n: JsonNode): Node = {
+    // a BOOLEAN schema (`"items": false` = reject everything) would
+    // otherwise compile to an empty Node = accept everything — the exact
+    // silent inversion the no-silent-no-op rule forbids
+    require(n.isObject, s"JSON-Schema node must be an object, got: $n")
+    n.fieldNames().asScala.foreach { k =>
+      require(knownKeywords(k),
+        s"unsupported JSON-Schema keyword: $k (the gate validates " +
+          "type/enum/required/properties/items/minimum/maximum/" +
+          "minLength/maxLength/minItems/maxItems/pattern; a keyword it " +
+          "cannot enforce must abort rather than silently no-op)")
+    }
     val typ = Option(n.get("type")).map(_.asText())
     typ.foreach { t =>
       require(Seq("object", "array", "string", "integer", "number",
@@ -117,24 +158,43 @@ object JsonSchemaGate {
       }
     val req = Option(n.get("required")).toSeq
       .flatMap(_.elements().asScala).map(_.asText()).toSet
+    // names interpolate into JSON paths on BOTH engines — a
+    // non-identifier name is a path-injection vector and must abort
+    // (the cypherStatements rule). `required` names interpolate too
+    // (r13: they fire `missing` even without a properties entry).
+    req.foreach { k =>
+      require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"non-identifier required name: $k")
+    }
     val props = Option(n.get("properties")).toSeq.flatMap { p =>
       p.fields().asScala.map { e =>
-        // names interpolate into JSON paths on BOTH engines — a
-        // non-identifier name is a path-injection vector and must abort
-        // (the cypherStatements rule)
         require(e.getKey.matches("[A-Za-z_][A-Za-z0-9_]*"),
           s"non-identifier property name: ${e.getKey}")
         (e.getKey, compile(e.getValue))
       }
     }
     val items = Option(n.get("items")).map(compile)
+    val pat = Option(n.get("pattern")).map(_.asText())
+    pat.foreach { p =>
+      // both engines do partial-match regex, but Java (Spark RLIKE) and
+      // RE2 (DuckDB regexp_matches) diverge on backreferences and
+      // lookaround — reject the divergent constructs LOUDLY rather than
+      // let the two engines disagree row by row; then pre-compile so a
+      // syntax error aborts at plan time, not per-row
+      require(!p.matches("""(?s).*\\\d.*""") &&
+        !Seq("(?=", "(?!", "(?<").exists(p.contains),
+        s"pattern '$p': backreferences/lookaround are outside the " +
+          "shared Java~RE2 regex subset")
+      java.util.regex.Pattern.compile(p)
+    }
     Node(typ, enumVals, req, props, items,
       minimum = Option(n.get("minimum")).map(_.asDouble()),
       maximum = Option(n.get("maximum")).map(_.asDouble()),
       minLength = Option(n.get("minLength")).map(_.asInt()),
       maxLength = Option(n.get("maxLength")).map(_.asInt()),
       minItems = Option(n.get("minItems")).map(_.asInt()),
-      maxItems = Option(n.get("maxItems")).map(_.asInt()))
+      maxItems = Option(n.get("maxItems")).map(_.asInt()),
+      pattern = pat)
   }
 
   private def parseSchema(schemaJson: String): Node =
@@ -171,57 +231,68 @@ object JsonSchemaGate {
     */
   private case class ArrBound(path: String, op: String, bound: Int,
                               guards: Seq[String]) extends Check
-  /** per-ELEMENT checks over an `items`-typed array at `path` (r12):
-    * fire only when the node IS array-typed (a non-array already reports
-    * `type:$path`), and — like their scalar siblings — only on elements
-    * of the checkable runtime type. `kind` ∈ type/enum/min/max/minlen/
-    * maxlen (tag `<kind-tag>:$path[]`) plus the r13 object-element pair
-    * missing/fieldtype (tag `missing:$path[].field` /
-    * `type:$path[].field` — `field` names the element property).
+  /** regex `pattern` on a string-typed node (r13): Spark RLIKE ≡ DuckDB
+    * `regexp_matches` — both PARTIAL-match; compile rejected the
+    * dialect-divergent constructs.
     */
-  private case class ItemsCheck(path: String, kind: String,
+  private case class PatternCheck(path: String, regex: String,
+                                  guards: Seq[String]) extends Check
+  /** per-ELEMENT checks over an `items`-typed array at `path` (r12 flat,
+    * r13 recursive): fire only when the node IS array-typed (a non-array
+    * already reports `type:$path`). `steps` walks from each element —
+    * `"[]"` iterates a nested array, any other string descends an object
+    * field ([[org.apache.spark.sql.graftglue.VariantItemsViolates]]'s
+    * walk) — and the terminal `kind` ∈ type/enum/min/max/minlen/maxlen/
+    * pattern/minitems/maxitems/missing fires on every reached node of
+    * its checkable runtime type. Tag: `<kind-tag>:$path[]<steps>` with
+    * `missing`'s `field` suffixed (`missing:$path[].meta.w`).
+    */
+  private case class ItemsCheck(path: String, steps: Seq[String],
+                                kind: String,
                                 expected: String, enumVals: Seq[EnumVal],
                                 bound: Double,
                                 guards: Seq[String],
-                                field: String = "") extends Check
+                                field: String = "",
+                                pattern: String = "") extends Check
 
   private def checksOf(root: Node): Seq[Check] = {
     val out = Seq.newBuilder[Check]
     root.typ.foreach(t => out += TypeIs("$", t, Nil))
-    def itemChecks(cp: String, it: Node, guards: Seq[String]): Unit = {
-      it.typ.foreach(t => out += ItemsCheck(cp, "type", t, Nil, 0, guards))
-      if (it.enumVals.nonEmpty)
-        out += ItemsCheck(cp, "enum", "", it.enumVals, 0, guards)
-      it.minimum.foreach(b => out += ItemsCheck(cp, "min", "", Nil, b, guards))
-      it.maximum.foreach(b => out += ItemsCheck(cp, "max", "", Nil, b, guards))
-      it.minLength.foreach(b =>
-        out += ItemsCheck(cp, "minlen", "", Nil, b.toDouble, guards))
-      it.maxLength.foreach(b =>
-        out += ItemsCheck(cp, "maxlen", "", Nil, b.toDouble, guards))
-      // per-ELEMENT array bounds would mean arrays of arrays — out of the
-      // subset, and LOUDLY (the no-silent-no-op rule)
-      require(it.minItems.isEmpty && it.maxItems.isEmpty,
-        s"items at $cp: element-level minItems/maxItems (arrays of arrays) " +
-          "are out of the supported subset")
-      // arrays of OBJECTS (r13): descend ONE level into the element's
-      // properties — required/type per element. Anything deeper (or
-      // element-field enum/bounds) aborts LOUDLY: a silently-ignored
-      // schema constraint is the failure mode this gate exists to close.
-      it.props.foreach { case (f, sub) =>
-        require(sub.props.isEmpty && sub.items.isEmpty,
-          s"items.properties.$f: element-object checks descend ONE level " +
-            "(required + type); deeper nesting is out of the supported subset")
-        require(sub.enumVals.isEmpty && sub.minimum.isEmpty &&
-          sub.maximum.isEmpty && sub.minLength.isEmpty && sub.maxLength.isEmpty,
-          s"items.properties.$f: element-field enum/bounds are out of the " +
-            "supported subset (required + type only)")
-        if (it.required(f))
-          out += ItemsCheck(cp, "missing", "", Nil, 0, guards, field = f)
-        sub.typ.foreach(t =>
-          out += ItemsCheck(cp, "fieldtype", t, Nil, 0, guards, field = f))
+    // the schema node reached at element-relative `steps` under the
+    // array extracted at `cp` — the elemWalk mirrors the path-level walk
+    // below, emitting one ItemsCheck per constraint (r13 FULL RECURSION:
+    // nested objects and nested arrays alike)
+    def elemWalk(cp: String, steps: Seq[String], n: Node,
+                 guards: Seq[String]): Unit = {
+      n.typ.foreach(t => out += ItemsCheck(cp, steps, "type", t, Nil, 0, guards))
+      if (n.enumVals.nonEmpty)
+        out += ItemsCheck(cp, steps, "enum", "", n.enumVals, 0, guards)
+      n.minimum.foreach(b => out += ItemsCheck(cp, steps, "min", "", Nil, b, guards))
+      n.maximum.foreach(b => out += ItemsCheck(cp, steps, "max", "", Nil, b, guards))
+      n.minLength.foreach(b =>
+        out += ItemsCheck(cp, steps, "minlen", "", Nil, b.toDouble, guards))
+      n.maxLength.foreach(b =>
+        out += ItemsCheck(cp, steps, "maxlen", "", Nil, b.toDouble, guards))
+      n.pattern.foreach(p =>
+        out += ItemsCheck(cp, steps, "pattern", "", Nil, 0, guards, pattern = p))
+      n.minItems.foreach(b =>
+        out += ItemsCheck(cp, steps, "minitems", "", Nil, b.toDouble, guards))
+      n.maxItems.foreach(b =>
+        out += ItemsCheck(cp, steps, "maxitems", "", Nil, b.toDouble, guards))
+      // required names WITHOUT a properties entry still fire (r13), in
+      // sorted order for a deterministic fragment list
+      (n.required -- n.props.map(_._1)).toSeq.sorted.foreach(f =>
+        out += ItemsCheck(cp, steps, "missing", "", Nil, 0, guards, field = f))
+      n.props.foreach { case (f, sub) =>
+        if (n.required(f))
+          out += ItemsCheck(cp, steps, "missing", "", Nil, 0, guards, field = f)
+        elemWalk(cp, steps :+ f, sub, guards)
       }
+      n.items.foreach(sub => elemWalk(cp, steps :+ "[]", sub, guards))
     }
-    def walk(node: Node, path: String, guards: Seq[String]): Unit =
+    def walk(node: Node, path: String, guards: Seq[String]): Unit = {
+      (node.required -- node.props.map(_._1)).toSeq.sorted.foreach(f =>
+        out += Missing(s"$path.$f", guards))
       node.props.foreach { case (name, child) =>
         val cp = s"$path.$name"
         if (node.required(name)) out += Missing(cp, guards)
@@ -231,14 +302,18 @@ object JsonSchemaGate {
         child.maximum.foreach(b => out += Bound(cp, "max", b, guards))
         child.minLength.foreach(b => out += LenBound(cp, "minlen", b, guards))
         child.maxLength.foreach(b => out += LenBound(cp, "maxlen", b, guards))
+        child.pattern.foreach(p => out += PatternCheck(cp, p, guards))
         child.minItems.foreach(b => out += ArrBound(cp, "minitems", b, guards))
         child.maxItems.foreach(b => out += ArrBound(cp, "maxitems", b, guards))
-        child.items.foreach(it => itemChecks(cp, it, guards))
-        if (child.props.nonEmpty) walk(child, cp, guards :+ cp)
+        child.items.foreach(it => elemWalk(cp, Nil, it, guards))
+        if (child.props.nonEmpty || child.required.nonEmpty)
+          walk(child, cp, guards :+ cp)
       }
+    }
+    root.pattern.foreach(p => out += PatternCheck("$", p, Nil))
     root.minItems.foreach(b => out += ArrBound("$", "minitems", b, Nil))
     root.maxItems.foreach(b => out += ArrBound("$", "maxitems", b, Nil))
-    root.items.foreach(it => itemChecks("$", it, Nil))
+    root.items.foreach(it => elemWalk("$", Nil, it, Nil))
     walk(root, "$", if (root.typ.contains("object")) Seq("$") else Nil)
     out.result()
   }
@@ -382,7 +457,10 @@ object JsonSchemaGate {
           val n = size(col(arrCols(p)))
           guarded(c)(t(p) === "array" &&
             (if (op == "minitems") n < lit(b) else n > lit(b)))
-        // per-element checks: ONE native compiled loop per check over the
+        case c @ PatternCheck(p, re, _) =>
+          val v = expr(s"cast(try_variant_get($vcol, '$p') as string)")
+          guarded(c)(t(p) === "string" && !v.rlike(re))
+        // per-element checks: ONE native compiled walk per check over the
         // extracted array<variant> (graftglue.VariantItemsViolates),
         // guarded on the node being array-typed. A HOF spelling
         // (exists/zip_with) is CodegenFallback and de-fused the gate's
@@ -391,15 +469,15 @@ object JsonSchemaGate {
         // (plans/FUSION.md's r6 lesson, re-learned r12); the native's
         // element classification folds the variant type tag to the same
         // canonical alphabet [[canonicalType]] reads via schema_of_variant
-        case c @ ItemsCheck(p, kind, ty, vs, b, _, field) =>
+        case c @ ItemsCheck(p, steps, kind, ty, vs, b, _, field, pat) =>
           import org.apache.spark.sql.graftglue.{ColumnBridge, VariantItemsViolates}
           val cond = ColumnBridge.column(VariantItemsViolates(
-            ColumnBridge.expression(col(arrCols(p))), kind, ty,
+            ColumnBridge.expression(col(arrCols(p))), steps, kind, ty,
             vs.collect { case EStr(s) => s },
             vs.collect { case EInt(i) => i },
             vs.collect { case EDbl(d) => d },
             vs.collect { case EBool(bv) => bv },
-            b, field))
+            b, field, pat))
           guarded(c)(t(p) === "array" && cond)
       }
     val withV = df.withColumn(vcol, expr(s"try_parse_json(`$jsonCol`)"))
@@ -416,6 +494,13 @@ object JsonSchemaGate {
       from_json(col(jsonCol), structType(schemaJson))))
   }
 
+  /** render element-relative walk steps as a tag-path suffix:
+    * `[]` for an array descent, `.f` for a field descent — so
+    * `steps = [dims, []]` under `$.items` tags as `$.items[].dims[]`.
+    */
+  private def stepSuffix(steps: Seq[String]): String =
+    steps.map(s => if (s == "[]") "[]" else s".$s").mkString
+
   private def tagOf(c: Check): String = c match {
     case Missing(p, _)      => s"missing:$p"
     case TypeIs(p, _, _)    => s"type:$p"
@@ -423,11 +508,13 @@ object JsonSchemaGate {
     case Bound(p, op, _, _) => s"$op:$p"
     case LenBound(p, op, _, _) => s"$op:$p"
     case ArrBound(p, op, _, _) => s"$op:$p"
-    case ItemsCheck(p, kind, _, _, _, _, field) => kind match {
-      case "missing"   => s"missing:$p[].$field"
-      case "fieldtype" => s"type:$p[].$field"
-      case k           => s"$k:$p[]"
-    }
+    case PatternCheck(p, _, _) => s"pattern:$p"
+    case ItemsCheck(p, steps, kind, _, _, _, _, field, _) =>
+      val base = s"$p[]${stepSuffix(steps)}"
+      kind match {
+        case "missing" => s"missing:$base.$field"
+        case k         => s"$k:$base"
+      }
   }
 
   // ------------------------------------------------------------------
@@ -472,13 +559,19 @@ object JsonSchemaGate {
       s"""(SELECT unnest(CASE WHEN json_type(TRY_CAST(($rawExpr) AS JSON), '$path') = 'ARRAY'
          |  THEN json_extract(TRY_CAST(($rawExpr) AS JSON), '$path[*]')
          |  ELSE CAST([] AS JSON[]) END) AS el)""".stripMargin.replace("\n", " ")
-    def elemActual: String =
-      s"""(CASE json_type(el)
+    // the canonical fold of the node at element-relative json path `rp`
+    // under alias `alias` — NULL when the path is absent (the outer CASE,
+    // because `CASE NULL WHEN …` would fall to the ELSE arm and
+    // misreport an absent node as 'other')
+    def foldAt(alias: String, rp: String): String =
+      s"""(CASE WHEN json_type($alias, '$rp') IS NULL THEN NULL ELSE
+         |  (CASE json_type($alias, '$rp')
          |  WHEN 'UBIGINT' THEN 'int' WHEN 'BIGINT' THEN 'int'
          |  WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
          |  WHEN 'BOOLEAN' THEN 'bool' WHEN 'OBJECT' THEN 'object'
          |  WHEN 'ARRAY' THEN 'array' WHEN 'NULL' THEN 'null'
-         |  ELSE 'other' END)""".stripMargin.replace("\n", " ")
+         |  ELSE 'other' END) END)""".stripMargin.replace("\n", " ")
+    def sqlStr(s: String): String = s"'${s.replace("'", "''")}'"
     // typed enum membership (r13) — the SQL twin of the Spark buckets:
     // `a` is the canonical-type CASE, `rawStr` the value's text form; an
     // empty bucket renders as the bare type test (any value of that type
@@ -519,34 +612,60 @@ object JsonSchemaGate {
           case ArrBound(p, op, b, _) =>
             val cmp = if (op == "minitems") "<" else ">"
             s"(${actual(p)} = 'array' AND json_array_length(TRY_CAST(($rawExpr) AS JSON), '$p') $cmp $b)"
-          case ItemsCheck(p, kind, t, vs, b, _, field) =>
-            // the element FIELD's canonical type (r13 object-element
-            // checks) — same fold, one path level down from the element
-            def fieldActual: String =
-              s"""(CASE json_type(el, '$$.$field')
-                 |  WHEN 'UBIGINT' THEN 'int' WHEN 'BIGINT' THEN 'int'
-                 |  WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
-                 |  WHEN 'BOOLEAN' THEN 'bool' WHEN 'OBJECT' THEN 'object'
-                 |  WHEN 'ARRAY' THEN 'array' WHEN 'NULL' THEN 'null'
-                 |  ELSE 'other' END)""".stripMargin.replace("\n", " ")
-            val badElem = kind match {
-              case "type" => s"NOT (${matchesSql(elemActual, t)})"
-              case "enum" =>
-                enumSql(elemActual, s"json_extract_string(el, '$$')", vs)
-              case "missing" =>
-                s"($elemActual = 'object' AND json_type(el, '$$.$field') IS NULL)"
-              case "fieldtype" =>
-                s"($elemActual = 'object' AND json_type(el, '$$.$field') IS NOT NULL AND NOT (${matchesSql(fieldActual, t)}))"
-              case "min" =>
-                s"($elemActual IN ('int', 'double') AND TRY_CAST(json_extract_string(el, '$$') AS DOUBLE) < $b)"
-              case "max" =>
-                s"($elemActual IN ('int', 'double') AND TRY_CAST(json_extract_string(el, '$$') AS DOUBLE) > $b)"
-              case "minlen" =>
-                s"($elemActual = 'string' AND length(json_extract_string(el, '$$')) < ${b.toInt})"
-              case "maxlen" =>
-                s"($elemActual = 'string' AND length(json_extract_string(el, '$$')) > ${b.toInt})"
+          case PatternCheck(p, re, _) =>
+            s"(${actual(p)} = 'string' AND NOT regexp_matches(json_extract_string(TRY_CAST(($rawExpr) AS JSON), '$p'), ${sqlStr(re)}))"
+          case ItemsCheck(p, steps, kind, t, vs, b, _, field, pat) =>
+            // the terminal check on the node at `rp` under `alias` — each
+            // arm guarded on the node's checkable runtime type exactly as
+            // the native walk is (foldAt is NULL for an absent node, so a
+            // field-step terminal that was never reached skips every arm)
+            def terminal(alias: String, rp: String): String = {
+              val fold = foldAt(alias, rp)
+              val rawStr = s"json_extract_string($alias, '$rp')"
+              kind match {
+                case "type" =>
+                  s"($fold IS NOT NULL AND NOT (${matchesSql(fold, t)}))"
+                case "enum" => enumSql(fold, rawStr, vs)
+                case "min" =>
+                  s"($fold IN ('int', 'double') AND TRY_CAST($rawStr AS DOUBLE) < $b)"
+                case "max" =>
+                  s"($fold IN ('int', 'double') AND TRY_CAST($rawStr AS DOUBLE) > $b)"
+                case "minlen" =>
+                  s"($fold = 'string' AND length($rawStr) < ${b.toInt})"
+                case "maxlen" =>
+                  s"($fold = 'string' AND length($rawStr) > ${b.toInt})"
+                case "pattern" =>
+                  s"($fold = 'string' AND NOT regexp_matches($rawStr, ${sqlStr(pat)}))"
+                case "minitems" =>
+                  s"($fold = 'array' AND json_array_length($alias, '$rp') < ${b.toInt})"
+                case "maxitems" =>
+                  s"($fold = 'array' AND json_array_length($alias, '$rp') > ${b.toInt})"
+                case "missing" =>
+                  val fp = if (rp == "$") s"$$.$field" else s"$rp.$field"
+                  s"($fold = 'object' AND json_type($alias, '$fp') IS NULL)"
+              }
             }
-            s"(${actual(p)} = 'array' AND EXISTS (SELECT 1 FROM ${elems(p)} WHERE $badElem))"
+            // walk the element-relative steps: consecutive FIELD steps
+            // flatten into one json path (absent/non-object intermediates
+            // fold the whole path to NULL on both engines — the same
+            // silent skip the native's per-step guards produce), and each
+            // ARRAY step opens one more correlated unnest EXISTS with a
+            // fresh element alias
+            def gen(alias: String, depth: Int, rest: Seq[String]): String = {
+              val (fields, tail) = rest.span(_ != "[]")
+              val rp = if (fields.isEmpty) "$" else "$." + fields.mkString(".")
+              if (tail.isEmpty) terminal(alias, rp)
+              else {
+                val a2 = s"el$depth"
+                val sub =
+                  s"""(SELECT unnest(CASE WHEN json_type($alias, '$rp') = 'ARRAY'
+                     |  THEN json_extract($alias, '$rp[*]')
+                     |  ELSE CAST([] AS JSON[]) END) AS $a2)"""
+                    .stripMargin.replace("\n", " ")
+                s"(json_type($alias, '$rp') = 'ARRAY' AND EXISTS (SELECT 1 FROM $sub WHERE ${gen(a2, depth + 1, tail.tail)}))"
+              }
+            }
+            s"(${actual(p)} = 'array' AND EXISTS (SELECT 1 FROM ${elems(p)} WHERE ${gen("el", 0, steps)}))"
         }
         s"CASE WHEN ${guardSql(c)} AND $cond THEN '${tagOf(c)}' END"
       }

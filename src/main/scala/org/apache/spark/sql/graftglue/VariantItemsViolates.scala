@@ -7,67 +7,81 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BooleanType, Dat
 import org.apache.spark.types.variant.{Variant, VariantUtil}
 
 /** ONE per-element JSON-Schema `items` check over an `array<variant>`
-  * column, as a native codegen expression: true iff ANY element violates
-  * the check ([[graft.schema.JsonSchemaGate]]'s r12 per-element
-  * validation).
+  * column, as a native codegen expression: true iff ANY node reached by
+  * walking `steps` from ANY element violates the terminal check
+  * ([[graft.schema.JsonSchemaGate]]'s per-element validation — r12
+  * flat elements, r13 FULL RECURSION).
   *
   * Why a native: the natural spelling — `exists` / `zip_with` lambdas
   * over the extracted array — is CodegenFallback, and ONE fallback drops
   * the gate's WHOLE projection out of whole-stage codegen (the r6
   * fusion-sweep lesson, plans/FUSION.md; measured: the per-element
   * feature's first HOF cut de-fused the parse + every path check and
-  * doubled the gate row). Here each check is one compiled loop per row
+  * doubled the gate row). Here each check is one compiled walk per row
   * and the projection stays fused.
   *
-  * Semantics are IDENTICAL to the HOF spelling, element for element:
+  * The WALK (r13): `steps` descends from each top-level array element —
+  * the literal `"[]"` iterates a nested array's elements, any other
+  * string descends into that object field. Non-matching nodes SKIP
+  * silently (a non-object at a field step / non-array at an element step
+  * is the type check at ITS OWN path's business, exactly the scalar
+  * convention), as does an absent field (the `missing` check's
+  * business). The terminal check then fires on every reached node.
+  * `steps = Nil` reproduces the r12 flat-element semantics bit for bit.
   *
-  *  - the element's canonical type folds from the VARIANT ENCODING's own
+  * Terminal semantics, element for element ≡ the HOF spelling:
+  *
+  *  - a node's canonical type folds from the VARIANT ENCODING's own
   *    type tag exactly as `schema_of_variant` does (LONG → int,
   *    DOUBLE/DECIMAL/FLOAT → double, STRING → string, BOOLEAN → bool,
   *    OBJECT/ARRAY/NULL as named, everything else → other) — the same
   *    alphabet [[graft.schema.JsonSchemaGate]]'s path checks use;
-  *  - `kind = "type"`: any element whose canonical type fails the
+  *  - `kind = "type"`: a reached node whose canonical type fails the
   *    declared one (number admits int|double, integer only int, boolean
-  *    folds to bool) violates;
-  *  - `kind = "enum"`: TYPED membership (r13) — a string element checks
-  *    against the enum's string members, an int element against its
-  *    integer members by EXACT long compare, a double element against its
-  *    double members (the correctly-rounded double both engines parse
-  *    from the same JSON text), a bool element against its boolean
-  *    members; an element of a checkable scalar type with NO same-type
-  *    members violates (enum [1,2,3] rejects "four" as well as 4);
-  *    object/array/null elements stay the type check's business.
-  *    Cross-type numeric equality (1 matching an enum literal 1.0) is
-  *    out of subset, documented;
-  *  - `kind = "minlen"` / `"maxlen"`: checked only on STRING elements;
+  *    folds to bool) violates — including a reached JSON null;
+  *  - `kind = "enum"`: TYPED membership — a string node checks against
+  *    the enum's string members, an int node against its integer members
+  *    by EXACT long compare, a double node against its double members
+  *    (the correctly-rounded double both engines parse from the same
+  *    JSON text), a bool against its boolean members; a node of a
+  *    checkable scalar type with NO same-type members violates (enum
+  *    [1,2,3] rejects "four" as well as 4); object/array/null nodes stay
+  *    the type check's business. Cross-type numeric equality (1 matching
+  *    an enum literal 1.0) is out of subset, documented;
+  *  - `kind = "minlen"` / `"maxlen"`: checked only on STRING nodes;
   *    lengths count CODE POINTS (Spark `length` ≡ DuckDB `length`);
-  *  - `kind = "min"` / `"max"`: checked only on int|double elements,
+  *  - `kind = "pattern"` (r13): checked only on STRING nodes — Java
+  *    regex partial-match (`find()`), the shared semantics of Spark
+  *    RLIKE and DuckDB `regexp_matches` (the gate's compile step rejects
+  *    dialect-divergent constructs);
+  *  - `kind = "min"` / `"max"`: checked only on int|double nodes,
   *    compared as doubles (the correctly-rounded widening `cast(variant
   *    as double)` performs);
-  *  - `kind = "missing"` (r13, arrays of OBJECTS): any OBJECT element
-  *    lacking the required `field` violates — a JSON-null field is
-  *    PRESENT (the fieldtype check's business), non-object elements are
-  *    the items-type check's business;
-  *  - `kind = "fieldtype"` (r13): any OBJECT element whose PRESENT
-  *    `field` fails the declared canonical type violates (a present JSON
-  *    null field has canonical type "null" and fails every declared
-  *    type, matching the path-level TypeIs convention);
-  *  - a JSON null element has canonical type "null" (violates any
-  *    declared type, invisible to value checks); a SQL-null element slot
-  *    (not producible from `try_variant_get`'s array extraction, handled
-  *    defensively) is treated the same;
+  *  - `kind = "minitems"` / `"maxitems"` (r13, nested arrays): checked
+  *    only on ARRAY nodes — element count vs the bound;
+  *  - `kind = "missing"`: any reached OBJECT node lacking the required
+  *    `field` violates — a JSON-null field is PRESENT (its own type
+  *    check's business), non-object nodes are their type check's
+  *    business;
+  *  - a JSON null node has canonical type "null" (violates any declared
+  *    type, invisible to value checks and to further descent); a
+  *    SQL-null element slot in the TOP array (not producible from
+  *    `try_variant_get`'s array extraction, handled defensively) is
+  *    treated the same;
   *  - null ARRAY input → null (the `exists(null, …)` convention; the
   *    caller guards on the node being array-typed anyway).
   */
-case class VariantItemsViolates(child: Expression, kind: String,
+case class VariantItemsViolates(child: Expression, steps: Seq[String],
+                                kind: String,
                                 expected: String, enumStrs: Seq[String],
                                 enumLongs: Seq[Long], enumDoubles: Seq[Double],
                                 enumBools: Seq[Boolean],
-                                bound: Double, field: String)
+                                bound: Double, field: String,
+                                pattern: String)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(Seq("type", "enum", "min", "max", "minlen", "maxlen",
-    "missing", "fieldtype").contains(kind),
+    "minitems", "maxitems", "missing", "pattern").contains(kind),
     s"variant_items_violates: unknown kind '$kind'")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(VariantType))
@@ -79,8 +93,10 @@ case class VariantItemsViolates(child: Expression, kind: String,
   @transient private lazy val longSet: Set[Long] = enumLongs.toSet
   @transient private lazy val dblSet: Set[Double] = enumDoubles.toSet
   @transient private lazy val boolSet: Set[Boolean] = enumBools.toSet
+  @transient private lazy val compiledPattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(pattern)
 
-  /** canonical-alphabet fold of one element's variant type tag. */
+  /** canonical-alphabet fold of one node's variant type tag. */
   private def canon(v: Variant): String = v.getType match {
     case VariantUtil.Type.OBJECT  => "object"
     case VariantUtil.Type.ARRAY   => "array"
@@ -108,7 +124,7 @@ case class VariantItemsViolates(child: Expression, kind: String,
     case other     => t == other
   }
 
-  /** typed enum membership of one element — mirrors the path-level
+  /** typed enum membership of one node — mirrors the path-level
     * [[graft.schema.JsonSchemaGate]] EnumIn buckets exactly.
     */
   private def enumViolates(c: String, v: Variant): Boolean = c match {
@@ -119,48 +135,72 @@ case class VariantItemsViolates(child: Expression, kind: String,
     case _        => false // object/array/null: the type check's business
   }
 
+  /** the terminal check on one REACHED node. */
+  private def terminalViolates(v: Variant): Boolean = {
+    val c = canon(v)
+    kind match {
+      case "type" => !typeMatches(c)
+      case "enum" => enumViolates(c, v)
+      case "min"  => (c == "int" || c == "double") && asDouble(v) < bound
+      case "max"  => (c == "int" || c == "double") && asDouble(v) > bound
+      case "minlen" =>
+        c == "string" && {
+          val s = v.getString
+          s.codePointCount(0, s.length) < bound.toInt
+        }
+      case "maxlen" =>
+        c == "string" && {
+          val s = v.getString
+          s.codePointCount(0, s.length) > bound.toInt
+        }
+      case "pattern" =>
+        c == "string" && !compiledPattern.matcher(v.getString).find()
+      case "minitems" => c == "array" && v.arraySize() < bound.toInt
+      case "maxitems" => c == "array" && v.arraySize() > bound.toInt
+      case "missing"  => c == "object" && v.getFieldByKey(field) == null
+    }
+  }
+
+  /** does ANY node reached by steps(si..) from `v` violate? */
+  private def nodeViolates(v: Variant, si: Int): Boolean =
+    if (si == steps.length) terminalViolates(v)
+    else steps(si) match {
+      case "[]" =>
+        if (canon(v) != "array") false
+        else {
+          val n = v.arraySize()
+          var i = 0
+          var bad = false
+          while (!bad && i < n) {
+            bad = nodeViolates(v.getElementAtIndex(i), si + 1)
+            i += 1
+          }
+          bad
+        }
+      case f =>
+        if (canon(v) != "object") false
+        else {
+          val fv = v.getFieldByKey(f)
+          fv != null && nodeViolates(fv, si + 1)
+        }
+    }
+
   /** Shared eval/codegen body (public for the generated code). */
   def doViolates(arr: ArrayData): Boolean = {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       if (arr.isNullAt(i)) {
-        // a SQL-null slot reads as canonical "null": visible to the type
-        // check only (value checks skip non-matching runtime types)
-        if (kind == "type" && !typeMatches("null")) return true
+        // a SQL-null slot reads as canonical "null": terminal only (it is
+        // neither object nor array, so every walk step skips it), and
+        // visible to the type check alone (value checks skip
+        // non-matching runtime types)
+        if (steps.isEmpty && kind == "type" && !typeMatches("null"))
+          return true
       } else {
         val vv = arr.getVariant(i)
-        val v = new Variant(vv.getValue, vv.getMetadata)
-        val c = canon(v)
-        kind match {
-          case "type" =>
-            if (!typeMatches(c)) return true
-          case "enum" =>
-            if (enumViolates(c, v)) return true
-          case "min" =>
-            if ((c == "int" || c == "double") && asDouble(v) < bound)
-              return true
-          case "max" =>
-            if ((c == "int" || c == "double") && asDouble(v) > bound)
-              return true
-          case "minlen" =>
-            if (c == "string") {
-              val s = v.getString
-              if (s.codePointCount(0, s.length) < bound.toInt) return true
-            }
-          case "maxlen" =>
-            if (c == "string") {
-              val s = v.getString
-              if (s.codePointCount(0, s.length) > bound.toInt) return true
-            }
-          case "missing" =>
-            if (c == "object" && v.getFieldByKey(field) == null) return true
-          case "fieldtype" =>
-            if (c == "object") {
-              val f = v.getFieldByKey(field)
-              if (f != null && !typeMatches(canon(f))) return true
-            }
-        }
+        if (nodeViolates(new Variant(vv.getValue, vv.getMetadata), 0))
+          return true
       }
       i += 1
     }

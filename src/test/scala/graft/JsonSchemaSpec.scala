@@ -200,29 +200,104 @@ class JsonSchemaSpec extends SparkSpec {
     assert(got(4L) == "maxitems:$.a")
     assert(got(5L) == "minitems:$.a")
     assert(got(6L) == "type:$.a")
-    // arrays of arrays: element-level bounds abort LOUDLY
-    val e = intercept[IllegalArgumentException] {
-      JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw",
-        """{"type": "object", "properties": {"a": {"type": "array",
-          | "items": {"type": "array", "minItems": 1}}}}""".stripMargin,
-        parsedCol = None)
-    }
-    assert(e.getMessage.contains("out of the supported subset"))
   }
 
-  test("element-object constructs beyond the subset abort LOUDLY") {
+  test("full element recursion (r13): arrays of arrays, nested element " +
+       "objects, element-field enum/bounds — tags root at the array path") {
+    val sc =
+      """{"type": "object",
+        | "properties": {
+        |  "items": {"type": "array",
+        |   "items": {"type": "object", "required": ["sku", "lot"],
+        |    "properties": {
+        |     "sku": {"type": "integer"},
+        |     "qty": {"type": "integer", "minimum": 1},
+        |     "dims": {"type": "array", "maxItems": 2,
+        |              "items": {"type": "integer", "minimum": 0}},
+        |     "meta": {"type": "object", "required": ["w"],
+        |              "properties": {"w": {"type": "number"}}}}}}}}""".stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"items": [{"sku": 1, "lot": "A", "qty": 2, "dims": [3, 4], "meta": {"w": 1.5}}]}"""),
+        (2L, """{"items": [{"sku": 1, "lot": 0, "qty": 0}]}"""),        // element-field bound
+        (3L, """{"items": [{"sku": 1, "lot": 0, "dims": [1, -2, "x"]}]}"""), // array-of-arrays: size + element min + element type
+        (4L, """{"items": [{"sku": 1, "lot": 0, "meta": {}}]}"""),      // two-level required
+        (5L, """{"items": [{"sku": 1, "lot": 0, "meta": {"w": "kg"}}]}"""), // two-level field type
+        (6L, """{"items": [{"sku": 1}]}"""),                            // required WITHOUT properties entry
+        (7L, """{"items": [{"sku": 1, "lot": 0, "dims": "flat", "meta": 3}]}"""), // non-array/non-object: their OWN type checks
+        (8L, """{"items": [{"sku": 1, "lot": 0, "qty": 1, "dims": []}]}"""))     // empty nested array clean
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "" && got(8L) == "")
+    assert(got(2L) == "min:$.items[].qty")
+    assert(got(3L) == "maxitems:$.items[].dims,type:$.items[].dims[],min:$.items[].dims[]")
+    assert(got(4L) == "missing:$.items[].meta.w")
+    assert(got(5L) == "type:$.items[].meta.w")
+    assert(got(6L) == "missing:$.items[].lot")
+    assert(got(7L) == "type:$.items[].dims,type:$.items[].meta")
+  }
+
+  test("pattern (r13): partial-match regex on string-typed nodes, at any " +
+       "path and element depth; dialect-divergent constructs abort") {
+    val sc =
+      """{"type": "object",
+        | "properties": {
+        |  "code": {"type": "string", "pattern": "^[A-Z]{2}-[0-9]+$"},
+        |  "ids":  {"type": "array", "items": {"pattern": "^u"}}}}""".stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"code": "AB-12", "ids": ["u1", "u2"]}"""),
+        (2L, """{"code": "ab-12"}"""),
+        (3L, """{"code": 7}"""),            // non-string: type's business
+        (4L, """{"ids": ["u1", "x2"]}"""),
+        (5L, """{"ids": [3]}"""))           // non-string element: silent here
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "" && got(5L) == "")
+    assert(got(2L) == "pattern:$.code")
+    assert(got(3L) == "type:$.code")
+    assert(got(4L) == "pattern:$.ids[]")
+    val e = intercept[IllegalArgumentException] {
+      JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw",
+        """{"type": "object", "properties":
+          | {"s": {"type": "string", "pattern": "(?=x)y"}}}""".stripMargin,
+        parsedCol = None)
+    }
+    assert(e.getMessage.contains("regex subset"))
+  }
+
+  test("required names without a properties entry fire missing (r13); " +
+       "an object child with ONLY required still walks") {
+    val sc =
+      """{"type": "object", "required": ["ts"],
+        | "properties": {
+        |  "env": {"type": "object", "required": ["region"]}}}""".stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"ts": 1, "env": {"region": "x"}}"""),
+        (2L, """{"env": {"region": "x"}}"""),
+        (3L, """{"ts": 1, "env": {}}"""),
+        (4L, """{"ts": 1}"""))  // env not required: its child check skips
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "" && got(4L) == "")
+    assert(got(2L) == "missing:$.ts")
+    assert(got(3L) == "missing:$.env.region")
+  }
+
+  test("unsupported keywords and boolean schemas abort LOUDLY (the " +
+       "no-silent-no-op rule)") {
     def gate(sc: String) = JsonSchemaGate.validate(
       Seq((1L, "{}")).toDF("id", "raw"), "raw", sc, parsedCol = None)
-    val deeper = intercept[IllegalArgumentException] { gate(
-      """{"type": "object", "properties": {"a": {"type": "array",
-        | "items": {"type": "object", "properties":
-        |   {"k": {"type": "object", "properties": {"x": {"type": "integer"}}}}}}}}""".stripMargin) }
-    assert(deeper.getMessage.contains("ONE level"))
-    val fieldEnum = intercept[IllegalArgumentException] { gate(
-      """{"type": "object", "properties": {"a": {"type": "array",
-        | "items": {"type": "object", "properties":
-        |   {"k": {"type": "integer", "enum": [1]}}}}}}""".stripMargin) }
-    assert(fieldEnum.getMessage.contains("out of the supported subset"))
+    val kw = intercept[IllegalArgumentException] { gate(
+      """{"type": "object", "properties":
+        | {"a": {"type": "string"}}, "additionalProperties": false}""".stripMargin) }
+    assert(kw.getMessage.contains("unsupported JSON-Schema keyword"))
+    val bool = intercept[IllegalArgumentException] { gate(
+      """{"type": "object", "properties": {"a": {"type": "array", "items": false}}}""") }
+    assert(bool.getMessage.contains("must be an object"))
+    // annotation keywords carry no validation semantics — allowed
+    gate("""{"$schema": "https://json-schema.org/draft/2020-12/schema",
+           | "title": "t", "type": "object",
+           | "properties": {"a": {"type": "string", "description": "d"}}}"""
+      .stripMargin).collect()
   }
 
   test("the gate's projection chain stays WHOLE-STAGE-CODEGEN fused with " +
