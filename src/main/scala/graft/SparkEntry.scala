@@ -2518,6 +2518,19 @@ object SparkEntry {
       graft.similarity.Clustering.kmeans(T(s, dir, "embeddings"), "vec_id", "embedding",
           k = 4, rounds = 2)
         .select(col("id").as("vec_id"), col("cluster"), col("dist2"))),
+    // cluster-balanced DIVERSITY sample (r13): k-means assignment → a
+    // deterministic per-cluster quota (md5-order N-per-group) — the
+    // "subsample evenly across semantic space" training-prep op
+    // (SemDeDup-style clusters, then equal representation instead of
+    // frequency-proportional), composed from G29 + G23. Scale shape:
+    // the Lloyd passes are G29's constant-plan jobs and the quota is
+    // one partial-agg TopKStruct pass — no window sort over the corpus
+    "q_cluster_sample" -> ((s, dir) => {
+      val asg = graft.similarity.Clustering.kmeans(T(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 4, rounds = 2)
+        .select(col("id").as("vec_id"), col("cluster"))
+      Ops.sampleNPerGroup(asg, Seq("cluster"), "vec_id", n = 8)
+    }),
     // product quantization: per-subspace k-means codebooks (m=2, k=4),
     // byte-code corpus, ADC top-k — the memory-compression ANN scale path
     "q_pq" -> ((s, dir) => {
@@ -3213,6 +3226,33 @@ object SparkEntry {
       T(s, dir, "documents").select(col("doc_id") +: Text.qualityFeatures(col("text")): _*)),
     "q_tokens" -> ((s, dir) =>
       T(s, dir, "documents").select(col("doc_id") +: Text.tokenStats(col("text")): _*)),
+    // corpus DATA CARD (r13): the per-language rollup a training run's
+    // datasheet needs — docs, exact-dup count, char/token totals, and
+    // derived ratios — in ONE aggregation pass over per-row projections
+    // (langid + tokenStats + md5 are all codegen; no join: copies of a
+    // text share the text, hence the language, so per-lang dup count is
+    // n_docs − distinct hashes). Ratios divide two EXACT integers once,
+    // so the doubles are engine-identical (the SURVEY §6 int÷int rule);
+    // scale shape: one partial-agged groupBy(lang) with a distinct-count
+    // expansion — no window, no collect
+    "q_corpus_report" -> ((s, dir) => {
+      val per = T(s, dir, "documents").select(
+        Seq(md5(col("text")).as("h"), Text.langId(col("text")).as("lang")) ++
+          Text.tokenStats(col("text")): _*)
+      per.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          (count(lit(1)) - countDistinct(col("h"))).as("n_dup_docs"),
+          sum("n_chars").as("total_chars"),
+          sum("n_ws_tokens").as("total_ws_tokens"),
+          sum("n_bpeish_tokens").as("total_bpeish_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_dup_docs"),
+          col("total_chars"), col("total_ws_tokens"),
+          col("total_bpeish_tokens"),
+          (col("n_dup_docs").cast(DoubleType) /
+            col("n_docs").cast(DoubleType)).as("dup_ratio"),
+          (col("total_ws_tokens").cast(DoubleType) /
+            col("n_docs").cast(DoubleType)).as("ws_tokens_per_doc"))
+    }),
     "q_fingerprint" -> ((s, dir) =>
       T(s, dir, "documents").select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
     // Pure-SQL front end through the correctness gate: a config/notebook
@@ -3240,6 +3280,17 @@ object SparkEntry {
 
   /** Shared SQL fragments, kept in one place so Spark/DuckDB stay in sync. */
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** DuckDB replay of [[graft.functions.Text.tokenStats]] — ONE spelling,
+    * shared by q_tokens and the q_corpus_report rollup (the per-doc
+    * integers the report sums are exactly these).
+    */
+  private val tokenStatsOracle: String =
+    s"""SELECT doc_id,
+       | CAST(length(text) AS BIGINT) AS n_chars,
+       | CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
+       | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish_tokens
+       |FROM documents""".stripMargin
 
   // shared by q_substring_dedup and its streaming twin: sliding 16-token
   // window ownership + gaps-and-islands maximal-span merge, per-doc rollup
@@ -5424,6 +5475,15 @@ object SparkEntry {
     "q_kmeans" ->
       s"""$kmeansCtes
          |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist2 FROM a2 WHERE rnk = 1""".stripMargin,
+    // the same Lloyd replay, then the same md5-order quota device as
+    // q_sample_per_group — per cluster instead of per priority class
+    "q_cluster_sample" ->
+      s"""$kmeansCtes,
+         |asg AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a2 WHERE rnk = 1)
+         |SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster, ROW_NUMBER() OVER (PARTITION BY cluster
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM asg)
+         |WHERE rn <= 8""".stripMargin,
     "q_pq" -> pqOracle,
     // exhaustive-probe identity: IVF routing with nprobe = nlist visits
     // every cell, so the oracle is the same exhaustive ADC replay
@@ -5895,6 +5955,25 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_langid" -> langidOracle,
+    // the data card: langid + tokenStats replays joined, rolled up per
+    // language; dup count = n_docs − distinct md5 (copies share text ⇒
+    // language); ratios are one division of two exact integers
+    "q_corpus_report" ->
+      s"""WITH lp AS (SELECT * FROM ($langidOracle) AS lx),
+         |tok AS (SELECT s.doc_id, s.n_chars, s.n_ws_tokens, s.n_bpeish_tokens,
+         |        md5(d.text) AS h
+         |        FROM ($tokenStatsOracle) AS s JOIN documents d USING (doc_id)),
+         |g AS (SELECT lang_pred AS lang, COUNT(*) AS n_docs,
+         |      COUNT(*) - COUNT(DISTINCT h) AS n_dup_docs,
+         |      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |      CAST(SUM(n_ws_tokens) AS BIGINT) AS total_ws_tokens,
+         |      CAST(SUM(n_bpeish_tokens) AS BIGINT) AS total_bpeish_tokens
+         |      FROM lp JOIN tok USING (doc_id) GROUP BY 1)
+         |SELECT lang, n_docs, n_dup_docs, total_chars, total_ws_tokens,
+         |       total_bpeish_tokens,
+         |       CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_ratio,
+         |       CAST(total_ws_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS ws_tokens_per_doc
+         |FROM g""".stripMargin,
     "q_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents)
          |SELECT doc_id,
@@ -5904,12 +5983,7 @@ object SparkEntry {
          | CAST(len(list_filter(tk, t -> t IN ${stopIn(Text.stopwords("en"))})) AS DOUBLE) / CAST(greatest(len(tk), 1) AS DOUBLE) AS stopword_ratio,
          | CAST(COALESCE(list_sum(list_transform(tk, t -> length(t))), 0) AS DOUBLE) / CAST(greatest(len(tk), 1) AS DOUBLE) AS mean_token_len
          |FROM t""".stripMargin,
-    "q_tokens" ->
-      s"""SELECT doc_id,
-         | CAST(length(text) AS BIGINT) AS n_chars,
-         | CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
-         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish_tokens
-         |FROM documents""".stripMargin,
+    "q_tokens" -> tokenStatsOracle,
     "q_fingerprint" ->
       "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp FROM documents",
     "q_sql_stopwords" ->
