@@ -176,7 +176,9 @@ object ConfigPipeline {
     "band_keys",
     "bm25",
     "boilerplate", "c4_clean", "canonical_url", "ccnet_buckets", "chunk",
-    "corpus_overlap", "corpus_shuffle", "csv_permissive", "decode_features",
+    "cluster_sample",
+    "corpus_overlap", "corpus_report", "corpus_shuffle", "csv_permissive",
+    "decode_features",
     "decontaminate", "dedup_best",
     "dedup_exact", "dedup_near", "degrees", "distinct", "distinct_sketch",
     "distribution_drift", "dsir", "encoding_stats", "error_budget", "filter",
@@ -975,6 +977,40 @@ object ConfigPipeline {
       case "kcenter" =>
         p.stage(name, from)(graft.similarity.Clustering.kCenterGreedy(_,
           knob("id").asText(), knob("vec").asText(), knob("k").asInt()))
+      // cluster-balanced diversity sample (r13, q_cluster_sample's shape):
+      // k-means assignment → per-cluster md5-order quota of n ids
+      case "cluster_sample" =>
+        p.stage(name, from) { d =>
+          val asg = graft.similarity.Clustering.kmeans(d,
+              knob("id").asText(), knob("vec").asText(),
+              k = knob("k").asInt(),
+              rounds = if (s.has("rounds")) knob("rounds").asInt() else 2)
+            .select(col("id").as(knob("id").asText()), col("cluster"))
+          graft.operators.Ops.sampleNPerGroup(asg, Seq("cluster"),
+            knob("id").asText(), knob("n").asInt())
+        }
+      // corpus data card (r13, q_corpus_report's shape): per-language
+      // docs / exact-dup count / char+token totals / derived ratios in
+      // one partial-agged pass — `id` and `text` name the columns
+      case "corpus_report" =>
+        p.stage(name, from) { d =>
+          val text = col(knob("text").asText())
+          val per = d.select(
+            Seq(md5(text).as("__h"),
+              graft.functions.Text.langId(text).as("lang")) ++
+              graft.functions.Text.tokenStats(text): _*)
+          per.groupBy("lang").agg(
+              count(lit(1)).as("n_docs"),
+              (count(lit(1)) - countDistinct(col("__h"))).as("n_dup_docs"),
+              sum("n_chars").as("total_chars"),
+              sum("n_ws_tokens").as("total_ws_tokens"),
+              sum("n_bpeish_tokens").as("total_bpeish_tokens"))
+            .withColumn("dup_ratio",
+              col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+            .withColumn("ws_tokens_per_doc",
+              col("total_ws_tokens").cast("double") /
+                col("n_docs").cast("double"))
+        }
       // ANN from config (G6/G7/G35 reachable by a config-driven user):
       // from[2] = [queries stage, corpus stage], both carrying (id, vec)
       case "ann" =>

@@ -705,6 +705,38 @@ class MtlConfigSpec extends SparkSpec {
       centersWant.orderBy("step").collect().toSeq)
   }
 
+  test("ConfigPipeline cluster_sample and corpus_report match the " +
+       "programmatic forms (r13)") {
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val sampled = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "all", "op": "parquet", "path": "$emb"},
+         | {"name": "cs", "op": "cluster_sample", "from": "all",
+         |  "id": "vec_id", "vec": "embedding", "k": 3, "n": 4}
+         |]}""".stripMargin).output("cs")
+      .as[(Long, Long)].collect().toSet
+    val asg = graft.similarity.Clustering.kmeans(
+        spark.read.parquet(emb), "vec_id", "embedding", k = 3, rounds = 2)
+      .select(col("id").as("vec_id"), col("cluster"))
+    val want = graft.operators.Ops.sampleNPerGroup(
+        asg, Seq("cluster"), "vec_id", n = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(sampled == want && sampled.nonEmpty)
+    val docsPath = "/root/testdata/sf0.001/documents.parquet"
+    val report = ConfigPipeline.fromJson(spark,
+      s"""{"stages": [
+         | {"name": "docs", "op": "parquet", "path": "$docsPath"},
+         | {"name": "card", "op": "corpus_report", "from": "docs",
+         |  "text": "text"}
+         |]}""".stripMargin).output("card")
+    assert(report.columns.toSeq == Seq("lang", "n_docs", "n_dup_docs",
+      "total_chars", "total_ws_tokens", "total_bpeish_tokens",
+      "dup_ratio", "ws_tokens_per_doc"))
+    val docs = spark.read.parquet(docsPath)
+    val total = report.agg(sum("n_docs")).as[Long].head()
+    assert(total == docs.count())
+  }
+
   test("ConfigPipeline corpus_overlap matches the programmatic form") {
     val docsPath = "/root/testdata/sf0.001/documents.parquet"
     val docs = spark.read.parquet(docsPath)
