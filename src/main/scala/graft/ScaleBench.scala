@@ -181,7 +181,13 @@ object ScaleBench {
           // salted replication grows the USER population, so per-user
           // session/window depth is constant) — growth should track the
           // event scan + the one user-keyed exchange
-          "q_dialogue_pack"))
+          "q_dialogue_pack",
+          // r13: the recursive schema gate is a zero-exchange projection
+          // (parse + native per-element walks) — growth must be the
+          // events scan's, with no super-linear term from the walk; the
+          // data card is one partial-agged groupBy(lang) over per-row
+          // projections — growth should be the documents scan's
+          "q_json_schema", "q_corpus_report"))
         time(q, dir) { SparkEntry.queries(q)(spark, dir) }
       time("neardup_composed", dir) { neardupComposed(spark, dir) }
       // G45/G46 decades: brute margin mining is O(|A|·|B|) BY DESIGN —
