@@ -142,7 +142,14 @@ object JsonSchemaGate {
           "minLength/maxLength/minItems/maxItems/pattern; a keyword it " +
           "cannot enforce must abort rather than silently no-op)")
     }
-    val typ = Option(n.get("type")).map(_.asText())
+    val typ = Option(n.get("type")).map { t =>
+      // a UNION type ("type": ["string", "null"]) must not fold to
+      // asText()'s "" and fail with a blank message — name the gap
+      require(t.isTextual,
+        s"union/non-scalar JSON-Schema type is out of the supported " +
+          s"subset (one named type only): $t")
+      t.asText()
+    }
     typ.foreach { t =>
       require(Seq("object", "array", "string", "integer", "number",
         "boolean").contains(t), s"unsupported JSON-Schema type: $t")
@@ -152,6 +159,11 @@ object JsonSchemaGate {
         if (e.isTextual) EStr(e.asText())
         else if (e.isBoolean) EBool(e.asBoolean())
         else if (e.isIntegralNumber && e.canConvertToLong) EInt(e.asLong())
+        else if (e.isIntegralNumber) throw new IllegalArgumentException(
+          // silently reclassifying 2^63 as a double member would change
+          // which runtime values match, engine-dependently — abort
+          s"integer enum literal beyond int64 is out of the supported " +
+            s"subset (classifies engine-dependently): $e")
         else if (e.isNumber) EDbl(e.asDouble())
         else throw new IllegalArgumentException(
           s"unsupported enum literal (string/int/number/boolean only): $e")

@@ -298,6 +298,15 @@ class JsonSchemaSpec extends SparkSpec {
            | "title": "t", "type": "object",
            | "properties": {"a": {"type": "string", "description": "d"}}}"""
       .stripMargin).collect()
+    // union types and beyond-int64 enum literals classify
+    // engine-dependently — named aborts, not blank ones
+    val union = intercept[IllegalArgumentException] { gate(
+      """{"type": "object", "properties": {"a": {"type": ["string", "null"]}}}""") }
+    assert(union.getMessage.contains("union"))
+    val big = intercept[IllegalArgumentException] { gate(
+      """{"type": "object", "properties":
+        | {"a": {"enum": [18446744073709551615]}}}""".stripMargin) }
+    assert(big.getMessage.contains("beyond int64"))
   }
 
   test("the gate's projection chain stays WHOLE-STAGE-CODEGEN fused with " +
