@@ -654,6 +654,36 @@ object SparkEntry {
         unix_micros(col("seen")).as("seen_us"))
     }),
     "q_join" -> ((s, dir) => revenuePerNation(s, dir)),
+    // HIVE-BUCKETED co-located join (r13, D5): both fact sides written
+    // bucketBy(8, join key) with matching counts, then the equi-join
+    // plans with ZERO exchanges under the join (the bucketed scans
+    // already satisfy the SMJ's partitioning requirement — the total
+    // budget's 1 exchange is the groupBy AFTER it; PlanBudgetSpec pins
+    // it, LayoutSpec pins the exchange-free join subtree). At 100 TB
+    // this converts the recurring fact⋈fact join's two corpus shuffles
+    // per run into one bucketed write per ingest. Correctness never
+    // depends on the layout — the oracle is the plain join
+    "q_bucketed_join" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+      Sinks.writeBucketed(
+        T(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "graft_bkt_orders", s"$base/orders", Seq("o_orderkey"), buckets = 8,
+        sortCols = Seq("o_orderkey"))
+      Sinks.writeBucketed(
+        T(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        "graft_bkt_lineitem", s"$base/lineitem", Seq("l_orderkey"), buckets = 8,
+        sortCols = Seq("l_orderkey"))
+      val o = s.table("graft_bkt_orders")
+      val l = s.table("graft_bkt_lineitem")
+      // MERGE hint: pin the sort-merge join the planner picks when both
+      // fact sides exceed the broadcast threshold (the regime bucketing
+      // exists for) — at bench scale orders would otherwise broadcast
+      // and the layout would sit unexercised
+      o.join(l.hint("merge"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(Ops.moneySum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+    }),
     "q_topk" -> ((s, dir) =>
       Ops.topK(T(s, dir, "orders"),
         Seq(col("o_totalprice").desc, col("o_orderkey").asc), 10)
@@ -4605,6 +4635,13 @@ object SparkEntry {
     "q_rowstats" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
       .map(c => s"""SELECT '$c' AS "column", COUNT(*) AS n_rows, COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct FROM customer""")
       .mkString(" UNION ALL "),
+    // the layout is transparent to results: plain join replay
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
     "q_join" ->
       """SELECT n_name, r_name,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

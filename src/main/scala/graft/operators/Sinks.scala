@@ -206,6 +206,38 @@ object Sinks {
     w.parquet(path)
   }
 
+  /** Hive-bucketed table write (r13) — the CO-LOCATED-JOIN layout: both
+    * sides of a recurring equi-join written `bucketBy(n, key)` with the
+    * SAME bucket count join WITHOUT a shuffle (Spark's bucketed scan
+    * reports the hash partitioning, so the SortMergeJoin's Exchange
+    * requirement is already satisfied — plan-pinned by PlanBudgetSpec /
+    * LayoutSpec). At 100 TB this converts the fact⋈fact join that
+    * dominates a recurring pipeline from two corpus shuffles per RUN
+    * into one bucketed write per INGEST — the bucketing lever the
+    * [[writeClustered]] scaladoc's row-group story does not cover
+    * (min/max stats prune scans; bucketing removes exchanges).
+    *
+    * `sortCols` pre-sorts within buckets (Spark still per-partition
+    * sorts the SMJ inputs when files-per-bucket > 1; the in-file order
+    * still buys row-group selectivity on the key). Bucketed layouts are
+    * TABLES (the bucket spec lives in the catalog, not the directory),
+    * so the write is `saveAsTable` with an explicit `path` — readers use
+    * `spark.table(name)`; a plain parquet read of the path sees the same
+    * rows without the bucketing metadata (correctness never depends on
+    * the layout).
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    bucketCols: Seq[String], buckets: Int,
+                    sortCols: Seq[String] = Nil,
+                    mode: String = "overwrite"): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed: bucketCols must be non-empty")
+    require(buckets > 0, s"writeBucketed: buckets must be positive, got $buckets")
+    var w = df.write.mode(mode).format("parquet").option("path", path)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
+
   /** Atomic-swap parquet rewrite — the safe way to write an index-delta
     * result BACK over the live directory it was read from (the
     * [[graft.streaming.Streams.compactIndex]] device, generalized to any

@@ -182,6 +182,38 @@ class LayoutSpec extends SparkSpec {
     assert(e2.getMessage.contains("knobs LAST"))
   }
 
+  test("writeBucketed: matching-bucket equi-join plans with ZERO exchanges " +
+       "under the join, and the layout is transparent to results (r13)") {
+    val base = java.nio.file.Files.createTempDirectory("bkt_spec").toString
+    val left = spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") % 7).as("lv"))
+    val right = spark.range(0, 1000).filter(col("id") % 2 === 0)
+      .select(col("id").as("k"), (col("id") % 11).as("rv"))
+    Sinks.writeBucketed(left, "bkt_spec_l", s"$base/l", Seq("k"), buckets = 4,
+      sortCols = Seq("k"))
+    Sinks.writeBucketed(right, "bkt_spec_r", s"$base/r", Seq("k"), buckets = 4)
+    // hint the merge join the planner would pick at fact×fact scale —
+    // toy fixtures broadcast otherwise and never exercise the layout
+    val joined = spark.table("bkt_spec_l")
+      .join(spark.table("bkt_spec_r").hint("merge"), "k")
+    // values: exactly the plain join's
+    val want = left.join(right, "k").orderBy("k")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(joined.orderBy("k").as[(Long, Long, Long)].collect().toSeq == want
+      && want.size == 500)
+    // plan: a sort-merge (or shuffle-hash) join whose subtree holds NO
+    // Exchange — the bucketed scans already satisfy the partitioning
+    // requirement. explain the JOIN frame itself (no agg tail) so any
+    // exchange in the text would belong to the join
+    val plan = joined.queryExecution.executedPlan.toString()
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a non-broadcast equi-join over bucketed scans:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n$plan")
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+      s"scan did not report the bucketed layout:\n$plan")
+  }
+
   test("swapWrite: first write, read-then-rewrite over the live dir, " +
        "partition layout preserved, stranded swaps recovered") {
     import org.apache.hadoop.fs.Path
