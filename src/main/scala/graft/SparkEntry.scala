@@ -398,12 +398,14 @@ object SparkEntry {
       | END END""".stripMargin.replace("\n", " ")
 
   /** The q_json_schema demo schema (types + required + enum — incl. the
-    * r13 TYPED integer enum — + nested object + array with per-ELEMENT
-    * items validation (r12) + the r13 FULL element recursion: arrays of
-    * arrays (`dims` with its own items + maxItems), two-level element
-    * objects (`meta.w`), element-field bounds (`qty` minimum), a
-    * properties-less required (`lot`), and the r13 `pattern` on
-    * user.name — the supported subset exercised end to end).
+    * r13 TYPED integer enum and `multipleOf` (priority 9 fails BOTH:
+    * 9 ∉ [1,2,3] and 9 % 2 ≠ 0) — + nested object + array with
+    * per-ELEMENT items validation (r12) + the r13 FULL element
+    * recursion: arrays of arrays (`dims` with its own items +
+    * maxItems), two-level element objects (`meta.w`), element-field
+    * bounds (`qty` minimum), a properties-less required (`lot`), and
+    * the r13 `pattern` on user.name — the supported subset exercised
+    * end to end).
     */
   private val jsonSchemaDemo: String =
     """{"type": "object", "required": ["user", "type", "value"],
@@ -419,7 +421,7 @@ object SparkEntry {
       |  "tags": {"type": "array", "maxItems": 8,
       |           "items": {"type": "string", "minLength": 1,
       |                     "maxLength": 8}},
-      |  "priority": {"type": "integer", "enum": [1, 2, 3]},
+      |  "priority": {"type": "integer", "enum": [1, 2, 3], "multipleOf": 2},
       |  "items": {"type": "array", "minItems": 1,
       |            "items": {"type": "object", "required": ["sku", "lot"],
       |                      "properties": {

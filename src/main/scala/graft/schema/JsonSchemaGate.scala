@@ -23,8 +23,13 @@ import scala.jdk.CollectionConverters._
   * members violates, so `enum: [1,2,3]` rejects `4` AND `"four"`;
   * object/array/null values stay the type check's business; cross-type
   * numeric equality — 1 matching an enum literal 1.0 — is out of
-  * subset), `minimum`/`maximum` (numeric bounds, compared as
-  * correctly-rounded doubles on both engines), `minLength`/`maxLength`
+  * subset), `const` (r13 — compiles as a one-member typed enum;
+  * declaring both enum and const aborts), `minimum`/`maximum` and r13
+  * `exclusiveMinimum`/`exclusiveMaximum` (numeric bounds, compared as
+  * correctly-rounded doubles on both engines), r13 `multipleOf`
+  * (strictly positive; violation = IEEE truncated remainder ≠ 0, the
+  * same `%` both engines compute on the same doubles; root-level value
+  * checks fire at `$` too, r13), `minLength`/`maxLength`
   * (string lengths in code points — Spark `length` ≡ DuckDB `length`),
   * `minItems`/`maxItems` (r13 array element-count bounds — Spark `size`
   * over the extracted array ≡ DuckDB `json_array_length`, fired only on
@@ -109,6 +114,9 @@ object JsonSchemaGate {
                           items: Option[Node],
                           minimum: Option[Double] = None,
                           maximum: Option[Double] = None,
+                          exclusiveMinimum: Option[Double] = None,
+                          exclusiveMaximum: Option[Double] = None,
+                          multipleOf: Option[Double] = None,
                           minLength: Option[Int] = None,
                           maxLength: Option[Int] = None,
                           minItems: Option[Int] = None,
@@ -123,12 +131,15 @@ object JsonSchemaGate {
     * through.
     */
   private val knownKeywords = Set(
-    "type", "enum", "required", "properties", "items",
-    "minimum", "maximum", "minLength", "maxLength",
+    "type", "enum", "const", "required", "properties", "items",
+    "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
+    "multipleOf", "minLength", "maxLength",
     "minItems", "maxItems", "pattern",
-    // no-validation annotations
+    // no-validation annotations — `format` is annotation-only in JSON
+    // Schema 2020-12 unless a dialect opts into format-assertion, which
+    // this gate does not claim
     "$schema", "$id", "$comment", "title", "description", "default",
-    "examples")
+    "examples", "format")
 
   private def compile(n: JsonNode): Node = {
     // a BOOLEAN schema (`"items": false` = reject everything) would
@@ -154,20 +165,27 @@ object JsonSchemaGate {
       require(Seq("object", "array", "string", "integer", "number",
         "boolean").contains(t), s"unsupported JSON-Schema type: $t")
     }
-    val enumVals: Seq[EnumVal] = Option(n.get("enum")).toSeq
-      .flatMap(_.elements().asScala).map { e =>
-        if (e.isTextual) EStr(e.asText())
-        else if (e.isBoolean) EBool(e.asBoolean())
-        else if (e.isIntegralNumber && e.canConvertToLong) EInt(e.asLong())
-        else if (e.isIntegralNumber) throw new IllegalArgumentException(
-          // silently reclassifying 2^63 as a double member would change
-          // which runtime values match, engine-dependently — abort
-          s"integer enum literal beyond int64 is out of the supported " +
-            s"subset (classifies engine-dependently): $e")
-        else if (e.isNumber) EDbl(e.asDouble())
-        else throw new IllegalArgumentException(
-          s"unsupported enum literal (string/int/number/boolean only): $e")
-      }
+    def literal(e: JsonNode, kw: String): EnumVal =
+      if (e.isTextual) EStr(e.asText())
+      else if (e.isBoolean) EBool(e.asBoolean())
+      else if (e.isIntegralNumber && e.canConvertToLong) EInt(e.asLong())
+      else if (e.isIntegralNumber) throw new IllegalArgumentException(
+        // silently reclassifying 2^63 as a double member would change
+        // which runtime values match, engine-dependently — abort
+        s"integer $kw literal beyond int64 is out of the supported " +
+          s"subset (classifies engine-dependently): $e")
+      else if (e.isNumber) EDbl(e.asDouble())
+      else throw new IllegalArgumentException(
+        s"unsupported $kw literal (string/int/number/boolean only): $e")
+    // `const` compiles as a ONE-MEMBER enum (identical semantics: the
+    // value must equal the literal, typed); declaring both is ambiguous
+    // and aborts
+    require(!(n.has("enum") && n.has("const")),
+      "a schema node declaring BOTH enum and const is ambiguous")
+    val enumVals: Seq[EnumVal] =
+      Option(n.get("enum")).toSeq.flatMap(_.elements().asScala)
+        .map(literal(_, "enum")) ++
+        Option(n.get("const")).map(literal(_, "const"))
     val req = Option(n.get("required")).toSeq
       .flatMap(_.elements().asScala).map(_.asText()).toSet
     // names interpolate into JSON paths on BOTH engines — a
@@ -199,9 +217,15 @@ object JsonSchemaGate {
           "shared Java~RE2 regex subset")
       java.util.regex.Pattern.compile(p)
     }
+    val mof = Option(n.get("multipleOf")).map(_.asDouble())
+    mof.foreach(m => require(m > 0,
+      s"multipleOf must be strictly positive, got $m"))
     Node(typ, enumVals, req, props, items,
       minimum = Option(n.get("minimum")).map(_.asDouble()),
       maximum = Option(n.get("maximum")).map(_.asDouble()),
+      exclusiveMinimum = Option(n.get("exclusiveMinimum")).map(_.asDouble()),
+      exclusiveMaximum = Option(n.get("exclusiveMaximum")).map(_.asDouble()),
+      multipleOf = mof,
       minLength = Option(n.get("minLength")).map(_.asInt()),
       maxLength = Option(n.get("maxLength")).map(_.asInt()),
       minItems = Option(n.get("minItems")).map(_.asInt()),
@@ -227,7 +251,10 @@ object JsonSchemaGate {
                             guards: Seq[String]) extends Check
   /** numeric bounds — checked only when the node IS numeric (a type
     * violation already reports the rest); both engines compare the same
-    * correctly-rounded double. op ∈ min/max.
+    * correctly-rounded double. op ∈ min/max (inclusive), xmin/xmax
+    * (exclusive, r13), multipleof (r13 — IEEE fmod ≠ 0, the same
+    * truncated remainder Spark's `%` and DuckDB's `%` compute on the
+    * same correctly-rounded doubles).
     */
   private case class Bound(path: String, op: String, bound: Double,
                            guards: Seq[String]) extends Check
@@ -281,6 +308,12 @@ object JsonSchemaGate {
         out += ItemsCheck(cp, steps, "enum", "", n.enumVals, 0, guards)
       n.minimum.foreach(b => out += ItemsCheck(cp, steps, "min", "", Nil, b, guards))
       n.maximum.foreach(b => out += ItemsCheck(cp, steps, "max", "", Nil, b, guards))
+      n.exclusiveMinimum.foreach(b =>
+        out += ItemsCheck(cp, steps, "xmin", "", Nil, b, guards))
+      n.exclusiveMaximum.foreach(b =>
+        out += ItemsCheck(cp, steps, "xmax", "", Nil, b, guards))
+      n.multipleOf.foreach(b =>
+        out += ItemsCheck(cp, steps, "multipleof", "", Nil, b, guards))
       n.minLength.foreach(b =>
         out += ItemsCheck(cp, steps, "minlen", "", Nil, b.toDouble, guards))
       n.maxLength.foreach(b =>
@@ -312,6 +345,9 @@ object JsonSchemaGate {
         if (child.enumVals.nonEmpty) out += EnumIn(cp, child.enumVals, guards)
         child.minimum.foreach(b => out += Bound(cp, "min", b, guards))
         child.maximum.foreach(b => out += Bound(cp, "max", b, guards))
+        child.exclusiveMinimum.foreach(b => out += Bound(cp, "xmin", b, guards))
+        child.exclusiveMaximum.foreach(b => out += Bound(cp, "xmax", b, guards))
+        child.multipleOf.foreach(b => out += Bound(cp, "multipleof", b, guards))
         child.minLength.foreach(b => out += LenBound(cp, "minlen", b, guards))
         child.maxLength.foreach(b => out += LenBound(cp, "maxlen", b, guards))
         child.pattern.foreach(p => out += PatternCheck(cp, p, guards))
@@ -322,6 +358,17 @@ object JsonSchemaGate {
           walk(child, cp, guards :+ cp)
       }
     }
+    // root-level value checks (r13): a non-object root (a bare string /
+    // number message) gets the same vocabulary as any path — previously
+    // only the type check fired at "$"
+    if (root.enumVals.nonEmpty) out += EnumIn("$", root.enumVals, Nil)
+    root.minimum.foreach(b => out += Bound("$", "min", b, Nil))
+    root.maximum.foreach(b => out += Bound("$", "max", b, Nil))
+    root.exclusiveMinimum.foreach(b => out += Bound("$", "xmin", b, Nil))
+    root.exclusiveMaximum.foreach(b => out += Bound("$", "xmax", b, Nil))
+    root.multipleOf.foreach(b => out += Bound("$", "multipleof", b, Nil))
+    root.minLength.foreach(b => out += LenBound("$", "minlen", b, Nil))
+    root.maxLength.foreach(b => out += LenBound("$", "maxlen", b, Nil))
     root.pattern.foreach(p => out += PatternCheck("$", p, Nil))
     root.minItems.foreach(b => out += ArrBound("$", "minitems", b, Nil))
     root.maxItems.foreach(b => out += ArrBound("$", "maxitems", b, Nil))
@@ -459,8 +506,14 @@ object JsonSchemaGate {
             viaCast("bool", "boolean", bools))
         case c @ Bound(p, op, b, _) =>
           val v = expr(s"cast(try_variant_get($vcol, '$p') as double)")
-          guarded(c)(t(p).isin("int", "double") &&
-            (if (op == "min") v < lit(b) else v > lit(b)))
+          val bad = op match {
+            case "min"        => v < lit(b)
+            case "max"        => v > lit(b)
+            case "xmin"       => v <= lit(b)
+            case "xmax"       => v >= lit(b)
+            case "multipleof" => (v % lit(b)) =!= lit(0.0)
+          }
+          guarded(c)(t(p).isin("int", "double") && bad)
         case c @ LenBound(p, op, b, _) =>
           val l = length(expr(s"cast(try_variant_get($vcol, '$p') as string)"))
           guarded(c)(t(p) === "string" &&
@@ -616,8 +669,15 @@ object JsonSchemaGate {
             enumSql(actual(p),
               s"json_extract_string(TRY_CAST(($rawExpr) AS JSON), '$p')", vs)
           case Bound(p, op, b, _) =>
-            val cmp = if (op == "min") "<" else ">"
-            s"(${actual(p)} IN ('int', 'double') AND TRY_CAST(json_extract_string(TRY_CAST(($rawExpr) AS JSON), '$p') AS DOUBLE) $cmp $b)"
+            val v = s"TRY_CAST(json_extract_string(TRY_CAST(($rawExpr) AS JSON), '$p') AS DOUBLE)"
+            val bad = op match {
+              case "min"        => s"$v < $b"
+              case "max"        => s"$v > $b"
+              case "xmin"       => s"$v <= $b"
+              case "xmax"       => s"$v >= $b"
+              case "multipleof" => s"($v % $b) <> 0"
+            }
+            s"(${actual(p)} IN ('int', 'double') AND $bad)"
           case LenBound(p, op, b, _) =>
             val cmp = if (op == "minlen") "<" else ">"
             s"(${actual(p)} = 'string' AND length(json_extract_string(TRY_CAST(($rawExpr) AS JSON), '$p')) $cmp $b)"
@@ -642,6 +702,12 @@ object JsonSchemaGate {
                   s"($fold IN ('int', 'double') AND TRY_CAST($rawStr AS DOUBLE) < $b)"
                 case "max" =>
                   s"($fold IN ('int', 'double') AND TRY_CAST($rawStr AS DOUBLE) > $b)"
+                case "xmin" =>
+                  s"($fold IN ('int', 'double') AND TRY_CAST($rawStr AS DOUBLE) <= $b)"
+                case "xmax" =>
+                  s"($fold IN ('int', 'double') AND TRY_CAST($rawStr AS DOUBLE) >= $b)"
+                case "multipleof" =>
+                  s"($fold IN ('int', 'double') AND (TRY_CAST($rawStr AS DOUBLE) % $b) <> 0)"
                 case "minlen" =>
                   s"($fold = 'string' AND length($rawStr) < ${b.toInt})"
                 case "maxlen" =>

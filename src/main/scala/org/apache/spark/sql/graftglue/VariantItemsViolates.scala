@@ -54,9 +54,11 @@ import org.apache.spark.types.variant.{Variant, VariantUtil}
   *    regex partial-match (`find()`), the shared semantics of Spark
   *    RLIKE and DuckDB `regexp_matches` (the gate's compile step rejects
   *    dialect-divergent constructs);
-  *  - `kind = "min"` / `"max"`: checked only on int|double nodes,
-  *    compared as doubles (the correctly-rounded widening `cast(variant
-  *    as double)` performs);
+  *  - `kind = "min"` / `"max"` (inclusive), `"xmin"` / `"xmax"`
+  *    (exclusive, r13), `"multipleof"` (r13, IEEE truncated remainder ≠
+  *    0 — Java `%` ≡ DuckDB DOUBLE `%` on the same operands): checked
+  *    only on int|double nodes, compared as doubles (the
+  *    correctly-rounded widening `cast(variant as double)` performs);
   *  - `kind = "minitems"` / `"maxitems"` (r13, nested arrays): checked
   *    only on ARRAY nodes — element count vs the bound;
   *  - `kind = "missing"`: any reached OBJECT node lacking the required
@@ -80,8 +82,9 @@ case class VariantItemsViolates(child: Expression, steps: Seq[String],
                                 pattern: String)
     extends UnaryExpression with ExpectsInputTypes {
 
-  require(Seq("type", "enum", "min", "max", "minlen", "maxlen",
-    "minitems", "maxitems", "missing", "pattern").contains(kind),
+  require(Seq("type", "enum", "min", "max", "xmin", "xmax", "multipleof",
+    "minlen", "maxlen", "minitems", "maxitems", "missing",
+    "pattern").contains(kind),
     s"variant_items_violates: unknown kind '$kind'")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(VariantType))
@@ -143,6 +146,13 @@ case class VariantItemsViolates(child: Expression, steps: Seq[String],
       case "enum" => enumViolates(c, v)
       case "min"  => (c == "int" || c == "double") && asDouble(v) < bound
       case "max"  => (c == "int" || c == "double") && asDouble(v) > bound
+      case "xmin" => (c == "int" || c == "double") && asDouble(v) <= bound
+      case "xmax" => (c == "int" || c == "double") && asDouble(v) >= bound
+      // the same truncated IEEE remainder Spark's `%` (Java %) and
+      // DuckDB's DOUBLE `%` (C fmod) compute on the same
+      // correctly-rounded operands — engine-identical
+      case "multipleof" =>
+        (c == "int" || c == "double") && (asDouble(v) % bound) != 0.0
       case "minlen" =>
         c == "string" && {
           val s = v.getString

@@ -282,6 +282,69 @@ class JsonSchemaSpec extends SparkSpec {
     assert(got(3L) == "missing:$.env.region")
   }
 
+  test("const, exclusive bounds and multipleOf (r13): typed const equality, " +
+       "strict bounds, exact fmod — at paths, elements, and the root") {
+    val sc =
+      """{"type": "object",
+        | "properties": {
+        |  "v":  {"type": "string", "const": "fixed"},
+        |  "n":  {"type": "number", "exclusiveMinimum": 0,
+        |         "exclusiveMaximum": 10},
+        |  "m":  {"type": "integer", "multipleOf": 4},
+        |  "f":  {"type": "number", "multipleOf": 0.5},
+        |  "xs": {"type": "array", "items": {"multipleOf": 3,
+        |                                    "exclusiveMinimum": 0}}}}""".stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"v": "fixed", "n": 5, "m": 8, "f": 2.5, "xs": [3, 6]}"""),
+        (2L, """{"v": "other"}"""),
+        (3L, """{"n": 0}"""),            // boundary FAILS an exclusive bound
+        (4L, """{"n": 10}"""),
+        (5L, """{"m": 6}"""),
+        (6L, """{"f": 2.75}"""),
+        (7L, """{"m": -8, "f": -1.5}"""), // negative multiples pass
+        (8L, """{"xs": [3, 4, 0]}"""),   // element fmod + element strict bound
+        (9L, """{"v": 3}"""))            // wrong type: type + typed-const both fire
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "" && got(7L) == "")
+    assert(got(2L) == "enum:$.v")
+    assert(got(3L) == "xmin:$.n")
+    assert(got(4L) == "xmax:$.n")
+    assert(got(5L) == "multipleof:$.m")
+    assert(got(6L) == "multipleof:$.f")
+    assert(got(8L) == "xmin:$.xs[],multipleof:$.xs[]")
+    assert(got(9L) == "type:$.v,enum:$.v")
+    // a non-object ROOT gets the full value vocabulary (r13)
+    val rootSc = """{"type": "integer", "multipleOf": 2, "minimum": 0}"""
+    val rootGot = JsonSchemaGate.validate(Seq(
+        (1L, "4"), (2L, "3"), (3L, "-2"), (4L, "\"x\""))
+      .toDF("id", "raw"), "raw", rootSc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(rootGot(1L) == "")
+    assert(rootGot(2L) == "multipleof:$")
+    assert(rootGot(3L) == "min:$")
+    assert(rootGot(4L) == "type:$")
+    // both enum and const on one node is ambiguous — abort
+    val both = intercept[IllegalArgumentException] {
+      JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw",
+        """{"type": "object", "properties":
+          | {"a": {"enum": [1], "const": 1}}}""".stripMargin, parsedCol = None)
+    }
+    assert(both.getMessage.contains("ambiguous"))
+    // multipleOf must be strictly positive
+    val nonpos = intercept[IllegalArgumentException] {
+      JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw",
+        """{"type": "object", "properties":
+          | {"a": {"multipleOf": 0}}}""".stripMargin, parsedCol = None)
+    }
+    assert(nonpos.getMessage.contains("strictly positive"))
+    // format is annotation-only in 2020-12 — allowed, not validated
+    JsonSchemaGate.validate(Seq((1L, """{"a": "x"}""")).toDF("id", "raw"),
+      "raw", """{"type": "object", "properties":
+        | {"a": {"type": "string", "format": "email"}}}""".stripMargin,
+      parsedCol = None).collect()
+  }
+
   test("unsupported keywords and boolean schemas abort LOUDLY (the " +
        "no-silent-no-op rule)") {
     def gate(sc: String) = JsonSchemaGate.validate(
