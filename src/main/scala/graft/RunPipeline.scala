@@ -110,6 +110,22 @@ object RunPipeline {
       case Some(Array("partitioned", spec)) =>
         graft.operators.Sinks.writePartitioned(df, path,
           spec.split(",").toSeq)
+      // bucketed=table,cols,n[,sortCols]: Hive-bucketed table (r13,
+      // Sinks.writeBucketed) — the co-located-join layout; cols and
+      // sortCols are +-separated so the comma stays the knob separator
+      case Some(Array("bucketed", spec)) =>
+        spec.split(",", -1).toSeq match {
+          case Seq(table, cols, n) if n.forall(_.isDigit) && n.nonEmpty =>
+            graft.operators.Sinks.writeBucketed(df, table, path,
+              cols.split("\\+").toSeq, n.toInt)
+          case Seq(table, cols, n, sortCols)
+              if n.forall(_.isDigit) && n.nonEmpty =>
+            graft.operators.Sinks.writeBucketed(df, table, path,
+              cols.split("\\+").toSeq, n.toInt,
+              sortCols = sortCols.split("\\+").toSeq)
+          case _ => sys.error(
+            s"bucketed layout needs table,colA[+colB],n[,sortA[+sortB]]: $spec")
+        }
       // bloom=cols[,ndv]: parquet row-group bloom filters on the named
       // columns — the point-lookup layout for scattered id probes
       // (Sinks.writeClustered's r11 lever; plans/LAYOUT.md)
@@ -126,6 +142,7 @@ object RunPipeline {
       case Some(other) => sys.error(
         s"unknown layout directive '${layout.get}' — expected " +
           "zorder=cols[,bits[,files]] | shuffled=id,seed,shards | " +
-          "partitioned=cols | bloom=cols[,ndv]")
+          "partitioned=cols | bloom=cols[,ndv] | " +
+          "bucketed=table,cols,n[,sortCols]")
     }
 }

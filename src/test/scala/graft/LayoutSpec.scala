@@ -167,6 +167,16 @@ class LayoutSpec extends SparkSpec {
       orders.withColumn("bucket", pmod(col("o_custkey"), lit(3))),
       s"$base/pt", Some("partitioned=bucket"))
     assert(spark.read.parquet(s"$base/pt").columns.contains("bucket"))
+    // bucketed=table,cols,n[,sortCols] (r13): a catalog bucketed table
+    RunPipeline.writeBatch(orders, s"$base/bkt",
+      Some("bucketed=ld_bkt_orders,o_orderkey,4,o_orderkey"))
+    assert(spark.table("ld_bkt_orders").count() == orders.count())
+    assert(spark.sql("DESCRIBE TABLE EXTENDED ld_bkt_orders").collect()
+      .exists(r => r.getString(0) == "Num Buckets" && r.getString(1) == "4"))
+    val e0 = intercept[Exception] {
+      RunPipeline.writeBatch(orders, s"$base/badb", Some("bucketed=t,o_orderkey"))
+    }
+    assert(e0.getMessage.contains("bucketed layout needs"))
     intercept[Exception] {
       RunPipeline.writeBatch(orders, s"$base/bad", Some("sorted=o_custkey"))
     }
