@@ -162,8 +162,14 @@ object Bench {
         f""","anchor_note":"anchor drifted ${drift}%.2fx vs reference $REF_ANCHOR%.3fs - machine load differs; normalize per-query comparisons by anchor ratio before calling regressions""""
       else ""
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","measured":"materialize_all_columns_r8","queries":$qs,"anchor_sec":$anchor,"anchor_ref":$REF_ANCHOR$note,"failed":$failed,"sf":"$sfDir"}"""
+    // a FILTERED run (SPARK_GRAFT_ONLY local iteration) must never
+    // clobber the committed full-suite map — round N+1 diffs round N
+    // through this file, and a 5-query overwrite silently destroys the
+    // history the artifact exists for (it happened twice in r13 before
+    // this guard)
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      "plans/BENCH_FULL.json")
+      if (only.isEmpty) "plans/BENCH_FULL.json"
+      else "/tmp/BENCH_SUBSET.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
       fullLine + "\n")
     catch { case e: Throwable =>
