@@ -30,6 +30,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // this container has NO locale (LANG unset), so JDK 17 defaults
+  // file.encoding to US-ASCII — and Spark's variant JSON parser then
+  // CORRUPTS non-BMP characters (a 2-code-point astral string reads
+  // back as 5 mangled chars; found by JsonSchemaPropertySpec's
+  // independent-reference cross-check, r13). Force UTF-8 like any
+  // production Spark deployment's locale does; spark-submit runs need
+  // the same via spark.{driver,executor}.extraJavaOptions
+  // (plans/CLUSTER.md).
+  "-Dfile.encoding=UTF-8",
+  "-Dsun.jnu.encoding=UTF-8",
   // 24g default: local[32] runs 32 concurrent tasks in ONE JVM; at 8g the
   // sf0.1 bench spends more time in GC than in queries (62s vs 40s total).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",

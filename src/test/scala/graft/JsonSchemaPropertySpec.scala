@@ -1,0 +1,370 @@
+package graft
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import graft.schema.JsonSchemaGate
+
+/** Randomized cross-implementation check for the JSON-Schema gate: an
+  * INDEPENDENT Jackson-tree reference validator (written from the gate's
+  * documented semantics, sharing no code with the Column compiler or the
+  * native walk) must produce the exact violations string the gate does,
+  * over randomized schemas from the supported subset × randomized
+  * messages (conforming, violating, off-type, null-bearing, nested,
+  * malformed). The DuckDB oracle is GENERATED from the gate's own walk,
+  * so it can't catch a semantics bug shared by both generators — this
+  * reference can.
+  */
+class JsonSchemaPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  // ---------------- independent reference validator ----------------
+
+  private def canon(n: JsonNode): String =
+    if (n.isObject) "object"
+    else if (n.isArray) "array"
+    else if (n.isNull) "null"
+    else if (n.isBoolean) "bool"
+    else if (n.isIntegralNumber) "int" // generators stay within int64
+    else if (n.isNumber) "double"
+    else "string"
+
+  private def typeMatches(c: String, declared: String): Boolean = declared match {
+    case "number"  => c == "int" || c == "double"
+    case "integer" => c == "int"
+    case "boolean" => c == "bool"
+    case other     => c == other
+  }
+
+  /** the node at an object-field path below `root`: absent when any
+    * ancestor is missing or not an object (a JSON null IS present).
+    */
+  private def nodeAt(root: JsonNode, path: Seq[String]): Option[JsonNode] =
+    path.foldLeft(Option(root)) {
+      case (Some(n), f) if n.isObject && n.has(f) => Some(n.get(f))
+      case _                                      => None
+    }
+
+  private def asD(n: JsonNode): Double = n.asDouble()
+  private def strLen(n: JsonNode): Int = {
+    val s = n.asText(); s.codePointCount(0, s.length)
+  }
+
+  /** one schema node's scalar constraints, read independently. */
+  private case class RefNode(sc: JsonNode) {
+    def typ: Option[String] = Option(sc.get("type")).map(_.asText())
+    def enums: Seq[JsonNode] =
+      Option(sc.get("enum")).map(e => (0 until e.size).map(e.get)).getOrElse(Nil) ++
+        Option(sc.get("const")).toSeq
+    def props: Seq[(String, JsonNode)] = Option(sc.get("properties")).toSeq
+      .flatMap { p =>
+        val it = p.fieldNames()
+        Iterator.continually(if (it.hasNext) it.next() else null)
+          .takeWhile(_ != null).map(f => f -> p.get(f)).toSeq
+      }
+    def required: Seq[String] = Option(sc.get("required")).toSeq
+      .flatMap(r => (0 until r.size).map(i => r.get(i).asText()))
+    def num(k: String): Option[Double] = Option(sc.get(k)).map(_.asDouble())
+    def int(k: String): Option[Int] = Option(sc.get(k)).map(_.asInt())
+    def str(k: String): Option[String] = Option(sc.get(k)).map(_.asText())
+    def items: Option[JsonNode] = Option(sc.get("items"))
+  }
+
+  /** enum membership by TYPED bucket (the gate's documented rule). */
+  private def enumViolates(v: JsonNode, members: Seq[JsonNode]): Boolean =
+    canon(v) match {
+      case "string" => !members.exists(m => m.isTextual && m.asText() == v.asText())
+      case "int" => !members.exists(m =>
+        m.isIntegralNumber && m.asLong() == v.asLong())
+      case "double" => !members.exists(m =>
+        m.isNumber && !m.isIntegralNumber && m.asDouble() == v.asDouble())
+      case "bool" => !members.exists(m =>
+        m.isBoolean && m.asBoolean() == v.asBoolean())
+      case _ => false
+    }
+
+  /** value-check violations of one PRESENT node against one schema node,
+    * in the gate's emission order (enum, min, max, xmin, xmax,
+    * multipleof, minlen, maxlen, pattern, minitems, maxitems).
+    */
+  private def valueTags(v: JsonNode, rn: RefNode, at: String): Seq[String] = {
+    val c = canon(v)
+    val numeric = c == "int" || c == "double"
+    val out = Seq.newBuilder[String]
+    if (rn.enums.nonEmpty && enumViolates(v, rn.enums)) out += s"enum:$at"
+    rn.num("minimum").foreach(b => if (numeric && asD(v) < b) out += s"min:$at")
+    rn.num("maximum").foreach(b => if (numeric && asD(v) > b) out += s"max:$at")
+    rn.num("exclusiveMinimum").foreach(b =>
+      if (numeric && asD(v) <= b) out += s"xmin:$at")
+    rn.num("exclusiveMaximum").foreach(b =>
+      if (numeric && asD(v) >= b) out += s"xmax:$at")
+    rn.num("multipleOf").foreach(b =>
+      if (numeric && (asD(v) % b) != 0.0) out += s"multipleof:$at")
+    rn.int("minLength").foreach(b =>
+      if (c == "string" && strLen(v) < b) out += s"minlen:$at")
+    rn.int("maxLength").foreach(b =>
+      if (c == "string" && strLen(v) > b) out += s"maxlen:$at")
+    rn.str("pattern").foreach(p =>
+      if (c == "string" &&
+        !java.util.regex.Pattern.compile(p).matcher(v.asText()).find())
+        out += s"pattern:$at")
+    rn.int("minItems").foreach(b =>
+      if (c == "array" && v.size() < b) out += s"minitems:$at")
+    rn.int("maxItems").foreach(b =>
+      if (c == "array" && v.size() > b) out += s"maxitems:$at")
+    out.result()
+  }
+
+  /** does ANY node reached from `v` by the element-relative steps
+    * violate the single terminal check `test`? Mirrors the native walk's
+    * skip rules.
+    */
+  private def anyReached(v: JsonNode, steps: Seq[String])(
+      test: JsonNode => Boolean): Boolean =
+    if (steps.isEmpty) test(v)
+    else steps.head match {
+      case "[]" => v.isArray &&
+        (0 until v.size).exists(i => anyReached(v.get(i), steps.tail)(test))
+      case f => v.isObject && v.has(f) && anyReached(v.get(f), steps.tail)(test)
+    }
+
+  /** per-element checks of the array at `p` (present + array-typed),
+    * recursing through the element schema exactly as elemWalk emits.
+    */
+  private def itemTags(arr: JsonNode, base: String, steps: Seq[String],
+                       sc: JsonNode): Seq[String] = {
+    val rn = RefNode(sc)
+    val at = base + steps.map(s => if (s == "[]") "[]" else s".$s").mkString
+    val out = Seq.newBuilder[String]
+    def any(test: JsonNode => Boolean): Boolean =
+      (0 until arr.size).exists(i => anyReached(arr.get(i), steps)(test))
+    rn.typ.foreach(t => if (any(v => !typeMatches(canon(v), t)))
+      out += s"type:$at")
+    if (rn.enums.nonEmpty && any(v => enumViolates(v, rn.enums)))
+      out += s"enum:$at"
+    def numCheck(k: String, tag: String)(bad: (Double, Double) => Boolean): Unit =
+      rn.num(k).foreach { b =>
+        if (any(v => (canon(v) == "int" || canon(v) == "double") &&
+          bad(asD(v), b))) out += s"$tag:$at"
+      }
+    numCheck("minimum", "min")(_ < _)
+    numCheck("maximum", "max")(_ > _)
+    numCheck("exclusiveMinimum", "xmin")(_ <= _)
+    numCheck("exclusiveMaximum", "xmax")(_ >= _)
+    numCheck("multipleOf", "multipleof")((v, b) => (v % b) != 0.0)
+    rn.int("minLength").foreach(b =>
+      if (any(v => canon(v) == "string" && strLen(v) < b)) out += s"minlen:$at")
+    rn.int("maxLength").foreach(b =>
+      if (any(v => canon(v) == "string" && strLen(v) > b)) out += s"maxlen:$at")
+    rn.str("pattern").foreach(p =>
+      if (any(v => canon(v) == "string" && !java.util.regex.Pattern
+        .compile(p).matcher(v.asText()).find())) out += s"pattern:$at")
+    rn.int("minItems").foreach(b =>
+      if (any(v => canon(v) == "array" && v.size < b)) out += s"minitems:$at")
+    rn.int("maxItems").foreach(b =>
+      if (any(v => canon(v) == "array" && v.size > b)) out += s"maxitems:$at")
+    val propNames = rn.props.map(_._1).toSet
+    rn.required.filterNot(propNames).sorted.foreach { f =>
+      if (any(v => canon(v) == "object" && !v.has(f)))
+        out += s"missing:$at.$f"
+    }
+    rn.props.foreach { case (f, sub) =>
+      if (rn.required.contains(f) &&
+        any(v => canon(v) == "object" && !v.has(f)))
+        out += s"missing:$at.$f"
+      out ++= itemTags(arr, base, steps :+ f, sub)
+    }
+    rn.items.foreach(sub => out ++= itemTags(arr, base, steps :+ "[]", sub))
+    out.result()
+  }
+
+  /** the reference verdict: the full ordered violations string. */
+  private def referenceViolations(raw: String, schemaSc: JsonNode): String = {
+    val parsed: Option[JsonNode] =
+      if (raw == null) None
+      else try Some(mapper.readTree(raw)) catch { case _: Exception => None }
+    parsed match {
+      case None => "malformed"
+      case Some(root) =>
+        val rootRn = RefNode(schemaSc)
+        val out = Seq.newBuilder[String]
+        rootRn.typ.foreach(t =>
+          if (!typeMatches(canon(root), t)) out += "type:$")
+        out ++= valueTags(root, rootRn, "$")
+        rootRn.items.foreach(sub =>
+          if (canon(root) == "array") out ++= itemTags(root, "$[]", Nil, sub))
+        def walk(sc: JsonNode, path: Seq[String], tag: String,
+                 guarded: Boolean): Unit = {
+          val rn = RefNode(sc)
+          val propNames = rn.props.map(_._1).toSet
+          rn.required.filterNot(propNames).sorted.foreach { f =>
+            if (guarded && nodeAt(root, path :+ f).isEmpty)
+              out += s"missing:$tag.$f"
+          }
+          rn.props.foreach { case (name, sub) =>
+            val cp = path :+ name
+            val ct = s"$tag.$name"
+            val node = if (guarded) nodeAt(root, cp) else None
+            val subRn = RefNode(sub)
+            if (rn.required.contains(name) && guarded && node.isEmpty)
+              out += s"missing:$ct"
+            node.foreach { v =>
+              subRn.typ.foreach(t =>
+                if (!typeMatches(canon(v), t)) out += s"type:$ct")
+              out ++= valueTags(v, subRn, ct)
+              subRn.items.foreach(sub2 =>
+                if (canon(v) == "array") out ++= itemTags(v, ct + "[]", Nil, sub2))
+            }
+            // absent nodes still walk (the gate's checks are per-path
+            // Columns; an absent subtree just makes each one skip) —
+            // EXCEPT that deeper guards require this node to be a
+            // runtime object
+            if (subRn.props.nonEmpty || subRn.required.nonEmpty)
+              walk(sub, cp, ct,
+                guarded && node.exists(v => canon(v) == "object"))
+          }
+        }
+        // item-level checks fire only when the top node IS array-typed;
+        // the guard convention for property walks: the root guard exists
+        // only when the root DECLARES object
+        val rootGuard =
+          !rootRn.typ.contains("object") || canon(root) == "object"
+        walk(schemaSc, Nil, "$", rootGuard)
+        out.result().mkString(",")
+    }
+  }
+
+  // -------------------------- generators ---------------------------
+
+  private val rnd = new scala.util.Random(20260816L)
+  private val names = Vector("a", "b", "c", "d", "e")
+  private val patterns = Vector("^a", "[0-9]+$", "b.c", "^[ab]{1,3}$")
+  private val strPool = Vector("", "a", "ab", "abc", "Ab1", "𝒳y",
+    "xyz0", "bac", "a1b2c3")
+  private val intPool = Vector(-3L, 0L, 1L, 2L, 3L, 10L, 15L)
+  private val dblPool = Vector(0.5, 2.0, -1.25, 3.0, 2.5)
+
+  private def pick[T](v: Vector[T]): T = v(rnd.nextInt(v.size))
+
+  private def genSchema(depth: Int): ObjectNode = {
+    val sc = mapper.createObjectNode()
+    val t = pick(if (depth > 0)
+      Vector("object", "array", "string", "integer", "number", "boolean")
+    else Vector("string", "integer", "number", "boolean"))
+    sc.put("type", t)
+    t match {
+      case "object" =>
+        val props = sc.putObject("properties")
+        val used = rnd.shuffle(names).take(1 + rnd.nextInt(3))
+        used.foreach(f => props.set[JsonNode](f, genSchema(depth - 1)))
+        if (rnd.nextBoolean()) {
+          val req = sc.putArray("required")
+          used.filter(_ => rnd.nextBoolean()).foreach(req.add)
+          if (rnd.nextInt(4) == 0) req.add("zz") // required w/o properties
+        }
+      case "array" =>
+        sc.set[JsonNode]("items", genSchema(depth - 1))
+        if (rnd.nextBoolean()) sc.put("minItems", rnd.nextInt(3))
+        if (rnd.nextBoolean()) sc.put("maxItems", 1 + rnd.nextInt(3))
+      case "string" =>
+        if (rnd.nextBoolean()) sc.put("minLength", rnd.nextInt(3))
+        if (rnd.nextBoolean()) sc.put("maxLength", 1 + rnd.nextInt(5))
+        if (rnd.nextInt(3) == 0) sc.put("pattern", pick(patterns))
+        if (rnd.nextInt(4) == 0) {
+          val e = sc.putArray("enum"); e.add("ab"); e.add("abc"); e.add(2L)
+        } else if (rnd.nextInt(6) == 0) sc.put("const", "ab")
+      case "integer" | "number" =>
+        if (rnd.nextBoolean()) sc.put("minimum", intPool(rnd.nextInt(4)))
+        if (rnd.nextBoolean()) sc.put("maximum", 3L + rnd.nextInt(12))
+        if (rnd.nextInt(3) == 0) sc.put("exclusiveMinimum", 0L)
+        if (rnd.nextInt(3) == 0) sc.put("exclusiveMaximum", 10L)
+        if (rnd.nextInt(3) == 0)
+          sc.put("multipleOf", pick(Vector(1.0, 2.0, 0.5, 3.0)))
+        if (rnd.nextInt(5) == 0) {
+          val e = sc.putArray("enum"); e.add(1L); e.add(2L); e.add(0.5)
+        }
+      case "boolean" =>
+        if (rnd.nextInt(4) == 0) sc.put("const", true)
+    }
+    sc
+  }
+
+  /** a value loosely guided by the schema: mostly on-type (value checks
+    * still fire), sometimes off-type / JSON null / absent fields.
+    */
+  private def genValue(sc: JsonNode, depth: Int): JsonNode = {
+    val declared = Option(sc.get("type")).map(_.asText()).getOrElse("string")
+    val t = if (rnd.nextInt(5) == 0)
+      pick(Vector("object", "array", "string", "integer", "number",
+        "boolean", "null"))
+    else declared
+    t match {
+      case "null" => mapper.nullNode()
+      case "object" =>
+        val o = mapper.createObjectNode()
+        val props = Option(sc.get("properties"))
+        props.foreach { p =>
+          val it = p.fieldNames()
+          while (it.hasNext) {
+            val f = it.next()
+            if (rnd.nextInt(4) != 0) // 25% absent
+              o.set[JsonNode](f, genValue(p.get(f), depth - 1))
+          }
+        }
+        if (rnd.nextInt(3) == 0) o.put("extra", 1L)
+        o
+      case "array" =>
+        val a = mapper.createArrayNode()
+        val itemSc = Option(sc.get("items"))
+          .getOrElse(mapper.createObjectNode())
+        (0 until rnd.nextInt(4)).foreach(_ =>
+          a.add(if (depth > 0) genValue(itemSc, depth - 1)
+          else mapper.getNodeFactory.numberNode(pick(intPool))))
+        a
+      case "string"  => mapper.getNodeFactory.textNode(pick(strPool))
+      case "integer" => mapper.getNodeFactory.numberNode(pick(intPool))
+      case "number" =>
+        if (rnd.nextBoolean()) mapper.getNodeFactory.numberNode(pick(dblPool))
+        else mapper.getNodeFactory.numberNode(pick(intPool))
+      case _ => mapper.getNodeFactory.booleanNode(rnd.nextBoolean())
+    }
+  }
+
+  // ----------------------------- test ------------------------------
+
+  test("gate verdicts match an independent Jackson reference over " +
+       "randomized schemas x messages (30 schemas x 24 messages)") {
+    var schemas = 0
+    while (schemas < 30) {
+      val sc = mapper.createObjectNode()
+      sc.put("type", "object")
+      val props = sc.putObject("properties")
+      rnd.shuffle(names).take(1 + rnd.nextInt(3))
+        .foreach(f => props.set[JsonNode](f, genSchema(2)))
+      if (rnd.nextBoolean()) {
+        val req = sc.putArray("required")
+        val it = props.fieldNames()
+        while (it.hasNext) { val f = it.next(); if (rnd.nextBoolean()) req.add(f) }
+      }
+      val schemaJson = mapper.writeValueAsString(sc)
+      val msgs: Seq[(Long, String)] = (0 until 24).map { i =>
+        val raw =
+          if (i == 0) "{broken"
+          else if (i == 1) null
+          else mapper.writeValueAsString(genValue(sc, 3))
+        (i.toLong, raw)
+      }
+      val got = JsonSchemaGate.validate(msgs.toDF("id", "raw"), "raw",
+          schemaJson, parsedCol = None)
+        .select("id", "violations").as[(Long, String)].collect().toMap
+      msgs.foreach { case (i, raw) =>
+        val want = referenceViolations(raw, sc)
+        assert(got(i) == want,
+          s"schema=$schemaJson\nraw=$raw\ngate='${got(i)}'\nref ='$want'")
+      }
+      schemas += 1
+    }
+  }
+}
