@@ -385,12 +385,18 @@ object SparkEntry {
     * enum-violating type + a STRING priority + an EMPTY items array
     * (`minitems:$.items`) / missing required value + a `name` that
     * fails the r13 `pattern`), with every 7th message malformed
-    * outright.
+    * outright. The valid shape's first tag is the ASTRAL-bearing string
+    * 𝒳abcdefg (8 code points — exactly the items maxLength boundary;
+    * spelled as JSON \u escapes so the fixture file itself is
+    * locale-proof): valid under correct UTF-8 handling, 11 "chars"
+    * under the ASCII-locale variant mangling r13 found and fixed
+    * (build.sbt file.encoding) — a locale regression now FAILS the
+    * driver's DuckDB gate instead of lurking.
     */
   private val jsonSynthSql: String =
     """CASE WHEN event_id % 7 = 0 THEN '{broken'
       | ELSE CASE CAST(event_id % 5 AS INT)
-      |  WHEN 0 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["a", "b"], "priority": 2, "items": [{"sku": 5, "qty": 2, "lot": 1, "dims": [1, 2], "meta": {"w": 1.5}}]}'
+      |  WHEN 0 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["\ud835\udcb3abcdefg", "b"], "priority": 2, "items": [{"sku": 5, "qty": 2, "lot": 1, "dims": [1, 2], "meta": {"w": 1.5}}]}'
       |  WHEN 1 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "' || event_type || '", "value": "' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '", "tags": ["ok", 3], "priority": 9, "items": [{"sku": "x", "qty": 1, "lot": 2, "dims": [9, -2, "x"], "meta": {"w": "heavy"}}]}'
       |  WHEN 2 THEN '{"user": {"name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "items": [{"qty": 0, "meta": {}}]}'
       |  WHEN 3 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "badtype", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "priority": "high", "items": []}'
