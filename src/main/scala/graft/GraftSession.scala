@@ -73,10 +73,18 @@ object GraftSession {
     // with ~40 streaming queries per bench run these two were the entire
     // WARN tail of the archived artifact. Benign and unactionable by
     // construction, so both are raised to ERROR alongside FileStreamSink.
+    // WindowExec WARNs "No Partition Defined for Window" on every task of
+    // the DOCUMENTED global-window oracle-parity paths (Ops.batch/pack's
+    // single-partition global forms); the scale paths are keyed and never
+    // hit it, so the per-task spam carries no information either.
     try Seq(
       "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
       "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream",
-      "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution"
+      "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
+      // the message lives in WindowExecBase but Spark's Logging names the
+      // logger after the CONCRETE class — cover both spellings
+      "org.apache.spark.sql.execution.window.WindowExec",
+      "org.apache.spark.sql.execution.window.WindowExecBase"
     ).foreach(l => org.apache.logging.log4j.core.config.Configurator.setLevel(
       l, org.apache.logging.log4j.Level.ERROR))
     catch { case _: Throwable => () } // a non-log4j2 binding: skip, cosmetic

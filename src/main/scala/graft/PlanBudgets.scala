@@ -8,8 +8,8 @@ import org.apache.spark.sql.SparkSession
   * `src/test/resources/exchange_budgets.tsv` — the committed data behind
   * PlanBudgetSpec's regression gate (r13). plans/PLANS.md records the
   * full plans for human audit; this file is the machine-checked budget:
-  * a plan change that adds (or silently drops) an exchange on ANY of the
-  * 221 queries fails `sbt test` instead of waiting for the next round's
+  * a plan change that adds (or silently drops) an exchange on ANY
+  * SparkEntry query fails `sbt test` instead of waiting for the next round's
   * bench read (the r12 CodegenFallback incident was caught by a human
   * reading PLANS.md — this closes that gap for exchanges).
   *

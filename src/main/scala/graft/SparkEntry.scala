@@ -32,6 +32,49 @@ object SparkEntry {
   /** DECIMAL(18,2) accumulator cast — the exact-money-math workhorse. */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** q_bucketed_join's Hive-bucketed layout: written ONCE per
+    * (session, sf-dir) per JVM into one fixed shutdown-hook-deleted temp
+    * base (r13 ADVICE — a fresh temp dir per invocation leaked disk
+    * across repeated bench/spec runs and relocated the catalog tables via
+    * overwrite each time). Memoization is keyed by both the session (the
+    * catalog the tables live in) and the data dir (a different SF must
+    * rewrite). Returns the on-disk base; the `graft_bkt_*` tables point
+    * into it.
+    */
+  // keyed by session alone, remembering the dir: the catalog names are
+  // session-global, so a SECOND sf-dir in the same session must rewrite
+  // (tables re-point) rather than serve the stale memo
+  private val bucketedBases =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (String, String)]()
+  private lazy val bucketedTmpRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_bucket")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+      } catch { case _: Throwable => () }))
+    p
+  }
+  private def bucketedFixture(s: SparkSession, dir: String): String =
+    bucketedBases.synchronized {
+      Option(bucketedBases.get(s)).filter(_._1 == dir).map(_._2).getOrElse {
+        val base = java.nio.file.Files
+          .createTempDirectory(bucketedTmpRoot, "sf").toString
+        Sinks.writeBucketed(
+          T(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          "graft_bkt_orders", s"$base/orders", Seq("o_orderkey"), buckets = 8,
+          sortCols = Seq("o_orderkey"))
+        Sinks.writeBucketed(
+          T(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+          "graft_bkt_lineitem", s"$base/lineitem", Seq("l_orderkey"),
+          buckets = 8, sortCols = Seq("l_orderkey"))
+        bucketedBases.put(s, (dir, base))
+        base
+      }
+    }
+
   /** Seed a file-based embedded Derby database on the DRIVER from a
     * fixture frame, shut it down cleanly, and archive it into a jar —
     * returning the `jdbc:derby:jar:(path)db` URL + driver option map.
@@ -385,7 +428,10 @@ object SparkEntry {
     * enum-violating type + a STRING priority + an EMPTY items array
     * (`minitems:$.items`) / missing required value + a `name` that
     * fails the r13 `pattern`), with every 7th message malformed
-    * outright. The valid shape's first tag is the ASTRAL-bearing string
+    * outright. r14 `additionalProperties: false` coverage at all three
+    * depths: shape 1's `meta.unit` (array-element depth,
+    * `extra:$.items[].meta`), shape 2's `user.role` (nested,
+    * `extra:$.user`), shape 4's root `debug` (`extra:$`). The valid shape's first tag is the ASTRAL-bearing string
     * 𝒳abcdefg (8 code points — exactly the items maxLength boundary;
     * spelled as JSON \u escapes so the fixture file itself is
     * locale-proof): valid under correct UTF-8 handling, 11 "chars"
@@ -397,10 +443,10 @@ object SparkEntry {
     """CASE WHEN event_id % 7 = 0 THEN '{broken'
       | ELSE CASE CAST(event_id % 5 AS INT)
       |  WHEN 0 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["\ud835\udcb3abcdefg", "b"], "priority": 2, "items": [{"sku": 5, "qty": 2, "lot": 1, "dims": [1, 2], "meta": {"w": 1.5}}]}'
-      |  WHEN 1 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "' || event_type || '", "value": "' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '", "tags": ["ok", 3], "priority": 9, "items": [{"sku": "x", "qty": 1, "lot": 2, "dims": [9, -2, "x"], "meta": {"w": "heavy"}}]}'
-      |  WHEN 2 THEN '{"user": {"name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "items": [{"qty": 0, "meta": {}}]}'
+      |  WHEN 1 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "' || event_type || '", "value": "' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '", "tags": ["ok", 3], "priority": 9, "items": [{"sku": "x", "qty": 1, "lot": 2, "dims": [9, -2, "x"], "meta": {"w": "heavy", "unit": "kg"}}]}'
+      |  WHEN 2 THEN '{"user": {"name": "u' || CAST(user_id AS STRING) || '", "role": "admin"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "items": [{"qty": 0, "meta": {}}]}'
       |  WHEN 3 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "badtype", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "priority": "high", "items": []}'
-      |  ELSE '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "v' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '"}'
+      |  ELSE '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "v' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "debug": true}'
       | END END""".stripMargin.replace("\n", " ")
 
   /** The q_json_schema demo schema (types + required + enum — incl. the
@@ -411,12 +457,15 @@ object SparkEntry {
     * maxItems), two-level element objects (`meta.w`), element-field
     * bounds (`qty` minimum), a properties-less required (`lot`), and
     * the r13 `pattern` on user.name — the supported subset exercised
-    * end to end).
+    * end to end). r14: `additionalProperties: false` closes the root,
+    * the nested `user`, and the array-element `meta` objects.
     */
   private val jsonSchemaDemo: String =
     """{"type": "object", "required": ["user", "type", "value"],
+      | "additionalProperties": false,
       | "properties": {
       |  "user": {"type": "object", "required": ["id"],
+      |           "additionalProperties": false,
       |           "properties": {"id": {"type": "integer", "minimum": 0},
       |                          "name": {"type": "string", "minLength": 1,
       |                                   "maxLength": 64,
@@ -437,6 +486,7 @@ object SparkEntry {
       |                                 "items": {"type": "integer",
       |                                           "minimum": 0}},
       |                        "meta": {"type": "object", "required": ["w"],
+      |                                 "additionalProperties": false,
       |                                 "properties": {
       |                                   "w": {"type": "number"}}}}}}}}""".stripMargin
 
@@ -520,10 +570,16 @@ object SparkEntry {
         expr(jsonSynthSql).as("raw"))
       val base = java.nio.file.Files.createTempDirectory("graft_stream_js").toString
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
-      msgs.repartition(2).write.mode("overwrite").parquet(inDir)
+      // 8 files drained 4 per trigger: the same 2-micro-batch cadence as
+      // before, but each batch's validate runs over FOUR file splits —
+      // the engine's parallel shape (a real crawl batch is many files),
+      // not a 1-file-per-batch fixture artifact (r14; the stateless-
+      // projection law means any split appends the same rows, so the
+      // oracle is untouched)
+      msgs.repartition(8).write.mode("overwrite").parquet(inDir)
       val stream = graft.streaming.Streams.watchDirectory(s, inDir,
         format = "parquet", schemaDdl = Some(msgs.schema.toDDL),
-        maxFilesPerTrigger = 1)
+        maxFilesPerTrigger = 4)
       val run = graft.streaming.Streams.toForeachBatch(stream, ckpt,
         availableNow = true) { (batch, id) =>
         if (!batch.isEmpty)
@@ -672,15 +728,11 @@ object SparkEntry {
     // per run into one bucketed write per ingest. Correctness never
     // depends on the layout — the oracle is the plain join
     "q_bucketed_join" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_bucket").toString
-      Sinks.writeBucketed(
-        T(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
-        "graft_bkt_orders", s"$base/orders", Seq("o_orderkey"), buckets = 8,
-        sortCols = Seq("o_orderkey"))
-      Sinks.writeBucketed(
-        T(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
-        "graft_bkt_lineitem", s"$base/lineitem", Seq("l_orderkey"), buckets = 8,
-        sortCols = Seq("l_orderkey"))
+      // one fixed per-JVM temp base (shutdown-hook-deleted) and ONE write
+      // per (session, sf-dir): repeated invocations in one JVM — bench
+      // iterations, spec re-runs — reuse the layout instead of accumulating
+      // a fresh temp dir + catalog relocation each time (r13 ADVICE)
+      bucketedFixture(s, dir)
       val o = s.table("graft_bkt_orders")
       val l = s.table("graft_bkt_lineitem")
       // MERGE hint: pin the sort-merge join the planner picks when both

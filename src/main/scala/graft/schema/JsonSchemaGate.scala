@@ -35,10 +35,19 @@ import scala.jdk.CollectionConverters._
   * over the extracted array ≡ DuckDB `json_array_length`, fired only on
   * array-typed nodes as `minitems:`/`maxitems:$.p`),
   * `pattern` (r13: regex PARTIAL match on string-typed nodes — Spark
-  * RLIKE ≡ DuckDB `regexp_matches`, both Java-`find()` semantics;
-  * compile rejects backreferences and lookaround, the constructs where
-  * the two engines' regex dialects diverge, and pre-compiles the pattern
-  * so a syntax error aborts at plan time),
+  * RLIKE ≡ DuckDB `regexp_matches`; compile rejects backreferences,
+  * lookaround, and r14 `\Z` + possessive quantifiers — the constructs
+  * where the two engines' regex dialects diverge — and pre-compiles the
+  * pattern so a syntax error aborts at plan time; r14: an unescaped `$`
+  * anchors END OF TEXT on both engines — the Spark-side pattern rewrites
+  * it to Java's `\z`, because Java's default `$` also matches before a
+  * final line terminator where RE2's does not, see [[javaPatternForm]]),
+  * r14 `additionalProperties` (BOOLEAN form only: `false` closes the
+  * object — a runtime key outside the declared `properties` set fires
+  * `extra:$.path`, one static tag per closed object (fragments are
+  * compile-time literals on both engines, so the tag names the object
+  * path, not the offending key); `true` is the default open object; the
+  * schema form aborts),
   * nested `properties` to any depth, and `items` with PER-ELEMENT
   * validation to ANY DEPTH (r12 flat, r13 FULL RECURSION): every
   * schema node reachable from an array element — through nested object
@@ -108,7 +117,11 @@ object JsonSchemaGate {
   private final case class EDbl(v: Double) extends EnumVal
   private final case class EBool(v: Boolean) extends EnumVal
 
-  /** One node of the compiled schema tree. */
+  /** One node of the compiled schema tree. `closed` is
+    * `additionalProperties: false` (r14): an object-typed runtime node
+    * at this path may carry no key outside the declared `properties`
+    * set.
+    */
   private case class Node(typ: Option[String], enumVals: Seq[EnumVal],
                           required: Set[String], props: Seq[(String, Node)],
                           items: Option[Node],
@@ -121,7 +134,8 @@ object JsonSchemaGate {
                           maxLength: Option[Int] = None,
                           minItems: Option[Int] = None,
                           maxItems: Option[Int] = None,
-                          pattern: Option[String] = None)
+                          pattern: Option[String] = None,
+                          closed: Boolean = false)
 
   /** keywords this gate VALIDATES, plus JSON-Schema annotations that
     * carry no validation semantics (ignoring them is not a silent
@@ -134,7 +148,7 @@ object JsonSchemaGate {
     "type", "enum", "const", "required", "properties", "items",
     "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
     "multipleOf", "minLength", "maxLength",
-    "minItems", "maxItems", "pattern",
+    "minItems", "maxItems", "pattern", "additionalProperties",
     // no-validation annotations — `format` is annotation-only in JSON
     // Schema 2020-12 unless a dialect opts into format-assertion, which
     // this gate does not claim
@@ -150,8 +164,27 @@ object JsonSchemaGate {
       require(knownKeywords(k),
         s"unsupported JSON-Schema keyword: $k (the gate validates " +
           "type/enum/required/properties/items/minimum/maximum/" +
-          "minLength/maxLength/minItems/maxItems/pattern; a keyword it " +
-          "cannot enforce must abort rather than silently no-op)")
+          "minLength/maxLength/minItems/maxItems/pattern/" +
+          "additionalProperties; a keyword it cannot enforce must abort " +
+          "rather than silently no-op)")
+    }
+    // keyword ARGUMENT nodes are type-checked before coercion (r14 —
+    // Jackson's asDouble()/asInt()/asText() coerce silently: a draft-4
+    // boolean `"exclusiveMinimum": true` would compile to the numeric
+    // bound 1.0, `"minLength": 2.7` would truncate to 2, `"pattern": 5`
+    // would become the regex "5" — each a silent misvalidation, the
+    // exact failure mode the unrecognized-keyword abort exists to close)
+    def numKw(kw: String): Option[Double] = Option(n.get(kw)).map { v =>
+      require(v.isNumber,
+        s"$kw must be a JSON number, got: $v (a draft-4 boolean " +
+          "exclusiveMinimum/Maximum form is out of the supported subset)")
+      v.asDouble()
+    }
+    def intKw(kw: String): Option[Int] = Option(n.get(kw)).map { v =>
+      require(v.isIntegralNumber && v.canConvertToInt,
+        s"$kw must be a JSON non-negative integer, got: $v")
+      require(v.asInt() >= 0, s"$kw must be non-negative, got: $v")
+      v.asInt()
     }
     val typ = Option(n.get("type")).map { t =>
       // a UNION type ("type": ["string", "null"]) must not fold to
@@ -182,10 +215,17 @@ object JsonSchemaGate {
     // and aborts
     require(!(n.has("enum") && n.has("const")),
       "a schema node declaring BOTH enum and const is ambiguous")
+    Option(n.get("enum")).foreach(e => require(e.isArray,
+      s"enum must be a JSON array, got: $e"))
     val enumVals: Seq[EnumVal] =
       Option(n.get("enum")).toSeq.flatMap(_.elements().asScala)
         .map(literal(_, "enum")) ++
         Option(n.get("const")).map(literal(_, "const"))
+    Option(n.get("required")).foreach { r =>
+      require(r.isArray, s"required must be a JSON array, got: $r")
+      r.elements().asScala.foreach(e => require(e.isTextual,
+        s"required names must be strings, got: $e"))
+    }
     val req = Option(n.get("required")).toSeq
       .flatMap(_.elements().asScala).map(_.asText()).toSet
     // names interpolate into JSON paths on BOTH engines — a
@@ -204,33 +244,100 @@ object JsonSchemaGate {
       }
     }
     val items = Option(n.get("items")).map(compile)
-    val pat = Option(n.get("pattern")).map(_.asText())
-    pat.foreach { p =>
-      // both engines do partial-match regex, but Java (Spark RLIKE) and
-      // RE2 (DuckDB regexp_matches) diverge on backreferences and
-      // lookaround — reject the divergent constructs LOUDLY rather than
-      // let the two engines disagree row by row; then pre-compile so a
-      // syntax error aborts at plan time, not per-row
-      require(!p.matches("""(?s).*\\\d.*""") &&
-        !Seq("(?=", "(?!", "(?<").exists(p.contains),
-        s"pattern '$p': backreferences/lookaround are outside the " +
-          "shared Java~RE2 regex subset")
-      java.util.regex.Pattern.compile(p)
+    val pat = Option(n.get("pattern")).map { v =>
+      require(v.isTextual, s"pattern must be a JSON string, got: $v")
+      val p = v.asText()
+      // dialect scan + the `$` normalization happen ONCE at compile —
+      // a rejected construct or a syntax error aborts at plan time, not
+      // per-row (javaPatternForm pre-compiles the Java form)
+      javaPatternForm(p)
+      p
     }
-    val mof = Option(n.get("multipleOf")).map(_.asDouble())
+    val mof = numKw("multipleOf")
     mof.foreach(m => require(m > 0,
       s"multipleOf must be strictly positive, got $m"))
+    // additionalProperties (r14): ONLY the boolean form is in subset —
+    // `false` closes the object (no runtime key outside the declared
+    // `properties` set), `true` is the default open object (a no-op,
+    // admitted); the SCHEMA form (`additionalProperties: {…}` = validate
+    // extra values against a subschema) aborts loudly
+    val closed = Option(n.get("additionalProperties")).exists { v =>
+      require(v.isBoolean,
+        "additionalProperties must be a boolean in the supported subset " +
+          s"(the schema form is out of subset), got: $v")
+      !v.asBoolean()
+    }
     Node(typ, enumVals, req, props, items,
-      minimum = Option(n.get("minimum")).map(_.asDouble()),
-      maximum = Option(n.get("maximum")).map(_.asDouble()),
-      exclusiveMinimum = Option(n.get("exclusiveMinimum")).map(_.asDouble()),
-      exclusiveMaximum = Option(n.get("exclusiveMaximum")).map(_.asDouble()),
+      minimum = numKw("minimum"),
+      maximum = numKw("maximum"),
+      exclusiveMinimum = numKw("exclusiveMinimum"),
+      exclusiveMaximum = numKw("exclusiveMaximum"),
       multipleOf = mof,
-      minLength = Option(n.get("minLength")).map(_.asInt()),
-      maxLength = Option(n.get("maxLength")).map(_.asInt()),
-      minItems = Option(n.get("minItems")).map(_.asInt()),
-      maxItems = Option(n.get("maxItems")).map(_.asInt()),
-      pattern = pat)
+      minLength = intKw("minLength"),
+      maxLength = intKw("maxLength"),
+      minItems = intKw("minItems"),
+      maxItems = intKw("maxItems"),
+      pattern = pat,
+      closed = closed)
+  }
+
+  /** Scan a `pattern` for constructs outside the shared Java~RE2 regex
+    * dialect (abort loudly) and return the JAVA-side form with every
+    * unescaped `$` OUTSIDE character classes rewritten to `\z` — Java's
+    * default `$` also matches before a FINAL line terminator while RE2
+    * (DuckDB `regexp_matches`) anchors `$` to end-of-text, so a subject
+    * ending in "\n" would get different verdicts; after the rewrite both
+    * engines give `$` the RE2 end-of-TEXT semantics (`[$]` stays a
+    * literal dollar on both). Rejected: backreferences and lookaround
+    * (r13), and r14: `\Z` (Java-only — RE2 has no `\Z`; `\z` works on
+    * both) and possessive quantifiers (`a*+`, Java-only — a LITERAL
+    * `+ * ? }` followed by `+` must be escaped to pass the scan; the
+    * reluctant forms `a+?` etc. are fine on both). The returned form is
+    * pre-compiled so a syntax error aborts at plan time; the DuckDB
+    * replay keeps the ORIGINAL pattern (RE2 `$` already means
+    * end-of-text).
+    */
+  private[schema] def javaPatternForm(p: String): String = {
+    val sb = new StringBuilder
+    var i = 0; var inClass = false; var prevQuant = false
+    while (i < p.length) {
+      val ch = p.charAt(i)
+      if (ch == '\\' && i + 1 < p.length) {
+        val nxt = p.charAt(i + 1)
+        require(!nxt.isDigit,
+          s"pattern '$p': backreferences are outside the shared Java~RE2 " +
+            "regex subset")
+        require(nxt != 'Z',
+          s"pattern '$p': \\Z is Java-only (RE2 has no \\Z) — use \\z " +
+            "(end of text on both engines)")
+        sb.append(ch).append(nxt); i += 2; prevQuant = false
+      } else {
+        if (inClass) {
+          if (ch == ']') inClass = false
+          sb.append(ch)
+        } else ch match {
+          case '[' => inClass = true; sb.append(ch); prevQuant = false
+          case '(' =>
+            require(!(p.startsWith("(?=", i) || p.startsWith("(?!", i) ||
+              p.startsWith("(?<", i)),
+              s"pattern '$p': lookaround is outside the shared Java~RE2 " +
+                "regex subset")
+            sb.append(ch); prevQuant = false
+          case '$' => sb.append("\\z"); prevQuant = false
+          case '+' if prevQuant =>
+            throw new IllegalArgumentException(
+              s"pattern '$p': possessive quantifiers are Java-only " +
+                "(outside the shared Java~RE2 regex subset; escape a " +
+                "literal '+' that follows a quantifier character)")
+          case c @ ('*' | '+' | '?' | '}') => sb.append(c); prevQuant = true
+          case c => sb.append(c); prevQuant = false
+        }
+        i += 1
+      }
+    }
+    val out = sb.toString
+    java.util.regex.Pattern.compile(out)
+    out
   }
 
   private def parseSchema(schemaJson: String): Node =
@@ -272,10 +379,22 @@ object JsonSchemaGate {
                               guards: Seq[String]) extends Check
   /** regex `pattern` on a string-typed node (r13): Spark RLIKE ≡ DuckDB
     * `regexp_matches` — both PARTIAL-match; compile rejected the
-    * dialect-divergent constructs.
+    * dialect-divergent constructs. `regex` is the ORIGINAL pattern; the
+    * Spark side applies [[javaPatternForm]]'s `$`→`\z` normalization,
+    * the DuckDB side uses it as-is (RE2 semantics are the shared ones).
     */
   private case class PatternCheck(path: String, regex: String,
                                   guards: Seq[String]) extends Check
+  /** `additionalProperties: false` (r14): fires when the node at `path`
+    * IS an object and carries a key outside the declared `keys` set.
+    * The tag names the object path (`extra:$path`), not the offending
+    * key — every fragment in the violations string is a STATIC
+    * compile-time literal on both engines (the concat_ws single-sourcing
+    * contract), and one tag per closed object matches how every other
+    * check reports (enum: doesn't name the bad value either).
+    */
+  private case class ExtraKeys(path: String, keys: Seq[String],
+                               guards: Seq[String]) extends Check
   /** per-ELEMENT checks over an `items`-typed array at `path` (r12 flat,
     * r13 recursive): fire only when the node IS array-typed (a non-array
     * already reports `type:$path`). `steps` walks from each element —
@@ -292,7 +411,8 @@ object JsonSchemaGate {
                                 bound: Double,
                                 guards: Seq[String],
                                 field: String = "",
-                                pattern: String = "") extends Check
+                                pattern: String = "",
+                                keys: Seq[String] = Nil) extends Check
 
   private def checksOf(root: Node): Seq[Check] = {
     val out = Seq.newBuilder[Check]
@@ -324,6 +444,9 @@ object JsonSchemaGate {
         out += ItemsCheck(cp, steps, "minitems", "", Nil, b.toDouble, guards))
       n.maxItems.foreach(b =>
         out += ItemsCheck(cp, steps, "maxitems", "", Nil, b.toDouble, guards))
+      if (n.closed)
+        out += ItemsCheck(cp, steps, "extra", "", Nil, 0, guards,
+          keys = n.props.map(_._1))
       // required names WITHOUT a properties entry still fire (r13), in
       // sorted order for a deterministic fragment list
       (n.required -- n.props.map(_._1)).toSeq.sorted.foreach(f =>
@@ -353,6 +476,8 @@ object JsonSchemaGate {
         child.pattern.foreach(p => out += PatternCheck(cp, p, guards))
         child.minItems.foreach(b => out += ArrBound(cp, "minitems", b, guards))
         child.maxItems.foreach(b => out += ArrBound(cp, "maxitems", b, guards))
+        if (child.closed)
+          out += ExtraKeys(cp, child.props.map(_._1), guards)
         child.items.foreach(it => elemWalk(cp, Nil, it, guards))
         if (child.props.nonEmpty || child.required.nonEmpty)
           walk(child, cp, guards :+ cp)
@@ -372,6 +497,7 @@ object JsonSchemaGate {
     root.pattern.foreach(p => out += PatternCheck("$", p, Nil))
     root.minItems.foreach(b => out += ArrBound("$", "minitems", b, Nil))
     root.maxItems.foreach(b => out += ArrBound("$", "maxitems", b, Nil))
+    if (root.closed) out += ExtraKeys("$", root.props.map(_._1), Nil)
     root.items.foreach(it => elemWalk("$", Nil, it, Nil))
     walk(root, "$", if (root.typ.contains("object")) Seq("$") else Nil)
     out.result()
@@ -524,7 +650,18 @@ object JsonSchemaGate {
             (if (op == "minitems") n < lit(b) else n > lit(b)))
         case c @ PatternCheck(p, re, _) =>
           val v = expr(s"cast(try_variant_get($vcol, '$p') as string)")
-          guarded(c)(t(p) === "string" && !v.rlike(re))
+          guarded(c)(t(p) === "string" && !v.rlike(javaPatternForm(re)))
+        // additionalProperties: false (r14) — the same native walk, fed
+        // the single node wrapped in a one-element array (steps = Nil),
+        // so the key listing runs inside the fused codegen stage like
+        // every other check
+        case c @ ExtraKeys(p, ks, _) =>
+          import org.apache.spark.sql.graftglue.{ColumnBridge, VariantItemsViolates}
+          val node = expr(s"try_variant_get($vcol, '$p')")
+          val cond = ColumnBridge.column(VariantItemsViolates(
+            ColumnBridge.expression(array(node)), Nil, "extra", "",
+            Nil, Nil, Nil, Nil, 0, "", "", ks))
+          guarded(c)(t(p) === "object" && cond)
         // per-element checks: ONE native compiled walk per check over the
         // extracted array<variant> (graftglue.VariantItemsViolates),
         // guarded on the node being array-typed. A HOF spelling
@@ -534,7 +671,7 @@ object JsonSchemaGate {
         // (plans/FUSION.md's r6 lesson, re-learned r12); the native's
         // element classification folds the variant type tag to the same
         // canonical alphabet [[canonicalType]] reads via schema_of_variant
-        case c @ ItemsCheck(p, steps, kind, ty, vs, b, _, field, pat) =>
+        case c @ ItemsCheck(p, steps, kind, ty, vs, b, _, field, pat, ks) =>
           import org.apache.spark.sql.graftglue.{ColumnBridge, VariantItemsViolates}
           val cond = ColumnBridge.column(VariantItemsViolates(
             ColumnBridge.expression(col(arrCols(p))), steps, kind, ty,
@@ -542,7 +679,7 @@ object JsonSchemaGate {
             vs.collect { case EInt(i) => i },
             vs.collect { case EDbl(d) => d },
             vs.collect { case EBool(bv) => bv },
-            b, field, pat))
+            b, field, if (pat.isEmpty) pat else javaPatternForm(pat), ks))
           guarded(c)(t(p) === "array" && cond)
       }
     val withV = df.withColumn(vcol, expr(s"try_parse_json(`$jsonCol`)"))
@@ -574,7 +711,8 @@ object JsonSchemaGate {
     case LenBound(p, op, _, _) => s"$op:$p"
     case ArrBound(p, op, _, _) => s"$op:$p"
     case PatternCheck(p, _, _) => s"pattern:$p"
-    case ItemsCheck(p, steps, kind, _, _, _, _, field, _) =>
+    case ExtraKeys(p, _, _)    => s"extra:$p"
+    case ItemsCheck(p, steps, kind, _, _, _, _, field, _, _) =>
       val base = s"$p[]${stepSuffix(steps)}"
       kind match {
         case "missing" => s"missing:$base.$field"
@@ -686,7 +824,15 @@ object JsonSchemaGate {
             s"(${actual(p)} = 'array' AND json_array_length(TRY_CAST(($rawExpr) AS JSON), '$p') $cmp $b)"
           case PatternCheck(p, re, _) =>
             s"(${actual(p)} = 'string' AND NOT regexp_matches(json_extract_string(TRY_CAST(($rawExpr) AS JSON), '$p'), ${sqlStr(re)}))"
-          case ItemsCheck(p, steps, kind, t, vs, b, _, field, pat) =>
+          // additionalProperties: false (r14) — json_keys lists the
+          // object's keys; any key outside the declared set violates
+          // (an empty declared set means ANY key does)
+          case ExtraKeys(p, ks, _) =>
+            val keysArr = s"json_keys(TRY_CAST(($rawExpr) AS JSON), '$p')"
+            val extras = if (ks.isEmpty) keysArr
+              else s"list_filter($keysArr, xk -> xk NOT IN (${ks.map(sqlStr).mkString(", ")}))"
+            s"(${actual(p)} = 'object' AND len($extras) > 0)"
+          case ItemsCheck(p, steps, kind, t, vs, b, _, field, pat, ks) =>
             // the terminal check on the node at `rp` under `alias` — each
             // arm guarded on the node's checkable runtime type exactly as
             // the native walk is (foldAt is NULL for an absent node, so a
@@ -718,6 +864,11 @@ object JsonSchemaGate {
                   s"($fold = 'array' AND json_array_length($alias, '$rp') < ${b.toInt})"
                 case "maxitems" =>
                   s"($fold = 'array' AND json_array_length($alias, '$rp') > ${b.toInt})"
+                case "extra" =>
+                  val keysArr = s"json_keys($alias, '$rp')"
+                  val extras = if (ks.isEmpty) keysArr
+                    else s"list_filter($keysArr, xk -> xk NOT IN (${ks.map(sqlStr).mkString(", ")}))"
+                  s"($fold = 'object' AND len($extras) > 0)"
                 case "missing" =>
                   val fp = if (rp == "$") s"$$.$field" else s"$rp.$field"
                   s"($fold = 'object' AND json_type($alias, '$fp') IS NULL)"

@@ -65,6 +65,10 @@ import org.apache.spark.types.variant.{Variant, VariantUtil}
   *    `field` violates — a JSON-null field is PRESENT (its own type
   *    check's business), non-object nodes are their type check's
   *    business;
+  *  - `kind = "extra"` (r14, `additionalProperties: false`): any reached
+  *    OBJECT node carrying a key outside the declared `keys` set
+  *    violates (an empty declared set means any key does); non-objects
+  *    are their type check's business;
   *  - a JSON null node has canonical type "null" (violates any declared
   *    type, invisible to value checks and to further descent); a
   *    SQL-null element slot in the TOP array (not producible from
@@ -79,12 +83,13 @@ case class VariantItemsViolates(child: Expression, steps: Seq[String],
                                 enumLongs: Seq[Long], enumDoubles: Seq[Double],
                                 enumBools: Seq[Boolean],
                                 bound: Double, field: String,
-                                pattern: String)
+                                pattern: String,
+                                keys: Seq[String] = Nil)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(Seq("type", "enum", "min", "max", "xmin", "xmax", "multipleof",
     "minlen", "maxlen", "minitems", "maxitems", "missing",
-    "pattern").contains(kind),
+    "pattern", "extra").contains(kind),
     s"variant_items_violates: unknown kind '$kind'")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(VariantType))
@@ -98,6 +103,7 @@ case class VariantItemsViolates(child: Expression, steps: Seq[String],
   @transient private lazy val boolSet: Set[Boolean] = enumBools.toSet
   @transient private lazy val compiledPattern: java.util.regex.Pattern =
     java.util.regex.Pattern.compile(pattern)
+  @transient private lazy val keySet: Set[String] = keys.toSet
 
   /** canonical-alphabet fold of one node's variant type tag. */
   private def canon(v: Variant): String = v.getType match {
@@ -168,6 +174,20 @@ case class VariantItemsViolates(child: Expression, steps: Seq[String],
       case "minitems" => c == "array" && v.arraySize() < bound.toInt
       case "maxitems" => c == "array" && v.arraySize() > bound.toInt
       case "missing"  => c == "object" && v.getFieldByKey(field) == null
+      // additionalProperties: false (r14): any key outside the declared
+      // `keys` set on a reached OBJECT node; non-objects are their own
+      // type check's business
+      case "extra" =>
+        c == "object" && {
+          val n = v.objectSize()
+          var i = 0
+          var bad = false
+          while (!bad && i < n) {
+            bad = !keySet(v.getFieldAtIndex(i).key)
+            i += 1
+          }
+          bad
+        }
     }
   }
 

@@ -70,7 +70,25 @@ class JsonSchemaPropertySpec extends SparkSpec {
     def int(k: String): Option[Int] = Option(sc.get(k)).map(_.asInt())
     def str(k: String): Option[String] = Option(sc.get(k)).map(_.asText())
     def items: Option[JsonNode] = Option(sc.get("items"))
+    def closed: Boolean =
+      Option(sc.get("additionalProperties")).exists(v => !v.asBoolean())
   }
+
+  /** an object node carrying a key outside the declared set. */
+  private def hasExtraKey(v: JsonNode, declared: Set[String]): Boolean = {
+    val it = v.fieldNames()
+    var extra = false
+    while (!extra && it.hasNext) extra = !declared(it.next())
+    extra
+  }
+
+  /** the documented `$` semantics: end of TEXT on both engines — an
+    * independent spelling of the gate's normalization (the generator's
+    * pattern pool has no escaped/class dollars, so a plain replace is
+    * exact here).
+    */
+  private def compilePat(p: String): java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(p.replace("$", "\\z"))
 
   /** enum membership by TYPED bucket (the gate's documented rule). */
   private def enumViolates(v: JsonNode, members: Seq[JsonNode]): Boolean =
@@ -107,13 +125,14 @@ class JsonSchemaPropertySpec extends SparkSpec {
     rn.int("maxLength").foreach(b =>
       if (c == "string" && strLen(v) > b) out += s"maxlen:$at")
     rn.str("pattern").foreach(p =>
-      if (c == "string" &&
-        !java.util.regex.Pattern.compile(p).matcher(v.asText()).find())
+      if (c == "string" && !compilePat(p).matcher(v.asText()).find())
         out += s"pattern:$at")
     rn.int("minItems").foreach(b =>
       if (c == "array" && v.size() < b) out += s"minitems:$at")
     rn.int("maxItems").foreach(b =>
       if (c == "array" && v.size() > b) out += s"maxitems:$at")
+    if (rn.closed && c == "object" &&
+      hasExtraKey(v, rn.props.map(_._1).toSet)) out += s"extra:$at"
     out.result()
   }
 
@@ -159,12 +178,15 @@ class JsonSchemaPropertySpec extends SparkSpec {
     rn.int("maxLength").foreach(b =>
       if (any(v => canon(v) == "string" && strLen(v) > b)) out += s"maxlen:$at")
     rn.str("pattern").foreach(p =>
-      if (any(v => canon(v) == "string" && !java.util.regex.Pattern
-        .compile(p).matcher(v.asText()).find())) out += s"pattern:$at")
+      if (any(v => canon(v) == "string" &&
+        !compilePat(p).matcher(v.asText()).find())) out += s"pattern:$at")
     rn.int("minItems").foreach(b =>
       if (any(v => canon(v) == "array" && v.size < b)) out += s"minitems:$at")
     rn.int("maxItems").foreach(b =>
       if (any(v => canon(v) == "array" && v.size > b)) out += s"maxitems:$at")
+    if (rn.closed &&
+      any(v => canon(v) == "object" &&
+        hasExtraKey(v, rn.props.map(_._1).toSet))) out += s"extra:$at"
     val propNames = rn.props.map(_._1).toSet
     rn.required.filterNot(propNames).sorted.foreach { f =>
       if (any(v => canon(v) == "object" && !v.has(f)))
@@ -242,7 +264,7 @@ class JsonSchemaPropertySpec extends SparkSpec {
   private val names = Vector("a", "b", "c", "d", "e")
   private val patterns = Vector("^a", "[0-9]+$", "b.c", "^[ab]{1,3}$")
   private val strPool = Vector("", "a", "ab", "abc", "Ab1", "𝒳y",
-    "xyz0", "bac", "a1b2c3")
+    "xyz0", "bac", "a1b2c3", "a1\n") // trailing newline: the $-anchor case
   private val intPool = Vector(-3L, 0L, 1L, 2L, 3L, 10L, 15L)
   private val dblPool = Vector(0.5, 2.0, -1.25, 3.0, 2.5)
 
@@ -264,6 +286,10 @@ class JsonSchemaPropertySpec extends SparkSpec {
           used.filter(_ => rnd.nextBoolean()).foreach(req.add)
           if (rnd.nextInt(4) == 0) req.add("zz") // required w/o properties
         }
+        // r14: closed (false) and explicitly-open (true) objects — the
+        // generator's 1/3 "extra" key exercises both
+        if (rnd.nextInt(3) == 0)
+          sc.put("additionalProperties", rnd.nextBoolean())
       case "array" =>
         sc.set[JsonNode]("items", genSchema(depth - 1))
         if (rnd.nextBoolean()) sc.put("minItems", rnd.nextInt(3))
@@ -348,6 +374,8 @@ class JsonSchemaPropertySpec extends SparkSpec {
         val it = props.fieldNames()
         while (it.hasNext) { val f = it.next(); if (rnd.nextBoolean()) req.add(f) }
       }
+      if (rnd.nextInt(3) == 0)
+        sc.put("additionalProperties", rnd.nextBoolean())
       val schemaJson = mapper.writeValueAsString(sc)
       val msgs: Seq[(Long, String)] = (0 until 24).map { i =>
         val raw =

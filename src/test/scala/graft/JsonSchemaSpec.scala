@@ -351,7 +351,7 @@ class JsonSchemaSpec extends SparkSpec {
       Seq((1L, "{}")).toDF("id", "raw"), "raw", sc, parsedCol = None)
     val kw = intercept[IllegalArgumentException] { gate(
       """{"type": "object", "properties":
-        | {"a": {"type": "string"}}, "additionalProperties": false}""".stripMargin) }
+        | {"a": {"type": "string"}}, "oneOf": [{"type": "object"}]}""".stripMargin) }
     assert(kw.getMessage.contains("unsupported JSON-Schema keyword"))
     val bool = intercept[IllegalArgumentException] { gate(
       """{"type": "object", "properties": {"a": {"type": "array", "items": false}}}""") }
@@ -370,6 +370,119 @@ class JsonSchemaSpec extends SparkSpec {
       """{"type": "object", "properties":
         | {"a": {"enum": [18446744073709551615]}}}""".stripMargin) }
     assert(big.getMessage.contains("beyond int64"))
+  }
+
+  test("additionalProperties: false (r14) closes objects at the root, at " +
+       "nested paths, and at array-element depth; true is a no-op; the " +
+       "schema form aborts") {
+    val sc =
+      """{"type": "object", "additionalProperties": false,
+        | "properties": {
+        |  "user": {"type": "object", "additionalProperties": false,
+        |           "properties": {"id": {"type": "integer"}}},
+        |  "open": {"type": "object", "additionalProperties": true,
+        |           "properties": {"a": {"type": "string"}}},
+        |  "items": {"type": "array",
+        |            "items": {"type": "object",
+        |                      "additionalProperties": false,
+        |                      "properties": {
+        |                        "sku": {"type": "integer"},
+        |                        "meta": {"type": "object",
+        |                                 "additionalProperties": false,
+        |                                 "properties": {
+        |                                   "w": {"type": "number"}}}}}}}}"""
+        .stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"user": {"id": 1}, "open": {"a": "x", "zz": 1}, "items": [{"sku": 1, "meta": {"w": 2}}]}"""),
+        (2L, """{"user": {"id": 1}, "debug": true}"""),        // root extra
+        (3L, """{"user": {"id": 1, "role": "a"}}"""),          // nested extra
+        (4L, """{"items": [{"sku": 1}, {"sku": 2, "x": 1}]}"""), // element extra
+        (5L, """{"items": [{"sku": 1, "meta": {"w": 1, "u": "kg"}}]}"""), // two-level element extra
+        (6L, """{"user": 5}"""),                               // non-object: type's business
+        (7L, """{"user": {}}"""))                              // closed + empty = fine
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "" && got(7L) == "")
+    assert(got(2L) == "extra:$")
+    assert(got(3L) == "extra:$.user")
+    assert(got(4L) == "extra:$.items[]")
+    assert(got(5L) == "extra:$.items[].meta")
+    assert(got(6L) == "type:$.user")
+    val e = intercept[IllegalArgumentException] {
+      JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw",
+        """{"type": "object",
+          | "additionalProperties": {"type": "string"}}""".stripMargin,
+        parsedCol = None)
+    }
+    assert(e.getMessage.contains("additionalProperties"))
+  }
+
+  test("keyword argument nodes are TYPE-CHECKED at compile (r14): a " +
+       "draft-4 boolean exclusiveMinimum, a fractional minLength, or a " +
+       "numeric pattern abort instead of silently coercing") {
+    def gate(sc: String) = JsonSchemaGate.validate(
+      Seq((1L, "{}")).toDF("id", "raw"), "raw", sc, parsedCol = None)
+    def aborts(sc: String, msg: String): Unit = {
+      val e = intercept[IllegalArgumentException] { gate(sc) }
+      assert(e.getMessage.contains(msg), s"got: ${e.getMessage}")
+    }
+    // draft-4 boolean form would have compiled to the numeric bound 1.0
+    aborts("""{"type": "object", "properties":
+             | {"n": {"type": "number", "minimum": 1,
+             |        "exclusiveMinimum": true}}}""".stripMargin,
+      "exclusiveMinimum must be a JSON number")
+    aborts("""{"type": "object", "properties":
+             | {"s": {"type": "string", "minLength": 2.7}}}""".stripMargin,
+      "minLength must be a JSON non-negative integer")
+    aborts("""{"type": "object", "properties":
+             | {"s": {"type": "string", "maxLength": -1}}}""".stripMargin,
+      "maxLength must be non-negative")
+    aborts("""{"type": "object", "properties":
+             | {"s": {"type": "string", "pattern": 5}}}""".stripMargin,
+      "pattern must be a JSON string")
+    aborts("""{"type": "object", "properties":
+             | {"n": {"type": "number", "maximum": "10"}}}""".stripMargin,
+      "maximum must be a JSON number")
+    aborts("""{"type": "object", "properties":
+             | {"s": {"enum": "abc"}}}""".stripMargin,
+      "enum must be a JSON array")
+    aborts("""{"type": "object", "required": "user"}""",
+      "required must be a JSON array")
+  }
+
+  test("regex dialect guard (r14): \\Z and possessive quantifiers abort; " +
+       "unescaped $ anchors END OF TEXT (the RE2 semantics both engines " +
+       "then share), so a trailing newline fails the match") {
+    def gate(sc: String, raws: (Long, String)*) = JsonSchemaGate.validate(
+      raws.toSeq.toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    def patSchema(p: String) =
+      s"""{"type": "object", "properties":
+         | {"s": {"type": "string", "pattern": "$p"}}}""".stripMargin
+    val z = intercept[IllegalArgumentException] {
+      gate(patSchema("""a\\Z"""), 1L -> "{}")
+    }
+    assert(z.getMessage.contains("\\Z"))
+    val poss = intercept[IllegalArgumentException] {
+      gate(patSchema("a*+b"), 1L -> "{}")
+    }
+    assert(poss.getMessage.contains("possessive"))
+    // Java's default $ would accept "u1\n" (it matches before a final
+    // line terminator); the gate normalizes $ to end-of-text, agreeing
+    // with DuckDB's RE2 — and [$] stays a literal dollar
+    val got = gate(patSchema("^u[0-9]+$"),
+      1L -> """{"s": "u1"}""",
+      2L -> """{"s": "u1\n"}""", // JSON \n escape: the value ends in a newline
+      3L -> """{"s": "u1x"}""")
+    assert(got(1L) == "")
+    assert(got(2L) == "pattern:$.s")
+    assert(got(3L) == "pattern:$.s")
+    val lit = gate(patSchema("""^[$]ok"""),
+      1L -> """{"s": "$ok"}""", 2L -> """{"s": "ok"}""")
+    assert(lit(1L) == "" && lit(2L) == "pattern:$.s")
+    // reluctant quantifiers stay in subset (shared by both dialects)
+    val rel = gate(patSchema("^a+?b"), 1L -> """{"s": "aab"}""")
+    assert(rel(1L) == "")
   }
 
   test("the gate's projection chain stays WHOLE-STAGE-CODEGEN fused with " +

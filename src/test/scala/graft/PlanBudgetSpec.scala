@@ -1,6 +1,6 @@
 package graft
 
-/** The 221-query exchange-budget regression gate (r13, verdict task 2):
+/** The every-SparkEntry-query exchange-budget regression gate (r13):
   * every SparkEntry query's shuffle-exchange count is pinned against the
   * committed `exchange_budgets.tsv` (written by [[PlanBudgets]] under the
   * SAME session shape this suite runs — local[4], shuffle 4, sf0.001).

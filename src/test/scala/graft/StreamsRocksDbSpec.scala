@@ -16,7 +16,7 @@ import graft.streaming.Streams
   * ([[GraftSession.RocksDbProvider]]). These specs pin that the provider
   * knob actually engages (RocksDB metrics appear in query progress) and
   * that results are PROVIDER-INDEPENDENT — the same convergence laws the
-  * default-provider suite pins. The full 221-query Verify also runs green
+  * default-provider suite pins. The full Verify suite also runs green
   * under `SPARK_GRAFT_STATESTORE=rocksdb` (plans/BENCHNOTES.md r13).
   */
 class StreamsRocksDbSpec extends SparkSpec {
