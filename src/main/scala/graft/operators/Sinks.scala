@@ -263,6 +263,19 @@ object Sinks {
     * NOTE: the maintained frame READS from `dir`, so it must be fully
     * materialized before `dir` can move — the write to `.next` does that;
     * the renames run after the job completes.
+    *
+    * CONSTRAINT (r14): the two-rename protocol requires an ATOMIC, O(1)
+    * `FileSystem.rename` — HDFS, POSIX local, viewfs, Ozone. On S3-class
+    * object stores (s3a, gs, abfs, wasb, oss, …) rename is COPY+DELETE:
+    * non-atomic (a crash mid-copy leaves a half-copied destination that
+    * the marker protocol would trust) and O(data) (the swap costs a full
+    * index copy per generation). For those, [[swapWrite]] automatically
+    * switches to the generation-POINTER protocol (immutable `gen-N/`
+    * directories + a tiny `_CURRENT` pointer file — no directory ever
+    * moves; see [[resolveLive]]); force either via the
+    * `spark.graft.swap.protocol` conf (`rename` | `pointer` | `auto`).
+    * A directory already in pointer layout stays pointer regardless of
+    * the conf. plans/LAYOUT.md states the full deployment matrix.
     */
   def swapWrite(df: DataFrame, dir: String,
                 partitionCols: Seq[String] = Nil): Unit = {
@@ -275,6 +288,17 @@ object Sinks {
     val next = new Path(d.getParent, d.getName + ".next")
     val old = new Path(d.getParent, d.getName + ".old")
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // r14: the two-rename protocol below assumes `FileSystem.rename` is
+    // ATOMIC and O(1) — true on HDFS/POSIX, FALSE on S3-class object
+    // stores (rename = copy+delete, non-atomic, O(data)). There, the
+    // generation-POINTER protocol is used instead: no directory ever
+    // moves. Dispatch: an existing pointer LAYOUT always stays pointer
+    // (the on-disk truth outranks configuration), else the
+    // `spark.graft.swap.protocol` conf / filesystem scheme decides.
+    if (swapProtocol(spark, fs, d) == "pointer") {
+      swapWritePointer(df, dir, partitionCols)
+      return
+    }
     // every rename/delete result is CHECKED: Hadoop FileSystem signals
     // most failures by returning false, not throwing — an unchecked
     // false here would return "success" with the live dir still holding
@@ -356,6 +380,9 @@ object Sinks {
     val next = new Path(d.getParent, d.getName + ".next")
     val old = new Path(d.getParent, d.getName + ".old")
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a pointer-layout dir recovers via the pointer protocol (layout
+    // outranks conf — the residues on disk are pointer-shaped)
+    if (isPointerLayout(fs, d)) return recoverSwapPointer(fs, d)
     def renameOrDie(from: Path, to: Path): Unit =
       require(fs.rename(from, to), s"recoverSwap: rename $from -> $to failed")
     def deleteOrDie(p: Path): Unit =
@@ -373,6 +400,210 @@ object Sinks {
       deleteOrDie(old)
     }
     stranded
+  }
+
+  // -------------------------------------------------------------------
+  // generation-pointer swap protocol (r14) — the object-store-safe form
+  // -------------------------------------------------------------------
+
+  /** The pointer file naming a live generation (`gen-N`) inside a
+    * pointer-layout directory, and the per-generation completion marker.
+    * Both underscore-prefixed so parquet readers never see them.
+    */
+  val PointerFile = "_CURRENT"
+  val GenReadyMarker = "_GEN_READY"
+  private val GenPrefix = "gen-"
+
+  /** Filesystems whose `rename` is atomic and O(1) — the two-rename
+    * protocol's requirement. Everything else (s3a, gs, abfs, wasb, oss,
+    * …: rename = copy+delete) gets the pointer protocol under `auto`.
+    */
+  private val renameAtomicSchemes =
+    Set("file", "hdfs", "viewfs", "o3fs", "ofs", "alluxio")
+
+  /** Protocol for one swap target: an existing pointer LAYOUT always
+    * stays pointer (the on-disk state outranks configuration — flipping
+    * the conf must not strand readers of `_CURRENT`); otherwise the
+    * `spark.graft.swap.protocol` conf decides (`rename` | `pointer` |
+    * default `auto` = by filesystem scheme).
+    */
+  private def swapProtocol(spark: SparkSession,
+                           fs: org.apache.hadoop.fs.FileSystem,
+                           d: org.apache.hadoop.fs.Path): String =
+    if (isPointerLayout(fs, d)) "pointer"
+    else spark.conf.get("spark.graft.swap.protocol", "auto") match {
+      case "auto" =>
+        if (renameAtomicSchemes(Option(fs.getScheme).getOrElse("file")))
+          "rename"
+        else "pointer"
+      case p @ ("rename" | "pointer") => p
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.swap.protocol must be rename|pointer|auto, got $other")
+    }
+
+  private def isPointerLayout(fs: org.apache.hadoop.fs.FileSystem,
+                              d: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(d, PointerFile)) ||
+      (fs.exists(d) && fs.listStatus(d).exists(st =>
+        st.isDirectory && genNumber(st.getPath.getName).isDefined))
+
+  private def genNumber(name: String): Option[Long] =
+    if (name.startsWith(GenPrefix)) name.drop(GenPrefix.length).toLongOption
+    else None
+
+  /** generation directories under `d`, numerically ascending. */
+  private def listGens(fs: org.apache.hadoop.fs.FileSystem,
+                       d: org.apache.hadoop.fs.Path)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.filter(_.isDirectory)
+      .flatMap(st => genNumber(st.getPath.getName).map(_ -> st.getPath))
+      .sortBy(_._1)
+
+  private def genReady(fs: org.apache.hadoop.fs.FileSystem,
+                       p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(p, GenReadyMarker))
+
+  /** the generation number `_CURRENT` names, if the pointer exists and
+    * parses (a torn/empty pointer — impossible under atomic PUT, handled
+    * defensively — reads as absent and readers fall back to the newest
+    * READY generation, which is never older than a valid pointer).
+    */
+  private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
+                          d: org.apache.hadoop.fs.Path): Option[Long] = {
+    val pf = new org.apache.hadoop.fs.Path(d, PointerFile)
+    if (!fs.exists(pf)) None
+    else {
+      val in = fs.open(pf)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      genNumber(txt)
+    }
+  }
+
+  /** Atomically re-point `_CURRENT` at `gen`: write `_CURRENT.tmp`,
+    * delete the old pointer, rename the tmp in. On an object store each
+    * step is a single small-OBJECT operation (atomic PUT / DELETE / a
+    * one-object copy) — never an O(data) directory move; the only
+    * residue window is a missing pointer between the delete and the
+    * rename, which readers resolve by falling back to the newest READY
+    * generation (= the one this pointer names).
+    */
+  private def writePointer(fs: org.apache.hadoop.fs.FileSystem,
+                           d: org.apache.hadoop.fs.Path, gen: Long): Unit = {
+    val pf = new org.apache.hadoop.fs.Path(d, PointerFile)
+    val tmp = new org.apache.hadoop.fs.Path(d, PointerFile + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$GenPrefix$gen".getBytes("UTF-8")) finally out.close()
+    require(!fs.exists(pf) || fs.delete(pf, false),
+      s"writePointer: delete $pf failed")
+    require(fs.rename(tmp, pf), s"writePointer: rename $tmp -> $pf failed")
+  }
+
+  /** Resolve the directory a READER should scan: for a pointer-layout
+    * dir, the live `gen-N` subdirectory (`_CURRENT`, falling back to the
+    * newest READY generation when the pointer is mid-update); for a
+    * rename-layout (or not-yet-existing) dir, the dir itself. Every
+    * stored-index read goes through here (via
+    * [[graft.streaming.Streams.readIndex]]), so the two protocols are
+    * interchangeable to readers.
+    */
+  def resolveLive(spark: SparkSession, dir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val d = new Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!isPointerLayout(fs, d)) dir
+    else {
+      val target = readPointer(fs, d)
+        .map(n => new Path(d, s"$GenPrefix$n"))
+        .filter(fs.exists(_))
+        .orElse(listGens(fs, d).filter(g => genReady(fs, g._2))
+          .lastOption.map(_._2))
+      target.fold(dir)(_.toString)
+    }
+  }
+
+  /** The pointer-protocol form of [[swapWrite]]: write the frame into a
+    * FRESH immutable `gen-N/` (no live data is touched — the maintained
+    * frame keeps reading its own generation throughout), mark it
+    * `_GEN_READY` once the job commits, atomically re-point `_CURRENT`,
+    * then retire all but the newest `keepGens` ready generations (the
+    * retained predecessor covers readers that resolved the previous
+    * pointer and are still scanning — the pointer protocol's analogue of
+    * the rename protocol's between-renames listing retry, but a full
+    * GENERATION wide instead of microseconds). Unready carcasses from
+    * crashed writes are cleaned at entry; a legacy FLAT (rename-layout)
+    * dir migrates: its old content is deleted only after the pointer
+    * lands.
+    *
+    * Crash windows (each green in PointerSwapSpec):
+    *  - mid-write: an unready `gen-N` carcass, pointer unchanged — next
+    *    entry cleans it, the replayed generation lands as `gen-N+1`;
+    *  - post-ready, pre-pointer: recovery ([[recoverSwap]]) PROMOTES the
+    *    newest ready generation by re-pointing — no data moves;
+    *  - mid-pointer-update (pointer deleted, tmp not yet renamed):
+    *    readers fall back to the newest ready generation; recovery
+    *    rewrites the pointer.
+    */
+  private def swapWritePointer(df: DataFrame, dir: String,
+                               partitionCols: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val d = new Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keepGens = spark.conf.get("spark.graft.swap.keepGenerations", "2").toInt
+    require(keepGens >= 1, s"keepGenerations must be >= 1, got $keepGens")
+    def deleteOrDie(p: Path): Unit =
+      require(!fs.exists(p) || fs.delete(p, true),
+        s"swapWritePointer: delete $p failed")
+    val cur = readPointer(fs, d)
+    val legacyFlat = fs.exists(d) && !isPointerLayout(fs, d)
+    // clean unready carcasses (a crashed write's partial generation is
+    // referenced by nothing; the pointed generation is never touched)
+    listGens(fs, d).filterNot { case (n, p) =>
+      cur.contains(n) || genReady(fs, p)
+    }.foreach { case (_, p) => deleteOrDie(p) }
+    val nextN =
+      (listGens(fs, d).map(_._1) ++ cur).foldLeft(-1L)(_ max _) + 1
+    val gen = new Path(d, s"$GenPrefix$nextN")
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(gen.toString)
+    fs.create(new Path(gen, GenReadyMarker), true).close()
+    writePointer(fs, d, nextN)
+    // retention: the new generation + its keepGens-1 newest predecessors
+    listGens(fs, d).filter { case (n, p) => n != nextN && genReady(fs, p) }
+      .dropRight(keepGens - 1)
+      .foreach { case (_, p) => deleteOrDie(p) }
+    // legacy flat content (a rename-protocol life before the protocol
+    // switch) is retired only now — the input frame read those files and
+    // the write job above fully materialized before anything is deleted
+    // (the same ordering contract the rename protocol's .next gives)
+    if (legacyFlat)
+      fs.listStatus(d).foreach { st =>
+        val n = st.getPath.getName
+        if (genNumber(n).isEmpty && n != PointerFile &&
+          n != PointerFile + ".tmp") deleteOrDie(st.getPath)
+      }
+  }
+
+  /** [[recoverSwap]]'s pointer-protocol arm: promote the newest READY
+    * generation when the pointer is stale or mid-update — a pure pointer
+    * rewrite, no data moves, so (unlike the rename protocol's promotion)
+    * it is safe even with reader frames already listed against the old
+    * generation: their files stay on disk until retention. Returns true
+    * when a promotion happened.
+    */
+  private def recoverSwapPointer(fs: org.apache.hadoop.fs.FileSystem,
+                                 d: org.apache.hadoop.fs.Path): Boolean = {
+    val newestReady = listGens(fs, d).filter(g => genReady(fs, g._2))
+      .lastOption.map(_._1)
+    val cur = readPointer(fs, d)
+    newestReady match {
+      case Some(n) if !cur.contains(n) => writePointer(fs, d, n); true
+      case _ => false
+    }
   }
 
   /** Small-file compaction: rewrite a parquet directory into

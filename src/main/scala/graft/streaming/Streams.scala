@@ -846,7 +846,11 @@ object Streams {
         // the partition column discovered
         val r0 = spark.read
         val r = if (recursive) r0.option("recursiveFileLookup", "true") else r0
-        Some(emptySchema.fold(r)(sc => r.schema(sc)).parquet(indexDir))
+        // pointer-layout dirs (r14, object-store-safe swap protocol)
+        // resolve to their live gen-N; rename-layout dirs to themselves —
+        // the ONE seam that makes the two protocols reader-transparent
+        val live = graft.operators.Sinks.resolveLive(spark, indexDir)
+        Some(emptySchema.fold(r)(sc => r.schema(sc)).parquet(live))
       } else None
     attempt().orElse { onRetry(); attempt() }.getOrElse {
       if (fs.exists(new Path(indexDir + ".next")))
@@ -868,6 +872,20 @@ object Streams {
     val next = new Path(indexDir + ".next")
     val old = new Path(indexDir + ".old")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a pointer-layout dir (r14) compacts by writing a fresh generation:
+    // swapWrite's layout dispatch does exactly that, and resolveLive
+    // scopes the read to the LIVE generation (a recursive read of the
+    // whole dir would fold retained older generations into the compacted
+    // output)
+    if (graft.operators.Sinks.resolveLive(spark, indexDir) != indexDir) {
+      graft.operators.Sinks.recoverSwap(spark, indexDir)
+      val live = graft.operators.Sinks.resolveLive(spark, indexDir)
+      val flat = spark.read.option("recursiveFileLookup", "true")
+        .parquet(live).distinct()
+      graft.operators.Sinks.swapWrite(
+        if (partitions > 0) flat.repartition(partitions) else flat, indexDir)
+      return
+    }
     // recovery: a stranded swap from a crashed earlier run finishes first
     if (!fs.exists(dir) && fs.exists(next)) fs.rename(next, dir)
     if (fs.exists(old)) fs.delete(old, true)
