@@ -431,7 +431,14 @@ object SparkEntry {
     * outright. r14 `additionalProperties: false` coverage at all three
     * depths: shape 1's `meta.unit` (array-element depth,
     * `extra:$.items[].meta`), shape 2's `user.role` (nested,
-    * `extra:$.user`), shape 4's root `debug` (`extra:$`). The valid shape's first tag is the ASTRAL-bearing string
+    * `extra:$.user`), shape 4's root `debug` (`extra:$`); r14
+    * `uniqueItems` on tags — shape 1's repeated "ok" fires
+    * `unique:$.tags` (its integer 3 stays the element type check's
+    * business), and shape 3's `["a", null, null]` pins BOTH the r14
+    * null-element laws through the DuckDB gate every round: two JSON
+    * nulls are uniqueItems duplicates AND each null element fails the
+    * string element type check (the `json_extract('$[*]')`
+    * null-folding divergence the r14 null-preserving replay closes). The valid shape's first tag is the ASTRAL-bearing string
     * 𝒳abcdefg (8 code points — exactly the items maxLength boundary;
     * spelled as JSON \u escapes so the fixture file itself is
     * locale-proof): valid under correct UTF-8 handling, 11 "chars"
@@ -443,9 +450,9 @@ object SparkEntry {
     """CASE WHEN event_id % 7 = 0 THEN '{broken'
       | ELSE CASE CAST(event_id % 5 AS INT)
       |  WHEN 0 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["\ud835\udcb3abcdefg", "b"], "priority": 2, "items": [{"sku": 5, "qty": 2, "lot": 1, "dims": [1, 2], "meta": {"w": 1.5}}]}'
-      |  WHEN 1 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "' || event_type || '", "value": "' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '", "tags": ["ok", 3], "priority": 9, "items": [{"sku": "x", "qty": 1, "lot": 2, "dims": [9, -2, "x"], "meta": {"w": "heavy", "unit": "kg"}}]}'
+      |  WHEN 1 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "' || event_type || '", "value": "' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '", "tags": ["ok", 3, "ok"], "priority": 9, "items": [{"sku": "x", "qty": 1, "lot": 2, "dims": [9, -2, "x"], "meta": {"w": "heavy", "unit": "kg"}}]}'
       |  WHEN 2 THEN '{"user": {"name": "u' || CAST(user_id AS STRING) || '", "role": "admin"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "items": [{"qty": 0, "meta": {}}]}'
-      |  WHEN 3 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "badtype", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "priority": "high", "items": []}'
+      |  WHEN 3 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "badtype", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["a", null, null], "priority": "high", "items": []}'
       |  ELSE '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "v' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "debug": true}'
       | END END""".stripMargin.replace("\n", " ")
 
@@ -463,6 +470,7 @@ object SparkEntry {
   private val jsonSchemaDemo: String =
     """{"type": "object", "required": ["user", "type", "value"],
       | "additionalProperties": false,
+      | "$defs": {"money": {"type": "number", "minimum": 0, "maximum": 15}},
       | "properties": {
       |  "user": {"type": "object", "required": ["id"],
       |           "additionalProperties": false,
@@ -472,8 +480,8 @@ object SparkEntry {
       |                                   "pattern": "^u[0-9]+$"}}},
       |  "type": {"type": "string",
       |           "enum": ["click", "view", "purchase", "error", "signup"]},
-      |  "value": {"type": "number", "minimum": 0, "maximum": 15},
-      |  "tags": {"type": "array", "maxItems": 8,
+      |  "value": {"$ref": "#/$defs/money"},
+      |  "tags": {"type": "array", "maxItems": 8, "uniqueItems": true,
       |           "items": {"type": "string", "minLength": 1,
       |                     "maxLength": 8}},
       |  "priority": {"type": "integer", "enum": [1, 2, 3], "multipleOf": 2},

@@ -47,7 +47,20 @@ import scala.jdk.CollectionConverters._
   * `extra:$.path`, one static tag per closed object (fragments are
   * compile-time literals on both engines, so the tag names the object
   * path, not the offending key); `true` is the default open object; the
-  * schema form aborts),
+  * schema form aborts), r14 `uniqueItems` (`unique:$.path` when the
+  * array holds two equal SCALAR elements — strings/booleans exact,
+  * numerics as the shared correctly-rounded double so 1 duplicates 1.0,
+  * JSON nulls all equal; REQUIRES a declared scalar items type —
+  * container deep-equality is out of subset and aborts; runtime
+  * container elements are the type check's business; DuckDB replay
+  * counts (type-bucket, value) distincts over a NULL-PRESERVING element
+  * list — `json_extract('$[*]')` folds JSON null elements to SQL NULL,
+  * so every per-element replay routes through a list_transform that
+  * restores the JSON null literal, keeping element classification
+  * engine-identical),
+  * r14 local `$ref`/`$defs` (inlined at compile — see [[inlineRefs]]:
+  * non-local/unresolvable/sibling-carrying/CYCLIC refs abort loudly, a
+  * recursive schema has no static check list),
   * nested `properties` to any depth, and `items` with PER-ELEMENT
   * validation to ANY DEPTH (r12 flat, r13 FULL RECURSION): every
   * schema node reachable from an array element — through nested object
@@ -135,7 +148,8 @@ object JsonSchemaGate {
                           minItems: Option[Int] = None,
                           maxItems: Option[Int] = None,
                           pattern: Option[String] = None,
-                          closed: Boolean = false)
+                          closed: Boolean = false,
+                          uniqueItems: Boolean = false)
 
   /** keywords this gate VALIDATES, plus JSON-Schema annotations that
     * carry no validation semantics (ignoring them is not a silent
@@ -149,6 +163,7 @@ object JsonSchemaGate {
     "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
     "multipleOf", "minLength", "maxLength",
     "minItems", "maxItems", "pattern", "additionalProperties",
+    "uniqueItems",
     // no-validation annotations — `format` is annotation-only in JSON
     // Schema 2020-12 unless a dialect opts into format-assertion, which
     // this gate does not claim
@@ -165,8 +180,8 @@ object JsonSchemaGate {
         s"unsupported JSON-Schema keyword: $k (the gate validates " +
           "type/enum/required/properties/items/minimum/maximum/" +
           "minLength/maxLength/minItems/maxItems/pattern/" +
-          "additionalProperties; a keyword it cannot enforce must abort " +
-          "rather than silently no-op)")
+          "additionalProperties/uniqueItems; a keyword it cannot " +
+          "enforce must abort rather than silently no-op)")
     }
     // keyword ARGUMENT nodes are type-checked before coercion (r14 —
     // Jackson's asDouble()/asInt()/asText() coerce silently: a draft-4
@@ -267,6 +282,26 @@ object JsonSchemaGate {
           s"(the schema form is out of subset), got: $v")
       !v.asBoolean()
     }
+    // uniqueItems (r14): REQUIRES a declared scalar items type — deep
+    // container equality cannot be made engine-identical, so an
+    // object/array/untyped element schema aborts loudly; runtime
+    // container elements under a scalar declaration are the type check's
+    // business (they fire type:, uniqueness skips them). Numbers compare
+    // as the shared correctly-rounded DOUBLE (1 and 1.0 are duplicates —
+    // the JSON-Schema mathematical-value rule, and the gate's
+    // established numeric convention); JSON nulls are all equal.
+    val unique = Option(n.get("uniqueItems")).exists { v =>
+      require(v.isBoolean, s"uniqueItems must be a boolean, got: $v")
+      v.asBoolean()
+    }
+    if (unique) {
+      val it = items.flatMap(_.typ)
+      require(it.exists(Seq("string", "integer", "number", "boolean").contains),
+        "uniqueItems requires a declared SCALAR items type " +
+          "(string/integer/number/boolean) — container-element deep " +
+          "equality is out of the supported subset and must abort " +
+          "rather than silently no-op")
+    }
     Node(typ, enumVals, req, props, items,
       minimum = numKw("minimum"),
       maximum = numKw("maximum"),
@@ -278,7 +313,8 @@ object JsonSchemaGate {
       minItems = intKw("minItems"),
       maxItems = intKw("maxItems"),
       pattern = pat,
-      closed = closed)
+      closed = closed,
+      uniqueItems = unique)
   }
 
   /** Scan a `pattern` for constructs outside the shared Java~RE2 regex
@@ -340,8 +376,73 @@ object JsonSchemaGate {
     out
   }
 
-  private def parseSchema(schemaJson: String): Node =
-    compile(mapper.readTree(schemaJson))
+  private def parseSchema(schemaJson: String): Node = {
+    val root = mapper.readTree(schemaJson)
+    compile(inlineRefs(root, root, Nil))
+  }
+
+  /** Inline local `$ref` pointers (r14 — `#/$defs/name`,
+    * `#/definitions/name`, or any local JSON-Pointer) BEFORE compiling:
+    * each ref node is replaced by its referenced subtree, recursively,
+    * so the rest of the gate (and the generated DuckDB replay) never
+    * sees a ref at all. Subset rules, each a loud abort: the pointer
+    * must be LOCAL (`#/…`), must resolve, a `$ref` node may carry no
+    * sibling keywords (2020-12 sibling-merge semantics are out of
+    * subset), and ref CHAINS may not cycle — a recursive schema has no
+    * static check list to compile to. `$defs`/`definitions` containers
+    * carry no validation of their own and are dropped after inlining.
+    * The walk descends ONLY into schema positions (`properties` values,
+    * `items`) — data-valued keywords (`enum`, `const`, `default`,
+    * `examples`) pass through verbatim, so a data object that happens to
+    * contain a "$ref" key is never misread as a schema reference.
+    */
+  private def inlineRefs(root: JsonNode, n: JsonNode,
+                         stack: List[String]): JsonNode = {
+    if (!n.isObject) return n // boolean schemas abort in compile()
+    Option(n.get("$ref")) match {
+      case Some(r) =>
+        require(r.isTextual, s"$$ref must be a JSON string, got: $r")
+        val ref = r.asText()
+        require(n.size == 1,
+          s"$$ref with sibling keywords is out of the supported subset: $n")
+        require(!stack.contains(ref),
+          s"cyclic $$ref chain ${(ref :: stack).reverse.mkString(" -> ")}: " +
+            "a recursive schema cannot compile to a static check list")
+        inlineRefs(root, resolvePointer(root, ref), ref :: stack)
+      case None =>
+        val out = mapper.createObjectNode()
+        n.fields().asScala.foreach { e =>
+          e.getKey match {
+            case "$defs" | "definitions" => () // containers: dropped
+            case "properties" =>
+              val props = mapper.createObjectNode()
+              e.getValue.fields().asScala.foreach(p =>
+                props.set[JsonNode](p.getKey,
+                  inlineRefs(root, p.getValue, stack)))
+              out.set[JsonNode]("properties", props)
+            case "items" =>
+              out.set[JsonNode]("items", inlineRefs(root, e.getValue, stack))
+            case k => out.set[JsonNode](k, e.getValue)
+          }
+        }
+        out
+    }
+  }
+
+  /** resolve a local JSON Pointer (`#/a/b`) against the schema root —
+    * with the standard `~1` → `/`, `~0` → `~` unescapes.
+    */
+  private def resolvePointer(root: JsonNode, ref: String): JsonNode = {
+    require(ref.startsWith("#/"),
+      s"only LOCAL $$ref pointers (#/...) are in the supported subset: $ref")
+    ref.drop(2).split("/", -1).map(_.replace("~1", "/").replace("~0", "~"))
+      .foldLeft(root) { (node, part) =>
+        val c = if (node.isArray && part.matches("[0-9]+")) node.get(part.toInt)
+                else node.get(part)
+        require(c != null, s"$$ref does not resolve: $ref (at segment '$part')")
+        c
+      }
+  }
 
   // ------------------------------------------------------------------
   // the check list — ONE walk feeds both generators
@@ -395,6 +496,15 @@ object JsonSchemaGate {
     */
   private case class ExtraKeys(path: String, keys: Seq[String],
                                guards: Seq[String]) extends Check
+  /** `uniqueItems: true` (r14): fires when the array at `path` holds two
+    * equal SCALAR elements — same-type exact equality for strings and
+    * booleans, numerics compared as the shared correctly-rounded double
+    * (so 1 duplicates 1.0), JSON nulls all equal; runtime container
+    * elements are the type check's business (compile required a scalar
+    * items type).
+    */
+  private case class UniqueCheck(path: String, guards: Seq[String])
+      extends Check
   /** per-ELEMENT checks over an `items`-typed array at `path` (r12 flat,
     * r13 recursive): fire only when the node IS array-typed (a non-array
     * already reports `type:$path`). `steps` walks from each element —
@@ -444,6 +554,8 @@ object JsonSchemaGate {
         out += ItemsCheck(cp, steps, "minitems", "", Nil, b.toDouble, guards))
       n.maxItems.foreach(b =>
         out += ItemsCheck(cp, steps, "maxitems", "", Nil, b.toDouble, guards))
+      if (n.uniqueItems)
+        out += ItemsCheck(cp, steps, "unique", "", Nil, 0, guards)
       if (n.closed)
         out += ItemsCheck(cp, steps, "extra", "", Nil, 0, guards,
           keys = n.props.map(_._1))
@@ -476,6 +588,7 @@ object JsonSchemaGate {
         child.pattern.foreach(p => out += PatternCheck(cp, p, guards))
         child.minItems.foreach(b => out += ArrBound(cp, "minitems", b, guards))
         child.maxItems.foreach(b => out += ArrBound(cp, "maxitems", b, guards))
+        if (child.uniqueItems) out += UniqueCheck(cp, guards)
         if (child.closed)
           out += ExtraKeys(cp, child.props.map(_._1), guards)
         child.items.foreach(it => elemWalk(cp, Nil, it, guards))
@@ -497,6 +610,7 @@ object JsonSchemaGate {
     root.pattern.foreach(p => out += PatternCheck("$", p, Nil))
     root.minItems.foreach(b => out += ArrBound("$", "minitems", b, Nil))
     root.maxItems.foreach(b => out += ArrBound("$", "maxitems", b, Nil))
+    if (root.uniqueItems) out += UniqueCheck("$", Nil)
     if (root.closed) out += ExtraKeys("$", root.props.map(_._1), Nil)
     root.items.foreach(it => elemWalk("$", Nil, it, Nil))
     walk(root, "$", if (root.typ.contains("object")) Seq("$") else Nil)
@@ -662,6 +776,16 @@ object JsonSchemaGate {
             ColumnBridge.expression(array(node)), Nil, "extra", "",
             Nil, Nil, Nil, Nil, 0, "", "", ks))
           guarded(c)(t(p) === "object" && cond)
+        // uniqueItems (r14): the node itself wrapped as a one-element
+        // array, so the native terminal sees the ARRAY node (the same
+        // device as ExtraKeys)
+        case c @ UniqueCheck(p, _) =>
+          import org.apache.spark.sql.graftglue.{ColumnBridge, VariantItemsViolates}
+          val node = expr(s"try_variant_get($vcol, '$p')")
+          val cond = ColumnBridge.column(VariantItemsViolates(
+            ColumnBridge.expression(array(node)), Nil, "unique", "",
+            Nil, Nil, Nil, Nil, 0, "", ""))
+          guarded(c)(t(p) === "array" && cond)
         // per-element checks: ONE native compiled walk per check over the
         // extracted array<variant> (graftglue.VariantItemsViolates),
         // guarded on the node being array-typed. A HOF spelling
@@ -712,6 +836,7 @@ object JsonSchemaGate {
     case ArrBound(p, op, _, _) => s"$op:$p"
     case PatternCheck(p, _, _) => s"pattern:$p"
     case ExtraKeys(p, _, _)    => s"extra:$p"
+    case UniqueCheck(p, _)     => s"unique:$p"
     case ItemsCheck(p, steps, kind, _, _, _, _, field, _, _) =>
       val base = s"$p[]${stepSuffix(steps)}"
       kind match {
@@ -757,10 +882,18 @@ object JsonSchemaGate {
     // per-element replay: unnest the array's elements ('$path[*]' — each a
     // JSON value whose json_type is the element's own type) inside a
     // correlated EXISTS; the CASE arm keeps unnest off non-arrays, and an
-    // empty array yields EXISTS(∅) = false on both engines
+    // empty array yields EXISTS(∅) = false on both engines.
+    // NULL-PRESERVING (r14): json_extract('$[*]') folds a JSON null
+    // element to SQL NULL — which downstream reads as ABSENT, while the
+    // Spark native classifies the same element as canonical "null" (so a
+    // null element VIOLATES a type check). list_transform substitutes
+    // the JSON null literal back into each slot, restoring the
+    // distinction the two engines must share.
+    def nullSafeElems(arrExpr: String): String =
+      s"list_transform($arrExpr, x -> COALESCE(x, TRY_CAST('null' AS JSON)))"
     def elems(path: String): String =
       s"""(SELECT unnest(CASE WHEN json_type(TRY_CAST(($rawExpr) AS JSON), '$path') = 'ARRAY'
-         |  THEN json_extract(TRY_CAST(($rawExpr) AS JSON), '$path[*]')
+         |  THEN ${nullSafeElems(s"json_extract(TRY_CAST(($rawExpr) AS JSON), '$path[*]')")}
          |  ELSE CAST([] AS JSON[]) END) AS el)""".stripMargin.replace("\n", " ")
     // the canonical fold of the node at element-relative json path `rp`
     // under alias `alias` — NULL when the path is absent (the outer CASE,
@@ -797,6 +930,31 @@ object JsonSchemaGate {
           s"$rawStr NOT IN (${bools.mkString(", ")})"))
       ).mkString("(", " OR ", ")")
     }
+    // uniqueItems (r14): duplicate iff the count of SCALAR+null elements
+    // exceeds their distinct (type-bucket, value) count — numerics as
+    // the shared double rendered to text (equal doubles ⇔ equal shortest
+    // round-trip strings), nulls coalesced to '' under their own bucket
+    // (DuckDB's DISTINCT does not collapse structs with NULL fields);
+    // container elements (bucket NULL) are filtered out, mirroring the
+    // native's skip
+    def uniqueSql(alias: String, rp: String, fold: String): String = {
+      val sub =
+        s"""(SELECT unnest(CASE WHEN json_type($alias, '$rp') = 'ARRAY'
+           |  THEN ${nullSafeElems(s"json_extract($alias, '$rp[*]')")}
+           |  ELSE CAST([] AS JSON[]) END) AS ue)""".stripMargin
+          .replace("\n", " ")
+      val bucket = "(CASE json_type(ue, '$') WHEN 'UBIGINT' THEN 'n' " +
+        "WHEN 'BIGINT' THEN 'n' WHEN 'DOUBLE' THEN 'n' " +
+        "WHEN 'VARCHAR' THEN 's' WHEN 'BOOLEAN' THEN 'b' " +
+        "WHEN 'NULL' THEN 'z' ELSE NULL END)"
+      val valStr = s"COALESCE((CASE WHEN $bucket = 'n' THEN " +
+        "CAST(TRY_CAST(json_extract_string(ue, '$') AS DOUBLE) AS VARCHAR) " +
+        "ELSE json_extract_string(ue, '$') END), '')"
+      s"($fold = 'array' AND " +
+        s"(SELECT count(*) FROM $sub WHERE $bucket IS NOT NULL) > " +
+        s"(SELECT count(DISTINCT ($bucket, $valStr)) FROM $sub " +
+        s"WHERE $bucket IS NOT NULL))"
+    }
     val frags = s"CASE WHEN $malformed THEN 'malformed' END" +:
       checksOf(root).map { c =>
         val cond = c match {
@@ -832,6 +990,8 @@ object JsonSchemaGate {
             val extras = if (ks.isEmpty) keysArr
               else s"list_filter($keysArr, xk -> xk NOT IN (${ks.map(sqlStr).mkString(", ")}))"
             s"(${actual(p)} = 'object' AND len($extras) > 0)"
+          case UniqueCheck(p, _) =>
+            uniqueSql(s"TRY_CAST(($rawExpr) AS JSON)", p, actual(p))
           case ItemsCheck(p, steps, kind, t, vs, b, _, field, pat, ks) =>
             // the terminal check on the node at `rp` under `alias` — each
             // arm guarded on the node's checkable runtime type exactly as
@@ -869,6 +1029,7 @@ object JsonSchemaGate {
                   val extras = if (ks.isEmpty) keysArr
                     else s"list_filter($keysArr, xk -> xk NOT IN (${ks.map(sqlStr).mkString(", ")}))"
                   s"($fold = 'object' AND len($extras) > 0)"
+                case "unique" => uniqueSql(alias, rp, fold)
                 case "missing" =>
                   val fp = if (rp == "$") s"$$.$field" else s"$rp.$field"
                   s"($fold = 'object' AND json_type($alias, '$fp') IS NULL)"
@@ -888,7 +1049,7 @@ object JsonSchemaGate {
                 val a2 = s"el$depth"
                 val sub =
                   s"""(SELECT unnest(CASE WHEN json_type($alias, '$rp') = 'ARRAY'
-                     |  THEN json_extract($alias, '$rp[*]')
+                     |  THEN ${nullSafeElems(s"json_extract($alias, '$rp[*]')")}
                      |  ELSE CAST([] AS JSON[]) END) AS $a2)"""
                     .stripMargin.replace("\n", " ")
                 s"(json_type($alias, '$rp') = 'ARRAY' AND EXISTS (SELECT 1 FROM $sub WHERE ${gen(a2, depth + 1, tail.tail)}))"

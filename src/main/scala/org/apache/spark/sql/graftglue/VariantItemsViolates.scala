@@ -89,7 +89,7 @@ case class VariantItemsViolates(child: Expression, steps: Seq[String],
 
   require(Seq("type", "enum", "min", "max", "xmin", "xmax", "multipleof",
     "minlen", "maxlen", "minitems", "maxitems", "missing",
-    "pattern", "extra").contains(kind),
+    "pattern", "extra", "unique").contains(kind),
     s"variant_items_violates: unknown kind '$kind'")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(VariantType))
@@ -187,6 +187,34 @@ case class VariantItemsViolates(child: Expression, steps: Seq[String],
             i += 1
           }
           bad
+        }
+      // uniqueItems (r14): two equal SCALAR elements in a reached ARRAY
+      // node — strings/booleans exact, numerics as the shared
+      // correctly-rounded double (1 duplicates 1.0), JSON nulls all
+      // equal; container elements skip (the type check's business —
+      // compile required a scalar items type)
+      case "unique" =>
+        c == "array" && {
+          val n = v.arraySize()
+          val strs = new scala.collection.mutable.HashSet[String]
+          val nums = new scala.collection.mutable.HashSet[Double]
+          var boolT = false; var boolF = false; var nullSeen = false
+          var i = 0
+          var dup = false
+          while (!dup && i < n) {
+            val e = v.getElementAtIndex(i)
+            canon(e) match {
+              case "string"         => dup = !strs.add(e.getString)
+              case "int" | "double" => dup = !nums.add(asDouble(e))
+              case "bool" =>
+                if (e.getBoolean) { dup = boolT; boolT = true }
+                else { dup = boolF; boolF = true }
+              case "null" => dup = nullSeen; nullSeen = true
+              case _      => ()
+            }
+            i += 1
+          }
+          dup
         }
     }
   }

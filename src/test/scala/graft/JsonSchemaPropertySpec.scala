@@ -72,6 +72,25 @@ class JsonSchemaPropertySpec extends SparkSpec {
     def items: Option[JsonNode] = Option(sc.get("items"))
     def closed: Boolean =
       Option(sc.get("additionalProperties")).exists(v => !v.asBoolean())
+    def uniqueItems: Boolean =
+      Option(sc.get("uniqueItems")).exists(_.asBoolean())
+  }
+
+  /** the documented uniqueItems rule, independently: two equal SCALAR
+    * elements (numbers as doubles, nulls all equal); containers skip.
+    */
+  private def hasDupScalars(arr: JsonNode): Boolean = {
+    val seen = scala.collection.mutable.Set[(String, String)]()
+    (0 until arr.size).exists { i =>
+      val e = arr.get(i)
+      canon(e) match {
+        case "string" => !seen.add(("s", e.asText()))
+        case "int" | "double" => !seen.add(("n", e.asDouble().toString))
+        case "bool" => !seen.add(("b", e.asBoolean().toString))
+        case "null" => !seen.add(("z", ""))
+        case _ => false
+      }
+    }
   }
 
   /** an object node carrying a key outside the declared set. */
@@ -131,6 +150,8 @@ class JsonSchemaPropertySpec extends SparkSpec {
       if (c == "array" && v.size() < b) out += s"minitems:$at")
     rn.int("maxItems").foreach(b =>
       if (c == "array" && v.size() > b) out += s"maxitems:$at")
+    if (rn.uniqueItems && c == "array" && hasDupScalars(v))
+      out += s"unique:$at"
     if (rn.closed && c == "object" &&
       hasExtraKey(v, rn.props.map(_._1).toSet)) out += s"extra:$at"
     out.result()
@@ -184,6 +205,8 @@ class JsonSchemaPropertySpec extends SparkSpec {
       if (any(v => canon(v) == "array" && v.size < b)) out += s"minitems:$at")
     rn.int("maxItems").foreach(b =>
       if (any(v => canon(v) == "array" && v.size > b)) out += s"maxitems:$at")
+    if (rn.uniqueItems &&
+      any(v => canon(v) == "array" && hasDupScalars(v))) out += s"unique:$at"
     if (rn.closed &&
       any(v => canon(v) == "object" &&
         hasExtraKey(v, rn.props.map(_._1).toSet))) out += s"extra:$at"
@@ -294,6 +317,12 @@ class JsonSchemaPropertySpec extends SparkSpec {
         sc.set[JsonNode]("items", genSchema(depth - 1))
         if (rnd.nextBoolean()) sc.put("minItems", rnd.nextInt(3))
         if (rnd.nextBoolean()) sc.put("maxItems", 1 + rnd.nextInt(3))
+        // r14: only where the declared item type is scalar (the compile
+        // requirement); the small value pools make duplicates common
+        val itemType = Option(sc.get("items").get("type")).map(_.asText())
+        if (rnd.nextInt(3) == 0 && itemType.exists(
+            Seq("string", "integer", "number", "boolean").contains))
+          sc.put("uniqueItems", true)
       case "string" =>
         if (rnd.nextBoolean()) sc.put("minLength", rnd.nextInt(3))
         if (rnd.nextBoolean()) sc.put("maxLength", 1 + rnd.nextInt(5))

@@ -417,6 +417,102 @@ class JsonSchemaSpec extends SparkSpec {
     assert(e.getMessage.contains("additionalProperties"))
   }
 
+  test("$ref/$defs (r14): local refs inline at compile — nested, chained, " +
+       "and at element depth; cyclic, sibling-carrying, non-local and " +
+       "unresolvable refs abort") {
+    val sc =
+      """{"type": "object",
+        | "$defs": {
+        |  "posint": {"type": "integer", "minimum": 1},
+        |  "qty": {"$ref": "#/$defs/posint"},
+        |  "box": {"type": "object", "required": ["n"],
+        |          "properties": {"n": {"$ref": "#/$defs/posint"}}}},
+        | "properties": {
+        |  "n":     {"$ref": "#/$defs/qty"},
+        |  "box":   {"$ref": "#/$defs/box"},
+        |  "items": {"type": "array", "items": {"$ref": "#/$defs/posint"}}}}"""
+        .stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"n": 2, "box": {"n": 3}, "items": [1, 2]}"""),
+        (2L, """{"n": 0}"""),                 // ref'd minimum at a path
+        (3L, """{"box": {}}"""),              // ref'd object's required
+        (4L, """{"items": [1, 0, "x"]}"""))   // ref'd checks per element
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "")
+    assert(got(2L) == "min:$.n")
+    assert(got(3L) == "missing:$.box.n")
+    assert(got(4L) == "type:$.items[],min:$.items[]")
+    def aborts(sc2: String, msg: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw",
+          sc2, parsedCol = None)
+      }
+      assert(e.getMessage.contains(msg), s"got: ${e.getMessage}")
+    }
+    aborts("""{"type": "object", "$defs": {"a": {"$ref": "#/$defs/b"},
+             | "b": {"$ref": "#/$defs/a"}},
+             | "properties": {"x": {"$ref": "#/$defs/a"}}}""".stripMargin,
+      "cyclic")
+    aborts("""{"type": "object", "properties":
+             | {"x": {"$ref": "#/$defs/a", "minimum": 1}},
+             | "$defs": {"a": {"type": "integer"}}}""".stripMargin,
+      "sibling")
+    aborts("""{"type": "object", "properties":
+             | {"x": {"$ref": "https://example.com/s.json"}}}""".stripMargin,
+      "LOCAL")
+    aborts("""{"type": "object", "properties":
+             | {"x": {"$ref": "#/$defs/nope"}}}""".stripMargin,
+      "does not resolve")
+  }
+
+  test("uniqueItems (r14): same-type scalar duplicates fire, numerics " +
+       "compare as doubles (1 duplicates 1.0), nulls are all equal, " +
+       "containers and cross-type lookalikes don't; requires a declared " +
+       "scalar items type") {
+    val sc =
+      """{"type": "object",
+        | "properties": {
+        |  "tags": {"type": "array", "uniqueItems": true,
+        |           "items": {"type": "string"}},
+        |  "nums": {"type": "array", "uniqueItems": true,
+        |           "items": {"type": "number"}},
+        |  "grid": {"type": "array",
+        |           "items": {"type": "array", "uniqueItems": true,
+        |                     "items": {"type": "integer"}}}}}""".stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"tags": ["a", "b"], "nums": [1, 2.5]}"""),
+        (2L, """{"tags": ["a", "b", "a"]}"""),
+        (3L, """{"nums": [1, 1.0]}"""),        // mathematical-value dup
+        (4L, """{"nums": [1, "1"]}"""),        // string lookalike: no dup
+        (5L, """{"nums": [null, null]}"""),    // nulls all equal
+        (6L, """{"tags": "ab"}"""),            // non-array: type's business
+        (7L, """{"grid": [[1, 2], [3, 3]]}"""), // nested-depth dup
+        (8L, """{"grid": [[1, 2], [1, 2]]}""")) // container elements skip
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "")
+    assert(got(2L) == "unique:$.tags")
+    assert(got(3L) == "unique:$.nums")
+    // the string lookalike skips uniqueness (different bucket) but fails
+    // the element type check
+    assert(got(4L) == "type:$.nums[]")
+    // two JSON nulls ARE duplicates (unique emits before the element
+    // walk) and each also fails the number element type check
+    assert(got(5L) == "unique:$.nums,type:$.nums[]")
+    assert(got(6L) == "type:$.tags")
+    assert(got(7L) == "unique:$.grid[]")
+    assert(got(8L) == "")
+    val e = intercept[IllegalArgumentException] {
+      JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw",
+        """{"type": "object", "properties":
+          | {"a": {"type": "array", "uniqueItems": true,
+          |        "items": {"type": "object"}}}}""".stripMargin,
+        parsedCol = None)
+    }
+    assert(e.getMessage.contains("uniqueItems"))
+  }
+
   test("keyword argument nodes are TYPE-CHECKED at compile (r14): a " +
        "draft-4 boolean exclusiveMinimum, a fractional minLength, or a " +
        "numeric pattern abort instead of silently coercing") {
