@@ -693,6 +693,81 @@ object ScaleBench {
       println(f"[scalebench] index_tree_listing compacted compact=$compactS%.2f s " +
         f"scan=${(System.nanoTime() - t1) / 1e9}%.2f s")
     }
+
+    // r14 (verdict task 4): the LARGE-STATE state-store crossover. The
+    // RocksDB provider is documented as the large-state default
+    // ([[GraftSession.RocksDbProvider]]) because the HDFS-backed default
+    // keeps EVERY key's state on the executor heap (×2: it retains the
+    // last maxVersionsToRetainInMemory=2 version maps) — r13 proved
+    // correctness under RocksDB; this measures the claim that motivates
+    // the knob. One stateful twin ([[graft.streaming.Streams
+    // .keepBestStream]] — the G1 keep-best state, the same
+    // mapGroupsWithState shape as G42/G44) drained over a key domain
+    // scaled across the ×100 decade under BOTH providers, recording
+    // drain wall, state rows, and the provider's own memory metric.
+    // The interesting row is where the default's heap-resident state
+    // stops being free: plans/SCALE.md r14 records the crossover.
+    if (want("statestore")) {
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val provPrev = spark.conf.getOption(provKey)
+      val keyScales = sys.env.get("SPARK_GRAFT_STATE_KEYS")
+        .map(_.split(",").map(_.trim.toLong).toSeq)
+        .getOrElse(Seq(100000L, 1000000L, 10000000L, 30000000L))
+      for (keys <- keyScales) {
+        val root = s"$work/state_k$keys"
+        val inDir = s"$root/in"
+        // 5 batch files; ~1.2 rows per key (20% of keys updated by a
+        // second row) so the state path exercises updates, not just
+        // inserts; 48-char keys ≈ a fingerprint/print-key's footprint
+        spark.range(keys * 12 / 10)
+          .select(
+            concat(lit("key-"), format_string("%012d", col("id") % keys),
+              lit("-" + "x" * 27)).as("k"),
+            col("id").as("id"),
+            (col("id") % 997).cast("double").as("score"))
+          .repartition(5).write.mode("overwrite").parquet(inDir)
+        val providers = sys.env.get("SPARK_GRAFT_STATE_PROVIDERS")
+          .map(_.split(",").map(_.trim).toSeq)
+          .getOrElse(Seq("default", "rocksdb"))
+        for (provider <- providers) {
+          if (provider == "rocksdb")
+            spark.conf.set(provKey, GraftSession.RocksDbProvider)
+          else provPrev match {
+            case Some(v) => spark.conf.set(provKey, v)
+            case None    => spark.conf.unset(provKey)
+          }
+          val ckpt = s"$root/ckpt_$provider"
+          val res = try {
+            import spark.implicits._
+            val stream = graft.streaming.Streams.watchDirectory(spark, inDir,
+              format = "parquet",
+              schemaDdl = Some("k STRING, id BIGINT, score DOUBLE"),
+              maxFilesPerTrigger = 1)
+            val out = graft.streaming.Streams.keepBestStream(
+              stream.as[(String, Long, Double)])
+            val t0 = System.nanoTime()
+            val q = out.writeStream.outputMode("update").format("noop")
+              .option("checkpointLocation", ckpt)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            val wall = (System.nanoTime() - t0) / 1e9
+            val so = q.recentProgress.flatMap(_.stateOperators).lastOption
+            val rows = so.map(_.numRowsTotal).getOrElse(-1L)
+            val mem = so.map(_.memoryUsedBytes).getOrElse(-1L)
+            f"drain=$wall%.2f s state_rows=$rows mem_bytes=$mem"
+          } catch { case e: Throwable =>
+            s"FAILED ${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(120)
+          }
+          println(s"[scalebench] statestore keys=$keys provider=$provider $res")
+        }
+      }
+      provPrev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
     spark.stop()
   }
 }
