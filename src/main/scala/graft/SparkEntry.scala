@@ -443,7 +443,10 @@ object SparkEntry {
     * null-element laws through the DuckDB gate every round: two JSON
     * nulls are uniqueItems duplicates AND each null element fails the
     * string element type check (the `json_extract('$[*]')`
-    * null-folding divergence the r14 null-preserving replay closes). The valid shape's first tag is the ASTRAL-bearing string
+    * null-folding divergence the r14 null-preserving replay closes).
+    * Shape 2's `"priority": null` exercises the r14 UNION type
+    * (`["integer", "null"]` — the nullable idiom): type passes on
+    * null, the enum/multipleOf value checks stay typed-guarded. The valid shape's first tag is the ASTRAL-bearing string
     * 𝒳abcdefg (8 code points — exactly the items maxLength boundary;
     * spelled as JSON \u escapes so the fixture file itself is
     * locale-proof): valid under correct UTF-8 handling, 11 "chars"
@@ -456,7 +459,7 @@ object SparkEntry {
       | ELSE CASE CAST(event_id % 5 AS INT)
       |  WHEN 0 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["\ud835\udcb3abcdefg", "b"], "priority": 2, "items": [{"sku": 5, "qty": 2, "lot": 1, "dims": [1, 2], "meta": {"w": 1.5}}]}'
       |  WHEN 1 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "' || event_type || '", "value": "' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '", "tags": ["ok", 3, "ok"], "priority": 9, "items": [{"sku": "x", "qty": 1, "lot": 2, "dims": [9, -2, "x"], "meta": {"w": "heavy", "unit": "kg"}}]}'
-      |  WHEN 2 THEN '{"user": {"name": "u' || CAST(user_id AS STRING) || '", "role": "admin"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "items": [{"qty": 0, "meta": {}}]}'
+      |  WHEN 2 THEN '{"user": {"name": "u' || CAST(user_id AS STRING) || '", "role": "admin"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "priority": null, "items": [{"qty": 0, "meta": {}}]}'
       |  WHEN 3 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "badtype", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["a", null, null], "priority": "high", "items": []}'
       |  ELSE '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "v' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "debug": true}'
       | END END""".stripMargin.replace("\n", " ")
@@ -489,7 +492,8 @@ object SparkEntry {
       |  "tags": {"type": "array", "maxItems": 8, "uniqueItems": true,
       |           "items": {"type": "string", "minLength": 1,
       |                     "maxLength": 8}},
-      |  "priority": {"type": "integer", "enum": [1, 2, 3], "multipleOf": 2},
+      |  "priority": {"type": ["integer", "null"], "enum": [1, 2, 3],
+      |               "multipleOf": 2},
       |  "items": {"type": "array", "minItems": 1,
       |            "items": {"type": "object", "required": ["sku", "lot"],
       |                      "properties": {

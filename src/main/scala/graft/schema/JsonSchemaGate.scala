@@ -14,7 +14,10 @@ import scala.jdk.CollectionConverters._
   * string column.
   *
   * Supported subset: `type` (object / array / string / integer / number /
-  * boolean), `required`, `enum` (TYPED values, r13: string, integer,
+  * boolean / null — as one name or a UNION array, r14: the nullable
+  * idiom `["string", "null"]` admits a value matching ANY member; value
+  * checks stay typed-guarded, so a null under a nullable declaration
+  * passes the type check and skips every value check), `required`, `enum` (TYPED values, r13: string, integer,
   * number, boolean literals — a string value checks against the string
   * members, an int value against the integer members by EXACT long
   * compare, a double value against the number members as the
@@ -201,17 +204,29 @@ object JsonSchemaGate {
       require(v.asInt() >= 0, s"$kw must be non-negative, got: $v")
       v.asInt()
     }
+    // `type` (r14: UNION form): a string or an array of strings — the
+    // nullable-field idiom `["string", "null"]` is the overwhelmingly
+    // common case. Stored as a pipe-joined member spec ("string|null");
+    // a runtime node passes when its canonical type matches ANY member.
+    // `"null"` is a full member type (alone or in a union).
     val typ = Option(n.get("type")).map { t =>
-      // a UNION type ("type": ["string", "null"]) must not fold to
-      // asText()'s "" and fail with a blank message — name the gap
-      require(t.isTextual,
-        s"union/non-scalar JSON-Schema type is out of the supported " +
-          s"subset (one named type only): $t")
-      t.asText()
-    }
-    typ.foreach { t =>
-      require(Seq("object", "array", "string", "integer", "number",
-        "boolean").contains(t), s"unsupported JSON-Schema type: $t")
+      val members: Seq[String] =
+        if (t.isTextual) Seq(t.asText())
+        else if (t.isArray) {
+          val ms = t.elements().asScala.toSeq
+          ms.foreach(m => require(m.isTextual,
+            s"type union members must be strings, got: $t"))
+          val names = ms.map(_.asText())
+          require(names.nonEmpty, s"empty type union: $t")
+          require(names.distinct.size == names.size,
+            s"duplicate type union members: $t")
+          names
+        } else throw new IllegalArgumentException(
+          s"type must be a string or an array of strings, got: $t")
+      members.foreach(m => require(Seq("object", "array", "string",
+        "integer", "number", "boolean", "null").contains(m),
+        s"unsupported JSON-Schema type: $m"))
+      members.mkString("|")
     }
     def literal(e: JsonNode, kw: String): EnumVal =
       if (e.isTextual) EStr(e.asText())
@@ -295,12 +310,15 @@ object JsonSchemaGate {
       v.asBoolean()
     }
     if (unique) {
-      val it = items.flatMap(_.typ)
-      require(it.exists(Seq("string", "integer", "number", "boolean").contains),
+      val members = items.flatMap(_.typ).toSeq.flatMap(_.split('|'))
+      require(members.nonEmpty &&
+        members.forall(Seq("string", "integer", "number", "boolean",
+          "null").contains) &&
+        members.exists(_ != "null"),
         "uniqueItems requires a declared SCALAR items type " +
-          "(string/integer/number/boolean) — container-element deep " +
-          "equality is out of the supported subset and must abort " +
-          "rather than silently no-op")
+          "(string/integer/number/boolean, optionally unioned with " +
+          "null) — container-element deep equality is out of the " +
+          "supported subset and must abort rather than silently no-op")
     }
     Node(typ, enumVals, req, props, items,
       minimum = numKw("minimum"),
@@ -613,18 +631,22 @@ object JsonSchemaGate {
     if (root.uniqueItems) out += UniqueCheck("$", Nil)
     if (root.closed) out += ExtraKeys("$", root.props.map(_._1), Nil)
     root.items.foreach(it => elemWalk("$", Nil, it, Nil))
-    walk(root, "$", if (root.typ.contains("object")) Seq("$") else Nil)
+    walk(root, "$",
+      if (root.typ.exists(_.split('|').contains("object"))) Seq("$") else Nil)
     out.result()
   }
 
-  /** canonical-type match for a declared JSON-Schema type. */
+  /** canonical-type match for a declared JSON-Schema type spec — one
+    * member name or a pipe-joined union ("string|null", r14): the value
+    * passes when ANY member admits its canonical type.
+    */
   private def matches(actual: Column, declared: String): Column =
-    declared match {
+    declared.split('|').toSeq.map {
       case "number"  => actual.isin("int", "double")
       case "integer" => actual === "int"
       case "boolean" => actual === "bool"
-      case t         => actual === t // string / object / array
-    }
+      case t         => actual === t // string / object / array / null
+    }.reduce(_ || _)
 
   // ------------------------------------------------------------------
   // Spark side
@@ -660,16 +682,23 @@ object JsonSchemaGate {
     * `from_json` target for the parsed output column.
     */
   def structType(schemaJson: String): StructType = {
-    def dt(n: Node): DataType = n.typ match {
-      case Some("object")  => StructType(n.props.map { case (k, c) =>
-        StructField(k, dt(c), nullable = true) })
-      case Some("array")   => ArrayType(n.items.map(dt).getOrElse(StringType))
-      case Some("string")  => StringType
-      case Some("integer") => LongType
-      case Some("number")  => DoubleType
-      case Some("boolean") => BooleanType
-      case _               => StringType
-    }
+    // a union type's parse target: the single non-null member (the
+    // nullable idiom — parquet/struct fields are nullable anyway); an
+    // ambiguous multi-member union (or pure null) folds to StringType —
+    // the typed parse is a best-effort annotation, validation never
+    // reads it
+    def dt(n: Node): DataType =
+      n.typ.map(_.split('|').filterNot(_ == "null").toSeq) match {
+        case Some(Seq("object"))  => StructType(n.props.map { case (k, c) =>
+          StructField(k, dt(c), nullable = true) })
+        case Some(Seq("array"))   =>
+          ArrayType(n.items.map(dt).getOrElse(StringType))
+        case Some(Seq("string"))  => StringType
+        case Some(Seq("integer")) => LongType
+        case Some(Seq("number"))  => DoubleType
+        case Some(Seq("boolean")) => BooleanType
+        case _                    => StringType
+      }
     dt(parseSchema(schemaJson)) match {
       case st: StructType => st
       case other => StructType(Seq(StructField("value", other)))
@@ -870,12 +899,13 @@ object JsonSchemaGate {
          |  WHEN 'BOOLEAN' THEN 'bool' WHEN 'OBJECT' THEN 'object'
          |  WHEN 'ARRAY' THEN 'array' WHEN 'NULL' THEN 'null'
          |  ELSE 'other' END) END)""".stripMargin.replace("\n", " ")
-    def matchesSql(a: String, declared: String): String = declared match {
-      case "number"  => s"$a IN ('int', 'double')"
-      case "integer" => s"$a = 'int'"
-      case "boolean" => s"$a = 'bool'"
-      case t         => s"$a = '$t'"
-    }
+    def matchesSql(a: String, declared: String): String =
+      declared.split('|').toSeq.map {
+        case "number"  => s"$a IN ('int', 'double')"
+        case "integer" => s"$a = 'int'"
+        case "boolean" => s"$a = 'bool'"
+        case t         => s"$a = '$t'"
+      }.mkString("(", " OR ", ")")
     def guardSql(c: Check): String =
       (s"NOT $malformed" +: c.guards.map(g => s"${actual(g)} = 'object'"))
         .mkString("(", " AND ", ")")

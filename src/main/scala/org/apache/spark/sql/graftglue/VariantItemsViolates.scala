@@ -126,12 +126,16 @@ case class VariantItemsViolates(child: Expression, steps: Seq[String],
     case t => throw new IllegalStateException(s"non-numeric variant $t")
   }
 
-  private def typeMatches(t: String): Boolean = expected match {
-    case "number"  => t == "int" || t == "double"
-    case "integer" => t == "int"
-    case "boolean" => t == "bool"
-    case other     => t == other
-  }
+  /** match against the declared type spec — one member or a pipe-joined
+    * union ("string|null", r14).
+    */
+  private def typeMatches(t: String): Boolean =
+    expected.split('|').exists {
+      case "number"  => t == "int" || t == "double"
+      case "integer" => t == "int"
+      case "boolean" => t == "bool"
+      case other     => t == other
+    }
 
   /** typed enum membership of one node — mirrors the path-level
     * [[graft.schema.JsonSchemaGate]] EnumIn buckets exactly.

@@ -31,12 +31,14 @@ class JsonSchemaPropertySpec extends SparkSpec {
     else if (n.isNumber) "double"
     else "string"
 
-  private def typeMatches(c: String, declared: String): Boolean = declared match {
-    case "number"  => c == "int" || c == "double"
-    case "integer" => c == "int"
-    case "boolean" => c == "bool"
-    case other     => c == other
-  }
+  /** declared is one member name or a union (r14) — any member admits. */
+  private def typeMatches(c: String, declared: Seq[String]): Boolean =
+    declared.exists {
+      case "number"  => c == "int" || c == "double"
+      case "integer" => c == "int"
+      case "boolean" => c == "bool"
+      case other     => c == other
+    }
 
   /** the node at an object-field path below `root`: absent when any
     * ancestor is missing or not an object (a JSON null IS present).
@@ -54,7 +56,9 @@ class JsonSchemaPropertySpec extends SparkSpec {
 
   /** one schema node's scalar constraints, read independently. */
   private case class RefNode(sc: JsonNode) {
-    def typ: Option[String] = Option(sc.get("type")).map(_.asText())
+    def typ: Option[Seq[String]] = Option(sc.get("type")).map(t =>
+      if (t.isArray) (0 until t.size).map(i => t.get(i).asText())
+      else Seq(t.asText()))
     def enums: Seq[JsonNode] =
       Option(sc.get("enum")).map(e => (0 until e.size).map(e.get)).getOrElse(Nil) ++
         Option(sc.get("const")).toSeq
@@ -275,7 +279,7 @@ class JsonSchemaPropertySpec extends SparkSpec {
         // the guard convention for property walks: the root guard exists
         // only when the root DECLARES object
         val rootGuard =
-          !rootRn.typ.contains("object") || canon(root) == "object"
+          !rootRn.typ.exists(_.contains("object")) || canon(root) == "object"
         walk(schemaSc, Nil, "$", rootGuard)
         out.result().mkString(",")
     }
@@ -298,7 +302,10 @@ class JsonSchemaPropertySpec extends SparkSpec {
     val t = pick(if (depth > 0)
       Vector("object", "array", "string", "integer", "number", "boolean")
     else Vector("string", "integer", "number", "boolean"))
-    sc.put("type", t)
+    // r14 union types: the nullable idiom, 1-in-4 on scalar declarations
+    if (rnd.nextInt(4) == 0 && t != "object" && t != "array") {
+      val u = sc.putArray("type"); u.add(t); u.add("null")
+    } else sc.put("type", t)
     t match {
       case "object" =>
         val props = sc.putObject("properties")
@@ -350,7 +357,11 @@ class JsonSchemaPropertySpec extends SparkSpec {
     * still fire), sometimes off-type / JSON null / absent fields.
     */
   private def genValue(sc: JsonNode, depth: Int): JsonNode = {
-    val declared = Option(sc.get("type")).map(_.asText()).getOrElse("string")
+    // a union declaration generates a random member's value (including
+    // "null" — the nullable idiom's on-type case)
+    val declared = Option(sc.get("type")).map { t =>
+      if (t.isArray) t.get(rnd.nextInt(t.size)).asText() else t.asText()
+    }.getOrElse("string")
     val t = if (rnd.nextInt(5) == 0)
       pick(Vector("object", "array", "string", "integer", "number",
         "boolean", "null"))

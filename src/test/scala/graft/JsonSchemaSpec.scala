@@ -361,15 +361,21 @@ class JsonSchemaSpec extends SparkSpec {
            | "title": "t", "type": "object",
            | "properties": {"a": {"type": "string", "description": "d"}}}"""
       .stripMargin).collect()
-    // union types and beyond-int64 enum literals classify
-    // engine-dependently — named aborts, not blank ones
-    val union = intercept[IllegalArgumentException] { gate(
-      """{"type": "object", "properties": {"a": {"type": ["string", "null"]}}}""") }
-    assert(union.getMessage.contains("union"))
+    // beyond-int64 enum literals classify engine-dependently — a named
+    // abort, not a blank one
     val big = intercept[IllegalArgumentException] { gate(
       """{"type": "object", "properties":
         | {"a": {"enum": [18446744073709551615]}}}""".stripMargin) }
     assert(big.getMessage.contains("beyond int64"))
+    // malformed union specs abort with named messages (r14 — the union
+    // itself is now in subset, see the dedicated union test)
+    val dup = intercept[IllegalArgumentException] { gate(
+      """{"type": "object", "properties":
+        | {"a": {"type": ["string", "string"]}}}""".stripMargin) }
+    assert(dup.getMessage.contains("duplicate"))
+    val bad = intercept[IllegalArgumentException] { gate(
+      """{"type": "object", "properties": {"a": {"type": ["str"]}}}""") }
+    assert(bad.getMessage.contains("unsupported JSON-Schema type"))
   }
 
   test("additionalProperties: false (r14) closes objects at the root, at " +
@@ -415,6 +421,46 @@ class JsonSchemaSpec extends SparkSpec {
         parsedCol = None)
     }
     assert(e.getMessage.contains("additionalProperties"))
+  }
+
+  test("union types (r14): the nullable-field idiom — a value passes when " +
+       "ANY member admits it, value checks stay typed-guarded, " +
+       "type: \"null\" alone works, and the parse target maps the " +
+       "single non-null member") {
+    val sc =
+      """{"type": "object",
+        | "properties": {
+        |  "name": {"type": ["string", "null"], "minLength": 2},
+        |  "n":    {"type": ["integer", "null"], "minimum": 0},
+        |  "gone": {"type": "null"},
+        |  "mix":  {"type": ["integer", "boolean"]},
+        |  "tags": {"type": "array",
+        |           "items": {"type": ["string", "null"], "minLength": 2}}}}"""
+        .stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"name": "ab", "n": 3, "gone": null, "mix": true, "tags": ["ab", null]}"""),
+        (2L, """{"name": null, "n": null, "mix": 4}"""),
+        (3L, """{"name": 7}"""),        // neither string nor null
+        (4L, """{"name": "a"}"""),      // string member: value checks apply
+        (5L, """{"gone": "x"}"""),      // only null admitted
+        (6L, """{"mix": 1.5}"""),       // double fails integer|boolean
+        (7L, """{"n": -1}"""),          // int member: minimum applies
+        (8L, """{"tags": [null, "a"]}""")) // null ok; short string fires
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "" && got(2L) == "")
+    assert(got(3L) == "type:$.name")
+    assert(got(4L) == "minlen:$.name")
+    assert(got(5L) == "type:$.gone")
+    assert(got(6L) == "type:$.mix")
+    assert(got(7L) == "min:$.n")
+    assert(got(8L) == "minlen:$.tags[]")
+    // parse target: single non-null member → its Spark type
+    val st = JsonSchemaGate.structType(sc)
+    assert(st("name").dataType == org.apache.spark.sql.types.StringType)
+    assert(st("n").dataType == org.apache.spark.sql.types.LongType)
+    // ambiguous union folds to the best-effort string annotation
+    assert(st("mix").dataType == org.apache.spark.sql.types.StringType)
   }
 
   test("$ref/$defs (r14): local refs inline at compile — nested, chained, " +
