@@ -63,7 +63,10 @@ import scala.jdk.CollectionConverters._
   * engine-identical),
   * r14 local `$ref`/`$defs` (inlined at compile — see [[inlineRefs]]:
   * non-local/unresolvable/sibling-carrying/CYCLIC refs abort loudly, a
-  * recursive schema has no static check list),
+  * recursive schema has no static check list), r14 `allOf` (conjunction
+  * by compile-time MERGE — the `$ref`-base + extra-properties
+  * inheritance idiom; see [[mergeSchemas]] for the merge laws and the
+  * loud collision aborts; `oneOf`/`anyOf`/`not` stay out of subset),
   * nested `properties` to any depth, and `items` with PER-ELEMENT
   * validation to ANY DEPTH (r12 flat, r13 FULL RECURSION): every
   * schema node reachable from an array element — through nested object
@@ -429,9 +432,17 @@ object JsonSchemaGate {
         inlineRefs(root, resolvePointer(root, ref), ref :: stack)
       case None =>
         val out = mapper.createObjectNode()
+        var allOf: Seq[JsonNode] = Nil
         n.fields().asScala.foreach { e =>
           e.getKey match {
             case "$defs" | "definitions" => () // containers: dropped
+            case "allOf" =>
+              // conjunction by COMPILE-TIME MERGE (r14) — see
+              // [[mergeSchemas]]; members are fully ref-inlined first
+              require(e.getValue.isArray && e.getValue.size > 0,
+                s"allOf must be a non-empty array of schemas: ${e.getValue}")
+              allOf = e.getValue.elements().asScala.toSeq
+                .map(inlineRefs(root, _, stack))
             case "properties" =>
               val props = mapper.createObjectNode()
               e.getValue.fields().asScala.foreach(p =>
@@ -443,8 +454,58 @@ object JsonSchemaGate {
             case k => out.set[JsonNode](k, e.getValue)
           }
         }
-        out
+        allOf.foldLeft(out)(mergeSchemas)
     }
+  }
+
+  /** `allOf` conjunction by compile-time merge (r14) — the
+    * schema-inheritance idiom `allOf: [{$ref: #/$defs/base},
+    * {properties: …}]` that (with [[inlineRefs]]) covers the dominant
+    * real-world composition. Merge laws, each a loud abort when they
+    * cannot hold: `properties` merge per NAME (a shared name recurses —
+    * both sides' constraints on that property apply), `required` arrays
+    * UNION, `items` schemas recurse, IDENTICAL values coexist (base and
+    * child both declaring `"type": "object"`), and any OTHER keyword
+    * collision aborts — the conjunction of two different minimums etc.
+    * is out of subset (it has one answer, but silently picking it is a
+    * semantics fork the single-sourced oracle must not risk). `oneOf`/
+    * `anyOf`/`not` remain loud aborts: disjunction and negation have no
+    * static single-tag check list.
+    */
+  private def mergeSchemas(a: JsonNode, b: JsonNode): com.fasterxml.jackson.databind.node.ObjectNode = {
+    require(a.isObject && b.isObject,
+      s"allOf members must be object schemas: $a / $b")
+    val out = a.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    b.fields().asScala.foreach { e =>
+      val k = e.getKey
+      if (!out.has(k)) out.set[JsonNode](k, e.getValue)
+      else if (out.get(k) == e.getValue) () // identical: conjunction is a no-op
+      else k match {
+        case "properties" =>
+          val ap = out.get("properties")
+            .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+          e.getValue.fields().asScala.foreach { p =>
+            if (!ap.has(p.getKey)) ap.set[JsonNode](p.getKey, p.getValue)
+            else ap.set[JsonNode](p.getKey,
+              mergeSchemas(ap.get(p.getKey), p.getValue))
+          }
+          out.set[JsonNode]("properties", ap)
+        case "required" =>
+          val merged = mapper.createArrayNode()
+          val seen = scala.collection.mutable.LinkedHashSet[String]()
+          (out.get("required").elements().asScala ++
+            e.getValue.elements().asScala).foreach(r => seen += r.asText())
+          seen.foreach(merged.add)
+          out.set[JsonNode]("required", merged)
+        case "items" =>
+          out.set[JsonNode]("items", mergeSchemas(out.get("items"), e.getValue))
+        case other => throw new IllegalArgumentException(
+          s"allOf members collide on '$other' (${out.get(other)} vs " +
+            s"${e.getValue}): merging non-identical constraint values is " +
+            "out of the supported subset")
+      }
+    }
+    out
   }
 
   /** resolve a local JSON Pointer (`#/a/b`) against the schema root —

@@ -423,6 +423,55 @@ class JsonSchemaSpec extends SparkSpec {
     assert(e.getMessage.contains("additionalProperties"))
   }
 
+  test("allOf (r14): conjunction by compile-time merge — the $ref-base + " +
+       "extras inheritance idiom; required unions, shared properties " +
+       "recurse, identical values coexist, other collisions abort") {
+    val sc =
+      """{"type": "object",
+        | "$defs": {
+        |  "base": {"type": "object", "required": ["id"],
+        |           "properties": {"id": {"type": "integer"},
+        |                          "meta": {"type": "object",
+        |                                   "required": ["v"]}}}},
+        | "properties": {
+        |  "msg": {"allOf": [
+        |    {"$ref": "#/$defs/base"},
+        |    {"type": "object", "required": ["kind"],
+        |     "properties": {"kind": {"type": "string"},
+        |                    "meta": {"properties":
+        |                             {"v": {"type": "integer"}}}}}]}}}"""
+        .stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"msg": {"id": 1, "kind": "a", "meta": {"v": 2}}}"""),
+        (2L, """{"msg": {"kind": "a"}}"""),          // base's required id
+        (3L, """{"msg": {"id": 1}}"""),              // extension's required
+        (4L, """{"msg": {"id": 1, "kind": "a", "meta": {"v": "x"}}}"""),
+        (5L, """{"msg": {"id": "x", "kind": 2}}"""))  // both sides' types
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "")
+    assert(got(2L) == "missing:$.msg.id")
+    assert(got(3L) == "missing:$.msg.kind")
+    // merged meta: base's required ["v"] + extension's typed v
+    assert(got(4L) == "type:$.msg.meta.v")
+    assert(got(5L) == "type:$.msg.id,type:$.msg.kind")
+    val collide = intercept[IllegalArgumentException] {
+      JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw",
+        """{"type": "object", "properties":
+          | {"x": {"allOf": [{"type": "integer", "minimum": 1},
+          |                  {"minimum": 2}]}}}""".stripMargin,
+        parsedCol = None)
+    }
+    assert(collide.getMessage.contains("collide"))
+    val disj = intercept[IllegalArgumentException] {
+      JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw",
+        """{"type": "object", "properties":
+          | {"x": {"anyOf": [{"type": "integer"}]}}}""".stripMargin,
+        parsedCol = None)
+    }
+    assert(disj.getMessage.contains("unsupported JSON-Schema keyword"))
+  }
+
   test("union types (r14): the nullable-field idiom — a value passes when " +
        "ANY member admits it, value checks stay typed-guarded, " +
        "type: \"null\" alone works, and the parse target maps the " +
