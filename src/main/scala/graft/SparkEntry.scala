@@ -1387,6 +1387,32 @@ object SparkEntry {
       s.read.parquet(idx).select(col("c_custkey"), col("c_name"),
         col("c_nationkey").cast(LongType).as("c_nationkey"))
     }),
+    // the SAME roundtrip under the r14 generation-POINTER protocol (the
+    // object-store-safe swap — no directory rename at all): write,
+    // maintenance-read the live generation through resolveLive, write
+    // back as a new generation, read back bit-for-bit. Shares
+    // q_swap_roundtrip's oracle — the protocols are layout-transparent
+    // to readers, and this row proves it through the DuckDB gate, not
+    // just the spec.
+    "q_swap_pointer" -> ((s, dir) => {
+      val key = "spark.graft.swap.protocol"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "pointer")
+      try {
+        val base = java.nio.file.Files.createTempDirectory("graft_swp_p").toString
+        val idx = s"$base/idx"
+        Sinks.swapWrite(
+          T(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey"),
+          idx, Seq("c_nationkey"))
+        Sinks.swapWrite(
+          s.read.parquet(Sinks.resolveLive(s, idx)), idx, Seq("c_nationkey"))
+        s.read.parquet(Sinks.resolveLive(s, idx)).select(col("c_custkey"),
+          col("c_name"), col("c_nationkey").cast(LongType).as("c_nationkey"))
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }),
     // Z-ORDER layout (D5): the Morton keys zorderWrite range-partitions by.
     // Binning and interleave are pure BIGINT arithmetic, so the oracle
     // replays every key bit-exactly; the file-skip win the layout buys is
@@ -5851,6 +5877,9 @@ object SparkEntry {
     "q_partition_pruning" -> "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
     "q_compact_roundtrip" -> "SELECT c_custkey, c_name, c_nationkey FROM customer",
     "q_swap_roundtrip" -> "SELECT c_custkey, c_name, c_nationkey FROM customer",
+    // layout-transparent by design: the pointer protocol must hand back
+    // the identical table
+    "q_swap_pointer" -> "SELECT c_custkey, c_name, c_nationkey FROM customer",
     // zval mirror: same BIGINT binning, interleave unrolled as 16 shift-or
     // terms (out bit i*2+j = bit i of dim j; dim order custkey, cents)
     "q_zorder" -> {
