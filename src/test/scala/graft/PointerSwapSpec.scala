@@ -134,6 +134,27 @@ class PointerSwapSpec extends SparkSpec {
     }
   }
 
+  test("an in-flight reader frame survives a full generation swap: " +
+       "retention keeps the previous generation's files on disk") {
+    withPointer {
+      val base = java.nio.file.Files.createTempDirectory("ptr_rd").toString
+      val idx = s"$base/idx"
+      Sinks.swapWrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), idx)
+      // the reader resolved gen-0 and its file index listed gen-0's files
+      val frame = graft.streaming.Streams.readIndex(spark, idx,
+        recursive = false)
+      assert(frame.count() == 2)
+      // a new generation lands — the rename protocol's equivalent moment
+      // deletes the old dir within microseconds; the pointer protocol's
+      // retention (keepGenerations = 2) keeps gen-0 intact
+      Sinks.swapWrite(Seq((9L, "z")).toDF("id", "v"), idx)
+      assert(frame.select(col("id")).as[Long].collect().toSet == Set(1L, 2L),
+        "the pre-swap frame must keep reading its own generation")
+      // while NEW readers resolve the new generation
+      assert(rowsOf(idx) == Set((9L, "z")))
+    }
+  }
+
   // ------------------------------------------------------------------
   // the MaintainCrashSpec identity, re-run under the pointer protocol
   // ------------------------------------------------------------------
