@@ -1382,10 +1382,14 @@ object SparkEntry {
       Sinks.swapWrite(
         T(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey"),
         idx, Seq("c_nationkey"))
-      // maintenance shape: read the live dir, write back over it
-      Sinks.swapWrite(s.read.parquet(idx), idx, Seq("c_nationkey"))
-      s.read.parquet(idx).select(col("c_custkey"), col("c_name"),
-        col("c_nationkey").cast(LongType).as("c_nationkey"))
+      // maintenance shape: read the LIVE data, write back over it —
+      // through resolveLive (a no-op on the rename layout), so the query
+      // is protocol-agnostic and the suite runs green under
+      // SPARK_GRAFT_SWAP=pointer too (r14)
+      Sinks.swapWrite(s.read.parquet(Sinks.resolveLive(s, idx)), idx,
+        Seq("c_nationkey"))
+      s.read.parquet(Sinks.resolveLive(s, idx)).select(col("c_custkey"),
+        col("c_name"), col("c_nationkey").cast(LongType).as("c_nationkey"))
     }),
     // the SAME roundtrip under the r14 generation-POINTER protocol (the
     // object-store-safe swap — no directory rename at all): write,
