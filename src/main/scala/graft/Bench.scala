@@ -108,7 +108,12 @@ object Bench {
     val gateRows = Set("q_json_schema", "q_stream_jsonschema")
     val gateDir: String = try {
       val d = java.nio.file.Files.createTempDirectory("graft_bench_events")
-      d.toFile.deleteOnExit()
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import java.nio.file.{Files, Path}
+          Files.walk(d).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+        } catch { case _: Throwable => () }))
       spark.read.parquet(s"$sfDir/events.parquet").repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$d/events.parquet")
       d.toString

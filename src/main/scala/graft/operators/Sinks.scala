@@ -554,9 +554,21 @@ object Sinks {
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val keepGens = spark.conf.get("spark.graft.swap.keepGenerations", "2").toInt
     require(keepGens >= 1, s"keepGenerations must be >= 1, got $keepGens")
+    // legacy RENAME-protocol residue (a protocol switch mid-life): finish
+    // a stranded two-rename swap first — a MARKED sibling `.next` is a
+    // completed generation that must be promoted, not orphaned — then
+    // clear carcass siblings; the pointer protocol never looks at them
+    // again
+    val next = new Path(d.getParent, d.getName + ".next")
+    val old = new Path(d.getParent, d.getName + ".old")
+    if (!fs.exists(d) && fs.exists(next) && fs.exists(markerPath(next)))
+      require(fs.rename(next, d), s"swapWritePointer: rename $next -> $d failed")
     def deleteOrDie(p: Path): Unit =
       require(!fs.exists(p) || fs.delete(p, true),
         s"swapWritePointer: delete $p failed")
+    deleteOrDie(markerPath(d))
+    deleteOrDie(old)
+    deleteOrDie(next)
     val cur = readPointer(fs, d)
     val legacyFlat = fs.exists(d) && !isPointerLayout(fs, d)
     // clean unready carcasses (a crashed write's partial generation is

@@ -134,6 +134,39 @@ class PointerSwapSpec extends SparkSpec {
     }
   }
 
+  test("a protocol switch finishes stranded RENAME-protocol residue: a " +
+       "marked .next promotes (recoverSwap's rename arm), carcass " +
+       "siblings are cleared, and the first pointer swap migrates") {
+    withPointer {
+      val base = java.nio.file.Files.createTempDirectory("ptr_res").toString
+      val idx = s"$base/idx"
+      val f = fs(idx)
+      // the between-renames crash of a rename-protocol life: live dir
+      // missing, completed marked .next
+      Seq((1L, "a")).toDF("id", "v").write.parquet(s"$idx.next")
+      f.create(new Path(s"$idx.next/_SWAP_READY"), true).close()
+      // restart: recoverSwap promotes via its rename arm (the layout is
+      // not pointer yet), THEN the maintain generation reads the live
+      // data and swap-writes back — migrating to pointer layout
+      assert(Sinks.recoverSwap(spark, idx))
+      val maintained = graft.streaming.Streams
+        .readIndex(spark, idx, recursive = false)
+        .union(Seq((2L, "b")).toDF("id", "v"))
+      Sinks.swapWrite(maintained, idx)
+      assert(rowsOf(idx) == Set((1L, "a"), (2L, "b")))
+      assert(!f.exists(new Path(s"$idx.next")) &&
+        !f.exists(new Path(s"$idx.old")))
+      assert(f.exists(new Path(s"$idx/${Sinks.PointerFile}")))
+      // and an unpromoted marked .next BESIDE a live dir follows the
+      // rename arm's documented redo rule: discarded at the next swap
+      Seq((9L, "junk")).toDF("id", "v").write.parquet(s"$idx.next")
+      f.create(new Path(s"$idx.next/_SWAP_READY"), true).close()
+      Sinks.swapWrite(Seq((3L, "c")).toDF("id", "v"), idx)
+      assert(!f.exists(new Path(s"$idx.next")))
+      assert(rowsOf(idx) == Set((3L, "c")))
+    }
+  }
+
   test("an in-flight reader frame survives a full generation swap: " +
        "retention keeps the previous generation's files on disk") {
     withPointer {
