@@ -1038,8 +1038,10 @@ object JsonSchemaGate {
         "WHEN 'BIGINT' THEN 'n' WHEN 'DOUBLE' THEN 'n' " +
         "WHEN 'VARCHAR' THEN 's' WHEN 'BOOLEAN' THEN 'b' " +
         "WHEN 'NULL' THEN 'z' ELSE NULL END)"
+      // + 0.0 folds IEEE -0.0 to 0.0 before rendering (the native set
+      // does the same) — the mathematical-value rule
       val valStr = s"COALESCE((CASE WHEN $bucket = 'n' THEN " +
-        "CAST(TRY_CAST(json_extract_string(ue, '$') AS DOUBLE) AS VARCHAR) " +
+        "CAST(TRY_CAST(json_extract_string(ue, '$') AS DOUBLE) + 0.0 AS VARCHAR) " +
         "ELSE json_extract_string(ue, '$') END), '')"
       s"($fold = 'array' AND " +
         s"(SELECT count(*) FROM $sub WHERE $bucket IS NOT NULL) > " +

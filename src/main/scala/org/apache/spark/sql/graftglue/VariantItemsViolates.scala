@@ -209,7 +209,10 @@ case class VariantItemsViolates(child: Expression, steps: Seq[String],
             val e = v.getElementAtIndex(i)
             canon(e) match {
               case "string"         => dup = !strs.add(e.getString)
-              case "int" | "double" => dup = !nums.add(asDouble(e))
+              // + 0.0 folds IEEE -0.0 to 0.0: boxed-Double sets (and
+              // DuckDB's varchar render) would otherwise distinguish
+              // them, against the mathematical-value rule
+              case "int" | "double" => dup = !nums.add(asDouble(e) + 0.0)
               case "bool" =>
                 if (e.getBoolean) { dup = boolT; boolT = true }
                 else { dup = boolF; boolF = true }

@@ -89,7 +89,7 @@ class JsonSchemaPropertySpec extends SparkSpec {
       val e = arr.get(i)
       canon(e) match {
         case "string" => !seen.add(("s", e.asText()))
-        case "int" | "double" => !seen.add(("n", e.asDouble().toString))
+        case "int" | "double" => !seen.add(("n", (e.asDouble() + 0.0).toString))
         case "bool" => !seen.add(("b", e.asBoolean().toString))
         case "null" => !seen.add(("z", ""))
         case _ => false

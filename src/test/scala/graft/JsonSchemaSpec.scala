@@ -583,7 +583,8 @@ class JsonSchemaSpec extends SparkSpec {
         (5L, """{"nums": [null, null]}"""),    // nulls all equal
         (6L, """{"tags": "ab"}"""),            // non-array: type's business
         (7L, """{"grid": [[1, 2], [3, 3]]}"""), // nested-depth dup
-        (8L, """{"grid": [[1, 2], [1, 2]]}""")) // container elements skip
+        (8L, """{"grid": [[1, 2], [1, 2]]}"""), // container elements skip
+        (9L, """{"nums": [-0.0, 0]}"""))        // IEEE -0.0 ≡ 0 (math value)
       .toDF("id", "raw"), "raw", sc, parsedCol = None)
       .select("id", "violations").as[(Long, String)].collect().toMap
     assert(got(1L) == "")
@@ -598,6 +599,7 @@ class JsonSchemaSpec extends SparkSpec {
     assert(got(6L) == "type:$.tags")
     assert(got(7L) == "unique:$.grid[]")
     assert(got(8L) == "")
+    assert(got(9L) == "unique:$.nums")
     val e = intercept[IllegalArgumentException] {
       JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw",
         """{"type": "object", "properties":
