@@ -679,15 +679,20 @@ class JsonSchemaSpec extends SparkSpec {
   }
 
   test("the gate's projection chain stays WHOLE-STAGE-CODEGEN fused with " +
-       "per-element items checks present (the FUSION.md r6 rule)") {
+       "per-element items checks present (the FUSION.md r6 rule) — " +
+       "including the r14 kinds (extra-key, unique, union types)") {
     val sc =
-      """{"type": "object",
+      """{"type": "object", "additionalProperties": false,
         | "properties": {
-        |  "tags": {"type": "array",
-        |           "items": {"type": "string", "minLength": 1,
+        |  "user": {"type": ["object", "null"],
+        |           "additionalProperties": false,
+        |           "properties": {"id": {"type": "integer"}}},
+        |  "tags": {"type": "array", "uniqueItems": true,
+        |           "items": {"type": ["string", "null"], "minLength": 1,
         |                     "enum": ["ab", "cd"]}}}}""".stripMargin
     val v = JsonSchemaGate.validate(
-      Seq((1L, """{"tags": ["ab"]}""")).toDF("id", "raw"), "raw", sc,
+      Seq((1L, """{"tags": ["ab"], "user": {"id": 1}}"""))
+        .toDF("id", "raw"), "raw", sc,
       parsedCol = None)
     v.collect()
     val plan = v.queryExecution.explainString(
