@@ -504,6 +504,7 @@ object SparkEntry {
       |                                           "minimum": 0}},
       |                        "meta": {"type": "object", "required": ["w"],
       |                                 "additionalProperties": false,
+      |                                 "minProperties": 1,
       |                                 "properties": {
       |                                   "w": {"type": "number"}}}}}}}}""".stripMargin
 

@@ -36,7 +36,10 @@ import scala.jdk.CollectionConverters._
   * (string lengths in code points — Spark `length` ≡ DuckDB `length`),
   * `minItems`/`maxItems` (r13 array element-count bounds — Spark `size`
   * over the extracted array ≡ DuckDB `json_array_length`, fired only on
-  * array-typed nodes as `minitems:`/`maxitems:$.p`),
+  * array-typed nodes as `minitems:`/`maxitems:$.p`), r14
+  * `minProperties`/`maxProperties` (object KEY-COUNT bounds — the native
+  * walk's objectSize ≡ DuckDB `len(json_keys)`, fired only on
+  * object-typed nodes as `minprops:`/`maxprops:$.p`),
   * `pattern` (r13: regex PARTIAL match on string-typed nodes — Spark
   * RLIKE ≡ DuckDB `regexp_matches`; compile rejects backreferences,
   * lookaround, and r14 `\Z` + possessive quantifiers — the constructs
@@ -155,7 +158,9 @@ object JsonSchemaGate {
                           maxItems: Option[Int] = None,
                           pattern: Option[String] = None,
                           closed: Boolean = false,
-                          uniqueItems: Boolean = false)
+                          uniqueItems: Boolean = false,
+                          minProps: Option[Int] = None,
+                          maxProps: Option[Int] = None)
 
   /** keywords this gate VALIDATES, plus JSON-Schema annotations that
     * carry no validation semantics (ignoring them is not a silent
@@ -169,7 +174,7 @@ object JsonSchemaGate {
     "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
     "multipleOf", "minLength", "maxLength",
     "minItems", "maxItems", "pattern", "additionalProperties",
-    "uniqueItems",
+    "uniqueItems", "minProperties", "maxProperties",
     // no-validation annotations — `format` is annotation-only in JSON
     // Schema 2020-12 unless a dialect opts into format-assertion, which
     // this gate does not claim
@@ -335,7 +340,9 @@ object JsonSchemaGate {
       maxItems = intKw("maxItems"),
       pattern = pat,
       closed = closed,
-      uniqueItems = unique)
+      uniqueItems = unique,
+      minProps = intKw("minProperties"),
+      maxProps = intKw("maxProperties"))
   }
 
   /** Scan a `pattern` for constructs outside the shared Java~RE2 regex
@@ -584,6 +591,12 @@ object JsonSchemaGate {
     */
   private case class UniqueCheck(path: String, guards: Seq[String])
       extends Check
+  /** `minProperties`/`maxProperties` (r14): object KEY-COUNT bounds —
+    * fired only on object-typed nodes (Spark: the native walk's
+    * objectSize ≡ DuckDB `len(json_keys(…))`). op ∈ minprops/maxprops.
+    */
+  private case class ObjBound(path: String, op: String, bound: Int,
+                              guards: Seq[String]) extends Check
   /** per-ELEMENT checks over an `items`-typed array at `path` (r12 flat,
     * r13 recursive): fire only when the node IS array-typed (a non-array
     * already reports `type:$path`). `steps` walks from each element —
@@ -635,6 +648,10 @@ object JsonSchemaGate {
         out += ItemsCheck(cp, steps, "maxitems", "", Nil, b.toDouble, guards))
       if (n.uniqueItems)
         out += ItemsCheck(cp, steps, "unique", "", Nil, 0, guards)
+      n.minProps.foreach(b =>
+        out += ItemsCheck(cp, steps, "minprops", "", Nil, b.toDouble, guards))
+      n.maxProps.foreach(b =>
+        out += ItemsCheck(cp, steps, "maxprops", "", Nil, b.toDouble, guards))
       if (n.closed)
         out += ItemsCheck(cp, steps, "extra", "", Nil, 0, guards,
           keys = n.props.map(_._1))
@@ -668,6 +685,8 @@ object JsonSchemaGate {
         child.minItems.foreach(b => out += ArrBound(cp, "minitems", b, guards))
         child.maxItems.foreach(b => out += ArrBound(cp, "maxitems", b, guards))
         if (child.uniqueItems) out += UniqueCheck(cp, guards)
+        child.minProps.foreach(b => out += ObjBound(cp, "minprops", b, guards))
+        child.maxProps.foreach(b => out += ObjBound(cp, "maxprops", b, guards))
         if (child.closed)
           out += ExtraKeys(cp, child.props.map(_._1), guards)
         child.items.foreach(it => elemWalk(cp, Nil, it, guards))
@@ -690,6 +709,8 @@ object JsonSchemaGate {
     root.minItems.foreach(b => out += ArrBound("$", "minitems", b, Nil))
     root.maxItems.foreach(b => out += ArrBound("$", "maxitems", b, Nil))
     if (root.uniqueItems) out += UniqueCheck("$", Nil)
+    root.minProps.foreach(b => out += ObjBound("$", "minprops", b, Nil))
+    root.maxProps.foreach(b => out += ObjBound("$", "maxprops", b, Nil))
     if (root.closed) out += ExtraKeys("$", root.props.map(_._1), Nil)
     root.items.foreach(it => elemWalk("$", Nil, it, Nil))
     walk(root, "$",
@@ -876,6 +897,14 @@ object JsonSchemaGate {
             ColumnBridge.expression(array(node)), Nil, "unique", "",
             Nil, Nil, Nil, Nil, 0, "", ""))
           guarded(c)(t(p) === "array" && cond)
+        // object key-count bounds (r14): same one-element-array device
+        case c @ ObjBound(p, op, b, _) =>
+          import org.apache.spark.sql.graftglue.{ColumnBridge, VariantItemsViolates}
+          val node = expr(s"try_variant_get($vcol, '$p')")
+          val cond = ColumnBridge.column(VariantItemsViolates(
+            ColumnBridge.expression(array(node)), Nil, op, "",
+            Nil, Nil, Nil, Nil, b.toDouble, "", ""))
+          guarded(c)(t(p) === "object" && cond)
         // per-element checks: ONE native compiled walk per check over the
         // extracted array<variant> (graftglue.VariantItemsViolates),
         // guarded on the node being array-typed. A HOF spelling
@@ -927,6 +956,7 @@ object JsonSchemaGate {
     case PatternCheck(p, _, _) => s"pattern:$p"
     case ExtraKeys(p, _, _)    => s"extra:$p"
     case UniqueCheck(p, _)     => s"unique:$p"
+    case ObjBound(p, op, _, _) => s"$op:$p"
     case ItemsCheck(p, steps, kind, _, _, _, _, field, _, _) =>
       val base = s"$p[]${stepSuffix(steps)}"
       kind match {
@@ -1085,6 +1115,9 @@ object JsonSchemaGate {
             s"(${actual(p)} = 'object' AND len($extras) > 0)"
           case UniqueCheck(p, _) =>
             uniqueSql(s"TRY_CAST(($rawExpr) AS JSON)", p, actual(p))
+          case ObjBound(p, op, b, _) =>
+            val cmp = if (op == "minprops") "<" else ">"
+            s"(${actual(p)} = 'object' AND len(json_keys(TRY_CAST(($rawExpr) AS JSON), '$p')) $cmp $b)"
           case ItemsCheck(p, steps, kind, t, vs, b, _, field, pat, ks) =>
             // the terminal check on the node at `rp` under `alias` — each
             // arm guarded on the node's checkable runtime type exactly as
@@ -1123,6 +1156,10 @@ object JsonSchemaGate {
                     else s"list_filter($keysArr, xk -> xk NOT IN (${ks.map(sqlStr).mkString(", ")}))"
                   s"($fold = 'object' AND len($extras) > 0)"
                 case "unique" => uniqueSql(alias, rp, fold)
+                case "minprops" =>
+                  s"($fold = 'object' AND len(json_keys($alias, '$rp')) < ${b.toInt})"
+                case "maxprops" =>
+                  s"($fold = 'object' AND len(json_keys($alias, '$rp')) > ${b.toInt})"
                 case "missing" =>
                   val fp = if (rp == "$") s"$$.$field" else s"$rp.$field"
                   s"($fold = 'object' AND json_type($alias, '$fp') IS NULL)"

@@ -89,7 +89,7 @@ case class VariantItemsViolates(child: Expression, steps: Seq[String],
 
   require(Seq("type", "enum", "min", "max", "xmin", "xmax", "multipleof",
     "minlen", "maxlen", "minitems", "maxitems", "missing",
-    "pattern", "extra", "unique").contains(kind),
+    "pattern", "extra", "unique", "minprops", "maxprops").contains(kind),
     s"variant_items_violates: unknown kind '$kind'")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(VariantType))
@@ -177,6 +177,9 @@ case class VariantItemsViolates(child: Expression, steps: Seq[String],
         c == "string" && !compiledPattern.matcher(v.getString).find()
       case "minitems" => c == "array" && v.arraySize() < bound.toInt
       case "maxitems" => c == "array" && v.arraySize() > bound.toInt
+      // object KEY-COUNT bounds (r14 minProperties/maxProperties)
+      case "minprops" => c == "object" && v.objectSize() < bound.toInt
+      case "maxprops" => c == "object" && v.objectSize() > bound.toInt
       case "missing"  => c == "object" && v.getFieldByKey(field) == null
       // additionalProperties: false (r14): any key outside the declared
       // `keys` set on a reached OBJECT node; non-objects are their own

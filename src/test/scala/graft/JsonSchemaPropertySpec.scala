@@ -156,6 +156,10 @@ class JsonSchemaPropertySpec extends SparkSpec {
       if (c == "array" && v.size() > b) out += s"maxitems:$at")
     if (rn.uniqueItems && c == "array" && hasDupScalars(v))
       out += s"unique:$at"
+    rn.int("minProperties").foreach(b =>
+      if (c == "object" && v.size() < b) out += s"minprops:$at")
+    rn.int("maxProperties").foreach(b =>
+      if (c == "object" && v.size() > b) out += s"maxprops:$at")
     if (rn.closed && c == "object" &&
       hasExtraKey(v, rn.props.map(_._1).toSet)) out += s"extra:$at"
     out.result()
@@ -211,6 +215,12 @@ class JsonSchemaPropertySpec extends SparkSpec {
       if (any(v => canon(v) == "array" && v.size > b)) out += s"maxitems:$at")
     if (rn.uniqueItems &&
       any(v => canon(v) == "array" && hasDupScalars(v))) out += s"unique:$at"
+    rn.int("minProperties").foreach(b =>
+      if (any(v => canon(v) == "object" && v.size() < b))
+        out += s"minprops:$at")
+    rn.int("maxProperties").foreach(b =>
+      if (any(v => canon(v) == "object" && v.size() > b))
+        out += s"maxprops:$at")
     if (rn.closed &&
       any(v => canon(v) == "object" &&
         hasExtraKey(v, rn.props.map(_._1).toSet))) out += s"extra:$at"
@@ -320,6 +330,8 @@ class JsonSchemaPropertySpec extends SparkSpec {
         // generator's 1/3 "extra" key exercises both
         if (rnd.nextInt(3) == 0)
           sc.put("additionalProperties", rnd.nextBoolean())
+        if (rnd.nextInt(4) == 0) sc.put("minProperties", rnd.nextInt(3))
+        if (rnd.nextInt(4) == 0) sc.put("maxProperties", 1 + rnd.nextInt(3))
       case "array" =>
         sc.set[JsonNode]("items", genSchema(depth - 1))
         if (rnd.nextBoolean()) sc.put("minItems", rnd.nextInt(3))

@@ -610,6 +610,38 @@ class JsonSchemaSpec extends SparkSpec {
     assert(e.getMessage.contains("uniqueItems"))
   }
 
+  test("minProperties/maxProperties (r14): object key-count bounds fire " +
+       "on object-typed nodes only, at paths, the root, and element depth") {
+    val sc =
+      """{"type": "object", "minProperties": 1,
+        | "properties": {
+        |  "cfg":  {"type": "object", "minProperties": 1,
+        |           "maxProperties": 2},
+        |  "rows": {"type": "array",
+        |           "items": {"type": "object", "maxProperties": 1}}}}"""
+        .stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"cfg": {"a": 1}, "rows": [{"x": 1}]}"""),
+        (2L, """{"cfg": {}}"""),                     // under min at a path
+        (3L, """{"cfg": {"a": 1, "b": 2, "c": 3}}"""), // over max
+        (4L, """{"cfg": 5}"""),                      // non-object: type's business
+        (5L, """{}"""),                              // root under min
+        (6L, """{"rows": [{"x": 1, "y": 2}]}"""))    // element over max
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "")
+    assert(got(2L) == "minprops:$.cfg")
+    assert(got(3L) == "maxprops:$.cfg")
+    assert(got(4L) == "type:$.cfg")
+    assert(got(5L) == "minprops:$")
+    assert(got(6L) == "maxprops:$.rows[]")
+    val bad = intercept[IllegalArgumentException] {
+      JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw",
+        """{"type": "object", "minProperties": 1.5}""", parsedCol = None)
+    }
+    assert(bad.getMessage.contains("minProperties"))
+  }
+
   test("keyword argument nodes are TYPE-CHECKED at compile (r14): a " +
        "draft-4 boolean exclusiveMinimum, a fractional minLength, or a " +
        "numeric pattern abort instead of silently coercing") {
