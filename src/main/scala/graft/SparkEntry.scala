@@ -478,6 +478,7 @@ object SparkEntry {
   private val jsonSchemaDemo: String =
     """{"type": "object", "required": ["user", "type", "value"],
       | "additionalProperties": false,
+      | "dependentRequired": {"priority": ["tags"]},
       | "$defs": {"money": {"type": "number", "minimum": 0, "maximum": 15}},
       | "properties": {
       |  "user": {"type": "object", "required": ["id"],

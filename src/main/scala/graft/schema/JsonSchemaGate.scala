@@ -160,7 +160,8 @@ object JsonSchemaGate {
                           closed: Boolean = false,
                           uniqueItems: Boolean = false,
                           minProps: Option[Int] = None,
-                          maxProps: Option[Int] = None)
+                          maxProps: Option[Int] = None,
+                          deps: Seq[(String, String)] = Nil)
 
   /** keywords this gate VALIDATES, plus JSON-Schema annotations that
     * carry no validation semantics (ignoring them is not a silent
@@ -174,7 +175,7 @@ object JsonSchemaGate {
     "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
     "multipleOf", "minLength", "maxLength",
     "minItems", "maxItems", "pattern", "additionalProperties",
-    "uniqueItems", "minProperties", "maxProperties",
+    "uniqueItems", "minProperties", "maxProperties", "dependentRequired",
     // no-validation annotations — `format` is annotation-only in JSON
     // Schema 2020-12 unless a dialect opts into format-assertion, which
     // this gate does not claim
@@ -313,6 +314,25 @@ object JsonSchemaGate {
     // as the shared correctly-rounded DOUBLE (1 and 1.0 are duplicates —
     // the JSON-Schema mathematical-value rule, and the gate's
     // established numeric convention); JSON nulls are all equal.
+    // dependentRequired (r14): presence of key A on an object requires
+    // keys B… — flattened to (if, then) pairs in declaration order; both
+    // sides are path-interpolated names, so the identifier guard applies
+    val deps: Seq[(String, String)] =
+      Option(n.get("dependentRequired")).toSeq.flatMap { d =>
+        require(d.isObject,
+          s"dependentRequired must be an object of name -> [names]: $d")
+        d.fields().asScala.flatMap { e =>
+          require(e.getKey.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"non-identifier dependentRequired name: ${e.getKey}")
+          require(e.getValue.isArray,
+            s"dependentRequired values must be arrays of names: ${e.getValue}")
+          e.getValue.elements().asScala.map { t =>
+            require(t.isTextual && t.asText().matches("[A-Za-z_][A-Za-z0-9_]*"),
+              s"non-identifier dependentRequired target: $t")
+            (e.getKey, t.asText())
+          }
+        }.toSeq
+      }
     val unique = Option(n.get("uniqueItems")).exists { v =>
       require(v.isBoolean, s"uniqueItems must be a boolean, got: $v")
       v.asBoolean()
@@ -342,7 +362,8 @@ object JsonSchemaGate {
       closed = closed,
       uniqueItems = unique,
       minProps = intKw("minProperties"),
-      maxProps = intKw("maxProperties"))
+      maxProps = intKw("maxProperties"),
+      deps = deps)
   }
 
   /** Scan a `pattern` for constructs outside the shared Java~RE2 regex
@@ -597,6 +618,17 @@ object JsonSchemaGate {
     */
   private case class ObjBound(path: String, op: String, bound: Int,
                               guards: Seq[String]) extends Check
+  /** `dependentRequired` (r14): the object at `path` carrying `ifKey`
+    * (a JSON-null value IS present) but lacking `thenKey` violates —
+    * tag `dep:$path.thenKey`. `ifPath` is collected into the shared
+    * per-path type columns alongside the check's own path.
+    */
+  private case class DepRequired(path: String, ifKey: String,
+                                 thenKey: String,
+                                 guards: Seq[String]) extends Check {
+    def ifPath: String = s"$path.$ifKey"
+    def thenPath: String = s"$path.$thenKey"
+  }
   /** per-ELEMENT checks over an `items`-typed array at `path` (r12 flat,
     * r13 recursive): fire only when the node IS array-typed (a non-array
     * already reports `type:$path`). `steps` walks from each element —
@@ -655,6 +687,10 @@ object JsonSchemaGate {
       if (n.closed)
         out += ItemsCheck(cp, steps, "extra", "", Nil, 0, guards,
           keys = n.props.map(_._1))
+      n.deps.foreach { case (ifK, thenK) =>
+        out += ItemsCheck(cp, steps, "dep", ifK, Nil, 0, guards,
+          field = thenK)
+      }
       // required names WITHOUT a properties entry still fire (r13), in
       // sorted order for a deterministic fragment list
       (n.required -- n.props.map(_._1)).toSeq.sorted.foreach(f =>
@@ -689,6 +725,9 @@ object JsonSchemaGate {
         child.maxProps.foreach(b => out += ObjBound(cp, "maxprops", b, guards))
         if (child.closed)
           out += ExtraKeys(cp, child.props.map(_._1), guards)
+        child.deps.foreach { case (ifK, thenK) =>
+          out += DepRequired(cp, ifK, thenK, guards)
+        }
         child.items.foreach(it => elemWalk(cp, Nil, it, guards))
         if (child.props.nonEmpty || child.required.nonEmpty)
           walk(child, cp, guards :+ cp)
@@ -712,6 +751,9 @@ object JsonSchemaGate {
     root.minProps.foreach(b => out += ObjBound("$", "minprops", b, Nil))
     root.maxProps.foreach(b => out += ObjBound("$", "maxprops", b, Nil))
     if (root.closed) out += ExtraKeys("$", root.props.map(_._1), Nil)
+    root.deps.foreach { case (ifK, thenK) =>
+      out += DepRequired("$", ifK, thenK, Nil)
+    }
     root.items.foreach(it => elemWalk("$", Nil, it, Nil))
     walk(root, "$",
       if (root.typ.exists(_.split('|').contains("object"))) Seq("$") else Nil)
@@ -818,7 +860,9 @@ object JsonSchemaGate {
     // column IS the same expression, evaluated once. Array paths under
     // per-element checks likewise extract their array<variant> ONCE.
     val typeCols: Map[String, String] =
-      (checks.map(_.path) ++ checks.flatMap(_.guards)).distinct
+      (checks.map(_.path) ++ checks.flatMap(_.guards) ++
+        checks.collect { case d: DepRequired => Seq(d.ifPath, d.thenPath) }
+          .flatten).distinct
         .zipWithIndex.map { case (p, i) => p -> fresh(s"__jst$i") }.toMap
     val arrCols: Map[String, String] =
       checks.collect { case ic: ItemsCheck => ic.path
@@ -897,6 +941,11 @@ object JsonSchemaGate {
             ColumnBridge.expression(array(node)), Nil, "unique", "",
             Nil, Nil, Nil, Nil, 0, "", ""))
           guarded(c)(t(p) === "array" && cond)
+        // dependentRequired (r14): presence is the per-path type column
+        // being non-null (a JSON-null property IS present)
+        case c @ DepRequired(p, _, _, _) =>
+          guarded(c)(t(p) === "object" &&
+            t(c.ifPath).isNotNull && t(c.thenPath).isNull)
         // object key-count bounds (r14): same one-element-array device
         case c @ ObjBound(p, op, b, _) =>
           import org.apache.spark.sql.graftglue.{ColumnBridge, VariantItemsViolates}
@@ -957,10 +1006,12 @@ object JsonSchemaGate {
     case ExtraKeys(p, _, _)    => s"extra:$p"
     case UniqueCheck(p, _)     => s"unique:$p"
     case ObjBound(p, op, _, _) => s"$op:$p"
+    case d: DepRequired        => s"dep:${d.thenPath}"
     case ItemsCheck(p, steps, kind, _, _, _, _, field, _, _) =>
       val base = s"$p[]${stepSuffix(steps)}"
       kind match {
         case "missing" => s"missing:$base.$field"
+        case "dep"     => s"dep:$base.$field"
         case k         => s"$k:$base"
       }
   }
@@ -1118,6 +1169,8 @@ object JsonSchemaGate {
           case ObjBound(p, op, b, _) =>
             val cmp = if (op == "minprops") "<" else ">"
             s"(${actual(p)} = 'object' AND len(json_keys(TRY_CAST(($rawExpr) AS JSON), '$p')) $cmp $b)"
+          case d @ DepRequired(p, _, _, _) =>
+            s"(${actual(p)} = 'object' AND ${actual(d.ifPath)} IS NOT NULL AND ${actual(d.thenPath)} IS NULL)"
           case ItemsCheck(p, steps, kind, t, vs, b, _, field, pat, ks) =>
             // the terminal check on the node at `rp` under `alias` — each
             // arm guarded on the node's checkable runtime type exactly as
@@ -1160,6 +1213,10 @@ object JsonSchemaGate {
                   s"($fold = 'object' AND len(json_keys($alias, '$rp')) < ${b.toInt})"
                 case "maxprops" =>
                   s"($fold = 'object' AND len(json_keys($alias, '$rp')) > ${b.toInt})"
+                case "dep" =>
+                  val ifP = if (rp == "$") s"$$.$t" else s"$rp.$t"
+                  val thenP = if (rp == "$") s"$$.$field" else s"$rp.$field"
+                  s"($fold = 'object' AND json_type($alias, '$ifP') IS NOT NULL AND json_type($alias, '$thenP') IS NULL)"
                 case "missing" =>
                   val fp = if (rp == "$") s"$$.$field" else s"$rp.$field"
                   s"($fold = 'object' AND json_type($alias, '$fp') IS NULL)"

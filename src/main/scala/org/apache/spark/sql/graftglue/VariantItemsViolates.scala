@@ -89,7 +89,8 @@ case class VariantItemsViolates(child: Expression, steps: Seq[String],
 
   require(Seq("type", "enum", "min", "max", "xmin", "xmax", "multipleof",
     "minlen", "maxlen", "minitems", "maxitems", "missing",
-    "pattern", "extra", "unique", "minprops", "maxprops").contains(kind),
+    "pattern", "extra", "unique", "minprops", "maxprops",
+    "dep").contains(kind),
     s"variant_items_violates: unknown kind '$kind'")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(VariantType))
@@ -180,6 +181,12 @@ case class VariantItemsViolates(child: Expression, steps: Seq[String],
       // object KEY-COUNT bounds (r14 minProperties/maxProperties)
       case "minprops" => c == "object" && v.objectSize() < bound.toInt
       case "maxprops" => c == "object" && v.objectSize() > bound.toInt
+      // dependentRequired (r14): `expected` carries the if-key, `field`
+      // the then-key — a reached object with the if-key present (JSON
+      // null IS present) but the then-key absent violates
+      case "dep" =>
+        c == "object" && v.getFieldByKey(expected) != null &&
+          v.getFieldByKey(field) == null
       case "missing"  => c == "object" && v.getFieldByKey(field) == null
       // additionalProperties: false (r14): any key outside the declared
       // `keys` set on a reached OBJECT node; non-objects are their own

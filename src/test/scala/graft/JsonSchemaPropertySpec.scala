@@ -78,6 +78,15 @@ class JsonSchemaPropertySpec extends SparkSpec {
       Option(sc.get("additionalProperties")).exists(v => !v.asBoolean())
     def uniqueItems: Boolean =
       Option(sc.get("uniqueItems")).exists(_.asBoolean())
+    def deps: Seq[(String, String)] =
+      Option(sc.get("dependentRequired")).toSeq.flatMap { d =>
+        val it = d.fields()
+        Iterator.continually(if (it.hasNext) it.next() else null)
+          .takeWhile(_ != null)
+          .flatMap(e => (0 until e.getValue.size)
+            .map(i => e.getKey -> e.getValue.get(i).asText()))
+          .toSeq
+      }
   }
 
   /** the documented uniqueItems rule, independently: two equal SCALAR
@@ -162,6 +171,10 @@ class JsonSchemaPropertySpec extends SparkSpec {
       if (c == "object" && v.size() > b) out += s"maxprops:$at")
     if (rn.closed && c == "object" &&
       hasExtraKey(v, rn.props.map(_._1).toSet)) out += s"extra:$at"
+    rn.deps.foreach { case (ifK, thenK) =>
+      if (c == "object" && v.has(ifK) && !v.has(thenK))
+        out += s"dep:$at.$thenK"
+    }
     out.result()
   }
 
@@ -224,6 +237,10 @@ class JsonSchemaPropertySpec extends SparkSpec {
     if (rn.closed &&
       any(v => canon(v) == "object" &&
         hasExtraKey(v, rn.props.map(_._1).toSet))) out += s"extra:$at"
+    rn.deps.foreach { case (ifK, thenK) =>
+      if (any(v => canon(v) == "object" && v.has(ifK) && !v.has(thenK)))
+        out += s"dep:$at.$thenK"
+    }
     val propNames = rn.props.map(_._1).toSet
     rn.required.filterNot(propNames).sorted.foreach { f =>
       if (any(v => canon(v) == "object" && !v.has(f)))
@@ -332,6 +349,11 @@ class JsonSchemaPropertySpec extends SparkSpec {
           sc.put("additionalProperties", rnd.nextBoolean())
         if (rnd.nextInt(4) == 0) sc.put("minProperties", rnd.nextInt(3))
         if (rnd.nextInt(4) == 0) sc.put("maxProperties", 1 + rnd.nextInt(3))
+        // r14 dependentRequired between two declared property names
+        if (rnd.nextInt(4) == 0 && used.size >= 2) {
+          val dd = sc.putObject("dependentRequired")
+          val arr = dd.putArray(used(0)); arr.add(used(1))
+        }
       case "array" =>
         sc.set[JsonNode]("items", genSchema(depth - 1))
         if (rnd.nextBoolean()) sc.put("minItems", rnd.nextInt(3))

@@ -610,6 +610,40 @@ class JsonSchemaSpec extends SparkSpec {
     assert(e.getMessage.contains("uniqueItems"))
   }
 
+  test("dependentRequired (r14): key presence (incl. JSON null) requires " +
+       "the dependent keys — at paths, the root, and element depth; " +
+       "non-identifier names abort") {
+    val sc =
+      """{"type": "object",
+        | "dependentRequired": {"card": ["billing", "cvv"]},
+        | "properties": {
+        |  "user": {"type": "object",
+        |           "dependentRequired": {"email": ["verified"]}},
+        |  "rows": {"type": "array",
+        |           "items": {"dependentRequired": {"a": ["b"]}}}}}"""
+        .stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"card": 1, "billing": "x", "cvv": 2}"""),
+        (2L, """{"billing": "x"}"""),           // no trigger key: fine
+        (3L, """{"card": 1, "billing": "x"}"""), // cvv missing
+        (4L, """{"card": null}"""),              // JSON null IS present
+        (5L, """{"user": {"email": "e"}}"""),    // nested
+        (6L, """{"rows": [{"a": 1}, {"a": 1, "b": 2}]}""")) // element
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "" && got(2L) == "")
+    assert(got(3L) == "dep:$.cvv")
+    assert(got(4L) == "dep:$.billing,dep:$.cvv")
+    assert(got(5L) == "dep:$.user.verified")
+    assert(got(6L) == "dep:$.rows[].b")
+    val e = intercept[IllegalArgumentException] {
+      JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw",
+        """{"type": "object", "dependentRequired": {"a b": ["c"]}}""",
+        parsedCol = None)
+    }
+    assert(e.getMessage.contains("non-identifier"))
+  }
+
   test("minProperties/maxProperties (r14): object key-count bounds fire " +
        "on object-typed nodes only, at paths, the root, and element depth") {
     val sc =
