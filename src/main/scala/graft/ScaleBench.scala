@@ -730,12 +730,13 @@ object ScaleBench {
           .map(_.split(",").map(_.trim).toSeq)
           .getOrElse(Seq("default", "rocksdb"))
         for (provider <- providers) {
+          // the 'default' arm must UNSET the conf, not restore provPrev:
+          // under SPARK_GRAFT_STATESTORE=rocksdb the session's previous
+          // value IS RocksDB, and restoring it would silently measure
+          // RocksDB in both arms while labeling one "default".
           if (provider == "rocksdb")
             spark.conf.set(provKey, GraftSession.RocksDbProvider)
-          else provPrev match {
-            case Some(v) => spark.conf.set(provKey, v)
-            case None    => spark.conf.unset(provKey)
-          }
+          else spark.conf.unset(provKey)
           val ckpt = s"$root/ckpt_$provider"
           val res = try {
             import spark.implicits._

@@ -276,6 +276,14 @@ object Sinks {
     * `spark.graft.swap.protocol` conf (`rename` | `pointer` | `auto`).
     * A directory already in pointer layout stays pointer regardless of
     * the conf. plans/LAYOUT.md states the full deployment matrix.
+    *
+    * Pointer-protocol retention honors `spark.graft.swap.keepGenerations`
+    * (count, default 2) AND `spark.graft.swap.keepMinAgeMs` (time floor,
+    * default 0): a ready generation is retired only when beyond the
+    * count bound and older than the floor — the reader SLA "any scan
+    * that resolved `_CURRENT` within the last keepMinAgeMs finds every
+    * file it listed", which the count bound alone cannot promise under
+    * back-to-back maintain bursts.
     */
   def swapWrite(df: DataFrame, dir: String,
                 partitionCols: Seq[String] = Nil): Unit = {
@@ -467,18 +475,25 @@ object Sinks {
   /** the generation number `_CURRENT` names, if the pointer exists and
     * parses (a torn/empty pointer — impossible under atomic PUT, handled
     * defensively — reads as absent and readers fall back to the newest
-    * READY generation, which is never older than a valid pointer).
+    * READY generation, which is never older than a valid pointer). The
+    * exists→open pair is not atomic: a writer's delete→rename update can
+    * land between the two calls, so a vanished pointer reads as absent
+    * too — the same fallback covers it.
     */
   private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
                           d: org.apache.hadoop.fs.Path): Option[Long] = {
     val pf = new org.apache.hadoop.fs.Path(d, PointerFile)
     if (!fs.exists(pf)) None
     else {
-      val in = fs.open(pf)
-      val txt =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      genNumber(txt)
+      try {
+        val in = fs.open(pf)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        genNumber(txt)
+      } catch {
+        case _: java.io.FileNotFoundException => None
+      }
     }
   }
 
@@ -585,8 +600,25 @@ object Sinks {
     fs.create(new Path(gen, GenReadyMarker), true).close()
     writePointer(fs, d, nextN)
     // retention: the new generation + its keepGens-1 newest predecessors
+    // always survive; `spark.graft.swap.keepMinAgeMs` (default 0 = count
+    // only) is a TIME floor on top — a generation is retired only when
+    // BOTH beyond keepGenerations AND its _GEN_READY marker is older than
+    // the floor. The count bound covers "a reader resolved the previous
+    // pointer and is still scanning"; the floor turns that into an
+    // explicit reader SLA ("any scan started in the last N ms finds its
+    // files") that survives bursts of back-to-back maintains, where the
+    // previous generation can otherwise be retired milliseconds after it
+    // stopped being current (contract: plans/LAYOUT.md).
+    val keepMinAgeMs =
+      spark.conf.get("spark.graft.swap.keepMinAgeMs", "0").toLong
+    val nowMs = System.currentTimeMillis()
+    def readyAgeMs(p: Path): Long =
+      try nowMs - fs.getFileStatus(new Path(p, GenReadyMarker))
+        .getModificationTime
+      catch { case _: java.io.FileNotFoundException => Long.MaxValue }
     listGens(fs, d).filter { case (n, p) => n != nextN && genReady(fs, p) }
       .dropRight(keepGens - 1)
+      .filter { case (_, p) => readyAgeMs(p) >= keepMinAgeMs }
       .foreach { case (_, p) => deleteOrDie(p) }
     // legacy flat content (a rename-protocol life before the protocol
     // switch) is retired only now — the input frame read those files and

@@ -71,6 +71,40 @@ class PointerSwapSpec extends SparkSpec {
     }
   }
 
+  test("keepMinAgeMs time-floors retention: a young generation beyond " +
+       "keepGenerations survives until it ages past the floor") {
+    withPointer {
+      val key = "spark.graft.swap.keepMinAgeMs"
+      val prev = spark.conf.getOption(key)
+      // 1h floor: every generation written in this test is "young", so
+      // count-based retirement is suspended — the reader-SLA contract
+      // (plans/LAYOUT.md): any scan started within the floor finds its
+      // files even across a burst of back-to-back maintains
+      spark.conf.set(key, "3600000")
+      try {
+        val base = java.nio.file.Files.createTempDirectory("ptr_floor").toString
+        val idx = s"$base/idx"
+        Sinks.swapWrite(Seq((1L, "a")).toDF("id", "v"), idx)
+        Sinks.swapWrite(Seq((2L, "b")).toDF("id", "v"), idx)
+        // gen-0 is now beyond keepGenerations=2 but younger than the
+        // floor: it must survive
+        Sinks.swapWrite(Seq((3L, "c")).toDF("id", "v"), idx)
+        val f = fs(idx)
+        def gens() = f.listStatus(new Path(idx)).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("gen-")).sorted.toSeq
+        assert(gens() == Seq("gen-0", "gen-1", "gen-2"),
+          s"retained: ${gens()}")
+        assert(rowsOf(idx) == Set((3L, "c")))
+        // dropping the floor to 0 restores count-only retention on the
+        // next maintain — the backlog drains, newest two remain
+        spark.conf.set(key, "0")
+        Sinks.swapWrite(Seq((4L, "d")).toDF("id", "v"), idx)
+        assert(gens() == Seq("gen-2", "gen-3"), s"retained: ${gens()}")
+        assert(rowsOf(idx) == Set((4L, "d")))
+      } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("a legacy FLAT dir migrates on the first pointer-protocol swap; " +
        "partitioned generations keep their partition column") {
     withPointer {
