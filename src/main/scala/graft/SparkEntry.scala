@@ -44,13 +44,19 @@ object SparkEntry {
   // keyed by session alone, remembering the dir: the catalog names are
   // session-global, so a SECOND sf-dir in the same session must rewrite
   // (tables re-point) rather than serve the stale memo. The names carry
-  // a per-JVM suffix so two concurrent benches sharing one warehouse
-  // directory never relocate each other's tables (r13 verdict nit).
+  // a per-SESSION suffix (not just per-JVM, r14 ADVICE: two sessions in
+  // one JVM sharing a metastore each took the memo miss under a shared
+  // per-JVM suffix and relocated each other's tables) so no pair of
+  // sessions or JVMs sharing a warehouse ever writes the same name.
   private val bucketedBases =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, (String, String)]()
-  private lazy val bktSuffix =
-    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-  private def bktTable(side: String): String = s"graft_bkt_${side}_$bktSuffix"
+  private val bktSuffixes =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  private def bktTable(s: SparkSession, side: String): String = {
+    val sfx = bktSuffixes.computeIfAbsent(s, _ =>
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8))
+    s"graft_bkt_${side}_$sfx"
+  }
   private lazy val bucketedTmpRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_bucket")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -69,11 +75,11 @@ object SparkEntry {
           .createTempDirectory(bucketedTmpRoot, "sf").toString
         Sinks.writeBucketed(
           T(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
-          bktTable("orders"), s"$base/orders", Seq("o_orderkey"), buckets = 8,
+          bktTable(s, "orders"), s"$base/orders", Seq("o_orderkey"), buckets = 8,
           sortCols = Seq("o_orderkey"))
         Sinks.writeBucketed(
           T(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
-          bktTable("lineitem"), s"$base/lineitem", Seq("l_orderkey"),
+          bktTable(s, "lineitem"), s"$base/lineitem", Seq("l_orderkey"),
           buckets = 8, sortCols = Seq("l_orderkey"))
         bucketedBases.put(s, (dir, base))
         base
@@ -436,7 +442,17 @@ object SparkEntry {
     * outright. r14 `additionalProperties: false` coverage at all three
     * depths: shape 1's `meta.unit` (array-element depth,
     * `extra:$.items[].meta`), shape 2's `user.role` (nested,
-    * `extra:$.user`), shape 4's root `debug` (`extra:$`); r14
+    * `extra:$.user`), shape 4's root `_debug` (`extra:$` — and r15
+    * `propname:$`, the underscore failing the root propertyNames
+    * pattern); r15 `contains` coverage at all three depths: shape 1's
+    * tags hold TWO `^(b|ok)` matches (maxContains 1 → `contains:$.tags`)
+    * where shape 3's hold none (minContains → same tag), shape 2's
+    * items hold no `sku`-bearing element (`contains:$.items`), and
+    * shape 1's dims hold no integer in [1,5]
+    * (`contains:$.items[].dims`, element depth); r15 `propertyNames`
+    * likewise: shape 1's `meta.unit` key fails `^[a-z]$`
+    * (`propname:$.items[].meta`), shape 2's `user.role` key fails
+    * `^(id|name)$` (`propname:$.user`); r14
     * `uniqueItems` on tags — shape 1's repeated "ok" fires
     * `unique:$.tags` (its integer 3 stays the element type check's
     * business), and shape 3's `["a", null, null]` pins BOTH the r14
@@ -461,7 +477,7 @@ object SparkEntry {
       |  WHEN 1 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "' || event_type || '", "value": "' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '", "tags": ["ok", 3, "ok"], "priority": 9, "items": [{"sku": "x", "qty": 1, "lot": 2, "dims": [9, -2, "x"], "meta": {"w": "heavy", "unit": "kg"}}]}'
       |  WHEN 2 THEN '{"user": {"name": "u' || CAST(user_id AS STRING) || '", "role": "admin"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "priority": null, "items": [{"qty": 0, "meta": {}}]}'
       |  WHEN 3 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "badtype", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["a", null, null], "priority": "high", "items": []}'
-      |  ELSE '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "v' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "debug": true}'
+      |  ELSE '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "v' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "_debug": true}'
       | END END""".stripMargin.replace("\n", " ")
 
   /** The q_json_schema demo schema (types + required + enum — incl. the
@@ -473,16 +489,23 @@ object SparkEntry {
     * bounds (`qty` minimum), a properties-less required (`lot`), and
     * the r13 `pattern` on user.name — the supported subset exercised
     * end to end). r14: `additionalProperties: false` closes the root,
-    * the nested `user`, and the array-element `meta` objects.
+    * the nested `user`, and the array-element `meta` objects. r15:
+    * `contains`/`minContains`/`maxContains` at all three depths (tags —
+    * both count bounds; items — an object-satisfaction subschema via
+    * `required`; dims — a three-term conjunction at element depth) and
+    * `propertyNames` patterns on the root, the nested `user`, and the
+    * element-depth `meta`.
     */
   private val jsonSchemaDemo: String =
     """{"type": "object", "required": ["user", "type", "value"],
       | "additionalProperties": false,
+      | "propertyNames": {"pattern": "^[a-z]+$"},
       | "dependentRequired": {"priority": ["tags"]},
       | "$defs": {"money": {"type": "number", "minimum": 0, "maximum": 15}},
       | "properties": {
       |  "user": {"type": "object", "required": ["id"],
       |           "additionalProperties": false,
+      |           "propertyNames": {"pattern": "^(id|name)$"},
       |           "properties": {"id": {"type": "integer", "minimum": 0},
       |                          "name": {"type": "string", "minLength": 1,
       |                                   "maxLength": 64,
@@ -491,20 +514,27 @@ object SparkEntry {
       |           "enum": ["click", "view", "purchase", "error", "signup"]},
       |  "value": {"$ref": "#/$defs/money"},
       |  "tags": {"type": "array", "maxItems": 8, "uniqueItems": true,
+      |           "contains": {"type": "string", "pattern": "^(b|ok)"},
+      |           "minContains": 1, "maxContains": 1,
       |           "items": {"type": "string", "minLength": 1,
       |                     "maxLength": 8}},
       |  "priority": {"type": ["integer", "null"], "enum": [1, 2, 3],
       |               "multipleOf": 2},
       |  "items": {"type": "array", "minItems": 1,
+      |            "contains": {"required": ["sku"]},
       |            "items": {"type": "object", "required": ["sku", "lot"],
       |                      "properties": {
       |                        "sku": {"type": "integer"},
       |                        "qty": {"type": "integer", "minimum": 1},
       |                        "dims": {"type": "array", "maxItems": 2,
+      |                                 "contains": {"type": "integer",
+      |                                              "minimum": 1,
+      |                                              "maximum": 5},
       |                                 "items": {"type": "integer",
       |                                           "minimum": 0}},
       |                        "meta": {"type": "object", "required": ["w"],
       |                                 "additionalProperties": false,
+      |                                 "propertyNames": {"pattern": "^[a-z]$"},
       |                                 "minProperties": 1,
       |                                 "properties": {
       |                                   "w": {"type": "number"}}}}}}}}""".stripMargin
@@ -752,8 +782,8 @@ object SparkEntry {
       // iterations, spec re-runs — reuse the layout instead of accumulating
       // a fresh temp dir + catalog relocation each time (r13 ADVICE)
       bucketedFixture(s, dir)
-      val o = s.table(bktTable("orders"))
-      val l = s.table(bktTable("lineitem"))
+      val o = s.table(bktTable(s, "orders"))
+      val l = s.table(bktTable(s, "lineitem"))
       // MERGE hint: pin the sort-merge join the planner picks when both
       // fact sides exceed the broadcast threshold (the regime bucketing
       // exists for) — at bench scale orders would otherwise broadcast

@@ -64,6 +64,18 @@ import scala.jdk.CollectionConverters._
   * so every per-element replay routes through a list_transform that
   * restores the JSON null literal, keeping element classification
   * engine-identical),
+  * r15 `contains`/`minContains`/`maxContains` (the array must hold
+  * between minContains (default 1) and maxContains (default unbounded)
+  * elements SATISFYING the subschema — satisfaction is the ANY/COUNT
+  * quantification of the same per-element walk: an element satisfies iff
+  * it violates NONE of the subschema's compiled terms, a term's
+  * typed-guard skip being exactly JSON Schema's vacuous pass; tag
+  * `contains:$.p`; nested contains-in-contains aborts — no static
+  * single-tag check list), r15 `propertyNames` (PATTERN form only — the
+  * one check on the KEYS themselves, partial-match like `pattern`; keys
+  * never enter a compiled path so the path-injection identifier rule
+  * does not apply; tag `propname:$.p`; any other propertyNames keyword
+  * aborts),
   * r14 local `$ref`/`$defs` (inlined at compile — see [[inlineRefs]]:
   * non-local/unresolvable/sibling-carrying/CYCLIC refs abort loudly, a
   * recursive schema has no static check list), r14 `allOf` (conjunction
@@ -161,7 +173,11 @@ object JsonSchemaGate {
                           uniqueItems: Boolean = false,
                           minProps: Option[Int] = None,
                           maxProps: Option[Int] = None,
-                          deps: Seq[(String, String)] = Nil)
+                          deps: Seq[(String, String)] = Nil,
+                          contains: Option[Node] = None,
+                          minContains: Option[Int] = None,
+                          maxContains: Option[Int] = None,
+                          propNames: Option[String] = None)
 
   /** keywords this gate VALIDATES, plus JSON-Schema annotations that
     * carry no validation semantics (ignoring them is not a silent
@@ -176,6 +192,7 @@ object JsonSchemaGate {
     "multipleOf", "minLength", "maxLength",
     "minItems", "maxItems", "pattern", "additionalProperties",
     "uniqueItems", "minProperties", "maxProperties", "dependentRequired",
+    "contains", "minContains", "maxContains", "propertyNames",
     // no-validation annotations — `format` is annotation-only in JSON
     // Schema 2020-12 unless a dialect opts into format-assertion, which
     // this gate does not claim
@@ -192,8 +209,9 @@ object JsonSchemaGate {
         s"unsupported JSON-Schema keyword: $k (the gate validates " +
           "type/enum/required/properties/items/minimum/maximum/" +
           "minLength/maxLength/minItems/maxItems/pattern/" +
-          "additionalProperties/uniqueItems; a keyword it cannot " +
-          "enforce must abort rather than silently no-op)")
+          "additionalProperties/uniqueItems/contains/propertyNames; a " +
+          "keyword it cannot enforce must abort rather than silently " +
+          "no-op)")
     }
     // keyword ARGUMENT nodes are type-checked before coercion (r14 —
     // Jackson's asDouble()/asInt()/asText() coerce silently: a draft-4
@@ -348,6 +366,51 @@ object JsonSchemaGate {
           "null) — container-element deep equality is out of the " +
           "supported subset and must abort rather than silently no-op")
     }
+    // contains/minContains/maxContains (r15): the subschema compiles
+    // like any other node — an array element SATISFIES it iff it
+    // violates NONE of the subschema's walk terms (a term's typed-guard
+    // skip is exactly JSON Schema's vacuous pass: a bare `minimum`
+    // admits strings). A NESTED contains inside the subschema would put
+    // a count-quantifier under a count-quantifier — out of subset, loud
+    // abort (no static single-tag check list). min/maxContains without
+    // contains, or a statically unsatisfiable pair, abort too.
+    val containsSub = Option(n.get("contains")).map { c =>
+      val sub = compile(c)
+      def noNested(nd: Node): Unit = {
+        require(nd.contains.isEmpty,
+          "a nested `contains` inside a contains subschema is out of " +
+            "the supported subset (a count quantifier under a count " +
+            "quantifier has no static single-tag check list)")
+        nd.props.foreach { case (_, p) => noNested(p) }
+        nd.items.foreach(noNested)
+      }
+      noNested(sub)
+      sub
+    }
+    val minCont = intKw("minContains")
+    val maxCont = intKw("maxContains")
+    require(containsSub.nonEmpty || (minCont.isEmpty && maxCont.isEmpty),
+      "minContains/maxContains without a `contains` subschema " +
+        "constrain nothing — a silently-ignored keyword must abort")
+    for (lo <- minCont.orElse(Some(1).filter(_ => maxCont.nonEmpty));
+         hi <- maxCont)
+      require(hi >= lo,
+        s"maxContains ($hi) < minContains ($lo) is statically " +
+          "unsatisfiable — every array would violate; abort loudly")
+    // propertyNames (r15): a check on the KEYS themselves — keys never
+    // enter a compiled path, so only the PATTERN form is in subset
+    // (`propertyNames: {pattern: "..."}`; partial match, the gate's
+    // pattern convention). Any other subschema keyword on the keys
+    // (type/enum/length…) aborts loudly.
+    val propNamesPat = Option(n.get("propertyNames")).map { v =>
+      require(v.isObject && v.size == 1 && v.has("pattern") &&
+        v.get("pattern").isTextual,
+        "propertyNames supports exactly the pattern form " +
+          s"""({"pattern": "..."}) in the supported subset, got: $v""")
+      val p = v.get("pattern").asText()
+      javaPatternForm(p)
+      p
+    }
     Node(typ, enumVals, req, props, items,
       minimum = numKw("minimum"),
       maximum = numKw("maximum"),
@@ -363,7 +426,11 @@ object JsonSchemaGate {
       uniqueItems = unique,
       minProps = intKw("minProperties"),
       maxProps = intKw("maxProperties"),
-      deps = deps)
+      deps = deps,
+      contains = containsSub,
+      minContains = minCont,
+      maxContains = maxCont,
+      propNames = propNamesPat)
   }
 
   /** Scan a `pattern` for constructs outside the shared Java~RE2 regex
@@ -479,6 +546,8 @@ object JsonSchemaGate {
               out.set[JsonNode]("properties", props)
             case "items" =>
               out.set[JsonNode]("items", inlineRefs(root, e.getValue, stack))
+            case "contains" =>
+              out.set[JsonNode]("contains", inlineRefs(root, e.getValue, stack))
             case k => out.set[JsonNode](k, e.getValue)
           }
         }
@@ -629,15 +698,47 @@ object JsonSchemaGate {
     def ifPath: String = s"$path.$ifKey"
     def thenPath: String = s"$path.$thenKey"
   }
+  /** `contains`/`minContains`/`maxContains` (r15): fires when the array
+    * at `path` holds fewer than `minC` (or, when `maxC` >= 0, more than
+    * `maxC`) elements SATISFYING the subschema — satisfaction = the
+    * element violates NONE of the subschema's walk `terms` (the
+    * ANY/COUNT-quantified form of the per-element walk; a term's
+    * typed-guard skip is JSON Schema's vacuous pass). Tag `contains:$p`.
+    */
+  private case class ContainsCheck(path: String, terms: Seq[TermRec],
+                                   minC: Int, maxC: Int,
+                                   guards: Seq[String]) extends Check
+  /** `propertyNames` with a `pattern` (r15): fires when the object at
+    * `path` carries a KEY failing the regex (partial match) — the one
+    * check on the keys themselves. Tag `propname:$p`.
+    */
+  private case class PropNamesCheck(path: String, regex: String,
+                                    guards: Seq[String]) extends Check
+  /** one element-relative walk term — `steps` from a node plus a
+    * terminal check; the record behind both the per-element
+    * [[ItemsCheck]]s and the r15 `contains` subschema (where the
+    * conjunction of ALL terms defines element satisfaction).
+    * [[termsOf]] is the single walk that emits them.
+    */
+  private case class TermRec(steps: Seq[String], kind: String,
+                             expected: String = "",
+                             enumVals: Seq[EnumVal] = Nil,
+                             bound: Double = 0, field: String = "",
+                             pattern: String = "",
+                             keys: Seq[String] = Nil,
+                             sub: Seq[TermRec] = Nil,
+                             minC: Int = 1, maxC: Int = -1)
   /** per-ELEMENT checks over an `items`-typed array at `path` (r12 flat,
     * r13 recursive): fire only when the node IS array-typed (a non-array
     * already reports `type:$path`). `steps` walks from each element —
     * `"[]"` iterates a nested array, any other string descends an object
     * field ([[org.apache.spark.sql.graftglue.VariantItemsViolates]]'s
     * walk) — and the terminal `kind` ∈ type/enum/min/max/minlen/maxlen/
-    * pattern/minitems/maxitems/missing fires on every reached node of
-    * its checkable runtime type. Tag: `<kind-tag>:$path[]<steps>` with
-    * `missing`'s `field` suffixed (`missing:$path[].meta.w`).
+    * pattern/minitems/maxitems/missing/contains/propname fires on every
+    * reached node of its checkable runtime type. Tag:
+    * `<kind-tag>:$path[]<steps>` with `missing`'s `field` suffixed
+    * (`missing:$path[].meta.w`). `sub`/`minC`/`maxC` carry the r15
+    * contains terminal's subschema terms and count bounds.
     */
   private case class ItemsCheck(path: String, steps: Seq[String],
                                 kind: String,
@@ -646,62 +747,74 @@ object JsonSchemaGate {
                                 guards: Seq[String],
                                 field: String = "",
                                 pattern: String = "",
-                                keys: Seq[String] = Nil) extends Check
+                                keys: Seq[String] = Nil,
+                                sub: Seq[TermRec] = Nil,
+                                minC: Int = 1, maxC: Int = -1) extends Check
+
+  /** the FULL element-relative walk of one schema node, as terms: every
+    * constraint reachable from a node — through nested object
+    * `properties` and nested `items` alike (r13 FULL RECURSION) — in the
+    * gate's canonical emission order. The single source behind the
+    * per-element [[ItemsCheck]]s AND the r15 `contains` subschema's
+    * satisfaction conjunction (one walk, so the two cannot drift).
+    */
+  private def termsOf(n: Node, steps: Seq[String] = Nil): Seq[TermRec] = {
+    val out = Seq.newBuilder[TermRec]
+    n.typ.foreach(t => out += TermRec(steps, "type", expected = t))
+    if (n.enumVals.nonEmpty)
+      out += TermRec(steps, "enum", enumVals = n.enumVals)
+    n.minimum.foreach(b => out += TermRec(steps, "min", bound = b))
+    n.maximum.foreach(b => out += TermRec(steps, "max", bound = b))
+    n.exclusiveMinimum.foreach(b => out += TermRec(steps, "xmin", bound = b))
+    n.exclusiveMaximum.foreach(b => out += TermRec(steps, "xmax", bound = b))
+    n.multipleOf.foreach(b => out += TermRec(steps, "multipleof", bound = b))
+    n.minLength.foreach(b =>
+      out += TermRec(steps, "minlen", bound = b.toDouble))
+    n.maxLength.foreach(b =>
+      out += TermRec(steps, "maxlen", bound = b.toDouble))
+    n.pattern.foreach(p => out += TermRec(steps, "pattern", pattern = p))
+    n.minItems.foreach(b =>
+      out += TermRec(steps, "minitems", bound = b.toDouble))
+    n.maxItems.foreach(b =>
+      out += TermRec(steps, "maxitems", bound = b.toDouble))
+    if (n.uniqueItems) out += TermRec(steps, "unique")
+    n.minProps.foreach(b =>
+      out += TermRec(steps, "minprops", bound = b.toDouble))
+    n.maxProps.foreach(b =>
+      out += TermRec(steps, "maxprops", bound = b.toDouble))
+    if (n.closed) out += TermRec(steps, "extra", keys = n.props.map(_._1))
+    n.deps.foreach { case (ifK, thenK) =>
+      out += TermRec(steps, "dep", expected = ifK, field = thenK)
+    }
+    n.contains.foreach(sub =>
+      out += TermRec(steps, "contains", sub = termsOf(sub),
+        minC = n.minContains.getOrElse(1),
+        maxC = n.maxContains.getOrElse(-1)))
+    n.propNames.foreach(p => out += TermRec(steps, "propname", pattern = p))
+    // required names WITHOUT a properties entry still fire (r13), in
+    // sorted order for a deterministic fragment list
+    (n.required -- n.props.map(_._1)).toSeq.sorted.foreach(f =>
+      out += TermRec(steps, "missing", field = f))
+    n.props.foreach { case (f, sub) =>
+      if (n.required(f)) out += TermRec(steps, "missing", field = f)
+      out ++= termsOf(sub, steps :+ f)
+    }
+    n.items.foreach(sub => out ++= termsOf(sub, steps :+ "[]"))
+    out.result()
+  }
 
   private def checksOf(root: Node): Seq[Check] = {
     val out = Seq.newBuilder[Check]
     root.typ.foreach(t => out += TypeIs("$", t, Nil))
-    // the schema node reached at element-relative `steps` under the
-    // array extracted at `cp` — the elemWalk mirrors the path-level walk
-    // below, emitting one ItemsCheck per constraint (r13 FULL RECURSION:
-    // nested objects and nested arrays alike)
-    def elemWalk(cp: String, steps: Seq[String], n: Node,
-                 guards: Seq[String]): Unit = {
-      n.typ.foreach(t => out += ItemsCheck(cp, steps, "type", t, Nil, 0, guards))
-      if (n.enumVals.nonEmpty)
-        out += ItemsCheck(cp, steps, "enum", "", n.enumVals, 0, guards)
-      n.minimum.foreach(b => out += ItemsCheck(cp, steps, "min", "", Nil, b, guards))
-      n.maximum.foreach(b => out += ItemsCheck(cp, steps, "max", "", Nil, b, guards))
-      n.exclusiveMinimum.foreach(b =>
-        out += ItemsCheck(cp, steps, "xmin", "", Nil, b, guards))
-      n.exclusiveMaximum.foreach(b =>
-        out += ItemsCheck(cp, steps, "xmax", "", Nil, b, guards))
-      n.multipleOf.foreach(b =>
-        out += ItemsCheck(cp, steps, "multipleof", "", Nil, b, guards))
-      n.minLength.foreach(b =>
-        out += ItemsCheck(cp, steps, "minlen", "", Nil, b.toDouble, guards))
-      n.maxLength.foreach(b =>
-        out += ItemsCheck(cp, steps, "maxlen", "", Nil, b.toDouble, guards))
-      n.pattern.foreach(p =>
-        out += ItemsCheck(cp, steps, "pattern", "", Nil, 0, guards, pattern = p))
-      n.minItems.foreach(b =>
-        out += ItemsCheck(cp, steps, "minitems", "", Nil, b.toDouble, guards))
-      n.maxItems.foreach(b =>
-        out += ItemsCheck(cp, steps, "maxitems", "", Nil, b.toDouble, guards))
-      if (n.uniqueItems)
-        out += ItemsCheck(cp, steps, "unique", "", Nil, 0, guards)
-      n.minProps.foreach(b =>
-        out += ItemsCheck(cp, steps, "minprops", "", Nil, b.toDouble, guards))
-      n.maxProps.foreach(b =>
-        out += ItemsCheck(cp, steps, "maxprops", "", Nil, b.toDouble, guards))
-      if (n.closed)
-        out += ItemsCheck(cp, steps, "extra", "", Nil, 0, guards,
-          keys = n.props.map(_._1))
-      n.deps.foreach { case (ifK, thenK) =>
-        out += ItemsCheck(cp, steps, "dep", ifK, Nil, 0, guards,
-          field = thenK)
+    // per-element checks over the array extracted at `cp`: one
+    // ItemsCheck per walk term (r13 FULL RECURSION — the walk itself is
+    // [[termsOf]], shared with the contains subschema)
+    def elemWalk(cp: String, n: Node, guards: Seq[String]): Unit =
+      termsOf(n).foreach { tr =>
+        out += ItemsCheck(cp, tr.steps, tr.kind, tr.expected, tr.enumVals,
+          tr.bound, guards, tr.field, tr.pattern, tr.keys, tr.sub,
+          tr.minC, tr.maxC)
       }
-      // required names WITHOUT a properties entry still fire (r13), in
-      // sorted order for a deterministic fragment list
-      (n.required -- n.props.map(_._1)).toSeq.sorted.foreach(f =>
-        out += ItemsCheck(cp, steps, "missing", "", Nil, 0, guards, field = f))
-      n.props.foreach { case (f, sub) =>
-        if (n.required(f))
-          out += ItemsCheck(cp, steps, "missing", "", Nil, 0, guards, field = f)
-        elemWalk(cp, steps :+ f, sub, guards)
-      }
-      n.items.foreach(sub => elemWalk(cp, steps :+ "[]", sub, guards))
-    }
     def walk(node: Node, path: String, guards: Seq[String]): Unit = {
       (node.required -- node.props.map(_._1)).toSeq.sorted.foreach(f =>
         out += Missing(s"$path.$f", guards))
@@ -728,7 +841,12 @@ object JsonSchemaGate {
         child.deps.foreach { case (ifK, thenK) =>
           out += DepRequired(cp, ifK, thenK, guards)
         }
-        child.items.foreach(it => elemWalk(cp, Nil, it, guards))
+        child.contains.foreach(sub =>
+          out += ContainsCheck(cp, termsOf(sub),
+            child.minContains.getOrElse(1),
+            child.maxContains.getOrElse(-1), guards))
+        child.propNames.foreach(p => out += PropNamesCheck(cp, p, guards))
+        child.items.foreach(it => elemWalk(cp, it, guards))
         if (child.props.nonEmpty || child.required.nonEmpty)
           walk(child, cp, guards :+ cp)
       }
@@ -754,7 +872,11 @@ object JsonSchemaGate {
     root.deps.foreach { case (ifK, thenK) =>
       out += DepRequired("$", ifK, thenK, Nil)
     }
-    root.items.foreach(it => elemWalk("$", Nil, it, Nil))
+    root.contains.foreach(sub =>
+      out += ContainsCheck("$", termsOf(sub),
+        root.minContains.getOrElse(1), root.maxContains.getOrElse(-1), Nil))
+    root.propNames.foreach(p => out += PropNamesCheck("$", p, Nil))
+    root.items.foreach(it => elemWalk("$", it, Nil))
     walk(root, "$",
       if (root.typ.exists(_.split('|').contains("object"))) Seq("$") else Nil)
     out.result()
@@ -946,6 +1068,28 @@ object JsonSchemaGate {
         case c @ DepRequired(p, _, _, _) =>
           guarded(c)(t(p) === "object" &&
             t(c.ifPath).isNotNull && t(c.thenPath).isNull)
+        // contains/minContains/maxContains (r15): the node wrapped as a
+        // one-element array (the ExtraKeys device) with the native's
+        // COUNT-quantified terminal — elements satisfying the
+        // subschema's term conjunction are counted inside the fused
+        // walk, no HOF
+        case c @ ContainsCheck(p, terms, minCont, maxCont, _) =>
+          import org.apache.spark.sql.graftglue.{ColumnBridge, VariantItemsViolates}
+          val node = expr(s"try_variant_get($vcol, '$p')")
+          val cond = ColumnBridge.column(VariantItemsViolates(
+            ColumnBridge.expression(array(node)), Nil, "contains", "",
+            Nil, Nil, Nil, Nil, 0, "", "", Nil,
+            terms.map(walkTermOf), minCont, maxCont))
+          guarded(c)(t(p) === "array" && cond)
+        // propertyNames pattern (r15): same one-element-array device;
+        // the Spark side runs the Java-normalized pattern form
+        case c @ PropNamesCheck(p, re, _) =>
+          import org.apache.spark.sql.graftglue.{ColumnBridge, VariantItemsViolates}
+          val node = expr(s"try_variant_get($vcol, '$p')")
+          val cond = ColumnBridge.column(VariantItemsViolates(
+            ColumnBridge.expression(array(node)), Nil, "propname", "",
+            Nil, Nil, Nil, Nil, 0, "", javaPatternForm(re)))
+          guarded(c)(t(p) === "object" && cond)
         // object key-count bounds (r14): same one-element-array device
         case c @ ObjBound(p, op, b, _) =>
           import org.apache.spark.sql.graftglue.{ColumnBridge, VariantItemsViolates}
@@ -963,16 +1107,20 @@ object JsonSchemaGate {
         // (plans/FUSION.md's r6 lesson, re-learned r12); the native's
         // element classification folds the variant type tag to the same
         // canonical alphabet [[canonicalType]] reads via schema_of_variant
-        case c @ ItemsCheck(p, steps, kind, ty, vs, b, _, field, pat, ks) =>
+        case c: ItemsCheck =>
           import org.apache.spark.sql.graftglue.{ColumnBridge, VariantItemsViolates}
+          val vs = c.enumVals
           val cond = ColumnBridge.column(VariantItemsViolates(
-            ColumnBridge.expression(col(arrCols(p))), steps, kind, ty,
+            ColumnBridge.expression(col(arrCols(c.path))), c.steps, c.kind,
+            c.expected,
             vs.collect { case EStr(s) => s },
             vs.collect { case EInt(i) => i },
             vs.collect { case EDbl(d) => d },
             vs.collect { case EBool(bv) => bv },
-            b, field, if (pat.isEmpty) pat else javaPatternForm(pat), ks))
-          guarded(c)(t(p) === "array" && cond)
+            c.bound, c.field,
+            if (c.pattern.isEmpty) c.pattern else javaPatternForm(c.pattern),
+            c.keys, c.sub.map(walkTermOf), c.minC, c.maxC))
+          guarded(c)(t(c.path) === "array" && cond)
       }
     val withV = df.withColumn(vcol, expr(s"try_parse_json(`$jsonCol`)"))
     val withTypes = typeCols.toSeq.sortBy(_._2)
@@ -987,6 +1135,21 @@ object JsonSchemaGate {
     parsedCol.fold(out)(pc => out.withColumn(pc,
       from_json(col(jsonCol), structType(schemaJson))))
   }
+
+  /** [[TermRec]] → the native walk's [[org.apache.spark.sql.graftglue
+    * .WalkTerm]], with the Spark-side `$`→`\z` pattern normalization
+    * applied (the DuckDB generator keeps the original — RE2 `$` already
+    * means end-of-text).
+    */
+  private def walkTermOf(tr: TermRec): org.apache.spark.sql.graftglue.WalkTerm =
+    org.apache.spark.sql.graftglue.WalkTerm(tr.steps, tr.kind, tr.expected,
+      tr.enumVals.collect { case EStr(s) => s },
+      tr.enumVals.collect { case EInt(i) => i },
+      tr.enumVals.collect { case EDbl(d) => d },
+      tr.enumVals.collect { case EBool(b) => b },
+      tr.bound, tr.field,
+      if (tr.pattern.isEmpty) tr.pattern else javaPatternForm(tr.pattern),
+      tr.keys, tr.sub.map(walkTermOf), tr.minC, tr.maxC)
 
   /** render element-relative walk steps as a tag-path suffix:
     * `[]` for an array descent, `.f` for a field descent — so
@@ -1007,11 +1170,13 @@ object JsonSchemaGate {
     case UniqueCheck(p, _)     => s"unique:$p"
     case ObjBound(p, op, _, _) => s"$op:$p"
     case d: DepRequired        => s"dep:${d.thenPath}"
-    case ItemsCheck(p, steps, kind, _, _, _, _, field, _, _) =>
-      val base = s"$p[]${stepSuffix(steps)}"
-      kind match {
-        case "missing" => s"missing:$base.$field"
-        case "dep"     => s"dep:$base.$field"
+    case ContainsCheck(p, _, _, _, _) => s"contains:$p"
+    case PropNamesCheck(p, _, _)      => s"propname:$p"
+    case ic: ItemsCheck =>
+      val base = s"${ic.path}[]${stepSuffix(ic.steps)}"
+      ic.kind match {
+        case "missing" => s"missing:$base.${ic.field}"
+        case "dep"     => s"dep:$base.${ic.field}"
         case k         => s"$k:$base"
       }
   }
@@ -1129,6 +1294,105 @@ object JsonSchemaGate {
         s"(SELECT count(DISTINCT ($bucket, $valStr)) FROM $sub " +
         s"WHERE $bucket IS NOT NULL))"
     }
+    // the terminal check of one walk term on the node at json path `rp`
+    // under `alias` — each arm guarded on the node's checkable runtime
+    // type exactly as the native walk is (foldAt is NULL for an absent
+    // node, so a never-reached terminal skips every arm). `depth` seeds
+    // fresh unnest aliases for the r15 contains terminal's own
+    // sub-walks.
+    def termTerminal(alias: String, rp: String, tr: TermRec,
+                     depth: Int): String = {
+      val fold = foldAt(alias, rp)
+      val rawStr = s"json_extract_string($alias, '$rp')"
+      tr.kind match {
+        case "type" =>
+          s"($fold IS NOT NULL AND NOT (${matchesSql(fold, tr.expected)}))"
+        case "enum" => enumSql(fold, rawStr, tr.enumVals)
+        case "min" =>
+          s"($fold IN ('int', 'double') AND TRY_CAST($rawStr AS DOUBLE) < ${tr.bound})"
+        case "max" =>
+          s"($fold IN ('int', 'double') AND TRY_CAST($rawStr AS DOUBLE) > ${tr.bound})"
+        case "xmin" =>
+          s"($fold IN ('int', 'double') AND TRY_CAST($rawStr AS DOUBLE) <= ${tr.bound})"
+        case "xmax" =>
+          s"($fold IN ('int', 'double') AND TRY_CAST($rawStr AS DOUBLE) >= ${tr.bound})"
+        case "multipleof" =>
+          s"($fold IN ('int', 'double') AND (TRY_CAST($rawStr AS DOUBLE) % ${tr.bound}) <> 0)"
+        case "minlen" =>
+          s"($fold = 'string' AND length($rawStr) < ${tr.bound.toInt})"
+        case "maxlen" =>
+          s"($fold = 'string' AND length($rawStr) > ${tr.bound.toInt})"
+        case "pattern" =>
+          s"($fold = 'string' AND NOT regexp_matches($rawStr, ${sqlStr(tr.pattern)}))"
+        case "minitems" =>
+          s"($fold = 'array' AND json_array_length($alias, '$rp') < ${tr.bound.toInt})"
+        case "maxitems" =>
+          s"($fold = 'array' AND json_array_length($alias, '$rp') > ${tr.bound.toInt})"
+        case "extra" =>
+          val keysArr = s"json_keys($alias, '$rp')"
+          val extras = if (tr.keys.isEmpty) keysArr
+            else s"list_filter($keysArr, xk -> xk NOT IN (${tr.keys.map(sqlStr).mkString(", ")}))"
+          s"($fold = 'object' AND len($extras) > 0)"
+        case "unique" => uniqueSql(alias, rp, fold)
+        case "minprops" =>
+          s"($fold = 'object' AND len(json_keys($alias, '$rp')) < ${tr.bound.toInt})"
+        case "maxprops" =>
+          s"($fold = 'object' AND len(json_keys($alias, '$rp')) > ${tr.bound.toInt})"
+        case "dep" =>
+          val ifP = if (rp == "$") s"$$.${tr.expected}" else s"$rp.${tr.expected}"
+          val thenP = if (rp == "$") s"$$.${tr.field}" else s"$rp.${tr.field}"
+          s"($fold = 'object' AND json_type($alias, '$ifP') IS NOT NULL AND json_type($alias, '$thenP') IS NULL)"
+        // propertyNames pattern (r15): the keys themselves — DuckDB's
+        // json_keys + a regex list_filter (the ORIGINAL pattern: RE2 `$`
+        // already anchors end-of-text)
+        case "propname" =>
+          s"($fold = 'object' AND len(list_filter(json_keys($alias, '$rp'), pk -> NOT regexp_matches(pk, ${sqlStr(tr.pattern)}))) > 0)"
+        // contains/minContains/maxContains (r15): a correlated
+        // unnest-COUNT of elements SATISFYING the subschema — satisfy =
+        // every sub-term's violation SQL is false, COALESCE'd because an
+        // absent-path term folds to SQL NULL and must read as the
+        // vacuous PASS the native's skip rules produce
+        case "contains" =>
+          val a2 = s"el$depth"
+          val sub =
+            s"""(SELECT unnest(CASE WHEN json_type($alias, '$rp') = 'ARRAY'
+               |  THEN ${nullSafeElems(s"json_extract($alias, '$rp[*]')")}
+               |  ELSE CAST([] AS JSON[]) END) AS $a2)"""
+              .stripMargin.replace("\n", " ")
+          val sat = if (tr.sub.isEmpty) "TRUE"
+            else tr.sub.map(t2 =>
+              s"NOT COALESCE(${termGen(a2, depth + 1, t2.steps, t2)}, FALSE)")
+              .mkString("(", " AND ", ")")
+          val cnt = s"(SELECT count(*) FROM $sub WHERE $sat)"
+          val bad = if (tr.maxC >= 0)
+            s"($cnt < ${tr.minC} OR $cnt > ${tr.maxC})"
+          else s"($cnt < ${tr.minC})"
+          s"($fold = 'array' AND $bad)"
+        case "missing" =>
+          val fp = if (rp == "$") s"$$.${tr.field}" else s"$rp.${tr.field}"
+          s"($fold = 'object' AND json_type($alias, '$fp') IS NULL)"
+      }
+    }
+    // walk the element-relative steps: consecutive FIELD steps flatten
+    // into one json path (absent/non-object intermediates fold the whole
+    // path to NULL on both engines — the same silent skip the native's
+    // per-step guards produce), and each ARRAY step opens one more
+    // correlated unnest EXISTS with a fresh element alias
+    def termGen(alias: String, depth: Int, rest: Seq[String],
+                tr: TermRec): String = {
+      val (fields, tail) = rest.span(_ != "[]")
+      val rp = if (fields.isEmpty) "$" else "$." + fields.mkString(".")
+      if (tail.isEmpty) termTerminal(alias, rp, tr, depth)
+      else {
+        val a2 = s"el$depth"
+        val sub =
+          s"""(SELECT unnest(CASE WHEN json_type($alias, '$rp') = 'ARRAY'
+             |  THEN ${nullSafeElems(s"json_extract($alias, '$rp[*]')")}
+             |  ELSE CAST([] AS JSON[]) END) AS $a2)"""
+            .stripMargin.replace("\n", " ")
+        s"(json_type($alias, '$rp') = 'ARRAY' AND EXISTS (SELECT 1 FROM $sub WHERE ${termGen(a2, depth + 1, tail.tail, tr)}))"
+      }
+    }
     val frags = s"CASE WHEN $malformed THEN 'malformed' END" +:
       checksOf(root).map { c =>
         val cond = c match {
@@ -1171,78 +1435,28 @@ object JsonSchemaGate {
             s"(${actual(p)} = 'object' AND len(json_keys(TRY_CAST(($rawExpr) AS JSON), '$p')) $cmp $b)"
           case d @ DepRequired(p, _, _, _) =>
             s"(${actual(p)} = 'object' AND ${actual(d.ifPath)} IS NOT NULL AND ${actual(d.thenPath)} IS NULL)"
-          case ItemsCheck(p, steps, kind, t, vs, b, _, field, pat, ks) =>
-            // the terminal check on the node at `rp` under `alias` — each
-            // arm guarded on the node's checkable runtime type exactly as
-            // the native walk is (foldAt is NULL for an absent node, so a
-            // field-step terminal that was never reached skips every arm)
-            def terminal(alias: String, rp: String): String = {
-              val fold = foldAt(alias, rp)
-              val rawStr = s"json_extract_string($alias, '$rp')"
-              kind match {
-                case "type" =>
-                  s"($fold IS NOT NULL AND NOT (${matchesSql(fold, t)}))"
-                case "enum" => enumSql(fold, rawStr, vs)
-                case "min" =>
-                  s"($fold IN ('int', 'double') AND TRY_CAST($rawStr AS DOUBLE) < $b)"
-                case "max" =>
-                  s"($fold IN ('int', 'double') AND TRY_CAST($rawStr AS DOUBLE) > $b)"
-                case "xmin" =>
-                  s"($fold IN ('int', 'double') AND TRY_CAST($rawStr AS DOUBLE) <= $b)"
-                case "xmax" =>
-                  s"($fold IN ('int', 'double') AND TRY_CAST($rawStr AS DOUBLE) >= $b)"
-                case "multipleof" =>
-                  s"($fold IN ('int', 'double') AND (TRY_CAST($rawStr AS DOUBLE) % $b) <> 0)"
-                case "minlen" =>
-                  s"($fold = 'string' AND length($rawStr) < ${b.toInt})"
-                case "maxlen" =>
-                  s"($fold = 'string' AND length($rawStr) > ${b.toInt})"
-                case "pattern" =>
-                  s"($fold = 'string' AND NOT regexp_matches($rawStr, ${sqlStr(pat)}))"
-                case "minitems" =>
-                  s"($fold = 'array' AND json_array_length($alias, '$rp') < ${b.toInt})"
-                case "maxitems" =>
-                  s"($fold = 'array' AND json_array_length($alias, '$rp') > ${b.toInt})"
-                case "extra" =>
-                  val keysArr = s"json_keys($alias, '$rp')"
-                  val extras = if (ks.isEmpty) keysArr
-                    else s"list_filter($keysArr, xk -> xk NOT IN (${ks.map(sqlStr).mkString(", ")}))"
-                  s"($fold = 'object' AND len($extras) > 0)"
-                case "unique" => uniqueSql(alias, rp, fold)
-                case "minprops" =>
-                  s"($fold = 'object' AND len(json_keys($alias, '$rp')) < ${b.toInt})"
-                case "maxprops" =>
-                  s"($fold = 'object' AND len(json_keys($alias, '$rp')) > ${b.toInt})"
-                case "dep" =>
-                  val ifP = if (rp == "$") s"$$.$t" else s"$rp.$t"
-                  val thenP = if (rp == "$") s"$$.$field" else s"$rp.$field"
-                  s"($fold = 'object' AND json_type($alias, '$ifP') IS NOT NULL AND json_type($alias, '$thenP') IS NULL)"
-                case "missing" =>
-                  val fp = if (rp == "$") s"$$.$field" else s"$rp.$field"
-                  s"($fold = 'object' AND json_type($alias, '$fp') IS NULL)"
-              }
-            }
-            // walk the element-relative steps: consecutive FIELD steps
-            // flatten into one json path (absent/non-object intermediates
-            // fold the whole path to NULL on both engines — the same
-            // silent skip the native's per-step guards produce), and each
-            // ARRAY step opens one more correlated unnest EXISTS with a
-            // fresh element alias
-            def gen(alias: String, depth: Int, rest: Seq[String]): String = {
-              val (fields, tail) = rest.span(_ != "[]")
-              val rp = if (fields.isEmpty) "$" else "$." + fields.mkString(".")
-              if (tail.isEmpty) terminal(alias, rp)
-              else {
-                val a2 = s"el$depth"
-                val sub =
-                  s"""(SELECT unnest(CASE WHEN json_type($alias, '$rp') = 'ARRAY'
-                     |  THEN ${nullSafeElems(s"json_extract($alias, '$rp[*]')")}
-                     |  ELSE CAST([] AS JSON[]) END) AS $a2)"""
-                    .stripMargin.replace("\n", " ")
-                s"(json_type($alias, '$rp') = 'ARRAY' AND EXISTS (SELECT 1 FROM $sub WHERE ${gen(a2, depth + 1, tail.tail)}))"
-              }
-            }
-            s"(${actual(p)} = 'array' AND EXISTS (SELECT 1 FROM ${elems(p)} WHERE ${gen("el", 0, steps)}))"
+          // contains at a path (r15): COUNT the satisfying elements of
+          // the array at `p` (the same correlated-unnest shape as the
+          // element-depth terminal, rooted at the raw message)
+          case ContainsCheck(p, terms, minCont, maxCont, _) =>
+            val sat = if (terms.isEmpty) "TRUE"
+              else terms.map(t2 =>
+                s"NOT COALESCE(${termGen("el", 0, t2.steps, t2)}, FALSE)")
+                .mkString("(", " AND ", ")")
+            val cnt = s"(SELECT count(*) FROM ${elems(p)} WHERE $sat)"
+            val bad = if (maxCont >= 0)
+              s"($cnt < $minCont OR $cnt > $maxCont)"
+            else s"($cnt < $minCont)"
+            s"(${actual(p)} = 'array' AND $bad)"
+          case PropNamesCheck(p, re, _) =>
+            s"(${actual(p)} = 'object' AND len(list_filter(json_keys(TRY_CAST(($rawExpr) AS JSON), '$p'), pk -> NOT regexp_matches(pk, ${sqlStr(re)}))) > 0)"
+          case ic: ItemsCheck =>
+            // delegate to the shared term walk (termGen/termTerminal —
+            // the same generators the r15 contains satisfaction uses)
+            val tr = TermRec(ic.steps, ic.kind, ic.expected, ic.enumVals,
+              ic.bound, ic.field, ic.pattern, ic.keys, ic.sub, ic.minC,
+              ic.maxC)
+            s"(${actual(ic.path)} = 'array' AND EXISTS (SELECT 1 FROM ${elems(ic.path)} WHERE ${termGen("el", 0, ic.steps, tr)}))"
         }
         s"CASE WHEN ${guardSql(c)} AND $cond THEN '${tagOf(c)}' END"
       }

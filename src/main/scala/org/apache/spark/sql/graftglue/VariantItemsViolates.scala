@@ -6,6 +6,225 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BooleanType, DataType, VariantType}
 import org.apache.spark.types.variant.{Variant, VariantUtil}
 
+/** Shared variant-node helpers for the JSON-Schema native walk. */
+private[graftglue] object VariantWalk {
+  /** canonical-alphabet fold of one node's variant type tag — the same
+    * alphabet `schema_of_variant` folds to on the Column side.
+    */
+  def canon(v: Variant): String = v.getType match {
+    case VariantUtil.Type.OBJECT  => "object"
+    case VariantUtil.Type.ARRAY   => "array"
+    case VariantUtil.Type.NULL    => "null"
+    case VariantUtil.Type.BOOLEAN => "bool"
+    case VariantUtil.Type.LONG    => "int"
+    case VariantUtil.Type.STRING  => "string"
+    case VariantUtil.Type.DOUBLE | VariantUtil.Type.DECIMAL |
+         VariantUtil.Type.FLOAT   => "double"
+    case _                        => "other"
+  }
+
+  def asDouble(v: Variant): Double = v.getType match {
+    case VariantUtil.Type.LONG    => v.getLong.toDouble
+    case VariantUtil.Type.DOUBLE  => v.getDouble
+    case VariantUtil.Type.DECIMAL => v.getDecimal.doubleValue()
+    case VariantUtil.Type.FLOAT   => v.getFloat.toDouble
+    case t => throw new IllegalStateException(s"non-numeric variant $t")
+  }
+}
+
+/** One element-relative WALK + TERMINAL check — the unit the native
+  * JSON-Schema walk evaluates. [[VariantItemsViolates]] is one term; the
+  * r15 `contains` keyword quantifies a CONJUNCTION of terms over an
+  * array's elements (an element SATISFIES the contains subschema iff no
+  * node reached by any of its terms violates), so terms nest via `sub`.
+  * Terminal semantics per kind are documented on [[VariantItemsViolates]].
+  */
+case class WalkTerm(steps: Seq[String], kind: String,
+                    expected: String, enumStrs: Seq[String],
+                    enumLongs: Seq[Long], enumDoubles: Seq[Double],
+                    enumBools: Seq[Boolean],
+                    bound: Double, field: String,
+                    pattern: String, keys: Seq[String],
+                    sub: Seq[WalkTerm] = Nil,
+                    minC: Int = 1, maxC: Int = -1) {
+  import VariantWalk._
+
+  @transient private lazy val strSet: Set[String] = enumStrs.toSet
+  @transient private lazy val longSet: Set[Long] = enumLongs.toSet
+  @transient private lazy val dblSet: Set[Double] = enumDoubles.toSet
+  @transient private lazy val boolSet: Set[Boolean] = enumBools.toSet
+  @transient private lazy val compiledPattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(pattern)
+  @transient private lazy val keySet: Set[String] = keys.toSet
+
+  /** match against the declared type spec — one member or a pipe-joined
+    * union ("string|null", r14).
+    */
+  private def typeMatches(t: String): Boolean =
+    expected.split('|').exists {
+      case "number"  => t == "int" || t == "double"
+      case "integer" => t == "int"
+      case "boolean" => t == "bool"
+      case other     => t == other
+    }
+
+  /** typed enum membership of one node — mirrors the path-level
+    * [[graft.schema.JsonSchemaGate]] EnumIn buckets exactly.
+    */
+  private def enumViolates(c: String, v: Variant): Boolean = c match {
+    case "string" => !strSet(v.getString)
+    case "int"    => !longSet(v.getLong)
+    case "double" => !dblSet(asDouble(v))
+    case "bool"   => !boolSet(v.getBoolean)
+    case _        => false // object/array/null: the type check's business
+  }
+
+  /** the terminal check on one REACHED node. */
+  def terminalViolates(v: Variant): Boolean = {
+    val c = canon(v)
+    kind match {
+      case "type" => !typeMatches(c)
+      case "enum" => enumViolates(c, v)
+      case "min"  => (c == "int" || c == "double") && asDouble(v) < bound
+      case "max"  => (c == "int" || c == "double") && asDouble(v) > bound
+      case "xmin" => (c == "int" || c == "double") && asDouble(v) <= bound
+      case "xmax" => (c == "int" || c == "double") && asDouble(v) >= bound
+      // the same truncated IEEE remainder Spark's `%` (Java %) and
+      // DuckDB's DOUBLE `%` (C fmod) compute on the same
+      // correctly-rounded operands — engine-identical
+      case "multipleof" =>
+        (c == "int" || c == "double") && (asDouble(v) % bound) != 0.0
+      case "minlen" =>
+        c == "string" && {
+          val s = v.getString
+          s.codePointCount(0, s.length) < bound.toInt
+        }
+      case "maxlen" =>
+        c == "string" && {
+          val s = v.getString
+          s.codePointCount(0, s.length) > bound.toInt
+        }
+      case "pattern" =>
+        c == "string" && !compiledPattern.matcher(v.getString).find()
+      case "minitems" => c == "array" && v.arraySize() < bound.toInt
+      case "maxitems" => c == "array" && v.arraySize() > bound.toInt
+      // object KEY-COUNT bounds (r14 minProperties/maxProperties)
+      case "minprops" => c == "object" && v.objectSize() < bound.toInt
+      case "maxprops" => c == "object" && v.objectSize() > bound.toInt
+      // dependentRequired (r14): `expected` carries the if-key, `field`
+      // the then-key — a reached object with the if-key present (JSON
+      // null IS present) but the then-key absent violates
+      case "dep" =>
+        c == "object" && v.getFieldByKey(expected) != null &&
+          v.getFieldByKey(field) == null
+      case "missing"  => c == "object" && v.getFieldByKey(field) == null
+      // additionalProperties: false (r14): any key outside the declared
+      // `keys` set on a reached OBJECT node; non-objects are their own
+      // type check's business
+      case "extra" =>
+        c == "object" && {
+          val n = v.objectSize()
+          var i = 0
+          var bad = false
+          while (!bad && i < n) {
+            bad = !keySet(v.getFieldAtIndex(i).key)
+            i += 1
+          }
+          bad
+        }
+      // propertyNames with a pattern (r15): any KEY of a reached OBJECT
+      // node failing the regex (partial match, the gate's pattern
+      // convention) violates — keys never enter a compiled path, so
+      // this is the one check on the keys themselves
+      case "propname" =>
+        c == "object" && {
+          val n = v.objectSize()
+          var i = 0
+          var bad = false
+          while (!bad && i < n) {
+            bad = !compiledPattern.matcher(v.getFieldAtIndex(i).key).find()
+            i += 1
+          }
+          bad
+        }
+      // contains/minContains/maxContains (r15): COUNT the reached ARRAY
+      // node's elements that SATISFY the subschema (= violate none of
+      // its `sub` terms — the per-element conjunction; a term's
+      // typed-guard skip IS JSON Schema's vacuous pass, e.g. a bare
+      // `minimum` admits strings); violation = count < minC or, when
+      // maxC >= 0 (declared), count > maxC. Non-arrays are the type
+      // check's business.
+      case "contains" =>
+        c == "array" && {
+          val n = v.arraySize()
+          var cnt = 0
+          var i = 0
+          while (i < n) {
+            val e = v.getElementAtIndex(i)
+            if (sub.forall(t => !t.nodeViolates(e, 0))) cnt += 1
+            i += 1
+          }
+          cnt < minC || (maxC >= 0 && cnt > maxC)
+        }
+      // uniqueItems (r14): two equal SCALAR elements in a reached ARRAY
+      // node — strings/booleans exact, numerics as the shared
+      // correctly-rounded double (1 duplicates 1.0), JSON nulls all
+      // equal; container elements skip (the type check's business —
+      // compile required a scalar items type)
+      case "unique" =>
+        c == "array" && {
+          val n = v.arraySize()
+          val strs = new scala.collection.mutable.HashSet[String]
+          val nums = new scala.collection.mutable.HashSet[Double]
+          var boolT = false; var boolF = false; var nullSeen = false
+          var i = 0
+          var dup = false
+          while (!dup && i < n) {
+            val e = v.getElementAtIndex(i)
+            canon(e) match {
+              case "string"         => dup = !strs.add(e.getString)
+              // + 0.0 folds IEEE -0.0 to 0.0: boxed-Double sets (and
+              // DuckDB's varchar render) would otherwise distinguish
+              // them, against the mathematical-value rule
+              case "int" | "double" => dup = !nums.add(asDouble(e) + 0.0)
+              case "bool" =>
+                if (e.getBoolean) { dup = boolT; boolT = true }
+                else { dup = boolF; boolF = true }
+              case "null" => dup = nullSeen; nullSeen = true
+              case _      => ()
+            }
+            i += 1
+          }
+          dup
+        }
+    }
+  }
+
+  /** does ANY node reached by steps(si..) from `v` violate? */
+  def nodeViolates(v: Variant, si: Int): Boolean =
+    if (si == steps.length) terminalViolates(v)
+    else steps(si) match {
+      case "[]" =>
+        if (canon(v) != "array") false
+        else {
+          val n = v.arraySize()
+          var i = 0
+          var bad = false
+          while (!bad && i < n) {
+            bad = nodeViolates(v.getElementAtIndex(i), si + 1)
+            i += 1
+          }
+          bad
+        }
+      case f =>
+        if (canon(v) != "object") false
+        else {
+          val fv = v.getFieldByKey(f)
+          fv != null && nodeViolates(fv, si + 1)
+        }
+    }
+}
+
 /** ONE per-element JSON-Schema `items` check over an `array<variant>`
   * column, as a native codegen expression: true iff ANY node reached by
   * walking `steps` from ANY element violates the terminal check
@@ -69,6 +288,14 @@ import org.apache.spark.types.variant.{Variant, VariantUtil}
   *    OBJECT node carrying a key outside the declared `keys` set
   *    violates (an empty declared set means any key does); non-objects
   *    are their type check's business;
+  *  - `kind = "propname"` (r15, `propertyNames` with a `pattern`): any
+  *    reached OBJECT node with a KEY failing the regex (partial match)
+  *    violates — the one check on the keys themselves;
+  *  - `kind = "contains"` (r15, `contains`/`minContains`/`maxContains`):
+  *    a reached ARRAY node violates when the COUNT of its elements
+  *    satisfying the subschema (= violating none of `subTerms` — the
+  *    per-element conjunction over the subschema's own compiled walk)
+  *    is below `minC` or above a declared `maxC` (-1 = unbounded);
   *  - a JSON null node has canonical type "null" (violates any declared
   *    type, invisible to value checks and to further descent); a
   *    SQL-null element slot in the TOP array (not producible from
@@ -84,13 +311,15 @@ case class VariantItemsViolates(child: Expression, steps: Seq[String],
                                 enumBools: Seq[Boolean],
                                 bound: Double, field: String,
                                 pattern: String,
-                                keys: Seq[String] = Nil)
+                                keys: Seq[String] = Nil,
+                                subTerms: Seq[WalkTerm] = Nil,
+                                minC: Int = 1, maxC: Int = -1)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(Seq("type", "enum", "min", "max", "xmin", "xmax", "multipleof",
     "minlen", "maxlen", "minitems", "maxitems", "missing",
     "pattern", "extra", "unique", "minprops", "maxprops",
-    "dep").contains(kind),
+    "dep", "contains", "propname").contains(kind),
     s"variant_items_violates: unknown kind '$kind'")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(VariantType))
@@ -98,167 +327,14 @@ case class VariantItemsViolates(child: Expression, steps: Seq[String],
   override def prettyName: String = "variant_items_violates"
   override def nullable: Boolean = true
 
-  @transient private lazy val strSet: Set[String] = enumStrs.toSet
-  @transient private lazy val longSet: Set[Long] = enumLongs.toSet
-  @transient private lazy val dblSet: Set[Double] = enumDoubles.toSet
-  @transient private lazy val boolSet: Set[Boolean] = enumBools.toSet
-  @transient private lazy val compiledPattern: java.util.regex.Pattern =
-    java.util.regex.Pattern.compile(pattern)
-  @transient private lazy val keySet: Set[String] = keys.toSet
+  /** the expression's own (steps, terminal) as the root walk term. */
+  @transient private lazy val rootTerm: WalkTerm =
+    WalkTerm(steps, kind, expected, enumStrs, enumLongs, enumDoubles,
+      enumBools, bound, field, pattern, keys, subTerms, minC, maxC)
 
-  /** canonical-alphabet fold of one node's variant type tag. */
-  private def canon(v: Variant): String = v.getType match {
-    case VariantUtil.Type.OBJECT  => "object"
-    case VariantUtil.Type.ARRAY   => "array"
-    case VariantUtil.Type.NULL    => "null"
-    case VariantUtil.Type.BOOLEAN => "bool"
-    case VariantUtil.Type.LONG    => "int"
-    case VariantUtil.Type.STRING  => "string"
-    case VariantUtil.Type.DOUBLE | VariantUtil.Type.DECIMAL |
-         VariantUtil.Type.FLOAT   => "double"
-    case _                        => "other"
-  }
-
-  private def asDouble(v: Variant): Double = v.getType match {
-    case VariantUtil.Type.LONG    => v.getLong.toDouble
-    case VariantUtil.Type.DOUBLE  => v.getDouble
-    case VariantUtil.Type.DECIMAL => v.getDecimal.doubleValue()
-    case VariantUtil.Type.FLOAT   => v.getFloat.toDouble
-    case t => throw new IllegalStateException(s"non-numeric variant $t")
-  }
-
-  /** match against the declared type spec — one member or a pipe-joined
-    * union ("string|null", r14).
-    */
-  private def typeMatches(t: String): Boolean =
-    expected.split('|').exists {
-      case "number"  => t == "int" || t == "double"
-      case "integer" => t == "int"
-      case "boolean" => t == "bool"
-      case other     => t == other
-    }
-
-  /** typed enum membership of one node — mirrors the path-level
-    * [[graft.schema.JsonSchemaGate]] EnumIn buckets exactly.
-    */
-  private def enumViolates(c: String, v: Variant): Boolean = c match {
-    case "string" => !strSet(v.getString)
-    case "int"    => !longSet(v.getLong)
-    case "double" => !dblSet(asDouble(v))
-    case "bool"   => !boolSet(v.getBoolean)
-    case _        => false // object/array/null: the type check's business
-  }
-
-  /** the terminal check on one REACHED node. */
-  private def terminalViolates(v: Variant): Boolean = {
-    val c = canon(v)
-    kind match {
-      case "type" => !typeMatches(c)
-      case "enum" => enumViolates(c, v)
-      case "min"  => (c == "int" || c == "double") && asDouble(v) < bound
-      case "max"  => (c == "int" || c == "double") && asDouble(v) > bound
-      case "xmin" => (c == "int" || c == "double") && asDouble(v) <= bound
-      case "xmax" => (c == "int" || c == "double") && asDouble(v) >= bound
-      // the same truncated IEEE remainder Spark's `%` (Java %) and
-      // DuckDB's DOUBLE `%` (C fmod) compute on the same
-      // correctly-rounded operands — engine-identical
-      case "multipleof" =>
-        (c == "int" || c == "double") && (asDouble(v) % bound) != 0.0
-      case "minlen" =>
-        c == "string" && {
-          val s = v.getString
-          s.codePointCount(0, s.length) < bound.toInt
-        }
-      case "maxlen" =>
-        c == "string" && {
-          val s = v.getString
-          s.codePointCount(0, s.length) > bound.toInt
-        }
-      case "pattern" =>
-        c == "string" && !compiledPattern.matcher(v.getString).find()
-      case "minitems" => c == "array" && v.arraySize() < bound.toInt
-      case "maxitems" => c == "array" && v.arraySize() > bound.toInt
-      // object KEY-COUNT bounds (r14 minProperties/maxProperties)
-      case "minprops" => c == "object" && v.objectSize() < bound.toInt
-      case "maxprops" => c == "object" && v.objectSize() > bound.toInt
-      // dependentRequired (r14): `expected` carries the if-key, `field`
-      // the then-key — a reached object with the if-key present (JSON
-      // null IS present) but the then-key absent violates
-      case "dep" =>
-        c == "object" && v.getFieldByKey(expected) != null &&
-          v.getFieldByKey(field) == null
-      case "missing"  => c == "object" && v.getFieldByKey(field) == null
-      // additionalProperties: false (r14): any key outside the declared
-      // `keys` set on a reached OBJECT node; non-objects are their own
-      // type check's business
-      case "extra" =>
-        c == "object" && {
-          val n = v.objectSize()
-          var i = 0
-          var bad = false
-          while (!bad && i < n) {
-            bad = !keySet(v.getFieldAtIndex(i).key)
-            i += 1
-          }
-          bad
-        }
-      // uniqueItems (r14): two equal SCALAR elements in a reached ARRAY
-      // node — strings/booleans exact, numerics as the shared
-      // correctly-rounded double (1 duplicates 1.0), JSON nulls all
-      // equal; container elements skip (the type check's business —
-      // compile required a scalar items type)
-      case "unique" =>
-        c == "array" && {
-          val n = v.arraySize()
-          val strs = new scala.collection.mutable.HashSet[String]
-          val nums = new scala.collection.mutable.HashSet[Double]
-          var boolT = false; var boolF = false; var nullSeen = false
-          var i = 0
-          var dup = false
-          while (!dup && i < n) {
-            val e = v.getElementAtIndex(i)
-            canon(e) match {
-              case "string"         => dup = !strs.add(e.getString)
-              // + 0.0 folds IEEE -0.0 to 0.0: boxed-Double sets (and
-              // DuckDB's varchar render) would otherwise distinguish
-              // them, against the mathematical-value rule
-              case "int" | "double" => dup = !nums.add(asDouble(e) + 0.0)
-              case "bool" =>
-                if (e.getBoolean) { dup = boolT; boolT = true }
-                else { dup = boolF; boolF = true }
-              case "null" => dup = nullSeen; nullSeen = true
-              case _      => ()
-            }
-            i += 1
-          }
-          dup
-        }
-    }
-  }
-
-  /** does ANY node reached by steps(si..) from `v` violate? */
-  private def nodeViolates(v: Variant, si: Int): Boolean =
-    if (si == steps.length) terminalViolates(v)
-    else steps(si) match {
-      case "[]" =>
-        if (canon(v) != "array") false
-        else {
-          val n = v.arraySize()
-          var i = 0
-          var bad = false
-          while (!bad && i < n) {
-            bad = nodeViolates(v.getElementAtIndex(i), si + 1)
-            i += 1
-          }
-          bad
-        }
-      case f =>
-        if (canon(v) != "object") false
-        else {
-          val fv = v.getFieldByKey(f)
-          fv != null && nodeViolates(fv, si + 1)
-        }
-    }
+  /** match against the declared type spec (SQL-null top slots only). */
+  private def typeMatchesNull: Boolean =
+    expected.split('|').contains("null")
 
   /** Shared eval/codegen body (public for the generated code). */
   def doViolates(arr: ArrayData): Boolean = {
@@ -270,11 +346,11 @@ case class VariantItemsViolates(child: Expression, steps: Seq[String],
         // neither object nor array, so every walk step skips it), and
         // visible to the type check alone (value checks skip
         // non-matching runtime types)
-        if (steps.isEmpty && kind == "type" && !typeMatches("null"))
+        if (steps.isEmpty && kind == "type" && !typeMatchesNull)
           return true
       } else {
         val vv = arr.getVariant(i)
-        if (nodeViolates(new Variant(vv.getValue, vv.getMetadata), 0))
+        if (rootTerm.nodeViolates(new Variant(vv.getValue, vv.getMetadata), 0))
           return true
       }
       i += 1

@@ -87,7 +87,34 @@ class JsonSchemaPropertySpec extends SparkSpec {
             .map(i => e.getKey -> e.getValue.get(i).asText()))
           .toSeq
       }
+    def containsSc: Option[JsonNode] = Option(sc.get("contains"))
+    def propNamesPat: Option[String] =
+      Option(sc.get("propertyNames")).map(_.get("pattern").asText())
   }
+
+  private def keyList(v: JsonNode): Seq[String] = {
+    val it = v.fieldNames()
+    Iterator.continually(if (it.hasNext) it.next() else null)
+      .takeWhile(_ != null).toSeq
+  }
+
+  /** r15 contains: an element SATISFIES the subschema iff it violates
+    * none of its checks — independently spelled as "the per-element walk
+    * of a singleton array emits no tags" (mutual recursion with
+    * [[itemTags]]).
+    */
+  private def refSatisfies(e: JsonNode, sub: JsonNode): Boolean = {
+    val arr = mapper.createArrayNode()
+    arr.add(e.deepCopy[JsonNode]())
+    itemTags(arr, "", Nil, sub).isEmpty
+  }
+
+  private def containsBad(v: JsonNode, rn: RefNode): Boolean =
+    rn.containsSc.exists { sub =>
+      val cnt = (0 until v.size).count(i => refSatisfies(v.get(i), sub))
+      cnt < rn.int("minContains").getOrElse(1) ||
+        rn.int("maxContains").exists(cnt > _)
+    }
 
   /** the documented uniqueItems rule, independently: two equal SCALAR
     * elements (numbers as doubles, nulls all equal); containers skip.
@@ -175,6 +202,13 @@ class JsonSchemaPropertySpec extends SparkSpec {
       if (c == "object" && v.has(ifK) && !v.has(thenK))
         out += s"dep:$at.$thenK"
     }
+    if (rn.containsSc.nonEmpty && c == "array" && containsBad(v, rn))
+      out += s"contains:$at"
+    rn.propNamesPat.foreach { p =>
+      if (c == "object" &&
+        keyList(v).exists(k => !compilePat(p).matcher(k).find()))
+        out += s"propname:$at"
+    }
     out.result()
   }
 
@@ -240,6 +274,14 @@ class JsonSchemaPropertySpec extends SparkSpec {
     rn.deps.foreach { case (ifK, thenK) =>
       if (any(v => canon(v) == "object" && v.has(ifK) && !v.has(thenK)))
         out += s"dep:$at.$thenK"
+    }
+    if (rn.containsSc.nonEmpty &&
+      any(v => canon(v) == "array" && containsBad(v, rn)))
+      out += s"contains:$at"
+    rn.propNamesPat.foreach { p =>
+      if (any(v => canon(v) == "object" &&
+        keyList(v).exists(k => !compilePat(p).matcher(k).find())))
+        out += s"propname:$at"
     }
     val propNames = rn.props.map(_._1).toSet
     rn.required.filterNot(propNames).sorted.foreach { f =>
@@ -354,6 +396,12 @@ class JsonSchemaPropertySpec extends SparkSpec {
           val dd = sc.putObject("dependentRequired")
           val arr = dd.putArray(used(0)); arr.add(used(1))
         }
+        // r15 propertyNames: generated keys come from `names` plus the
+        // 1-in-3 "extra" key — the pool mixes always-pass, often-fail,
+        // and extra-only-fail patterns
+        if (rnd.nextInt(4) == 0)
+          sc.putObject("propertyNames").put("pattern",
+            pick(Vector("^[a-d]+$", "^[a-z]+$", "^(a|b|extra)$")))
       case "array" =>
         sc.set[JsonNode]("items", genSchema(depth - 1))
         if (rnd.nextBoolean()) sc.put("minItems", rnd.nextInt(3))
@@ -364,6 +412,23 @@ class JsonSchemaPropertySpec extends SparkSpec {
         if (rnd.nextInt(3) == 0 && itemType.exists(
             Seq("string", "integer", "number", "boolean").contains))
           sc.put("uniqueItems", true)
+        // r15 contains: a scalar subschema over the same value pools, so
+        // satisfying counts land on every side of the generated bounds;
+        // maxContains is kept >= the effective minContains (the gate
+        // aborts statically unsatisfiable pairs)
+        if (rnd.nextInt(3) == 0) {
+          val sub = mapper.createObjectNode()
+          rnd.nextInt(3) match {
+            case 0 => sub.put("type", "integer"); sub.put("minimum", 1L)
+            case 1 => sub.put("type", "string"); sub.put("pattern", pick(patterns))
+            case _ => sub.put("const", "ab")
+          }
+          sc.set[JsonNode]("contains", sub)
+          val minC = if (rnd.nextBoolean()) {
+            val m = rnd.nextInt(3); sc.put("minContains", m); m
+          } else 1
+          if (rnd.nextInt(3) == 0) sc.put("maxContains", minC + rnd.nextInt(3))
+        }
       case "string" =>
         if (rnd.nextBoolean()) sc.put("minLength", rnd.nextInt(3))
         if (rnd.nextBoolean()) sc.put("maxLength", 1 + rnd.nextInt(5))
@@ -450,6 +515,9 @@ class JsonSchemaPropertySpec extends SparkSpec {
       }
       if (rnd.nextInt(3) == 0)
         sc.put("additionalProperties", rnd.nextBoolean())
+      if (rnd.nextInt(4) == 0) // r15: key checks at the root too
+        sc.putObject("propertyNames").put("pattern",
+          pick(Vector("^[a-d]+$", "^[a-z]+$", "^(a|b|extra)$")))
       val schemaJson = mapper.writeValueAsString(sc)
       val msgs: Seq[(Long, String)] = (0 until 24).map { i =>
         val raw =

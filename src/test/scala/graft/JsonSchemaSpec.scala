@@ -676,6 +676,111 @@ class JsonSchemaSpec extends SparkSpec {
     assert(bad.getMessage.contains("minProperties"))
   }
 
+  test("contains/minContains/maxContains (r15): count-quantified element " +
+       "satisfaction at paths, an array root, and element depth; both " +
+       "count bounds; vacuous typed-guard passes; loud aborts") {
+    val sc =
+      """{"type": "object",
+        | "properties": {
+        |  "tags": {"type": "array",
+        |           "contains": {"type": "string", "pattern": "^b"},
+        |           "minContains": 1, "maxContains": 2},
+        |  "rows": {"type": "array",
+        |           "contains": {"required": ["sku"]}},
+        |  "grid": {"type": "array",
+        |           "items": {"type": "array",
+        |                     "contains": {"type": "integer",
+        |                                  "minimum": 1, "maximum": 5}}}}}"""
+        .stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"tags": ["bx", "a"], "rows": [{"sku": 1}], "grid": [[2]]}"""),
+        (2L, """{"tags": ["a", "c"]}"""),              // zero matches: min
+        (3L, """{"tags": ["b1", "b2", "b3"]}"""),      // three: over max
+        (4L, """{"tags": 5}"""),                       // non-array: type's business
+        (5L, """{"rows": [{"qty": 1}, {"x": 2}]}"""),  // no sku-bearing element
+        (6L, """{"grid": [[2, 9], [0, "x"]]}"""),      // 2nd inner: none in [1,5]
+        (7L, """{"tags": []}"""))                      // empty array: min fires
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "")
+    assert(got(2L) == "contains:$.tags")
+    assert(got(3L) == "contains:$.tags")
+    assert(got(4L) == "type:$.tags")
+    assert(got(5L) == "contains:$.rows")
+    assert(got(6L) == "contains:$.grid[]")
+    assert(got(7L) == "contains:$.tags")
+    // an ARRAY root takes the check at `$` (const = one-member typed enum)
+    val rootGot = JsonSchemaGate.validate(Seq(
+        (1L, """["x", "ok"]"""), (2L, """["x"]"""))
+      .toDF("id", "raw"), "raw",
+      """{"type": "array", "contains": {"const": "ok"}}""",
+      parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(rootGot(1L) == "" && rootGot(2L) == "contains:$")
+    // a bare `minimum` subschema vacuously ADMITS strings (the typed
+    // guard is JSON Schema's own applicability rule), so every element
+    // satisfies and minContains=1 holds on a non-empty array
+    val vac = JsonSchemaGate.validate(
+      Seq((1L, """{"a": ["s"]}""")).toDF("id", "raw"), "raw",
+      """{"type": "object", "properties":
+        | {"a": {"type": "array", "contains": {"minimum": 99}}}}"""
+        .stripMargin, parsedCol = None)
+      .select("violations").as[String].head()
+    assert(vac == "")
+    def bad(sc2: String) = intercept[IllegalArgumentException] {
+      JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw",
+        sc2, parsedCol = None)
+    }
+    assert(bad("""{"type": "array", "minContains": 2}""")
+      .getMessage.contains("minContains"))
+    assert(bad("""{"type": "array", "contains": {"type": "string"},
+                 | "minContains": 3, "maxContains": 2}""".stripMargin)
+      .getMessage.contains("unsatisfiable"))
+    assert(bad("""{"type": "array", "contains":
+                 | {"contains": {"type": "string"}}}""".stripMargin)
+      .getMessage.contains("nested"))
+  }
+
+  test("propertyNames (r15): the pattern form checks the KEYS themselves " +
+       "at paths, the root, and element depth; non-pattern forms abort") {
+    val sc =
+      """{"type": "object",
+        | "propertyNames": {"pattern": "^[a-z]+$"},
+        | "properties": {
+        |  "cfg":  {"type": "object",
+        |           "propertyNames": {"pattern": "^k[0-9]$"}},
+        |  "rows": {"type": "array",
+        |           "items": {"type": "object",
+        |                     "propertyNames": {"pattern": "^[ab]$"}}}}}"""
+        .stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"cfg": {"k1": 1, "k2": 2}, "rows": [{"a": 1}]}"""),
+        (2L, """{"cfg": {"k1": 1, "key": 2}}"""),     // nested bad key
+        (3L, """{"Bad": 1}"""),                       // root bad key
+        (4L, """{"cfg": 5}"""),                       // non-object: type's business
+        (5L, """{"rows": [{"a": 1}, {"zz": 2}]}"""))  // element bad key
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "")
+    assert(got(2L) == "propname:$.cfg")
+    assert(got(3L) == "propname:$")
+    assert(got(4L) == "type:$.cfg")
+    assert(got(5L) == "propname:$.rows[]")
+    val e1 = intercept[IllegalArgumentException] {
+      JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw",
+        """{"type": "object", "propertyNames": {"type": "string"}}""",
+        parsedCol = None)
+    }
+    assert(e1.getMessage.contains("pattern form"))
+    // the shared-dialect regex guard applies to key patterns too
+    val e2 = intercept[IllegalArgumentException] {
+      JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw",
+        """{"type": "object", "propertyNames": {"pattern": "(?=x)"}}""",
+        parsedCol = None)
+    }
+    assert(e2.getMessage.contains("lookaround"))
+  }
+
   test("keyword argument nodes are TYPE-CHECKED at compile (r14): a " +
        "draft-4 boolean exclusiveMinimum, a fractional minLength, or a " +
        "numeric pattern abort instead of silently coercing") {
@@ -746,14 +851,17 @@ class JsonSchemaSpec extends SparkSpec {
 
   test("the gate's projection chain stays WHOLE-STAGE-CODEGEN fused with " +
        "per-element items checks present (the FUSION.md r6 rule) — " +
-       "including the r14 kinds (extra-key, unique, union types)") {
+       "including the r14 kinds (extra-key, unique, union types) and " +
+       "the r15 kinds (contains, propertyNames)") {
     val sc =
       """{"type": "object", "additionalProperties": false,
+        | "propertyNames": {"pattern": "^[a-z]+$"},
         | "properties": {
         |  "user": {"type": ["object", "null"],
         |           "additionalProperties": false,
         |           "properties": {"id": {"type": "integer"}}},
         |  "tags": {"type": "array", "uniqueItems": true,
+        |           "contains": {"type": "string", "pattern": "^a"},
         |           "items": {"type": ["string", "null"], "minLength": 1,
         |                     "enum": ["ab", "cd"]}}}}""".stripMargin
     val v = JsonSchemaGate.validate(
