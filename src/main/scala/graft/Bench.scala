@@ -61,7 +61,20 @@ object Bench {
       }
     } catch { case _: Throwable => () }
 
+  /** Raise the root log level to WARN BEFORE the session boots. The
+    * driver archives the launcher's merged output, so session-boot INFO
+    * lines (BlockManager, SharedState) land in the artifact tail ahead of
+    * any per-logger tweak `GraftSession.tune` applies — the r14 tail was
+    * five boot INFO lines plus the JSON. `sparkContext.setLogLevel` can't
+    * help: it runs after the boot lines print. Non-log4j2 bindings skip.
+    */
+  private def quietBoot(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.WARN)
+    catch { case _: Throwable => () }
+
   private def benchBody(realOut: java.io.PrintStream): Unit = {
+    quietBoot()
     log4jConsoleToStderr()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -96,30 +109,40 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
-    // r14 (multi-row-group gate fixtures): events.parquet ships as ONE
-    // row group, so every zero-exchange per-row projection over it — the
-    // two JSON-Schema gate rows — benched on ONE core of 32
-    // (plans/SCALE.md r13.1: the full validate costs 3.27 s split 32
-    // ways vs ~6 s shipped). The gate's scale shape is file-parallel (a
-    // crawl corpus is many files), so the bench rebases those two rows
-    // onto a 32-file copy of events — measuring the engine's parallel
-    // shape, not the fixture's. Change of basis recorded in
-    // plans/BENCHNOTES.md r14; Verify/oracle inputs are untouched.
-    val gateRows = Set("q_json_schema", "q_stream_jsonschema")
-    val gateDir: String = try {
-      val d = java.nio.file.Files.createTempDirectory("graft_bench_events")
+    // r15 (generalized multi-row-group basis — r14's gate-only rebase
+    // widened per the verdict): EVERY fixture table ships as ONE parquet
+    // row group, so every zero-exchange per-row query over a corpus
+    // table benched on ONE core of 32 (q_bpe_segment's 4.7 s is a
+    // one-core number). A 100 TB table is never one row group — the
+    // engine's scale shape is file-parallel — so the bench runs ALL
+    // queries against a split copy of the sf dir: corpus-sized tables
+    // repartitioned to one file per core, mid-sized to 8, small dims
+    // kept single-file (splitting a 25-row table measures nothing).
+    // The ANCHOR keeps reading the ORIGINAL dir — its shape must stay
+    // fixed across rounds for drift normalization. Verify/oracle inputs
+    // are untouched; the change of basis is recorded in
+    // plans/BENCHNOTES.md r15 (cross-round diffs start from this
+    // round's committed BENCH_FULL.json).
+    val splitDir: String = try {
+      val d = java.nio.file.Files.createTempDirectory("graft_bench_split")
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         try {
           import java.nio.file.{Files, Path}
           Files.walk(d).sorted(java.util.Comparator.reverseOrder[Path]())
             .forEach(f => Files.deleteIfExists(f))
         } catch { case _: Throwable => () }))
-      spark.read.parquet(s"$sfDir/events.parquet").repartition(cpus.toInt)
-        .write.mode("overwrite").parquet(s"$d/events.parquet")
+      for (t <- graft.sources.Tables.names) {
+        val df = spark.read.parquet(s"$sfDir/$t.parquet")
+        val rows = df.count()
+        val parts = if (rows >= 20000) cpus.toInt
+                    else if (rows >= 2000) 8 else 1
+        (if (parts == 1) df else df.repartition(parts))
+          .write.mode("overwrite").parquet(s"$d/$t.parquet")
+      }
       d.toString
     } catch { case e: Throwable =>
       System.err.println(
-        s"[bench] gate fixture split failed (${e.getMessage}); using $sfDir")
+        s"[bench] fixture split failed (${e.getMessage}); using $sfDir")
       sfDir
     }
 
@@ -145,8 +168,7 @@ object Bench {
         // the same at 100x as at 1x because the entire ownership pipeline
         // was eliminated under count. toRdd measures producing the result
         // the way Verify writes it, minus the file IO.
-        val dirFor = if (gateRows(name)) gateDir else sfDir
-        val ok = try { fn(spark, dirFor).queryExecution.toRdd.count(); true } catch {
+        val ok = try { fn(spark, splitDir).queryExecution.toRdd.count(); true } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
             false

@@ -66,6 +66,12 @@ object GraftSession {
     // exists to avoid. Each group's state here is a k-sized heap, so
     // 64k hash entries are a few MB, nowhere near executor pressure.
     conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+    // wide fixture plans (the 225-query registry's widest projections)
+    // trip SparkStringUtils' "Truncated the string representation" WARN
+    // at the default of 25 fields — a pure logging knob (plan-string
+    // rendering), so raising it costs nothing at any scale and keeps the
+    // bench artifact tail log-free (r14 verdict task 6).
+    conf.set("spark.sql.debug.maxToStringFields", "2000")
     // FileStreamSink.hasMetadata logs a FULL FileNotFoundException stack
     // trace at WARN every time a batch read opens a glob path (our
     // stream queries' `read.parquet(".../batch_*")` drain shape) — pure
