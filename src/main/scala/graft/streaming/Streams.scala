@@ -940,6 +940,65 @@ object Streams {
     l
   }
 
+  /** Operational guardrail for HEAP-resident streaming state (r15 —
+    * the r14 crossover measurement, plans/SCALE.md: the default
+    * HDFS-backed state-store provider holds every key's state on the
+    * executor heap at ~440 B/key ×2 retained version maps, and FAILS
+    * OUTRIGHT near heap-scale state where RocksDB completes flat at a
+    * bounded block cache). Watches every micro-batch's `stateOperators`
+    * and invokes `onWarn(queryName, stateBytes, stateRows,
+    * thresholdBytes)` whenever the summed `memoryUsedBytes` crosses the
+    * threshold — `thresholdBytes` if given, else `heapFraction` of this
+    * JVM's max heap (right for local mode where driver == executor; on
+    * a real cluster pass the EXECUTOR heap explicitly). The default
+    * action logs one WARN per crossing batch naming the RocksDB knob
+    * (`GraftSession.useRocksDbStateStore` / SPARK_GRAFT_STATESTORE=
+    * rocksdb) and the measured per-key rule. A session already on
+    * RocksDB skips the check — its memoryUsedBytes is bounded block
+    * cache, not heap pressure. Returns the listener for detaching.
+    */
+  def stateStoreGuard(spark: SparkSession,
+                      heapFraction: Double = 0.25,
+                      thresholdBytes: Option[Long] = None,
+                      onWarn: (String, Long, Long, Long) => Unit = null)
+      : org.apache.spark.sql.streaming.StreamingQueryListener = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    require(heapFraction > 0 && heapFraction <= 1,
+      s"heapFraction must be in (0, 1], got $heapFraction")
+    val onRocksDb = spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB"))
+    val limit = thresholdBytes.getOrElse(
+      (Runtime.getRuntime.maxMemory * heapFraction).toLong)
+    val warn: (String, Long, Long, Long) => Unit =
+      if (onWarn != null) onWarn
+      else (name, bytes, rows, lim) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"streaming query '$name' holds $bytes bytes of state across " +
+            s"$rows keys on the EXECUTOR HEAP (default state-store " +
+            s"provider), past the $lim-byte guardrail — at the measured " +
+            "~440 B/key (plans/SCALE.md r14) this provider fails outright " +
+            "near heap-scale state; switch to RocksDB via " +
+            "GraftSession.useRocksDbStateStore(spark) or " +
+            "SPARK_GRAFT_STATESTORE=rocksdb before the state grows")
+    val l = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (!onRocksDb) {
+          val sos = e.progress.stateOperators
+          if (sos != null && sos.nonEmpty) {
+            val bytes = sos.map(_.memoryUsedBytes).sum
+            if (bytes > limit)
+              warn(Option(e.progress.name).getOrElse(e.progress.id.toString),
+                bytes, sos.map(_.numRowsTotal).sum, limit)
+          }
+        }
+    }
+    spark.streams.addListener(l)
+    l
+  }
+
   /** In-flight data-quality observation (`Dataset.observe`): aggregate
     * metrics (counts, null counts, sums) computed ON the stream's own
     * rows as they pass — no second scan, no extra shuffle — and surfaced

@@ -616,6 +616,42 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateStoreGuard warns when heap-resident state crosses the " +
+       "threshold, and stays quiet below it (r15 — the r14 crossover's " +
+       "operational guardrail)") {
+    implicit val sqlCtx = spark.sqlContext
+    val fired = new java.util.concurrent.CopyOnWriteArrayList[(String, Long, Long, Long)]
+    val quiet = new java.util.concurrent.CopyOnWriteArrayList[(String, Long, Long, Long)]
+    // 1-byte threshold: ANY stateful batch crosses; Long.MaxValue: none
+    val gLow = Streams.stateStoreGuard(spark, thresholdBytes = Some(1L),
+      onWarn = (n, b, r, t) => fired.add((n, b, r, t)))
+    val gHigh = Streams.stateStoreGuard(spark,
+      thresholdBytes = Some(Long.MaxValue),
+      onWarn = (n, b, r, t) => quiet.add((n, b, r, t)))
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = Streams.keepBestStream(mem.toDS())
+      .toDF("key", "keep_id", "keep_score", "n_copies")
+      .writeStream.format("memory").queryName("guard_kb")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(("k1", 1L, 10.0), ("k2", 2L, 20.0), ("k3", 3L, 5.0))
+      q.processAllAvailable()
+      // the listener bus delivers progress events asynchronously
+      val deadline = System.nanoTime() + 15e9.toLong
+      while (fired.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!fired.isEmpty, "guard never fired past a 1-byte threshold")
+      val (name, bytes, rows, lim) = fired.get(0)
+      assert(name == "guard_kb" && bytes > lim && rows >= 3L && lim == 1L,
+        s"unexpected warning payload: ($name, $bytes, $rows, $lim)")
+      assert(quiet.isEmpty,
+        s"guard fired below an unreachable threshold: $quiet")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(gLow)
+      spark.streams.removeListener(gHigh)
+    }
+  }
+
   test("sessionizeState extends the trailing session across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
