@@ -948,9 +948,13 @@ object Streams {
     * bounded block cache). Watches every micro-batch's `stateOperators`
     * and invokes `onWarn(queryName, stateBytes, stateRows,
     * thresholdBytes)` whenever the summed `memoryUsedBytes` crosses the
-    * threshold — `thresholdBytes` if given, else `heapFraction` of this
-    * JVM's max heap (right for local mode where driver == executor; on
-    * a real cluster pass the EXECUTOR heap explicitly). The default
+    * threshold — `thresholdBytes` if given, else `heapFraction` of the
+    * EXECUTOR heap: `spark.executor.memory` when the session declares
+    * one (the cluster case — the state lives on executors, not the
+    * driver), else this JVM's max heap (local mode, where driver ==
+    * executor). The per-executor base is conservative: progress reports
+    * the SUM across executors, so the warning fires early, never late.
+    * The default
     * action logs one WARN per crossing batch naming the RocksDB knob
     * (`GraftSession.useRocksDbStateStore` / SPARK_GRAFT_STATESTORE=
     * rocksdb) and the measured per-key rule. A session already on
@@ -968,8 +972,10 @@ object Streams {
     val onRocksDb = spark.conf
       .getOption("spark.sql.streaming.stateStore.providerClass")
       .exists(_.contains("RocksDB"))
-    val limit = thresholdBytes.getOrElse(
-      (Runtime.getRuntime.maxMemory * heapFraction).toLong)
+    val heapBase = spark.conf.getOption("spark.executor.memory")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(Runtime.getRuntime.maxMemory)
+    val limit = thresholdBytes.getOrElse((heapBase * heapFraction).toLong)
     val warn: (String, Long, Long, Long) => Unit =
       if (onWarn != null) onWarn
       else (name, bytes, rows, lim) =>

@@ -98,4 +98,34 @@ class StreamsRocksDbSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("stateStoreGuard is a NO-OP under RocksDB (r15): its memory metric " +
+       "is bounded block cache, not heap pressure") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val fired = new java.util.concurrent.CopyOnWriteArrayList[String]
+      // the 1-byte threshold that ALWAYS fires on the default provider
+      // (StreamsSpec pins that) must never fire here — the guard reads
+      // the session's provider conf at attach time
+      val g = Streams.stateStoreGuard(spark, thresholdBytes = Some(1L),
+        onWarn = (n, _, _, _) => fired.add(n))
+      val mem = MemoryStream[(String, Long, Double)]
+      val q = Streams.keepBestStream(mem.toDS())
+        .toDF("key", "keep_id", "keep_score", "n_copies")
+        .writeStream.format("memory").queryName("guard_rocks")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        mem.addData(("k1", 1L, 10.0), ("k2", 2L, 20.0))
+        q.processAllAvailable()
+        // give the async listener bus time to deliver the progress event
+        val deadline = System.nanoTime() + 3e9.toLong
+        while (fired.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+        assert(fired.isEmpty,
+          s"guard fired under RocksDB: ${fired}")
+      } finally {
+        q.stop()
+        spark.streams.removeListener(g)
+      }
+    }
+  }
 }
