@@ -769,6 +769,36 @@ object ScaleBench {
         case None    => spark.conf.unset(provKey)
       }
     }
+
+    // r15: ChainedReplace memoization — SEGMENTATION-only wall over the
+    // replicated documents corpus (training excluded: the q_bpe_segment
+    // bench row is dominated by its in-query train rounds, so the memo's
+    // effect is invisible there). Two merge-table sizes: the fixture's
+    // 544 learned merges, and the same table padded to ~8.7k steps with
+    // never-matching pairs — the honest simulation of a production
+    // tokenizer's table, where each memo MISS pays a full O(steps ×
+    // length) scan while a hit stays O(length). Corpus tokens repeat
+    // with Zipf frequency, so the memo converts per-occurrence cost to
+    // per-distinct-token cost per executor thread.
+    if (want("bpe_memo")) {
+      val docs = spark.read.parquet(s"$big/documents.parquet")
+      val merges = graft.functions.Bpe.train(
+          Tables.load(spark, base, "customer"), "c_name",
+          nMerges = 544, mergesPerRound = 32, maxRounds = 17)._1
+        .select("l", "r").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val padded = merges ++ (0 until 8192).map(i => (s"zq${i}x", s"zr${i}x"))
+      for ((label, ms, memo) <- Seq(
+          ("m544_off", merges, 0), ("m544_on", merges, 1 << 15),
+          ("m8736_off", padded, 0), ("m8736_on", padded, 1 << 15))) {
+        val t0 = System.nanoTime()
+        graft.functions.Bpe.segment(docs, "doc_id", "text", ms,
+            memoSize = memo)
+          .queryExecution.toRdd.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"[scalebench] bpe_memo $label steps=${ms.size} wall=$wall%.2f s")
+      }
+    }
     spark.stop()
   }
 }

@@ -168,7 +168,8 @@ object Bpe {
     * as (id, token, syms, n_syms).
     */
   def segment(docs: DataFrame, idCol: String, textCol: String,
-              merges: Seq[(String, String)]): DataFrame = {
+              merges: Seq[(String, String)],
+              memoSize: Int = 1 << 15): DataFrame = {
     import org.apache.spark.sql.graftglue.{ChainedReplace, ColumnBridge}
     val tok = docs.select(col(idCol).as("id"),
       explode(Text.tokens(col(textCol))).as("token"))
@@ -176,10 +177,16 @@ object Bpe {
     // `replace` — a production merge table is 10⁴-10⁵ steps and the folded
     // tree falls out of whole-stage codegen at a few hundred (the Project
     // loses its codegen star and every token pays interpreted dispatch per
-    // merge); same values, ChainedReplace scaladoc has the measurement
+    // merge); same values, ChainedReplace scaladoc has the measurement.
+    // memoSize (r15): corpus tokens repeat with Zipf frequency — a
+    // distinct symbolized token pays the O(merges × length) replay once
+    // per executor thread, every repeat is a thread-local hash hit; at a
+    // production merge-table size the per-miss cost grows with the
+    // tokenizer while the hit stays O(length)
     val seg = ColumnBridge.column(ChainedReplace(
       ColumnBridge.expression(symbolize(col("token"))),
-      merges.map { case (l, r) => (s" $l  $r ", s" ${l}${r} ") }))
+      merges.map { case (l, r) => (s" $l  $r ", s" ${l}${r} ") },
+      memoSize = memoSize))
     tok.withColumn("syms", split(trim(seg), "  "))
       .withColumn("n_syms", size(col("syms")).cast(LongType))
   }

@@ -316,12 +316,20 @@ class PropertySpec extends SparkSpec {
     val stepGen = Gen.listOfN(4, Gen.zip(
       Gen.oneOf(" a  b ", " b  a ", "ab", "a"), Gen.oneOf(" ab ", " ba ", "x", "")))
     check(Prop.forAll(Gen.listOfN(4, strGen), stepGen) { (strs, steps) =>
-      val df = strs.toDF("s")
+      // duplicate-heavy input so the memoized variant takes real cache
+      // HITS (not just misses) on the same frame
+      val df = (strs ++ strs ++ strs).toDF("s")
       val native = df.select(ColumnBridge.column(ChainedReplace(
         ColumnBridge.expression(col("s")), steps))).as[String].collect().toSeq
+      // r15 memo path: values must be indistinguishable from the plain
+      // loop — including the row-buffer-detachment clone rules (a stale
+      // reference would surface as one row's value bleeding into another)
+      val memoized = df.select(ColumnBridge.column(ChainedReplace(
+        ColumnBridge.expression(col("s")), steps, memoSize = 4)))
+        .as[String].collect().toSeq
       val folded = df.select(steps.foldLeft(col("s")) { case (acc, (p, r)) =>
         replace(acc, lit(p), lit(r)) }).as[String].collect().toSeq
-      native == folded
+      native == folded && memoized == folded
     })
   }
 
