@@ -770,6 +770,35 @@ object ScaleBench {
       }
     }
 
+    // r15: JSON-Schema gate WIDTH decade — real log/event schemas carry
+    // hundreds of properties, and the gate compiles one typed check
+    // column per distinct path plus the concat_ws over every fragment:
+    // the question is whether the per-row wall stays linear in the check
+    // count or hits a codegen/plan-size cliff (generated-method limits,
+    // constant-pool pressure). One flat object schema per width, every
+    // property typed+bounded (2 checks each), messages synthesized to
+    // match with a 1-in-7 violation mix.
+    if (want("gate_width")) {
+      import org.apache.spark.sql.functions.{col => fcol}
+      for (width <- Seq(25, 100, 400, 800)) {
+        val props = (0 until width).map(i =>
+          s""""f$i": {"type": "integer", "minimum": 0}""").mkString(", ")
+        val schema =
+          s"""{"type": "object", "required": ["f0"], "properties": {$props}}"""
+        val msg = (0 until width).map(i => s""""f$i": ${i % 97}""").mkString(", ")
+        val rows = spark.range(200000).select(
+          fcol("id"),
+          org.apache.spark.sql.functions.when(fcol("id") % 7 === 0,
+            s"""{"f1": -5, $msg}""").otherwise(s"""{$msg}""").as("raw"))
+        val t0 = System.nanoTime()
+        val out = graft.schema.JsonSchemaGate.validate(rows, "raw", schema,
+          parsedCol = None)
+        out.queryExecution.toRdd.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"[scalebench] gate_width width=$width wall=$wall%.2f s")
+      }
+    }
+
     // r15: ChainedReplace memoization — SEGMENTATION-only wall over the
     // replicated documents corpus (training excluded: the q_bpe_segment
     // bench row is dominated by its in-query train rounds, so the memo's

@@ -898,31 +898,16 @@ object JsonSchemaGate {
   // Spark side
   // ------------------------------------------------------------------
 
-  /** canonical node type at `path` of the variant column `vcol`: SQL NULL
-    * when the path is missing, else one of the canonical alphabet.
-    */
-  private def actualType(vcol: String, path: String): Column = {
-    val node = expr(s"try_variant_get($vcol, '$path')")
-    when(node.isNull, lit(null).cast(StringType))
-      .otherwise(canonicalType(node))
-  }
-
-  /** the canonical-alphabet fold of one PRESENT variant value — shared by
-    * the per-path [[actualType]] and the per-ELEMENT lambda bodies (one
-    * spelling, so path- and element-level classification cannot drift).
-    */
-  private def canonicalType(node: Column): Column = {
-    val st = schema_of_variant(node)
-    when(is_variant_null(node), "null")
-      .when(st.startsWith("OBJECT"), "object")
-      .when(st.startsWith("ARRAY"), "array")
-      .when(st === "STRING", "string")
-      .when(st === "BOOLEAN", "bool")
-      .when(st === "BIGINT", "int")
-      .when(st.startsWith("DECIMAL") || st === "DOUBLE" || st === "FLOAT",
-        "double")
-      .otherwise("other")
-  }
+  // Per-path canonical types are computed by the native
+  // [[org.apache.spark.sql.graftglue.VariantPathTypes]] walk (r15 —
+  // one expression for ALL paths; the previous per-path Column spelling
+  // — try_variant_get + is_variant_null + schema_of_variant + CASE —
+  // hit janino's 64 KB method limit at real log-schema widths, see the
+  // wiring comment in [[validate]]). The walk's encoding-tag fold is
+  // the same canonical alphabet the schema_of_variant spelling produced
+  // (the adjudicated equivalence the per-element native has relied on
+  // since r12), so path- and element-level classification still cannot
+  // drift.
 
   /** The Spark StructType the schema's `type`s describe — the typed
     * `from_json` target for the parsed output column.
@@ -973,24 +958,37 @@ object JsonSchemaGate {
     val vcol = fresh("__jsv")
     val malformed = col(vcol).isNull
     val checks = checksOf(root)
-    // every distinct path's canonical type evaluates ONCE into its own
-    // intermediate column — each check (and each guard) then reads the
-    // cheap string column instead of re-running the variant navigation +
-    // schema introspection per reference (a check referenced a path's
-    // type up to 3× and guards repeated every ancestor's; measured ~2×
-    // end-to-end on the oracle corpus). Results are bit-identical: the
-    // column IS the same expression, evaluated once. Array paths under
-    // per-element checks likewise extract their array<variant> ONCE.
-    val typeCols: Map[String, String] =
+    // every distinct path's canonical type evaluates ONCE — r13/r14 as
+    // one intermediate Column per path (each ~25 expression nodes:
+    // try_variant_get + is_variant_null + schema_of_variant + the CASE
+    // fold), r15 as ONE native walk over ALL paths
+    // ([[org.apache.spark.sql.graftglue.VariantPathTypes]] →
+    // array<string>, each check reading its slot with a 2-node
+    // element_at). The per-path-Column shape hit a hard WIDTH cliff:
+    // a 400-property schema blew janino's 64 KB generated-method limit,
+    // dropped the projection out of codegen, and went superlinear in
+    // interpreted dispatch (ScaleBench `gate_width`, plans/SCALE.md
+    // r15). The native also skips schema_of_variant's per-call DDL
+    // string build (the canonical fold reads the encoding tag, the
+    // adjudicated-equivalent alphabet the element walk already uses).
+    // Array paths under per-element checks still extract their
+    // array<variant> once each.
+    val typePaths: Seq[String] =
       (checks.map(_.path) ++ checks.flatMap(_.guards) ++
         checks.collect { case d: DepRequired => Seq(d.ifPath, d.thenPath) }
           .flatten).distinct
-        .zipWithIndex.map { case (p, i) => p -> fresh(s"__jst$i") }.toMap
+    val typeIdx: Map[String, Int] = typePaths.zipWithIndex.toMap
+    val typesCol = fresh("__jstypes")
+    // compiled path → field chain (Nil = root `$`); property names
+    // passed the identifier guard, so '.' splits are unambiguous
+    def segsOf(p: String): Seq[String] =
+      if (p == "$") Nil else p.stripPrefix("$.").split('.').toSeq
     val arrCols: Map[String, String] =
       checks.collect { case ic: ItemsCheck => ic.path
                        case ab: ArrBound => ab.path }.distinct
         .zipWithIndex.map { case (p, i) => p -> fresh(s"__jsa$i") }.toMap
-    def t(p: String): Column = col(typeCols(p))
+    def t(p: String): Column =
+      element_at(col(typesCol), lit(typeIdx(p) + 1))
     def guarded(c: Check)(cond: Column): Column = {
       val g = c.guards.foldLeft(!malformed) { (acc, gp) =>
         acc && t(gp) === "object"
@@ -1106,7 +1104,7 @@ object JsonSchemaGate {
         // measured +112% on the oracle corpus before the native
         // (plans/FUSION.md's r6 lesson, re-learned r12); the native's
         // element classification folds the variant type tag to the same
-        // canonical alphabet [[canonicalType]] reads via schema_of_variant
+        // canonical alphabet the path walk (VariantPathTypes) folds to
         case c: ItemsCheck =>
           import org.apache.spark.sql.graftglue.{ColumnBridge, VariantItemsViolates}
           val vs = c.enumVals
@@ -1123,15 +1121,18 @@ object JsonSchemaGate {
           guarded(c)(t(c.path) === "array" && cond)
       }
     val withV = df.withColumn(vcol, expr(s"try_parse_json(`$jsonCol`)"))
-    val withTypes = typeCols.toSeq.sortBy(_._2)
-      .foldLeft(withV) { case (d, (p, c)) => d.withColumn(c, actualType(vcol, p)) }
+    val withTypes = withV.withColumn(typesCol,
+      org.apache.spark.sql.graftglue.ColumnBridge.column(
+        org.apache.spark.sql.graftglue.VariantPathTypes(
+          org.apache.spark.sql.graftglue.ColumnBridge.expression(col(vcol)),
+          typePaths.map(segsOf))))
     val out = arrCols.toSeq.sortBy(_._2)
       .foldLeft(withTypes) { case (d, (p, c)) =>
         d.withColumn(c, expr(s"try_variant_get($vcol, '$p', 'array<variant>')"))
       }
       .withColumn(violationsCol, concat_ws(",", frags: _*))
       .withColumn(validCol, col(violationsCol) === "")
-      .drop(vcol +: (typeCols.values.toSeq ++ arrCols.values.toSeq): _*)
+      .drop(vcol +: (typesCol +: arrCols.values.toSeq): _*)
     parsedCol.fold(out)(pc => out.withColumn(pc,
       from_json(col(jsonCol), structType(schemaJson))))
   }
