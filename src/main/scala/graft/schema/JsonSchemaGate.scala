@@ -989,6 +989,19 @@ object JsonSchemaGate {
         .zipWithIndex.map { case (p, i) => p -> fresh(s"__jsa$i") }.toMap
     def t(p: String): Column =
       element_at(col(typesCol), lit(typeIdx(p) + 1))
+    // numeric-bound VALUE reads batch the same way (r15,
+    // [[org.apache.spark.sql.graftglue.VariantPathDoubles]]): after the
+    // type columns were batched, the per-check
+    // `cast(try_variant_get as double)` was the largest remaining
+    // width-many expression class — one walk fills array<double>, each
+    // bound check reads its slot (NULL for non-numeric/absent slots,
+    // which the type guard keeps unread)
+    val valuePaths: Seq[String] =
+      checks.collect { case b: Bound => b.path }.distinct
+    val valueIdx: Map[String, Int] = valuePaths.zipWithIndex.toMap
+    val valsCol = fresh("__jsvals")
+    def numAt(p: String): Column =
+      element_at(col(valsCol), lit(valueIdx(p) + 1))
     def guarded(c: Check)(cond: Column): Column = {
       val g = c.guards.foldLeft(!malformed) { (acc, gp) =>
         acc && t(gp) === "object"
@@ -1020,7 +1033,7 @@ object JsonSchemaGate {
             viaCast("double", "double", dbls) ||
             viaCast("bool", "boolean", bools))
         case c @ Bound(p, op, b, _) =>
-          val v = expr(s"cast(try_variant_get($vcol, '$p') as double)")
+          val v = numAt(p)
           val bad = op match {
             case "min"        => v < lit(b)
             case "max"        => v > lit(b)
@@ -1126,13 +1139,22 @@ object JsonSchemaGate {
         org.apache.spark.sql.graftglue.VariantPathTypes(
           org.apache.spark.sql.graftglue.ColumnBridge.expression(col(vcol)),
           typePaths.map(segsOf))))
+    val withVals =
+      if (valuePaths.isEmpty) withTypes
+      else withTypes.withColumn(valsCol,
+        org.apache.spark.sql.graftglue.ColumnBridge.column(
+          org.apache.spark.sql.graftglue.VariantPathDoubles(
+            org.apache.spark.sql.graftglue.ColumnBridge.expression(col(vcol)),
+            valuePaths.map(segsOf))))
     val out = arrCols.toSeq.sortBy(_._2)
-      .foldLeft(withTypes) { case (d, (p, c)) =>
+      .foldLeft(withVals) { case (d, (p, c)) =>
         d.withColumn(c, expr(s"try_variant_get($vcol, '$p', 'array<variant>')"))
       }
       .withColumn(violationsCol, concat_ws(",", frags: _*))
       .withColumn(validCol, col(violationsCol) === "")
-      .drop(vcol +: (typesCol +: arrCols.values.toSeq): _*)
+      .drop(vcol +: typesCol +:
+        (if (valuePaths.isEmpty) Nil else Seq(valsCol)) ++:
+        arrCols.values.toSeq: _*)
     parsedCol.fold(out)(pc => out.withColumn(pc,
       from_json(col(jsonCol), structType(schemaJson))))
   }
