@@ -602,23 +602,37 @@ object Sinks {
     // retention: the new generation + its keepGens-1 newest predecessors
     // always survive; `spark.graft.swap.keepMinAgeMs` (default 0 = count
     // only) is a TIME floor on top — a generation is retired only when
-    // BOTH beyond keepGenerations AND its _GEN_READY marker is older than
-    // the floor. The count bound covers "a reader resolved the previous
+    // BOTH beyond keepGenerations AND it was SUPERSEDED more than the
+    // floor ago. The count bound covers "a reader resolved the previous
     // pointer and is still scanning"; the floor turns that into an
-    // explicit reader SLA ("any scan started in the last N ms finds its
-    // files") that survives bursts of back-to-back maintains, where the
-    // previous generation can otherwise be retired milliseconds after it
-    // stopped being current (contract: plans/LAYOUT.md).
+    // explicit reader SLA ("any scan that resolved _CURRENT in the last
+    // N ms finds every file it listed") that survives bursts of
+    // back-to-back maintains (contract: plans/LAYOUT.md). The floor
+    // clock starts at SUPERSESSION, not at the generation's own
+    // readiness: reader exposure ends when the pointer moves OFF a
+    // generation, which happens the instant its oldest READY successor's
+    // marker lands (writePointer immediately follows the marker).
+    // Measuring from the candidate's own _GEN_READY mtime (the r14 form)
+    // broke the SLA exactly for long-lived generations: one current for
+    // hours and then superseded by two back-to-back maintains was past
+    // both bounds at the second maintain and vanished milliseconds after
+    // it stopped being current (ADVICE r15). A candidate whose successor
+    // marker cannot be read counts as just-superseded (age 0) and
+    // survives any positive floor — conservative, never the reverse.
     val keepMinAgeMs =
       spark.conf.get("spark.graft.swap.keepMinAgeMs", "0").toLong
     val nowMs = System.currentTimeMillis()
-    def readyAgeMs(p: Path): Long =
-      try nowMs - fs.getFileStatus(new Path(p, GenReadyMarker))
-        .getModificationTime
-      catch { case _: java.io.FileNotFoundException => Long.MaxValue }
-    listGens(fs, d).filter { case (n, p) => n != nextN && genReady(fs, p) }
+    val readyGens = listGens(fs, d).filter { case (_, p) => genReady(fs, p) }
+    def readyMtime(p: Path): Option[Long] =
+      try Some(fs.getFileStatus(new Path(p, GenReadyMarker))
+        .getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None }
+    def supersededAgeMs(n: Long): Long =
+      readyGens.find(_._1 > n).flatMap(g => readyMtime(g._2))
+        .map(nowMs - _).getOrElse(0L)
+    readyGens.filter(_._1 != nextN)
       .dropRight(keepGens - 1)
-      .filter { case (_, p) => readyAgeMs(p) >= keepMinAgeMs }
+      .filter { case (n, _) => supersededAgeMs(n) >= keepMinAgeMs }
       .foreach { case (_, p) => deleteOrDie(p) }
     // legacy flat content (a rename-protocol life before the protocol
     // switch) is retired only now — the input frame read those files and

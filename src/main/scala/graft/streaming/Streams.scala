@@ -957,10 +957,21 @@ object Streams {
     * The default
     * action logs one WARN per crossing batch naming the RocksDB knob
     * (`GraftSession.useRocksDbStateStore` / SPARK_GRAFT_STATESTORE=
-    * rocksdb) and the measured per-key rule. A session already on
-    * RocksDB skips the check — its memoryUsedBytes is bounded block
-    * cache, not heap pressure. Returns the listener for detaching.
+    * rocksdb) and the measured per-key rule. A session on RocksDB skips
+    * the check — its memoryUsedBytes is bounded block cache, not heap
+    * pressure — and the provider conf is read PER MICRO-BATCH, so a
+    * mid-life switch to RocksDB silences the guard without re-attaching
+    * (and a switch back re-arms it). Returns the listener for detaching.
     */
+  /** `spark.executor.memory` in bytes, with Spark's OWN default unit: a
+    * suffixless value means MiB (Spark reads this key via getSizeAsMb).
+    * `byteStringAsBytes` would read a cluster's `4096` as 4096 BYTES and
+    * arm the guard with a ~1 KB rail that fires on every stateful batch
+    * (ADVICE r15).
+    */
+  private[graft] def executorMemoryBytes(v: String): Long =
+    org.apache.spark.network.util.JavaUtils.byteStringAsMb(v) * 1024L * 1024L
+
   def stateStoreGuard(spark: SparkSession,
                       heapFraction: Double = 0.25,
                       thresholdBytes: Option[Long] = None,
@@ -969,11 +980,16 @@ object Streams {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     require(heapFraction > 0 && heapFraction <= 1,
       s"heapFraction must be in (0, 1], got $heapFraction")
-    val onRocksDb = spark.conf
+    // provider is read PER BATCH, not frozen at attach: a session that
+    // switches to RocksDB after attaching (GraftSession.
+    // useRocksDbStateStore mid-life) must stop getting heap-pressure
+    // warnings computed from RocksDB's block-cache memoryUsedBytes
+    // (ADVICE r15); a conf getOption per micro-batch is free.
+    def onRocksDb = spark.conf
       .getOption("spark.sql.streaming.stateStore.providerClass")
       .exists(_.contains("RocksDB"))
     val heapBase = spark.conf.getOption("spark.executor.memory")
-      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .map(executorMemoryBytes)
       .getOrElse(Runtime.getRuntime.maxMemory)
     val limit = thresholdBytes.getOrElse((heapBase * heapFraction).toLong)
     val warn: (String, Long, Long, Long) => Unit =

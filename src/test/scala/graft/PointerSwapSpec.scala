@@ -105,6 +105,47 @@ class PointerSwapSpec extends SparkSpec {
     }
   }
 
+  test("the retention floor clocks from SUPERSESSION, not readiness: a " +
+       "long-current generation survives a burst of back-to-back " +
+       "maintains, and retires once its successor ages past the floor") {
+    withPointer {
+      val key = "spark.graft.swap.keepMinAgeMs"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "3600000") // 1h floor
+      try {
+        val base = java.nio.file.Files.createTempDirectory("ptr_sup").toString
+        val idx = s"$base/idx"
+        val f = fs(idx)
+        def backdate(gen: String): Unit = {
+          val m = new Path(s"$idx/$gen/${Sinks.GenReadyMarker}")
+          f.setTimes(m, System.currentTimeMillis() - 7200000L, -1) // -2h
+        }
+        def gens() = f.listStatus(new Path(idx)).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("gen-")).sorted.toSeq
+        // gen-0 becomes current and STAYS current for "2 hours" (its own
+        // ready marker is backdated past the floor), then two maintains
+        // land back to back — the ADVICE r15 scenario. A floor clocked
+        // from gen-0's own readiness retires it at the second maintain,
+        // milliseconds after it stopped being current; clocked from its
+        // successor's readiness (≈ when the pointer moved off it) it must
+        // survive the whole burst.
+        Sinks.swapWrite(Seq((1L, "a")).toDF("id", "v"), idx)
+        backdate("gen-0")
+        Sinks.swapWrite(Seq((2L, "b")).toDF("id", "v"), idx)
+        Sinks.swapWrite(Seq((3L, "c")).toDF("id", "v"), idx)
+        assert(gens() == Seq("gen-0", "gen-1", "gen-2"),
+          s"long-current generation lost in a maintain burst: ${gens()}")
+        // once the SUCCESSOR (gen-1) is itself old — gen-0 stopped being
+        // current more than the floor ago — count-based retirement resumes
+        // for gen-0; gen-1 stays (its successor gen-2 is young)
+        backdate("gen-1")
+        Sinks.swapWrite(Seq((4L, "d")).toDF("id", "v"), idx)
+        assert(gens() == Seq("gen-1", "gen-2", "gen-3"), s"retained: ${gens()}")
+        assert(rowsOf(idx) == Set((4L, "d")))
+      } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("a legacy FLAT dir migrates on the first pointer-protocol swap; " +
        "partitioned generations keep their partition column") {
     withPointer {

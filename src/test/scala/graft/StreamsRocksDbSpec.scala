@@ -106,7 +106,8 @@ class StreamsRocksDbSpec extends SparkSpec {
       val fired = new java.util.concurrent.CopyOnWriteArrayList[String]
       // the 1-byte threshold that ALWAYS fires on the default provider
       // (StreamsSpec pins that) must never fire here — the guard reads
-      // the session's provider conf at attach time
+      // the session's provider conf per micro-batch (r16: no longer
+      // frozen at attach, so a mid-life provider switch re-arms/silences)
       val g = Streams.stateStoreGuard(spark, thresholdBytes = Some(1L),
         onWarn = (n, _, _, _) => fired.add(n))
       val mem = MemoryStream[(String, Long, Double)]
@@ -127,5 +128,34 @@ class StreamsRocksDbSpec extends SparkSpec {
         spark.streams.removeListener(g)
       }
     }
+  }
+
+  test("a guard attached BEFORE a mid-life switch to RocksDB goes quiet " +
+       "(r16 — provider read per micro-batch, not frozen at attach)") {
+    implicit val sqlCtx = spark.sqlContext
+    val fired = new java.util.concurrent.CopyOnWriteArrayList[String]
+    // attach while the session is still on the DEFAULT provider — the
+    // ADVICE r15 scenario: an attach-time snapshot would keep warning on
+    // RocksDB's block-cache memoryUsedBytes after the switch
+    val g = Streams.stateStoreGuard(spark, thresholdBytes = Some(1L),
+      onWarn = (n, _, _, _) => fired.add(n))
+    try {
+      withRocksDb {
+        val mem = MemoryStream[(String, Long, Double)]
+        val q = Streams.keepBestStream(mem.toDS())
+          .toDF("key", "keep_id", "keep_score", "n_copies")
+          .writeStream.format("memory").queryName("guard_switch")
+          .outputMode(OutputMode.Update()).start()
+        try {
+          mem.addData(("k1", 1L, 10.0), ("k2", 2L, 20.0))
+          q.processAllAvailable()
+          val deadline = System.nanoTime() + 3e9.toLong
+          while (fired.isEmpty && System.nanoTime() < deadline)
+            Thread.sleep(50)
+          assert(fired.isEmpty,
+            s"guard attached pre-switch still fired under RocksDB: $fired")
+        } finally q.stop()
+      }
+    } finally spark.streams.removeListener(g)
   }
 }

@@ -652,6 +652,14 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("executorMemoryBytes reads a suffixless spark.executor.memory as " +
+       "MiB — Spark's own default unit for the key (ADVICE r15: a bytes " +
+       "default turned a 4 GiB cluster heap into a ~1 KB guardrail)") {
+    assert(Streams.executorMemoryBytes("4096") == 4096L * 1024 * 1024)
+    assert(Streams.executorMemoryBytes("2g") == 2L * 1024 * 1024 * 1024)
+    assert(Streams.executorMemoryBytes("512m") == 512L * 1024 * 1024)
+  }
+
   test("sessionizeState extends the trailing session across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
