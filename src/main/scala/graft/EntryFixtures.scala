@@ -456,7 +456,29 @@ object EntryFixtures {
     * null-folding divergence the r14 null-preserving replay closes).
     * Shape 2's `"priority": null` exercises the r14 UNION type
     * (`["integer", "null"]` — the nullable idiom): type passes on
-    * null, the enum/multipleOf value checks stay typed-guarded. The valid shape's first tag is the ASTRAL-bearing string
+    * null, the enum/multipleOf value checks stay typed-guarded. r16
+    * `if`/`then`/`else` at all three depths: the ROOT conditional
+    * (if priority present then tags required, else value required)
+    * fires `then:$` on shape 2 (priority, no tags — alongside the
+    * equivalent dependentRequired's `dep:$.tags`, pinning the two
+    * devices agree) and `else:$` on shape 4 (no priority, no value);
+    * the `priority` path conditional (integer → max 5, else null)
+    * fires `then:$.priority` on shape 1 (9) and `else:$.priority` on
+    * shape 3 ("high"); the element-depth conditional (qty present →
+    * dims required) fires `then:$.items[]` on shape 2's element. r16
+    * DISCRIMINATED `oneOf` on `ref` (integer ≥ 0 | string minLength
+    * 2): shape 0's 7 passes, shape 1's "x" fires `oneof:$.ref`, shape
+    * 3's true fires the synthesized union `type:$.ref`. r16
+    * `patternProperties` at all three depths WITH the closed-object
+    * interplay: the root selector `^_` means shape 4's `_debug` is no
+    * longer `extra:$` but its true value fires `pprop:$.type` (and
+    * the propertyNames `propname:$` still fires); the user selector
+    * `^ro` admits shape 2's `role` key (no `extra:$.user` anymore)
+    * while "admin" fires `pprop:$.user.enum`; the element-depth meta
+    * selector `^w` re-validates the DECLARED `w` key — shape 1's
+    * "heavy" fires `pprop:$.items[].meta.type` alongside the
+    * properties-side `type:$.items[].meta.w` (both apply, the spec's
+    * rule). The valid shape's first tag is the ASTRAL-bearing string
     * 𝒳abcdefg (8 code points — exactly the items maxLength boundary;
     * spelled as JSON \u escapes so the fixture file itself is
     * locale-proof): valid under correct UTF-8 handling, 11 "chars"
@@ -467,10 +489,10 @@ object EntryFixtures {
   private[graft] val jsonSynthSql: String =
     """CASE WHEN event_id % 7 = 0 THEN '{broken'
       | ELSE CASE CAST(event_id % 5 AS INT)
-      |  WHEN 0 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["\ud835\udcb3abcdefg", "b"], "priority": 2, "items": [{"sku": 5, "qty": 2, "lot": 1, "dims": [1, 2], "meta": {"w": 1.5}}]}'
-      |  WHEN 1 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "' || event_type || '", "value": "' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '", "tags": ["ok", 3, "ok"], "priority": 9, "items": [{"sku": "x", "qty": 1, "lot": 2, "dims": [9, -2, "x"], "meta": {"w": "heavy", "unit": "kg"}}]}'
+      |  WHEN 0 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["\ud835\udcb3abcdefg", "b"], "priority": 2, "ref": 7, "items": [{"sku": 5, "qty": 2, "lot": 1, "dims": [1, 2], "meta": {"w": 1.5}}]}'
+      |  WHEN 1 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "' || event_type || '", "value": "' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '", "tags": ["ok", 3, "ok"], "priority": 9, "ref": "x", "items": [{"sku": "x", "qty": 1, "lot": 2, "dims": [9, -2, "x"], "meta": {"w": "heavy", "unit": "kg"}}]}'
       |  WHEN 2 THEN '{"user": {"name": "u' || CAST(user_id AS STRING) || '", "role": "admin"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "priority": null, "items": [{"qty": 0, "meta": {}}]}'
-      |  WHEN 3 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "badtype", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["a", null, null], "priority": "high", "items": []}'
+      |  WHEN 3 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "badtype", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["a", null, null], "priority": "high", "ref": true, "items": []}'
       |  ELSE '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "v' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "_debug": true}'
       | END END""".stripMargin.replace("\n", " ")
 
@@ -488,18 +510,29 @@ object EntryFixtures {
     * both count bounds; items — an object-satisfaction subschema via
     * `required`; dims — a three-term conjunction at element depth) and
     * `propertyNames` patterns on the root, the nested `user`, and the
-    * element-depth `meta`.
+    * element-depth `meta`. r16: `if`/`then`/`else` at the root (presence
+    * implication), at a path (type-discriminated bound on `priority`),
+    * and at element depth (qty → dims); a discriminated `oneOf` on
+    * `ref`; `patternProperties` at the root (`^_`), the nested `user`
+    * (`^ro`), and the element-depth `meta` (`^w`) — each sitting beside
+    * `additionalProperties: false`, so the matched-by-neither rule is
+    * driver-pinned every round.
     */
   private[graft] val jsonSchemaDemo: String =
     """{"type": "object", "required": ["user", "type", "value"],
       | "additionalProperties": false,
       | "propertyNames": {"pattern": "^[a-z]+$"},
       | "dependentRequired": {"priority": ["tags"]},
+      | "if": {"required": ["priority"]},
+      | "then": {"required": ["tags"]},
+      | "else": {"required": ["value"]},
+      | "patternProperties": {"^_": {"type": "string"}},
       | "$defs": {"money": {"type": "number", "minimum": 0, "maximum": 15}},
       | "properties": {
       |  "user": {"type": "object", "required": ["id"],
       |           "additionalProperties": false,
       |           "propertyNames": {"pattern": "^(id|name)$"},
+      |           "patternProperties": {"^ro": {"enum": ["user", "guest"]}},
       |           "properties": {"id": {"type": "integer", "minimum": 0},
       |                          "name": {"type": "string", "minLength": 1,
       |                                   "maxLength": 64,
@@ -513,10 +546,17 @@ object EntryFixtures {
       |           "items": {"type": "string", "minLength": 1,
       |                     "maxLength": 8}},
       |  "priority": {"type": ["integer", "null"], "enum": [1, 2, 3],
-      |               "multipleOf": 2},
+      |               "multipleOf": 2,
+      |               "if": {"type": "integer"},
+      |               "then": {"maximum": 5},
+      |               "else": {"type": "null"}},
+      |  "ref": {"oneOf": [{"type": "integer", "minimum": 0},
+      |                    {"type": "string", "minLength": 2}]},
       |  "items": {"type": "array", "minItems": 1,
       |            "contains": {"required": ["sku"]},
       |            "items": {"type": "object", "required": ["sku", "lot"],
+      |                      "if": {"required": ["qty"]},
+      |                      "then": {"required": ["dims"]},
       |                      "properties": {
       |                        "sku": {"type": "integer"},
       |                        "qty": {"type": "integer", "minimum": 1},
@@ -529,6 +569,7 @@ object EntryFixtures {
       |                        "meta": {"type": "object", "required": ["w"],
       |                                 "additionalProperties": false,
       |                                 "propertyNames": {"pattern": "^[a-z]$"},
+      |                                 "patternProperties": {"^w": {"type": "number"}},
       |                                 "minProperties": 1,
       |                                 "properties": {
       |                                   "w": {"type": "number"}}}}}}}}""".stripMargin

@@ -81,7 +81,33 @@ import scala.jdk.CollectionConverters._
   * recursive schema has no static check list), r14 `allOf` (conjunction
   * by compile-time MERGE — the `$ref`-base + extra-properties
   * inheritance idiom; see [[mergeSchemas]] for the merge laws and the
-  * loud collision aborts; `oneOf`/`anyOf`/`not` stay out of subset),
+  * loud collision aborts),
+  * r16 `if`/`then`/`else` (restricted path-level implication: the `if`
+  * subschema compiles through the same walk and its SATISFACTION — the
+  * r15 contains evaluator, a node satisfies iff it violates none of the
+  * compiled terms, typed-guard skips being JSON Schema's vacuous pass —
+  * gates the `then` branch checks, its negation the `else` branch; one
+  * static tag per branch, `then:$.p` / `else:$.p`, at paths, the root,
+  * and element depth; an ABSENT node validates nothing; `then`/`else`
+  * without `if`, or `if` without a branch, abort — spec-ignored
+  * keywords must not silently no-op),
+  * r16 DISCRIMINATED `oneOf` (the tagged-union idiom: every member
+  * declares a `type` and the admitted canonical-type sets are pairwise
+  * disjoint, so the applicable member is a total function of the
+  * runtime type tag and exactly-one is static; desugars to the
+  * synthesized union type check `type:$.p` plus one conditional per
+  * member, tag `oneof:$.p`; overlapping or type-free members abort —
+  * as do `anyOf`/`not`, which stay out of subset with
+  * `dependentSchemas`: dynamic disjunction/negation has no static
+  * single-tag check list),
+  * r16 `patternProperties` (every runtime key matching a selector
+  * pattern has its VALUE validated against the selector's subschema —
+  * one check and tag per compiled inner term, `pprop:$.p.<kind>`
+  * rendered from the inner walk; selectors are runtime KEY regexes,
+  * never path-interpolated; a sibling `additionalProperties: false`
+  * admits selector-matched keys, the spec's matched-by-neither rule;
+  * DuckDB replay re-roots each selected value via a JSON Pointer built
+  * from the key, so path syntax in runtime keys cannot inject),
   * nested `properties` to any depth, and `items` with PER-ELEMENT
   * validation to ANY DEPTH (r12 flat, r13 FULL RECURSION): every
   * schema node reachable from an array element — through nested object
@@ -177,7 +203,12 @@ object JsonSchemaGate {
                           contains: Option[Node] = None,
                           minContains: Option[Int] = None,
                           maxContains: Option[Int] = None,
-                          propNames: Option[String] = None)
+                          propNames: Option[String] = None,
+                          ifSub: Option[Node] = None,
+                          thenSub: Option[Node] = None,
+                          elseSub: Option[Node] = None,
+                          oneOfSubs: Seq[Node] = Nil,
+                          patProps: Seq[(String, Node)] = Nil)
 
   /** keywords this gate VALIDATES, plus JSON-Schema annotations that
     * carry no validation semantics (ignoring them is not a silent
@@ -193,6 +224,7 @@ object JsonSchemaGate {
     "minItems", "maxItems", "pattern", "additionalProperties",
     "uniqueItems", "minProperties", "maxProperties", "dependentRequired",
     "contains", "minContains", "maxContains", "propertyNames",
+    "if", "then", "else", "oneOf", "patternProperties",
     // no-validation annotations — `format` is annotation-only in JSON
     // Schema 2020-12 unless a dialect opts into format-assertion, which
     // this gate does not claim
@@ -383,6 +415,8 @@ object JsonSchemaGate {
             "quantifier has no static single-tag check list)")
         nd.props.foreach { case (_, p) => noNested(p) }
         nd.items.foreach(noNested)
+        (nd.ifSub ++ nd.thenSub ++ nd.elseSub ++ nd.oneOfSubs ++
+          nd.patProps.map(_._2)).foreach(noNested)
       }
       noNested(sub)
       sub
@@ -411,7 +445,80 @@ object JsonSchemaGate {
       javaPatternForm(p)
       p
     }
-    Node(typ, enumVals, req, props, items,
+    // if/then/else (r16): restricted path-level implication — the `if`
+    // subschema compiles through the same walk as everything else and
+    // its SATISFACTION (the r15 contains evaluator: a node satisfies a
+    // subschema iff it violates none of its compiled terms; typed-guard
+    // skips are JSON Schema's vacuous pass) conditions the `then` branch
+    // checks, its negation the `else` branch. Every fragment stays a
+    // static compile-time literal on both engines. `then`/`else` without
+    // `if` are spec-IGNORED keywords (abort rather than silently no-op),
+    // and `if` without a branch validates nothing (abort too).
+    val ifSub = Option(n.get("if")).map(compile)
+    val thenSub = Option(n.get("then")).map(compile)
+    val elseSub = Option(n.get("else")).map(compile)
+    require(ifSub.nonEmpty || (thenSub.isEmpty && elseSub.isEmpty),
+      "then/else without if validate nothing (the spec ignores them) — " +
+        "a silently-ignored keyword must abort")
+    require(ifSub.isEmpty || thenSub.nonEmpty || elseSub.nonEmpty,
+      "if without then or else validates nothing — a silently-ignored " +
+        "keyword must abort")
+    // oneOf (r16): the DISCRIMINATED-union subclass — every member
+    // declares a `type` and the admitted canonical-type sets are
+    // pairwise DISJOINT, so which member applies is a total function of
+    // the runtime type tag and "exactly one" is static: a value matching
+    // member M's type can match no other member. Desugars to the union
+    // type check (any member's type admits) plus one conditional term
+    // per member (under "is M's type", M's own checks). Members with
+    // overlapping or missing types need dynamic exactly-one counting —
+    // no static single-tag check list, loud abort (as do `anyOf`/`not`).
+    val oneOfSubs: Seq[Node] = Option(n.get("oneOf")).toSeq.flatMap { o =>
+      require(o.isArray && o.size >= 2,
+        s"oneOf must be an array of at least 2 schemas, got: $o")
+      val members = o.elements().asScala.toSeq.map(compile)
+      members.foreach(m => require(m.typ.nonEmpty,
+        "every oneOf member must declare a type (the discriminated-" +
+          "union subset; a type-free member has no static discriminator)"))
+      def admitted(spec: String): Set[String] =
+        spec.split('|').toSet.flatMap { (m: String) => m match {
+          case "number"  => Set("int", "double")
+          case "integer" => Set("int")
+          case "boolean" => Set("bool")
+          case other     => Set(other)
+        }}
+      val sets = members.map(m => admitted(m.typ.get))
+      for (i <- sets.indices; j <- i + 1 until sets.size)
+        require((sets(i) intersect sets(j)).isEmpty,
+          s"oneOf members ${i + 1} and ${j + 1} admit overlapping " +
+            s"runtime types (${(sets(i) intersect sets(j)).mkString(",")})" +
+            " — out of the discriminated-union subset (exactly-one " +
+            "needs dynamic counting)")
+      members
+    }
+    require(oneOfSubs.isEmpty || typ.isEmpty,
+      "a node declaring BOTH type and oneOf is ambiguous in the " +
+        "discriminated-union subset (the union type is synthesized " +
+        "from the members)")
+    val effTyp =
+      typ.orElse(Option.when(oneOfSubs.nonEmpty)(
+        oneOfSubs.map(_.typ.get).mkString("|")))
+    // patternProperties (r16): for every runtime key matching a selector
+    // pattern, the key's VALUE validates against the compiled subschema
+    // — one check (and tag) per (pattern, compiled inner term). The
+    // selector is a runtime KEY regex (never path-interpolated, like
+    // propertyNames), dialect-scanned at compile; sibling
+    // `additionalProperties: false` admits selector-matched keys (the
+    // spec's matched-by-neither rule).
+    val patProps: Seq[(String, Node)] =
+      Option(n.get("patternProperties")).toSeq.flatMap { pp =>
+        require(pp.isObject,
+          s"patternProperties must be an object of pattern -> schema: $pp")
+        pp.fields().asScala.map { e =>
+          javaPatternForm(e.getKey)
+          (e.getKey, compile(e.getValue))
+        }.toSeq
+      }
+    Node(effTyp, enumVals, req, props, items,
       minimum = numKw("minimum"),
       maximum = numKw("maximum"),
       exclusiveMinimum = numKw("exclusiveMinimum"),
@@ -430,7 +537,12 @@ object JsonSchemaGate {
       contains = containsSub,
       minContains = minCont,
       maxContains = maxCont,
-      propNames = propNamesPat)
+      propNames = propNamesPat,
+      ifSub = ifSub,
+      thenSub = thenSub,
+      elseSub = elseSub,
+      oneOfSubs = oneOfSubs,
+      patProps = patProps)
   }
 
   /** Scan a `pattern` for constructs outside the shared Java~RE2 regex
@@ -548,6 +660,26 @@ object JsonSchemaGate {
               out.set[JsonNode]("items", inlineRefs(root, e.getValue, stack))
             case "contains" =>
               out.set[JsonNode]("contains", inlineRefs(root, e.getValue, stack))
+            // r16 schema positions: if/then/else hold one schema each,
+            // oneOf an array of schemas, patternProperties an object of
+            // selector -> schema (selectors are regexes, never refs)
+            case k @ ("if" | "then" | "else") =>
+              out.set[JsonNode](k, inlineRefs(root, e.getValue, stack))
+            case "oneOf" =>
+              require(e.getValue.isArray,
+                s"oneOf must be an array of schemas: ${e.getValue}")
+              val arr = mapper.createArrayNode()
+              e.getValue.elements().asScala
+                .foreach(m => arr.add(inlineRefs(root, m, stack)))
+              out.set[JsonNode]("oneOf", arr)
+            case "patternProperties" =>
+              require(e.getValue.isObject,
+                s"patternProperties must be an object: ${e.getValue}")
+              val pp = mapper.createObjectNode()
+              e.getValue.fields().asScala.foreach(p =>
+                pp.set[JsonNode](p.getKey,
+                  inlineRefs(root, p.getValue, stack)))
+              out.set[JsonNode]("patternProperties", pp)
             case k => out.set[JsonNode](k, e.getValue)
           }
         }
@@ -671,7 +803,8 @@ object JsonSchemaGate {
     * check reports (enum: doesn't name the bad value either).
     */
   private case class ExtraKeys(path: String, keys: Seq[String],
-                               guards: Seq[String]) extends Check
+                               guards: Seq[String],
+                               pats: Seq[String] = Nil) extends Check
   /** `uniqueItems: true` (r14): fires when the array at `path` holds two
     * equal SCALAR elements — same-type exact equality for strings and
     * booleans, numerics compared as the shared correctly-rounded double
@@ -714,6 +847,28 @@ object JsonSchemaGate {
     */
   private case class PropNamesCheck(path: String, regex: String,
                                     guards: Seq[String]) extends Check
+  /** `if`/`then`/`else` + discriminated `oneOf` (r16): fires when the
+    * node at `path` is PRESENT, satisfies (`branch` = "then"/"oneof") or
+    * fails (`branch` = "else") the `ifTerms` conjunction, AND violates
+    * any of the `branchTerms` — satisfaction is the r15 contains
+    * evaluator (violates none of the compiled terms; typed-guard skips
+    * are JSON Schema's vacuous pass). Tag `<branch>:$p` — one static tag
+    * per branch, the ExtraKeys convention.
+    */
+  private case class CondCheck(path: String, branch: String,
+                               ifTerms: Seq[TermRec],
+                               branchTerms: Seq[TermRec],
+                               guards: Seq[String]) extends Check
+  /** `patternProperties` (r16): fires when the object at `path` carries
+    * a key matching `regex` whose VALUE trips the single compiled inner
+    * `term` of the selector's subschema — one check per (selector,
+    * inner term), tag `pprop:$p<suffix>` where `suffix` renders the
+    * inner term's steps and kind (`pprop:$.meta.type`); the selector
+    * regex itself never appears in a tag (it is not identifier-guarded).
+    */
+  private case class PatternPropsCheck(path: String, regex: String,
+                                       suffix: String, term: TermRec,
+                                       guards: Seq[String]) extends Check
   /** one element-relative walk term — `steps` from a node plus a
     * terminal check; the record behind both the per-element
     * [[ItemsCheck]]s and the r15 `contains` subschema (where the
@@ -727,7 +882,9 @@ object JsonSchemaGate {
                              pattern: String = "",
                              keys: Seq[String] = Nil,
                              sub: Seq[TermRec] = Nil,
-                             minC: Int = 1, maxC: Int = -1)
+                             minC: Int = 1, maxC: Int = -1,
+                             sub2: Seq[TermRec] = Nil,
+                             pats: Seq[String] = Nil)
   /** per-ELEMENT checks over an `items`-typed array at `path` (r12 flat,
     * r13 recursive): fire only when the node IS array-typed (a non-array
     * already reports `type:$path`). `steps` walks from each element —
@@ -749,7 +906,9 @@ object JsonSchemaGate {
                                 pattern: String = "",
                                 keys: Seq[String] = Nil,
                                 sub: Seq[TermRec] = Nil,
-                                minC: Int = 1, maxC: Int = -1) extends Check
+                                minC: Int = 1, maxC: Int = -1,
+                                sub2: Seq[TermRec] = Nil,
+                                pats: Seq[String] = Nil) extends Check
 
   /** the FULL element-relative walk of one schema node, as terms: every
     * constraint reachable from a node — through nested object
@@ -782,7 +941,8 @@ object JsonSchemaGate {
       out += TermRec(steps, "minprops", bound = b.toDouble))
     n.maxProps.foreach(b =>
       out += TermRec(steps, "maxprops", bound = b.toDouble))
-    if (n.closed) out += TermRec(steps, "extra", keys = n.props.map(_._1))
+    if (n.closed) out += TermRec(steps, "extra", keys = n.props.map(_._1),
+      pats = n.patProps.map(_._1))
     n.deps.foreach { case (ifK, thenK) =>
       out += TermRec(steps, "dep", expected = ifK, field = thenK)
     }
@@ -791,6 +951,32 @@ object JsonSchemaGate {
         minC = n.minContains.getOrElse(1),
         maxC = n.maxContains.getOrElse(-1)))
     n.propNames.foreach(p => out += TermRec(steps, "propname", pattern = p))
+    // conditional (r16): the then/else branch terms fire under
+    // satisfaction (negation) of the if-subschema's term conjunction;
+    // `expected` names the branch for the tag
+    n.ifSub.foreach { ifn =>
+      val ifTerms = termsOf(ifn)
+      n.thenSub.foreach(b => out += TermRec(steps, "cond",
+        expected = "then", sub = ifTerms, sub2 = termsOf(b)))
+      n.elseSub.foreach(b => out += TermRec(steps, "cond",
+        expected = "else", sub = ifTerms, sub2 = termsOf(b)))
+    }
+    // discriminated oneOf (r16): one conditional term per member — under
+    // "is this member's type", the member's own checks; the synthesized
+    // union type term above already rejects types outside every member
+    n.oneOfSubs.foreach(m => out += TermRec(steps, "cond",
+      expected = "oneof",
+      sub = Seq(TermRec(Nil, "type", expected = m.typ.get)),
+      sub2 = termsOf(m)))
+    // patternProperties (r16): one term per (selector, compiled inner
+    // term) — `field` carries the rendered tag suffix (inner steps +
+    // kind), `sub` the single inner term each selected key's value must
+    // not violate
+    n.patProps.foreach { case (re, sub) =>
+      termsOf(sub).foreach(t => out += TermRec(steps, "pprop",
+        pattern = re, field = s"${stepSuffix(t.steps)}.${t.kind}",
+        sub = Seq(t)))
+    }
     // required names WITHOUT a properties entry still fire (r13), in
     // sorted order for a deterministic fragment list
     (n.required -- n.props.map(_._1)).toSeq.sorted.foreach(f =>
@@ -813,8 +999,25 @@ object JsonSchemaGate {
       termsOf(n).foreach { tr =>
         out += ItemsCheck(cp, tr.steps, tr.kind, tr.expected, tr.enumVals,
           tr.bound, guards, tr.field, tr.pattern, tr.keys, tr.sub,
-          tr.minC, tr.maxC)
+          tr.minC, tr.maxC, tr.sub2, tr.pats)
       }
+    // path-level conditional / oneOf / patternProperties checks of one
+    // node (r16) — shared between the property walk and the root
+    def condChecks(n: Node, p: String, guards: Seq[String]): Unit = {
+      n.ifSub.foreach { ifn =>
+        val ifTerms = termsOf(ifn)
+        n.thenSub.foreach(b =>
+          out += CondCheck(p, "then", ifTerms, termsOf(b), guards))
+        n.elseSub.foreach(b =>
+          out += CondCheck(p, "else", ifTerms, termsOf(b), guards))
+      }
+      n.oneOfSubs.foreach(m => out += CondCheck(p, "oneof",
+        Seq(TermRec(Nil, "type", expected = m.typ.get)), termsOf(m), guards))
+      n.patProps.foreach { case (re, sub) =>
+        termsOf(sub).foreach(t => out += PatternPropsCheck(p, re,
+          s"${stepSuffix(t.steps)}.${t.kind}", t, guards))
+      }
+    }
     def walk(node: Node, path: String, guards: Seq[String]): Unit = {
       (node.required -- node.props.map(_._1)).toSeq.sorted.foreach(f =>
         out += Missing(s"$path.$f", guards))
@@ -837,7 +1040,8 @@ object JsonSchemaGate {
         child.minProps.foreach(b => out += ObjBound(cp, "minprops", b, guards))
         child.maxProps.foreach(b => out += ObjBound(cp, "maxprops", b, guards))
         if (child.closed)
-          out += ExtraKeys(cp, child.props.map(_._1), guards)
+          out += ExtraKeys(cp, child.props.map(_._1), guards,
+            child.patProps.map(_._1))
         child.deps.foreach { case (ifK, thenK) =>
           out += DepRequired(cp, ifK, thenK, guards)
         }
@@ -846,6 +1050,7 @@ object JsonSchemaGate {
             child.minContains.getOrElse(1),
             child.maxContains.getOrElse(-1), guards))
         child.propNames.foreach(p => out += PropNamesCheck(cp, p, guards))
+        condChecks(child, cp, guards)
         child.items.foreach(it => elemWalk(cp, it, guards))
         if (child.props.nonEmpty || child.required.nonEmpty)
           walk(child, cp, guards :+ cp)
@@ -868,7 +1073,8 @@ object JsonSchemaGate {
     if (root.uniqueItems) out += UniqueCheck("$", Nil)
     root.minProps.foreach(b => out += ObjBound("$", "minprops", b, Nil))
     root.maxProps.foreach(b => out += ObjBound("$", "maxprops", b, Nil))
-    if (root.closed) out += ExtraKeys("$", root.props.map(_._1), Nil)
+    if (root.closed) out += ExtraKeys("$", root.props.map(_._1), Nil,
+      root.patProps.map(_._1))
     root.deps.foreach { case (ifK, thenK) =>
       out += DepRequired("$", ifK, thenK, Nil)
     }
@@ -876,6 +1082,7 @@ object JsonSchemaGate {
       out += ContainsCheck("$", termsOf(sub),
         root.minContains.getOrElse(1), root.maxContains.getOrElse(-1), Nil))
     root.propNames.foreach(p => out += PropNamesCheck("$", p, Nil))
+    condChecks(root, "$", Nil)
     root.items.foreach(it => elemWalk("$", it, Nil))
     walk(root, "$",
       if (root.typ.exists(_.split('|').contains("object"))) Seq("$") else Nil)
@@ -1057,12 +1264,13 @@ object JsonSchemaGate {
         // the single node wrapped in a one-element array (steps = Nil),
         // so the key listing runs inside the fused codegen stage like
         // every other check
-        case c @ ExtraKeys(p, ks, _) =>
+        case c @ ExtraKeys(p, ks, _, pats) =>
           import org.apache.spark.sql.graftglue.{ColumnBridge, VariantItemsViolates}
           val node = expr(s"try_variant_get($vcol, '$p')")
           val cond = ColumnBridge.column(VariantItemsViolates(
             ColumnBridge.expression(array(node)), Nil, "extra", "",
-            Nil, Nil, Nil, Nil, 0, "", "", ks))
+            Nil, Nil, Nil, Nil, 0, "", "", ks,
+            pats = pats.map(javaPatternForm)))
           guarded(c)(t(p) === "object" && cond)
         // uniqueItems (r14): the node itself wrapped as a one-element
         // array, so the native terminal sees the ARRAY node (the same
@@ -1101,6 +1309,30 @@ object JsonSchemaGate {
             ColumnBridge.expression(array(node)), Nil, "propname", "",
             Nil, Nil, Nil, Nil, 0, "", javaPatternForm(re)))
           guarded(c)(t(p) === "object" && cond)
+        // if/then/else + discriminated oneOf (r16): the one-element-array
+        // device with the native's conditional terminal — satisfaction of
+        // the if-terms (the r15 evaluator) gates the branch terms, all
+        // inside the fused walk; an ABSENT node validates nothing (the
+        // isNotNull guard — both engines agree)
+        case c @ CondCheck(p, branch, ifTerms, brTerms, _) =>
+          import org.apache.spark.sql.graftglue.{ColumnBridge, VariantItemsViolates}
+          val node = expr(s"try_variant_get($vcol, '$p')")
+          val cond = ColumnBridge.column(VariantItemsViolates(
+            ColumnBridge.expression(array(node)), Nil, "cond", branch,
+            Nil, Nil, Nil, Nil, 0, "", "", Nil,
+            ifTerms.map(walkTermOf), 1, -1, brTerms.map(walkTermOf)))
+          guarded(c)(t(p).isNotNull && cond)
+        // patternProperties (r16): same device — the native regex-selects
+        // the object's own keys and runs the single inner term on each
+        // selected key's value
+        case c @ PatternPropsCheck(p, re, _, term, _) =>
+          import org.apache.spark.sql.graftglue.{ColumnBridge, VariantItemsViolates}
+          val node = expr(s"try_variant_get($vcol, '$p')")
+          val cond = ColumnBridge.column(VariantItemsViolates(
+            ColumnBridge.expression(array(node)), Nil, "pprop", "",
+            Nil, Nil, Nil, Nil, 0, "", javaPatternForm(re), Nil,
+            Seq(walkTermOf(term))))
+          guarded(c)(t(p) === "object" && cond)
         // object key-count bounds (r14): same one-element-array device
         case c @ ObjBound(p, op, b, _) =>
           import org.apache.spark.sql.graftglue.{ColumnBridge, VariantItemsViolates}
@@ -1130,7 +1362,8 @@ object JsonSchemaGate {
             vs.collect { case EBool(bv) => bv },
             c.bound, c.field,
             if (c.pattern.isEmpty) c.pattern else javaPatternForm(c.pattern),
-            c.keys, c.sub.map(walkTermOf), c.minC, c.maxC))
+            c.keys, c.sub.map(walkTermOf), c.minC, c.maxC,
+            c.sub2.map(walkTermOf), c.pats.map(javaPatternForm)))
           guarded(c)(t(c.path) === "array" && cond)
       }
     val withV = df.withColumn(vcol, expr(s"try_parse_json(`$jsonCol`)"))
@@ -1172,7 +1405,8 @@ object JsonSchemaGate {
       tr.enumVals.collect { case EBool(b) => b },
       tr.bound, tr.field,
       if (tr.pattern.isEmpty) tr.pattern else javaPatternForm(tr.pattern),
-      tr.keys, tr.sub.map(walkTermOf), tr.minC, tr.maxC)
+      tr.keys, tr.sub.map(walkTermOf), tr.minC, tr.maxC,
+      tr.sub2.map(walkTermOf), tr.pats.map(javaPatternForm))
 
   /** render element-relative walk steps as a tag-path suffix:
     * `[]` for an array descent, `.f` for a field descent — so
@@ -1189,17 +1423,23 @@ object JsonSchemaGate {
     case LenBound(p, op, _, _) => s"$op:$p"
     case ArrBound(p, op, _, _) => s"$op:$p"
     case PatternCheck(p, _, _) => s"pattern:$p"
-    case ExtraKeys(p, _, _)    => s"extra:$p"
+    case ExtraKeys(p, _, _, _) => s"extra:$p"
     case UniqueCheck(p, _)     => s"unique:$p"
     case ObjBound(p, op, _, _) => s"$op:$p"
     case d: DepRequired        => s"dep:${d.thenPath}"
     case ContainsCheck(p, _, _, _, _) => s"contains:$p"
     case PropNamesCheck(p, _, _)      => s"propname:$p"
+    case CondCheck(p, branch, _, _, _)     => s"$branch:$p"
+    case PatternPropsCheck(p, _, suf, _, _) => s"pprop:$p$suf"
     case ic: ItemsCheck =>
       val base = s"${ic.path}[]${stepSuffix(ic.steps)}"
       ic.kind match {
         case "missing" => s"missing:$base.${ic.field}"
         case "dep"     => s"dep:$base.${ic.field}"
+        // cond: `expected` names the branch; pprop: `field` carries the
+        // rendered inner suffix (steps + kind)
+        case "cond"    => s"${ic.expected}:$base"
+        case "pprop"   => s"pprop:$base${ic.field}"
         case k         => s"$k:$base"
       }
   }
@@ -1353,8 +1593,16 @@ object JsonSchemaGate {
           s"($fold = 'array' AND json_array_length($alias, '$rp') > ${tr.bound.toInt})"
         case "extra" =>
           val keysArr = s"json_keys($alias, '$rp')"
-          val extras = if (tr.keys.isEmpty) keysArr
-            else s"list_filter($keysArr, xk -> xk NOT IN (${tr.keys.map(sqlStr).mkString(", ")}))"
+          // r16: a sibling patternProperties selector admits its matched
+          // keys (the spec's matched-by-neither rule) — original RE2
+          // patterns, like every oracle-side regex
+          val conds =
+            (if (tr.keys.nonEmpty)
+              Seq(s"xk NOT IN (${tr.keys.map(sqlStr).mkString(", ")})")
+            else Nil) ++
+              tr.pats.map(p => s"NOT regexp_matches(xk, ${sqlStr(p)})")
+          val extras = if (conds.isEmpty) keysArr
+            else s"list_filter($keysArr, xk -> ${conds.mkString(" AND ")})"
           s"($fold = 'object' AND len($extras) > 0)"
         case "unique" => uniqueSql(alias, rp, fold)
         case "minprops" =>
@@ -1394,17 +1642,57 @@ object JsonSchemaGate {
         case "missing" =>
           val fp = if (rp == "$") s"$$.${tr.field}" else s"$rp.${tr.field}"
           s"($fold = 'object' AND json_type($alias, '$fp') IS NULL)"
+        // if/then/else + discriminated oneOf (r16): satisfaction of the
+        // `sub` if-terms (each violation COALESCE'd to false — an
+        // absent-path term is the native's vacuous pass) gates the
+        // `sub2` branch terms; "else" inverts. The node itself must be
+        // PRESENT (fold IS NOT NULL) — a conditional validates nothing
+        // at an absent location on either engine.
+        case "cond" =>
+          def anyV(ts: Seq[TermRec]): String =
+            if (ts.isEmpty) "FALSE"
+            else ts.map(t2 =>
+              s"COALESCE(${termGen(alias, depth + 1, t2.steps, t2, rp)}, FALSE)")
+              .mkString("(", " OR ", ")")
+          val sat = s"(NOT ${anyV(tr.sub)})"
+          val cond = if (tr.expected == "else") s"(NOT $sat)" else sat
+          s"($fold IS NOT NULL AND $cond AND ${anyV(tr.sub2)})"
+        // patternProperties (r16): keys of the object at `rp` matching
+        // the selector, each key's VALUE re-rooted as a fresh unnest
+        // alias and checked against the single inner term. Values
+        // extract via a JSON POINTER built from the key (~ and /
+        // escaped), so runtime keys carrying path syntax cannot inject;
+        // a JSON-null value folds back from SQL NULL exactly as the
+        // element replay does (the key EXISTS — json_keys listed it).
+        case "pprop" =>
+          val a2 = s"pv$depth"
+          val keysSel =
+            s"list_filter(json_keys($alias, '$rp'), pk -> regexp_matches(pk, ${sqlStr(tr.pattern)}))"
+          val vals = s"list_transform($keysSel, pk -> COALESCE(" +
+            s"json_extract(json_extract($alias, '$rp'), " +
+            "'/' || replace(replace(pk, '~', '~0'), '/', '~1')), " +
+            "TRY_CAST('null' AS JSON)))"
+          val sub = s"(SELECT unnest($vals) AS $a2)"
+          val inner = tr.sub.map(t2 =>
+            s"COALESCE(${termGen(a2, depth + 1, t2.steps, t2)}, FALSE)")
+            .mkString("(", " OR ", ")")
+          s"($fold = 'object' AND EXISTS (SELECT 1 FROM $sub WHERE $inner))"
       }
     }
     // walk the element-relative steps: consecutive FIELD steps flatten
     // into one json path (absent/non-object intermediates fold the whole
     // path to NULL on both engines — the same silent skip the native's
     // per-step guards produce), and each ARRAY step opens one more
-    // correlated unnest EXISTS with a fresh element alias
+    // correlated unnest EXISTS with a fresh element alias. `at` (r16)
+    // roots the walk at a json path below `alias` instead of at `$` —
+    // the conditional terminal re-walks its branch terms from the node
+    // it fired on.
     def termGen(alias: String, depth: Int, rest: Seq[String],
-                tr: TermRec): String = {
+                tr: TermRec, at: String = "$"): String = {
       val (fields, tail) = rest.span(_ != "[]")
-      val rp = if (fields.isEmpty) "$" else "$." + fields.mkString(".")
+      val rp =
+        if (fields.isEmpty) at
+        else (if (at == "$") "$." else s"$at.") + fields.mkString(".")
       if (tail.isEmpty) termTerminal(alias, rp, tr, depth)
       else {
         val a2 = s"el$depth"
@@ -1446,10 +1734,15 @@ object JsonSchemaGate {
           // additionalProperties: false (r14) — json_keys lists the
           // object's keys; any key outside the declared set violates
           // (an empty declared set means ANY key does)
-          case ExtraKeys(p, ks, _) =>
+          case ExtraKeys(p, ks, _, pats) =>
             val keysArr = s"json_keys(TRY_CAST(($rawExpr) AS JSON), '$p')"
-            val extras = if (ks.isEmpty) keysArr
-              else s"list_filter($keysArr, xk -> xk NOT IN (${ks.map(sqlStr).mkString(", ")}))"
+            val conds =
+              (if (ks.nonEmpty)
+                Seq(s"xk NOT IN (${ks.map(sqlStr).mkString(", ")})")
+              else Nil) ++
+                pats.map(pt => s"NOT regexp_matches(xk, ${sqlStr(pt)})")
+            val extras = if (conds.isEmpty) keysArr
+              else s"list_filter($keysArr, xk -> ${conds.mkString(" AND ")})"
             s"(${actual(p)} = 'object' AND len($extras) > 0)"
           case UniqueCheck(p, _) =>
             uniqueSql(s"TRY_CAST(($rawExpr) AS JSON)", p, actual(p))
@@ -1473,12 +1766,21 @@ object JsonSchemaGate {
             s"(${actual(p)} = 'array' AND $bad)"
           case PropNamesCheck(p, re, _) =>
             s"(${actual(p)} = 'object' AND len(list_filter(json_keys(TRY_CAST(($rawExpr) AS JSON), '$p'), pk -> NOT regexp_matches(pk, ${sqlStr(re)}))) > 0)"
+          // r16 conditionals / patternProperties at a path: the shared
+          // term terminal, rooted at the raw message (foldAt ≡ actual)
+          case CondCheck(p, branch, ifTerms, brTerms, _) =>
+            termTerminal(s"TRY_CAST(($rawExpr) AS JSON)", p,
+              TermRec(Nil, "cond", expected = branch, sub = ifTerms,
+                sub2 = brTerms), 0)
+          case PatternPropsCheck(p, re, _, term, _) =>
+            termTerminal(s"TRY_CAST(($rawExpr) AS JSON)", p,
+              TermRec(Nil, "pprop", pattern = re, sub = Seq(term)), 0)
           case ic: ItemsCheck =>
             // delegate to the shared term walk (termGen/termTerminal —
             // the same generators the r15 contains satisfaction uses)
             val tr = TermRec(ic.steps, ic.kind, ic.expected, ic.enumVals,
               ic.bound, ic.field, ic.pattern, ic.keys, ic.sub, ic.minC,
-              ic.maxC)
+              ic.maxC, ic.sub2, ic.pats)
             s"(${actual(ic.path)} = 'array' AND EXISTS (SELECT 1 FROM ${elems(ic.path)} WHERE ${termGen("el", 0, ic.steps, tr)}))"
         }
         s"CASE WHEN ${guardSql(c)} AND $cond THEN '${tagOf(c)}' END"

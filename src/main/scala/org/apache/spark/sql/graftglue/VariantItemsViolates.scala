@@ -46,7 +46,9 @@ case class WalkTerm(steps: Seq[String], kind: String,
                     bound: Double, field: String,
                     pattern: String, keys: Seq[String],
                     sub: Seq[WalkTerm] = Nil,
-                    minC: Int = 1, maxC: Int = -1) {
+                    minC: Int = 1, maxC: Int = -1,
+                    sub2: Seq[WalkTerm] = Nil,
+                    pats: Seq[String] = Nil) {
   import VariantWalk._
 
   @transient private lazy val strSet: Set[String] = enumStrs.toSet
@@ -56,6 +58,8 @@ case class WalkTerm(steps: Seq[String], kind: String,
   @transient private lazy val compiledPattern: java.util.regex.Pattern =
     java.util.regex.Pattern.compile(pattern)
   @transient private lazy val keySet: Set[String] = keys.toSet
+  @transient private lazy val patsCompiled: Seq[java.util.regex.Pattern] =
+    pats.map(java.util.regex.Pattern.compile)
 
   /** match against the declared type spec — one member or a pipe-joined
     * union ("string|null", r14).
@@ -120,14 +124,18 @@ case class WalkTerm(steps: Seq[String], kind: String,
       case "missing"  => c == "object" && v.getFieldByKey(field) == null
       // additionalProperties: false (r14): any key outside the declared
       // `keys` set on a reached OBJECT node; non-objects are their own
-      // type check's business
+      // type check's business. r16: keys matched by a sibling
+      // `patternProperties` selector (`pats`) are NOT additional —
+      // JSON Schema's additionalProperties applies only to keys matched
+      // by neither `properties` nor `patternProperties`.
       case "extra" =>
         c == "object" && {
           val n = v.objectSize()
           var i = 0
           var bad = false
           while (!bad && i < n) {
-            bad = !keySet(v.getFieldAtIndex(i).key)
+            val k = v.getFieldAtIndex(i).key
+            bad = !keySet(k) && !patsCompiled.exists(_.matcher(k).find())
             i += 1
           }
           bad
@@ -143,6 +151,37 @@ case class WalkTerm(steps: Seq[String], kind: String,
           var bad = false
           while (!bad && i < n) {
             bad = !compiledPattern.matcher(v.getFieldAtIndex(i).key).find()
+            i += 1
+          }
+          bad
+        }
+      // conditional (r16 if/then/else + discriminated oneOf): the
+      // reached node SATISFIES the `sub` terms (violates none — the r15
+      // satisfaction conjunction; a term's typed-guard skip is JSON
+      // Schema's vacuous pass) ⇒ the `sub2` branch terms must all hold;
+      // `expected` = "else" inverts the condition. Fires when the
+      // condition holds AND any branch term violates. A node violating
+      // the if-side is simply the other branch's business — never a
+      // violation by itself.
+      case "cond" =>
+        val sat = sub.forall(t => !t.nodeViolates(v, 0))
+        (if (expected == "else") !sat else sat) &&
+          sub2.exists(t => t.nodeViolates(v, 0))
+      // patternProperties (r16): on a reached OBJECT node, every key
+      // matching the selector `pattern` must have a value violating
+      // none of the `sub` terms (one WalkTerm per compiled inner check —
+      // the caller fans the subschema's terms out one term per tag).
+      // Keys ALSO declared under `properties` still re-validate here
+      // when they match the selector (JSON Schema: both apply).
+      case "pprop" =>
+        c == "object" && {
+          val n = v.objectSize()
+          var i = 0
+          var bad = false
+          while (!bad && i < n) {
+            val f = v.getFieldAtIndex(i)
+            if (compiledPattern.matcher(f.key).find())
+              bad = sub.exists(t => t.nodeViolates(f.value, 0))
             i += 1
           }
           bad
@@ -296,6 +335,14 @@ case class WalkTerm(steps: Seq[String], kind: String,
   *    satisfying the subschema (= violating none of `subTerms` — the
   *    per-element conjunction over the subschema's own compiled walk)
   *    is below `minC` or above a declared `maxC` (-1 = unbounded);
+  *  - `kind = "cond"` (r16, `if`/`then`/`else` + discriminated `oneOf`):
+  *    a reached node violates when it satisfies the `subTerms`
+  *    conjunction (violates none — `expected = "else"` inverts) AND
+  *    violates any `sub2Terms` branch term;
+  *  - `kind = "pprop"` (r16, `patternProperties`): a reached OBJECT
+  *    node violates when any key matching the selector `pattern` has a
+  *    value violating any `subTerms` term (callers pass ONE inner term
+  *    per expression — one tag per compiled inner check);
   *  - a JSON null node has canonical type "null" (violates any declared
   *    type, invisible to value checks and to further descent); a
   *    SQL-null element slot in the TOP array (not producible from
@@ -313,13 +360,15 @@ case class VariantItemsViolates(child: Expression, steps: Seq[String],
                                 pattern: String,
                                 keys: Seq[String] = Nil,
                                 subTerms: Seq[WalkTerm] = Nil,
-                                minC: Int = 1, maxC: Int = -1)
+                                minC: Int = 1, maxC: Int = -1,
+                                sub2Terms: Seq[WalkTerm] = Nil,
+                                pats: Seq[String] = Nil)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(Seq("type", "enum", "min", "max", "xmin", "xmax", "multipleof",
     "minlen", "maxlen", "minitems", "maxitems", "missing",
     "pattern", "extra", "unique", "minprops", "maxprops",
-    "dep", "contains", "propname").contains(kind),
+    "dep", "contains", "propname", "cond", "pprop").contains(kind),
     s"variant_items_violates: unknown kind '$kind'")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(VariantType))
@@ -330,7 +379,8 @@ case class VariantItemsViolates(child: Expression, steps: Seq[String],
   /** the expression's own (steps, terminal) as the root walk term. */
   @transient private lazy val rootTerm: WalkTerm =
     WalkTerm(steps, kind, expected, enumStrs, enumLongs, enumDoubles,
-      enumBools, bound, field, pattern, keys, subTerms, minC, maxC)
+      enumBools, bound, field, pattern, keys, subTerms, minC, maxC,
+      sub2Terms, pats)
 
   /** match against the declared type spec (SQL-null top slots only). */
   private def typeMatchesNull: Boolean =

@@ -56,9 +56,13 @@ class JsonSchemaPropertySpec extends SparkSpec {
 
   /** one schema node's scalar constraints, read independently. */
   private case class RefNode(sc: JsonNode) {
+    // r16: a oneOf node's effective type is the union of its members'
+    // declared types (the gate synthesizes the same union check)
     def typ: Option[Seq[String]] = Option(sc.get("type")).map(t =>
       if (t.isArray) (0 until t.size).map(i => t.get(i).asText())
       else Seq(t.asText()))
+      .orElse(Option.when(oneOfScs.nonEmpty)(
+        oneOfScs.flatMap(m => RefNode(m).typ.get)))
     def enums: Seq[JsonNode] =
       Option(sc.get("enum")).map(e => (0 until e.size).map(e.get)).getOrElse(Nil) ++
         Option(sc.get("const")).toSeq
@@ -90,6 +94,17 @@ class JsonSchemaPropertySpec extends SparkSpec {
     def containsSc: Option[JsonNode] = Option(sc.get("contains"))
     def propNamesPat: Option[String] =
       Option(sc.get("propertyNames")).map(_.get("pattern").asText())
+    def ifSc: Option[JsonNode] = Option(sc.get("if"))
+    def thenSc: Option[JsonNode] = Option(sc.get("then"))
+    def elseSc: Option[JsonNode] = Option(sc.get("else"))
+    def oneOfScs: Seq[JsonNode] = Option(sc.get("oneOf")).toSeq
+      .flatMap(o => (0 until o.size).map(o.get))
+    def patProps: Seq[(String, JsonNode)] =
+      Option(sc.get("patternProperties")).toSeq.flatMap { pp =>
+        val it = pp.fields()
+        Iterator.continually(if (it.hasNext) it.next() else null)
+          .takeWhile(_ != null).map(e => e.getKey -> e.getValue).toSeq
+      }
   }
 
   private def keyList(v: JsonNode): Seq[String] = {
@@ -98,16 +113,13 @@ class JsonSchemaPropertySpec extends SparkSpec {
       .takeWhile(_ != null).toSeq
   }
 
-  /** r15 contains: an element SATISFIES the subschema iff it violates
-    * none of its checks — independently spelled as "the per-element walk
-    * of a singleton array emits no tags" (mutual recursion with
-    * [[itemTags]]).
+  /** r15 contains / r16 conditionals: a node SATISFIES a subschema iff
+    * it violates none of its checks — independently spelled as "no term
+    * of the subschema's walk universe fires on it" (mutual recursion
+    * with [[refTerms]]).
     */
-  private def refSatisfies(e: JsonNode, sub: JsonNode): Boolean = {
-    val arr = mapper.createArrayNode()
-    arr.add(e.deepCopy[JsonNode]())
-    itemTags(arr, "", Nil, sub).isEmpty
-  }
+  private def refSatisfies(e: JsonNode, sub: JsonNode): Boolean =
+    refTerms(sub, Nil).forall(t => !t.test(e))
 
   private def containsBad(v: JsonNode, rn: RefNode): Boolean =
     rn.containsSc.exists { sub =>
@@ -133,12 +145,14 @@ class JsonSchemaPropertySpec extends SparkSpec {
     }
   }
 
-  /** an object node carrying a key outside the declared set. */
-  private def hasExtraKey(v: JsonNode, declared: Set[String]): Boolean = {
-    val it = v.fieldNames()
-    var extra = false
-    while (!extra && it.hasNext) extra = !declared(it.next())
-    extra
+  /** an object node carrying a key outside the declared set — r16: a
+    * key matched by a sibling patternProperties selector is NOT extra
+    * (the spec's matched-by-neither rule).
+    */
+  private def hasExtraKey(v: JsonNode, declared: Set[String],
+                          pats: Seq[String]): Boolean = {
+    val ps = pats.map(compilePat)
+    keyList(v).exists(k => !declared(k) && !ps.exists(_.matcher(k).find()))
   }
 
   /** the documented `$` semantics: end of TEXT on both engines — an
@@ -197,7 +211,8 @@ class JsonSchemaPropertySpec extends SparkSpec {
     rn.int("maxProperties").foreach(b =>
       if (c == "object" && v.size() > b) out += s"maxprops:$at")
     if (rn.closed && c == "object" &&
-      hasExtraKey(v, rn.props.map(_._1).toSet)) out += s"extra:$at"
+      hasExtraKey(v, rn.props.map(_._1).toSet, rn.patProps.map(_._1)))
+      out += s"extra:$at"
     rn.deps.foreach { case (ifK, thenK) =>
       if (c == "object" && v.has(ifK) && !v.has(thenK))
         out += s"dep:$at.$thenK"
@@ -208,6 +223,32 @@ class JsonSchemaPropertySpec extends SparkSpec {
       if (c == "object" &&
         keyList(v).exists(k => !compilePat(p).matcher(k).find()))
         out += s"propname:$at"
+    }
+    // r16 if/then/else: branch checks fire under satisfaction (negation)
+    // of the if-subschema, on the PRESENT node only (callers pass
+    // present values)
+    rn.ifSc.foreach { ifn =>
+      val sat = refSatisfies(v, ifn)
+      rn.thenSc.foreach(b =>
+        if (sat && !refSatisfies(v, b)) out += s"then:$at")
+      rn.elseSc.foreach(b =>
+        if (!sat && !refSatisfies(v, b)) out += s"else:$at")
+    }
+    // r16 discriminated oneOf: the member matching the runtime type must
+    // be satisfied (off-union types are the synthesized type check's
+    // business, handled by the caller's typ test)
+    rn.oneOfScs.foreach { m =>
+      if (typeMatches(canon(v), RefNode(m).typ.get) && !refSatisfies(v, m))
+        out += s"oneof:$at"
+    }
+    // r16 patternProperties: one tag per (selector, inner-term) — any
+    // selector-matched key whose value fires the inner term
+    rn.patProps.foreach { case (re, sub) =>
+      refTerms(sub, Nil).foreach { it =>
+        if (c == "object" && keyList(v).exists(k =>
+          compilePat(re).matcher(k).find() && it.test(v.get(k))))
+          out += s"pprop:$at${it.suffix}.${it.kind}"
+      }
     }
     out.result()
   }
@@ -225,78 +266,101 @@ class JsonSchemaPropertySpec extends SparkSpec {
       case f => v.isObject && v.has(f) && anyReached(v.get(f), steps.tail)(test)
     }
 
-  /** per-element checks of the array at `p` (present + array-typed),
-    * recursing through the element schema exactly as elemWalk emits.
+  /** one term of a subschema's ordered walk universe: tag rendering
+    * parts plus the test on the walk ROOT value (steps applied inside).
     */
-  private def itemTags(arr: JsonNode, base: String, steps: Seq[String],
-                       sc: JsonNode): Seq[String] = {
+  private case class RefTerm(suffix: String, kind: String,
+                             fieldSuf: String, test: JsonNode => Boolean)
+
+  /** the FULL ordered walk universe of one schema node — every check
+    * reachable through nested properties/items, in the documented
+    * emission order. Feeds [[itemTags]] (fired-term filtering over an
+    * array's elements), [[refSatisfies]] (r15/r16 satisfaction = no
+    * term fires), and the r16 patternProperties per-term fan-out.
+    */
+  private def refTerms(sc: JsonNode, steps: Seq[String]): Seq[RefTerm] = {
     val rn = RefNode(sc)
-    val at = base + steps.map(s => if (s == "[]") "[]" else s".$s").mkString
-    val out = Seq.newBuilder[String]
-    def any(test: JsonNode => Boolean): Boolean =
-      (0 until arr.size).exists(i => anyReached(arr.get(i), steps)(test))
-    rn.typ.foreach(t => if (any(v => !typeMatches(canon(v), t)))
-      out += s"type:$at")
-    if (rn.enums.nonEmpty && any(v => enumViolates(v, rn.enums)))
-      out += s"enum:$at"
-    def numCheck(k: String, tag: String)(bad: (Double, Double) => Boolean): Unit =
-      rn.num(k).foreach { b =>
-        if (any(v => (canon(v) == "int" || canon(v) == "double") &&
-          bad(asD(v), b))) out += s"$tag:$at"
-      }
-    numCheck("minimum", "min")(_ < _)
-    numCheck("maximum", "max")(_ > _)
-    numCheck("exclusiveMinimum", "xmin")(_ <= _)
-    numCheck("exclusiveMaximum", "xmax")(_ >= _)
-    numCheck("multipleOf", "multipleof")((v, b) => (v % b) != 0.0)
+    val at = steps.map(s => if (s == "[]") "[]" else s".$s").mkString
+    val out = Seq.newBuilder[RefTerm]
+    def term(kind: String, fieldSuf: String = "")(
+        tt: JsonNode => Boolean): Unit =
+      out += RefTerm(at, kind, fieldSuf, v => anyReached(v, steps)(tt))
+    def numeric(v: JsonNode) = canon(v) == "int" || canon(v) == "double"
+    rn.typ.foreach(t => term("type")(v => !typeMatches(canon(v), t)))
+    if (rn.enums.nonEmpty) term("enum")(v => enumViolates(v, rn.enums))
+    rn.num("minimum").foreach(b => term("min")(v => numeric(v) && asD(v) < b))
+    rn.num("maximum").foreach(b => term("max")(v => numeric(v) && asD(v) > b))
+    rn.num("exclusiveMinimum").foreach(b =>
+      term("xmin")(v => numeric(v) && asD(v) <= b))
+    rn.num("exclusiveMaximum").foreach(b =>
+      term("xmax")(v => numeric(v) && asD(v) >= b))
+    rn.num("multipleOf").foreach(b =>
+      term("multipleof")(v => numeric(v) && (asD(v) % b) != 0.0))
     rn.int("minLength").foreach(b =>
-      if (any(v => canon(v) == "string" && strLen(v) < b)) out += s"minlen:$at")
+      term("minlen")(v => canon(v) == "string" && strLen(v) < b))
     rn.int("maxLength").foreach(b =>
-      if (any(v => canon(v) == "string" && strLen(v) > b)) out += s"maxlen:$at")
-    rn.str("pattern").foreach(p =>
-      if (any(v => canon(v) == "string" &&
-        !compilePat(p).matcher(v.asText()).find())) out += s"pattern:$at")
+      term("maxlen")(v => canon(v) == "string" && strLen(v) > b))
+    rn.str("pattern").foreach(p => term("pattern")(v =>
+      canon(v) == "string" && !compilePat(p).matcher(v.asText()).find()))
     rn.int("minItems").foreach(b =>
-      if (any(v => canon(v) == "array" && v.size < b)) out += s"minitems:$at")
+      term("minitems")(v => canon(v) == "array" && v.size < b))
     rn.int("maxItems").foreach(b =>
-      if (any(v => canon(v) == "array" && v.size > b)) out += s"maxitems:$at")
-    if (rn.uniqueItems &&
-      any(v => canon(v) == "array" && hasDupScalars(v))) out += s"unique:$at"
+      term("maxitems")(v => canon(v) == "array" && v.size > b))
+    if (rn.uniqueItems)
+      term("unique")(v => canon(v) == "array" && hasDupScalars(v))
     rn.int("minProperties").foreach(b =>
-      if (any(v => canon(v) == "object" && v.size() < b))
-        out += s"minprops:$at")
+      term("minprops")(v => canon(v) == "object" && v.size() < b))
     rn.int("maxProperties").foreach(b =>
-      if (any(v => canon(v) == "object" && v.size() > b))
-        out += s"maxprops:$at")
-    if (rn.closed &&
-      any(v => canon(v) == "object" &&
-        hasExtraKey(v, rn.props.map(_._1).toSet))) out += s"extra:$at"
+      term("maxprops")(v => canon(v) == "object" && v.size() > b))
+    if (rn.closed) term("extra")(v => canon(v) == "object" &&
+      hasExtraKey(v, rn.props.map(_._1).toSet, rn.patProps.map(_._1)))
     rn.deps.foreach { case (ifK, thenK) =>
-      if (any(v => canon(v) == "object" && v.has(ifK) && !v.has(thenK)))
-        out += s"dep:$at.$thenK"
+      term("dep", s".$thenK")(v =>
+        canon(v) == "object" && v.has(ifK) && !v.has(thenK))
     }
-    if (rn.containsSc.nonEmpty &&
-      any(v => canon(v) == "array" && containsBad(v, rn)))
-      out += s"contains:$at"
-    rn.propNamesPat.foreach { p =>
-      if (any(v => canon(v) == "object" &&
-        keyList(v).exists(k => !compilePat(p).matcher(k).find())))
-        out += s"propname:$at"
+    if (rn.containsSc.nonEmpty)
+      term("contains")(v => canon(v) == "array" && containsBad(v, rn))
+    rn.propNamesPat.foreach(p => term("propname")(v => canon(v) == "object" &&
+      keyList(v).exists(k => !compilePat(p).matcher(k).find())))
+    rn.ifSc.foreach { ifn =>
+      rn.thenSc.foreach(b => term("then")(v =>
+        refSatisfies(v, ifn) && !refSatisfies(v, b)))
+      rn.elseSc.foreach(b => term("else")(v =>
+        !refSatisfies(v, ifn) && !refSatisfies(v, b)))
+    }
+    rn.oneOfScs.foreach { m =>
+      val mt = RefNode(m).typ.get
+      term("oneof")(v => typeMatches(canon(v), mt) && !refSatisfies(v, m))
+    }
+    rn.patProps.foreach { case (re, sub) =>
+      refTerms(sub, Nil).foreach { it =>
+        term("pprop", s"${it.suffix}.${it.kind}")(v =>
+          canon(v) == "object" && keyList(v).exists(k =>
+            compilePat(re).matcher(k).find() && it.test(v.get(k))))
+      }
     }
     val propNames = rn.props.map(_._1).toSet
-    rn.required.filterNot(propNames).sorted.foreach { f =>
-      if (any(v => canon(v) == "object" && !v.has(f)))
-        out += s"missing:$at.$f"
-    }
+    rn.required.filterNot(propNames).sorted.foreach(f =>
+      term("missing", s".$f")(v => canon(v) == "object" && !v.has(f)))
     rn.props.foreach { case (f, sub) =>
-      if (rn.required.contains(f) &&
-        any(v => canon(v) == "object" && !v.has(f)))
-        out += s"missing:$at.$f"
-      out ++= itemTags(arr, base, steps :+ f, sub)
+      if (rn.required.contains(f))
+        term("missing", s".$f")(v => canon(v) == "object" && !v.has(f))
+      out ++= refTerms(sub, steps :+ f)
     }
-    rn.items.foreach(sub => out ++= itemTags(arr, base, steps :+ "[]", sub))
+    rn.items.foreach(sub => out ++= refTerms(sub, steps :+ "[]"))
     out.result()
   }
+
+  /** per-element checks of the array at `p` (present + array-typed):
+    * the walk universe filtered to terms firing on ANY element.
+    */
+  private def itemTags(arr: JsonNode, base: String, steps: Seq[String],
+                       sc: JsonNode): Seq[String] =
+    refTerms(sc, steps).flatMap { rt =>
+      if ((0 until arr.size).exists(i => rt.test(arr.get(i))))
+        Some(s"${rt.kind}:$base${rt.suffix}${rt.fieldSuf}")
+      else None
+    }
 
   /** the reference verdict: the full ordered violations string. */
   private def referenceViolations(raw: String, schemaSc: JsonNode): String = {
@@ -379,7 +443,10 @@ class JsonSchemaPropertySpec extends SparkSpec {
       case "object" =>
         val props = sc.putObject("properties")
         val used = rnd.shuffle(names).take(1 + rnd.nextInt(3))
-        used.foreach(f => props.set[JsonNode](f, genSchema(depth - 1)))
+        used.foreach(f => props.set[JsonNode](f,
+          // r16: 1-in-8 property schemas are discriminated oneOf unions
+          if (depth > 0 && rnd.nextInt(8) == 0) genOneOf()
+          else genSchema(depth - 1)))
         if (rnd.nextBoolean()) {
           val req = sc.putArray("required")
           used.filter(_ => rnd.nextBoolean()).foreach(req.add)
@@ -402,6 +469,28 @@ class JsonSchemaPropertySpec extends SparkSpec {
         if (rnd.nextInt(4) == 0)
           sc.putObject("propertyNames").put("pattern",
             pick(Vector("^[a-d]+$", "^[a-z]+$", "^(a|b|extra)$")))
+        // r16 if/then/else between declared names: `required` if-terms
+        // exercise both satisfaction (25% absent fields) and branches
+        if (rnd.nextInt(4) == 0 && used.size >= 2) {
+          sc.putObject("if").putArray("required").add(used(0))
+          sc.putObject("then").putArray("required").add(used(1))
+          if (rnd.nextBoolean())
+            sc.putObject("else").putArray("required").add(used.last)
+        }
+        // r16 patternProperties: selectors over the generated key pool
+        // (a-e + the 1-in-3 "extra" key) with scalar value subschemas;
+        // beside a closed object this also exercises the
+        // matched-by-neither rule
+        if (rnd.nextInt(4) == 0) {
+          val pp = sc.putObject("patternProperties")
+          val sub = mapper.createObjectNode()
+          rnd.nextInt(3) match {
+            case 0 => sub.put("type", "integer"); sub.put("minimum", 1L)
+            case 1 => sub.put("type", "string"); sub.put("maxLength", 3)
+            case _ => sub.put("type", "boolean")
+          }
+          pp.set[JsonNode](pick(Vector("^[ab]", "^e", "c")), sub)
+        }
       case "array" =>
         sc.set[JsonNode]("items", genSchema(depth - 1))
         if (rnd.nextBoolean()) sc.put("minItems", rnd.nextInt(3))
@@ -446,8 +535,31 @@ class JsonSchemaPropertySpec extends SparkSpec {
         if (rnd.nextInt(5) == 0) {
           val e = sc.putArray("enum"); e.add(1L); e.add(2L); e.add(0.5)
         }
+        // r16 scalar if/then/else: a value-conditioned bound — off-type
+        // values take the typed-guard vacuous pass through the if-side
+        if (rnd.nextInt(5) == 0) {
+          sc.putObject("if").put("minimum", 2L)
+          sc.putObject("then").put("maximum", 8L)
+          if (rnd.nextBoolean()) sc.putObject("else").put("minimum", -1L)
+        }
       case "boolean" =>
         if (rnd.nextInt(4) == 0) sc.put("const", true)
+    }
+    sc
+  }
+
+  /** a discriminated oneOf union over disjoint scalar types (r16). */
+  private def genOneOf(): ObjectNode = {
+    val sc = mapper.createObjectNode()
+    val arr = sc.putArray("oneOf")
+    val m1 = mapper.createObjectNode()
+    m1.put("type", "integer"); m1.put("minimum", 1L)
+    val m2 = mapper.createObjectNode()
+    m2.put("type", "string"); m2.put("minLength", 2)
+    arr.add(m1); arr.add(m2)
+    if (rnd.nextBoolean()) {
+      val m3 = mapper.createObjectNode(); m3.put("type", "boolean")
+      arr.add(m3)
     }
     sc
   }
@@ -455,7 +567,12 @@ class JsonSchemaPropertySpec extends SparkSpec {
   /** a value loosely guided by the schema: mostly on-type (value checks
     * still fire), sometimes off-type / JSON null / absent fields.
     */
-  private def genValue(sc: JsonNode, depth: Int): JsonNode = {
+  private def genValue(sc0: JsonNode, depth: Int): JsonNode = {
+    // a oneOf node generates from a random member (off-type still comes
+    // from the 1-in-5 override below)
+    val sc = if (sc0.has("oneOf"))
+      sc0.get("oneOf").get(rnd.nextInt(sc0.get("oneOf").size))
+    else sc0
     // a union declaration generates a random member's value (including
     // "null" — the nullable idiom's on-type case)
     val declared = Option(sc.get("type")).map { t =>

@@ -349,9 +349,11 @@ class JsonSchemaSpec extends SparkSpec {
        "no-silent-no-op rule)") {
     def gate(sc: String) = JsonSchemaGate.validate(
       Seq((1L, "{}")).toDF("id", "raw"), "raw", sc, parsedCol = None)
+    // anyOf/not stay out of subset (dynamic disjunction/negation); oneOf
+    // moved into subset r16 in its discriminated form — see its own test
     val kw = intercept[IllegalArgumentException] { gate(
       """{"type": "object", "properties":
-        | {"a": {"type": "string"}}, "oneOf": [{"type": "object"}]}""".stripMargin) }
+        | {"a": {"type": "string"}}, "anyOf": [{"type": "object"}]}""".stripMargin) }
     assert(kw.getMessage.contains("unsupported JSON-Schema keyword"))
     val bool = intercept[IllegalArgumentException] { gate(
       """{"type": "object", "properties": {"a": {"type": "array", "items": false}}}""") }
@@ -779,6 +781,149 @@ class JsonSchemaSpec extends SparkSpec {
         parsedCol = None)
     }
     assert(e2.getMessage.contains("lookaround"))
+  }
+
+  test("if/then/else (r16): satisfaction of the if-subschema gates the " +
+       "then checks, its negation the else checks, at paths, the root, " +
+       "and element depth; absent nodes validate nothing; partial " +
+       "declarations abort") {
+    val sc =
+      """{"type": "object",
+        | "if": {"required": ["kind"]},
+        | "then": {"required": ["payload"]},
+        | "else": {"required": ["name"]},
+        | "properties": {
+        |  "prio": {"type": ["integer", "null"],
+        |           "if": {"type": "integer"},
+        |           "then": {"maximum": 5},
+        |           "else": {"type": "null"}},
+        |  "rows": {"type": "array",
+        |           "items": {"type": "object",
+        |                     "if": {"required": ["qty"]},
+        |                     "then": {"required": ["dims"]}}}}}"""
+        .stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"kind": "a", "payload": 1}"""),       // if sat, then sat
+        (2L, """{"kind": "a"}"""),                     // if sat, then violated
+        (3L, """{"name": "n"}"""),                     // if unsat, else sat
+        (4L, """{"x": 1}"""),                          // if unsat, else violated
+        (5L, """{"kind": "a", "payload": 1, "prio": 4}"""),   // then branch sat
+        (6L, """{"kind": "a", "payload": 1, "prio": 9}"""),   // then: max 5
+        (7L, """{"kind": "a", "payload": 1, "prio": null}"""),// else: null ok
+        (8L, """{"kind": "a", "payload": 1, "prio": "hi"}"""),// else violated (and type:)
+        (9L, """{"kind": "a", "payload": 1, "rows": [{"qty": 1, "dims": [1]}, {"sku": 2}]}"""),
+        (10L, """{"kind": "a", "payload": 1, "rows": [{"qty": 1}]}"""))
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "" && got(5L) == "" && got(7L) == "" && got(9L) == "")
+    assert(got(2L) == "then:$")
+    assert(got(3L) == "")
+    assert(got(4L) == "else:$")
+    assert(got(6L) == "then:$.prio")
+    // "hi" fails the declared union type AND the else branch's null type
+    assert(got(8L) == "type:$.prio,else:$.prio")
+    assert(got(10L) == "then:$.rows[]")
+    // then/else without if (spec-ignored) and if without a branch abort
+    def bad(sc2: String) = intercept[IllegalArgumentException] {
+      JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw",
+        sc2, parsedCol = None)
+    }
+    assert(bad("""{"type": "object", "then": {"required": ["a"]}}""")
+      .getMessage.contains("then/else without if"))
+    assert(bad("""{"type": "object", "if": {"required": ["a"]}}""")
+      .getMessage.contains("if without then or else"))
+  }
+
+  test("discriminated oneOf (r16): the member is selected by the runtime " +
+       "type tag — off-union types fire the synthesized type check, " +
+       "member-constraint failures fire oneof:; overlapping or type-free " +
+       "members abort") {
+    val sc =
+      """{"type": "object",
+        | "properties": {
+        |  "ref": {"oneOf": [
+        |    {"type": "integer", "minimum": 0},
+        |    {"type": "string", "minLength": 2},
+        |    {"type": "object", "required": ["id"]}]}}}""".stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"ref": 7}"""),
+        (2L, """{"ref": "ab"}"""),
+        (3L, """{"ref": {"id": 1}}"""),
+        (4L, """{"ref": -1}"""),        // integer member's minimum
+        (5L, """{"ref": "x"}"""),       // string member's minLength
+        (6L, """{"ref": {"x": 1}}"""),  // object member's required
+        (7L, """{"ref": true}"""),      // matches NO member: union type check
+        (8L, """{"x": 1}"""))           // absent: nothing fires
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "" && got(2L) == "" && got(3L) == "" && got(8L) == "")
+    assert(got(4L) == "oneof:$.ref")
+    assert(got(5L) == "oneof:$.ref")
+    assert(got(6L) == "oneof:$.ref")
+    assert(got(7L) == "type:$.ref")
+    def bad(sc2: String) = intercept[IllegalArgumentException] {
+      JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw",
+        sc2, parsedCol = None)
+    }
+    // number ⊇ integer: the admitted canonical-type sets overlap on int
+    assert(bad("""{"type": "object", "properties": {"a": {"oneOf": [
+                 | {"type": "number"}, {"type": "integer"}]}}}""".stripMargin)
+      .getMessage.contains("overlapping"))
+    assert(bad("""{"type": "object", "properties": {"a": {"oneOf": [
+                 | {"type": "integer"}, {"minimum": 3}]}}}""".stripMargin)
+      .getMessage.contains("must declare a type"))
+    assert(bad("""{"type": "object", "properties": {"a":
+                 | {"type": "integer", "oneOf": [{"type": "integer"},
+                 |  {"type": "string"}]}}}""".stripMargin)
+      .getMessage.contains("BOTH type and oneOf"))
+  }
+
+  test("patternProperties (r16): selector-matched keys validate their " +
+       "values per inner term; declared properties still re-validate " +
+       "when matched; sibling additionalProperties admits matched keys; " +
+       "element depth works; the schema stays a loud abort nowhere") {
+    val sc =
+      """{"type": "object", "additionalProperties": false,
+        | "patternProperties": {"^x_": {"type": "integer", "minimum": 0}},
+        | "properties": {
+        |  "name": {"type": "string"},
+        |  "cfg":  {"type": "object",
+        |           "patternProperties": {"^opt": {"enum": ["on", "off"]}}},
+        |  "rows": {"type": "array",
+        |           "items": {"type": "object",
+        |                     "patternProperties": {"^w": {"type": "number"}}}}}}"""
+        .stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"name": "a", "x_n": 3, "cfg": {"optA": "on"}, "rows": [{"w1": 1.5}]}"""),
+        (2L, """{"x_n": "s"}"""),               // selected value off-type
+        (3L, """{"x_n": -2}"""),                // selected value under minimum
+        (4L, """{"zz": 1}"""),                  // unmatched key: extra (closed)
+        (5L, """{"cfg": {"optB": "maybe"}}"""), // nested selector enum
+        (6L, """{"rows": [{"w1": "heavy"}]}"""),// element-depth selector
+        (7L, """{"cfg": {"other": 5}}"""))      // unmatched nested key: open cfg
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "" && got(7L) == "")
+    assert(got(2L) == "pprop:$.type")
+    assert(got(3L) == "pprop:$.min")
+    assert(got(4L) == "extra:$")
+    assert(got(5L) == "pprop:$.cfg.enum")
+    assert(got(6L) == "pprop:$.rows[].type")
+    // a declared property that ALSO matches a selector validates against
+    // both (JSON Schema: properties and patternProperties both apply)
+    val both = JsonSchemaGate.validate(
+      Seq((1L, """{"wide": "s"}""")).toDF("id", "raw"), "raw",
+      """{"type": "object",
+        | "patternProperties": {"^w": {"type": "number"}},
+        | "properties": {"wide": {"type": "string"}}}""".stripMargin,
+      parsedCol = None).select("violations").as[String].head()
+    assert(both == "pprop:$.type")
+    val e = intercept[IllegalArgumentException] {
+      JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw",
+        """{"type": "object", "patternProperties": {"(?=x)": {}}}""",
+        parsedCol = None)
+    }
+    assert(e.getMessage.contains("lookaround"))
   }
 
   test("keyword argument nodes are TYPE-CHECKED at compile (r14): a " +
