@@ -30,31 +30,17 @@ object FusionAudit {
     val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
     val spark = GraftSession.local(8)
     spark.sparkContext.setLogLevel("ERROR")
-    val rowNode = """(?:\*\s)?(?:Project|Filter|HashAggregate) \(\d+\)""".r
-    val fused = """\*\s(?:Project|Filter|HashAggregate) \(\d+\)""".r
     val sb = new StringBuilder("query\tunfused\ttotal\tunfused_ops\n")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
         try {
-          val df = fn(spark, sfDir)
-          df.queryExecution.toRdd.count()
-          val plan = df.queryExecution.explainString(
-            org.apache.spark.sql.execution.FormattedMode)
-          // FINAL tree only: AQE's formatted output appends the
-          // "== Initial Plan ==" tree (never starred — it predates
-          // execution) and then the node details; both would inflate
-          // the unfused count
-          val tree = plan.linesIterator
-            .takeWhile(l => !l.startsWith("(1)") &&
-              !l.contains("== Initial Plan ==")).mkString("\n")
-          val total = rowNode.findAllIn(tree).size
-          val fusedN = fused.findAllIn(tree).size
-          val unfusedOps = rowNode.findAllIn(tree).toSeq
-            .filterNot(_.startsWith("*")).map(_.takeWhile(_ != ' '))
-            .groupBy(identity).map { case (k, v) => s"$k:${v.size}" }
-            .mkString(",")
-          sb.append(s"$name\t${total - fusedN}\t$total\t$unfusedOps\n")
+          // counting (final tree only, shared spelling) lives in
+          // FusionBudgets — the r16 committed-budget gate this audit
+          // seeded; this main stays the ad-hoc triage CLI
+          val (unfused, total, ops) =
+            FusionBudgets.auditExecuted(fn(spark, sfDir))
+          sb.append(s"$name\t$unfused\t$total\t$ops\n")
         } catch {
           case e: Throwable =>
             sb.append(s"$name\tERR\tERR\t${e.getClass.getSimpleName}\n")

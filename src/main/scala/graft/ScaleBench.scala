@@ -810,23 +810,64 @@ object ScaleBench {
     // with Zipf frequency, so the memo converts per-occurrence cost to
     // per-distinct-token cost per executor thread.
     if (want("bpe_memo")) {
+      import org.apache.spark.sql.graftglue.ChainedReplace
       val docs = spark.read.parquet(s"$big/documents.parquet")
       val merges = graft.functions.Bpe.train(
           Tables.load(spark, base, "customer"), "c_name",
           nMerges = 544, mergesPerRound = 32, maxRounds = 17)._1
         .select("l", "r").collect()
         .map(r => (r.getString(0), r.getString(1))).toSeq
-      val padded = merges ++ (0 until 8192).map(i => (s"zq${i}x", s"zr${i}x"))
-      for ((label, ms, memo) <- Seq(
-          ("m544_off", merges, 0), ("m544_on", merges, 1 << 15),
-          ("m8736_off", padded, 0), ("m8736_on", padded, 1 << 15))) {
+      def pad(n: Int) =
+        merges ++ (0 until n).map(i => (s"zq${i}x", s"zr${i}x"))
+      def run(label: String, ms: Seq[(String, String)], memo: Int,
+              frame: org.apache.spark.sql.DataFrame = docs): Unit = {
+        val (h0, m0) =
+          (ChainedReplace.memoHits.sum, ChainedReplace.memoMisses.sum)
         val t0 = System.nanoTime()
-        graft.functions.Bpe.segment(docs, "doc_id", "text", ms,
+        graft.functions.Bpe.segment(frame, "doc_id", "text", ms,
             memoSize = memo)
           .queryExecution.toRdd.count()
         val wall = (System.nanoTime() - t0) / 1e9
-        println(f"[scalebench] bpe_memo $label steps=${ms.size} wall=$wall%.2f s")
+        val (h, m) = (ChainedReplace.memoHits.sum - h0,
+          ChainedReplace.memoMisses.sum - m0)
+        val rate = if (h + m == 0) "n/a"
+          else f"${h.toDouble / (h + m)}%.4f"
+        println(f"[scalebench] bpe_memo $label steps=${ms.size} " +
+          f"wall=$wall%.2f s hits=$h misses=$m hit_rate=$rate")
       }
+      run("m544_off", merges, 0)
+      run("m544_on", merges, 1 << 15)
+      run("m8736_off", pad(8192), 0)
+      run("m8736_on", pad(8192), 1 << 15)
+      // r16 decade: production-size merge tables (5×10⁴ and 10⁵ steps) —
+      // memo ON only: the off arm is established linear (127 s at 8.6k
+      // steps ⇒ ~12/25 min here), the claim under test is that the ON
+      // wall stays near-flat because per-occurrence cost became
+      // per-distinct-token cost
+      run("m50k_on", pad(49456), 1 << 15)
+      run("m100k_on", pad(99456), 1 << 15)
+      // r16 Zipf-tail LRU pressure: distinct tokens ≫ memoSize (32k) —
+      // 80% of 1.6M one-token docs draw from 1k hot tokens (hits), 20%
+      // are doc-unique (every one a miss + an eviction). Validates the
+      // BOUND: memory stays capped and the wall degrades to the miss
+      // fraction's linear cost instead of collapsing
+      val zipf = spark.range(1600000).select(
+        org.apache.spark.sql.functions.col("id").as("doc_id"),
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.lit(5)) < 4,
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("tok"),
+            org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.hash(
+                org.apache.spark.sql.functions.col("id")),
+              org.apache.spark.sql.functions.lit(1000))))
+          .otherwise(org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("rare"),
+            org.apache.spark.sql.functions.col("id"))).as("text"))
+      run("zipf_tail_on", pad(8192), 1 << 15, zipf)
+      run("zipf_tail_off", pad(8192), 0, zipf)
     }
     spark.stop()
   }

@@ -910,6 +910,11 @@ object Streams {
                      availableNow: Boolean = false,
                      outputMode: String = "append")
                     (f: (DataFrame, Long) => Unit) = {
+    // every drain through this helper — notably the config-pipeline /
+    // RunPipeline surface — carries the heap-state guardrail (r16; a
+    // config author wiring `sessionize`/`stream_dedup` over the default
+    // provider is warned before the state outgrows the heap)
+    ensureStateStoreGuard(df.sparkSession)
     val w = df.writeStream.outputMode(outputMode)
       .option("checkpointLocation", checkpoint)
       .foreachBatch((batch: DataFrame, id: Long) => f(batch, id))
@@ -963,6 +968,62 @@ object Streams {
     * mid-life switch to RocksDB silences the guard without re-attaching
     * (and a switch back re-arms it). Returns the listener for detaching.
     */
+  /** session conf overriding the guard's warning threshold in bytes —
+    * read per micro-batch by every [[stateStoreGuard]] without an
+    * explicit `thresholdBytes`.
+    */
+  val GuardThresholdConf = "spark.graft.stateStoreGuard.thresholdBytes"
+
+  /** session conf disabling the AUTO-attached guard (default on). */
+  val GuardEnabledConf = "spark.graft.stateStoreGuard.enabled"
+
+  // one auto-attached guard per session; the AtomicLong counts warnings
+  // (observable — monitors and specs read it via [[guardWarningCount]])
+  private val guardRegistry = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.atomic.AtomicLong]())
+
+  /** Attach [[stateStoreGuard]] ONCE per session (idempotent) — called
+    * by [[toForeachBatch]], so every stream drained through the config
+    * pipeline / RunPipeline surface (the 100 TB operational path) gets
+    * the heap-state guardrail without any code: a config author who
+    * wires `sessionize` or `stream_dedup` over the default state-store
+    * provider is warned before the state outgrows the heap, exactly as
+    * a library caller would be. `spark.graft.stateStoreGuard.enabled=
+    * false` opts a session out; the threshold honors
+    * [[GuardThresholdConf]] per batch.
+    */
+  def ensureStateStoreGuard(spark: SparkSession): Unit =
+    if (spark.conf.get(GuardEnabledConf, "true").toBoolean)
+      guardRegistry.synchronized {
+        if (!guardRegistry.containsKey(spark)) {
+          val n = new java.util.concurrent.atomic.AtomicLong()
+          stateStoreGuard(spark,
+            onWarn = (name, bytes, rows, lim) => {
+              n.incrementAndGet()
+              defaultGuardWarn(name, bytes, rows, lim)
+            })
+          guardRegistry.put(spark, n)
+        }
+      }
+
+  /** warnings fired by the session's AUTO-attached guard so far (0 when
+    * none is attached).
+    */
+  def guardWarningCount(spark: SparkSession): Long =
+    Option(guardRegistry.get(spark)).map(_.get()).getOrElse(0L)
+
+  private def defaultGuardWarn(name: String, bytes: Long, rows: Long,
+                               lim: Long): Unit =
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"streaming query '$name' holds $bytes bytes of state across " +
+        s"$rows keys on the EXECUTOR HEAP (default state-store " +
+        s"provider), past the $lim-byte guardrail — at the measured " +
+        "~440 B/key (plans/SCALE.md r14) this provider fails outright " +
+        "near heap-scale state; switch to RocksDB via " +
+        "GraftSession.useRocksDbStateStore(spark) or " +
+        "SPARK_GRAFT_STATESTORE=rocksdb before the state grows")
+
   /** `spark.executor.memory` in bytes, with Spark's OWN default unit: a
     * suffixless value means MiB (Spark reads this key via getSizeAsMb).
     * `byteStringAsBytes` would read a cluster's `4096` as 4096 BYTES and
@@ -991,18 +1052,15 @@ object Streams {
     val heapBase = spark.conf.getOption("spark.executor.memory")
       .map(executorMemoryBytes)
       .getOrElse(Runtime.getRuntime.maxMemory)
-    val limit = thresholdBytes.getOrElse((heapBase * heapFraction).toLong)
+    // the explicit param wins; else the session conf (read PER BATCH so
+    // an operator can tighten/relax a running guard, and so the
+    // auto-attached guard honors a threshold set after attach); else the
+    // heap fraction
+    def limit: Long = thresholdBytes
+      .orElse(spark.conf.getOption(GuardThresholdConf).map(_.toLong))
+      .getOrElse((heapBase * heapFraction).toLong)
     val warn: (String, Long, Long, Long) => Unit =
-      if (onWarn != null) onWarn
-      else (name, bytes, rows, lim) =>
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"streaming query '$name' holds $bytes bytes of state across " +
-            s"$rows keys on the EXECUTOR HEAP (default state-store " +
-            s"provider), past the $lim-byte guardrail — at the measured " +
-            "~440 B/key (plans/SCALE.md r14) this provider fails outright " +
-            "near heap-scale state; switch to RocksDB via " +
-            "GraftSession.useRocksDbStateStore(spark) or " +
-            "SPARK_GRAFT_STATESTORE=rocksdb before the state grows")
+      if (onWarn != null) onWarn else defaultGuardWarn
     val l = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -1011,9 +1069,10 @@ object Streams {
           val sos = e.progress.stateOperators
           if (sos != null && sos.nonEmpty) {
             val bytes = sos.map(_.memoryUsedBytes).sum
-            if (bytes > limit)
+            val lim = limit
+            if (bytes > lim)
               warn(Option(e.progress.name).getOrElse(e.progress.id.toString),
-                bytes, sos.map(_.numRowsTotal).sum, limit)
+                bytes, sos.map(_.numRowsTotal).sum, lim)
           }
         }
     }

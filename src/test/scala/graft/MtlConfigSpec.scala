@@ -273,6 +273,43 @@ class MtlConfigSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("a config-built STATEFUL stream carries the auto-attached " +
+       "state-store guard (r16): the E4 surface warns on heap-state " +
+       "pressure without any library code") {
+    val before = graft.streaming.Streams.guardWarningCount(spark)
+    val key = graft.streaming.Streams.GuardThresholdConf
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "1") // any stateful batch crosses a 1-byte rail
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft_cfg_guard").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+          (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+          (java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 2L))
+        .toDF("ts", "k").coalesce(1).write.mode("overwrite").parquet(inDir)
+      val out = ConfigPipeline.fromJson(spark,
+        s"""{"stages": [
+           | {"name": "e", "op": "stream_dir", "path": "$inDir",
+           |  "format": "parquet", "schema": "ts TIMESTAMP, k BIGINT",
+           |  "maxFilesPerTrigger": 1},
+           | {"name": "sess", "op": "stream_dedup", "from": "e",
+           |  "ts": "ts", "delay": "10 minutes", "keys": ["k"]}
+           |]}""".stripMargin).output("sess")
+      assert(out.isStreaming)
+      val q = graft.streaming.Streams.toForeachBatch(out, ckpt,
+        availableNow = true, outputMode = "append") { (batch, id) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+      }
+      q.awaitTermination()
+      // the listener bus delivers progress asynchronously
+      val deadline = System.nanoTime() + 15e9.toLong
+      while (graft.streaming.Streams.guardWarningCount(spark) == before &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(graft.streaming.Streams.guardWarningCount(spark) > before,
+        "config-built stateful stream drained without the auto-guard firing")
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("ConfigPipeline watermark+time_window+agg drains finalized windows in append mode") {
     val base = java.nio.file.Files.createTempDirectory("graft_cfg_winagg").toString
     val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
