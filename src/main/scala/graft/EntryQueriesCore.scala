@@ -738,16 +738,16 @@ object EntryQueriesCore {
     // real database round-trip: overwrite-write nation into Derby, then read
     // it back through the 4-way partitioned JDBC scan; the oracle reads the
     // original parquet, so any type/value mangling in either direction fails.
-    // This one query keeps IN-MEMORY Derby and stays the single documented
-    // environmental skip under local-cluster: the operator under test is
-    // Spark's executor-side JDBC WRITER, and embedded Derby accepts writes
-    // from exactly one JVM (no network server ships in this environment) —
-    // the read-only jar device that fixed q_jdbc_query/q_jdbc_typed cannot
-    // carry a write. plans/CLUSTER.md r12 has the adjudication.
+    // r16: the in-memory Derby is served through graft.sources.JdbcBridge
+    // (a reflective JDBC-over-TCP proxy on the driver JVM), so the
+    // executor-side WRITE works from ANY JVM — retiring the last
+    // local-cluster environmental skip (in-memory Derby is per-JVM and no
+    // derbynet/H2 jar exists here; the read-only jar device that fixed
+    // q_jdbc_query/q_jdbc_typed cannot carry a write). plans/CLUSTER.md.
     "q_jdbc_roundtrip" -> ((s, dir) => {
       derbyEngineProps
-      val url = "jdbc:derby:memory:graft_rt;create=true"
-      val drv = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+      val (url, drv) =
+        graft.sources.JdbcBridge.ensure("jdbc:derby:memory:graft_rt;create=true")
       val n = T(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
       Sinks.jdbcWrite(n, url, "nation_rt", drv, mode = "overwrite")
       Sources.jdbcTable(s, url, "nation_rt",
