@@ -478,7 +478,19 @@ object EntryFixtures {
     * selector `^w` re-validates the DECLARED `w` key — shape 1's
     * "heavy" fires `pprop:$.items[].meta.type` alongside the
     * properties-side `type:$.items[].meta.w` (both apply, the spec's
-    * rule). The valid shape's first tag is the ASTRAL-bearing string
+    * rule). r16 disjunction/negation: `anyOf` on `mode` (shape 1's 7
+    * fails both members → `anyof:$.mode`; shape 0's "bulk" passes),
+    * DYNAMIC `oneOf` on `level` (overlapping integer members: shape
+    * 1's 7 satisfies BOTH → `oneof:$.level`, shape 2's "x" satisfies
+    * NEITHER → same tag, shape 0's 3 exactly one → pass), `not` at the
+    * root (shape 4's `_debug` satisfies `required: [_debug]` →
+    * `not:$`), at a path (shape 1's priority 9 satisfies
+    * integer+multipleOf 3 → `not:$.priority`) and at two-level element
+    * depth (shape 1's dims element 9 satisfies `const: 9` →
+    * `not:$.items[].dims[]`), and root `dependentSchemas`
+    * (priority present requires `ref`: shape 2's null priority IS
+    * present and ref is absent → `depschema:$.priority`). The valid
+    * shape's first tag is the ASTRAL-bearing string
     * 𝒳abcdefg (8 code points — exactly the items maxLength boundary;
     * spelled as JSON \u escapes so the fixture file itself is
     * locale-proof): valid under correct UTF-8 handling, 11 "chars"
@@ -489,9 +501,9 @@ object EntryFixtures {
   private[graft] val jsonSynthSql: String =
     """CASE WHEN event_id % 7 = 0 THEN '{broken'
       | ELSE CASE CAST(event_id % 5 AS INT)
-      |  WHEN 0 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["\ud835\udcb3abcdefg", "b"], "priority": 2, "ref": 7, "items": [{"sku": 5, "qty": 2, "lot": 1, "dims": [1, 2], "meta": {"w": 1.5}}]}'
-      |  WHEN 1 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "' || event_type || '", "value": "' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '", "tags": ["ok", 3, "ok"], "priority": 9, "ref": "x", "items": [{"sku": "x", "qty": 1, "lot": 2, "dims": [9, -2, "x"], "meta": {"w": "heavy", "unit": "kg"}}]}'
-      |  WHEN 2 THEN '{"user": {"name": "u' || CAST(user_id AS STRING) || '", "role": "admin"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "priority": null, "items": [{"qty": 0, "meta": {}}]}'
+      |  WHEN 0 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["\ud835\udcb3abcdefg", "b"], "priority": 2, "ref": 7, "mode": "bulk", "level": 3, "items": [{"sku": 5, "qty": 2, "lot": 1, "dims": [1, 2], "meta": {"w": 1.5}}]}'
+      |  WHEN 1 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "' || event_type || '", "value": "' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '", "tags": ["ok", 3, "ok"], "priority": 9, "ref": "x", "mode": 7, "level": 7, "items": [{"sku": "x", "qty": 1, "lot": 2, "dims": [9, -2, "x"], "meta": {"w": "heavy", "unit": "kg"}}]}'
+      |  WHEN 2 THEN '{"user": {"name": "u' || CAST(user_id AS STRING) || '", "role": "admin"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "priority": null, "level": "x", "items": [{"qty": 0, "meta": {}}]}'
       |  WHEN 3 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "badtype", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["a", null, null], "priority": "high", "ref": true, "items": []}'
       |  ELSE '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "v' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "_debug": true}'
       | END END""".stripMargin.replace("\n", " ")
@@ -516,7 +528,13 @@ object EntryFixtures {
     * `ref`; `patternProperties` at the root (`^_`), the nested `user`
     * (`^ro`), and the element-depth `meta` (`^w`) — each sitting beside
     * `additionalProperties: false`, so the matched-by-neither rule is
-    * driver-pinned every round.
+    * driver-pinned every round. r16 disjunction/negation: `anyOf` on
+    * `mode`, a DYNAMIC (overlapping-member) `oneOf` on `level` beside
+    * the discriminated one on `ref`, `not` at the root / on `priority`
+    * / on the dims elements (two-level element depth), and root
+    * `dependentSchemas` (priority → ref) beside the equivalent-shape
+    * dependentRequired — every satisfaction-evaluator keyword
+    * driver-pinned against the DuckDB replay each round.
     */
   private[graft] val jsonSchemaDemo: String =
     """{"type": "object", "required": ["user", "type", "value"],
@@ -526,6 +544,8 @@ object EntryFixtures {
       | "if": {"required": ["priority"]},
       | "then": {"required": ["tags"]},
       | "else": {"required": ["value"]},
+      | "not": {"required": ["_debug"]},
+      | "dependentSchemas": {"priority": {"required": ["ref"]}},
       | "patternProperties": {"^_": {"type": "string"}},
       | "$defs": {"money": {"type": "number", "minimum": 0, "maximum": 15}},
       | "properties": {
@@ -549,9 +569,14 @@ object EntryFixtures {
       |               "multipleOf": 2,
       |               "if": {"type": "integer"},
       |               "then": {"maximum": 5},
-      |               "else": {"type": "null"}},
+      |               "else": {"type": "null"},
+      |               "not": {"type": "integer", "multipleOf": 3}},
       |  "ref": {"oneOf": [{"type": "integer", "minimum": 0},
       |                    {"type": "string", "minLength": 2}]},
+      |  "mode": {"anyOf": [{"type": "string", "minLength": 3},
+      |                     {"type": "integer", "multipleOf": 2}]},
+      |  "level": {"oneOf": [{"type": "integer", "minimum": 5},
+      |                      {"type": "integer", "maximum": 10}]},
       |  "items": {"type": "array", "minItems": 1,
       |            "contains": {"required": ["sku"]},
       |            "items": {"type": "object", "required": ["sku", "lot"],
@@ -565,7 +590,8 @@ object EntryFixtures {
       |                                              "minimum": 1,
       |                                              "maximum": 5},
       |                                 "items": {"type": "integer",
-      |                                           "minimum": 0}},
+      |                                           "minimum": 0,
+      |                                           "not": {"const": 9}}},
       |                        "meta": {"type": "object", "required": ["w"],
       |                                 "additionalProperties": false,
       |                                 "propertyNames": {"pattern": "^[a-z]$"},

@@ -91,15 +91,24 @@ import scala.jdk.CollectionConverters._
   * and element depth; an ABSENT node validates nothing; `then`/`else`
   * without `if`, or `if` without a branch, abort — spec-ignored
   * keywords must not silently no-op),
-  * r16 DISCRIMINATED `oneOf` (the tagged-union idiom: every member
-  * declares a `type` and the admitted canonical-type sets are pairwise
-  * disjoint, so the applicable member is a total function of the
-  * runtime type tag and exactly-one is static; desugars to the
-  * synthesized union type check `type:$.p` plus one conditional per
-  * member, tag `oneof:$.p`; overlapping or type-free members abort —
-  * as do `anyOf`/`not`, which stay out of subset with
-  * `dependentSchemas`: dynamic disjunction/negation has no static
-  * single-tag check list),
+  * r16 `oneOf` (members with pairwise-disjoint declared `type`s — the
+  * tagged-union idiom — take the DISCRIMINATED desugar: the applicable
+  * member is a total function of the runtime type tag, so exactly-one
+  * is static and compiles to the synthesized union type check
+  * `type:$.p` plus one conditional per member, tag `oneof:$.p`;
+  * overlapping or type-free members take the DYNAMIC form — satisfied
+  * members counted at runtime via the satisfaction evaluator, one
+  * static tag `oneof:$.p` firing when the count ≠ 1),
+  * r16 `anyOf` (at-least-one member satisfied, tag `anyof:$.p` when
+  * every member has a firing term), `not` (satisfaction of the
+  * subschema IS the violation, tag `not:$.p` — the typed-guard vacuous
+  * pass carries through, so `not: {minimum: 5}` rejects strings, JSON
+  * Schema's own rule), and `dependentSchemas` (presence of a key
+  * requires the object to satisfy the paired subschema, one tag per
+  * key `depschema:$.p.key`) — each at paths, the root, and element
+  * depth; the satisfaction quantifications are single static tags, so
+  * the whole disjunction/negation vocabulary now compiles where r15
+  * adjudicated it un-compilable term-by-term,
   * r16 `patternProperties` (every runtime key matching a selector
   * pattern has its VALUE validated against the selector's subschema —
   * one check and tag per compiled inner term, `pprop:$.p.<kind>`
@@ -208,7 +217,11 @@ object JsonSchemaGate {
                           thenSub: Option[Node] = None,
                           elseSub: Option[Node] = None,
                           oneOfSubs: Seq[Node] = Nil,
-                          patProps: Seq[(String, Node)] = Nil)
+                          patProps: Seq[(String, Node)] = Nil,
+                          oneOfDyn: Seq[Node] = Nil,
+                          anyOfSubs: Seq[Node] = Nil,
+                          notSub: Option[Node] = None,
+                          depSchemas: Seq[(String, Node)] = Nil)
 
   /** keywords this gate VALIDATES, plus JSON-Schema annotations that
     * carry no validation semantics (ignoring them is not a silent
@@ -225,6 +238,7 @@ object JsonSchemaGate {
     "uniqueItems", "minProperties", "maxProperties", "dependentRequired",
     "contains", "minContains", "maxContains", "propertyNames",
     "if", "then", "else", "oneOf", "patternProperties",
+    "anyOf", "not", "dependentSchemas",
     // no-validation annotations — `format` is annotation-only in JSON
     // Schema 2020-12 unless a dialect opts into format-assertion, which
     // this gate does not claim
@@ -416,7 +430,8 @@ object JsonSchemaGate {
         nd.props.foreach { case (_, p) => noNested(p) }
         nd.items.foreach(noNested)
         (nd.ifSub ++ nd.thenSub ++ nd.elseSub ++ nd.oneOfSubs ++
-          nd.patProps.map(_._2)).foreach(noNested)
+          nd.patProps.map(_._2) ++ nd.oneOfDyn ++ nd.anyOfSubs ++
+          nd.notSub ++ nd.depSchemas.map(_._2)).foreach(noNested)
       }
       noNested(sub)
       sub
@@ -463,38 +478,37 @@ object JsonSchemaGate {
     require(ifSub.isEmpty || thenSub.nonEmpty || elseSub.nonEmpty,
       "if without then or else validates nothing — a silently-ignored " +
         "keyword must abort")
-    // oneOf (r16): the DISCRIMINATED-union subclass — every member
-    // declares a `type` and the admitted canonical-type sets are
-    // pairwise DISJOINT, so which member applies is a total function of
-    // the runtime type tag and "exactly one" is static: a value matching
-    // member M's type can match no other member. Desugars to the union
-    // type check (any member's type admits) plus one conditional term
-    // per member (under "is M's type", M's own checks). Members with
-    // overlapping or missing types need dynamic exactly-one counting —
-    // no static single-tag check list, loud abort (as do `anyOf`/`not`).
-    val oneOfSubs: Seq[Node] = Option(n.get("oneOf")).toSeq.flatMap { o =>
+    // oneOf (r16): members declaring pairwise-DISJOINT `type`s (the
+    // tagged-union idiom) take the DISCRIMINATED desugar — which member
+    // applies is a total function of the runtime type tag, so "exactly
+    // one" is static: the union type check (any member's type admits)
+    // plus one conditional term per member (under "is M's type", M's
+    // own checks — finer tags, cheaper evaluation). Members with
+    // overlapping or missing types (r16 later-in-round) fall through to
+    // the DYNAMIC form: exactly-one counted at runtime over member
+    // SATISFACTION (the r15 contains evaluator — a node satisfies a
+    // member iff it violates none of its compiled terms), one static
+    // tag (`oneof:$p`).
+    val oneOfMembers: Seq[Node] = Option(n.get("oneOf")).toSeq.flatMap { o =>
       require(o.isArray && o.size >= 2,
         s"oneOf must be an array of at least 2 schemas, got: $o")
-      val members = o.elements().asScala.toSeq.map(compile)
-      members.foreach(m => require(m.typ.nonEmpty,
-        "every oneOf member must declare a type (the discriminated-" +
-          "union subset; a type-free member has no static discriminator)"))
-      def admitted(spec: String): Set[String] =
-        spec.split('|').toSet.flatMap { (m: String) => m match {
-          case "number"  => Set("int", "double")
-          case "integer" => Set("int")
-          case "boolean" => Set("bool")
-          case other     => Set(other)
-        }}
-      val sets = members.map(m => admitted(m.typ.get))
-      for (i <- sets.indices; j <- i + 1 until sets.size)
-        require((sets(i) intersect sets(j)).isEmpty,
-          s"oneOf members ${i + 1} and ${j + 1} admit overlapping " +
-            s"runtime types (${(sets(i) intersect sets(j)).mkString(",")})" +
-            " — out of the discriminated-union subset (exactly-one " +
-            "needs dynamic counting)")
-      members
+      o.elements().asScala.toSeq.map(compile)
     }
+    def admitted(spec: String): Set[String] =
+      spec.split('|').toSet.flatMap { (m: String) => m match {
+        case "number"  => Set("int", "double")
+        case "integer" => Set("int")
+        case "boolean" => Set("bool")
+        case other     => Set(other)
+      }}
+    val discriminated = oneOfMembers.nonEmpty &&
+      oneOfMembers.forall(_.typ.nonEmpty) && {
+        val sets = oneOfMembers.map(m => admitted(m.typ.get))
+        sets.indices.forall(i => (i + 1 until sets.size).forall(j =>
+          (sets(i) intersect sets(j)).isEmpty))
+      }
+    val oneOfSubs = if (discriminated) oneOfMembers else Nil
+    val oneOfDyn = if (discriminated) Nil else oneOfMembers
     require(oneOfSubs.isEmpty || typ.isEmpty,
       "a node declaring BOTH type and oneOf is ambiguous in the " +
         "discriminated-union subset (the union type is synthesized " +
@@ -502,6 +516,35 @@ object JsonSchemaGate {
     val effTyp =
       typ.orElse(Option.when(oneOfSubs.nonEmpty)(
         oneOfSubs.map(_.typ.get).mkString("|")))
+    // anyOf (r16): at-least-one member satisfied — the same satisfaction
+    // quantification as the dynamic oneOf, violation = every member has
+    // a firing term, one static tag (`anyof:$p`).
+    val anyOfSubs: Seq[Node] = Option(n.get("anyOf")).toSeq.flatMap { a =>
+      require(a.isArray && a.size >= 1,
+        s"anyOf must be a non-empty array of schemas, got: $a")
+      a.elements().asScala.toSeq.map(compile)
+    }
+    // not (r16): satisfaction of the subschema IS the violation
+    // (`not:$p`). The subset's typed-guard vacuous pass carries
+    // through — `not: {minimum: 5}` rejects every string, which is
+    // JSON Schema's own rule (strings vacuously satisfy numeric
+    // bounds).
+    val notSub = Option(n.get("not")).map(compile)
+    // dependentSchemas (r16): presence of a key requires the node to
+    // satisfy the paired subschema — one check and tag per key
+    // (`depschema:$p.key`); keys interpolate into the presence probe's
+    // path, so the identifier guard applies (the dependentRequired
+    // rule).
+    val depSchemas: Seq[(String, Node)] =
+      Option(n.get("dependentSchemas")).toSeq.flatMap { d =>
+        require(d.isObject,
+          s"dependentSchemas must be an object of name -> schema: $d")
+        d.fields().asScala.map { e =>
+          require(e.getKey.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"non-identifier dependentSchemas name: ${e.getKey}")
+          (e.getKey, compile(e.getValue))
+        }.toSeq
+      }
     // patternProperties (r16): for every runtime key matching a selector
     // pattern, the key's VALUE validates against the compiled subschema
     // — one check (and tag) per (pattern, compiled inner term). The
@@ -542,7 +585,11 @@ object JsonSchemaGate {
       thenSub = thenSub,
       elseSub = elseSub,
       oneOfSubs = oneOfSubs,
-      patProps = patProps)
+      patProps = patProps,
+      oneOfDyn = oneOfDyn,
+      anyOfSubs = anyOfSubs,
+      notSub = notSub,
+      depSchemas = depSchemas)
   }
 
   /** Scan a `pattern` for constructs outside the shared Java~RE2 regex
@@ -665,13 +712,23 @@ object JsonSchemaGate {
             // selector -> schema (selectors are regexes, never refs)
             case k @ ("if" | "then" | "else") =>
               out.set[JsonNode](k, inlineRefs(root, e.getValue, stack))
-            case "oneOf" =>
+            case k @ ("oneOf" | "anyOf") =>
               require(e.getValue.isArray,
-                s"oneOf must be an array of schemas: ${e.getValue}")
+                s"$k must be an array of schemas: ${e.getValue}")
               val arr = mapper.createArrayNode()
               e.getValue.elements().asScala
                 .foreach(m => arr.add(inlineRefs(root, m, stack)))
-              out.set[JsonNode]("oneOf", arr)
+              out.set[JsonNode](k, arr)
+            case "not" =>
+              out.set[JsonNode]("not", inlineRefs(root, e.getValue, stack))
+            case "dependentSchemas" =>
+              require(e.getValue.isObject,
+                s"dependentSchemas must be an object: ${e.getValue}")
+              val ds = mapper.createObjectNode()
+              e.getValue.fields().asScala.foreach(p =>
+                ds.set[JsonNode](p.getKey,
+                  inlineRefs(root, p.getValue, stack)))
+              out.set[JsonNode]("dependentSchemas", ds)
             case "patternProperties" =>
               require(e.getValue.isObject,
                 s"patternProperties must be an object: ${e.getValue}")
@@ -698,8 +755,9 @@ object JsonSchemaGate {
     * collision aborts — the conjunction of two different minimums etc.
     * is out of subset (it has one answer, but silently picking it is a
     * semantics fork the single-sourced oracle must not risk). `oneOf`/
-    * `anyOf`/`not` remain loud aborts: disjunction and negation have no
-    * static single-tag check list.
+    * `anyOf`/`not`/`dependentSchemas` are in subset since r16 (the
+    * satisfaction evaluator compiles them); two allOf members carrying
+    * non-identical values for one of them still collide-abort here.
     */
   private def mergeSchemas(a: JsonNode, b: JsonNode): com.fasterxml.jackson.databind.node.ObjectNode = {
     require(a.isObject && b.isObject,
@@ -859,6 +917,32 @@ object JsonSchemaGate {
                                ifTerms: Seq[TermRec],
                                branchTerms: Seq[TermRec],
                                guards: Seq[String]) extends Check
+  /** dynamic `oneOf` (r16, overlapping or type-free members): fires when
+    * the node at `path` is PRESENT and the count of `groups` it
+    * satisfies (each a `"group"` TermRec wrapping one member's term
+    * conjunction) is not exactly 1. Tag `oneof:$p`.
+    */
+  private case class OneOfDynCheck(path: String, groups: Seq[TermRec],
+                                   guards: Seq[String]) extends Check
+  /** `anyOf` (r16): fires when the node at `path` is PRESENT and
+    * satisfies NO member group. Tag `anyof:$p`.
+    */
+  private case class AnyOfCheck(path: String, groups: Seq[TermRec],
+                                guards: Seq[String]) extends Check
+  /** `not` (r16): fires when the node at `path` is PRESENT and
+    * SATISFIES the subschema's `terms` (violates none — the typed-guard
+    * vacuous pass carries through, JSON Schema's own rule). Tag
+    * `not:$p`.
+    */
+  private case class NotCheck(path: String, terms: Seq[TermRec],
+                              guards: Seq[String]) extends Check
+  /** `dependentSchemas` (r16): fires when the OBJECT at `path` carries
+    * `key` (a JSON-null value IS present) but violates any of the
+    * paired subschema's `terms`. Tag `depschema:$p.key`.
+    */
+  private case class DepSchemaCheck(path: String, key: String,
+                                    terms: Seq[TermRec],
+                                    guards: Seq[String]) extends Check
   /** `patternProperties` (r16): fires when the object at `path` carries
     * a key matching `regex` whose VALUE trips the single compiled inner
     * `term` of the selector's subschema — one check per (selector,
@@ -968,6 +1052,22 @@ object JsonSchemaGate {
       expected = "oneof",
       sub = Seq(TermRec(Nil, "type", expected = m.typ.get)),
       sub2 = termsOf(m)))
+    // dynamic oneOf (r16): exactly-one member satisfaction counted at
+    // runtime — one "group" wrapper per member
+    if (n.oneOfDyn.nonEmpty)
+      out += TermRec(steps, "oneofdyn",
+        sub = n.oneOfDyn.map(m => TermRec(Nil, "group", sub = termsOf(m))))
+    // anyOf (r16): at least one member satisfied
+    if (n.anyOfSubs.nonEmpty)
+      out += TermRec(steps, "anyof",
+        sub = n.anyOfSubs.map(m => TermRec(Nil, "group", sub = termsOf(m))))
+    // not (r16): satisfaction of the subschema is the violation
+    n.notSub.foreach(s => out += TermRec(steps, "notk", sub = termsOf(s)))
+    // dependentSchemas (r16): key presence requires satisfaction of the
+    // paired subschema — `expected` carries the key for the tag
+    n.depSchemas.foreach { case (k, s) =>
+      out += TermRec(steps, "depschema", expected = k, sub = termsOf(s))
+    }
     // patternProperties (r16): one term per (selector, compiled inner
     // term) — `field` carries the rendered tag suffix (inner steps +
     // kind), `sub` the single inner term each selected key's value must
@@ -1013,6 +1113,14 @@ object JsonSchemaGate {
       }
       n.oneOfSubs.foreach(m => out += CondCheck(p, "oneof",
         Seq(TermRec(Nil, "type", expected = m.typ.get)), termsOf(m), guards))
+      if (n.oneOfDyn.nonEmpty) out += OneOfDynCheck(p,
+        n.oneOfDyn.map(m => TermRec(Nil, "group", sub = termsOf(m))), guards)
+      if (n.anyOfSubs.nonEmpty) out += AnyOfCheck(p,
+        n.anyOfSubs.map(m => TermRec(Nil, "group", sub = termsOf(m))), guards)
+      n.notSub.foreach(s => out += NotCheck(p, termsOf(s), guards))
+      n.depSchemas.foreach { case (k, s) =>
+        out += DepSchemaCheck(p, k, termsOf(s), guards)
+      }
       n.patProps.foreach { case (re, sub) =>
         termsOf(sub).foreach(t => out += PatternPropsCheck(p, re,
           s"${stepSuffix(t.steps)}.${t.kind}", t, guards))
@@ -1322,6 +1430,40 @@ object JsonSchemaGate {
             Nil, Nil, Nil, Nil, 0, "", "", Nil,
             ifTerms.map(walkTermOf), 1, -1, brTerms.map(walkTermOf)))
           guarded(c)(t(p).isNotNull && cond)
+        // anyOf / dynamic oneOf (r16): same device — the native counts
+        // member-group satisfaction (the r15 evaluator) inside the fused
+        // walk; PRESENT nodes only (absent locations validate nothing)
+        case c @ OneOfDynCheck(p, groups, _) =>
+          import org.apache.spark.sql.graftglue.{ColumnBridge, VariantItemsViolates}
+          val node = expr(s"try_variant_get($vcol, '$p')")
+          val cond = ColumnBridge.column(VariantItemsViolates(
+            ColumnBridge.expression(array(node)), Nil, "oneofdyn", "",
+            Nil, Nil, Nil, Nil, 0, "", "", Nil, groups.map(walkTermOf)))
+          guarded(c)(t(p).isNotNull && cond)
+        case c @ AnyOfCheck(p, groups, _) =>
+          import org.apache.spark.sql.graftglue.{ColumnBridge, VariantItemsViolates}
+          val node = expr(s"try_variant_get($vcol, '$p')")
+          val cond = ColumnBridge.column(VariantItemsViolates(
+            ColumnBridge.expression(array(node)), Nil, "anyof", "",
+            Nil, Nil, Nil, Nil, 0, "", "", Nil, groups.map(walkTermOf)))
+          guarded(c)(t(p).isNotNull && cond)
+        // not (r16): satisfaction IS the violation
+        case c @ NotCheck(p, terms, _) =>
+          import org.apache.spark.sql.graftglue.{ColumnBridge, VariantItemsViolates}
+          val node = expr(s"try_variant_get($vcol, '$p')")
+          val cond = ColumnBridge.column(VariantItemsViolates(
+            ColumnBridge.expression(array(node)), Nil, "notk", "",
+            Nil, Nil, Nil, Nil, 0, "", "", Nil, terms.map(walkTermOf)))
+          guarded(c)(t(p).isNotNull && cond)
+        // dependentSchemas (r16): key presence on the OBJECT at `p`
+        // requires satisfaction of the paired subschema
+        case c @ DepSchemaCheck(p, key, terms, _) =>
+          import org.apache.spark.sql.graftglue.{ColumnBridge, VariantItemsViolates}
+          val node = expr(s"try_variant_get($vcol, '$p')")
+          val cond = ColumnBridge.column(VariantItemsViolates(
+            ColumnBridge.expression(array(node)), Nil, "depschema", key,
+            Nil, Nil, Nil, Nil, 0, "", "", Nil, terms.map(walkTermOf)))
+          guarded(c)(t(p) === "object" && cond)
         // patternProperties (r16): same device — the native regex-selects
         // the object's own keys and runs the single inner term on each
         // selected key's value
@@ -1430,6 +1572,10 @@ object JsonSchemaGate {
     case ContainsCheck(p, _, _, _, _) => s"contains:$p"
     case PropNamesCheck(p, _, _)      => s"propname:$p"
     case CondCheck(p, branch, _, _, _)     => s"$branch:$p"
+    case OneOfDynCheck(p, _, _)            => s"oneof:$p"
+    case AnyOfCheck(p, _, _)               => s"anyof:$p"
+    case NotCheck(p, _, _)                 => s"not:$p"
+    case DepSchemaCheck(p, k, _, _)        => s"depschema:$p.$k"
     case PatternPropsCheck(p, _, suf, _, _) => s"pprop:$p$suf"
     case ic: ItemsCheck =>
       val base = s"${ic.path}[]${stepSuffix(ic.steps)}"
@@ -1437,10 +1583,15 @@ object JsonSchemaGate {
         case "missing" => s"missing:$base.${ic.field}"
         case "dep"     => s"dep:$base.${ic.field}"
         // cond: `expected` names the branch; pprop: `field` carries the
-        // rendered inner suffix (steps + kind)
-        case "cond"    => s"${ic.expected}:$base"
-        case "pprop"   => s"pprop:$base${ic.field}"
-        case k         => s"$k:$base"
+        // rendered inner suffix (steps + kind); depschema: `expected`
+        // carries the key
+        case "cond"      => s"${ic.expected}:$base"
+        case "pprop"     => s"pprop:$base${ic.field}"
+        case "oneofdyn"  => s"oneof:$base"
+        case "anyof"     => s"anyof:$base"
+        case "notk"      => s"not:$base"
+        case "depschema" => s"depschema:$base.${ic.expected}"
+        case k           => s"$k:$base"
       }
   }
 
@@ -1657,6 +1808,41 @@ object JsonSchemaGate {
           val sat = s"(NOT ${anyV(tr.sub)})"
           val cond = if (tr.expected == "else") s"(NOT $sat)" else sat
           s"($fold IS NOT NULL AND $cond AND ${anyV(tr.sub2)})"
+        // anyOf / dynamic oneOf (r16): member-group satisfaction = every
+        // group term's violation COALESCE'd to false (absent-path =
+        // vacuous pass), conjoined; anyOf violates when NO group is
+        // satisfied, dynamic oneOf when the satisfied count ≠ 1. The
+        // node itself must be PRESENT on both engines.
+        case "anyof" | "oneofdyn" =>
+          def satG(g: TermRec): String =
+            if (g.sub.isEmpty) "TRUE"
+            else g.sub.map(t2 =>
+              s"NOT COALESCE(${termGen(alias, depth + 1, t2.steps, t2, rp)}, FALSE)")
+              .mkString("(", " AND ", ")")
+          if (tr.kind == "anyof")
+            s"($fold IS NOT NULL AND NOT ${tr.sub.map(satG).mkString("(", " OR ", ")")})"
+          else {
+            val cnt = tr.sub.map(g => s"(CASE WHEN ${satG(g)} THEN 1 ELSE 0 END)")
+              .mkString("(", " + ", ")")
+            s"($fold IS NOT NULL AND $cnt <> 1)"
+          }
+        // not (r16): satisfaction of the subschema IS the violation
+        case "notk" =>
+          val sat = if (tr.sub.isEmpty) "TRUE"
+            else tr.sub.map(t2 =>
+              s"NOT COALESCE(${termGen(alias, depth + 1, t2.steps, t2, rp)}, FALSE)")
+              .mkString("(", " AND ", ")")
+          s"($fold IS NOT NULL AND $sat)"
+        // dependentSchemas (r16): the OBJECT carrying `expected` (a JSON
+        // null IS present) must satisfy the subschema's terms, re-walked
+        // from the conditioned node
+        case "depschema" =>
+          val kp = if (rp == "$") s"$$.${tr.expected}" else s"$rp.${tr.expected}"
+          val anyV = if (tr.sub.isEmpty) "FALSE"
+            else tr.sub.map(t2 =>
+              s"COALESCE(${termGen(alias, depth + 1, t2.steps, t2, rp)}, FALSE)")
+              .mkString("(", " OR ", ")")
+          s"($fold = 'object' AND json_type($alias, '$kp') IS NOT NULL AND $anyV)"
         // patternProperties (r16): keys of the object at `rp` matching
         // the selector, each key's VALUE re-rooted as a fresh unnest
         // alias and checked against the single inner term. Values
@@ -1772,6 +1958,18 @@ object JsonSchemaGate {
             termTerminal(s"TRY_CAST(($rawExpr) AS JSON)", p,
               TermRec(Nil, "cond", expected = branch, sub = ifTerms,
                 sub2 = brTerms), 0)
+          case OneOfDynCheck(p, groups, _) =>
+            termTerminal(s"TRY_CAST(($rawExpr) AS JSON)", p,
+              TermRec(Nil, "oneofdyn", sub = groups), 0)
+          case AnyOfCheck(p, groups, _) =>
+            termTerminal(s"TRY_CAST(($rawExpr) AS JSON)", p,
+              TermRec(Nil, "anyof", sub = groups), 0)
+          case NotCheck(p, terms, _) =>
+            termTerminal(s"TRY_CAST(($rawExpr) AS JSON)", p,
+              TermRec(Nil, "notk", sub = terms), 0)
+          case DepSchemaCheck(p, key, terms, _) =>
+            termTerminal(s"TRY_CAST(($rawExpr) AS JSON)", p,
+              TermRec(Nil, "depschema", expected = key, sub = terms), 0)
           case PatternPropsCheck(p, re, _, term, _) =>
             termTerminal(s"TRY_CAST(($rawExpr) AS JSON)", p,
               TermRec(Nil, "pprop", pattern = re, sub = Seq(term)), 0)

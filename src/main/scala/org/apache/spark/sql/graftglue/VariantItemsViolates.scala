@@ -167,6 +167,35 @@ case class WalkTerm(steps: Seq[String], kind: String,
         val sat = sub.forall(t => !t.nodeViolates(v, 0))
         (if (expected == "else") !sat else sat) &&
           sub2.exists(t => t.nodeViolates(v, 0))
+      // group (r16): a member-conjunction wrapper used only inside
+      // anyof/oneofdyn — "violates" iff ANY of its sub terms fires on
+      // the node, i.e. the node does NOT satisfy the member. Never a
+      // user-facing check of its own.
+      case "group" => sub.exists(t => t.nodeViolates(v, 0))
+      // anyOf (r16): the node must satisfy at least ONE member (`sub`
+      // holds one "group" per member) — violates when every member has
+      // a firing term. Evaluated on any reached node (anyOf constrains
+      // every runtime type); an empty-member schema ({} admits
+      // everything) makes the whole anyOf unfireable, per the spec.
+      case "anyof" => sub.forall(g => g.nodeViolates(v, 0))
+      // dynamic oneOf (r16): EXACTLY-ONE satisfied member, counted at
+      // runtime — the general form behind the compile-time
+      // discriminated desugar (members with overlapping or absent
+      // types land here)
+      case "oneofdyn" => sub.count(g => !g.nodeViolates(v, 0)) != 1
+      // not (r16): satisfaction of the subschema IS the violation —
+      // violates when no `sub` term fires. The typed-guard vacuous
+      // pass carries through: `not: {minimum: 5}` rejects every
+      // string, which is JSON Schema's own rule (strings vacuously
+      // satisfy numeric bounds).
+      case "notk" => !sub.exists(t => t.nodeViolates(v, 0))
+      // dependentSchemas (r16): a reached OBJECT node carrying the
+      // `expected` key (a JSON-null value IS present) must satisfy the
+      // subschema's `sub` terms; non-objects and key-absent objects
+      // pass (the keyword constrains nothing there)
+      case "depschema" =>
+        c == "object" && v.getFieldByKey(expected) != null &&
+          sub.exists(t => t.nodeViolates(v, 0))
       // patternProperties (r16): on a reached OBJECT node, every key
       // matching the selector `pattern` must have a value violating
       // none of the `sub` terms (one WalkTerm per compiled inner check —
@@ -343,6 +372,18 @@ case class WalkTerm(steps: Seq[String], kind: String,
   *    node violates when any key matching the selector `pattern` has a
   *    value violating any `subTerms` term (callers pass ONE inner term
   *    per expression — one tag per compiled inner check);
+  *  - `kind = "anyof"` (r16, `anyOf`): `subTerms` holds one `"group"`
+  *    term per member (a group "violates" iff any of its own sub terms
+  *    fires — i.e. the node fails that member); the node violates when
+  *    EVERY member fails. `kind = "oneofdyn"` (r16, the dynamic
+  *    `oneOf` form behind the discriminated desugar) counts satisfied
+  *    members the same way and violates when the count ≠ 1;
+  *  - `kind = "notk"` (r16, `not`): the node violates when it
+  *    SATISFIES the `subTerms` conjunction (violates none) — the
+  *    typed-guard vacuous pass carries through, so `not: {minimum: 5}`
+  *    rejects strings (JSON Schema's own rule);
+  *  - `kind = "depschema"` (r16, `dependentSchemas`): a reached OBJECT
+  *    node carrying the `expected` key must satisfy `subTerms`;
   *  - a JSON null node has canonical type "null" (violates any declared
   *    type, invisible to value checks and to further descent); a
   *    SQL-null element slot in the TOP array (not producible from
@@ -368,7 +409,8 @@ case class VariantItemsViolates(child: Expression, steps: Seq[String],
   require(Seq("type", "enum", "min", "max", "xmin", "xmax", "multipleof",
     "minlen", "maxlen", "minitems", "maxitems", "missing",
     "pattern", "extra", "unique", "minprops", "maxprops",
-    "dep", "contains", "propname", "cond", "pprop").contains(kind),
+    "dep", "contains", "propname", "cond", "pprop",
+    "anyof", "oneofdyn", "notk", "depschema").contains(kind),
     s"variant_items_violates: unknown kind '$kind'")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(VariantType))

@@ -56,13 +56,34 @@ class JsonSchemaPropertySpec extends SparkSpec {
 
   /** one schema node's scalar constraints, read independently. */
   private case class RefNode(sc: JsonNode) {
-    // r16: a oneOf node's effective type is the union of its members'
-    // declared types (the gate synthesizes the same union check)
+    // r16: a DISCRIMINATED oneOf node's effective type is the union of
+    // its members' declared types (the gate synthesizes the same union
+    // check); a dynamic oneOf synthesizes nothing
     def typ: Option[Seq[String]] = Option(sc.get("type")).map(t =>
       if (t.isArray) (0 until t.size).map(i => t.get(i).asText())
       else Seq(t.asText()))
-      .orElse(Option.when(oneOfScs.nonEmpty)(
+      .orElse(Option.when(oneOfDisc)(
         oneOfScs.flatMap(m => RefNode(m).typ.get)))
+    /** the gate's documented discriminated test, independently spelled:
+      * every member typed, admitted canonical sets pairwise disjoint.
+      */
+    def oneOfDisc: Boolean = oneOfScs.nonEmpty &&
+      oneOfScs.forall(_.has("type")) && {
+        def adm(m: JsonNode): Set[String] = {
+          val t = m.get("type")
+          val names = if (t.isArray) (0 until t.size).map(t.get(_).asText())
+            else Seq(t.asText())
+          names.toSet.flatMap { (n: String) => n match {
+            case "number"  => Set("int", "double")
+            case "integer" => Set("int")
+            case "boolean" => Set("bool")
+            case o         => Set(o)
+          }}
+        }
+        val sets = oneOfScs.map(adm)
+        sets.indices.forall(i => (i + 1 until sets.size).forall(j =>
+          (sets(i) intersect sets(j)).isEmpty))
+      }
     def enums: Seq[JsonNode] =
       Option(sc.get("enum")).map(e => (0 until e.size).map(e.get)).getOrElse(Nil) ++
         Option(sc.get("const")).toSeq
@@ -102,6 +123,15 @@ class JsonSchemaPropertySpec extends SparkSpec {
     def patProps: Seq[(String, JsonNode)] =
       Option(sc.get("patternProperties")).toSeq.flatMap { pp =>
         val it = pp.fields()
+        Iterator.continually(if (it.hasNext) it.next() else null)
+          .takeWhile(_ != null).map(e => e.getKey -> e.getValue).toSeq
+      }
+    def anyOfScs: Seq[JsonNode] = Option(sc.get("anyOf")).toSeq
+      .flatMap(a => (0 until a.size).map(a.get))
+    def notSc: Option[JsonNode] = Option(sc.get("not"))
+    def depSchemaPairs: Seq[(String, JsonNode)] =
+      Option(sc.get("dependentSchemas")).toSeq.flatMap { d =>
+        val it = d.fields()
         Iterator.continually(if (it.hasNext) it.next() else null)
           .takeWhile(_ != null).map(e => e.getKey -> e.getValue).toSeq
       }
@@ -237,9 +267,23 @@ class JsonSchemaPropertySpec extends SparkSpec {
     // r16 discriminated oneOf: the member matching the runtime type must
     // be satisfied (off-union types are the synthesized type check's
     // business, handled by the caller's typ test)
-    rn.oneOfScs.foreach { m =>
+    if (rn.oneOfDisc) rn.oneOfScs.foreach { m =>
       if (typeMatches(canon(v), RefNode(m).typ.get) && !refSatisfies(v, m))
         out += s"oneof:$at"
+    }
+    // r16 dynamic oneOf: exactly-one satisfaction counted at runtime
+    if (rn.oneOfScs.nonEmpty && !rn.oneOfDisc &&
+      rn.oneOfScs.count(m => refSatisfies(v, m)) != 1)
+      out += s"oneof:$at"
+    // r16 anyOf: at least one member satisfied
+    if (rn.anyOfScs.nonEmpty && !rn.anyOfScs.exists(m => refSatisfies(v, m)))
+      out += s"anyof:$at"
+    // r16 not: satisfaction IS the violation
+    rn.notSc.foreach(s => if (refSatisfies(v, s)) out += s"not:$at")
+    // r16 dependentSchemas: key presence requires satisfying the pair
+    rn.depSchemaPairs.foreach { case (k, s) =>
+      if (c == "object" && v.has(k) && !refSatisfies(v, s))
+        out += s"depschema:$at.$k"
     }
     // r16 patternProperties: one tag per (selector, inner-term) — any
     // selector-matched key whose value fires the inner term
@@ -328,9 +372,18 @@ class JsonSchemaPropertySpec extends SparkSpec {
       rn.elseSc.foreach(b => term("else")(v =>
         !refSatisfies(v, ifn) && !refSatisfies(v, b)))
     }
-    rn.oneOfScs.foreach { m =>
+    if (rn.oneOfDisc) rn.oneOfScs.foreach { m =>
       val mt = RefNode(m).typ.get
       term("oneof")(v => typeMatches(canon(v), mt) && !refSatisfies(v, m))
+    }
+    if (rn.oneOfScs.nonEmpty && !rn.oneOfDisc)
+      term("oneof")(v => rn.oneOfScs.count(m => refSatisfies(v, m)) != 1)
+    if (rn.anyOfScs.nonEmpty)
+      term("anyof")(v => !rn.anyOfScs.exists(m => refSatisfies(v, m)))
+    rn.notSc.foreach(s => term("not")(v => refSatisfies(v, s)))
+    rn.depSchemaPairs.foreach { case (k, s) =>
+      term("depschema", s".$k")(v =>
+        canon(v) == "object" && v.has(k) && !refSatisfies(v, s))
     }
     rn.patProps.foreach { case (re, sub) =>
       refTerms(sub, Nil).foreach { it =>
@@ -444,8 +497,11 @@ class JsonSchemaPropertySpec extends SparkSpec {
         val props = sc.putObject("properties")
         val used = rnd.shuffle(names).take(1 + rnd.nextInt(3))
         used.foreach(f => props.set[JsonNode](f,
-          // r16: 1-in-8 property schemas are discriminated oneOf unions
+          // r16: 1-in-8 property schemas are discriminated oneOf unions;
+          // 1-in-8 the dynamic forms (overlapping oneOf / anyOf)
           if (depth > 0 && rnd.nextInt(8) == 0) genOneOf()
+          else if (depth > 0 && rnd.nextInt(8) == 0)
+            (if (rnd.nextBoolean()) genOneOfDyn() else genAnyOf())
           else genSchema(depth - 1)))
         if (rnd.nextBoolean()) {
           val req = sc.putArray("required")
@@ -463,6 +519,18 @@ class JsonSchemaPropertySpec extends SparkSpec {
           val dd = sc.putObject("dependentRequired")
           val arr = dd.putArray(used(0)); arr.add(used(1))
         }
+        // r16 dependentSchemas: presence of one declared name requires
+        // the object to satisfy a subschema (requiredness or a value
+        // bound on a sibling — both satisfaction-evaluated)
+        if (rnd.nextInt(5) == 0 && used.size >= 2) {
+          val sub = mapper.createObjectNode()
+          if (rnd.nextBoolean()) sub.putArray("required").add(used(1))
+          else sub.put("minProperties", 2)
+          sc.putObject("dependentSchemas").set[JsonNode](used(0), sub)
+        }
+        // r16 not at object depth: rejects objects carrying a key
+        if (rnd.nextInt(6) == 0)
+          sc.putObject("not").putArray("required").add(pick(names))
         // r15 propertyNames: generated keys come from `names` plus the
         // 1-in-3 "extra" key — the pool mixes always-pass, often-fail,
         // and extra-only-fail patterns
@@ -542,6 +610,15 @@ class JsonSchemaPropertySpec extends SparkSpec {
           sc.putObject("then").put("maximum", 8L)
           if (rnd.nextBoolean()) sc.putObject("else").put("minimum", -1L)
         }
+        // r16 not on scalars: a satisfied bound or const is the
+        // violation — off-type values SATISFY a bare bound vacuously
+        // (JSON Schema's own rule), which the 1-in-5 off-type override
+        // in genValue exercises
+        if (rnd.nextInt(6) == 0) {
+          val neg = sc.putObject("not")
+          if (rnd.nextBoolean()) neg.put("minimum", 3L)
+          else { neg.put("type", "integer"); neg.put("multipleOf", 2.0) }
+        }
       case "boolean" =>
         if (rnd.nextInt(4) == 0) sc.put("const", true)
     }
@@ -564,14 +641,46 @@ class JsonSchemaPropertySpec extends SparkSpec {
     sc
   }
 
+  /** a DYNAMIC oneOf (r16): overlapping integer members — the small
+    * intPool lands values on the zero-, one-, and two-satisfied sides.
+    */
+  private def genOneOfDyn(): ObjectNode = {
+    val sc = mapper.createObjectNode()
+    val arr = sc.putArray("oneOf")
+    val m1 = mapper.createObjectNode()
+    m1.put("type", "integer"); m1.put("minimum", 2L)
+    val m2 = mapper.createObjectNode()
+    m2.put("type", "integer"); m2.put("maximum", 3L)
+    arr.add(m1); arr.add(m2)
+    sc
+  }
+
+  /** an anyOf (r16) — one member deliberately TYPE-FREE so the vacuous
+    * pass (a bound admits off-type values, making the member satisfied)
+    * is generator-exercised.
+    */
+  private def genAnyOf(): ObjectNode = {
+    val sc = mapper.createObjectNode()
+    val arr = sc.putArray("anyOf")
+    val m1 = mapper.createObjectNode()
+    if (rnd.nextBoolean()) m1.put("type", "integer")
+    m1.put("minimum", 2L)
+    val m2 = mapper.createObjectNode()
+    m2.put("type", "string"); m2.put("maxLength", 3)
+    arr.add(m1); arr.add(m2)
+    sc
+  }
+
   /** a value loosely guided by the schema: mostly on-type (value checks
     * still fire), sometimes off-type / JSON null / absent fields.
     */
   private def genValue(sc0: JsonNode, depth: Int): JsonNode = {
-    // a oneOf node generates from a random member (off-type still comes
-    // from the 1-in-5 override below)
+    // a oneOf/anyOf node generates from a random member (off-type still
+    // comes from the 1-in-5 override below)
     val sc = if (sc0.has("oneOf"))
       sc0.get("oneOf").get(rnd.nextInt(sc0.get("oneOf").size))
+    else if (sc0.has("anyOf"))
+      sc0.get("anyOf").get(rnd.nextInt(sc0.get("anyOf").size))
     else sc0
     // a union declaration generates a random member's value (including
     // "null" — the nullable idiom's on-type case)
@@ -635,6 +744,14 @@ class JsonSchemaPropertySpec extends SparkSpec {
       if (rnd.nextInt(4) == 0) // r15: key checks at the root too
         sc.putObject("propertyNames").put("pattern",
           pick(Vector("^[a-d]+$", "^[a-z]+$", "^(a|b|extra)$")))
+      // r16: negation/implication at the ROOT too
+      if (rnd.nextInt(5) == 0)
+        sc.putObject("not").putArray("required").add(pick(names))
+      if (rnd.nextInt(5) == 0) {
+        val sub = mapper.createObjectNode()
+        sub.putArray("required").add(pick(names))
+        sc.putObject("dependentSchemas").set[JsonNode](pick(names), sub)
+      }
       val schemaJson = mapper.writeValueAsString(sc)
       val msgs: Seq[(Long, String)] = (0 until 24).map { i =>
         val raw =

@@ -349,11 +349,12 @@ class JsonSchemaSpec extends SparkSpec {
        "no-silent-no-op rule)") {
     def gate(sc: String) = JsonSchemaGate.validate(
       Seq((1L, "{}")).toDF("id", "raw"), "raw", sc, parsedCol = None)
-    // anyOf/not stay out of subset (dynamic disjunction/negation); oneOf
-    // moved into subset r16 in its discriminated form — see its own test
+    // the whole disjunction/negation vocabulary is in subset since r16;
+    // a genuinely-unknown keyword (unevaluatedProperties — cross-subschema
+    // annotation flow, no static check list) still aborts loudly
     val kw = intercept[IllegalArgumentException] { gate(
       """{"type": "object", "properties":
-        | {"a": {"type": "string"}}, "anyOf": [{"type": "object"}]}""".stripMargin) }
+        | {"a": {"type": "string"}}, "unevaluatedProperties": false}""".stripMargin) }
     assert(kw.getMessage.contains("unsupported JSON-Schema keyword"))
     val bool = intercept[IllegalArgumentException] { gate(
       """{"type": "object", "properties": {"a": {"type": "array", "items": false}}}""") }
@@ -465,13 +466,16 @@ class JsonSchemaSpec extends SparkSpec {
         parsedCol = None)
     }
     assert(collide.getMessage.contains("collide"))
+    // allOf members colliding on a NON-MERGEABLE keyword (anyOf is in
+    // subset since r16, but two different anyOf values still collide)
     val disj = intercept[IllegalArgumentException] {
       JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw",
         """{"type": "object", "properties":
-          | {"x": {"anyOf": [{"type": "integer"}]}}}""".stripMargin,
+          | {"x": {"allOf": [{"anyOf": [{"type": "integer"}]},
+          |                  {"anyOf": [{"type": "string"}]}]}}}""".stripMargin,
         parsedCol = None)
     }
-    assert(disj.getMessage.contains("unsupported JSON-Schema keyword"))
+    assert(disj.getMessage.contains("collide"))
   }
 
   test("union types (r14): the nullable-field idiom — a value passes when " +
@@ -837,7 +841,7 @@ class JsonSchemaSpec extends SparkSpec {
   test("discriminated oneOf (r16): the member is selected by the runtime " +
        "type tag — off-union types fire the synthesized type check, " +
        "member-constraint failures fire oneof:; overlapping or type-free " +
-       "members abort") {
+       "members take the DYNAMIC form (their own test)") {
     val sc =
       """{"type": "object",
         | "properties": {
@@ -865,17 +869,155 @@ class JsonSchemaSpec extends SparkSpec {
       JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw",
         sc2, parsedCol = None)
     }
-    // number ⊇ integer: the admitted canonical-type sets overlap on int
-    assert(bad("""{"type": "object", "properties": {"a": {"oneOf": [
-                 | {"type": "number"}, {"type": "integer"}]}}}""".stripMargin)
-      .getMessage.contains("overlapping"))
-    assert(bad("""{"type": "object", "properties": {"a": {"oneOf": [
-                 | {"type": "integer"}, {"minimum": 3}]}}}""".stripMargin)
-      .getMessage.contains("must declare a type"))
+    // discriminated members + a sibling type stay ambiguous (the union
+    // type is synthesized from the members) — overlapping/type-free
+    // members are the DYNAMIC form and may carry a sibling type
     assert(bad("""{"type": "object", "properties": {"a":
                  | {"type": "integer", "oneOf": [{"type": "integer"},
                  |  {"type": "string"}]}}}""".stripMargin)
       .getMessage.contains("BOTH type and oneOf"))
+  }
+
+  test("dynamic oneOf (r16): overlapping or type-free members count " +
+       "member SATISFACTION at runtime — exactly-one passes, zero or " +
+       "two+ fire oneof:, the typed-guard vacuous pass is live, and a " +
+       "sibling type coexists") {
+    val sc =
+      """{"type": "object",
+        | "properties": {
+        |  "n": {"oneOf": [
+        |    {"type": "integer", "minimum": 5},
+        |    {"type": "integer", "maximum": 10}]},
+        |  "v": {"type": ["integer", "string"],
+        |        "oneOf": [{"minimum": 3}, {"type": "string"}]}}}"""
+        .stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"n": 3}"""),          // only member 2 → pass
+        (2L, """{"n": 20}"""),         // only member 1 → pass
+        (3L, """{"n": 7}"""),          // BOTH members → oneof
+        (4L, """{"n": "x"}"""),        // NO member (both type-guarded) → oneof
+        (5L, """{"v": 5}"""),          // member 1 only → pass
+        (6L, """{"v": 1}"""),          // 1 < 3 and not a string → oneof
+        (7L, """{"v": "ab"}"""),       // string: member 1 VACUOUSLY satisfied
+                                       // too (bounds skip strings) → count 2
+        (8L, """{"v": true}"""),       // sibling type check fires; oneOf:
+                                       // bool vacuously satisfies member 1
+        (9L, """{"x": 1}"""))          // absent: nothing fires
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "" && got(2L) == "" && got(5L) == "" && got(9L) == "")
+    assert(got(3L) == "oneof:$.n")
+    assert(got(4L) == "oneof:$.n")
+    assert(got(6L) == "oneof:$.v")
+    assert(got(7L) == "oneof:$.v")
+    assert(got(8L) == "type:$.v")
+  }
+
+  test("anyOf (r16): at-least-one member satisfied — vacuous passes " +
+       "count as satisfaction (the spec's rule), all-fail fires anyof:, " +
+       "element depth works, $ref members inline") {
+    val sc =
+      """{"type": "object",
+        | "$defs": {"short": {"type": "string", "maxLength": 3}},
+        | "properties": {
+        |  "m": {"anyOf": [{"$ref": "#/$defs/short"},
+        |                  {"type": "integer", "multipleOf": 2}]},
+        |  "w": {"anyOf": [{"minimum": 10}, {"type": "boolean"}]},
+        |  "arr": {"type": "array",
+        |          "items": {"anyOf": [{"type": "integer", "minimum": 0},
+        |                              {"type": "string"}]}}}}""".stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"m": "ab"}"""),       // member 1 → pass
+        (2L, """{"m": 4}"""),          // member 2 → pass
+        (3L, """{"m": "abcd"}"""),     // maxLength AND type both fail → anyof
+        (4L, """{"m": 7}"""),          // 7 % 2 ≠ 0, not a string → anyof
+        (5L, """{"w": "zz"}"""),       // string VACUOUSLY satisfies member 1
+        (6L, """{"w": 3}"""),          // 3 < 10 and not boolean → anyof
+        (7L, """{"arr": [1, "a", 2]}"""),
+        (8L, """{"arr": [1, -2]}"""),  // -2 fails both members → element anyof
+        (9L, """{"x": 1}"""))          // absent: nothing fires
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "" && got(2L) == "" && got(5L) == "" &&
+      got(7L) == "" && got(9L) == "")
+    assert(got(3L) == "anyof:$.m")
+    assert(got(4L) == "anyof:$.m")
+    assert(got(6L) == "anyof:$.w")
+    assert(got(8L) == "anyof:$.arr[]")
+  }
+
+  test("not (r16): satisfaction of the subschema IS the violation — " +
+       "incl. the vacuous-pass rule (not: {minimum} rejects strings), " +
+       "at the root, at paths, and at element depth") {
+    val sc =
+      """{"type": "object",
+        | "not": {"required": ["legacy"]},
+        | "properties": {
+        |  "p": {"not": {"type": "integer", "multipleOf": 3}},
+        |  "q": {"not": {"minimum": 5}},
+        |  "arr": {"type": "array", "items": {"not": {"const": "bad"}}}}}"""
+        .stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"p": 2, "q": 4}"""),
+        (2L, """{"p": 9}"""),           // satisfies int+multipleOf 3 → not
+        (3L, """{"p": "x"}"""),         // type term fires → NOT satisfied → pass
+        (4L, """{"q": 7}"""),           // 7 >= 5 satisfies → not
+        (5L, """{"q": "s"}"""),         // string VACUOUSLY satisfies minimum → not
+        (6L, """{"legacy": 1, "p": 2}"""),  // root not: carries legacy
+        (7L, """{"arr": ["ok", "bad"]}"""), // element not
+        (8L, """{"arr": [1, "good"]}"""))
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "" && got(3L) == "" && got(8L) == "")
+    assert(got(2L) == "not:$.p")
+    assert(got(4L) == "not:$.q")
+    assert(got(5L) == "not:$.q")
+    assert(got(6L).contains("not:$"))
+    assert(got(7L) == "not:$.arr[]")
+  }
+
+  test("dependentSchemas (r16): key presence (incl. JSON null) requires " +
+       "the object to satisfy the paired subschema — at the root, " +
+       "nested, and element depth; non-identifier keys abort") {
+    val sc =
+      """{"type": "object",
+        | "dependentSchemas": {
+        |   "credit": {"required": ["billing"],
+        |              "properties": {"limit": {"minimum": 100}}}},
+        | "properties": {
+        |  "credit": {"type": "boolean"},
+        |  "billing": {"type": "string"},
+        |  "limit": {"type": "number"},
+        |  "cfg": {"type": "object",
+        |          "dependentSchemas": {"b": {"required": ["c"]}}},
+        |  "arr": {"type": "array",
+        |          "items": {"dependentSchemas": {"k": {"required": ["v"]}}}}}}"""
+        .stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"credit": true, "billing": "b", "limit": 200}"""),
+        (2L, """{"billing": "b"}"""),            // no credit: nothing fires
+        (3L, """{"credit": true, "limit": 200}"""),  // billing missing
+        (4L, """{"credit": null, "billing": "b", "limit": 50}"""), // JSON null
+                                                 // IS present; limit < 100
+        (5L, """{"cfg": {"b": 1}}"""),           // nested: c missing
+        (6L, """{"cfg": {"b": 1, "c": 2}}"""),
+        (7L, """{"arr": [{"k": 1}, {"k": 1, "v": 2}]}"""), // element depth
+        (8L, """{"arr": [{"v": 2}]}"""))
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "" && got(2L) == "" && got(6L) == "" && got(8L) == "")
+    assert(got(3L) == "depschema:$.credit")
+    // null credit IS present (fires depschema) and also fails the
+    // declared boolean type — root checks emit before property checks
+    assert(got(4L) == "depschema:$.credit,type:$.credit")
+    assert(got(5L) == "depschema:$.cfg.b")
+    assert(got(7L) == "depschema:$.arr[].k")
+    val bad = intercept[IllegalArgumentException] {
+      JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw",
+        """{"type": "object", "dependentSchemas":
+          | {"a.b": {"required": ["c"]}}}""".stripMargin, parsedCol = None)
+    }
+    assert(bad.getMessage.contains("non-identifier dependentSchemas"))
   }
 
   test("patternProperties (r16): selector-matched keys validate their " +
