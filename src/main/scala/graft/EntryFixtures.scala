@@ -489,7 +489,10 @@ object EntryFixtures {
     * depth (shape 1's dims element 9 satisfies `const: 9` →
     * `not:$.items[].dims[]`), and root `dependentSchemas`
     * (priority present requires `ref`: shape 2's null priority IS
-    * present and ref is absent → `depschema:$.priority`). The valid
+    * present and ref is absent → `depschema:$.priority`). r16
+    * `additionalProperties` SCHEMA form on `ext` (any undeclared key's
+    * value must be an integer): shape 3's `"b": "x"` fires
+    * `aprop:$.ext.type` where shape 0's `{"a": 2}` passes. The valid
     * shape's first tag is the ASTRAL-bearing string
     * 𝒳abcdefg (8 code points — exactly the items maxLength boundary;
     * spelled as JSON \u escapes so the fixture file itself is
@@ -501,10 +504,10 @@ object EntryFixtures {
   private[graft] val jsonSynthSql: String =
     """CASE WHEN event_id % 7 = 0 THEN '{broken'
       | ELSE CASE CAST(event_id % 5 AS INT)
-      |  WHEN 0 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["\ud835\udcb3abcdefg", "b"], "priority": 2, "ref": 7, "mode": "bulk", "level": 3, "items": [{"sku": 5, "qty": 2, "lot": 1, "dims": [1, 2], "meta": {"w": 1.5}}]}'
+      |  WHEN 0 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "u' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["\ud835\udcb3abcdefg", "b"], "priority": 2, "ref": 7, "mode": "bulk", "level": 3, "ext": {"a": 2}, "items": [{"sku": 5, "qty": 2, "lot": 1, "dims": [1, 2], "meta": {"w": 1.5}}]}'
       |  WHEN 1 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "' || event_type || '", "value": "' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || '", "tags": ["ok", 3, "ok"], "priority": 9, "ref": "x", "mode": 7, "level": 7, "items": [{"sku": "x", "qty": 1, "lot": 2, "dims": [9, -2, "x"], "meta": {"w": "heavy", "unit": "kg"}}]}'
       |  WHEN 2 THEN '{"user": {"name": "u' || CAST(user_id AS STRING) || '", "role": "admin"}, "type": "' || event_type || '", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "priority": null, "level": "x", "items": [{"qty": 0, "meta": {}}]}'
-      |  WHEN 3 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "badtype", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["a", null, null], "priority": "high", "ref": true, "items": []}'
+      |  WHEN 3 THEN '{"user": {"id": ' || CAST(user_id AS STRING) || '}, "type": "badtype", "value": ' || CAST(CAST(value AS DECIMAL(18,2)) AS STRING) || ', "tags": ["a", null, null], "priority": "high", "ref": true, "ext": {"a": 1, "b": "x"}, "items": []}'
       |  ELSE '{"user": {"id": ' || CAST(user_id AS STRING) || ', "name": "v' || CAST(user_id AS STRING) || '"}, "type": "' || event_type || '", "_debug": true}'
       | END END""".stripMargin.replace("\n", " ")
 
@@ -534,7 +537,9 @@ object EntryFixtures {
     * / on the dims elements (two-level element depth), and root
     * `dependentSchemas` (priority → ref) beside the equivalent-shape
     * dependentRequired — every satisfaction-evaluator keyword
-    * driver-pinned against the DuckDB replay each round.
+    * driver-pinned against the DuckDB replay each round; and the
+    * `additionalProperties` SCHEMA form on `ext` (the complement
+    * selector: undeclared keys' values validate, `aprop:$.ext.type`).
     */
   private[graft] val jsonSchemaDemo: String =
     """{"type": "object", "required": ["user", "type", "value"],
@@ -575,6 +580,8 @@ object EntryFixtures {
       |                    {"type": "string", "minLength": 2}]},
       |  "mode": {"anyOf": [{"type": "string", "minLength": 3},
       |                     {"type": "integer", "multipleOf": 2}]},
+      |  "ext": {"type": "object",
+      |          "additionalProperties": {"type": "integer"}},
       |  "level": {"oneOf": [{"type": "integer", "minimum": 5},
       |                      {"type": "integer", "maximum": 10}]},
       |  "items": {"type": "array", "minItems": 1,

@@ -221,7 +221,8 @@ object JsonSchemaGate {
                           oneOfDyn: Seq[Node] = Nil,
                           anyOfSubs: Seq[Node] = Nil,
                           notSub: Option[Node] = None,
-                          depSchemas: Seq[(String, Node)] = Nil)
+                          depSchemas: Seq[(String, Node)] = Nil,
+                          addProps: Option[Node] = None)
 
   /** keywords this gate VALIDATES, plus JSON-Schema annotations that
     * carry no validation semantics (ignoring them is not a silent
@@ -359,17 +360,20 @@ object JsonSchemaGate {
     val mof = numKw("multipleOf")
     mof.foreach(m => require(m > 0,
       s"multipleOf must be strictly positive, got $m"))
-    // additionalProperties (r14): ONLY the boolean form is in subset —
-    // `false` closes the object (no runtime key outside the declared
-    // `properties` set), `true` is the default open object (a no-op,
-    // admitted); the SCHEMA form (`additionalProperties: {…}` = validate
-    // extra values against a subschema) aborts loudly
-    val closed = Option(n.get("additionalProperties")).exists { v =>
-      require(v.isBoolean,
-        "additionalProperties must be a boolean in the supported subset " +
-          s"(the schema form is out of subset), got: $v")
-      !v.asBoolean()
-    }
+    // additionalProperties: boolean form (r14) — `false` closes the
+    // object (no runtime key outside the declared `properties` set,
+    // r16: or matched by a `patternProperties` selector), `true` is the
+    // default open object; SCHEMA form (r16, late-round) — every key
+    // matched by NEITHER `properties` NOR a `patternProperties`
+    // selector validates its value against the subschema (the
+    // complement-selector twin of pprop), one check and tag per
+    // compiled inner term (`aprop:$.p.<kind>`).
+    val apNode = Option(n.get("additionalProperties"))
+    apNode.foreach(v => require(v.isBoolean || v.isObject,
+      "additionalProperties must be a boolean or a schema object, " +
+        s"got: $v"))
+    val closed = apNode.exists(v => v.isBoolean && !v.asBoolean())
+    val addProps = apNode.filter(_.isObject).map(compile)
     // uniqueItems (r14): REQUIRES a declared scalar items type — deep
     // container equality cannot be made engine-identical, so an
     // object/array/untyped element schema aborts loudly; runtime
@@ -431,7 +435,8 @@ object JsonSchemaGate {
         nd.items.foreach(noNested)
         (nd.ifSub ++ nd.thenSub ++ nd.elseSub ++ nd.oneOfSubs ++
           nd.patProps.map(_._2) ++ nd.oneOfDyn ++ nd.anyOfSubs ++
-          nd.notSub ++ nd.depSchemas.map(_._2)).foreach(noNested)
+          nd.notSub ++ nd.depSchemas.map(_._2) ++ nd.addProps)
+          .foreach(noNested)
       }
       noNested(sub)
       sub
@@ -589,7 +594,8 @@ object JsonSchemaGate {
       oneOfDyn = oneOfDyn,
       anyOfSubs = anyOfSubs,
       notSub = notSub,
-      depSchemas = depSchemas)
+      depSchemas = depSchemas,
+      addProps = addProps)
   }
 
   /** Scan a `pattern` for constructs outside the shared Java~RE2 regex
@@ -721,6 +727,11 @@ object JsonSchemaGate {
               out.set[JsonNode](k, arr)
             case "not" =>
               out.set[JsonNode]("not", inlineRefs(root, e.getValue, stack))
+            // additionalProperties: the SCHEMA form is a schema position
+            // (r16); booleans pass through the default case
+            case "additionalProperties" if e.getValue.isObject =>
+              out.set[JsonNode]("additionalProperties",
+                inlineRefs(root, e.getValue, stack))
             case "dependentSchemas" =>
               require(e.getValue.isObject,
                 s"dependentSchemas must be an object: ${e.getValue}")
@@ -953,6 +964,15 @@ object JsonSchemaGate {
   private case class PatternPropsCheck(path: String, regex: String,
                                        suffix: String, term: TermRec,
                                        guards: Seq[String]) extends Check
+  /** `additionalProperties` SCHEMA form (r16): pprop's complement —
+    * fires when the object at `path` carries a key matched by NEITHER
+    * the declared `keys` nor a `pats` selector whose value trips the
+    * inner `term`. Tag `aprop:$p<suffix>`.
+    */
+  private case class AddPropsCheck(path: String, keys: Seq[String],
+                                   pats: Seq[String], suffix: String,
+                                   term: TermRec,
+                                   guards: Seq[String]) extends Check
   /** one element-relative walk term — `steps` from a node plus a
     * terminal check; the record behind both the per-element
     * [[ItemsCheck]]s and the r15 `contains` subschema (where the
@@ -1077,6 +1097,15 @@ object JsonSchemaGate {
         pattern = re, field = s"${stepSuffix(t.steps)}.${t.kind}",
         sub = Seq(t)))
     }
+    // additionalProperties SCHEMA form (r16): pprop's complement — keys
+    // matched by NEITHER `properties` (`keys`) NOR a patternProperties
+    // selector (`pats`) validate against the subschema
+    n.addProps.foreach { sub =>
+      termsOf(sub).foreach(t => out += TermRec(steps, "aprop",
+        field = s"${stepSuffix(t.steps)}.${t.kind}",
+        keys = n.props.map(_._1), pats = n.patProps.map(_._1),
+        sub = Seq(t)))
+    }
     // required names WITHOUT a properties entry still fire (r13), in
     // sorted order for a deterministic fragment list
     (n.required -- n.props.map(_._1)).toSeq.sorted.foreach(f =>
@@ -1123,6 +1152,11 @@ object JsonSchemaGate {
       }
       n.patProps.foreach { case (re, sub) =>
         termsOf(sub).foreach(t => out += PatternPropsCheck(p, re,
+          s"${stepSuffix(t.steps)}.${t.kind}", t, guards))
+      }
+      n.addProps.foreach { sub =>
+        termsOf(sub).foreach(t => out += AddPropsCheck(p,
+          n.props.map(_._1), n.patProps.map(_._1),
           s"${stepSuffix(t.steps)}.${t.kind}", t, guards))
       }
     }
@@ -1475,6 +1509,18 @@ object JsonSchemaGate {
             Nil, Nil, Nil, Nil, 0, "", javaPatternForm(re), Nil,
             Seq(walkTermOf(term))))
           guarded(c)(t(p) === "object" && cond)
+        // additionalProperties SCHEMA form (r16): pprop's complement —
+        // the native selects keys matched by neither the declared set
+        // nor a patternProperties selector
+        case c @ AddPropsCheck(p, ks, pats, _, term, _) =>
+          import org.apache.spark.sql.graftglue.{ColumnBridge, VariantItemsViolates}
+          val node = expr(s"try_variant_get($vcol, '$p')")
+          val cond = ColumnBridge.column(VariantItemsViolates(
+            ColumnBridge.expression(array(node)), Nil, "aprop", "",
+            Nil, Nil, Nil, Nil, 0, "", "", ks,
+            Seq(walkTermOf(term)), 1, -1, Nil,
+            pats.map(javaPatternForm)))
+          guarded(c)(t(p) === "object" && cond)
         // object key-count bounds (r14): same one-element-array device
         case c @ ObjBound(p, op, b, _) =>
           import org.apache.spark.sql.graftglue.{ColumnBridge, VariantItemsViolates}
@@ -1577,6 +1623,7 @@ object JsonSchemaGate {
     case NotCheck(p, _, _)                 => s"not:$p"
     case DepSchemaCheck(p, k, _, _)        => s"depschema:$p.$k"
     case PatternPropsCheck(p, _, suf, _, _) => s"pprop:$p$suf"
+    case AddPropsCheck(p, _, _, suf, _, _)  => s"aprop:$p$suf"
     case ic: ItemsCheck =>
       val base = s"${ic.path}[]${stepSuffix(ic.steps)}"
       ic.kind match {
@@ -1587,6 +1634,7 @@ object JsonSchemaGate {
         // carries the key
         case "cond"      => s"${ic.expected}:$base"
         case "pprop"     => s"pprop:$base${ic.field}"
+        case "aprop"     => s"aprop:$base${ic.field}"
         case "oneofdyn"  => s"oneof:$base"
         case "anyof"     => s"anyof:$base"
         case "notk"      => s"not:$base"
@@ -1863,6 +1911,28 @@ object JsonSchemaGate {
             s"COALESCE(${termGen(a2, depth + 1, t2.steps, t2)}, FALSE)")
             .mkString("(", " OR ", ")")
           s"($fold = 'object' AND EXISTS (SELECT 1 FROM $sub WHERE $inner))"
+        // additionalProperties SCHEMA form (r16): pprop with the
+        // COMPLEMENT key selection — matched by neither the declared
+        // set (`keys`) nor any patternProperties selector (`pats`);
+        // values re-root via the same injection-proof JSON Pointer
+        case "aprop" =>
+          val a2 = s"av$depth"
+          val conds =
+            (if (tr.keys.nonEmpty)
+              Seq(s"pk NOT IN (${tr.keys.map(sqlStr).mkString(", ")})")
+            else Nil) ++
+              tr.pats.map(p => s"NOT regexp_matches(pk, ${sqlStr(p)})")
+          val keysSel = if (conds.isEmpty) s"json_keys($alias, '$rp')"
+            else s"list_filter(json_keys($alias, '$rp'), pk -> ${conds.mkString(" AND ")})"
+          val vals = s"list_transform($keysSel, pk -> COALESCE(" +
+            s"json_extract(json_extract($alias, '$rp'), " +
+            "'/' || replace(replace(pk, '~', '~0'), '/', '~1')), " +
+            "TRY_CAST('null' AS JSON)))"
+          val sub = s"(SELECT unnest($vals) AS $a2)"
+          val inner = tr.sub.map(t2 =>
+            s"COALESCE(${termGen(a2, depth + 1, t2.steps, t2)}, FALSE)")
+            .mkString("(", " OR ", ")")
+          s"($fold = 'object' AND EXISTS (SELECT 1 FROM $sub WHERE $inner))"
       }
     }
     // walk the element-relative steps: consecutive FIELD steps flatten
@@ -1973,6 +2043,10 @@ object JsonSchemaGate {
           case PatternPropsCheck(p, re, _, term, _) =>
             termTerminal(s"TRY_CAST(($rawExpr) AS JSON)", p,
               TermRec(Nil, "pprop", pattern = re, sub = Seq(term)), 0)
+          case AddPropsCheck(p, ks, pats, _, term, _) =>
+            termTerminal(s"TRY_CAST(($rawExpr) AS JSON)", p,
+              TermRec(Nil, "aprop", keys = ks, pats = pats,
+                sub = Seq(term)), 0)
           case ic: ItemsCheck =>
             // delegate to the shared term walk (termGen/termTerminal —
             // the same generators the r15 contains satisfaction uses)

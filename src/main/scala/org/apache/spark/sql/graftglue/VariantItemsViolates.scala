@@ -215,6 +215,24 @@ case class WalkTerm(steps: Seq[String], kind: String,
           }
           bad
         }
+      // additionalProperties SCHEMA form (r16): pprop's COMPLEMENT — on
+      // a reached OBJECT node, every key matched by NEITHER the
+      // declared `keys` set nor any `pats` selector must have a value
+      // violating none of the `sub` terms (one inner term per
+      // expression, the pprop fan-out convention)
+      case "aprop" =>
+        c == "object" && {
+          val n = v.objectSize()
+          var i = 0
+          var bad = false
+          while (!bad && i < n) {
+            val f = v.getFieldAtIndex(i)
+            if (!keySet(f.key) && !patsCompiled.exists(_.matcher(f.key).find()))
+              bad = sub.exists(t => t.nodeViolates(f.value, 0))
+            i += 1
+          }
+          bad
+        }
       // contains/minContains/maxContains (r15): COUNT the reached ARRAY
       // node's elements that SATISFY the subschema (= violate none of
       // its `sub` terms — the per-element conjunction; a term's
@@ -372,6 +390,10 @@ case class WalkTerm(steps: Seq[String], kind: String,
   *    node violates when any key matching the selector `pattern` has a
   *    value violating any `subTerms` term (callers pass ONE inner term
   *    per expression — one tag per compiled inner check);
+  *  - `kind = "aprop"` (r16, the `additionalProperties` SCHEMA form):
+  *    pprop's complement — keys matched by neither the declared `keys`
+  *    set nor any `pats` selector validate their values against the
+  *    single inner term;
   *  - `kind = "anyof"` (r16, `anyOf`): `subTerms` holds one `"group"`
   *    term per member (a group "violates" iff any of its own sub terms
   *    fires — i.e. the node fails that member); the node violates when
@@ -409,7 +431,7 @@ case class VariantItemsViolates(child: Expression, steps: Seq[String],
   require(Seq("type", "enum", "min", "max", "xmin", "xmax", "multipleof",
     "minlen", "maxlen", "minitems", "maxitems", "missing",
     "pattern", "extra", "unique", "minprops", "maxprops",
-    "dep", "contains", "propname", "cond", "pprop",
+    "dep", "contains", "propname", "cond", "pprop", "aprop",
     "anyof", "oneofdyn", "notk", "depschema").contains(kind),
     s"variant_items_violates: unknown kind '$kind'")
 

@@ -99,8 +99,10 @@ class JsonSchemaPropertySpec extends SparkSpec {
     def int(k: String): Option[Int] = Option(sc.get(k)).map(_.asInt())
     def str(k: String): Option[String] = Option(sc.get(k)).map(_.asText())
     def items: Option[JsonNode] = Option(sc.get("items"))
-    def closed: Boolean =
-      Option(sc.get("additionalProperties")).exists(v => !v.asBoolean())
+    def closed: Boolean = Option(sc.get("additionalProperties"))
+      .exists(v => v.isBoolean && !v.asBoolean())
+    def addPropsSc: Option[JsonNode] =
+      Option(sc.get("additionalProperties")).filter(_.isObject)
     def uniqueItems: Boolean =
       Option(sc.get("uniqueItems")).exists(_.asBoolean())
     def deps: Seq[(String, String)] =
@@ -294,6 +296,18 @@ class JsonSchemaPropertySpec extends SparkSpec {
           out += s"pprop:$at${it.suffix}.${it.kind}"
       }
     }
+    // r16 additionalProperties SCHEMA form: keys matched by NEITHER
+    // properties nor a patternProperties selector validate their values
+    rn.addPropsSc.foreach { sub =>
+      val declared = rn.props.map(_._1).toSet
+      val ps = rn.patProps.map(p => compilePat(p._1))
+      refTerms(sub, Nil).foreach { it =>
+        if (c == "object" && keyList(v).exists(k =>
+          !declared(k) && !ps.exists(_.matcher(k).find()) &&
+            it.test(v.get(k))))
+          out += s"aprop:$at${it.suffix}.${it.kind}"
+      }
+    }
     out.result()
   }
 
@@ -390,6 +404,16 @@ class JsonSchemaPropertySpec extends SparkSpec {
         term("pprop", s"${it.suffix}.${it.kind}")(v =>
           canon(v) == "object" && keyList(v).exists(k =>
             compilePat(re).matcher(k).find() && it.test(v.get(k))))
+      }
+    }
+    rn.addPropsSc.foreach { sub =>
+      val declared = rn.props.map(_._1).toSet
+      val ps = rn.patProps.map(p => compilePat(p._1))
+      refTerms(sub, Nil).foreach { it =>
+        term("aprop", s"${it.suffix}.${it.kind}")(v =>
+          canon(v) == "object" && keyList(v).exists(k =>
+            !declared(k) && !ps.exists(_.matcher(k).find()) &&
+              it.test(v.get(k))))
       }
     }
     val propNames = rn.props.map(_._1).toSet
@@ -509,9 +533,16 @@ class JsonSchemaPropertySpec extends SparkSpec {
           if (rnd.nextInt(4) == 0) req.add("zz") // required w/o properties
         }
         // r14: closed (false) and explicitly-open (true) objects — the
-        // generator's 1/3 "extra" key exercises both
-        if (rnd.nextInt(3) == 0)
-          sc.put("additionalProperties", rnd.nextBoolean())
+        // generator's 1/3 "extra" key exercises both; r16: 1-in-3 of
+        // these are the SCHEMA form instead (the extra key's int value
+        // lands on both sides of {type: string} / {minimum})
+        if (rnd.nextInt(3) == 0) {
+          if (rnd.nextInt(3) == 0) {
+            val sub = sc.putObject("additionalProperties")
+            if (rnd.nextBoolean()) sub.put("type", "string")
+            else { sub.put("type", "integer"); sub.put("minimum", 2L) }
+          } else sc.put("additionalProperties", rnd.nextBoolean())
+        }
         if (rnd.nextInt(4) == 0) sc.put("minProperties", rnd.nextInt(3))
         if (rnd.nextInt(4) == 0) sc.put("maxProperties", 1 + rnd.nextInt(3))
         // r14 dependentRequired between two declared property names

@@ -382,8 +382,8 @@ class JsonSchemaSpec extends SparkSpec {
   }
 
   test("additionalProperties: false (r14) closes objects at the root, at " +
-       "nested paths, and at array-element depth; true is a no-op; the " +
-       "schema form aborts") {
+       "nested paths, and at array-element depth; true is a no-op; a " +
+       "non-boolean non-object argument aborts") {
     val sc =
       """{"type": "object", "additionalProperties": false,
         | "properties": {
@@ -420,10 +420,49 @@ class JsonSchemaSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       JsonSchemaGate.validate(Seq((1L, "{}")).toDF("id", "raw"), "raw",
         """{"type": "object",
-          | "additionalProperties": {"type": "string"}}""".stripMargin,
+          | "additionalProperties": 5}""".stripMargin,
         parsedCol = None)
     }
     assert(e.getMessage.contains("additionalProperties"))
+  }
+
+  test("additionalProperties SCHEMA form (r16): keys matched by neither " +
+       "properties nor a patternProperties selector validate their " +
+       "values — at the root, nested, and element depth; $ref inlines") {
+    val sc =
+      """{"type": "object",
+        | "$defs": {"tagv": {"type": "integer", "minimum": 0}},
+        | "additionalProperties": {"$ref": "#/$defs/tagv"},
+        | "patternProperties": {"^x_": {"type": "boolean"}},
+        | "properties": {
+        |  "name": {"type": "string"},
+        |  "cfg": {"type": "object",
+        |          "additionalProperties": {"type": "string",
+        |                                   "maxLength": 2}},
+        |  "arr": {"type": "array",
+        |          "items": {"type": "object",
+        |                    "additionalProperties": {"type": "integer"},
+        |                    "properties": {"id": {"type": "integer"}}}}}}"""
+        .stripMargin
+    val got = JsonSchemaGate.validate(Seq(
+        (1L, """{"name": "a", "extra": 3}"""),       // extra: int >= 0 → ok
+        (2L, """{"extra": -1}"""),                   // aprop min fires
+        (3L, """{"extra": "s"}"""),                  // aprop type fires
+        (4L, """{"x_dbg": true, "other": 1}"""),     // selector-matched key
+                                                     // is pprop's, not aprop's
+        (5L, """{"x_dbg": 1}"""),                    // pprop fires, aprop skips
+        (6L, """{"cfg": {"free": "ab"}}"""),         // nested ok
+        (7L, """{"cfg": {"free": "abcd"}}"""),       // nested maxlen fires
+        (8L, """{"arr": [{"id": 1, "n": 2}, {"id": 2, "z": "x"}]}"""))
+                                                     // element aprop type
+      .toDF("id", "raw"), "raw", sc, parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(got(1L) == "" && got(4L) == "" && got(6L) == "")
+    assert(got(2L) == "aprop:$.min")
+    assert(got(3L) == "aprop:$.type")
+    assert(got(5L) == "pprop:$.type")
+    assert(got(7L) == "aprop:$.cfg.maxlen")
+    assert(got(8L) == "aprop:$.arr[].type")
   }
 
   test("allOf (r14): conjunction by compile-time merge — the $ref-base + " +
