@@ -254,11 +254,11 @@ object JsonSchemaGate {
     n.fieldNames().asScala.foreach { k =>
       require(knownKeywords(k),
         s"unsupported JSON-Schema keyword: $k (the gate validates " +
-          "type/enum/required/properties/items/minimum/maximum/" +
-          "minLength/maxLength/minItems/maxItems/pattern/" +
-          "additionalProperties/uniqueItems/contains/propertyNames; a " +
-          "keyword it cannot enforce must abort rather than silently " +
-          "no-op)")
+          "type/enum/const/required/properties/items/bounds/lengths/" +
+          "pattern/additionalProperties/patternProperties/uniqueItems/" +
+          "contains/propertyNames/if-then-else/oneOf/anyOf/not/" +
+          "dependentRequired/dependentSchemas/allOf/$ref; a keyword it " +
+          "cannot enforce must abort rather than silently no-op)")
     }
     // keyword ARGUMENT nodes are type-checked before coercion (r14 —
     // Jackson's asDouble()/asInt()/asText() coerce silently: a draft-4
