@@ -391,6 +391,9 @@ object EntryOraclesScale {
         | JOIN g ON g.blk = a.blk
         |WHERE levenshtein(a.p_name, c.p_name) <= 12""".stripMargin,
     "q_fuzzy_join" ->
+      // ok replicates the r16 maxBlockPairs=2^20 guard: blocks whose
+      // pair PRODUCT exceeds the cap are dropped on both engines (the
+      // sf1-soak cliff fix)
       """WITH l AS (SELECT p_partkey AS l_id, p_name AS l_name,
         |  array_to_string(list_slice(list_filter(string_split(p_name, ' '), t -> t <> ''), 1, 1), ' ') AS blk
         |  FROM part),
@@ -399,10 +402,14 @@ object EntryOraclesScale {
         |  WHERE p_partkey % 20 = 0),
         |r AS (SELECT r_id, r_name,
         |  array_to_string(list_slice(list_filter(string_split(r_name, ' '), t -> t <> ''), 1, 1), ' ') AS blk
-        |  FROM r0)
+        |  FROM r0),
+        |ok AS (SELECT blk FROM
+        |  (SELECT blk, COUNT(*) AS lc FROM l GROUP BY blk) la
+        |  JOIN (SELECT blk, COUNT(*) AS rc FROM r GROUP BY blk) ra USING (blk)
+        |  WHERE lc * rc <= 1048576)
         |SELECT l_id, l_name, r_id, r_name,
         | CAST(levenshtein(l_name, r_name) AS BIGINT) AS dist
-        |FROM l JOIN r USING (blk)
+        |FROM l JOIN ok USING (blk) JOIN r USING (blk)
         |WHERE levenshtein(l_name, r_name) <= 12""".stripMargin,
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle,

@@ -1469,14 +1469,24 @@ object EntryQueriesDedup {
         maxDist = 12, blockTokens = 2, maxBlock = 64)),
     // cross-source record linkage: part names vs a second "vendor feed"
     // (same parts, last name-word dropped) — blocked equi-join + exact
-    // levenshtein verify, never a cartesian
+    // levenshtein verify, never a cartesian. r16 maxBlockPairs guard
+    // (default 2^20): the sf1 soak caught the unguarded form paying
+    // ~2.5e8 levenshtein pairs and a ~100 GB oracle join at ×10 —
+    // p_name draws first words from a pool of 8, so 1-token block
+    // density grows linearly with SF and the pair product
+    // quadratically. The default cap admits every sf0.01 block
+    // (269×19 ≈ 5k pairs — real rows at the driver gate) and every
+    // sf0.1 block (2.6k×140 ≈ 360k — real rows at the bench SF), and
+    // FIRES at sf1 (26k×1.4k ≈ 36M > 2^20), where both engines drop
+    // the same blocks — the cap itself is oracled at scale
     "q_fuzzy_join" -> ((s, dir) => {
       val l = T(s, dir, "part").select(col("p_partkey").as("l_id"),
         col("p_name").as("l_name"))
       val r = T(s, dir, "part").filter(col("p_partkey") % 20 === 0)
         .select((col("p_partkey") + 1000000).as("r_id"),
           regexp_replace(col("p_name"), " [a-z]+$", "").as("r_name"))
-      Dedup.fuzzyJoin(l, r, "l_name", "r_name", maxDist = 12, blockTokens = 1)
+      Dedup.fuzzyJoin(l, r, "l_name", "r_name", maxDist = 12,
+        blockTokens = 1)
     }),
 
   )

@@ -259,6 +259,24 @@ object Dedup {
     * [[editDistancePairs]] — matching "Acme Widget Deluxe" in one vendor
     * feed to "Acme Widget Delux" in another.
     *
+    * `maxBlockPairs` (r16): blocks whose PAIR PRODUCT (left count ×
+    * right count) exceeds the cap are DROPPED — the cross-table twin of
+    * [[editDistancePairs]]' per-side guard, which this form was
+    * missing. The r16 sf1 soak caught the cliff the gap leaves open:
+    * block keys are low-cardinality prefixes whose density grows
+    * linearly with the corpus, so the blocked join's pair count grows
+    * QUADRATICALLY with SF (at 10× sf0.1 the q_fuzzy_join fixture paid
+    * ~2.5e8 levenshtein pairs and a ~100 GB oracle join before the
+    * guard — plans/BENCHNOTES.md r16). The product is the right
+    * quantity for a two-sided join: it bounds the WORK a block can
+    * cost, where a per-side cap would reject a 10⁶×1 block that costs
+    * almost nothing. The guard is two block-count aggregates (map-side
+    * combined; output = distinct blocks, tiny) and an equi-join against
+    * the admitted block list; `maxBlockPairs <= 0` disables for exact
+    * legacy semantics. Recall < 1 by construction, like every blocking
+    * scheme — a dropped block is the "refine your blocking key" signal,
+    * not silent quadratic output.
+    *
     * Output: all left columns + all right columns + `dist`. Column names
     * must be disjoint (rename upstream — a silent duplicate would make
     * downstream references ambiguous). Recall bound is the same as all
@@ -267,14 +285,24 @@ object Dedup {
     */
   def fuzzyJoin(left: DataFrame, right: DataFrame,
                 leftKey: String, rightKey: String,
-                maxDist: Int, blockTokens: Int = 2): DataFrame = {
+                maxDist: Int, blockTokens: Int = 2,
+                maxBlockPairs: Long = 1L << 20): DataFrame = {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"column names must be disjoint; shared: $overlap")
     val lb = left.withColumn("__blk",
       array_join(slice(Text.tokens(col(leftKey)), 1, blockTokens), " "))
     val rb = right.withColumn("__blk",
       array_join(slice(Text.tokens(col(rightKey)), 1, blockTokens), " "))
-    lb.join(rb, "__blk")
+    val joined =
+      if (maxBlockPairs <= 0) lb.join(rb, "__blk")
+      else {
+        val ok = lb.groupBy("__blk").agg(count(lit(1)).as("__lc"))
+          .join(rb.groupBy("__blk").agg(count(lit(1)).as("__rc")), "__blk")
+          .filter(col("__lc") * col("__rc") <= maxBlockPairs)
+          .select("__blk")
+        lb.join(ok, "__blk").join(rb, "__blk")
+      }
+    joined
       .withColumn("dist", levenshtein(col(leftKey), col(rightKey)).cast(LongType))
       .filter(col("dist") <= maxDist)
       .drop("__blk")

@@ -164,6 +164,16 @@ class TextDedupSpec extends SparkSpec {
     val got = Dedup.fuzzyJoin(l, r, "l_name", "r_name", maxDist = 2)
       .select("l_id", "r_id", "dist").as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 10L, 1L)))
+    // r16 maxBlockPairs guard (the sf1-soak cliff): a block whose pair
+    // PRODUCT exceeds the cap is dropped entirely; <= 0 disables
+    val guarded = Dedup.fuzzyJoin(l, r, "l_name", "r_name", maxDist = 2,
+        maxBlockPairs = 1L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(guarded.isEmpty) // the acme block is 1 x 2 = 2 pairs > cap
+    val off = Dedup.fuzzyJoin(l, r, "l_name", "r_name", maxDist = 2,
+        maxBlockPairs = 0L)
+      .select("l_id", "r_id", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(off == Set((1L, 10L, 1L)))
     // overlapping column names are rejected up front
     intercept[IllegalArgumentException] {
       Dedup.fuzzyJoin(l, l.withColumnRenamed("l_id", "x"), "l_name", "l_name", 1)

@@ -1,11 +1,16 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/local_check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/local_check.py <sfDir> <verifyOutDir> [names...]
 
 Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB with the sf
 tables registered as views, loads the matching Spark parquet dump, sorts
 columns by name and rows by value, and reports exact/hash equality per query.
+
+Optional trailing args limit the run: bare names select queries,
+`-name` EXCLUDES a query (resume/adjudication at big SFs — e.g. the r16
+sf1 soak excludes q_fuzzy_join, whose oracle pays ~2.2B levenshtein
+pairs at x10 replication, and re-checks it at a reduced factor).
 """
 import sys, os, json, glob
 import duckdb
@@ -29,6 +34,12 @@ def main(sf_dir: str, out_dir: str) -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    all_oracled = set(oracle)
+    only = {a for a in sys.argv[3:] if not a.startswith("-")}
+    skip = {a[1:] for a in sys.argv[3:] if a.startswith("-")}
+    if only or skip:
+        oracle = {k: v for k, v in oracle.items()
+                  if (not only or k in only) and k not in skip}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
@@ -69,9 +80,13 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             print(f"PASS {name} ({len(d)} rows)")
             n_pass += 1
-    # queries without an oracle: rows-only smoke
+    # queries without an oracle: rows-only smoke (skipped under a
+    # name-filtered run — those names were oracled, just not selected)
+    if only or skip:
+        all_oracled |= set(os.path.basename(p)
+                           for p in glob.glob(f"{out_dir}/q_*"))
     for name in sorted(set(os.path.basename(p) for p in glob.glob(f"{out_dir}/q_*"))
-                       - set(oracle)):
+                       - all_oracled):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         nrows = sum(pd.read_parquet(f).shape[0] for f in files) if files else 0
         print(f"INFO {name}: no oracle, {nrows} rows")
