@@ -533,7 +533,14 @@ object JsonSchemaGate {
     // (`not:$p`). The subset's typed-guard vacuous pass carries
     // through — `not: {minimum: 5}` rejects every string, which is
     // JSON Schema's own rule (strings vacuously satisfy numeric
-    // bounds).
+    // bounds). ONE subset-vs-2020-12 divergence rides along, documented
+    // and spec-pinned: the subset's enum/const constrain only
+    // same-scalar-type values (object/array/null are "the type check's
+    // business"), so under negation a JSON null SATISFIES {const: 9}
+    // here and `not: {const: 9}` fires on it, where a full validator
+    // passes (null ≠ 9 fails const, so not succeeds). Declare the
+    // subschema's type (not: {type: integer, const: 9}) to get
+    // full-spec behavior — the type term then fails off-type values.
     val notSub = Option(n.get("not")).map(compile)
     // dependentSchemas (r16): presence of a key requires the node to
     // satisfy the paired subschema — one check and tag per key

@@ -1013,6 +1013,24 @@ class JsonSchemaSpec extends SparkSpec {
     assert(got(5L) == "not:$.q")
     assert(got(6L).contains("not:$"))
     assert(got(7L) == "not:$.arr[]")
+    // PINNED subset divergence (documented at the `not` compile site):
+    // the subset's typed enum/const skip non-scalar values, so under
+    // negation a JSON null SATISFIES {const: "bad"} and `not` fires —
+    // a full 2020-12 validator would pass (null fails const, not
+    // succeeds). Both engines and the independent reference agree on
+    // the subset rule; declaring the member's type restores full-spec
+    // behavior, also pinned here.
+    val divergence = JsonSchemaGate.validate(Seq(
+        (1L, """{"u": null}"""),
+        (2L, """{"t": null}"""))
+      .toDF("id", "raw"), "raw",
+      """{"type": "object", "properties": {
+        |  "u": {"not": {"const": "bad"}},
+        |  "t": {"not": {"type": "string", "const": "bad"}}}}""".stripMargin,
+      parsedCol = None)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(divergence(1L) == "not:$.u") // subset semantics, not 2020-12
+    assert(divergence(2L) == "")        // typed member: full-spec result
   }
 
   test("dependentSchemas (r16): key presence (incl. JSON null) requires " +
