@@ -746,8 +746,11 @@ object EntryQueriesCore {
     // q_jdbc_query/q_jdbc_typed cannot carry a write). plans/CLUSTER.md.
     "q_jdbc_roundtrip" -> ((s, dir) => {
       derbyEngineProps
-      val (url, drv) =
-        graft.sources.JdbcBridge.ensure("jdbc:derby:memory:graft_rt;create=true")
+      // bridge only under multi-JVM masters — single-JVM writes reach
+      // the embedded Derby directly (the 0.13 s path; see ensureFor)
+      val (url, drv) = graft.sources.JdbcBridge.ensureFor(s,
+        "jdbc:derby:memory:graft_rt;create=true",
+        "org.apache.derby.jdbc.EmbeddedDriver")
       val n = T(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
       Sinks.jdbcWrite(n, url, "nation_rt", drv, mode = "overwrite")
       Sources.jdbcTable(s, url, "nation_rt",

@@ -214,6 +214,27 @@ object JdbcBridge {
     (s.url, Map("driver" -> classOf[BridgeJdbcDriver].getName))
   }
 
+  /** Bridge ONLY when executors run in separate JVMs. The bridge exists
+    * to carry executor-side JDBC calls into the driver JVM's embedded
+    * database; under a single-JVM master (`local[N]`) the executors SEE
+    * that database directly, and routing every JDBC call through the
+    * per-call reflective TCP loop is pure overhead — measured 0.13 s →
+    * 21.6 s on the q_jdbc_roundtrip bench row when it was
+    * unconditionally bridged (plans/BENCHNOTES.md r16). Multi-JVM
+    * masters (`local-cluster`, `spark://`, `yarn`, `k8s`) get the
+    * bridge; everything else gets `targetUrl` verbatim with
+    * `directDriver` as the JDBC driver class.
+    */
+  def ensureFor(spark: org.apache.spark.sql.SparkSession, targetUrl: String,
+                directDriver: String): (String, Map[String, String]) = {
+    val m = spark.sparkContext.master
+    val multiJvm = m.startsWith("local-cluster") ||
+      m.startsWith("spark://") || m.startsWith("yarn") ||
+      m.startsWith("k8s")
+    if (multiJvm) ensure(targetUrl)
+    else (targetUrl, Map("driver" -> directDriver))
+  }
+
   // ------------------------------ client ------------------------------
 
   /** one socket session; a JDBC connection is single-threaded by
