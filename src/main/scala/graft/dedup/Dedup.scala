@@ -296,9 +296,15 @@ object Dedup {
     val joined =
       if (maxBlockPairs <= 0) lb.join(rb, "__blk")
       else {
+        // overflow-safe pair-product cap (r16 ADVICE): `__lc * __rc` is a
+        // Long multiply that can wrap negative for pathologically dense
+        // blocks — exactly the regime the guard exists for — admitting a
+        // block whose true product exceeds the cap. Integer division
+        // avoids the product: rc <= floor(cap / lc) ⟺ lc·rc <= cap for
+        // positive counts (lc >= 1 by groupBy-count construction).
         val ok = lb.groupBy("__blk").agg(count(lit(1)).as("__lc"))
           .join(rb.groupBy("__blk").agg(count(lit(1)).as("__rc")), "__blk")
-          .filter(col("__lc") * col("__rc") <= maxBlockPairs)
+          .filter(col("__rc") <= expr(s"${maxBlockPairs}L div __lc"))
           .select("__blk")
         lb.join(ok, "__blk").join(rb, "__blk")
       }

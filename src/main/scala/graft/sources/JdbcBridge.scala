@@ -220,19 +220,20 @@ object JdbcBridge {
     * that database directly, and routing every JDBC call through the
     * per-call reflective TCP loop is pure overhead — measured 0.13 s →
     * 21.6 s on the q_jdbc_roundtrip bench row when it was
-    * unconditionally bridged (plans/BENCHNOTES.md r16). Multi-JVM
-    * masters (`local-cluster`, `spark://`, `yarn`, `k8s`) get the
-    * bridge; everything else gets `targetUrl` verbatim with
-    * `directDriver` as the JDBC driver class.
+    * unconditionally bridged (plans/BENCHNOTES.md r16). The test is
+    * INVERTED from an allowlist (r16 ADVICE): only masters known
+    * single-JVM (`local[N]` but not `local-cluster`) take the direct
+    * path; every other master — including schemes this code has never
+    * heard of — gets the bridge, so an unknown multi-JVM master
+    * degrades to slow-but-correct instead of silently writing into
+    * per-executor in-memory databases.
     */
   def ensureFor(spark: org.apache.spark.sql.SparkSession, targetUrl: String,
                 directDriver: String): (String, Map[String, String]) = {
     val m = spark.sparkContext.master
-    val multiJvm = m.startsWith("local-cluster") ||
-      m.startsWith("spark://") || m.startsWith("yarn") ||
-      m.startsWith("k8s")
-    if (multiJvm) ensure(targetUrl)
-    else (targetUrl, Map("driver" -> directDriver))
+    val singleJvm = m.startsWith("local") && !m.startsWith("local-cluster")
+    if (singleJvm) (targetUrl, Map("driver" -> directDriver))
+    else ensure(targetUrl)
   }
 
   // ------------------------------ client ------------------------------

@@ -80,11 +80,15 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             print(f"PASS {name} ({len(d)} rows)")
             n_pass += 1
-    # queries without an oracle: rows-only smoke (skipped under a
-    # name-filtered run — those names were oracled, just not selected)
+    # queries without an oracle: rows-only smoke. Under a name-filtered
+    # run, suppress it only for names NOT selected on the command line —
+    # a genuinely oracle-less name explicitly selected still gets its
+    # smoke output (r16 ADVICE).
     if only or skip:
-        all_oracled |= set(os.path.basename(p)
-                           for p in glob.glob(f"{out_dir}/q_*"))
+        all_oracled |= {os.path.basename(p)
+                        for p in glob.glob(f"{out_dir}/q_*")
+                        if not ((not only or os.path.basename(p) in only)
+                                and os.path.basename(p) not in skip)}
     for name in sorted(set(os.path.basename(p) for p in glob.glob(f"{out_dir}/q_*"))
                        - all_oracled):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
