@@ -287,38 +287,70 @@ object Search {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = docs.sparkSession
     val toks = docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__tk"))
-    toks.select(col("id"), size(col("__tk")).cast(LongType).as("dl"))
-      .write.mode("overwrite").parquet(s"$dir/doclens")
-    toks.select(col("id"), size(col("__tk")).cast(LongType).as("dl"),
-        explode(col("__tk")).as("term"))
-      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", termBucket(col("term"), buckets))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+    // stats ride the doclens WRITE as observed metrics (r17, guide §1):
+    // same values as the old written-doclens re-read (count + sum over
+    // exactly the rows written), zero extra jobs — the re-read paid three
+    // jobs (AQE stage + final + head) per index build
+    val obs = new org.apache.spark.sql.Observation()
+    graft.Jobs.labeled(spark, "lexindex: doclens write") {
+      toks.select(col("id"), size(col("__tk")).cast(LongType).as("dl"))
+        .observe(obs, count(lit(1)).as("n"),
+          coalesce(sum(col("dl")), lit(0L)).as("sumdl"))
+        .write.mode("overwrite").parquet(s"$dir/doclens")
+    }
+    graft.Jobs.labeled(spark, "lexindex: postings write") {
+      // per-document native term counting (graftglue.TermCounts) replaces
+      // the explode → groupBy(id, dl, term) count: tf is a function of ONE
+      // row's token array, so the groupBy's corpus-sized exchange bought
+      // nothing (r17, guide §2.4); rows and values are identical for
+      // unique-id corpora — the contract every caller holds
+      toks.select(col("id"), size(col("__tk")).cast(LongType).as("dl"),
+          explode(org.apache.spark.sql.graftglue.ColumnBridge.column(
+            org.apache.spark.sql.graftglue.TermCounts(
+              org.apache.spark.sql.graftglue.ColumnBridge.expression(
+                col("__tk"))))).as("__tc"))
+        .select(col("id"), col("dl"), col("__tc.term").as("term"),
+          col("__tc.tf").as("tf"))
+        .withColumn("bucket", termBucket(col("term"), buckets))
+        // explicit-N repartition on the bucket (REPARTITION_BY_NUM — AQE
+        // never coalesces it): without it AQE folds this small shuffle to
+        // ONE partition and a single task sorts + writes every bucket
+        // directory serially (profiled 0.69 s of a 0.23 s-agg build); one
+        // task per bucket writes the same one-file-per-bucket layout in
+        // parallel. Files scale with `buckets` — the layout's documented
+        // parallelism/pruning knob — not with the shuffle width.
+        .repartition(buckets, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+    }
     import spark.implicits._
-    // stats from the WRITTEN doclens (16-byte rows), not a third corpus
-    // tokenize scan — the build pays exactly two text scans
-    val st = spark.read.parquet(s"$dir/doclens")
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L))
-        .as("sumdl")).head()
-    Seq((st.getLong(0), st.getLong(1), buckets)).toDF("n", "sumdl", "buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    val stRow = obs.get
+    graft.Jobs.labeled(spark, "lexindex: stats write") {
+      Seq((stRow("n").asInstanceOf[Long], stRow("sumdl").asInstanceOf[Long],
+          buckets)).toDF("n", "sumdl", "buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    }
     // per-term document frequency, bucket-partitioned like the postings:
     // a probe learns every query term's df from the pruned terms/ buckets
     // BEFORE touching a posting row, so the df-ceiling guard can drop a
     // near-zero-idf stop term without paying its corpus-sized posting
     // list. Derived from the WRITTEN postings (fixed-width rows — no
     // third text scan); vocabulary-sized, not corpus-sized.
-    spark.read.parquet(s"$dir/postings")
-      .groupBy("term").agg(count(lit(1)).as("df"))
-      .withColumn("bucket", termBucket(col("term"), buckets))
-      // repartition ON the bucket before the partitioned write: the
-      // default layout would fan every shuffle partition across every
-      // bucket directory (partitions × buckets tiny files — measured
-      // +60% on the stream-probe bench, which builds in-query); this
-      // writes one file per bucket per holding task and scales with the
-      // vocabulary, not the shuffle width
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
+    // repartition ON the bucket before the partitioned write: the
+    // default layout would fan every shuffle partition across every
+    // bucket directory (partitions × buckets tiny files — measured
+    // +60% on the stream-probe bench, which builds in-query); this
+    // writes one file per bucket per holding task and scales with the
+    // vocabulary, not the shuffle width. Explicit N (r17): the bare
+    // repartition(col) is REPARTITION_BY_COL, which AQE coalesces to one
+    // partition at this size — serializing the write like the postings
+    // path above.
+    graft.Jobs.labeled(spark, "lexindex: terms write") {
+      spark.read.parquet(s"$dir/postings")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("bucket", termBucket(col("term"), buckets))
+        .repartition(buckets, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
+    }
   }
 
   /** How the df-ceiling guard resolves against a stored index generation:
@@ -633,9 +665,16 @@ object Search {
     val toks = admitted.select(col(idCol).as("id"),
       Text.tokens(col(textCol)).as("__tk"))
       .trackedPersist()
+    // zero-exchange per-document tf (TermCounts) — the writeLexIndex
+    // postings shape; the delta never shuffles to count itself
     val freshPosts = toks.select(col("id"),
-        size(col("__tk")).cast(LongType).as("dl"), explode(col("__tk")).as("term"))
-      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+        size(col("__tk")).cast(LongType).as("dl"),
+        explode(org.apache.spark.sql.graftglue.ColumnBridge.column(
+          org.apache.spark.sql.graftglue.TermCounts(
+            org.apache.spark.sql.graftglue.ColumnBridge.expression(
+              col("__tk"))))).as("__tc"))
+      .select(col("id"), col("dl"), col("__tc.term").as("term"),
+        col("__tc.tf").as("tf"))
       .withColumn("bucket", termBucket(col("term"), buckets))
     val posts = keptPosts.unionByName(freshPosts)
     val doclens = graft.streaming.Streams.readIndex(spark, s"$dir/doclens", recursive = false)
