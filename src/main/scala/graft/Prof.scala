@@ -65,6 +65,11 @@ object Prof {
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRow]()
     val order = java.util.Collections.synchronizedList(
       new java.util.ArrayList[Int]())
+    // stageId → jobId, built at onJobStart: stages are attributed to the
+    // job that REGISTERED them, not to the most recently started job —
+    // concurrent jobs (streaming drains overlap) otherwise misattribute
+    // tasks/bytes across jobs in the report (r17 advice).
+    val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     @volatile var collecting = false
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
@@ -73,6 +78,7 @@ object Prof {
             .flatMap(p => Option(p.getProperty("spark.job.description")))
             .getOrElse("")
           jobs.put(e.jobId, JobRow(e.jobId, e.time, desc = d))
+          e.stageIds.foreach(sid => stageJob.put(sid, e.jobId))
           order.add(e.jobId)
         }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
@@ -81,10 +87,9 @@ object Prof {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         if (collecting) {
           val si = e.stageInfo
-          // attribute the stage to the most recent job (approximation:
-          // one query at a time, jobs sequential)
-          val last = if (order.isEmpty) -1 else order.get(order.size() - 1)
-          val j = jobs.get(last)
+          val jid = stageJob.getOrDefault(si.stageId,
+            if (order.isEmpty) -1 else order.get(order.size() - 1))
+          val j = jobs.get(jid)
           if (j != null) {
             j.tasks += si.numTasks
             j.taskMs += si.taskMetrics.executorRunTime
@@ -99,7 +104,7 @@ object Prof {
     for ((name, fn) <- sel) {
       var wall = 0.0
       for (i <- 1 to runs) {
-        jobs.clear(); order.clear()
+        jobs.clear(); order.clear(); stageJob.clear()
         collecting = i == runs
         val t0 = System.nanoTime()
         fn(spark, splitDir).queryExecution.toRdd.count()

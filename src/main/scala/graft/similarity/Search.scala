@@ -315,10 +315,13 @@ object Search {
         // explicit-N repartition on the bucket (REPARTITION_BY_NUM — AQE
         // never coalesces it): without it AQE folds this small shuffle to
         // ONE partition and a single task sorts + writes every bucket
-        // directory serially (profiled 0.69 s of a 0.23 s-agg build); one
-        // task per bucket writes the same one-file-per-bucket layout in
-        // parallel. Files scale with `buckets` — the layout's documented
-        // parallelism/pruning knob — not with the shuffle width.
+        // directory serially (profiled 0.69 s of a 0.23 s-agg build).
+        // Hash-partitioning bucket ids into `buckets` partitions collides
+        // (~1/e of tasks land empty), so write parallelism is ~(1-1/e)·N,
+        // not exactly one task per bucket — still parallel, and the
+        // one-file-per-bucket layout holds regardless. Files scale with
+        // `buckets` — the layout's documented parallelism/pruning knob —
+        // not with the shuffle width.
         .repartition(buckets, col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
     }
@@ -703,8 +706,15 @@ object Search {
     import graft.operators.Sinks
     // repartition ON the bucket first — the writeLexIndex layout rule:
     // an unrepartitioned write fans every shuffle partition across every
-    // bucket directory (partitions × buckets tiny files)
-    Sinks.swapWrite(terms.repartition(col("bucket")), s"$dir/terms",
+    // bucket directory (partitions × buckets tiny files). Explicit-N form
+    // (REPARTITION_BY_NUM) like writeLexIndex's: the bare
+    // repartition(col("bucket")) AQE-coalesced this vocabulary-sized
+    // shuffle to ONE partition and a single task wrote every bucket
+    // directory serially (r18, guide §2.4). The live stats row still
+    // holds the bucket count at this point — nothing has swapped yet.
+    val buckets = graft.streaming.Streams.readIndex(terms.sparkSession,
+      s"$dir/stats", recursive = false).head().getInt(2)
+    Sinks.swapWrite(terms.repartition(buckets, col("bucket")), s"$dir/terms",
       Seq("bucket"))
     Sinks.swapWrite(stats.coalesce(1), s"$dir/stats")
     Sinks.swapWrite(posts, s"$dir/postings", Seq("bucket"))

@@ -17,126 +17,62 @@ class PlanSpec extends SparkSpec {
 
   // planString / countShufflesExec come from SparkSpec (shared, one home)
 
-  // Shuffle-BUDGET regression gate: the per-query exchange counts below are
-  // the audited values from plans/PLANS.md (SURVEY §5) — a plan change that
-  // adds an exchange to any of these headline operators now fails a spec
-  // instead of waiting for a human to re-read the plan dump. Budgets are
-  // exact, not ≤: losing a shuffle unexpectedly ALSO deserves a look (it
-  // usually means a broadcast threshold or reuse changed under the query).
+  // Shuffle-BUDGET regression gate, fast lane: the headline operators below
+  // are re-counted against the SAME committed exchange_budgets.tsv that
+  // PlanBudgetSpec checks in full — one source of truth, so a deliberate
+  // plan change updates only the tsv (the r17 dual-maintenance incident:
+  // the tsv moved q_bm25_index_delta 1→0 but a duplicate inline map here
+  // kept 1 and the suite went red). Budgets stay exact, not ≤: losing a
+  // shuffle unexpectedly ALSO deserves a look (it usually means a broadcast
+  // threshold or reuse changed under the query). The per-shape audit prose
+  // lives with the full plans in plans/PLANS.md (SURVEY §5).
   test("headline queries hold their audited shuffle budgets") {
-    val budgets = Map(
+    val headline = Seq(
       // pure projections — zero exchanges, the codegen-fused family
-      "q_minhash" -> 0, "q_simhash" -> 0, "q_tokens" -> 0, "q_langid" -> 0,
-      "q_quality" -> 0, "q_fingerprint" -> 0, "q_chunks" -> 0,
-      "q_split" -> 0, "q_redact" -> 0, "q_canonical_url" -> 0,
-      // r10 web-ingest projections: normalize/encoding-stats/HTML
-      // extraction are all zero-shuffle codegen chains
-      "q_nfc_normalize" -> 0, "q_encoding_stats" -> 0,
-      "q_html_text" -> 0, "q_html_stats" -> 0, "q_script_stats" -> 0,
-      "q_c4_clean" -> 0,
-      "q_stratified" -> 0, "q_mixture" -> 0, "q_kmeans" -> 0, "q_topk" -> 0,
+      "q_minhash", "q_simhash", "q_tokens", "q_langid",
+      "q_quality", "q_fingerprint", "q_chunks",
+      "q_split", "q_redact", "q_canonical_url",
+      // web-ingest projections: normalize/encoding-stats/HTML extraction
+      "q_nfc_normalize", "q_encoding_stats",
+      "q_html_text", "q_html_stats", "q_script_stats", "q_c4_clean",
+      "q_stratified", "q_mixture", "q_kmeans", "q_topk",
       // single-shuffle aggregation/window shapes
-      "q_agg" -> 1, "q_dedup_exact" -> 1, "q_sessionize" -> 1,
-      "q_window" -> 1, "q_token_budget" -> 1, "q_temperature_sample" -> 1,
-      "q_corpus_shuffle" -> 1, "q_pack" -> 1, "q_ann" -> 1,
-      // stored-IVFPQ probe: the only exchange is the bounded top-k
-      // aggregate's — codes scan partition-prunes, model is literals,
-      // probed queries broadcast; maintenance is a pure anti-join/union
-      // projection over broadcast retire sets (zero exchanges)
-      "q_ann_index_probe" -> 1, "q_ann_index_delta" -> 0,
-      // 3 DELTA-bounded exchanges (delta-key distinct, hit-key distinct,
-      // hit-id distinct) — the r7 value of 1 came with the corpus-sized
-      // index on the broadcast build side, the round-8 fix's whole point
-      "q_incremental_neardup" -> 3,
+      "q_agg", "q_dedup_exact", "q_sessionize",
+      "q_window", "q_token_budget", "q_temperature_sample",
+      "q_corpus_shuffle", "q_pack", "q_ann",
+      // stored-index probes and delta maintenance
+      "q_ann_index_probe", "q_ann_index_delta",
+      "q_incremental_neardup",
       // audited multi-exchange shapes
-      "q_lsh_pairs" -> 2, "q_snapshot_diff" -> 2, "q_join" -> 2,
-      "q_decontaminate" -> 2, "q_repetition" -> 2, "q_semdedup" -> 2,
-      // r8 additions. substring dedup: hash-ownership window + ONE dup-only
-      // id exchange that the islands windows, both rollup aggs, and the
-      // join back all reuse — 2 total, text never shuffles. drift: vocab
-      // agg (printed twice: it is cached and feeds both the totals branch
-      // and the terms branch) + two 1-row total aggs = 4 counted. heavy
-      // hitters: candidate-folded verify agg (printed twice, same caching)
-      // + 1-row total = 3 counted.
-      "q_substring_dedup" -> 2, "q_distribution_drift" -> 4,
-      "q_heavy_hitters" -> 3,
-      // winnowing: print-ownership window + per-doc rollup (thinned
-      // 2/(w+1)-density rows), join back broadcast at gate SF
-      "q_winnow" -> 2,
-      // winnowed decontamination: bench-print distinct + the two
-      // count-distinct phases over HIT rows — corpus prints reach the
-      // broadcast probe join as a pure projection, text never shuffles
-      "q_decontaminate_winnow" -> 3,
-      // r9 SQ/JL: encode/projection ride the corpus scan, queries
-      // broadcast — the ONE exchange in each is the bounded top-k
-      // aggregate's (audited in plans/PLANS.md); the stored-index probe
-      // keeps the same shape (codes scan partition-prunes, model rides
-      // as reference objects) and delta maintenance is a pure
-      // anti-join/union projection like q_ann_index_delta's
-      "q_sq_topk" -> 1, "q_sq_ivf" -> 1, "q_jl_topk" -> 1,
-      "q_sq_index_probe" -> 1, "q_sq_index_delta" -> 0,
-      "q_sq_rerank" -> 1,
-      // r12 config build→probe chain: the probe plan is q_sq_index_probe's
-      // (the build stage runs eagerly at pipeline resolution, before the
-      // returned plan exists — its jobs never appear in the probe plan)
-      "q_config_index" -> 1,
-      // r10 stored lexical index: the probe's only exchanges are the
-      // query-term df aggregate and the per-doc score sum over the PRUNED
-      // postings (corp stats and dfreq broadcast; top-k is TakeOrdered);
-      // delta maintenance is one delta-tokenize aggregate — kept postings
-      // anti-join a broadcast retire set, no index-sized exchange
-      "q_bm25_index" -> 2, "q_bm25_index_delta" -> 1,
-      // multi-query probe: every exchange is query- or candidate-sized
-      // (query-term distinct, bucket distinct, the term semi/equi joins,
-      // df agg, the (query,doc) score agg + per-query rank window) over
-      // the PRUNED postings — none is corpus-sized
-      "q_bm25_many" -> 6,
-      // r10 web-ingest flagship: the extraction/normalize chain is a pure
-      // projection over the unioned crawl; the ONLY exchanges are the
-      // dedup hash aggregate's two phases — the keep set joins back as a
-      // broadcast semi join
-      "q_web_pipeline" -> 2,
-      // r10 RRF hybrid: the BM25 side carries its audited aggregates
-      // (term stats, corpus stats, dfreq, per-doc sum) + its k-row rank
-      // window; the dense side's bounded top-k agg, the fusion agg, and
-      // the final rank window are all candidate-sized (≤ Σk per query)
-      "q_rrf_hybrid" -> 8,
-      // r10 stored MaxSim index. Probe: the REAL exchanges are the cached
-      // query-side gather (1, query-sized) + the screen's and re-rank's
-      // bounded top-k aggregates (1 each, candidate-sized) — the counter
-      // reads 8 because the cached gather subplan PRINTS its exchange at
-      // both consumers in initial+final AQE form (executed once; the pin
-      // still catches any new real exchange). Delta: one delta-sized
-      // gather aggregate — kept mats anti-join a broadcast retire set,
-      // nothing index-sized moves.
-      "q_maxsim_index" -> 8, "q_maxsim_index_delta" -> 1,
-      // hybrid capstone: BM25's audited aggregates + the pooled gather +
-      // bounded top-k + fusion aggregates, every one query- or
-      // candidate-sized; the fused candidate frame is trackedPersist'd in
-      // MaxSim.rerank (consumed twice — without it the whole retrieval
-      // stack would EXECUTE twice), and the cached stack printing under
-      // both consumers is what inflates the count to 24
-      "q_hybrid_rerank" -> 24,
-      // r11 JSON-Schema gate: one fully-fused zero-shuffle projection
-      // (variant parse + every check + concat_ws in one codegen stage)
-      "q_json_schema" -> 0,
-      // r11 stop-term guard: same audited shape as q_bm25_index (df agg +
-      // per-doc sum over the PRUNED postings) — the terms/ consult happens
-      // at plan-construction time, never in the probe plan
-      "q_bm25_stopguard" -> 2,
-      // r11 segmented sessionize: tag window + final rollup on the probe
-      // branch, tag window + summary chain window on the (column-pruned)
-      // summary branch — AQE broadcasts the summary side back, so all 4
-      // exchanges carry (keys, ts)-width rows, never the carry columns
-      "q_sessionize_segmented" -> 4)
-    val errs = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
+      "q_lsh_pairs", "q_snapshot_diff", "q_join",
+      "q_decontaminate", "q_repetition", "q_semdedup",
+      "q_substring_dedup", "q_distribution_drift", "q_heavy_hitters",
+      "q_winnow", "q_decontaminate_winnow",
+      // SQ/JL encode-and-rank family
+      "q_sq_topk", "q_sq_ivf", "q_jl_topk",
+      "q_sq_index_probe", "q_sq_index_delta", "q_sq_rerank",
+      "q_config_index",
+      // stored lexical index probe/delta + multi-query probe
+      "q_bm25_index", "q_bm25_index_delta", "q_bm25_many",
+      "q_web_pipeline", "q_rrf_hybrid",
+      "q_maxsim_index", "q_maxsim_index_delta", "q_hybrid_rerank",
+      "q_json_schema", "q_bm25_stopguard", "q_sessionize_segmented")
+    val res = getClass.getResourceAsStream("/exchange_budgets.tsv")
+    assert(res != null, "exchange_budgets.tsv missing from test resources " +
+      "— run `sbt \"runMain graft.PlanBudgets\"` and commit it")
+    val budgets: Map[String, String] =
+      scala.io.Source.fromInputStream(res, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { l =>
+          val Array(n, c) = l.split("\t"); n -> c
+        }.toMap
+    val unknown = headline.filterNot(budgets.contains)
+    assert(unknown.isEmpty, s"headline queries without a committed budget: $unknown")
+    val errs = headline.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)
-      // tree nodes only ("Exchange (n)") — same counter as PlanAudit;
-      // Broadcast/ReusedExchange are not shuffles
-      val got = "(?<!Broadcast|Reused)Exchange \\(\\d+\\)".r
-        .findAllIn(plan).size
-      if (got == budget) None else Some(s"$name: expected $budget exchanges, plan has $got")
+      val got = PlanBudgets.countExchanges(plan).toString
+      if (got == budgets(name)) None
+      else Some(s"$name: expected ${budgets(name)} exchanges, plan has $got")
     }
     assert(errs.isEmpty, errs.mkString("; "))
   }
